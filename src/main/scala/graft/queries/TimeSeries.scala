@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TimeBucket.timeBucket
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** TSDB-semantics battery: the operators HoraeDB adds on top of DataFusion
+  * (SURVEY.md §1, §2.1, §2.6) — time-range extraction, dedup-on-read for
+  * overwrite-mode tables, time_bucket, series top-k — exercised over the
+  * `events` stream table (ts = timestamp, event_type = tag, user_id = series
+  * key, value = field, event_id = ingest sequence).
+  */
+object TimeSeries {
+  import Tables.t
+
+  private val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- time-range scan: HoraeDB's Predicate{time_range} pushdown
+    //      (reference: table_engine/src/predicate.rs:161-206). In Spark the
+    //      range lands in PushedFilters on the parquet scan.
+    GraftQuery("q30_time_range_scan",
+      Some("""SELECT event_id, ts, user_id, "value"
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts <  TIMESTAMP '2024-01-11 00:00:00'""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .filter(col("ts") >= lit(ts("2024-01-10 00:00:00")) &&
+                col("ts") <  lit(ts("2024-01-11 00:00:00")))
+        .select("event_id", "ts", "user_id", "value")),
+
+    // ---- tag group-by aggregate (the canonical HoraeDB query shape)
+    GraftQuery("q31_tag_aggregate",
+      Some("""SELECT event_type, count(*) AS n, round(sum("value"), 2) AS total,
+             |  round(min("value"), 2) AS min_v, round(max("value"), 2) AS max_v
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |GROUP BY event_type""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .filter(col("ts") >= lit(ts("2024-01-05 00:00:00")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+             round(min("value"), 2).as("min_v"), round(max("value"), 2).as("max_v"))),
+
+    // ---- time_bucket PT5M (reference df_operator/src/udfs/time_bucket.rs)
+    GraftQuery("q32_time_bucket_pt5m",
+      Some("""SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000) AS bucket,
+             |  count(*) AS n, round(sum("value"), 2) AS total
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .groupBy(timeBucket(col("ts"), "PT5M").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))),
+
+    // ---- time_bucket P1D with the reference's default +08:00 timezone
+    //      (time_bucket.rs:83): day boundaries shift by 8 hours.
+    GraftQuery("q33_time_bucket_p1d_tz8",
+      Some("""SELECT make_timestamp((((epoch_ms(ts) + 28800000) // 86400000)
+             |    * 86400000 - 28800000) * 1000) AS bucket,
+             |  count(*) AS n
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .groupBy(timeBucket(col("ts"), "P1D").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- dedup-on-read: overwrite-mode semantics (reference merge-dedup read,
+    //      analytic_engine row_iter/dedup.rs) — newest ingest sequence wins per
+    //      primary key (user_id, ts); event_id stands in for the WAL sequence.
+    GraftQuery("q34_dedup_overwrite_read",
+      Some("""SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+             |  round(sum("value"), 2) AS total
+             |FROM (
+             |  SELECT user_id, ts, "value",
+             |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .agg(count(lit(1)).as("n_rows"), countDistinct("user_id").as("n_users"),
+             round(sum("value"), 2).as("total"))),
+
+    // ---- epoch-integer timestamp comparison (reference TypeConversion rule,
+    //      query_frontend/src/logical_optimizer/type_conversion.rs): the filter
+    //      literal arrives as epoch millis, not a timestamp.
+    GraftQuery("q36_epoch_millis_filter",
+      Some("""SELECT count(*) AS n, round(sum("value"), 2) AS total
+             |FROM events WHERE ts > make_timestamp(1705276800000 * 1000)""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .filter(col("ts") > timestamp_millis(lit(1705276800000L)))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))),
+
+    // ---- per-series top-k (hot series)
+    GraftQuery("q37_top_series",
+      Some("""SELECT user_id, count(*) AS n, round(sum("value"), 2) AS total
+             |FROM events GROUP BY user_id
+             |ORDER BY total DESC, user_id LIMIT 10""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy(col("total").desc, col("user_id"))
+        .limit(10)),
+
+    // ---- thetasketch_distinct ≈ approx_count_distinct (reference
+    //      df_operator/src/udfs/thetasketch_distinct.rs, HLL err 0.01). Spark's
+    //      HLL++ values differ from DuckDB's HLL, so the oracle is rows-only;
+    //      ThetaSketchSpec asserts <1% relative error against exact counts.
+    GraftQuery("q39_thetasketch_distinct",
+      None,
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id", 0.01).as("approx_users")))
+  )
+}
