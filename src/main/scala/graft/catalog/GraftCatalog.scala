@@ -1,0 +1,173 @@
+package graft.catalog
+
+import graft.model._
+import java.nio.file.{Files, Path, Paths}
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+import scala.jdk.CollectionConverters._
+
+/** File-backed table catalog: one directory per table under the warehouse,
+  * holding `_manifest.json` (schema + options + version + ingest sequence)
+  * and `data/` (parquet, optionally partitioned by time segment).
+  *
+  * Replaces the reference's catalog→schema→table hierarchy
+  * (catalog/src/consts.rs: defaults horaedb/public) with a single default
+  * database; the manifest carries the reference Schema fields
+  * (common_types/src/schema.rs:633-655): columns, PK, timestamp key,
+  * version.
+  */
+final class GraftCatalog(val warehouse: String) {
+  private implicit val fmts: Formats = DefaultFormats
+
+  Files.createDirectories(Paths.get(warehouse))
+
+  def databaseName: String = "public"
+
+  private def tableDir(name: String): Path = Paths.get(warehouse, name)
+  private def manifestPath(name: String): Path = tableDir(name).resolve("_manifest.json")
+  def dataDir(name: String): String = tableDir(name).resolve("data").toString
+
+  def exists(name: String): Boolean = Files.exists(manifestPath(name))
+
+  def list(): Seq[String] =
+    if (!Files.exists(Paths.get(warehouse))) Nil
+    else Files.list(Paths.get(warehouse)).iterator().asScala
+      .filter(p => Files.exists(p.resolve("_manifest.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  def create(schema: TableSchema, ifNotExists: Boolean): Boolean = {
+    if (exists(schema.name)) {
+      if (ifNotExists) return false
+      throw new IllegalStateException(s"table '${schema.name}' already exists")
+    }
+    Files.createDirectories(tableDir(schema.name))
+    writeManifest(schema.name, Manifest(schema, nextSeq = 0L))
+    true
+  }
+
+  def drop(name: String, ifExists: Boolean): Boolean = {
+    if (!exists(name)) {
+      if (ifExists) return false
+      throw new IllegalStateException(s"table '$name' does not exist")
+    }
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(tableDir(name))
+    true
+  }
+
+  def get(name: String): TableSchema = manifest(name).toSchema
+
+  /** Reserve `n` ingest sequence numbers; returns the first. The sequence
+    * orders overwrite-mode duplicates (newest wins), standing in for the
+    * reference's WAL sequence. */
+  def reserveSeq(name: String, n: Long): Long = synchronized {
+    val m = manifest(name)
+    writeManifest(name, m.copy(nextSeq = m.nextSeq + n))
+    m.nextSeq
+  }
+
+  def alterAddColumns(name: String, cols: Seq[ColumnSpec]): Unit = synchronized {
+    val m = manifest(name)
+    val s = m.toSchema
+    cols.foreach { c =>
+      if (s.columns.exists(_.name == c.name))
+        throw new IllegalStateException(s"column '${c.name}' already exists in '$name'")
+    }
+    writeManifest(name, Manifest(
+      s.copy(columns = s.columns ++ cols, version = s.version + 1), m.nextSeq))
+  }
+
+  def alterSetting(name: String, settings: Map[String, String]): Unit = synchronized {
+    val m = manifest(name)
+    val s = m.toSchema
+    val merged = TableOptions.fromRaw(s.options.raw ++ settings)
+    writeManifest(name, Manifest(
+      s.copy(options = merged, version = s.version + 1), m.nextSeq))
+  }
+
+  /** Reconstructed DDL for SHOW CREATE TABLE. */
+  def showCreate(name: String): String = {
+    val s = get(name)
+    val cols = s.columns.map { c =>
+      val mods = new StringBuilder
+      if (c.isTag) mods ++= " TAG"
+      if (c.isDictionary) mods ++= " DICTIONARY"
+      if (!c.isNullable) mods ++= " NOT NULL"
+      c.defaultValue.foreach(d => mods ++= s" DEFAULT '$d'")
+      if (c.comment.nonEmpty) mods ++= s" COMMENT '${c.comment}'"
+      s"`${c.name}` ${sqlTypeName(c.kind)}$mods"
+    }
+    val constraints =
+      Seq(s"TIMESTAMP KEY(`${s.timestampKey}`)") ++
+      s.explicitPrimaryKey.map(pk => s"PRIMARY KEY(${pk.map(k => s"`$k`").mkString(", ")})")
+    val partition = s.partitionBy.map {
+      case PartitionByKey(ks, n) =>
+        s" PARTITION BY KEY(${ks.map(k => s"`$k`").mkString(", ")}) PARTITIONS $n"
+      case PartitionByHash(e, n) => s" PARTITION BY HASH($e) PARTITIONS $n"
+      case PartitionByRandom(n)  => s" PARTITION BY RANDOM PARTITIONS $n"
+    }.getOrElse("")
+    val opts =
+      if (s.options.raw.isEmpty) ""
+      else " WITH (" + s.options.raw.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k='$v'" }.mkString(", ") + ")"
+    s"CREATE TABLE `$name` (${(cols ++ constraints).mkString(", ")})" +
+      s"$partition ENGINE=Analytic$opts"
+  }
+
+  private def sqlTypeName(k: DatumKind.Value): String = k.toString.toLowerCase
+
+  private def manifest(name: String): Manifest = {
+    if (!exists(name)) throw new IllegalStateException(s"table '$name' does not exist")
+    JsonMethods.parse(Files.readString(manifestPath(name))).extract[Manifest]
+  }
+
+  private def writeManifest(name: String, m: Manifest): Unit = {
+    val tmp = manifestPath(name).resolveSibling("_manifest.json.tmp")
+    Files.writeString(tmp, Serialization.writePretty(m))
+    Files.move(tmp, manifestPath(name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+// manifest (de)serialization — top-level so json4s reflection works
+private[catalog] final case class ColJson(name: String, kind: String, nullable: Boolean,
+    tag: Boolean, dictionary: Boolean, comment: String, default: Option[String])
+private[catalog] final case class PartJson(
+    kind: String, columns: List[String], expr: String, partitions: Int)
+private[catalog] final case class Manifest(
+    name: String, columns: List[ColJson], timestampKey: String,
+    primaryKey: Option[List[String]], options: Map[String, String],
+    partition: Option[PartJson], version: Int, nextSeq: Long) {
+  def toSchema: TableSchema = TableSchema(
+    name,
+    columns.map(c => ColumnSpec(c.name, DatumKind.withName(c.kind), c.nullable,
+      c.tag, c.dictionary, c.comment, c.default)),
+    timestampKey,
+    primaryKey.map(_.toSeq),
+    TableOptions.fromRaw(options),
+    partition.map(p => p.kind match {
+      case "key"    => PartitionByKey(p.columns, p.partitions)
+      case "hash"   => PartitionByHash(p.expr, p.partitions)
+      case "random" => PartitionByRandom(p.partitions)
+    }),
+    version)
+}
+private[catalog] object Manifest {
+  def apply(s: TableSchema, nextSeq: Long): Manifest = Manifest(
+    s.name,
+    s.columns.map(c => ColJson(c.name, c.kind.toString, c.isNullable, c.isTag,
+      c.isDictionary, c.comment, c.defaultValue)).toList,
+    s.timestampKey,
+    s.explicitPrimaryKey.map(_.toList),
+    s.options.raw,
+    s.partitionBy.map {
+      case PartitionByKey(ks, n) => PartJson("key", ks.toList, "", n)
+      case PartitionByHash(e, n) => PartJson("hash", Nil, e, n)
+      case PartitionByRandom(n)  => PartJson("random", Nil, "", n)
+    },
+    s.version, nextSeq)
+}

@@ -1,0 +1,375 @@
+package graft.ddl
+
+import graft.model._
+
+/** Parsed statements of the reference's SQL dialect
+  * (reference: query_frontend/src/ast.rs:26-42). Anything that is plain SQL
+  * (SELECT/EXPLAIN/...) passes through as [[PassthroughSql]] and is handed to
+  * Spark after table resolution.
+  */
+sealed trait Statement
+final case class CreateTable(schema: TableSchema, ifNotExists: Boolean) extends Statement
+final case class DropTable(name: String, ifExists: Boolean) extends Statement
+final case class DescribeTable(name: String) extends Statement
+final case class ShowTables(like: Option[String]) extends Statement
+case object ShowDatabases extends Statement
+final case class ShowCreateTable(name: String) extends Statement
+final case class ExistsTable(name: String) extends Statement
+final case class AlterAddColumns(name: String, columns: Seq[ColumnSpec]) extends Statement
+final case class AlterModifySetting(name: String, settings: Map[String, String]) extends Statement
+final case class InsertValues(
+    table: String, columns: Seq[String], rows: Seq[Seq[Literal]]) extends Statement
+final case class PassthroughSql(sql: String) extends Statement
+
+/** A VALUES literal. */
+sealed trait Literal
+final case class StringLit(v: String) extends Literal
+final case class NumberLit(v: BigDecimal) extends Literal
+final case class BoolLit(v: Boolean) extends Literal
+case object NullLit extends Literal
+
+/** Hand-written tokenizer + recursive-descent parser for the HoraeDB DDL
+  * extensions (reference: query_frontend/src/parser.rs, 1,628 LoC —
+  * TIMESTAMP KEY constraint :507-543, TAG/DICTIONARY/UNSIGN modifiers
+  * :545-557, ALTER :224-321, SHOW :251-290, EXISTS :387, PARTITION BY
+  * :1453-1474). Standard SQL is not re-parsed here — it goes to Catalyst.
+  */
+object DdlParser {
+
+  // ---------------- tokenizer ----------------
+  sealed trait Tok
+  final case class Ident(s: String) extends Tok      // already unquoted
+  final case class Str(s: String) extends Tok
+  final case class Num(s: String) extends Tok
+  final case class Punct(c: String) extends Tok
+
+  def tokenize(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '`' || c == '"') {
+        val q = c; val sb = new StringBuilder; i += 1
+        while (i < n && sql.charAt(i) != q) { sb += sql.charAt(i); i += 1 }
+        i += 1
+        out += Ident(sb.toString)
+      } else if (c == '\'') {
+        val sb = new StringBuilder; i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = sql.charAt(i)
+          if (ch == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') { sb += '\''; i += 2 }
+          else if (ch == '\'') { done = true; i += 1 }
+          else { sb += ch; i += 1 }
+        }
+        out += Str(sb.toString)
+      } else if (c.isDigit || (c == '-' && i + 1 < n && sql.charAt(i + 1).isDigit)) {
+        val sb = new StringBuilder
+        if (c == '-') { sb += c; i += 1 }
+        while (i < n && (sql.charAt(i).isDigit || sql.charAt(i) == '.' ||
+               sql.charAt(i) == 'e' || sql.charAt(i) == 'E' ||
+               ((sql.charAt(i) == '-' || sql.charAt(i) == '+') && i > 0 &&
+                (sql.charAt(i - 1) == 'e' || sql.charAt(i - 1) == 'E')))) {
+          sb += sql.charAt(i); i += 1
+        }
+        out += Num(sb.toString)
+      } else if (c.isLetter || c == '_') {
+        val sb = new StringBuilder
+        while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) {
+          sb += sql.charAt(i); i += 1
+        }
+        out += Ident(sb.toString)
+      } else { out += Punct(c.toString); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Split a script on top-level semicolons (quote-aware). */
+  def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0; var inS = false; var inB = false; var inD = false
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (inS) { if (c == '\'') inS = false; sb += c }
+      else if (inB) { if (c == '`') inB = false; sb += c }
+      else if (inD) { if (c == '"') inD = false; sb += c }
+      else c match {
+        case '\'' => inS = true; sb += c
+        case '`'  => inB = true; sb += c
+        case '"'  => inD = true; sb += c
+        case ';'  => val s = sb.toString.trim; if (s.nonEmpty) out += s; sb.clear()
+        case _    => sb += c
+      }
+      i += 1
+    }
+    val last = sb.toString.trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  // ---------------- parser ----------------
+  final class P(toks: Vector[Tok], val sql: String) {
+    private var pos = 0
+    def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    def peekAt(k: Int): Option[Tok] =
+      if (pos + k < toks.length) Some(toks(pos + k)) else None
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def done: Boolean = pos >= toks.length
+
+    def isKw(kw: String): Boolean = peek match {
+      case Some(Ident(s)) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+    def tryKw(kw: String): Boolean = if (isKw(kw)) { pos += 1; true } else false
+    def expectKw(kw: String): Unit =
+      if (!tryKw(kw)) fail(s"expected $kw")
+    def expectPunct(p: String): Unit = next() match {
+      case Punct(`p`) =>
+      case other => fail(s"expected '$p', got $other")
+    }
+    def tryPunct(p: String): Boolean = peek match {
+      case Some(Punct(`p`)) => pos += 1; true
+      case _ => false
+    }
+    def ident(): String = next() match {
+      case Ident(s) => s
+      case other => fail(s"expected identifier, got $other")
+    }
+    def str(): String = next() match {
+      case Str(s) => s
+      case other => fail(s"expected string literal, got $other")
+    }
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"DDL parse error: $msg in: $sql")
+  }
+
+  /** Parse one statement. Unknown statement kinds pass through untouched. */
+  def parse(sql: String): Statement = {
+    val p = new P(tokenize(sql), sql)
+    if (p.tryKw("CREATE")) { p.expectKw("TABLE"); parseCreate(p) }
+    else if (p.tryKw("DROP")) { p.expectKw("TABLE"); parseDrop(p) }
+    else if (p.isKw("DESCRIBE") || p.isKw("DESC")) { p.next(); p.tryKw("TABLE"); DescribeTable(p.ident()) }
+    else if (p.tryKw("SHOW")) parseShow(p)
+    else if (p.tryKw("EXISTS")) { p.expectKw("TABLE"); ExistsTable(p.ident()) }
+    else if (p.tryKw("ALTER")) { p.expectKw("TABLE"); parseAlter(p) }
+    else if (p.tryKw("INSERT")) parseInsert(p)
+    else PassthroughSql(sql)
+  }
+
+  private def parseCreate(p: P): CreateTable = {
+    val ifNotExists = if (p.tryKw("IF")) { p.expectKw("NOT"); p.expectKw("EXISTS"); true } else false
+    val name = p.ident()
+    p.expectPunct("(")
+
+    var cols = Vector.empty[ColumnSpec]
+    var tsKey: Option[String] = None
+    var pk: Option[Seq[String]] = None
+    var first = true
+    while (!p.tryPunct(")")) {
+      if (!first) p.expectPunct(",")
+      first = false
+      // `TIMESTAMP KEY(col)` constraint vs a column named `timestamp`:
+      // disambiguate on the following token (FIXTURES F2 has both).
+      val isTsKeyConstraint = p.isKw("TIMESTAMP") && (p.peekAt(1) match {
+        case Some(Ident(s)) => s.equalsIgnoreCase("KEY")
+        case _ => false
+      })
+      if (isTsKeyConstraint) {
+        p.next(); p.expectKw("KEY"); p.expectPunct("(")
+        tsKey = Some(p.ident()); p.expectPunct(")")
+      } else if (p.isKw("PRIMARY")) {
+        p.next(); p.expectKw("KEY"); p.expectPunct("(")
+        val ks = Vector.newBuilder[String]
+        ks += p.ident()
+        while (p.tryPunct(",")) ks += p.ident()
+        p.expectPunct(")")
+        pk = Some(ks.result())
+      } else cols :+= parseColumn(p)
+    }
+
+    // PARTITION BY KEY(cols) / HASH(expr) / RANDOM ... PARTITIONS n
+    var partition: Option[PartitionBy] = None
+    if (p.tryKw("PARTITION")) {
+      p.expectKw("BY")
+      if (p.tryKw("KEY")) {
+        p.expectPunct("(")
+        val ks = Vector.newBuilder[String]; ks += p.ident()
+        while (p.tryPunct(",")) ks += p.ident()
+        p.expectPunct(")")
+        p.expectKw("PARTITIONS")
+        partition = Some(PartitionByKey(ks.result(), numInt(p)))
+      } else if (p.tryKw("HASH")) {
+        p.expectPunct("(")
+        val sb = new StringBuilder
+        var depth = 1
+        while (depth > 0) p.next() match {
+          case Punct("(") => depth += 1; sb += '('
+          case Punct(")") => depth -= 1; if (depth > 0) sb += ')'
+          case Ident(s)   => sb ++= s ++ " "
+          case Num(s)     => sb ++= s ++ " "
+          case Str(s)     => sb ++= s"'$s' "
+          case Punct(c)   => sb ++= c
+        }
+        p.expectKw("PARTITIONS")
+        partition = Some(PartitionByHash(sb.toString.trim, numInt(p)))
+      } else if (p.tryKw("RANDOM")) {
+        p.expectKw("PARTITIONS")
+        partition = Some(PartitionByRandom(numInt(p)))
+      } else p.fail("expected KEY/HASH/RANDOM after PARTITION BY")
+    }
+
+    // ENGINE=Analytic (accepted, single engine)
+    if (p.tryKw("ENGINE")) { p.expectPunct("="); p.ident() }
+
+    // WITH (k='v', ...)
+    var opts = Map.empty[String, String]
+    if (p.tryKw("WITH")) {
+      p.expectPunct("(")
+      var f = true
+      while (!p.tryPunct(")")) {
+        if (!f) p.expectPunct(",")
+        f = false
+        val k = p.ident()
+        p.expectPunct("=")
+        val v = p.next() match {
+          case Str(s) => s; case Ident(s) => s; case Num(s) => s
+          case other  => p.fail(s"bad option value $other")
+        }
+        opts += (k -> v)
+      }
+    }
+
+    val ts = tsKey.getOrElse(p.fail("missing TIMESTAMP KEY(col)"))
+    // the reference forces the ts key to be NOT NULL
+    cols = cols.map(c => if (c.name == ts) c.copy(isNullable = false) else c)
+    pk.foreach { keys =>
+      // PK must be declared columns; reference enforces PK-prefix ordering,
+      // we only require existence (storage is columnar parquet either way)
+      keys.foreach(k => if (!cols.exists(_.name == k) && k != TableSchema.TsidColumn)
+        p.fail(s"primary key column '$k' not declared"))
+    }
+    CreateTable(
+      TableSchema(name, cols, ts, pk, TableOptions.fromRaw(opts), partition),
+      ifNotExists)
+  }
+
+  private def numInt(p: P): Int = p.next() match {
+    case Num(s) => s.toInt
+    case other  => p.fail(s"expected number, got $other")
+  }
+
+  private def parseColumn(p: P): ColumnSpec = {
+    val name = p.ident()
+    val tpe = p.ident()
+    var unsigned = false
+    var tag = false
+    var dict = false
+    var nullable = true
+    var comment = ""
+    var default: Option[String] = None
+    var more = true
+    while (more) {
+      if (p.tryKw("TAG")) tag = true
+      else if (p.tryKw("DICTIONARY")) dict = true
+      else if (p.tryKw("UNSIGN") || p.tryKw("UNSIGNED")) unsigned = true
+      else if (p.tryKw("NOT")) { p.expectKw("NULL"); nullable = false }
+      else if (p.tryKw("NULL")) nullable = true
+      else if (p.tryKw("COMMENT")) comment = p.str()
+      else if (p.tryKw("DEFAULT")) default = Some(p.next() match {
+        case Str(s) => s; case Num(s) => s; case Ident(s) => s
+        case other  => p.fail(s"bad default $other")
+      })
+      else more = false
+    }
+    val kind = DatumKind.fromSqlName(tpe, unsigned)
+    if (tag && !DatumKind.validTag(kind))
+      p.fail(s"column '$name': $kind is not a valid tag type")
+    ColumnSpec(name, kind, nullable, tag, dict, comment, default)
+  }
+
+  private def parseDrop(p: P): DropTable = {
+    val ifExists = if (p.tryKw("IF")) { p.expectKw("EXISTS"); true } else false
+    DropTable(p.ident(), ifExists)
+  }
+
+  private def parseShow(p: P): Statement = {
+    if (p.tryKw("TABLES")) {
+      val like = if (p.tryKw("LIKE")) Some(p.str()) else None
+      ShowTables(like)
+    } else if (p.tryKw("DATABASES")) ShowDatabases
+    else if (p.tryKw("CREATE")) { p.expectKw("TABLE"); ShowCreateTable(p.ident()) }
+    else p.fail("expected TABLES / DATABASES / CREATE TABLE after SHOW")
+  }
+
+  private def parseAlter(p: P): Statement = {
+    val name = p.ident()
+    if (p.tryKw("ADD")) {
+      p.expectKw("COLUMN")
+      val cols = Vector.newBuilder[ColumnSpec]
+      if (p.tryPunct("(")) {
+        cols += parseColumn(p)
+        while (p.tryPunct(",")) cols += parseColumn(p)
+        p.expectPunct(")")
+      } else cols += parseColumn(p)
+      AlterAddColumns(name, cols.result())
+    } else if (p.tryKw("MODIFY")) {
+      p.expectKw("SETTING")
+      var settings = Map.empty[String, String]
+      var f = true
+      while (!p.done) {
+        if (!f) p.expectPunct(",")
+        f = false
+        val k = p.ident(); p.expectPunct("=")
+        val v = p.next() match {
+          case Str(s) => s; case Ident(s) => s; case Num(s) => s
+          case other  => p.fail(s"bad setting value $other")
+        }
+        settings += (k -> v)
+      }
+      AlterModifySetting(name, settings)
+    } else p.fail("expected ADD COLUMN or MODIFY SETTING")
+  }
+
+  /** INSERT INTO t [(cols)] VALUES (...),(...)  — the reference accepts
+    * VALUES bodies only (planner.rs:1158-1168); so do we on this path. */
+  private def parseInsert(p: P): InsertValues = {
+    p.expectKw("INTO")
+    val table = p.ident()
+    var cols = Seq.empty[String]
+    if (p.tryPunct("(")) {
+      val cs = Vector.newBuilder[String]
+      cs += p.ident()
+      while (p.tryPunct(",")) cs += p.ident()
+      p.expectPunct(")")
+      cols = cs.result()
+    }
+    p.expectKw("VALUES")
+    val rows = Vector.newBuilder[Seq[Literal]]
+    var more = true
+    while (more) {
+      p.expectPunct("(")
+      val row = Vector.newBuilder[Literal]
+      var f = true
+      while (!p.tryPunct(")")) {
+        if (!f) p.expectPunct(",")
+        f = false
+        row += (p.next() match {
+          case Str(s) => StringLit(s)
+          case Num(s) => NumberLit(BigDecimal(s))
+          case Ident(s) if s.equalsIgnoreCase("null")  => NullLit
+          case Ident(s) if s.equalsIgnoreCase("true")  => BoolLit(true)
+          case Ident(s) if s.equalsIgnoreCase("false") => BoolLit(false)
+          case other => p.fail(s"unsupported VALUES literal $other")
+        })
+      }
+      rows += row.result()
+      more = p.tryPunct(",")
+    }
+    InsertValues(table, cols, rows.result())
+  }
+}

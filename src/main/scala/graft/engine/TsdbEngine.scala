@@ -1,0 +1,329 @@
+package graft.engine
+
+import graft.catalog.GraftCatalog
+import graft.ddl._
+import graft.functions.TsidHash
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{
+  Between, BinaryComparison, Expression, In, Literal => CLiteral}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** The interpreter layer (reference: interpreters/src/factory.rs:77 — one
+  * interpreter per statement kind) rebuilt on Spark: DDL/metadata statements
+  * run against [[GraftCatalog]], INSERT VALUES runs through the write path
+  * (tsid + defaults + ingest sequence, reference interpreters/src/insert.rs),
+  * and everything else is standard SQL handed to Catalyst with catalog
+  * tables pre-registered as (dedup-on-read, TTL-filtered) views.
+  */
+final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
+  val catalog = new GraftCatalog(warehouse)
+  graft.functions.GraftFunctions.register(spark)
+
+  /** Execute a script (one or more ;-separated statements); returns the
+    * result of the last statement. */
+  def execute(script: String): DataFrame = {
+    val stmts = DdlParser.splitStatements(script)
+    require(stmts.nonEmpty, "empty SQL script")
+    stmts.map(s => executeOne(DdlParser.parse(s))).last
+  }
+
+  def executeOne(stmt: Statement): DataFrame = stmt match {
+    case CreateTable(schema, ifNotExists) =>
+      catalog.create(schema, ifNotExists); affectedRows(0)
+    case DropTable(name, ifExists) =>
+      catalog.drop(name, ifExists)
+      spark.catalog.dropTempView(name) // a stale view would read deleted files
+      affectedRows(0)
+    case DescribeTable(name) => describe(name)
+    case ShowTables(like) => showTables(like)
+    case ShowDatabases =>
+      singleCol("Databases", Seq(catalog.databaseName))
+    case ShowCreateTable(name) =>
+      spark.createDataFrame(
+        Seq(Row(name, catalog.showCreate(name))).asJava,
+        StructType(Seq(StructField("Table", StringType), StructField("Create Table", StringType))))
+    case ExistsTable(name) =>
+      spark.createDataFrame(
+        Seq(Row(if (catalog.exists(name)) 1L else 0L)).asJava,
+        StructType(Seq(StructField("result", LongType))))
+    case AlterAddColumns(name, cols) =>
+      catalog.alterAddColumns(name, cols); affectedRows(0)
+    case AlterModifySetting(name, settings) =>
+      catalog.alterSetting(name, settings); affectedRows(0)
+    case ins: InsertValues => affectedRows(insertValues(ins))
+    case PassthroughSql(sql) => runSql(sql)
+  }
+
+  // ---------------- read path ----------------
+
+  /** Resolved user-facing DataFrame for a table: storage scan + TTL filter +
+    * (overwrite mode) newest-sequence-wins dedup, projected back to the
+    * user schema. Mirrors the reference's merge-dedup read
+    * (analytic_engine/src/row_iter/dedup.rs) as a window over the PK —
+    * filters composed on top stay correct because they apply after dedup
+    * (the reference's "Inexact filter" contract, provider.rs:335-351).
+    */
+  def read(name: String): DataFrame = {
+    val s = catalog.get(name)
+    val storage = readStorage(s)
+    val ttled = s.options.ttlMillis match {
+      case Some(ttl) if s.options.enableTtl =>
+        storage.filter(col(s.timestampKey) >=
+          (current_timestamp() - expr(s"INTERVAL ${ttl / 1000} SECOND")))
+      case _ => storage
+    }
+    val deduped = s.options.updateMode match {
+      case UpdateMode.Overwrite =>
+        val pk = s.primaryKey.map(col)
+        ttled
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(pk: _*).orderBy(col(TableSchema.SeqColumn).desc)))
+          .filter(col("__rn") === 1)
+      case UpdateMode.Append => ttled
+    }
+    deduped.select(s.columns.map(c => col(c.name)): _*)
+  }
+
+  private def readStorage(s: TableSchema): DataFrame = {
+    val dir = catalog.dataDir(s.name)
+    val schema = s.storageStruct
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    } else {
+      // explicit schema: files written before an ALTER ADD COLUMN surface
+      // the new column as null (schema versioning, reference schema.rs:653)
+      spark.read.schema(schema).parquet(dir)
+    }
+  }
+
+  // ---------------- write path ----------------
+
+  /** INSERT VALUES (the only insert body the reference accepts,
+    * planner.rs:1158-1168): column reorder, default fill, tsid, sequence. */
+  def insertValues(ins: InsertValues): Long = {
+    val s = catalog.get(ins.table)
+    val targets = if (ins.columns.nonEmpty) ins.columns else s.columns.map(_.name)
+    targets.foreach(s.column) // validates
+    if (!targets.contains(s.timestampKey))
+      throw new IllegalArgumentException(
+        s"INSERT into '${ins.table}' must provide timestamp key '${s.timestampKey}'")
+
+    val rows = ins.rows.map { r =>
+      require(r.length == targets.length,
+        s"INSERT row has ${r.length} values for ${targets.length} columns")
+      val byName = targets.zip(r).toMap
+      Row.fromSeq(s.columns.map { c =>
+        byName.get(c.name) match {
+          case Some(lit) => coerce(lit, c)
+          case None => c.defaultValue match {
+            case Some(d) => coerce(StringLit(d), c)
+            case None =>
+              if (!c.isNullable && c.name != s.timestampKey)
+                throw new IllegalArgumentException(
+                  s"column '${c.name}' is NOT NULL without default")
+              null
+          }
+        }
+      })
+    }
+    val df = spark.createDataFrame(rows.asJava, s.toStruct)
+    append(ins.table, df)
+    rows.length.toLong
+  }
+
+  /** Append a batch of user-schema rows: computes tsid + ingest sequence and
+    * writes time-segmented parquet. Also the Structured Streaming
+    * foreachBatch target (streaming ingest replaces the reference's WAL +
+    * memtable path; checkpointing replaces WAL durability). */
+  def append(name: String, batch: DataFrame): Unit = {
+    val s = catalog.get(name)
+    // one sequence block per batch; within a batch, later rows win
+    val seqBase = catalog.reserveSeq(name, 1)
+    var df = batch.select(s.columns.map(c => col(c.name).cast(c.sparkType)): _*)
+    if (s.usesTsid) {
+      val tags = s.columns.zipWithIndex.collect { case (c, i) if c.isTag => (col(c.name), i) }
+      df = df.withColumn(TableSchema.TsidColumn,
+        if (tags.nonEmpty) TsidHash.tsid(tags) else lit(0L))
+    }
+    df = df.withColumn(TableSchema.SeqColumn,
+      lit(seqBase << 40) + monotonically_increasing_id())
+
+    s.options.segmentMillis match {
+      case Some(seg) =>
+        df = df.withColumn(TableSchema.SegmentColumn,
+          floor(unix_millis(col(s.timestampKey)) / seg).cast(LongType))
+        df.write.mode("append")
+          .partitionBy(TableSchema.SegmentColumn)
+          .parquet(catalog.dataDir(name))
+      case None =>
+        df.write.mode("append").parquet(catalog.dataDir(name))
+    }
+  }
+
+  private def coerce(lit: Literal, c: ColumnSpec): Any = {
+    import DatumKind._
+    lit match {
+      case NullLit => null
+      case _ => c.kind match {
+        case Timestamp => lit match {
+          case NumberLit(v) => new java.sql.Timestamp(v.toLong) // epoch millis
+          case StringLit(v) => java.sql.Timestamp.valueOf(
+            if (v.length == 10) v + " 00:00:00" else v)
+          case other => badLit(other, c)
+        }
+        case Date => lit match {
+          case StringLit(v) => java.sql.Date.valueOf(v)
+          case NumberLit(v) => new java.sql.Date(v.toLong)
+          case other => badLit(other, c)
+        }
+        case String => lit match {
+          case StringLit(v) => v
+          case NumberLit(v) => v.toString
+          case BoolLit(v)   => v.toString
+          case other        => badLit(other, c)
+        }
+        case Varbinary => lit match {
+          case StringLit(v) => v.getBytes("UTF-8")
+          case other        => badLit(other, c)
+        }
+        case Boolean => lit match {
+          case BoolLit(v)   => v
+          case NumberLit(v) => v != 0
+          case other        => badLit(other, c)
+        }
+        case Double => num(lit, c).toDouble
+        case Float  => num(lit, c).toFloat
+        case UInt64 | Int64 | Time | UInt32 => num(lit, c).toLong
+        case Int32 | UInt16 => num(lit, c).toInt
+        case Int16 | UInt8  => num(lit, c).toShort
+        case Int8 => num(lit, c).toByte
+        case Null => null
+        case other => throw new IllegalArgumentException(s"cannot insert into $other")
+      }
+    }
+  }
+  private def num(lit: Literal, c: ColumnSpec): BigDecimal = lit match {
+    case NumberLit(v) => v
+    case StringLit(v) => BigDecimal(v)
+    case other        => badLit(other, c)
+  }
+  private def badLit(l: Literal, c: ColumnSpec): Nothing =
+    throw new IllegalArgumentException(s"bad literal $l for column ${c.name} (${c.kind})")
+
+  // ---------------- SQL passthrough ----------------
+
+  /** Standard SQL over catalog tables: registers each table as a view and
+    * lets Catalyst do the rest. Epoch-integer comparisons against timestamp
+    * key columns are rewritten to timestamp literals first, mirroring the
+    * reference's TypeConversion analyzer rule
+    * (query_frontend/src/logical_optimizer/type_conversion.rs:40-215).
+    */
+  def runSql(sql: String): DataFrame = {
+    val tables = catalog.list()
+    tables.foreach(n => read(n).createOrReplaceTempView(n))
+    // the reference's system table system.public.tables (system_catalog/src/tables.rs)
+    systemTables().createOrReplaceTempView("system_public_tables")
+    val cleaned = sql.replaceAll("(?i)system\\.public\\.tables", "system_public_tables")
+    val tsColumns: Set[String] = tables.map(n => catalog.get(n).timestampKey).toSet
+    val plan = spark.sessionState.sqlParser.parsePlan(cleaned)
+    GraftBridge.ofRows(spark, EpochMillisRewrite(plan, tsColumns))
+  }
+
+  def systemTables(): DataFrame = {
+    val rows = catalog.list().map { n =>
+      Row("horaedb", catalog.databaseName, n, java.lang.Long.valueOf(0L), "Analytic")
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("catalog", StringType), StructField("schema", StringType),
+      StructField("table_name", StringType), StructField("table_id", LongType),
+      StructField("engine", StringType))))
+  }
+
+  // ---------------- metadata result shapes ----------------
+
+  private def affectedRows(n: Long): DataFrame =
+    spark.createDataFrame(Seq(Row(n)).asJava,
+      StructType(Seq(StructField("affected_rows", LongType))))
+
+  private def singleCol(name: String, vals: Seq[String]): DataFrame =
+    spark.createDataFrame(vals.map(Row(_)).asJava,
+      StructType(Seq(StructField(name, StringType))))
+
+  private def showTables(like: Option[String]): DataFrame = {
+    val names = catalog.list()
+    val filtered = like match {
+      case Some(pat) =>
+        val rx = ("(?i)^" + java.util.regex.Pattern.quote(pat)
+          .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r
+        names.filter(n => rx.findFirstIn(n).isDefined)
+      case None => names
+    }
+    singleCol("Tables", filtered)
+  }
+
+  private def describe(name: String): DataFrame = {
+    val s = catalog.get(name)
+    val pk = s.primaryKey.toSet
+    val rows = s.columns.map { c =>
+      Row(c.name, c.kind.toString.toLowerCase, pk.contains(c.name),
+        c.isNullable, c.isTag, c.isDictionary)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("field", StringType), StructField("type", StringType),
+      StructField("is_primary", BooleanType), StructField("is_nullable", BooleanType),
+      StructField("is_tag", BooleanType), StructField("is_dictionary", BooleanType))))
+  }
+}
+
+/** Rewrites `ts_col <cmp> <integer>` to `ts_col <cmp> timestamp_millis(n)`
+  * on the *unresolved* plan, for the timestamp key columns of registered
+  * tables. The reference does the same conversion in its TypeConversion
+  * analyzer so that time-range extraction sees typed literals
+  * (type_conversion.rs:48-52). Under Spark's ANSI mode the unconverted
+  * comparison would be an analysis error, so this rule is load-bearing.
+  */
+object EpochMillisRewrite {
+  def apply(plan: LogicalPlan, tsColumns: Set[String]): LogicalPlan = {
+    def isTsAttr(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute => tsColumns.contains(a.nameParts.last)
+      case _ => false
+    }
+    def toTsLiteral(l: CLiteral): CLiteral = l.value match {
+      case v: Long => CLiteral(v * 1000L, TimestampType)
+      case v: Int  => CLiteral(v.toLong * 1000L, TimestampType)
+      case _       => l
+    }
+    def isIntegral(l: CLiteral): Boolean =
+      l.dataType == LongType || l.dataType == IntegerType
+    plan.transformAllExpressions {
+      case cmp: BinaryComparison if isTsAttr(cmp.left) &&
+          cmp.right.isInstanceOf[CLiteral] &&
+          isIntegral(cmp.right.asInstanceOf[CLiteral]) =>
+        cmp.withNewChildren(Seq(cmp.left, toTsLiteral(cmp.right.asInstanceOf[CLiteral])))
+      case cmp: BinaryComparison if isTsAttr(cmp.right) &&
+          cmp.left.isInstanceOf[CLiteral] &&
+          isIntegral(cmp.left.asInstanceOf[CLiteral]) =>
+        cmp.withNewChildren(Seq(toTsLiteral(cmp.left.asInstanceOf[CLiteral]), cmp.right))
+      case In(a, list) if isTsAttr(a) && list.forall {
+            case l: CLiteral => isIntegral(l); case _ => false } =>
+        In(a, list.map(l => toTsLiteral(l.asInstanceOf[CLiteral])))
+      case Between(v, lo: CLiteral, hi: CLiteral, _)
+          if isTsAttr(v) && isIntegral(lo) && isIntegral(hi) =>
+        Between(v, toTsLiteral(lo), toTsLiteral(hi))
+      // BETWEEN arrives from the parser as an unresolved function call
+      case f: UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("between") &&
+             f.arguments.length == 3 && isTsAttr(f.arguments.head) &&
+             f.arguments.tail.forall {
+               case l: CLiteral => isIntegral(l); case _ => false } =>
+        f.copy(arguments = f.arguments.head +:
+          f.arguments.tail.map(l => toTsLiteral(l.asInstanceOf[CLiteral])))
+    }
+  }
+}

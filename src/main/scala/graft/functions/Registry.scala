@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-surface registration of the engine's custom functions, replacing the
+  * reference's FunctionRegistry (df_operator/src/registry.rs):
+  *
+  *  - `time_bucket(ts, 'PT5M' [, '+08:00'])` — custom Catalyst expression
+  *    (reference df_operator/src/udfs/time_bucket.rs)
+  *  - `thetasketch_distinct(col)` — HLL distinct count at the reference's
+  *    0.01 error rate (df_operator/src/udfs/thetasketch_distinct.rs:59-80),
+  *    backed by Spark's native HyperLogLogPlusPlus aggregate
+  */
+object GraftFunctions {
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def timeBucketBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(ts, period) =>
+      TimeBucket(ts, strArg(period, "time_bucket period"))
+    case Seq(ts, period, tz) =>
+      TimeBucket(ts, strArg(period, "time_bucket period"),
+        TimePeriod.parseOffsetMinutes(strArg(tz, "time_bucket timezone")))
+    case other => throw new IllegalArgumentException(
+      s"time_bucket takes (ts, period [, tz]), got ${other.length} args")
+  }
+
+  private def thetaBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(child) => HyperLogLogPlusPlus(child, 0.01)
+    case other => throw new IllegalArgumentException(
+      s"thetasketch_distinct takes 1 arg, got ${other.length}")
+  }
+
+  /** Register on an existing session (the engine does this on startup). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("time_bucket", timeBucketBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("thetasketch_distinct", thetaBuilder, "scala_udf")
+  }
+}
+
+/** `SparkSession.builder().withExtensions(new GraftExtensions)` wiring for
+  * sessions that want the functions injected at build time. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("time_bucket"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TimeBucket].getName, "time_bucket"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ts, Literal(p: UTF8String, _)) => TimeBucket(ts, p.toString)
+        case Seq(ts, Literal(p: UTF8String, _), Literal(tz: UTF8String, _)) =>
+          TimeBucket(ts, p.toString, TimePeriod.parseOffsetMinutes(tz.toString))
+        case other => throw new IllegalArgumentException(s"bad time_bucket args: $other")
+      }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("thetasketch_distinct"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HyperLogLogPlusPlus].getName, "thetasketch_distinct"),
+      (args: Seq[Expression]) => HyperLogLogPlusPlus(args.head, 0.01)))
+  }
+}

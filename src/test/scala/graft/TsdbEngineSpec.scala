@@ -1,0 +1,168 @@
+package graft
+
+import graft.engine.TsdbEngine
+import org.apache.spark.sql.functions._
+
+class TsdbEngineSpec extends SparkSpec {
+
+  private def engine() = new TsdbEngine(spark, tmpDir("graft-wh"))
+
+  test("F1 demo: create / insert / select round-trip") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE `demo` (
+        |    `name` string TAG,
+        |    `value` double NOT NULL,
+        |    `t` timestamp NOT NULL,
+        |    timestamp KEY (t))
+        |ENGINE=Analytic with (enable_ttl='false')""".stripMargin)
+    e.execute("INSERT INTO demo (t, name, value) VALUES (1702224000000, 'horaedb', 100)")
+    val rows = e.execute("SELECT * FROM `demo`").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("name") == "horaedb")
+    assert(r.getAs[Double]("value") == 100.0)
+    assert(r.getAs[java.sql.Timestamp]("t").getTime == 1702224000000L)
+  }
+
+  test("overwrite mode dedups on (tsid, ts); append mode keeps duplicates (F2)") {
+    val e = engine()
+    for (mode <- Seq("overwrite", "append")) {
+      e.execute(
+        s"""CREATE TABLE t_$mode (`timestamp` timestamp NOT NULL, arch string TAG,
+           | v int, timestamp KEY(timestamp))
+           | ENGINE=Analytic WITH(update_mode='$mode', enable_ttl='false')""".stripMargin)
+      e.execute(s"INSERT INTO t_$mode (timestamp, arch, v) VALUES (1000, 'x86', 1), (2000, 'x86', 2)")
+      // same (tag, ts) re-inserted with a new value
+      e.execute(s"INSERT INTO t_$mode (timestamp, arch, v) VALUES (1000, 'x86', 9)")
+    }
+    val over = e.execute("SELECT v FROM t_overwrite ORDER BY v").collect().map(_.getInt(0))
+    assert(over.toSeq == Seq(2, 9), "newest sequence wins per PK")
+    val app = e.execute("SELECT v FROM t_append ORDER BY v").collect().map(_.getInt(0))
+    assert(app.toSeq == Seq(1, 2, 9), "append keeps every row")
+  }
+
+  test("distinct tag combinations keep distinct tsids (no false dedup)") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE m (ts timestamp NOT NULL, host string TAG, dc string TAG,
+        | v double, timestamp KEY(ts)) ENGINE=Analytic WITH(enable_ttl='false')""".stripMargin)
+    e.execute(
+      """INSERT INTO m (ts, host, dc, v) VALUES
+        | (1000, 'h1', 'us', 1.0), (1000, 'h2', 'us', 2.0),
+        | (1000, 'h1', 'eu', 3.0), (1000, NULL, 'us', 4.0)""".stripMargin)
+    assert(e.execute("SELECT count(*) AS n FROM m").head().getLong(0) == 4L)
+  }
+
+  test("default values fill omitted columns; NOT NULL without default rejects") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE d (ts timestamp NOT NULL, tag1 string TAG,
+        | v double DEFAULT 9.5, req int NOT NULL,
+        | timestamp KEY(ts)) ENGINE=Analytic WITH(enable_ttl='false')""".stripMargin)
+    e.execute("INSERT INTO d (ts, tag1, req) VALUES (1000, 'a', 7)")
+    val r = e.execute("SELECT v, req FROM d").head()
+    assert(r.getDouble(0) == 9.5 && r.getInt(1) == 7)
+    intercept[IllegalArgumentException] {
+      e.execute("INSERT INTO d (ts, tag1) VALUES (2000, 'b')")
+    }
+  }
+
+  test("segment_duration splits storage into time segments and prunes") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE seg (ts timestamp NOT NULL, v double, timestamp KEY(ts))
+        | ENGINE=Analytic WITH(segment_duration='2h', enable_ttl='false')""".stripMargin)
+    // 3 rows across two 2h segments (0h and 2h)
+    e.execute("INSERT INTO seg (ts, v) VALUES (0, 1.0), (3600000, 2.0), (7200000, 3.0)")
+    val segDirs = new java.io.File(e.catalog.dataDir("seg")).listFiles()
+      .filter(_.getName.startsWith("__segment=")).map(_.getName).sorted
+    assert(segDirs.toSeq == Seq("__segment=0", "__segment=1"))
+    assert(e.execute("SELECT sum(v) AS s FROM seg").head().getDouble(0) == 6.0)
+  }
+
+  test("epoch-integer comparisons against the timestamp key work (ANSI mode)") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE ep (t timestamp NOT NULL, v double, timestamp KEY(t))
+        | ENGINE=Analytic WITH(enable_ttl='false')""".stripMargin)
+    e.execute("INSERT INTO ep (t, v) VALUES (1695348000000, 1.0), (1695348001000, 2.0), (1695348002000, 3.0)")
+    assert(e.execute("SELECT count(*) AS n FROM ep WHERE t > 1695348000000").head().getLong(0) == 2L)
+    assert(e.execute("SELECT count(*) AS n FROM ep WHERE t BETWEEN 1695348001000 AND 1695348002000")
+      .head().getLong(0) == 2L)
+    assert(e.execute("SELECT v FROM ep WHERE t = 1695348002000").head().getDouble(0) == 3.0)
+  }
+
+  test("ALTER TABLE ADD COLUMN: old rows surface null (schema versioning)") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE ev (ts timestamp NOT NULL, v double, timestamp KEY(ts))
+        | ENGINE=Analytic WITH(enable_ttl='false')""".stripMargin)
+    e.execute("INSERT INTO ev (ts, v) VALUES (1000, 1.5)")
+    e.execute("ALTER TABLE ev ADD COLUMN (extra string)")
+    e.execute("INSERT INTO ev (ts, v, extra) VALUES (2000, 2.5, 'new')")
+    val rows = e.execute("SELECT ts, v, extra FROM ev ORDER BY ts").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getString(2) == "new")
+    assert(e.catalog.get("ev").version == 2)
+  }
+
+  test("SHOW TABLES / SHOW CREATE TABLE / DESCRIBE / EXISTS / system tables") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE st (ts timestamp NOT NULL, host string TAG, v double,
+        | timestamp KEY(ts)) ENGINE=Analytic WITH(enable_ttl='false')""".stripMargin)
+    assert(e.execute("SHOW TABLES").collect().map(_.getString(0)).contains("st"))
+    assert(e.execute("SHOW TABLES LIKE 's%'").count() == 1)
+    assert(e.execute("SHOW DATABASES").head().getString(0) == "public")
+    val ddl = e.execute("SHOW CREATE TABLE st").head().getString(1)
+    assert(ddl.contains("TIMESTAMP KEY(`ts`)") && ddl.contains("`host` string TAG"))
+    // round-trip: the reconstructed DDL re-parses to the same schema
+    val reparsed = graft.ddl.DdlParser.parse(ddl.replace("`st`", "`st2`"))
+    val graft.ddl.CreateTable(sch2, _) = reparsed: @unchecked
+    assert(sch2.columns == e.catalog.get("st").columns)
+    val desc = e.execute("DESCRIBE st").collect()
+    assert(desc.map(_.getString(0)).toSeq == Seq("ts", "host", "v"))
+    assert(e.execute("EXISTS TABLE st").head().getLong(0) == 1L)
+    assert(e.execute("EXISTS TABLE nope").head().getLong(0) == 0L)
+    val sys = e.execute("SELECT table_name FROM system.public.tables").collect()
+    assert(sys.map(_.getString(0)).contains("st"))
+  }
+
+  test("DROP TABLE removes data; IF EXISTS is lenient") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE gone (ts timestamp NOT NULL, timestamp KEY(ts))
+        | ENGINE=Analytic""".stripMargin)
+    e.execute("DROP TABLE gone")
+    assert(!e.catalog.exists("gone"))
+    e.execute("DROP TABLE IF EXISTS gone") // no throw
+    intercept[IllegalStateException] { e.execute("DROP TABLE gone") }
+  }
+
+  test("TTL filters expired rows at read (table/data.rs:744 semantics)") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE ttl_t (ts timestamp NOT NULL, v double, timestamp KEY(ts))
+        | ENGINE=Analytic WITH(enable_ttl='true', ttl='1d')""".stripMargin)
+    val now = System.currentTimeMillis()
+    e.execute(s"INSERT INTO ttl_t (ts, v) VALUES ($now, 1.0), (${now - 3 * 86400000L}, 2.0)")
+    val vs = e.execute("SELECT v FROM ttl_t").collect().map(_.getDouble(0))
+    assert(vs.toSeq == Seq(1.0), "row older than ttl must not surface")
+  }
+
+  test("time_bucket and thetasketch_distinct are SQL-callable") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE fb (ts timestamp NOT NULL, host string TAG, v double,
+        | timestamp KEY(ts)) ENGINE=Analytic WITH(enable_ttl='false')""".stripMargin)
+    e.execute(
+      """INSERT INTO fb (ts, host, v) VALUES
+        | (0, 'a', 1.0), (60000, 'a', 2.0), (300000, 'b', 3.0), (360000, 'c', 4.0)""".stripMargin)
+    val buckets = e.execute(
+      "SELECT time_bucket(ts, 'PT5M') AS b, count(*) AS n FROM fb GROUP BY b ORDER BY b")
+      .collect()
+    assert(buckets.length == 2 && buckets(0).getLong(1) == 2L && buckets(1).getLong(1) == 2L)
+    val sketch = e.execute("SELECT thetasketch_distinct(host) AS n FROM fb").head().getLong(0)
+    assert(sketch == 3L)
+  }
+}
