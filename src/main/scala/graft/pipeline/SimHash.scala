@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Charikar SimHash over a token array: each token hashes to 64 bits; per
+  * bit position, +1 if set else -1 across tokens; the fingerprint's bit is
+  * 1 where the sum is positive. Near-duplicate docs land within a few bits
+  * of Hamming distance.
+  *
+  * Native expression with codegen (single static call) — this runs once per
+  * document over the full corpus, so it must stay inside WholeStageCodegen.
+  */
+object SimHashUtil {
+  /** xxh64-style avalanche over a token's UTF-8 bytes via Guava murmur3_128
+    * low bits (stable across JVMs). */
+  def tokenHash(bytes: Array[Byte]): Long =
+    com.google.common.hash.Hashing.murmur3_128(0x51_4d_48).hashBytes(bytes).asLong()
+
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = tokenHash(tokens.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+case class SimHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.SimHashUtil.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+object SimHash {
+  /** simhash64 over an array<string> token column. */
+  def simhash64(tokens: Column): Column =
+    GraftBridge.col(SimHash(GraftBridge.expr(tokens)))
+}

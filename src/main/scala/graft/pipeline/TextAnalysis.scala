@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. Everything is
+  * composed from codegen'd built-in functions (no UDFs) so the whole pipeline
+  * stays inside WholeStageCodegen and scales linearly with executors.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the documents fixture is single-space separated;
+    * `\s+` also handles real text). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charLen(text: Column): Column = length(text)
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(text: Column): Column = {
+    val stripped = regexp_replace(text, "[\\p{Punct}]", "")
+    (length(text) - length(stripped)).cast("double") / length(text)
+  }
+
+  /** Ratio of alphabetic characters to all characters. */
+  def alphaRatio(text: Column): Column = {
+    val alpha = regexp_replace(text, "[^\\p{L}]", "")
+    length(alpha).cast("double") / length(text)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / tokenCount(text)
+
+  // Small per-language stopword profiles (public, standard lists).
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for",
+      "on", "with", "as", "this", "was", "are", "be", "at", "by", "an"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+      "por", "con", "para", "es", "al", "lo", "como", "del", "se", "su"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "du",
+      "que", "qui", "dans", "pour", "est", "au", "avec", "sur", "ce", "pas"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit",
+      "ist", "des", "im", "ein", "eine", "auf", "für", "als", "auch", "es", "an"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val stops = array(stopwords(lang).map(lit): _*)
+    val toks = tokens(lower(text))
+    size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks)
+  }
+
+  /** Fraction of characters in the CJK unified ideograph range. */
+  def cjkRatio(text: Column): Column = {
+    val cjk = regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")
+    length(cjk).cast("double") / length(text)
+  }
+
+  /** n-gram-heuristic language ID over {en,es,fr,de,zh}: CJK ratio decides
+    * zh; otherwise the language with the highest stopword hit-rate wins.
+    * Pure column composition → argmax via ordered array of (score, lang)
+    * structs.
+    */
+  def langId(text: Column): Column = {
+    val scored = array(stopwords.keys.toSeq.sorted.map { l =>
+      struct(stopwordRatio(text, l).as("score"), lit(l).as("lang"))
+    }: _*)
+    val best = array_max(scored).getField("lang")
+    when(cjkRatio(text) > 0.3, "zh").otherwise(best)
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme length, high
+    * punctuation, low alphabetic content — the usual pretraining-corpus
+    * heuristics. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthOk = when(nTok.between(5, 5000), 1.0).otherwise(0.3)
+    val punctOk = when(punctRatio(text) < 0.3, 1.0).otherwise(0.4)
+    val alphaOk = greatest(alphaRatio(text), cjkRatio(text))
+    round(lengthOk * 0.3 + punctOk * 0.2 + alphaOk * 0.5, 6)
+  }
+
+  /** 64-bit document fingerprint over whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+
+  /** k-token shingles as strings; short docs fall back to the whole text as
+    * one shingle so every doc gets >=1. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum over the doc's shingle set. array<long> of length numHashes.
+    * Standard shingle→minhash construction (Broder); hashes are xxhash64
+    * with the permutation index mixed in.
+    */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
+    val sh = array_distinct(shingles(text, shingleK))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => aggregate(sh, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(i, s))))
+  }
+
+  /** LSH band keys from a minhash signature: `bands` hashes, each over a
+    * contiguous `rows`-slice of the signature. Docs sharing any band key are
+    * near-dup candidates (classic banding: b bands of r rows trade precision
+    * against recall). */
+  def minhashBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)),
+        x => x.cast("string")))))
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline battery over the documents/embeddings
+  * fixtures: text analysis, the dedup family, similarity search, multimodal
+  * plumbing. Queries whose outputs depend on engine-private hashing
+  * (minhash/simhash/LSH) return summary rows and are asserted in
+  * PipelineSpec against exact recomputations instead of a SQL oracle.
+  */
+object PipelineQueries {
+  import Tables.t
+  import TextAnalysis._
+
+  /** The fixture's vec_id=0 embedding, collected once per call (64 floats —
+    * a constant query vector, the ANN access pattern). */
+  private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Array[Double] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- per-document token statistics
+    GraftQuery("q50_text_stats",
+      Some("""SELECT doc_id, length(text) AS n_chars,
+             |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_uniq_tokens
+             |FROM documents""".stripMargin),
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        charLen(col("text")).as("n_chars"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_uniq_tokens"))),
+
+    // ---- corpus quality profile by language
+    GraftQuery("q51_quality_by_lang",
+      Some("""SELECT lang, count(*) AS n,
+             |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+             |  round(avg(length(text)), 4) AS avg_chars
+             |FROM documents GROUP BY lang""".stripMargin),
+      (s, dir) => t(s, dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        round(avg(tokenCount(col("text"))), 4).as("avg_tokens"),
+        round(avg(charLen(col("text"))), 4).as("avg_chars"))),
+
+    // ---- language ID (stopword-profile heuristic; accuracy asserted in
+    //      PipelineSpec against the ground-truth lang column)
+    GraftQuery("q52_langid", None,
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))),
+
+    // ---- exact dedup
+    GraftQuery("q53_dedup_exact",
+      Some("""SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        val d = Dedup.exactKeepFirst(t(s, dir, "documents"), "doc_id", "text")
+        d.agg(sum("n_copies").cast("long").as("n_docs"),
+              count(lit(1)).as("n_unique"))
+      }),
+
+    // ---- exact token-set Jaccard near-dup pairs (blocked all-pairs)
+    GraftQuery("q54_token_jaccard_pairs",
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
+             |    length(text) // 100 AS lenb
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+             |FROM t a JOIN t b
+             |  ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""".stripMargin),
+      (s, dir) => Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", "lang", n = 1, threshold = 0.8)),
+
+    // ---- MinHash-LSH near-dup (summary; exact-vs-LSH recall in PipelineSpec)
+    GraftQuery("q55_minhash_lsh", None,
+      (s, dir) => Dedup.minhashNearDupPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .agg(count(lit(1)).as("n_pairs"),
+             coalesce(round(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"))),
+
+    // ---- SimHash near-dup (summary)
+    GraftQuery("q56_simhash", None,
+      (s, dir) => Dedup.simhashNearDupPairs(
+          t(s, dir, "documents"), "doc_id", "text", bands = 4, maxHamming = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+             coalesce(round(avg("hamming"), 4), lit(-1.0)).as("avg_hamming"))),
+
+    // ---- brute-force cosine top-k (the ANN correctness baseline)
+    GraftQuery("q57_ann_brute_force",
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cosine
+             |FROM embeddings, q
+             |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+      (s, dir) => Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10)),
+
+    // ---- LSH-bucketed ANN (scale path; recall asserted in PipelineSpec)
+    GraftQuery("q58_ann_lsh", None,
+      (s, dir) => Similarity.lshTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10,
+        tables = 16, bits = 6)),
+
+    // ---- embedding norms by cluster label
+    GraftQuery("q59_embedding_norms",
+      Some("""SELECT label, count(*) AS n,
+             |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4) AS avg_norm
+             |FROM embeddings GROUP BY label""".stripMargin),
+      (s, dir) => t(s, dir, "embeddings").groupBy("label").agg(
+        count(lit(1)).as("n"),
+        round(avg(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))), 4).as("avg_norm"))),
+
+    // ---- multimodal plumbing: binary payload + per-partition feature
+    //      extraction (codec STUBBED; Spark-side schema/batching real)
+    GraftQuery("q65_multimodal_features",
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+             |  CAST(strlen(text) AS BIGINT) AS n_bytes
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        val media = Multimodal.fromDocuments(s, t(s, dir, "documents"))
+        Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("kind"), col("n_bytes"))
+      })
+  )
+}

@@ -1,0 +1,137 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.t(spark, dir, "documents").cache()
+  private lazy val embs = Tables.t(spark, dir, "embeddings").cache()
+
+  test("langid identifies real multilingual prose (fixture lang labels are random)") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with this state of the world"),
+      ("en", "this is a test of the language detector that we built for the pipeline"),
+      ("es", "el gato se sentó en la alfombra y estaba feliz con el estado del mundo"),
+      ("es", "esta es una prueba del detector de idioma que construimos para los datos"),
+      ("fr", "le chat est assis sur le tapis et il est heureux dans ce monde avec les autres"),
+      ("fr", "ceci est un test du détecteur de langue que nous avons construit pour les données"),
+      ("de", "die katze sass auf der matte und sie war glücklich mit dem zustand der welt"),
+      ("de", "das ist ein test des spracherkenners den wir für die daten gebaut haben"),
+      ("zh", "这是一个测试我们为数据管道构建的语言检测器的句子它应该被识别为中文"),
+      ("zh", "猫坐在垫子上它对这个世界的状态感到满意这是另一个中文句子")
+    ).toDF("lang", "text")
+    val scored = samples.select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+    val hits = scored.filter(col("lang") === col("pred")).count()
+    assert(hits >= 9, s"langid got $hits/10 on real prose")
+  }
+
+  test("exact dedup keeps one id per distinct text and counts copies") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val dup = base.unionAll(base.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 100000))
+    val out = Dedup.exactKeepFirst(dup, "doc_id", "text")
+    assert(out.count() == 500)
+    assert(out.filter(col("n_copies") === 2).count() == 10)
+    // keeper is the minimum id
+    assert(out.agg(max("doc_id")).head().getLong(0) < 100000)
+  }
+
+  test("minhash LSH recovers nearly all exact 3-gram near-dup pairs (recall)") {
+    // unblocked exact baseline (500 docs → cross join is fine in-test)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    val exact = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("j") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain 3-gram near-dups")
+    // banding recall at j=0.8 with b=16,r=4 is ~0.9998 per pair
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (|exact|=${exact.size}, |lsh|=${lsh.size})")
+    // verification step guarantees precision: every returned pair is >= threshold
+    assert((lsh -- exact).isEmpty, "verified LSH pairs must be true near-dups")
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    import spark.implicits._
+    val base = docs.limit(20).select(col("doc_id"), col("text"))
+    // perturb: append one token — fingerprint should move only a few bits
+    val perturbed = base.withColumn("doc_id", col("doc_id") + 1000)
+      .withColumn("text", concat(col("text"), lit(" extra")))
+    val pairs = Dedup.simhashNearDupPairs(
+      base.unionAll(perturbed), "doc_id", "text", bands = 4, maxHamming = 6)
+    val found = pairs.filter(col("id_b") === col("id_a") + 1000).count()
+    assert(found >= 16, s"only $found/20 perturbed twins found within hamming 6")
+  }
+
+  test("brute-force cosine top-k: self is rank 1, monotone scores, k rows") {
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val top = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10).collect()
+    assert(top.length == 10)
+    assert(top.head.getLong(0) == 0L && math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+    val scores = top.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH ANN: finds self, subset of corpus, reasonable recall vs brute force") {
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(embs, "vec_id", "embedding", q, 10,
+      tables = 16, bits = 6).collect().map(_.getLong(0)).toSet
+    assert(approx.contains(0L), "query vector must find itself")
+    val recall = (exact & approx).size.toDouble / exact.size
+    // embeddings are near-orthogonal (max cosine ~0.37 ⇒ θ≈72°): per-table
+    // bucket-collision is ~0.6^6, union over 16 tables ≈ 0.5 — so ~0.3 is
+    // the honest bar for this data; denser real embeddings do far better
+    assert(recall >= 0.3, s"LSH recall@10 $recall < 0.3")
+  }
+
+  test("multimodal: stub decode produces deterministic features with real plumbing") {
+    val media = Multimodal.fromDocuments(spark, docs)
+    val feats = Multimodal.extractFeatures(media).cache()
+    assert(feats.count() == 500)
+    val r = feats.filter(col("media_id") === 0).head()
+    assert(r.kind == "image")
+    assert(r.n_bytes > 0)
+    assert(r.features.length == 8)
+    // determinism: same input → same checksum/features
+    val again = Multimodal.extractFeatures(media)
+      .filter(col("media_id") === 0).head()
+    assert(again.checksum == r.checksum)
+    // chunk sampler: n chunks per row, offsets in range
+    val chunks = Multimodal.sampleChunks(media.limit(5), n = 4, chunkBytes = 16)
+    assert(chunks.count() == 20)
+    assert(chunks.agg(max("chunk_idx")).head().getInt(0) == 3)
+  }
+
+  test("thetasketch_distinct within 1% of exact (reference HLL err 0.01)") {
+    val ev = Tables.t(spark, "/root/testdata/sf0.01", "events")
+    val approx = ev.agg(approx_count_distinct("user_id", 0.01)).head().getLong(0)
+    val exact = ev.agg(countDistinct("user_id")).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.02,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("quality score is in [0,1] and penalizes junk") {
+    import spark.implicits._
+    val good = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
+    assert(good.agg(min("q"), max("q")).head().toSeq.forall {
+      case d: Double => d >= 0.0 && d <= 1.0 })
+    val junk = Seq("!!! ??? ### $$$ %%% ^^^ &&&").toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q")).head().getDouble(0)
+    val prose = Seq("the quick brown fox jumps over the lazy dog and runs away to the forest")
+      .toDF("text").select(TextAnalysis.qualityScore(col("text")).as("q")).head().getDouble(0)
+    assert(prose > junk)
+  }
+}
