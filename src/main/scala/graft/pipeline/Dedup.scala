@@ -31,11 +31,13 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
-    val docs = df.select(
-      col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"),
-      minhashBands(minhashSignature(col(textCol), shingleK, numHashes), bands, rows)
-        .as("bandkeys"))
+    // Shingle set materialized once; the signature is a single-pass native
+    // expression over it (the HOF formulation re-derived the shingles per
+    // hash slot — quadratic interpreted work per doc).
+    val docs = df.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+      .withColumn("bandkeys",
+        minhashBands(minhashSignature(col("sh"), numHashes), bands, rows))
       .cache()
 
     val banded = docs.select(col("id"),
@@ -87,24 +89,93 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard over blocked pairs: blocks on (lang, length
-    * bucket) keep the pair space tractable; the full cross product only
-    * happens inside a block. Returns pairs over the threshold. */
+  /** Exact n-gram Jaccard pairs within (lang, ±1 length-bucket) blocks.
+    *
+    * Built for dense corpora where the qualifying-pair set is itself large
+    * (the fixture: 31-word vocab, ~35% of blocked pairs qualify), so
+    * candidate pruning cannot beat output size and per-pair verification
+    * cost dominates. Two scale levers:
+    *
+    * - each doc's n-gram set is hashed (xxhash64) and sorted ONCE (linear),
+    *   so the per-pair kernel is an allocation-free merge intersection
+    *   ([[graft.functions.SortedIntersectSize]]) instead of string
+    *   `array_intersect` hash sets;
+    * - the ±1 bucket condition becomes a pure EQUI-join by exploding each
+    *   probe row to its three acceptable buckets — shuffle-partitioned on
+    *   (lang, lenb), AQE/skew-join eligible, no per-group cross product
+    *   beyond the block itself.
+    *
+    * For Zipfian real-text corpora where near-dup pairs are rare, use
+    * [[prefixFilteredJaccardPairs]] instead. Hash collisions shift a
+    * jaccard by ≤1/|union| with probability ~|vocab|²/2⁶⁴ — nil in practice.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= t.
+    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, langCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val docs = df.select(col(idCol).as("id"), col(langCol).as("lang"),
-      array_distinct(shingles(col(textCol), n)).as("sh"),
-      (floor(length(col(textCol)) / 100)).as("lenb"))
-    val a = docs.as("a"); val b = docs.as("b")
-    a.join(b,
-        col("a.lang") === col("b.lang") &&
-        abs(col("a.lenb") - col("b.lenb")) <= 1 && col("a.id") < col("b.id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-        size(array_union(col("a.sh"), col("b.sh"))))
+        array_distinct(shingles(col(textCol), n)).as("sh"),
+        (floor(length(col(textCol)) / 100)).as("lenb"))
+      .select(col("id"), col("lang"), col("lenb"),
+        sort_array(transform(col("sh"), t => xxhash64(t))).as("v"),
+        size(col("sh")).as("ntok"))
+    val a = docs.select(col("id").as("id_a"), col("lang"),
+      col("lenb").as("lb"), col("v").as("va"), col("ntok").as("na"))
+    val b = docs.select(col("id").as("id_b"), col("lang"), col("lenb"),
+        col("v").as("vb"), col("ntok").as("nb"))
+      .withColumn("lb", explode(array(col("lenb") - 1, col("lenb"), col("lenb") + 1)))
+    a.join(b, Seq("lang", "lb")).filter(col("id_a") < col("id_b"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize(col("va"), col("vb")).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard pairs via prefix filtering (PPJoin-family, Xiao
+    * et al. 2008) — the scale path for Zipfian corpora where qualifying
+    * pairs are rare: global n-gram document frequencies define a canonical
+    * rarity order; each doc indexes only its `floor((1-t)·|A|)+1` rarest
+    * n-grams (two sets with J >= t MUST share a prefix n-gram, so the
+    * inverted-index join over prefixes alone is lossless); candidates honor
+    * the (lang, ±1 length-bucket) block and are verified exactly. All
+    * stages key-partitioned: one groupBy over n-grams, one window by doc
+    * id, one join on rare n-grams, one verify join. */
+  def prefixFilteredJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+        array_distinct(shingles(col(textCol), n)).as("sh"),
+        (floor(length(col(textCol)) / 100)).as("lenb"))
+      .withColumn("ntok", size(col("sh")))
+      .withColumn("v", sort_array(transform(col("sh"), t => xxhash64(t))))
+      .cache()
+
+    val posting = docs.select(col("id"), col("lang"), col("lenb"), col("ntok"),
+      explode(col("sh")).as("tok"))
+    val dfreq = posting.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefix = posting.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("ntok")) + 1)
+      .select("tok", "id", "lang", "lenb")
+
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+        abs(col("a.lenb") - col("b.lenb")) <= 1 && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    cand
+      .join(docs.select(col("id").as("id_a"), col("v").as("va"),
+        col("ntok").as("na")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("ntok").as("nb")), "id_b")
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize(col("va"), col("vb")).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 }

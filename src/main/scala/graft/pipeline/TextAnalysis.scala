@@ -97,17 +97,11 @@ object TextAnalysis {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum over the doc's shingle set. array<long> of length numHashes.
-    * Standard shingle→minhash construction (Broder); hashes are xxhash64
-    * with the permutation index mixed in.
-    */
-  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val sh = array_distinct(shingles(text, shingleK))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(i, s))))
-  }
+  /** MinHash signature from a shingle-set column: single-pass native
+    * expression (see [[graft.functions.MinHashSig]]). array<long> of length
+    * numHashes. */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    graft.functions.MinHashSig(shingleSet, numHashes)
 
   /** LSH band keys from a minhash signature: `bands` hashes, each over a
     * contiguous `rows`-slice of the signature. Docs sharing any band key are
