@@ -1,0 +1,122 @@
+package graft.promql
+
+/** Per-series grid alignment — the math behind the reference's custom
+  * `PromAlignExec` physical operator (physical_plan_extension/prom_align.rs;
+  * extrapolation at :711-906, last-two-sample variants at :909-997). The
+  * algorithms are Prometheus's published evaluation semantics
+  * (promql/functions.go, Apache-2.0): instant selection takes the newest
+  * sample within the lookback window; the rate family extrapolates the
+  * observed first→last slope to the full window unless the gap to a window
+  * edge exceeds 1.1× the average sample spacing, with counters corrected
+  * for resets and capped at extrapolation-to-zero.
+  *
+  * Pure functions over one series's samples (unit-tested directly); the
+  * distributed wrapper in [[PromQL]] feeds them via
+  * `groupByKey(series).flatMapGroups` — Spark's shuffle replaces the
+  * reference's hash `RepartitionExec` on tsid.
+  */
+object PromAlign {
+
+  final case class Sample(tsMs: Long, v: Double)
+
+  /** Samples must be sorted by (tsMs, v); ties resolved by value so both
+    * engines (and the DuckDB oracle) agree deterministically. */
+  def sortSamples(arr: Array[Sample]): Array[Sample] = {
+    java.util.Arrays.sort(arr, (a: Sample, b: Sample) => {
+      val c = java.lang.Long.compare(a.tsMs, b.tsMs)
+      if (c != 0) c else java.lang.Double.compare(a.v, b.v)
+    })
+    arr
+  }
+
+  /** Instant selection at each grid step: newest sample in (t-lookback, t]. */
+  def alignInstant(sorted: Array[Sample], p: EvalParams): Iterator[(Long, Double)] =
+    gridSteps(p).flatMap { t =>
+      val hi = upperBound(sorted, t)
+      if (hi > 0 && sorted(hi - 1).tsMs > t - p.lookbackMs)
+        Iterator.single((t, sorted(hi - 1).v))
+      else Iterator.empty
+    }
+
+  /** Range-function alignment at each grid step over window (t-range, t]. */
+  def alignRange(
+      sorted: Array[Sample], p: EvalParams, rangeMs: Long,
+      func: String): Iterator[(Long, Double)] =
+    gridSteps(p).flatMap { t =>
+      val lo = lowerBoundExclusive(sorted, t - rangeMs)
+      val hi = upperBound(sorted, t)
+      val out = func match {
+        case "rate"     => extrapolated(sorted, lo, hi, t - rangeMs, t, counter = true, perSecond = true)
+        case "increase" => extrapolated(sorted, lo, hi, t - rangeMs, t, counter = true, perSecond = false)
+        case "delta"    => extrapolated(sorted, lo, hi, t - rangeMs, t, counter = false, perSecond = false)
+        case "irate"    => lastTwo(sorted, lo, hi, counter = true, perSecond = true)
+        case "idelta"   => lastTwo(sorted, lo, hi, counter = false, perSecond = false)
+        case other      => throw new IllegalArgumentException(s"unsupported PromQL function: $other")
+      }
+      out.map(v => (t, v)).iterator
+    }
+
+  /** Prometheus extrapolated rate/increase/delta over sorted(lo until hi). */
+  def extrapolated(
+      s: Array[Sample], lo: Int, hi: Int, rangeStartMs: Long, rangeEndMs: Long,
+      counter: Boolean, perSecond: Boolean): Option[Double] = {
+    val n = hi - lo
+    if (n < 2) return None
+    val first = s(lo); val last = s(hi - 1)
+    val sampledMs = last.tsMs - first.tsMs
+    if (sampledMs <= 0) return None
+
+    var result = last.v - first.v
+    if (counter) {
+      var prev = first.v
+      var i = lo + 1
+      while (i < hi) { val v = s(i).v; if (v < prev) result += prev; prev = v; i += 1 }
+    }
+    val sampled = sampledMs / 1000.0
+    var dStart = (first.tsMs - rangeStartMs) / 1000.0
+    val dEnd = (rangeEndMs - last.tsMs) / 1000.0
+    val avgDur = sampled / (n - 1)
+    // counters cannot extrapolate below zero: cap the start-side gap
+    if (counter && result > 0 && first.v >= 0) {
+      val dZero = sampled * (first.v / result)
+      if (dZero < dStart) dStart = dZero
+    }
+    val threshold = avgDur * 1.1
+    var extrap = sampled
+    extrap += (if (dStart < threshold) dStart else avgDur / 2)
+    extrap += (if (dEnd < threshold) dEnd else avgDur / 2)
+    var out = result * (extrap / sampled)
+    if (perSecond) out /= (rangeEndMs - rangeStartMs) / 1000.0
+    Some(out)
+  }
+
+  /** irate/idelta: last two samples in the window. */
+  def lastTwo(
+      s: Array[Sample], lo: Int, hi: Int,
+      counter: Boolean, perSecond: Boolean): Option[Double] = {
+    if (hi - lo < 2) return None
+    val prev = s(hi - 2); val last = s(hi - 1)
+    val dtMs = last.tsMs - prev.tsMs
+    if (dtMs <= 0) return None
+    var diff = last.v - prev.v
+    if (counter && last.v < prev.v) diff = last.v // counter reset
+    if (perSecond) Some(diff / (dtMs / 1000.0)) else Some(diff)
+  }
+
+  private def gridSteps(p: EvalParams): Iterator[Long] =
+    Iterator.iterate(p.startMs)(_ + p.stepMs).takeWhile(_ <= p.endMs)
+
+  /** First index with tsMs > bound (samples strictly after `bound`). */
+  private def lowerBoundExclusive(s: Array[Sample], bound: Long): Int = {
+    var lo = 0; var hi = s.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (s(mid).tsMs <= bound) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** First index with tsMs > t — i.e. end of the (…, t] window. */
+  private def upperBound(s: Array[Sample], t: Long): Int =
+    lowerBoundExclusive(s, t)
+}

@@ -1,0 +1,31 @@
+package graft.promql
+
+/** PromQL AST for the subset the reference supports: selectors with
+  * eq/neq/regex matchers, the pushdown-able range functions
+  * `rate/irate/delta/idelta/increase` (reference promql/pushdown.rs:33-56),
+  * instant selection, and the grouped aggregations `sum/avg/count/min/max`
+  * (reference promql/convert.rs:274-347).
+  */
+sealed trait Matcher { def label: String }
+final case class EqMatcher(label: String, value: String) extends Matcher
+final case class NeqMatcher(label: String, value: String) extends Matcher
+final case class ReMatcher(label: String, regex: String) extends Matcher
+final case class NreMatcher(label: String, regex: String) extends Matcher
+
+final case class Selector(
+    metric: String,
+    matchers: Seq[Matcher],
+    rangeMs: Option[Long])
+
+sealed trait PromExpr
+final case class VectorSelector(sel: Selector) extends PromExpr
+/** func ∈ rate|irate|delta|idelta|increase over a range selector. */
+final case class RangeFunc(func: String, sel: Selector) extends PromExpr
+/** op ∈ sum|avg|count|min|max, grouped by `by` labels (empty = collapse). */
+final case class AggExpr(op: String, by: Seq[String], child: PromExpr) extends PromExpr
+
+/** Evaluation grid [startMs, endMs] stepMs, with the Prometheus default
+  * 5-minute lookback for instant selection (reference promql/convert.rs:55).
+  */
+final case class EvalParams(
+    startMs: Long, endMs: Long, stepMs: Long, lookbackMs: Long = 300000L)

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.promql.{EvalParams, PromQL}
+import org.apache.spark.sql.SparkSession
+
+/** PromQL battery over the events table (metric `events` := value column,
+  * label = event_type). Grid: 1-hour steps across 2024-01-10, the window
+  * every scale factor covers.
+  *
+  * The rate/delta oracles re-derive the Prometheus extrapolation algorithm
+  * in ANSI SQL (window lag for counter resets, ordered first/last, the
+  * 1.1×avg-spacing extrapolation caps) so the hash check covers the math,
+  * not just row counts.
+  */
+object Prom {
+
+  private def table(s: SparkSession, dir: String): String => PromQL.SeriesTable = {
+    case "events" => PromQL.SeriesTable(
+      Tables.t(s, dir, "events"), "ts", "value", Seq("event_type"))
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  private val p = EvalParams(
+    startMs = 1704848400000L, // 2024-01-10 01:00:00 UTC
+    endMs = 1704931200000L,   // 2024-01-11 00:00:00 UTC
+    stepMs = 3600000L)
+
+  private def q(name: String, promql: String, oracle: Option[String]): GraftQuery =
+    GraftQuery(name, oracle, (s, dir) =>
+      PromQL.eval(s, table(s, dir), promql, p)
+        .withColumn("value", org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value"), 4)))
+
+  /** Shared oracle scaffolding: hourly grid + per-step 1h sample windows. */
+  private val gridSql =
+    """grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+      |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+      |win AS (
+      |  SELECT g.gts, e.event_type, epoch_ms(e.ts) AS tms, e."value" AS v
+      |  FROM grid g JOIN events e
+      |    ON e.ts > g.gts - INTERVAL 1 HOUR AND e.ts <= g.gts)""".stripMargin
+
+  /** Extrapolated rate/increase/delta in SQL. counter ⇒ reset correction +
+    * extrapolate-to-zero cap; perSecond ⇒ divide by the 3600 s range. */
+  private def extrapolatedSql(counter: Boolean, perSecond: Boolean): String = {
+    val resets =
+      if (counter) "sum(CASE WHEN pv IS NOT NULL AND v < pv THEN pv ELSE 0 END)"
+      else "0"
+    val dstart2 =
+      if (counter)
+        """CASE WHEN result0 > 0 AND v_first >= 0
+          |      AND sampled * (v_first / result0) < d_start
+          |     THEN sampled * (v_first / result0) ELSE d_start END""".stripMargin
+      else "d_start"
+    val divisor = if (perSecond) " / 3600.0" else ""
+    s"""WITH $gridSql,
+       |ordered AS (
+       |  SELECT gts, event_type, tms, v,
+       |    lag(v) OVER (PARTITION BY gts, event_type ORDER BY tms, v) AS pv
+       |  FROM win),
+       |agg AS (
+       |  SELECT gts, event_type, count(*) AS n,
+       |    min(tms) AS t_first, max(tms) AS t_last,
+       |    first(v ORDER BY tms, v) AS v_first,
+       |    last(v ORDER BY tms, v) AS v_last,
+       |    $resets AS resets
+       |  FROM ordered GROUP BY gts, event_type),
+       |calc AS (
+       |  SELECT gts, event_type, n,
+       |    v_last - v_first + resets AS result0,
+       |    (t_first - (epoch_ms(gts) - 3600000)) / 1000.0 AS d_start,
+       |    (epoch_ms(gts) - t_last) / 1000.0 AS d_end,
+       |    (t_last - t_first) / 1000.0 AS sampled,
+       |    v_first
+       |  FROM agg WHERE n >= 2),
+       |calc2 AS (
+       |  SELECT gts, event_type, result0, sampled,
+       |    sampled / (n - 1) AS avg_dur,
+       |    $dstart2 AS d_start2, d_end
+       |  FROM calc WHERE sampled > 0),
+       |calc3 AS (
+       |  SELECT gts, event_type, result0, sampled,
+       |    sampled
+       |    + CASE WHEN d_start2 < avg_dur * 1.1 THEN d_start2 ELSE avg_dur / 2 END
+       |    + CASE WHEN d_end < avg_dur * 1.1 THEN d_end ELSE avg_dur / 2 END
+       |      AS extrap
+       |  FROM calc2)
+       |SELECT event_type, gts AS ts,
+       |  result0 * (extrap / sampled)$divisor AS raw
+       |FROM calc3""".stripMargin
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- instant vector selection: newest sample per series within the
+    //      5-minute lookback at each grid step (convert.rs default)
+    q("q40_promql_instant", "events",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |latest AS (
+             |  SELECT g.gts, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.gts AND e.ts > g.gts - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid g CROSS JOIN series s)
+             |SELECT event_type, gts AS ts, round(v, 4) AS "value"
+             |FROM latest WHERE v IS NOT NULL""".stripMargin)),
+
+    // ---- rate: counter extrapolation (prom_align.rs:711-906 semantics)
+    q("q41_promql_rate", "rate(events[1h])",
+      Some(s"""SELECT event_type, ts, round(raw, 4) AS "value"
+              |FROM (${extrapolatedSql(counter = true, perSecond = true)})""".stripMargin)),
+
+    // ---- delta: gauge extrapolation (no reset correction, no zero cap)
+    q("q42_promql_delta", "delta(events[1h])",
+      Some(s"""SELECT event_type, ts, round(raw, 4) AS "value"
+              |FROM (${extrapolatedSql(counter = false, perSecond = false)})""".stripMargin)),
+
+    // ---- increase + aggregation across series (convert.rs:274-347 shape);
+    //      sums the per-series extrapolations per step
+    q("q43_promql_sum_increase", "sum(increase(events[1h]))",
+      Some(s"""SELECT ts, round(sum(raw), 4) AS "value"
+              |FROM (${extrapolatedSql(counter = true, perSecond = false)})
+              |GROUP BY ts""".stripMargin)),
+
+    // ---- irate via last two samples + regex matcher; spec-tested, oracle
+    //      covers row multiset through the rows-only check
+    q("q44_promql_irate_regex", """irate(events{event_type=~"err.*|sign.*"}[1h])""",
+      None)
+  )
+}

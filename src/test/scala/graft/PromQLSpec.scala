@@ -1,0 +1,126 @@
+package graft
+
+import graft.promql._
+import graft.promql.PromAlign.Sample
+
+class PromQLSpec extends SparkSpec {
+
+  private def s(pairs: (Long, Double)*): Array[Sample] =
+    PromAlign.sortSamples(pairs.map(p => Sample(p._1, p._2)).toArray)
+
+  // ---------------------------------------------------------------- parser
+
+  test("parser: selector, matchers, range, aggregation") {
+    assert(PromQL.parse("events") == VectorSelector(Selector("events", Nil, None)))
+    assert(PromQL.parse("""rate(http_requests{job="api",code!="500"}[5m])""") ==
+      RangeFunc("rate", Selector("http_requests",
+        Seq(EqMatcher("job", "api"), NeqMatcher("code", "500")), Some(300000L))))
+    assert(PromQL.parse("""sum by (job) (irate(m{x=~"a.*"}[90s]))""") ==
+      AggExpr("sum", Seq("job"),
+        RangeFunc("irate", Selector("m", Seq(ReMatcher("x", "a.*")), Some(90000L)))))
+    assert(PromQL.parse("avg(m)") ==
+      AggExpr("avg", Nil, VectorSelector(Selector("m", Nil, None))))
+    intercept[IllegalArgumentException](PromQL.parse("rate(m)")) // needs [dur]
+  }
+
+  // ------------------------------------------------- extrapolation algebra
+
+  test("extrapolated rate: perfectly covering counter matches slope exactly") {
+    // samples every 10s across the full [0,60]s window, +1 per sample
+    val w = s((10000L, 1.0), (20000L, 2.0), (30000L, 3.0), (40000L, 4.0),
+      (50000L, 5.0), (60000L, 6.0))
+    // sampled=50s, edges 10s/0s < 11s threshold ⇒ extrapolate to 60s:
+    // 5 * (60/50) / 60 = 0.1/s — the true 1-per-10s rate
+    val r = PromAlign.extrapolated(w, 0, w.length, 0L, 60000L,
+      counter = true, perSecond = true).get
+    assert(math.abs(r - 0.1) < 1e-12)
+  }
+
+  test("extrapolated rate: counter reset is corrected") {
+    // 5 → 7 → reset → 2 → 4: true increase = 2 + 7-5 + 2... reset adds prev(7)
+    val w = s((10000L, 5.0), (20000L, 7.0), (30000L, 2.0), (40000L, 4.0))
+    // raw = 4-5 = -1; resets add 7 ⇒ 6; without reset handling it'd be negative
+    val inc = PromAlign.extrapolated(w, 0, w.length, 0L, 60000L,
+      counter = true, perSecond = false).get
+    assert(inc > 0, s"reset-corrected increase must be positive, got $inc")
+    val gauge = PromAlign.extrapolated(w, 0, w.length, 0L, 60000L,
+      counter = false, perSecond = false).get
+    assert(gauge < 0, "gauge delta ignores resets and stays negative")
+  }
+
+  test("extrapolation caps at half average spacing for distant edges") {
+    // two samples bunched mid-window: edges (25s) >> threshold (27.5? no: avg
+    // spacing 10s ⇒ threshold 11s) ⇒ each edge contributes avg/2 = 5s
+    // base value high enough that the zero cap (100s) exceeds the edge gaps
+    val w = s((25000L, 100.0), (35000L, 110.0))
+    val inc = PromAlign.extrapolated(w, 0, w.length, 0L, 60000L,
+      counter = true, perSecond = false).get
+    // extrap = 10 + 5 + 5 = 20s over sampled 10s ⇒ 10 * 2 = 20
+    assert(math.abs(inc - 20.0) < 1e-12)
+  }
+
+  test("counter extrapolation to zero caps the start-side gap") {
+    // first value tiny: extrapolating the full 30s gap would go below zero;
+    // durationToZero = sampled * v0/result = 10 * 0.5/10 = 0.5s < 30s gap
+    val w = s((30000L, 0.5), (40000L, 10.5))
+    val inc = PromAlign.extrapolated(w, 0, w.length, 0L, 60000L,
+      counter = true, perSecond = false).get
+    // extrap = 10 + 0.5 + 5 (end gap 20s > 11s thr) = 15.5 ⇒ 10*1.55
+    assert(math.abs(inc - 15.5) < 1e-12)
+  }
+
+  test("fewer than two samples or zero span yields no result") {
+    assert(PromAlign.extrapolated(s((10000L, 1.0)), 0, 1, 0L, 60000L,
+      counter = true, perSecond = true).isEmpty)
+    val dup = s((10000L, 1.0), (10000L, 2.0))
+    assert(PromAlign.extrapolated(dup, 0, 2, 0L, 60000L,
+      counter = true, perSecond = true).isEmpty)
+  }
+
+  test("irate/idelta use only the last two samples") {
+    val w = s((10000L, 0.0), (30000L, 100.0), (40000L, 104.0))
+    val ir = PromAlign.lastTwo(w, 0, w.length, counter = true, perSecond = true).get
+    assert(math.abs(ir - 0.4) < 1e-12) // (104-100)/10s
+    // counter reset: last < prev ⇒ diff = last
+    val wr = s((30000L, 100.0), (40000L, 4.0))
+    val irr = PromAlign.lastTwo(wr, 0, 2, counter = true, perSecond = true).get
+    assert(math.abs(irr - 0.4) < 1e-12) // 4/10s
+    val idl = PromAlign.lastTwo(wr, 0, 2, counter = false, perSecond = false).get
+    assert(math.abs(idl - (-96.0)) < 1e-12)
+  }
+
+  test("instant alignment honors the lookback window") {
+    val w = s((10000L, 1.0), (100000L, 2.0))
+    val p = EvalParams(startMs = 60000L, endMs = 300000L, stepMs = 60000L,
+      lookbackMs = 60000L)
+    val pts = PromAlign.alignInstant(w, p).toMap
+    assert(pts(60000L) == 1.0)       // sample at 10s within (0,60]
+    assert(pts(120000L) == 2.0)      // sample at 100s within (60,120]
+    assert(!pts.contains(180000L))   // 100s sample aged out of (120,180]
+    assert(!pts.contains(240000L))
+  }
+
+  // ------------------------------------------------------------ end-to-end
+
+  test("end-to-end: rate over a synthetic two-series table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // series A: +1/s counter sampled every 10s; series B: constant
+    val rows = (0 until 37).map { i =>
+      (new java.sql.Timestamp(1704844800000L + i * 10000L), "a", i * 10.0)
+    } ++ (0 until 37).map { i =>
+      (new java.sql.Timestamp(1704844800000L + i * 10000L), "b", 5.0)
+    }
+    val df = rows.toDF("ts", "host", "value")
+    val p = EvalParams(1704845160000L, 1704845160000L, 60000L) // one step @ +6m
+    val out = PromQL.eval(spark, _ => PromQL.SeriesTable(df, "ts", "value", Seq("host")),
+      "rate(m[5m])", p).collect()
+    val byHost = out.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(byHost("a") - 1.0) < 1e-9, s"counter slope ≈ 1/s, got ${byHost("a")}")
+    assert(math.abs(byHost("b") - 0.0) < 1e-9)
+    // aggregation path
+    val sum = PromQL.eval(spark, _ => PromQL.SeriesTable(df, "ts", "value", Seq("host")),
+      "sum(rate(m[5m]))", p).collect()
+    assert(sum.length == 1 && math.abs(sum(0).getDouble(1) - 1.0) < 1e-9)
+  }
+}
