@@ -14,7 +14,8 @@ object SparkEntry {
     _root_.graft.queries.TimeSeries.all ++
     _root_.graft.queries.EngineE2E.all ++
     _root_.graft.queries.PipelineQueries.all ++
-    _root_.graft.queries.Prom.all
+    _root_.graft.queries.Prom.all ++
+    _root_.graft.queries.Protocols.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,116 @@
+package graft.opentsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.promql.PromQL.SeriesTable
+
+/** OpenTSDB query frontend (reference: query_frontend/src/opentsdb/mod.rs).
+  *
+  * Each subquery lowers to scan → filter(time ∧ tags) → optional
+  * group-by(tags, ts) aggregate — exactly the reference's plan shape
+  * (mod.rs:137-203). Aggregators: sum/count/avg/min/max/dev/none
+  * (mod.rs:121-131; dev = sample standard deviation); tag filters
+  * `literal_or` / `not_literal_or` (mod.rs:104-113). The value column is
+  * fixed per binding, mirroring the reference's fixed `value` field
+  * (mod.rs:45). Like the reference, `downsample`/`rate` are accepted in the
+  * JSON but not applied (opentsdb/types.rs:36-39 parses them; planning
+  * ignores them).
+  *
+  * Plain declarative DataFrame ops end-to-end: time/tag filters reach the
+  * parquet scan, the aggregate is a single keyed shuffle.
+  */
+object OpenTsdb {
+
+  final case class TagFilter(
+      ftype: String, tagk: String, filter: String, groupBy: Boolean)
+  final case class SubQuery(
+      metric: String, aggregator: String,
+      tags: Map[String, String], filters: Seq[TagFilter])
+  final case class Query(startMs: Long, endMs: Long, queries: Seq[SubQuery])
+
+  /** Parse the OpenTSDB `/api/query` JSON body. */
+  def parseQuery(json: String): Query = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val root = JsonMethods.parse(json)
+    val start = (root \ "start").extract[Long]
+    val end = (root \ "end").extractOpt[Long].getOrElse(Long.MaxValue)
+    val subs = (root \ "queries") match {
+      case JArray(qs) => qs.map { q =>
+        SubQuery(
+          metric = (q \ "metric").extract[String],
+          aggregator = (q \ "aggregator").extract[String].toLowerCase,
+          tags = (q \ "tags").extractOpt[Map[String, String]].getOrElse(Map.empty),
+          filters = (q \ "filters") match {
+            case JArray(fs) => fs.map { f =>
+              TagFilter(
+                (f \ "type").extract[String].toLowerCase,
+                (f \ "tagk").extract[String],
+                (f \ "filter").extract[String],
+                (f \ "groupBy").extractOpt[Boolean].getOrElse(false))
+            }
+            case _ => Nil
+          })
+      }
+      case _ => Nil
+    }
+    Query(start, end, subs)
+  }
+
+  /** One DataFrame per subquery. Output: grouped tag columns + ts + value
+    * (aggregator != none), or tag columns + ts + value raw datapoints. */
+  def run(q: Query, resolve: String => SeriesTable): Seq[DataFrame] =
+    q.queries.map(runSub(q, _, resolve))
+
+  def runSub(q: Query, sub: SubQuery, resolve: String => SeriesTable): DataFrame = {
+    val t = resolve(sub.metric)
+    // OpenTSDB time bounds are inclusive; `end` is optional (open-ended)
+    var df = t.df.filter(col(t.tsCol) >= timestamp_millis(lit(q.startMs)))
+    if (q.endMs != Long.MaxValue)
+      df = df.filter(col(t.tsCol) <= timestamp_millis(lit(q.endMs)))
+
+    // tags map = implicit literal_or, always grouped (OpenTSDB 2.x semantics)
+    val tagConds: Seq[(String, Column, Boolean)] =
+      sub.tags.toSeq.map { case (k, v) =>
+        (k, literalOr(col(k), v), true)
+      } ++ sub.filters.map { f =>
+        val c = f.ftype match {
+          case "literal_or"     => literalOr(col(f.tagk), f.filter)
+          case "not_literal_or" => !literalOr(col(f.tagk), f.filter)
+          case other =>
+            throw new IllegalArgumentException(s"unsupported filter type '$other'")
+        }
+        (f.tagk, c, f.groupBy)
+      }
+    tagConds.foreach { case (_, c, _) => df = df.filter(c) }
+
+    val groupTags = tagConds.collect { case (k, _, true) => k }.distinct
+    sub.aggregator match {
+      case "none" =>
+        df.select((t.tags.map(c => col(c).cast("string")) :+
+          col(t.tsCol).as("ts") :+ col(t.valueCol).as("value")): _*)
+          .orderBy(col("ts"))
+      case agg =>
+        val fn: Column = agg match {
+          case "sum"   => sum(col(t.valueCol))
+          case "count" => count(lit(1)).cast("double")
+          case "avg"   => avg(col(t.valueCol))
+          case "min"   => min(col(t.valueCol))
+          case "max"   => max(col(t.valueCol))
+          case "dev"   => stddev_samp(col(t.valueCol))
+          case other =>
+            throw new IllegalArgumentException(s"unsupported aggregator '$other'")
+        }
+        val keys = groupTags.map(k => col(k).cast("string").as(k)) :+
+          col(t.tsCol).as("ts")
+        df.groupBy(keys: _*).agg(fn.as("value"))
+    }
+  }
+
+  /** OpenTSDB literal_or: `v1|v2|v3` — exact-match disjunction. */
+  private def literalOr(c: Column, pattern: String): Column = {
+    val vals = pattern.split('|').map(_.trim).filter(_.nonEmpty)
+    c.cast("string").isInCollection(vals)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.engine.TsdbEngine
+import graft.influx.{InfluxQL, LineProtocol}
+import graft.opentsdb.OpenTsdb
+import graft.promql.PromQL.SeriesTable
+import org.apache.spark.sql.functions._
+
+/** OpenTSDB + InfluxQL protocol batteries (SURVEY §2.8). OpenTSDB queries
+  * run straight against the events fixture; the InfluxQL queries round-trip
+  * the fixture through line-protocol ingest (auto-create + engine write
+  * path) before querying, so the oracle checks the whole protocol path.
+  */
+object Protocols {
+
+  private def eventsTable(s: org.apache.spark.sql.SparkSession, dir: String) =
+    (_: String) => SeriesTable(Tables.t(s, dir, "events"), "ts", "value",
+      Seq("event_type"))
+
+  /** events rows → line protocol strings → engine ingest; returns engine. */
+  private def ingestEvents(s: org.apache.spark.sql.SparkSession, dir: String): TsdbEngine = {
+    val e = new TsdbEngine(s,
+      java.nio.file.Files.createTempDirectory("graft-influx").toString)
+    val lines = Tables.t(s, dir, "events").select(
+      concat(
+        lit("events,event_type="), col("event_type"),
+        lit(" value="), col("value").cast("string"),
+        lit(",user_id="), col("user_id").cast("string"), lit("i"),
+        lit(",event_id="), col("event_id").cast("string"), lit("i"),
+        lit(" "), (unix_micros(col("ts")) * 1000).cast("string")))
+    import s.implicits._
+    LineProtocol.ingest(e, lines.as[String])
+    e
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- OpenTSDB: sum aggregator, literal_or tag filter, groupBy
+    //      (reference opentsdb/mod.rs:104-131,137-203)
+    GraftQuery("q45_opentsdb_sum",
+      Some("""SELECT event_type, ts, round(sum("value"), 4) AS "value"
+             |FROM events
+             |WHERE ts >= make_timestamp(1704844800000 * 1000)
+             |  AND ts <= make_timestamp(1704931200000 * 1000)
+             |  AND event_type IN ('error', 'signup')
+             |GROUP BY event_type, ts""".stripMargin),
+      (s, dir) => {
+        val q = OpenTsdb.parseQuery(
+          """{"start": 1704844800000, "end": 1704931200000,
+            | "queries": [{"metric": "events", "aggregator": "sum",
+            |   "filters": [{"type": "literal_or", "tagk": "event_type",
+            |     "filter": "error|signup", "groupBy": true}]}]}""".stripMargin)
+        OpenTsdb.runSub(q, q.queries.head, eventsTable(s, dir))
+          .withColumn("value", round(col("value"), 4))
+      }),
+
+    // ---- OpenTSDB: dev aggregator + not_literal_or, grouped only by time.
+    //      The metric binding downsamples ts to the hour (callers choose the
+    //      sample grid; the reference parses `downsample` without applying
+    //      it, types.rs:36-39) so per-ts groups have real populations.
+    GraftQuery("q46_opentsdb_dev",
+      Some("""SELECT ts, round(stddev(pv), 4) AS "value" FROM (
+             |  SELECT date_trunc('hour', ts) AS ts, "value" AS pv, event_type
+             |  FROM events)
+             |WHERE ts >= make_timestamp(1704067200000 * 1000)
+             |  AND ts <= make_timestamp(1704931200000 * 1000)
+             |  AND event_type NOT IN ('error')
+             |GROUP BY ts HAVING count(*) >= 2""".stripMargin),
+      (s, dir) => {
+        val q = OpenTsdb.parseQuery(
+          """{"start": 1704067200000, "end": 1704931200000,
+            | "queries": [{"metric": "events", "aggregator": "dev",
+            |   "filters": [{"type": "not_literal_or", "tagk": "event_type",
+            |     "filter": "error", "groupBy": false}]}]}""".stripMargin)
+        val hourly = (_: String) => SeriesTable(
+          Tables.t(s, dir, "events").withColumn("ts", date_trunc("hour", col("ts"))),
+          "ts", "value", Seq("event_type"))
+        OpenTsdb.runSub(q, q.queries.head, hourly)
+          .filter(!isnan(col("value")))
+          .withColumn("value", round(col("value"), 4))
+      }),
+
+    // ---- InfluxQL: line-protocol ingest (auto-create) → aggregate with
+    //      GROUP BY time(1d), tag — oracle computes from the source table
+    GraftQuery("q47_influx_ingest_groupby_time",
+      Some("""SELECT make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS "time",
+             |  event_type, count("value") AS n, round(sum("value"), 4) AS total
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        val out = InfluxQL.run(e,
+          """SELECT count(value) AS n, sum(value) AS total FROM events
+            |WHERE time >= '2024-01-05 00:00:00'
+            |GROUP BY time(1d), event_type""".stripMargin)
+        out.withColumn("total", round(col("total"), 4))
+      }),
+
+    // ---- InfluxQL: SHOW MEASUREMENTS (→ ShowTables, influxql/planner.rs)
+    GraftQuery("q48_influx_show_measurements",
+      Some("""SELECT 'events' AS "iox::measurement""""),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e, "SHOW MEASUREMENTS")
+      })
+  )
+}

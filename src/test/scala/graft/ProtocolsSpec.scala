@@ -1,0 +1,98 @@
+package graft
+
+import graft.engine.TsdbEngine
+import graft.influx.{InfluxQL, LineProtocol}
+import graft.opentsdb.OpenTsdb
+import org.apache.spark.sql.functions._
+
+class ProtocolsSpec extends SparkSpec {
+
+  test("line protocol: escaping, field types, timestamps") {
+    val p = LineProtocol.parseLine(
+      """weather,location=us\ midwest,season=summer temperature=82.5,hot=true,n=5i,desc="dry, hot" 1465839830100400200""")
+    assert(p.measurement == "weather")
+    assert(p.tags == Seq("location" -> "us midwest", "season" -> "summer"))
+    assert(p.fields == Seq(
+      ("temperature", "double", "82.5"), ("hot", "boolean", "t"),
+      ("n", "int64", "5"), ("desc", "string", "dry, hot")))
+    assert(p.tsNanos == 1465839830100400200L)
+  }
+
+  test("line protocol ingest auto-creates tables and round-trips rows") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("lp-test").toString)
+    val lines = Seq(
+      "cpu,host=a usage=0.5 1704067200000000000",
+      "cpu,host=a usage=0.7 1704067260000000000",
+      "cpu,host=b usage=0.9 1704067200000000000",
+      "mem,host=a free=100i 1704067200000000000").toDS()
+    val counts = LineProtocol.ingest(e, lines)
+    assert(counts == Map("cpu" -> 3L, "mem" -> 1L))
+    // auto-created schema: time key + host TAG + typed field
+    val cpu = e.catalog.get("cpu")
+    assert(cpu.timestampKey == "time")
+    assert(cpu.columns.find(_.name == "host").exists(_.isTag))
+    val rows = e.read("cpu").orderBy("time", "host").collect()
+    assert(rows.length == 3)
+    assert(e.read("mem").head().getAs[Long]("free") == 100L)
+    // overwrite semantics through the same path: same series+time wins latest
+    LineProtocol.ingest(e, Seq("cpu,host=a usage=0.6 1704067200000000000").toDS())
+    val dedup = e.read("cpu").filter(col("host") === "a" &&
+      col("time") === expr("timestamp_micros(1704067200000000)"))
+    assert(dedup.count() == 1)
+    assert(dedup.head().getAs[Double]("usage") == 0.6)
+  }
+
+  test("InfluxQL: SELECT aggregate with GROUP BY time + tag, SHOW MEASUREMENTS") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-test").toString)
+    LineProtocol.ingest(e, Seq(
+      "cpu,host=a usage=1.0 1704067200000000000",  // 00:00
+      "cpu,host=a usage=3.0 1704068100000000000",  // 00:15
+      "cpu,host=a usage=5.0 1704070800000000000",  // 01:00
+      "cpu,host=b usage=7.0 1704067200000000000").toDS())
+    val out = InfluxQL.run(e,
+      "SELECT mean(usage) AS m, count(usage) AS n FROM cpu WHERE host = 'a' GROUP BY time(1h)")
+      .orderBy("time").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("m") == 2.0 && out(0).getAs[Long]("n") == 2L)
+    assert(out(1).getAs[Double]("m") == 5.0)
+    // raw projection with time predicate (ns epoch literal)
+    val raw = InfluxQL.run(e,
+      "SELECT usage FROM cpu WHERE time >= 1704068100000000000 AND host = 'a'").collect()
+    assert(raw.map(_.getAs[Double]("usage")).toSet == Set(3.0, 5.0))
+    assert(InfluxQL.run(e, "SHOW MEASUREMENTS").as[String].collect().toSeq == Seq("cpu"))
+  }
+
+  test("OpenTSDB: aggregators, literal_or filters, inclusive time bounds") {
+    import spark.implicits._
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), "web", "a", 1.0),
+      (ts("2024-01-01 00:00:00"), "web", "b", 3.0),
+      (ts("2024-01-01 00:00:00"), "db", "a", 10.0),
+      (ts("2024-01-01 01:00:00"), "web", "a", 5.0),
+      (ts("2024-01-02 00:00:00"), "web", "a", 100.0)).toDF("ts", "svc", "host", "v")
+    val bind = (_: String) => graft.promql.PromQL.SeriesTable(df, "ts", "v", Seq("svc", "host"))
+    val q = OpenTsdb.parseQuery(
+      """{"start": 1704067200000, "end": 1704070800000,
+        | "queries": [{"metric": "m", "aggregator": "sum",
+        |   "filters": [{"type": "literal_or", "tagk": "svc", "filter": "web",
+        |     "groupBy": true}]}]}""".stripMargin)
+    val rows = OpenTsdb.runSub(q, q.queries.head, bind)
+      .orderBy("ts").collect()
+    // end bound inclusive: the 01:00 sample is in; Jan 2 is out; db filtered
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("value") == 4.0) // 1+3 summed across hosts
+    assert(rows(1).getAs[Double]("value") == 5.0)
+    // none → raw ordered datapoints with tags
+    val none = OpenTsdb.parseQuery(
+      """{"start": 1704067200000, "queries": [{"metric": "m",
+        |  "aggregator": "none", "tags": {"host": "b"}}]}""".stripMargin)
+    val raw = OpenTsdb.runSub(none, none.queries.head, bind).collect()
+    assert(raw.length == 1 && raw(0).getAs[Double]("value") == 3.0)
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+}
