@@ -24,6 +24,12 @@ import scala.jdk.CollectionConverters._
 final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
   val catalog = new GraftCatalog(warehouse)
   graft.functions.GraftFunctions.register(spark)
+  // engine optimizer rules: Exact/Inexact dedup pushdown + KEY/HASH bucket
+  // pruning (both no-ops on plans without engine shapes)
+  if (!spark.experimental.extraOptimizations.contains(graft.plans.DedupTagPushdown))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations ++
+        Seq(graft.plans.DedupTagPushdown, graft.plans.BucketPruning)
 
   /** Execute a script (one or more ;-separated statements); returns the
     * result of the last statement. */
@@ -92,7 +98,19 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
 
   private def readStorage(s: TableSchema): DataFrame = {
     val dir = catalog.dataDir(s.name)
-    val schema = s.storageStruct
+    import graft.plans.Partitioning
+    // the bucket spec rides on a data column's metadata so BucketPruning
+    // can map key-equality filters to candidate bucket directories
+    val schema = s.partitionBy match {
+      case Some(PartitionByKey(ks, n)) =>
+        Partitioning.annotateKeys(s.storageStruct, ks, n)
+          .add(Partitioning.bucketField)
+      case Some(PartitionByHash(e, n)) if e.matches("[\\w`]+") =>
+        Partitioning.annotateKeys(s.storageStruct, Seq(e.replace("`", "")), n)
+          .add(Partitioning.bucketField)
+      case Some(_) => s.storageStruct.add(Partitioning.bucketField)
+      case None => s.storageStruct
+    }
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
       spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
     } else {
@@ -154,16 +172,30 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     df = df.withColumn(TableSchema.SeqColumn,
       lit(seqBase << 40) + monotonically_increasing_id())
 
-    s.options.segmentMillis match {
-      case Some(seg) =>
-        df = df.withColumn(TableSchema.SegmentColumn,
-          floor(unix_millis(col(s.timestampKey)) / seg).cast(LongType))
-        df.write.mode("append")
-          .partitionBy(TableSchema.SegmentColumn)
-          .parquet(catalog.dataDir(name))
-      case None =>
-        df.write.mode("append").parquet(catalog.dataDir(name))
+    var partCols = Seq.empty[String]
+    s.options.segmentMillis.foreach { seg =>
+      df = df.withColumn(TableSchema.SegmentColumn,
+        floor(unix_millis(col(s.timestampKey)) / seg).cast(LongType))
+      partCols :+= TableSchema.SegmentColumn
     }
+    // PARTITION BY KEY/HASH/RANDOM → __bucket directory partitions
+    // (reference partition/rule/key.rs: hash64 % n)
+    s.partitionBy.foreach { pb =>
+      val bucket = pb match {
+        case PartitionByKey(ks, n) =>
+          graft.plans.Partitioning.bucketColumn(ks.map(col), n)
+        case PartitionByHash(e, n) =>
+          graft.plans.Partitioning.bucketColumn(Seq(expr(e)), n)
+        case PartitionByRandom(n) =>
+          pmod(xxhash64(monotonically_increasing_id()), lit(n.toLong)).cast("int")
+      }
+      df = df.withColumn(TableSchema.BucketColumn, bucket)
+      partCols :+= TableSchema.BucketColumn
+    }
+
+    val w = df.write.mode("append")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(catalog.dataDir(name))
   }
 
   private def coerce(lit: Literal, c: ColumnSpec): Any = {

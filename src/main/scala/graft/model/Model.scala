@@ -189,4 +189,7 @@ object TableSchema {
   val SeqColumn = "__seq"
   /** time-segment directory column (reference: segment_duration SSTs) */
   val SegmentColumn = "__segment"
+  /** KEY/HASH partition-bucket directory column (reference: PARTITION BY,
+    * hash64 % n at partition/rule/key.rs:367-372) */
+  val BucketColumn = "__bucket"
 }
