@@ -76,6 +76,25 @@ object EngineE2E {
         e.execute(
           """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
             |FROM events_ingest GROUP BY event_type""".stripMargin)
+      }),
+
+    // Streaming tumbling-window rollup with watermark (SURVEY §2.9: the
+    // Spark-side continuous pre-aggregation upgrade of the ingest path);
+    // the replayed stream must equal the batch time-bucket rollup.
+    GraftQuery("q66_streaming_window_rollup",
+      Some("""SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS bucket,
+             |  event_type, count(*) AS n, round(sum("value"), 2) AS total
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        graft.streaming.Rollup.windowedRollup(
+            s, dir, "events.parquet", schema, nanosTs = true,
+            "ts", "event_type", "value", "1 hour", "2 hours")
+          .withColumn("total", round(col("total"), 2))
       })
   )
 }
