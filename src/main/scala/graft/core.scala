@@ -27,6 +27,10 @@ object Tables {
 
   /** Load one driver-generated table (TESTDATA.md). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // time-range extraction over the nanos bridge must reach parquet stats
+    if (!spark.experimental.extraOptimizations.contains(plans.NanosTimeRangePushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.NanosTimeRangePushdown
     val nsCols = nanosColumns.getOrElse(name, Nil)
     if (nsCols.nonEmpty) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

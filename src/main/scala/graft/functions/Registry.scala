@@ -39,11 +39,21 @@ object GraftFunctions {
       s"thetasketch_distinct takes 1 arg, got ${other.length}")
   }
 
+  private def wrapBuilder(op: String)(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(a, b) => WrapArith(a, b, op)
+      case other => throw new IllegalArgumentException(
+        s"u64_$op takes 2 args, got ${other.length}")
+    }
+
   /** Register on an existing session (the engine does this on startup). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("time_bucket", timeBucketBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("thetasketch_distinct", thetaBuilder, "scala_udf")
+    // uint64 wraparound arithmetic (reference aggregate.sql u64 underflow)
+    Seq("add", "sub", "mul").foreach(op =>
+      reg.createOrReplaceTempFunction(s"u64_$op", wrapBuilder(op), "scala_udf"))
   }
 }
 

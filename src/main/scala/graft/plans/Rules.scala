@@ -52,6 +52,53 @@ object Partitioning {
   }
 }
 
+/** Time-range extraction through the TIMESTAMP(NANOS) bridge — the
+  * reference's `PredicateBuilder.extract_time_range`
+  * (table_engine/src/predicate.rs:161-206) equivalent for our nanos tables:
+  * fixtures with parquet TIMESTAMP(NANOS) are read as raw long and converted
+  * with `timestamp_micros(ns div 1000)`, which blocks parquet predicate
+  * pushdown (the comparison wraps the column in expressions). The
+  * conversion is monotone, so comparisons against literals rewrite exactly
+  * onto the raw nanos column (floor-division algebra below), which parquet
+  * row-group stats can prune. The rewritten conjunct REPLACES the original
+  * (the bounds are exact, not approximations).
+  */
+object NanosTimeRangePushdown extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // micros(ns div 1000) >= T  ⇔  ns >= T*1000   (floor-div algebra)
+    case GreaterThanOrEqual(NsToTs(ns), TsLit(us)) => GreaterThanOrEqual(ns, nsLit(us * 1000))
+    case GreaterThan(NsToTs(ns), TsLit(us))       => GreaterThanOrEqual(ns, nsLit((us + 1) * 1000))
+    case LessThan(NsToTs(ns), TsLit(us))          => LessThan(ns, nsLit(us * 1000))
+    case LessThanOrEqual(NsToTs(ns), TsLit(us))   => LessThan(ns, nsLit((us + 1) * 1000))
+    case LessThanOrEqual(TsLit(us), NsToTs(ns))   => GreaterThanOrEqual(ns, nsLit(us * 1000))
+    case LessThan(TsLit(us), NsToTs(ns))          => GreaterThanOrEqual(ns, nsLit((us + 1) * 1000))
+    case GreaterThan(TsLit(us), NsToTs(ns))       => LessThan(ns, nsLit(us * 1000))
+    case GreaterThanOrEqual(TsLit(us), NsToTs(ns)) => LessThan(ns, nsLit((us + 1) * 1000))
+  }
+
+  private def nsLit(v: Long): Literal = Literal(v, LongType)
+
+  /** timestamp_micros(attr div 1000) over a long column. */
+  private object NsToTs {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case MicrosToTimestamp(IntegralDivide(ns, d, _))
+          if ns.dataType == LongType && d.foldable &&
+             String.valueOf(d.eval(null)) == "1000" => Some(ns)
+      case _ => None
+    }
+  }
+
+  private object TsLit {
+    /** Any foldable timestamp expression (literal, cast, timestamp_millis…). */
+    def unapply(e: Expression): Option[Long] = e match {
+      case _ if e.foldable && e.dataType == TimestampType =>
+        Option(e.eval(null)).map(_.asInstanceOf[Long])
+      case _ => None
+    }
+  }
+}
+
 /** Pushes series-constant filter conjuncts below the engine's dedup-on-read
   * window — the reference's Exact/Inexact pushdown contract
   * (table_engine/src/provider.rs:335-351): filters on tag columns are exact

@@ -123,4 +123,20 @@ class TsidSpec extends SparkSpec {
     val again = tsids(Seq(Row("h1", "us"))).head
     assert(a == again)
   }
+
+  test("u64 wraparound arithmetic (reference uint64 underflow semantics)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // min(u) - max(u) underflows and wraps, as in the reference's
+    // aggregate.sql uint64 test; ANSI Long arithmetic would throw instead
+    val r = Seq((1L, 10L)).toDF("a", "b")
+      .selectExpr("u64_sub(a, b) AS d", "u64_add(a, -2) AS s", "u64_mul(b, b) AS m")
+      .head()
+    assert(r.getLong(0) == -9L)  // 2^64 - 9 as two's complement
+    assert(r.getLong(1) == -1L)
+    assert(r.getLong(2) == 100L)
+    val wrap = Seq((Long.MinValue, 1L)).toDF("a", "b")
+      .selectExpr("u64_sub(a, b) AS d").head().getLong(0)
+    assert(wrap == Long.MaxValue) // wraps instead of throwing
+  }
 }

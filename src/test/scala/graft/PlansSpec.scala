@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape assertions for the 100 TB posture: filters and projections
+  * must reach the parquet scan, small dimensions must broadcast, aggregates
+  * must have a partial (map-side) phase, and the hot relational path must
+  * stay inside WholeStageCodegen. Regressions here are scale bugs even when
+  * results stay correct.
+  */
+class PlansSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(s.plan)
+      case other => other.children.flatMap(walk)
+    }
+    walk(finalPlan(df))
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("filter + projection push into the parquet scan") {
+    val s = scans(q("q02_filter_project"))
+    assert(s.nonEmpty)
+    assert(s.exists(_.dataFilters.nonEmpty), "no data filters at the scan")
+    assert(s.forall(_.requiredSchema.fields.length <= 5),
+      s"scan reads too many columns: ${s.map(_.requiredSchema.fieldNames.mkString(","))}")
+  }
+
+  test("time-range scan pushes ts bounds into parquet (nanos bridge)") {
+    val s = scans(q("q30_time_range_scan"))
+    val pushed = s.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+      s"time range not pushed: $pushed")
+  }
+
+  test("small dimension joins broadcast") {
+    assert(finalPlan(q("q03_join_broadcast")).toString.contains("BroadcastHashJoin"))
+  }
+
+  test("aggregation has a partial (map-side) phase") {
+    assert(finalPlan(q("q01_pricing_summary")).toString.contains("partial_"))
+  }
+
+  test("hot relational path runs in WholeStageCodegen") {
+    // treeString marks codegen stages with "*(n)"
+    assert(finalPlan(q("q01_pricing_summary")).toString.contains("*("))
+  }
+
+  test("semi/anti joins stay joins (no subquery re-execution)") {
+    assert(finalPlan(q("q05_semi_join")).toString.contains("LeftSemi"))
+    assert(finalPlan(q("q06_anti_join")).toString.contains("LeftAnti"))
+  }
+
+  test("PromQL lowering pushes matcher + window filters to the scan") {
+    val df = SparkEntry.queries("q41_promql_rate")(spark, dir)
+    val pushed = scans(df).flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThan"), s"time window not pushed: $pushed")
+  }
+}

@@ -102,6 +102,22 @@ class PromQLSpec extends SparkSpec {
 
   // ------------------------------------------------------------ end-to-end
 
+  test("remote read: __name__ selects the table, matchers filter, raw samples") {
+    import spark.implicits._
+    val df = Seq(
+      (new java.sql.Timestamp(1000L), "a", 1.0),
+      (new java.sql.Timestamp(2000L), "b", 2.0),
+      (new java.sql.Timestamp(9000L), "a", 3.0)).toDF("ts", "host", "value")
+    val out = PromQL.remoteRead(
+      _ => PromQL.SeriesTable(df, "ts", "value", Seq("host")),
+      Seq(EqMatcher("__name__", "m"), EqMatcher("host", "a")), 0L, 5000L)
+      .collect()
+    assert(out.length == 1 && out(0).getString(0) == "a" && out(0).getDouble(2) == 1.0)
+    intercept[IllegalArgumentException] {
+      PromQL.remoteRead(_ => null, Seq(EqMatcher("host", "a")), 0L, 1L)
+    }
+  }
+
   test("end-to-end: rate over a synthetic two-series table") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
