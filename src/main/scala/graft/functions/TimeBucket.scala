@@ -87,10 +87,15 @@ object TimeBucketUtil {
         val w = n * MICROS_PER_DAY
         floorDiv(micros + off, w) * w - off
       case WEEK =>
-        // local day index; epoch day 0 = Thursday, so +3 aligns Monday starts
+        // reference-exact (time_bucket.rs:300-312 truncate_week): the local
+        // weekday offset (days since Monday) is multiplied by a WEEK, not a
+        // day, then the RAW timestamp minus that is floored to week
+        // granularity — a quirk preserved in the committed goldens
+        // (time_bucket.result P1W), reproduced bit-for-bit here.
         val d = floorDiv(micros + off, MICROS_PER_DAY)
-        val wk = floorDiv(d + 3, 7L)
-        (wk * 7L - 3L) * MICROS_PER_DAY - off
+        val weekday = Math.floorMod(d + 3, 7L) // epoch day 0 = Thursday
+        val w = 7L * MICROS_PER_DAY
+        floorDiv(micros - weekday * w, w) * w
       case MONTH =>
         val local = toLocal(micros + off)
         fromLocalParts(local.getYear, local.getMonthValue, 1) - off

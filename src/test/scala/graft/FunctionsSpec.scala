@@ -44,11 +44,14 @@ class TimeBucketSpec extends AnyFunSuite {
     assert(bucketMs(ms, "P1D", 0) == 1695340800000L)
   }
 
-  test("P1W starts Monday in the offset timeline") {
-    // 2023-09-22 is a Friday; week starts Monday 2023-09-18 00:00 +08
-    val ms = 1695344553456L
-    val expect = java.time.LocalDateTime.of(2023, 9, 18, 0, 0)
-      .toInstant(java.time.ZoneOffset.ofHours(8)).toEpochMilli
+  test("P1W reproduces the reference's truncate_week bit-for-bit") {
+    // reference time_bucket.rs truncate_week: subtract (days-since-Monday ×
+    // one WEEK) from the raw ts, then floor to week granularity — a quirk
+    // preserved in the committed goldens (GoldenSpec checks the .result
+    // values; this checks the formula on an independent sample)
+    val ms = 1695344553456L // 2023-09-22, a Friday (+08): weekday offset 4
+    val week = 604800000L
+    val expect = Math.floorDiv(ms - 4 * week, week) * week
     assert(bucketMs(ms, "P1W") == expect)
   }
 

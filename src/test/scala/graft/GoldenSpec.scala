@@ -1,0 +1,136 @@
+package graft
+
+import graft.engine.TsdbEngine
+import org.apache.spark.sql.DataFrame
+
+/** The reference's own sqlness golden tests, replayed through the engine
+  * (reference: integration_tests/cases/common/ — the primary test strategy,
+  * SURVEY §5). Expected values are transcribed from the committed *.result
+  * files; each test cites its case. This is the "a user of the reference
+  * could switch and run every query they run today" check.
+  */
+class GoldenSpec extends SparkSpec {
+
+  private def engine(): TsdbEngine = new TsdbEngine(spark,
+    java.nio.file.Files.createTempDirectory("golden").toString)
+
+  private def longs(df: DataFrame): Seq[Long] =
+    df.collect().map(_.getAs[Number](0).longValue()).toSeq
+
+  // ---- cases/common/function/time_bucket.sql(.result): every granularity,
+  //      +08:00 default timezone
+  test("time_bucket granularities match the reference goldens") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE tb (`timestamp` timestamp NOT NULL, `value` int,
+        |  timestamp KEY(`timestamp`)) ENGINE=Analytic WITH (enable_ttl='false');
+        |INSERT INTO tb (`timestamp`, `value`) VALUES
+        |  (1659577423000, 1), (1659577422000, 2), (1659577320000, 3),
+        |  (1659571200000, 4), (1659484800000, 5), (1656777600000, 6)""".stripMargin)
+    def buckets(period: String): Seq[Long] = longs(e.runSql(
+      s"SELECT DISTINCT unix_millis(time_bucket(`timestamp`, '$period')) AS b " +
+      "FROM tb ORDER BY b"))
+    // expected sets from time_bucket.result
+    assert(buckets("P1Y") == Seq(1640966400000L))
+    assert(buckets("P1M") == Seq(1656604800000L, 1659283200000L))
+    assert(buckets("P1W") == Seq(1652918400000L, 1657756800000L))
+    assert(buckets("P1D") == Seq(1656777600000L, 1659456000000L, 1659542400000L))
+    assert(buckets("PT1H") == Seq(1656777600000L, 1659484800000L,
+      1659571200000L, 1659574800000L))
+    assert(buckets("PT1M") == Seq(1656777600000L, 1659484800000L,
+      1659571200000L, 1659577320000L, 1659577380000L))
+    assert(buckets("PT1S") == Seq(1656777600000L, 1659484800000L,
+      1659571200000L, 1659577320000L, 1659577422000L, 1659577423000L))
+  }
+
+  // ---- cases/common/function/aggregate.sql(.result)
+  test("aggregate battery matches the reference goldens incl. u64 wrap and overwrite") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE agg (`timestamp` timestamp NOT NULL, arch string TAG,
+        |  datacenter string TAG, `value` int, uvalue uint64,
+        |  timestamp KEY(`timestamp`)) ENGINE=Analytic WITH (enable_ttl='false');
+        |INSERT INTO agg (`timestamp`, arch, datacenter, `value`, uvalue) VALUES
+        |  (1658304762, 'x86-64', 'china', 100, 10),
+        |  (1658304763, 'x86-64', 'china', 200, 10),
+        |  (1658304762, 'arm64', 'china', 110, 0),
+        |  (1658304763, 'arm64', 'china', 210, 0)""".stripMargin)
+    assert(longs(e.runSql("SELECT sum(`value`) FROM agg")) == Seq(620L))
+    // epoch-integer BETWEEN on the timestamp key (TypeConversion analyzer)
+    val grouped = e.runSql(
+      """SELECT arch, sum(`value`) FROM agg
+        |WHERE `timestamp` BETWEEN 1658304763 AND 1658304763
+        |GROUP BY arch ORDER BY arch DESC""".stripMargin).collect()
+    assert(grouped.map(r => (r.getString(0), r.getAs[Number](1).longValue())).toSeq ==
+      Seq(("x86-64", 200L), ("arm64", 210L)))
+    assert(longs(e.runSql("SELECT count(`value`) FROM agg")) == Seq(4L))
+    assert(e.runSql("SELECT avg(`value`) FROM agg").head().getDouble(0) == 155.0)
+    assert(longs(e.runSql("SELECT max(`value`) FROM agg")) == Seq(210L))
+    assert(longs(e.runSql("SELECT min(`value`) FROM agg")) == Seq(100L))
+    // uint64 underflow wraps: reference prints UInt64(18446744073709551606);
+    // same two's-complement bits as i64 -10 (SURVEY §1.5 widening caveat)
+    val wrapped = longs(e.runSql("SELECT u64_sub(min(uvalue), max(uvalue)) FROM agg")).head
+    assert(java.lang.Long.toUnsignedString(wrapped) == "18446744073709551606")
+    // overwrite mode: re-inserting the (tags, timestamp) PK replaces the row
+    e.execute("INSERT INTO agg (`timestamp`, arch, datacenter, `value`) " +
+      "VALUES (1658304762, 'x86-64', 'china', 100)")
+    assert(longs(e.runSql("SELECT count(arch) FROM agg")) == Seq(4L))
+    assert(e.runSql("SELECT distinct(arch) FROM agg ORDER BY arch DESC")
+      .collect().map(_.getString(0)).toSeq == Seq("x86-64", "arm64"))
+    assert(longs(e.runSql("SELECT count(distinct(arch)) FROM agg")) == Seq(2L))
+  }
+
+  // ---- cases/common/dml/select_filter.sql(.result)
+  test("select_filter matches the reference goldens") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE f (`timestamp` timestamp NOT NULL, `value` int,
+        |  timestamp KEY(`timestamp`)) ENGINE=Analytic WITH (enable_ttl='false');
+        |INSERT INTO f (`timestamp`, `value`) VALUES
+        |  (1, 100), (2, 1000), (3, 200), (4, 30000), (5, 4400), (6, 400)""".stripMargin)
+    assert(longs(e.runSql(
+      "SELECT `value` FROM f WHERE `value` > 50+50 ORDER BY `value` ASC")) ==
+      Seq(200L, 400L, 1000L, 4400L, 30000L))
+    assert(longs(e.runSql(
+      "SELECT `value` FROM f WHERE `value` > 50+50 AND `value` <= 4400 ORDER BY `value` ASC")) ==
+      Seq(200L, 400L, 1000L, 4400L))
+  }
+
+  // ---- cases/common/dml/select_having.sql(.result)
+  test("select_having matches the reference goldens") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE h (`timestamp` timestamp NOT NULL, `value` int,
+        |  timestamp KEY(`timestamp`)) ENGINE=Analytic WITH (enable_ttl='false');
+        |INSERT INTO h (`timestamp`, `value`) VALUES
+        |  (1, 101), (2, 1001), (3, 201), (4, 30004), (5, 4401), (6, 406)""".stripMargin)
+    val rows = e.runSql(
+      """SELECT `value` % 3, MAX(`value`) AS max FROM h
+        |GROUP BY `value` % 3 HAVING max > 10000 ORDER BY max ASC""".stripMargin)
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Number](0).longValue() == 1L)
+    assert(rows(0).getAs[Number](1).longValue() == 30004L)
+  }
+
+  // ---- cases/common/dml/insert_mode.sql: append keeps duplicates,
+  //      overwrite dedups on PK (also exercised in TsdbEngineSpec)
+  test("insert_mode append vs overwrite matches the reference semantics") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE im_a (`timestamp` timestamp NOT NULL, v int,
+        |  timestamp KEY(`timestamp`)) ENGINE=Analytic
+        |WITH (enable_ttl='false', update_mode='append');
+        |INSERT INTO im_a (`timestamp`, v) VALUES (100, 1);
+        |INSERT INTO im_a (`timestamp`, v) VALUES (100, 2)""".stripMargin)
+    assert(longs(e.runSql("SELECT count(*) FROM im_a")) == Seq(2L))
+    e.execute(
+      """CREATE TABLE im_o (`timestamp` timestamp NOT NULL, v int,
+        |  timestamp KEY(`timestamp`)) ENGINE=Analytic
+        |WITH (enable_ttl='false', update_mode='overwrite');
+        |INSERT INTO im_o (`timestamp`, v) VALUES (100, 1);
+        |INSERT INTO im_o (`timestamp`, v) VALUES (100, 2)""".stripMargin)
+    val o = e.runSql("SELECT v FROM im_o").collect()
+    assert(o.length == 1 && o(0).getAs[Number](0).intValue() == 2)
+  }
+}
