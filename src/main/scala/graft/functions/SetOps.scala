@@ -42,3 +42,45 @@ object SortedIntersectSize {
   def apply(a: Column, b: Column): Column =
     GraftBridge.col(SortedIntersectSize(GraftBridge.expr(a), GraftBridge.expr(b)))
 }
+
+/** Dot product of two numeric arrays in double — the pair-verification
+  * kernel for embedding similarity. A `zip_with`+`aggregate` composition
+  * evaluates interpreted with per-element allocation; on the all-pairs
+  * verify path (quadratic-ish) this tight loop is the difference between
+  * seconds and minutes. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val getters: (ArrayData => Int => Double, ArrayData => Int => Double) = {
+    def getter(e: Expression): ArrayData => Int => Double =
+      e.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => a => i => a.getFloat(i).toDouble
+        case DoubleType => a => i => a.getDouble(i)
+        case IntegerType => a => i => a.getInt(i).toDouble
+        case LongType   => a => i => a.getLong(i).toDouble
+        case other => throw new IllegalStateException(s"bad element type $other")
+      }
+    (getter(left), getter(right))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val ga = getters._1(a); val gb = getters._2(b)
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += ga(i) * gb(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.col(DotProduct(GraftBridge.expr(a), GraftBridge.expr(b)))
+}

@@ -72,6 +72,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact all-pairs embedding near-dup: norms precomputed once per vector
+    * (linear), pair dot products via the native [[graft.functions.DotProduct]]
+    * kernel. The honest O(n²/2) baseline — at index scale use
+    * [[cosineNearDupPairs]] (LSH candidates) instead; this one is the
+    * oracle-matching correctness path. */
+  def exactCosinePairs(
+      embDf: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val docs = embDf.select(col(idCol).as("id"), col(embCol).as("emb"),
+      sqrt(aggregate(col(embCol), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+    val a = docs.select(col("id").as("id_a"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = docs.select(col("id").as("id_b"), col("emb").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        graft.functions.DotProduct(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** All-pairs near-dup by embedding cosine: LSH-bucket join + exact verify,
     * same shape as Dedup.minhashNearDupPairs. */
   def cosineNearDupPairs(

@@ -120,6 +120,26 @@ object PipelineQueries {
         round(avg(sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double")))), 4).as("avg_norm"))),
 
+    // ---- embedding-cosine near-dup, exact all-pairs (the oracle-matching
+    //      correctness path; norms once per vector, native dot kernel)
+    GraftQuery("q60_embedding_near_dup",
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.25""".stripMargin),
+      (s, dir) => Similarity.exactCosinePairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.25)),
+
+    // ---- embedding near-dup via LSH buckets (the index-scale path;
+    //      candidates only where a hyperplane table agrees - recall
+    //      asserted in PipelineSpec on perturbed twins)
+    GraftQuery("q61_embedding_near_dup_lsh", None,
+      (s, dir) => Similarity.cosineNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.25, tables = 16, bits = 4)
+        .agg(count(lit(1)).as("n_pairs"),
+             coalesce(round(avg("cosine"), 4), lit(0.0)).as("avg_cosine"))),
+
     // ---- multimodal plumbing: binary payload + per-partition feature
     //      extraction (codec STUBBED; Spark-side schema/batching real)
     GraftQuery("q65_multimodal_features",

@@ -97,11 +97,16 @@ object Protocols {
         out.withColumn("total", round(col("total"), 4))
       }),
 
-    // ---- InfluxQL: SHOW MEASUREMENTS (→ ShowTables, influxql/planner.rs)
+    // ---- InfluxQL: SHOW MEASUREMENTS (→ ShowTables, influxql/planner.rs);
+    //      one line suffices to exercise auto-create + listing
     GraftQuery("q48_influx_show_measurements",
       Some("""SELECT 'events' AS "iox::measurement""""),
       (s, dir) => {
-        val e = ingestEvents(s, dir)
+        import s.implicits._
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-influx").toString)
+        LineProtocol.ingest(e,
+          Seq("events,event_type=error value=1.0 1704067200000000000").toDS())
         InfluxQL.run(e, "SHOW MEASUREMENTS")
       })
   )

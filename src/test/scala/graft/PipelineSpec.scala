@@ -97,6 +97,34 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall@10 $recall < 0.3")
   }
 
+  test("embedding near-dup: LSH finds perturbed twins; exact pairs match a local recompute") {
+    import spark.implicits._
+    val base = embs.limit(20).select(col("vec_id"), col("embedding"))
+    // tiny deterministic perturbation: cosine(original, twin) ≈ 1
+    val twins = base.withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double") * 1.001))
+    val pairs = Similarity.cosineNearDupPairs(
+      base.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .unionAll(twins.select(col("vec_id"), col("embedding").cast("array<double>"))),
+      "vec_id", "embedding", threshold = 0.99, tables = 16, bits = 4)
+    val found = pairs.filter(col("id_b") === col("id_a") + 10000).count()
+    assert(found >= 16, s"only $found/20 perturbed twins found")
+    // exact path agrees with a driver-side recompute on a small slice
+    val slice = embs.limit(50)
+    val got = Similarity.exactCosinePairs(slice, "vec_id", "embedding", 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = slice.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val expect = (for {
+      (ia, va) <- local; (ib, vb) <- local if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      cos = dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      if BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.25
+    } yield (ia, ib)).toSet
+    assert(got == expect, s"exact pairs mismatch: ${(got diff expect) ++ (expect diff got)}")
+  }
+
   test("multimodal: stub decode produces deterministic features with real plumbing") {
     val media = Multimodal.fromDocuments(spark, docs)
     val feats = Multimodal.extractFeatures(media).cache()
