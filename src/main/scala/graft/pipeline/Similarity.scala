@@ -99,16 +99,28 @@ object Similarity {
       threshold: Double = 0.95,
       tables: Int = 8, bits: Int = 8, seed: Long = 42L): DataFrame = {
     val docs = embDf.select(col(idCol).as("id"), col(embCol).as("emb"),
+      sqrt(aggregate(col(embCol), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"),
       HyperplaneSignature.signature(col(embCol), tables, bits, seed).as("buckets"))
-    val banded = docs.select(col("id"), col("emb"),
+      .cache()
+    // candidate ids only through the bucket join + distinct — the wide
+    // embedding arrays re-join AFTER dedup (shuffling vectors through
+    // distinct() is the difference between MBs and GBs at scale)
+    val banded = docs.select(col("id"),
       posexplode(col("buckets")).as(Seq("tbl", "key")))
     val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
+    val cand = a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.emb").as("emb_a"), col("b.emb").as("emb_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .withColumn("cosine", round(cosine(col("emb_a"), col("emb_b")), 4))
+    cand
+      .join(docs.select(col("id").as("id_a"), col("emb").as("ea"),
+        col("nrm").as("na")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("emb").as("eb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("cosine", round(
+        graft.functions.DotProduct(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

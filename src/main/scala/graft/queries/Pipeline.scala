@@ -130,13 +130,13 @@ object PipelineQueries {
       (s, dir) => Similarity.exactCosinePairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.25)),
 
-    // ---- embedding near-dup via LSH buckets (the index-scale path;
-    //      candidates only where a hyperplane table agrees - recall
-    //      asserted in PipelineSpec on perturbed twins)
+    // ---- embedding near-dup via LSH buckets (the index-scale path: true
+    //      near-dups at cos>=0.9 collide with ~94% probability at these
+    //      params; recall asserted in PipelineSpec on perturbed twins)
     GraftQuery("q61_embedding_near_dup_lsh", None,
       (s, dir) => Similarity.cosineNearDupPairs(
           t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.25, tables = 16, bits = 4)
+          threshold = 0.9, tables = 8, bits = 8)
         .agg(count(lit(1)).as("n_pairs"),
              coalesce(round(avg("cosine"), 4), lit(0.0)).as("avg_cosine"))),
 
