@@ -54,6 +54,12 @@ object GraftFunctions {
     // uint64 wraparound arithmetic (reference aggregate.sql u64 underflow)
     Seq("add", "sub", "mul").foreach(op =>
       reg.createOrReplaceTempFunction(s"u64_$op", wrapBuilder(op), "scala_udf"))
+    // DataFusion built-in the reference goldens exercise (date_bin.sql)
+    reg.createOrReplaceTempFunction("date_bin", {
+      case Seq(iv, ts, origin) => DateBin(iv, ts, origin)
+      case other => throw new IllegalArgumentException(
+        s"date_bin takes (interval, ts, origin), got ${other.length} args")
+    }, "scala_udf")
   }
 }
 

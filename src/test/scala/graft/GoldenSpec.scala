@@ -80,6 +80,28 @@ class GoldenSpec extends SparkSpec {
     assert(longs(e.runSql("SELECT count(distinct(arch)) FROM agg")) == Seq(2L))
   }
 
+  // ---- cases/common/function/date_bin.sql(.result)
+  test("date_bin matches the reference goldens") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE db (`timestamp` timestamp NOT NULL, `value` int,
+        |  timestamp KEY(`timestamp`)) ENGINE=Analytic WITH (enable_ttl='false');
+        |INSERT INTO db (`timestamp`, `value`) VALUES
+        |  (1659577423000, 1), (1659577422000, 2), (1659577320000, 3),
+        |  (1659571200000, 4), (1659484800000, 5), (1656777600000, 6)""".stripMargin)
+    def bins(interval: String): Seq[Long] = e.runSql(
+      s"""SELECT unix_millis(DATE_BIN(INTERVAL $interval, `timestamp`,
+         |  TIMESTAMP '2001-01-01T00:00:00Z')) AS t
+         |FROM db ORDER BY `timestamp`""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(bins("'30' second") == Seq(1656777600000L, 1659484800000L,
+      1659571200000L, 1659577320000L, 1659577410000L, 1659577410000L))
+    assert(bins("'15' minute") == Seq(1656777600000L, 1659484800000L,
+      1659571200000L, 1659576600000L, 1659576600000L, 1659576600000L))
+    assert(bins("'2' hour") == Seq(1656777600000L, 1659484800000L,
+      1659571200000L, 1659571200000L, 1659571200000L, 1659571200000L))
+  }
+
   // ---- cases/common/dml/select_filter.sql(.result)
   test("select_filter matches the reference goldens") {
     val e = engine()
