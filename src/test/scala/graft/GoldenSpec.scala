@@ -135,6 +135,54 @@ class GoldenSpec extends SparkSpec {
     assert(rows(0).getAs[Number](1).longValue() == 30004L)
   }
 
+  // ---- cases/common/dml/issue-59.sql: aggregate over an EMPTY table with
+  //      an expression group-by key must return zero rows, not fail
+  test("issue-59: group-by expression over empty table") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE issue59 (ts timestamp NOT NULL, id int, account string,
+        |  timestamp KEY(ts)) ENGINE=Analytic WITH (enable_ttl='false')""".stripMargin)
+    assert(e.runSql(
+      "SELECT id+1, count(distinct(account)) FROM issue59 GROUP BY id+1")
+      .collect().isEmpty)
+  }
+
+  // ---- cases/common/dml/issue-302.sql: count(distinct tag) over a row
+  //      whose tag is NULL is 0
+  test("issue-302: count distinct of a null tag") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE issue302 (`name` string TAG NULL, `value` double NOT NULL,
+        |  t timestamp NOT NULL, TIMESTAMP KEY(t))
+        |ENGINE=Analytic WITH (enable_ttl='false');
+        |INSERT INTO issue302 (t, `value`) VALUES (1651737067000, 100)""".stripMargin)
+    val r = e.runSql(
+      "SELECT t, count(distinct name) AS n FROM issue302 GROUP BY t").collect()
+    assert(r.length == 1 && r(0).getLong(1) == 0L)
+  }
+
+  // ---- cases/common/dml/issue-341.sql: a FIELD filter must return the
+  //      matching row in BOTH update modes (the original bug dropped rows
+  //      when a non-key filter was pushed below the overwrite dedup)
+  test("issue-341: field filter correct under append and overwrite") {
+    val e = engine()
+    Seq("append", "overwrite").foreach { mode =>
+      e.execute(
+        s"""CREATE TABLE issue341_$mode (`timestamp` timestamp NOT NULL,
+           |  `value` int, tag1 string TAG, timestamp KEY(`timestamp`))
+           |ENGINE=Analytic WITH (enable_ttl='false', update_mode='$mode');
+           |INSERT INTO issue341_$mode (`timestamp`, `value`, tag1)
+           |  VALUES (1, 1, 't1'), (2, 2, 't2'), (3, 3, 't3')""".stripMargin)
+      val r = e.runSql(
+        s"SELECT `timestamp`, `value` FROM issue341_$mode WHERE `value` = 3")
+        .collect()
+      assert(r.length == 1 && r(0).getAs[Number](1).intValue() == 3, s"mode=$mode")
+      val tagged = e.runSql(
+        s"SELECT `value` FROM issue341_$mode WHERE tag1 = 't3'").collect()
+      assert(tagged.length == 1 && tagged(0).getAs[Number](0).intValue() == 3)
+    }
+  }
+
   // ---- cases/common/dml/insert_mode.sql: append keeps duplicates,
   //      overwrite dedups on PK (also exercised in TsdbEngineSpec)
   test("insert_mode append vs overwrite matches the reference semantics") {
