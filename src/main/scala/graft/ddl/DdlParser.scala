@@ -364,6 +364,10 @@ object DdlParser {
           case Ident(s) if s.equalsIgnoreCase("null")  => NullLit
           case Ident(s) if s.equalsIgnoreCase("true")  => BoolLit(true)
           case Ident(s) if s.equalsIgnoreCase("false") => BoolLit(false)
+          // the reference dialect accepts double-quoted strings in VALUES
+          // (issue-341.sql inserts "t1"); nothing but a literal is valid
+          // here, so a quoted identifier token reads as a string
+          case Ident(s) => StringLit(s)
           case other => p.fail(s"unsupported VALUES literal $other")
         })
       }

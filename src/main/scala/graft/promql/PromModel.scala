@@ -15,7 +15,8 @@ final case class NreMatcher(label: String, regex: String) extends Matcher
 final case class Selector(
     metric: String,
     matchers: Seq[Matcher],
-    rangeMs: Option[Long])
+    rangeMs: Option[Long],
+    offsetMs: Long = 0L)
 
 sealed trait PromExpr
 final case class VectorSelector(sel: Selector) extends PromExpr

@@ -20,7 +20,30 @@ class PromQLSpec extends SparkSpec {
         RangeFunc("irate", Selector("m", Seq(ReMatcher("x", "a.*")), Some(90000L)))))
     assert(PromQL.parse("avg(m)") ==
       AggExpr("avg", Nil, VectorSelector(Selector("m", Nil, None))))
+    assert(PromQL.parse("m{a=\"b\"} offset 5m") ==
+      VectorSelector(Selector("m", Seq(EqMatcher("a", "b")), None, 300000L)))
+    assert(PromQL.parse("rate(m[1h] offset 1d)") ==
+      RangeFunc("rate", Selector("m", Nil, Some(3600000L), 86400000L)))
     intercept[IllegalArgumentException](PromQL.parse("rate(m)")) // needs [dur]
+  }
+
+  test("offset shifts evaluation into the past") {
+    import spark.implicits._
+    val df = Seq(
+      (new java.sql.Timestamp(10000L), "a", 1.0),
+      (new java.sql.Timestamp(70000L), "a", 2.0)).toDF("ts", "host", "value")
+    val p = EvalParams(startMs = 120000L, endMs = 120000L, stepMs = 60000L,
+      lookbackMs = 30000L)
+    // without offset: lookback (90s,120s] has no samples
+    assert(PromQL.eval(spark,
+      _ => PromQL.SeriesTable(df, "ts", "value", Seq("host")), "m", p)
+      .collect().isEmpty)
+    // offset 60s: evaluates at 60s -> sample at 70s... still outside (30,60];
+    // offset 50s: evaluates (40,70] -> the 70s sample surfaces at t=120s
+    val out = PromQL.eval(spark,
+      _ => PromQL.SeriesTable(df, "ts", "value", Seq("host")), "m offset 50s", p)
+      .collect()
+    assert(out.length == 1 && out(0).getDouble(2) == 2.0)
   }
 
   // ------------------------------------------------- extrapolation algebra
