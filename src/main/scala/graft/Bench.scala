@@ -17,11 +17,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: parquet footers + codegen + shuffle machinery, untimed
+    // warmup: parquet footers + codegen + shuffle machinery, untimed.
+    // Best-effort: a missing fixture must not kill the bench (the timed
+    // loop degrades per-query instead)
+    def quietly(f: => Any): Unit = try f catch { case _: Throwable => () }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
-      .foreach(n => Tables.t(spark, sfDir, n).count())
-    SparkEntry.entry(spark).count()
+      .foreach(n => quietly(Tables.t(spark, sfDir, n).count()))
+    quietly(SparkEntry.entry(spark).count())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -38,7 +38,7 @@ object DdlParser {
 
   // ---------------- tokenizer ----------------
   sealed trait Tok
-  final case class Ident(s: String) extends Tok      // already unquoted
+  final case class Ident(s: String, quoted: Boolean = false) extends Tok // already unquoted
   final case class Str(s: String) extends Tok
   final case class Num(s: String) extends Tok
   final case class Punct(c: String) extends Tok
@@ -56,7 +56,7 @@ object DdlParser {
         val q = c; val sb = new StringBuilder; i += 1
         while (i < n && sql.charAt(i) != q) { sb += sql.charAt(i); i += 1 }
         i += 1
-        out += Ident(sb.toString)
+        out += Ident(sb.toString, quoted = true)
       } else if (c == '\'') {
         val sb = new StringBuilder; i += 1
         var done = false
@@ -122,7 +122,7 @@ object DdlParser {
     def done: Boolean = pos >= toks.length
 
     def isKw(kw: String): Boolean = peek match {
-      case Some(Ident(s)) => s.equalsIgnoreCase(kw)
+      case Some(Ident(s, _)) => s.equalsIgnoreCase(kw)
       case _ => false
     }
     def tryKw(kw: String): Boolean = if (isKw(kw)) { pos += 1; true } else false
@@ -137,7 +137,7 @@ object DdlParser {
       case _ => false
     }
     def ident(): String = next() match {
-      case Ident(s) => s
+      case Ident(s, _) => s
       case other => fail(s"expected identifier, got $other")
     }
     def str(): String = next() match {
@@ -176,7 +176,7 @@ object DdlParser {
       // `TIMESTAMP KEY(col)` constraint vs a column named `timestamp`:
       // disambiguate on the following token (FIXTURES F2 has both).
       val isTsKeyConstraint = p.isKw("TIMESTAMP") && (p.peekAt(1) match {
-        case Some(Ident(s)) => s.equalsIgnoreCase("KEY")
+        case Some(Ident(s, _)) => s.equalsIgnoreCase("KEY")
         case _ => false
       })
       if (isTsKeyConstraint) {
@@ -210,7 +210,7 @@ object DdlParser {
         while (depth > 0) p.next() match {
           case Punct("(") => depth += 1; sb += '('
           case Punct(")") => depth -= 1; if (depth > 0) sb += ')'
-          case Ident(s)   => sb ++= s ++ " "
+          case Ident(s, _) => sb ++= s ++ " "
           case Num(s)     => sb ++= s ++ " "
           case Str(s)     => sb ++= s"'$s' "
           case Punct(c)   => sb ++= c
@@ -237,7 +237,7 @@ object DdlParser {
         val k = p.ident()
         p.expectPunct("=")
         val v = p.next() match {
-          case Str(s) => s; case Ident(s) => s; case Num(s) => s
+          case Str(s) => s; case Ident(s, _) => s; case Num(s) => s
           case other  => p.fail(s"bad option value $other")
         }
         opts += (k -> v)
@@ -281,7 +281,7 @@ object DdlParser {
       else if (p.tryKw("NULL")) nullable = true
       else if (p.tryKw("COMMENT")) comment = p.str()
       else if (p.tryKw("DEFAULT")) default = Some(p.next() match {
-        case Str(s) => s; case Num(s) => s; case Ident(s) => s
+        case Str(s) => s; case Num(s) => s; case Ident(s, _) => s
         case other  => p.fail(s"bad default $other")
       })
       else more = false
@@ -326,7 +326,7 @@ object DdlParser {
         f = false
         val k = p.ident(); p.expectPunct("=")
         val v = p.next() match {
-          case Str(s) => s; case Ident(s) => s; case Num(s) => s
+          case Str(s) => s; case Ident(s, _) => s; case Num(s) => s
           case other  => p.fail(s"bad setting value $other")
         }
         settings += (k -> v)
@@ -361,13 +361,13 @@ object DdlParser {
         row += (p.next() match {
           case Str(s) => StringLit(s)
           case Num(s) => NumberLit(BigDecimal(s))
-          case Ident(s) if s.equalsIgnoreCase("null")  => NullLit
-          case Ident(s) if s.equalsIgnoreCase("true")  => BoolLit(true)
-          case Ident(s) if s.equalsIgnoreCase("false") => BoolLit(false)
+          case Ident(s, false) if s.equalsIgnoreCase("null")  => NullLit
+          case Ident(s, false) if s.equalsIgnoreCase("true")  => BoolLit(true)
+          case Ident(s, false) if s.equalsIgnoreCase("false") => BoolLit(false)
           // the reference dialect accepts double-quoted strings in VALUES
-          // (issue-341.sql inserts "t1"); nothing but a literal is valid
-          // here, so a quoted identifier token reads as a string
-          case Ident(s) => StringLit(s)
+          // (issue-341.sql inserts "t1") — only QUOTED tokens read as
+          // strings; a bare identifier here is a typo and must fail
+          case Ident(s, true) => StringLit(s)
           case other => p.fail(s"unsupported VALUES literal $other")
         })
       }

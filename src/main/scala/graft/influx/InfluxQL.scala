@@ -128,7 +128,9 @@ object InfluxQL {
     s.conds.foreach { c =>
       val lhs: Column = if (c.isTime) col(tsCol) else col(c.lhs)
       val rhs: Column =
-        if (c.isTime && c.valueIsNumber) timestamp_millis(lit(c.value.toLong / 1000000L))
+        // ns epoch literals compare at the engine's micros precision (the
+        // stored resolution) — truncating to ms would misplace sub-ms bounds
+        if (c.isTime && c.valueIsNumber) timestamp_micros(lit(c.value.toLong / 1000L))
         else if (c.isTime) to_timestamp(lit(c.value))
         else lit(c.value)
       df = df.filter(c.op match {
@@ -164,8 +166,10 @@ object InfluxQL {
             case "mean"  => avg(col(field))
             case "min"   => min(col(field))
             case "max"   => max(col(field))
-            case "first" => first(col(field))
-            case "last"  => last(col(field))
+            // value at the earliest/latest timestamp, deterministically
+            // (Spark's first/last pick an arbitrary partition-order row)
+            case "first" => min_by(col(field), col(tsCol))
+            case "last"  => max_by(col(field), col(tsCol))
           }
           c.as(alias.getOrElse(fn))
       }
@@ -174,7 +178,10 @@ object InfluxQL {
     }
   }
 
-  /** InfluxQL `time(1h)` durations → time_bucket ISO-ish periods. */
+  /** InfluxQL `time(1h)` durations → time_bucket ISO-ish periods. Weeks map
+    * to 7-day epoch-aligned buckets (InfluxDB's duration semantics) — NOT
+    * `P1W`, whose engine implementation reproduces the reference's quirky
+    * calendar truncate_week for golden compatibility. */
   private def influxDurToPeriod(d: String): String = {
     val re = """(\d+)([smhdw])""".r
     d match {
@@ -182,7 +189,7 @@ object InfluxQL {
       case re(n, "m") => s"PT${n}M"
       case re(n, "h") => s"PT${n}H"
       case re(n, "d") => s"P${n}D"
-      case re(n, "w") => s"P${n}W"
+      case re(n, "w") => s"P${n.toInt * 7}D"
       case other => throw new IllegalArgumentException(s"bad duration '$other'")
     }
   }

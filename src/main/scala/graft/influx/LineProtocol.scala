@@ -74,22 +74,38 @@ object LineProtocol {
 
     shapes.map { case (m, rows) =>
       val tagKeys = rows.flatMap(_._4).distinct.sorted.toSeq
-      val fieldTypes = rows.map(r => r._2 -> r._3).toMap
+      // deterministic type merge for conflicting lines: widen by fixed
+      // precedence (string > double > int64 > boolean) — a collect-order
+      // toMap would pick a shuffle-dependent winner
+      val precedence = Map("boolean" -> 0, "int64" -> 1, "double" -> 2, "string" -> 3)
+      val fieldTypes: Map[String, String] = rows.groupBy(_._2)
+        .map { case (f, rs) => f -> rs.map(_._3).maxBy(precedence) }
       val fieldNames = fieldTypes.keys.toSeq.sorted
+      def kindOf(t: String): DatumKind.Value = t match {
+        case "int64"   => DatumKind.Int64
+        case "string"  => DatumKind.String
+        case "boolean" => DatumKind.Boolean
+        case _         => DatumKind.Double
+      }
       if (!engine.catalog.exists(m)) {
         val cols =
           ColumnSpec("time", DatumKind.Timestamp, isNullable = false) +:
           (tagKeys.map(k => ColumnSpec(k, DatumKind.String, isTag = true)) ++
-           fieldNames.map(f => ColumnSpec(f, fieldTypes(f) match {
-             case "int64"   => DatumKind.Int64
-             case "string"  => DatumKind.String
-             case "boolean" => DatumKind.Boolean
-             case _         => DatumKind.Double
-           })))
+           fieldNames.map(f => ColumnSpec(f, kindOf(fieldTypes(f)))))
         engine.catalog.create(
           TableSchema(m, cols, "time", None,
             TableOptions(raw = Map("update_mode" -> "overwrite"))),
           ifNotExists = true)
+      } else {
+        // influx writers vary field sets per point: unseen tags/fields
+        // auto-ADD (the reference's write-path auto-add-columns,
+        // proxy/src/write.rs:176-260)
+        val known = engine.catalog.get(m).columns.map(_.name).toSet
+        val newCols =
+          tagKeys.filterNot(known).map(k =>
+            ColumnSpec(k, DatumKind.String, isTag = true)) ++
+          fieldNames.filterNot(known).map(f => ColumnSpec(f, kindOf(fieldTypes(f))))
+        if (newCols.nonEmpty) engine.catalog.alterAddColumns(m, newCols)
       }
 
       val forM = parsed.filter(_.measurement == m)
@@ -99,18 +115,23 @@ object LineProtocol {
         (p.tsNanos, tagKeys.map(tagMap.get), fieldNames.map(fMap.get))
       }.toDF("_ns", "_tags", "_fields")
 
-      val cols = Seq(expr("timestamp_micros(_ns div 1000)").as("time")) ++
-        tagKeys.zipWithIndex.map { case (k, i) => col("_tags")(i).as(k) } ++
+      val schema = engine.catalog.get(m)
+      val present: Map[String, org.apache.spark.sql.Column] =
+        Map(schema.timestampKey -> expr("timestamp_micros(_ns div 1000)")) ++
+        tagKeys.zipWithIndex.map { case (k, i) => k -> col("_tags")(i) } ++
         fieldNames.zipWithIndex.map { case (f, i) =>
           val c = col("_fields")(i)
-          (fieldTypes(f) match {
+          f -> (fieldTypes(f) match {
             case "int64"   => c.cast(LongType)
             case "string"  => c
             case "boolean" => c === "t"
             case _         => c.cast(DoubleType)
-          }).as(f)
+          })
         }
-      val batch = rowsDf.select(cols: _*)
+      // align to the full table schema: columns this batch lacks are null
+      val batch = rowsDf.select(schema.columns.map { c =>
+        present.getOrElse(c.name, lit(null)).cast(c.sparkType).as(c.name)
+      }: _*)
       val n = batch.count()
       engine.append(m, batch)
       m -> n

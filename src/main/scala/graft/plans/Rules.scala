@@ -63,21 +63,40 @@ object Partitioning {
   * row-group stats can prune. The rewritten conjunct REPLACES the original
   * (the bounds are exact, not approximations).
   */
-object NanosTimeRangePushdown extends Rule[LogicalPlan] {
+object NanosTimeRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    // micros(ns div 1000) >= T  ⇔  ns >= T*1000   (floor-div algebra)
-    case GreaterThanOrEqual(NsToTs(ns), TsLit(us)) => GreaterThanOrEqual(ns, nsLit(us * 1000))
-    case GreaterThan(NsToTs(ns), TsLit(us))       => GreaterThanOrEqual(ns, nsLit((us + 1) * 1000))
-    case LessThan(NsToTs(ns), TsLit(us))          => LessThan(ns, nsLit(us * 1000))
-    case LessThanOrEqual(NsToTs(ns), TsLit(us))   => LessThan(ns, nsLit((us + 1) * 1000))
-    case LessThanOrEqual(TsLit(us), NsToTs(ns))   => GreaterThanOrEqual(ns, nsLit(us * 1000))
-    case LessThan(TsLit(us), NsToTs(ns))          => GreaterThanOrEqual(ns, nsLit((us + 1) * 1000))
-    case GreaterThan(TsLit(us), NsToTs(ns))       => LessThan(ns, nsLit(us * 1000))
-    case GreaterThanOrEqual(TsLit(us), NsToTs(ns)) => LessThan(ns, nsLit((us + 1) * 1000))
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val bounds = conjuncts.flatMap(boundFor)
+        .filterNot(b => conjuncts.exists(_.semanticEquals(b)))
+      if (bounds.isEmpty) f
+      else Filter((conjuncts ++ bounds).reduce(And), child)
   }
 
-  private def nsLit(v: Long): Literal = Literal(v, LongType)
+  private final val SlopMicros = 1000000L // 1 ms of nanos
+
+  /** The ORIGINAL conjunct stays for exactness; the derived bound on the
+    * raw column is loose by 1 ms either way — sound regardless of how the
+    * engine's `div` rounds negative (pre-epoch) nanos, and tight enough for
+    * parquet row-group stats. semanticEquals dedup keeps the rule
+    * idempotent across fixed-point passes. */
+  private def boundFor(e: Expression): Option[Expression] = e match {
+    case GreaterThanOrEqual(NsToTs(ns), TsLit(us)) => Some(lowerBound(ns, us))
+    case GreaterThan(NsToTs(ns), TsLit(us))        => Some(lowerBound(ns, us))
+    case LessThan(NsToTs(ns), TsLit(us))           => Some(upperBound(ns, us))
+    case LessThanOrEqual(NsToTs(ns), TsLit(us))    => Some(upperBound(ns, us))
+    case LessThanOrEqual(TsLit(us), NsToTs(ns))    => Some(lowerBound(ns, us))
+    case LessThan(TsLit(us), NsToTs(ns))           => Some(lowerBound(ns, us))
+    case GreaterThan(TsLit(us), NsToTs(ns))        => Some(upperBound(ns, us))
+    case GreaterThanOrEqual(TsLit(us), NsToTs(ns)) => Some(upperBound(ns, us))
+    case _ => None
+  }
+
+  private def lowerBound(ns: Expression, us: Long): Expression =
+    GreaterThan(ns, Literal(us * 1000 - SlopMicros, LongType))
+  private def upperBound(ns: Expression, us: Long): Expression =
+    LessThan(ns, Literal(us * 1000 + SlopMicros, LongType))
 
   /** timestamp_micros(attr div 1000) over a long column. */
   private object NsToTs {

@@ -24,6 +24,11 @@ class PromQLSpec extends SparkSpec {
       VectorSelector(Selector("m", Seq(EqMatcher("a", "b")), None, 300000L)))
     assert(PromQL.parse("rate(m[1h] offset 1d)") ==
       RangeFunc("rate", Selector("m", Nil, Some(3600000L), 86400000L)))
+    // suffix grouping form and trailing-input rejection
+    assert(PromQL.parse("sum(rate(m[5m])) by (job)") ==
+      AggExpr("sum", Seq("job"),
+        RangeFunc("rate", Selector("m", Nil, Some(300000L)))))
+    intercept[IllegalArgumentException](PromQL.parse("rate(m[5m]) garbage"))
     intercept[IllegalArgumentException](PromQL.parse("rate(m)")) // needs [dur]
   }
 

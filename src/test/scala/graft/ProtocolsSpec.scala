@@ -44,6 +44,39 @@ class ProtocolsSpec extends SparkSpec {
     assert(dedup.head().getAs[Double]("usage") == 0.6)
   }
 
+  test("line protocol: varying field sets auto-add columns; type conflicts widen deterministically") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("lp-vary").toString)
+    LineProtocol.ingest(e, Seq("cpu,host=a usage=0.5 1704067200000000000").toDS())
+    // second batch: missing `usage`, new field `temp` -> auto-ADD, nulls fill
+    LineProtocol.ingest(e, Seq("cpu,host=b temp=1.5 1704067260000000000").toDS())
+    val cpu = e.read("cpu").orderBy("time").collect()
+    assert(cpu.length == 2)
+    assert(cpu(0).getAs[Double]("usage") == 0.5 && cpu(0).isNullAt(cpu(0).fieldIndex("temp")))
+    assert(cpu(1).getAs[Double]("temp") == 1.5 && cpu(1).isNullAt(cpu(1).fieldIndex("usage")))
+    // conflicting types in ONE batch: double wins over int64 (fixed precedence)
+    LineProtocol.ingest(e, Seq(
+      "mem,host=a free=3i 1704067200000000000",
+      "mem,host=b free=3.5 1704067260000000000").toDS())
+    assert(e.catalog.get("mem").column("free").kind == graft.model.DatumKind.Double)
+    assert(e.read("mem").agg(org.apache.spark.sql.functions.sum("free"))
+      .head().getDouble(0) == 6.5)
+  }
+
+  test("InfluxQL first()/last() are deterministic min_by/max_by over time") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-fl").toString)
+    LineProtocol.ingest(e, Seq(
+      "cpu,host=a usage=9.0 1704067200000000000",  // earliest
+      "cpu,host=a usage=1.0 1704067260000000000",
+      "cpu,host=a usage=4.0 1704067320000000000").toDS()) // latest
+    val r = InfluxQL.run(e,
+      "SELECT first(usage) AS f, last(usage) AS l FROM cpu").head()
+    assert(r.getAs[Double]("f") == 9.0 && r.getAs[Double]("l") == 4.0)
+  }
+
   test("InfluxQL: SELECT aggregate with GROUP BY time + tag, SHOW MEASUREMENTS") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
