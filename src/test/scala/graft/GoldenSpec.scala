@@ -183,6 +183,59 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  // ---- cases/common/dml/select_order.sql(.result)
+  test("select_order matches the reference goldens") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE so (`timestamp` timestamp NOT NULL, `value` int,
+        |  timestamp KEY(`timestamp`)) ENGINE=Analytic WITH (enable_ttl='false');
+        |INSERT INTO so (`timestamp`, `value`) VALUES
+        |  (1, 100), (2, 1000), (3, 200), (4, 30000), (5, 4400), (6, 400)""".stripMargin)
+    assert(longs(e.runSql("SELECT `value` FROM so ORDER BY `value` ASC")) ==
+      Seq(100L, 200L, 400L, 1000L, 4400L, 30000L))
+    assert(longs(e.runSql("SELECT `value` FROM so ORDER BY `value` DESC")) ==
+      Seq(30000L, 4400L, 1000L, 400L, 200L, 100L))
+  }
+
+  // ---- cases/common/dml/issue-637.sql: tags of string/int/varbinary types
+  //      and the full scalar type surface round-trip through insert+select
+  test("issue-637: full type surface incl. varbinary and int tags") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE issue637 (str_tag string TAG, int_tag int32 TAG,
+        |  var_tag varbinary TAG, str_field string, int_field int32,
+        |  bin_field string, t timestamp NOT NULL, TIMESTAMP KEY(t))
+        |ENGINE=Analytic WITH (enable_ttl='false');
+        |INSERT INTO issue637
+        |  (str_tag, int_tag, var_tag, str_field, int_field, bin_field, t)
+        |VALUES ("t1", 1, "v1", "s1", 1, "b1", 1651737067000)""".stripMargin)
+    val r = e.runSql("SELECT * FROM issue637").head()
+    assert(r.getAs[String]("str_tag") == "t1")
+    assert(r.getAs[Number]("int_tag").intValue() == 1)
+    assert(new String(r.getAs[Array[Byte]]("var_tag"), "UTF-8") == "v1")
+    assert(r.getAs[String]("str_field") == "s1")
+    e.execute(
+      """CREATE TABLE IF NOT EXISTS issue637_1 (t timestamp NOT NULL,
+        |  double_filed double, float_filed float, str_field string,
+        |  var_field varbinary, u64_field uint64, u32_field uint32,
+        |  u16_field uint16, u8_field uint8, i64_field int64,
+        |  i32_field int32, i16_field int16, i8_field int8,
+        |  bool_field boolean, TIMESTAMP KEY(t))
+        |ENGINE=Analytic WITH (enable_ttl='false');
+        |INSERT INTO issue637_1
+        |  (t, double_filed, float_filed, str_field, var_field, u64_field,
+        |   u32_field, u16_field, u8_field, i64_field, i32_field, i16_field,
+        |   i8_field, bool_field)
+        |VALUES (1651737067000, 100, 100, "s", "v", 100, 100, 100, 100,
+        |        100, 100, 100, 100, false)""".stripMargin)
+    val r1 = e.runSql("SELECT * FROM issue637_1").head()
+    assert(r1.getAs[Double]("double_filed") == 100.0)
+    assert(r1.getAs[Float]("float_filed") == 100.0f)
+    assert(r1.getAs[Number]("u64_field").longValue() == 100L)
+    assert(r1.getAs[Number]("i8_field").byteValue() == 100.toByte)
+    assert(!r1.getAs[Boolean]("bool_field"))
+  }
+
   // ---- cases/common/dml/insert_mode.sql: append keeps duplicates,
   //      overwrite dedups on PK (also exercised in TsdbEngineSpec)
   test("insert_mode append vs overwrite matches the reference semantics") {
