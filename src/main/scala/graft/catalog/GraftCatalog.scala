@@ -31,9 +31,13 @@ final class GraftCatalog(val warehouse: String) {
 
   def list(): Seq[String] =
     if (!Files.exists(Paths.get(warehouse))) Nil
-    else Files.list(Paths.get(warehouse)).iterator().asScala
-      .filter(p => Files.exists(p.resolve("_manifest.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+    else {
+      val s = Files.list(Paths.get(warehouse))
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_manifest.json")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close() // directory streams hold an fd until closed
+    }
 
   def create(schema: TableSchema, ifNotExists: Boolean): Boolean = {
     if (exists(schema.name)) {
@@ -51,7 +55,10 @@ final class GraftCatalog(val warehouse: String) {
       throw new IllegalStateException(s"table '$name' does not exist")
     }
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.foreach(rm) finally s.close()
+      }
       Files.deleteIfExists(p)
     }
     rm(tableDir(name))

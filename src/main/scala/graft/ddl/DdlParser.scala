@@ -88,7 +88,9 @@ object DdlParser {
     out.result()
   }
 
-  /** Split a script on top-level semicolons (quote-aware). */
+  /** Split a script on top-level semicolons (quote- AND comment-aware: a
+    * quote or `;` inside a `--` comment must not affect splitting, matching
+    * the tokenizer's comment handling). */
   def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
@@ -98,6 +100,10 @@ object DdlParser {
       if (inS) { if (c == '\'') inS = false; sb += c }
       else if (inB) { if (c == '`') inB = false; sb += c }
       else if (inD) { if (c == '"') inD = false; sb += c }
+      else if (c == '-' && i + 1 < script.length && script.charAt(i + 1) == '-') {
+        while (i < script.length && script.charAt(i) != '\n') { sb += script.charAt(i); i += 1 }
+        i -= 1
+      }
       else c match {
         case '\'' => inS = true; sb += c
         case '`'  => inB = true; sb += c

@@ -89,7 +89,8 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
         val pk = s.primaryKey.map(col)
         ttled
           .withColumn("__rn", row_number().over(
-            Window.partitionBy(pk: _*).orderBy(col(TableSchema.SeqColumn).desc)))
+            Window.partitionBy(pk: _*).orderBy(
+              col(TableSchema.SeqColumn).desc, col(TableSchema.SubSeqColumn).desc)))
           .filter(col("__rn") === 1)
       case UpdateMode.Append => ttled
     }
@@ -169,8 +170,8 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
       df = df.withColumn(TableSchema.TsidColumn,
         if (tags.nonEmpty) TsidHash.tsid(tags) else lit(0L))
     }
-    df = df.withColumn(TableSchema.SeqColumn,
-      lit(seqBase << 40) + monotonically_increasing_id())
+    df = df.withColumn(TableSchema.SeqColumn, lit(seqBase))
+      .withColumn(TableSchema.SubSeqColumn, monotonically_increasing_id())
 
     var partCols = Seq.empty[String]
     s.options.segmentMillis.foreach { seg =>
@@ -205,6 +206,10 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
       case _ => c.kind match {
         case Timestamp => lit match {
           case NumberLit(v) => new java.sql.Timestamp(v.toLong) // epoch millis
+          // DEFAULT values arrive as strings: accept epoch-number strings
+          // (the dialect allows `DEFAULT 1702224000000`) before date text
+          case StringLit(v) if v.matches("-?\\d+") =>
+            new java.sql.Timestamp(v.toLong)
           case StringLit(v) => java.sql.Timestamp.valueOf(
             if (v.length == 10) v + " 00:00:00" else v)
           case other => badLit(other, c)
@@ -262,8 +267,16 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     // the reference's system table system.public.tables (system_catalog/src/tables.rs)
     systemTables().createOrReplaceTempView("system_public_tables")
     val cleaned = sql.replaceAll("(?i)system\\.public\\.tables", "system_public_tables")
-    val tsColumns: Set[String] = tables.map(n => catalog.get(n).timestampKey).toSet
     val plan = spark.sessionState.sqlParser.parsePlan(cleaned)
+    // scope the epoch-integer rewrite to the timestamp keys of the tables
+    // THIS query references — a same-named plain int column in an
+    // unrelated table must not trigger it
+    val referenced = plan.collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last
+    }.toSet
+    val tsColumns: Set[String] = tables.filter(referenced.contains)
+      .map(n => catalog.get(n).timestampKey).toSet
     GraftBridge.ofRows(spark, EpochMillisRewrite(plan, tsColumns))
   }
 

@@ -173,7 +173,9 @@ final case class TableSchema(
     val base = columns.map(_.toStructField)
     val tsid = if (usesTsid)
       Seq(StructField(TableSchema.TsidColumn, LongType, nullable = false)) else Nil
-    StructType(base ++ tsid :+ StructField(TableSchema.SeqColumn, LongType, nullable = false))
+    StructType(base ++ tsid ++ Seq(
+      StructField(TableSchema.SeqColumn, LongType, nullable = false),
+      StructField(TableSchema.SubSeqColumn, LongType, nullable = false)))
   }
 
   def column(n: String): ColumnSpec =
@@ -185,8 +187,13 @@ object TableSchema {
   /** reference: common_types/src/schema.rs:226 */
   val TsidColumn = "tsid"
   /** ingest sequence standing in for the WAL sequence number that orders
-    * overwrite-mode duplicates (reference: row_iter/dedup.rs newest-wins) */
+    * overwrite-mode duplicates (reference: row_iter/dedup.rs newest-wins).
+    * __seq is the per-batch ordinal; __subseq orders within a batch.
+    * Kept as TWO columns — a packed `(seq << k) | rowId` single column
+    * collides across batches because monotonically_increasing_id carries
+    * the partition id in its high bits. */
   val SeqColumn = "__seq"
+  val SubSeqColumn = "__subseq"
   /** time-segment directory column (reference: segment_duration SSTs) */
   val SegmentColumn = "__segment"
   /** KEY/HASH partition-bucket directory column (reference: PARTITION BY,

@@ -51,7 +51,11 @@ for name in sorted(os.listdir(out)):
             a, b = g[c], w[c]
             if str(a.dtype).startswith("float"):
                 import numpy as np
-                neq = ~((a.isna() & b.isna()) | (np.isclose(a.fillna(0), b.fillna(0), rtol=0, atol=0)))
+                # NaN/NULL must match NaN/NULL, never 0.0: compare the na
+                # masks first, then values only where both sides are present
+                both = ~(a.isna() | b.isna())
+                neq = (a.isna() != b.isna()) | (
+                    both & ~np.isclose(a.fillna(0), b.fillna(0), rtol=0, atol=0))
             else:
                 neq = ~((a.isna() & b.isna()) | (a == b))
             if neq.any():
