@@ -165,4 +165,29 @@ class TsdbEngineSpec extends SparkSpec {
     val sketch = e.execute("SELECT thetasketch_distinct(host) AS n FROM fb").head().getLong(0)
     assert(sketch == 3L)
   }
+
+  test("newest-wins dedup survives many-partition earlier batches (seq encoding)") {
+    import org.apache.spark.sql.functions._
+    val e = new graft.engine.TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("seq-enc").toString)
+    e.execute(
+      """CREATE TABLE se (host string TAG, v double, t timestamp NOT NULL,
+        |  timestamp KEY(t)) ENGINE=Analytic WITH (update_mode='overwrite')""".stripMargin)
+    import spark.implicits._
+    // batch 1: 150 partitions — with a packed (seq<<40)+id encoding the
+    // partition id spills into later batches' sequence blocks
+    val b1 = (0 until 300).map(i =>
+        (s"h${i % 3}", 1.0, new java.sql.Timestamp(1704067200000L + (i % 3))))
+      .toDF("host", "v", "t").repartition(150)
+    e.append("se", b1)
+    // batch 2: overwrite one PK — must win over EVERY batch-1 row
+    val b2 = Seq(("h0", 99.0, new java.sql.Timestamp(1704067200000L)))
+      .toDF("host", "v", "t")
+    e.append("se", b2)
+    val got = e.read("se")
+      .filter(col("host") === "h0" && col("t") === lit(new java.sql.Timestamp(1704067200000L)))
+      .select("v").collect()
+    assert(got.length == 1 && got(0).getDouble(0) == 99.0,
+      s"latest batch must win, got ${got.toSeq}")
+  }
 }
