@@ -25,7 +25,8 @@ object OpenTsdb {
       ftype: String, tagk: String, filter: String, groupBy: Boolean)
   final case class SubQuery(
       metric: String, aggregator: String,
-      tags: Map[String, String], filters: Seq[TagFilter])
+      tags: Map[String, String], filters: Seq[TagFilter],
+      downsample: Option[String] = None)
   final case class Query(startMs: Long, endMs: Long, queries: Seq[SubQuery])
 
   /** Parse the OpenTSDB `/api/query` JSON body. */
@@ -51,7 +52,8 @@ object OpenTsdb {
                 (f \ "groupBy").extractOpt[Boolean].getOrElse(false))
             }
             case _ => Nil
-          })
+          },
+          downsample = (q \ "downsample").extractOpt[String])
       }
       case _ => Nil
     }
@@ -63,12 +65,38 @@ object OpenTsdb {
   def run(q: Query, resolve: String => SeriesTable): Seq[DataFrame] =
     q.queries.map(runSub(q, _, resolve))
 
-  def runSub(q: Query, sub: SubQuery, resolve: String => SeriesTable): DataFrame = {
+  def runSub(q: Query, sub: SubQuery, resolve: String => SeriesTable,
+      applyDownsample: Boolean = false): DataFrame = {
     val t = resolve(sub.metric)
     // OpenTSDB time bounds are inclusive; `end` is optional (open-ended)
     var df = t.df.filter(col(t.tsCol) >= timestamp_millis(lit(q.startMs)))
     if (q.endMs != Long.MaxValue)
       df = df.filter(col(t.tsCol) <= timestamp_millis(lit(q.endMs)))
+
+    // downsample "interval-agg" pre-aggregates each SERIES (full tag set)
+    // onto the interval grid before the cross-series aggregator. The
+    // reference parses-but-ignores downsample (opentsdb/types.rs:36-39), so
+    // this is opt-in — default keeps reference-faithful behavior.
+    val (tsCol2, df2) =
+      sub.downsample.filter(_ => applyDownsample) match {
+        case Some(ds) =>
+          val parts = ds.split('-')
+          require(parts.length >= 2, s"bad downsample '$ds'")
+          val bucket = graft.functions.TimeBucket.timeBucket(
+            col(t.tsCol), otsdbDurToPeriod(parts(0)), "+00:00")
+          val dsAgg = aggFn(parts(1), col(t.valueCol))
+          val keys = t.tags.map(col) :+ bucket.as("__ds_ts")
+          ("__ds_ts", df.groupBy(keys: _*).agg(dsAgg.as(t.valueCol)))
+        case None => (t.tsCol, df)
+      }
+    df = df2
+    val tEff = t.copy(tsCol = tsCol2)
+    runAggregation(q, sub, tEff, df)
+  }
+
+  private def runAggregation(
+      q: Query, sub: SubQuery, t: SeriesTable, df0: DataFrame): DataFrame = {
+    var df = df0
 
     // tags map = implicit literal_or, always grouped (OpenTSDB 2.x semantics)
     val tagConds: Seq[(String, Column, Boolean)] =
@@ -105,6 +133,30 @@ object OpenTsdb {
         val keys = groupTags.map(k => col(k).cast("string").as(k)) :+
           col(t.tsCol).as("ts")
         df.groupBy(keys: _*).agg(fn.as("value"))
+    }
+  }
+
+  /** Downsample aggregator (per-series pre-aggregation). */
+  private def aggFn(name: String, c: Column): Column = name.toLowerCase match {
+    case "sum"   => sum(c)
+    case "count" => count(c).cast("double")
+    case "avg"   => avg(c)
+    case "min"   => min(c)
+    case "max"   => max(c)
+    case "dev"   => stddev_samp(c)
+    case other => throw new IllegalArgumentException(
+      s"unsupported downsample aggregator '$other'")
+  }
+
+  /** OpenTSDB durations (`1h`, `30m`, `10s`, `2d`) → time_bucket periods. */
+  private def otsdbDurToPeriod(d: String): String = {
+    val re = """(\d+)(ms|s|m|h|d)""".r
+    d match {
+      case re(n, "s") => s"PT${n}S"
+      case re(n, "m") => s"PT${n}M"
+      case re(n, "h") => s"PT${n}H"
+      case re(n, "d") => s"P${n}D"
+      case other => throw new IllegalArgumentException(s"bad downsample interval '$other'")
     }
   }
 

@@ -127,5 +127,28 @@ class ProtocolsSpec extends SparkSpec {
     assert(raw.length == 1 && raw(0).getAs[Double]("value") == 3.0)
   }
 
+  test("OpenTSDB downsample applies per-series when opted in, ignored by default") {
+    import spark.implicits._
+    val df = Seq(
+      (ts("2024-01-01 00:10:00"), "web", 1.0),
+      (ts("2024-01-01 00:20:00"), "web", 3.0),
+      (ts("2024-01-01 01:10:00"), "web", 5.0),
+      (ts("2024-01-01 00:15:00"), "db", 10.0)).toDF("ts", "svc", "v")
+    val bind = (_: String) => graft.promql.PromQL.SeriesTable(df, "ts", "v", Seq("svc"))
+    val q = OpenTsdb.parseQuery(
+      """{"start": 1704067200000, "queries": [{"metric": "m",
+        |  "aggregator": "sum", "downsample": "1h-avg",
+        |  "filters": [{"type": "literal_or", "tagk": "svc", "filter": "web|db",
+        |    "groupBy": false}]}]}""".stripMargin)
+    // default: reference-faithful — downsample parsed but NOT applied
+    assert(OpenTsdb.runSub(q, q.queries.head, bind).count() == 4)
+    // opted in: per-series hourly avg, then sum across series per bucket
+    val rows = OpenTsdb.runSub(q, q.queries.head, bind, applyDownsample = true)
+      .orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("value") == 12.0) // web avg 2.0 + db avg 10.0
+    assert(rows(1).getAs[Double]("value") == 5.0)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
