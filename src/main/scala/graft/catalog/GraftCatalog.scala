@@ -25,7 +25,38 @@ final class GraftCatalog(val warehouse: String) {
 
   private def tableDir(name: String): Path = Paths.get(warehouse, name)
   private def manifestPath(name: String): Path = tableDir(name).resolve("_manifest.json")
-  def dataDir(name: String): String = tableDir(name).resolve("data").toString
+
+  /** Data directory for a given compaction generation. Compaction writes the
+    * rewritten table into the NEXT generation dir and flips the manifest
+    * pointer, so readers never observe a half-rewritten directory. */
+  def genDataDir(name: String, gen: Int): String =
+    tableDir(name).resolve(if (gen == 0) "data" else s"data_g$gen").toString
+
+  /** Current data directory (follows the manifest's compaction generation). */
+  def dataDir(name: String): String =
+    genDataDir(name, if (exists(name)) manifest(name).dataGen.getOrElse(0) else 0)
+
+  /** (current generation, sequence floor): rows with __seq below the floor
+    * were physically deduped by the last compaction. */
+  def compactionState(name: String): (Int, Long) = {
+    val m = manifest(name)
+    (m.dataGen.getOrElse(0), m.compactedSeq.getOrElse(0L))
+  }
+
+  /** False iff every ingested batch is already covered by the compaction seq
+    * floor — the read path can skip the dedup window (reference: compacted
+    * SSTs need no merge-dedup, compaction/mod.rs:78-128). */
+  def needsDedup(name: String): Boolean = {
+    val m = manifest(name)
+    m.nextSeq > m.compactedSeq.getOrElse(0L)
+  }
+
+  /** Flip the manifest to the new generation; the seq floor records that all
+    * batches reserved so far are deduped in it. */
+  def markCompacted(name: String, newGen: Int): Unit = synchronized {
+    val m = manifest(name)
+    writeManifest(name, m.copy(dataGen = Some(newGen), compactedSeq = Some(m.nextSeq)))
+  }
 
   def exists(name: String): Boolean = Files.exists(manifestPath(name))
 
@@ -84,7 +115,8 @@ final class GraftCatalog(val warehouse: String) {
         throw new IllegalStateException(s"column '${c.name}' already exists in '$name'")
     }
     writeManifest(name, Manifest(
-      s.copy(columns = s.columns ++ cols, version = s.version + 1), m.nextSeq))
+      s.copy(columns = s.columns ++ cols, version = s.version + 1), m.nextSeq)
+      .copy(dataGen = m.dataGen, compactedSeq = m.compactedSeq))
   }
 
   def alterSetting(name: String, settings: Map[String, String]): Unit = synchronized {
@@ -92,7 +124,8 @@ final class GraftCatalog(val warehouse: String) {
     val s = m.toSchema
     val merged = TableOptions.fromRaw(s.options.raw ++ settings)
     writeManifest(name, Manifest(
-      s.copy(options = merged, version = s.version + 1), m.nextSeq))
+      s.copy(options = merged, version = s.version + 1), m.nextSeq)
+      .copy(dataGen = m.dataGen, compactedSeq = m.compactedSeq))
   }
 
   /** Reconstructed DDL for SHOW CREATE TABLE. */
@@ -148,7 +181,11 @@ private[catalog] final case class PartJson(
 private[catalog] final case class Manifest(
     name: String, columns: List[ColJson], timestampKey: String,
     primaryKey: Option[List[String]], options: Map[String, String],
-    partition: Option[PartJson], version: Int, nextSeq: Long) {
+    partition: Option[PartJson], version: Int, nextSeq: Long,
+    // compaction state: current data-directory generation and the seq floor
+    // below which rows are already physically deduped (absent = never
+    // compacted; also keeps round-1 manifests readable)
+    dataGen: Option[Int] = None, compactedSeq: Option[Long] = None) {
   def toSchema: TableSchema = TableSchema(
     name,
     columns.map(c => ColumnSpec(c.name, DatumKind.withName(c.kind), c.nullable,

@@ -85,14 +85,16 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
       case _ => storage
     }
     val deduped = s.options.updateMode match {
-      case UpdateMode.Overwrite =>
+      // when every batch is under the compaction seq floor the data is
+      // physically deduped — skip the window (cheaper plan, same rows)
+      case UpdateMode.Overwrite if catalog.needsDedup(name) =>
         val pk = s.primaryKey.map(col)
         ttled
           .withColumn("__rn", row_number().over(
             Window.partitionBy(pk: _*).orderBy(
               col(TableSchema.SeqColumn).desc, col(TableSchema.SubSeqColumn).desc)))
           .filter(col("__rn") === 1)
-      case UpdateMode.Append => ttled
+      case _ => ttled
     }
     deduped.select(s.columns.map(c => col(c.name)): _*)
   }
@@ -197,6 +199,99 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     val w = df.write.mode("append")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(catalog.dataDir(name))
+  }
+
+  // ---------------- compaction / TTL purge ----------------
+
+  /** Compaction (reference: analytic_engine/src/compaction/mod.rs:78-128
+    * TimeWindow strategy) + physical TTL purge (table/data.rs:744 expired-SST
+    * drop). Steps:
+    *
+    *  1. drop whole `__segment=k` directories entirely past the TTL horizon
+    *     (file-level, no data read);
+    *  2. rewrite the remaining storage with the dedup window applied
+    *     (overwrite mode) and row-level TTL filtered, into the NEXT
+    *     generation directory — a distributed window + parquet write,
+    *     partition-parallel end-to-end;
+    *  3. flip the manifest to the new generation and record the seq floor:
+    *     until the next append, reads skip the dedup window entirely, and
+    *     the window's shuffle afterwards is bounded by live data, not
+    *     accumulated history.
+    *
+    * Readers hold no locks: they resolve the directory through the manifest,
+    * which flips atomically (tmp + ATOMIC_MOVE).
+    */
+  def compact(name: String, nowMs: Long = System.currentTimeMillis()): Unit = {
+    purgeExpiredSegments(name, nowMs)
+    val s = catalog.get(name)
+    val (gen, _) = catalog.compactionState(name)
+    val storage = readStorage(s)
+
+    var df = s.options.updateMode match {
+      case UpdateMode.Overwrite =>
+        val pk = s.primaryKey.map(col)
+        storage
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(pk: _*).orderBy(
+              col(TableSchema.SeqColumn).desc, col(TableSchema.SubSeqColumn).desc)))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+      case UpdateMode.Append => storage
+    }
+    // row-level TTL: segment purge above is per-directory; rows inside a
+    // still-live segment can already be expired
+    s.options.ttlMillis.filter(_ => s.options.enableTtl).foreach { ttl =>
+      df = df.filter(col(s.timestampKey) >= timestamp_millis(lit(nowMs - ttl)))
+    }
+
+    // rebuild the storage layout exactly like append: __segment recomputed
+    // from the timestamp; __bucket (if partitioned) is already a column of
+    // the storage scan and is reused as-is
+    var partCols = Seq.empty[String]
+    s.options.segmentMillis.foreach { seg =>
+      df = df.withColumn(TableSchema.SegmentColumn,
+        floor(unix_millis(col(s.timestampKey)) / seg).cast(LongType))
+      partCols :+= TableSchema.SegmentColumn
+    }
+    if (s.partitionBy.isDefined) partCols :+= TableSchema.BucketColumn
+
+    val newDir = catalog.genDataDir(name, gen + 1)
+    val w = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(newDir)
+    catalog.markCompacted(name, gen + 1)
+    deleteDir(java.nio.file.Paths.get(catalog.genDataDir(name, gen)))
+  }
+
+  /** Physically drop `__segment=k` directories whose whole time window is
+    * past the TTL horizon — segment k covers [k·seg, (k+1)·seg), expired
+    * when (k+1)·seg <= now - ttl (reference: table/data.rs:744 is_expired).
+    * Returns the dropped segment ids. */
+  def purgeExpiredSegments(name: String, nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
+    val s = catalog.get(name)
+    (s.options.ttlMillis.filter(_ => s.options.enableTtl), s.options.segmentMillis) match {
+      case (Some(ttl), Some(seg)) =>
+        val dir = java.nio.file.Paths.get(catalog.dataDir(name))
+        if (!java.nio.file.Files.exists(dir)) return Nil
+        val horizon = nowMs - ttl
+        val stream = java.nio.file.Files.list(dir)
+        val segDirs = try {
+          stream.iterator().asScala.filter(p =>
+            p.getFileName.toString.startsWith(TableSchema.SegmentColumn + "=")).toList
+        } finally stream.close()
+        segDirs.flatMap { p =>
+          val k = p.getFileName.toString.stripPrefix(TableSchema.SegmentColumn + "=").toLong
+          if ((k + 1) * seg <= horizon) { deleteDir(p); Some(k) } else None
+        }
+      case _ => Nil
+    }
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.foreach(deleteDir) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
   }
 
   private def coerce(lit: Literal, c: ColumnSpec): Any = {

@@ -45,8 +45,8 @@ object LineProtocol {
       if (raw.startsWith("\"")) (name, "string", raw.stripPrefix("\"").stripSuffix("\"")
         .replace("\\\"", "\"").replace("\\\\", "\\"))
       else if (raw.endsWith("i")) (name, "int64", raw.dropRight(1))
-      else if (raw == "true" || raw == "false" || raw == "t" || raw == "f" ||
-               raw == "T" || raw == "F" || raw == "True" || raw == "False")
+      // line protocol accepts t/T/true/True/TRUE and f/F/false/False/FALSE
+      else if (Set("true", "false", "t", "f").contains(raw.toLowerCase))
         (name, "boolean", raw.toLowerCase.take(1))
       else (name, "double", raw)
     }

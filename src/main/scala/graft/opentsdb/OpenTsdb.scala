@@ -82,8 +82,7 @@ object OpenTsdb {
         case Some(ds) =>
           val parts = ds.split('-')
           require(parts.length >= 2, s"bad downsample '$ds'")
-          val bucket = graft.functions.TimeBucket.timeBucket(
-            col(t.tsCol), otsdbDurToPeriod(parts(0)), "+00:00")
+          val bucket = dsBucket(col(t.tsCol), parts(0))
           val dsAgg = aggFn(parts(1), col(t.valueCol))
           val keys = t.tags.map(col) :+ bucket.as("__ds_ts")
           ("__ds_ts", df.groupBy(keys: _*).agg(dsAgg.as(t.valueCol)))
@@ -148,14 +147,20 @@ object OpenTsdb {
       s"unsupported downsample aggregator '$other'")
   }
 
-  /** OpenTSDB durations (`1h`, `30m`, `10s`, `2d`) → time_bucket periods. */
-  private def otsdbDurToPeriod(d: String): String = {
+  /** Downsample interval (`500ms`, `10s`, `30m`, `1h`, `2d`) → bucket start.
+    * Second-and-coarser goes through time_bucket (same truncation as the SQL
+    * surface); sub-second uses direct epoch-millis floor arithmetic, which
+    * time_bucket's period grammar (PT{n}S floor) cannot express. */
+  private def dsBucket(ts: Column, interval: String): Column = {
     val re = """(\d+)(ms|s|m|h|d)""".r
-    d match {
-      case re(n, "s") => s"PT${n}S"
-      case re(n, "m") => s"PT${n}M"
-      case re(n, "h") => s"PT${n}H"
-      case re(n, "d") => s"P${n}D"
+    interval match {
+      case re(n, "ms") =>
+        val w = n.toLong
+        timestamp_millis((floor(unix_millis(ts) / w) * w).cast("long"))
+      case re(n, "s") => graft.functions.TimeBucket.timeBucket(ts, s"PT${n}S", "+00:00")
+      case re(n, "m") => graft.functions.TimeBucket.timeBucket(ts, s"PT${n}M", "+00:00")
+      case re(n, "h") => graft.functions.TimeBucket.timeBucket(ts, s"PT${n}H", "+00:00")
+      case re(n, "d") => graft.functions.TimeBucket.timeBucket(ts, s"P${n}D", "+00:00")
       case other => throw new IllegalArgumentException(s"bad downsample interval '$other'")
     }
   }

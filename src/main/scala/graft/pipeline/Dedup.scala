@@ -34,11 +34,15 @@ object Dedup {
     // Shingle set materialized once; the signature is a single-pass native
     // expression over it (the HOF formulation re-derived the shingles per
     // hash slot — quadratic interpreted work per doc).
+    // localCheckpoint, not cache(): CacheManager pins cache() blocks until an
+    // explicit unpersist (which a lazily-returned result can't schedule), so
+    // repeated calls in a long session would accumulate storage. Checkpoint
+    // blocks are released by the ContextCleaner once the result is dropped.
     val docs = df.select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol), shingleK)).as("sh"))
       .withColumn("bandkeys",
         minhashBands(minhashSignature(col("sh"), numHashes), bands, rows))
-      .cache()
+      .localCheckpoint()
 
     val banded = docs.select(col("id"),
       posexplode(col("bandkeys")).as(Seq("band", "key")))
@@ -150,7 +154,7 @@ object Dedup {
         (floor(length(col(textCol)) / 100)).as("lenb"))
       .withColumn("ntok", size(col("sh")))
       .withColumn("v", sort_array(transform(col("sh"), t => xxhash64(t))))
-      .cache()
+      .localCheckpoint() // not cache(): see minhashNearDupPairs
 
     val posting = docs.select(col("id"), col("lang"), col("lenb"), col("ntok"),
       explode(col("sh")).as("tok"))

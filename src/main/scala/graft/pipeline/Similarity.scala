@@ -102,7 +102,9 @@ object Similarity {
       sqrt(aggregate(col(embCol), lit(0.0),
         (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"),
       HyperplaneSignature.signature(col(embCol), tables, bits, seed).as("buckets"))
-      .cache()
+      // localCheckpoint, not cache(): blocks are freed by the ContextCleaner
+      // when the result is dropped; cache() pins until explicit unpersist
+      .localCheckpoint()
     // candidate ids only through the bucket join + distinct — the wide
     // embedding arrays re-join AFTER dedup (shuffling vectors through
     // distinct() is the difference between MBs and GBs at scale)

@@ -127,6 +127,16 @@ object NanosTimeRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
   * window ("Inexact": they could change which row of a PK group survives).
   * Catalyst's own PushDownPredicates only moves window-partition-key
   * filters; this rule adds the tag case Catalyst cannot know about.
+  *
+  * Tag filters are only Exact when the table uses the IMPLICIT tsid PK:
+  * tsid is a function of all tag values, so a PK group is tag-constant.
+  * With an explicit PRIMARY KEY that omits a tag column, rows of one PK
+  * group can carry different tag values and pre-dedup filtering could
+  * change which row survives — the reference gates the same way
+  * (analytic_engine/src/table/mod.rs:428 support_pushdown +
+  * common_types/src/schema.rs:893 is_unique_column, the issue-605 fix).
+  * The implicit PK is detected by the window partitioning on the tsid
+  * column; otherwise only partition-key filters push.
   */
 object DedupTagPushdown extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -134,12 +144,14 @@ object DedupTagPushdown extends Rule[LogicalPlan] with PredicateHelper {
     case f @ Filter(cond, w: Window) if isDedupWindow(w) =>
       val partitionAttrs = AttributeSet(
         w.partitionSpec.flatMap(_.references))
+      val tsidPk = partitionAttrs.exists(_.name == TableSchema.TsidColumn)
       def pushable(e: Expression): Boolean =
         e.deterministic && e.references.nonEmpty &&
         e.references.forall {
           case a: Attribute =>
             partitionAttrs.contains(a) ||
-            (a.metadata.contains("graft.tag") && a.metadata.getBoolean("graft.tag"))
+            (tsidPk &&
+              a.metadata.contains("graft.tag") && a.metadata.getBoolean("graft.tag"))
           case _ => false
         }
       val (push, keep) = splitConjunctivePredicates(cond).partition(pushable)

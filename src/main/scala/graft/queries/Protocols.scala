@@ -76,8 +76,11 @@ object Protocols {
         val hourly = (_: String) => SeriesTable(
           Tables.t(s, dir, "events").withColumn("ts", date_trunc("hour", col("ts"))),
           "ts", "value", Seq("event_type"))
+        // single-sample groups: stddev_samp yields NULL (Spark >= 3.1) — and
+        // IsNaN(null) is FALSE, so !isnan alone would keep them; the oracle's
+        // HAVING count(*) >= 2 drops them
         OpenTsdb.runSub(q, q.queries.head, hourly)
-          .filter(!isnan(col("value")))
+          .filter(col("value").isNotNull && !isnan(col("value")))
           .withColumn("value", round(col("value"), 4))
       }),
 

@@ -101,4 +101,29 @@ class PartitionSpec extends SparkSpec {
     assert(e.runSql("SELECT * FROM ow WHERE value = 1.0").count() == 0,
       "field filter must apply after dedup (Inexact contract)")
   }
+
+  test("dedup pushdown: tag filters do NOT push with an explicit PK omitting the tag") {
+    // reference gate: tag pushdown is only Exact for the implicit tsid PK
+    // (table/mod.rs:428 support_pushdown, schema.rs:893 is_unique_column —
+    // the issue-605 fix). With PRIMARY KEY(t), one PK group can hold rows
+    // with DIFFERENT host values; pre-dedup filtering would resurrect an
+    // overwritten row.
+    val e = engine()
+    e.execute(
+      """CREATE TABLE owpk (
+        |  host string TAG, value double, t timestamp NOT NULL,
+        |  timestamp KEY(t), PRIMARY KEY(t))
+        |ENGINE=Analytic WITH (update_mode='overwrite')""".stripMargin)
+    e.execute("INSERT INTO owpk (t, host, value) VALUES (1704067200000, 'a', 1.0)")
+    e.execute("INSERT INTO owpk (t, host, value) VALUES (1704067200000, 'b', 2.0)")
+
+    // PK group {t} survivor is the newest row (host='b'); filtering host='a'
+    // after dedup finds nothing. A pre-dedup tag filter would wrongly
+    // resurrect the ('a', 1.0) row.
+    assert(e.runSql("SELECT * FROM owpk WHERE host = 'a'").count() == 0,
+      "tag filter must stay above the dedup window for explicit non-tag PKs")
+    val survivors = e.runSql("SELECT host, value FROM owpk").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(survivors == Seq(("b", 2.0)), s"got $survivors")
+  }
 }

@@ -18,6 +18,18 @@ class ProtocolsSpec extends SparkSpec {
     assert(p.tsNanos == 1465839830100400200L)
   }
 
+  test("line protocol: boolean literals accepted case-insensitively") {
+    // InfluxDB accepts t/T/true/True/TRUE and f/F/false/False/FALSE
+    for (raw <- Seq("TRUE", "True", "true", "t", "T")) {
+      val p = LineProtocol.parseLine(s"m,k=v b=$raw 1704067200000000000")
+      assert(p.fields == Seq(("b", "boolean", "t")), s"raw=$raw: ${p.fields}")
+    }
+    for (raw <- Seq("FALSE", "False", "false", "f", "F")) {
+      val p = LineProtocol.parseLine(s"m,k=v b=$raw 1704067200000000000")
+      assert(p.fields == Seq(("b", "boolean", "f")), s"raw=$raw: ${p.fields}")
+    }
+  }
+
   test("line protocol ingest auto-creates tables and round-trips rows") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
@@ -148,6 +160,26 @@ class ProtocolsSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows(0).getAs[Double]("value") == 12.0) // web avg 2.0 + db avg 10.0
     assert(rows(1).getAs[Double]("value") == 5.0)
+  }
+
+  test("OpenTSDB sub-second downsample (500ms-avg) buckets on millis floor") {
+    import spark.implicits._
+    val base = 1704067200000L
+    val df = Seq(
+      (new java.sql.Timestamp(base), "web", 1.0),        // bucket 0
+      (new java.sql.Timestamp(base + 200), "web", 3.0),  // bucket 0
+      (new java.sql.Timestamp(base + 600), "web", 5.0),  // bucket 500
+      (new java.sql.Timestamp(base + 999), "web", 7.0))  // bucket 500
+      .toDF("ts", "svc", "v")
+    val bind = (_: String) => graft.promql.PromQL.SeriesTable(df, "ts", "v", Seq("svc"))
+    val q = OpenTsdb.parseQuery(
+      s"""{"start": $base, "queries": [{"metric": "m",
+         |  "aggregator": "sum", "downsample": "500ms-avg"}]}""".stripMargin)
+    val rows = OpenTsdb.runSub(q, q.queries.head, bind, applyDownsample = true)
+      .orderBy("ts").collect()
+    assert(rows.length == 2, s"got ${rows.length} buckets")
+    assert(rows(0).getAs[Double]("value") == 2.0) // avg(1,3)
+    assert(rows(1).getAs[Double]("value") == 6.0) // avg(5,7)
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)

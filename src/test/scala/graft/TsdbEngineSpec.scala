@@ -190,4 +190,80 @@ class TsdbEngineSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getDouble(0) == 99.0,
       s"latest batch must win, got ${got.toSeq}")
   }
+
+  test("compaction: same results, dedup window dropped, re-enabled on append") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def hasDedupWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.nonEmpty
+    val e = engine()
+    e.execute(
+      """CREATE TABLE cx (host string TAG, v double, t timestamp NOT NULL,
+        |  timestamp KEY(t))
+        | ENGINE=Analytic WITH (update_mode='overwrite', segment_duration='1h')""".stripMargin)
+    // interleaved duplicate inserts across separate batches
+    e.execute("INSERT INTO cx (t, host, v) VALUES (1704067200000, 'a', 1.0), (1704070800000, 'a', 2.0)")
+    e.execute("INSERT INTO cx (t, host, v) VALUES (1704067200000, 'a', 10.0), (1704067200000, 'b', 5.0)")
+    e.execute("INSERT INTO cx (t, host, v) VALUES (1704067200000, 'b', 50.0)")
+    def snapshot() = e.read("cx").orderBy("host", "t").collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[java.sql.Timestamp]("t").getTime,
+        r.getAs[Double]("v"))).toSeq
+    val before = snapshot()
+    assert(before == Seq(("a", 1704067200000L, 10.0), ("a", 1704070800000L, 2.0),
+      ("b", 1704067200000L, 50.0)))
+    assert(hasDedupWindow(e.read("cx")), "pre-compaction read must dedup")
+
+    e.compact("cx")
+    assert(snapshot() == before, "compaction must not change results")
+    assert(!hasDedupWindow(e.read("cx")),
+      "post-compaction read must skip the dedup window (seq floor)")
+    // physical: exactly one surviving row per PK in storage
+    assert(spark.read.parquet(e.catalog.dataDir("cx")).count() == 3)
+
+    // a fresh append re-enables the window, overwrite semantics still hold
+    // across the compacted base
+    e.execute("INSERT INTO cx (t, host, v) VALUES (1704067200000, 'a', 100.0)")
+    assert(hasDedupWindow(e.read("cx")), "append after compaction needs dedup again")
+    assert(snapshot() == Seq(("a", 1704067200000L, 100.0), ("a", 1704070800000L, 2.0),
+      ("b", 1704067200000L, 50.0)))
+    // second compaction folds the new batch in and drops the window again
+    e.compact("cx")
+    assert(!hasDedupWindow(e.read("cx")))
+    assert(snapshot().exists(_ == ("a", 1704067200000L, 100.0)))
+  }
+
+  test("compaction TTL purge physically drops expired segments and rows") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE cttl (ts timestamp NOT NULL, v double, timestamp KEY(ts))
+        | ENGINE=Analytic
+        | WITH (update_mode='append', enable_ttl='true', ttl='7d',
+        |       segment_duration='1d')""".stripMargin)
+    val now = 1704067200000L // fixed "now" for deterministic horizons
+    val old = now - 30L * 86400000L  // 30 days ago: whole segment expired
+    val live = now - 86400000L       // 1 day ago: live
+    e.execute(s"INSERT INTO cttl (ts, v) VALUES ($old, 1.0), (${old + 1000}, 2.0), ($live, 3.0)")
+    val segDirs = () => new java.io.File(e.catalog.dataDir("cttl")).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__segment=")).toSeq
+    assert(segDirs().size == 2, s"expected 2 segment dirs, got ${segDirs()}")
+
+    val dropped = e.purgeExpiredSegments("cttl", now)
+    assert(dropped.size == 1, s"exactly the expired segment drops, got $dropped")
+    assert(segDirs().size == 1, "expired segment dir must be physically gone")
+    val vs = spark.read.parquet(e.catalog.dataDir("cttl"))
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(vs == Seq(3.0), s"only live rows remain in storage, got $vs")
+
+    // row-level TTL during full compaction: a stale row INSIDE a live
+    // segment is rewritten away
+    val e2 = engine()
+    e2.execute(
+      """CREATE TABLE cttl2 (ts timestamp NOT NULL, v double, timestamp KEY(ts))
+        | ENGINE=Analytic WITH (update_mode='append', enable_ttl='true', ttl='1d')""".stripMargin)
+    e2.execute(s"INSERT INTO cttl2 (ts, v) VALUES ($now, 1.0), (${now - 3 * 86400000L}, 2.0)")
+    assert(spark.read.parquet(e2.catalog.dataDir("cttl2")).count() == 2)
+    e2.compact("cttl2", now)
+    val vs2 = spark.read.parquet(e2.catalog.dataDir("cttl2"))
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(vs2 == Seq(1.0), s"expired row must be physically rewritten away, got $vs2")
+  }
 }
