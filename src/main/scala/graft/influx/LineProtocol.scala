@@ -65,6 +65,18 @@ object LineProtocol {
       .filter((l: String) => l.trim.nonEmpty && !l.trim.startsWith("#"))
       .map(parseLine)
       .cache()
+    try ingestParsed(engine, parsed)
+    finally parsed.unpersist() // appends are eager; don't pin executor storage
+  }
+
+  private def ingestParsed(
+      engine: TsdbEngine, parsed: Dataset[ParsedLine]): Map[String, Long] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    // row counts for ALL measurements in one aggregation — counting the
+    // write batch itself would compute each batch twice (count + write)
+    val counts: Map[String, Long] =
+      parsed.groupByKey(_.measurement).count().collect().toMap
 
     // schema discovery: tag keys + field name→type per measurement (tiny)
     val shapes = parsed
@@ -132,9 +144,8 @@ object LineProtocol {
       val batch = rowsDf.select(schema.columns.map { c =>
         present.getOrElse(c.name, lit(null)).cast(c.sparkType).as(c.name)
       }: _*)
-      val n = batch.count()
       engine.append(m, batch)
-      m -> n
+      m -> counts(m)
     }
   }
 

@@ -1,7 +1,10 @@
 package graft.opentsdb
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.engine.TsdbEngine
+import graft.model.{ColumnSpec, DatumKind, TableOptions, TableSchema}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import graft.promql.PromQL.SeriesTable
 
 /** OpenTSDB query frontend (reference: query_frontend/src/opentsdb/mod.rs).
@@ -169,5 +172,102 @@ object OpenTsdb {
   private def literalOr(c: Column, pattern: String): Column = {
     val vals = pattern.split('|').map(_.trim).filter(_.nonEmpty)
     c.cast("string").isInCollection(vals)
+  }
+
+  // ---------------- /api/put ingest ----------------
+
+  /** One OpenTSDB put datapoint (reference: proxy/src/opentsdb/types.rs:81
+    * struct Point — metric, timestamp, f64 value, tags). */
+  final case class PutPoint(
+      metric: String, timestampMs: Long, value: Double, tags: Map[String, String])
+
+  /** Parse one `/api/put` body: a single JSON point object or an array of
+    * points (reference: convert_put_request, types.rs:97-110), validated
+    * like the reference's `validate` (types.rs:190-217): non-empty metric,
+    * at least one tag, non-empty tag names. */
+  def parsePut(json: String): Seq[PutPoint] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val root = JsonMethods.parse(json)
+    val objs = root match {
+      case JArray(xs) => xs
+      case o: JObject => List(o)
+      case other => throw new IllegalArgumentException(s"bad put body: $other")
+    }
+    objs.map { p =>
+      val metric = (p \ "metric").extract[String]
+      val tags = (p \ "tags").extractOpt[Map[String, String]].getOrElse(Map.empty)
+      require(metric.nonEmpty, "Metric must not be empty")
+      require(tags.nonEmpty, "At least one tag must be supplied")
+      require(tags.keys.forall(_.nonEmpty), "Tag name must not be empty")
+      PutPoint(metric, toMillis((p \ "timestamp").extract[Long]),
+        (p \ "value").extract[Double], tags)
+    }
+  }
+
+  /** OpenTSDB timestamps are seconds or milliseconds, disambiguated by
+    * range — the reference's try_to_millis (time_ext/src/lib.rs:195-204). */
+  def toMillis(ts: Long): Long =
+    if (ts >= 4294968L && ts <= 4294967295L) ts * 1000
+    else if (ts >= 4294967296L && ts <= 9999999999999L) ts
+    else throw new IllegalArgumentException(s"Invalid timestamp: $ts")
+
+  /** `/api/put` ingest (reference: proxy/src/opentsdb/mod.rs:50
+    * handle_opentsdb_put → convert_put_request → shared auto-create write
+    * path): points group per metric into one table write — metric → table,
+    * union of tag keys → TAG string columns, the single `value` field
+    * (query_frontend DEFAULT_FIELD) → double, timestamp key `timestamp`
+    * (common_types/schema.rs:227). Unseen tag keys on an existing table
+    * auto-ADD like the gRPC write path (proxy/src/write.rs:176-260).
+    *
+    * Bodies parse distributed (map over the Dataset); only the per-metric
+    * schema shape (a few strings) reaches the driver. Returns rows appended
+    * per metric.
+    */
+  def put(engine: TsdbEngine, bodies: Dataset[String]): Map[String, Long] = {
+    val spark = bodies.sparkSession
+    import spark.implicits._
+    val points = bodies.flatMap(parsePut(_)).cache()
+    try {
+      val counts: Map[String, Long] =
+        points.groupByKey(_.metric).count().collect().toMap
+      val tagKeysByMetric = points
+        .flatMap(p => p.tags.keys.map(k => (p.metric, k)))
+        .distinct().collect().groupBy(_._1)
+
+      counts.keys.toSeq.sorted.map { m =>
+        val tagKeys =
+          tagKeysByMetric.getOrElse(m, Array.empty).map(_._2).distinct.sorted.toSeq
+        if (!engine.catalog.exists(m)) {
+          val cols =
+            ColumnSpec("timestamp", DatumKind.Timestamp, isNullable = false) +:
+            (tagKeys.map(k => ColumnSpec(k, DatumKind.String, isTag = true)) :+
+             ColumnSpec("value", DatumKind.Double))
+          engine.catalog.create(
+            TableSchema(m, cols, "timestamp", None,
+              TableOptions(raw = Map("update_mode" -> "overwrite"))),
+            ifNotExists = true)
+        } else {
+          val known = engine.catalog.get(m).columns.map(_.name).toSet
+          val newCols = tagKeys.filterNot(known).map(k =>
+            ColumnSpec(k, DatumKind.String, isTag = true))
+          if (newCols.nonEmpty) engine.catalog.alterAddColumns(m, newCols)
+        }
+
+        val schema = engine.catalog.get(m)
+        val rowsDf = points.filter(_.metric == m)
+          .map(p => (p.timestampMs, tagKeys.map(k => p.tags.get(k)), p.value))
+          .toDF("_ms", "_tags", "_value")
+        val present: Map[String, Column] =
+          Map(schema.timestampKey -> expr("timestamp_micros(_ms * 1000)"),
+              "value" -> col("_value").cast(DoubleType)) ++
+          tagKeys.zipWithIndex.map { case (k, i) => k -> col("_tags")(i) }
+        val batch = rowsDf.select(schema.columns.map(c =>
+          present.getOrElse(c.name, lit(null)).cast(c.sparkType).as(c.name)): _*)
+        engine.append(m, batch)
+        m -> counts(m)
+      }.toMap
+    } finally points.unpersist()
   }
 }

@@ -72,11 +72,24 @@ object Similarity {
       .limit(k)
   }
 
-  /** Exact all-pairs embedding near-dup: norms precomputed once per vector
-    * (linear), pair dot products via the native [[graft.functions.DotProduct]]
-    * kernel. The honest O(n²/2) baseline — at index scale use
-    * [[cosineNearDupPairs]] (LSH candidates) instead; this one is the
-    * oracle-matching correctness path. */
+  /** THE default embedding near-dup operator: LSH-bucketed candidates +
+    * exact cosine verify ([[cosineNearDupPairs]]). Never builds a cartesian
+    * product — candidate generation goes through a bucket equi-join, so the
+    * plan scales with collisions, not n². [[exactCosinePairs]] is the
+    * explicitly-named small-N oracle baseline, not the operator users
+    * reach for. */
+  def nearDupPairs(
+      embDf: DataFrame, idCol: String, embCol: String,
+      threshold: Double = 0.95,
+      tables: Int = 8, bits: Int = 8, seed: Long = 42L): DataFrame =
+    cosineNearDupPairs(embDf, idCol, embCol, threshold, tables, bits, seed)
+
+  /** Exact all-pairs embedding near-dup — SMALL-N ORACLE BASELINE ONLY:
+    * intrinsically Θ(n²) (a low cosine threshold makes the OUTPUT itself
+    * quadratic, so no exact algorithm escapes the product). Norms
+    * precomputed once per vector (linear), pair dot products via the native
+    * [[graft.functions.DotProduct]] kernel. At index scale use
+    * [[nearDupPairs]]. */
   def exactCosinePairs(
       embDf: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {

@@ -78,9 +78,11 @@ object EngineE2E {
             |FROM events_ingest GROUP BY event_type""".stripMargin)
       }),
 
-    // Streaming tumbling-window rollup with watermark (SURVEY §2.9: the
-    // Spark-side continuous pre-aggregation upgrade of the ingest path);
-    // the replayed stream must equal the batch time-bucket rollup.
+    // Streaming tumbling-window rollup with watermark, materialized into an
+    // engine table (SURVEY §2.9): update-mode emissions append to an
+    // overwrite-mode table whose newest-wins dedup makes them an upsert —
+    // state watermark-bounded, no driver-side sink. The table read must
+    // equal the batch time-bucket rollup.
     GraftQuery("q66_streaming_window_rollup",
       Some("""SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS bucket,
              |  event_type, count(*) AS n, round(sum("value"), 2) AS total
@@ -91,9 +93,11 @@ object EngineE2E {
           StructField("event_id", LongType), StructField("ts", LongType),
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
-        graft.streaming.Rollup.windowedRollup(
-            s, dir, "events.parquet", schema, nanosTs = true,
-            "ts", "event_type", "value", "1 hour", "2 hours")
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-rollup").toString)
+        graft.streaming.Rollup.windowedRollupToTable(
+            e, dir, "events.parquet", schema, nanosTs = true,
+            "ts", "event_type", "value", "1 hour", "2 hours", "events_rollup")
           .withColumn("total", round(col("total"), 2))
       })
   )

@@ -120,8 +120,12 @@ object PipelineQueries {
         round(avg(sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double")))), 4).as("avg_norm"))),
 
-    // ---- embedding-cosine near-dup, exact all-pairs (the oracle-matching
-    //      correctness path; norms once per vector, native dot kernel)
+    // ---- embedding-cosine near-dup, exact all-pairs — SMALL-N ORACLE
+    //      BASELINE (norms once per vector, native dot kernel). The engine's
+    //      default operator is Similarity.nearDupPairs (LSH-bucketed, q61);
+    //      this entry exists because a low-threshold exact output is itself
+    //      quadratic, which only a cross join can produce — and the oracle
+    //      needs that exact output to check the cosine kernel.
     GraftQuery("q60_embedding_near_dup",
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
@@ -134,7 +138,7 @@ object PipelineQueries {
     //      near-dups at cos>=0.9 collide with ~94% probability at these
     //      params; recall asserted in PipelineSpec on perturbed twins)
     GraftQuery("q61_embedding_near_dup_lsh", None,
-      (s, dir) => Similarity.cosineNearDupPairs(
+      (s, dir) => Similarity.nearDupPairs(
           t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.9, tables = 8, bits = 8)
         .agg(count(lit(1)).as("n_pairs"),

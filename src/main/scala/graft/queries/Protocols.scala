@@ -100,6 +100,33 @@ object Protocols {
         out.withColumn("total", round(col("total"), 4))
       }),
 
+    // ---- OpenTSDB put ingest round-trip: events rows → /api/put JSON
+    //      bodies → auto-create + engine append → SQL aggregate back out
+    //      (reference proxy/src/opentsdb/mod.rs:50 handle_opentsdb_put)
+    GraftQuery("q49_opentsdb_put",
+      // put timestamps are milliseconds (try_to_millis), so the oracle
+      // truncates the fixture's ns timestamps to ms before min/max
+      Some("""SELECT event_type, count(*) AS n, round(sum("value"), 4) AS total,
+             |  min(make_timestamp((epoch_ns(ts) // 1000000) * 1000)) AS first_ts,
+             |  max(make_timestamp((epoch_ns(ts) // 1000000) * 1000)) AS last_ts
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-otsdb-put").toString)
+        val bodies = Tables.t(s, dir, "events").select(
+          to_json(struct(
+            lit("events_put").as("metric"),
+            unix_millis(col("ts")).as("timestamp"),
+            col("value").as("value"),
+            struct(col("event_type")).as("tags"))))
+        OpenTsdb.put(e, bodies.as[String])
+        e.runSql(
+          """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total,
+            |  min(timestamp) AS first_ts, max(timestamp) AS last_ts
+            |FROM events_put GROUP BY event_type""".stripMargin)
+      }),
+
     // ---- InfluxQL: SHOW MEASUREMENTS (→ ShowTables, influxql/planner.rs);
     //      one line suffices to exercise auto-create + listing
     GraftQuery("q48_influx_show_measurements",

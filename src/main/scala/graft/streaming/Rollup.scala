@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.engine.TsdbEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -14,41 +15,72 @@ import org.apache.spark.sql.types.StructType
   */
 object Rollup {
 
-  /** Run a tumbling-window rollup over a parquet-backed stream with
-    * AvailableNow (batch-replay) semantics and return the materialized
-    * result: per (window start, tag): count + sum.
+  /** Continuous rollup materialized INTO AN ENGINE TABLE: watermarked
+    * update-mode window aggregation whose per-trigger emissions append to an
+    * overwrite-mode table keyed on (window start, tag). The engine's
+    * newest-sequence-wins dedup turns the update stream into an upsert
+    * materialization — the read side always sees each window's latest
+    * value, and `compact()` folds superseded updates away.
+    *
+    * 100 TB posture: streaming state is bounded by watermark × live series
+    * (update mode evicts windows past the watermark — nothing grows with
+    * stream lifetime), emissions are distributed parquet appends (no
+    * driver-side result collection, unlike a memory sink), and the sink
+    * table is a normal engine table: queryable mid-stream, compactable,
+    * TTL-able.
+    *
+    * Returns the engine table read (== the rollup, newest update per
+    * window).
     *
     * @param nanosTs  event-time column arrives as raw nanos (the events
     *                 fixture's TIMESTAMP(NANOS) streams as long)
     */
-  def windowedRollup(
+  def windowedRollupToTable(
+      engine: TsdbEngine, dir: String, glob: String, schema: StructType,
+      nanosTs: Boolean, tsCol: String, tagCol: String, valueCol: String,
+      windowDur: String, watermarkDelay: String, table: String): DataFrame = {
+    val spark = engine.spark
+    if (!engine.catalog.exists(table))
+      engine.execute(
+        s"""CREATE TABLE $table (
+           |  bucket timestamp NOT NULL, $tagCol string TAG,
+           |  n bigint, total double,
+           |  timestamp KEY(bucket))
+           |ENGINE=Analytic WITH (update_mode='overwrite')""".stripMargin)
+
+    val q = windowAgg(spark, dir, glob, schema, nanosTs, tsCol, tagCol, valueCol,
+        windowDur, Some(watermarkDelay))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      // update mode: emit each changed window per trigger; watermark evicts
+      // settled windows from state. The engine table's overwrite semantics
+      // resolve multiple emissions of one window to the newest.
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("rollup-ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
+      .start()
+    q.awaitTermination()
+    engine.read(table)
+  }
+
+  /** The shared stream → windowed aggregate: per (window start, tag):
+    * count + sum. The watermark (when given) is applied on the EVENT-TIME
+    * column before the aggregation — that is what lets Spark evict settled
+    * windows from state. Exposed so tests can drive it with a memory sink. */
+  def windowAgg(
       spark: SparkSession, dir: String, glob: String, schema: StructType,
       nanosTs: Boolean, tsCol: String, tagCol: String, valueCol: String,
-      windowDur: String, watermarkDelay: String): DataFrame = {
+      windowDur: String, watermarkDelay: Option[String] = None): DataFrame = {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
     val events =
       if (nanosTs) raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
       else raw
-
-    val sinkName = s"rollup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = events
-      .withWatermark(tsCol, watermarkDelay)
+    val marked = watermarkDelay.fold(events)(d => events.withWatermark(tsCol, d))
+    marked
       .groupBy(window(col(tsCol), windowDur).as("w"), col(tagCol))
       .agg(count(lit(1)).as("n"), sum(valueCol).as("total"))
       .select(col("w.start").as("bucket"), col(tagCol), col("n"), col("total"))
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      // complete mode so the trailing windows (younger than the watermark,
-      // which append mode would hold back) are emitted too — the replayed
-      // stream must equal the batch rollup exactly
-      .outputMode("complete")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("rollup-ckpt").toString)
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName)
   }
 }

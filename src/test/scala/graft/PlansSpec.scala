@@ -73,4 +73,14 @@ class PlansSpec extends SparkSpec {
     val pushed = scans(df).flatMap(_.metadata.get("PushedFilters")).mkString
     assert(pushed.contains("GreaterThan"), s"time window not pushed: $pushed")
   }
+
+  test("default embedding near-dup operator never builds a cartesian product") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val df = graft.pipeline.Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.9)
+    val plan = finalPlan(df).toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"default near-dup must stay a bucket equi-join, got:\n$plan")
+  }
 }

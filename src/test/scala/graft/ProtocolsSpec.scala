@@ -182,5 +182,45 @@ class ProtocolsSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("value") == 6.0) // avg(5,7)
   }
 
+  test("OpenTSDB put: validation, second/ms timestamps, auto-create + auto-add") {
+    import spark.implicits._
+    // validation mirrors the reference (types.rs:190-217)
+    intercept[IllegalArgumentException](OpenTsdb.parsePut("""{"metric":"","timestamp":1704067200,"value":1.0,"tags":{"h":"a"}}"""))
+    intercept[IllegalArgumentException](OpenTsdb.parsePut("""{"metric":"m","timestamp":1704067200,"value":1.0,"tags":{}}"""))
+    intercept[IllegalArgumentException](OpenTsdb.parsePut("""{"metric":"m","timestamp":123,"value":1.0,"tags":{"h":"a"}}"""))
+    // try_to_millis: seconds-range scales, millis-range passes through
+    assert(OpenTsdb.toMillis(1704067200L) == 1704067200000L)
+    assert(OpenTsdb.toMillis(1704067200123L) == 1704067200123L)
+
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("otsdb-put").toString)
+    // mixed body shapes: one array of two points, one single object
+    val bodies = Seq(
+      """[{"metric":"sys.cpu","timestamp":1704067200,"value":1.5,"tags":{"host":"a"}},
+        | {"metric":"sys.cpu","timestamp":1704067260000,"value":2.5,"tags":{"host":"b"}}]""".stripMargin,
+      """{"metric":"sys.mem","timestamp":1704067200,"value":7.0,"tags":{"host":"a","dc":"x"}}""").toDS()
+    val counts = OpenTsdb.put(e, bodies)
+    assert(counts == Map("sys.cpu" -> 2L, "sys.mem" -> 1L))
+    val cpu = e.catalog.get("sys.cpu")
+    assert(cpu.timestampKey == "timestamp")
+    assert(cpu.columns.find(_.name == "host").exists(_.isTag))
+    val rows = e.read("sys.cpu").orderBy("timestamp").collect()
+    assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(1.5, 2.5))
+    assert(rows(0).getAs[java.sql.Timestamp]("timestamp").getTime == 1704067200000L)
+
+    // same series+timestamp overwrites (newest wins through the engine)
+    OpenTsdb.put(e, Seq(
+      """{"metric":"sys.cpu","timestamp":1704067200,"value":9.9,"tags":{"host":"a"}}""").toDS())
+    val a = e.read("sys.cpu").filter(col("host") === "a").collect()
+    assert(a.length == 1 && a(0).getAs[Double]("value") == 9.9)
+
+    // unseen tag key on an existing metric auto-ADDs a TAG column
+    OpenTsdb.put(e, Seq(
+      """{"metric":"sys.cpu","timestamp":1704067320000,"value":3.5,"tags":{"host":"c","rack":"r1"}}""").toDS())
+    assert(e.catalog.get("sys.cpu").columns.find(_.name == "rack").exists(_.isTag))
+    val c = e.read("sys.cpu").filter(col("host") === "c").head()
+    assert(c.getAs[String]("rack") == "r1")
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }

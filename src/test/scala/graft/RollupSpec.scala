@@ -1,0 +1,85 @@
+package graft
+
+import graft.engine.TsdbEngine
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming rollup → engine-table materialization (SURVEY §2.9). The
+  * shipped operator is update-mode + watermark + engine append (no
+  * unbounded state, no driver-side sink); the complete-mode memory sink
+  * exists only HERE as the comparison harness.
+  */
+class RollupSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType), StructField("tag", StringType),
+    StructField("v", DoubleType)))
+
+  private def writeSource(dir: String, rows: Seq[(Long, String, Double)]): Unit = {
+    import spark.implicits._
+    rows.map { case (ms, tag, v) => (new java.sql.Timestamp(ms), tag, v) }
+      .toDF("ts", "tag", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  test("windowedRollupToTable equals the batch rollup; re-runs upsert") {
+    import spark.implicits._
+    val srcDir = tmpDir("rollup-src")
+    val h = 3600000L
+    val base = 1704067200000L
+    writeSource(srcDir, Seq(
+      (base + 60000, "a", 1.0), (base + 120000, "a", 2.0),
+      (base + h + 60000, "a", 3.0), (base + 60000, "b", 10.0)))
+
+    val e = new TsdbEngine(spark, tmpDir("rollup-wh"))
+    def run() = graft.streaming.Rollup.windowedRollupToTable(
+      e, srcDir, "*.parquet", schema, nanosTs = false,
+      "ts", "tag", "v", "1 hour", "2 hours", "roll")
+    def snap() = run().orderBy("tag", "bucket").collect()
+      .map(r => (r.getAs[String]("tag"), r.getAs[java.sql.Timestamp]("bucket").getTime,
+        r.getAs[Long]("n"), r.getAs[Double]("total"))).toSeq
+
+    assert(snap() == Seq(
+      ("a", base, 2L, 3.0), ("a", base + h, 1L, 3.0), ("b", base, 1L, 10.0)))
+
+    // a second replay over a grown source (fresh checkpoint) re-emits every
+    // window; the overwrite-mode table resolves to the NEWEST emission —
+    // update-stream-as-upsert through engine dedup
+    writeSource(srcDir, Seq((base + 180000, "a", 5.0)))
+    assert(snap() == Seq(
+      ("a", base, 3L, 8.0), ("a", base + h, 1L, 3.0), ("b", base, 1L, 10.0)))
+
+    // the sink is a real engine table: compaction folds superseded
+    // emissions away and the plain read stays identical
+    e.compact("roll")
+    assert(snap() == Seq(
+      ("a", base, 3L, 8.0), ("a", base + h, 1L, 3.0), ("b", base, 1L, 10.0)))
+  }
+
+  test("memory-sink harness (test-only) agrees with the engine-table operator") {
+    val srcDir = tmpDir("rollup-src2")
+    val base = 1704067200000L
+    writeSource(srcDir, Seq(
+      (base + 1000, "x", 1.0), (base + 2000, "x", 2.0), (base + 3000, "y", 4.0)))
+
+    val sinkName = "rollup_mem_check"
+    val q = graft.streaming.Rollup.windowAgg(
+        spark, srcDir, "*.parquet", schema, nanosTs = false, "ts", "tag", "v", "1 hour")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("rollup-ckpt2"))
+      .format("memory").queryName(sinkName).start()
+    q.awaitTermination()
+    val mem = spark.table(sinkName).orderBy("tag").collect()
+      .map(r => (r.getAs[String]("tag"), r.getAs[Long]("n"), r.getAs[Double]("total"))).toSeq
+
+    val e = new TsdbEngine(spark, tmpDir("rollup-wh2"))
+    val tbl = graft.streaming.Rollup.windowedRollupToTable(
+        e, srcDir, "*.parquet", schema, nanosTs = false,
+        "ts", "tag", "v", "1 hour", "2 hours", "roll2")
+      .orderBy("tag").collect()
+      .map(r => (r.getAs[String]("tag"), r.getAs[Long]("n"), r.getAs[Double]("total"))).toSeq
+    assert(mem == tbl && tbl == Seq(("x", 2L, 3.0), ("y", 1L, 4.0)))
+  }
+}
