@@ -25,8 +25,18 @@ object Bench {
         "lineitem", "events", "documents", "embeddings")
       .foreach(n => quietly(Tables.t(spark, sfDir, n).count()))
     quietly(SparkEntry.entry(spark).count())
+    // case-mapping string functions pay a ~1.8 s one-time static init (the
+    // collation-aware UTF8 path) on first evaluation — warm it here so the
+    // first timed query using upper()/lower() measures execution, not
+    // class loading
+    quietly(spark.sql(
+      "SELECT upper('w'), lower('W'), initcap('w'), regexp_replace('a','a','b')").collect())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter for targeted profiling runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

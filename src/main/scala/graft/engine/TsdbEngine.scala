@@ -363,6 +363,7 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     systemTables().createOrReplaceTempView("system_public_tables")
     val cleaned = sql.replaceAll("(?i)system\\.public\\.tables", "system_public_tables")
     val plan = spark.sessionState.sqlParser.parsePlan(cleaned)
+    validateNoInternalAccess(plan)
     // scope the epoch-integer rewrite to the timestamp keys of the tables
     // THIS query references — a same-named plain int column in an
     // unrelated table must not trigger it
@@ -370,9 +371,47 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         r.multipartIdentifier.last
     }.toSet
+    // table identifiers resolve CASE-SENSITIVELY like the reference
+    // (cases/common/dml/case_sensitive.sql: CASE_SENSITIVE_TABLE1 is "not
+    // found" when the table was created as case_SENSITIVE_table1). Spark's
+    // view resolution is case-insensitive, so reject the near-miss here;
+    // column-level case-insensitivity remains a documented deviation.
+    val tableSet = tables.toSet
+    referenced.filterNot(_ == "system_public_tables").foreach { n =>
+      if (!tableSet.contains(n) && tableSet.exists(_.equalsIgnoreCase(n)))
+        throw new IllegalArgumentException(
+          s"Table is not found, table:$n (table identifiers are case-sensitive)")
+    }
     val tsColumns: Set[String] = tables.filter(referenced.contains)
       .map(n => catalog.get(n).timestampKey).toSet
     GraftBridge.ofRows(spark, EpochMillisRewrite(plan, tsColumns))
+  }
+
+  /** Statement validator (reference: interpreters/src/validator.rs:41-47 —
+    * direct reads/writes of a partitioned table's physical sub-tables are
+    * rejected). The storage internals here are the `__seq`/`__subseq`/
+    * `__segment`/`__bucket` columns and any `__`-prefixed relation; user
+    * SQL must never address them — the dedup window, TTL filter, and
+    * bucket pruning all assume the engine owns those columns.
+    */
+  private def validateNoInternalAccess(plan: LogicalPlan): Unit = {
+    val internalCols = Set(TableSchema.SeqColumn, TableSchema.SubSeqColumn,
+      TableSchema.SegmentColumn, TableSchema.BucketColumn)
+    plan.foreach { node =>
+      node match {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if r.multipartIdentifier.last.startsWith("__") =>
+          throw new IllegalArgumentException(
+            s"cannot access internal table '${r.multipartIdentifier.last}'")
+        case _ =>
+      }
+      node.expressions.foreach(_.foreach {
+        case a: UnresolvedAttribute if internalCols.contains(a.nameParts.last) =>
+          throw new IllegalArgumentException(
+            s"cannot access internal storage column '${a.nameParts.last}'")
+        case _ =>
+      })
+    }
   }
 
   def systemTables(): DataFrame = {

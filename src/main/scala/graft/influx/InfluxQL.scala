@@ -2,33 +2,66 @@ package graft.influx
 
 import graft.engine.TsdbEngine
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** InfluxQL query frontend — the subset the reference exercises
-  * (query_frontend/src/influxql/planner.rs + integration test
-  * cases/env/local/influxql/basic.sql): `SELECT` with field projections or
-  * aggregates, tag/time predicates, `GROUP BY time(interval)[, tags]`, and
-  * `SHOW MEASUREMENTS` (lowered to ShowTables, planner.rs SHOW handling).
-  * The measurement column name `iox::measurement` follows the reference's
-  * IOx bridge (influxql/planner.rs:49).
+/** InfluxQL query frontend — the reference inherits the full vendored IOx
+  * planner (query_frontend/src/influxql/planner.rs, Cargo.toml:127-130);
+  * this hand lowering covers the in-repo-tested subset plus the surface a
+  * Grafana-style client sends first: `SELECT` with field projections or
+  * aggregates, tag/time predicates, `GROUP BY time(interval)[, tags]` with
+  * `fill(none|null|0|<num>|previous|linear)`, `LIMIT`/`SLIMIT`, and the
+  * `SHOW MEASUREMENTS` / `SHOW TAG KEYS` / `SHOW TAG VALUES` metadata
+  * queries. The measurement column name `iox::measurement` follows the
+  * reference's IOx bridge (influxql/planner.rs:49).
   *
   * Statements lower directly to DataFrame ops against engine tables — the
-  * reference delegates to the vendored IOx planner; we delegate to Catalyst.
+  * reference delegates to the vendored IOx planner; we delegate to
+  * Catalyst. fill() generates the bucket grid with `sequence()` + explode
+  * per observed series (distributed — no driver-side grid loop), so empty
+  * buckets materialize as rows before the fill mode decides their values.
   */
 object InfluxQL {
 
+  private val showTagKeysRe =
+    """(?is)^SHOW\s+TAG\s+KEYS(?:\s+FROM\s+([\w"]+))?\s*$""".r
+  private val showTagValuesRe =
+    """(?is)^SHOW\s+TAG\s+VALUES(?:\s+FROM\s+([\w"]+))?\s+WITH\s+KEY\s*=\s*["']?(\w+)["']?\s*$""".r
+
   def run(engine: TsdbEngine, q: String): DataFrame = {
     val trimmed = q.trim.stripSuffix(";").trim
-    if (trimmed.toUpperCase.startsWith("SHOW MEASUREMENTS")) {
-      val names = engine.catalog.list().sorted
-      val spark = engine.spark
-      import spark.implicits._
-      names.toDF("iox::measurement")
-    } else {
-      val sel = parseSelect(trimmed)
-      lower(engine, sel)
+    val spark = engine.spark
+    import spark.implicits._
+    trimmed match {
+      case _ if trimmed.toUpperCase.startsWith("SHOW MEASUREMENTS") =>
+        engine.catalog.list().sorted.toDF("iox::measurement")
+      case showTagKeysRe(measOpt) =>
+        // IOx SHOW TAG KEYS: one row per (measurement, tag column)
+        val ms = Option(measOpt).map(m => Seq(unquote(m)))
+          .getOrElse(engine.catalog.list().sorted)
+        ms.flatMap(m => engine.catalog.get(m).tagColumns.map(c => (m, c.name)))
+          .toDF("iox::measurement", "tagKey")
+      case showTagValuesRe(measOpt, key) =>
+        // IOx SHOW TAG VALUES WITH KEY = k: distinct stored values per table
+        val ms = Option(measOpt).map(m => Seq(unquote(m)))
+          .getOrElse(engine.catalog.list().sorted)
+        val withKey = ms.filter(m =>
+          engine.catalog.get(m).tagColumns.exists(_.name == key))
+        withKey.toList.map { m =>
+          engine.read(m).select(
+            lit(m).as("iox::measurement"), lit(key).as("key"),
+            col(key).cast("string").as("value")).distinct()
+        } match {
+          case Nil => Seq.empty[(String, String, String)]
+            .toDF("iox::measurement", "key", "value")
+          case one :: rest =>
+            rest.foldLeft(one)(_ union _).orderBy("iox::measurement", "value")
+        }
+      case _ => lower(engine, parseSelect(trimmed))
     }
   }
+
+  private def unquote(s: String): String = s.stripPrefix("\"").stripSuffix("\"")
 
   // ------------------------------------------------------------------ AST
 
@@ -37,22 +70,29 @@ object InfluxQL {
       valueIsNumber: Boolean)
   final case class SelectStmt(
       projections: Seq[Projection], measurement: String,
-      conds: Seq[Cond], groupTime: Option[String], groupTags: Seq[String])
+      conds: Seq[Cond], groupTime: Option[String], groupTags: Seq[String],
+      fill: Option[String] = None, limit: Option[Int] = None,
+      slimit: Option[Int] = None)
 
   private val aggFns = Set("count", "sum", "mean", "min", "max", "first", "last")
 
   /** Hand-rolled parser for the supported grammar:
     * {{{
     * SELECT proj [, proj]* FROM measurement
-    *   [WHERE cond [AND cond]*] [GROUP BY time(dur) [, tag]* | tag [, tag]*]
+    *   [WHERE cond [AND cond]*]
+    *   [GROUP BY time(dur) [, tag]* | tag [, tag]*] [fill(mode)]
+    *   [LIMIT n] [SLIMIT n]
     * proj := agg(field) [AS alias] | field [AS alias] | *
     * cond := time >=|>|<=|< ts | tag =|!= 'value'
+    * mode := none | null | previous | linear | <number>
     * }}} */
   def parseSelect(q: String): SelectStmt = {
     val re = ("""(?is)^SELECT\s+(.*?)\s+FROM\s+([\w"]+)""" +
-      """(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+(.*?))?\s*$""").r
+      """(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+(.*?))?""" +
+      """(?:\s+fill\(\s*(none|null|previous|linear|-?[\d.]+)\s*\))?""" +
+      """(?:\s+LIMIT\s+(\d+))?(?:\s+SLIMIT\s+(\d+))?\s*$""").r
     q match {
-      case re(projs, meas, whereOpt, groupOpt) =>
+      case re(projs, meas, whereOpt, groupOpt, fillOpt, limitOpt, slimitOpt) =>
         val projections = splitTop(projs).map(parseProjection)
         val conds = Option(whereOpt).map(w =>
           w.split("(?i)\\s+AND\\s+").toSeq.map(parseCond)).getOrElse(Nil)
@@ -64,12 +104,14 @@ object InfluxQL {
             val timeRe = """(?i)time\((\w+)\)""".r
             t match {
               case timeRe(d) => groupTime = Some(d)
-              case _ => groupTags += t.stripPrefix("\"").stripSuffix("\"")
+              case _ => groupTags += unquote(t)
             }
           }
         }
-        SelectStmt(projections, meas.stripPrefix("\"").stripSuffix("\""),
-          conds, groupTime, groupTags.result())
+        SelectStmt(projections, unquote(meas),
+          conds, groupTime, groupTags.result(),
+          Option(fillOpt).map(_.toLowerCase),
+          Option(limitOpt).map(_.toInt), Option(slimitOpt).map(_.toInt))
       case _ => throw new IllegalArgumentException(s"unsupported InfluxQL: $q")
     }
   }
@@ -125,14 +167,15 @@ object InfluxQL {
     val tsCol = schema.timestampKey
     var df = engine.read(s.measurement)
 
+    def timeLit(c: Cond): Column =
+      // ns epoch literals compare at the engine's micros precision (the
+      // stored resolution) — truncating to ms would misplace sub-ms bounds
+      if (c.valueIsNumber) timestamp_micros(lit(c.value.toLong / 1000L))
+      else to_timestamp(lit(c.value))
+
     s.conds.foreach { c =>
       val lhs: Column = if (c.isTime) col(tsCol) else col(c.lhs)
-      val rhs: Column =
-        // ns epoch literals compare at the engine's micros precision (the
-        // stored resolution) — truncating to ms would misplace sub-ms bounds
-        if (c.isTime && c.valueIsNumber) timestamp_micros(lit(c.value.toLong / 1000L))
-        else if (c.isTime) to_timestamp(lit(c.value))
-        else lit(c.value)
+      val rhs: Column = if (c.isTime) timeLit(c) else lit(c.value)
       df = df.filter(c.op match {
         case ">=" => lhs >= rhs
         case "<=" => lhs <= rhs
@@ -145,12 +188,19 @@ object InfluxQL {
 
     val isAgg = s.projections.exists(_.agg.isDefined)
     if (!isAgg) {
+      // SLIMIT on raw points: keep the first n series in tag order
+      val seriesCols = schema.tagColumns.map(_.name)
+      s.slimit.filter(_ => seriesCols.nonEmpty).foreach { n =>
+        df = df.join(broadcast(firstNSeries(df, seriesCols, n)),
+          seriesCols, "left_semi")
+      }
       val cols =
         if (s.projections.exists(_.field == "*")) df.columns.filterNot(_.startsWith("__"))
           .filterNot(_ == graft.model.TableSchema.TsidColumn).toSeq.map(col)
         else col(tsCol).as("time") +: s.projections.map(p =>
           col(p.field).as(p.alias.getOrElse(p.field)))
-      df.select(cols: _*).orderBy(col(tsCol))
+      val out = df.select(cols: _*).orderBy(col(tsCol))
+      s.limit.map(out.limit).getOrElse(out)
     } else {
       val keys: Seq[Column] =
         // InfluxQL buckets at UTC (the engine's time_bucket defaults to the
@@ -173,8 +223,114 @@ object InfluxQL {
           }
           c.as(alias.getOrElse(fn))
       }
-      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-      else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      var out =
+        if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+      // fill(): only meaningful with a time bucket; fill(none) is the
+      // default behavior (buckets without points are absent)
+      (s.fill, s.groupTime) match {
+        case (Some(mode), Some(d)) if mode != "none" =>
+          val lo = s.conds.find(c => c.isTime && (c.op == ">=" || c.op == ">"))
+            .map(timeLit)
+          val hi = s.conds.find(c => c.isTime && (c.op == "<=" || c.op == "<"))
+            .map(c => if (c.op == "<") timeLit(c) - expr("INTERVAL 1 MICROSECOND")
+                      else timeLit(c))
+          out = applyFill(out, "time", s.groupTags, mode, d, lo, hi)
+        case _ =>
+      }
+
+      // SLIMIT: first n series (grouped tag combos); LIMIT: first n buckets
+      // per series when series exist, else first n rows overall
+      s.slimit.filter(_ => s.groupTags.nonEmpty).foreach { n =>
+        out = out.join(broadcast(firstNSeries(out, s.groupTags, n)),
+          s.groupTags, "left_semi")
+      }
+      s.limit.foreach { n =>
+        out =
+          if (s.groupTags.nonEmpty && s.groupTime.isDefined)
+            out.withColumn("__rk", row_number().over(
+                Window.partitionBy(s.groupTags.map(col): _*).orderBy(col("time"))))
+              .filter(col("__rk") <= n).drop("__rk")
+          else if (s.groupTime.isDefined) out.orderBy(col("time")).limit(n)
+          else out.limit(n)
+      }
+      out
+    }
+  }
+
+  /** The first n series in tag order. Ranks the DISTINCT series frame (the
+    * small side — series cardinality, not points) so the global sort window
+    * never touches the full data; callers semi-join the result back. */
+  private def firstNSeries(df: DataFrame, seriesCols: Seq[String], n: Int): DataFrame =
+    df.select(seriesCols.map(col): _*).distinct()
+      .withColumn("__srk", dense_rank().over(Window.orderBy(seriesCols.map(col): _*)))
+      .filter(col("__srk") <= n).drop("__srk")
+
+  /** Materialize empty buckets and fill them. The grid spans
+    * [bucket(lower), bucket(upper)] — explicit WHERE time bounds when
+    * given, the series' observed min/max otherwise (InfluxDB likewise only
+    * fills series it saw) — generated per observed series via `sequence()`
+    * + explode: pure column ops, so grids of any size stay distributed.
+    *
+    * Modes: `null` → grid rows keep null aggregates; `<number>` → nulls
+    * become the constant; `previous` → last non-null earlier bucket of the
+    * same series; `linear` → interpolate between the neighboring non-null
+    * buckets (interior gaps only, like InfluxDB).
+    */
+  private def applyFill(
+      agg: DataFrame, timeCol: String, tagCols: Seq[String], mode: String,
+      dur: String, lo: Option[Column], hi: Option[Column]): DataFrame = {
+    val (stepN, stepUnit) = influxDurParts(dur)
+    val period = influxDurToPeriod(dur)
+    def bucketOf(c: Column): Column =
+      graft.functions.TimeBucket.timeBucket(c, period, "+00:00")
+    val aggCols = agg.schema.fields
+      .filterNot(f => f.name == timeCol || tagCols.contains(f.name))
+
+    val bounds = agg.agg(min(col(timeCol)).as("__dlo"), max(col(timeCol)).as("__dhi"))
+    val loC = lo.map(bucketOf).getOrElse(col("__dlo"))
+    val hiC = hi.map(bucketOf).getOrElse(col("__dhi"))
+    val series =
+      if (tagCols.nonEmpty) agg.select(tagCols.map(col): _*).distinct()
+        .crossJoin(broadcast(bounds))
+      else bounds
+    val grid = series.select(tagCols.map(col) :+
+      explode(sequence(loC, hiC, expr(s"INTERVAL $stepN $stepUnit")))
+        .as(timeCol): _*)
+    val joined = grid.join(agg, tagCols :+ timeCol, "left")
+      .select((tagCols.map(col) :+ col(timeCol)) ++
+        aggCols.map(f => col(f.name)): _*)
+
+    val w = Window.partitionBy(tagCols.map(col): _*).orderBy(col(timeCol))
+    mode match {
+      case "null" => joined
+      case "previous" =>
+        aggCols.foldLeft(joined) { (d, f) =>
+          d.withColumn(f.name, coalesce(col(f.name),
+            last(col(f.name), ignoreNulls = true)
+              .over(w.rowsBetween(Window.unboundedPreceding, -1))))
+        }
+      case "linear" =>
+        aggCols.foldLeft(joined) { (d, f) =>
+          val c = col(f.name)
+          val pv = last(when(c.isNotNull, struct(col(timeCol).as("t"), c.as("v"))),
+            ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, -1))
+          val nv = first(when(c.isNotNull, struct(col(timeCol).as("t"), c.as("v"))),
+            ignoreNulls = true).over(w.rowsBetween(1, Window.unboundedFollowing))
+          val frac = (unix_micros(col(timeCol)) - unix_micros(pv("t"))).cast("double") /
+            (unix_micros(nv("t")) - unix_micros(pv("t"))).cast("double")
+          d.withColumn(f.name, coalesce(c,
+            when(pv.isNotNull && nv.isNotNull,
+              (pv("v").cast("double") +
+                (nv("v").cast("double") - pv("v").cast("double")) * frac)
+                .cast(f.dataType))))
+        }
+      case num =>
+        val v = num.toDouble // parser guarantees numeric here
+        aggCols.foldLeft(joined) { (d, f) =>
+          d.withColumn(f.name, coalesce(col(f.name), lit(v).cast(f.dataType)))
+        }
     }
   }
 
@@ -190,6 +346,19 @@ object InfluxQL {
       case re(n, "h") => s"PT${n}H"
       case re(n, "d") => s"P${n}D"
       case re(n, "w") => s"P${n.toInt * 7}D"
+      case other => throw new IllegalArgumentException(s"bad duration '$other'")
+    }
+  }
+
+  /** Same durations as (count, SQL interval unit) for `sequence()` steps. */
+  private def influxDurParts(d: String): (Int, String) = {
+    val re = """(\d+)([smhdw])""".r
+    d match {
+      case re(n, "s") => (n.toInt, "SECOND")
+      case re(n, "m") => (n.toInt, "MINUTE")
+      case re(n, "h") => (n.toInt, "HOUR")
+      case re(n, "d") => (n.toInt, "DAY")
+      case re(n, "w") => (n.toInt * 7, "DAY")
       case other => throw new IllegalArgumentException(s"bad duration '$other'")
     }
   }

@@ -131,6 +131,20 @@ object Prom {
     // ---- irate via last two samples + regex matcher; spec-tested, oracle
     //      covers row multiset through the rows-only check
     q("q44_promql_irate_regex", """irate(events{event_type=~"err.*|sign.*"}[1h])""",
-      None)
+      None),
+
+    // ---- Prometheus remote read (promql/remote.rs:44,60-120): __name__
+    //      selects the table, matchers filter, raw samples ship unaligned —
+    //      pure SQL selection, so the oracle is direct
+    GraftQuery("q67_promql_remote_read",
+      Some("""SELECT event_type, ts, "value" FROM events
+             |WHERE ts >= make_timestamp(1704844800000 * 1000)
+             |  AND ts <= make_timestamp(1704931200000 * 1000)
+             |  AND regexp_matches(event_type, '^(?:error|signup)$')""".stripMargin),
+      (s, dir) => graft.promql.PromQL.remoteRead(
+        table(s, dir),
+        Seq(graft.promql.EqMatcher("__name__", "events"),
+            graft.promql.ReMatcher("event_type", "error|signup")),
+        startMs = 1704844800000L, endMs = 1704931200000L))
   )
 }

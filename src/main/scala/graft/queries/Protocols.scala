@@ -127,6 +127,33 @@ object Protocols {
             |FROM events_put GROUP BY event_type""".stripMargin)
       }),
 
+    // ---- InfluxQL fill(0): grid materialization over a bounded time range
+    //      (the first Grafana-style surface beyond the tested subset); the
+    //      oracle rebuilds the 6h grid with generate_series + LEFT JOIN
+    GraftQuery("q68_influx_fill",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+             |    TIMESTAMP '2024-01-11 18:00:00', INTERVAL 6 HOUR)) AS "time"),
+             |agg AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 21600000) * 21600000 * 1000) AS "time",
+             |    count("value") AS n, round(sum("value"), 4) AS total
+             |  FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-12 00:00:00'
+             |    AND event_type = 'error'
+             |  GROUP BY 1)
+             |SELECT g."time", coalesce(n, 0) AS n, coalesce(total, 0.0) AS total
+             |FROM grid g LEFT JOIN agg a ON g."time" = a."time"""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT count(value) AS n, sum(value) AS total FROM events
+            |WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-12 00:00:00'
+            |  AND event_type = 'error'
+            |GROUP BY time(6h) fill(0)""".stripMargin)
+          .withColumn("total", round(col("total"), 4))
+      }),
+
     // ---- InfluxQL: SHOW MEASUREMENTS (→ ShowTables, influxql/planner.rs);
     //      one line suffices to exercise auto-create + listing
     GraftQuery("q48_influx_show_measurements",

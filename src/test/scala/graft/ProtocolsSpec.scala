@@ -111,6 +111,78 @@ class ProtocolsSpec extends SparkSpec {
     assert(InfluxQL.run(e, "SHOW MEASUREMENTS").as[String].collect().toSeq == Seq("cpu"))
   }
 
+  test("InfluxQL fill(): none/null/number/previous/linear over empty buckets") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-fill").toString)
+    // hours 00 and 03 have data; 01 and 02 are holes
+    LineProtocol.ingest(e, Seq(
+      "cpu,host=a usage=2.0 1704067200000000000",   // 00:00
+      "cpu,host=a usage=4.0 1704068100000000000",   // 00:15
+      "cpu,host=a usage=8.0 1704078000000000000").toDS()) // 03:00
+    def q(fill: String) = InfluxQL.run(e,
+      s"SELECT sum(usage) AS s FROM cpu GROUP BY time(1h) $fill")
+      .orderBy("time").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("time").getTime,
+        Option(r.get(r.fieldIndex("s"))).map(_.asInstanceOf[Double])))
+
+    val h = 3600000L; val base = 1704067200000L
+    // default (= fill(none)): only buckets with points
+    assert(q("").map(_._1).toSeq == Seq(base, base + 3 * h))
+    assert(q("fill(none)").length == 2)
+    // null: grid materializes, holes stay null
+    assert(q("fill(null)").toSeq == Seq(
+      (base, Some(6.0)), (base + h, None), (base + 2 * h, None), (base + 3 * h, Some(8.0))))
+    // number: holes become the constant
+    assert(q("fill(0)").toSeq.map(_._2.get) == Seq(6.0, 0.0, 0.0, 8.0))
+    // previous: carry the last seen bucket forward
+    assert(q("fill(previous)").toSeq.map(_._2.get) == Seq(6.0, 6.0, 6.0, 8.0))
+    // linear: interior interpolation between 6.0 and 8.0 over 3 steps
+    val lin = q("fill(linear)").toSeq.map(_._2.get)
+    assert(lin.head == 6.0 && lin.last == 8.0)
+    assert(math.abs(lin(1) - (6.0 + 2.0 / 3)) < 1e-9 &&
+           math.abs(lin(2) - (6.0 + 4.0 / 3)) < 1e-9, s"linear got $lin")
+    // explicit WHERE bounds extend the grid beyond the data
+    val bounded = InfluxQL.run(e,
+      """SELECT sum(usage) AS s FROM cpu
+        |WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 06:00:00'
+        |GROUP BY time(1h) fill(0)""".stripMargin).orderBy("time").collect()
+    assert(bounded.length == 6, s"got ${bounded.length} buckets")
+    assert(bounded.map(_.getAs[Double]("s")).toSeq == Seq(6.0, 0.0, 0.0, 8.0, 0.0, 0.0))
+  }
+
+  test("InfluxQL SHOW TAG KEYS / SHOW TAG VALUES / LIMIT / SLIMIT") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-meta").toString)
+    LineProtocol.ingest(e, Seq(
+      "cpu,host=a,dc=east usage=1.0 1704067200000000000",
+      "cpu,host=b,dc=west usage=2.0 1704067260000000000",
+      "cpu,host=c,dc=east usage=3.0 1704067320000000000").toDS())
+
+    val keys = InfluxQL.run(e, "SHOW TAG KEYS FROM cpu").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(keys.toSet == Set(("cpu", "host"), ("cpu", "dc")))
+
+    val vals = InfluxQL.run(e, """SHOW TAG VALUES FROM cpu WITH KEY = "host"""")
+      .collect().map(_.getString(2)).toSeq
+    assert(vals == Seq("a", "b", "c"))
+
+    // LIMIT: first n points by time
+    val lim = InfluxQL.run(e, "SELECT usage FROM cpu LIMIT 2").collect()
+    assert(lim.map(_.getAs[Double]("usage")).toSeq == Seq(1.0, 2.0))
+
+    // SLIMIT on raw points: first n series in tag order (dc, host)
+    val slim = InfluxQL.run(e, "SELECT usage FROM cpu SLIMIT 2").collect()
+    assert(slim.map(_.getAs[Double]("usage")).sorted.toSeq == Seq(1.0, 3.0),
+      "first two (dc,host) series are (east,a) and (east,c)")
+
+    // grouped: SLIMIT limits tag groups
+    val g = InfluxQL.run(e,
+      "SELECT sum(usage) AS s FROM cpu GROUP BY host SLIMIT 2").collect()
+    assert(g.map(_.getAs[String]("host")).sorted.toSeq == Seq("a", "b"))
+  }
+
   test("OpenTSDB: aggregators, literal_or filters, inclusive time bounds") {
     import spark.implicits._
     val df = Seq(

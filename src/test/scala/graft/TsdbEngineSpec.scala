@@ -191,6 +191,41 @@ class TsdbEngineSpec extends SparkSpec {
       s"latest batch must win, got ${got.toSeq}")
   }
 
+  test("table identifiers resolve case-sensitively (case_sensitive.sql parity)") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE case_SENSITIVE_t1 (ts timestamp NOT NULL, VALUE1 double,
+        | timestamp KEY(ts)) ENGINE=Analytic WITH (enable_ttl='false')""".stripMargin)
+    e.execute("INSERT INTO case_SENSITIVE_t1 (ts, VALUE1) VALUES (1, 10), (2, 20)")
+    assert(e.runSql("SELECT * FROM case_SENSITIVE_t1").count() == 2)
+    val ex = intercept[IllegalArgumentException](
+      e.runSql("SELECT * FROM CASE_SENSITIVE_T1"))
+    assert(ex.getMessage.contains("not found"), ex.getMessage)
+    intercept[IllegalArgumentException](
+      e.runSql("SELECT * FROM `case_sensitive_t1`"))
+  }
+
+  test("validator blocks internal storage columns and tables (validator.rs parity)") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE vt (host string TAG, v double, t timestamp NOT NULL,
+        |  timestamp KEY(t))
+        |PARTITION BY KEY(host) PARTITIONS 4
+        |ENGINE=Analytic WITH (segment_duration='1h')""".stripMargin)
+    e.execute("INSERT INTO vt (t, host, v) VALUES (1704067200000, 'a', 1.0)")
+    for (c <- Seq("__seq", "__subseq", "__segment", "__bucket")) {
+      val ex = intercept[IllegalArgumentException](
+        e.runSql(s"SELECT $c FROM vt"))
+      assert(ex.getMessage.contains("internal storage column"), s"$c: ${ex.getMessage}")
+      intercept[IllegalArgumentException](
+        e.runSql(s"SELECT * FROM vt WHERE $c = 0"))
+    }
+    val exT = intercept[IllegalArgumentException](e.runSql("SELECT * FROM __bucket_0"))
+    assert(exT.getMessage.contains("internal table"))
+    // plain user SQL still fine
+    assert(e.runSql("SELECT host, v FROM vt").count() == 1)
+  }
+
   test("compaction: same results, dedup window dropped, re-enabled on append") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def hasDedupWindow(df: org.apache.spark.sql.DataFrame): Boolean =
