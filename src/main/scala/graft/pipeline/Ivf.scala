@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second classic
+  * scale path next to LSH ([[Similarity.lshTopK]]): spherical k-means
+  * partitions the corpus into `nlist` buckets; a query probes only the
+  * `nprobe` buckets whose centroids are nearest, then exact-cosine re-ranks
+  * inside them. Cost per query drops from N to ~N·nprobe/nlist.
+  *
+  * 100 TB posture: training iterations are each ONE distributed pass
+  * (assign = map with broadcast-size centroids riding in the expression;
+  * re-estimate = posexplode + groupBy(cluster, dim) average — a keyed
+  * shuffle of nlist×dim partial sums, not vectors); only the centroid
+  * matrix (nlist×dim doubles) ever reaches the driver. Probing filters on a
+  * small IN list, so the scan prunes to candidate buckets; with the
+  * assignment written as a partition column the probe becomes directory
+  * pruning.
+  */
+object Ivf {
+
+  /** Train spherical k-means centroids (normalized; cosine ≡ dot). Returns
+    * the normalized centroid matrix. Deterministic: seeded hash-ordered
+    * init, fixed iteration count. */
+  def train(
+      embDf: DataFrame, idCol: String, embCol: String,
+      nlist: Int, iters: Int = 2, seed: Long = 42L): Array[Array[Double]] = {
+    val init = embDf
+      .select(col(embCol), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy("__h").limit(nlist)
+      .collect().map(r => normalize(toDoubles(r.getSeq[Any](0))))
+    var centroids = init
+    var it = 0
+    while (it < iters) {
+      val sums = embDf
+        .withColumn("__c", assignColumn(col(embCol), centroids))
+        .select(col("__c"), posexplode(col(embCol)).as(Seq("__p", "__x")))
+        .groupBy("__c", "__p").agg(sum(col("__x").cast("double")).as("s"))
+        .collect()
+      val dim = centroids(0).length
+      val acc = Array.fill(centroids.length)(new Array[Double](dim))
+      val seen = Array.fill(centroids.length)(false)
+      sums.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        acc(c)(p) = r.getDouble(2); seen(c) = true
+      }
+      // empty clusters keep their previous centroid (standard Lloyd's)
+      centroids = centroids.indices.map { c =>
+        if (seen(c)) normalize(acc(c)) else centroids(c)
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Cluster-id column for the trained centroids. */
+  def assignColumn(emb: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.col(NearestCentroid(GraftBridge.expr(emb), centroids))
+
+  /** ANN top-k: probe the `nprobe` nearest buckets, exact re-rank inside. */
+  def ivfTopK(
+      embDf: DataFrame, idCol: String, embCol: String,
+      query: Array[Double], k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val centroids = train(embDf, idCol, embCol, nlist, iters, seed)
+    val qn = normalize(query)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, dot(qn, c)) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    embDf
+      .withColumn("__c", assignColumn(col(embCol), centroids))
+      .filter(col("__c").isin(probes.map(Integer.valueOf): _*))
+      .select(col(idCol),
+        round(Similarity.cosineToQuery(col(embCol), query), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  private[pipeline] def toDoubles(xs: Seq[Any]): Array[Double] =
+    xs.map {
+      case f: Float  => f.toDouble
+      case d: Double => d
+      case i: Int    => i.toDouble
+      case l: Long   => l.toDouble
+      case other => throw new IllegalArgumentException(s"bad element $other")
+    }.toArray
+
+  private[pipeline] def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private[pipeline] def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dot(v, v))
+    if (n == 0) v else v.map(_ / n)
+  }
+}
+
+/** array<numeric> → int id of the max-cosine centroid. The centroid matrix
+  * rides in the expression (serialized with the plan — nlist×dim doubles,
+  * broadcast-sized). Interpreted eval: index build / probe path, not a
+  * per-row hot query loop. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val elemType = child.dataType.asInstanceOf[ArrayType].elementType
+    val v = new Array[Double](arr.numElements())
+    var i = 0
+    while (i < v.length) {
+      v(i) = elemType match {
+        case FloatType   => arr.getFloat(i).toDouble
+        case DoubleType  => arr.getDouble(i)
+        case IntegerType => arr.getInt(i).toDouble
+        case LongType    => arr.getLong(i).toDouble
+        case other => throw new IllegalStateException(s"bad embedding element $other")
+      }
+      i += 1
+    }
+    // centroids are normalized and v's norm is constant across candidates,
+    // so argmax of the raw dot product == argmax cosine
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val d = Ivf.dot(v, centroids(c))
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

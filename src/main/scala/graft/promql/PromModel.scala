@@ -24,6 +24,16 @@ final case class VectorSelector(sel: Selector) extends PromExpr
 final case class RangeFunc(func: String, sel: Selector) extends PromExpr
 /** op ∈ sum|avg|count|min|max, grouped by `by` labels (empty = collapse). */
 final case class AggExpr(op: String, by: Seq[String], child: PromExpr) extends PromExpr
+/** Beyond the reference's pushdown set (Prometheus-native semantics):
+  * topk/bottomk keep the k extreme series per grid step. */
+final case class TopkExpr(op: String, k: Int, child: PromExpr) extends PromExpr
+/** φ-quantile across series per (by-labels, step), linear interpolation. */
+final case class QuantileExpr(phi: Double, by: Seq[String], child: PromExpr) extends PromExpr
+/** Scalar literal — only legal as a binary-operation operand. */
+final case class NumberLit(v: Double) extends PromExpr
+/** op ∈ + - * /; vector∘scalar maps, vector∘vector joins one-to-one on the
+  * shared label set per step. */
+final case class BinExpr(op: String, lhs: PromExpr, rhs: PromExpr) extends PromExpr
 
 /** Evaluation grid [startMs, endMs] stepMs, with the Prometheus default
   * 5-minute lookback for instant selection (reference promql/convert.rs:55).

@@ -102,8 +102,49 @@ object PromQL {
       n * unit
     }
 
+    /** Binary operations with standard precedence: `* /` bind tighter than
+      * `+ -` (Prometheus operator precedence, promql spec). */
     def parseExpr(): PromExpr = {
+      var lhs = parseMul()
       ws()
+      while (peek == '+' || (peek == '-' && !s.startsWith("->", i))) {
+        val op = peek.toString; i += 1
+        val rhs = parseMul()
+        lhs = BinExpr(op, lhs, rhs)
+        ws()
+      }
+      lhs
+    }
+
+    private def parseMul(): PromExpr = {
+      var lhs = parsePrimary()
+      ws()
+      while (peek == '*' || peek == '/') {
+        val op = peek.toString; i += 1
+        val rhs = parsePrimary()
+        lhs = BinExpr(op, lhs, rhs)
+        ws()
+      }
+      lhs
+    }
+
+    private def number(): Double = {
+      ws()
+      val start = i
+      while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
+      if (i == start) fail("expected number")
+      s.substring(start, i).toDouble
+    }
+
+    private def parsePrimary(): PromExpr = {
+      ws()
+      if (peek == '(') { // parenthesized sub-expression
+        i += 1
+        val e = parseExpr()
+        expect(')')
+        return e
+      }
+      if (peek.isDigit || peek == '.') return NumberLit(number())
       val save = i
       val name = ident()
       ws()
@@ -117,6 +158,23 @@ object PromQL {
         if (by.isEmpty) by = parseByClause().getOrElse(Nil)
         val out = AggExpr(name, by, child)
         ws(); out
+      } else if (name == "topk" || name == "bottomk") {
+        expect('(')
+        val k = number()
+        if (k != math.floor(k) || k < 1) fail(s"$name needs a positive integer k")
+        expect(',')
+        val child = parseExpr()
+        expect(')')
+        TopkExpr(name, k.toInt, child)
+      } else if (name == "quantile") {
+        var by: Seq[String] = parseByClause().getOrElse(Nil)
+        expect('(')
+        val phi = number()
+        expect(',')
+        val child = parseExpr()
+        expect(')')
+        if (by.isEmpty) by = parseByClause().getOrElse(Nil)
+        QuantileExpr(phi, by, child)
       } else if (rangeFuncs(name)) {
         expect('(')
         val sel = parseSelector()
@@ -220,6 +278,66 @@ object PromQL {
         case "max"   => max("value")
       }
       in.groupBy(keys: _*).agg(agg.as("value"))
+
+    case TopkExpr(op, k, child) =>
+      // k extreme series per grid step, labels preserved (Prometheus topk/
+      // bottomk). row_number with a tag tie-break keeps output deterministic
+      // (Prometheus itself is arbitrary on ties). The window partitions by
+      // step — cardinality = grid size, state = series per step.
+      val in = evalExpr(spark, resolve, child, p)
+      val tagCols = in.columns.filterNot(c => c == "ts" || c == "value").toSeq
+      val ord = (if (op == "topk") col("value").desc else col("value").asc) +:
+        tagCols.map(col(_).asc)
+      import org.apache.spark.sql.expressions.Window
+      in.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("ts")).orderBy(ord: _*)))
+        .filter(col("__rk") <= k).drop("__rk")
+
+    case QuantileExpr(phi, by, child) =>
+      // φ-quantile across series per (by, step) with linear interpolation —
+      // Spark's exact `percentile` matches Prometheus's quantile math
+      val in = evalExpr(spark, resolve, child, p)
+      val tagCols = in.columns.filterNot(c => c == "ts" || c == "value").toSeq
+      val unknown = by.filterNot(tagCols.contains)
+      require(unknown.isEmpty, s"unknown grouping labels: ${unknown.mkString(",")}")
+      in.groupBy((by :+ "ts").map(col): _*)
+        .agg(percentile(col("value"), lit(phi)).as("value"))
+
+    case NumberLit(_) =>
+      throw new IllegalArgumentException("scalar-only expressions are not supported")
+
+    case BinExpr(op, lhs, rhs) => (lhs, rhs) match {
+      case (NumberLit(_), NumberLit(_)) =>
+        throw new IllegalArgumentException("scalar-only expressions are not supported")
+      case (NumberLit(a), v) =>
+        val in = evalExpr(spark, resolve, v, p)
+        in.withColumn("value", binCol(op, lit(a), col("value")))
+      case (v, NumberLit(b)) =>
+        val in = evalExpr(spark, resolve, v, p)
+        in.withColumn("value", binCol(op, col("value"), lit(b)))
+      case (l, r) =>
+        // vector ∘ vector: one-to-one join on the shared label set + step
+        // (Prometheus default matching; the metric name is already gone
+        // from our frames). An equi-join per step — shuffle on (labels, ts).
+        val ld = evalExpr(spark, resolve, l, p)
+        val rd = evalExpr(spark, resolve, r, p)
+        val lTags = ld.columns.filterNot(c => c == "ts" || c == "value").toSeq
+        val rTags = rd.columns.filterNot(c => c == "ts" || c == "value").toSeq
+        require(lTags.sorted == rTags.sorted,
+          s"binary operation label sets differ: ${lTags.mkString(",")} vs ${rTags.mkString(",")}")
+        val keys = lTags :+ "ts"
+        ld.withColumnRenamed("value", "__lv")
+          .join(rd.withColumnRenamed("value", "__rv"), keys)
+          .withColumn("value", binCol(op, col("__lv"), col("__rv")))
+          .drop("__lv", "__rv")
+    }
+  }
+
+  private def binCol(op: String, a: Column, b: Column): Column = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => a / b
   }
 
   /** Selector → filtered scan → shuffle by series → grid alignment.

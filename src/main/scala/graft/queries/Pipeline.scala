@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline battery over the documents/embeddings
@@ -109,6 +109,13 @@ object PipelineQueries {
       (s, dir) => Similarity.lshTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10,
         tables = 16, bits = 6)),
+
+    // ---- IVF (k-means-bucketed) ANN — the other classic scale path;
+    //      recall + exact-when-probing-all asserted in PipelineSpec
+    GraftQuery("q72_ann_ivf", None,
+      (s, dir) => Ivf.ivfTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10,
+        nlist = 16, nprobe = 4)),
 
     // ---- embedding norms by cluster label
     GraftQuery("q59_embedding_norms",

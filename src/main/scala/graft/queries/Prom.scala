@@ -133,6 +133,57 @@ object Prom {
     q("q44_promql_irate_regex", """irate(events{event_type=~"err.*|sign.*"}[1h])""",
       None),
 
+    // ---- topk: k extreme series per grid step (beyond-reference PromQL
+    //      surface; ties broken by label for determinism)
+    q("q69_promql_topk", "topk(2, events)",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |latest AS (
+             |  SELECT g.gts, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.gts AND e.ts > g.gts - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid g CROSS JOIN series s),
+             |ranked AS (
+             |  SELECT event_type, gts, v,
+             |    row_number() OVER (PARTITION BY gts
+             |      ORDER BY v DESC, event_type) AS rk
+             |  FROM latest WHERE v IS NOT NULL)
+             |SELECT event_type, gts AS ts, round(v, 4) AS "value"
+             |FROM ranked WHERE rk <= 2""".stripMargin)),
+
+    // ---- quantile across series per step (linear interpolation — Spark
+    //      exact percentile == DuckDB quantile_cont, the q21 pairing)
+    q("q70_promql_quantile", "quantile(0.5, events)",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |latest AS (
+             |  SELECT g.gts, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.gts AND e.ts > g.gts - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid g CROSS JOIN series s)
+             |SELECT gts AS ts, round(quantile_cont(v, 0.5), 4) AS "value"
+             |FROM latest WHERE v IS NOT NULL GROUP BY gts""".stripMargin)),
+
+    // ---- binary operations: vector-vector join on the shared label set
+    //      (here: collapsed to ts) and a scalar divide
+    q("q71_promql_binop",
+      "(sum(rate(events[1h])) - avg(rate(events[1h]))) * 10",
+      Some(s"""WITH rates AS (
+              |  SELECT event_type, ts, raw FROM
+              |    (${extrapolatedSql(counter = true, perSecond = true)})),
+              |s AS (SELECT ts, sum(raw) AS sv FROM rates GROUP BY ts),
+              |a AS (SELECT ts, avg(raw) AS av FROM rates GROUP BY ts)
+              |SELECT s.ts, round((sv - av) * 10, 4) AS "value"
+              |FROM s JOIN a ON s.ts = a.ts""".stripMargin)),
+
     // ---- Prometheus remote read (promql/remote.rs:44,60-120): __name__
     //      selects the table, matchers filter, raw samples ship unaligned —
     //      pure SQL selection, so the oracle is direct

@@ -97,6 +97,26 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall@10 $recall < 0.3")
   }
 
+  test("IVF ANN: self-retrieval, equals brute force when probing all lists, recall") {
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    // probing every list == brute force, bit for bit (ordering ties broken
+    // by id on both paths)
+    val all = Ivf.ivfTopK(embs, "vec_id", "embedding", q, 10,
+      nlist = 8, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    assert(all == exact, s"nprobe=nlist must equal brute force: $all vs $exact")
+    // partial probing: the query's own bucket is always probed first, so
+    // self-retrieval is guaranteed; recall floor is generous because these
+    // embeddings are near-orthogonal (hard case for any ANN)
+    val approx = Ivf.ivfTopK(embs, "vec_id", "embedding", q, 10,
+      nlist = 16, nprobe = 4).collect().map(_.getLong(0)).toSeq
+    assert(approx.contains(0L), "query vector must find itself")
+    val recall = (exact.toSet & approx.toSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@10 $recall < 0.3")
+  }
+
   test("embedding near-dup: LSH finds perturbed twins; exact pairs match a local recompute") {
     import spark.implicits._
     val base = embs.limit(20).select(col("vec_id"), col("embedding"))

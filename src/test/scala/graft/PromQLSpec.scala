@@ -32,6 +32,53 @@ class PromQLSpec extends SparkSpec {
     intercept[IllegalArgumentException](PromQL.parse("rate(m)")) // needs [dur]
   }
 
+  test("parser: topk/bottomk/quantile and binary operator precedence") {
+    assert(PromQL.parse("topk(3, m)") ==
+      TopkExpr("topk", 3, VectorSelector(Selector("m", Nil, None))))
+    assert(PromQL.parse("bottomk(1, sum by (j) (m))") ==
+      TopkExpr("bottomk", 1, AggExpr("sum", Seq("j"),
+        VectorSelector(Selector("m", Nil, None)))))
+    assert(PromQL.parse("quantile(0.9, m)") ==
+      QuantileExpr(0.9, Nil, VectorSelector(Selector("m", Nil, None))))
+    assert(PromQL.parse("quantile by (j) (0.5, m)") ==
+      QuantileExpr(0.5, Seq("j"), VectorSelector(Selector("m", Nil, None))))
+    // precedence: * binds tighter than +
+    assert(PromQL.parse("m + n * 2") ==
+      BinExpr("+", VectorSelector(Selector("m", Nil, None)),
+        BinExpr("*", VectorSelector(Selector("n", Nil, None)), NumberLit(2.0))))
+    assert(PromQL.parse("(m + n) / 2") ==
+      BinExpr("/", BinExpr("+",
+        VectorSelector(Selector("m", Nil, None)),
+        VectorSelector(Selector("n", Nil, None))), NumberLit(2.0)))
+    intercept[IllegalArgumentException](PromQL.parse("topk(0, m)"))
+  }
+
+  test("topk/quantile/binops end-to-end over a three-series table") {
+    import spark.implicits._
+    val t0 = 100000L
+    val df = Seq(("a", 1.0), ("b", 5.0), ("c", 3.0))
+      .map { case (h, v) => (new java.sql.Timestamp(t0), h, v) }
+      .toDF("ts", "host", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host"))
+    val p = EvalParams(startMs = t0, endMs = t0, stepMs = 60000L)
+
+    def run(q: String) = PromQL.eval(spark, bind, q, p).collect()
+
+    val top = run("topk(2, m)").map(r => r.getAs[String]("host")).sorted
+    assert(top.toSeq == Seq("b", "c"))
+    val bottom = run("bottomk(1, m)").map(_.getAs[String]("host"))
+    assert(bottom.toSeq == Seq("a"))
+    val med = run("quantile(0.5, m)")
+    assert(med.length == 1 && med(0).getAs[Double]("value") == 3.0)
+    // vector ∘ scalar and vector ∘ vector (same label sets)
+    val scaled = run("m * 10").map(r => (r.getAs[String]("host"), r.getAs[Double]("value")))
+    assert(scaled.toMap == Map("a" -> 10.0, "b" -> 50.0, "c" -> 30.0))
+    val zero = run("m - m").map(_.getAs[Double]("value"))
+    assert(zero.length == 3 && zero.forall(_ == 0.0))
+    val combo = run("sum(m) - avg(m)").map(_.getAs[Double]("value"))
+    assert(combo.toSeq == Seq(9.0 - 3.0))
+  }
+
   test("offset shifts evaluation into the past") {
     import spark.implicits._
     val df = Seq(
