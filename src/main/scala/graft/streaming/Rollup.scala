@@ -48,19 +48,27 @@ object Rollup {
            |  timestamp KEY(bucket))
            |ENGINE=Analytic WITH (update_mode='overwrite')""".stripMargin)
 
-    val q = windowAgg(spark, dir, glob, schema, nanosTs, tsCol, tagCol, valueCol,
-        windowDur, Some(watermarkDelay))
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      // update mode: emit each changed window per trigger; watermark evicts
-      // settled windows from state. The engine table's overwrite semantics
-      // resolve multiple emissions of one window to the newest.
-      .outputMode("update")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("rollup-ckpt").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
-      .start()
-    q.awaitTermination()
+    // right-size the stateful shuffle: each state partition carries a state
+    // store instance whose per-trigger checkpoint cost is fixed overhead;
+    // rollup state is (windows × series), which wants far fewer partitions
+    // than a data shuffle. Pinned at the stream's first run from this conf.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = windowAgg(spark, dir, glob, schema, nanosTs, tsCol, tagCol, valueCol,
+          windowDur, Some(watermarkDelay))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        // update mode: emit each changed window per trigger; watermark evicts
+        // settled windows from state. The engine table's overwrite semantics
+        // resolve multiple emissions of one window to the newest.
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("rollup-ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     engine.read(table)
   }
 
