@@ -43,6 +43,9 @@ final class GraftCatalog(val warehouse: String) {
     (m.dataGen.getOrElse(0), m.compactedSeq.getOrElse(0L))
   }
 
+  /** Next unassigned ingest sequence (== number of batches ever reserved). */
+  def nextSeqOf(name: String): Long = manifest(name).nextSeq
+
   /** False iff every ingested batch is already covered by the compaction seq
     * floor — the read path can skip the dedup window (reference: compacted
     * SSTs need no merge-dedup, compaction/mod.rs:78-128). */

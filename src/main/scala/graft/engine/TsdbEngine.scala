@@ -262,6 +262,26 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     deleteDir(java.nio.file.Paths.get(catalog.genDataDir(name, gen)))
   }
 
+  /** Compaction scheduling policy (the reference picks strategies via the
+    * `compaction_strategy` table option and schedules on accumulated
+    * writes — compaction/mod.rs; we trigger on accumulated ingest batches,
+    * the unit the dedup window's cost actually grows with). Compacts when
+    * at least `minBatches` batches landed since the last seq floor.
+    * Returns true when a compaction ran. Call it from ingest loops
+    * (e.g. a streaming foreachBatch) for WAL-style background upkeep. */
+  def maybeCompact(
+      name: String, minBatches: Long = 16,
+      nowMs: Long = System.currentTimeMillis()): Boolean = {
+    val m = catalog.get(name)
+    val (_, floor) = catalog.compactionState(name)
+    val pending = catalog.nextSeqOf(name) - floor
+    val due = pending >= minBatches &&
+      (m.options.updateMode == UpdateMode.Overwrite ||
+        (m.options.enableTtl && m.options.ttlMillis.isDefined))
+    if (due) compact(name, nowMs)
+    due
+  }
+
   /** Physically drop `__segment=k` directories whose whole time window is
     * past the TTL horizon — segment k covers [k·seg, (k+1)·seg), expired
     * when (k+1)·seg <= now - ttl (reference: table/data.rs:744 is_expired).
@@ -358,9 +378,6 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     */
   def runSql(sql: String): DataFrame = {
     val tables = catalog.list()
-    tables.foreach(n => read(n).createOrReplaceTempView(n))
-    // the reference's system table system.public.tables (system_catalog/src/tables.rs)
-    systemTables().createOrReplaceTempView("system_public_tables")
     val cleaned = sql.replaceAll("(?i)system\\.public\\.tables", "system_public_tables")
     val plan = spark.sessionState.sqlParser.parsePlan(cleaned)
     validateNoInternalAccess(plan)
@@ -382,6 +399,15 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
         throw new IllegalArgumentException(
           s"Table is not found, table:$n (table identifiers are case-sensitive)")
     }
+    // register only the tables THIS query references — re-registering the
+    // whole catalog per statement is O(catalog) driver work (and resolves
+    // each table's read plan needlessly)
+    tables.filter(referenced.contains)
+      .foreach(n => read(n).createOrReplaceTempView(n))
+    if (referenced.contains("system_public_tables"))
+      // the reference's system table system.public.tables
+      // (system_catalog/src/tables.rs)
+      systemTables().createOrReplaceTempView("system_public_tables")
     val tsColumns: Set[String] = tables.filter(referenced.contains)
       .map(n => catalog.get(n).timestampKey).toSet
     GraftBridge.ofRows(spark, EpochMillisRewrite(plan, tsColumns))

@@ -256,4 +256,41 @@ class GoldenSpec extends SparkSpec {
     val o = e.runSql("SELECT v FROM im_o").collect()
     assert(o.length == 1 && o(0).getAs[Number](0).intValue() == 2)
   }
+
+  // ---- cases/common/dummy/select_1.sql(.result)
+  test("select_1 matches the reference goldens") {
+    val e = engine()
+    assert(longs(e.runSql("SELECT 1")) == Seq(1L))
+    assert(longs(e.runSql("SELECT 2 + 3")) == Seq(5L))
+  }
+
+  // ---- cases/common/dml/case_sensitive.sql(.result): unquoted and quoted
+  //      table identifiers resolve CASE-SENSITIVELY — the mixed-case name
+  //      round-trips, any other casing is "Table is not found"
+  test("case_sensitive matches the reference goldens") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE case_SENSITIVE_table1 (ts timestamp NOT NULL,
+        |  VALUE1 double, timestamp KEY(ts)) ENGINE=Analytic
+        |WITH (enable_ttl='false');
+        |INSERT INTO case_SENSITIVE_table1 (ts, VALUE1)
+        |  VALUES (1, 10), (2, 20), (3, 30)""".stripMargin)
+    // exact name (quoted or not) resolves; rows match the .result golden
+    assert(longs(e.runSql(
+      "SELECT VALUE1 FROM case_SENSITIVE_table1 ORDER BY ts")) ==
+      Seq(10L, 20L, 30L))
+    assert(longs(e.runSql(
+      "SELECT VALUE1 FROM `case_SENSITIVE_table1` ORDER BY ts")) ==
+      Seq(10L, 20L, 30L))
+    // wrong-case name fails like the reference ("Table is not found")
+    intercept[IllegalArgumentException](
+      e.runSql("SELECT * FROM CASE_SENSITIVE_TABLE1"))
+    intercept[IllegalArgumentException](
+      e.runSql("SELECT * FROM `CASE_SENSITIVE_TABLE1`"))
+    // SHOW CREATE / DESC with the exact name work; wrong case errors
+    assert(e.execute("SHOW CREATE TABLE case_SENSITIVE_table1").count() == 1)
+    intercept[IllegalStateException](
+      e.execute("SHOW CREATE TABLE CASE_SENSITIVE_TABLE1"))
+    intercept[IllegalStateException](e.execute("DESCRIBE CASE_SENSITIVE_TABLE1"))
+  }
 }

@@ -266,6 +266,26 @@ class TsdbEngineSpec extends SparkSpec {
     assert(snapshot().exists(_ == ("a", 1704067200000L, 100.0)))
   }
 
+  test("maybeCompact triggers on accumulated batches only") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE mc (host string TAG, v double, t timestamp NOT NULL,
+        |  timestamp KEY(t)) ENGINE=Analytic WITH (update_mode='overwrite')""".stripMargin)
+    (0 until 3).foreach(i =>
+      e.execute(s"INSERT INTO mc (t, host, v) VALUES (1704067200000, 'a', $i.0)"))
+    assert(!e.maybeCompact("mc", minBatches = 4), "3 batches < threshold")
+    assert(e.maybeCompact("mc", minBatches = 3), "3 batches >= threshold")
+    assert(!e.maybeCompact("mc", minBatches = 1), "nothing pending after compaction")
+    val rows = e.read("mc").collect()
+    assert(rows.length == 1 && rows(0).getAs[Double]("v") == 2.0)
+    // append-mode without TTL never compacts (nothing to rewrite)
+    e.execute(
+      """CREATE TABLE mca (t timestamp NOT NULL, v double, timestamp KEY(t))
+        | ENGINE=Analytic WITH (update_mode='append')""".stripMargin)
+    e.execute("INSERT INTO mca (t, v) VALUES (1, 1.0)")
+    assert(!e.maybeCompact("mca", minBatches = 1))
+  }
+
   test("compaction TTL purge physically drops expired segments and rows") {
     val e = engine()
     e.execute(
