@@ -102,6 +102,37 @@ class PartitionSpec extends SparkSpec {
       "field filter must apply after dedup (Inexact contract)")
   }
 
+  test("compaction preserves bucket layout and pruning on KEY-partitioned tables") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE pkc (
+        |  host string TAG, value double, t timestamp NOT NULL,
+        |  timestamp KEY(t))
+        |PARTITION BY KEY(host) PARTITIONS 8
+        |ENGINE=Analytic WITH (update_mode='overwrite', segment_duration='1h')""".stripMargin)
+    e.execute("INSERT INTO pkc (t, host, value) VALUES " +
+      (0 until 10).map(i => s"(${1704067200000L + (i % 2) * 3600000L}, 'h${i % 5}', $i.0)")
+        .mkString(", "))
+    e.execute("INSERT INTO pkc (t, host, value) VALUES (1704067200000, 'h3', 99.0)")
+    def q() = e.runSql("SELECT value FROM pkc WHERE host = 'h3'")
+    val before = q().collect().map(_.getDouble(0)).sorted.toSeq
+    assert(before.contains(99.0), s"overwrite must win pre-compaction: $before")
+
+    e.compact("pkc")
+    // layout: __segment dirs wrapping __bucket dirs in the NEW generation
+    val dataDir = new java.io.File(e.catalog.dataDir("pkc"))
+    assert(dataDir.getName != "data", "compaction must flip to a new generation dir")
+    val segDirs = dataDir.listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("__segment=")).toSeq
+    assert(segDirs.nonEmpty, "segment dirs must survive compaction")
+    assert(segDirs.forall(_.listFiles().exists(_.getName.startsWith("__bucket="))),
+      "bucket dirs must survive compaction")
+    // results identical; bucket pruning still reaches the scan
+    assert(q().collect().map(_.getDouble(0)).sorted.toSeq == before)
+    assert(scanPartitionFilters(q()).contains("__bucket"),
+      "bucket pruning must survive the generation swap")
+  }
+
   test("dedup pushdown: tag filters do NOT push with an explicit PK omitting the tag") {
     // reference gate: tag pushdown is only Exact for the implicit tsid PK
     // (table/mod.rs:428 support_pushdown, schema.rs:893 is_unique_column —
