@@ -99,6 +99,33 @@ object EngineE2E {
             e, dir, "events.parquet", schema, nanosTs = true,
             "ts", "event_type", "value", "1 hour", "2 hours", "events_rollup")
           .withColumn("total", round(col("total"), 2))
+      }),
+
+    // Streaming custom state (flatMapGroupsWithState): per-series gauge
+    // rate with one-sample state, replayed into an engine table. The
+    // oracle re-derives the chain with lag() windows — Δt computed on
+    // integral ns differences so both sides round identically.
+    GraftQuery("q73_streaming_series_rate",
+      Some("""SELECT event_type AS series, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+             |  round(("value" - pv) / ((epoch_ns(ts) - pt) / 1e9), 4) AS rate
+             |FROM (
+             |  SELECT event_type, ts, "value",
+             |    lag("value") OVER w AS pv, lag(epoch_ns(ts)) OVER w AS pt
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, "value"))
+             |WHERE pv IS NOT NULL AND epoch_ns(ts) > pt""".stripMargin),
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-srate").toString)
+        graft.streaming.SeriesRate.rateToTable(
+            e, dir, "events.parquet", schema, nanosTs = true,
+            "ts", "event_type", "value", "events_rate")
+          .select(col("series"), col("ts"), round(col("rate"), 4).as("rate"))
       })
   )
 }

@@ -23,6 +23,27 @@ class RollupSpec extends SparkSpec {
       .coalesce(1).write.mode("append").parquet(dir)
   }
 
+  /** Minimal GroupState double for transition-function unit tests. */
+  private class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+    var value: Option[S] = None
+    var removed = false
+    var timedOut = false
+    override def exists: Boolean = value.isDefined
+    override def get: S = value.get
+    override def getOption: Option[S] = value
+    override def update(s: S): Unit = { value = Some(s); removed = false }
+    override def remove(): Unit = { value = None; removed = true }
+    override def hasTimedOut: Boolean = timedOut
+    override def setTimeoutDuration(durationMs: Long): Unit = ()
+    override def setTimeoutDuration(duration: String): Unit = ()
+    override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+    override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+    override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+    override def getCurrentWatermarkMs(): Long = 0L
+    override def getCurrentProcessingTimeMs(): Long = 0L
+  }
+
   test("windowedRollupToTable equals the batch rollup; re-runs upsert") {
     import spark.implicits._
     val srcDir = tmpDir("rollup-src")
@@ -55,6 +76,42 @@ class RollupSpec extends SparkSpec {
     e.compact("roll")
     assert(snap() == Seq(
       ("a", base, 3L, 8.0), ("a", base + h, 1L, 3.0), ("b", base, 1L, 10.0)))
+  }
+
+  test("SeriesRate: per-series state chains across micro-batches, evicts on timeout") {
+    import graft.streaming.SeriesRate
+    import graft.streaming.SeriesRate.{LastSample, RatePoint, SampleIn}
+
+    // pure transition-function checks (no streaming machinery)
+    val idle = Some("1 hour")
+    val state = new TestGroupState[LastSample]
+    val out1 = SeriesRate.transition(idle)("a", Iterator(
+      SampleIn("a", 2000000L, 5.0), SampleIn("a", 1000000L, 1.0)), state).toSeq
+    // sorted by time inside the batch: (1s,1.0) -> (2s,5.0) = 4.0/s
+    assert(out1 == Seq(RatePoint("a", 2000000L, 4.0)))
+    assert(state.value.contains(LastSample(2000000L, 5.0)))
+    // next batch chains onto carried state: (2s,5.0) -> (4s,6.0) = 0.5/s
+    val out2 = SeriesRate.transition(idle)("a", Iterator(
+      SampleIn("a", 4000000L, 6.0)), state).toSeq
+    assert(out2 == Seq(RatePoint("a", 4000000L, 0.5)))
+    // timeout call clears the series' state, emits nothing
+    state.timedOut = true
+    assert(SeriesRate.transition(idle)("a", Iterator.empty, state).isEmpty)
+    assert(state.value.isEmpty && state.removed)
+
+    // end-to-end through a replayed stream into an engine table
+    val srcDir = tmpDir("srate-src")
+    val base = 1704067200000L
+    writeSource(srcDir, Seq(
+      (base, "x", 1.0), (base + 2000, "x", 5.0), (base + 4000, "x", 4.0),
+      (base + 1000, "y", 10.0), (base + 3000, "y", 10.5)))
+    val e = new TsdbEngine(spark, tmpDir("srate-wh"))
+    val got = graft.streaming.SeriesRate.rateToTable(
+        e, srcDir, "*.parquet", schema, nanosTs = false,
+        "ts", "tag", "v", "sr")
+      .orderBy("series", "ts").collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Double]("rate"))).toSeq
+    assert(got == Seq(("x", 2.0), ("x", -0.5), ("y", 0.25)), s"got $got")
   }
 
   test("memory-sink harness (test-only) agrees with the engine-table operator") {
