@@ -16,7 +16,10 @@ final case class Selector(
     metric: String,
     matchers: Seq[Matcher],
     rangeMs: Option[Long],
-    offsetMs: Long = 0L)
+    offsetMs: Long = 0L,
+    /** `@ <unix-seconds>`: pin evaluation to a fixed instant — every grid
+      * step reports the value as of that time. */
+    atMs: Option[Long] = None)
 
 sealed trait PromExpr
 final case class VectorSelector(sel: Selector) extends PromExpr
@@ -34,6 +37,10 @@ final case class NumberLit(v: Double) extends PromExpr
 /** op ∈ + - * /; vector∘scalar maps, vector∘vector joins one-to-one on the
   * shared label set per step. */
 final case class BinExpr(op: String, lhs: PromExpr, rhs: PromExpr) extends PromExpr
+/** Element-wise math: abs|ceil|floor|round|clamp_min|clamp_max (args carry
+  * the scalar parameters of the clamp family). */
+final case class MathFunc(name: String, child: PromExpr, args: Seq[Double] = Nil)
+    extends PromExpr
 
 /** Evaluation grid [startMs, endMs] stepMs, with the Prometheus default
   * 5-minute lookback for instant selection (reference promql/convert.rs:55).

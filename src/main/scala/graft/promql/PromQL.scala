@@ -42,6 +42,7 @@ object PromQL {
 
   private val aggOps = Set("sum", "avg", "count", "min", "max")
   private val rangeFuncs = Set("rate", "irate", "delta", "idelta", "increase")
+  private val mathFuncs = Set("abs", "ceil", "floor", "round", "clamp_min", "clamp_max")
 
   private final class Parser(s: String) {
     private var i = 0
@@ -181,6 +182,17 @@ object PromQL {
         if (sel.rangeMs.isEmpty) fail(s"$name requires a range selector [dur]")
         expect(')')
         RangeFunc(name, sel)
+      } else if (mathFuncs(name)) {
+        expect('(')
+        val child = parseExpr()
+        val args = Seq.newBuilder[Double]
+        ws()
+        while (peek == ',') { i += 1; args += number(); ws() }
+        expect(')')
+        val as = args.result()
+        if (name.startsWith("clamp") && as.length != 1)
+          fail(s"$name needs exactly one scalar argument")
+        MathFunc(name, child, as)
       } else {
         i = save
         VectorSelector(parseSelector())
@@ -240,13 +252,22 @@ object PromQL {
         expect(']')
       }
       ws()
+      // `offset d` and `@ <unix-seconds>` modifiers, either order
       var offset = 0L
-      if (s.startsWith("offset", i) &&
-          (i + 6 >= s.length || !s(i + 6).isLetterOrDigit)) {
-        i += 6
-        offset = duration()
+      var atMs: Option[Long] = None
+      var more = true
+      while (more) {
+        ws()
+        if (s.startsWith("offset", i) &&
+            (i + 6 >= s.length || !s(i + 6).isLetterOrDigit)) {
+          i += 6
+          offset = duration()
+        } else if (peek == '@') {
+          i += 1
+          atMs = Some(math.round(number() * 1000.0))
+        } else more = false
       }
-      Selector(metric, ms.result(), range, offset)
+      Selector(metric, ms.result(), range, offset, atMs)
     }
   }
 
@@ -303,6 +324,19 @@ object PromQL {
       in.groupBy((by :+ "ts").map(col): _*)
         .agg(percentile(col("value"), lit(phi)).as("value"))
 
+    case MathFunc(name, child, args) =>
+      val in = evalExpr(spark, resolve, child, p)
+      val v = col("value")
+      val out = name match {
+        case "abs"       => abs(v)
+        case "ceil"      => ceil(v).cast("double")
+        case "floor"     => floor(v).cast("double")
+        case "round"     => round(v, 0)
+        case "clamp_min" => greatest(v, lit(args.head))
+        case "clamp_max" => least(v, lit(args.head))
+      }
+      in.withColumn("value", out)
+
     case NumberLit(_) =>
       throw new IllegalArgumentException("scalar-only expressions are not supported")
 
@@ -341,8 +375,24 @@ object PromQL {
   }
 
   /** Selector → filtered scan → shuffle by series → grid alignment.
-    * Output columns: tag columns (as string), ts (timestamp), value. */
+    * Output columns: tag columns (as string), ts (timestamp), value.
+    * An `@` modifier evaluates once at the pinned instant and replicates
+    * that value across the requested grid (Prometheus fixed-time eval). */
   private def aligned(
+      spark: SparkSession, t: SeriesTable, sel: Selector,
+      p: EvalParams, func: String): DataFrame = sel.atMs match {
+    case Some(at) =>
+      val single = alignedGrid(spark, t, sel.copy(atMs = None),
+        p.copy(startMs = at, endMs = at), func)
+      single
+        .withColumn("__step",
+          explode(sequence(lit(p.startMs), lit(p.endMs), lit(p.stepMs))))
+        .select(t.tags.map(col) :+
+          timestamp_millis(col("__step")).as("ts") :+ col("value"): _*)
+    case None => alignedGrid(spark, t, sel, p, func)
+  }
+
+  private def alignedGrid(
       spark: SparkSession, t: SeriesTable, sel: Selector,
       p: EvalParams, func: String): DataFrame = {
     import spark.implicits._

@@ -184,6 +184,30 @@ object Prom {
               |SELECT s.ts, round((sv - av) * 10, 4) AS "value"
               |FROM s JOIN a ON s.ts = a.ts""".stripMargin)),
 
+    // ---- @ modifier: pin evaluation to one instant, replicate across the
+    //      grid (every step reports the state as of 2024-01-10 12:00:00)
+    q("q74_promql_at_modifier", "events @ 1704888000",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |pinned AS (
+             |  SELECT s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= TIMESTAMP '2024-01-10 12:00:00'
+             |        AND e.ts > TIMESTAMP '2024-01-10 12:00:00' - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM series s)
+             |SELECT p.event_type, g.gts AS ts, round(p.v, 4) AS "value"
+             |FROM pinned p CROSS JOIN grid g WHERE p.v IS NOT NULL""".stripMargin)),
+
+    // ---- element-wise math over a rate vector (clamp_max ∘ abs)
+    q("q75_promql_math", "clamp_max(abs(rate(events[1h])), 0.02)",
+      Some(s"""SELECT event_type, ts,
+              |  round(least(abs(raw), 0.02), 4) AS "value"
+              |FROM (${extrapolatedSql(counter = true, perSecond = true)})""".stripMargin)),
+
     // ---- Prometheus remote read (promql/remote.rs:44,60-120): __name__
     //      selects the table, matchers filter, raw samples ship unaligned —
     //      pure SQL selection, so the oracle is direct

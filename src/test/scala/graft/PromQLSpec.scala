@@ -53,6 +53,34 @@ class PromQLSpec extends SparkSpec {
     intercept[IllegalArgumentException](PromQL.parse("topk(0, m)"))
   }
 
+  test("parser + eval: @ modifier and math functions") {
+    assert(PromQL.parse("m @ 100") ==
+      VectorSelector(Selector("m", Nil, None, 0L, Some(100000L))))
+    assert(PromQL.parse("m offset 5m @ 100.5") ==
+      VectorSelector(Selector("m", Nil, None, 300000L, Some(100500L))))
+    assert(PromQL.parse("abs(m)") ==
+      MathFunc("abs", VectorSelector(Selector("m", Nil, None))))
+    assert(PromQL.parse("clamp_max(rate(m[1m]), 2.5)") ==
+      MathFunc("clamp_max", RangeFunc("rate", Selector("m", Nil, Some(60000L))),
+        Seq(2.5)))
+    intercept[IllegalArgumentException](PromQL.parse("clamp_min(m)"))
+
+    import spark.implicits._
+    val df = Seq(
+      (new java.sql.Timestamp(100000L), "a", -3.7),
+      (new java.sql.Timestamp(160000L), "a", 2.2)).toDF("ts", "host", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host"))
+    val p = EvalParams(startMs = 100000L, endMs = 220000L, stepMs = 60000L)
+    def run(q: String) = PromQL.eval(spark, bind, q, p)
+      .orderBy("ts").collect().map(_.getAs[Double]("value")).toSeq
+
+    assert(run("abs(m)") == Seq(3.7, 2.2, 2.2))
+    assert(run("ceil(m)") == Seq(-3.0, 3.0, 3.0))
+    assert(run("clamp_max(m, 0)") == Seq(-3.7, 0.0, 0.0))
+    // @ 100s pins every step to the value at t=100s
+    assert(run("m @ 100") == Seq(-3.7, -3.7, -3.7))
+  }
+
   test("topk/quantile/binops end-to-end over a three-series table") {
     import spark.implicits._
     val t0 = 100000L
