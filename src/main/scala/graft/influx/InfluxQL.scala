@@ -69,10 +69,14 @@ object InfluxQL {
   final case class Cond(lhs: String, op: String, value: String, isTime: Boolean,
       valueIsNumber: Boolean)
   final case class SelectStmt(
-      projections: Seq[Projection], measurement: String,
+      projections: Seq[Projection], source: Either[String, SelectStmt],
       conds: Seq[Cond], groupTime: Option[String], groupTags: Seq[String],
       fill: Option[String] = None, limit: Option[Int] = None,
-      slimit: Option[Int] = None)
+      slimit: Option[Int] = None) {
+    /** Measurement name for table-backed statements. */
+    def measurement: String = source.left.getOrElse(
+      throw new IllegalArgumentException("statement reads from a subquery"))
+  }
 
   private val aggFns = Set("count", "sum", "mean", "min", "max", "first", "last")
 
@@ -87,12 +91,16 @@ object InfluxQL {
     * mode := none | null | previous | linear | <number>
     * }}} */
   def parseSelect(q: String): SelectStmt = {
-    val re = ("""(?is)^SELECT\s+(.*?)\s+FROM\s+([\w"]+)""" +
+    // FROM either a measurement name or a parenthesized subquery (InfluxQL
+    // aggregate-of-aggregate downsampling); the subquery body is extracted
+    // by paren matching before the outer clause regex runs
+    val (body, source) = extractFrom(q.trim)
+    val re = ("""(?is)^SELECT\s+(.*?)\s+FROM\s+__SRC__""" +
       """(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+(.*?))?""" +
       """(?:\s+fill\(\s*(none|null|previous|linear|-?[\d.]+)\s*\))?""" +
       """(?:\s+LIMIT\s+(\d+))?(?:\s+SLIMIT\s+(\d+))?\s*$""").r
-    q match {
-      case re(projs, meas, whereOpt, groupOpt, fillOpt, limitOpt, slimitOpt) =>
+    body match {
+      case re(projs, whereOpt, groupOpt, fillOpt, limitOpt, slimitOpt) =>
         val projections = splitTop(projs).map(parseProjection)
         val conds = Option(whereOpt).map(w =>
           w.split("(?i)\\s+AND\\s+").toSeq.map(parseCond)).getOrElse(Nil)
@@ -108,11 +116,41 @@ object InfluxQL {
             }
           }
         }
-        SelectStmt(projections, unquote(meas),
+        SelectStmt(projections, source,
           conds, groupTime, groupTags.result(),
           Option(fillOpt).map(_.toLowerCase),
           Option(limitOpt).map(_.toInt), Option(slimitOpt).map(_.toInt))
       case _ => throw new IllegalArgumentException(s"unsupported InfluxQL: $q")
+    }
+  }
+
+  /** Replace the FROM source with a placeholder and return it parsed:
+    * `... FROM meas ...` or `... FROM ( select ) ...` (paren-matched). */
+  private def extractFrom(q: String): (String, Either[String, SelectStmt]) = {
+    val fromRe = """(?is)\bFROM\s+""".r
+    val m = fromRe.findFirstMatchIn(q).getOrElse(
+      throw new IllegalArgumentException(s"unsupported InfluxQL: $q"))
+    val rest = q.substring(m.end)
+    if (rest.startsWith("(")) {
+      var depth = 0; var i = 0; var end = -1
+      while (i < rest.length && end < 0) {
+        rest(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(end > 0, s"unbalanced parens in: $q")
+      val inner = rest.substring(1, end).trim
+      (q.substring(0, m.end) + "__SRC__" + rest.substring(end + 1),
+        Right(parseSelect(inner)))
+    } else {
+      val nameRe = """^[\w".]+""".r
+      val name = nameRe.findFirstIn(rest).getOrElse(
+        throw new IllegalArgumentException(s"bad FROM in: $q"))
+      (q.substring(0, m.end) + "__SRC__" + rest.substring(name.length),
+        Left(unquote(name)))
     }
   }
 
@@ -163,9 +201,20 @@ object InfluxQL {
   // ------------------------------------------------------------- lowering
 
   private def lower(engine: TsdbEngine, s: SelectStmt): DataFrame = {
-    val schema = engine.catalog.get(s.measurement)
-    val tsCol = schema.timestampKey
-    var df = engine.read(s.measurement)
+    // resolve FROM: an engine table, or a lowered subquery whose time
+    // column is named `time` (raw selects alias it; grouped selects emit
+    // their bucket as `time`) and whose series keys are its GROUP BY tags
+    val (source, tsCol, tableTags) = s.source match {
+      case Left(meas) =>
+        val schema = engine.catalog.get(meas)
+        (engine.read(meas), schema.timestampKey, schema.tagColumns.map(_.name))
+      case Right(inner) =>
+        val df = lower(engine, inner)
+        require(df.columns.contains("time"),
+          "subquery must expose a `time` column (raw select or GROUP BY time())")
+        (df, "time", inner.groupTags)
+    }
+    var df = source
 
     def timeLit(c: Cond): Column =
       // ns epoch literals compare at the engine's micros precision (the
@@ -189,7 +238,7 @@ object InfluxQL {
     val isAgg = s.projections.exists(_.agg.isDefined)
     if (!isAgg) {
       // SLIMIT on raw points: keep the first n series in tag order
-      val seriesCols = schema.tagColumns.map(_.name)
+      val seriesCols = tableTags
       s.slimit.filter(_ => seriesCols.nonEmpty).foreach { n =>
         df = df.join(broadcast(firstNSeries(df, seriesCols, n)),
           seriesCols, "left_semi")

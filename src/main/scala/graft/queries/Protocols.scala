@@ -154,6 +154,30 @@ object Protocols {
           .withColumn("total", round(col("total"), 4))
       }),
 
+    // ---- InfluxQL subquery: aggregate-of-aggregate downsampling (mean of
+    //      per-hour maxima per series) — the classic Grafana shape
+    GraftQuery("q76_influx_subquery",
+      // outer aggregates are max/min/count: order-independent, so the hash
+      // check is exact (an outer MEAN of doubles differs in the last ulp by
+      // summation order — that shape is unit-tested on an exact fixture in
+      // ProtocolsSpec instead)
+      Some("""WITH hourly AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS t,
+             |    event_type, max("value") AS m
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, round(max(m), 4) AS hi, round(min(m), 4) AS lo,
+             |  count(m) AS n_hours
+             |FROM hourly GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT max(m) AS hi, min(m) AS lo, count(m) AS n_hours FROM
+            |  (SELECT max(value) AS m FROM events GROUP BY time(1h), event_type)
+            |GROUP BY event_type""".stripMargin)
+          .withColumn("hi", round(col("hi"), 4))
+          .withColumn("lo", round(col("lo"), 4))
+      }),
+
     // ---- InfluxQL: SHOW MEASUREMENTS (→ ShowTables, influxql/planner.rs);
     //      one line suffices to exercise auto-create + listing
     GraftQuery("q48_influx_show_measurements",

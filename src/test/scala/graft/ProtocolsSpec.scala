@@ -183,6 +183,35 @@ class ProtocolsSpec extends SparkSpec {
     assert(g.map(_.getAs[String]("host")).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("InfluxQL subquery: aggregate-of-aggregate downsampling") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-sub").toString)
+    val base = 1704067200000000000L // 2024-01-01 00:00 ns
+    LineProtocol.ingest(e, Seq(
+      s"cpu,host=a usage=1.0 ${base}",
+      s"cpu,host=a usage=9.0 ${base + 30_000_000_000L}",   // same minute, max=9
+      s"cpu,host=a usage=5.0 ${base + 60_000_000_000L}",   // next minute, max=5
+      s"cpu,host=b usage=3.0 ${base}",                     // minute 0, max=3
+      s"cpu,host=b usage=7.0 ${base + 120_000_000_000L}"   // minute 2, max=7
+    ).toDS())
+    // inner: per-minute per-host max; outer: mean of those maxima per host
+    val out = InfluxQL.run(e,
+      """SELECT mean(m) AS mm FROM
+        |  (SELECT max(usage) AS m FROM cpu GROUP BY time(1m), host)
+        |GROUP BY host""".stripMargin)
+      .orderBy("host").collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Double]("mm"))).toSeq
+    assert(out == Seq(("a", 7.0), ("b", 5.0)), s"got $out") // (9+5)/2, (3+7)/2
+    // outer time filter + re-bucketing over the inner grid
+    val rb = InfluxQL.run(e,
+      """SELECT sum(m) AS s FROM
+        |  (SELECT max(usage) AS m FROM cpu GROUP BY time(1m))
+        |WHERE time >= '2024-01-01 00:00:00' GROUP BY time(2m)""".stripMargin)
+      .orderBy("time").collect().map(_.getAs[Double]("s")).toSeq
+    assert(rb == Seq(14.0, 7.0), s"got $rb") // minutes {0,1} then {2}
+  }
+
   test("OpenTSDB: aggregators, literal_or filters, inclusive time bounds") {
     import spark.implicits._
     val df = Seq(
