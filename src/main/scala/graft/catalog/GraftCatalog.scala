@@ -54,11 +54,12 @@ final class GraftCatalog(val warehouse: String) {
     m.nextSeq > m.compactedSeq.getOrElse(0L)
   }
 
-  /** Flip the manifest to the new generation; the seq floor records that all
-    * batches reserved so far are deduped in it. */
-  def markCompacted(name: String, newGen: Int): Unit = synchronized {
+  /** Flip the manifest to the new generation. The seq floor is the nextSeq
+    * observed when the compaction SCAN started — a batch reserved after the
+    * scan is not in the rewrite and must stay above the floor. */
+  def markCompacted(name: String, newGen: Int, seqFloor: Long): Unit = synchronized {
     val m = manifest(name)
-    writeManifest(name, m.copy(dataGen = Some(newGen), compactedSeq = Some(m.nextSeq)))
+    writeManifest(name, m.copy(dataGen = Some(newGen), compactedSeq = Some(seqFloor)))
   }
 
   def exists(name: String): Boolean = Files.exists(manifestPath(name))
@@ -88,14 +89,7 @@ final class GraftCatalog(val warehouse: String) {
       if (ifExists) return false
       throw new IllegalStateException(s"table '$name' does not exist")
     }
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.iterator().asScala.foreach(rm) finally s.close()
-      }
-      Files.deleteIfExists(p)
-    }
-    rm(tableDir(name))
+    GraftCatalog.deleteRecursively(tableDir(name))
     true
   }
 
@@ -173,6 +167,17 @@ final class GraftCatalog(val warehouse: String) {
     Files.move(tmp, manifestPath(name),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+object GraftCatalog {
+  /** Shared recursive delete (used by table drop and compaction GC). */
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 }
 

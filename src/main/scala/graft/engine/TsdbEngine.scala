@@ -213,18 +213,26 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     *     (overwrite mode) and row-level TTL filtered, into the NEXT
     *     generation directory — a distributed window + parquet write,
     *     partition-parallel end-to-end;
-    *  3. flip the manifest to the new generation and record the seq floor:
-    *     until the next append, reads skip the dedup window entirely, and
-    *     the window's shuffle afterwards is bounded by live data, not
-    *     accumulated history.
+    *  3. flip the manifest to the new generation and record the seq floor
+    *     (the nextSeq observed BEFORE the rewrite scan — later batches stay
+    *     above it): until the next append, reads skip the dedup window
+    *     entirely, and the window's shuffle afterwards is bounded by live
+    *     data, not accumulated history.
     *
     * Readers hold no locks: they resolve the directory through the manifest,
-    * which flips atomically (tmp + ATOMIC_MOVE).
+    * which flips atomically (tmp + ATOMIC_MOVE); the superseded generation
+    * is kept for one more compaction cycle so already-planned scans can
+    * finish, then garbage-collected. WRITES must be serialized with
+    * compaction per table (call `maybeCompact` from the ingest loop itself,
+    * like the reference's per-table serial executor,
+    * analytic_engine/src/table/mod.rs) — an append racing a concurrent
+    * compact could land in the old generation and be dropped with it.
     */
   def compact(name: String, nowMs: Long = System.currentTimeMillis()): Unit = {
     purgeExpiredSegments(name, nowMs)
     val s = catalog.get(name)
     val (gen, _) = catalog.compactionState(name)
+    val seqFloor = catalog.nextSeqOf(name)
     val storage = readStorage(s)
 
     var df = s.options.updateMode match {
@@ -258,8 +266,12 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     val newDir = catalog.genDataDir(name, gen + 1)
     val w = df.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(newDir)
-    catalog.markCompacted(name, gen + 1)
-    deleteDir(java.nio.file.Paths.get(catalog.genDataDir(name, gen)))
+    catalog.markCompacted(name, gen + 1, seqFloor)
+    // grace-period GC: keep the generation we just superseded (in-flight
+    // readers may still hold plans over it); drop everything OLDER
+    (0 until gen).foreach { g =>
+      GraftCatalog.deleteRecursively(java.nio.file.Paths.get(catalog.genDataDir(name, g)))
+    }
   }
 
   /** Compaction scheduling policy (the reference picks strategies via the
@@ -300,18 +312,10 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
         } finally stream.close()
         segDirs.flatMap { p =>
           val k = p.getFileName.toString.stripPrefix(TableSchema.SegmentColumn + "=").toLong
-          if ((k + 1) * seg <= horizon) { deleteDir(p); Some(k) } else None
+          if ((k + 1) * seg <= horizon) { GraftCatalog.deleteRecursively(p); Some(k) } else None
         }
       case _ => Nil
     }
-  }
-
-  private def deleteDir(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      try s.iterator().asScala.foreach(deleteDir) finally s.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
   }
 
   private def coerce(lit: Literal, c: ColumnSpec): Any = {
@@ -380,21 +384,32 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     val tables = catalog.list()
     val cleaned = sql.replaceAll("(?i)system\\.public\\.tables", "system_public_tables")
     val plan = spark.sessionState.sqlParser.parsePlan(cleaned)
-    validateNoInternalAccess(plan)
+    // CTE bodies are NOT tree children of UnresolvedWith (collect/transform
+    // skip them), so walk the main plan plus every CTE subplan explicitly
+    val plans = allPlans(plan)
+    // CTE-defined names are NOT catalog references — they shadow tables
+    // (Spark resolves them case-insensitively), so exclude them from the
+    // validators below
+    val cteNames: Set[String] = plans.flatMap(_.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1)
+    }.flatten).toSet
+    def isCte(n: String): Boolean = cteNames.exists(_.equalsIgnoreCase(n))
+    plans.foreach(p => validateNoInternalAccess(p, isCte))
     // scope the epoch-integer rewrite to the timestamp keys of the tables
     // THIS query references — a same-named plain int column in an
     // unrelated table must not trigger it
-    val referenced = plan.collect {
+    val referenced = plans.flatMap(_.collect {
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         r.multipartIdentifier.last
-    }.toSet
+    }).toSet
     // table identifiers resolve CASE-SENSITIVELY like the reference
     // (cases/common/dml/case_sensitive.sql: CASE_SENSITIVE_TABLE1 is "not
     // found" when the table was created as case_SENSITIVE_table1). Spark's
     // view resolution is case-insensitive, so reject the near-miss here;
     // column-level case-insensitivity remains a documented deviation.
     val tableSet = tables.toSet
-    referenced.filterNot(_ == "system_public_tables").foreach { n =>
+    referenced.filterNot(_ == "system_public_tables").filterNot(isCte).foreach { n =>
       if (!tableSet.contains(n) && tableSet.exists(_.equalsIgnoreCase(n)))
         throw new IllegalArgumentException(
           s"Table is not found, table:$n (table identifiers are case-sensitive)")
@@ -413,6 +428,15 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     GraftBridge.ofRows(spark, EpochMillisRewrite(plan, tsColumns))
   }
 
+  /** The main plan plus every CTE subplan, recursively — `cteRelations`
+    * are held as a field of UnresolvedWith, not as tree children, so plain
+    * collect/transform never visit them. */
+  private def allPlans(plan: LogicalPlan): Seq[LogicalPlan] =
+    plan +: plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.flatMap(c => allPlans(c._2))
+    }.flatten
+
   /** Statement validator (reference: interpreters/src/validator.rs:41-47 —
     * direct reads/writes of a partitioned table's physical sub-tables are
     * rejected). The storage internals here are the `__seq`/`__subseq`/
@@ -420,13 +444,15 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     * SQL must never address them — the dedup window, TTL filter, and
     * bucket pruning all assume the engine owns those columns.
     */
-  private def validateNoInternalAccess(plan: LogicalPlan): Unit = {
+  private def validateNoInternalAccess(
+      plan: LogicalPlan, isCte: String => Boolean = _ => false): Unit = {
     val internalCols = Set(TableSchema.SeqColumn, TableSchema.SubSeqColumn,
       TableSchema.SegmentColumn, TableSchema.BucketColumn)
     plan.foreach { node =>
       node match {
         case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-            if r.multipartIdentifier.last.startsWith("__") =>
+            if r.multipartIdentifier.last.startsWith("__") &&
+               !isCte(r.multipartIdentifier.last) =>
           throw new IllegalArgumentException(
             s"cannot access internal table '${r.multipartIdentifier.last}'")
         case _ =>
@@ -495,6 +521,14 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
   */
 object EpochMillisRewrite {
   def apply(plan: LogicalPlan, tsColumns: Set[String]): LogicalPlan = {
+    // CTE bodies are a field, not children — rewrite them explicitly first
+    val withCtes = plan.transform {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, sub, m) =>
+          (n, apply(sub, tsColumns)
+            .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias], m)
+        })
+    }
     def isTsAttr(e: Expression): Boolean = e match {
       case a: UnresolvedAttribute => tsColumns.contains(a.nameParts.last)
       case _ => false
@@ -506,7 +540,7 @@ object EpochMillisRewrite {
     }
     def isIntegral(l: CLiteral): Boolean =
       l.dataType == LongType || l.dataType == IntegerType
-    plan.transformAllExpressions {
+    withCtes.transformAllExpressions {
       case cmp: BinaryComparison if isTsAttr(cmp.left) &&
           cmp.right.isInstanceOf[CLiteral] &&
           isIntegral(cmp.right.asInstanceOf[CLiteral]) =>

@@ -318,9 +318,11 @@ object InfluxQL {
 
   /** Materialize empty buckets and fill them. The grid spans
     * [bucket(lower), bucket(upper)] — explicit WHERE time bounds when
-    * given, the series' observed min/max otherwise (InfluxDB likewise only
-    * fills series it saw) — generated per observed series via `sequence()`
-    * + explode: pure column ops, so grids of any size stay distributed.
+    * given, otherwise EACH SERIES' observed min/max (InfluxDB only fills a
+    * series within its own lifetime) — generated per observed series via
+    * `sequence()` + explode: pure column ops, so grids of any size stay
+    * distributed. An inverted range (empty WHERE window) yields zero rows
+    * rather than a sequence error.
     *
     * Modes: `null` → grid rows keep null aggregates; `<number>` → nulls
     * become the constant; `previous` → last non-null earlier bucket of the
@@ -337,16 +339,37 @@ object InfluxQL {
     val aggCols = agg.schema.fields
       .filterNot(f => f.name == timeCol || tagCols.contains(f.name))
 
-    val bounds = agg.agg(min(col(timeCol)).as("__dlo"), max(col(timeCol)).as("__dhi"))
-    val loC = lo.map(bucketOf).getOrElse(col("__dlo"))
-    val hiC = hi.map(bucketOf).getOrElse(col("__dhi"))
+    // explicit WHERE bounds are literal expressions: evaluate their buckets
+    // NOW (a 1-row local query — resolves timezone-aware literals) — an
+    // all-literal inverted sequence() would throw during constant folding,
+    // before any runtime filter could guard it
+    def evalUs(c: Column): Long = agg.sparkSession.range(1)
+      .select(unix_micros(bucketOf(c))).head().getLong(0)
+    val loLit = lo.map(evalUs)
+    val hiLit = hi.map(evalUs)
+    if (loLit.isDefined && hiLit.isDefined && loLit.get > hiLit.get)
+      // empty window: zero rows, same output shape
+      return agg.filter(lit(false))
+        .select((tagCols.map(col) :+ col(timeCol)) ++
+          aggCols.map(f => col(f.name)): _*)
+
+    // one row per observed series carrying its own time bounds (doubles as
+    // the distinct-series frame, so no separate bounds job)
     val series =
-      if (tagCols.nonEmpty) agg.select(tagCols.map(col): _*).distinct()
-        .crossJoin(broadcast(bounds))
-      else bounds
-    val grid = series.select(tagCols.map(col) :+
-      explode(sequence(loC, hiC, expr(s"INTERVAL $stepN $stepUnit")))
-        .as(timeCol): _*)
+      if (tagCols.nonEmpty)
+        agg.groupBy(tagCols.map(col): _*)
+          .agg(min(col(timeCol)).as("__dlo"), max(col(timeCol)).as("__dhi"))
+      else agg.agg(min(col(timeCol)).as("__dlo"), max(col(timeCol)).as("__dhi"))
+    val loC = loLit.map(us => timestamp_micros(lit(us))).getOrElse(col("__dlo"))
+    val hiC = hiLit.map(us => timestamp_micros(lit(us))).getOrElse(col("__dhi"))
+    val grid = series
+      // no observed data → no rows (even with explicit bounds, like
+      // InfluxDB); a runtime-inverted window (explicit bound vs data
+      // bound) → no rows rather than a sequence error
+      .filter(col("__dlo").isNotNull && loC <= hiC)
+      .select(tagCols.map(col) :+
+        explode(sequence(loC, hiC, expr(s"INTERVAL $stepN $stepUnit")))
+          .as(timeCol): _*)
     val joined = grid.join(agg, tagCols :+ timeCol, "left")
       .select((tagCols.map(col) :+ col(timeCol)) ++
         aggCols.map(f => col(f.name)): _*)

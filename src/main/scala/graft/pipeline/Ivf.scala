@@ -62,13 +62,15 @@ object Ivf {
   def assignColumn(emb: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.col(NearestCentroid(GraftBridge.expr(emb), centroids))
 
-  /** ANN top-k: probe the `nprobe` nearest buckets, exact re-rank inside. */
-  def ivfTopK(
+  /** ANN top-k against a PRE-TRAINED index: probe the `nprobe` nearest
+    * buckets, exact re-rank inside. This is the per-query path — train
+    * once with [[train]] (and persist the assignment column, ideally as a
+    * partition column so probing becomes directory pruning), then answer
+    * many queries against the same centroid matrix. */
+  def ivfTopKWith(
       embDf: DataFrame, idCol: String, embCol: String,
-      query: Array[Double], k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    val centroids = train(embDf, idCol, embCol, nlist, iters, seed)
+      centroids: Array[Array[Double]],
+      query: Array[Double], k: Int, nprobe: Int = 4): DataFrame = {
     val qn = normalize(query)
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (i, dot(qn, c)) }
@@ -81,6 +83,17 @@ object Ivf {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** Convenience single-shot: train + probe. For repeated queries use
+    * [[train]] + [[ivfTopKWith]] — retraining per lookup costs full corpus
+    * passes. */
+  def ivfTopK(
+      embDf: DataFrame, idCol: String, embCol: String,
+      query: Array[Double], k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      seed: Long = 42L): DataFrame =
+    ivfTopKWith(embDf, idCol, embCol,
+      train(embDf, idCol, embCol, nlist, iters, seed), query, k, nprobe)
 
   private[pipeline] def toDoubles(xs: Seq[Any]): Array[Double] =
     xs.map {

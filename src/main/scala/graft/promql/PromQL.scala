@@ -132,8 +132,16 @@ object PromQL {
     private def number(): Double = {
       ws()
       val start = i
+      if (i < s.length && (s(i) == '-' || s(i) == '+')) i += 1
+      val digits = i
       while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
-      if (i == start) fail("expected number")
+      if (i == digits) { i = start; fail("expected number") }
+      // scientific notation: 1.7e9, 2E-3
+      if (i < s.length && (s(i) == 'e' || s(i) == 'E')) {
+        i += 1
+        if (i < s.length && (s(i) == '-' || s(i) == '+')) i += 1
+        while (i < s.length && s(i).isDigit) i += 1
+      }
       s.substring(start, i).toDouble
     }
 
@@ -145,7 +153,11 @@ object PromQL {
         expect(')')
         return e
       }
-      if (peek.isDigit || peek == '.') return NumberLit(number())
+      // operand position: a leading '-' here is a numeric sign, not the
+      // binary operator (parseExpr/parseMul consume operators themselves)
+      if (peek.isDigit || peek == '.' ||
+          (peek == '-' && i + 1 < s.length && (s(i + 1).isDigit || s(i + 1) == '.')))
+        return NumberLit(number())
       val save = i
       val name = ident()
       ws()

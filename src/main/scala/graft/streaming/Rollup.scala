@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
+/** Serializes the `spark.sql.shuffle.partitions` pin that stateful-replay
+  * helpers use to right-size their state stores. The conf is session-global
+  * and is captured by a stream when its FIRST batch plans, so the set /
+  * run / restore section must be mutually exclusive — without the lock,
+  * two concurrent helpers could each save the other's pinned value and
+  * leave the session permanently altered (and any batch query running
+  * meanwhile would silently shuffle at the pinned width).
+  */
+private[streaming] object StreamConf {
+  def withStatePartitions[A](
+      spark: SparkSession, n: Int)(body: => A): A = synchronized {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+}
+
 /** Streaming tumbling-window rollups: the Spark-side extension of the
   * reference's ingest path (SURVEY §2.9 — HoraeDB has no streaming
   * operators; time_bucket-style rollups over a stream are the natural
@@ -52,9 +70,7 @@ object Rollup {
     // store instance whose per-trigger checkpoint cost is fixed overhead;
     // rollup state is (windows × series), which wants far fewer partitions
     // than a data shuffle. Pinned at the stream's first run from this conf.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    StreamConf.withStatePartitions(spark, 8) {
       val q = windowAgg(spark, dir, glob, schema, nanosTs, tsCol, tagCol, valueCol,
           windowDur, Some(watermarkDelay))
         .writeStream
@@ -68,7 +84,7 @@ object Rollup {
         .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     engine.read(table)
   }
 

@@ -101,9 +101,7 @@ object SeriesRate {
         col(valueCol).cast("double").as("value"))
       .as[SampleIn]
 
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    StreamConf.withStatePartitions(spark, 8) {
       // finite replay: no idle timeout (see rateStream scaladoc)
       val q = rateStream(samples, idleTimeout = None)
         .select(expr("timestamp_micros(tsUs)").as("ts"),
@@ -116,7 +114,7 @@ object SeriesRate {
         .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     engine.read(table)
   }
 }

@@ -64,6 +64,13 @@ class PromQLSpec extends SparkSpec {
       MathFunc("clamp_max", RangeFunc("rate", Selector("m", Nil, Some(60000L))),
         Seq(2.5)))
     intercept[IllegalArgumentException](PromQL.parse("clamp_min(m)"))
+    // negative and scientific-notation scalars
+    assert(PromQL.parse("clamp_min(m, -5)") ==
+      MathFunc("clamp_min", VectorSelector(Selector("m", Nil, None)), Seq(-5.0)))
+    assert(PromQL.parse("m * -2") ==
+      BinExpr("*", VectorSelector(Selector("m", Nil, None)), NumberLit(-2.0)))
+    assert(PromQL.parse("m @ 1.7e9") ==
+      VectorSelector(Selector("m", Nil, None, 0L, Some(1700000000000L))))
 
     import spark.implicits._
     val df = Seq(

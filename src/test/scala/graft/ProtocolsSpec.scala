@@ -149,6 +149,32 @@ class ProtocolsSpec extends SparkSpec {
         |GROUP BY time(1h) fill(0)""".stripMargin).orderBy("time").collect()
     assert(bounded.length == 6, s"got ${bounded.length} buckets")
     assert(bounded.map(_.getAs[Double]("s")).toSeq == Seq(6.0, 0.0, 0.0, 8.0, 0.0, 0.0))
+    // empty/inverted WHERE window: zero rows, not a sequence error
+    assert(InfluxQL.run(e,
+      """SELECT sum(usage) AS s FROM cpu
+        |WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-02 00:00:00'
+        |GROUP BY time(1h) fill(0)""".stripMargin).count() == 0)
+  }
+
+  test("InfluxQL fill(): grid is bounded per series, not globally") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-fill-series").toString)
+    // host=a lives in hours 0-1; host=b only in hour 5
+    LineProtocol.ingest(e, Seq(
+      "cpu,host=a usage=1.0 1704067200000000000",   // 00:00
+      "cpu,host=a usage=2.0 1704070800000000000",   // 01:00
+      "cpu,host=b usage=9.0 1704085200000000000"    // 05:00
+    ).toDS())
+    val rows = InfluxQL.run(e,
+      "SELECT sum(usage) AS s FROM cpu GROUP BY time(1h), host fill(0)")
+      .collect().map(r => (r.getAs[String]("host"),
+        r.getAs[java.sql.Timestamp]("time").getTime)).toSeq
+    val h = 3600000L; val base = 1704067200000L
+    // a gets exactly its own 2 buckets, b exactly 1 — no fabricated rows in
+    // buckets outside each series' lifetime
+    assert(rows.sorted == Seq(("a", base), ("a", base + h), ("b", base + 5 * h)),
+      s"got ${rows.sorted}")
   }
 
   test("InfluxQL SHOW TAG KEYS / SHOW TAG VALUES / LIMIT / SLIMIT") {

@@ -205,6 +205,38 @@ class TsdbEngineSpec extends SparkSpec {
       e.runSql("SELECT * FROM `case_sensitive_t1`"))
   }
 
+  test("CTE names are not treated as catalog tables by the validators") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE events_cte (ts timestamp NOT NULL, v double, timestamp KEY(ts))
+        | ENGINE=Analytic WITH (enable_ttl='false')""".stripMargin)
+    e.execute("INSERT INTO events_cte (ts, v) VALUES (1, 1.0), (2, 2.0)")
+    // CTE whose name case-insensitively collides with a real table
+    assert(e.runSql(
+      """WITH Events_CTE AS (SELECT 42 AS x) SELECT * FROM Events_CTE""")
+      .head().getInt(0) == 42)
+    // __-prefixed CTE name is a user name, not an internal table
+    assert(e.runSql(
+      """WITH __totals AS (SELECT count(*) AS c FROM events_cte)
+        |SELECT c FROM __totals""".stripMargin).head().getLong(0) == 2L)
+  }
+
+  test("compaction keeps the superseded generation one cycle (reader grace)") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE gcx (ts timestamp NOT NULL, v double, timestamp KEY(ts))
+        | ENGINE=Analytic WITH (update_mode='overwrite')""".stripMargin)
+    e.execute("INSERT INTO gcx (ts, v) VALUES (1, 1.0)")
+    val gen0 = new java.io.File(e.catalog.genDataDir("gcx", 0))
+    e.compact("gcx")
+    assert(gen0.exists(), "gen 0 must survive one compaction cycle")
+    e.execute("INSERT INTO gcx (ts, v) VALUES (2, 2.0)")
+    e.compact("gcx")
+    assert(!gen0.exists(), "gen 0 must be GC'd by the second compaction")
+    assert(new java.io.File(e.catalog.genDataDir("gcx", 1)).exists())
+    assert(e.read("gcx").count() == 2)
+  }
+
   test("validator blocks internal storage columns and tables (validator.rs parity)") {
     val e = engine()
     e.execute(
