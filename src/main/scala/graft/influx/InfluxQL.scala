@@ -217,10 +217,24 @@ object InfluxQL {
     var df = source
 
     def timeLit(c: Cond): Column =
-      // ns epoch literals compare at the engine's micros precision (the
-      // stored resolution) — truncating to ms would misplace sub-ms bounds
-      if (c.valueIsNumber) timestamp_micros(lit(c.value.toLong / 1000L))
-      else to_timestamp(lit(c.value))
+      // epoch literals: bare = nanoseconds (InfluxQL default), with the
+      // s/ms/u duration suffixes (reference golden uses `...000ms`);
+      // compared at the engine's micros precision — truncating to ms would
+      // misplace sub-ms bounds
+      if (c.valueIsNumber) {
+        val re = """(\d+)(ns|ms|u|s)?""".r
+        val us = c.value match {
+          case re(n, suffix) => suffix match {
+            case null | "ns" => n.toLong / 1000L
+            case "u"         => n.toLong
+            case "ms"        => n.toLong * 1000L
+            case "s"         => n.toLong * 1000000L
+          }
+          case other =>
+            throw new IllegalArgumentException(s"bad time literal '$other'")
+        }
+        timestamp_micros(lit(us))
+      } else to_timestamp(lit(c.value))
 
     s.conds.foreach { c =>
       val lhs: Column = if (c.isTime) col(tsCol) else col(c.lhs)
@@ -276,9 +290,12 @@ object InfluxQL {
         if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
         else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
 
-      // fill(): only meaningful with a time bucket; fill(none) is the
-      // default behavior (buckets without points are absent)
-      (s.fill, s.groupTime) match {
+      // fill(): only meaningful with a time bucket. InfluxDB's DEFAULT for
+      // GROUP BY time() is fill(null) — empty buckets materialize with null
+      // aggregates (reference golden cases/env/local/influxql/basic.result:
+      // the un-filled 5m grid reports count=null rows); fill(none) opts out
+      val effFill = s.fill.orElse(if (s.groupTime.isDefined) Some("null") else None)
+      (effFill, s.groupTime) match {
         case (Some(mode), Some(d)) if mode != "none" =>
           val lo = s.conds.find(c => c.isTime && (c.op == ">=" || c.op == ">"))
             .map(timeLit)

@@ -291,6 +291,63 @@ class GoldenSpec extends SparkSpec {
     assert(close(grouped("arm"), 115L), s"arm ${grouped("arm")} vs truth 115")
   }
 
+  // ---- cases/env/local/influxql/basic.sql(.result): the reference's own
+  //      InfluxQL battery over h2o_feet, checked against the committed
+  //      .result values — including the un-filled 5m grid that reports
+  //      count=null holes (IOx default fill(null)) and fill(666)
+  test("influxql basic matches the reference goldens (h2o_feet)") {
+    import graft.influx.InfluxQL
+    val e = engine()
+    e.execute(
+      """CREATE TABLE `h2o_feet` (
+        |  `time` timestamp NOT NULL, `level_description` string TAG,
+        |  `location` string TAG, `water_level` double,
+        |  timestamp KEY (time)) ENGINE = Analytic WITH (enable_ttl = 'false');
+        |INSERT INTO h2o_feet(time, level_description, location, water_level)
+        |  VALUES
+        |    (1439827200000, "between 6 and 9 feet", "coyote_creek", 8.12),
+        |    (1439827200000, "below 3 feet", "santa_monica", 2.064),
+        |    (1439827560000, "between 6 and 9 feet", "coyote_creek", 8.005),
+        |    (1439827560000, "below 3 feet", "santa_monica", 2.116),
+        |    (1439827620000, "between 6 and 9 feet", "coyote_creek", 7.887),
+        |    (1439827620000, "below 3 feet", "santa_monica", 2.028)""".stripMargin)
+
+    // tag-filtered projection (golden: three santa_monica rows in time order)
+    val proj = InfluxQL.run(e,
+      """SELECT "level_description", location, water_level FROM "h2o_feet"
+        |where location = 'santa_monica'""".stripMargin).collect()
+    assert(proj.map(_.getAs[Double]("water_level")).toSeq == Seq(2.064, 2.116, 2.028))
+
+    assert(InfluxQL.run(e, "show measurements")
+      .collect().map(_.getString(0)).toSeq == Seq("h2o_feet"))
+
+    // grouped count (golden: 3 per location)
+    val counts = InfluxQL.run(e,
+      "SELECT count(water_level) FROM \"h2o_feet\" group by location")
+      .collect().map(r => (r.getAs[String]("location"), r.getAs[Long]("count"))).toSeq
+    assert(counts.sorted == Seq(("coyote_creek", 3L), ("santa_monica", 3L)))
+
+    // ms-suffixed epoch bound + 5m grid, DEFAULT fill: the golden reports
+    // null holes out to the explicit bound for both series
+    def grid(fill: String): Seq[(String, Long, Option[Long])] = InfluxQL.run(e,
+      s"""SELECT count(water_level) FROM "h2o_feet"
+         |where time < 1439828400000ms
+         |group by location, time(5m) $fill""".stripMargin)
+      .collect().map(r => (r.getAs[String]("location"),
+        r.getAs[java.sql.Timestamp]("time").getTime,
+        Option(r.get(r.fieldIndex("count"))).map(_.asInstanceOf[Long])))
+      .toSeq.sorted
+    val t0 = 1439827200000L; val m5 = 300000L
+    assert(grid("") == Seq(
+      ("coyote_creek", t0, Some(1L)), ("coyote_creek", t0 + m5, Some(2L)),
+      ("coyote_creek", t0 + 2 * m5, None), ("coyote_creek", t0 + 3 * m5, None),
+      ("santa_monica", t0, Some(1L)), ("santa_monica", t0 + m5, Some(2L)),
+      ("santa_monica", t0 + 2 * m5, None), ("santa_monica", t0 + 3 * m5, None)),
+      s"got ${grid("")}")
+    // fill(666) (golden: holes become 666)
+    assert(grid("fill(666)").map(_._3.get).toSeq == Seq(1L, 2L, 666L, 666L, 1L, 2L, 666L, 666L))
+  }
+
   // ---- cases/common/dummy/select_1.sql(.result)
   test("select_1 matches the reference goldens") {
     val e = engine()

@@ -127,9 +127,12 @@ class ProtocolsSpec extends SparkSpec {
         Option(r.get(r.fieldIndex("s"))).map(_.asInstanceOf[Double])))
 
     val h = 3600000L; val base = 1704067200000L
-    // default (= fill(none)): only buckets with points
-    assert(q("").map(_._1).toSeq == Seq(base, base + 3 * h))
+    // DEFAULT is fill(null) (InfluxDB / reference golden semantics):
+    // the grid materializes with null holes; fill(none) opts out
+    assert(q("").toSeq == Seq(
+      (base, Some(6.0)), (base + h, None), (base + 2 * h, None), (base + 3 * h, Some(8.0))))
     assert(q("fill(none)").length == 2)
+    assert(q("fill(none)").map(_._1).toSeq == Seq(base, base + 3 * h))
     // null: grid materializes, holes stay null
     assert(q("fill(null)").toSeq == Seq(
       (base, Some(6.0)), (base + h, None), (base + 2 * h, None), (base + 3 * h, Some(8.0))))
