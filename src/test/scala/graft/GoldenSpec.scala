@@ -348,6 +348,63 @@ class GoldenSpec extends SparkSpec {
     assert(grid("fill(666)").map(_._3.get).toSeq == Seq(1L, 2L, 666L, 666L, 1L, 2L, 666L, 666L))
   }
 
+  // ---- cases/env/local/opentsdb/basic.sql(.result): raw datapoints with
+  //      and without tag filter, and the cross-series sum, checked against
+  //      the committed dps values
+  test("opentsdb basic matches the reference goldens") {
+    import graft.opentsdb.OpenTsdb
+    val e = engine()
+    e.execute(
+      """CREATE TABLE `opentsdb_table1` (
+        |  `time` timestamp NOT NULL, `level_description` string TAG,
+        |  `location` string TAG, `value` double,
+        |  timestamp KEY (time)) ENGINE = Analytic WITH (enable_ttl = 'false');
+        |INSERT INTO opentsdb_table1(time, level_description, location, value)
+        |  VALUES
+        |    (1439827200000, "between 6 and 9 feet", "coyote_creek", 8.12),
+        |    (1439827200000, "below 3 feet", "santa_monica", 2.064),
+        |    (1439827560000, "between 6 and 9 feet", "coyote_creek", 8.005),
+        |    (1439827560000, "below 3 feet", "santa_monica", 2.116),
+        |    (1439827620000, "between 6 and 9 feet", "coyote_creek", 7.887),
+        |    (1439827620000, "below 3 feet", "santa_monica", 2.028)""".stripMargin)
+    val bind = (_: String) => graft.promql.PromQL.SeriesTable(
+      e.read("opentsdb_table1"), "time", "value",
+      Seq("level_description", "location"))
+
+    def run(json: String) = {
+      val q = OpenTsdb.parseQuery(json)
+      OpenTsdb.runSub(q, q.queries.head, bind)
+    }
+    val span = """"start": 1439827200000, "end": 1439827620000"""
+
+    // none/all: every datapoint with its tag set (golden: two series x 3)
+    val all = run(s"""{$span, "queries": [{"aggregator": "none",
+                     |  "metric": "opentsdb_table1", "tags": {}}]}""".stripMargin)
+      .collect().map(r => (r.getAs[String]("location"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Double]("value"))).toSet
+    assert(all == Set(
+      ("santa_monica", 1439827200000L, 2.064), ("santa_monica", 1439827560000L, 2.116),
+      ("santa_monica", 1439827620000L, 2.028), ("coyote_creek", 1439827200000L, 8.12),
+      ("coyote_creek", 1439827560000L, 8.005), ("coyote_creek", 1439827620000L, 7.887)))
+
+    // tag-filtered none (golden: the coyote_creek series only)
+    val coyote = run(s"""{$span, "queries": [{"aggregator": "none",
+                        |  "metric": "opentsdb_table1",
+                        |  "tags": {"location": "coyote_creek"}}]}""".stripMargin)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(coyote == Seq(8.12, 8.005, 7.887))
+
+    // cross-series sum per timestamp (golden dps: 10.184, 10.121, 9.915) —
+    // the tags map groups, so location stays a key like the reference
+    val sums = run(s"""{$span, "queries": [{"aggregator": "sum",
+                      |  "metric": "opentsdb_table1", "tags": {}}]}""".stripMargin)
+      .orderBy("ts").collect().map(_.getAs[Double]("value")).toSeq
+    val expect = Seq(10.184, 10.121, 9.915)
+    assert(sums.size == 3 &&
+      sums.zip(expect).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+      s"got $sums")
+  }
+
   // ---- cases/common/dummy/select_1.sql(.result)
   test("select_1 matches the reference goldens") {
     val e = engine()
