@@ -187,6 +187,9 @@ object DdlParser {
       })
       if (isTsKeyConstraint) {
         p.next(); p.expectKw("KEY"); p.expectPunct("(")
+        // the reference rejects multiple timestamp keys
+        // (create_tables.sql "Multiple TIMESTAMP KEYs" golden)
+        if (tsKey.isDefined) p.fail("only one TIMESTAMP KEY is allowed")
         tsKey = Some(p.ident()); p.expectPunct(")")
       } else if (p.isKw("PRIMARY")) {
         p.next(); p.expectKw("KEY"); p.expectPunct("(")
@@ -195,7 +198,14 @@ object DdlParser {
         while (p.tryPunct(",")) ks += p.ident()
         p.expectPunct(")")
         pk = Some(ks.result())
-      } else cols :+= parseColumn(p)
+      } else {
+        val (c, isTsKey) = parseColumn(p)
+        if (isTsKey) {
+          if (tsKey.isDefined) p.fail("only one TIMESTAMP KEY is allowed")
+          tsKey = Some(c.name)
+        }
+        cols :+= c
+      }
     }
 
     // PARTITION BY KEY(cols) / HASH(expr) / RANDOM ... PARTITIONS n
@@ -269,7 +279,10 @@ object DdlParser {
     case other  => p.fail(s"expected number, got $other")
   }
 
-  private def parseColumn(p: P): ColumnSpec = {
+  /** One column definition; the Boolean is true for the inline column-level
+    * `TIMESTAMP KEY` modifier (reference parser.rs:507-543 accepts both the
+    * constraint form and `t timestamp NOT NULL TIMESTAMP KEY`). */
+  private def parseColumn(p: P): (ColumnSpec, Boolean) = {
     val name = p.ident()
     val tpe = p.ident()
     var unsigned = false
@@ -278,6 +291,7 @@ object DdlParser {
     var nullable = true
     var comment = ""
     var default: Option[String] = None
+    var isTsKey = false
     var more = true
     while (more) {
       if (p.tryKw("TAG")) tag = true
@@ -286,6 +300,10 @@ object DdlParser {
       else if (p.tryKw("NOT")) { p.expectKw("NULL"); nullable = false }
       else if (p.tryKw("NULL")) nullable = true
       else if (p.tryKw("COMMENT")) comment = p.str()
+      else if (p.isKw("TIMESTAMP") && (p.peekAt(1) match {
+        case Some(Ident(s, _)) => s.equalsIgnoreCase("KEY")
+        case _ => false
+      })) { p.next(); p.next(); isTsKey = true }
       else if (p.tryKw("DEFAULT")) default = Some(p.next() match {
         case Str(s) => s; case Num(s) => s; case Ident(s, _) => s
         case other  => p.fail(s"bad default $other")
@@ -295,7 +313,11 @@ object DdlParser {
     val kind = DatumKind.fromSqlName(tpe, unsigned)
     if (tag && !DatumKind.validTag(kind))
       p.fail(s"column '$name': $kind is not a valid tag type")
-    ColumnSpec(name, kind, nullable, tag, dict, comment, default)
+    // reference: dictionary encoding is for string columns only
+    // (create_tables.sql "dictionary must be string type" golden)
+    if (dict && kind != DatumKind.String)
+      p.fail(s"column '$name': dictionary must be string type")
+    (ColumnSpec(name, kind, nullable, tag, dict, comment, default), isTsKey)
   }
 
   private def parseDrop(p: P): DropTable = {
@@ -317,11 +339,16 @@ object DdlParser {
     if (p.tryKw("ADD")) {
       p.expectKw("COLUMN")
       val cols = Vector.newBuilder[ColumnSpec]
+      def addOne(): Unit = {
+        val (c, isTsKey) = parseColumn(p)
+        if (isTsKey) p.fail("cannot ADD a TIMESTAMP KEY column")
+        cols += c
+      }
       if (p.tryPunct("(")) {
-        cols += parseColumn(p)
-        while (p.tryPunct(",")) cols += parseColumn(p)
+        addOne()
+        while (p.tryPunct(",")) addOne()
         p.expectPunct(")")
-      } else cols += parseColumn(p)
+      } else addOne()
       AlterAddColumns(name, cols.result())
     } else if (p.tryKw("MODIFY")) {
       p.expectKw("SETTING")

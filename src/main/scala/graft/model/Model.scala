@@ -156,8 +156,12 @@ final case class TableSchema(
   require(columns.exists(_.name == timestampKey),
     s"timestamp key '$timestampKey' is not a declared column of '$name'")
 
-  /** true when the PK is the implicit (tsid, timestamp) pair. */
-  def usesTsid: Boolean = explicitPrimaryKey.isEmpty
+  /** true when the PK is the (tsid, timestamp) pair — implicit, or named
+    * explicitly (`PRIMARY KEY(tsid, t)`, reference create_tables.sql t10;
+    * schema.rs:143 constrains a tsid PK to exactly that pair). Either way
+    * the engine must generate the tsid column. */
+  def usesTsid: Boolean =
+    explicitPrimaryKey.forall(_.contains(TableSchema.TsidColumn))
 
   /** Effective primary key: explicit, or the implicit (tsid, ts). */
   def primaryKey: Seq[String] =

@@ -405,6 +405,49 @@ class GoldenSpec extends SparkSpec {
       s"got $sums")
   }
 
+  // ---- cases/env/local/ddl/create_tables.sql(.result): DDL acceptance and
+  //      rejection behaviors (subset we implement; expression DEFAULTs and
+  //      storage_format remain out of scope)
+  test("create_tables DDL behaviors match the reference goldens") {
+    val e = engine()
+    // no TIMESTAMP column → error
+    intercept[Exception](e.execute(
+      "CREATE TABLE ct_t(c1 int) ENGINE = Analytic"))
+    // create + duplicate → error; IF NOT EXISTS lenient
+    e.execute("CREATE TABLE ct_t(c1 int, t timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE = Analytic")
+    e.execute("CREATE TABLE IF NOT EXISTS ct_t(c1 int, t timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE = Analytic")
+    intercept[IllegalStateException](e.execute(
+      "CREATE TABLE ct_t(c1 int, t timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE = Analytic"))
+    // a + b select (golden: 2, 4)
+    e.execute(
+      """create table ct_t2(a int, b int, t timestamp NOT NULL, TIMESTAMP KEY(t))
+        | ENGINE = Analytic with (enable_ttl='false');
+        |insert into ct_t2(a, b, t) values(1,1,1),(2,2,2)""".stripMargin)
+    assert(longs(e.runSql("select a+b from ct_t2 order by 1")) == Seq(2L, 4L))
+    // inline column-level TIMESTAMP KEY (t5 form)
+    e.execute("CREATE TABLE ct_t5(c1 int, t timestamp NOT NULL TIMESTAMP KEY) ENGINE = Analytic")
+    assert(e.catalog.get("ct_t5").timestampKey == "t")
+    // multiple TIMESTAMP KEYs → error (t6)
+    intercept[Exception](e.execute(
+      "CREATE TABLE ct_t6(c1 int, t1 timestamp NOT NULL TIMESTAMP KEY, t2 timestamp NOT NULL TIMESTAMP KEY) ENGINE = Analytic"))
+    // column comment round-trips through SHOW CREATE (t7)
+    e.execute("CREATE TABLE ct_t7(c1 int COMMENT 'id', t timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE = Analytic")
+    assert(e.catalog.showCreate("ct_t7").contains("COMMENT 'id'"))
+    // dictionary must be string type (t9 error form); string dictionary ok
+    e.execute("CREATE TABLE ct_t9(c1 int, d string dictionary, t1 timestamp NOT NULL TIMESTAMP KEY) ENGINE = Analytic")
+    assert(e.catalog.get("ct_t9").column("d").isDictionary)
+    intercept[Exception](e.execute(
+      "CREATE TABLE ct_t9b(c1 int, d double dictionary, t1 timestamp NOT NULL TIMESTAMP KEY) ENGINE = Analytic"))
+    // explicit PRIMARY KEY(tsid, t1) — the implicit pair named explicitly
+    // (t10): must still generate tsid and dedup like the implicit form
+    e.execute("CREATE TABLE ct_t10(c1 int, t1 timestamp NOT NULL TIMESTAMP KEY, PRIMARY KEY(tsid, t1)) ENGINE = Analytic")
+    assert(e.catalog.get("ct_t10").primaryKey == Seq("tsid", "t1"))
+    assert(e.catalog.get("ct_t10").usesTsid)
+    e.execute("INSERT INTO ct_t10(c1, t1) VALUES (1, 100)")
+    e.execute("INSERT INTO ct_t10(c1, t1) VALUES (2, 100)") // overwrites
+    assert(longs(e.runSql("SELECT c1 FROM ct_t10")) == Seq(2L))
+  }
+
   // ---- cases/common/dummy/select_1.sql(.result)
   test("select_1 matches the reference goldens") {
     val e = engine()
