@@ -372,6 +372,7 @@ object DdlParser {
     * VALUES bodies only (planner.rs:1158-1168); so do we on this path. */
   private def parseInsert(p: P): InsertValues = {
     p.expectKw("INTO")
+    p.tryKw("TABLE") // optional noise word (reference alter_table.sql uses it)
     val table = p.ident()
     var cols = Seq.empty[String]
     if (p.tryPunct("(")) {

@@ -448,6 +448,33 @@ class GoldenSpec extends SparkSpec {
     assert(longs(e.runSql("SELECT c1 FROM ct_t10")) == Seq(2L))
   }
 
+  // ---- cases/env/local/ddl/alter_table.sql(.result): add-column flow with
+  //      old rows surfacing null; RENAME / DROP COLUMN are unsupported
+  //      (errors, like the reference); INSERT INTO TABLE noise word
+  test("alter_table behaviors match the reference goldens") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE at_t0(a int, t timestamp NOT NULL, dic string dictionary,
+        | TIMESTAMP KEY(t)) ENGINE = Analytic with (enable_ttl='false');
+        |INSERT INTO TABLE at_t0(a, t, dic) values(1, 1, "d1")""".stripMargin)
+    intercept[Exception](e.execute("ALTER TABLE at_t0 RENAME TO t1"))
+    e.execute("ALTER TABLE at_t0 add COLUMN (b string)")
+    e.execute("""INSERT INTO TABLE at_t0(a, b, t, dic) values (2, '2', 2, "d2")""")
+    val rows = e.runSql("SELECT a, b, dic FROM at_t0 ORDER BY a").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(1), "pre-ALTER row surfaces null for the new column")
+    assert(rows(1).getString(1) == "2" && rows(1).getString(2) == "d2")
+    e.execute("ALTER TABLE at_t0 add COLUMN (add_dic string dictionary)")
+    e.execute(
+      """INSERT INTO TABLE at_t0 (a, b, t, dic, add_dic)
+        | VALUES (2, '2', 2, "d11", "d22"), (3, '3', 3, "d22", "d33")""".stripMargin)
+    // t=2 overwrites within the same series only when tags match; these are
+    // tagless rows so PK = (tsid, t): the second t=2 insert wins
+    val after = e.runSql("SELECT a, dic, add_dic FROM at_t0 ORDER BY a, dic").collect()
+    assert(after.length == 3, s"got ${after.length}")
+    intercept[Exception](e.execute("ALTER TABLE at_t0 DROP COLUMN b"))
+  }
+
   // ---- cases/common/dummy/select_1.sql(.result)
   test("select_1 matches the reference goldens") {
     val e = engine()
