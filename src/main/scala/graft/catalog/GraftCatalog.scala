@@ -133,7 +133,9 @@ final class GraftCatalog(val warehouse: String) {
       if (c.isTag) mods ++= " TAG"
       if (c.isDictionary) mods ++= " DICTIONARY"
       if (!c.isNullable) mods ++= " NOT NULL"
-      c.defaultValue.foreach(d => mods ++= s" DEFAULT '$d'")
+      // the stored default is SQL source text (string literals carry their
+      // own quotes), so it round-trips verbatim
+      c.defaultValue.foreach(d => mods ++= s" DEFAULT $d")
       if (c.comment.nonEmpty) mods ++= s" COMMENT '${c.comment}'"
       s"`${c.name}` ${sqlTypeName(c.kind)}$mods"
     }

@@ -279,6 +279,37 @@ object DdlParser {
     case other  => p.fail(s"expected number, got $other")
   }
 
+  /** DEFAULT accepts a full SQL expression (reference create_tables.sql t9:
+    * `default 1 + 1`, `default c3*2 + 1` — evaluated at insert time,
+    * insert.rs:219-350). Captured as source text up to the next top-level
+    * `,` / `)` or a following column modifier keyword; string literals keep
+    * their quotes so the captured text re-parses as SQL. */
+  private val ModifierKws = Set(
+    "TAG", "DICTIONARY", "UNSIGN", "UNSIGNED", "COMMENT", "NOT", "NULL", "TIMESTAMP")
+  private def parseDefaultExpr(p: P): String = {
+    val sb = new StringBuilder
+    var depth = 0
+    var done = false
+    while (!done) p.peek match {
+      case None => done = true
+      case Some(Punct(",")) if depth == 0 => done = true
+      case Some(Punct(")")) if depth == 0 => done = true
+      case Some(Ident(s, false)) if depth == 0 &&
+          ModifierKws.contains(s.toUpperCase) => done = true
+      case Some(_) => p.next() match {
+        case Punct("(") => depth += 1; sb += '('
+        case Punct(")") => depth -= 1; sb += ')'
+        case Ident(s, q) => sb ++= (if (q) s"`$s`" else s) ++ " "
+        case Num(s)      => sb ++= s ++ " "
+        case Str(s)      => sb ++= "'" + s.replace("'", "''") + "' "
+        case Punct(c)    => sb ++= c ++ " "
+      }
+    }
+    val out = sb.toString.trim
+    if (out.isEmpty) p.fail("empty DEFAULT expression")
+    out
+  }
+
   /** One column definition; the Boolean is true for the inline column-level
     * `TIMESTAMP KEY` modifier (reference parser.rs:507-543 accepts both the
     * constraint form and `t timestamp NOT NULL TIMESTAMP KEY`). */
@@ -304,10 +335,7 @@ object DdlParser {
         case Some(Ident(s, _)) => s.equalsIgnoreCase("KEY")
         case _ => false
       })) { p.next(); p.next(); isTsKey = true }
-      else if (p.tryKw("DEFAULT")) default = Some(p.next() match {
-        case Str(s) => s; case Num(s) => s; case Ident(s, _) => s
-        case other  => p.fail(s"bad default $other")
-      })
+      else if (p.tryKw("DEFAULT")) default = Some(parseDefaultExpr(p))
       else more = false
     }
     val kind = DatumKind.fromSqlName(tpe, unsigned)

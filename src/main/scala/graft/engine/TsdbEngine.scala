@@ -126,7 +126,11 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
   // ---------------- write path ----------------
 
   /** INSERT VALUES (the only insert body the reference accepts,
-    * planner.rs:1158-1168): column reorder, default fill, tsid, sequence. */
+    * planner.rs:1158-1168): column reorder, default fill, tsid, sequence.
+    * Omitted columns take their DEFAULT, which is a full SQL expression
+    * evaluated against the row — including references to other (possibly
+    * themselves defaulted) columns, applied in declaration order like the
+    * reference (insert.rs:219-350; create_tables.sql `default c3*2 + 1`). */
   def insertValues(ins: InsertValues): Long = {
     val s = catalog.get(ins.table)
     val targets = if (ins.columns.nonEmpty) ins.columns else s.columns.map(_.name)
@@ -135,27 +139,38 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
       throw new IllegalArgumentException(
         s"INSERT into '${ins.table}' must provide timestamp key '${s.timestampKey}'")
 
+    val targetSpecs = targets.map(s.column)
     val rows = ins.rows.map { r =>
       require(r.length == targets.length,
         s"INSERT row has ${r.length} values for ${targets.length} columns")
-      val byName = targets.zip(r).toMap
-      Row.fromSeq(s.columns.map { c =>
-        byName.get(c.name) match {
-          case Some(lit) => coerce(lit, c)
-          case None => c.defaultValue match {
-            case Some(d) => coerce(StringLit(d), c)
-            case None =>
-              if (!c.isNullable && c.name != s.timestampKey)
-                throw new IllegalArgumentException(
-                  s"column '${c.name}' is NOT NULL without default")
-              null
-          }
-        }
-      })
+      Row.fromSeq(targetSpecs.zip(r).map { case (c, lit) => coerce(lit, c) })
     }
-    val df = spark.createDataFrame(rows.asJava, s.toStruct)
-    append(ins.table, df)
+    var df = spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(targetSpecs.map(_.toStructField)))
+    s.columns.filterNot(c => targets.contains(c.name)).foreach { c =>
+      df = c.defaultValue match {
+        case Some(raw) => df.withColumn(c.name, defaultColumn(df, raw, c))
+        case None =>
+          if (!c.isNullable && c.name != s.timestampKey)
+            throw new IllegalArgumentException(
+              s"column '${c.name}' is NOT NULL without default")
+          df.withColumn(c.name, lit(null).cast(c.sparkType))
+      }
+    }
+    append(ins.table, df.select(s.columns.map(c => col(c.name)): _*))
     rows.length.toLong
+  }
+
+  /** A DEFAULT expression as a typed column. Engine semantics for numeric
+    * timestamp defaults: epoch MILLIS (a bare cast would read seconds). */
+  private def defaultColumn(df: DataFrame, raw: String, c: ColumnSpec): Column = {
+    val e = expr(raw)
+    val dt = df.select(e.as("__probe")).schema.head.dataType // analysis only
+    (c.kind, dt) match {
+      case (DatumKind.Timestamp, _: org.apache.spark.sql.types.NumericType) =>
+        timestamp_millis(e.cast(LongType))
+      case _ => e.cast(c.sparkType)
+    }
   }
 
   /** Append a batch of user-schema rows: computes tsid + ingest sequence and

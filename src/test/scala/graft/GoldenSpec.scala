@@ -438,6 +438,17 @@ class GoldenSpec extends SparkSpec {
     assert(e.catalog.get("ct_t9").column("d").isDictionary)
     intercept[Exception](e.execute(
       "CREATE TABLE ct_t9b(c1 int, d double dictionary, t1 timestamp NOT NULL TIMESTAMP KEY) ENGINE = Analytic"))
+    // expression DEFAULT values incl. other-column references (t9 final
+    // form: c3 = 1+1 = 2, c5 = c3*2+1 = 5, evaluated in declaration order)
+    e.execute(
+      """CREATE TABLE ct_t9c(c1 int, c2 bigint default 0, c3 uint32 default 1 + 1,
+        |  c4 string default 'xxx', c5 uint32 default c3*2 + 1,
+        |  t1 timestamp NOT NULL TIMESTAMP KEY) ENGINE = Analytic""".stripMargin)
+    e.execute("INSERT INTO ct_t9c(c1, t1) VALUES (7, 1000)")
+    val d = e.runSql("SELECT c2, c3, c4, c5 FROM ct_t9c").head()
+    assert(d.getLong(0) == 0L && d.getLong(1) == 2L &&
+      d.getString(2) == "xxx" && d.getLong(3) == 5L, s"got $d")
+
     // explicit PRIMARY KEY(tsid, t1) — the implicit pair named explicitly
     // (t10): must still generate tsid and dedup like the implicit form
     e.execute("CREATE TABLE ct_t10(c1 int, t1 timestamp NOT NULL TIMESTAMP KEY, PRIMARY KEY(tsid, t1)) ENGINE = Analytic")
