@@ -41,6 +41,10 @@ final case class BinExpr(op: String, lhs: PromExpr, rhs: PromExpr) extends PromE
   * the scalar parameters of the clamp family). */
 final case class MathFunc(name: String, child: PromExpr, args: Seq[Double] = Nil)
     extends PromExpr
+/** Vector set operations (lowest precedence): `and` keeps lhs elements
+  * whose label set exists in rhs at the same step, `unless` keeps those
+  * that don't, `or` adds rhs elements whose label set is absent from lhs. */
+final case class SetOpExpr(op: String, lhs: PromExpr, rhs: PromExpr) extends PromExpr
 
 /** Evaluation grid [startMs, endMs] stepMs, with the Prometheus default
   * 5-minute lookback for instant selection (reference promql/convert.rs:55).

@@ -104,8 +104,29 @@ object PromQL {
     }
 
     /** Binary operations with standard precedence: `* /` bind tighter than
-      * `+ -` (Prometheus operator precedence, promql spec). */
+      * `+ -`, which bind tighter than the set operators `and unless or`
+      * (Prometheus operator precedence, promql spec). */
     def parseExpr(): PromExpr = {
+      var lhs = parseAdd()
+      var more = true
+      while (more) {
+        ws()
+        wordAt(Seq("and", "or", "unless")) match {
+          case Some(op) =>
+            i += op.length
+            lhs = SetOpExpr(op, lhs, parseAdd())
+          case None => more = false
+        }
+      }
+      lhs
+    }
+
+    /** The keyword at the cursor, when followed by a word boundary. */
+    private def wordAt(words: Seq[String]): Option[String] =
+      words.find(w => s.startsWith(w, i) &&
+        (i + w.length >= s.length || !s(i + w.length).isLetterOrDigit))
+
+    private def parseAdd(): PromExpr = {
       var lhs = parseMul()
       ws()
       while (peek == '+' || (peek == '-' && !s.startsWith("->", i))) {
@@ -348,6 +369,25 @@ object PromQL {
         case "clamp_max" => least(v, lit(args.head))
       }
       in.withColumn("value", out)
+
+    case SetOpExpr(op, lhs, rhs) =>
+      // element matching on the full shared label set per step; plain
+      // semi/anti/union-anti joins — the same keyed shuffle as BinExpr
+      val ld = evalExpr(spark, resolve, lhs, p)
+      val rd = evalExpr(spark, resolve, rhs, p)
+      val lTags = ld.columns.filterNot(c => c == "ts" || c == "value").toSeq
+      val rTags = rd.columns.filterNot(c => c == "ts" || c == "value").toSeq
+      require(lTags.sorted == rTags.sorted,
+        s"set operation label sets differ: ${lTags.mkString(",")} vs ${rTags.mkString(",")}")
+      val keys = lTags :+ "ts"
+      op match {
+        case "and"    => ld.join(rd.select(keys.map(col): _*), keys, "left_semi")
+        case "unless" => ld.join(rd.select(keys.map(col): _*), keys, "left_anti")
+        case "or" =>
+          val missing = rd.join(ld.select(keys.map(col): _*), keys, "left_anti")
+          ld.select(ld.columns.map(col): _*)
+            .union(missing.select(ld.columns.map(col): _*))
+      }
 
     case NumberLit(_) =>
       throw new IllegalArgumentException("scalar-only expressions are not supported")

@@ -208,6 +208,27 @@ object Prom {
               |  round(least(abs(raw), 0.02), 4) AS "value"
               |FROM (${extrapolatedSql(counter = true, perSecond = true)})""".stripMargin)),
 
+    // ---- vector set op: instant vectors minus the per-step top-2
+    q("q77_promql_unless", "events unless topk(2, events)",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |latest AS (
+             |  SELECT g.gts, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.gts AND e.ts > g.gts - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid g CROSS JOIN series s),
+             |ranked AS (
+             |  SELECT event_type, gts, v,
+             |    row_number() OVER (PARTITION BY gts
+             |      ORDER BY v DESC, event_type) AS rk
+             |  FROM latest WHERE v IS NOT NULL)
+             |SELECT event_type, gts AS ts, round(v, 4) AS "value"
+             |FROM ranked WHERE rk > 2""".stripMargin)),
+
     // ---- Prometheus remote read (promql/remote.rs:44,60-120): __name__
     //      selects the table, matchers filter, raw samples ship unaligned —
     //      pure SQL selection, so the oracle is direct

@@ -88,6 +88,33 @@ class PromQLSpec extends SparkSpec {
     assert(run("m @ 100") == Seq(-3.7, -3.7, -3.7))
   }
 
+  test("vector set operations: and / or / unless") {
+    // precedence: set ops bind loosest
+    assert(PromQL.parse("m + n unless k") ==
+      SetOpExpr("unless",
+        BinExpr("+", VectorSelector(Selector("m", Nil, None)),
+          VectorSelector(Selector("n", Nil, None))),
+        VectorSelector(Selector("k", Nil, None))))
+
+    import spark.implicits._
+    val t0 = 100000L
+    val df = Seq(("a", 1.0), ("b", 5.0), ("c", 3.0))
+      .map { case (h, v) => (new java.sql.Timestamp(t0), h, v) }
+      .toDF("ts", "host", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host"))
+    val p = EvalParams(startMs = t0, endMs = t0, stepMs = 60000L)
+    def hosts(q: String) = PromQL.eval(spark, bind, q, p)
+      .collect().map(_.getAs[String]("host")).sorted.toSeq
+
+    assert(hosts("m and topk(2, m)") == Seq("b", "c"))
+    assert(hosts("m unless topk(2, m)") == Seq("a"))
+    // or: lhs wins on overlap; rhs's unmatched label sets are added
+    assert(hosts("topk(1, m) or bottomk(1, m)") == Seq("a", "b"))
+    val orVals = PromQL.eval(spark, bind, "topk(1, m) or m", p)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Double]("value"))).toMap
+    assert(orVals == Map("a" -> 1.0, "b" -> 5.0, "c" -> 3.0))
+  }
+
   test("topk/quantile/binops end-to-end over a three-series table") {
     import spark.implicits._
     val t0 = 100000L
