@@ -318,6 +318,44 @@ class TsdbEngineSpec extends SparkSpec {
     assert(!e.maybeCompact("mca", minBatches = 1))
   }
 
+  test("property: overwrite read == last-write-wins under random batches + compactions") {
+    // randomized (seeded, deterministic) equivalence against a model: any
+    // interleaving of multi-row inserts, duplicate PKs, and compactions
+    // must read back exactly the last written value per (host, ts) —
+    // SURVEY §5's dedup property check
+    val rnd = new scala.util.Random(20260812L)
+    val e = engine()
+    for (trial <- 0 until 3) {
+      val t = s"pd$trial"
+      e.execute(
+        s"""CREATE TABLE $t (host string TAG, v double, ts timestamp NOT NULL,
+           |  timestamp KEY(ts))
+           |ENGINE=Analytic WITH (update_mode='overwrite', segment_duration='1h')""".stripMargin)
+      val hosts = Seq("h0", "h1", "h2")
+      val times = Seq(1704067200000L, 1704067201000L, 1704070800000L, 1704074400000L)
+      val model = scala.collection.mutable.Map.empty[(String, Long), Double]
+      for (_ <- 0 until 6) {
+        val n = 1 + rnd.nextInt(5)
+        val rows = (0 until n).map { _ =>
+          val h = hosts(rnd.nextInt(hosts.size))
+          val ts = times(rnd.nextInt(times.size))
+          val v = (rnd.nextInt(1000) + 1).toDouble
+          (h, ts, v)
+        }
+        // within one INSERT later rows win (__subseq ordering), so the
+        // model applies them in statement order too
+        rows.foreach { case (h, ts, v) => model((h, ts)) = v }
+        e.execute(s"INSERT INTO $t (host, ts, v) VALUES " +
+          rows.map { case (h, ts, v) => s"('$h', $ts, $v)" }.mkString(", "))
+        if (rnd.nextBoolean()) e.compact(t)
+      }
+      val got = e.read(t).collect()
+        .map(r => (r.getAs[String]("host"), r.getAs[java.sql.Timestamp]("ts").getTime) ->
+          r.getAs[Double]("v")).toMap
+      assert(got == model.toMap, s"trial $trial: got $got want $model")
+    }
+  }
+
   test("compaction TTL purge physically drops expired segments and rows") {
     val e = engine()
     e.execute(
