@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * `array_intersect` on string arrays builds a hash set per evaluation and
   * hashes every element; on the near-dup verify path that runs once per
   * candidate PAIR (quadratic-ish), so the constant factor matters. Sorting
-  * once per DOC (linear) buys an allocation-free two-pointer merge per pair.
+  * once per DOC (linear) buys an allocation-free two-pointer merge per
+  * pair, and `doGenCode` inlines it into whole-stage codegen — the
+  * interpreted fallback pays a boxed virtual call per pair.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
 
@@ -33,6 +35,27 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     cnt
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $i = 0; int $j = 0; int $cnt = 0;
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |while ($i < $na && $j < $nb) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x < $y) $i++;
+         |  else if ($x > $y) $j++;
+         |  else { $cnt++; $i++; $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -47,11 +70,35 @@ object SortedIntersectSize {
   * kernel for embedding similarity. A `zip_with`+`aggregate` composition
   * evaluates interpreted with per-element allocation; on the all-pairs
   * verify path (quadratic-ish) this tight loop is the difference between
-  * seconds and minutes. */
+  * seconds and minutes. Codegen'd: the element accessors specialize on the
+  * planned array element type. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  private def accessor(arr: String, idx: String, e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => s"(double) $arr.getFloat($idx)"
+      case DoubleType  => s"$arr.getDouble($idx)"
+      case IntegerType => s"(double) $arr.getInt($idx)"
+      case LongType    => s"(double) $arr.getLong($idx)"
+      case other => throw new IllegalStateException(s"bad element type $other")
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${accessor(a, i, left)} * ${accessor(b, i, right)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   @transient private lazy val getters: (ArrayData => Int => Double, ArrayData => Int => Double) = {
     def getter(e: Expression): ArrayData => Int => Double =
