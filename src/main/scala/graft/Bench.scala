@@ -16,6 +16,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.tune(spark)
 
     // warmup: parquet footers + codegen + shuffle machinery, untimed.
     // Best-effort: a missing fixture must not kill the bench (the timed

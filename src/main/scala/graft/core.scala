@@ -45,10 +45,17 @@ object Tables {
 
   /** A session tuned the way the engine wants it (AQE on, sane shuffle
     * parallelism). Callers that already hold a session just use it; these
-    * settings are applied as runtime confs where legal. */
+    * settings are applied as runtime confs where legal.
+    *
+    * minPartitionSize: AQE coalesces shuffles by BYTES (1 MB floor by
+    * default), but this engine's pipeline operators are CPU-dense per byte
+    * (hashed-array merges, shingle prep) — a byte-small shuffle can still
+    * be minutes of CPU. A lower floor keeps such stages parallel; at real
+    * scale the byte sizes dominate and the floor is irrelevant. */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     spark
   }
 }

@@ -38,7 +38,10 @@ object Dedup {
     // explicit unpersist (which a lazily-returned result can't schedule), so
     // repeated calls in a long session would accumulate storage. Checkpoint
     // blocks are released by the ContextCleaner once the result is dropped.
-    val docs = df.select(col(idCol).as("id"),
+    // repartition first: a small corpus file is one scan partition, which
+    // would serialize the signature computation on a single core.
+    val docs = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol), shingleK)).as("sh"))
       .withColumn("bandkeys",
         minhashBands(minhashSignature(col("sh"), numHashes), bands, rows))
@@ -74,8 +77,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     val bits = 64 / bands
-    val docs = df.select(col(idCol).as("id"),
-      SimHash.simhash64(tokens(col(textCol))).as("sim"))
+    val docs = df.repartition(col(idCol)) // parallelize per-doc hashing
+      .select(col(idCol).as("id"),
+        SimHash.simhash64(tokens(col(textCol))).as("sim"))
     // bands is a compile-time constant → unroll (shift amounts must be static)
     val bandCols = (0 until bands).map(b =>
       shiftrightunsigned(col("sim"), b * bits).bitwiseAND(lit((1L << bits) - 1)))
@@ -117,18 +121,33 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, langCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+    // repartition BEFORE the per-doc shingle/hash/sort work (a small corpus
+    // file arrives as one scan partition, which would serialize the prep on
+    // a single core), then localCheckpoint: without the lineage cut, BOTH
+    // join sides recompute the prep, and constraint inference pushes an
+    // isnotnull over the whole shingle expression below the exchange onto
+    // the single scan task (measured: 2×3.8 s single-task stages)
+    val docs = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), col(langCol).as("lang"),
         array_distinct(shingles(col(textCol), n)).as("sh"),
         (floor(length(col(textCol)) / 100)).as("lenb"))
       .select(col("id"), col("lang"), col("lenb"),
         sort_array(transform(col("sh"), t => xxhash64(t))).as("v"),
         size(col("sh")).as("ntok"))
+      .localCheckpoint()
     val a = docs.select(col("id").as("id_a"), col("lang"),
       col("lenb").as("lb"), col("v").as("va"), col("ntok").as("na"))
     val b = docs.select(col("id").as("id_b"), col("lang"), col("lenb"),
         col("v").as("vb"), col("ntok").as("nb"))
       .withColumn("lb", explode(array(col("lenb") - 1, col("lenb"), col("lenb") + 1)))
-    a.join(b, Seq("lang", "lb")).filter(col("id_a") < col("id_b"))
+    // SHUFFLE_HASH, not broadcast: both sides carry the hashed-token arrays,
+    // so a broadcast build serializes megabytes of arrays on ONE thread
+    // (measured: 2×6 s single-task broadcast builds dominate the query);
+    // hashing after a shuffle spreads that work across all cores — and a
+    // broadcast of the corpus could not scale past one executor's memory
+    // anyway
+    a.hint("shuffle_hash").join(b, Seq("lang", "lb"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("inter",
         graft.functions.SortedIntersectSize(col("va"), col("vb")).cast("double"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
@@ -149,7 +168,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, langCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+    val docs = df.repartition(col(idCol)) // parallelize per-doc prep
+      .select(col(idCol).as("id"), col(langCol).as("lang"),
         array_distinct(shingles(col(textCol), n)).as("sh"),
         (floor(length(col(textCol)) / 100)).as("lenb"))
       .withColumn("ntok", size(col("sh")))

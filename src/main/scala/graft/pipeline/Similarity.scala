@@ -111,7 +111,8 @@ object Similarity {
       embDf: DataFrame, idCol: String, embCol: String,
       threshold: Double = 0.95,
       tables: Int = 8, bits: Int = 8, seed: Long = 42L): DataFrame = {
-    val docs = embDf.select(col(idCol).as("id"), col(embCol).as("emb"),
+    val docs = embDf.repartition(col(idCol)) // parallelize per-vector prep
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
       sqrt(aggregate(col(embCol), lit(0.0),
         (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"),
       HyperplaneSignature.signature(col(embCol), tables, bits, seed).as("buckets"))
