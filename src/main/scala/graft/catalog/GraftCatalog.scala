@@ -125,38 +125,46 @@ final class GraftCatalog(val warehouse: String) {
       .copy(dataGen = m.dataGen, compactedSeq = m.compactedSeq))
   }
 
-  /** Reconstructed DDL for SHOW CREATE TABLE. */
+  /** Reconstructed DDL for SHOW CREATE TABLE, in the reference's canonical
+    * form (interpreters/src/show_create.rs:82-127 + show_create_table.result):
+    * key columns first (tsid materialized for the implicit PK), then the rest
+    * in declared order; `PRIMARY KEY(...)` before `TIMESTAMP KEY(...)`, key
+    * names unquoted; `ENGINE=Analytic WITH(...)` with the full option map
+    * (defaults included, sorted by name — table_options.rs to_raw_map).
+    */
   def showCreate(name: String): String = {
     val s = get(name)
-    val cols = s.columns.map { c =>
+    val pk = s.primaryKey
+    val cols = s.canonicalColumns.map { c =>
       val mods = new StringBuilder
       if (c.isTag) mods ++= " TAG"
       if (c.isDictionary) mods ++= " DICTIONARY"
       if (!c.isNullable) mods ++= " NOT NULL"
       // the stored default is SQL source text (string literals carry their
-      // own quotes), so it round-trips verbatim
-      c.defaultValue.foreach(d => mods ++= s" DEFAULT $d")
+      // own quotes), so it round-trips verbatim; a bare null normalizes to
+      // NULL as the reference prints it (show_create_table.result 06_show_b)
+      c.defaultValue.foreach { d =>
+        mods ++= s" DEFAULT ${if (d.trim.equalsIgnoreCase("null")) "NULL" else d}"
+      }
       if (c.comment.nonEmpty) mods ++= s" COMMENT '${c.comment}'"
       s"`${c.name}` ${sqlTypeName(c.kind)}$mods"
     }
-    val constraints =
-      Seq(s"TIMESTAMP KEY(`${s.timestampKey}`)") ++
-      s.explicitPrimaryKey.map(pk => s"PRIMARY KEY(${pk.map(k => s"`$k`").mkString(", ")})")
+    val constraints = Seq(
+      s"PRIMARY KEY(${pk.mkString(",")})",
+      s"TIMESTAMP KEY(${s.timestampKey})")
     val partition = s.partitionBy.map {
       case PartitionByKey(ks, n) =>
-        s" PARTITION BY KEY(${ks.map(k => s"`$k`").mkString(", ")}) PARTITIONS $n"
+        s" PARTITION BY KEY(${ks.mkString(",")}) PARTITIONS $n"
       case PartitionByHash(e, n) => s" PARTITION BY HASH($e) PARTITIONS $n"
       case PartitionByRandom(n)  => s" PARTITION BY RANDOM PARTITIONS $n"
     }.getOrElse("")
-    val opts =
-      if (s.options.raw.isEmpty) ""
-      else " WITH (" + s.options.raw.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k='$v'" }.mkString(", ") + ")"
+    val opts = " WITH(" + s.options.canonicalMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k='$v'" }.mkString(", ") + ")"
     s"CREATE TABLE `$name` (${(cols ++ constraints).mkString(", ")})" +
       s"$partition ENGINE=Analytic$opts"
   }
 
-  private def sqlTypeName(k: DatumKind.Value): String = k.toString.toLowerCase
+  private def sqlTypeName(k: DatumKind.Value): String = DatumKind.sqlName(k)
 
   private def manifest(name: String): Manifest = {
     if (!exists(name)) throw new IllegalStateException(s"table '$name' does not exist")

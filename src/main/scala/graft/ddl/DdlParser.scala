@@ -26,6 +26,8 @@ sealed trait Literal
 final case class StringLit(v: String) extends Literal
 final case class NumberLit(v: BigDecimal) extends Literal
 final case class BoolLit(v: Boolean) extends Literal
+/** Hex binary literal `x'11'` (reference basic.sql varbinary inserts). */
+final case class BytesLit(v: Array[Byte]) extends Literal
 case object NullLit extends Literal
 
 /** Hand-written tokenizer + recursive-descent parser for the HoraeDB DDL
@@ -269,6 +271,11 @@ object DdlParser {
       keys.foreach(k => if (!cols.exists(_.name == k) && k != TableSchema.TsidColumn)
         p.fail(s"primary key column '$k' not declared"))
     }
+    // SHOW CREATE TABLE materializes the generated tsid column; accept that
+    // DDL back (round-trip) by dropping the redundant declaration when the
+    // PK is the implicit (tsid, ts) pair
+    if (pk.forall(_.contains(TableSchema.TsidColumn)))
+      cols = cols.filterNot(_.name == TableSchema.TsidColumn)
     CreateTable(
       TableSchema(name, cols, ts, pk, TableOptions.fromRaw(opts), partition),
       ifNotExists)
@@ -290,6 +297,14 @@ object DdlParser {
     val sb = new StringBuilder
     var depth = 0
     var done = false
+    // `DEFAULT NULL` (reference 06_show_b): NULL is both a column modifier
+    // and a valid default literal — consume it here before the modifier
+    // stop-list below would end the expression empty
+    p.peek match {
+      case Some(Ident(s, false)) if s.equalsIgnoreCase("NULL") =>
+        p.next(); return "NULL"
+      case _ =>
+    }
     while (!done) p.peek match {
       case None => done = true
       case Some(Punct(",")) if depth == 0 => done = true
@@ -426,6 +441,15 @@ object DdlParser {
           case Ident(s, false) if s.equalsIgnoreCase("null")  => NullLit
           case Ident(s, false) if s.equalsIgnoreCase("true")  => BoolLit(true)
           case Ident(s, false) if s.equalsIgnoreCase("false") => BoolLit(false)
+          // hex binary literal x'1A' (basic.sql binary_demo); the lexer
+          // splits it into Ident("x") + Str(hex)
+          case Ident(s, false) if s.equalsIgnoreCase("x") &&
+              p.peek.exists(_.isInstanceOf[Str]) =>
+            val Str(hex) = p.next(): @unchecked
+            if (hex.isEmpty || hex.length % 2 != 0 ||
+                !hex.forall(c => Character.digit(c, 16) >= 0))
+              p.fail(s"bad hex literal x'$hex'")
+            BytesLit(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
           // the reference dialect accepts double-quoted strings in VALUES
           // (issue-341.sql inserts "t1") — only QUOTED tokens read as
           // strings; a bare identifier here is a typo and must fail

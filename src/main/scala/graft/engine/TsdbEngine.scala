@@ -96,7 +96,9 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
           .filter(col("__rn") === 1)
       case _ => ttled
     }
-    deduped.select(s.columns.map(c => col(c.name)): _*)
+    // canonical presentation order: PK columns first, generated tsid
+    // included — the reference surfaces tsid in SELECT * (basic.result)
+    deduped.select(s.canonicalColumns.map(c => col(c.name)): _*)
   }
 
   private def readStorage(s: TableSchema): DataFrame = {
@@ -360,6 +362,7 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
           case other        => badLit(other, c)
         }
         case Varbinary => lit match {
+          case BytesLit(v)  => v
           case StringLit(v) => v.getBytes("UTF-8")
           case other        => badLit(other, c)
         }
@@ -513,15 +516,18 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     singleCol("Tables", filtered)
   }
 
+  /** Reference DESCRIBE shape (create_tables.result): canonical column
+    * order with the generated tsid listed, canonical type names, header
+    * `name,type,is_primary,is_nullable,is_tag,is_dictionary`. */
   private def describe(name: String): DataFrame = {
     val s = catalog.get(name)
     val pk = s.primaryKey.toSet
-    val rows = s.columns.map { c =>
-      Row(c.name, c.kind.toString.toLowerCase, pk.contains(c.name),
+    val rows = s.canonicalColumns.map { c =>
+      Row(c.name, DatumKind.sqlName(c.kind), pk.contains(c.name),
         c.isNullable, c.isTag, c.isDictionary)
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
-      StructField("field", StringType), StructField("type", StringType),
+      StructField("name", StringType), StructField("type", StringType),
       StructField("is_primary", BooleanType), StructField("is_nullable", BooleanType),
       StructField("is_tag", BooleanType), StructField("is_dictionary", BooleanType))))
   }

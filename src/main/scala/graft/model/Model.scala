@@ -61,6 +61,17 @@ object DatumKind extends Enumeration {
     * (column_schema.rs:203-210): no Null/Double/Float tags. */
   def validTag(k: Value): scala.Boolean =
     k != Null && k != Double && k != Float
+
+  /** Canonical type names as the reference prints them in DESCRIBE and
+    * SHOW CREATE TABLE (common_types/src/datum.rs:231-251 as_str: signed
+    * ints use SQL spellings, everything else the lowercase kind name). */
+  def sqlName(k: Value): java.lang.String = k match {
+    case Int64 => "bigint"
+    case Int32 => "int"
+    case Int16 => "smallint"
+    case Int8  => "tinyint"
+    case other => other.toString.toLowerCase
+  }
 }
 
 /** One column of a TSDB table (reference: common_types/src/column_schema.rs). */
@@ -107,9 +118,39 @@ final case class TableOptions(
 
   def ttlMillis: Option[Long] = ttl.map(TableOptions.durationMillis)
   def segmentMillis: Option[Long] = segmentDuration.map(TableOptions.durationMillis)
+
+  /** The full option map the reference surfaces in SHOW CREATE TABLE
+    * (table_options.rs to_raw_map: every knob, defaults filled in). Keys the
+    * engine has no semantics for (arena_block_size, memtable_type, ...) are
+    * echoed for display parity only. update_mode is normalized uppercase as
+    * the reference prints it (table_options.rs:177-178).
+    */
+  def canonicalMap: Map[String, String] = {
+    val lower = raw.map { case (k, v) => k.toLowerCase -> v }
+    TableOptions.ReferenceDefaults ++ lower +
+      ("update_mode" -> updateMode.toString.toUpperCase)
+  }
 }
 
 object TableOptions {
+  /** Reference defaults as printed by SHOW CREATE TABLE
+    * (analytic_engine/src/table_options.rs:440-475 to_raw_map via the
+    * show_create_table.result golden). Display parity only: this engine's
+    * TTL purge stays opt-in (enable_ttl + ttl both set, see fromRaw).
+    */
+  val ReferenceDefaults: Map[String, String] = Map(
+    "arena_block_size" -> "2097152",
+    "compaction_strategy" -> "default",
+    "compression" -> "ZSTD",
+    "enable_ttl" -> "true",
+    "memtable_type" -> "skiplist",
+    "num_rows_per_row_group" -> "8192",
+    "segment_duration" -> "",
+    "storage_format" -> "AUTO",
+    "ttl" -> "7d",
+    "update_mode" -> "OVERWRITE",
+    "write_buffer_size" -> "33554432")
+
   /** `7d` / `2h` / `30m` / `10s`-style duration strings. */
   def durationMillis(s: String): Long = {
     val m = """(?i)(\d+)\s*(d|h|m|s|ms)""".r
@@ -168,6 +209,19 @@ final case class TableSchema(
     explicitPrimaryKey.getOrElse(Seq(TableSchema.TsidColumn, timestampKey))
 
   def tagColumns: Seq[ColumnSpec] = columns.filter(_.isTag)
+
+  /** Columns in the reference's canonical order: primary-key columns first
+    * (materializing the generated tsid for the implicit PK), then the rest
+    * in declared order — the order schema.rs's builder stores and every
+    * user surface (SELECT *, DESCRIBE, SHOW CREATE) presents. */
+  def canonicalColumns: Seq[ColumnSpec] = {
+    val tsid =
+      if (usesTsid)
+        Seq(ColumnSpec(TableSchema.TsidColumn, DatumKind.UInt64, isNullable = false))
+      else Nil
+    val byName = (tsid ++ columns).map(c => c.name -> c).toMap
+    primaryKey.map(byName) ++ columns.filterNot(c => primaryKey.contains(c.name))
+  }
 
   /** User-visible schema (without internal columns). */
   def toStruct: StructType = StructType(columns.map(_.toStructField))

@@ -85,7 +85,10 @@ object Rollup {
         .start()
       q.awaitTermination()
     }
-    engine.read(table)
+    // project off the engine's canonical tsid column: the rollup's contract
+    // is the user rollup schema, not the storage presentation
+    val s = engine.catalog.get(table)
+    engine.read(table).select(s.columns.map(c => org.apache.spark.sql.functions.col(c.name)): _*)
   }
 
   /** The shared stream → windowed aggregate: per (window start, tag):

@@ -115,6 +115,8 @@ object SeriesRate {
         .start()
       q.awaitTermination()
     }
-    engine.read(table)
+    // project off the engine's canonical tsid column (user schema contract)
+    val s = engine.catalog.get(table)
+    engine.read(table).select(s.columns.map(c => col(c.name)): _*)
   }
 }

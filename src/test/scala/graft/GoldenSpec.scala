@@ -459,6 +459,86 @@ class GoldenSpec extends SparkSpec {
     assert(longs(e.runSql("SELECT c1 FROM ct_t10")) == Seq(2L))
   }
 
+  // ---- cases/common/basic.sql(.result): the reference's smoke battery —
+  //      tsid surfaces in SELECT *, double-quoted string literals, quoted
+  //      mixed-case identifiers, varbinary hex literals
+  test("basic.sql battery matches the reference goldens") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE demo (name string TAG, value double NOT NULL,
+        |  t timestamp NOT NULL, timestamp KEY (t)) ENGINE = Analytic
+        |  WITH (enable_ttl = 'false');
+        |INSERT INTO demo (t, name, value) VALUES (1651737067000, 'horaedb', 100)""".stripMargin)
+    val r1 = e.runSql("SELECT * FROM demo").collect()
+    // golden: tsid,t,name,value with the generated tsid surfaced
+    assert(r1.map(_.schema.fieldNames.toSeq).head == Seq("tsid", "t", "name", "value"))
+    assert(r1.length == 1 && r1.head.getAs[Double]("value") == 100.0)
+    // double-quoted string literal in VALUES (second insert)
+    e.execute("INSERT INTO demo (t, name, value) VALUES (1651737067001, \"horaedb\", 100)")
+    val r2 = e.runSql("SELECT * FROM demo ORDER BY t").collect()
+    assert(r2.length == 2)
+    // same tag set → same tsid on both rows (golden: both 1023872802579860359;
+    // our tsid hash differs by documented deviation, equality is the contract)
+    assert(r2.map(_.getAs[Long]("tsid")).distinct.length == 1)
+    assert(r2.map(_.getAs[java.sql.Timestamp]("t").getTime).toSeq ==
+      Seq(1651737067000L, 1651737067001L))
+    // quoted mixed-case table and column resolve exactly (golden: empty)
+    e.execute(
+      """CREATE TABLE `DeMo` (`nAmE` string TAG, value double NOT NULL,
+        |  t timestamp NOT NULL, timestamp KEY (t)) ENGINE = Analytic
+        |  WITH (enable_ttl = 'false')""".stripMargin)
+    assert(e.runSql("SELECT `nAmE` FROM `DeMo`").count() == 0)
+    // varbinary: hex-literal insert + equality filter (golden: one row 0x11)
+    e.execute(
+      """CREATE TABLE `binary_demo` (`name` string TAG, `value` varbinary NOT NULL,
+        |  `t` timestamp NOT NULL, timestamp KEY (t)) ENGINE=Analytic
+        |  WITH (enable_ttl = 'false');
+        |INSERT INTO binary_demo(t, name, value) VALUES(1667374200022, 'horaedb', x'11')""".stripMargin)
+    val rb = e.runSql("SELECT * FROM binary_demo WHERE value = x'11'").collect()
+    assert(rb.length == 1)
+    assert(rb.head.getAs[Array[Byte]]("value").toSeq == Seq(0x11.toByte))
+    assert(rb.head.getAs[java.sql.Timestamp]("t").getTime == 1667374200022L)
+  }
+
+  // ---- cases/common/show/show_create_table.sql(.result): canonical
+  //      SHOW CREATE TABLE rendering, bit-exact against the golden
+  test("show_create_table output matches the reference goldens bit-exactly") {
+    val e = engine()
+    val withOpts = "WITH(arena_block_size='2097152', compaction_strategy='default', " +
+      "compression='ZSTD', enable_ttl='true', memtable_type='skiplist', " +
+      "num_rows_per_row_group='8192', segment_duration='', storage_format='AUTO', " +
+      "ttl='7d', update_mode='OVERWRITE', write_buffer_size='33554432')"
+    def showOne(name: String): (String, String) = {
+      val r = e.execute(s"SHOW CREATE TABLE `$name`").head()
+      (r.getString(0), r.getString(1))
+    }
+    e.execute("CREATE TABLE `06_show_a` (a bigint, b int default 3, c string default 'x', " +
+      "d smallint null, t timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE = Analytic")
+    assert(showOne("06_show_a") == ("06_show_a",
+      "CREATE TABLE `06_show_a` (`tsid` uint64 NOT NULL, `t` timestamp NOT NULL, " +
+      "`a` bigint, `b` int DEFAULT 3, `c` string DEFAULT 'x', `d` smallint, " +
+      s"PRIMARY KEY(tsid,t), TIMESTAMP KEY(t)) ENGINE=Analytic $withOpts"))
+    e.execute("CREATE TABLE `06_show_b` (a bigint, b int null default null, c string, " +
+      "d smallint null, t timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE = Analytic")
+    assert(showOne("06_show_b") == ("06_show_b",
+      "CREATE TABLE `06_show_b` (`tsid` uint64 NOT NULL, `t` timestamp NOT NULL, " +
+      "`a` bigint, `b` int DEFAULT NULL, `c` string, `d` smallint, " +
+      s"PRIMARY KEY(tsid,t), TIMESTAMP KEY(t)) ENGINE=Analytic $withOpts"))
+    e.execute("CREATE TABLE `06_show_c` (a int, t timestamp NOT NULL, TIMESTAMP KEY(t)) " +
+      "ENGINE = Analytic")
+    assert(showOne("06_show_c") == ("06_show_c",
+      "CREATE TABLE `06_show_c` (`tsid` uint64 NOT NULL, `t` timestamp NOT NULL, " +
+      s"`a` int, PRIMARY KEY(tsid,t), TIMESTAMP KEY(t)) ENGINE=Analytic $withOpts"))
+    // the canonical output is itself accepted DDL (round-trip, reference
+    // accepts its own SHOW CREATE): re-create from the rendered text
+    val rendered = showOne("06_show_a")._2.replace("`06_show_a`", "`06_show_a2`")
+    e.execute(rendered)
+    // (our model keeps declared order, the canonical form lists key columns
+    // first — compare as sets)
+    assert(e.catalog.get("06_show_a2").columns.map(c => (c.name, c.kind)).toSet ==
+      e.catalog.get("06_show_a").columns.map(c => (c.name, c.kind)).toSet)
+  }
+
   // ---- cases/env/local/ddl/alter_table.sql(.result): add-column flow with
   //      old rows surfacing null; RENAME / DROP COLUMN are unsupported
   //      (errors, like the reference); INSERT INTO TABLE noise word

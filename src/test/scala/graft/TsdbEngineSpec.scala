@@ -115,13 +115,16 @@ class TsdbEngineSpec extends SparkSpec {
     assert(e.execute("SHOW TABLES LIKE 's%'").count() == 1)
     assert(e.execute("SHOW DATABASES").head().getString(0) == "public")
     val ddl = e.execute("SHOW CREATE TABLE st").head().getString(1)
-    assert(ddl.contains("TIMESTAMP KEY(`ts`)") && ddl.contains("`host` string TAG"))
+    assert(ddl.contains("TIMESTAMP KEY(ts)") && ddl.contains("`host` string TAG"))
+    assert(ddl.contains("PRIMARY KEY(tsid,ts)") && ddl.contains("`tsid` uint64 NOT NULL"))
     // round-trip: the reconstructed DDL re-parses to the same schema
     val reparsed = graft.ddl.DdlParser.parse(ddl.replace("`st`", "`st2`"))
     val graft.ddl.CreateTable(sch2, _) = reparsed: @unchecked
     assert(sch2.columns == e.catalog.get("st").columns)
     val desc = e.execute("DESCRIBE st").collect()
-    assert(desc.map(_.getString(0)).toSeq == Seq("ts", "host", "v"))
+    // canonical order: PK (tsid, ts) first, like the reference's DESCRIBE
+    assert(desc.map(_.getString(0)).toSeq == Seq("tsid", "ts", "host", "v"))
+    assert(desc.head.getString(1) == "uint64" && desc.head.getBoolean(2))
     assert(e.execute("EXISTS TABLE st").head().getLong(0) == 1L)
     assert(e.execute("EXISTS TABLE nope").head().getLong(0) == 0L)
     val sys = e.execute("SELECT table_name FROM system.public.tables").collect()
