@@ -399,6 +399,19 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
     * (query_frontend/src/logical_optimizer/type_conversion.rs:40-215).
     */
   def runSql(sql: String): DataFrame = {
+    // EXPLAIN [VERBOSE|ANALYZE] <query> — reference shape: rows of
+    // (plan_type, plan) (explain.result; query_frontend/src/planner.rs
+    // lowers to DataFusion's Explain/Analyze). Plan TEXT is engine-specific
+    // by nature (ours is Catalyst, theirs DataFusion); the row shape and
+    // statement surface are the contract. Handled here because Spark's
+    // ExplainCommand holds its target plan as a field, not a child — the
+    // validators/rewrites below would never see inside it.
+    val explainRe = "(?is)^\\s*EXPLAIN\\s+(VERBOSE\\s+|ANALYZE\\s+)?(.*)$".r
+    sql match {
+      case explainRe(mod, inner) =>
+        return explainRows(Option(mod).map(_.trim.toUpperCase).getOrElse(""), inner)
+      case _ =>
+    }
     val tables = catalog.list()
     val cleaned = sql.replaceAll("(?i)system\\.public\\.tables", "system_public_tables")
     val plan = spark.sessionState.sqlParser.parsePlan(cleaned)
@@ -482,6 +495,49 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
         case _ =>
       })
     }
+  }
+
+  /** EXPLAIN output in the reference's (plan_type, plan) row shape
+    * (explain.result). VERBOSE adds the pre-optimization plan (DataFusion's
+    * verbose mode lists every rewrite pass; we surface the analyzer output
+    * as the initial plan). ANALYZE executes the query and reports the
+    * final (AQE-resolved) physical plan with runtime metrics.
+    */
+  private def explainRows(mode: String, innerSql: String): DataFrame = {
+    val df = runSql(innerSql)
+    val qe = df.queryExecution
+    val rows = mode match {
+      case "ANALYZE" =>
+        df.collect() // populate SQL metrics and finalize adaptive plans
+        // AQE hides the final plan and per-stage plans behind non-child
+        // fields — walk them explicitly so their metrics are reported
+        def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a +: allNodes(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            q +: allNodes(q.plan)
+          case other => other +: other.children.flatMap(allNodes)
+        }
+        val metrics = allNodes(qe.executedPlan).map { n =>
+          val ms = n.metrics.toSeq.sortBy(_._1)
+            .map { case (k, m) => s"${m.name.getOrElse(k)}=${m.value}" }
+          s"${n.nodeName}: metrics=[${ms.mkString(", ")}]"
+        }
+        Seq(Row("plan_with_metrics",
+          qe.executedPlan.treeString.trim + "\n" + metrics.mkString("\n")))
+      case "VERBOSE" =>
+        Seq(
+          Row("initial_logical_plan", qe.analyzed.treeString.trim),
+          Row("logical_plan", qe.optimizedPlan.treeString.trim),
+          Row("physical_plan", qe.executedPlan.treeString.trim))
+      case _ =>
+        Seq(
+          Row("logical_plan", qe.optimizedPlan.treeString.trim),
+          Row("physical_plan", qe.executedPlan.treeString.trim))
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("plan_type", StringType), StructField("plan", StringType))))
   }
 
   def systemTables(): DataFrame = {

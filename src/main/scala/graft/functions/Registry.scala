@@ -54,6 +54,16 @@ object GraftFunctions {
     // uint64 wraparound arithmetic (reference aggregate.sql u64 underflow)
     Seq("add", "sub", "mul").foreach(op =>
       reg.createOrReplaceTempFunction(s"u64_$op", wrapBuilder(op), "scala_udf"))
+    // reference surface name (DataFusion approx_percentile_cont,
+    // partition_table.sql golden). We compute the exact interpolated
+    // percentile — COVERAGE.md documents the value deviation vs the
+    // t-digest approximation (golden 109.4 vs exact 109.0 on 11 rows).
+    reg.createOrReplaceTempFunction("approx_percentile_cont", {
+      case Seq(c, q) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(c, q)
+      case other => throw new IllegalArgumentException(
+        s"approx_percentile_cont takes (col, q), got ${other.length} args")
+    }, "scala_udf")
     // DataFusion built-in the reference goldens exercise (date_bin.sql)
     reg.createOrReplaceTempFunction("date_bin", {
       case Seq(iv, ts, origin) => DateBin(iv, ts, origin)

@@ -539,6 +539,148 @@ class GoldenSpec extends SparkSpec {
       e.catalog.get("06_show_a").columns.map(c => (c.name, c.kind)).toSet)
   }
 
+  // ---- cases/common/explain/explain.sql, dml/issue-1087.sql (EXPLAIN
+  //      VERBOSE), optimizer/optimizer.sql, env/local/ddl/query-plan.sql
+  //      (EXPLAIN ANALYZE + time-range pruning): the reference's EXPLAIN
+  //      surface. Plan TEXT is engine-specific (Catalyst vs DataFusion);
+  //      the (plan_type, plan) row shape and the pruning/pushdown facts
+  //      the goldens assert are the replayed contract.
+  test("EXPLAIN battery matches the reference goldens' shape and pruning facts") {
+    val e = engine()
+    // explain.sql: EXPLAIN SELECT t
+    e.execute("CREATE TABLE `04_explain_t` (t timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE=Analytic")
+    val ex = e.runSql("EXPLAIN SELECT t FROM `04_explain_t`").collect()
+    assert(ex.map(_.getString(0)).toSeq == Seq("logical_plan", "physical_plan"))
+    // the scan projects only the selected column (golden: projection=[t])
+    assert(ex.head.getString(1).contains("t"))
+    // issue-1087.sql: EXPLAIN VERBOSE lists the pre-optimization plan too
+    e.execute(
+      """CREATE TABLE `issue_1087` (`name` string TAG, `value` double NOT NULL,
+        |  `t` timestamp NOT NULL, timestamp KEY (t)) ENGINE=Analytic
+        |  with (enable_ttl='false')""".stripMargin)
+    val exv = e.runSql("explain verbose select * from issue_1087").collect()
+    assert(exv.map(_.getString(0)).toSeq ==
+      Seq("initial_logical_plan", "logical_plan", "physical_plan"))
+    // optimizer.sql: grouped aggregate plans as partial + final hash agg
+    e.execute(
+      """CREATE TABLE `07_optimizer_t` (name string TAG, value double NOT NULL,
+        |  t timestamp NOT NULL, TIMESTAMP KEY(t)) ENGINE=Analytic
+        |  with (enable_ttl='false');
+        |INSERT INTO `07_optimizer_t` (t, name, value) VALUES (1, 'a', 1.0)""".stripMargin)
+    val exo = e.runSql(
+      "EXPLAIN SELECT max(value) AS c1, avg(value) AS c2 FROM `07_optimizer_t` GROUP BY name")
+      .collect()
+    val phys = exo.last.getString(1)
+    // golden asserts the two-phase agg (AggregateExec mode=Partial/Final);
+    // Spark's equivalent: partial_max/partial_avg feeding final HashAggregate
+    assert(phys.contains("HashAggregate") && phys.contains("partial_max"), phys)
+    // query-plan.sql: EXPLAIN ANALYZE carries metrics and prunes segments
+    e.execute(
+      """CREATE TABLE `03_dml_select_real_time_range` (name string TAG,
+        |  value double NOT NULL, t timestamp NOT NULL, timestamp KEY (t))
+        |  ENGINE = Analytic WITH (enable_ttl = 'false', segment_duration='2h');
+        |INSERT INTO `03_dml_select_real_time_range` (t, name, value) VALUES
+        |  (1695348000000, "horaedb", 100), (1695348001000, "horaedb", 200),
+        |  (1695348002000, "horaedb", 300)""".stripMargin)
+    val exa = e.runSql(
+      """explain analyze select t from `03_dml_select_real_time_range`
+        |where t > 1695348001000""".stripMargin).collect()
+    assert(exa.length == 1 && exa.head.getString(0) == "plan_with_metrics")
+    // runtime metrics present (the golden's metrics=[...] analogue)
+    assert(exa.head.getString(1).contains("number of output rows"), exa.head.getString(1))
+    // and the query itself returns only the row after the bound
+    assert(longs(e.runSql(
+      """select unix_millis(t) from `03_dml_select_real_time_range`
+        |where t > 1695348001000""".stripMargin)) == Seq(1695348002000L))
+  }
+
+  // ---- cases/env/local/system/system_tables.sql(.result): SHOW TABLES
+  //      LIKE over a numeric-leading quoted identifier, plus the system
+  //      catalog query the reference leaves FIXME'd (ours works)
+  test("system_tables battery matches the reference goldens") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE `01_system_table1` (`timestamp` timestamp NOT NULL,
+        |  `arch` string TAG, `datacenter` string TAG, `hostname` string TAG,
+        |  `value` double, timestamp KEY (`timestamp`)) ENGINE=Analytic""".stripMargin)
+    assert(e.execute("SHOW TABLES LIKE '01%'").collect().map(_.getString(0)).toSeq ==
+      Seq("01_system_table1"))
+    assert(e.execute("SHOW TABLES LIKE '02%'").count() == 0)
+    // the reference comments this out as broken (system_tables.sql TODO);
+    // the Spark mapping supports it
+    val sys = e.runSql(
+      "SELECT table_name, engine FROM system.public.tables WHERE table_name = '01_system_table1'")
+      .collect()
+    assert(sys.length == 1 && sys.head.getString(1) == "Analytic")
+  }
+
+  // ---- cases/env/cluster/ddl/partition_table.sql(.result): KEY/RANDOM
+  //      partitioned tables — canonical SHOW CREATE, per-key reads, ALTER,
+  //      update_mode=APPEND. Sub-table SHOW CREATE (__partition_table_t_0)
+  //      is distribution-internal and stays blocked here (Spark replaces
+  //      remote sub-tables; validator parity test covers the block).
+  test("partition_table battery matches the reference goldens") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE `partition_table_t`(`name` string TAG, `id` int TAG,
+        |  `value` double NOT NULL, `t` timestamp NOT NULL, TIMESTAMP KEY(t))
+        |  PARTITION BY KEY(name) PARTITIONS 4 ENGINE = Analytic
+        |  with (enable_ttl='false')""".stripMargin)
+    val sc = e.execute("SHOW CREATE TABLE partition_table_t").head().getString(1)
+    assert(sc ==
+      "CREATE TABLE `partition_table_t` (`tsid` uint64 NOT NULL, `t` timestamp NOT NULL, " +
+      "`name` string TAG, `id` int TAG, `value` double NOT NULL, " +
+      "PRIMARY KEY(tsid,t), TIMESTAMP KEY(t)) PARTITION BY KEY(name) PARTITIONS 4 " +
+      "ENGINE=Analytic WITH(arena_block_size='2097152', compaction_strategy='default', " +
+      "compression='ZSTD', enable_ttl='false', memtable_type='skiplist', " +
+      "num_rows_per_row_group='8192', segment_duration='', storage_format='AUTO', " +
+      "ttl='7d', update_mode='OVERWRITE', write_buffer_size='33554432')")
+    e.execute("INSERT INTO partition_table_t (t, name, value) VALUES " +
+      (0 to 10).map(i => s"""(1651737067000, "horaedb$i", ${100 + i})""").mkString(", "))
+    // per-key point reads land on one bucket and return the golden values
+    for (i <- 0 to 3) {
+      val r = e.runSql(s"""SELECT name, value FROM partition_table_t WHERE name = "horaedb$i"""")
+        .collect()
+      assert(r.length == 1 && r.head.getString(0) == s"horaedb$i" &&
+        r.head.getDouble(1) == 100.0 + i)
+    }
+    // IN-list fan-out across buckets, ordered (golden: two IN queries)
+    assert(e.runSql("""SELECT name FROM partition_table_t WHERE name in
+        |("horaedb0","horaedb1","horaedb2","horaedb3","horaedb4")
+        |ORDER BY name""".stripMargin).collect().map(_.getString(0)).toSeq ==
+      Seq("horaedb0", "horaedb1", "horaedb2", "horaedb3", "horaedb4"))
+    assert(e.runSql("""SELECT name FROM partition_table_t WHERE name in
+        |("horaedb5","horaedb6","horaedb7","horaedb8","horaedb9","horaedb10")
+        |ORDER BY name""".stripMargin).count() == 6)
+    // ALTER on a partitioned table, then inserts through both paths
+    e.execute("ALTER TABLE partition_table_t ADD COLUMN (b string)")
+    e.execute("""INSERT INTO partition_table_t (t, id, name, value)
+      |VALUES (1651737067000, 10, "horaedb0", 100)""".stripMargin)
+    e.execute("ALTER TABLE partition_table_t MODIFY SETTING enable_ttl='true'")
+    e.execute("DROP TABLE IF EXISTS `partition_table_t`")
+    intercept[Exception](e.execute("SHOW CREATE TABLE partition_table_t"))
+    // RANDOM partitions + APPEND mode (update_mode in double quotes)
+    e.execute(
+      """CREATE TABLE `random_partition_table_t`(`name` string TAG, `id` int TAG,
+        |  `value` double NOT NULL, `t` timestamp NOT NULL, TIMESTAMP KEY(t))
+        |  PARTITION BY RANDOM PARTITIONS 4 ENGINE = Analytic
+        |  with (enable_ttl='false', update_mode="APPEND")""".stripMargin)
+    val sc2 = e.execute("SHOW CREATE TABLE random_partition_table_t").head().getString(1)
+    assert(sc2.contains("PARTITION BY RANDOM PARTITIONS 4") &&
+      sc2.contains("update_mode='APPEND'") && sc2.contains("enable_ttl='false'"))
+    e.execute("INSERT INTO random_partition_table_t (t, name, value) VALUES " +
+      (0 to 10).map(i => s"""(1651737067000, "horaedb$i", ${100 + i})""").mkString(", "))
+    assert(e.runSql("""SELECT value FROM random_partition_table_t WHERE name = "horaedb5"""")
+      .head().getDouble(0) == 105.0)
+    // time_bucket + approx_percentile_cont over the partitioned table
+    val p = e.runSql(
+      """SELECT time_bucket(t, "PT1M") AS ts,
+        |  approx_percentile_cont(`value`, 0.9) AS value
+        |FROM random_partition_table_t GROUP BY time_bucket(t, "PT1M")""".stripMargin)
+      .collect()
+    assert(p.length == 1 && p.head.getDouble(1) == 109.0)
+  }
+
   // ---- cases/env/local/ddl/alter_table.sql(.result): add-column flow with
   //      old rows surfacing null; RENAME / DROP COLUMN are unsupported
   //      (errors, like the reference); INSERT INTO TABLE noise word
