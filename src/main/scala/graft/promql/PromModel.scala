@@ -45,6 +45,23 @@ final case class MathFunc(name: String, child: PromExpr, args: Seq[Double] = Nil
   * whose label set exists in rhs at the same step, `unless` keeps those
   * that don't, `or` adds rhs elements whose label set is absent from lhs. */
 final case class SetOpExpr(op: String, lhs: PromExpr, rhs: PromExpr) extends PromExpr
+/** label_replace(v, dst, replacement, src, regex): when the ANCHORED regex
+  * matches the full src label value, dst := replacement with $1-style
+  * capture-group expansion; otherwise the element is unchanged
+  * (promql/functions.go funcLabelReplace semantics). */
+final case class LabelReplaceExpr(
+    child: PromExpr, dst: String, replacement: String, src: String,
+    regex: String) extends PromExpr
+/** label_join(v, dst, sep, src...): dst := src label values joined by sep. */
+final case class LabelJoinExpr(
+    child: PromExpr, dst: String, sep: String, srcLabels: Seq[String])
+    extends PromExpr
+/** histogram_quantile(φ, v) over `le`-labelled cumulative bucket series
+  * (promql/quantile.go bucketQuantile): per (other labels, step), find the
+  * first bucket whose cumulative count reaches φ·total and interpolate
+  * linearly inside it; the +Inf bucket clamps to the highest finite le. */
+final case class HistogramQuantileExpr(phi: Double, child: PromExpr)
+    extends PromExpr
 
 /** Evaluation grid [startMs, endMs] stepMs, with the Prometheus default
   * 5-minute lookback for instant selection (reference promql/convert.rs:55).

@@ -209,6 +209,34 @@ object PromQL {
         expect(')')
         if (by.isEmpty) by = parseByClause().getOrElse(Nil)
         QuantileExpr(phi, by, child)
+      } else if (name == "histogram_quantile") {
+        expect('(')
+        val phi = number()
+        expect(',')
+        val child = parseExpr()
+        expect(')')
+        HistogramQuantileExpr(phi, child)
+      } else if (name == "label_replace") {
+        expect('(')
+        val child = parseExpr()
+        expect(','); ws(); val dst = quoted()
+        expect(','); ws(); val repl = quoted()
+        expect(','); ws(); val src = quoted()
+        expect(','); ws(); val re = quoted()
+        expect(')')
+        LabelReplaceExpr(child, dst, repl, src, re)
+      } else if (name == "label_join") {
+        expect('(')
+        val child = parseExpr()
+        expect(','); ws(); val dst = quoted()
+        expect(','); ws(); val sep = quoted()
+        val srcs = Seq.newBuilder[String]
+        ws()
+        while (peek == ',') { i += 1; ws(); srcs += quoted(); ws() }
+        expect(')')
+        val ss = srcs.result()
+        if (ss.isEmpty) fail("label_join needs at least one source label")
+        LabelJoinExpr(child, dst, sep, ss)
       } else if (rangeFuncs(name)) {
         expect('(')
         val sel = parseSelector()
@@ -388,6 +416,75 @@ object PromQL {
           ld.select(ld.columns.map(col): _*)
             .union(missing.select(ld.columns.map(col): _*))
       }
+
+    case LabelReplaceExpr(child, dst, repl, src, regex) =>
+      // map-only: no shuffle. Anchor the regex (Prometheus full-match) and
+      // expand $1-style groups via Spark's regexp_replace (Java group refs).
+      val in = evalExpr(spark, resolve, child, p)
+      val tagCols = in.columns.filterNot(c => c == "ts" || c == "value").toSeq
+      require(dst.matches("[a-zA-Z_][a-zA-Z0-9_]*"),
+        s"label_replace: invalid destination label '$dst'")
+      // absent labels read as "" (Prometheus treats missing = empty)
+      val srcCol = if (tagCols.contains(src)) col(src).cast("string") else lit("")
+      val dstOrig = if (tagCols.contains(dst)) col(dst).cast("string") else lit("")
+      val anchored = "^(?:" + regex + ")$"
+      // validate the regex eagerly (Prometheus errors on a bad regex)
+      java.util.regex.Pattern.compile(anchored)
+      in.withColumn(dst,
+        when(srcCol.rlike(anchored),
+          regexp_replace(srcCol, anchored, repl)).otherwise(dstOrig))
+
+    case LabelJoinExpr(child, dst, sep, srcs) =>
+      val in = evalExpr(spark, resolve, child, p)
+      val tagCols = in.columns.filterNot(c => c == "ts" || c == "value").toSeq
+      require(dst.matches("[a-zA-Z_][a-zA-Z0-9_]*"),
+        s"label_join: invalid destination label '$dst'")
+      val parts = srcs.map(sc =>
+        if (tagCols.contains(sc)) col(sc).cast("string") else lit(""))
+      in.withColumn(dst, concat_ws(sep, parts: _*))
+
+    case HistogramQuantileExpr(phi, child) =>
+      // bucketQuantile (promql/quantile.go): one shuffle on the series
+      // labels (le dropped) + step; window math inside each histogram.
+      val in = evalExpr(spark, resolve, child, p)
+      val tagCols = in.columns.filterNot(c => c == "ts" || c == "value").toSeq
+      require(tagCols.contains("le"),
+        "histogram_quantile requires a bucket vector with an 'le' label")
+      val grp = tagCols.filterNot(_ == "le")
+      val keys = (grp :+ "ts").map(col)
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(keys: _*).orderBy(col("__le"))
+      val wAll = Window.partitionBy(keys: _*)
+      val leD = when(col("le") === "+Inf", lit(Double.PositiveInfinity))
+        .otherwise(col("le").cast("double"))
+      val staged = in
+        .withColumn("__le", leD)
+        .withColumn("__total", max(when(col("__le") === lit(Double.PositiveInfinity),
+          col("value"))).over(wAll))
+        .withColumn("__rank", lit(phi) * col("__total"))
+        .withColumn("__bi", row_number().over(wOrd))
+        .withColumn("__prevLe", lag(col("__le"), 1, 0.0).over(wOrd))
+        .withColumn("__prevCt", lag(col("value"), 1, 0.0).over(wOrd))
+        .filter(col("__le") =!= lit(Double.PositiveInfinity))
+      // first finite bucket reaching the rank; absent → clamp to max le
+      val hit = staged.filter(col("value") >= col("__rank"))
+        .withColumn("__rn", row_number().over(wOrd))
+        .filter(col("__rn") === 1)
+        .select(keys :+ col("__le") :+ col("__bi") :+ col("__prevLe") :+
+          col("__prevCt") :+ col("__rank") :+ col("value").as("__ct"): _*)
+      val maxLe = staged.groupBy(keys: _*).agg(
+        max(col("__le")).as("__maxLe"), max(col("__total")).as("__tot"))
+      val joined = maxLe.join(hit, grp :+ "ts", "left")
+      val interp = col("__prevLe") +
+        (col("__le") - col("__prevLe")) *
+          ((col("__rank") - col("__prevCt")) / (col("__ct") - col("__prevCt")))
+      val resultCol =
+        when(col("__tot").isNull || col("__tot") <= 0.0, lit(Double.NaN))
+          .when(col("__le").isNull, col("__maxLe")) // only +Inf reaches rank
+          .when(col("__bi") === 1 && col("__le") <= 0.0, col("__le"))
+          .otherwise(interp)
+      joined.withColumn("value", resultCol)
+        .select((grp.map(col) :+ col("ts") :+ col("value")): _*)
 
     case NumberLit(_) =>
       throw new IllegalArgumentException("scalar-only expressions are not supported")

@@ -18,6 +18,26 @@ object Prom {
   private def table(s: SparkSession, dir: String): String => PromQL.SeriesTable = {
     case "events" => PromQL.SeriesTable(
       Tables.t(s, dir, "events"), "ts", "value", Seq("event_type"))
+    case "events_bucket" =>
+      // a Prometheus-style histogram derived from events: per hour-end and
+      // event_type, CUMULATIVE counts of values under each le bucket (one
+      // sample per bucket series at the hour boundary). Single hash-agg
+      // shuffle on (hour, event_type); stack() is a map-side pivot.
+      import org.apache.spark.sql.functions._
+      val hourly = Tables.t(s, dir, "events")
+        .select(expr(
+          "timestamp_millis(CAST(ceil(unix_millis(ts) / 3600000.0) AS BIGINT) * 3600000)")
+          .as("ts"), col("event_type"), col("value"))
+        .groupBy("ts", "event_type")
+        .agg(
+          sum(when(col("value") <= 10, 1).otherwise(0)).cast("double").as("c10"),
+          sum(when(col("value") <= 50, 1).otherwise(0)).cast("double").as("c50"),
+          sum(when(col("value") <= 100, 1).otherwise(0)).cast("double").as("c100"),
+          sum(when(col("value") <= 200, 1).otherwise(0)).cast("double").as("c200"),
+          count(lit(1)).cast("double").as("cinf"))
+        .selectExpr("ts", "event_type",
+          "stack(5, '10', c10, '50', c50, '100', c100, '200', c200, '+Inf', cinf) AS (le, value)")
+      PromQL.SeriesTable(hourly, "ts", "value", Seq("event_type", "le"))
     case other => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 
@@ -207,6 +227,49 @@ object Prom {
       Some(s"""SELECT event_type, ts,
               |  round(least(abs(raw), 0.02), 4) AS "value"
               |FROM (${extrapolatedSql(counter = true, perSecond = true)})""".stripMargin)),
+
+    // ---- label_replace: regex class label + aggregate over it
+    q("q78_promql_label_replace",
+      """sum by (cls) (label_replace(events, "cls", "ui", "event_type", "click|view"))""",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |latest AS (
+             |  SELECT g.gts, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.gts AND e.ts > g.gts - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid g CROSS JOIN series s)
+             |SELECT CASE WHEN event_type IN ('click','view') THEN 'ui' ELSE '' END AS cls,
+             |  gts AS ts, round(sum(v), 4) AS "value"
+             |FROM latest WHERE v IS NOT NULL GROUP BY 1, 2""".stripMargin)),
+
+    // ---- histogram_quantile over hour-end cumulative buckets
+    //      (bucketQuantile interpolation re-derived in the oracle)
+    q("q79_promql_histogram_quantile", "histogram_quantile(0.9, events_bucket)",
+      Some("""WITH counts AS (
+             |  SELECT make_timestamp(CAST(ceil(epoch_ms(ts) / 3600000.0) AS BIGINT)
+             |           * 3600000 * 1000) AS hts,
+             |    event_type,
+             |    CAST(count(*) FILTER (WHERE "value" <= 10)  AS DOUBLE) AS n10,
+             |    CAST(count(*) FILTER (WHERE "value" <= 50)  AS DOUBLE) AS n50,
+             |    CAST(count(*) FILTER (WHERE "value" <= 100) AS DOUBLE) AS n100,
+             |    CAST(count(*) FILTER (WHERE "value" <= 200) AS DOUBLE) AS n200,
+             |    CAST(count(*) AS DOUBLE) AS total
+             |  FROM events GROUP BY 1, 2),
+             |ranked AS (SELECT *, 0.9 * total AS rank FROM counts WHERE total > 0)
+             |SELECT event_type, hts AS ts,
+             |  round(CASE
+             |    WHEN n200 < rank THEN 200.0
+             |    WHEN n10 >= rank THEN 10.0 * rank / n10
+             |    WHEN n50 >= rank THEN 10.0 + 40.0 * (rank - n10) / (n50 - n10)
+             |    WHEN n100 >= rank THEN 50.0 + 50.0 * (rank - n50) / (n100 - n50)
+             |    ELSE 100.0 + 100.0 * (rank - n100) / (n200 - n100) END, 4) AS "value"
+             |FROM ranked
+             |WHERE hts >= TIMESTAMP '2024-01-10 01:00:00'
+             |  AND hts <= TIMESTAMP '2024-01-11 00:00:00'""".stripMargin)),
 
     // ---- vector set op: instant vectors minus the per-step top-2
     q("q77_promql_unless", "events unless topk(2, events)",

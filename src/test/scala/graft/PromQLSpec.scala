@@ -141,6 +141,59 @@ class PromQLSpec extends SparkSpec {
     assert(combo.toSeq == Seq(9.0 - 3.0))
   }
 
+  test("label_replace / label_join rewrite labels without touching samples") {
+    import spark.implicits._
+    val t0 = 100000L
+    val df = Seq(("api_eu", 1.0), ("api_us", 2.0), ("db_eu", 3.0))
+      .map { case (h, v) => (new java.sql.Timestamp(t0), h, v) }
+      .toDF("ts", "host", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host"))
+    val p = EvalParams(startMs = t0, endMs = t0, stepMs = 60000L)
+    def run(q: String) = PromQL.eval(spark, bind, q, p).collect()
+
+    // capture-group expansion into a NEW label
+    val svc = run("""label_replace(m, "svc", "$1", "host", "([a-z]+)_.*")""")
+      .map(r => (r.getAs[String]("host"), r.getAs[String]("svc"))).toMap
+    assert(svc == Map("api_eu" -> "api", "api_us" -> "api", "db_eu" -> "db"))
+    // non-matching regex leaves the element unchanged (dst absent -> "")
+    val nm = run("""label_replace(m, "svc", "$1", "host", "zzz(.*)")""")
+      .map(_.getAs[String]("svc")).distinct
+    assert(nm.toSeq == Seq(""))
+    // overwrite an EXISTING label and aggregate over the rewritten one
+    val agg = run("""sum by (host) (label_replace(m, "host", "all", "host", ".*"))""")
+    assert(agg.length == 1 && agg.head.getAs[Double]("value") == 6.0)
+    // label_join concatenates sources (missing labels read as empty)
+    val lj = run("""label_join(m, "j", "-", "host", "nope")""")
+      .map(_.getAs[String]("j")).sorted
+    assert(lj.toSeq == Seq("api_eu-", "api_us-", "db_eu-"))
+    // bad destination label errors
+    intercept[Exception](run("""label_replace(m, "2bad", "x", "host", ".*")"""))
+  }
+
+  test("histogram_quantile interpolates inside the winning bucket") {
+    import spark.implicits._
+    val t0 = 100000L
+    // one histogram, cumulative buckets: le=1:10, le=2:30, le=4:30, +Inf:40
+    val df = Seq(("1", 10.0), ("2", 30.0), ("4", 30.0), ("+Inf", 40.0))
+      .map { case (le, c) => (new java.sql.Timestamp(t0), "h1", le, c) }
+      .toDF("ts", "host", "le", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host", "le"))
+    val p = EvalParams(startMs = t0, endMs = t0, stepMs = 60000L)
+    def hq(phi: Double): Double =
+      PromQL.eval(spark, bind, s"histogram_quantile($phi, m)", p)
+        .collect().head.getAs[Double]("value")
+
+    // rank = 0.5*40 = 20 -> bucket (1,2]: 1 + 1*(20-10)/(30-10) = 1.5
+    assert(math.abs(hq(0.5) - 1.5) < 1e-9)
+    // rank = 0.25*40 = 10 -> first bucket (0,1]: 0 + 1*(10/10) = 1.0
+    assert(math.abs(hq(0.25) - 1.0) < 1e-9)
+    // rank = 0.95*40 = 38 -> only +Inf reaches: clamp to highest finite le
+    assert(hq(0.95) == 4.0)
+    // output drops the le label but keeps the series label
+    val out = PromQL.eval(spark, bind, "histogram_quantile(0.5, m)", p)
+    assert(out.columns.toSet == Set("host", "ts", "value"))
+  }
+
   test("offset shifts evaluation into the past") {
     import spark.implicits._
     val df = Seq(
