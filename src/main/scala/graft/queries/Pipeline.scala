@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.pipeline.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline battery over the documents/embeddings
@@ -61,6 +61,31 @@ object PipelineQueries {
         val d = Dedup.exactKeepFirst(t(s, dir, "documents"), "doc_id", "text")
         d.agg(sum("n_copies").cast("long").as("n_docs"),
               count(lit(1)).as("n_unique"))
+      }),
+
+    // ---- benchmark decontamination: docs sharing any 8-gram with the
+    //      (deterministic doc_id%7) benchmark split, broadcast semi-join —
+    //      the corpus side is never shuffled
+    GraftQuery("q80_decontaminate",
+      Some("""WITH tok AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS ts
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(ts) >= 8 THEN array_to_string(ts[g.i:g.i+7], ' ')
+             |         ELSE array_to_string(ts, ' ') END AS gram
+             |  FROM tok CROSS JOIN LATERAL
+             |    (SELECT unnest(range(1, greatest(len(ts)-7, 1)+1)) AS i) g),
+             |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0)
+             |SELECT doc_id, count(DISTINCT gram) AS n_hits
+             |FROM grams
+             |WHERE doc_id % 7 <> 0 AND gram IN (SELECT gram FROM bench)
+             |GROUP BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Decontaminate.contaminated(
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 7 === 0), "text", n = 8)
       }),
 
     // ---- exact token-set Jaccard near-dup pairs (blocked all-pairs)

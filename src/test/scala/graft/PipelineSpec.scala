@@ -38,6 +38,39 @@ class PipelineSpec extends SparkSpec {
     assert(out.agg(max("doc_id")).head().getLong(0) < 100000)
   }
 
+  test("decontamination flags n-gram overlap with a benchmark set; clean() is the complement") {
+    import spark.implicits._
+    import graft.pipeline.Decontaminate
+    val bench = Seq(
+      (1L, "What is the capital of France Paris is the answer to this question"),
+      (2L, "Compute the derivative of x squared with respect to x please"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      // verbatim 8-gram from bench doc 1, different casing
+      (10L, "prefix words here WHAT IS THE CAPITAL OF FRANCE PARIS IS and a suffix"),
+      // clean document
+      (11L, "completely unrelated text about cooking pasta with tomato sauce tonight"),
+      // short benchmark prompt contained verbatim is NOT flagged unless
+      // the corpus doc contains the same full short text (whole-text gram)
+      (12L, "compute the derivative of x squared with respect to x please"))
+      .toDF("doc_id", "text")
+    val flagged = Decontaminate.contaminated(corpus, "doc_id", "text", bench, "btext", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(10L) && flagged.contains(12L) && !flagged.contains(11L), flagged)
+    // doc 10 shares exactly one 8-gram ("what is the capital of france paris is")
+    assert(flagged(10L) == 1L, flagged)
+    val clean = Decontaminate.clean(corpus, "doc_id", "text", bench, "btext", n = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(clean == Seq(11L))
+    // scale shape: the benchmark side broadcasts, the corpus side never
+    // exchanges (no shuffle on the probe path before the per-doc agg)
+    val plan = Decontaminate.contaminated(
+      corpus, "doc_id", "text", bench, "btext", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") ||
+      plan.contains("broadcast"), plan)
+  }
+
   test("minhash LSH recovers nearly all exact 3-gram near-dup pairs (recall)") {
     // unblocked exact baseline (500 docs → cross join is fine in-test)
     val sh = docs.select(col("doc_id"),
