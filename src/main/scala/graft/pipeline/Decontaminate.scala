@@ -23,17 +23,32 @@ object Decontaminate {
   private def lowerTokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
-  /** Hashes of the k-token shingles of `text` (distinct; docs shorter than
-    * k tokens contribute their whole text as one shingle so short
-    * benchmark prompts still match verbatim copies). */
-  private def gramHashes(text: Column, n: Int): Column = {
+  /** The k-token shingles of `text` as strings (docs shorter than k tokens
+    * contribute their whole text as one shingle so short benchmark prompts
+    * still match verbatim copies). Hashing happens AFTER the explode as a
+    * codegen'd column op — higher-order-function bodies evaluate
+    * interpreted, so keeping xxhash64 out of the transform() lambda roughly
+    * halves the per-gram cost on the corpus hot path. */
+  private def grams(text: Column, n: Int): Column = {
     val toks = lowerTokens(text)
-    val grams = when(size(toks) >= n,
+    when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
-    array_distinct(transform(grams, g => xxhash64(g)))
   }
+
+  /** (id, __g) rows: one per n-gram occurrence, hashed post-explode.
+    * The input is repartitioned round-robin before the CPU-dense gram
+    * explode: a small corpus file arrives as one scan partition, which
+    * would serialize tokenization on a single core (same fix as the dedup
+    * operators). On a real cluster the scan is already wide and this moves
+    * each (id, text) row exactly once. */
+  private def gramRows(df: DataFrame, idCols: Seq[Column], text: Column,
+      n: Int): DataFrame =
+    df.select(idCols :+ text.as("__t"): _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(idCols :+ explode(grams(col("__t"), n)).as("__gs"): _*)
+      .select(idCols :+ xxhash64(col("__gs")).as("__g"): _*)
 
   /** Contaminated documents: every doc from `docs` sharing at least one
     * n-gram with `bench`, with the count of distinct matching n-grams.
@@ -42,15 +57,13 @@ object Decontaminate {
   def contaminated(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
-    val benchGrams = bench
-      .select(explode(gramHashes(col(benchTextCol), n)).as("__g"))
-      .distinct()
-    docs
-      .select(col(idCol), explode(gramHashes(col(textCol), n)).as("__g"))
+    val benchGrams = gramRows(bench, Nil, col(benchTextCol), n).distinct()
+    gramRows(docs, Seq(col(idCol)), col(textCol), n)
       // broadcast semi-join: the corpus side stays where the scan put it
       .join(broadcast(benchGrams), Seq("__g"), "left_semi")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_hits"))
+      // per-occurrence rows survive the explode now — count DISTINCT grams
+      .agg(countDistinct(col("__g")).as("n_hits"))
   }
 
   /** The complement view a pipeline actually materializes: `docs` with
@@ -58,11 +71,8 @@ object Decontaminate {
   def clean(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
-    val benchGrams = bench
-      .select(explode(gramHashes(col(benchTextCol), n)).as("__g"))
-      .distinct()
-    val hit = docs
-      .select(col(idCol), explode(gramHashes(col(textCol), n)).as("__g"))
+    val benchGrams = gramRows(bench, Nil, col(benchTextCol), n).distinct()
+    val hit = gramRows(docs, Seq(col(idCol)), col(textCol), n)
       .join(broadcast(benchGrams), Seq("__g"), "left_semi")
       .select(col(idCol)).distinct()
     // no broadcast hint on `hit`: it derives from the corpus side and is
