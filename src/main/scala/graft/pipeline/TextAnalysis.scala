@@ -97,6 +97,21 @@ object TextAnalysis {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** n-gram repetition character masses — struct(top_chars, dup_chars) from
+    * the single-pass [[graft.functions.GramRepStats]] kernel over
+    * [[shingles]]. Divide by `length(text)` (capped at 1.0 for dup) to get
+    * the Gopher repetition quality fractions. Map-only; no shuffle. */
+  def repetitionStats(text: Column, n: Int): Column =
+    graft.functions.GramRepStats(shingles(text, n))
+
+  /** Deterministic content-hash sampling bucket in [0, buckets): md5-prefix
+    * based, so the same document lands in the same bucket across runs,
+    * engines and re-partitions — the property reproducible corpus
+    * subsampling needs (a `rand()` sample is neither re-runnable nor
+    * consistent between a pipeline and its audit). Map-only. */
+  def sampleBucket(text: Column, buckets: Int = 100): Column =
+    conv(substring(md5(text), 1, 8), 16, 10).cast("long") % buckets
+
   /** MinHash signature from a shingle-set column: single-pass native
     * expression (see [[graft.functions.MinHashSig]]). array<long> of length
     * numHashes. */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.pipeline.{Decontaminate, Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Ivf, Multimodal, Pii, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline battery over the documents/embeddings
@@ -86,6 +86,86 @@ object PipelineQueries {
         Decontaminate.contaminated(
           docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
           docs.filter(col("doc_id") % 7 === 0), "text", n = 8)
+      }),
+
+    // ---- Gopher-style repetition quality signals: top/duplicate 2-gram
+    //      character fractions, one hash-map pass per doc (no shuffle)
+    GraftQuery("q81_repetition",
+      Some("""WITH tok AS (SELECT doc_id, length(text) AS n_chars,
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |grams AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE WHEN len(ts) >= 2 THEN array_to_string(ts[g.i:g.i+1], ' ')
+             |         ELSE array_to_string(ts, ' ') END AS gram
+             |  FROM tok CROSS JOIN LATERAL
+             |    (SELECT unnest(range(1, greatest(len(ts)-1, 1)+1)) AS i) g),
+             |cnt AS (SELECT doc_id, any_value(n_chars) AS n_chars, gram,
+             |    count(*) AS c, length(gram) AS gl
+             |  FROM grams GROUP BY doc_id, gram)
+             |SELECT doc_id,
+             |  round(max(c * gl)::DOUBLE / any_value(n_chars), 4) AS top_gram_frac,
+             |  round(least(coalesce(sum(CASE WHEN c > 1 THEN c * gl END), 0)::DOUBLE
+             |    / any_value(n_chars), 1.0), 4) AS dup_gram_frac
+             |FROM cnt GROUP BY doc_id""".stripMargin),
+      (s, dir) => {
+        val rep = repetitionStats(col("text"), 2)
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          round(rep.getField("top_chars") / charLen(col("text")), 4)
+            .as("top_gram_frac"),
+          round(least(rep.getField("dup_chars") / charLen(col("text")),
+            lit(1.0)), 4).as("dup_gram_frac"))
+      }),
+
+    // ---- deterministic content-hash stratified sampling: md5-bucket per
+    //      doc, per-language keep rates — reproducible across engines/runs
+    GraftQuery("q82_stratified_sample",
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 <
+             |      CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .filter(sampleBucket(col("text"), 100) <
+          when(col("lang") === "en", 50).otherwise(20))
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- k-means corpus clustering (the IVF index's training pass exposed
+    //      as an operator; label purity asserted in PipelineSpec)
+    GraftQuery("q83_kmeans_clusters", None,
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = Ivf.train(emb, "vec_id", "embedding", nlist = 8, iters = 3)
+        emb.withColumn("cluster", Ivf.assignColumn(col("embedding"), centroids))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n"),
+               countDistinct(col("label")).as("n_labels"))
+      }),
+
+    // ---- PII scrub: seed deterministic PII into the fixture text, then
+    //      count + redact (emails / IPv4 / phone) — pure codegen'd regex
+    GraftQuery("q84_pii_redact",
+      Some("""WITH seeded AS (SELECT doc_id,
+             |    text || ' contact user' || doc_id || '@example.com via 10.0.'
+             |      || (doc_id % 256) || '.7 or 555-0123' AS t2
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             |  len(regexp_extract_all(t2, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ip,
+             |  regexp_replace(regexp_replace(regexp_replace(t2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+             |FROM seeded""".stripMargin),
+      (s, dir) => {
+        val seeded = t(s, dir, "documents").select(
+          col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 or 555-0123")).as("t2"))
+        seeded.select(
+          col("doc_id"),
+          Pii.emailCount(col("t2")).cast("long").as("n_email"),
+          Pii.ipv4Count(col("t2")).cast("long").as("n_ip"),
+          Pii.redact(col("t2")).as("redacted"))
       }),
 
     // ---- exact token-set Jaccard near-dup pairs (blocked all-pairs)

@@ -204,6 +204,88 @@ class PipelineSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("repetition stats: known-answer doc, clean doc near zero, caps at 1") {
+    import spark.implicits._
+    // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] →
+    //   counts: "a b"×3 (3 chars), "b a"×2 → top = 3*3 = 9, dup = 9 + 6 = 15
+    // doc chars = 11 → top_frac 9/11, dup_frac capped at 1.0
+    val df = Seq("a b a b a b", "w x y z q r s t").toDF("text")
+    val rep = TextAnalysis.repetitionStats(col("text"), 2)
+    val rows = df.select(
+      rep.getField("top_chars").as("top"),
+      rep.getField("dup_chars").as("dup")).collect()
+    assert(rows(0).getLong(0) == 9 && rows(0).getLong(1) == 15)
+    // all 2-grams distinct → dup mass 0, top mass = one gram's chars
+    assert(rows(1).getLong(0) == 3 && rows(1).getLong(1) == 0)
+    // single-token doc falls back to the whole text as one gram
+    val one = Seq("solo").toDF("text")
+      .select(TextAnalysis.repetitionStats(col("text"), 2).getField("top_chars"))
+      .head().getLong(0)
+    assert(one == 4)
+  }
+
+  test("sample bucket: deterministic, in range, content-keyed") {
+    val b = TextAnalysis.sampleBucket(col("text"), 100)
+    val twice = docs.select(b.as("b1")).unionAll(docs.select(b.as("b1")))
+    val range = twice.agg(min("b1"), max("b1")).head()
+    assert(range.getLong(0) >= 0 && range.getLong(1) < 100)
+    // same text → same bucket: distinct (text, bucket) == distinct text
+    val stable = docs.select(col("text"), b.as("bk")).distinct().count()
+    assert(stable == docs.select("text").distinct().count())
+    // buckets spread: a 500-doc corpus should hit most of 100 buckets
+    assert(docs.select(b).distinct().count() > 60)
+  }
+
+  test("pii redaction: emails/ips/phones replaced, counts match, clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      "write to alice.smith+x@example.co.uk or bob@test.org today",
+      "server at 192.168.0.1 and 10.0.255.7 responded",
+      "call 555-0123 about invoice 12-34",
+      "no pii here at all").toDF("text")
+    val out = df.select(
+      Pii.redact(col("text")).as("r"),
+      Pii.emailCount(col("text")).as("ne"),
+      Pii.ipv4Count(col("text")).as("ni"),
+      Pii.phoneCount(col("text")).as("np")).collect()
+    assert(out(0).getString(0) == "write to <EMAIL> or <EMAIL> today")
+    assert(out(0).getInt(1) == 2)
+    assert(out(1).getString(0) == "server at <IP> and <IP> responded")
+    assert(out(1).getInt(2) == 2)
+    assert(out(2).getString(0) == "call <PHONE> about invoice 12-34")
+    assert(out(2).getInt(3) == 1)
+    assert(out(3).getString(0) == "no pii here at all")
+    assert(out(3).getInt(1) + out(3).getInt(2) + out(3).getInt(3) == 0)
+  }
+
+  test("kmeans clustering: deterministic, assigns every vector, coherent clusters") {
+    val cents = Ivf.train(embs, "vec_id", "embedding", nlist = 8, iters = 3)
+    val assigned = embs.withColumn("c", Ivf.assignColumn(col("embedding"), cents))
+    assert(assigned.filter(col("c").isNull).count() == 0)
+    assert(assigned.select("c").distinct().count() > 1)
+    // determinism: training twice yields identical centroids
+    val cents2 = Ivf.train(embs, "vec_id", "embedding", nlist = 8, iters = 3)
+    assert(cents.zip(cents2).forall { case (a, b) => a.sameElements(b) })
+    // coherence: mean cosine-to-own-centroid beats mean cosine to the
+    // global mean direction (clusters actually separate the space)
+    val mean = cents.transpose.map(_.sum / cents.length)
+    val norm = math.sqrt(mean.map(x => x * x).sum)
+    val global = mean.map(_ / norm)
+    val ownAvg = cents.indices.map { c =>
+      val cl = assigned.filter(col("c") === c)
+      val n = cl.count()
+      if (n == 0) (0.0, 0L)
+      else (cl.select(avg(Similarity.cosineToQuery(col("embedding"), cents(c))))
+        .head().getDouble(0) * n, n)
+    }
+    val own = ownAvg.map(_._1).sum / ownAvg.map(_._2).sum
+    val glob = assigned
+      .select(avg(Similarity.cosineToQuery(col("embedding"), global)))
+      .head().getDouble(0)
+    assert(own > glob,
+      s"own-centroid cosine $own should beat global-centroid $glob")
+  }
+
   test("quality score is in [0,1] and penalizes junk") {
     import spark.implicits._
     val good = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
