@@ -116,6 +116,23 @@ final class GraftCatalog(val warehouse: String) {
       .copy(dataGen = m.dataGen, compactedSeq = m.compactedSeq))
   }
 
+  /** Apply first-flush sampling suggestions (engine/Sampler.scala): set the
+    * sampled segment_duration and, when suggested, the re-ordered PK. The
+    * reference records both as manifest meta edits at flush
+    * (instance/flush_compaction.rs:355-400); a PK change bumps the schema
+    * version like its MetaUpdate::AlterSchema. */
+  def applySampling(
+      name: String, pk: Option[Seq[String]], segmentDuration: String): Unit = synchronized {
+    val m = manifest(name)
+    val s = m.toSchema
+    val next = s.copy(
+      options = TableOptions.fromRaw(s.options.raw + ("segment_duration" -> segmentDuration)),
+      sampledPrimaryKey = pk.map(_.toSeq).orElse(s.sampledPrimaryKey),
+      version = if (pk.isDefined) s.version + 1 else s.version)
+    writeManifest(name, Manifest(next, m.nextSeq)
+      .copy(dataGen = m.dataGen, compactedSeq = m.compactedSeq))
+  }
+
   def alterSetting(name: String, settings: Map[String, String]): Unit = synchronized {
     val m = manifest(name)
     val s = m.toSchema
@@ -203,7 +220,9 @@ private[catalog] final case class Manifest(
     // compaction state: current data-directory generation and the seq floor
     // below which rows are already physically deduped (absent = never
     // compacted; also keeps round-1 manifests readable)
-    dataGen: Option[Int] = None, compactedSeq: Option[Long] = None) {
+    dataGen: Option[Int] = None, compactedSeq: Option[Long] = None,
+    // PK suggested by first-flush cardinality sampling (engine/Sampler.scala)
+    sampledPk: Option[List[String]] = None) {
   def toSchema: TableSchema = TableSchema(
     name,
     columns.map(c => ColumnSpec(c.name, DatumKind.withName(c.kind), c.nullable,
@@ -216,7 +235,8 @@ private[catalog] final case class Manifest(
       case "hash"   => PartitionByHash(p.expr, p.partitions)
       case "random" => PartitionByRandom(p.partitions)
     }),
-    version)
+    version,
+    sampledPk.map(_.toSeq))
 }
 private[catalog] object Manifest {
   def apply(s: TableSchema, nextSeq: Long): Manifest = Manifest(
@@ -231,5 +251,5 @@ private[catalog] object Manifest {
       case PartitionByHash(e, n) => PartJson("hash", Nil, e, n)
       case PartitionByRandom(n)  => PartJson("random", Nil, "", n)
     },
-    s.version, nextSeq)
+    s.version, nextSeq, sampledPk = s.sampledPrimaryKey.map(_.toList))
 }

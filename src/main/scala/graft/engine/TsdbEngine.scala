@@ -21,7 +21,12 @@ import scala.jdk.CollectionConverters._
   * and everything else is standard SQL handed to Catalyst with catalog
   * tables pre-registered as (dedup-on-read, TTL-filtered) views.
   */
-final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
+final class TsdbEngine(
+    val spark: SparkSession, val warehouse: String,
+    // opt-in first-flush PK reordering, like the reference's
+    // enable_primary_key_sampling engine knob (lib.rs:96, default false);
+    // segment-duration sampling is always on, as in the reference
+    val enablePkSampling: Boolean = false) {
   val catalog = new GraftCatalog(warehouse)
   graft.functions.GraftFunctions.register(spark)
   // engine optimizer rules: Exact/Inexact dedup pushdown + KEY/HASH bucket
@@ -218,6 +223,49 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
       .parquet(catalog.dataDir(name))
   }
 
+  /** First flush of a table created without `segment_duration`: sample the
+    * accumulated (pre-flush) storage, pick a segment duration from observed
+    * timestamp spacing and — when [[enablePkSampling]] and the table is
+    * append-mode (table_options.rs:521 support_sample_pk) — reorder the PK
+    * by ascending column cardinality, then physically re-layout the data
+    * into the new `__segment` directories. Mirrors the reference's sampling
+    * memtable flush (instance/flush_compaction.rs:355-400 + sampler.rs).
+    * A no-op once `segment_duration` is set: appends are already durable
+    * parquet here, so there is nothing else a flush must persist. */
+  def flush(name: String, nowMs: Long = System.currentTimeMillis()): Unit = {
+    val s = catalog.get(name)
+    if (s.options.segmentDuration.nonEmpty) return
+    val storage = readStorage(s)
+    val tsMs = unix_millis(col(s.timestampKey))
+    // distinct timestamps in time order, capped: one distinct + sort of the
+    // first segment's worth of data, collected only up to the cap
+    val sampledTs = storage
+      .filter(tsMs < Sampler.MaxTimestampMs)
+      .select(tsMs.as("__ts")).distinct()
+      .orderBy("__ts").limit(Sampler.MaxTimestampSamples)
+      .collect().map(_.getLong(0)).toSeq
+    val durationMs = Sampler.suggestDurationMs(sampledTs)
+    val pkSuggestion =
+      if (enablePkSampling && s.options.updateMode == UpdateMode.Append) {
+        // reference counters skip timestamp-typed columns and tsid
+        // (sampler.rs:290-315); tsid is not a user column here
+        val eligible = s.columns.filter(c =>
+          c.kind != DatumKind.Timestamp && Sampler.isKeyKind(c.kind))
+        if (eligible.isEmpty) None
+        else {
+          // one distributed pass; Spark's approx_count_distinct is HLL++ at
+          // the same 1% error the reference's HLL runs (sampler.rs:61)
+          val aggs = eligible.map(c => approx_count_distinct(col(c.name), 0.01).as(c.name))
+          val row = storage.agg(aggs.head, aggs.tail: _*).head()
+          val counts = eligible.indices.map(i => eligible(i).name -> row.getLong(i))
+          val pk = Sampler.suggestPrimaryKey(counts, s.usesTsid, s.timestampKey)
+          if (pk == s.primaryKey) None else Some(pk)
+        }
+      } else None
+    catalog.applySampling(name, pkSuggestion, Sampler.durationString(durationMs))
+    compact(name, nowMs)
+  }
+
   // ---------------- compaction / TTL purge ----------------
 
   /** Compaction (reference: analytic_engine/src/compaction/mod.rs:78-128
@@ -279,6 +327,12 @@ final class TsdbEngine(val spark: SparkSession, val warehouse: String) {
       partCols :+= TableSchema.SegmentColumn
     }
     if (s.partitionBy.isDefined) partCols :+= TableSchema.BucketColumn
+
+    // PK-sorted rewrite: the reference's SSTs are PK-ordered, which is what
+    // makes parquet row-group min/max stats prune on tag predicates; sorting
+    // by (partition dirs, PK) also satisfies the partitioned writer's
+    // required ordering, so no extra writer-side sort happens
+    df = df.sortWithinPartitions((partCols ++ s.primaryKey).map(col): _*)
 
     val newDir = catalog.genDataDir(name, gen + 1)
     val w = df.write.mode("overwrite")

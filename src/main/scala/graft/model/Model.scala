@@ -192,7 +192,11 @@ final case class TableSchema(
     explicitPrimaryKey: Option[Seq[String]],
     options: TableOptions = TableOptions(),
     partitionBy: Option[PartitionBy] = None,
-    version: Int = 1) {
+    version: Int = 1,
+    // first-flush cardinality sampling can reorder the PK without touching
+    // declared column order (reference schema.rs reset_primary_key_indexes
+    // changes indexes only — see engine/Sampler.scala)
+    sampledPrimaryKey: Option[Seq[String]] = None) {
 
   require(columns.exists(_.name == timestampKey),
     s"timestamp key '$timestampKey' is not a declared column of '$name'")
@@ -204,9 +208,16 @@ final case class TableSchema(
   def usesTsid: Boolean =
     explicitPrimaryKey.forall(_.contains(TableSchema.TsidColumn))
 
-  /** Effective primary key: explicit, or the implicit (tsid, ts). */
-  def primaryKey: Seq[String] =
+  /** Primary key as declared at CREATE time: explicit, or the implicit
+    * (tsid, ts). Governs canonical column order (which first-flush PK
+    * sampling never rewrites — sampling-primary-key.result keeps the
+    * declared order while PRIMARY KEY(...) changes). */
+  def declaredPrimaryKey: Seq[String] =
     explicitPrimaryKey.getOrElse(Seq(TableSchema.TsidColumn, timestampKey))
+
+  /** Effective primary key: sampled (post first flush), else declared. */
+  def primaryKey: Seq[String] =
+    sampledPrimaryKey.getOrElse(declaredPrimaryKey)
 
   def tagColumns: Seq[ColumnSpec] = columns.filter(_.isTag)
 
@@ -220,7 +231,8 @@ final case class TableSchema(
         Seq(ColumnSpec(TableSchema.TsidColumn, DatumKind.UInt64, isNullable = false))
       else Nil
     val byName = (tsid ++ columns).map(c => c.name -> c).toMap
-    primaryKey.map(byName) ++ columns.filterNot(c => primaryKey.contains(c.name))
+    declaredPrimaryKey.map(byName) ++
+      columns.filterNot(c => declaredPrimaryKey.contains(c.name))
   }
 
   /** User-visible schema (without internal columns). */

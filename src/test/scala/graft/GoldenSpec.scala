@@ -2,6 +2,7 @@ package graft
 
 import graft.engine.TsdbEngine
 import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
 
 /** The reference's own sqlness golden tests, replayed through the engine
   * (reference: integration_tests/cases/common/ — the primary test strategy,
@@ -743,5 +744,58 @@ class GoldenSpec extends SparkSpec {
     intercept[IllegalStateException](
       e.execute("SHOW CREATE TABLE CASE_SENSITIVE_TABLE1"))
     intercept[IllegalStateException](e.execute("DESCRIBE CASE_SENSITIVE_TABLE1"))
+  }
+
+  // ---- cases/env/local/ddl/sampling-primary-key.sql(.result): the first
+  //      flush samples the accumulated rows, sets segment_duration from
+  //      timestamp spacing and reorders the PK by ascending cardinality
+  //      (PRIMARY KEY(tsid,t) → PRIMARY KEY(myVALUE,name,tsid,t), '' → '2h')
+  //      while the declared column order stays put
+  test("sampling-primary-key: flush re-suggests segment duration and PK") {
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("golden").toString,
+      enablePkSampling = true)
+    val t = "sampling_primary_key_table"
+    e.execute(
+      s"""CREATE TABLE `$t` (
+         |  v1 double, v2 double, v3 double, v5 double,
+         |  name string TAG, myVALUE int64 NOT NULL, t timestamp NOT NULL,
+         |  timestamp KEY (t)) ENGINE = Analytic WITH (
+         |  update_mode='append', enable_ttl = 'false')""".stripMargin)
+    val pre = e.catalog.showCreate(t)
+    assert(pre.contains("PRIMARY KEY(tsid,t)"))
+    assert(pre.contains("segment_duration=''"))
+    e.execute(
+      s"""INSERT INTO `$t` (t, name, myVALUE) VALUES
+         |  (1695348000000, 'horaedb2', 200), (1695348000005, 'horaedb2', 100),
+         |  (1695348000001, 'horaedb1', 100), (1695348000003, 'horaedb3', 200)""".stripMargin)
+    def rows() = e.runSql(s"SELECT name, myVALUE FROM `$t`")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val golden = Seq(("horaedb1", 100L), ("horaedb2", 100L),
+      ("horaedb2", 200L), ("horaedb3", 200L))
+    assert(rows() == golden)
+
+    e.flush(t) // sqlness `pre_cmd=flush`
+
+    val post = e.catalog.showCreate(t)
+    // cardinalities: myVALUE {100,200}=2 < name {horaedb1,2,3}=3
+    assert(post.contains("PRIMARY KEY(myVALUE,name,tsid,t)"))
+    // gaps 1,2,2 ms → 90th-pct 2 ms → ×100 points → 2h ladder rung
+    assert(post.contains("segment_duration='2h'"))
+    // declared column order unchanged: tsid, t, v1.. (not PK-first)
+    assert(post.indexOf("`tsid` uint64") < post.indexOf("`t` timestamp"))
+    assert(post.indexOf("`t` timestamp") < post.indexOf("`v1` double"))
+    assert(post.indexOf("`v5` double") < post.indexOf("`name` string"))
+    // data survives the re-layout, physically segmented now
+    assert(rows() == golden)
+    val dataDir = java.nio.file.Paths.get(e.catalog.dataDir(t))
+    val segs = java.nio.file.Files.list(dataDir)
+    val hasSegment = try segs.iterator().asScala.exists(
+      _.getFileName.toString.startsWith("__segment=")) finally segs.close()
+    assert(hasSegment)
+    // a second flush is a no-op (segment_duration now set)
+    e.flush(t)
+    assert(rows() == golden)
+    assert(e.catalog.showCreate(t) == post)
   }
 }
