@@ -73,16 +73,23 @@ object LineProtocol {
       engine: TsdbEngine, parsed: Dataset[ParsedLine]): Map[String, Long] = {
     val spark = parsed.sparkSession
     import spark.implicits._
-    // row counts for ALL measurements in one aggregation — counting the
-    // write batch itself would compute each batch twice (count + write)
-    val counts: Map[String, Long] =
-      parsed.groupByKey(_.measurement).count().collect().toMap
-
-    // schema discovery: tag keys + field name→type per measurement (tiny)
-    val shapes = parsed
-      .flatMap(p => p.fields.map(f => (p.measurement, f._1, f._2, p.tags.map(_._1))))
-      .distinct().collect()
-      .groupBy(_._1)
+    // ONE aggregation pass over the cached parse computes both the
+    // per-measurement row counts and the schema shapes: each line's first
+    // field carries a line marker, so line counts fall out of the same
+    // groupBy that dedups (measurement, field, type, tagset) shapes —
+    // counting the write batch itself would compute each batch twice
+    val meta = parsed.flatMap { p =>
+        val tagKeys = p.tags.map(_._1)
+        p.fields.zipWithIndex.map { case (f, i) =>
+          (p.measurement, f._1, f._2, tagKeys, if (i == 0) 1L else 0L) }
+      }.toDF("m", "field", "ftype", "tagKeys", "lineMark")
+      .groupBy("m", "field", "ftype", "tagKeys")
+      .agg(sum("lineMark").as("lines"))
+      .collect()
+    val counts: Map[String, Long] = meta.groupBy(_.getString(0))
+      .map { case (m, rs) => m -> rs.map(_.getLong(4)).sum }
+    val shapes = meta.map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getSeq[String](3))).groupBy(_._1)
 
     shapes.map { case (m, rows) =>
       val tagKeys = rows.flatMap(_._4).distinct.sorted.toSeq

@@ -18,8 +18,18 @@ object Protocols {
     (_: String) => SeriesTable(Tables.t(s, dir, "events"), "ts", "value",
       Seq("event_type"))
 
-  /** events rows → line protocol strings → engine ingest; returns engine. */
-  private def ingestEvents(s: org.apache.spark.sql.SparkSession, dir: String): TsdbEngine = {
+  /** events rows → line protocol strings → engine ingest; returns engine.
+    * Memoized per (session, fixture dir): q47 measures the ingest round-trip
+    * itself, while q68 (fill) and q76 (subquery) measure their own InfluxQL
+    * semantics over the same ingested fixture — re-running an identical
+    * ingest per query would triple the write path for no extra coverage. */
+  private val ingestedEvents =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), TsdbEngine]()
+  private def ingestEvents(s: org.apache.spark.sql.SparkSession, dir: String): TsdbEngine =
+    ingestedEvents.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => doIngestEvents(s, dir))
+
+  private def doIngestEvents(s: org.apache.spark.sql.SparkSession, dir: String): TsdbEngine = {
     val e = new TsdbEngine(s,
       java.nio.file.Files.createTempDirectory("graft-influx").toString)
     val lines = Tables.t(s, dir, "events").select(
