@@ -41,7 +41,7 @@ object PromAlign {
   /** Range-function alignment at each grid step over window (t-range, t]. */
   def alignRange(
       sorted: Array[Sample], p: EvalParams, rangeMs: Long,
-      func: String): Iterator[(Long, Double)] =
+      func: String, param: Double = Double.NaN): Iterator[(Long, Double)] =
     gridSteps(p).flatMap { t =>
       val lo = lowerBoundExclusive(sorted, t - rangeMs)
       val hi = upperBound(sorted, t)
@@ -51,10 +51,58 @@ object PromAlign {
         case "delta"    => extrapolated(sorted, lo, hi, t - rangeMs, t, counter = false, perSecond = false)
         case "irate"    => lastTwo(sorted, lo, hi, counter = true, perSecond = true)
         case "idelta"   => lastTwo(sorted, lo, hi, counter = false, perSecond = false)
-        case other      => throw new IllegalArgumentException(s"unsupported PromQL function: $other")
+        case _          => overTime(sorted, lo, hi, func, param)
       }
       out.map(v => (t, v)).iterator
     }
+
+  /** `*_over_time` range aggregations (Prometheus promql/functions.go,
+    * Apache-2.0 published semantics): plain aggregates of the raw samples
+    * in the window — no extrapolation. stddev/stdvar are population
+    * moments; quantile interpolates linearly between order statistics
+    * (identical to a continuous quantile). */
+  def overTime(
+      s: Array[Sample], lo: Int, hi: Int, func: String,
+      param: Double): Option[Double] = {
+    val n = hi - lo
+    if (n == 0) return None
+    def sum = { var x = 0.0; var i = lo; while (i < hi) { x += s(i).v; i += 1 }; x }
+    func match {
+      case "sum_over_time"     => Some(sum)
+      case "avg_over_time"     => Some(sum / n)
+      case "count_over_time"   => Some(n.toDouble)
+      case "last_over_time"    => Some(s(hi - 1).v)
+      case "present_over_time" => Some(1.0)
+      case "min_over_time" =>
+        var m = s(lo).v; var i = lo + 1
+        while (i < hi) { if (s(i).v < m) m = s(i).v; i += 1 }; Some(m)
+      case "max_over_time" =>
+        var m = s(lo).v; var i = lo + 1
+        while (i < hi) { if (s(i).v > m) m = s(i).v; i += 1 }; Some(m)
+      case "stddev_over_time" | "stdvar_over_time" =>
+        val mean = sum / n
+        var acc = 0.0; var i = lo
+        while (i < hi) { val d = s(i).v - mean; acc += d * d; i += 1 }
+        val stdvar = acc / n
+        Some(if (func == "stddev_over_time") math.sqrt(stdvar) else stdvar)
+      case "quantile_over_time" =>
+        if (param.isNaN) Some(Double.NaN)
+        else if (param < 0) Some(Double.NegativeInfinity)
+        else if (param > 1) Some(Double.PositiveInfinity)
+        else {
+          val vs = new Array[Double](n)
+          var i = 0; while (i < n) { vs(i) = s(lo + i).v; i += 1 }
+          java.util.Arrays.sort(vs)
+          val rank = param * (n - 1)
+          val lower = rank.toInt
+          val upper = math.min(n - 1, lower + 1)
+          val w = rank - lower
+          Some(vs(lower) * (1 - w) + vs(upper) * w)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported PromQL function: $other")
+    }
+  }
 
   /** Prometheus extrapolated rate/increase/delta over sorted(lo until hi). */
   def extrapolated(

@@ -23,8 +23,10 @@ final case class Selector(
 
 sealed trait PromExpr
 final case class VectorSelector(sel: Selector) extends PromExpr
-/** func ∈ rate|irate|delta|idelta|increase over a range selector. */
-final case class RangeFunc(func: String, sel: Selector) extends PromExpr
+/** func ∈ rate|irate|delta|idelta|increase or the *_over_time aggregations
+  * over a range selector; `param` carries quantile_over_time's φ. */
+final case class RangeFunc(func: String, sel: Selector, param: Option[Double] = None)
+    extends PromExpr
 /** op ∈ sum|avg|count|min|max, grouped by `by` labels (empty = collapse). */
 final case class AggExpr(op: String, by: Seq[String], child: PromExpr) extends PromExpr
 /** Beyond the reference's pushdown set (Prometheus-native semantics):

@@ -29,6 +29,8 @@ object PromQL {
     *   expr     := agg | func | selector
     *   agg      := op [by (l,...)] (expr)     op: sum avg count min max
     *   func     := f (metric{m,...}[dur])     f: rate irate delta idelta increase
+    *             | <agg>_over_time (metric{m,...}[dur])
+    *             | quantile_over_time (φ, metric{m,...}[dur])
     *   selector := metric [{m,...}]
     *   m        := label (= | != | =~ | !~) "str"
     *   dur      := <int>(ms|s|m|h|d|w)
@@ -41,7 +43,10 @@ object PromQL {
   }
 
   private val aggOps = Set("sum", "avg", "count", "min", "max")
-  private val rangeFuncs = Set("rate", "irate", "delta", "idelta", "increase")
+  private val rangeFuncs = Set("rate", "irate", "delta", "idelta", "increase",
+    "sum_over_time", "avg_over_time", "count_over_time", "min_over_time",
+    "max_over_time", "last_over_time", "stddev_over_time", "stdvar_over_time",
+    "present_over_time")
   private val mathFuncs = Set("abs", "ceil", "floor", "round", "clamp_min", "clamp_max")
 
   private final class Parser(s: String) {
@@ -243,6 +248,14 @@ object PromQL {
         if (sel.rangeMs.isEmpty) fail(s"$name requires a range selector [dur]")
         expect(')')
         RangeFunc(name, sel)
+      } else if (name == "quantile_over_time") {
+        expect('(')
+        ws(); val phi = number()
+        ws(); expect(',')
+        val sel = parseSelector()
+        if (sel.rangeMs.isEmpty) fail(s"$name requires a range selector [dur]")
+        expect(')')
+        RangeFunc(name, sel, Some(phi))
       } else if (mathFuncs(name)) {
         expect('(')
         val child = parseExpr()
@@ -344,8 +357,8 @@ object PromQL {
       expr: PromExpr, p: EvalParams): DataFrame = expr match {
     case VectorSelector(sel) =>
       aligned(spark, resolve(sel.metric), sel, p, "instant")
-    case RangeFunc(f, sel) =>
-      aligned(spark, resolve(sel.metric), sel, p, f)
+    case RangeFunc(f, sel, param) =>
+      aligned(spark, resolve(sel.metric), sel, p, f, param.getOrElse(Double.NaN))
     case AggExpr(op, by, child) =>
       val in = evalExpr(spark, resolve, child, p)
       val tagCols = in.columns.filterNot(c => c == "ts" || c == "value").toSeq
@@ -529,21 +542,21 @@ object PromQL {
     * that value across the requested grid (Prometheus fixed-time eval). */
   private def aligned(
       spark: SparkSession, t: SeriesTable, sel: Selector,
-      p: EvalParams, func: String): DataFrame = sel.atMs match {
+      p: EvalParams, func: String, param: Double = Double.NaN): DataFrame = sel.atMs match {
     case Some(at) =>
       val single = alignedGrid(spark, t, sel.copy(atMs = None),
-        p.copy(startMs = at, endMs = at), func)
+        p.copy(startMs = at, endMs = at), func, param)
       single
         .withColumn("__step",
           explode(sequence(lit(p.startMs), lit(p.endMs), lit(p.stepMs))))
         .select(t.tags.map(col) :+
           timestamp_millis(col("__step")).as("ts") :+ col("value"): _*)
-    case None => alignedGrid(spark, t, sel, p, func)
+    case None => alignedGrid(spark, t, sel, p, func, param)
   }
 
   private def alignedGrid(
       spark: SparkSession, t: SeriesTable, sel: Selector,
-      p: EvalParams, func: String): DataFrame = {
+      p: EvalParams, func: String, param: Double = Double.NaN): DataFrame = {
     import spark.implicits._
     val windowMs = if (func == "instant") p.lookbackMs else sel.rangeMs.get
     val rangeMs = sel.rangeMs.getOrElse(0L)
@@ -567,7 +580,7 @@ object PromQL {
         it.map(r => PromAlign.Sample(r._2, r._3)).toArray)
       val pts =
         if (func == "instant") PromAlign.alignInstant(arr, p)
-        else PromAlign.alignRange(arr, p, rangeMs, func)
+        else PromAlign.alignRange(arr, p, rangeMs, func, param)
       pts.map { case (ts, v) => (k, ts, v) }
     }
 

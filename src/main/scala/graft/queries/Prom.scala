@@ -153,6 +153,21 @@ object Prom {
     q("q44_promql_irate_regex", """irate(events{event_type=~"err.*|sign.*"}[1h])""",
       None),
 
+    // ---- *_over_time range aggregations: plain window aggregates, no
+    //      extrapolation (Prometheus promql/functions.go semantics)
+    q("q85_promql_avg_over_time", "avg_over_time(events[1h])",
+      Some(s"""WITH $gridSql
+              |SELECT event_type, gts AS ts, round(avg(v), 4) AS "value"
+              |FROM win GROUP BY event_type, gts""".stripMargin)),
+
+    // quantile_over_time's linear interpolation between order statistics
+    // is exactly a continuous quantile — DuckDB quantile_cont is the oracle
+    q("q86_promql_quantile_over_time", "quantile_over_time(0.9, events[1h])",
+      Some(s"""WITH $gridSql
+              |SELECT event_type, gts AS ts,
+              |  round(quantile_cont(v, 0.9), 4) AS "value"
+              |FROM win GROUP BY event_type, gts""".stripMargin)),
+
     // ---- topk: k extreme series per grid step (beyond-reference PromQL
     //      surface; ties broken by label for determinism)
     q("q69_promql_topk", "topk(2, events)",

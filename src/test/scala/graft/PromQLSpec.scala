@@ -329,4 +329,45 @@ class PromQLSpec extends SparkSpec {
       "sum(rate(m[5m]))", p).collect()
     assert(sum.length == 1 && math.abs(sum(0).getDouble(1) - 1.0) < 1e-9)
   }
+
+  test("*_over_time family: plain window aggregates, no extrapolation") {
+    import PromAlign.Sample
+    // window (t-range, t] holds values 1..5
+    val s = (1 to 5).map(i => Sample(1000L * i, i.toDouble)).toArray
+    def ot(f: String, phi: Double = Double.NaN) =
+      PromAlign.overTime(s, 0, s.length, f, phi)
+    assert(ot("sum_over_time").contains(15.0))
+    assert(ot("avg_over_time").contains(3.0))
+    assert(ot("count_over_time").contains(5.0))
+    assert(ot("min_over_time").contains(1.0))
+    assert(ot("max_over_time").contains(5.0))
+    assert(ot("last_over_time").contains(5.0))
+    assert(ot("present_over_time").contains(1.0))
+    // population moments: var([1..5]) = 2, stddev = sqrt(2)
+    assert(ot("stdvar_over_time").contains(2.0))
+    assert(math.abs(ot("stddev_over_time").get - math.sqrt(2.0)) < 1e-12)
+    // linear interpolation between order statistics
+    assert(ot("quantile_over_time", 0.5).contains(3.0))
+    assert(ot("quantile_over_time", 0.75).contains(4.0))
+    assert(math.abs(ot("quantile_over_time", 0.9).get - 4.6) < 1e-12)
+    assert(ot("quantile_over_time", -0.1).contains(Double.NegativeInfinity))
+    assert(ot("quantile_over_time", 1.5).contains(Double.PositiveInfinity))
+    // empty window yields nothing
+    assert(PromAlign.overTime(s, 2, 2, "avg_over_time", Double.NaN).isEmpty)
+
+    // parser + grid path end-to-end: avg over the trailing 5m window
+    import spark.implicits._
+    val df = (0 until 37).map { i =>
+      (new java.sql.Timestamp(1704844800000L + i * 10000L), "a", i.toDouble)
+    }.toDF("ts", "host", "value")
+    val p = EvalParams(1704845160000L, 1704845160000L, 60000L) // one step @ +6m
+    val out = PromQL.eval(spark, _ => PromQL.SeriesTable(df, "ts", "value", Seq("host")),
+      "avg_over_time(m[5m])", p).collect()
+    // window (t-5m, t] = samples i=7..36 → avg = 21.5
+    assert(out.length == 1 && math.abs(out(0).getDouble(2) - 21.5) < 1e-9)
+    val q9 = PromQL.eval(spark, _ => PromQL.SeriesTable(df, "ts", "value", Seq("host")),
+      "quantile_over_time(0.9, m[5m])", p).collect()
+    // values 7..36, rank 0.9*29 = 26.1 → 7+26.1 = 33.1
+    assert(q9.length == 1 && math.abs(q9(0).getDouble(2) - 33.1) < 1e-9)
+  }
 }
