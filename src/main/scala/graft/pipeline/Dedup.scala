@@ -202,4 +202,62 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Connected components over a near-duplicate pair list: every doc in a
+    * component gets the component's minimum id as `cluster_id` — the step a
+    * real dedup pipeline runs after pair generation, since near-duplicate
+    * relations are not transitive pairwise but clusters must be deduped
+    * whole.
+    *
+    * Algorithm: iterative min-label propagation (the standard distributed
+    * CC formulation — Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14 — in its simple hash-to-min shape): each round,
+    * every node takes the min of its own label and its neighbors', one
+    * join + one hash aggregate per round. Rounds needed = component
+    * diameter; near-dup clusters are band/bucket-shaped (near-cliques), so
+    * this converges in 2-3 rounds where a generic graph might need the
+    * paper's large-star/small-star variant. `localCheckpoint` truncates
+    * the loop-grown lineage each round (on a cluster, prefer a reliable
+    * checkpoint dir).
+    *
+    * Returns (id, cluster_id) for every id that appears in `pairs`;
+    * singleton docs (no pairs) are absent — treat missing as own-cluster.
+    */
+  def connectedComponents(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.join(
+          labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      it += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Keep one representative doc per near-dup cluster (the minimum id —
+    * the cluster id itself); docs outside every pair survive as their own
+    * cluster. One broadcast-or-shuffle join against the (small) cluster
+    * assignment — no pass touches doc payloads until the final join. */
+  def dedupByClusters(
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    docs.join(cc, Seq(idCol), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .drop("cluster_id")
+  }
 }

@@ -184,6 +184,31 @@ object PipelineQueries {
       (s, dir) => Dedup.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", "lang", n = 1, threshold = 0.8)),
 
+    // ---- near-dup clustering: connected components over the q54 pair
+    //      list (min-label propagation); oracle re-derives components via
+    //      a recursive transitive-closure CTE over the same pairs
+    GraftQuery("q87_near_dup_clusters",
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
+             |    length(text) // 100 AS lenb
+             |  FROM documents),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+             |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+      (s, dir) => Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(
+            t(s, dir, "documents"), "doc_id", "text", "lang", n = 1, threshold = 0.8))
+        .select(col("id").as("doc_id"), col("cluster_id"))),
+
     // ---- MinHash-LSH near-dup (summary; exact-vs-LSH recall in PipelineSpec)
     GraftQuery("q55_minhash_lsh", None,
       (s, dir) => Dedup.minhashNearDupPairs(

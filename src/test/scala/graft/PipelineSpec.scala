@@ -286,6 +286,29 @@ class PipelineSpec extends SparkSpec {
       s"own-centroid cosine $own should beat global-centroid $glob")
   }
 
+  test("connected components: chains, cliques, singleton handling, dedup") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4: needs real multi-round propagation),
+    // clique {10,11,12}, isolated pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+    assert(cc.size == 10)
+
+    // dedupByClusters keeps exactly the min id per cluster + singletons
+    val docs = (1L to 25L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.dedupByClusters(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = Set(1L, 10L, 20L) ++ (6L to 9L) ++ (13L to 19L) ++ (22L to 25L)
+    assert(kept == survivors)
+  }
+
   test("quality score is in [0,1] and penalizes junk") {
     import spark.implicits._
     val good = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
