@@ -65,7 +65,10 @@ object InfluxQL {
 
   // ------------------------------------------------------------------ AST
 
-  final case class Projection(agg: Option[String], field: String, alias: Option[String])
+  final case class Projection(agg: Option[String], field: String, alias: Option[String],
+      // outer transformation fn (derivative/moving_average/...) + its
+      // scalar argument (unit duration or window size)
+      transform: Option[String] = None, transformArg: Option[String] = None)
   final case class Cond(lhs: String, op: String, value: String, isTime: Boolean,
       valueIsNumber: Boolean)
   final case class SelectStmt(
@@ -79,6 +82,8 @@ object InfluxQL {
   }
 
   private val aggFns = Set("count", "sum", "mean", "min", "max", "first", "last")
+  private val transformFns = Set("derivative", "non_negative_derivative",
+    "difference", "non_negative_difference", "moving_average", "cumulative_sum")
 
   /** Hand-rolled parser for the supported grammar:
     * {{{
@@ -162,10 +167,21 @@ object InfluxQL {
       case _             => (t, None)
     }
     val aggRe = """(?is)^(\w+)\s*\(\s*([\w"*]+)\s*\)$""".r
+    val fnRe = """(?is)^(\w+)\s*\((.*)\)$""".r
     body match {
       case aggRe(fn, field) if aggFns(fn.toLowerCase) =>
         Projection(Some(fn.toLowerCase),
           field.stripPrefix("\"").stripSuffix("\""), alias)
+      case fnRe(fn, inner) if transformFns(fn.toLowerCase) =>
+        // derivative(mean(value), 1s) / moving_average(mean(value), 4) /
+        // cumulative_sum(sum(value)): the inner projection is an aggregate
+        // (or bare field), the optional second argument a unit or size
+        val parts = splitTop(inner)
+        require(parts.nonEmpty, s"$fn needs an argument")
+        val ip = parseProjection(parts.head)
+        require(ip.transform.isEmpty, s"nested transformations unsupported: $body")
+        ip.copy(alias = alias, transform = Some(fn.toLowerCase),
+          transformArg = parts.lift(1))
       case _ =>
         Projection(None, body.stripPrefix("\"").stripSuffix("\""), alias)
     }
@@ -251,6 +267,9 @@ object InfluxQL {
 
     val isAgg = s.projections.exists(_.agg.isDefined)
     if (!isAgg) {
+      require(s.projections.forall(_.transform.isEmpty),
+        "transformations require an aggregate argument with GROUP BY time(), " +
+          "e.g. derivative(mean(value), 1s) ... GROUP BY time(1h)")
       // SLIMIT on raw points: keep the first n series in tag order
       val seriesCols = tableTags
       s.slimit.filter(_ => seriesCols.nonEmpty).foreach { n =>
@@ -272,7 +291,7 @@ object InfluxQL {
             col(tsCol), influxDurToPeriod(d), "+00:00").as("time")).toSeq ++
         s.groupTags.map(col)
       val aggs = s.projections.collect {
-        case Projection(Some(fn), field, alias) =>
+        case p @ Projection(Some(fn), field, alias, _, _) =>
           val c = fn match {
             case "count" => count(col(field))
             case "sum"   => sum(col(field))
@@ -284,7 +303,9 @@ object InfluxQL {
             case "first" => min_by(col(field), col(tsCol))
             case "last"  => max_by(col(field), col(tsCol))
           }
-          c.as(alias.getOrElse(fn))
+          // a transformed projection aggregates under a temp name; the
+          // transformation's output carries the user-facing name
+          c.as(if (p.transform.isDefined) "__tv" else alias.getOrElse(fn))
       }
       var out =
         if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
@@ -306,6 +327,21 @@ object InfluxQL {
         case _ =>
       }
 
+      // transformation over the (filled) grid, per series in time order
+      s.projections.filter(_.transform.isDefined) match {
+        case Seq() =>
+        case Seq(pr) =>
+          require(s.projections.size == 1,
+            "a transformation must be the only projection")
+          require(s.groupTime.isDefined && pr.agg.isDefined,
+            "transformations require an aggregate argument with GROUP BY time()")
+          out = applyTransform(out, "time", s.groupTags,
+            pr.transform.get, pr.transformArg,
+            pr.alias.getOrElse(pr.transform.get))
+        case _ =>
+          throw new IllegalArgumentException("multiple transformations unsupported")
+      }
+
       // SLIMIT: first n series (grouped tag combos); LIMIT: first n buckets
       // per series when series exist, else first n rows overall
       s.slimit.filter(_ => s.groupTags.nonEmpty).foreach { n =>
@@ -323,6 +359,54 @@ object InfluxQL {
       }
       out
     }
+  }
+
+  /** InfluxQL transformation functions over the aggregated grid (the
+    * IOx-planner surface the reference inherits; Grafana's rate panels):
+    * per series (GROUP BY tags) in time order, skipping null buckets as
+    * InfluxDB does — fill(null) rows never produce transformed points,
+    * fill(0)/previous/linear rows are real values and do.
+    *
+    * All are window functions over (tags, time): no extra shuffle beyond
+    * the window's hash partition by series, state per series = one bucket
+    * row. derivative's first point, difference's first point and
+    * moving_average's first n-1 points emit nothing (InfluxDB semantics).
+    */
+  private def applyTransform(
+      agg: DataFrame, timeCol: String, tagCols: Seq[String],
+      fn: String, arg: Option[String], outName: String): DataFrame = {
+    val w = Window.partitionBy(tagCols.map(col): _*).orderBy(col(timeCol))
+    val v = col("__tv")
+    val base = agg.filter(v.isNotNull)
+    val keep = tagCols.map(col) :+ col(timeCol)
+    val out = fn match {
+      case "derivative" | "non_negative_derivative" =>
+        // rate of change per `arg` unit (default 1s) between consecutive
+        // non-null buckets
+        val unitUs = arg.map(d =>
+          graft.model.TableOptions.durationMillis(d) * 1000L).getOrElse(1000000L)
+        val dtUs = unix_micros(col(timeCol)) - lag(unix_micros(col(timeCol)), 1).over(w)
+        base.withColumn(outName,
+          (v - lag(v, 1).over(w)) / (dtUs.cast("double") / unitUs.toDouble))
+      case "difference" | "non_negative_difference" =>
+        base.withColumn(outName, v - lag(v, 1).over(w))
+      case "moving_average" =>
+        val n = arg.map(_.trim.toInt).getOrElse(
+          throw new IllegalArgumentException("moving_average needs a window size"))
+        require(n >= 1, "moving_average window must be >= 1")
+        val frame = w.rowsBetween(-(n - 1), 0)
+        base.withColumn(outName,
+          when(count(v).over(frame) === n, avg(v).over(frame)))
+      case "cumulative_sum" =>
+        base.withColumn(outName,
+          sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported transformation: $other")
+    }
+    val nonNeg = fn.startsWith("non_negative")
+    out.filter(col(outName).isNotNull &&
+        (if (nonNeg) col(outName) >= 0 else lit(true)))
+      .select(keep :+ col(outName): _*)
   }
 
   /** The first n series in tag order. Ranks the DISTINCT series frame (the

@@ -164,6 +164,58 @@ object Protocols {
           .withColumn("total", round(col("total"), 4))
       }),
 
+    // ---- InfluxQL transformations over the aggregated grid (IOx planner
+    //      surface; the Grafana rate-panel shape): derivative of 6h maxima.
+    //      Inner aggregate is max (order-independent) so both engines see
+    //      bit-identical inputs — same determinism note as q76; the mean
+    //      shape is unit-tested exactly in ProtocolsSpec
+    GraftQuery("q88_influx_derivative",
+      Some("""WITH agg AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 21600000) * 21600000 * 1000) AS "time",
+             |    event_type, max("value") AS m
+             |  FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-12 00:00:00'
+             |  GROUP BY 1, 2),
+             |d AS (
+             |  SELECT event_type, "time", m, lag(m) OVER w AS pm, lag("time") OVER w AS pt
+             |  FROM agg WINDOW w AS (PARTITION BY event_type ORDER BY "time"))
+             |SELECT event_type, "time",
+             |  round((m - pm) / ((epoch_us("time") - epoch_us(pt)) / 3600e6), 4) AS d
+             |FROM d WHERE pm IS NOT NULL
+             |  AND (m - pm) / ((epoch_us("time") - epoch_us(pt)) / 3600e6) >= 0""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT non_negative_derivative(max(value), 1h) AS d FROM events
+            |WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-12 00:00:00'
+            |GROUP BY time(6h), event_type""".stripMargin)
+          .withColumn("d", round(col("d"), 4))
+      }),
+
+    // ---- moving_average(mean, 4): emitted from the 4th bucket per series
+    GraftQuery("q89_influx_moving_average",
+      Some("""WITH agg AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 21600000) * 21600000 * 1000) AS "time",
+             |    event_type, max("value") AS m
+             |  FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-12 00:00:00'
+             |  GROUP BY 1, 2)
+             |SELECT event_type, "time", round(avg(m) OVER w, 4) AS ma
+             |FROM agg
+             |WINDOW w AS (PARTITION BY event_type ORDER BY "time"
+             |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |QUALIFY count(m) OVER w = 4""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT moving_average(max(value), 4) AS ma FROM events
+            |WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-12 00:00:00'
+            |GROUP BY time(6h), event_type""".stripMargin)
+          .withColumn("ma", round(col("ma"), 4))
+      }),
+
     // ---- InfluxQL subquery: aggregate-of-aggregate downsampling (mean of
     //      per-hour maxima per series) — the classic Grafana shape
     GraftQuery("q76_influx_subquery",

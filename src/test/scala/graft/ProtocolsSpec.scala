@@ -159,6 +159,50 @@ class ProtocolsSpec extends SparkSpec {
         |GROUP BY time(1h) fill(0)""".stripMargin).count() == 0)
   }
 
+  test("InfluxQL transformations: derivative/difference/moving_average/cumulative_sum") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-transform").toString)
+    // hourly means: h0=2, h1=5, h2=missing, h3=11 (per-host series a only)
+    LineProtocol.ingest(e, Seq(
+      "cpu,host=a usage=1.0 1704067200000000000",  // 00:00
+      "cpu,host=a usage=3.0 1704068100000000000",  // 00:15
+      "cpu,host=a usage=5.0 1704070800000000000",  // 01:00
+      "cpu,host=a usage=11.0 1704078000000000000", // 03:00
+      "cpu,host=b usage=7.0 1704067200000000000").toDS())
+    def q(proj: String) = InfluxQL.run(e,
+      s"SELECT $proj FROM cpu WHERE host = 'a' GROUP BY time(1h), host")
+      .orderBy("time").collect()
+
+    // derivative per second: (5-2)/3600, then (11-5)/7200 across the hole
+    // (null buckets are skipped, not zero-filled)
+    val d = q("derivative(mean(usage), 1s) AS d").map(_.getAs[Double]("d"))
+    assert(d.length == 2)
+    assert(math.abs(d(0) - 3.0 / 3600) < 1e-12 && math.abs(d(1) - 6.0 / 7200) < 1e-12)
+    // default unit is 1s
+    val d2 = q("derivative(mean(usage)) AS d").map(_.getAs[Double]("d"))
+    assert(d2.toSeq == d.toSeq)
+    // per-hour unit
+    val dh = q("derivative(mean(usage), 1h) AS d").map(_.getAs[Double]("d"))
+    assert(math.abs(dh(0) - 3.0) < 1e-12 && math.abs(dh(1) - 3.0) < 1e-12)
+    // non_negative_derivative drops the negative segment
+    LineProtocol.ingest(e, Seq("cpu,host=a usage=0.0 1704081600000000000").toDS()) // 04:00
+    val nn = q("non_negative_derivative(mean(usage), 1h) AS d").map(_.getAs[Double]("d"))
+    assert(nn.length == 2, s"negative segment must drop, got ${nn.toSeq}")
+    // difference between consecutive non-null buckets
+    val diff = q("difference(mean(usage)) AS d").map(_.getAs[Double]("d"))
+    assert(diff.toSeq == Seq(3.0, 6.0, -11.0))
+    // moving_average over 2 buckets emits from the 2nd point on
+    val ma = q("moving_average(mean(usage), 2) AS m").map(_.getAs[Double]("m"))
+    assert(ma.toSeq == Seq(3.5, 8.0, 5.5))
+    // cumulative_sum runs over every non-null bucket
+    val cs = q("cumulative_sum(mean(usage)) AS c").map(_.getAs[Double]("c"))
+    assert(cs.toSeq == Seq(2.0, 7.0, 18.0, 18.0))
+    // raw (non-aggregate) transformation is rejected, not silently wrong
+    intercept[IllegalArgumentException](
+      InfluxQL.run(e, "SELECT derivative(usage) FROM cpu"))
+  }
+
   test("InfluxQL fill(): grid is bounded per series, not globally") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
