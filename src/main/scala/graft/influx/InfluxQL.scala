@@ -27,6 +27,8 @@ object InfluxQL {
     """(?is)^SHOW\s+TAG\s+KEYS(?:\s+FROM\s+([\w"]+))?\s*$""".r
   private val showTagValuesRe =
     """(?is)^SHOW\s+TAG\s+VALUES(?:\s+FROM\s+([\w"]+))?\s+WITH\s+KEY\s*=\s*["']?(\w+)["']?\s*$""".r
+  private val showFieldKeysRe =
+    """(?is)^SHOW\s+FIELD\s+KEYS(?:\s+FROM\s+([\w"]+))?\s*$""".r
 
   def run(engine: TsdbEngine, q: String): DataFrame = {
     val trimmed = q.trim.stripSuffix(";").trim
@@ -41,6 +43,27 @@ object InfluxQL {
           .getOrElse(engine.catalog.list().sorted)
         ms.flatMap(m => engine.catalog.get(m).tagColumns.map(c => (m, c.name)))
           .toDF("iox::measurement", "tagKey")
+      case showFieldKeysRe(measOpt) =>
+        // IOx SHOW FIELD KEYS: non-tag, non-time columns with their influx
+        // type name (float/integer/string/boolean)
+        val ms = Option(measOpt).map(m => Seq(unquote(m)))
+          .getOrElse(engine.catalog.list().sorted)
+        ms.flatMap { m =>
+          val sch = engine.catalog.get(m)
+          sch.columns.filter(c => !c.isTag && c.name != sch.timestampKey)
+            .map { c =>
+              val t = c.kind match {
+                case graft.model.DatumKind.String  => "string"
+                case graft.model.DatumKind.Boolean => "boolean"
+                case graft.model.DatumKind.Int64 | graft.model.DatumKind.Int32 |
+                     graft.model.DatumKind.Int16 | graft.model.DatumKind.Int8 |
+                     graft.model.DatumKind.UInt64 | graft.model.DatumKind.UInt32 |
+                     graft.model.DatumKind.UInt16 | graft.model.DatumKind.UInt8 => "integer"
+                case _ => "float"
+              }
+              (m, c.name, t)
+            }
+        }.toDF("iox::measurement", "fieldKey", "fieldType")
       case showTagValuesRe(measOpt, key) =>
         // IOx SHOW TAG VALUES WITH KEY = k: distinct stored values per table
         val ms = Option(measOpt).map(m => Seq(unquote(m)))

@@ -164,6 +164,15 @@ object Protocols {
           .withColumn("total", round(col("total"), 4))
       }),
 
+    // ---- InfluxQL: SHOW FIELD KEYS (IOx planner surface) — the ingested
+    //      events measurement derives exactly these typed fields
+    GraftQuery("q90_influx_show_field_keys",
+      Some("""SELECT 'events' AS "iox::measurement", 'event_id' AS "fieldKey",
+             |  'integer' AS "fieldType"
+             |UNION ALL SELECT 'events', 'user_id', 'integer'
+             |UNION ALL SELECT 'events', 'value', 'float'""".stripMargin),
+      (s, dir) => InfluxQL.run(ingestEvents(s, dir), "SHOW FIELD KEYS FROM events")),
+
     // ---- InfluxQL transformations over the aggregated grid (IOx planner
     //      surface; the Grafana rate-panel shape): derivative of 6h maxima.
     //      Inner aggregate is max (order-independent) so both engines see

@@ -256,6 +256,20 @@ class ProtocolsSpec extends SparkSpec {
     assert(g.map(_.getAs[String]("host")).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("InfluxQL SHOW FIELD KEYS lists non-tag columns with influx types") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-fieldkeys").toString)
+    LineProtocol.ingest(e, Seq(
+      """m1,host=a usage=1.5,cnt=3i,ok=true,note="hi" 1704067200000000000""").toDS())
+    val rows = InfluxQL.run(e, "SHOW FIELD KEYS FROM m1")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(("usage", "float"), ("cnt", "integer"),
+      ("ok", "boolean"), ("note", "string")))
+    // unscoped form lists every measurement
+    assert(InfluxQL.run(e, "SHOW FIELD KEYS").count() == 4)
+  }
+
   test("InfluxQL subquery: aggregate-of-aggregate downsampling") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
