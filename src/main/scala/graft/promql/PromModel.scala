@@ -27,6 +27,11 @@ final case class VectorSelector(sel: Selector) extends PromExpr
   * over a range selector; `param` carries quantile_over_time's φ. */
 final case class RangeFunc(func: String, sel: Selector, param: Option[Double] = None)
     extends PromExpr
+/** Range function applied to a subquery `f(child[range:step])`: the child
+  * evaluates as instant queries on an absolute `step`-aligned grid, whose
+  * values become `f`'s range samples (Prometheus subquery semantics). */
+final case class SubqueryFunc(func: String, child: PromExpr, rangeMs: Long,
+    stepMs: Long, param: Option[Double] = None) extends PromExpr
 /** op ∈ sum|avg|count|min|max, grouped by `by` labels (empty = collapse). */
 final case class AggExpr(op: String, by: Seq[String], child: PromExpr) extends PromExpr
 /** Beyond the reference's pushdown set (Prometheus-native semantics):

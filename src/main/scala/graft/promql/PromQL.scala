@@ -242,20 +242,32 @@ object PromQL {
         val ss = srcs.result()
         if (ss.isEmpty) fail("label_join needs at least one source label")
         LabelJoinExpr(child, dst, sep, ss)
-      } else if (rangeFuncs(name)) {
+      } else if (rangeFuncs(name) || name == "quantile_over_time") {
         expect('(')
-        val sel = parseSelector()
-        if (sel.rangeMs.isEmpty) fail(s"$name requires a range selector [dur]")
-        expect(')')
-        RangeFunc(name, sel)
-      } else if (name == "quantile_over_time") {
-        expect('(')
-        ws(); val phi = number()
-        ws(); expect(',')
-        val sel = parseSelector()
-        if (sel.rangeMs.isEmpty) fail(s"$name requires a range selector [dur]")
-        expect(')')
-        RangeFunc(name, sel, Some(phi))
+        val phi =
+          if (name == "quantile_over_time") {
+            ws(); val x = number(); ws(); expect(','); Some(x)
+          } else None
+        // the argument is either a range selector `m{...}[d]` or a
+        // subquery `expr[range:step]` (step required here)
+        val child = parseExpr()
+        ws()
+        if (peek == '[') {
+          i += 1
+          val range = duration()
+          ws(); expect(':')
+          val step = duration()
+          expect(']')
+          expect(')')
+          SubqueryFunc(name, child, range, step, phi)
+        } else {
+          expect(')')
+          child match {
+            case VectorSelector(sel) if sel.rangeMs.isDefined =>
+              RangeFunc(name, sel, phi)
+            case _ => fail(s"$name requires a range selector [dur] or a subquery [range:step]")
+          }
+        }
       } else if (mathFuncs(name)) {
         expect('(')
         val child = parseExpr()
@@ -321,9 +333,13 @@ object PromQL {
       }
       var range: Option[Long] = None
       if (peek == '[') {
+        val bracket = i
         i += 1
         range = Some(duration())
-        expect(']')
+        if (peek == ':') { // `[range:step]` — a subquery suffix, not ours:
+          i = bracket      // rewind so the enclosing function consumes it
+          range = None
+        } else expect(']')
       }
       ws()
       // `offset d` and `@ <unix-seconds>` modifiers, either order
@@ -359,6 +375,21 @@ object PromQL {
       aligned(spark, resolve(sel.metric), sel, p, "instant")
     case RangeFunc(f, sel, param) =>
       aligned(spark, resolve(sel.metric), sel, p, f, param.getOrElse(Double.NaN))
+
+    case SubqueryFunc(f, child, rangeMs, stepMs, param) =>
+      // Prometheus subquery: the child evaluates as instant queries on an
+      // absolute step-aligned grid covering every outer window, and those
+      // (ts, value) points are the range samples the outer function sees.
+      // ONE inner evaluation serves the whole outer grid — the inner frame
+      // is then re-windowed per series, so cost scales with the inner grid,
+      // not outer×inner.
+      val innerStart = Math.floorDiv(p.startMs - rangeMs, stepMs) * stepMs + stepMs
+      val innerEnd = Math.floorDiv(p.endMs, stepMs) * stepMs
+      val inner = evalExpr(spark, resolve, child,
+        p.copy(startMs = innerStart, endMs = innerEnd, stepMs = stepMs))
+      val tagCols = inner.columns.filterNot(c => c == "ts" || c == "value").toSeq
+      alignSamplesFrame(spark, inner, tagCols, p, rangeMs, f,
+        param.getOrElse(Double.NaN))
     case AggExpr(op, by, child) =>
       val in = evalExpr(spark, resolve, child, p)
       val tagCols = in.columns.filterNot(c => c == "ts" || c == "value").toSeq
@@ -585,6 +616,30 @@ object PromQL {
     }
 
     val tagSel = t.tags.zipWithIndex.map { case (c, idx) => col("_1")(idx).as(c) }
+    alignedDs.toDF("_1", "_2", "_3")
+      .select(tagSel :+ timestamp_millis(col("_2")).as("ts") :+ col("_3").as("value"): _*)
+  }
+
+  /** Range-function alignment over an already-evaluated frame (tags, ts,
+    * value) — the subquery path: same shuffle-by-series + per-group window
+    * math as [[alignedGrid]], but the samples are computed points, not a
+    * table scan. */
+  private def alignSamplesFrame(
+      spark: SparkSession, in: DataFrame, tagCols: Seq[String],
+      p: EvalParams, rangeMs: Long, func: String, param: Double): DataFrame = {
+    import spark.implicits._
+    val tagArray = array(tagCols.map(c => col(c).cast("string")): _*)
+    val samples = in.select(
+        tagArray.as("k"), unix_millis(col("ts")).as("tsm"),
+        col("value").cast("double").as("v"))
+      .as[(Seq[String], Long, Double)]
+    val alignedDs = samples.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val arr = PromAlign.sortSamples(
+        it.map(r => PromAlign.Sample(r._2, r._3)).toArray)
+      PromAlign.alignRange(arr, p, rangeMs, func, param)
+        .map { case (ts, v) => (k, ts, v) }
+    }
+    val tagSel = tagCols.zipWithIndex.map { case (c, idx) => col("_1")(idx).as(c) }
     alignedDs.toDF("_1", "_2", "_3")
       .select(tagSel :+ timestamp_millis(col("_2")).as("ts") :+ col("_3").as("value"): _*)
   }

@@ -153,6 +153,29 @@ object Prom {
     q("q44_promql_irate_regex", """irate(events{event_type=~"err.*|sign.*"}[1h])""",
       None),
 
+    // ---- subquery: inner instant eval on an absolute 15m grid (5m
+    //      lookback), outer max over each trailing 1h window
+    q("q91_promql_subquery", "max_over_time(events[1h:15m])",
+      Some("""WITH grid15 AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 00:15:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 15 MINUTE)) AS g),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |inner_pts AS (
+             |  SELECT g.g, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.g AND e.ts > g.g - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid15 g CROSS JOIN series s),
+             |grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts)
+             |SELECT i.event_type, g.gts AS ts, round(max(i.v), 4) AS "value"
+             |FROM grid g JOIN inner_pts i
+             |  ON i.g > g.gts - INTERVAL 1 HOUR AND i.g <= g.gts
+             |WHERE i.v IS NOT NULL
+             |GROUP BY i.event_type, g.gts""".stripMargin)),
+
     // ---- *_over_time range aggregations: plain window aggregates, no
     //      extrapolation (Prometheus promql/functions.go semantics)
     q("q85_promql_avg_over_time", "avg_over_time(events[1h])",

@@ -330,6 +330,41 @@ class PromQLSpec extends SparkSpec {
     assert(sum.length == 1 && math.abs(sum(0).getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("subqueries: f(expr[range:step]) evaluates on an absolute inner grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // +1/s counter sampled every 10s from an aligned base
+    val base = 1704844800000L
+    val df = (0 until 37).map { i =>
+      (new java.sql.Timestamp(base + i * 10000L), "a", i * 10.0)
+    }.toDF("ts", "host", "value")
+    val tbl = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host"))
+    val p = EvalParams(base + 360000L, base + 360000L, 60000L) // one step @ +6m
+
+    // inner rate over perfectly covered 2m windows is exactly 1.0/s at
+    // every inner step, so the outer max is 1.0
+    val mx = PromQL.eval(spark, tbl, "max_over_time(rate(m[2m])[4m:1m])", p).collect()
+    assert(mx.length == 1 && math.abs(mx(0).getDouble(2) - 1.0) < 1e-9)
+
+    // subquery over an instant selector: inner points at +4m (240) and
+    // +6m (360) under the default 5m lookback → avg 300
+    val av = PromQL.eval(spark, tbl, "avg_over_time(m[4m:2m])", p).collect()
+    assert(av.length == 1 && math.abs(av(0).getDouble(2) - 300.0) < 1e-9,
+      s"got ${av.toSeq}")
+
+    // quantile variant parses and evaluates over the same inner grid
+    val q5 = PromQL.eval(spark, tbl, "quantile_over_time(0.5, m[4m:2m])", p).collect()
+    assert(q5.length == 1 && math.abs(q5(0).getDouble(2) - 300.0) < 1e-9)
+
+    // plain range selectors still parse through the same branch
+    assert(PromQL.parse("rate(m[5m])") ==
+      RangeFunc("rate", Selector("m", Nil, Some(300000L), 0, None)))
+    assert(PromQL.parse("max_over_time(rate(m[5m])[1h:5m])") ==
+      SubqueryFunc("max_over_time",
+        RangeFunc("rate", Selector("m", Nil, Some(300000L), 0, None)),
+        3600000L, 300000L))
+  }
+
   test("*_over_time family: plain window aggregates, no extrapolation") {
     import PromAlign.Sample
     // window (t-range, t] holds values 1..5
