@@ -231,6 +231,14 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
+    // convergence certificate: labels only ever decrease, so the set of
+    // (id, label) rows changes on every non-converged round; an
+    // order-independent hash fold over the rows detects "no change" with
+    // one cheap aggregate action instead of a join per round (bit_xor:
+    // overflow-free; rows are unique per id, so nothing self-cancels)
+    def certificate(df: DataFrame): Long =
+      df.agg(bit_xor(xxhash64(col("id"), col("label")))).head().getLong(0)
+    var cert = certificate(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -239,9 +247,9 @@ object Dedup {
       val next = labels.union(prop)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      converged = next.join(
-          labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).isEmpty
+      val nextCert = certificate(next)
+      converged = nextCert == cert
+      cert = nextCert
       labels = next
       it += 1
     }
