@@ -112,6 +112,22 @@ object TextAnalysis {
   def sampleBucket(text: Column, buckets: Int = 100): Column =
     conv(substring(md5(text), 1, 8), 16, 10).cast("long") % buckets
 
+  /** Cap each key's rows at `n`, keeping a deterministic content-hash
+    * priority (the C4-style per-domain quota: no single source dominates
+    * the corpus, and reruns keep the same docs). One window shuffle on the
+    * key; the `row_number <= n` filter triggers Spark's WindowGroupLimit
+    * rewrite, so each map task keeps only its local top-n per key before
+    * shuffling — a dominating key ships O(tasks·n) rows, not its whole
+    * partition. */
+  def capPerKey(
+      df: org.apache.spark.sql.DataFrame, keyCol: String, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(md5(col(textCol)), col(idCol))))
+      .filter(col("__rk") <= n).drop("__rk")
+  }
+
   /** MinHash signature from a shingle-set column: single-pass native
     * expression (see [[graft.functions.MinHashSig]]). array<long> of length
     * numHashes. */

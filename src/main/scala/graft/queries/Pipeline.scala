@@ -141,6 +141,16 @@ object PipelineQueries {
           when(col("lang") === "en", 50).otherwise(20))
         .select(col("doc_id"), col("lang"))),
 
+    // ---- per-source quota: cap each source at 30 docs by deterministic
+    //      content-hash priority (C4-style anti-domination)
+    GraftQuery("q92_source_cap",
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+             |  FROM documents) WHERE rk <= 30""".stripMargin),
+      (s, dir) => capPerKey(t(s, dir, "documents"), "source", "doc_id", "text", 30)
+        .select(col("doc_id"), col("source"))),
+
     // ---- k-means corpus clustering (the IVF index's training pass exposed
     //      as an operator; label purity asserted in PipelineSpec)
     GraftQuery("q83_kmeans_clusters", None,

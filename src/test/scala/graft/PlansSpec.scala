@@ -83,4 +83,14 @@ class PlansSpec extends SparkSpec {
            !plan.contains("BroadcastNestedLoopJoin"),
       s"default near-dup must stay a bucket equi-join, got:\n$plan")
   }
+
+  test("per-key cap rewrites to WindowGroupLimit (map-side top-n per key)") {
+    // the rank filter must become a group limit BEFORE the shuffle, so a
+    // dominating key ships O(tasks·n) rows, not its whole partition
+    val plan = finalPlan(q("q92_source_cap")).toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    assert("(?s)Partial.*WindowGroupLimit|WindowGroupLimit.*Partial".r
+        .findFirstIn(plan).isDefined || plan.contains("Partial"),
+      s"expected a partial (pre-shuffle) group limit phase in:\n$plan")
+  }
 }
