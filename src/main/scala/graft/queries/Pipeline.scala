@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.pipeline.{Decontaminate, Dedup, Ivf, Multimodal, Pii, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Ivf, Multimodal, Pii, Relevance, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline battery over the documents/embeddings
@@ -150,6 +150,36 @@ object PipelineQueries {
              |  FROM documents) WHERE rk <= 30""".stripMargin),
       (s, dir) => capPerKey(t(s, dir, "documents"), "source", "doc_id", "text", 30)
         .select(col("doc_id"), col("source"))),
+
+    // ---- BM25 query relevance: top-20 docs for a 3-term query; the
+    //      oracle re-derives the full Okapi formula in SQL
+    GraftQuery("q93_bm25_relevance",
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |d AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM t),
+             |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+             |  sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS dfa,
+             |  sum(CASE WHEN list_contains(toks, 'stream') THEN 1 ELSE 0 END)::DOUBLE AS dfb,
+             |  sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END)::DOUBLE AS dfc
+             |  FROM d),
+             |tf AS (SELECT doc_id, dl,
+             |  len(list_filter(toks, x -> x = 'hash'))::DOUBLE AS tfa,
+             |  len(list_filter(toks, x -> x = 'stream'))::DOUBLE AS tfb,
+             |  len(list_filter(toks, x -> x = 'window'))::DOUBLE AS tfc
+             |  FROM d),
+             |scored AS (SELECT doc_id,
+             |    ln((n - dfa + 0.5)/(dfa + 0.5) + 1) * (tfa*2.2)/(tfa + 1.2*(0.25 + 0.75*dl/avgdl))
+             |  + ln((n - dfb + 0.5)/(dfb + 0.5) + 1) * (tfb*2.2)/(tfb + 1.2*(0.25 + 0.75*dl/avgdl))
+             |  + ln((n - dfc + 0.5)/(dfc + 0.5) + 1) * (tfc*2.2)/(tfc + 1.2*(0.25 + 0.75*dl/avgdl))
+             |    AS raw
+             |  FROM tf CROSS JOIN s)
+             |SELECT doc_id, round(raw, 4) AS score
+             |FROM scored ORDER BY raw DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => Relevance.bm25(
+          t(s, dir, "documents"), "doc_id", "text", Seq("hash", "stream", "window"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("score", round(col("score"), 4))),
 
     // ---- k-means corpus clustering (the IVF index's training pass exposed
     //      as an operator; label purity asserted in PipelineSpec)

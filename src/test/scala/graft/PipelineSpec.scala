@@ -309,6 +309,33 @@ class PipelineSpec extends SparkSpec {
     assert(kept == survivors)
   }
 
+  test("bm25: hand-computed score, tf monotonicity, absent terms score zero") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark spark join"),   // tf(spark)=2, dl=3
+      (2L, "spark filter scan"),  // tf(spark)=1, dl=3
+      (3L, "merge sort scan")     // tf(spark)=0
+    ).toDF("doc_id", "text")
+    val out = Relevance.bm25(corpus, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, df=2, avgdl=3 → idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6);
+    // dl=avgdl ⇒ denominator = tf + k1; score = idf·tf·2.2/(tf+1.2)
+    val idf = math.log(1.6)
+    assert(math.abs(out(1L) - idf * 2 * 2.2 / (2 + 1.2)) < 1e-12)
+    assert(math.abs(out(2L) - idf * 1 * 2.2 / (1 + 1.2)) < 1e-12)
+    assert(out(3L) == 0.0)
+    assert(out(1L) > out(2L))
+    // multi-term: scores add per term, and the rarer term carries the
+    // higher idf — doc3's unique 'merge' (df=1) outranks doc1's common
+    // 'spark' (df=2)
+    val two = Relevance.bm25(corpus, "doc_id", "text", Seq("spark", "merge"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(two(1L) - out(1L)) < 1e-12) // merge absent from doc1
+    val idfMerge = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1)
+    assert(math.abs(two(3L) - idfMerge * 1 * 2.2 / (1 + 1.2)) < 1e-12)
+    assert(two(3L) > two(1L))
+  }
+
   test("quality score is in [0,1] and penalizes junk") {
     import spark.implicits._
     val good = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
