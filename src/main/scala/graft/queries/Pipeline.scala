@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.pipeline.{Decontaminate, Dedup, Ivf, Multimodal, Pii, Relevance, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Ivf, LanguageModel, Multimodal, Pii, Relevance, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline battery over the documents/embeddings
@@ -150,6 +150,24 @@ object PipelineQueries {
              |  FROM documents) WHERE rk <= 30""".stripMargin),
       (s, dir) => capPerKey(t(s, dir, "documents"), "source", "doc_id", "text", 30)
         .select(col("doc_id"), col("source"))),
+
+    // ---- corpus-trained bigram LM quality score (CCNet-style perplexity
+    //      filter); oracle re-trains the same add-1 model in SQL
+    GraftQuery("q94_lm_quality",
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |v AS (SELECT count(DISTINCT u.t)::DOUBLE AS v
+             |  FROM t, unnest(t.toks) AS u(t)),
+             |bg AS (SELECT doc_id, toks[g.i] AS a, toks[g.i + 1] AS b
+             |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+             |cab AS (SELECT a, b, count(*)::DOUBLE AS cab FROM bg GROUP BY a, b),
+             |ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY a)
+             |SELECT bg.doc_id, round(avg(ln((cab.cab + 1.0) / (ca.ca + v.v))), 4) AS lm_logprob
+             |FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
+             |GROUP BY bg.doc_id""".stripMargin),
+      (s, dir) => LanguageModel.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("lm_logprob", round(col("lm_logprob"), 4))),
 
     // ---- BM25 query relevance: top-20 docs for a 3-term query; the
     //      oracle re-derives the full Okapi formula in SQL

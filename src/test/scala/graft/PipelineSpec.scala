@@ -336,6 +336,24 @@ class PipelineSpec extends SparkSpec {
     assert(two(3L) > two(1L))
   }
 
+  test("bigram LM: hand-computed smoothed probabilities on a tiny corpus") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a b c" + "x". bigrams: (a,b)x3, (b,a)x1,
+    // (b,c)x1. vocab V=4 (a,b,c,x). C(a·)=3, C(b·)=2.
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pAB = math.log((3.0 + 1) / (3.0 + 4)) // P(b|a) = 4/7
+    val pBA = math.log((1.0 + 1) / (2.0 + 4)) // P(a|b) = 2/6
+    val pBC = math.log((1.0 + 1) / (2.0 + 4)) // P(c|b) = 2/6
+    assert(math.abs(out(1L) - (pAB + pBA + pAB) / 3) < 1e-12)
+    assert(math.abs(out(2L) - (pAB + pBC) / 2) < 1e-12)
+    // a 1-token doc has no bigrams and no row
+    assert(!out.contains(3L))
+    // the predictable doc scores higher than the one with a rare tail
+    assert(out(1L) > out(2L))
+  }
+
   test("quality score is in [0,1] and penalizes junk") {
     import spark.implicits._
     val good = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
