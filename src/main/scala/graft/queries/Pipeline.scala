@@ -151,6 +151,17 @@ object PipelineQueries {
       (s, dir) => capPerKey(t(s, dir, "documents"), "source", "doc_id", "text", 30)
         .select(col("doc_id"), col("source"))),
 
+    // ---- BPE tokenizer training: the learned merge table over the corpus
+    //      word histogram (deterministic — ties break lexicographically);
+    //      encode-side is spec-verified, merges aren't SQL-expressible
+    GraftQuery("q95_bpe_vocab", None,
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.Bpe.train(t(s, dir, "documents"), "text", numMerges = 50)
+          .zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+          .toDF("rank", "left", "right")
+      }),
+
     // ---- corpus-trained bigram LM quality score (CCNet-style perplexity
     //      filter); oracle re-trains the same add-1 model in SQL
     GraftQuery("q94_lm_quality",

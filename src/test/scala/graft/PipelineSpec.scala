@@ -354,6 +354,26 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("BPE: deterministic merges on a known histogram; encode replays them") {
+    import spark.implicits._
+    // word [a,a,a,b] ×3: pair counts (a,a)=6, (a,b)=3 → merge (a,a);
+    // then (aa,a)=3 ties (a,b)=3 → lexicographic pick (a,b); then (aa,ab)
+    val merges = Bpe.trainOnHistogram(Seq(("aaab", 3L)), 3)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    // asking for more merges than exist stops early
+    assert(Bpe.trainOnHistogram(Seq(("aaab", 3L)), 10) == merges)
+    // encode replays the ranks greedily
+    assert(Bpe.encodeWord("aaab", merges).toSeq == Seq("aaab"))
+    assert(Bpe.encodeWord("aab", merges).toSeq == Seq("aa", "b"))
+    assert(Bpe.encodeWord("ba", merges).toSeq == Seq("b", "a"))
+    // distributed paths: histogram training + native-expression encode
+    val df = Seq("aaab aaab", "aaab aab").toDF("text")
+    assert(Bpe.train(df, "text", 3) == merges)
+    val enc = df.select(Bpe.encodeTokens(col("text"), merges).as("t"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(enc == Seq(Seq("aaab", "aaab"), Seq("aaab", "aa", "b")))
+  }
+
   test("quality score is in [0,1] and penalizes junk") {
     import spark.implicits._
     val good = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
