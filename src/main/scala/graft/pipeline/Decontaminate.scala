@@ -79,4 +79,32 @@ object Decontaminate {
     // only small in practice, not by construction — let AQE decide
     docs.join(hit, Seq(idCol), "left_anti")
   }
+
+  /** Cross-document repeated passages (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": long verbatim passages recurring
+    * across documents are the highest-value dedup target). Per document:
+    * total n-gram positions, positions whose n-gram occurs in MORE THAN
+    * ONE document, and the covered fraction — the signal a pipeline
+    * thresholds to drop boilerplate-heavy docs.
+    *
+    * Scale shape: unlike [[contaminated]] there is no small side — the
+    * multi-doc gram set derives from the corpus itself, so both the
+    * distinct-docs-per-gram aggregation and the marking join shuffle on
+    * the gram hash (plain keyed shuffles, combine-enabled); the final
+    * per-doc rollup keys on doc id. Nothing quadratic anywhere.
+    */
+  def crossDocRepeats(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 16): DataFrame = {
+    val g = gramRows(docs, Seq(col(idCol)), col(textCol), n)
+    val multiDoc = g.distinct()
+      .groupBy("__g").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__g"), lit(1).as("__rep"))
+    g.join(multiDoc, Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__rep").isNotNull, 1).otherwise(0)).as("n_repeated"))
+      .withColumn("repeated_frac", col("n_repeated") / col("n_grams"))
+  }
 }

@@ -151,6 +151,31 @@ object PipelineQueries {
       (s, dir) => capPerKey(t(s, dir, "documents"), "source", "doc_id", "text", 30)
         .select(col("doc_id"), col("source"))),
 
+    // ---- cross-document repeated passages (Lee et al. dedup signal):
+    //      per-doc fraction of 16-gram positions recurring in other docs
+    GraftQuery("q96_repeated_passages",
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, array_to_string(toks[u.i:u.i+15], ' ') AS gram
+             |  FROM t, unnest(generate_series(1, len(toks) - 15)) AS u(i)
+             |  WHERE len(toks) >= 16
+             |  UNION ALL
+             |  SELECT doc_id, array_to_string(toks, ' ') FROM t WHERE len(toks) < 16),
+             |md AS (SELECT gram, 1 AS rep FROM (
+             |  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+             |  WHERE nd > 1)
+             |SELECT g.doc_id, count(*) AS n_grams,
+             |  sum(CASE WHEN md.rep IS NOT NULL THEN 1 ELSE 0 END) AS n_repeated,
+             |  round(sum(CASE WHEN md.rep IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4)
+             |    AS repeated_frac
+             |FROM g LEFT JOIN md USING (gram) GROUP BY g.doc_id""".stripMargin),
+      (s, dir) => Decontaminate.crossDocRepeats(
+          t(s, dir, "documents"), "doc_id", "text", n = 16)
+        .withColumn("n_repeated", col("n_repeated").cast("double"))
+        .withColumn("repeated_frac", round(col("repeated_frac"), 4))),
+
     // ---- BPE tokenizer training: the learned merge table over the corpus
     //      word histogram (deterministic — ties break lexicographically);
     //      encode-side is spec-verified, merges aren't SQL-expressible

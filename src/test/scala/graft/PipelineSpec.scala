@@ -354,6 +354,25 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("cross-doc repeated passages: shared 16-gram runs are counted per doc") {
+    import spark.implicits._
+    val passage = (1 to 20).map(i => s"w$i").mkString(" ") // 20 shared tokens
+    val corpus = Seq(
+      (1L, passage + " unique1 tail1"),
+      (2L, "head2 " + passage),
+      (3L, "entirely different words " + (1 to 20).map(i => s"x$i").mkString(" ")),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = Decontaminate.crossDocRepeats(corpus, "doc_id", "text", n = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc1: 22 tokens → 7 grams; grams fully inside the shared 20-token
+    // passage ([w1..w16]..[w5..w20] = 5) also occur in doc2 → 5 repeated
+    assert(out(1L) == ((7L, 5L, 5.0 / 7)))
+    assert(out(2L) == ((6L, 5L, 5.0 / 6)))
+    // no cross-doc grams for the distinct doc; short doc = 1 whole-text gram
+    assert(out(3L)._2 == 0L && out(4L) == ((1L, 0L, 0.0)))
+  }
+
   test("BPE: deterministic merges on a known histogram; encode replays them") {
     import spark.implicits._
     // word [a,a,a,b] ×3: pair counts (a,a)=6, (a,b)=3 → merge (a,a);
