@@ -104,7 +104,8 @@ object InfluxQL {
       throw new IllegalArgumentException("statement reads from a subquery"))
   }
 
-  private val aggFns = Set("count", "sum", "mean", "min", "max", "first", "last")
+  private val aggFns = Set("count", "sum", "mean", "min", "max", "first", "last",
+    "median", "spread", "stddev")
   private val transformFns = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum")
 
@@ -325,6 +326,11 @@ object InfluxQL {
             // (Spark's first/last pick an arbitrary partition-order row)
             case "first" => min_by(col(field), col(tsCol))
             case "last"  => max_by(col(field), col(tsCol))
+            // median interpolates between the two middle points on even
+            // counts (InfluxDB median = 50th-percentile selector)
+            case "median" => percentile(col(field), lit(0.5))
+            case "spread" => max(col(field)) - min(col(field))
+            case "stddev" => stddev_samp(col(field))
           }
           // a transformed projection aggregates under a temp name; the
           // transformation's output carries the user-facing name

@@ -225,6 +225,26 @@ object Protocols {
           .withColumn("ma", round(col("ma"), 4))
       }),
 
+    // ---- InfluxQL statistical selectors: median (interpolating) /
+    //      spread / stddev per day+series
+    GraftQuery("q97_influx_median_spread",
+      Some("""SELECT make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS "time",
+             |  event_type, round(quantile_cont("value", 0.5), 4) AS med,
+             |  round(max("value") - min("value"), 4) AS spr,
+             |  round(stddev("value"), 4) AS sd
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        val out = InfluxQL.run(e,
+          """SELECT median(value) AS med, spread(value) AS spr, stddev(value) AS sd
+            |FROM events WHERE time >= '2024-01-05 00:00:00'
+            |GROUP BY time(1d), event_type""".stripMargin)
+        out.withColumn("med", round(col("med"), 4))
+          .withColumn("spr", round(col("spr"), 4))
+          .withColumn("sd", round(col("sd"), 4))
+      }),
+
     // ---- InfluxQL subquery: aggregate-of-aggregate downsampling (mean of
     //      per-hour maxima per series) — the classic Grafana shape
     GraftQuery("q76_influx_subquery",

@@ -256,6 +256,27 @@ class ProtocolsSpec extends SparkSpec {
     assert(g.map(_.getAs[String]("host")).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("InfluxQL median/spread/stddev aggregates") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-stats").toString)
+    LineProtocol.ingest(e, Seq(
+      "m,host=a v=1.0 1704067200000000000",
+      "m,host=a v=2.0 1704067260000000000",
+      "m,host=a v=3.0 1704067320000000000",
+      "m,host=a v=10.0 1704067380000000000").toDS())
+    val r = InfluxQL.run(e,
+      "SELECT median(v) AS med, spread(v) AS spr, stddev(v) AS sd FROM m GROUP BY time(1h)")
+      .head()
+    // even count: median interpolates the middle pair (2, 3) → 2.5
+    assert(r.getAs[Double]("med") == 2.5)
+    assert(r.getAs[Double]("spr") == 9.0)
+    // sample stddev of 1,2,3,10
+    val vs = Seq(1.0, 2.0, 3.0, 10.0); val m = vs.sum / 4
+    val sd = math.sqrt(vs.map(x => (x - m) * (x - m)).sum / 3)
+    assert(math.abs(r.getAs[Double]("sd") - sd) < 1e-12)
+  }
+
   test("InfluxQL SHOW FIELD KEYS lists non-tag columns with influx types") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
