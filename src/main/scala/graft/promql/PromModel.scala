@@ -41,9 +41,18 @@ final case class TopkExpr(op: String, k: Int, child: PromExpr) extends PromExpr
 final case class QuantileExpr(phi: Double, by: Seq[String], child: PromExpr) extends PromExpr
 /** Scalar literal — only legal as a binary-operation operand. */
 final case class NumberLit(v: Double) extends PromExpr
+/** Vector-matching spec for binary operations: `on(labels)` restricts the
+  * join keys to `labels`, `ignoring(labels)` removes them from the shared
+  * set; group_left/group_right allow many-to-one with the many side
+  * keeping its labels (+ `include` labels copied from the one side). */
+final case class VectorMatching(
+    on: Boolean, labels: Seq[String],
+    groupLeft: Boolean = false, groupRight: Boolean = false,
+    include: Seq[String] = Nil)
 /** op ∈ + - * /; vector∘scalar maps, vector∘vector joins one-to-one on the
-  * shared label set per step. */
-final case class BinExpr(op: String, lhs: PromExpr, rhs: PromExpr) extends PromExpr
+  * shared label set per step (or per `matching` when given). */
+final case class BinExpr(op: String, lhs: PromExpr, rhs: PromExpr,
+    matching: Option[VectorMatching] = None) extends PromExpr
 /** Element-wise math: abs|ceil|floor|round|clamp_min|clamp_max (args carry
   * the scalar parameters of the clamp family). */
 final case class MathFunc(name: String, child: PromExpr, args: Seq[Double] = Nil)

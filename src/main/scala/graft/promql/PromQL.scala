@@ -136,8 +136,9 @@ object PromQL {
       ws()
       while (peek == '+' || (peek == '-' && !s.startsWith("->", i))) {
         val op = peek.toString; i += 1
+        val m = parseMatching()
         val rhs = parseMul()
-        lhs = BinExpr(op, lhs, rhs)
+        lhs = BinExpr(op, lhs, rhs, m)
         ws()
       }
       lhs
@@ -148,11 +149,49 @@ object PromQL {
       ws()
       while (peek == '*' || peek == '/') {
         val op = peek.toString; i += 1
+        val m = parseMatching()
         val rhs = parsePrimary()
-        lhs = BinExpr(op, lhs, rhs)
+        lhs = BinExpr(op, lhs, rhs, m)
         ws()
       }
       lhs
+    }
+
+    /** `on(l,...)` | `ignoring(l,...)`, optionally followed by
+      * `group_left[(incl,...)]` / `group_right[(incl,...)]`. */
+    private def parseMatching(): Option[VectorMatching] = {
+      ws()
+      wordAt(Seq("on", "ignoring")).map { kw =>
+        i += kw.length
+        val labels = labelList()
+        ws()
+        wordAt(Seq("group_left", "group_right")) match {
+          case Some(g) =>
+            i += g.length
+            ws()
+            val incl = if (peek == '(') labelList() else Nil
+            VectorMatching(kw == "on", labels,
+              groupLeft = g == "group_left", groupRight = g == "group_right",
+              include = incl)
+          case None => VectorMatching(kw == "on", labels)
+        }
+      }
+    }
+
+    /** Parenthesized, possibly empty, comma-separated label names. */
+    private def labelList(): Seq[String] = {
+      expect('(')
+      val out = Seq.newBuilder[String]
+      ws()
+      if (peek != ')') {
+        var more = true
+        while (more) {
+          out += ident(); ws()
+          if (peek == ',') { i += 1; ws() } else more = false
+        }
+      }
+      expect(')')
+      out.result()
     }
 
     private def number(): Double = {
@@ -533,7 +572,7 @@ object PromQL {
     case NumberLit(_) =>
       throw new IllegalArgumentException("scalar-only expressions are not supported")
 
-    case BinExpr(op, lhs, rhs) => (lhs, rhs) match {
+    case BinExpr(op, lhs, rhs, matching) => (lhs, rhs) match {
       case (NumberLit(_), NumberLit(_)) =>
         throw new IllegalArgumentException("scalar-only expressions are not supported")
       case (NumberLit(a), v) =>
@@ -543,20 +582,51 @@ object PromQL {
         val in = evalExpr(spark, resolve, v, p)
         in.withColumn("value", binCol(op, col("value"), lit(b)))
       case (l, r) =>
-        // vector ∘ vector: one-to-one join on the shared label set + step
-        // (Prometheus default matching; the metric name is already gone
-        // from our frames). An equi-join per step — shuffle on (labels, ts).
+        // vector ∘ vector: equi-join per step — shuffle on (labels, ts)
         val ld = evalExpr(spark, resolve, l, p)
         val rd = evalExpr(spark, resolve, r, p)
         val lTags = ld.columns.filterNot(c => c == "ts" || c == "value").toSeq
         val rTags = rd.columns.filterNot(c => c == "ts" || c == "value").toSeq
-        require(lTags.sorted == rTags.sorted,
-          s"binary operation label sets differ: ${lTags.mkString(",")} vs ${rTags.mkString(",")}")
-        val keys = lTags :+ "ts"
-        ld.withColumnRenamed("value", "__lv")
-          .join(rd.withColumnRenamed("value", "__rv"), keys)
-          .withColumn("value", binCol(op, col("__lv"), col("__rv")))
-          .drop("__lv", "__rv")
+        matching match {
+          case None =>
+            // Prometheus default: one-to-one on the full shared label set
+            // (the metric name is already gone from our frames)
+            require(lTags.sorted == rTags.sorted,
+              s"binary operation label sets differ: ${lTags.mkString(",")} vs ${rTags.mkString(",")}; use on()/ignoring()")
+            val keys = lTags :+ "ts"
+            ld.withColumnRenamed("value", "__lv")
+              .join(rd.withColumnRenamed("value", "__rv"), keys)
+              .withColumn("value", binCol(op, col("__lv"), col("__rv")))
+              .drop("__lv", "__rv")
+          case Some(m) =>
+            val keyLabels =
+              if (m.on) m.labels
+              else lTags.intersect(rTags).filterNot(m.labels.contains)
+            val keys = keyLabels :+ "ts"
+            if (!m.groupLeft && !m.groupRight) {
+              // one-to-one: the result keeps only the matching labels
+              // (Prometheus vector-matching). NOTE: duplicate key groups
+              // multiply like any equi-join where Prometheus would raise
+              // "many-to-one matching must use group_left" — use the
+              // explicit group modifier for many-to-one shapes.
+              ld.select(keys.map(col) :+ col("value").as("__lv"): _*)
+                .join(rd.select(keys.map(col) :+ col("value").as("__rv"): _*), keys)
+                .withColumn("value", binCol(op, col("__lv"), col("__rv")))
+                .drop("__lv", "__rv")
+            } else {
+              // many-to-one: the many side keeps all its labels, plus
+              // `include` labels copied from the one side
+              val (many, one) = if (m.groupLeft) (ld, rd) else (rd, ld)
+              val oneSel = keys.map(col) ++ m.include.map(col) :+
+                col("value").as("__ov")
+              val joined = many.withColumnRenamed("value", "__mv")
+                .join(one.select(oneSel: _*), keys)
+              val v =
+                if (m.groupLeft) binCol(op, col("__mv"), col("__ov"))
+                else binCol(op, col("__ov"), col("__mv"))
+              joined.withColumn("value", v).drop("__mv", "__ov")
+            }
+        }
     }
   }
 

@@ -309,6 +309,32 @@ object Prom {
              |WHERE hts >= TIMESTAMP '2024-01-10 01:00:00'
              |  AND hts <= TIMESTAMP '2024-01-11 00:00:00'""".stripMargin)),
 
+    // ---- vector matching: many-to-one group_left — each (event_type, le)
+    //      bucket series divides by its event_type's across-le sum
+    q("q98_promql_binop_group_left",
+      "events_bucket / on(event_type) group_left sum by (event_type) (events_bucket)",
+      Some("""WITH counts AS (
+             |  SELECT make_timestamp(CAST(ceil(epoch_ms(ts) / 3600000.0) AS BIGINT)
+             |           * 3600000 * 1000) AS hts,
+             |    event_type,
+             |    CAST(count(*) FILTER (WHERE "value" <= 10)  AS DOUBLE) AS n10,
+             |    CAST(count(*) FILTER (WHERE "value" <= 50)  AS DOUBLE) AS n50,
+             |    CAST(count(*) FILTER (WHERE "value" <= 100) AS DOUBLE) AS n100,
+             |    CAST(count(*) FILTER (WHERE "value" <= 200) AS DOUBLE) AS n200,
+             |    CAST(count(*) AS DOUBLE) AS total
+             |  FROM events GROUP BY 1, 2),
+             |b AS (
+             |  SELECT hts, event_type, '10' AS le, n10 AS v FROM counts
+             |  UNION ALL SELECT hts, event_type, '50', n50 FROM counts
+             |  UNION ALL SELECT hts, event_type, '100', n100 FROM counts
+             |  UNION ALL SELECT hts, event_type, '200', n200 FROM counts
+             |  UNION ALL SELECT hts, event_type, '+Inf', total FROM counts),
+             |s AS (SELECT hts, event_type, sum(v) AS sv FROM b GROUP BY 1, 2)
+             |SELECT b.event_type, b.le, b.hts AS ts, round(b.v / s.sv, 4) AS "value"
+             |FROM b JOIN s USING (hts, event_type)
+             |WHERE b.hts >= TIMESTAMP '2024-01-10 01:00:00'
+             |  AND b.hts <= TIMESTAMP '2024-01-11 00:00:00'""".stripMargin)),
+
     // ---- vector set op: instant vectors minus the per-step top-2
     q("q77_promql_unless", "events unless topk(2, events)",
       Some("""WITH grid AS (

@@ -330,6 +330,56 @@ class PromQLSpec extends SparkSpec {
     assert(sum.length == 1 && math.abs(sum(0).getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("vector matching: on/ignoring keys, group_left many-to-one + include") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = 1704844800000L
+    val ts = new java.sql.Timestamp(base)
+    // per-(host,cpu) usage vs per-host capacity (different label sets)
+    val usage = Seq(
+      (ts, "h1", "cpu0", 10.0), (ts, "h1", "cpu1", 30.0), (ts, "h2", "cpu0", 50.0))
+      .toDF("ts", "host", "cpu", "value")
+    val capacity = Seq((ts, "h1", 100.0), (ts, "h2", 200.0), (ts, "h1x", 1.0))
+      .toDF("ts", "host", "value")
+    val resolve: String => PromQL.SeriesTable = {
+      case "usage"    => PromQL.SeriesTable(usage, "ts", "value", Seq("host", "cpu"))
+      case "capacity" => PromQL.SeriesTable(capacity, "ts", "value", Seq("host"))
+    }
+    val p = EvalParams(base, base, 60000L)
+
+    // group_left: every (host,cpu) row divides by its host's capacity
+    val gl = PromQL.eval(spark, resolve, "usage / on(host) group_left capacity", p)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[String]("cpu")) ->
+        r.getAs[Double]("value")).toMap
+    assert(gl == Map(("h1", "cpu0") -> 0.1, ("h1", "cpu1") -> 0.3, ("h2", "cpu0") -> 0.25))
+
+    // one-to-one on(host) after collapsing cpu: result keeps only host
+    val oto = PromQL.eval(spark, resolve,
+      "sum by (host) (usage) / on(host) capacity", p)
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Double]("value")).toMap
+    assert(oto == Map("h1" -> 0.4, "h2" -> 0.25))
+
+    // ignoring(cpu) ≡ on(host) here
+    val ign = PromQL.eval(spark, resolve,
+      "usage * ignoring(cpu) group_left capacity", p)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[String]("cpu")) ->
+        r.getAs[Double]("value")).toMap
+    assert(ign(("h1", "cpu1")) == 3000.0)
+
+    // group_right: the many side on the right keeps its labels
+    val gr = PromQL.eval(spark, resolve, "capacity + on(host) group_right usage", p)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[String]("cpu")) ->
+        r.getAs[Double]("value")).toMap
+    assert(gr(("h1", "cpu0")) == 110.0 && gr(("h2", "cpu0")) == 250.0)
+
+    // parser shape, include list
+    assert(PromQL.parse("a / on(host) group_left(region) b") ==
+      BinExpr("/", VectorSelector(Selector("a", Nil, None, 0, None)),
+        VectorSelector(Selector("b", Nil, None, 0, None)),
+        Some(VectorMatching(on = true, Seq("host"),
+          groupLeft = true, include = Seq("region")))))
+  }
+
   test("subqueries: f(expr[range:step]) evaluates on an absolute inner grid") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
