@@ -53,6 +53,10 @@ final case class VectorMatching(
   * shared label set per step (or per `matching` when given). */
 final case class BinExpr(op: String, lhs: PromExpr, rhs: PromExpr,
     matching: Option[VectorMatching] = None) extends PromExpr
+/** Comparison filter `v > 100` (keeps matching elements with their value)
+  * or, with the `bool` modifier, a 0/1 map that keeps every element. */
+final case class CompareExpr(op: String, lhs: PromExpr, rhs: PromExpr,
+    bool: Boolean = false) extends PromExpr
 /** Element-wise math: abs|ceil|floor|round|clamp_min|clamp_max (args carry
   * the scalar parameters of the clamp family). */
 final case class MathFunc(name: String, child: PromExpr, args: Seq[Double] = Nil)

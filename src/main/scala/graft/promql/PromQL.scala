@@ -112,15 +112,42 @@ object PromQL {
       * `+ -`, which bind tighter than the set operators `and unless or`
       * (Prometheus operator precedence, promql spec). */
     def parseExpr(): PromExpr = {
-      var lhs = parseAdd()
+      var lhs = parseCompare()
       var more = true
       while (more) {
         ws()
         wordAt(Seq("and", "or", "unless")) match {
           case Some(op) =>
             i += op.length
-            lhs = SetOpExpr(op, lhs, parseAdd())
+            lhs = SetOpExpr(op, lhs, parseCompare())
           case None => more = false
+        }
+      }
+      lhs
+    }
+
+    /** Comparisons bind looser than arithmetic, tighter than set ops
+      * (Prometheus precedence). `bool` turns the filter into 0/1. */
+    private def parseCompare(): PromExpr = {
+      var lhs = parseAdd()
+      var more = true
+      while (more) {
+        ws()
+        val op =
+          if (s.startsWith(">=", i)) ">="
+          else if (s.startsWith("<=", i)) "<="
+          else if (s.startsWith("==", i)) "=="
+          else if (s.startsWith("!=", i)) "!="
+          else if (peek == '>') ">"
+          else if (peek == '<') "<"
+          else null
+        if (op == null) more = false
+        else {
+          i += op.length
+          ws()
+          val isBool = wordAt(Seq("bool")).isDefined
+          if (isBool) i += 4
+          lhs = CompareExpr(op, lhs, parseAdd(), isBool)
         }
       }
       lhs
@@ -571,6 +598,32 @@ object PromQL {
 
     case NumberLit(_) =>
       throw new IllegalArgumentException("scalar-only expressions are not supported")
+
+    case CompareExpr(op, lhs, rhs, bool) =>
+      // vector∘scalar comparison: filter (keep the element's value) or,
+      // with `bool`, map every element to 0/1. Vector∘vector comparisons
+      // are rare in practice and not lowered here.
+      val (v, scalar, flip) = (lhs, rhs) match {
+        case (e, NumberLit(c)) => (e, c, false)
+        case (NumberLit(c), e) => (e, c, true)
+        case _ => throw new IllegalArgumentException(
+          "comparison requires a scalar operand (vector∘vector comparisons unsupported)")
+      }
+      val in = evalExpr(spark, resolve, v, p)
+      val effOp = if (!flip) op else op match { // c OP v ⇔ v OP' c
+        case ">" => "<"; case "<" => ">"; case ">=" => "<="; case "<=" => ">="
+        case other => other
+      }
+      val cond = effOp match {
+        case ">"  => col("value") > scalar
+        case "<"  => col("value") < scalar
+        case ">=" => col("value") >= scalar
+        case "<=" => col("value") <= scalar
+        case "==" => col("value") === scalar
+        case "!=" => col("value") =!= scalar
+      }
+      if (bool) in.withColumn("value", when(cond, 1.0).otherwise(0.0))
+      else in.filter(cond)
 
     case BinExpr(op, lhs, rhs, matching) => (lhs, rhs) match {
       case (NumberLit(_), NumberLit(_)) =>

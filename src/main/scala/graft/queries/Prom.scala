@@ -309,6 +309,22 @@ object Prom {
              |WHERE hts >= TIMESTAMP '2024-01-10 01:00:00'
              |  AND hts <= TIMESTAMP '2024-01-11 00:00:00'""".stripMargin)),
 
+    // ---- comparison filter (alerting shape): instant values over 150
+    q("q99_promql_threshold", "events > 150",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |latest AS (
+             |  SELECT g.gts, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.gts AND e.ts > g.gts - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid g CROSS JOIN series s)
+             |SELECT event_type, gts AS ts, round(v, 4) AS "value"
+             |FROM latest WHERE v > 150""".stripMargin)),
+
     // ---- vector matching: many-to-one group_left — each (event_type, le)
     //      bucket series divides by its event_type's across-le sum
     q("q98_promql_binop_group_left",

@@ -330,6 +330,33 @@ class PromQLSpec extends SparkSpec {
     assert(sum.length == 1 && math.abs(sum(0).getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("comparison filters: threshold keeps elements, bool maps to 0/1") {
+    import spark.implicits._
+    val t0 = 100000L
+    val df = Seq(("a", 1.0), ("b", 5.0), ("c", 3.0))
+      .map { case (h, v) => (new java.sql.Timestamp(t0), h, v) }
+      .toDF("ts", "host", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host"))
+    val p = EvalParams(startMs = t0, endMs = t0, stepMs = 60000L)
+    def run(q: String) = PromQL.eval(spark, bind, q, p)
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Double]("value")).toMap
+
+    assert(run("m > 2") == Map("b" -> 5.0, "c" -> 3.0))
+    assert(run("m <= 3") == Map("a" -> 1.0, "c" -> 3.0))
+    assert(run("m == 5") == Map("b" -> 5.0))
+    assert(run("m != 5") == Map("a" -> 1.0, "c" -> 3.0))
+    // scalar on the left flips the comparison
+    assert(run("2 < m") == Map("b" -> 5.0, "c" -> 3.0))
+    // bool keeps every element as 0/1
+    assert(run("m > bool 2") == Map("a" -> 0.0, "b" -> 1.0, "c" -> 1.0))
+    // precedence: arithmetic binds tighter; set ops looser
+    assert(run("m * 2 > 5") == Map("b" -> 10.0, "c" -> 6.0))
+    assert(run("m > 2 and m < 4") == Map("c" -> 3.0))
+    // composes under aggregation
+    val agg = PromQL.eval(spark, bind, "sum(m > 2)", p).collect()
+    assert(agg.length == 1 && agg(0).getAs[Double]("value") == 8.0)
+  }
+
   test("vector matching: on/ignoring keys, group_left many-to-one + include") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
