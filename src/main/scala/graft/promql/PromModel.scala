@@ -57,6 +57,9 @@ final case class BinExpr(op: String, lhs: PromExpr, rhs: PromExpr,
   * or, with the `bool` modifier, a 0/1 map that keeps every element. */
 final case class CompareExpr(op: String, lhs: PromExpr, rhs: PromExpr,
     bool: Boolean = false) extends PromExpr
+/** absent(v): value 1 at every grid step where v has NO elements — the
+  * "did the metric disappear" alerting primitive. */
+final case class AbsentExpr(child: PromExpr) extends PromExpr
 /** Element-wise math: abs|ceil|floor|round|clamp_min|clamp_max (args carry
   * the scalar parameters of the clamp family). */
 final case class MathFunc(name: String, child: PromExpr, args: Seq[Double] = Nil)

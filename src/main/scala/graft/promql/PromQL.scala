@@ -334,6 +334,11 @@ object PromQL {
             case _ => fail(s"$name requires a range selector [dur] or a subquery [range:step]")
           }
         }
+      } else if (name == "absent") {
+        expect('(')
+        val child = parseExpr()
+        expect(')')
+        AbsentExpr(child)
       } else if (mathFuncs(name)) {
         expect('(')
         val child = parseExpr()
@@ -494,6 +499,18 @@ object PromQL {
       require(unknown.isEmpty, s"unknown grouping labels: ${unknown.mkString(",")}")
       in.groupBy((by :+ "ts").map(col): _*)
         .agg(percentile(col("value"), lit(phi)).as("value"))
+
+    case AbsentExpr(child) =>
+      // steps where the child evaluates to an empty vector → value 1, no
+      // labels (the label-inference-from-equality-matchers refinement of
+      // Prometheus is presentation-only and skipped). The grid is tiny
+      // (one row per step) — an anti-join of the grid against the child's
+      // distinct steps.
+      val in = evalExpr(spark, resolve, child, p)
+      val grid = spark.range(0, (p.endMs - p.startMs) / p.stepMs + 1)
+        .select(timestamp_millis(lit(p.startMs) + col("id") * p.stepMs).as("ts"))
+      grid.join(in.select("ts").distinct(), Seq("ts"), "left_anti")
+        .withColumn("value", lit(1.0))
 
     case MathFunc(name, child, args) =>
       val in = evalExpr(spark, resolve, child, p)

@@ -309,6 +309,12 @@ object Prom {
              |WHERE hts >= TIMESTAMP '2024-01-10 01:00:00'
              |  AND hts <= TIMESTAMP '2024-01-11 00:00:00'""".stripMargin)),
 
+    // ---- absent(): a never-matching selector is absent at every step
+    q("q100_promql_absent", """absent(events{event_type="no_such_type"})""",
+      Some("""SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS ts,
+             |  1.0 AS "value"""".stripMargin)),
+
     // ---- comparison filter (alerting shape): instant values over 150
     q("q99_promql_threshold", "events > 150",
       Some("""WITH grid AS (

@@ -330,6 +330,22 @@ class PromQLSpec extends SparkSpec {
     assert(sum.length == 1 && math.abs(sum(0).getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("absent(): 1 at steps with no elements, empty when data exists") {
+    import spark.implicits._
+    val t0 = 100000L
+    val df = Seq((new java.sql.Timestamp(t0), "a", 5.0)).toDF("ts", "host", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host"))
+    // three steps: data only within lookback of the first
+    val p = EvalParams(startMs = t0, endMs = t0 + 1200000L, stepMs = 600000L)
+    val out = PromQL.eval(spark, bind, "absent(m)", p)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("ts").getTime).sorted
+    assert(out.toSeq == Seq(t0 + 600000L, t0 + 1200000L))
+    // a filter that empties the vector → absent everywhere
+    assert(PromQL.eval(spark, bind, "absent(m > 10)", p).count() == 3)
+    // data at a step → that step missing from absent()
+    assert(PromQL.eval(spark, bind, "absent(m <= 10)", p).count() == 2)
+  }
+
   test("comparison filters: threshold keeps elements, bool maps to 0/1") {
     import spark.implicits._
     val t0 = 100000L
