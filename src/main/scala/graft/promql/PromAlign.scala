@@ -51,6 +51,7 @@ object PromAlign {
         case "delta"    => extrapolated(sorted, lo, hi, t - rangeMs, t, counter = false, perSecond = false)
         case "irate"    => lastTwo(sorted, lo, hi, counter = true, perSecond = true)
         case "idelta"   => lastTwo(sorted, lo, hi, counter = false, perSecond = false)
+        case "deriv"    => linearSlope(sorted, lo, hi)
         case _          => overTime(sorted, lo, hi, func, param)
       }
       out.map(v => (t, v)).iterator
@@ -136,6 +137,27 @@ object PromAlign {
     var out = result * (extrap / sampled)
     if (perSecond) out /= (rangeEndMs - rangeStartMs) / 1000.0
     Some(out)
+  }
+
+  /** deriv: least-squares slope of (t seconds, v) over the window samples
+    * (Prometheus promql/functions.go linearRegression — intercept dropped,
+    * timestamps offset to the first sample for stability). */
+  def linearSlope(s: Array[Sample], lo: Int, hi: Int): Option[Double] = {
+    val n = hi - lo
+    if (n < 2) return None
+    val t0 = s(lo).tsMs
+    var sumT = 0.0; var sumV = 0.0
+    var i = lo
+    while (i < hi) { sumT += (s(i).tsMs - t0) / 1000.0; sumV += s(i).v; i += 1 }
+    val mT = sumT / n; val mV = sumV / n
+    var cov = 0.0; var varT = 0.0
+    i = lo
+    while (i < hi) {
+      val dt = (s(i).tsMs - t0) / 1000.0 - mT
+      cov += dt * (s(i).v - mV); varT += dt * dt
+      i += 1
+    }
+    if (varT == 0) None else Some(cov / varT)
   }
 
   /** irate/idelta: last two samples in the window. */

@@ -60,6 +60,9 @@ final case class CompareExpr(op: String, lhs: PromExpr, rhs: PromExpr,
 /** absent(v): value 1 at every grid step where v has NO elements — the
   * "did the metric disappear" alerting primitive. */
 final case class AbsentExpr(child: PromExpr) extends PromExpr
+/** count_values(label, v): per step, one element per distinct sample value
+  * with that value rendered into `label` and the element count as value. */
+final case class CountValuesExpr(label: String, child: PromExpr) extends PromExpr
 /** Element-wise math: abs|ceil|floor|round|clamp_min|clamp_max (args carry
   * the scalar parameters of the clamp family). */
 final case class MathFunc(name: String, child: PromExpr, args: Seq[Double] = Nil)

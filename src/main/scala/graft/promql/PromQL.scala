@@ -43,7 +43,7 @@ object PromQL {
   }
 
   private val aggOps = Set("sum", "avg", "count", "min", "max")
-  private val rangeFuncs = Set("rate", "irate", "delta", "idelta", "increase",
+  private val rangeFuncs = Set("rate", "irate", "delta", "idelta", "increase", "deriv",
     "sum_over_time", "avg_over_time", "count_over_time", "min_over_time",
     "max_over_time", "last_over_time", "stddev_over_time", "stdvar_over_time",
     "present_over_time")
@@ -339,6 +339,13 @@ object PromQL {
         val child = parseExpr()
         expect(')')
         AbsentExpr(child)
+      } else if (name == "count_values") {
+        expect('(')
+        ws(); val lbl = quoted()
+        ws(); expect(',')
+        val child = parseExpr()
+        expect(')')
+        CountValuesExpr(lbl, child)
       } else if (mathFuncs(name)) {
         expect('(')
         val child = parseExpr()
@@ -499,6 +506,14 @@ object PromQL {
       require(unknown.isEmpty, s"unknown grouping labels: ${unknown.mkString(",")}")
       in.groupBy((by :+ "ts").map(col): _*)
         .agg(percentile(col("value"), lit(phi)).as("value"))
+
+    case CountValuesExpr(label, child) =>
+      // per step: one element per distinct sample value, the value rendered
+      // into the new label (cast to string) and the count as the value —
+      // a keyed groupBy on (step, value)
+      val in = evalExpr(spark, resolve, child, p)
+      in.groupBy(col("ts"), col("value").cast("string").as(label))
+        .agg(count(lit(1)).cast("double").as("value"))
 
     case AbsentExpr(child) =>
       // steps where the child evaluates to an empty vector → value 1, no

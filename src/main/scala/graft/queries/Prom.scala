@@ -309,6 +309,31 @@ object Prom {
              |WHERE hts >= TIMESTAMP '2024-01-10 01:00:00'
              |  AND hts <= TIMESTAMP '2024-01-11 00:00:00'""".stripMargin)),
 
+    // ---- deriv: least-squares slope per series over each 1h window —
+    //      DuckDB regr_slope is the same covariance/variance formula
+    q("q101_promql_deriv", "deriv(events[1h])",
+      Some(s"""WITH $gridSql
+              |SELECT event_type, gts AS ts,
+              |  round(regr_slope(v, tms / 1000.0), 4) AS "value"
+              |FROM win GROUP BY event_type, gts
+              |HAVING count(*) >= 2 AND var_pop(tms / 1000.0) > 0""".stripMargin)),
+
+    // ---- count_values: per-step histogram of instant sample values
+    q("q102_promql_count_values", """count_values("v", events)""",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |latest AS (
+             |  SELECT g.gts, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.gts AND e.ts > g.gts - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid g CROSS JOIN series s)
+             |SELECT gts AS ts, v::VARCHAR AS v, count(*)::DOUBLE AS "value"
+             |FROM latest WHERE v IS NOT NULL GROUP BY gts, v""".stripMargin)),
+
     // ---- absent(): a never-matching selector is absent at every step
     q("q100_promql_absent", """absent(events{event_type="no_such_type"})""",
       Some("""SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',

@@ -346,6 +346,28 @@ class PromQLSpec extends SparkSpec {
     assert(PromQL.eval(spark, bind, "absent(m <= 10)", p).count() == 2)
   }
 
+  test("deriv: least-squares slope; count_values: per-step value histogram") {
+    // perfectly linear: slope exact regardless of window coverage
+    val lin = s((0 until 10).map(i => (i * 10000L, 3.0 + 0.5 * i)): _*)
+    val d = PromAlign.linearSlope(lin, 0, lin.length)
+    assert(d.isDefined && math.abs(d.get - 0.05) < 1e-12) // 0.5 per 10s
+    // two points: slope = dv/dt; degenerate cases yield nothing
+    assert(PromAlign.linearSlope(s((0L, 1.0), (2000L, 5.0)), 0, 2).contains(2.0))
+    assert(PromAlign.linearSlope(s((0L, 1.0)), 0, 1).isEmpty)
+    assert(PromAlign.linearSlope(s((0L, 1.0), (0L, 1.0)), 0, 2).isEmpty)
+
+    import spark.implicits._
+    val t0 = 100000L
+    val df = Seq(("a", 2.0), ("b", 2.0), ("c", 7.0))
+      .map { case (h, v) => (new java.sql.Timestamp(t0), h, v) }
+      .toDF("ts", "host", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host"))
+    val p = EvalParams(startMs = t0, endMs = t0, stepMs = 60000L)
+    val cv = PromQL.eval(spark, bind, """count_values("v", m)""", p)
+      .collect().map(r => r.getAs[String]("v") -> r.getAs[Double]("value")).toMap
+    assert(cv == Map("2.0" -> 2.0, "7.0" -> 1.0))
+  }
+
   test("comparison filters: threshold keeps elements, bool maps to 0/1") {
     import spark.implicits._
     val t0 = 100000L
