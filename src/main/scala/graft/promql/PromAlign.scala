@@ -41,7 +41,8 @@ object PromAlign {
   /** Range-function alignment at each grid step over window (t-range, t]. */
   def alignRange(
       sorted: Array[Sample], p: EvalParams, rangeMs: Long,
-      func: String, param: Double = Double.NaN): Iterator[(Long, Double)] =
+      func: String, param: Double = Double.NaN,
+      param2: Double = Double.NaN): Iterator[(Long, Double)] =
     gridSteps(p).flatMap { t =>
       val lo = lowerBoundExclusive(sorted, t - rangeMs)
       val hi = upperBound(sorted, t)
@@ -52,6 +53,8 @@ object PromAlign {
         case "irate"    => lastTwo(sorted, lo, hi, counter = true, perSecond = true)
         case "idelta"   => lastTwo(sorted, lo, hi, counter = false, perSecond = false)
         case "deriv"    => linearSlope(sorted, lo, hi)
+        case "predict_linear" => linearPredict(sorted, lo, hi, t, param)
+        case "holt_winters"   => holtWinters(sorted, lo, hi, param, param2)
         case _          => overTime(sorted, lo, hi, func, param)
       }
       out.map(v => (t, v)).iterator
@@ -158,6 +161,61 @@ object PromAlign {
       i += 1
     }
     if (varT == 0) None else Some(cov / varT)
+  }
+
+  /** predict_linear: value of the least-squares regression line `horizon`
+    * seconds past the evaluation instant (promql/functions.go
+    * funcPredictLinear — the line passes through the sample centroid, so
+    * v̂(x) = mean(v) + slope·(x − mean(t))). */
+  def linearPredict(
+      s: Array[Sample], lo: Int, hi: Int, evalMs: Long,
+      horizonSec: Double): Option[Double] = {
+    val n = hi - lo
+    if (n < 2) return None
+    val t0 = s(lo).tsMs
+    var sumT = 0.0; var sumV = 0.0
+    var i = lo
+    while (i < hi) { sumT += (s(i).tsMs - t0) / 1000.0; sumV += s(i).v; i += 1 }
+    val mT = sumT / n; val mV = sumV / n
+    var cov = 0.0; var varT = 0.0
+    i = lo
+    while (i < hi) {
+      val dt = (s(i).tsMs - t0) / 1000.0 - mT
+      cov += dt * (s(i).v - mV); varT += dt * dt
+      i += 1
+    }
+    if (varT == 0) None
+    else {
+      val slope = cov / varT
+      val x = (evalMs - t0) / 1000.0 + horizonSec
+      Some(mV + slope * (x - mT))
+    }
+  }
+
+  /** holt_winters (a.k.a. double_exponential_smoothing): level/trend
+    * smoothing over the window samples, returning the final smoothed level
+    * (promql/functions.go funcDoubleExponentialSmoothing; sf = level
+    * smoothing factor, tf = trend factor, both in (0, 1)). */
+  def holtWinters(
+      s: Array[Sample], lo: Int, hi: Int, sf: Double,
+      tf: Double): Option[Double] = {
+    require(sf > 0 && sf < 1, s"holt_winters smoothing factor must be in (0,1): $sf")
+    require(tf > 0 && tf < 1, s"holt_winters trend factor must be in (0,1): $tf")
+    val n = hi - lo
+    if (n < 2) return None
+    var s0 = 0.0
+    var s1 = s(lo).v
+    var b = s(lo + 1).v - s(lo).v
+    var i = lo + 1
+    while (i < hi) {
+      val x = sf * s(i).v
+      // trend update uses the PREVIOUS level pair (calcTrendValue(i-1,...))
+      if (i > lo + 1) b = tf * (s1 - s0) + (1 - tf) * b
+      val y = (1 - sf) * (s1 + b)
+      s0 = s1; s1 = x + y
+      i += 1
+    }
+    Some(s1)
   }
 
   /** irate/idelta: last two samples in the window. */

@@ -24,14 +24,26 @@ final case class Selector(
 sealed trait PromExpr
 final case class VectorSelector(sel: Selector) extends PromExpr
 /** func ∈ rate|irate|delta|idelta|increase or the *_over_time aggregations
-  * over a range selector; `param` carries quantile_over_time's φ. */
-final case class RangeFunc(func: String, sel: Selector, param: Option[Double] = None)
+  * over a range selector; `param` carries quantile_over_time's φ /
+  * predict_linear's horizon / holt_winters' smoothing factor, `param2`
+  * holt_winters' trend factor. */
+final case class RangeFunc(func: String, sel: Selector,
+    param: Option[Double] = None, param2: Option[Double] = None)
     extends PromExpr
 /** Range function applied to a subquery `f(child[range:step])`: the child
   * evaluates as instant queries on an absolute `step`-aligned grid, whose
   * values become `f`'s range samples (Prometheus subquery semantics). */
 final case class SubqueryFunc(func: String, child: PromExpr, rangeMs: Long,
-    stepMs: Long, param: Option[Double] = None) extends PromExpr
+    stepMs: Long, param: Option[Double] = None, param2: Option[Double] = None)
+    extends PromExpr
+/** time(): the evaluation timestamp in seconds — a per-step scalar frame
+  * (no labels), usable wherever a scalar operand is. */
+case object TimeExpr extends PromExpr
+/** vector(s): a scalar literal lifted to a label-less vector on the grid. */
+final case class VectorLitExpr(v: Double) extends PromExpr
+/** scalar(v): per step, the single element's value when the child has
+  * exactly one element, else NaN (Prometheus scalar() semantics). */
+final case class ScalarOfExpr(child: PromExpr) extends PromExpr
 /** op ∈ sum|avg|count|min|max, grouped by `by` labels (empty = collapse). */
 final case class AggExpr(op: String, by: Seq[String], child: PromExpr) extends PromExpr
 /** Beyond the reference's pushdown set (Prometheus-native semantics):

@@ -46,8 +46,15 @@ object PromQL {
   private val rangeFuncs = Set("rate", "irate", "delta", "idelta", "increase", "deriv",
     "sum_over_time", "avg_over_time", "count_over_time", "min_over_time",
     "max_over_time", "last_over_time", "stddev_over_time", "stdvar_over_time",
-    "present_over_time")
-  private val mathFuncs = Set("abs", "ceil", "floor", "round", "clamp_min", "clamp_max")
+    "present_over_time", "absent_over_time", "predict_linear", "holt_winters",
+    "double_exponential_smoothing")
+  /** Scalar arguments AFTER the range selector, by function. */
+  private val rangeFuncArity = Map(
+    "predict_linear" -> 1, "holt_winters" -> 2,
+    "double_exponential_smoothing" -> 2).withDefaultValue(0)
+  private val mathFuncs = Set("abs", "ceil", "floor", "round",
+    "clamp_min", "clamp_max", "clamp", "exp", "ln", "log2", "log10", "sqrt",
+    "sgn", "timestamp")
 
   private final class Parser(s: String) {
     private var i = 0
@@ -309,6 +316,9 @@ object PromQL {
         if (ss.isEmpty) fail("label_join needs at least one source label")
         LabelJoinExpr(child, dst, sep, ss)
       } else if (rangeFuncs(name) || name == "quantile_over_time") {
+        // canonical name: double_exponential_smoothing is the renamed
+        // holt_winters (Prometheus 3.x); lower both to one implementation
+        val fn = if (name == "double_exponential_smoothing") "holt_winters" else name
         expect('(')
         val phi =
           if (name == "quantile_over_time") {
@@ -318,22 +328,47 @@ object PromQL {
         // subquery `expr[range:step]` (step required here)
         val child = parseExpr()
         ws()
+        // trailing scalar args (predict_linear horizon, holt_winters sf/tf)
+        def trailing(): (Option[Double], Option[Double]) = {
+          val args = Seq.newBuilder[Double]
+          ws()
+          while (peek == ',') { i += 1; args += number(); ws() }
+          val as = args.result()
+          if (as.length != rangeFuncArity(name))
+            fail(s"$name takes ${rangeFuncArity(name)} scalar argument(s) after the range")
+          (phi.orElse(as.headOption), as.lift(1))
+        }
         if (peek == '[') {
           i += 1
           val range = duration()
           ws(); expect(':')
           val step = duration()
           expect(']')
+          val (p1, p2) = trailing()
           expect(')')
-          SubqueryFunc(name, child, range, step, phi)
+          SubqueryFunc(fn, child, range, step, p1, p2)
         } else {
+          val (p1, p2) = trailing()
           expect(')')
           child match {
             case VectorSelector(sel) if sel.rangeMs.isDefined =>
-              RangeFunc(name, sel, phi)
+              RangeFunc(fn, sel, p1, p2)
             case _ => fail(s"$name requires a range selector [dur] or a subquery [range:step]")
           }
         }
+      } else if (name == "time") {
+        expect('('); expect(')')
+        TimeExpr
+      } else if (name == "vector") {
+        expect('(')
+        val v = number()
+        expect(')')
+        VectorLitExpr(v)
+      } else if (name == "scalar") {
+        expect('(')
+        val child = parseExpr()
+        expect(')')
+        ScalarOfExpr(child)
       } else if (name == "absent") {
         expect('(')
         val child = parseExpr()
@@ -354,8 +389,13 @@ object PromQL {
         while (peek == ',') { i += 1; args += number(); ws() }
         expect(')')
         val as = args.result()
-        if (name.startsWith("clamp") && as.length != 1)
-          fail(s"$name needs exactly one scalar argument")
+        val need = name match {
+          case "clamp" => 2
+          case "clamp_min" | "clamp_max" => 1
+          case _ => 0
+        }
+        if (as.length != need)
+          fail(s"$name needs exactly $need scalar argument(s)")
         MathFunc(name, child, as)
       } else {
         i = save
@@ -451,10 +491,43 @@ object PromQL {
       expr: PromExpr, p: EvalParams): DataFrame = expr match {
     case VectorSelector(sel) =>
       aligned(spark, resolve(sel.metric), sel, p, "instant")
-    case RangeFunc(f, sel, param) =>
-      aligned(spark, resolve(sel.metric), sel, p, f, param.getOrElse(Double.NaN))
 
-    case SubqueryFunc(f, child, rangeMs, stepMs, param) =>
+    case RangeFunc("absent_over_time", sel, _, _) =>
+      // 1 at grid steps whose (t-range, t] window holds NO samples of the
+      // selector (any series) — the range-window variant of absent(). The
+      // per-series present_over_time frame is tiny (grid-bounded); the
+      // anti-join against the step grid mirrors AbsentExpr.
+      val present = aligned(spark, resolve(sel.metric), sel, p, "present_over_time")
+      gridFrame(spark, p)
+        .join(present.select("ts").distinct(), Seq("ts"), "left_anti")
+        .withColumn("value", lit(1.0))
+
+    case RangeFunc(f, sel, param, param2) =>
+      aligned(spark, resolve(sel.metric), sel, p, f,
+        param.getOrElse(Double.NaN), param2.getOrElse(Double.NaN))
+
+    case TimeExpr =>
+      // per-step scalar frame: the evaluation timestamp in seconds
+      gridFrame(spark, p)
+        .withColumn("value", (unix_millis(col("ts")) / 1000.0).cast("double"))
+
+    case VectorLitExpr(v) =>
+      gridFrame(spark, p).withColumn("value", lit(v))
+
+    case ScalarOfExpr(child) =>
+      // exactly-one-element steps keep that value; everything else is NaN
+      // (Prometheus scalar()). One hash-agg on ts; the grid join restores
+      // steps where the child is empty.
+      val in = evalExpr(spark, resolve, child, p)
+      val perStep = in.groupBy("ts").agg(
+        count(lit(1)).as("__n"), max(col("value")).as("__v"))
+      gridFrame(spark, p)
+        .join(perStep, Seq("ts"), "left")
+        .withColumn("value",
+          when(col("__n") === 1, col("__v")).otherwise(lit(Double.NaN)))
+        .drop("__n", "__v")
+
+    case SubqueryFunc(f, child, rangeMs, stepMs, param, param2) =>
       // Prometheus subquery: the child evaluates as instant queries on an
       // absolute step-aligned grid covering every outer window, and those
       // (ts, value) points are the range samples the outer function sees.
@@ -467,7 +540,7 @@ object PromQL {
         p.copy(startMs = innerStart, endMs = innerEnd, stepMs = stepMs))
       val tagCols = inner.columns.filterNot(c => c == "ts" || c == "value").toSeq
       alignSamplesFrame(spark, inner, tagCols, p, rangeMs, f,
-        param.getOrElse(Double.NaN))
+        param.getOrElse(Double.NaN), param2.getOrElse(Double.NaN))
     case AggExpr(op, by, child) =>
       val in = evalExpr(spark, resolve, child, p)
       val tagCols = in.columns.filterNot(c => c == "ts" || c == "value").toSeq
@@ -522,14 +595,15 @@ object PromQL {
       // (one row per step) — an anti-join of the grid against the child's
       // distinct steps.
       val in = evalExpr(spark, resolve, child, p)
-      val grid = spark.range(0, (p.endMs - p.startMs) / p.stepMs + 1)
-        .select(timestamp_millis(lit(p.startMs) + col("id") * p.stepMs).as("ts"))
-      grid.join(in.select("ts").distinct(), Seq("ts"), "left_anti")
+      gridFrame(spark, p).join(in.select("ts").distinct(), Seq("ts"), "left_anti")
         .withColumn("value", lit(1.0))
 
     case MathFunc(name, child, args) =>
       val in = evalExpr(spark, resolve, child, p)
       val v = col("value")
+      if (name == "clamp" && args(0) > args(1))
+        // Prometheus: clamp with min > max drops every element
+        return in.filter(lit(false))
       val out = name match {
         case "abs"       => abs(v)
         case "ceil"      => ceil(v).cast("double")
@@ -537,6 +611,16 @@ object PromQL {
         case "round"     => round(v, 0)
         case "clamp_min" => greatest(v, lit(args.head))
         case "clamp_max" => least(v, lit(args.head))
+        case "clamp"     => least(greatest(v, lit(args(0))), lit(args(1)))
+        case "exp"       => exp(v)
+        case "ln"        => log(v)
+        case "log2"      => log2(v)
+        case "log10"     => log10(v)
+        case "sqrt"      => sqrt(v)
+        case "sgn"       => signum(v)
+        // timestamp(v): each element's value becomes its own grid instant
+        // in seconds (promql funcTimestamp)
+        case "timestamp" => (unix_millis(col("ts")) / 1000.0).cast("double")
       }
       in.withColumn("value", out)
 
@@ -631,31 +715,54 @@ object PromQL {
     case NumberLit(_) =>
       throw new IllegalArgumentException("scalar-only expressions are not supported")
 
-    case CompareExpr(op, lhs, rhs, bool) =>
+    case CompareExpr(op, lhs, rhs, bool) => (lhs, rhs) match {
       // vector∘scalar comparison: filter (keep the element's value) or,
-      // with `bool`, map every element to 0/1. Vector∘vector comparisons
-      // are rare in practice and not lowered here.
-      val (v, scalar, flip) = (lhs, rhs) match {
-        case (e, NumberLit(c)) => (e, c, false)
-        case (NumberLit(c), e) => (e, c, true)
-        case _ => throw new IllegalArgumentException(
-          "comparison requires a scalar operand (vector∘vector comparisons unsupported)")
-      }
-      val in = evalExpr(spark, resolve, v, p)
-      val effOp = if (!flip) op else op match { // c OP v ⇔ v OP' c
-        case ">" => "<"; case "<" => ">"; case ">=" => "<="; case "<=" => ">="
-        case other => other
-      }
-      val cond = effOp match {
-        case ">"  => col("value") > scalar
-        case "<"  => col("value") < scalar
-        case ">=" => col("value") >= scalar
-        case "<=" => col("value") <= scalar
-        case "==" => col("value") === scalar
-        case "!=" => col("value") =!= scalar
-      }
-      if (bool) in.withColumn("value", when(cond, 1.0).otherwise(0.0))
-      else in.filter(cond)
+      // with `bool`, map every element to 0/1.
+      case (v, NumberLit(c)) =>
+        compareToScalar(evalExpr(spark, resolve, v, p), op, c, bool)
+      case (NumberLit(c), v) =>
+        val flipped = op match { // c OP v ⇔ v OP' c
+          case ">" => "<"; case "<" => ">"; case ">=" => "<="; case "<=" => ">="
+          case other => other
+        }
+        compareToScalar(evalExpr(spark, resolve, v, p), flipped, c, bool)
+      case (l, r) =>
+        // vector∘vector: one-to-one element match on the shared label set
+        // per step (a tag-less side — scalar()/time()/aggregated-away — is
+        // a per-step scalar frame joined on ts only); lhs keeps its value
+        // and labels, `bool` maps matched pairs to 0/1
+        val ld = evalExpr(spark, resolve, l, p)
+        val rd = evalExpr(spark, resolve, r, p)
+        val lTags = ld.columns.filterNot(c => c == "ts" || c == "value").toSeq
+        val rTags = rd.columns.filterNot(c => c == "ts" || c == "value").toSeq
+        val keys =
+          if (rTags.isEmpty || lTags.isEmpty) Seq("ts")
+          else {
+            require(lTags.sorted == rTags.sorted,
+              s"comparison label sets differ: ${lTags.mkString(",")} vs ${rTags.mkString(",")}")
+            lTags :+ "ts"
+          }
+        val (many, one) = if (lTags.isEmpty && rTags.nonEmpty) (rd, ld) else (ld, rd)
+        val flip = lTags.isEmpty && rTags.nonEmpty
+        val joined = many.withColumnRenamed("value", "__lv")
+          .join(one.select((keys.map(col) :+ col("value").as("__rv")): _*), keys)
+        val (a, b) = if (flip) (col("__rv"), col("__lv")) else (col("__lv"), col("__rv"))
+        val cond = op match {
+          case ">"  => a > b
+          case "<"  => a < b
+          case ">=" => a >= b
+          case "<=" => a <= b
+          case "==" => a === b
+          case "!=" => a =!= b
+        }
+        // filter mode keeps the VECTOR side's element value (scalar∘vector
+        // comparisons filter the vector — Prometheus operator semantics);
+        // `many` is always the labeled side, renamed to __lv above
+        val out =
+          if (bool) joined.withColumn("value", when(cond, 1.0).otherwise(0.0))
+          else joined.filter(cond).withColumn("value", col("__lv"))
+        out.drop("__lv", "__rv")
+    }
 
     case BinExpr(op, lhs, rhs, matching) => (lhs, rhs) match {
       case (NumberLit(_), NumberLit(_)) =>
@@ -673,6 +780,18 @@ object PromQL {
         val lTags = ld.columns.filterNot(c => c == "ts" || c == "value").toSeq
         val rTags = rd.columns.filterNot(c => c == "ts" || c == "value").toSeq
         matching match {
+          case None if lTags.isEmpty ^ rTags.isEmpty =>
+            // one side is a per-step scalar frame (scalar()/time()/a fully
+            // collapsed aggregate): join on ts only, the labeled side keeps
+            // its labels — Prometheus scalar∘vector semantics
+            val (vec, sc, vecLeft) =
+              if (rTags.isEmpty) (ld, rd, true) else (rd, ld, false)
+            val joined = vec.withColumnRenamed("value", "__vv")
+              .join(sc.select(col("ts"), col("value").as("__sv")), Seq("ts"))
+            val v =
+              if (vecLeft) binCol(op, col("__vv"), col("__sv"))
+              else binCol(op, col("__sv"), col("__vv"))
+            joined.withColumn("value", v).drop("__vv", "__sv")
           case None =>
             // Prometheus default: one-to-one on the full shared label set
             // (the metric name is already gone from our frames)
@@ -715,6 +834,27 @@ object PromQL {
     }
   }
 
+  /** vector∘scalar-literal comparison: filter keeping the element's value,
+    * or with `bool` a 0/1 map over every element. */
+  private def compareToScalar(
+      in: DataFrame, op: String, c: Double, bool: Boolean): DataFrame = {
+    val cond = op match {
+      case ">"  => col("value") > c
+      case "<"  => col("value") < c
+      case ">=" => col("value") >= c
+      case "<=" => col("value") <= c
+      case "==" => col("value") === c
+      case "!=" => col("value") =!= c
+    }
+    if (bool) in.withColumn("value", when(cond, 1.0).otherwise(0.0))
+    else in.filter(cond)
+  }
+
+  /** The evaluation grid as a one-column frame (ts) — one row per step. */
+  private def gridFrame(spark: SparkSession, p: EvalParams): DataFrame =
+    spark.range(0, (p.endMs - p.startMs) / p.stepMs + 1)
+      .select(timestamp_millis(lit(p.startMs) + col("id") * p.stepMs).as("ts"))
+
   private def binCol(op: String, a: Column, b: Column): Column = op match {
     case "+" => a + b
     case "-" => a - b
@@ -728,21 +868,23 @@ object PromQL {
     * that value across the requested grid (Prometheus fixed-time eval). */
   private def aligned(
       spark: SparkSession, t: SeriesTable, sel: Selector,
-      p: EvalParams, func: String, param: Double = Double.NaN): DataFrame = sel.atMs match {
+      p: EvalParams, func: String, param: Double = Double.NaN,
+      param2: Double = Double.NaN): DataFrame = sel.atMs match {
     case Some(at) =>
       val single = alignedGrid(spark, t, sel.copy(atMs = None),
-        p.copy(startMs = at, endMs = at), func, param)
+        p.copy(startMs = at, endMs = at), func, param, param2)
       single
         .withColumn("__step",
           explode(sequence(lit(p.startMs), lit(p.endMs), lit(p.stepMs))))
         .select(t.tags.map(col) :+
           timestamp_millis(col("__step")).as("ts") :+ col("value"): _*)
-    case None => alignedGrid(spark, t, sel, p, func, param)
+    case None => alignedGrid(spark, t, sel, p, func, param, param2)
   }
 
   private def alignedGrid(
       spark: SparkSession, t: SeriesTable, sel: Selector,
-      p: EvalParams, func: String, param: Double = Double.NaN): DataFrame = {
+      p: EvalParams, func: String, param: Double = Double.NaN,
+      param2: Double = Double.NaN): DataFrame = {
     import spark.implicits._
     val windowMs = if (func == "instant") p.lookbackMs else sel.rangeMs.get
     val rangeMs = sel.rangeMs.getOrElse(0L)
@@ -766,7 +908,7 @@ object PromQL {
         it.map(r => PromAlign.Sample(r._2, r._3)).toArray)
       val pts =
         if (func == "instant") PromAlign.alignInstant(arr, p)
-        else PromAlign.alignRange(arr, p, rangeMs, func, param)
+        else PromAlign.alignRange(arr, p, rangeMs, func, param, param2)
       pts.map { case (ts, v) => (k, ts, v) }
     }
 
@@ -781,7 +923,8 @@ object PromQL {
     * table scan. */
   private def alignSamplesFrame(
       spark: SparkSession, in: DataFrame, tagCols: Seq[String],
-      p: EvalParams, rangeMs: Long, func: String, param: Double): DataFrame = {
+      p: EvalParams, rangeMs: Long, func: String, param: Double,
+      param2: Double = Double.NaN): DataFrame = {
     import spark.implicits._
     val tagArray = array(tagCols.map(c => col(c).cast("string")): _*)
     val samples = in.select(
@@ -791,7 +934,7 @@ object PromQL {
     val alignedDs = samples.groupByKey(_._1).flatMapGroups { (k, it) =>
       val arr = PromAlign.sortSamples(
         it.map(r => PromAlign.Sample(r._2, r._3)).toArray)
-      PromAlign.alignRange(arr, p, rangeMs, func, param)
+      PromAlign.alignRange(arr, p, rangeMs, func, param, param2)
         .map { case (ts, v) => (k, ts, v) }
     }
     val tagSel = tagCols.zipWithIndex.map { case (c, idx) => col("_1")(idx).as(c) }

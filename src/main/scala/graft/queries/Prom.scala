@@ -334,6 +334,114 @@ object Prom {
              |SELECT gts AS ts, v::VARCHAR AS v, count(*)::DOUBLE AS "value"
              |FROM latest WHERE v IS NOT NULL GROUP BY gts, v""".stripMargin)),
 
+    // ---- predict_linear: regression-line value 30min past each step —
+    //      the line passes through the sample centroid, so the oracle is
+    //      avg(v) + regr_slope · (t+1800 − avg(t))
+    q("q103_promql_predict_linear", "predict_linear(events[1h], 1800)",
+      Some(s"""WITH $gridSql
+              |SELECT event_type, gts AS ts,
+              |  round(avg(v) + regr_slope(v, tms / 1000.0)
+              |    * (epoch_ms(gts) / 1000.0 + 1800 - avg(tms / 1000.0)), 4) AS "value"
+              |FROM win GROUP BY event_type, gts
+              |HAVING count(*) >= 2 AND var_pop(tms / 1000.0) > 0""".stripMargin)),
+
+    // ---- holt_winters: level/trend double exponential smoothing — the
+    //      oracle replays the recurrence with a recursive CTE (sf=.5, tf=.3)
+    q("q104_promql_holt_winters", "holt_winters(events[1h], 0.5, 0.3)",
+      Some(s"""WITH RECURSIVE $gridSql,
+              |ord AS (
+              |  SELECT gts, event_type, v,
+              |    row_number() OVER (PARTITION BY gts, event_type
+              |      ORDER BY tms, v) AS rn,
+              |    count(*) OVER (PARTITION BY gts, event_type) AS n
+              |  FROM win),
+              |hw AS (
+              |  SELECT o2.gts, o2.event_type, 2 AS rn, o2.n,
+              |    o1.v AS s0,
+              |    0.5 * o2.v + 0.5 * (o1.v + (o2.v - o1.v)) AS s1,
+              |    o2.v - o1.v AS b
+              |  FROM ord o1 JOIN ord o2 USING (gts, event_type)
+              |  WHERE o1.rn = 1 AND o2.rn = 2
+              |  UNION ALL
+              |  SELECT o.gts, o.event_type, o.rn, o.n,
+              |    h.s1 AS s0,
+              |    0.5 * o.v
+              |      + 0.5 * (h.s1 + (0.3 * (h.s1 - h.s0) + 0.7 * h.b)) AS s1,
+              |    0.3 * (h.s1 - h.s0) + 0.7 * h.b AS b
+              |  FROM hw h JOIN ord o
+              |    ON o.gts = h.gts AND o.event_type = h.event_type
+              |   AND o.rn = h.rn + 1)
+              |SELECT event_type, gts AS ts, round(s1, 4) AS "value"
+              |FROM hw WHERE rn = n""".stripMargin)),
+
+    // ---- absent_over_time: range-window absence (alerting primitive)
+    q("q105_promql_absent_over_time",
+      """absent_over_time(events{event_type="no_such_type"}[1h])""",
+      Some("""SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS ts,
+             |  1.0 AS "value"""".stripMargin)),
+
+    // ---- scalar(): per-step share of the across-series total
+    q("q106_promql_scalar_share", "events * 100 / scalar(sum(events))",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |latest AS (
+             |  SELECT g.gts, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.gts AND e.ts > g.gts - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid g CROSS JOIN series s),
+             |tot AS (SELECT gts, sum(v) AS sv FROM latest WHERE v IS NOT NULL
+             |        GROUP BY gts)
+             |SELECT l.event_type, l.gts AS ts,
+             |  round(l.v * 100 / t.sv, 4) AS "value"
+             |FROM latest l JOIN tot t ON l.gts = t.gts
+             |WHERE l.v IS NOT NULL""".stripMargin)),
+
+    // ---- vector∘vector comparison: instant value above its own series'
+    //      trailing-4h mean (matched one-to-one on event_type per step)
+    q("q107_promql_vv_compare", "events > avg_over_time(events[4h])",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |latest AS (
+             |  SELECT g.gts, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.gts AND e.ts > g.gts - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid g CROSS JOIN series s),
+             |winavg AS (
+             |  SELECT g.gts, e.event_type, avg(e."value") AS av
+             |  FROM grid g JOIN events e
+             |    ON e.ts > g.gts - INTERVAL 4 HOUR AND e.ts <= g.gts
+             |  GROUP BY g.gts, e.event_type)
+             |SELECT l.event_type, l.gts AS ts, round(l.v, 4) AS "value"
+             |FROM latest l JOIN winavg w
+             |  ON l.gts = w.gts AND l.event_type = w.event_type
+             |WHERE l.v IS NOT NULL AND l.v > w.av""".stripMargin)),
+
+    // ---- timestamp(): each element's value becomes its grid instant (s)
+    q("q108_promql_timestamp", "timestamp(events)",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |latest AS (
+             |  SELECT g.gts, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.gts AND e.ts > g.gts - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid g CROSS JOIN series s)
+             |SELECT event_type, gts AS ts,
+             |  round(epoch_ms(gts) / 1000.0, 4) AS "value"
+             |FROM latest WHERE v IS NOT NULL""".stripMargin)),
+
     // ---- absent(): a never-matching selector is absent at every step
     q("q100_promql_absent", """absent(events{event_type="no_such_type"})""",
       Some("""SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',

@@ -520,4 +520,147 @@ class PromQLSpec extends SparkSpec {
     // values 7..36, rank 0.9*29 = 26.1 → 7+26.1 = 33.1
     assert(q9.length == 1 && math.abs(q9(0).getDouble(2) - 33.1) < 1e-9)
   }
+
+  test("predict_linear extrapolates the regression line; holt_winters smooths") {
+    // exactly linear 0.5/s: prediction is exact anywhere on the line
+    val lin = s((0L, 0.0), (10000L, 5.0), (20000L, 10.0))
+    val pl = PromAlign.linearPredict(lin, 0, 3, evalMs = 20000L, horizonSec = 60.0)
+    assert(pl.isDefined && math.abs(pl.get - 40.0) < 1e-9)
+    // degenerate: <2 samples or zero time variance
+    assert(PromAlign.linearPredict(s((0L, 1.0)), 0, 1, 0L, 60.0).isEmpty)
+    assert(PromAlign.linearPredict(s((0L, 1.0), (0L, 2.0)), 0, 2, 0L, 60.0).isEmpty)
+
+    // holt_winters hand-computed: v=[1,4,9], sf=0.5, tf=0.3
+    //   s1=1, b=3; i=1: s1 = .5*4 + .5*(1+3) = 4
+    //   i=2: b = .3*(4-1)+.7*3 = 3; s1 = .5*9 + .5*(4+3) = 8
+    val hw = PromAlign.holtWinters(
+      s((0L, 1.0), (1000L, 4.0), (2000L, 9.0)), 0, 3, 0.5, 0.3)
+    assert(hw.isDefined && math.abs(hw.get - 8.0) < 1e-12)
+    assert(PromAlign.holtWinters(s((0L, 1.0)), 0, 1, 0.5, 0.3).isEmpty)
+    intercept[IllegalArgumentException](
+      PromAlign.holtWinters(s((0L, 1.0), (1L, 2.0)), 0, 2, 1.5, 0.3))
+
+    // parser: trailing scalar arguments after the range
+    assert(PromQL.parse("predict_linear(m[5m], 600)") ==
+      RangeFunc("predict_linear", Selector("m", Nil, Some(300000L)), Some(600.0)))
+    assert(PromQL.parse("holt_winters(m[5m], 0.5, 0.3)") ==
+      RangeFunc("holt_winters", Selector("m", Nil, Some(300000L)),
+        Some(0.5), Some(0.3)))
+    assert(PromQL.parse("double_exponential_smoothing(m[5m], 0.5, 0.3)") ==
+      RangeFunc("holt_winters", Selector("m", Nil, Some(300000L)),
+        Some(0.5), Some(0.3)))
+    intercept[IllegalArgumentException](PromQL.parse("predict_linear(m[5m])"))
+    intercept[IllegalArgumentException](PromQL.parse("holt_winters(m[5m], 0.5)"))
+
+    // grid path: counter at +1/s predicted 60s past the window end
+    import spark.implicits._
+    val df = (0 until 37).map { i =>
+      (new java.sql.Timestamp(1704844800000L + i * 10000L), "a", i * 10.0)
+    }.toDF("ts", "host", "value")
+    val p = EvalParams(1704845160000L, 1704845160000L, 60000L) // t = +360s
+    val out = PromQL.eval(spark, _ => PromQL.SeriesTable(df, "ts", "value", Seq("host")),
+      "predict_linear(m[5m], 60)", p).collect()
+    // line v = t (seconds); prediction at t=420s → 420
+    assert(out.length == 1 && math.abs(out(0).getDouble(2) - 420.0) < 1e-6)
+  }
+
+  test("scalar()/vector()/time() frames and scalar∘vector binops") {
+    import spark.implicits._
+    val t0 = 1704844800000L
+    val df = Seq(("a", 10.0), ("b", 30.0))
+      .map { case (h, v) => (new java.sql.Timestamp(t0), h, v) }
+      .toDF("ts", "host", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host"))
+    val p = EvalParams(t0, t0 + 60000L, 60000L) // two steps; data at step 1 only
+
+    // vector(5): label-less frame across the whole grid
+    val v5 = PromQL.eval(spark, bind, "vector(5)", p).collect()
+    assert(v5.length == 2 && v5.forall(_.getAs[Double]("value") == 5.0))
+
+    // time(): seconds of each step
+    val tf = PromQL.eval(spark, bind, "time()", p)
+      .collect().map(_.getAs[Double]("value")).sorted
+    assert(tf.toSeq == Seq(t0 / 1000.0, t0 / 1000.0 + 60))
+
+    // scalar(sum(m)): 40 at both steps (the 5m lookback covers step 2);
+    // NaN once the grid outruns the lookback window
+    val sc = PromQL.eval(spark, bind, "scalar(sum(m))", p)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("ts").getTime ->
+        r.getAs[Double]("value")).toMap
+    assert(sc(t0) == 40.0 && sc(t0 + 60000L) == 40.0)
+    val far = PromQL.eval(spark, bind, "scalar(sum(m))",
+      EvalParams(t0 + 600000L, t0 + 600000L, 60000L)).collect()
+    assert(far.length == 1 && far(0).getAs[Double]("value").isNaN)
+    // scalar() of a 2-element vector is NaN
+    val sc2 = PromQL.eval(spark, bind, "scalar(m)", p)
+      .collect().map(_.getAs[Double]("value"))
+    assert(sc2.forall(_.isNaN))
+
+    // vector ∘ per-step scalar frame: share-of-total per series
+    val share = PromQL.eval(spark, bind, "m * 100 / scalar(sum(m))", p)
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Double]("value")).toMap
+    assert(share("a") == 25.0 && share("b") == 75.0)
+    // scalar frame on the left
+    val inv = PromQL.eval(spark, bind, "scalar(sum(m)) - m", p)
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Double]("value")).toMap
+    assert(inv("a") == 30.0 && inv("b") == 10.0)
+  }
+
+  test("vector∘vector comparisons filter by matched element pairs") {
+    import spark.implicits._
+    val t0 = 1704844800000L
+    val ts = new java.sql.Timestamp(t0)
+    val cur = Seq((ts, "a", 10.0), (ts, "b", 30.0), (ts, "c", 7.0))
+      .toDF("ts", "host", "value")
+    val ref = Seq((ts, "a", 20.0), (ts, "b", 25.0), (ts, "c", 7.0))
+      .toDF("ts", "host", "value")
+    val resolve: String => PromQL.SeriesTable = {
+      case "cur" => PromQL.SeriesTable(cur, "ts", "value", Seq("host"))
+      case "ref" => PromQL.SeriesTable(ref, "ts", "value", Seq("host"))
+    }
+    val p = EvalParams(t0, t0, 60000L)
+    def run(q: String) = PromQL.eval(spark, resolve, q, p)
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Double]("value")).toMap
+
+    // keeps lhs elements (with lhs value) where the pair satisfies the op
+    assert(run("cur > ref") == Map("b" -> 30.0))
+    assert(run("cur <= ref") == Map("a" -> 10.0, "c" -> 7.0))
+    assert(run("cur == ref") == Map("c" -> 7.0))
+    // bool: 0/1 for every matched pair, lhs labels
+    assert(run("cur > bool ref") == Map("a" -> 0.0, "b" -> 1.0, "c" -> 0.0))
+    // vector vs per-step scalar frame
+    assert(run("cur > scalar(sum(ref) / vector(3))") == Map("b" -> 30.0))
+  }
+
+  test("absent_over_time, clamp/sgn/timestamp element-wise functions") {
+    import spark.implicits._
+    val t0 = 600000L
+    val df = Seq((new java.sql.Timestamp(t0), "a", -5.0)).toDF("ts", "host", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host"))
+    // three steps, data within range of the first only
+    val p = EvalParams(startMs = t0, endMs = t0 + 1200000L, stepMs = 600000L)
+    val aot = PromQL.eval(spark, bind, "absent_over_time(m[5m])", p)
+      .collect().map(_.getAs[java.sql.Timestamp]("ts").getTime).sorted
+    assert(aot.toSeq == Seq(t0 + 600000L, t0 + 1200000L))
+    // selector that never matches → absent at every step
+    assert(PromQL.eval(spark, bind,
+      """absent_over_time(m{host="zzz"}[5m])""", p).count() == 3)
+
+    val p1 = EvalParams(t0, t0, 60000L)
+    def one(q: String): Double = {
+      val rows = PromQL.eval(spark, bind, q, p1).collect()
+      assert(rows.length == 1); rows(0).getAs[Double]("value")
+    }
+    assert(one("clamp(m, -2, 2)") == -2.0)
+    assert(one("clamp(m, 0, 10)") == 0.0)
+    assert(PromQL.eval(spark, bind, "clamp(m, 5, 1)", p1).count() == 0) // min>max
+    assert(one("sgn(m)") == -1.0)
+    assert(one("sqrt(abs(m))") == math.sqrt(5.0))
+    assert(one("exp(vector(0))") == 1.0)
+    assert(one("ln(exp(vector(2)))") == 2.0)
+    assert(one("log10(vector(1000))") == 3.0)
+    assert(one("log2(vector(8))") == 3.0)
+    assert(one("timestamp(m)") == t0 / 1000.0)
+    intercept[IllegalArgumentException](PromQL.parse("clamp(m, 1)"))
+  }
 }
