@@ -91,21 +91,24 @@ object InfluxQL {
   final case class Projection(agg: Option[String], field: String, alias: Option[String],
       // outer transformation fn (derivative/moving_average/...) + its
       // scalar argument (unit duration or window size)
-      transform: Option[String] = None, transformArg: Option[String] = None)
+      transform: Option[String] = None, transformArg: Option[String] = None,
+      // selector argument (percentile's N)
+      aggArg: Option[String] = None)
   final case class Cond(lhs: String, op: String, value: String, isTime: Boolean,
       valueIsNumber: Boolean)
   final case class SelectStmt(
       projections: Seq[Projection], source: Either[String, SelectStmt],
       conds: Seq[Cond], groupTime: Option[String], groupTags: Seq[String],
       fill: Option[String] = None, limit: Option[Int] = None,
-      slimit: Option[Int] = None) {
+      slimit: Option[Int] = None, orderDesc: Boolean = false,
+      tz: Option[String] = None) {
     /** Measurement name for table-backed statements. */
     def measurement: String = source.left.getOrElse(
       throw new IllegalArgumentException("statement reads from a subquery"))
   }
 
   private val aggFns = Set("count", "sum", "mean", "min", "max", "first", "last",
-    "median", "spread", "stddev")
+    "median", "spread", "stddev", "percentile", "mode")
   private val transformFns = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum")
 
@@ -127,9 +130,12 @@ object InfluxQL {
     val re = ("""(?is)^SELECT\s+(.*?)\s+FROM\s+__SRC__""" +
       """(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+(.*?))?""" +
       """(?:\s+fill\(\s*(none|null|previous|linear|-?[\d.]+)\s*\))?""" +
-      """(?:\s+LIMIT\s+(\d+))?(?:\s+SLIMIT\s+(\d+))?\s*$""").r
+      """(?:\s+ORDER\s+BY\s+time\s+(ASC|DESC))?""" +
+      """(?:\s+LIMIT\s+(\d+))?(?:\s+SLIMIT\s+(\d+))?""" +
+      """(?:\s+TZ\(\s*'([\w/+:-]+)'\s*\))?\s*$""").r
     body match {
-      case re(projs, whereOpt, groupOpt, fillOpt, limitOpt, slimitOpt) =>
+      case re(projs, whereOpt, groupOpt, fillOpt, orderOpt, limitOpt,
+          slimitOpt, tzOpt) =>
         val projections = splitTop(projs).map(parseProjection)
         val conds = Option(whereOpt).map(w =>
           w.split("(?i)\\s+AND\\s+").toSeq.map(parseCond)).getOrElse(Nil)
@@ -148,7 +154,9 @@ object InfluxQL {
         SelectStmt(projections, source,
           conds, groupTime, groupTags.result(),
           Option(fillOpt).map(_.toLowerCase),
-          Option(limitOpt).map(_.toInt), Option(slimitOpt).map(_.toInt))
+          Option(limitOpt).map(_.toInt), Option(slimitOpt).map(_.toInt),
+          Option(orderOpt).exists(_.equalsIgnoreCase("DESC")),
+          Option(tzOpt))
       case _ => throw new IllegalArgumentException(s"unsupported InfluxQL: $q")
     }
   }
@@ -190,12 +198,17 @@ object InfluxQL {
       case aliasRe(b, a) => (b.trim, Some(a))
       case _             => (t, None)
     }
-    val aggRe = """(?is)^(\w+)\s*\(\s*([\w"*]+)\s*\)$""".r
+    val aggRe = """(?is)^(\w+)\s*\(\s*([\w"*]+)\s*(?:,\s*(-?[\d.]+)\s*)?\)$""".r
     val fnRe = """(?is)^(\w+)\s*\((.*)\)$""".r
     body match {
-      case aggRe(fn, field) if aggFns(fn.toLowerCase) =>
-        Projection(Some(fn.toLowerCase),
-          field.stripPrefix("\"").stripSuffix("\""), alias)
+      case aggRe(fn, field, arg) if aggFns(fn.toLowerCase) =>
+        val f = fn.toLowerCase
+        if (f == "percentile")
+          require(arg != null, "percentile(field, N) needs a percentile argument")
+        else require(arg == null, s"$f takes a single field argument")
+        Projection(Some(f),
+          field.stripPrefix("\"").stripSuffix("\""), alias,
+          aggArg = Option(arg))
       case fnRe(fn, inner) if transformFns(fn.toLowerCase) =>
         // derivative(mean(value), 1s) / moving_average(mean(value), 4) /
         // cumulative_sum(sum(value)): the inner projection is an aggregate
@@ -290,10 +303,27 @@ object InfluxQL {
     }
 
     val isAgg = s.projections.exists(_.agg.isDefined)
-    if (!isAgg) {
-      require(s.projections.forall(_.transform.isEmpty),
-        "transformations require an aggregate argument with GROUP BY time(), " +
-          "e.g. derivative(mean(value), 1s) ... GROUP BY time(1h)")
+    val ord: Column => Column = c => if (s.orderDesc) c.desc else c.asc
+    if (!isAgg && s.projections.exists(_.transform.isDefined)) {
+      // raw-point transformations: derivative(value, 1s) over the actual
+      // samples, per series in time order — no bucketing, no aggregate
+      require(s.projections.forall(_.transform.isDefined),
+        "raw selects cannot mix plain fields with transformations")
+      val fieldCols = s.projections.map(_.field).distinct.map(col)
+      val base = df.select(
+        (tableTags.map(col) :+ col(tsCol).as("time")) ++ fieldCols: _*)
+      val named = nameTransforms(s.projections)
+      var out = base.select(tableTags.map(col) :+ col("time"): _*).distinct()
+      named.foreach { case (pr, outName) =>
+        val t = applyTransform(base, "time", tableTags,
+          pr.transform.get, pr.transformArg, outName, pr.field)
+        out = out.join(t, tableTags :+ "time", "left")
+      }
+      out = out.filter(named.map(n => col(n._2).isNotNull).reduce(_ || _))
+        .select((tableTags.map(col) :+ col("time")) ++ named.map(n => col(n._2)): _*)
+        .orderBy(ord(col("time")))
+      s.limit.map(out.limit).getOrElse(out)
+    } else if (!isAgg) {
       // SLIMIT on raw points: keep the first n series in tag order
       val seriesCols = tableTags
       s.slimit.filter(_ => seriesCols.nonEmpty).foreach { n =>
@@ -305,17 +335,17 @@ object InfluxQL {
           .filterNot(_ == graft.model.TableSchema.TsidColumn).toSeq.map(col)
         else col(tsCol).as("time") +: s.projections.map(p =>
           col(p.field).as(p.alias.getOrElse(p.field)))
-      val out = df.select(cols: _*).orderBy(col(tsCol))
+      val out = df.select(cols: _*).orderBy(ord(col(tsCol)))
       s.limit.map(out.limit).getOrElse(out)
     } else {
       val keys: Seq[Column] =
         // InfluxQL buckets at UTC (the engine's time_bucket defaults to the
-        // reference's +08:00 — override here)
-        s.groupTime.map(d => graft.functions.TimeBucket.timeBucket(
-            col(tsCol), influxDurToPeriod(d), "+00:00").as("time")).toSeq ++
+        // reference's +08:00 — override here), or in the TZ() clause's zone
+        s.groupTime.map(d =>
+          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz).as("time")).toSeq ++
         s.groupTags.map(col)
-      val aggs = s.projections.collect {
-        case p @ Projection(Some(fn), field, alias, _, _) =>
+      val aggs = s.projections.zipWithIndex.collect {
+        case (p @ Projection(Some(fn), field, alias, _, _, aggArg), i) =>
           val c = fn match {
             case "count" => count(col(field))
             case "sum"   => sum(col(field))
@@ -331,10 +361,22 @@ object InfluxQL {
             case "median" => percentile(col(field), lit(0.5))
             case "spread" => max(col(field)) - min(col(field))
             case "stddev" => stddev_samp(col(field))
+            case "percentile" =>
+              // InfluxDB nearest-rank selector (query/functions.go
+              // PercentileReduceSlice): 1-based index ⌊n·p/100 + 0.5⌋ into
+              // the ascending values; out of range → no value
+              val pct = aggArg.get.toDouble
+              val sorted = array_sort(collect_list(col(field)))
+              val idx = floor(size(sorted) * pct / 100.0 + 0.5).cast("int")
+              when(idx >= 1 && idx <= size(sorted), element_at(sorted, idx))
+            case "mode" =>
+              // most frequent value, lowest wins ties (InfluxDB
+              // ModeReduceSlice iterates ascending with strict >)
+              expr(s"mode(`$field`, true)")
           }
           // a transformed projection aggregates under a temp name; the
           // transformation's output carries the user-facing name
-          c.as(if (p.transform.isDefined) "__tv" else alias.getOrElse(fn))
+          c.as(if (p.transform.isDefined) s"__tv$i" else alias.getOrElse(fn))
       }
       var out =
         if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
@@ -352,27 +394,37 @@ object InfluxQL {
           val hi = s.conds.find(c => c.isTime && (c.op == "<=" || c.op == "<"))
             .map(c => if (c.op == "<") timeLit(c) - expr("INTERVAL 1 MICROSECOND")
                       else timeLit(c))
-          out = applyFill(out, "time", s.groupTags, mode, d, lo, hi)
+          out = applyFill(out, "time", s.groupTags, mode, d, lo, hi, s.tz)
         case _ =>
       }
 
-      // transformation over the (filled) grid, per series in time order
-      s.projections.filter(_.transform.isDefined) match {
-        case Seq() =>
-        case Seq(pr) =>
-          require(s.projections.size == 1,
-            "a transformation must be the only projection")
-          require(s.groupTime.isDefined && pr.agg.isDefined,
-            "transformations require an aggregate argument with GROUP BY time()")
-          out = applyTransform(out, "time", s.groupTags,
-            pr.transform.get, pr.transformArg,
-            pr.alias.getOrElse(pr.transform.get))
-        case _ =>
-          throw new IllegalArgumentException("multiple transformations unsupported")
+      // transformations over the (filled) grid, per series in time order;
+      // each transformed projection windows its own aggregate column, then
+      // left-joins back on (tags, bucket) — rows carrying only plain
+      // aggregates survive; all-transform selects keep rows where at least
+      // one transformation produced a point (InfluxDB result shape)
+      val tProjs = s.projections.zipWithIndex.filter(_._1.transform.isDefined)
+      if (tProjs.nonEmpty) {
+        require(s.groupTime.isDefined && tProjs.forall(_._1.agg.isDefined),
+          "transformations require an aggregate argument with GROUP BY time()")
+        val named = nameTransforms(s.projections)
+        val hasPlain = s.projections.exists(p =>
+          p.agg.isDefined && p.transform.isEmpty)
+        var joined = out
+        tProjs.zip(named).foreach { case ((pr, i), (_, outName)) =>
+          val t = applyTransform(out, "time", s.groupTags,
+            pr.transform.get, pr.transformArg, outName, s"__tv$i")
+          joined = joined.join(t, s.groupTags :+ "time", "left")
+        }
+        joined = joined.drop(tProjs.map { case (_, i) => s"__tv$i" }: _*)
+        if (!hasPlain)
+          joined = joined.filter(
+            named.map(n => col(n._2).isNotNull).reduce(_ || _))
+        out = joined
       }
 
       // SLIMIT: first n series (grouped tag combos); LIMIT: first n buckets
-      // per series when series exist, else first n rows overall
+      // per series when series exist, else first n rows in time order
       s.slimit.filter(_ => s.groupTags.nonEmpty).foreach { n =>
         out = out.join(broadcast(firstNSeries(out, s.groupTags, n)),
           s.groupTags, "left_semi")
@@ -381,14 +433,38 @@ object InfluxQL {
         out =
           if (s.groupTags.nonEmpty && s.groupTime.isDefined)
             out.withColumn("__rk", row_number().over(
-                Window.partitionBy(s.groupTags.map(col): _*).orderBy(col("time"))))
+                Window.partitionBy(s.groupTags.map(col): _*).orderBy(ord(col("time")))))
               .filter(col("__rk") <= n).drop("__rk")
-          else if (s.groupTime.isDefined) out.orderBy(col("time")).limit(n)
+          else if (s.groupTime.isDefined) out.orderBy(ord(col("time"))).limit(n)
           else out.limit(n)
       }
       out
     }
   }
+
+  /** Output names for transformed projections: alias, else the transform's
+    * own name, deduplicated InfluxDB-style (derivative, derivative_1, …). */
+  private def nameTransforms(ps: Seq[Projection]): Seq[(Projection, String)] = {
+    val used = scala.collection.mutable.Map.empty[String, Int]
+    ps.filter(_.transform.isDefined).map { p =>
+      val base = p.alias.getOrElse(p.transform.get)
+      val n = used.getOrElse(base, 0)
+      used(base) = n + 1
+      (p, if (n == 0) base else s"${base}_$n")
+    }
+  }
+
+  /** Bucket `c` to `period` at UTC, or — with the `TZ()` clause — in the
+    * named IANA zone: truncation happens in zone-local wall time, the
+    * boundary converts back to a UTC instant. (Grid stepping across a DST
+    * transition keeps fixed-duration intervals, like sequence().) */
+  private def tzBucket(c: Column, period: String, tz: Option[String]): Column =
+    tz match {
+      case None => graft.functions.TimeBucket.timeBucket(c, period, "+00:00")
+      case Some(z) => to_utc_timestamp(
+        graft.functions.TimeBucket.timeBucket(
+          from_utc_timestamp(c, z), period, "+00:00"), z)
+    }
 
   /** InfluxQL transformation functions over the aggregated grid (the
     * IOx-planner surface the reference inherits; Grafana's rate panels):
@@ -403,9 +479,13 @@ object InfluxQL {
     */
   private def applyTransform(
       agg: DataFrame, timeCol: String, tagCols: Seq[String],
-      fn: String, arg: Option[String], outName: String): DataFrame = {
-    val w = Window.partitionBy(tagCols.map(col): _*).orderBy(col(timeCol))
-    val v = col("__tv")
+      fn: String, arg: Option[String], outName: String,
+      valueCol: String = "__tv"): DataFrame = {
+    // secondary sort on the value keeps raw-point ties deterministic
+    // (bucketed paths have unique times per series — no effect there)
+    val w = Window.partitionBy(tagCols.map(col): _*)
+      .orderBy(col(timeCol), col(valueCol))
+    val v = col(valueCol)
     val base = agg.filter(v.isNotNull)
     val keep = tagCols.map(col) :+ col(timeCol)
     val out = fn match {
@@ -461,11 +541,11 @@ object InfluxQL {
     */
   private def applyFill(
       agg: DataFrame, timeCol: String, tagCols: Seq[String], mode: String,
-      dur: String, lo: Option[Column], hi: Option[Column]): DataFrame = {
+      dur: String, lo: Option[Column], hi: Option[Column],
+      tz: Option[String] = None): DataFrame = {
     val (stepN, stepUnit) = influxDurParts(dur)
     val period = influxDurToPeriod(dur)
-    def bucketOf(c: Column): Column =
-      graft.functions.TimeBucket.timeBucket(c, period, "+00:00")
+    def bucketOf(c: Column): Column = tzBucket(c, period, tz)
     val aggCols = agg.schema.fields
       .filterNot(f => f.name == timeCol || tagCols.contains(f.name))
 

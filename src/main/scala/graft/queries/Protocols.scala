@@ -245,6 +245,108 @@ object Protocols {
           .withColumn("sd", round(col("sd"), 4))
       }),
 
+    // ---- InfluxQL percentile (nearest-rank ⌊n·p/100+0.5⌋, InfluxDB
+    //      PercentileReduceSlice) + mode (most frequent, lowest on ties)
+    GraftQuery("q109_influx_percentile_mode",
+      Some("""WITH base AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS "time",
+             |    event_type, "value", user_id
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'),
+             |p AS (
+             |  SELECT "time", event_type,
+             |    round((list_sort(list("value")))[CAST(floor(count(*) * 0.9 + 0.5) AS INT)], 4) AS p90
+             |  FROM base GROUP BY 1, 2),
+             |mc AS (
+             |  SELECT "time", event_type, user_id, count(*) AS n
+             |  FROM base GROUP BY 1, 2, 3),
+             |mr AS (
+             |  SELECT "time", event_type, user_id,
+             |    row_number() OVER (PARTITION BY "time", event_type
+             |      ORDER BY n DESC, user_id) AS rk
+             |  FROM mc)
+             |SELECT p."time", p.event_type, p.p90, mr.user_id AS mu
+             |FROM p JOIN mr ON p."time" = mr."time" AND p.event_type = mr.event_type
+             |WHERE mr.rk = 1""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT percentile(value, 90) AS p90, mode(user_id) AS mu
+            |FROM events WHERE time >= '2024-01-05 00:00:00'
+            |GROUP BY time(1d), event_type""".stripMargin)
+          .withColumn("p90", round(col("p90"), 4))
+      }),
+
+    // ---- ORDER BY time DESC + LIMIT: the last n buckets, newest first
+    //      (default fill(null) keeps empty buckets in the count)
+    GraftQuery("q110_influx_order_desc",
+      Some("""WITH agg AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS "time",
+             |    round(max("value"), 4) AS hi
+             |  FROM events GROUP BY 1),
+             |grid AS (
+             |  SELECT unnest(generate_series((SELECT min("time") FROM agg),
+             |    (SELECT max("time") FROM agg), INTERVAL 1 HOUR)) AS "time")
+             |SELECT g."time", a.hi FROM grid g LEFT JOIN agg a USING ("time")
+             |ORDER BY g."time" DESC LIMIT 5""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT max(value) AS hi FROM events
+            |GROUP BY time(1h) ORDER BY time DESC LIMIT 5""".stripMargin)
+          .withColumn("hi", round(col("hi"), 4))
+      }),
+
+    // ---- TZ clause: day buckets truncate at America/Los_Angeles midnight
+    //      (UTC-8 across the January window — the oracle shifts by 8h)
+    GraftQuery("q111_influx_tz",
+      Some("""WITH base AS (
+             |  SELECT make_timestamp((((epoch_ms(ts) - 28800000) // 86400000)
+             |      * 86400000 + 28800000) * 1000) AS "time",
+             |    event_type, "value"
+             |  FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-12 00:00:00'),
+             |agg AS (
+             |  SELECT "time", event_type, count("value") AS n,
+             |    round(max("value"), 4) AS hi
+             |  FROM base GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT g.g AS "time", e.event_type
+             |  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-04 08:00:00',
+             |    TIMESTAMP '2024-01-11 08:00:00', INTERVAL 1 DAY)) AS g) g
+             |  CROSS JOIN (SELECT DISTINCT event_type FROM base) e)
+             |SELECT g."time", g.event_type, a.n, a.hi
+             |FROM grid g LEFT JOIN agg a
+             |  ON g."time" = a."time" AND g.event_type = a.event_type""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT count(value) AS n, max(value) AS hi FROM events
+            |WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-12 00:00:00'
+            |GROUP BY time(1d), event_type TZ('America/Los_Angeles')""".stripMargin)
+          .withColumn("hi", round(col("hi"), 4))
+      }),
+
+    // ---- raw-point transformation over a subquery: difference between
+    //      consecutive per-series downsampled points, no outer aggregate
+    GraftQuery("q112_influx_raw_difference",
+      Some("""WITH hourly AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS "time",
+             |    event_type, max("value") AS m
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, "time",
+             |  round(m - lag(m) OVER w, 4) AS d
+             |FROM hourly
+             |WINDOW w AS (PARTITION BY event_type ORDER BY "time")
+             |QUALIFY lag(m) OVER w IS NOT NULL""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT difference(m) AS d FROM
+            |  (SELECT max(value) AS m FROM events GROUP BY time(1h), event_type)""".stripMargin)
+          .withColumn("d", round(col("d"), 4))
+      }),
+
     // ---- InfluxQL subquery: aggregate-of-aggregate downsampling (mean of
     //      per-hour maxima per series) — the classic Grafana shape
     GraftQuery("q76_influx_subquery",

@@ -198,9 +198,123 @@ class ProtocolsSpec extends SparkSpec {
     // cumulative_sum runs over every non-null bucket
     val cs = q("cumulative_sum(mean(usage)) AS c").map(_.getAs[Double]("c"))
     assert(cs.toSeq == Seq(2.0, 7.0, 18.0, 18.0))
-    // raw (non-aggregate) transformation is rejected, not silently wrong
+    // transformation without GROUP BY time over an aggregate is rejected
     intercept[IllegalArgumentException](
-      InfluxQL.run(e, "SELECT derivative(usage) FROM cpu"))
+      InfluxQL.run(e, "SELECT derivative(mean(usage)) FROM cpu"))
+  }
+
+  test("InfluxQL multiple transformations, raw-point transforms, mixed aggs") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-multi").toString)
+    LineProtocol.ingest(e, Seq(
+      "cpu,host=a usage=1.0 1704067200000000000",  // 00:00
+      "cpu,host=a usage=3.0 1704068100000000000",  // 00:15
+      "cpu,host=a usage=5.0 1704070800000000000",  // 01:00
+      "cpu,host=a usage=11.0 1704078000000000000"  // 03:00
+    ).toDS())
+
+    // two transformations in one SELECT: each windows its own aggregate
+    val multi = InfluxQL.run(e,
+      """SELECT difference(mean(usage)) AS d, cumulative_sum(max(usage)) AS c
+        |FROM cpu WHERE host = 'a' GROUP BY time(1h), host""".stripMargin)
+      .orderBy("time").collect()
+    // hourly means 2,5,_,11; maxima 3,5,_,11. difference emits from bucket
+    // 2; cumulative_sum from bucket 1 → union keeps all 3 non-null buckets
+    assert(multi.length == 3)
+    assert(multi.map(r => Option(r.getAs[java.lang.Double]("d")).map(_.toDouble)).toSeq ==
+      Seq(None, Some(3.0), Some(6.0)))
+    assert(multi.map(_.getAs[Double]("c")).toSeq == Seq(3.0, 8.0, 19.0))
+
+    // mixed: plain aggregate rows all survive, transform null on the first
+    val mixed = InfluxQL.run(e,
+      """SELECT mean(usage) AS m, difference(mean(usage)) AS d
+        |FROM cpu WHERE host = 'a' GROUP BY time(1h), host fill(none)""".stripMargin)
+      .orderBy("time").collect()
+    assert(mixed.length == 3)
+    assert(mixed.map(_.getAs[Double]("m")).toSeq == Seq(2.0, 5.0, 11.0))
+    assert(Option(mixed(0).getAs[java.lang.Double]("d")).isEmpty)
+
+    // raw-point transformation: derivative over the actual samples
+    val raw = InfluxQL.run(e,
+      "SELECT derivative(usage, 1s) AS d FROM cpu WHERE host = 'a'")
+      .orderBy("time").collect().map(_.getAs[Double]("d"))
+    assert(raw.length == 3)
+    assert(math.abs(raw(0) - 2.0 / 900) < 1e-12)
+    assert(math.abs(raw(1) - 2.0 / 2700) < 1e-12)
+    assert(math.abs(raw(2) - 6.0 / 7200) < 1e-12)
+    // raw difference
+    val rdiff = InfluxQL.run(e,
+      "SELECT difference(usage) AS d FROM cpu WHERE host = 'a'")
+      .orderBy("time").collect().map(_.getAs[Double]("d"))
+    assert(rdiff.toSeq == Seq(2.0, 2.0, 6.0))
+    // mixing raw fields with transformations stays rejected
+    intercept[IllegalArgumentException](
+      InfluxQL.run(e, "SELECT usage, derivative(usage) FROM cpu"))
+  }
+
+  test("InfluxQL percentile (nearest-rank) and mode selectors") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-pct").toString)
+    LineProtocol.ingest(e, Seq(
+      "m,host=a v=1.0 1704067200000000000",
+      "m,host=a v=3.0 1704067260000000000",
+      "m,host=a v=3.0 1704067320000000000",
+      "m,host=a v=5.0 1704067380000000000",
+      "m,host=b v=4.0 1704067200000000000",
+      "m,host=b v=4.0 1704067260000000000",
+      "m,host=b v=2.0 1704067320000000000",
+      "m,host=b v=2.0 1704067380000000000").toDS())
+    def by(q: String, out: String): Map[String, Double] =
+      InfluxQL.run(e, q).collect()
+        .map(r => r.getAs[String]("host") -> r.getAs[Double](out)).toMap
+
+    // nearest rank ⌊n·p/100+0.5⌋: a=[1,3,3,5] p50 → idx 2 → 3;
+    // p90 → idx 4 → 5; p10 → idx 0 → out of range → no value
+    assert(by("SELECT percentile(v, 50) AS p FROM m GROUP BY host", "p") ==
+      Map("a" -> 3.0, "b" -> 2.0))
+    assert(by("SELECT percentile(v, 90) AS p FROM m GROUP BY host", "p") ==
+      Map("a" -> 5.0, "b" -> 4.0))
+    val p10 = InfluxQL.run(e, "SELECT percentile(v, 10) AS p FROM m GROUP BY host")
+      .collect().map(r => Option(r.getAs[java.lang.Double]("p")))
+    assert(p10.forall(_.isEmpty))
+    // mode: most frequent, lowest wins ties (b: 4,4,2,2 → 2)
+    assert(by("SELECT mode(v) AS mo FROM m GROUP BY host", "mo") ==
+      Map("a" -> 3.0, "b" -> 2.0))
+    intercept[IllegalArgumentException](
+      InfluxQL.run(e, "SELECT percentile(v) AS p FROM m GROUP BY host"))
+  }
+
+  test("InfluxQL ORDER BY time DESC and TZ clause") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-ord").toString)
+    LineProtocol.ingest(e, Seq(
+      "cpu,host=a usage=1.0 1704067200000000000",  // 2024-01-01 00:00 UTC
+      "cpu,host=a usage=3.0 1704070800000000000",  // 01:00
+      "cpu,host=a usage=5.0 1704074400000000000",  // 02:00
+      "cpu,host=a usage=7.0 1704078000000000000"   // 03:00
+    ).toDS())
+    // DESC + LIMIT = the LAST n buckets, newest first
+    val desc = InfluxQL.run(e,
+      """SELECT mean(usage) AS m FROM cpu GROUP BY time(1h)
+        |ORDER BY time DESC LIMIT 2""".stripMargin).collect()
+    assert(desc.map(_.getAs[Double]("m")).toSeq == Seq(7.0, 5.0))
+    // raw points too
+    val rawDesc = InfluxQL.run(e,
+      "SELECT usage FROM cpu ORDER BY time DESC LIMIT 1").collect()
+    assert(rawDesc.map(_.getAs[Double]("usage")).toSeq == Seq(7.0))
+
+    // TZ: day buckets truncate at America/Los_Angeles midnight (UTC-8 in
+    // January) — all four samples fall on LA's 2023-12-31, whose boundary
+    // is 2023-12-31 08:00 UTC
+    val tz = InfluxQL.run(e,
+      """SELECT count(usage) AS n FROM cpu GROUP BY time(1d)
+        |TZ('America/Los_Angeles')""".stripMargin).collect()
+    assert(tz.length == 1)
+    assert(tz(0).getAs[java.sql.Timestamp]("time").getTime == 1704009600000L)
+    assert(tz(0).getAs[Long]("n") == 4L)
   }
 
   test("InfluxQL fill(): grid is bounded per series, not globally") {
