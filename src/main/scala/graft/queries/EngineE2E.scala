@@ -126,6 +126,100 @@ object EngineE2E {
             e, dir, "events.parquet", schema, nanosTs = true,
             "ts", "event_type", "value", "events_rate")
           .select(col("series"), col("ts"), round(col("rate"), 4).as("rate"))
+      }),
+
+    // Streaming session windows (gap-based, append mode): per-user sessions
+    // with a 4h inactivity gap, closed by a 1h watermark, materialized into
+    // an engine table. The oracle re-derives gap sessionization with
+    // lag()+cumsum and applies the same closure cutoff (sessions whose
+    // end = last event + gap has been passed by the final watermark
+    // max event ms - delay — Spark tracks event-time stats at ms).
+    GraftQuery("q113_streaming_session_window",
+      Some("""WITH e AS (
+             |  SELECT cast(user_id AS varchar) AS user_id,
+             |         epoch_ns(ts) // 1000 AS us, "value"
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, us, "value",
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |           OR us - lag(us) OVER w >= 14400000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |s2 AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+             |sess AS (
+             |  SELECT make_timestamp(min(us)) AS session_start,
+             |         make_timestamp(max(us) + 14400000000) AS session_end,
+             |         user_id, count(*) AS n, round(sum("value"), 2) AS total,
+             |         max(us) + 14400000000 AS end_us
+             |  FROM s2 GROUP BY user_id, sid)
+             |SELECT session_start, session_end, user_id, n, total FROM sess
+             |WHERE end_us <= (SELECT ((max(us) // 1000) - 3600000) * 1000 FROM e)
+             |""".stripMargin),
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-sess").toString)
+        graft.streaming.Sessionize.sessionsToTable(
+            e, dir, "events.parquet", schema, nanosTs = true,
+            "ts", "user_id", "value", "4 hours", "1 hour", "user_sessions")
+          .withColumn("total", round(col("total"), 2))
+      }),
+
+    // Watermarked stream-stream interval join (append mode): click→purchase
+    // attribution within 2h per user, match rows appended to an engine
+    // table. The oracle is the equivalent batch self-join on µs-truncated
+    // event times (inner-join matches emit immediately; nothing is
+    // watermark-gated on output, so the full pair set lands).
+    GraftQuery("q114_stream_stream_join",
+      Some("""SELECT make_timestamp(epoch_ns(c.ts) // 1000) AS left_ts,
+             |  cast(c.user_id AS varchar) AS user_id,
+             |  make_timestamp(epoch_ns(p.ts) // 1000) AS right_ts
+             |FROM events c JOIN events p ON c.user_id = p.user_id
+             |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+             |  AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 7200000000
+             |""".stripMargin),
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-ssjoin").toString)
+        graft.streaming.StreamJoin.intervalJoinToTable(
+          e, dir, "events.parquet", schema, nanosTs = true,
+          "ts", "user_id", "event_type", "click", "purchase",
+          "2 hours", "1 hour", "click_purchase")
+      }),
+
+    // Streaming rollup into a PARTITION BY KEY engine table: the sink table
+    // is bucket-partitioned on the tag, so the tag-filtered read of the
+    // materialization prunes to one bucket dir (BucketPruning plan assert
+    // in StreamingSpec). Same rollup semantics as q66, sliced to one tag.
+    GraftQuery("q115_streaming_partitioned_sink",
+      Some("""SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS bucket,
+             |  event_type, count(*) AS n, round(sum("value"), 2) AS total
+             |FROM events WHERE event_type = 'click' GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-psink").toString)
+        graft.streaming.Rollup.windowedRollupToTable(
+            e, dir, "events.parquet", schema, nanosTs = true,
+            "ts", "event_type", "value", "1 hour", "2 hours", "events_rollup_pk",
+            partitionByKey = Some(5))
+          .filter(col("event_type") === "click")
+          .withColumn("total", round(col("total"), 2))
       })
   )
 }

@@ -53,17 +53,24 @@ object Rollup {
     * @param nanosTs  event-time column arrives as raw nanos (the events
     *                 fixture's TIMESTAMP(NANOS) streams as long)
     */
+  /** @param partitionByKey Some(n): PARTITION BY KEY(tag) into n buckets —
+    *                        every streamed append lands in its tag's bucket
+    *                        dir, so tag-filtered reads of the rollup prune
+    *                        to one bucket (plans.Rules.BucketPruning). */
   def windowedRollupToTable(
       engine: TsdbEngine, dir: String, glob: String, schema: StructType,
       nanosTs: Boolean, tsCol: String, tagCol: String, valueCol: String,
-      windowDur: String, watermarkDelay: String, table: String): DataFrame = {
+      windowDur: String, watermarkDelay: String, table: String,
+      partitionByKey: Option[Int] = None): DataFrame = {
     val spark = engine.spark
+    val partClause =
+      partitionByKey.fold("")(n => s"PARTITION BY KEY($tagCol) PARTITIONS $n")
     if (!engine.catalog.exists(table))
       engine.execute(
         s"""CREATE TABLE $table (
            |  bucket timestamp NOT NULL, $tagCol string TAG,
            |  n bigint, total double,
-           |  timestamp KEY(bucket))
+           |  timestamp KEY(bucket)) $partClause
            |ENGINE=Analytic WITH (update_mode='overwrite')""".stripMargin)
 
     // right-size the stateful shuffle: each state partition carries a state

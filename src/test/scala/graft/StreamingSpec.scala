@@ -1,0 +1,115 @@
+package graft
+
+import graft.engine.TsdbEngine
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Session windows, stream-stream interval joins, and partitioned engine
+  * sinks (SURVEY §2.9 streaming extensions beyond the q64/q66/q73 family).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType), StructField("key", StringType),
+    StructField("typ", StringType), StructField("v", DoubleType)))
+
+  private def writeSource(dir: String, rows: Seq[(Long, String, String, Double)]): Unit = {
+    import spark.implicits._
+    rows.map { case (ms, k, t, v) => (new java.sql.Timestamp(ms), k, t, v) }
+      .toDF("ts", "key", "typ", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  private def scanPartitionFilters(df: DataFrame): String = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).mkString(";")
+  }
+
+  private val base = 1704067200000L // 2024-01-01T00:00Z
+  private val min = 60000L
+
+  test("session windows: gap merge, closed-only emission under watermark") {
+    val src = tmpDir("sess-src")
+    // key a: events at 0,5,8 min (one session, gap 10m) then 30,33 min
+    //   (second session); key b: single event at 2 min.
+    // max event time = 40 min (key c sentinel far ahead so earlier sessions
+    //   close under the 5m watermark delay: watermark = 40m - 5m = 35m).
+    writeSource(src, Seq(
+      (base, "a", "x", 1.0), (base + 5 * min, "a", "x", 2.0),
+      (base + 8 * min, "a", "x", 3.0),
+      (base + 30 * min, "a", "x", 4.0), (base + 33 * min, "a", "x", 5.0),
+      (base + 2 * min, "b", "x", 10.0),
+      (base + 40 * min, "c", "x", 0.0)))
+
+    val e = new TsdbEngine(spark, tmpDir("sess-wh"))
+    val out = graft.streaming.Sessionize.sessionsToTable(
+        e, src, "*.parquet", schema, nanosTs = false,
+        "ts", "key", "v", "10 minutes", "5 minutes", "sessions")
+      .orderBy("key", "session_start")
+      .collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3), r.getDouble(4)))
+
+    // closed sessions: a[0,8m]+gap → end 18m ≤ 35m ✓; a[30,33]+gap → end 43m
+    // > 35m (open, NOT emitted); b[2m] → end 12m ✓; c[40m] → end 50m (open).
+    assert(out.toSeq == Seq(
+      ("a", base, base + 18 * min, 3L, 6.0),
+      ("b", base + 2 * min, base + 12 * min, 1L, 10.0)))
+  }
+
+  test("stream-stream interval join: pairs within span, keyed, both watermarked") {
+    val src = tmpDir("ssj-src")
+    // clicks at 0 and 60m for key a; purchases at 10m (matches click@0),
+    // 70m (matches click@60m), and 200m (matches nothing within 30m span).
+    // key b: click with no purchase.
+    writeSource(src, Seq(
+      (base, "a", "click", 0.0), (base + 60 * min, "a", "click", 0.0),
+      (base + 10 * min, "a", "purchase", 1.0), (base + 70 * min, "a", "purchase", 2.0),
+      (base + 200 * min, "a", "purchase", 3.0),
+      (base + 5 * min, "b", "click", 0.0)))
+
+    val e = new TsdbEngine(spark, tmpDir("ssj-wh"))
+    val out = graft.streaming.StreamJoin.intervalJoinToTable(
+        e, src, "*.parquet", schema, nanosTs = false,
+        "ts", "key", "typ", "click", "purchase", "30 minutes", "5 minutes", "pairs")
+      .orderBy("left_ts")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getTimestamp(2).getTime))
+
+    assert(out.toSeq == Seq(
+      (base, "a", base + 10 * min),
+      (base + 60 * min, "a", base + 70 * min)))
+  }
+
+  test("partitioned streaming sink: rollup lands in bucket dirs, reads prune") {
+    val src = tmpDir("psink-src")
+    writeSource(src, Seq(
+      (base + min, "a", "x", 1.0), (base + 2 * min, "a", "x", 2.0),
+      (base + min, "b", "x", 10.0), (base + 61 * min, "b", "x", 20.0)))
+
+    val wh = tmpDir("psink-wh")
+    val e = new TsdbEngine(spark, wh)
+    val read = graft.streaming.Rollup.windowedRollupToTable(
+      e, src, "*.parquet", schema, nanosTs = false,
+      "ts", "key", "v", "1 hour", "2 hours", "roll_pk", partitionByKey = Some(4))
+
+    // bucket dirs exist on disk under the table's segment layout
+    val tableDir = new java.io.File(wh, "roll_pk")
+    def hasBucketDir(f: java.io.File): Boolean =
+      f.isDirectory && (f.getName.startsWith("__bucket=") || f.listFiles().exists(hasBucketDir))
+    assert(hasBucketDir(tableDir), s"no __bucket= dirs under $tableDir")
+
+    // tag-filtered read prunes to the tag's bucket
+    val q = read.filter(col("key") === "b")
+    assert(scanPartitionFilters(q).contains("__bucket"),
+      "expected __bucket partition filter in the filtered rollup read")
+    assert(q.orderBy("bucket").collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      == Seq((1L, 10.0), (1L, 20.0)))
+
+    // unfiltered read: full rollup equals the batch aggregate
+    assert(read.count() == 3)
+  }
+}
