@@ -338,14 +338,21 @@ object InfluxQL {
       val out = df.select(cols: _*).orderBy(ord(col(tsCol)))
       s.limit.map(out.limit).getOrElse(out)
     } else {
+      // materialize the bucket once: the groupBy key and the percentile
+      // rank-window partition must agree on the same computed column
+      s.groupTime.foreach { d =>
+        df = df.withColumn("__gtime",
+          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz))
+      }
       val keys: Seq[Column] =
         // InfluxQL buckets at UTC (the engine's time_bucket defaults to the
         // reference's +08:00 — override here), or in the TZ() clause's zone
-        s.groupTime.map(d =>
-          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz).as("time")).toSeq ++
+        s.groupTime.map(_ => col("__gtime").as("time")).toSeq ++
         s.groupTags.map(col)
-      val aggs = s.projections.zipWithIndex.collect {
-        case (p @ Projection(Some(fn), field, alias, _, _, aggArg), i) =>
+      val indexed = s.projections.zipWithIndex
+      val (pctProjs, aggProjs) = indexed.partition(_._1.agg.contains("percentile"))
+      val aggs = aggProjs.collect {
+        case (p @ Projection(Some(fn), field, alias, _, _, _), i) =>
           val c = fn match {
             case "count" => count(col(field))
             case "sum"   => sum(col(field))
@@ -361,14 +368,6 @@ object InfluxQL {
             case "median" => percentile(col(field), lit(0.5))
             case "spread" => max(col(field)) - min(col(field))
             case "stddev" => stddev_samp(col(field))
-            case "percentile" =>
-              // InfluxDB nearest-rank selector (query/functions.go
-              // PercentileReduceSlice): 1-based index ⌊n·p/100 + 0.5⌋ into
-              // the ascending values; out of range → no value
-              val pct = aggArg.get.toDouble
-              val sorted = array_sort(collect_list(col(field)))
-              val idx = floor(size(sorted) * pct / 100.0 + 0.5).cast("int")
-              when(idx >= 1 && idx <= size(sorted), element_at(sorted, idx))
             case "mode" =>
               // most frequent value, lowest wins ties (InfluxDB
               // ModeReduceSlice iterates ascending with strict >)
@@ -379,8 +378,52 @@ object InfluxQL {
           c.as(if (p.transform.isDefined) s"__tv$i" else alias.getOrElse(fn))
       }
       var out =
-        if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        if (aggs.isEmpty) {
+          // all-percentile SELECT: the selector joins below carry the values
+          if (keys.isEmpty) df.sparkSession.range(1).select()
+          else df.groupBy(keys: _*).agg(count(lit(1)).as("__g")).drop("__g")
+        }
+        else if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
         else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+      // percentile(field, N): InfluxDB nearest-rank selector (query/
+      // functions.go PercentileReduceSlice) — the value at 1-based index
+      // ⌊n·p/100 + 0.5⌋ of the group's ascending non-null values; out of
+      // range → no value. Computed as a sort-based rank window + equality
+      // filter, NOT a per-group collected array: the window sort spills and
+      // scales to arbitrary group sizes, and one rank pass serves every
+      // percentile projection on the same field.
+      if (pctProjs.nonEmpty) {
+        val partCols = (if (s.groupTime.isDefined) Seq("__gtime") else Nil) ++
+          s.groupTags
+        val joinCols = (if (s.groupTime.isDefined) Seq("time") else Nil) ++
+          s.groupTags
+        pctProjs.groupBy(_._1.field).foreach { case (field, projs) =>
+          val w = Window.partitionBy(partCols.map(col): _*)
+          val ranked = df.filter(col(field).isNotNull)
+            .withColumn("__rn", row_number().over(w.orderBy(col(field))))
+            .withColumn("__cnt", count(lit(1)).over(w))
+          projs.foreach { case (p, i) =>
+            val outName =
+              if (p.transform.isDefined) s"__tv$i"
+              else p.alias.getOrElse("percentile")
+            val pct = p.aggArg.get.toDouble
+            val sel = ranked
+              .filter(col("__rn") ===
+                floor(col("__cnt") * pct / 100.0 + lit(0.5)).cast("int"))
+              .select(partCols.map(col) :+ col(field).as(outName): _*)
+            out =
+              if (joinCols.nonEmpty)
+                out.join(
+                  joinCols.zip(partCols).foldLeft(sel) { case (d, (j, pc)) =>
+                    d.withColumnRenamed(pc, j) },
+                  joinCols, "left")
+              else out.withColumn("__j", lit(1))
+                .join(sel.withColumn("__j", lit(1)), Seq("__j"), "left")
+                .drop("__j")
+          }
+        }
+      }
 
       // fill(): only meaningful with a time bucket. InfluxDB's DEFAULT for
       // GROUP BY time() is fill(null) — empty buckets materialize with null
