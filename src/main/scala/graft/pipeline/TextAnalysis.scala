@@ -60,17 +60,15 @@ object TextAnalysis {
   }
 
   /** n-gram-heuristic language ID over {en,es,fr,de,zh}: CJK ratio decides
-    * zh; otherwise the language with the highest stopword hit-rate wins.
-    * Pure column composition → argmax via ordered array of (score, lang)
-    * structs.
+    * zh; otherwise the language with the highest stopword hit-rate wins
+    * (ties toward the larger code). One-pass native kernel
+    * ([[graft.functions.LangIdPredict]]) — the Column formulation cost a
+    * tokenize + interpreted higher-order filter per language plus two
+    * regexp passes per document.
     */
-  def langId(text: Column): Column = {
-    val scored = array(stopwords.keys.toSeq.sorted.map { l =>
-      struct(stopwordRatio(text, l).as("score"), lit(l).as("lang"))
-    }: _*)
-    val best = array_max(scored).getField("lang")
-    when(cjkRatio(text) > 0.3, "zh").otherwise(best)
-  }
+  def langId(text: Column): Column =
+    graft.functions.LangIdPredict(text,
+      stopwords.keys.toSeq.sorted.map(l => l -> stopwords(l)))
 
   /** Composite quality score in [0,1]: penalizes extreme length, high
     * punctuation, low alphabetic content — the usual pretraining-corpus
