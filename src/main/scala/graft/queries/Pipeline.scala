@@ -385,6 +385,63 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_pairs"),
              coalesce(round(avg("cosine"), 4), lit(0.0)).as("avg_cosine"))),
 
+    // ---- DSIR importance weights (Xie et al. 2023): log p_target/p_raw
+    //      per doc under add-1 bag-of-ngram models, target = English docs;
+    //      the oracle re-fits both models in SQL over the same gram stream
+    GraftQuery("q116_dsir_weights",
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+             |    string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, tgt, u.t AS gram FROM t, unnest(t.toks) AS u(t)
+             |  UNION ALL
+             |  SELECT doc_id, tgt, toks[i.i] || ' ' || toks[i.i + 1]
+             |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS i(i)),
+             |c AS (SELECT gram, count(*)::DOUBLE AS cr,
+             |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::DOUBLE AS ct
+             |  FROM g GROUP BY gram),
+             |s AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*)::DOUBLE AS v FROM c)
+             |SELECT g.doc_id,
+             |  round(sum(ln((c.ct + 1.0) / (s.nt + s.v))
+             |          - ln((c.cr + 1.0) / (s.nr + s.v))), 4) AS dsir_logw
+             |FROM g JOIN c USING (gram) CROSS JOIN s
+             |GROUP BY g.doc_id""".stripMargin),
+      (s, dir) => graft.pipeline.Dsir.importanceWeights(
+          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        .withColumn("dsir_logw", round(col("dsir_logw"), 4))),
+
+    // ---- DSIR Gumbel top-k resample: 50 docs without replacement from
+    //      the softmax of the weights; the md5-bucket noise is the same
+    //      deterministic hash on both engines, so the draw is reproducible
+    GraftQuery("q117_dsir_resample",
+      Some("""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+             |    string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, tgt, u.t AS gram FROM t, unnest(t.toks) AS u(t)
+             |  UNION ALL
+             |  SELECT doc_id, tgt, toks[i.i] || ' ' || toks[i.i + 1]
+             |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS i(i)),
+             |c AS (SELECT gram, count(*)::DOUBLE AS cr,
+             |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::DOUBLE AS ct
+             |  FROM g GROUP BY gram),
+             |s AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*)::DOUBLE AS v FROM c),
+             |w AS (SELECT g.doc_id,
+             |    sum(ln((c.ct + 1.0) / (s.nt + s.v))
+             |      - ln((c.cr + 1.0) / (s.nr + s.v))) AS lw
+             |  FROM g JOIN c USING (gram) CROSS JOIN s
+             |  GROUP BY g.doc_id),
+             |k AS (SELECT doc_id, lw - ln(-ln(
+             |    ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+             |      + 0.5) / 1000000.0)) AS gk FROM w)
+             |SELECT doc_id, round(gk, 4) AS gumbel_key
+             |FROM k ORDER BY gk DESC, doc_id LIMIT 50""".stripMargin),
+      (s, dir) => graft.pipeline.Dsir.resample(
+          graft.pipeline.Dsir.importanceWeights(
+            t(s, dir, "documents"), "doc_id", "text", col("lang") === "en"),
+          "doc_id", 50)
+        .select(col("doc_id"), round(col("gumbel_key"), 4).as("gumbel_key"))),
+
     // ---- multimodal plumbing: binary payload + per-partition feature
     //      extraction (codec STUBBED; Spark-side schema/batching real)
     GraftQuery("q65_multimodal_features",

@@ -393,6 +393,45 @@ class PipelineSpec extends SparkSpec {
     assert(enc == Seq(Seq("aaab", "aaab"), Seq("aaab", "aa", "b")))
   }
 
+  test("DSIR resample shifts the pick toward the target distribution") {
+    import spark.implicits._
+    // two token dialects; target = dialect A. DSIR must overwhelmingly
+    // pick A-docs even though they are only half the corpus.
+    val corpus = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha beta gamma alpha beta", true)
+      else (i.toLong, "omega psi chi omega psi", false)
+    }.toDF("id", "text", "tgt")
+    val w = Dsir.importanceWeights(corpus, "id", "text", col("tgt"))
+    assert(w.count() == 40)
+    // every A-doc outweighs every B-doc
+    val minA = w.join(corpus, "id").filter(col("tgt")).agg(min("dsir_logw")).head().getDouble(0)
+    val maxB = w.join(corpus, "id").filter(!col("tgt")).agg(max("dsir_logw")).head().getDouble(0)
+    assert(minA > maxB, s"minA=$minA maxB=$maxB")
+    val picked = Dsir.resample(w, "id", 10).join(corpus, "id")
+    assert(picked.filter(col("tgt")).count() >= 9)
+    // deterministic: same draw twice
+    val again = Dsir.resample(w, "id", 10).select("id").collect().map(_.getLong(0)).toSet
+    assert(picked.select("id").collect().map(_.getLong(0)).toSet == again)
+  }
+
+  test("DSIR hashed-bucket weights track exact-gram weights") {
+    // B=1<<20 over a ~2.5k-gram vocabulary: a handful of collisions at
+    // most, so hashed weights stay close to exact and agree on the top
+    val exact = Dsir.importanceWeights(docs, "doc_id", "text", col("lang") === "en")
+    val hashed = Dsir.importanceWeights(docs, "doc_id", "text", col("lang") === "en",
+      buckets = Some(1 << 20))
+    val j = exact.withColumnRenamed("dsir_logw", "e")
+      .join(hashed.withColumnRenamed("dsir_logw", "h"), "doc_id")
+    assert(j.count() == 500)
+    val avgAbs = j.agg(avg(abs(col("e") - col("h")))).head().getDouble(0)
+    assert(avgAbs < 0.05, s"avg |exact-hashed| = $avgAbs")
+    val topE = exact.orderBy(col("dsir_logw").desc, col("doc_id")).limit(20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val topH = hashed.orderBy(col("dsir_logw").desc, col("doc_id")).limit(20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((topE & topH).size >= 16, s"top-20 overlap ${(topE & topH).size}")
+  }
+
   test("quality score is in [0,1] and penalizes junk") {
     import spark.implicits._
     val good = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
