@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the "concat and chunk" example assembly step of LLM
+  * training pipelines: documents are laid end-to-end in a deterministic
+  * order and the token stream is cut into fixed-length training sequences.
+  * Each document gets its global token offset, the id of the sequence its
+  * first token lands in, and its position inside that sequence.
+  *
+  * The global offset is a prefix sum over a total order — the naive
+  * formulation (one unpartitioned window) serializes the whole corpus
+  * through a single reducer. This implementation is the classic
+  * distributed two-phase scan:
+  *
+  *   1. range-repartition by id (so partition p holds a contiguous id
+  *      span) and take each partition's token total — an O(partitions)
+  *      driver collect, independent of row count;
+  *   2. broadcast-join the per-partition base offsets back and add a
+  *      window prefix sum PARTITIONED by partition id — every window
+  *      group is one partition's rows, so the scan runs fully parallel.
+  *
+  * The checkpoint pins phase 1's range boundaries (only the 3-column
+  * (id, count, pid) projection is materialized, never the text), so both
+  * phases see identical partition ids.
+  */
+object Packing {
+
+  /** (idCol, n_tokens, global_offset, seq_id, seq_pos) for packing into
+    * `seqLen`-token sequences in ascending-id order. */
+  def pack(df: DataFrame, idCol: String, textCol: String, seqLen: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counted = df
+      .select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // phase 1: per-partition totals -> exclusive base offset per partition
+    val totals = counted.groupBy("__pid").agg(sum("n_tokens").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.map(_._1)
+      .zip(totals.scanLeft(0L) { case (acc, (_, t)) => acc + t })
+      .toSeq.toDF("__pid", "__base")
+    // phase 2: parallel per-partition prefix sum + broadcast base join
+    val w = Window.partitionBy("__pid").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted
+      .join(broadcast(bases), "__pid")
+      .withColumn("global_offset",
+        col("__base") + sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        col("global_offset"),
+        floor(col("global_offset") / seqLen).cast("long").as("seq_id"),
+        pmod(col("global_offset"), lit(seqLen.toLong)).as("seq_pos"))
+  }
+}

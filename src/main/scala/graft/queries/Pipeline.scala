@@ -442,6 +442,76 @@ object PipelineQueries {
           "doc_id", 50)
         .select(col("doc_id"), round(col("gumbel_key"), 4).as("gumbel_key"))),
 
+    // ---- Gopher quality-rule battery (Rae et al. 2021 App. A1.1): the
+    //      published heuristic thresholds as one map-only signal battery
+    GraftQuery("q118_gopher_rules",
+      Some("""WITH t AS (SELECT doc_id, text,
+             |    string_split_regex(trim(text), '\s+') AS toks,
+             |    string_split(text, chr(10)) AS lines
+             |  FROM documents),
+             |s AS (SELECT doc_id,
+             |    len(toks)::DOUBLE AS n,
+             |    list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS mwl,
+             |    ((length(text) - length(replace(text, '#', '')))
+             |      + (length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE
+             |      / len(toks) AS symr,
+             |    len(list_filter(lines, l -> starts_with(trim(l), '•')
+             |      OR starts_with(trim(l), '-') OR starts_with(trim(l), '*')))::DOUBLE
+             |      / len(lines) AS bf,
+             |    len(list_filter(lines, l -> ends_with(trim(l), '...')
+             |      OR ends_with(trim(l), '…')))::DOUBLE / len(lines) AS ef,
+             |    len(list_filter(toks, x -> regexp_matches(x, '\p{L}')))::DOUBLE
+             |      / len(toks) AS af,
+             |    len(list_filter(['the','be','to','of','and','that','have','with'],
+             |      w -> list_contains(string_split_regex(trim(lower(text)), '\s+'), w)))
+             |      AS hits
+             |  FROM t)
+             |SELECT doc_id, n::BIGINT AS n_words,
+             |  round(mwl, 4) AS mean_word_len, round(symr, 4) AS symbol_ratio,
+             |  round(bf, 4) AS bullet_line_frac, round(ef, 4) AS ellipsis_line_frac,
+             |  round(af, 4) AS alpha_word_frac, hits::BIGINT AS n_stop_hits,
+             |  (n BETWEEN 50 AND 100000) AND (mwl BETWEEN 3 AND 10)
+             |    AND symr <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8
+             |    AND hits >= 2 AS pass
+             |FROM s""".stripMargin),
+      (s, dir) => graft.pipeline.QualityRules.gopherStats(
+        t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- sequence packing: global token offsets via the distributed
+    //      two-phase prefix scan; the oracle's single unpartitioned
+    //      window is exactly the plan the operator exists to avoid
+    GraftQuery("q119_sequence_packing",
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+             |  FROM t)
+             |SELECT doc_id, n_tokens, o AS global_offset,
+             |  o // 1024 AS seq_id, o % 1024 AS seq_pos FROM c""".stripMargin),
+      (s, dir) => graft.pipeline.Packing.pack(
+        t(s, dir, "documents"), "doc_id", "text", seqLen = 1024)),
+
+    // ---- temperature-α language rebalancing (XLM-R α-sampling): α=0.5,
+    //      600-doc budget; md5 draw keeps the pick engine-reproducible
+    GraftQuery("q120_temperature_mix",
+      Some("""WITH n AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+             |s AS (SELECT sum(n) AS tot FROM n),
+             |w AS (SELECT lang, n, sqrt(n / s.tot) AS w FROM n CROSS JOIN s),
+             |z AS (SELECT sum(w) AS z FROM w),
+             |r AS (SELECT lang, least(1.0, (w / z.z) * 600 / n) AS rate
+             |  FROM w CROSS JOIN z),
+             |u AS (SELECT doc_id, lang,
+             |    ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+             |      + 0.5) / 1000000.0 AS u
+             |  FROM documents)
+             |SELECT u.doc_id, u.lang FROM u JOIN r USING (lang)
+             |WHERE u.u < r.rate""".stripMargin),
+      (s, dir) => graft.pipeline.Mixing.temperatureSample(
+          t(s, dir, "documents"), "doc_id", "lang", alpha = 0.5, budget = 600)
+        .select(col("doc_id"), col("lang"))),
+
     // ---- multimodal plumbing: binary payload + per-partition feature
     //      extraction (codec STUBBED; Spark-side schema/batching real)
     GraftQuery("q65_multimodal_features",

@@ -432,6 +432,53 @@ class PipelineSpec extends SparkSpec {
     assert((topE & topH).size >= 16, s"top-20 overlap ${(topE & topH).size}")
   }
 
+  test("Gopher rules pass real prose and reject junk") {
+    import spark.implicits._
+    val prose = ("the quick brown fox jumps over the lazy dog and that was fine " +
+      "to be seen with all of them and have a rest ") * 4
+    val samples = Seq(
+      (1L, prose),                                   // pass
+      (2L, "short text"),                            // too few words
+      (3L, ("#### " * 60) + prose),                  // symbol ratio
+      (4L, ("999 111 " * 40))                        // no alpha, no stopwords
+    ).toDF("id", "text")
+    val out = QualityRules.gopherStats(samples, "id", "text")
+      .select("id", "pass").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L), "real prose must pass")
+    assert(!out(2L) && !out(3L) && !out(4L))
+  }
+
+  test("sequence packing offsets equal the sequential prefix sum") {
+    val packed = Packing.pack(docs, "doc_id", "text", seqLen = 1024)
+      .orderBy("doc_id").collect()
+    var acc = 0L
+    packed.foreach { r =>
+      assert(r.getLong(2) == acc, s"doc ${r.getLong(0)}: offset ${r.getLong(2)} != $acc")
+      assert(r.getLong(3) == acc / 1024 && r.getLong(4) == acc % 1024)
+      acc += r.getLong(1)
+    }
+    // multiple range partitions actually exercised the two-phase path
+    assert(packed.length == 500)
+  }
+
+  test("temperature sampling flattens the head and is deterministic") {
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Mixing.temperatureSample(docs, "doc_id", "lang", 0.5, 300)
+    val after = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // head language (en) keep-rate must be lower than the tail's
+    val keep = after.map { case (l, n) => l -> n.toDouble / before(l) }
+    assert(keep("en") < keep.filterNot(_._1 == "en").values.min,
+      s"keep rates $keep")
+    // total lands near the budget (hash draw is binomial around it)
+    val tot = after.values.sum
+    assert(tot > 200 && tot < 400, s"total $tot")
+    val again = Mixing.temperatureSample(docs, "doc_id", "lang", 0.5, 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled.select("doc_id").collect().map(_.getLong(0)).toSet == again)
+  }
+
   test("quality score is in [0,1] and penalizes junk") {
     import spark.implicits._
     val good = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
