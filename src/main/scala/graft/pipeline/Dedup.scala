@@ -237,7 +237,8 @@ object Dedup {
     // one cheap aggregate action instead of a join per round (bit_xor:
     // overflow-free; rows are unique per id, so nothing self-cancels)
     def certificate(df: DataFrame): Long =
-      df.agg(bit_xor(xxhash64(col("id"), col("label")))).head().getLong(0)
+      df.agg(coalesce(bit_xor(xxhash64(col("id"), col("label"))), lit(0L)))
+        .head().getLong(0)
     var cert = certificate(labels)
     var converged = false
     var it = 0

@@ -102,6 +102,32 @@ object TextAnalysis {
   def repetitionStats(text: Column, n: Int): Column =
     graft.functions.GramRepStats(shingles(text, n))
 
+  /** Overlapping fixed-size token chunks — the RAG / context-window
+    * splitting step: chunk i covers tokens [i·stride, i·stride+size) with
+    * stride = size − overlap; the last chunk may run short, and every doc
+    * yields ≥ 1 chunk. Map-only (sequence + slice + posexplode), so it
+    * runs at scan speed and the chunk count per doc is exact:
+    * max(1, ⌈(n − overlap)/stride⌉). */
+  def chunk(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap < size, "overlap must be smaller than chunk size")
+    val stride = size - overlap
+    val toks = tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nChunks = greatest(lit(1),
+      ceil((n - overlap).cast("double") / stride).cast("int"))
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("__nc") - 1),
+        i => slice(col("__toks"), i * stride + 1, lit(size))))
+        .as(Seq("chunk_id", "__chunk")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"),
+        org.apache.spark.sql.functions.size(col("__chunk")).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Deterministic content-hash sampling bucket in [0, buckets): md5-prefix
     * based, so the same document lands in the same bucket across runs,
     * engines and re-partitions — the property reproducible corpus

@@ -512,6 +512,33 @@ object PipelineQueries {
           t(s, dir, "documents"), "doc_id", "lang", alpha = 0.5, budget = 600)
         .select(col("doc_id"), col("lang"))),
 
+    // ---- SemDeDup semantic dedup (Abbas et al. 2023): k-means buckets →
+    //      within-cluster cosine pairs → CC groups → keep most-central.
+    //      Learned clusters aren't SQL-expressible → summary row; the
+    //      twin-removal behavior is asserted in PipelineSpec
+    GraftQuery("q121_semdedup", None,
+      (s, dir) => graft.pipeline.SemDedup.semanticDedup(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          eps = 0.9, nlist = 8)
+        .agg(count(lit(1)).as("n_vecs"),
+             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+             countDistinct(col("sem_group")).as("n_groups"))),
+
+    // ---- overlapping token chunking (RAG / context-window splitting):
+    //      size 32, overlap 8 — map-only explode, oracle replays the
+    //      same stride arithmetic with list slices
+    GraftQuery("q122_chunking",
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |c AS (SELECT doc_id, g.i AS chunk_id,
+             |    toks[g.i * 24 + 1 : g.i * 24 + 32] AS chunk
+             |  FROM t, unnest(generate_series(0,
+             |    greatest(1, ceil((len(toks) - 8) / 24.0)::INT) - 1)) AS g(i))
+             |SELECT doc_id, chunk_id, array_to_string(chunk, ' ') AS chunk_text,
+             |  len(chunk)::BIGINT AS n_chunk_tokens FROM c""".stripMargin),
+      (s, dir) => TextAnalysis.chunk(
+        t(s, dir, "documents"), "doc_id", "text", size = 32, overlap = 8)),
+
     // ---- multimodal plumbing: binary payload + per-partition feature
     //      extraction (codec STUBBED; Spark-side schema/batching real)
     GraftQuery("q65_multimodal_features",

@@ -479,6 +479,49 @@ class PipelineSpec extends SparkSpec {
     assert(sampled.select("doc_id").collect().map(_.getLong(0)).toSet == again)
   }
 
+  test("SemDeDup removes perturbed twins and keeps singletons") {
+    import spark.implicits._
+    // plant near-identical twins of 5 vectors; semanticDedup must put each
+    // twin pair in one group and keep exactly one of the two
+    val base = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val twins = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("e"), x => x * 1.0001).as("e"))
+    val corpus = base.unionAll(twins)
+    val out = SemDedup.semanticDedup(corpus, "vec_id", "e", eps = 0.99, nlist = 4)
+      .cache()
+    val n = out.count()
+    assert(n == base.count() + 5)
+    // each planted twin shares a group with its original
+    val planted = out.filter(col("id") >= 10000)
+      .select("id", "sem_group").collect()
+      .map(r => r.getLong(0) - 10000 -> r.getLong(1)).toMap
+    val origGroup = out.filter(col("id") < 5)
+      .select("id", "sem_group").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { i =>
+      assert(planted(i) == origGroup(i), s"twin $i split from original") }
+    // exactly one kept per group, and kept count = distinct groups
+    val kept = out.filter(col("keep")).count()
+    val groups = out.select("sem_group").distinct().count()
+    assert(kept == groups && kept == n - 5)
+    out.unpersist()
+  }
+
+  test("chunking covers every token with the declared stride") {
+    val chunks = TextAnalysis.chunk(docs, "doc_id", "text", size = 32, overlap = 8)
+    val j = chunks.groupBy("doc_id")
+      .agg(max("chunk_id").as("mx"), sum("n_chunk_tokens").as("st"),
+        count(lit(1)).as("nc"))
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n")), "doc_id")
+    // chunk count formula and token coverage: sum of chunk sizes =
+    // n + overlap·(nc−1) (each chunk after the first re-reads 8 tokens)
+    assert(j.filter(col("nc") =!= greatest(lit(1),
+      ceil((col("n") - 8).cast("double") / 24).cast("long"))).count() == 0)
+    assert(j.filter(col("st") =!= col("n") + (col("nc") - 1) * 8).count() == 0)
+  }
+
   test("quality score is in [0,1] and penalizes junk") {
     import spark.implicits._
     val good = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
