@@ -32,6 +32,10 @@ object Bench {
     // class loading
     quietly(spark.sql(
       "SELECT upper('w'), lower('W'), initcap('w'), regexp_replace('a','a','b')").collect())
+    // the shared InfluxQL fixture is memoized per session; build it here so
+    // whichever influx query happens to run first times its own semantics,
+    // not the fixture ingest (q47 ingests fresh and still times the write path)
+    quietly(queries.Protocols.warmIngest(spark, sfDir))
 
     // optional comma-separated name filter for targeted profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

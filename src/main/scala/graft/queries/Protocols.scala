@@ -19,15 +19,23 @@ object Protocols {
       Seq("event_type"))
 
   /** events rows → line protocol strings → engine ingest; returns engine.
-    * Memoized per (session, fixture dir): q47 measures the ingest round-trip
-    * itself, while q68 (fill) and q76 (subquery) measure their own InfluxQL
-    * semantics over the same ingested fixture — re-running an identical
-    * ingest per query would triple the write path for no extra coverage. */
+    * Memoized per (session, fixture dir): the InfluxQL semantic queries
+    * (fill, subquery, selectors, ...) share one ingested fixture so each
+    * times its own semantics — re-running an identical ingest per query
+    * would multiply the write path for no extra coverage. q47, the query
+    * whose SEMANTICS are the ingest round-trip, deliberately bypasses the
+    * memo and ingests fresh; [[warmIngest]] lets Bench pre-build the
+    * shared fixture untimed so no alphabetically-first query absorbs it. */
   private val ingestedEvents =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), TsdbEngine]()
   private def ingestEvents(s: org.apache.spark.sql.SparkSession, dir: String): TsdbEngine =
     ingestedEvents.computeIfAbsent((System.identityHashCode(s), dir),
       _ => doIngestEvents(s, dir))
+
+  /** Build the shared ingested fixture outside any timed query. */
+  def warmIngest(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    ingestEvents(s, dir); ()
+  }
 
   private def doIngestEvents(s: org.apache.spark.sql.SparkSession, dir: String): TsdbEngine = {
     val e = new TsdbEngine(s,
@@ -102,7 +110,9 @@ object Protocols {
              |FROM events
              |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
-        val e = ingestEvents(s, dir)
+        // fresh (non-memoized) ingest: this query's semantics ARE the
+        // line-protocol round-trip, so it must pay the write path
+        val e = doIngestEvents(s, dir)
         val out = InfluxQL.run(e,
           """SELECT count(value) AS n, sum(value) AS total FROM events
             |WHERE time >= '2024-01-05 00:00:00'
