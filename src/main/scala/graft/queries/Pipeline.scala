@@ -539,6 +539,26 @@ object PipelineQueries {
       (s, dir) => TextAnalysis.chunk(
         t(s, dir, "documents"), "doc_id", "text", size = 32, overlap = 8)),
 
+    // ---- model-based quality filter (GPT-3-style classifier curation):
+    //      hashed-BoW logistic regression trained on a weak label over the
+    //      80% split, scored on the 20% holdout; L-BFGS weights aren't
+    //      SQL-expressible → held-out confusion matrix, accuracy asserted
+    //      in PipelineSpec on a separable corpus
+    GraftQuery("q123_quality_classifier", None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("__lbl",
+          array_contains(TextAnalysis.tokens(lower(col("text"))), "spark")
+            .cast("int"))
+        graft.pipeline.QualityClassifier.trainScore(
+            docs, "doc_id", "text", "__lbl",
+            trainFilter = col("doc_id") % 5 =!= 0, maxIter = 10)
+          .join(docs.select(col("doc_id"), (col("doc_id") % 5 === 0).as("__ho")), "doc_id")
+          .filter(col("__ho"))
+          .groupBy(col("label"), (col("quality_prob") > 0.5).as("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "predicted")
+      }),
+
     // ---- multimodal plumbing: binary payload + per-partition feature
     //      extraction (codec STUBBED; Spark-side schema/batching real)
     GraftQuery("q65_multimodal_features",

@@ -522,6 +522,27 @@ class PipelineSpec extends SparkSpec {
     assert(j.filter(col("st") =!= col("n") + (col("nc") - 1) * 8).count() == 0)
   }
 
+  test("quality classifier separates prose from junk on a holdout") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Seq("the", "cat", "sat", "on", "a", "mat", "and", "dog", "ran",
+      "to", "house", "tree", "bird", "sky", "sun")
+    val junk = Seq("xx1", "zz9", "@@", "##", "%%", "q7q", "k2k", "!!", "??", "~~")
+    val corpus = (0 until 300).map { i =>
+      val pool = if (i % 2 == 0) words else junk
+      val text = Seq.fill(30)(pool(rnd.nextInt(pool.size))).mkString(" ")
+      (i.toLong, text, i % 2)
+    }.toDF("id", "text", "lbl")
+    val scored = QualityClassifier.trainScore(
+      corpus, "id", "text", "lbl", trainFilter = col("id") % 5 =!= 0)
+    val holdout = scored.filter(col("id") % 5 === 0)
+    val correct = holdout.filter(
+      (col("label") === 1 && col("quality_prob") > 0.5) ||
+      (col("label") === 0 && col("quality_prob") <= 0.5)).count()
+    val total = holdout.count()
+    assert(total == 60 && correct >= 54, s"holdout accuracy $correct/$total")
+  }
+
   test("quality score is in [0,1] and penalizes junk") {
     import spark.implicits._
     val good = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
