@@ -95,6 +95,49 @@ object Ivf {
     ivfTopKWith(embDf, idCol, embCol,
       train(embDf, idCol, embCol, nlist, iters, seed), query, k, nprobe)
 
+  /** Persist an IVF index: the corpus written PARTITIONED BY cluster id
+    * (one directory per inverted list) plus the centroid matrix. This is
+    * the "assignment as a partition column" deployment the probe path is
+    * designed for: filtering on cluster ids becomes directory pruning, so
+    * a probe reads nprobe/nlist of the data from disk — the IVF promise
+    * delivered by the storage layout instead of an in-memory index. */
+  def buildIndex(
+      embDf: DataFrame, idCol: String, embCol: String, path: String,
+      nlist: Int, iters: Int = 2, seed: Long = 42L): Unit = {
+    val spark = embDf.sparkSession
+    import spark.implicits._
+    val centroids = train(embDf, idCol, embCol, nlist, iters, seed)
+    embDf
+      .withColumn("__ivf", assignColumn(col(embCol), centroids))
+      .write.mode("overwrite").partitionBy("__ivf")
+      .parquet(s"$path/data")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k cosine against a persisted index: reads ONLY the nprobe nearest
+    * cluster directories (partition pruning — assert `PartitionFilters`
+    * carries `__ivf`), exact re-rank inside. */
+  def probeIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
+      embCol: String, query: Array[Double], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val qn = normalize(query)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, dot(qn, c)) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    spark.read.parquet(s"$path/data")
+      .filter(col("__ivf").isin(probes.map(Integer.valueOf): _*))
+      .select(col(idCol),
+        round(Similarity.cosineToQuery(col(embCol), query), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   private[pipeline] def toDoubles(xs: Seq[Any]): Array[Double] =
     xs.map {
       case f: Float  => f.toDouble

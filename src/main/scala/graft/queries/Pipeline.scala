@@ -351,6 +351,18 @@ object PipelineQueries {
         t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10,
         nlist = 16, nprobe = 4)),
 
+    // ---- persisted IVF index: corpus written partitioned by inverted
+    //      list, probe = partition-directory pruning (2 of 16 dirs read);
+    //      exactness-vs-brute-force + plan assert in PipelineSpec
+    GraftQuery("q124_ann_ivf_index", None,
+      (s, dir) => {
+        val path = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+        Ivf.buildIndex(t(s, dir, "embeddings"), "vec_id", "embedding", path,
+          nlist = 16)
+        Ivf.probeIndex(s, path, "vec_id", "embedding", queryVec(s, dir), 10,
+          nprobe = 4)
+      }),
+
     // ---- embedding norms by cluster label
     GraftQuery("q59_embedding_norms",
       Some("""SELECT label, count(*) AS n,

@@ -543,6 +543,28 @@ class PipelineSpec extends SparkSpec {
     assert(total == 60 && correct >= 54, s"holdout accuracy $correct/$total")
   }
 
+  test("persisted IVF index probes via partition pruning and matches brute force") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ivf.buildIndex(embs, "vec_id", "embedding", path, nlist = 8)
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    // full probe == brute force (same ids, exact recall)
+    val full = Ivf.probeIndex(spark, path, "vec_id", "embedding", q, 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+    // narrow probe: plan prunes on the __ivf partition column
+    val narrow = Ivf.probeIndex(spark, path, "vec_id", "embedding", q, 10, nprobe = 2)
+    val plan = narrow.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pf.contains("__ivf"), s"no partition pruning in:\n$pf")
+    // the probed buckets contain the true top hit (query vector itself)
+    assert(narrow.select("vec_id").collect().map(_.getLong(0)).headOption.contains(0L))
+  }
+
   test("quality score is in [0,1] and penalizes junk") {
     import spark.implicits._
     val good = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
