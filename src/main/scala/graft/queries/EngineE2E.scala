@@ -37,6 +37,37 @@ object EngineE2E {
             |FROM demo GROUP BY name""".stripMargin)
       }),
 
+    // Streaming exactly-once dedup: the events stream delivered TWICE
+    // (two file sources unioned — a replayed-producer model), watermarked
+    // dropDuplicatesWithinWatermark on event_id, appended to an engine
+    // table; the oracle aggregates the single-delivery source directly
+    GraftQuery("q125_streaming_dedup",
+      Some("""SELECT event_type, count(*) AS n, round(sum("value"), 2) AS total
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-sdedup").toString)
+        e.execute(
+          """CREATE TABLE events_dedup (
+            |  ts timestamp NOT NULL, event_type string TAG, value double,
+            |  event_id int64, timestamp KEY(ts))
+            |ENGINE=Analytic WITH (update_mode='append', enable_ttl='false')""".stripMargin)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        def src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .select("ts", "event_type", "value", "event_id")
+        graft.streaming.StreamDedup.dedupToTable(
+          e, src.unionAll(src), "ts", "1 hour", Seq("event_id"), "events_dedup")
+        e.runSql(
+          """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+            |FROM events_dedup GROUP BY event_type""".stripMargin)
+      }),
+
     // Streaming ingest (reference WAL+memtable path → Structured Streaming
     // foreachBatch, SURVEY §2.9/§3.2): replay the events table through a
     // streaming source into an engine table, then query the table.

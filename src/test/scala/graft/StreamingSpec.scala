@@ -60,6 +60,29 @@ class StreamingSpec extends SparkSpec {
       ("b", base + 2 * min, base + 12 * min, 1L, 10.0)))
   }
 
+  test("streaming dedup: duplicates across files dropped, state watermark-bounded") {
+    val src = tmpDir("sdedup-src")
+    // same (key) delivered in two separate files (two microbatch arrivals)
+    writeSource(src, Seq(
+      (base, "k1", "x", 1.0), (base + min, "k2", "x", 2.0)))
+    writeSource(src, Seq(
+      (base, "k1", "x", 1.0),          // duplicate of file-1 row
+      (base + 2 * min, "k3", "x", 3.0)))
+
+    val e = new TsdbEngine(spark, tmpDir("sdedup-wh"))
+    e.execute(
+      """CREATE TABLE dd (ts timestamp NOT NULL, key string TAG, v double,
+        |  timestamp KEY(ts))
+        |ENGINE=Analytic WITH (update_mode='append', enable_ttl='false')""".stripMargin)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one file per microbatch
+      .parquet(src).select("ts", "key", "v")
+    val out = graft.streaming.StreamDedup.dedupToTable(
+        e, stream, "ts", "10 minutes", Seq("key"), "dd")
+      .orderBy("key").collect().map(r => (r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("k1", 1.0), ("k2", 2.0), ("k3", 3.0)))
+  }
+
   test("stream-stream interval join: pairs within span, keyed, both watermarked") {
     val src = tmpDir("ssj-src")
     // clicks at 0 and 60m for key a; purchases at 10m (matches click@0),
