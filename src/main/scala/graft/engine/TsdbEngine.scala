@@ -218,10 +218,22 @@ final class TsdbEngine(
       partCols :+= TableSchema.BucketColumn
     }
 
-    val w = df.write.mode("append")
+    val w = bloomOnTags(df.write.mode("append"), s)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(catalog.dataDir(name))
   }
+
+  /** Parquet bloom filters on TAG columns — the Spark-native analogue of
+    * the reference's per-SST Xor8 tag filters (sst/parquet/meta_data/
+    * filter.rs:55-70, SURVEY §4.3): a tag-equality predicate can then skip
+    * whole row groups whose filter rules the value out, on top of the
+    * min/max stats that PK-sorted layout already makes selective. */
+  private def bloomOnTags(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      s: TableSchema): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    s.columns.filter(_.isTag).foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#${c.name}", "true")
+    }
 
   /** First flush of a table created without `segment_duration`: sample the
     * accumulated (pre-flush) storage, pick a segment duration from observed
@@ -335,7 +347,7 @@ final class TsdbEngine(
     df = df.sortWithinPartitions((partCols ++ s.primaryKey).map(col): _*)
 
     val newDir = catalog.genDataDir(name, gen + 1)
-    val w = df.write.mode("overwrite")
+    val w = bloomOnTags(df.write.mode("overwrite"), s)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(newDir)
     catalog.markCompacted(name, gen + 1, seqFloor)
     // grace-period GC: keep the generation we just superseded (in-flight

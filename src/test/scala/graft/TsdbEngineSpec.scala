@@ -25,6 +25,31 @@ class TsdbEngineSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("t").getTime == 1702224000000L)
   }
 
+  test("tag columns get parquet bloom filters at write (Xor8-filter analogue)") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE bf (host string TAG, region string TAG, value double,
+        |  t timestamp NOT NULL, timestamp KEY(t))
+        |ENGINE=Analytic WITH (enable_ttl='false')""".stripMargin)
+    e.execute(
+      "INSERT INTO bf (t, host, region, value) VALUES (1702224000000, 'h1', 'eu', 1.0)")
+    val dir = new java.io.File(e.catalog.dataDir("bf"))
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val offsets = (0 until cols.size()).map { i =>
+        cols.get(i).getPath.toDotString -> cols.get(i).getBloomFilterOffset
+      }.toMap
+      assert(offsets("host") >= 0 && offsets("region") >= 0,
+        s"tag columns missing bloom filters: $offsets")
+      assert(offsets("value") < 0, s"non-tag column got a bloom filter: $offsets")
+    } finally reader.close()
+  }
+
   test("overwrite mode dedups on (tsid, ts); append mode keeps duplicates (F2)") {
     val e = engine()
     for (mode <- Seq("overwrite", "append")) {
