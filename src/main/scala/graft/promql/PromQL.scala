@@ -54,7 +54,11 @@ object PromQL {
     "double_exponential_smoothing" -> 2).withDefaultValue(0)
   private val mathFuncs = Set("abs", "ceil", "floor", "round",
     "clamp_min", "clamp_max", "clamp", "exp", "ln", "log2", "log10", "sqrt",
-    "sgn", "timestamp")
+    "sgn", "timestamp",
+    // calendar family: the VALUE is interpreted as unix seconds (promql
+    // functions.go dateWrapper — `time.Unix(int64(v), 0).UTC()`)
+    "minute", "hour", "day_of_week", "day_of_month", "days_in_month",
+    "month", "year")
 
   private final class Parser(s: String) {
     private var i = 0
@@ -601,6 +605,7 @@ object PromQL {
     case MathFunc(name, child, args) =>
       val in = evalExpr(spark, resolve, child, p)
       val v = col("value")
+      def calTs(x: Column) = timestamp_seconds(floor(x).cast("long"))
       if (name == "clamp" && args(0) > args(1))
         // Prometheus: clamp with min > max drops every element
         return in.filter(lit(false))
@@ -621,6 +626,16 @@ object PromQL {
         // timestamp(v): each element's value becomes its own grid instant
         // in seconds (promql funcTimestamp)
         case "timestamp" => (unix_millis(col("ts")) / 1000.0).cast("double")
+        // calendar family: value = unix seconds, fields extracted in UTC
+        // (Prometheus is UTC-only; the engine session runs UTC). int64
+        // truncation of the float seconds matches dateWrapper.
+        case "minute"        => minute(calTs(v)).cast("double")
+        case "hour"          => hour(calTs(v)).cast("double")
+        case "day_of_week"   => (dayofweek(calTs(v)) - 1).cast("double")
+        case "day_of_month"  => dayofmonth(calTs(v)).cast("double")
+        case "days_in_month" => dayofmonth(last_day(calTs(v))).cast("double")
+        case "month"         => month(calTs(v)).cast("double")
+        case "year"          => year(calTs(v)).cast("double")
       }
       in.withColumn("value", out)
 

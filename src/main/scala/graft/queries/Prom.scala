@@ -442,6 +442,26 @@ object Prom {
              |  round(epoch_ms(gts) / 1000.0, 4) AS "value"
              |FROM latest WHERE v IS NOT NULL""".stripMargin)),
 
+    // ---- calendar family: day_of_week + hour folded into one value
+    //      (dow*100 + hour) over timestamp(events) — value-as-unix-seconds
+    //      semantics (functions.go dateWrapper)
+    q("q126_promql_calendar",
+      "day_of_week(timestamp(events)) * 100 + hour(timestamp(events))",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |latest AS (
+             |  SELECT g.gts, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.gts AND e.ts > g.gts - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid g CROSS JOIN series s)
+             |SELECT event_type, gts AS ts,
+             |  round(dayofweek(gts) * 100.0 + hour(gts), 4) AS "value"
+             |FROM latest WHERE v IS NOT NULL""".stripMargin)),
+
     // ---- absent(): a never-matching selector is absent at every step
     q("q100_promql_absent", """absent(events{event_type="no_such_type"})""",
       Some("""SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',

@@ -88,6 +88,31 @@ class PromQLSpec extends SparkSpec {
     assert(run("m @ 100") == Seq(-3.7, -3.7, -3.7))
   }
 
+  test("calendar functions extract UTC fields from value-as-unix-seconds") {
+    import spark.implicits._
+    // 2024-01-10 13:45:07 UTC = 1704894307 (a Wednesday)
+    val sec = 1704894307.0
+    val df = Seq((new java.sql.Timestamp(100000L), "a", sec))
+      .toDF("ts", "host", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host"))
+    val p = EvalParams(startMs = 100000L, endMs = 100000L, stepMs = 60000L)
+    def run(q: String) = PromQL.eval(spark, bind, q, p)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(run("minute(m)") == Seq(45.0))
+    assert(run("hour(m)") == Seq(13.0))
+    assert(run("day_of_week(m)") == Seq(3.0))
+    assert(run("day_of_month(m)") == Seq(10.0))
+    assert(run("days_in_month(m)") == Seq(31.0))
+    assert(run("month(m)") == Seq(1.0))
+    assert(run("year(m)") == Seq(2024.0))
+    // leap February
+    val feb = Seq((new java.sql.Timestamp(100000L), "a", 1709164800.0)) // 2024-02-29
+      .toDF("ts", "host", "value")
+    val bindF = (_: String) => PromQL.SeriesTable(feb, "ts", "value", Seq("host"))
+    assert(PromQL.eval(spark, bindF, "days_in_month(m)", p)
+      .collect().map(_.getAs[Double]("value")).toSeq == Seq(29.0))
+  }
+
   test("vector set operations: and / or / unless") {
     // precedence: set ops bind loosest
     assert(PromQL.parse("m + n unless k") ==
