@@ -89,6 +89,22 @@ object PromAlign {
         while (i < hi) { val d = s(i).v - mean; acc += d * d; i += 1 }
         val stdvar = acc / n
         Some(if (func == "stddev_over_time") math.sqrt(stdvar) else stdvar)
+      case "changes" =>
+        // count of consecutive sample pairs whose value differs
+        // (promql funcChanges; NaN→NaN is NOT a change, value→NaN is)
+        var c = 0; var i = lo + 1
+        while (i < hi) {
+          val a = s(i - 1).v; val b = s(i).v
+          if (a != b && !(a.isNaN && b.isNaN)) c += 1
+          i += 1
+        }
+        Some(c.toDouble)
+      case "resets" =>
+        // count of counter resets: strict decreases between neighbors
+        // (promql funcResets, float samples)
+        var c = 0; var i = lo + 1
+        while (i < hi) { if (s(i).v < s(i - 1).v) c += 1; i += 1 }
+        Some(c.toDouble)
       case "quantile_over_time" =>
         if (param.isNaN) Some(Double.NaN)
         else if (param < 0) Some(Double.NegativeInfinity)

@@ -47,7 +47,7 @@ object PromQL {
     "sum_over_time", "avg_over_time", "count_over_time", "min_over_time",
     "max_over_time", "last_over_time", "stddev_over_time", "stdvar_over_time",
     "present_over_time", "absent_over_time", "predict_linear", "holt_winters",
-    "double_exponential_smoothing")
+    "double_exponential_smoothing", "changes", "resets")
   /** Scalar arguments AFTER the range selector, by function. */
   private val rangeFuncArity = Map(
     "predict_linear" -> 1, "holt_winters" -> 2,

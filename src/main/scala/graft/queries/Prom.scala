@@ -462,6 +462,22 @@ object Prom {
              |  round(dayofweek(gts) * 100.0 + hour(gts), 4) AS "value"
              |FROM latest WHERE v IS NOT NULL""".stripMargin)),
 
+    // ---- resets + changes (counter analysis): folded into one value
+    //      (changes*100 + resets); oracle replays the neighbor-pair scans
+    //      with a lag window over each step's sample window
+    q("q127_promql_resets_changes",
+      "resets(events[1h]) + changes(events[1h]) * 100",
+      Some(s"""WITH $gridSql,
+              |ordered AS (
+              |  SELECT gts, event_type, v,
+              |    lag(v) OVER (PARTITION BY gts, event_type ORDER BY tms, v) AS pv
+              |  FROM win)
+              |SELECT event_type, gts AS ts,
+              |  round(sum(CASE WHEN pv IS NOT NULL AND v < pv THEN 1 ELSE 0 END)
+              |    + 100.0 * sum(CASE WHEN pv IS NOT NULL AND v <> pv THEN 1 ELSE 0 END), 4)
+              |    AS "value"
+              |FROM ordered GROUP BY event_type, gts""".stripMargin)),
+
     // ---- absent(): a never-matching selector is absent at every step
     q("q100_promql_absent", """absent(events{event_type="no_such_type"})""",
       Some("""SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',

@@ -113,6 +113,21 @@ class PromQLSpec extends SparkSpec {
       .collect().map(_.getAs[Double]("value")).toSeq == Seq(29.0))
   }
 
+  test("resets and changes count neighbor-pair events in the window") {
+    // values 5, 3, 3, 7, 2 → resets: 5→3, 7→2 = 2; changes: 5→3, 3→7, 7→2 = 3
+    val samples = s(10000L -> 5.0, 20000L -> 3.0, 30000L -> 3.0,
+      40000L -> 7.0, 50000L -> 2.0)
+    val p = EvalParams(startMs = 60000L, endMs = 60000L, stepMs = 60000L)
+    assert(PromAlign.alignRange(samples, p, 60000L, "resets").toSeq ==
+      Seq(60000L -> 2.0))
+    assert(PromAlign.alignRange(samples, p, 60000L, "changes").toSeq ==
+      Seq(60000L -> 3.0))
+    // single sample: both are 0, not absent
+    val one = s(10000L -> 5.0)
+    assert(PromAlign.alignRange(one, p, 60000L, "resets").toSeq ==
+      Seq(60000L -> 0.0))
+  }
+
   test("vector set operations: and / or / unless") {
     // precedence: set ops bind loosest
     assert(PromQL.parse("m + n unless k") ==
