@@ -42,7 +42,8 @@ object PromQL {
     e
   }
 
-  private val aggOps = Set("sum", "avg", "count", "min", "max")
+  private val aggOps = Set("sum", "avg", "count", "min", "max",
+    "stddev", "stdvar", "group")
   private val rangeFuncs = Set("rate", "irate", "delta", "idelta", "increase", "deriv",
     "sum_over_time", "avg_over_time", "count_over_time", "min_over_time",
     "max_over_time", "last_over_time", "stddev_over_time", "stdvar_over_time",
@@ -54,7 +55,8 @@ object PromQL {
     "double_exponential_smoothing" -> 2).withDefaultValue(0)
   private val mathFuncs = Set("abs", "ceil", "floor", "round",
     "clamp_min", "clamp_max", "clamp", "exp", "ln", "log2", "log10", "sqrt",
-    "sgn", "timestamp",
+    "sgn", "timestamp", "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "deg", "rad",
     // calendar family: the VALUE is interpreted as unix seconds (promql
     // functions.go dateWrapper — `time.Unix(int64(v), 0).UTC()`)
     "minute", "hour", "day_of_week", "day_of_month", "days_in_month",
@@ -557,6 +559,10 @@ object PromQL {
         case "count" => count(lit(1)).cast("double")
         case "min"   => min("value")
         case "max"   => max("value")
+        // population moments (Prometheus aggregations.go), not sample
+        case "stddev" => stddev_pop("value")
+        case "stdvar" => var_pop("value")
+        case "group"  => lit(1.0)
       }
       in.groupBy(keys: _*).agg(agg.as("value"))
 
@@ -623,6 +629,20 @@ object PromQL {
         case "log10"     => log10(v)
         case "sqrt"      => sqrt(v)
         case "sgn"       => signum(v)
+        case "sin"   => sin(v)
+        case "cos"   => cos(v)
+        case "tan"   => tan(v)
+        case "asin"  => asin(v)
+        case "acos"  => acos(v)
+        case "atan"  => atan(v)
+        case "sinh"  => sinh(v)
+        case "cosh"  => cosh(v)
+        case "tanh"  => tanh(v)
+        case "asinh" => asinh(v)
+        case "acosh" => acosh(v)
+        case "atanh" => atanh(v)
+        case "deg"   => degrees(v)
+        case "rad"   => radians(v)
         // timestamp(v): each element's value becomes its own grid instant
         // in seconds (promql funcTimestamp)
         case "timestamp" => (unix_millis(col("ts")) / 1000.0).cast("double")

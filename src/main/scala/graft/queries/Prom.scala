@@ -478,6 +478,23 @@ object Prom {
               |    AS "value"
               |FROM ordered GROUP BY event_type, gts""".stripMargin)),
 
+    // ---- stddev aggregator (population, aggregations.go) over a trig
+    //      transform: cross-series spread of sin(value) per step
+    q("q128_promql_stddev_trig", "stddev(sin(events))",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |series AS (SELECT DISTINCT event_type FROM events),
+             |latest AS (
+             |  SELECT g.gts, s.event_type,
+             |    (SELECT e."value" FROM events e
+             |      WHERE e.event_type = s.event_type
+             |        AND e.ts <= g.gts AND e.ts > g.gts - INTERVAL 5 MINUTE
+             |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
+             |  FROM grid g CROSS JOIN series s)
+             |SELECT gts AS ts, round(stddev_pop(sin(v)), 4) AS "value"
+             |FROM latest WHERE v IS NOT NULL GROUP BY gts""".stripMargin)),
+
     // ---- absent(): a never-matching selector is absent at every step
     q("q100_promql_absent", """absent(events{event_type="no_such_type"})""",
       Some("""SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',

@@ -113,6 +113,27 @@ class PromQLSpec extends SparkSpec {
       .collect().map(_.getAs[Double]("value")).toSeq == Seq(29.0))
   }
 
+  test("trig functions and stddev/stdvar/group aggregators") {
+    import spark.implicits._
+    val t0 = 100000L
+    val df = Seq(("a", 1.0), ("b", 2.0), ("c", 6.0))
+      .map { case (h, v) => (new java.sql.Timestamp(t0), h, v) }
+      .toDF("ts", "host", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("host"))
+    val p = EvalParams(startMs = t0, endMs = t0, stepMs = 60000L)
+    def one(q: String) = PromQL.eval(spark, bind, q, p)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    // population variance of {1,2,6}: mean 3, var (4+1+9)/3
+    assert(one("stdvar(m)") == Seq((4.0 + 1.0 + 9.0) / 3))
+    assert(math.abs(one("stddev(m)").head - math.sqrt(14.0 / 3)) < 1e-12)
+    assert(one("group(m)") == Seq(1.0))
+    assert(one("group by (host) (m)").sorted == Seq(1.0, 1.0, 1.0))
+    assert(one("sin(m)").toSet == Set(math.sin(1.0), math.sin(2.0), math.sin(6.0)))
+    assert(one("deg(m)").toSet ==
+      Set(math.toDegrees(1.0), math.toDegrees(2.0), math.toDegrees(6.0)))
+    assert(math.abs(one("atan(tan(m{host=\"a\"}))").head - 1.0) < 1e-12)
+  }
+
   test("resets and changes count neighbor-pair events in the window") {
     // values 5, 3, 3, 7, 2 → resets: 5→3, 7→2 = 2; changes: 5→3, 3→7, 7→2 = 3
     val samples = s(10000L -> 5.0, 20000L -> 3.0, 30000L -> 3.0,
