@@ -108,7 +108,7 @@ object InfluxQL {
   }
 
   private val aggFns = Set("count", "sum", "mean", "min", "max", "first", "last",
-    "median", "spread", "stddev", "percentile", "mode")
+    "median", "spread", "stddev", "percentile", "mode", "distinct", "integral")
   private val transformFns = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum")
 
@@ -198,13 +198,18 @@ object InfluxQL {
       case aliasRe(b, a) => (b.trim, Some(a))
       case _             => (t, None)
     }
-    val aggRe = """(?is)^(\w+)\s*\(\s*([\w"*]+)\s*(?:,\s*(-?[\d.]+)\s*)?\)$""".r
+    val aggRe = """(?is)^(\w+)\s*\(\s*([\w"*]+)\s*(?:,\s*(-?[\d.]+\w*)\s*)?\)$""".r
+    val cdRe = """(?is)^count\s*\(\s*distinct\s*\(?\s*([\w"]+)\s*\)?\s*\)$""".r
     val fnRe = """(?is)^(\w+)\s*\((.*)\)$""".r
     body match {
+      case cdRe(field) =>
+        Projection(Some("count_distinct"),
+          field.stripPrefix("\"").stripSuffix("\""), alias)
       case aggRe(fn, field, arg) if aggFns(fn.toLowerCase) =>
         val f = fn.toLowerCase
         if (f == "percentile")
           require(arg != null, "percentile(field, N) needs a percentile argument")
+        else if (f == "integral") () // optional unit argument
         else require(arg == null, s"$f takes a single field argument")
         Projection(Some(f),
           field.stripPrefix("\"").stripSuffix("\""), alias,
@@ -337,6 +342,25 @@ object InfluxQL {
           col(p.field).as(p.alias.getOrElse(p.field)))
       val out = df.select(cols: _*).orderBy(ord(col(tsCol)))
       s.limit.map(out.limit).getOrElse(out)
+    } else if (s.projections.exists(_.agg.contains("distinct"))) {
+      // SELECT DISTINCT(field): a multi-row selector — one row per distinct
+      // value per (bucket, tags) group; ungrouped output carries the epoch-0
+      // time InfluxDB emits for whole-range selectors
+      require(s.projections.size == 1, "distinct() cannot be combined with other projections")
+      val p0 = s.projections.head
+      s.groupTime.foreach { d =>
+        df = df.withColumn("__gtime",
+          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz))
+      }
+      val timeCol =
+        if (s.groupTime.isDefined) col("__gtime") else timestamp_micros(lit(0L))
+      val outName = p0.alias.getOrElse("distinct")
+      val out = df
+        .select((timeCol.as("time") +: s.groupTags.map(col)) :+
+          col(p0.field).as(outName): _*)
+        .distinct()
+        .orderBy(ord(col("time")), col(outName))
+      s.limit.map(out.limit).getOrElse(out)
     } else {
       // materialize the bucket once: the groupBy key and the percentile
       // rank-window partition must agree on the same computed column
@@ -351,6 +375,22 @@ object InfluxQL {
         s.groupTags.map(col)
       val indexed = s.projections.zipWithIndex
       val (pctProjs, aggProjs) = indexed.partition(_._1.agg.contains("percentile"))
+      // integral(field[, unit]): trapezoid between consecutive group samples,
+      // precomputed as a lag-window column (partition = the group keys, so an
+      // ungrouped whole-range integral serializes through one window — the
+      // InfluxDB semantic, not a per-bucket scale path) and summed in the agg
+      indexed.filter(_._1.agg.contains("integral")).foreach { case (p, i) =>
+        val partCols = (if (s.groupTime.isDefined) Seq(col("__gtime")) else Nil) ++
+          s.groupTags.map(col)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(partCols: _*)
+          .orderBy(col(tsCol), col(p.field)) // value tie-break: same-ts rows pair deterministically
+        val v = col(p.field)
+        val dtSec =
+          (unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)) / 1e6
+        df = df.withColumn(s"__itg$i",
+          (v + lag(v, 1).over(w)) / 2 * dtSec / influxDurToSeconds(p.aggArg))
+      }
       val aggs = aggProjs.collect {
         case (p @ Projection(Some(fn), field, alias, _, _, _), i) =>
           val c = fn match {
@@ -372,10 +412,14 @@ object InfluxQL {
               // most frequent value, lowest wins ties (InfluxDB
               // ModeReduceSlice iterates ascending with strict >)
               expr(s"mode(`$field`, true)")
+            case "count_distinct" => count_distinct(col(field))
+            case "integral"       => sum(col(s"__itg$i"))
           }
           // a transformed projection aggregates under a temp name; the
           // transformation's output carries the user-facing name
-          c.as(if (p.transform.isDefined) s"__tv$i" else alias.getOrElse(fn))
+          val defaultName =
+            if (fn == "count_distinct") "count" else fn // InfluxDB naming
+          c.as(if (p.transform.isDefined) s"__tv$i" else alias.getOrElse(defaultName))
       }
       var out =
         if (aggs.isEmpty) {
@@ -673,6 +717,22 @@ object InfluxQL {
       case re(n, "w") => s"P${n.toInt * 7}D"
       case other => throw new IllegalArgumentException(s"bad duration '$other'")
     }
+  }
+
+  /** integral()'s unit argument in seconds (default 1s — InfluxDB). */
+  private def influxDurToSeconds(arg: Option[String]): Double = arg match {
+    case None => 1.0
+    case Some(d) =>
+      val re = """(\d+)(ms|[smhdw])""".r
+      d match {
+        case re(n, "ms") => n.toDouble / 1000
+        case re(n, "s")  => n.toDouble
+        case re(n, "m")  => n.toDouble * 60
+        case re(n, "h")  => n.toDouble * 3600
+        case re(n, "d")  => n.toDouble * 86400
+        case re(n, "w")  => n.toDouble * 604800
+        case other => throw new IllegalArgumentException(s"bad integral unit '$other'")
+      }
   }
 
   /** Same durations as (count, SQL interval unit) for `sequence()` steps. */

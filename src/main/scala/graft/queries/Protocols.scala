@@ -147,6 +147,48 @@ object Protocols {
             |FROM events_put GROUP BY event_type""".stripMargin)
       }),
 
+    // ---- InfluxQL count(DISTINCT()) + integral(): the trapezoid area per
+    //      day bucket; oracle replays the lag-window trapezoid with the
+    //      same (ts, value) tie-break
+    GraftQuery("q129_influx_integral",
+      Some("""WITH base AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS bt,
+             |    event_type, ts, "value", user_id
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'),
+             |w AS (
+             |  SELECT bt, event_type, user_id, "value" AS v,
+             |    lag("value") OVER (PARTITION BY bt, event_type ORDER BY ts, "value") AS pv,
+             |    epoch_us(ts) - lag(epoch_us(ts))
+             |      OVER (PARTITION BY bt, event_type ORDER BY ts, "value") AS dt
+             |  FROM base)
+             |SELECT bt AS "time", event_type, count(DISTINCT user_id) AS u,
+             |  round(sum((v + pv) / 2 * dt / 1000000.0), 4) AS itg
+             |FROM w GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT count(distinct(user_id)) AS u, integral(value) AS itg
+            |FROM events WHERE time >= '2024-01-05 00:00:00'
+            |GROUP BY time(1d), event_type""".stripMargin)
+          .withColumn("itg", round(col("itg"), 4))
+      }),
+
+    // ---- InfluxQL DISTINCT() selector: one row per distinct value per
+    //      day bucket (multi-row selector, not an aggregate)
+    GraftQuery("q130_influx_distinct",
+      Some("""SELECT DISTINCT
+             |  make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS "time",
+             |  event_type, user_id AS "distinct"
+             |FROM events
+             |WHERE ts < TIMESTAMP '2024-01-03 00:00:00'""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT distinct(user_id) FROM events
+            |WHERE time < '2024-01-03 00:00:00'
+            |GROUP BY time(1d), event_type""".stripMargin)
+      }),
+
     // ---- InfluxQL fill(0): grid materialization over a bounded time range
     //      (the first Grafana-style surface beyond the tested subset); the
     //      oracle rebuilds the 6h grid with generate_series + LEFT JOIN

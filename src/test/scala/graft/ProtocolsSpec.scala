@@ -286,6 +286,37 @@ class ProtocolsSpec extends SparkSpec {
       InfluxQL.run(e, "SELECT percentile(v) AS p FROM m GROUP BY host"))
   }
 
+  test("InfluxQL distinct/count(distinct)/integral selectors") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-int").toString)
+    // host a: v = 0 @t0, 2 @t0+60s, 2 @t0+120s → trapezoids 60·1 + 60·2
+    LineProtocol.ingest(e, Seq(
+      "m,host=a v=0.0,u=1i 1704067200000000000",
+      "m,host=a v=2.0,u=2i 1704067260000000000",
+      "m,host=a v=2.0,u=1i 1704067320000000000",
+      "m,host=b v=4.0,u=7i 1704067200000000000").toDS())
+    val itg = InfluxQL.run(e, "SELECT integral(v) AS itg FROM m GROUP BY host")
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[java.lang.Double]("itg")).toMap
+    assert(itg("a") == 180.0)
+    assert(itg("b") == null) // single point: no trapezoid
+    // minute units scale the area down by 60
+    val itgM = InfluxQL.run(e, "SELECT integral(v, 1m) AS itg FROM m GROUP BY host")
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[java.lang.Double]("itg")).toMap
+    assert(itgM("a") == 3.0)
+    // count(distinct())
+    val cd = InfluxQL.run(e, "SELECT count(distinct(u)) FROM m GROUP BY host")
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Long]("count")).toMap
+    assert(cd == Map("a" -> 2L, "b" -> 1L))
+    // distinct(): multi-row selector, epoch-0 time when ungrouped
+    val d = InfluxQL.run(e, "SELECT distinct(u) FROM m GROUP BY host")
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Long]("distinct"),
+        r.getAs[java.sql.Timestamp]("time").getTime))
+    assert(d.toSet == Set(("a", 1L, 0L), ("a", 2L, 0L), ("b", 7L, 0L)))
+    intercept[IllegalArgumentException](
+      InfluxQL.run(e, "SELECT distinct(u), mean(v) FROM m GROUP BY host"))
+  }
+
   test("InfluxQL ORDER BY time DESC and TZ clause") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
