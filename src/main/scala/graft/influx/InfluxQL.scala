@@ -108,7 +108,8 @@ object InfluxQL {
   }
 
   private val aggFns = Set("count", "sum", "mean", "min", "max", "first", "last",
-    "median", "spread", "stddev", "percentile", "mode", "distinct", "integral")
+    "median", "spread", "stddev", "percentile", "mode", "distinct", "integral",
+    "top", "bottom")
   private val transformFns = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum")
 
@@ -207,8 +208,8 @@ object InfluxQL {
           field.stripPrefix("\"").stripSuffix("\""), alias)
       case aggRe(fn, field, arg) if aggFns(fn.toLowerCase) =>
         val f = fn.toLowerCase
-        if (f == "percentile")
-          require(arg != null, "percentile(field, N) needs a percentile argument")
+        if (f == "percentile" || f == "top" || f == "bottom")
+          require(arg != null, s"$f(field, N) needs a numeric argument")
         else if (f == "integral") () // optional unit argument
         else require(arg == null, s"$f takes a single field argument")
         Projection(Some(f),
@@ -341,6 +342,32 @@ object InfluxQL {
         else col(tsCol).as("time") +: s.projections.map(p =>
           col(p.field).as(p.alias.getOrElse(p.field)))
       val out = df.select(cols: _*).orderBy(ord(col(tsCol)))
+      s.limit.map(out.limit).getOrElse(out)
+    } else if (s.projections.exists(_.agg.exists(Set("top", "bottom")))) {
+      // top(field, N) / bottom(field, N): multi-row selectors that keep the
+      // N extreme points per (bucket, tags) group WITH their original point
+      // times (InfluxDB selector semantics). Rank window per group — ties
+      // break toward the earlier point, as InfluxDB's heap does.
+      require(s.projections.size == 1, "top()/bottom() cannot be combined")
+      val p0 = s.projections.head
+      val fn = p0.agg.get
+      val n = p0.aggArg.get.toDouble.toInt
+      s.groupTime.foreach { d =>
+        df = df.withColumn("__gtime",
+          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz))
+      }
+      val partCols = (if (s.groupTime.isDefined) Seq(col("__gtime")) else Nil) ++
+        s.groupTags.map(col)
+      val v = col(p0.field)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(partCols: _*)
+        .orderBy((if (fn == "top") v.desc else v.asc), col(tsCol).asc)
+      val outName = p0.alias.getOrElse(fn)
+      val out = df
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .select((col(tsCol).as("time") +: s.groupTags.map(col)) :+ v.as(outName): _*)
+        .orderBy(ord(col("time")), col(outName))
       s.limit.map(out.limit).getOrElse(out)
     } else if (s.projections.exists(_.agg.contains("distinct"))) {
       // SELECT DISTINCT(field): a multi-row selector — one row per distinct

@@ -189,6 +189,28 @@ object Protocols {
             |GROUP BY time(1d), event_type""".stripMargin)
       }),
 
+    // ---- InfluxQL top() selector: 3 extreme points per day/tag group,
+    //      original point times preserved; row_number oracle
+    GraftQuery("q131_influx_top",
+      Some("""WITH base AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS bt,
+             |    event_type, make_timestamp(epoch_us(ts)) AS pt, "value"
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
+             |r AS (
+             |  SELECT bt, event_type, pt, "value",
+             |    row_number() OVER (PARTITION BY bt, event_type
+             |      ORDER BY "value" DESC, pt) AS rn
+             |  FROM base)
+             |SELECT pt AS "time", event_type, "value" AS top
+             |FROM r WHERE rn <= 3""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT top(value, 3) FROM events
+            |WHERE time < '2024-01-03 00:00:00'
+            |GROUP BY time(1d), event_type""".stripMargin)
+      }),
+
     // ---- InfluxQL fill(0): grid materialization over a bounded time range
     //      (the first Grafana-style surface beyond the tested subset); the
     //      oracle rebuilds the 6h grid with generate_series + LEFT JOIN

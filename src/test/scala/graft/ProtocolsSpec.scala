@@ -317,6 +317,29 @@ class ProtocolsSpec extends SparkSpec {
       InfluxQL.run(e, "SELECT distinct(u), mean(v) FROM m GROUP BY host"))
   }
 
+  test("InfluxQL top/bottom selectors keep point times and break ties early") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-top").toString)
+    LineProtocol.ingest(e, Seq(
+      "m,host=a v=1.0 1704067200000000000",
+      "m,host=a v=5.0 1704067260000000000",
+      "m,host=a v=5.0 1704067320000000000", // tie: earlier 5.0 ranks first
+      "m,host=a v=3.0 1704067380000000000",
+      "m,host=b v=9.0 1704067200000000000").toDS())
+    val top2 = InfluxQL.run(e, "SELECT top(v, 2) FROM m GROUP BY host")
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Double]("top"),
+        r.getAs[java.sql.Timestamp]("time").getTime)).toSet
+    assert(top2 == Set(
+      ("a", 5.0, 1704067260000L), ("a", 5.0, 1704067320000L),
+      ("b", 9.0, 1704067200000L)))
+    val bot1 = InfluxQL.run(e, "SELECT bottom(v, 1) AS lo FROM m GROUP BY host")
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Double]("lo"))).toSet
+    assert(bot1 == Set(("a", 1.0), ("b", 9.0)))
+    intercept[IllegalArgumentException](
+      InfluxQL.run(e, "SELECT top(v) FROM m GROUP BY host"))
+  }
+
   test("InfluxQL ORDER BY time DESC and TZ clause") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
