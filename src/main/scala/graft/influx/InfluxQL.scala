@@ -111,7 +111,8 @@ object InfluxQL {
     "median", "spread", "stddev", "percentile", "mode", "distinct", "integral",
     "top", "bottom")
   private val transformFns = Set("derivative", "non_negative_derivative",
-    "difference", "non_negative_difference", "moving_average", "cumulative_sum")
+    "difference", "non_negative_difference", "moving_average", "cumulative_sum",
+    "elapsed")
 
   /** Hand-rolled parser for the supported grammar:
     * {{{
@@ -623,6 +624,15 @@ object InfluxQL {
       case "cumulative_sum" =>
         base.withColumn(outName,
           sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      case "elapsed" =>
+        // integer time delta between consecutive points in `arg` units
+        // (InfluxDB default 1ns; engine resolution is µs → ×1000)
+        val unitUs = arg
+          .map(d => math.max(1L, graft.model.TableOptions.durationMillis(d) * 1000L))
+          .getOrElse(0L) // 0 marks the ns default
+        val dtUs = unix_micros(col(timeCol)) - lag(unix_micros(col(timeCol)), 1).over(w)
+        base.withColumn(outName,
+          if (unitUs == 0L) dtUs * 1000L else (dtUs / unitUs).cast("long"))
       case other =>
         throw new IllegalArgumentException(s"unsupported transformation: $other")
     }

@@ -211,6 +211,27 @@ object Protocols {
             |GROUP BY time(1d), event_type""".stripMargin)
       }),
 
+    // ---- InfluxQL elapsed(): integer second spacing between raw points
+    //      per series; lag-window oracle with the same (ts, value) ordering
+    GraftQuery("q132_influx_elapsed",
+      Some("""WITH base AS (
+             |  SELECT event_type, make_timestamp(epoch_us(ts)) AS pt, "value"
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+             |w AS (
+             |  SELECT event_type, pt,
+             |    (epoch_us(pt) - lag(epoch_us(pt))
+             |      OVER (PARTITION BY event_type ORDER BY pt, "value")) // 1000000
+             |      AS elapsed
+             |  FROM base)
+             |SELECT event_type, pt AS "time", elapsed
+             |FROM w WHERE elapsed IS NOT NULL""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT elapsed(value, 1s) FROM events
+            |WHERE time < '2024-01-02 00:00:00'""".stripMargin)
+      }),
+
     // ---- InfluxQL fill(0): grid materialization over a bounded time range
     //      (the first Grafana-style surface beyond the tested subset); the
     //      oracle rebuilds the 6h grid with generate_series + LEFT JOIN

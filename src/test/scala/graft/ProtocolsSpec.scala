@@ -340,6 +340,23 @@ class ProtocolsSpec extends SparkSpec {
       InfluxQL.run(e, "SELECT top(v) FROM m GROUP BY host"))
   }
 
+  test("InfluxQL elapsed(): integer point spacing, ns default, unit truncation") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-ela").toString)
+    LineProtocol.ingest(e, Seq(
+      "m,host=a v=1.0 1704067200000000000",
+      "m,host=a v=2.0 1704067290000000000", // +90 s
+      "m,host=a v=3.0 1704067291500000000", // +1.5 s
+      "m,host=b v=9.0 1704067200000000000").toDS())
+    val ns = InfluxQL.run(e, "SELECT elapsed(v) FROM m GROUP BY host")
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Long]("elapsed"))).toSet
+    assert(ns == Set(("a", 90000000000L), ("a", 1500000000L)))
+    val m1 = InfluxQL.run(e, "SELECT elapsed(v, 1m) AS g FROM m GROUP BY host")
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Long]("g"))).toSet
+    assert(m1 == Set(("a", 1L), ("a", 0L))) // 90 s → 1 min, 1.5 s → 0
+  }
+
   test("InfluxQL ORDER BY time DESC and TZ clause") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
