@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.pipeline.{Decontaminate, Dedup, Ivf, LanguageModel, Multimodal, Pii, Relevance, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Ivf, LanguageModel, Multimodal, Pii, Pq, Relevance, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline battery over the documents/embeddings
@@ -362,6 +362,15 @@ object PipelineQueries {
         Ivf.probeIndex(s, path, "vec_id", "embedding", queryVec(s, dir), 10,
           nprobe = 4)
       }),
+
+    // ---- product-quantization ANN (compression scale path): ADC over
+    //      m=8 int codes per vector over-fetches candidates, exact rerank
+    //      on the short list; recall + exactness-at-full-refine asserted
+    //      in PipelineSpec
+    GraftQuery("q133_ann_pq", None,
+      (s, dir) => Pq.pqTopKRerank(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10,
+        refine = 5, m = 8, ksub = 32)),
 
     // ---- embedding norms by cluster label
     GraftQuery("q59_embedding_norms",

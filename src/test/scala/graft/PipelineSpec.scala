@@ -130,6 +130,41 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall@10 $recall < 0.3")
   }
 
+  test("PQ ANN: full-refine rerank equals brute force; deterministic; recall") {
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // refine large enough that the ADC candidate list covers the whole
+    // corpus (500 rows) → the exact rerank IS brute force, bit for bit
+    val full = Pq.pqTopKRerank(embs, "vec_id", "embedding", q, 10,
+      refine = 50, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact, s"full-refine PQ must equal brute force: $full vs $exact")
+    // training is deterministic: same seed → identical codebooks
+    val b1 = Pq.train(embs, "vec_id", "embedding", m = 8, ksub = 16)
+    val b2 = Pq.train(embs, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(b1.length == b2.length &&
+      b1.zip(b2).forall { case (x, y) => x.sameElements(y) })
+    // deployment shape (small refine): self found, honest recall floor for
+    // near-orthogonal vectors (same bar as the LSH/IVF tests above)
+    val approx = Pq.pqTopKRerank(embs, "vec_id", "embedding", q, 10,
+      refine = 5, m = 8, ksub = 32).collect().map(_.getLong(0)).toSeq
+    assert(approx.contains(0L), "query vector must find itself")
+    val recall = (exact.map(_._1).toSet & approx.toSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall@10 $recall < 0.3")
+  }
+
+  test("PQ encode: m int codes per vector, codes within [0, ksub)") {
+    val books = Pq.train(embs, "vec_id", "embedding", m = 8, ksub = 16)
+    val codes = embs
+      .select(Pq.encodeColumn(col("embedding"), books, m = 8, ksub = 16).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // quantizer does real work: many distinct code words in use
+    assert(codes.flatten.distinct.size > 8)
+  }
+
   test("IVF ANN: self-retrieval, equals brute force when probing all lists, recall") {
     val q = embs.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
