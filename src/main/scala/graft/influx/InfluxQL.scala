@@ -93,7 +93,10 @@ object InfluxQL {
       // scalar argument (unit duration or window size)
       transform: Option[String] = None, transformArg: Option[String] = None,
       // selector argument (percentile's N)
-      aggArg: Option[String] = None)
+      aggArg: Option[String] = None,
+      // scalar math wrap (abs/sqrt/round/... around the field or aggregate)
+      // + its numeric argument (log's base, pow's exponent)
+      math: Option[String] = None, mathArg: Option[String] = None)
   final case class Cond(lhs: String, op: String, value: String, isTime: Boolean,
       valueIsNumber: Boolean)
   final case class SelectStmt(
@@ -113,6 +116,11 @@ object InfluxQL {
   private val transformFns = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",
     "elapsed")
+  // InfluxQL 1.x scalar math functions (query/math.go): element-wise over a
+  // raw field or around an aggregate; log/pow take a numeric second argument
+  private val mathFns = Set("abs", "sin", "cos", "tan", "asin", "acos", "atan",
+    "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "round",
+    "log", "pow")
 
   /** Hand-rolled parser for the supported grammar:
     * {{{
@@ -226,6 +234,22 @@ object InfluxQL {
         require(ip.transform.isEmpty, s"nested transformations unsupported: $body")
         ip.copy(alias = alias, transform = Some(fn.toLowerCase),
           transformArg = parts.lift(1))
+      case fnRe(fn, inner) if mathFns(fn.toLowerCase) =>
+        // abs(value) on raw points, or round(mean(value)) around an
+        // aggregate; log(field, base) / pow(field, exp) carry a number
+        val f = fn.toLowerCase
+        val parts = splitTop(inner)
+        require(parts.nonEmpty, s"$f needs an argument")
+        if (f == "log" || f == "pow")
+          require(parts.size == 2, s"$f(field, n) needs a numeric argument")
+        else require(parts.size == 1, s"$f takes a single argument")
+        val ip = parseProjection(parts.head)
+        require(ip.transform.isEmpty && ip.math.isEmpty,
+          s"unsupported function composition: $body")
+        require(ip.agg.forall(a => !Set("percentile", "top", "bottom",
+          "distinct", "mode").contains(a)),
+          s"math functions cannot wrap selector ${ip.agg.get}")
+        ip.copy(alias = alias, math = Some(f), mathArg = parts.lift(1))
       case _ =>
         Projection(None, body.stripPrefix("\"").stripSuffix("\""), alias)
     }
@@ -338,10 +362,20 @@ object InfluxQL {
           seriesCols, "left_semi")
       }
       val cols =
-        if (s.projections.exists(_.field == "*")) df.columns.filterNot(_.startsWith("__"))
-          .filterNot(_ == graft.model.TableSchema.TsidColumn).toSeq.map(col)
-        else col(tsCol).as("time") +: s.projections.map(p =>
-          col(p.field).as(p.alias.getOrElse(p.field)))
+        if (s.projections.exists(_.field == "*")) {
+          require(s.projections.forall(_.math.isEmpty),
+            "math functions need a named field argument")
+          df.columns.filterNot(_.startsWith("__"))
+            .filterNot(_ == graft.model.TableSchema.TsidColumn).toSeq.map(col)
+        }
+        else col(tsCol).as("time") +: s.projections.map { p =>
+          val base = col(p.field)
+          p.math match {
+            case Some(fn) => applyMath(fn, p.mathArg, base)
+              .as(p.alias.getOrElse(fn))
+            case None => base.as(p.alias.getOrElse(p.field))
+          }
+        }
       val out = df.select(cols: _*).orderBy(ord(col(tsCol)))
       s.limit.map(out.limit).getOrElse(out)
     } else if (s.projections.exists(_.agg.exists(Set("top", "bottom")))) {
@@ -420,7 +454,7 @@ object InfluxQL {
           (v + lag(v, 1).over(w)) / 2 * dtSec / influxDurToSeconds(p.aggArg))
       }
       val aggs = aggProjs.collect {
-        case (p @ Projection(Some(fn), field, alias, _, _, _), i) =>
+        case (p @ Projection(Some(fn), field, alias, _, _, _, _, _), i) =>
           val c = fn match {
             case "count" => count(col(field))
             case "sum"   => sum(col(field))
@@ -447,7 +481,9 @@ object InfluxQL {
           // transformation's output carries the user-facing name
           val defaultName =
             if (fn == "count_distinct") "count" else fn // InfluxDB naming
-          c.as(if (p.transform.isDefined) s"__tv$i" else alias.getOrElse(defaultName))
+          c.as(if (p.transform.isDefined) s"__tv$i"
+               else if (p.math.isDefined) s"__mv$i"
+               else alias.getOrElse(defaultName))
       }
       var out =
         if (aggs.isEmpty) {
@@ -457,6 +493,23 @@ object InfluxQL {
         }
         else if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
         else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+      // math wraps around aggregates: element-wise on the finished
+      // aggregate column, in place (column order preserved); runs before
+      // fill so empty buckets fill the user-facing column
+      val mathAggs = indexed.filter { case (p, _) =>
+        p.math.isDefined && p.agg.isDefined }
+      if (mathAggs.nonEmpty) {
+        val wraps = mathAggs.map { case (p, i) =>
+          s"__mv$i" -> ((p.math.get, p.mathArg, p.alias.getOrElse(p.math.get)))
+        }.toMap
+        out = out.select(out.columns.toSeq.map { cn =>
+          wraps.get(cn) match {
+            case Some((fn, arg, name)) => applyMath(fn, arg, col(cn)).as(name)
+            case None => col(cn)
+          }
+        }: _*)
+      }
 
       // percentile(field, N): InfluxDB nearest-rank selector (query/
       // functions.go PercentileReduceSlice) — the value at 1-based index
@@ -556,6 +609,32 @@ object InfluxQL {
       out
     }
   }
+
+  /** Element-wise scalar math (InfluxDB query/math.go): ln is the natural
+    * log, log(field, b) the base-b log, round half-away-from-zero to an
+    * integer. Nulls pass through untouched. */
+  private def applyMath(fn: String, arg: Option[String], c: Column): Column =
+    fn match {
+      case "abs"   => abs(c)
+      case "sin"   => sin(c)
+      case "cos"   => cos(c)
+      case "tan"   => tan(c)
+      case "asin"  => asin(c)
+      case "acos"  => acos(c)
+      case "atan"  => atan(c)
+      case "ceil"  => ceil(c).cast("double")
+      case "floor" => floor(c).cast("double")
+      case "exp"   => exp(c)
+      case "ln"    => log(c)
+      case "log2"  => log2(c)
+      case "log10" => log10(c)
+      case "sqrt"  => sqrt(c)
+      // Go math.Round = half away from zero = Spark's HALF_UP
+      case "round" => round(c, 0)
+      case "log"   => log(arg.get.toDouble, c)
+      case "pow"   => pow(c, lit(arg.get.toDouble))
+      case other   => throw new IllegalArgumentException(s"bad math fn $other")
+    }
 
   /** Output names for transformed projections: alias, else the transform's
     * own name, deduplicated InfluxDB-style (derivative, derivative_1, …). */

@@ -34,21 +34,42 @@ object Pq {
     * Returns the flat codebook matrix: row `mi * ksub + j` is codeword `j`
     * of subspace `mi` (dsub doubles each). Deterministic: seeded
     * hash-ordered init, fixed iteration count, min-L2 assignment with
-    * lowest-id tie-break. */
+    * lowest-id tie-break.
+    *
+    * Trains on a deterministic hash-sample capped at `maxTrain` vectors —
+    * the standard PQ deployment (FAISS trains codebooks on a bounded
+    * sample however large the corpus): codebook quality saturates long
+    * before the corpus is exhausted, and it keeps the per-iteration
+    * shuffle O(maxTrain·dim) instead of O(corpus·dim) at 100 TB. */
   def train(
       embDf: DataFrame, idCol: String, embCol: String,
-      m: Int, ksub: Int, iters: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
+      m: Int, ksub: Int, iters: Int = 2, seed: Long = 42L,
+      maxTrain: Int = 20000): Array[Array[Double]] = {
     val dim = embDf.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
 
-    // (id, mi, sub): every subvector of every normalized vector
-    val subDf = embDf
+    val n = embDf.count()
+    val trainDf =
+      if (n <= maxTrain) embDf
+      else embDf.filter(
+        pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)) <
+          lit(1000000L * maxTrain / n))
+
+    // (id, mi, sub): every subvector of every normalized training vector —
+    // cached for the init pass + `iters` assignment passes, dropped after
+    val subDf = trainDf
       .select(col(idCol).as("__id"), normalized(col(embCol)).as("__v"))
       .select(col("__id"), posexplode(array(
         (0 until m).map(mi => slice(col("__v"), mi * dsub + 1, dsub)): _*
       )).as(Seq("__m", "__sub")))
+      .persist()
+    try trainOn(subDf, m, ksub, dsub, iters, seed)
+    finally subDf.unpersist(false)
+  }
 
+  private def trainOn(subDf: DataFrame, m: Int, ksub: Int, dsub: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
     // init: per subspace, the ksub hash-first subvectors (seeded, stable)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__m").orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
@@ -119,7 +140,7 @@ object Pq {
   def pqTopK(
       embDf: DataFrame, idCol: String, embCol: String,
       query: Array[Double], k: Int,
-      m: Int = 8, ksub: Int = 32, iters: Int = 3, seed: Long = 42L): DataFrame = {
+      m: Int = 8, ksub: Int = 32, iters: Int = 2, seed: Long = 42L): DataFrame = {
     val books = train(embDf, idCol, embCol, m, ksub, iters, seed)
     embDf
       .select(col(idCol), encodeColumn(col(embCol), books, m, ksub).as("__codes"))
@@ -136,7 +157,7 @@ object Pq {
   def pqTopKRerank(
       embDf: DataFrame, idCol: String, embCol: String,
       query: Array[Double], k: Int, refine: Int = 5,
-      m: Int = 8, ksub: Int = 32, iters: Int = 3, seed: Long = 42L): DataFrame = {
+      m: Int = 8, ksub: Int = 32, iters: Int = 2, seed: Long = 42L): DataFrame = {
     val books = train(embDf, idCol, embCol, m, ksub, iters, seed)
     val candidates = embDf
       .select(col(idCol), encodeColumn(col(embCol), books, m, ksub).as("__codes"))

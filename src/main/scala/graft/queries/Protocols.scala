@@ -422,6 +422,25 @@ object Protocols {
           .withColumn("hi", round(col("hi"), 4))
       }),
 
+    // ---- scalar math functions (InfluxQL 1.x query/math.go): around
+    //      aggregates here; raw-field + log/pow/round-half-away cases in
+    //      ProtocolsSpec. max/min/count keep the hash check exact.
+    GraftQuery("q134_influx_math",
+      Some("""SELECT event_type,
+             |  round(sqrt(max("value")), 4) AS s,
+             |  round(abs(min("value")), 4) AS a,
+             |  round(pow(count("value"), 2), 4) AS c2
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT sqrt(max(value)) AS s, abs(min(value)) AS a,
+            |  pow(count(value), 2) AS c2 FROM events GROUP BY event_type""".stripMargin)
+          .withColumn("s", round(col("s"), 4))
+          .withColumn("a", round(col("a"), 4))
+          .withColumn("c2", round(col("c2"), 4))
+      }),
+
     // ---- raw-point transformation over a subquery: difference between
     //      consecutive per-series downsampled points, no outer aggregate
     GraftQuery("q112_influx_raw_difference",

@@ -357,6 +357,43 @@ class ProtocolsSpec extends SparkSpec {
     assert(m1 == Set(("a", 1L), ("a", 0L))) // 90 s → 1 min, 1.5 s → 0
   }
 
+  test("InfluxQL scalar math: raw fields, aggregate wraps, log/pow args") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-math").toString)
+    LineProtocol.ingest(e, Seq(
+      "m,host=a v=-2.5 1704067200000000000",
+      "m,host=a v=4.0 1704067260000000000",
+      "m,host=b v=9.0 1704067200000000000").toDS())
+    // raw points: column named after the function, element-wise
+    val a = InfluxQL.run(e, "SELECT abs(v) FROM m")
+      .collect().map(_.getAs[Double]("abs")).sorted.toSeq
+    assert(a == Seq(2.5, 4.0, 9.0))
+    val s = InfluxQL.run(e, "SELECT sqrt(v) AS r FROM m WHERE host = 'b'")
+      .collect().map(_.getAs[Double]("r")).toSeq
+    assert(s == Seq(3.0))
+    // around an aggregate, with GROUP BY: mean(a) = 0.75 → round → 1
+    val r = InfluxQL.run(e, "SELECT round(mean(v)) FROM m GROUP BY host")
+      .collect().map(x => (x.getAs[String]("host"), x.getAs[Double]("round"))).toSet
+    assert(r == Set(("a", 1.0), ("b", 9.0)))
+    // Go math.Round: half away from zero
+    val neg = InfluxQL.run(e, "SELECT round(v) FROM m WHERE host = 'a'")
+      .collect().map(_.getAs[Double]("round")).sorted.toSeq
+    assert(neg == Seq(-3.0, 4.0))
+    // log base + pow exponent
+    val lg = InfluxQL.run(e, "SELECT log(v, 2) AS l FROM m WHERE host = 'b'")
+      .collect().map(_.getAs[Double]("l")).toSeq
+    assert(math.abs(lg.head - math.log(9.0) / math.log(2.0)) < 1e-12)
+    val pw = InfluxQL.run(e, "SELECT pow(sum(v), 2) AS p FROM m GROUP BY host")
+      .collect().map(x => (x.getAs[String]("host"), x.getAs[Double]("p"))).toSet
+    assert(pw == Set(("a", 2.25), ("b", 81.0)))
+    // selectors refuse the wrap; so does composition
+    intercept[IllegalArgumentException](
+      InfluxQL.run(e, "SELECT abs(percentile(v, 50)) FROM m"))
+    intercept[IllegalArgumentException](
+      InfluxQL.run(e, "SELECT abs(sqrt(v)) FROM m"))
+  }
+
   test("InfluxQL ORDER BY time DESC and TZ clause") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
