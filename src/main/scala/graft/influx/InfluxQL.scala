@@ -112,7 +112,7 @@ object InfluxQL {
 
   private val aggFns = Set("count", "sum", "mean", "min", "max", "first", "last",
     "median", "spread", "stddev", "percentile", "mode", "distinct", "integral",
-    "top", "bottom")
+    "top", "bottom", "sample")
   private val transformFns = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",
     "elapsed")
@@ -217,7 +217,7 @@ object InfluxQL {
           field.stripPrefix("\"").stripSuffix("\""), alias)
       case aggRe(fn, field, arg) if aggFns(fn.toLowerCase) =>
         val f = fn.toLowerCase
-        if (f == "percentile" || f == "top" || f == "bottom")
+        if (f == "percentile" || f == "top" || f == "bottom" || f == "sample")
           require(arg != null, s"$f(field, N) needs a numeric argument")
         else if (f == "integral") () // optional unit argument
         else require(arg == null, s"$f takes a single field argument")
@@ -247,7 +247,7 @@ object InfluxQL {
         require(ip.transform.isEmpty && ip.math.isEmpty,
           s"unsupported function composition: $body")
         require(ip.agg.forall(a => !Set("percentile", "top", "bottom",
-          "distinct", "mode").contains(a)),
+          "distinct", "mode", "sample").contains(a)),
           s"math functions cannot wrap selector ${ip.agg.get}")
         ip.copy(alias = alias, math = Some(f), mathArg = parts.lift(1))
       case _ =>
@@ -377,6 +377,35 @@ object InfluxQL {
           }
         }
       val out = df.select(cols: _*).orderBy(ord(col(tsCol)))
+      s.limit.map(out.limit).getOrElse(out)
+    } else if (s.projections.exists(_.agg.contains("sample"))) {
+      // sample(field, N): N points per (bucket, tags) group with their
+      // original point times. InfluxDB reservoir-samples randomly
+      // (query/functions.go SampleReduceSlice); we select by an md5 hash of
+      // the point time instead — same uniform-ish spread, but deterministic
+      // and re-runnable (documented deviation, COVERAGE.md), which also
+      // makes the draw oracle-replayable in SQL.
+      require(s.projections.size == 1, "sample() cannot be combined")
+      val p0 = s.projections.head
+      require(p0.math.isEmpty, "math functions cannot wrap sample()")
+      val n = p0.aggArg.get.toDouble.toInt
+      s.groupTime.foreach { d =>
+        df = df.withColumn("__gtime",
+          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz))
+      }
+      val partCols = (if (s.groupTime.isDefined) Seq(col("__gtime")) else Nil) ++
+        s.groupTags.map(col)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(partCols: _*)
+        .orderBy(md5(unix_micros(col(tsCol)).cast("string")), col(tsCol))
+      val outName = p0.alias.getOrElse("sample")
+      val out = df
+        .filter(col(p0.field).isNotNull)
+        .withColumn("__srk", row_number().over(w))
+        .filter(col("__srk") <= n)
+        .select((col(tsCol).as("time") +: s.groupTags.map(col)) :+
+          col(p0.field).as(outName): _*)
+        .orderBy(ord(col("time")))
       s.limit.map(out.limit).getOrElse(out)
     } else if (s.projections.exists(_.agg.exists(Set("top", "bottom")))) {
       // top(field, N) / bottom(field, N): multi-row selectors that keep the

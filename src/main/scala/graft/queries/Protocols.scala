@@ -422,6 +422,27 @@ object Protocols {
           .withColumn("hi", round(col("hi"), 4))
       }),
 
+    // ---- sample(field, N) selector: N points per (day, series) with
+    //      original point times — md5-deterministic draw (documented
+    //      deviation from InfluxDB's reservoir RNG) that DuckDB replays
+    GraftQuery("q135_influx_sample",
+      Some("""WITH base AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS g,
+             |    ts, event_type, "value",
+             |    row_number() OVER (
+             |      PARTITION BY make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000),
+             |        event_type
+             |      ORDER BY md5(epoch_us(ts)::VARCHAR), ts) AS rk
+             |  FROM events WHERE "value" IS NOT NULL)
+             |SELECT ts AS "time", event_type, round("value", 4) AS v
+             |FROM base WHERE rk <= 2""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          "SELECT sample(value, 2) AS v FROM events GROUP BY time(1d), event_type")
+          .withColumn("v", round(col("v"), 4))
+      }),
+
     // ---- scalar math functions (InfluxQL 1.x query/math.go): around
     //      aggregates here; raw-field + log/pow/round-half-away cases in
     //      ProtocolsSpec. max/min/count keep the hash check exact.

@@ -394,6 +394,29 @@ class ProtocolsSpec extends SparkSpec {
       InfluxQL.run(e, "SELECT abs(sqrt(v)) FROM m"))
   }
 
+  test("InfluxQL sample(): N per group, original times, deterministic") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-smp").toString)
+    LineProtocol.ingest(e, ((0 until 10).map(i =>
+      s"m,host=a v=$i.0 ${1704067200L + i * 60}000000000") :+
+      "m,host=b v=99.0 1704067200000000000").toDS())
+    val s2 = InfluxQL.run(e, "SELECT sample(v, 3) FROM m GROUP BY host")
+      .collect().map(r => (r.getAs[String]("host"),
+        r.getAs[java.sql.Timestamp]("time").getTime, r.getAs[Double]("sample")))
+    // 3 of host a's 10 points, host b's single point; values ride with
+    // their original timestamps
+    assert(s2.count(_._1 == "a") == 3 && s2.count(_._1 == "b") == 1)
+    s2.foreach { case (_, t, v) =>
+      if (v != 99.0) assert(t == 1704067200000L + v.toLong * 60000L)
+    }
+    // deterministic draw: identical on re-run
+    val again = InfluxQL.run(e, "SELECT sample(v, 3) FROM m GROUP BY host")
+      .collect().map(r => (r.getAs[String]("host"),
+        r.getAs[java.sql.Timestamp]("time").getTime, r.getAs[Double]("sample")))
+    assert(s2.toSet == again.toSet)
+  }
+
   test("InfluxQL ORDER BY time DESC and TZ clause") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
