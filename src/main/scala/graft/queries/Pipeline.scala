@@ -217,6 +217,36 @@ object PipelineQueries {
       (s, dir) => LanguageModel.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("lm_logprob", round(col("lm_logprob"), 4))),
 
+    // ---- CCNet head/middle/tail split (Wenzek et al. 2020 §4.4):
+    //      per-language bigram LM scores cut at the language's ⅓/⅔
+    //      quantiles — cutoff broadcast + map-only assign, no ntile sort;
+    //      the oracle re-trains every per-language model and replays the
+    //      same cutoff arithmetic
+    GraftQuery("q136_ccnet_buckets",
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |v AS (SELECT lang, count(DISTINCT u.t)::DOUBLE AS v
+             |  FROM t, unnest(t.toks) AS u(t) GROUP BY lang),
+             |bg AS (SELECT doc_id, lang, toks[g.i] AS a, toks[g.i + 1] AS b
+             |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+             |cab AS (SELECT lang, a, b, count(*)::DOUBLE AS cab
+             |  FROM bg GROUP BY lang, a, b),
+             |ca AS (SELECT lang, a, sum(cab) AS ca FROM cab GROUP BY lang, a),
+             |w AS (SELECT bg.doc_id, bg.lang,
+             |    round(avg(ln((cab.cab + 1.0) / (ca.ca + v.v))), 4) AS s
+             |  FROM bg JOIN cab USING (lang, a, b) JOIN ca USING (lang, a)
+             |    JOIN v USING (lang)
+             |  GROUP BY bg.doc_id, bg.lang),
+             |c AS (SELECT lang, quantile_cont(s, 1.0/3) AS c13,
+             |    quantile_cont(s, 2.0/3) AS c23 FROM w GROUP BY lang)
+             |SELECT w.doc_id, w.lang, w.s AS lm_logprob,
+             |  CASE WHEN s >= c23 THEN 'head'
+             |       WHEN s >= c13 THEN 'middle' ELSE 'tail' END AS ccnet_bucket
+             |FROM w JOIN c USING (lang)""".stripMargin),
+      (s, dir) => graft.pipeline.LanguageModel.perplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text", "lang")),
+
     // ---- BM25 query relevance: top-20 docs for a 3-term query; the
     //      oracle re-derives the full Okapi formula in SQL
     GraftQuery("q93_bm25_relevance",

@@ -389,6 +389,38 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("CCNet buckets: per-lang models are independent; thirds split; ordered") {
+    import spark.implicits._
+    // two "languages" with disjoint vocabularies: each trains its own
+    // model, so scores in one are unaffected by the other's corpus
+    val corpus = (1 to 9).map(i => (i.toLong, "en", "the cat sat " * (i % 3 + 1))) ++
+      (11 to 19).map(i => (i.toLong, "de", s"die katze nr$i sass hier"))
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val out = LanguageModel.perplexityBuckets(df, "doc_id", "text", "lang")
+      .collect()
+    val rows = out.map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+      r.getAs[Double]("lm_logprob"), r.getAs[String]("ccnet_bucket")))
+    assert(rows.length == 18)
+    // every bucket value is one of the three
+    assert(rows.forall(r => Set("head", "middle", "tail")(r._4)))
+    // within each lang: no tail doc outscores a head doc
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val heads = rs.filter(_._4 == "head").map(_._3)
+      val tails = rs.filter(_._4 == "tail").map(_._3)
+      if (heads.nonEmpty && tails.nonEmpty)
+        assert(tails.max <= heads.min)
+    }
+    // keyed scoring equals scoring each language's sub-corpus alone
+    val enOnly = LanguageModel.bigramLogProb(
+      df.filter(col("lang") === "en"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keyed = LanguageModel.bigramLogProb(df, "doc_id", "text",
+      keyCols = Seq("lang")).filter(col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("lm_logprob")).toMap
+    assert(enOnly.keySet == keyed.keySet)
+    enOnly.foreach { case (id, s) => assert(math.abs(s - keyed(id)) < 1e-12) }
+  }
+
   test("cross-doc repeated passages: shared 16-gram runs are counted per doc") {
     import spark.implicits._
     val passage = (1 to 20).map(i => s"w$i").mkString(" ") // 20 shared tokens
