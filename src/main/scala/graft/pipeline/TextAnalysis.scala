@@ -102,6 +102,12 @@ object TextAnalysis {
   def repetitionStats(text: Column, n: Int): Column =
     graft.functions.GramRepStats(shingles(text, n))
 
+  /** Shannon entropy (bits) of the text's code-point distribution — the
+    * gibberish / encoded-blob signal of Dolma-family quality filters.
+    * Single-pass [[graft.functions.CharEntropy]] kernel; map-only. */
+  def charEntropy(text: Column): Column =
+    graft.functions.CharEntropy(text)
+
   /** Overlapping fixed-size token chunks — the RAG / context-window
     * splitting step: chunk i covers tokens [i·stride, i·stride+size) with
     * stride = size − overlap; the last chunk may run short, and every doc

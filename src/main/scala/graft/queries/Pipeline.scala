@@ -217,6 +217,25 @@ object PipelineQueries {
       (s, dir) => LanguageModel.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("lm_logprob", round(col("lm_logprob"), 4))),
 
+    // ---- character-entropy quality signal (Dolma-family gibberish /
+    //      encoded-blob detector): one-pass native kernel, map-only; the
+    //      oracle re-derives the distribution with unnest + group
+    GraftQuery("q137_char_entropy",
+      Some("""WITH c AS (
+             |  SELECT doc_id, u.ch, count(*)::DOUBLE AS n
+             |  FROM (SELECT doc_id, string_split(text, '') AS chs
+             |        FROM documents WHERE length(text) > 0) t,
+             |    unnest(t.chs) AS u(ch)
+             |  GROUP BY doc_id, u.ch),
+             |tot AS (SELECT doc_id, sum(n) AS tot FROM c GROUP BY doc_id)
+             |SELECT c.doc_id, round(-sum((n / tot) * log2(n / tot)), 4) AS entropy_bits
+             |FROM c JOIN tot USING (doc_id)
+             |GROUP BY c.doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(TextAnalysis.charEntropy(col("text")), 4).as("entropy_bits"))),
+
     // ---- CCNet head/middle/tail split (Wenzek et al. 2020 §4.4):
     //      per-language bigram LM scores cut at the language's ⅓/⅔
     //      quantiles — cutoff broadcast + map-only assign, no ntile sort;

@@ -389,6 +389,32 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("char entropy: known answers, code-point counting, null/empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaa"),          // one symbol → 0 bits
+      (2L, "ab"),            // two equal symbols → 1 bit
+      (3L, "abcd"),          // four equal → 2 bits
+      (4L, "😀😀🙂🙂"),      // supplementary plane: 2 symbols → 1 bit
+      (5L, "")               // empty → null
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.charEntropy(col("t")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).contains(0.0))
+    assert(math.abs(out(2L).get - 1.0) < 1e-12)
+    assert(math.abs(out(3L).get - 2.0) < 1e-12)
+    assert(math.abs(out(4L).get - 1.0) < 1e-12)
+    assert(out(5L).isEmpty)
+    // prose scores well below random hex noise
+    val prose = "the quick brown fox jumps over the lazy dog and keeps going"
+    val hexy = "9f8a7b6c5d4e3f2a1b0c9d8e7f6a5b4c3d2e1f0a9b8c7d6e5f4a3b2c1d0e9f8a"
+    val h2 = df.sparkSession.range(1)
+      .select(TextAnalysis.charEntropy(lit(prose)).as("p"),
+        TextAnalysis.charEntropy(lit(hexy)).as("x")).head()
+    assert(h2.getDouble(0) > 3.0 && h2.getDouble(1) > h2.getDouble(0) * 0.9)
+  }
+
   test("CCNet buckets: per-lang models are independent; thirds split; ordered") {
     import spark.implicits._
     // two "languages" with disjoint vocabularies: each trains its own
