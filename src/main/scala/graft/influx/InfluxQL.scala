@@ -102,6 +102,8 @@ object InfluxQL {
   final case class SelectStmt(
       projections: Seq[Projection], source: Either[String, SelectStmt],
       conds: Seq[Cond], groupTime: Option[String], groupTags: Seq[String],
+      // GROUP BY time(interval, offset): shifts preset bucket boundaries
+      groupTimeOffset: Option[String] = None,
       fill: Option[String] = None, limit: Option[Int] = None,
       slimit: Option[Int] = None, orderDesc: Boolean = false,
       tz: Option[String] = None) {
@@ -150,19 +152,21 @@ object InfluxQL {
         val conds = Option(whereOpt).map(w =>
           w.split("(?i)\\s+AND\\s+").toSeq.map(parseCond)).getOrElse(Nil)
         var groupTime: Option[String] = None
+        var groupTimeOff: Option[String] = None
         val groupTags = Seq.newBuilder[String]
         Option(groupOpt).foreach { g =>
           splitTop(g).foreach { item =>
             val t = item.trim
-            val timeRe = """(?i)time\((\w+)\)""".r
+            val timeRe = """(?i)time\(\s*(\w+)\s*(?:,\s*(-?\w+)\s*)?\)""".r
             t match {
-              case timeRe(d) => groupTime = Some(d)
+              case timeRe(d, off) =>
+                groupTime = Some(d); groupTimeOff = Option(off)
               case _ => groupTags += unquote(t)
             }
           }
         }
         SelectStmt(projections, source,
-          conds, groupTime, groupTags.result(),
+          conds, groupTime, groupTags.result(), groupTimeOff,
           Option(fillOpt).map(_.toLowerCase),
           Option(limitOpt).map(_.toInt), Option(slimitOpt).map(_.toInt),
           Option(orderOpt).exists(_.equalsIgnoreCase("DESC")),
@@ -391,7 +395,7 @@ object InfluxQL {
       val n = p0.aggArg.get.toDouble.toInt
       s.groupTime.foreach { d =>
         df = df.withColumn("__gtime",
-          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz))
+          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz, s.groupTimeOffset))
       }
       val partCols = (if (s.groupTime.isDefined) Seq(col("__gtime")) else Nil) ++
         s.groupTags.map(col)
@@ -418,7 +422,7 @@ object InfluxQL {
       val n = p0.aggArg.get.toDouble.toInt
       s.groupTime.foreach { d =>
         df = df.withColumn("__gtime",
-          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz))
+          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz, s.groupTimeOffset))
       }
       val partCols = (if (s.groupTime.isDefined) Seq(col("__gtime")) else Nil) ++
         s.groupTags.map(col)
@@ -441,7 +445,7 @@ object InfluxQL {
       val p0 = s.projections.head
       s.groupTime.foreach { d =>
         df = df.withColumn("__gtime",
-          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz))
+          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz, s.groupTimeOffset))
       }
       val timeCol =
         if (s.groupTime.isDefined) col("__gtime") else timestamp_micros(lit(0L))
@@ -457,7 +461,7 @@ object InfluxQL {
       // rank-window partition must agree on the same computed column
       s.groupTime.foreach { d =>
         df = df.withColumn("__gtime",
-          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz))
+          tzBucket(col(tsCol), influxDurToPeriod(d), s.tz, s.groupTimeOffset))
       }
       val keys: Seq[Column] =
         // InfluxQL buckets at UTC (the engine's time_bucket defaults to the
@@ -591,7 +595,8 @@ object InfluxQL {
           val hi = s.conds.find(c => c.isTime && (c.op == "<=" || c.op == "<"))
             .map(c => if (c.op == "<") timeLit(c) - expr("INTERVAL 1 MICROSECOND")
                       else timeLit(c))
-          out = applyFill(out, "time", s.groupTags, mode, d, lo, hi, s.tz)
+          out = applyFill(out, "time", s.groupTags, mode, d, lo, hi, s.tz,
+            s.groupTimeOffset)
         case _ =>
       }
 
@@ -681,13 +686,31 @@ object InfluxQL {
     * named IANA zone: truncation happens in zone-local wall time, the
     * boundary converts back to a UTC instant. (Grid stepping across a DST
     * transition keeps fixed-duration intervals, like sequence().) */
-  private def tzBucket(c: Column, period: String, tz: Option[String]): Column =
-    tz match {
-      case None => graft.functions.TimeBucket.timeBucket(c, period, "+00:00")
+  private def tzBucket(c: Column, period: String, tz: Option[String],
+      off: Option[String] = None): Column = {
+    def plain(x: Column): Column = tz match {
+      case None => graft.functions.TimeBucket.timeBucket(x, period, "+00:00")
       case Some(z) => to_utc_timestamp(
         graft.functions.TimeBucket.timeBucket(
-          from_utc_timestamp(c, z), period, "+00:00"), z)
+          from_utc_timestamp(x, z), period, "+00:00"), z)
     }
+    off match {
+      case None => plain(c)
+      case Some(d) =>
+        // time(interval, offset): boundaries shift by the (signed) offset —
+        // bucket(t) = bucket(t − off) + off (InfluxDB preset-boundary shift)
+        val us = signedDurUs(d)
+        timestamp_micros(
+          unix_micros(plain(timestamp_micros(unix_micros(c) - us))) + us)
+    }
+  }
+
+  /** Signed InfluxQL duration → microseconds (offset arguments). */
+  private def signedDurUs(d: String): Long = {
+    val neg = d.startsWith("-")
+    val us = graft.model.TableOptions.durationMillis(d.stripPrefix("-")) * 1000L
+    if (neg) -us else us
+  }
 
   /** InfluxQL transformation functions over the aggregated grid (the
     * IOx-planner surface the reference inherits; Grafana's rate panels):
@@ -774,10 +797,10 @@ object InfluxQL {
   private def applyFill(
       agg: DataFrame, timeCol: String, tagCols: Seq[String], mode: String,
       dur: String, lo: Option[Column], hi: Option[Column],
-      tz: Option[String] = None): DataFrame = {
+      tz: Option[String] = None, off: Option[String] = None): DataFrame = {
     val (stepN, stepUnit) = influxDurParts(dur)
     val period = influxDurToPeriod(dur)
-    def bucketOf(c: Column): Column = tzBucket(c, period, tz)
+    def bucketOf(c: Column): Column = tzBucket(c, period, tz, off)
     val aggCols = agg.schema.fields
       .filterNot(f => f.name == timeCol || tagCols.contains(f.name))
 

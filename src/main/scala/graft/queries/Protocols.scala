@@ -422,6 +422,20 @@ object Protocols {
           .withColumn("hi", round(col("hi"), 4))
       }),
 
+    // ---- GROUP BY time(interval, offset): preset bucket boundaries
+    //      shifted by 30m — the Grafana bucket-alignment knob
+    GraftQuery("q138_influx_time_offset",
+      Some("""SELECT make_timestamp((((epoch_ms(ts) - 1800000) // 3600000) * 3600000
+             |    + 1800000) * 1000) AS "time",
+             |  event_type, round(max("value"), 4) AS m
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          "SELECT max(value) AS m FROM events GROUP BY time(1h, 30m), event_type fill(none)")
+          .withColumn("m", round(col("m"), 4))
+      }),
+
     // ---- sample(field, N) selector: N points per (day, series) with
     //      original point times — md5-deterministic draw (documented
     //      deviation from InfluxDB's reservoir RNG) that DuckDB replays

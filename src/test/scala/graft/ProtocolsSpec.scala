@@ -417,6 +417,38 @@ class ProtocolsSpec extends SparkSpec {
     assert(s2.toSet == again.toSet)
   }
 
+  test("InfluxQL GROUP BY time(interval, offset): shifted boundaries") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-off").toString)
+    // 2024-01-01 00:10 and 00:40 UTC
+    LineProtocol.ingest(e, Seq(
+      "m,host=a v=1.0 1704067800000000000",
+      "m,host=a v=3.0 1704069600000000000").toDS())
+    def runQ(q: String) = InfluxQL.run(e, q).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("time").getTime,
+        r.getAs[Double]("m"))).toSet
+    // :30-aligned hour buckets: 00:10 → 23:30 (prev day), 00:40 → 00:30
+    val shifted = runQ(
+      "SELECT max(v) AS m FROM m GROUP BY time(1h, 30m) fill(none)")
+    assert(shifted == Set((1704065400000L, 1.0), (1704069000000L, 3.0)))
+    // a negative offset lands on the same :30 boundaries
+    assert(runQ(
+      "SELECT max(v) AS m FROM m GROUP BY time(1h, -30m) fill(none)") == shifted)
+    // no offset: both points in the 00:00 bucket
+    assert(runQ(
+      "SELECT max(v) AS m FROM m GROUP BY time(1h) fill(none)") ==
+      Set((1704067200000L, 3.0)))
+    // fill grid steps along the shifted boundaries
+    val filled = InfluxQL.run(e,
+      "SELECT max(v) AS m FROM m GROUP BY time(30m, 10m) fill(0)")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("time").getTime,
+        r.getAs[Double]("m")))
+    // :10/:40-aligned 30m grid from 00:10 (covers both points) — 00:10
+    // holds v=1, 00:40 holds v=3, nothing between
+    assert(filled.toSet == Set((1704067800000L, 1.0), (1704069600000L, 3.0)))
+  }
+
   test("InfluxQL ORDER BY time DESC and TZ clause") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
