@@ -424,6 +424,18 @@ object PipelineQueries {
           nprobe = 4)
       }),
 
+    // ---- PCA whitening (embedding-space curation preprocessing): one
+    //      treeAggregate covariance pass + driver eigendecomp + map-only
+    //      projection; rows-only (eigenbasis is learned) — identity
+    //      covariance + determinism asserted in PipelineSpec
+    GraftQuery("q139_pca_whiten", None,
+      (s, dir) => graft.pipeline.Whitening.pcaWhiten(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .select(col("vec_id"),
+          round(element_at(col("whitened"), 1), 4).as("w1"),
+          round(element_at(col("whitened"), 2), 4).as("w2"))
+        .orderBy("vec_id").limit(20)),
+
     // ---- product-quantization ANN (compression scale path): ADC over
     //      m=8 int codes per vector over-fetches candidates, exact rerank
     //      on the short list; recall + exactness-at-full-refine asserted

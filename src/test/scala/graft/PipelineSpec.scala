@@ -130,6 +130,30 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall@10 $recall < 0.3")
   }
 
+  test("PCA whitening: unit variances, decorrelated axes, deterministic") {
+    val k = 8
+    val out = Whitening.pcaWhiten(embs, "vec_id", "embedding", k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    assert(out.forall(_.length == k))
+    val n = out.length
+    // sample covariance of the whitened output ≈ I_k (population-vs-sample
+    // scaling: MLlib covariance is the unbiased n−1 form, so whitened
+    // variances land on 1 exactly up to float noise)
+    val meanW = (0 until k).map(j => out.map(_(j)).sum / n)
+    var maxDiag = 0.0; var maxOff = 0.0
+    for (a <- 0 until k; b <- a until k) {
+      val c = out.map(v => (v(a) - meanW(a)) * (v(b) - meanW(b))).sum / (n - 1)
+      if (a == b) maxDiag = math.max(maxDiag, math.abs(c - 1.0))
+      else maxOff = math.max(maxOff, math.abs(c))
+    }
+    assert(maxDiag < 1e-6, s"whitened variance off unit by $maxDiag")
+    assert(maxOff < 1e-6, s"whitened axes correlated by $maxOff")
+    // deterministic: second fit produces identical projections
+    val again = Whitening.pcaWhiten(embs, "vec_id", "embedding", k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    assert(out.zip(again).forall { case (x, y) => x.sameElements(y) })
+  }
+
   test("PQ ANN: full-refine rerank equals brute force; deterministic; recall") {
     val q = embs.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
