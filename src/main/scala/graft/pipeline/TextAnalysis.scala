@@ -102,6 +102,12 @@ object TextAnalysis {
   def repetitionStats(text: Column, n: Int): Column =
     graft.functions.GramRepStats(shingles(text, n))
 
+  /** CCNet-style canonicalization (Wenzek et al. 2020 §3.1) — NFKC,
+    * casefold, accent strip, digit→0 — applied before fingerprint/MinHash
+    * so trivial variants dedup together. One-pass native expression. */
+  def normalizeText(text: Column): Column =
+    graft.functions.NormalizeText(text)
+
   /** Shannon entropy (bits) of the text's code-point distribution — the
     * gibberish / encoded-blob signal of Dolma-family quality filters.
     * Single-pass [[graft.functions.CharEntropy]] kernel; map-only. */

@@ -217,6 +217,18 @@ object PipelineQueries {
       (s, dir) => LanguageModel.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("lm_logprob", round(col("lm_logprob"), 4))),
 
+    // ---- CCNet canonicalization → fingerprint: normalized-text dedup
+    //      keys (full Unicode path unit-tested in PipelineSpec; the ASCII
+    //      fixture projects to lowercase + digit-fold, which the oracle
+    //      replays)
+    GraftQuery("q140_normalized_fingerprint",
+      Some("""SELECT md5(regexp_replace(lower(text), '[0-9]', '0', 'g')) AS fp,
+             |  count(*) AS n, min(doc_id) AS keeper
+             |FROM documents GROUP BY 1""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(md5(TextAnalysis.normalizeText(col("text"))).as("fp"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))),
+
     // ---- character-entropy quality signal (Dolma-family gibberish /
     //      encoded-blob detector): one-pass native kernel, map-only; the
     //      oracle re-derives the distribution with unnest + group

@@ -413,6 +413,27 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("text normalization: NFKC, casefold, accent strip, digit fold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Café 2024"),        // precomposed é, digits
+      (2L, "Café 2024"),       // decomposed e + combining acute
+      (3L, "ﬁle STÜCK"),   // ﬁ ligature (NFKC → fi), Ü
+      (4L, "① ½")          // ① (NFKC → 1), ½ (NFKC → 1⁄2)
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // composed and decomposed forms canonicalize identically
+    assert(out(1L) == "cafe 0000" && out(2L) == "cafe 0000")
+    assert(out(3L) == "file stuck")
+    // NFKC expands enclosed/vulgar forms; digits then fold to 0
+    assert(out(4L) == "0 0⁄0")
+    // null passes through
+    val nulls = Seq((5L, null: String)).toDF("id", "t")
+      .select(TextAnalysis.normalizeText(col("t"))).head()
+    assert(nulls.isNullAt(0))
+  }
+
   test("char entropy: known answers, code-point counting, null/empty") {
     import spark.implicits._
     val df = Seq(
