@@ -140,8 +140,9 @@ object Pq {
   def pqTopK(
       embDf: DataFrame, idCol: String, embCol: String,
       query: Array[Double], k: Int,
-      m: Int = 8, ksub: Int = 32, iters: Int = 2, seed: Long = 42L): DataFrame = {
-    val books = train(embDf, idCol, embCol, m, ksub, iters, seed)
+      m: Int = 8, ksub: Int = 32, iters: Int = 2, seed: Long = 42L,
+      maxTrain: Int = 20000): DataFrame = {
+    val books = train(embDf, idCol, embCol, m, ksub, iters, seed, maxTrain)
     embDf
       .select(col(idCol), encodeColumn(col(embCol), books, m, ksub).as("__codes"))
       .select(col(idCol),
@@ -157,8 +158,9 @@ object Pq {
   def pqTopKRerank(
       embDf: DataFrame, idCol: String, embCol: String,
       query: Array[Double], k: Int, refine: Int = 5,
-      m: Int = 8, ksub: Int = 32, iters: Int = 2, seed: Long = 42L): DataFrame = {
-    val books = train(embDf, idCol, embCol, m, ksub, iters, seed)
+      m: Int = 8, ksub: Int = 32, iters: Int = 2, seed: Long = 42L,
+      maxTrain: Int = 20000): DataFrame = {
+    val books = train(embDf, idCol, embCol, m, ksub, iters, seed, maxTrain)
     val candidates = embDf
       .select(col(idCol), encodeColumn(col(embCol), books, m, ksub).as("__codes"))
       .select(col(idCol), adcColumn(col("__codes"), books, query, m, ksub).as("__adc"))

@@ -455,7 +455,7 @@ object PipelineQueries {
     GraftQuery("q133_ann_pq", None,
       (s, dir) => Pq.pqTopKRerank(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10,
-        refine = 5, m = 8, ksub = 32)),
+        refine = 5, m = 8, ksub = 16, maxTrain = 10000)),
 
     // ---- embedding norms by cluster label
     GraftQuery("q59_embedding_norms",
