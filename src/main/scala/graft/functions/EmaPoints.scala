@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Exponential moving average over a series' time-sorted points — the
+  * sequential recurrence InfluxQL's `exponential_moving_average(field, N)`
+  * applies per series (TA convention: the first emitted value, at the N-th
+  * point, seeds with the simple average of the first N; afterwards
+  * ema = α·x + (1−α)·ema_prev with α = 2/(N+1); series shorter than N emit
+  * nothing).
+  *
+  * Input: array<struct<t: timestamp, v: double>> SORTED by t (callers use
+  * sort_array over a per-series collect_list — one keyed shuffle, linear
+  * kernel per series; state per series = its bucket grid, the same
+  * grid-bounded footprint as the fill() materialization). Output:
+  * array<struct<t, ema>> starting at the N-th input point.
+  */
+case class EmaPoints(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "exponential_moving_average window must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", TimestampType, nullable = false),
+    StructField("ema", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "ema_points"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val alpha = 2.0 / (n + 1)
+    val out = new Array[Any](total - n + 1)
+    var seedSum = 0.0
+    var ema = 0.0
+    var i = 0
+    while (i < total) {
+      val row = arr.getStruct(i, 2)
+      val t = row.getLong(0)
+      val v = row.getDouble(1)
+      if (i < n) seedSum += v
+      if (i == n - 1) ema = seedSum / n
+      else if (i >= n) ema = alpha * v + (1.0 - alpha) * ema
+      if (i >= n - 1) out(i - n + 1) = InternalRow(t, ema)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object EmaPoints {
+  def apply(pts: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.col(EmaPoints(
+      org.apache.spark.sql.GraftBridge.expr(pts), n))
+}

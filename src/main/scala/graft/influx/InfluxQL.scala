@@ -117,7 +117,7 @@ object InfluxQL {
     "top", "bottom", "sample")
   private val transformFns = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",
-    "elapsed")
+    "elapsed", "exponential_moving_average")
   // InfluxQL 1.x scalar math functions (query/math.go): element-wise over a
   // raw field or around an aggregate; log/pow take a numeric second argument
   private val mathFns = Set("abs", "sin", "cos", "tan", "asin", "acos", "atan",
@@ -755,6 +755,22 @@ object InfluxQL {
       case "cumulative_sum" =>
         base.withColumn(outName,
           sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      case "exponential_moving_average" =>
+        // sequential recurrence — not window-expressible without
+        // overflow-prone (1−α)^(−i) weights, so: ONE groupBy-by-series
+        // shuffle collecting the (grid-bounded) series into an array, then
+        // the linear native kernel, re-exploded. Tag columns keep their
+        // original types (no string-cast round trip).
+        val n = arg.map(_.trim.toInt).getOrElse(throw new IllegalArgumentException(
+          "exponential_moving_average needs a window size"))
+        val pts = base.groupBy(tagCols.map(col): _*)
+          .agg(sort_array(collect_list(struct(
+            col(timeCol).as("t"), v.cast("double").as("v")))).as("__pts"))
+        return pts
+          .select(tagCols.map(col) :+
+            explode(graft.functions.EmaPoints(col("__pts"), n)).as("__e"): _*)
+          .select(tagCols.map(col) ++
+            Seq(col("__e.t").as(timeCol), col("__e.ema").as(outName)): _*)
       case "elapsed" =>
         // integer time delta between consecutive points in `arg` units
         // (InfluxDB default 1ns; engine resolution is µs → ×1000)

@@ -422,6 +422,36 @@ object Protocols {
           .withColumn("hi", round(col("hi"), 4))
       }),
 
+    // ---- exponential_moving_average over the hourly grid: sequential
+    //      per-series recurrence (SMA-seeded, α = 2/(N+1)); the oracle
+    //      replays the exact recurrence with a recursive CTE
+    GraftQuery("q141_influx_ema",
+      Some("""WITH RECURSIVE hourly AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS "time",
+             |    event_type, max("value") AS m
+             |  FROM events GROUP BY 1, 2),
+             |o AS (SELECT event_type, "time", m,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY "time") AS rn
+             |  FROM hourly),
+             |s AS (SELECT event_type, rn, m,
+             |    avg(m) OVER (PARTITION BY event_type ORDER BY rn
+             |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sma
+             |  FROM o),
+             |rec AS (
+             |  SELECT event_type, rn, sma AS ema FROM s WHERE rn = 4
+             |  UNION ALL
+             |  SELECT o.event_type, o.rn, (2.0/5) * o.m + (1 - 2.0/5) * rec.ema
+             |  FROM rec JOIN o ON o.event_type = rec.event_type AND o.rn = rec.rn + 1)
+             |SELECT o.event_type, o."time", round(rec.ema, 4) AS ema
+             |FROM rec JOIN o USING (event_type, rn)""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT exponential_moving_average(max(value), 4) AS ema
+            |FROM events GROUP BY time(1h), event_type fill(none)""".stripMargin)
+          .withColumn("ema", round(col("ema"), 4))
+      }),
+
     // ---- GROUP BY time(interval, offset): preset bucket boundaries
     //      shifted by 30m — the Grafana bucket-alignment knob
     GraftQuery("q138_influx_time_offset",

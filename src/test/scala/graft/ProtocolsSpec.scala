@@ -417,6 +417,32 @@ class ProtocolsSpec extends SparkSpec {
     assert(s2.toSet == again.toSet)
   }
 
+  test("InfluxQL exponential_moving_average: SMA seed then recurrence") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-ema").toString)
+    LineProtocol.ingest(e, ((0 until 5).map(i =>
+      s"m,host=a v=${i + 1}.0 ${1704067200L + i * 60}000000000") :+
+      "m,host=b v=7.0 1704067200000000000").toDS())
+    // n=3 → α=0.5: seed (1+2+3)/3 = 2 at the 3rd point, then 0.5·4+0.5·2=3,
+    // 0.5·5+0.5·3=4; host b has fewer than 3 points → nothing
+    val out = InfluxQL.run(e,
+      "SELECT exponential_moving_average(v, 3) AS ema FROM m GROUP BY host")
+      .collect().map(r => (r.getAs[String]("host"),
+        r.getAs[java.sql.Timestamp]("time").getTime, r.getAs[Double]("ema"))).toSet
+    assert(out == Set(
+      ("a", 1704067320000L, 2.0),
+      ("a", 1704067380000L, 3.0),
+      ("a", 1704067440000L, 4.0)))
+    // over an aggregated grid: mean per minute is the identity here, so the
+    // same values ride through the bucketed path
+    val g = InfluxQL.run(e,
+      """SELECT exponential_moving_average(mean(v), 3) AS ema FROM m
+        |WHERE host = 'a' GROUP BY time(1m) fill(none)""".stripMargin)
+      .collect().map(r => r.getAs[Double]("ema")).sorted.toSeq
+    assert(g == Seq(2.0, 3.0, 4.0))
+  }
+
   test("InfluxQL GROUP BY time(interval, offset): shifted boundaries") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
