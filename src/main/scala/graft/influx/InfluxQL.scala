@@ -117,7 +117,8 @@ object InfluxQL {
     "top", "bottom", "sample")
   private val transformFns = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",
-    "elapsed", "exponential_moving_average")
+    "elapsed", "exponential_moving_average", "chande_momentum_oscillator",
+    "kaufmans_efficiency_ratio")
   // InfluxQL 1.x scalar math functions (query/math.go): element-wise over a
   // raw field or around an aggregate; log/pow take a numeric second argument
   private val mathFns = Set("abs", "sin", "cos", "tan", "asin", "acos", "atan",
@@ -755,6 +756,29 @@ object InfluxQL {
       case "cumulative_sum" =>
         base.withColumn(outName,
           sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      case "chande_momentum_oscillator" | "kaufmans_efficiency_ratio" =>
+        // both reduce to window algebra over the last N consecutive diffs
+        // d_i = x_i − x_{i−1}: up − down = Σd and up + down = Σ|d|, so
+        // CMO = 100·Σd / Σ|d| (Chande 1994) and, since x_t − x_{t−N} = Σd,
+        // KER = |Σd| / Σ|d| (Kaufman's efficiency ratio). Emitted once N
+        // diffs exist, like the moving_average warm-up.
+        val n = arg.map(_.trim.toInt).getOrElse(
+          throw new IllegalArgumentException(s"$fn needs a window size"))
+        require(n >= 1, s"$fn window must be >= 1")
+        val frame = w.rowsBetween(-(n - 1), 0)
+        val withD = base.withColumn("__d", v - lag(v, 1).over(w))
+        val sumD = sum(col("__d")).over(frame)
+        val sumAbs = sum(abs(col("__d"))).over(frame)
+        val value =
+          if (fn == "chande_momentum_oscillator") lit(100.0) * sumD / sumAbs
+          else abs(sumD) / sumAbs
+        // a perfectly flat window (Σ|d| = 0) has no defined momentum /
+        // efficiency — emit nothing (also keeps ANSI division happy)
+        return withD
+          .withColumn(outName,
+            when(count(col("__d")).over(frame) === n && sumAbs =!= 0.0, value))
+          .filter(col(outName).isNotNull)
+          .select(keep :+ col(outName): _*)
       case "exponential_moving_average" =>
         // sequential recurrence — not window-expressible without
         // overflow-prone (1−α)^(−i) weights, so: ONE groupBy-by-series

@@ -452,6 +452,36 @@ object Protocols {
           .withColumn("ema", round(col("ema"), 4))
       }),
 
+    // ---- Chande momentum + Kaufman efficiency over the hourly grid:
+    //      window algebra over the last-6 diffs (Σd, Σ|d|), two transform
+    //      projections in one SELECT
+    GraftQuery("q142_influx_cmo_ker",
+      Some("""WITH hourly AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS "time",
+             |    event_type, max("value") AS m
+             |  FROM events GROUP BY 1, 2),
+             |d AS (SELECT event_type, "time",
+             |    m - lag(m) OVER (PARTITION BY event_type ORDER BY "time") AS d
+             |  FROM hourly),
+             |wnd AS (SELECT event_type, "time",
+             |    sum(d) OVER w AS sd, sum(abs(d)) OVER w AS sa,
+             |    count(d) OVER w AS c
+             |  FROM d
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY "time"
+             |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+             |SELECT event_type, "time",
+             |  round(100 * sd / sa, 4) AS cmo, round(abs(sd) / sa, 4) AS ker
+             |FROM wnd WHERE c = 6 AND sa <> 0""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT chande_momentum_oscillator(max(value), 6) AS cmo,
+            |  kaufmans_efficiency_ratio(max(value), 6) AS ker
+            |FROM events GROUP BY time(1h), event_type fill(none)""".stripMargin)
+          .withColumn("cmo", round(col("cmo"), 4))
+          .withColumn("ker", round(col("ker"), 4))
+      }),
+
     // ---- GROUP BY time(interval, offset): preset bucket boundaries
     //      shifted by 30m — the Grafana bucket-alignment knob
     GraftQuery("q138_influx_time_offset",

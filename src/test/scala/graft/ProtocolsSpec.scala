@@ -443,6 +443,35 @@ class ProtocolsSpec extends SparkSpec {
     assert(g == Seq(2.0, 3.0, 4.0))
   }
 
+  test("InfluxQL chande_momentum_oscillator and kaufmans_efficiency_ratio") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-cmo").toString)
+    // values 1, 3, 2, 6 → diffs +2, −1, +4
+    LineProtocol.ingest(e, Seq(1.0, 3.0, 2.0, 6.0).zipWithIndex.map {
+      case (x, i) => s"m,host=a v=$x ${1704067200L + i * 60}000000000"
+    }.toDS())
+    // n=2 windows over diffs: [+2,−1] → Σd=1, Σ|d|=3 → CMO 100/3, KER 1/3;
+    // [−1,+4] → Σd=3, Σ|d|=5 → CMO 60, KER 3/5
+    val cmo = InfluxQL.run(e,
+      "SELECT chande_momentum_oscillator(v, 2) AS c FROM m GROUP BY host")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("time").getTime,
+        BigDecimal(r.getAs[Double]("c")).setScale(4, BigDecimal.RoundingMode.HALF_UP))).toSet
+    assert(cmo == Set(
+      (1704067320000L, BigDecimal("33.3333")), (1704067380000L, BigDecimal("60.0000"))))
+    val ker = InfluxQL.run(e,
+      "SELECT kaufmans_efficiency_ratio(v, 2) AS k FROM m GROUP BY host")
+      .collect().map(r => BigDecimal(r.getAs[Double]("k"))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).toSet
+    assert(ker == Set(BigDecimal("0.3333"), BigDecimal("0.6000")))
+    // flat series: no defined momentum, no rows
+    LineProtocol.ingest(e, (0 until 4).map(i =>
+      s"f,host=a v=5.0 ${1704067200L + i * 60}000000000").toDS())
+    assert(InfluxQL.run(e,
+      "SELECT chande_momentum_oscillator(v, 2) AS c FROM f GROUP BY host")
+      .count() == 0)
+  }
+
   test("InfluxQL GROUP BY time(interval, offset): shifted boundaries") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
