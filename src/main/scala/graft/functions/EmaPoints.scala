@@ -60,3 +60,67 @@ object EmaPoints {
     org.apache.spark.sql.GraftBridge.col(EmaPoints(
       org.apache.spark.sql.GraftBridge.expr(pts), n))
 }
+
+/** Relative strength index over a series' time-sorted points (Wilder
+  * 1978, the InfluxQL `relative_strength_index(field, N)` transform):
+  * diffs split into gain/loss streams; the first average gain/loss is the
+  * simple mean of the first N diffs (emitted at point N+1), then Wilder's
+  * smoothing avg = (avg_prev·(N−1) + x)/N; RSI = 100 − 100/(1 + gain/loss)
+  * with the all-loss window pinned to 0 and all-gain to 100.
+  *
+  * Same contract as [[EmaPoints]]: sorted array<struct<t, v>> in, one
+  * keyed shuffle + linear kernel per series, array<struct<t, rsi>> out.
+  */
+case class RsiPoints(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "relative_strength_index window must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", TimestampType, nullable = false),
+    StructField("rsi", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "rsi_points"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    if (total < n + 1) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total - n)
+    var avgUp = 0.0
+    var avgDown = 0.0
+    var prev = arr.getStruct(0, 2).getDouble(1)
+    var i = 1
+    while (i < total) {
+      val row = arr.getStruct(i, 2)
+      val t = row.getLong(0)
+      val v = row.getDouble(1)
+      val d = v - prev
+      prev = v
+      val up = if (d > 0) d else 0.0
+      val down = if (d < 0) -d else 0.0
+      if (i <= n) { avgUp += up; avgDown += down }
+      if (i == n) { avgUp /= n; avgDown /= n }
+      else if (i > n) {
+        avgUp = (avgUp * (n - 1) + up) / n
+        avgDown = (avgDown * (n - 1) + down) / n
+      }
+      if (i >= n) {
+        val rsi =
+          if (avgDown == 0.0 && avgUp == 0.0) 50.0
+          else if (avgDown == 0.0) 100.0
+          else 100.0 - 100.0 / (1.0 + avgUp / avgDown)
+        out(i - n) = InternalRow(t, rsi)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RsiPoints {
+  def apply(pts: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.col(RsiPoints(
+      org.apache.spark.sql.GraftBridge.expr(pts), n))
+}

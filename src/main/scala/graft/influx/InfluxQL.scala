@@ -118,7 +118,7 @@ object InfluxQL {
   private val transformFns = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",
     "elapsed", "exponential_moving_average", "chande_momentum_oscillator",
-    "kaufmans_efficiency_ratio")
+    "kaufmans_efficiency_ratio", "relative_strength_index")
   // InfluxQL 1.x scalar math functions (query/math.go): element-wise over a
   // raw field or around an aggregate; log/pow take a numeric second argument
   private val mathFns = Set("abs", "sin", "cos", "tan", "asin", "acos", "atan",
@@ -779,22 +779,25 @@ object InfluxQL {
             when(count(col("__d")).over(frame) === n && sumAbs =!= 0.0, value))
           .filter(col(outName).isNotNull)
           .select(keep :+ col(outName): _*)
-      case "exponential_moving_average" =>
-        // sequential recurrence — not window-expressible without
+      case "exponential_moving_average" | "relative_strength_index" =>
+        // sequential recurrences — not window-expressible without
         // overflow-prone (1−α)^(−i) weights, so: ONE groupBy-by-series
         // shuffle collecting the (grid-bounded) series into an array, then
         // the linear native kernel, re-exploded. Tag columns keep their
         // original types (no string-cast round trip).
         val n = arg.map(_.trim.toInt).getOrElse(throw new IllegalArgumentException(
-          "exponential_moving_average needs a window size"))
+          s"$fn needs a window size"))
         val pts = base.groupBy(tagCols.map(col): _*)
           .agg(sort_array(collect_list(struct(
             col(timeCol).as("t"), v.cast("double").as("v")))).as("__pts"))
+        val (kernel, field) =
+          if (fn == "relative_strength_index")
+            (graft.functions.RsiPoints(col("__pts"), n), "rsi")
+          else (graft.functions.EmaPoints(col("__pts"), n), "ema")
         return pts
-          .select(tagCols.map(col) :+
-            explode(graft.functions.EmaPoints(col("__pts"), n)).as("__e"): _*)
+          .select(tagCols.map(col) :+ explode(kernel).as("__e"): _*)
           .select(tagCols.map(col) ++
-            Seq(col("__e.t").as(timeCol), col("__e.ema").as(outName)): _*)
+            Seq(col("__e.t").as(timeCol), col(s"__e.$field").as(outName)): _*)
       case "elapsed" =>
         // integer time delta between consecutive points in `arg` units
         // (InfluxDB default 1ns; engine resolution is µs → ×1000)

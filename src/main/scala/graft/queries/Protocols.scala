@@ -482,6 +482,46 @@ object Protocols {
           .withColumn("ker", round(col("ker"), 4))
       }),
 
+    // ---- relative_strength_index over the hourly grid: Wilder's coupled
+    //      gain/loss recurrences, replayed by a recursive CTE carrying
+    //      both running averages
+    GraftQuery("q143_influx_rsi",
+      Some("""WITH RECURSIVE hourly AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS "time",
+             |    event_type, max("value") AS m
+             |  FROM events GROUP BY 1, 2),
+             |o AS (SELECT event_type, "time", m,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY "time") AS rn
+             |  FROM hourly),
+             |d AS (SELECT event_type, rn,
+             |    greatest(m - lag(m) OVER (PARTITION BY event_type ORDER BY rn), 0) AS up,
+             |    greatest(lag(m) OVER (PARTITION BY event_type ORDER BY rn) - m, 0) AS down
+             |  FROM o),
+             |s AS (SELECT event_type, rn,
+             |    avg(up) OVER w AS au, avg(down) OVER w AS ad
+             |  FROM d WHERE rn >= 2
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY rn
+             |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+             |rec AS (
+             |  SELECT event_type, rn, au, ad FROM s WHERE rn = 7
+             |  UNION ALL
+             |  SELECT d.event_type, d.rn,
+             |    (rec.au * 5 + d.up) / 6, (rec.ad * 5 + d.down) / 6
+             |  FROM rec JOIN d ON d.event_type = rec.event_type
+             |    AND d.rn = rec.rn + 1)
+             |SELECT o.event_type, o."time",
+             |  round(CASE WHEN rec.ad = 0 AND rec.au = 0 THEN 50
+             |        WHEN rec.ad = 0 THEN 100
+             |        ELSE 100 - 100 / (1 + rec.au / rec.ad) END, 4) AS rsi
+             |FROM rec JOIN o USING (event_type, rn)""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT relative_strength_index(max(value), 6) AS rsi
+            |FROM events GROUP BY time(1h), event_type fill(none)""".stripMargin)
+          .withColumn("rsi", round(col("rsi"), 4))
+      }),
+
     // ---- GROUP BY time(interval, offset): preset bucket boundaries
     //      shifted by 30m — the Grafana bucket-alignment knob
     GraftQuery("q138_influx_time_offset",

@@ -472,6 +472,29 @@ class ProtocolsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("InfluxQL relative_strength_index: Wilder smoothing") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-rsi").toString)
+    // values 1, 3, 2, 6, 6 → diffs +2, −1, +4, 0
+    LineProtocol.ingest(e, Seq(1.0, 3.0, 2.0, 6.0, 6.0).zipWithIndex.map {
+      case (x, i) => s"m,host=a v=$x ${1704067200L + i * 60}000000000"
+    }.toDS())
+    // n=2: seed avgUp=(2+0)/2=1, avgDown=(0+1)/2=0.5 at point 3
+    //   → RSI = 100 − 100/(1+2) = 66.667
+    // point 4 (d=+4): avgUp=(1·1+4)/2=2.5, avgDown=(0.5·1+0)/2=0.25
+    //   → RS=10 → RSI = 100·10/11 = 90.909
+    // point 5 (d=0): avgUp=1.25, avgDown=0.125 → RS=10 → 90.909
+    val out = InfluxQL.run(e,
+      "SELECT relative_strength_index(v, 2) AS r FROM m GROUP BY host")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("time").getTime,
+        BigDecimal(r.getAs[Double]("r")).setScale(3, BigDecimal.RoundingMode.HALF_UP))).toSet
+    assert(out == Set(
+      (1704067320000L, BigDecimal("66.667")),
+      (1704067380000L, BigDecimal("90.909")),
+      (1704067440000L, BigDecimal("90.909"))))
+  }
+
   test("InfluxQL GROUP BY time(interval, offset): shifted boundaries") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
