@@ -59,6 +59,87 @@ object EmaPoints {
   def apply(pts: Column, n: Int): Column =
     org.apache.spark.sql.GraftBridge.col(EmaPoints(
       org.apache.spark.sql.GraftBridge.expr(pts), n))
+
+  /** SMA-seeded EMA recurrence over a value sequence; out(j) is the EMA
+    * at input index j + n − 1 (empty when the input is shorter than n). */
+  private[functions] def emaSeq(xs: Array[Double], n: Int): Array[Double] = {
+    if (xs.length < n) return Array.empty[Double]
+    val alpha = 2.0 / (n + 1)
+    val out = new Array[Double](xs.length - n + 1)
+    var seedSum = 0.0
+    var i = 0
+    while (i < xs.length) {
+      if (i < n) seedSum += xs(i)
+      if (i == n - 1) out(0) = seedSum / n
+      else if (i >= n) out(i - n + 1) = alpha * xs(i) + (1.0 - alpha) * out(i - n)
+      i += 1
+    }
+    out
+  }
+}
+
+/** Double / triple exponential moving averages over a series' time-sorted
+  * points (Mulloy 1994; InfluxQL's `double_exponential_moving_average` /
+  * `triple_exponential_moving_average`): with E1 = EMA_N(x),
+  * E2 = EMA_N(E1), E3 = EMA_N(E2) —
+  * DEMA = 2·E1 − E2 (emitted once E2 exists, i.e. from point 2N−1) and
+  * TEMA = 3·E1 − 3·E2 + E3 (from point 3N−2). Each EMA stage uses the
+  * same SMA-seeded recurrence as [[EmaPoints]].
+  *
+  * Same contract as [[EmaPoints]]: sorted array in, linear kernel,
+  * aligned array<struct<t, v>> out. */
+case class DemaPoints(child: Expression, n: Int, triple: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "moving-average window must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", TimestampType, nullable = false),
+    StructField("v", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = if (triple) "tema_points" else "dema_points"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    val xs = new Array[Double](total)
+    val ts = new Array[Long](total)
+    var i = 0
+    while (i < total) {
+      val row = arr.getStruct(i, 2)
+      ts(i) = row.getLong(0); xs(i) = row.getDouble(1)
+      i += 1
+    }
+    val e1 = EmaPoints.emaSeq(xs, n)
+    val e2 = EmaPoints.emaSeq(e1, n)
+    if (!triple) {
+      // DEMA_j pairs e2(j) with e1(j + n − 1); times start at point 2n−2
+      val out = new Array[Any](e2.length)
+      var j = 0
+      while (j < e2.length) {
+        out(j) = InternalRow(ts(j + 2 * (n - 1)), 2.0 * e1(j + n - 1) - e2(j))
+        j += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val e3 = EmaPoints.emaSeq(e2, n)
+      val out = new Array[Any](e3.length)
+      var j = 0
+      while (j < e3.length) {
+        out(j) = InternalRow(ts(j + 3 * (n - 1)),
+          3.0 * e1(j + 2 * (n - 1)) - 3.0 * e2(j + n - 1) + e3(j))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DemaPoints {
+  def apply(pts: Column, n: Int, triple: Boolean): Column =
+    org.apache.spark.sql.GraftBridge.col(DemaPoints(
+      org.apache.spark.sql.GraftBridge.expr(pts), n, triple))
 }
 
 /** Relative strength index over a series' time-sorted points (Wilder

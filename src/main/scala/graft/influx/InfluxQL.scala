@@ -118,7 +118,8 @@ object InfluxQL {
   private val transformFns = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",
     "elapsed", "exponential_moving_average", "chande_momentum_oscillator",
-    "kaufmans_efficiency_ratio", "relative_strength_index")
+    "kaufmans_efficiency_ratio", "relative_strength_index",
+    "double_exponential_moving_average", "triple_exponential_moving_average")
   // InfluxQL 1.x scalar math functions (query/math.go): element-wise over a
   // raw field or around an aggregate; log/pow take a numeric second argument
   private val mathFns = Set("abs", "sin", "cos", "tan", "asin", "acos", "atan",
@@ -779,7 +780,9 @@ object InfluxQL {
             when(count(col("__d")).over(frame) === n && sumAbs =!= 0.0, value))
           .filter(col(outName).isNotNull)
           .select(keep :+ col(outName): _*)
-      case "exponential_moving_average" | "relative_strength_index" =>
+      case "exponential_moving_average" | "relative_strength_index" |
+           "double_exponential_moving_average" |
+           "triple_exponential_moving_average" =>
         // sequential recurrences — not window-expressible without
         // overflow-prone (1−α)^(−i) weights, so: ONE groupBy-by-series
         // shuffle collecting the (grid-bounded) series into an array, then
@@ -790,10 +793,15 @@ object InfluxQL {
         val pts = base.groupBy(tagCols.map(col): _*)
           .agg(sort_array(collect_list(struct(
             col(timeCol).as("t"), v.cast("double").as("v")))).as("__pts"))
-        val (kernel, field) =
-          if (fn == "relative_strength_index")
+        val (kernel, field) = fn match {
+          case "relative_strength_index" =>
             (graft.functions.RsiPoints(col("__pts"), n), "rsi")
-          else (graft.functions.EmaPoints(col("__pts"), n), "ema")
+          case "double_exponential_moving_average" =>
+            (graft.functions.DemaPoints(col("__pts"), n, triple = false), "v")
+          case "triple_exponential_moving_average" =>
+            (graft.functions.DemaPoints(col("__pts"), n, triple = true), "v")
+          case _ => (graft.functions.EmaPoints(col("__pts"), n), "ema")
+        }
         return pts
           .select(tagCols.map(col) :+ explode(kernel).as("__e"): _*)
           .select(tagCols.map(col) ++

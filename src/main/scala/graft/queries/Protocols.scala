@@ -482,6 +482,55 @@ object Protocols {
           .withColumn("ker", round(col("ker"), 4))
       }),
 
+    // ---- double_exponential_moving_average over the hourly grid: DEMA =
+    //      2·E1 − E2; the oracle chains two recursive CTEs, the second
+    //      recursing over the first's output
+    GraftQuery("q144_influx_dema",
+      Some("""WITH RECURSIVE hourly AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS "time",
+             |    event_type, max("value") AS m
+             |  FROM events GROUP BY 1, 2),
+             |o AS (SELECT event_type, "time", m,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY "time") AS rn
+             |  FROM hourly),
+             |s1 AS (SELECT event_type, rn, m,
+             |    avg(m) OVER w AS sma FROM o
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY rn
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+             |-- ONE recursion carrying both EMA states: e1 advances every
+             |-- step; acc2 accumulates e1 for E2's SMA seed (rn 4..7), e2
+             |-- seeds at rn=7 and then runs its own recurrence over e1 —
+             |-- recursion-over-recursion re-evaluates the inner CTE per
+             |-- step (quadratic), this stays linear
+             |rec AS (
+             |  SELECT event_type, rn, sma AS e1, sma AS acc2,
+             |    CAST(NULL AS DOUBLE) AS e2
+             |  FROM s1 WHERE rn = 4
+             |  UNION ALL
+             |  SELECT o.event_type, o.rn,
+             |    (2.0/5) * o.m + (1 - 2.0/5) * rec.e1,
+             |    CASE WHEN o.rn <= 7
+             |      THEN rec.acc2 + ((2.0/5) * o.m + (1 - 2.0/5) * rec.e1)
+             |      ELSE rec.acc2 END,
+             |    CASE WHEN o.rn = 7
+             |      THEN (rec.acc2 + ((2.0/5) * o.m + (1 - 2.0/5) * rec.e1)) / 4
+             |      WHEN o.rn > 7
+             |      THEN (2.0/5) * ((2.0/5) * o.m + (1 - 2.0/5) * rec.e1)
+             |           + (1 - 2.0/5) * rec.e2
+             |    END
+             |  FROM rec JOIN o ON o.event_type = rec.event_type
+             |    AND o.rn = rec.rn + 1)
+             |SELECT o.event_type, o."time", round(2 * rec.e1 - rec.e2, 4) AS dema
+             |FROM rec JOIN o USING (event_type, rn)
+             |WHERE rec.e2 IS NOT NULL""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT double_exponential_moving_average(max(value), 4) AS dema
+            |FROM events GROUP BY time(1h), event_type fill(none)""".stripMargin)
+          .withColumn("dema", round(col("dema"), 4))
+      }),
+
     // ---- relative_strength_index over the hourly grid: Wilder's coupled
     //      gain/loss recurrences, replayed by a recursive CTE carrying
     //      both running averages

@@ -495,6 +495,30 @@ class ProtocolsSpec extends SparkSpec {
       (1704067440000L, BigDecimal("90.909"))))
   }
 
+  test("InfluxQL double/triple exponential moving averages") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-dema").toString)
+    // linear series 1..7 at minutes: DEMA and TEMA are lag-free on a
+    // linear trend, so they reproduce the input from their first point
+    LineProtocol.ingest(e, (1 to 7).map(i =>
+      s"m,host=a v=$i.0 ${1704067200L + i * 60}000000000").toDS())
+    val dema = InfluxQL.run(e,
+      "SELECT double_exponential_moving_average(v, 2) AS d FROM m GROUP BY host")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("time").getTime,
+        math.round(r.getAs[Double]("d") * 1e9) / 1e9)).toSet
+    // first DEMA at point 2n−1 = 3
+    assert(dema == (3 to 7).map(i =>
+      (1704067200000L + i * 60000L, i.toDouble)).toSet)
+    val tema = InfluxQL.run(e,
+      "SELECT triple_exponential_moving_average(v, 2) AS t3 FROM m GROUP BY host")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("time").getTime,
+        math.round(r.getAs[Double]("t3") * 1e9) / 1e9)).toSet
+    // first TEMA at point 3n−2 = 4
+    assert(tema == (4 to 7).map(i =>
+      (1704067200000L + i * 60000L, i.toDouble)).toSet)
+  }
+
   test("InfluxQL GROUP BY time(interval, offset): shifted boundaries") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
