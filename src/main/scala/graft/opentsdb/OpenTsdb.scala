@@ -29,7 +29,7 @@ object OpenTsdb {
   final case class SubQuery(
       metric: String, aggregator: String,
       tags: Map[String, String], filters: Seq[TagFilter],
-      downsample: Option[String] = None)
+      downsample: Option[String] = None, rate: Boolean = false)
   final case class Query(startMs: Long, endMs: Long, queries: Seq[SubQuery])
 
   /** Parse the OpenTSDB `/api/query` JSON body. */
@@ -46,6 +46,7 @@ object OpenTsdb {
           metric = (q \ "metric").extract[String],
           aggregator = (q \ "aggregator").extract[String].toLowerCase,
           tags = (q \ "tags").extractOpt[Map[String, String]].getOrElse(Map.empty),
+          rate = (q \ "rate").extractOpt[Boolean].getOrElse(false),
           filters = (q \ "filters") match {
             case JArray(fs) => fs.map { f =>
               TagFilter(
@@ -69,7 +70,7 @@ object OpenTsdb {
     q.queries.map(runSub(q, _, resolve))
 
   def runSub(q: Query, sub: SubQuery, resolve: String => SeriesTable,
-      applyDownsample: Boolean = false): DataFrame = {
+      applyDownsample: Boolean = false, applyRate: Boolean = false): DataFrame = {
     val t = resolve(sub.metric)
     // OpenTSDB time bounds are inclusive; `end` is optional (open-ended)
     var df = t.df.filter(col(t.tsCol) >= timestamp_millis(lit(q.startMs)))
@@ -91,9 +92,22 @@ object OpenTsdb {
           ("__ds_ts", df.groupBy(keys: _*).agg(dsAgg.as(t.valueCol)))
         case None => (t.tsCol, df)
       }
-    df = df2
+    // rate (opt-in like downsample — the reference parses-but-ignores it
+    // too): per-SERIES dv/dt in units/second between consecutive points,
+    // after downsampling and before the cross-series aggregator (OpenTSDB
+    // 2.x ordering). First point of each series emits nothing.
+    val df3 =
+      if (sub.rate && applyRate) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(t.tags.map(col): _*).orderBy(col(tsCol2))
+        val dtSec =
+          (unix_millis(col(tsCol2)) - lag(unix_millis(col(tsCol2)), 1).over(w)) / 1000.0
+        val dv = col(t.valueCol) - lag(col(t.valueCol), 1).over(w)
+        df2.withColumn(t.valueCol, dv / dtSec)
+          .filter(col(t.valueCol).isNotNull)
+      } else df2
     val tEff = t.copy(tsCol = tsCol2)
-    runAggregation(q, sub, tEff, df)
+    runAggregation(q, sub, tEff, df3)
   }
 
   private def runAggregation(

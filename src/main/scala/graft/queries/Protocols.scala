@@ -147,6 +147,39 @@ object Protocols {
             |FROM events_put GROUP BY event_type""".stripMargin)
       }),
 
+    // ---- OpenTSDB downsample + rate opted in together: per-series hourly
+    //      max, then dv/dt per second, OpenTSDB 2.x ordering
+    GraftQuery("q145_opentsdb_rate",
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS ts, event_type, max("value") AS v
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, ts,
+             |    (v - lag(v) OVER w)
+             |      / ((epoch_ms(ts) - epoch_ms(lag(ts) OVER w)) / 1000.0) AS rate
+             |  FROM hourly
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts))
+             |-- presented as an INTEGER micro-rate (μ-units/s): decimal
+             |-- rounding of a raw quotient can land within one ulp of a
+             |-- x.xxxx5 boundary, where Spark (exact-value HALF_UP) and
+             |-- DuckDB (×10⁴-then-round) legitimately disagree. Scaled to
+             |-- integers, every non-boundary value sits ≥ 1/(72k) from
+             |-- n+0.5 and the exact n+0.5 cases are exactly-representable
+             |-- doubles both engines round half-away identically.
+             |SELECT event_type, ts,
+             |  CAST(round(rate * 1000000.0, 0) AS BIGINT) AS "value"
+             |FROM r WHERE rate IS NOT NULL""".stripMargin),
+      (s, dir) => {
+        val q = OpenTsdb.parseQuery(
+          """{"start": 0,
+            | "queries": [{"metric": "events", "aggregator": "sum",
+            |   "downsample": "1h-max", "rate": true,
+            |   "filters": [{"type": "not_literal_or", "tagk": "event_type",
+            |     "filter": "__none__", "groupBy": true}]}]}""".stripMargin)
+        OpenTsdb.runSub(q, q.queries.head, eventsTable(s, dir),
+            applyDownsample = true, applyRate = true)
+          .withColumn("value", round(col("value") * 1000000.0, 0).cast("long"))
+      }),
+
     // ---- InfluxQL count(DISTINCT()) + integral(): the trapezoid area per
     //      day bucket; oracle replays the lag-window trapezoid with the
     //      same (ts, value) tie-break

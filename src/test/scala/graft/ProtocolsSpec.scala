@@ -750,6 +750,29 @@ class ProtocolsSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("value") == 5.0)
   }
 
+  test("OpenTSDB rate: per-series dv/dt when opted in, ignored by default") {
+    import spark.implicits._
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), "web", 10.0),
+      (ts("2024-01-01 00:01:00"), "web", 40.0),  // +30 over 60s → 0.5/s
+      (ts("2024-01-01 00:03:00"), "web", 100.0), // +60 over 120s → 0.5/s
+      (ts("2024-01-01 00:00:00"), "db", 7.0))    // single point → no rate
+      .toDF("ts", "svc", "v")
+    val bind = (_: String) => graft.promql.PromQL.SeriesTable(df, "ts", "v", Seq("svc"))
+    val q = OpenTsdb.parseQuery(
+      """{"start": 1704067200000, "queries": [{"metric": "m",
+        |  "aggregator": "sum", "rate": true,
+        |  "filters": [{"type": "literal_or", "tagk": "svc", "filter": "web|db",
+        |    "groupBy": true}]}]}""".stripMargin)
+    // default: reference-faithful — rate parsed but NOT applied
+    assert(OpenTsdb.runSub(q, q.queries.head, bind).count() == 4)
+    val rows = OpenTsdb.runSub(q, q.queries.head, bind, applyRate = true)
+      .orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("svc") == "web"))
+    assert(rows.forall(_.getAs[Double]("value") == 0.5))
+  }
+
   test("OpenTSDB sub-second downsample (500ms-avg) buckets on millis floor") {
     import spark.implicits._
     val base = 1704067200000L
