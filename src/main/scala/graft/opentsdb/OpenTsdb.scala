@@ -119,9 +119,19 @@ object OpenTsdb {
       sub.tags.toSeq.map { case (k, v) =>
         (k, literalOr(col(k), v), true)
       } ++ sub.filters.map { f =>
+        // the reference's surface is literal_or/not_literal_or; the rest of
+        // the OpenTSDB 2.x filter family (net.opentsdb.query.filter.*) is
+        // beyond-reference convenience with the documented semantics:
+        // wildcard = '*' glob (case-sensitive; iwildcard folds case),
+        // regexp = full-match Java regex, iliteral_or = case-folded set
         val c = f.ftype match {
-          case "literal_or"     => literalOr(col(f.tagk), f.filter)
-          case "not_literal_or" => !literalOr(col(f.tagk), f.filter)
+          case "literal_or"      => literalOr(col(f.tagk), f.filter)
+          case "not_literal_or"  => !literalOr(col(f.tagk), f.filter)
+          case "iliteral_or"     => literalOr(lower(col(f.tagk)), f.filter.toLowerCase)
+          case "not_iliteral_or" => !literalOr(lower(col(f.tagk)), f.filter.toLowerCase)
+          case "wildcard"        => globMatch(col(f.tagk), f.filter)
+          case "iwildcard"       => globMatch(lower(col(f.tagk)), f.filter.toLowerCase)
+          case "regexp"          => col(f.tagk).cast("string").rlike("^(?:" + f.filter + ")$")
           case other =>
             throw new IllegalArgumentException(s"unsupported filter type '$other'")
         }
@@ -186,6 +196,13 @@ object OpenTsdb {
   private def literalOr(c: Column, pattern: String): Column = {
     val vals = pattern.split('|').map(_.trim).filter(_.nonEmpty)
     c.cast("string").isInCollection(vals)
+  }
+
+  /** OpenTSDB wildcard filter: '*' globs, everything else literal. */
+  private def globMatch(c: Column, pattern: String): Column = {
+    val regex = pattern.split("\\*", -1)
+      .map(java.util.regex.Pattern.quote).mkString(".*")
+    c.cast("string").rlike("^(?:" + regex + ")$")
   }
 
   // ---------------- /api/put ingest ----------------

@@ -147,6 +147,29 @@ object Protocols {
             |FROM events_put GROUP BY event_type""".stripMargin)
       }),
 
+    // ---- OpenTSDB 2.x filter family beyond the reference surface:
+    //      regexp (full-match) + iwildcard (case-folded glob), AND-composed
+    GraftQuery("q146_opentsdb_filters",
+      Some("""SELECT event_type, ts, round(sum("value"), 4) AS "value"
+             |FROM events
+             |WHERE ts >= make_timestamp(1704844800000 * 1000)
+             |  AND ts <= make_timestamp(1704931200000 * 1000)
+             |  AND regexp_matches(event_type, '^(?:v.*|err.*)$')
+             |  AND lower(event_type) LIKE '%r%'
+             |GROUP BY event_type, ts""".stripMargin),
+      (s, dir) => {
+        val q = OpenTsdb.parseQuery(
+          """{"start": 1704844800000, "end": 1704931200000,
+            | "queries": [{"metric": "events", "aggregator": "sum",
+            |   "filters": [
+            |     {"type": "regexp", "tagk": "event_type",
+            |      "filter": "v.*|err.*", "groupBy": true},
+            |     {"type": "iwildcard", "tagk": "event_type",
+            |      "filter": "*R*", "groupBy": false}]}]}""".stripMargin)
+        OpenTsdb.runSub(q, q.queries.head, eventsTable(s, dir))
+          .withColumn("value", round(col("value"), 4))
+      }),
+
     // ---- OpenTSDB downsample + rate opted in together: per-series hourly
     //      max, then dv/dt per second, OpenTSDB 2.x ordering
     GraftQuery("q145_opentsdb_rate",

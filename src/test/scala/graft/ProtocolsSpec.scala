@@ -750,6 +750,31 @@ class ProtocolsSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("value") == 5.0)
   }
 
+  test("OpenTSDB filter family: wildcard/iwildcard/regexp/iliteral_or") {
+    import spark.implicits._
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), "web-1", 1.0),
+      (ts("2024-01-01 00:00:00"), "web-2", 2.0),
+      (ts("2024-01-01 00:00:00"), "DB-1", 4.0),
+      (ts("2024-01-01 00:00:00"), "cache", 8.0)).toDF("ts", "svc", "v")
+    val bind = (_: String) => graft.promql.PromQL.SeriesTable(df, "ts", "v", Seq("svc"))
+    def total(ftype: String, filter: String): Double = {
+      val q = OpenTsdb.parseQuery(
+        s"""{"start": 0, "queries": [{"metric": "m", "aggregator": "sum",
+           |  "filters": [{"type": "$ftype", "tagk": "svc",
+           |    "filter": "$filter", "groupBy": false}]}]}""".stripMargin)
+      val rows = OpenTsdb.runSub(q, q.queries.head, bind).collect()
+      if (rows.isEmpty) 0.0 else rows.map(_.getAs[Double]("value")).sum
+    }
+    assert(total("wildcard", "web-*") == 3.0)
+    assert(total("wildcard", "db-*") == 0.0)      // case-sensitive
+    assert(total("iwildcard", "db-*") == 4.0)     // case-folded
+    assert(total("regexp", "web-[0-9]") == 3.0)
+    assert(total("regexp", "web") == 0.0)         // full match, not substring
+    assert(total("iliteral_or", "DB-1|CACHE") == 12.0)
+    assert(total("not_iliteral_or", "db-1") == 11.0)
+  }
+
   test("OpenTSDB rate: per-series dv/dt when opted in, ignored by default") {
     import spark.implicits._
     val df = Seq(
