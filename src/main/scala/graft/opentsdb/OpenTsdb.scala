@@ -153,6 +153,10 @@ object OpenTsdb {
           case "min"   => min(col(t.valueCol))
           case "max"   => max(col(t.valueCol))
           case "dev"   => stddev_samp(col(t.valueCol))
+          // OpenTSDB 2.x percentile aggregators (net.opentsdb.core
+          // Aggregators.p###): exact linear-interpolation percentile over
+          // the group, same estimator as the SQL surface's percentile
+          case PctAgg(q) => percentile(col(t.valueCol), lit(q))
           case other =>
             throw new IllegalArgumentException(s"unsupported aggregator '$other'")
         }
@@ -170,8 +174,22 @@ object OpenTsdb {
     case "min"   => min(c)
     case "max"   => max(c)
     case "dev"   => stddev_samp(c)
+    case PctAgg(q) => percentile(c, lit(q))
     case other => throw new IllegalArgumentException(
       s"unsupported downsample aggregator '$other'")
+  }
+
+  /** "p50"/"p75"/"p90"/"p95"/"p99"/"p999" → quantile fraction. */
+  private object PctAgg {
+    def unapply(name: String): Option[Double] = name match {
+      case "p50"  => Some(0.5)
+      case "p75"  => Some(0.75)
+      case "p90"  => Some(0.9)
+      case "p95"  => Some(0.95)
+      case "p99"  => Some(0.99)
+      case "p999" => Some(0.999)
+      case _      => None
+    }
   }
 
   /** Downsample interval (`500ms`, `10s`, `30m`, `1h`, `2d`) → bucket start.

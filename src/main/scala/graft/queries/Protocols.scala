@@ -170,6 +170,28 @@ object Protocols {
           .withColumn("value", round(col("value"), 4))
       }),
 
+    // ---- OpenTSDB p## percentile aggregators: exact interpolating
+    //      percentile per (hour, tag-group)
+    GraftQuery("q147_opentsdb_percentile",
+      Some("""SELECT event_type, ts, round(quantile_cont(pv, 0.95), 4) AS "value"
+             |FROM (SELECT date_trunc('hour', ts) AS ts, event_type, "value" AS pv
+             |      FROM events)
+             |WHERE ts >= make_timestamp(1704067200000 * 1000)
+             |  AND ts <= make_timestamp(1704931200000 * 1000)
+             |GROUP BY event_type, ts""".stripMargin),
+      (s, dir) => {
+        val q = OpenTsdb.parseQuery(
+          """{"start": 1704067200000, "end": 1704931200000,
+            | "queries": [{"metric": "events", "aggregator": "p95",
+            |   "filters": [{"type": "wildcard", "tagk": "event_type",
+            |     "filter": "*", "groupBy": true}]}]}""".stripMargin)
+        val hourly = (_: String) => SeriesTable(
+          Tables.t(s, dir, "events").withColumn("ts", date_trunc("hour", col("ts"))),
+          "ts", "value", Seq("event_type"))
+        OpenTsdb.runSub(q, q.queries.head, hourly)
+          .withColumn("value", round(col("value"), 4))
+      }),
+
     // ---- OpenTSDB downsample + rate opted in together: per-series hourly
     //      max, then dv/dt per second, OpenTSDB 2.x ordering
     GraftQuery("q145_opentsdb_rate",
