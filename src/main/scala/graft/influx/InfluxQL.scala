@@ -263,7 +263,13 @@ object InfluxQL {
 
   private def parseCond(c: String): Cond = {
     val re = """(?s)^\s*([\w"]+)\s*(>=|<=|!=|<>|=|>|<)\s*(.*?)\s*$""".r
+    // tag =~ /re/ and tag !~ /re/ (InfluxQL regex matchers — unanchored,
+    // like Go's regexp.MatchString)
+    val reRx = """(?s)^\s*([\w"]+)\s*(=~|!~)\s*/((?:[^/\\]|\\.)*)/\s*$""".r
     c match {
+      case reRx(lhs, op, rx) =>
+        Cond(lhs.stripPrefix("\"").stripSuffix("\""), op, rx,
+          isTime = false, valueIsNumber = false)
       case re(lhs, op, rhs) =>
         val name = lhs.stripPrefix("\"").stripSuffix("\"")
         val isTime = name.equalsIgnoreCase("time")
@@ -290,11 +296,11 @@ object InfluxQL {
 
   // ------------------------------------------------------------- lowering
 
-  private def lower(engine: TsdbEngine, s: SelectStmt): DataFrame = {
+  private def lower(engine: TsdbEngine, s0: SelectStmt): DataFrame = {
     // resolve FROM: an engine table, or a lowered subquery whose time
     // column is named `time` (raw selects alias it; grouped selects emit
     // their bucket as `time`) and whose series keys are its GROUP BY tags
-    val (source, tsCol, tableTags) = s.source match {
+    val (source, tsCol, tableTags) = s0.source match {
       case Left(meas) =>
         val schema = engine.catalog.get(meas)
         (engine.read(meas), schema.timestampKey, schema.tagColumns.map(_.name))
@@ -304,6 +310,9 @@ object InfluxQL {
           "subquery must expose a `time` column (raw select or GROUP BY time())")
         (df, "time", inner.groupTags)
     }
+    // GROUP BY * — every tag of the source (the Grafana per-series shape)
+    val s = if (s0.groupTags.contains("*"))
+      s0.copy(groupTags = tableTags) else s0
     var df = source
 
     def timeLit(c: Cond): Column =
@@ -336,6 +345,8 @@ object InfluxQL {
         case "<"  => lhs < rhs
         case "="  => lhs === rhs
         case "!=" => lhs =!= rhs
+        case "=~" => lhs.cast("string").rlike(c.value)
+        case "!~" => !lhs.cast("string").rlike(c.value)
       })
     }
 

@@ -500,6 +500,23 @@ object Protocols {
           .withColumn("hi", round(col("hi"), 4))
       }),
 
+    // ---- GROUP BY * + regex tag matcher: the Grafana per-series shape
+    //      (unanchored =~, every tag in the group key)
+    GraftQuery("q148_influx_star_regex",
+      Some("""SELECT make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS "time",
+             |  event_type, count("value") AS n, round(max("value"), 4) AS mx
+             |FROM events
+             |WHERE regexp_matches(event_type, '(click|view|err)')
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT count(value) AS n, max(value) AS mx FROM events
+            |WHERE event_type =~ /(click|view|err)/
+            |GROUP BY time(1d), * fill(none)""".stripMargin)
+          .withColumn("mx", round(col("mx"), 4))
+      }),
+
     // ---- exponential_moving_average over the hourly grid: sequential
     //      per-series recurrence (SMA-seeded, α = 2/(N+1)); the oracle
     //      replays the exact recurrence with a recursive CTE

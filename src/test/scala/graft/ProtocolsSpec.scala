@@ -417,6 +417,31 @@ class ProtocolsSpec extends SparkSpec {
     assert(s2.toSet == again.toSet)
   }
 
+  test("InfluxQL GROUP BY * and regex tag matchers") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-star").toString)
+    LineProtocol.ingest(e, Seq(
+      "m,host=web-1,region=eu v=1.0 1704067200000000000",
+      "m,host=web-2,region=us v=2.0 1704067200000000000",
+      "m,host=db-1,region=eu v=4.0 1704067200000000000").toDS())
+    // GROUP BY * expands to every tag of the measurement
+    val star = InfluxQL.run(e,
+      "SELECT sum(v) AS s FROM m GROUP BY time(1h), * fill(none)")
+    assert(star.columns.toSet == Set("time", "host", "region", "s"))
+    assert(star.count() == 3)
+    // =~ keeps matching series (unanchored, like Go regexp.MatchString)
+    val web = InfluxQL.run(e,
+      "SELECT sum(v) AS s FROM m WHERE host =~ /web-/ GROUP BY region")
+      .collect().map(r => (r.getAs[String]("region"), r.getAs[Double]("s"))).toSet
+    assert(web == Set(("eu", 1.0), ("us", 2.0)))
+    // !~ excludes them
+    val noWeb = InfluxQL.run(e,
+      "SELECT sum(v) AS s FROM m WHERE host !~ /^web/ GROUP BY region")
+      .collect().map(r => (r.getAs[String]("region"), r.getAs[Double]("s"))).toSet
+    assert(noWeb == Set(("eu", 4.0)))
+  }
+
   test("InfluxQL exponential_moving_average: SMA seed then recurrence") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
