@@ -60,7 +60,7 @@ object PromQL {
     // calendar family: the VALUE is interpreted as unix seconds (promql
     // functions.go dateWrapper — `time.Unix(int64(v), 0).UTC()`)
     "minute", "hour", "day_of_week", "day_of_month", "days_in_month",
-    "month", "year")
+    "month", "year", "sort", "sort_desc")
 
   private final class Parser(s: String) {
     private var i = 0
@@ -615,6 +615,14 @@ object PromQL {
       if (name == "clamp" && args(0) > args(1))
         // Prometheus: clamp with min > max drops every element
         return in.filter(lit(false))
+      if (name == "sort" || name == "sort_desc")
+        // presentation ordering per evaluation step (values unchanged);
+        // the ordering survives to collect()/display but downstream
+        // operators must not rely on it — same caveat as Prometheus,
+        // where instant-vector order is only meaningful in the output
+        return in.orderBy(col("ts"),
+          if (name == "sort") col("value").asc_nulls_last
+          else col("value").desc_nulls_last)
       val out = name match {
         case "abs"       => abs(v)
         case "ceil"      => ceil(v).cast("double")

@@ -625,6 +625,21 @@ class PromQLSpec extends SparkSpec {
     assert(out.length == 1 && math.abs(out(0).getDouble(2) - 420.0) < 1e-6)
   }
 
+  test("sort/sort_desc order the output frame by value") {
+    import spark.implicits._
+    val t0 = 1704844800000L
+    val df = Seq(
+      (new java.sql.Timestamp(t0), "a", 5.0),
+      (new java.sql.Timestamp(t0), "b", 1.0),
+      (new java.sql.Timestamp(t0), "c", 3.0)).toDF("ts", "host", "value")
+    val p = EvalParams(t0, t0, 60000L)
+    def vals(q: String): Seq[Double] =
+      PromQL.eval(spark, _ => PromQL.SeriesTable(df, "ts", "value", Seq("host")),
+        q, p).collect().map(_.getAs[Double]("value")).toSeq
+    assert(vals("sort(m)") == Seq(1.0, 3.0, 5.0))
+    assert(vals("sort_desc(m)") == Seq(5.0, 3.0, 1.0))
+  }
+
   test("scalar()/vector()/time() frames and scalar∘vector binops") {
     import spark.implicits._
     val t0 = 1704844800000L
