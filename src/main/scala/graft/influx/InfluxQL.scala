@@ -106,7 +106,10 @@ object InfluxQL {
       groupTimeOffset: Option[String] = None,
       fill: Option[String] = None, limit: Option[Int] = None,
       slimit: Option[Int] = None, orderDesc: Boolean = false,
-      tz: Option[String] = None) {
+      tz: Option[String] = None,
+      // parenthesized OR-groups from WHERE (each inner Seq ORs together,
+      // groups AND with everything else)
+      condGroups: Seq[Seq[Cond]] = Nil) {
     /** Measurement name for table-backed statements. */
     def measurement: String = source.left.getOrElse(
       throw new IllegalArgumentException("statement reads from a subquery"))
@@ -151,8 +154,24 @@ object InfluxQL {
       case re(projs, whereOpt, groupOpt, fillOpt, orderOpt, limitOpt,
           slimitOpt, tzOpt) =>
         val projections = splitTop(projs).map(parseProjection)
-        val conds = Option(whereOpt).map(w =>
-          w.split("(?i)\\s+AND\\s+").toSeq.map(parseCond)).getOrElse(Nil)
+        // WHERE = AND-list; an item may be a parenthesized OR-group of
+        // tag conditions: `time >= X AND (host = 'a' OR host =~ /b/)`.
+        // Time bounds must stay top-level (fill() reads them from conds).
+        val simple = Seq.newBuilder[Cond]
+        val groups = Seq.newBuilder[Seq[Cond]]
+        Option(whereOpt).foreach { w =>
+          splitTopKeyword(w, "AND").foreach { item =>
+            val t = item.trim
+            if (t.startsWith("(") && t.endsWith(")")) {
+              val g = splitTopKeyword(t.substring(1, t.length - 1), "OR")
+                .map(parseCond)
+              require(g.forall(!_.isTime),
+                "time bounds cannot appear inside OR groups")
+              if (g.size == 1) simple += g.head else groups += g
+            } else simple += parseCond(t)
+          }
+        }
+        val conds = simple.result()
         var groupTime: Option[String] = None
         var groupTimeOff: Option[String] = None
         val groupTags = Seq.newBuilder[String]
@@ -172,7 +191,7 @@ object InfluxQL {
           Option(fillOpt).map(_.toLowerCase),
           Option(limitOpt).map(_.toInt), Option(slimitOpt).map(_.toInt),
           Option(orderOpt).exists(_.equalsIgnoreCase("DESC")),
-          Option(tzOpt))
+          Option(tzOpt), condGroups = groups.result())
       case _ => throw new IllegalArgumentException(s"unsupported InfluxQL: $q")
     }
   }
@@ -280,6 +299,31 @@ object InfluxQL {
     }
   }
 
+  /** Split on a top-level keyword (case-insensitive, not inside parens
+    * or quotes). */
+  private def splitTopKeyword(s: String, kw: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var last = 0
+    val upper = s.toUpperCase
+    val pat = " " + kw.toUpperCase + " "
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case _ =>
+      }
+      if (!inStr && depth == 0 && upper.startsWith(pat, i)) {
+        out += s.substring(last, i)
+        i += pat.length
+        last = i
+      } else i += 1
+    }
+    out += s.substring(last)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Split on top-level commas (not inside parens). */
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -335,10 +379,10 @@ object InfluxQL {
         timestamp_micros(lit(us))
       } else to_timestamp(lit(c.value))
 
-    s.conds.foreach { c =>
+    def condCol(c: Cond): Column = {
       val lhs: Column = if (c.isTime) col(tsCol) else col(c.lhs)
       val rhs: Column = if (c.isTime) timeLit(c) else lit(c.value)
-      df = df.filter(c.op match {
+      c.op match {
         case ">=" => lhs >= rhs
         case "<=" => lhs <= rhs
         case ">"  => lhs > rhs
@@ -347,8 +391,10 @@ object InfluxQL {
         case "!=" => lhs =!= rhs
         case "=~" => lhs.cast("string").rlike(c.value)
         case "!~" => !lhs.cast("string").rlike(c.value)
-      })
+      }
     }
+    s.conds.foreach(c => df = df.filter(condCol(c)))
+    s.condGroups.foreach(g => df = df.filter(g.map(condCol).reduce(_ || _)))
 
     val isAgg = s.projections.exists(_.agg.isDefined)
     val ord: Column => Column = c => if (s.orderDesc) c.desc else c.asc

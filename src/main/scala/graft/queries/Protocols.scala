@@ -500,6 +500,23 @@ object Protocols {
           .withColumn("hi", round(col("hi"), 4))
       }),
 
+    // ---- WHERE OR-group AND time bound: mixed literal + regex disjunction
+    GraftQuery("q149_influx_or_where",
+      Some("""SELECT make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS "time",
+             |  event_type, count("value") AS n
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |  AND (event_type = 'click' OR regexp_matches(event_type, 'err'))
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT count(value) AS n FROM events
+            |WHERE time >= '2024-01-05 00:00:00'
+            |  AND (event_type = 'click' OR event_type =~ /err/)
+            |GROUP BY time(1d), event_type fill(none)""".stripMargin)
+      }),
+
     // ---- GROUP BY * + regex tag matcher: the Grafana per-series shape
     //      (unanchored =~, every tag in the group key)
     GraftQuery("q148_influx_star_regex",

@@ -442,6 +442,30 @@ class ProtocolsSpec extends SparkSpec {
     assert(noWeb == Set(("eu", 4.0)))
   }
 
+  test("InfluxQL WHERE OR-groups combine with AND terms") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-or").toString)
+    LineProtocol.ingest(e, Seq(
+      "m,host=web-1 v=1.0 1704067200000000000",
+      "m,host=web-2 v=2.0 1704067260000000000",
+      "m,host=db-1 v=4.0 1704067200000000000",
+      "m,host=cache v=8.0 1704067200000000000").toDS())
+    val out = InfluxQL.run(e,
+      """SELECT sum(v) AS s FROM m
+        |WHERE time >= 1704067200000ms AND (host = 'cache' OR host =~ /web/)
+        |GROUP BY host""".stripMargin)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Double]("s"))).toSet
+    assert(out == Set(("web-1", 1.0), ("web-2", 2.0), ("cache", 8.0)))
+    // a single-cond parenthesized item degrades to a plain AND term
+    assert(InfluxQL.run(e,
+      "SELECT sum(v) AS s FROM m WHERE (host = 'db-1') GROUP BY host")
+      .count() == 1)
+    // time bounds may not hide inside OR groups (fill() reads them)
+    intercept[IllegalArgumentException](InfluxQL.run(e,
+      "SELECT sum(v) AS s FROM m WHERE (time > 0 OR host = 'x') GROUP BY host"))
+  }
+
   test("InfluxQL exponential_moving_average: SMA seed then recurrence") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
