@@ -80,8 +80,57 @@ object InfluxQL {
           case one :: rest =>
             rest.foldLeft(one)(_ union _).orderBy("iox::measurement", "value")
         }
-      case _ => lower(engine, parseSelect(trimmed))
+      case _ =>
+        val stmt = parseSelect(trimmed)
+        val out = lower(engine, stmt)
+        stmt.into match {
+          case None => out
+          case Some(target) => writeInto(engine, target, out, stmt)
+        }
     }
+  }
+
+  /** INTO materialization: auto-create the target (time key; the select's
+    * GROUP BY tags become TAG columns; everything else a typed field) and
+    * append through the engine write path. Overwrite update-mode makes
+    * re-running the same INTO idempotent (newest sequence wins per
+    * (time, tags) — the continuous-query re-materialization semantic).
+    * Returns the InfluxDB-style summary row (epoch-0 time, rows written). */
+  private def writeInto(engine: TsdbEngine, target: String,
+      result: DataFrame, stmt: SelectStmt): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.model.{ColumnSpec, DatumKind, TableOptions, TableSchema}
+    val spark = result.sparkSession
+    import spark.implicits._
+    // tag-only grouped selects carry no time column — InfluxDB stamps 0
+    val withTime =
+      if (result.columns.contains("time")) result
+      else result.withColumn("time", timestamp_micros(lit(0L)))
+    def kindOf(dt: DataType): DatumKind.Value = dt match {
+      case TimestampType      => DatumKind.Timestamp
+      case LongType           => DatumKind.Int64
+      case IntegerType        => DatumKind.Int32
+      case BooleanType        => DatumKind.Boolean
+      case StringType         => DatumKind.String
+      case _                  => DatumKind.Double
+    }
+    val cols = ColumnSpec("time", DatumKind.Timestamp, isNullable = false) +:
+      withTime.schema.fields.filter(_.name != "time").map { f =>
+        // GROUP BY * reaches here unexpanded — its group keys are exactly
+        // the string columns of the lowered frame
+        ColumnSpec(f.name, kindOf(f.dataType),
+          isTag = stmt.groupTags.contains(f.name) ||
+            (stmt.groupTags.contains("*") && f.dataType == StringType))
+      }.toSeq
+    engine.catalog.create(
+      TableSchema(target, cols, "time", None,
+        TableOptions(raw = Map("update_mode" -> "overwrite"))),
+      ifNotExists = true)
+    val pinned = withTime.cache()
+    val n = pinned.count()
+    engine.append(target, pinned.select(cols.map(c => col(c.name)): _*))
+    pinned.unpersist(false)
+    Seq((new java.sql.Timestamp(0L), n)).toDF("time", "written")
   }
 
   private def unquote(s: String): String = s.stripPrefix("\"").stripSuffix("\"")
@@ -109,7 +158,9 @@ object InfluxQL {
       tz: Option[String] = None,
       // parenthesized OR-groups from WHERE (each inner Seq ORs together,
       // groups AND with everything else)
-      condGroups: Seq[Seq[Cond]] = Nil) {
+      condGroups: Seq[Seq[Cond]] = Nil,
+      // SELECT ... INTO target: materialize the result into an engine table
+      into: Option[String] = None) {
     /** Measurement name for table-backed statements. */
     def measurement: String = source.left.getOrElse(
       throw new IllegalArgumentException("statement reads from a subquery"))
@@ -140,10 +191,17 @@ object InfluxQL {
     * mode := none | null | previous | linear | <number>
     * }}} */
   def parseSelect(q: String): SelectStmt = {
+    // SELECT ... INTO target FROM ... (continuous-query materialization):
+    // peel the INTO clause off before the main clause regex
+    val intoRe = """(?is)^(SELECT\s+.*?)\s+INTO\s+([\w"]+)\s+(FROM\s+.*)$""".r
+    val (q2, into) = q.trim match {
+      case intoRe(head, target, tail) => (s"$head $tail", Some(unquote(target)))
+      case other => (other, None)
+    }
     // FROM either a measurement name or a parenthesized subquery (InfluxQL
     // aggregate-of-aggregate downsampling); the subquery body is extracted
     // by paren matching before the outer clause regex runs
-    val (body, source) = extractFrom(q.trim)
+    val (body, source) = extractFrom(q2)
     val re = ("""(?is)^SELECT\s+(.*?)\s+FROM\s+__SRC__""" +
       """(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+(.*?))?""" +
       """(?:\s+fill\(\s*(none|null|previous|linear|-?[\d.]+)\s*\))?""" +
@@ -191,7 +249,7 @@ object InfluxQL {
           Option(fillOpt).map(_.toLowerCase),
           Option(limitOpt).map(_.toInt), Option(slimitOpt).map(_.toInt),
           Option(orderOpt).exists(_.equalsIgnoreCase("DESC")),
-          Option(tzOpt), condGroups = groups.result())
+          Option(tzOpt), condGroups = groups.result(), into = into)
       case _ => throw new IllegalArgumentException(s"unsupported InfluxQL: $q")
     }
   }

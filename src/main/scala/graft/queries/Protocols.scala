@@ -500,6 +500,21 @@ object Protocols {
           .withColumn("hi", round(col("hi"), 4))
       }),
 
+    // ---- SELECT INTO round-trip: daily maxima materialized into a new
+    //      engine table (auto-create, tags preserved), read back raw
+    GraftQuery("q150_influx_into",
+      Some("""SELECT make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS "time",
+             |  event_type, round(max("value"), 4) AS mx
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT max(value) AS mx INTO events_daily_into FROM events
+            |GROUP BY time(1d), event_type fill(none)""".stripMargin).collect()
+        InfluxQL.run(e, "SELECT * FROM events_daily_into")
+          .withColumn("mx", round(col("mx"), 4))
+      }),
+
     // ---- WHERE OR-group AND time bound: mixed literal + regex disjunction
     GraftQuery("q149_influx_or_where",
       Some("""SELECT make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS "time",

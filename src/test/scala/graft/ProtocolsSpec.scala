@@ -442,6 +442,30 @@ class ProtocolsSpec extends SparkSpec {
     assert(noWeb == Set(("eu", 4.0)))
   }
 
+  test("InfluxQL SELECT INTO: materializes, idempotent on re-run") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-into").toString)
+    LineProtocol.ingest(e, Seq(
+      "m,host=a v=1.0 1704067200000000000",
+      "m,host=a v=3.0 1704067260000000000",
+      "m,host=b v=9.0 1704067200000000000").toDS())
+    val summary = InfluxQL.run(e,
+      "SELECT max(v) AS mx INTO m_hourly FROM m GROUP BY time(1h), host fill(none)")
+      .collect()
+    assert(summary.length == 1 && summary(0).getAs[Long]("written") == 2L)
+    // target auto-created: host is a TAG, mx a field
+    assert(e.catalog.get("m_hourly").tagColumns.map(_.name) == Seq("host"))
+    val read = InfluxQL.run(e, "SELECT max(mx) AS mx FROM m_hourly GROUP BY host")
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Double]("mx"))).toSet
+    assert(read == Set(("a", 3.0), ("b", 9.0)))
+    // idempotent re-materialization: overwrite mode dedups (time, tags)
+    InfluxQL.run(e,
+      "SELECT max(v) AS mx INTO m_hourly FROM m GROUP BY time(1h), host fill(none)")
+      .collect()
+    assert(InfluxQL.run(e, "SELECT mx FROM m_hourly").count() == 2)
+  }
+
   test("InfluxQL WHERE OR-groups combine with AND terms") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
