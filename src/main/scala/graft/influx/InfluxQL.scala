@@ -29,6 +29,8 @@ object InfluxQL {
     """(?is)^SHOW\s+TAG\s+VALUES(?:\s+FROM\s+([\w"]+))?\s+WITH\s+KEY\s*=\s*["']?(\w+)["']?\s*$""".r
   private val showFieldKeysRe =
     """(?is)^SHOW\s+FIELD\s+KEYS(?:\s+FROM\s+([\w"]+))?\s*$""".r
+  private val showSeriesRe =
+    """(?is)^SHOW\s+SERIES(?:\s+FROM\s+([\w"]+))?\s*$""".r
 
   def run(engine: TsdbEngine, q: String): DataFrame = {
     val trimmed = q.trim.stripSuffix(";").trim
@@ -64,6 +66,23 @@ object InfluxQL {
               (m, c.name, t)
             }
         }.toDF("iox::measurement", "fieldKey", "fieldType")
+      case showSeriesRe(measOpt) =>
+        // SHOW SERIES: one row per stored series, formatted as the
+        // line-protocol series key `measurement,tag1=v1,tag2=v2` with tag
+        // keys in lexicographic order (InfluxDB output shape). The
+        // distinct runs on the tag columns — series cardinality, never
+        // the full point count.
+        val ms = Option(measOpt).map(m => Seq(unquote(m)))
+          .getOrElse(engine.catalog.list().sorted)
+        ms.toList.map { m =>
+          val tags = engine.catalog.get(m).tagColumns.map(_.name).sorted
+          val keyParts = lit(m) +: tags.flatMap(k =>
+            Seq(lit(s",$k="), col(k).cast("string")))
+          engine.read(m).select(concat(keyParts: _*).as("key")).distinct()
+        } match {
+          case Nil => Seq.empty[String].toDF("key")
+          case one :: rest => rest.foldLeft(one)(_ union _).orderBy("key")
+        }
       case showTagValuesRe(measOpt, key) =>
         // IOx SHOW TAG VALUES WITH KEY = k: distinct stored values per table
         val ms = Option(measOpt).map(m => Seq(unquote(m)))
@@ -154,7 +173,8 @@ object InfluxQL {
       // GROUP BY time(interval, offset): shifts preset bucket boundaries
       groupTimeOffset: Option[String] = None,
       fill: Option[String] = None, limit: Option[Int] = None,
-      slimit: Option[Int] = None, orderDesc: Boolean = false,
+      slimit: Option[Int] = None, offset: Int = 0, soffset: Int = 0,
+      orderDesc: Boolean = false,
       tz: Option[String] = None,
       // parenthesized OR-groups from WHERE (each inner Seq ORs together,
       // groups AND with everything else)
@@ -206,11 +226,12 @@ object InfluxQL {
       """(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+(.*?))?""" +
       """(?:\s+fill\(\s*(none|null|previous|linear|-?[\d.]+)\s*\))?""" +
       """(?:\s+ORDER\s+BY\s+time\s+(ASC|DESC))?""" +
-      """(?:\s+LIMIT\s+(\d+))?(?:\s+SLIMIT\s+(\d+))?""" +
+      """(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?""" +
+      """(?:\s+SLIMIT\s+(\d+))?(?:\s+SOFFSET\s+(\d+))?""" +
       """(?:\s+TZ\(\s*'([\w/+:-]+)'\s*\))?\s*$""").r
     body match {
       case re(projs, whereOpt, groupOpt, fillOpt, orderOpt, limitOpt,
-          slimitOpt, tzOpt) =>
+          offsetOpt, slimitOpt, soffsetOpt, tzOpt) =>
         val projections = splitTop(projs).map(parseProjection)
         // WHERE = AND-list; an item may be a parenthesized OR-group of
         // tag conditions: `time >= X AND (host = 'a' OR host =~ /b/)`.
@@ -248,6 +269,8 @@ object InfluxQL {
           conds, groupTime, groupTags.result(), groupTimeOff,
           Option(fillOpt).map(_.toLowerCase),
           Option(limitOpt).map(_.toInt), Option(slimitOpt).map(_.toInt),
+          Option(offsetOpt).map(_.toInt).getOrElse(0),
+          Option(soffsetOpt).map(_.toInt).getOrElse(0),
           Option(orderOpt).exists(_.equalsIgnoreCase("DESC")),
           Option(tzOpt), condGroups = groups.result(), into = into)
       case _ => throw new IllegalArgumentException(s"unsupported InfluxQL: $q")
@@ -474,14 +497,14 @@ object InfluxQL {
       out = out.filter(named.map(n => col(n._2).isNotNull).reduce(_ || _))
         .select((tableTags.map(col) :+ col("time")) ++ named.map(n => col(n._2)): _*)
         .orderBy(ord(col("time")))
-      s.limit.map(out.limit).getOrElse(out)
+      applyRowWindow(out, s)
     } else if (!isAgg) {
       // SLIMIT on raw points: keep the first n series in tag order
       val seriesCols = tableTags
-      s.slimit.filter(_ => seriesCols.nonEmpty).foreach { n =>
-        df = df.join(broadcast(firstNSeries(df, seriesCols, n)),
+      if (seriesCols.nonEmpty && (s.slimit.isDefined || s.soffset > 0))
+        df = df.join(broadcast(
+            seriesWindow(df, seriesCols, s.soffset, s.slimit)),
           seriesCols, "left_semi")
-      }
       val cols =
         if (s.projections.exists(_.field == "*")) {
           require(s.projections.forall(_.math.isEmpty),
@@ -498,7 +521,7 @@ object InfluxQL {
           }
         }
       val out = df.select(cols: _*).orderBy(ord(col(tsCol)))
-      s.limit.map(out.limit).getOrElse(out)
+      applyRowWindow(out, s)
     } else if (s.projections.exists(_.agg.contains("sample"))) {
       // sample(field, N): N points per (bucket, tags) group with their
       // original point times. InfluxDB reservoir-samples randomly
@@ -527,7 +550,7 @@ object InfluxQL {
         .select((col(tsCol).as("time") +: s.groupTags.map(col)) :+
           col(p0.field).as(outName): _*)
         .orderBy(ord(col("time")))
-      s.limit.map(out.limit).getOrElse(out)
+      applyRowWindow(out, s)
     } else if (s.projections.exists(_.agg.exists(Set("top", "bottom")))) {
       // top(field, N) / bottom(field, N): multi-row selectors that keep the
       // N extreme points per (bucket, tags) group WITH their original point
@@ -553,7 +576,7 @@ object InfluxQL {
         .filter(col("__rk") <= n)
         .select((col(tsCol).as("time") +: s.groupTags.map(col)) :+ v.as(outName): _*)
         .orderBy(ord(col("time")), col(outName))
-      s.limit.map(out.limit).getOrElse(out)
+      applyRowWindow(out, s)
     } else if (s.projections.exists(_.agg.contains("distinct"))) {
       // SELECT DISTINCT(field): a multi-row selector — one row per distinct
       // value per (bucket, tags) group; ungrouped output carries the epoch-0
@@ -572,7 +595,7 @@ object InfluxQL {
           col(p0.field).as(outName): _*)
         .distinct()
         .orderBy(ord(col("time")), col(outName))
-      s.limit.map(out.limit).getOrElse(out)
+      applyRowWindow(out, s)
     } else {
       // materialize the bucket once: the groupBy key and the percentile
       // rank-window partition must agree on the same computed column
@@ -744,18 +767,24 @@ object InfluxQL {
 
       // SLIMIT: first n series (grouped tag combos); LIMIT: first n buckets
       // per series when series exist, else first n rows in time order
-      s.slimit.filter(_ => s.groupTags.nonEmpty).foreach { n =>
-        out = out.join(broadcast(firstNSeries(out, s.groupTags, n)),
+      if (s.groupTags.nonEmpty && (s.slimit.isDefined || s.soffset > 0))
+        out = out.join(broadcast(
+            seriesWindow(out, s.groupTags, s.soffset, s.slimit)),
           s.groupTags, "left_semi")
-      }
-      s.limit.foreach { n =>
+      if (s.limit.isDefined || s.offset > 0) {
+        val lo = s.offset
+        val hi = s.limit.map(lo + _).getOrElse(Int.MaxValue)
         out =
           if (s.groupTags.nonEmpty && s.groupTime.isDefined)
             out.withColumn("__rk", row_number().over(
                 Window.partitionBy(s.groupTags.map(col): _*).orderBy(ord(col("time")))))
-              .filter(col("__rk") <= n).drop("__rk")
-          else if (s.groupTime.isDefined) out.orderBy(ord(col("time"))).limit(n)
-          else out.limit(n)
+              .filter(col("__rk") > lo && col("__rk") <= hi).drop("__rk")
+          else if (s.groupTime.isDefined) {
+            val sorted = out.orderBy(ord(col("time")))
+            s.limit.map(n => sorted.offset(lo).limit(n))
+              .getOrElse(sorted.offset(lo))
+          }
+          else s.limit.map(n => out.offset(lo).limit(n)).getOrElse(out.offset(lo))
       }
       out
     }
@@ -937,6 +966,21 @@ object InfluxQL {
     out.filter(col(outName).isNotNull &&
         (if (nonNeg) col(outName) >= 0 else lit(true)))
       .select(keep :+ col(outName): _*)
+  }
+
+  /** Row pagination: OFFSET skips, LIMIT caps (frames arrive ordered). */
+  private def applyRowWindow(out: DataFrame, s: SelectStmt): DataFrame = {
+    val stepped = if (s.offset > 0) out.offset(s.offset) else out
+    s.limit.map(stepped.limit).getOrElse(stepped)
+  }
+
+  /** Series (soffset, soffset + slimit] in tag order — SLIMIT/SOFFSET. */
+  private def seriesWindow(df: DataFrame, seriesCols: Seq[String],
+      soffset: Int, slimit: Option[Int]): DataFrame = {
+    val hi = slimit.map(soffset + _).getOrElse(Int.MaxValue)
+    df.select(seriesCols.map(col): _*).distinct()
+      .withColumn("__srk", dense_rank().over(Window.orderBy(seriesCols.map(col): _*)))
+      .filter(col("__srk") > soffset && col("__srk") <= hi).drop("__srk")
   }
 
   /** The first n series in tag order. Ranks the DISTINCT series frame (the

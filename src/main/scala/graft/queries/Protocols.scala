@@ -500,6 +500,15 @@ object Protocols {
           .withColumn("hi", round(col("hi"), 4))
       }),
 
+    // ---- SHOW SERIES: stored series keys in line-protocol form
+    GraftQuery("q151_influx_show_series",
+      Some("""SELECT DISTINCT 'events,event_type=' || event_type AS key
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e, "SHOW SERIES FROM events")
+      }),
+
     // ---- SELECT INTO round-trip: daily maxima materialized into a new
     //      engine table (auto-create, tags preserved), read back raw
     GraftQuery("q150_influx_into",

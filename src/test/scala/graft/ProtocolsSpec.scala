@@ -442,6 +442,30 @@ class ProtocolsSpec extends SparkSpec {
     assert(noWeb == Set(("eu", 4.0)))
   }
 
+  test("InfluxQL SHOW SERIES and LIMIT OFFSET / SLIMIT SOFFSET") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-ser").toString)
+    LineProtocol.ingest(e, Seq(
+      "m,host=a,dc=eu v=1.0 1704067200000000000",
+      "m,host=a,dc=eu v=2.0 1704067260000000000",
+      "m,host=b,dc=us v=3.0 1704067200000000000",
+      "n,host=c v=4.0 1704067200000000000").toDS())
+    val keys = InfluxQL.run(e, "SHOW SERIES").as[String].collect().toSeq
+    assert(keys == Seq("m,dc=eu,host=a", "m,dc=us,host=b", "n,host=c"))
+    assert(InfluxQL.run(e, "SHOW SERIES FROM n").count() == 1)
+    // OFFSET pages raw points in time order
+    val pts = InfluxQL.run(e,
+      "SELECT v FROM m WHERE host = 'a' LIMIT 1 OFFSET 1")
+      .collect().map(_.getAs[Double]("v")).toSeq
+    assert(pts == Seq(2.0))
+    // SOFFSET skips whole series in tag order
+    val s2 = InfluxQL.run(e,
+      "SELECT sum(v) AS s FROM m GROUP BY host SLIMIT 1 SOFFSET 1")
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Double]("s"))).toSeq
+    assert(s2 == Seq(("b", 3.0)))
+  }
+
   test("InfluxQL SELECT INTO: materializes, idempotent on re-run") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
