@@ -39,6 +39,15 @@ object InfluxQL {
     trimmed match {
       case _ if trimmed.toUpperCase.startsWith("SHOW MEASUREMENTS") =>
         engine.catalog.list().sorted.toDF("iox::measurement")
+      case _ if trimmed.toUpperCase.startsWith("SHOW DATABASES") =>
+        // single-database engine: the Grafana datasource handshake sends
+        // this first; answer with the reference's default catalog name
+        Seq("public").toDF("name")
+      case _ if trimmed.toUpperCase.startsWith("SHOW RETENTION POLICIES") =>
+        // retention is per-table TTL here (engine `ttl` option); expose the
+        // InfluxDB default-policy shape clients expect
+        Seq(("autogen", "0s", "168h0m0s", 1, true))
+          .toDF("name", "duration", "shardGroupDuration", "replicaN", "default")
       case showTagKeysRe(measOpt) =>
         // IOx SHOW TAG KEYS: one row per (measurement, tag column)
         val ms = Option(measOpt).map(m => Seq(unquote(m)))
@@ -440,7 +449,22 @@ object InfluxQL {
       s0.copy(groupTags = tableTags) else s0
     var df = source
 
-    def timeLit(c: Cond): Column =
+    def timeLit(c: Cond): Column = {
+      // `now() [± dur]` — relative bounds (Grafana's default time range);
+      // evaluated once per query on the driver clock
+      val nowRe = """(?i)now\(\)\s*(?:([+-])\s*(\w+))?""".r
+      c.value.trim match {
+        case nowRe(signOpt, durOpt) =>
+          val base = System.currentTimeMillis() * 1000L
+          val off = Option(durOpt).map(d =>
+            graft.model.TableOptions.durationMillis(d) * 1000L).getOrElse(0L)
+          return timestamp_micros(lit(
+            if (signOpt == "-") base - off else base + off))
+        case _ =>
+      }
+      timeLitAbs(c)
+    }
+    def timeLitAbs(c: Cond): Column =
       // epoch literals: bare = nanoseconds (InfluxQL default), with the
       // s/ms/u duration suffixes (reference golden uses `...000ms`);
       // compared at the engine's micros precision — truncating to ms would

@@ -466,6 +466,26 @@ class ProtocolsSpec extends SparkSpec {
     assert(s2 == Seq(("b", 3.0)))
   }
 
+  test("InfluxQL SHOW DATABASES/RETENTION POLICIES and now()-relative bounds") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-now").toString)
+    assert(InfluxQL.run(e, "SHOW DATABASES").as[String].collect().toSeq == Seq("public"))
+    assert(InfluxQL.run(e, "SHOW RETENTION POLICIES")
+      .select("name").as[String].collect().toSeq == Seq("autogen"))
+    val nowNs = System.currentTimeMillis() * 1000000L
+    val oldNs = nowNs - 10L * 86400 * 1000000000L // 10 days ago
+    LineProtocol.ingest(e, Seq(
+      s"m,host=a v=1.0 $oldNs",
+      s"m,host=a v=2.0 ${nowNs - 60000000000L}").toDS()) // 1 min ago
+    val recent = InfluxQL.run(e,
+      "SELECT v FROM m WHERE time >= now() - 7d")
+      .collect().map(_.getAs[Double]("v")).toSeq
+    assert(recent == Seq(2.0))
+    assert(InfluxQL.run(e,
+      "SELECT v FROM m WHERE time <= now() + 1h").count() == 2)
+  }
+
   test("InfluxQL SELECT INTO: materializes, idempotent on re-run") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
