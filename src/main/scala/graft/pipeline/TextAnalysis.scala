@@ -102,6 +102,13 @@ object TextAnalysis {
   def repetitionStats(text: Column, n: Int): Column =
     graft.functions.GramRepStats(shingles(text, n))
 
+  /** T5 span corruption (Raffel et al. 2020 §3.1.4): deterministic masked-
+    * span denoising pairs — struct(input, target, n_spans). One-pass
+    * native kernel ([[graft.functions.SpanCorrupt]]); the md5 mask rule
+    * replays in SQL. */
+  def spanCorrupt(text: Column, id: Column, ratePct: Int = 15): Column =
+    graft.functions.SpanCorrupt(tokens(text), id.cast("string"), ratePct)
+
   /** CCNet-style canonicalization (Wenzek et al. 2020 §3.1) — NFKC,
     * casefold, accent strip, digit→0 — applied before fingerprint/MinHash
     * so trivial variants dedup together. One-pass native expression. */

@@ -217,6 +217,47 @@ object PipelineQueries {
       (s, dir) => LanguageModel.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("lm_logprob", round(col("lm_logprob"), 4))),
 
+    // ---- T5 span corruption (Raffel et al. 2020 §3.1.4): deterministic
+    //      denoising pairs; the oracle replays the md5 mask, run grouping,
+    //      sentinel numbering, and terminator with window functions
+    GraftQuery("q152_t5_span_corrupt",
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |tok AS (SELECT doc_id, toks[g.i] AS tok, g.i - 1 AS pos
+             |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+             |m AS (SELECT doc_id, pos, tok,
+             |    (('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR), 1, 8))::BIGINT % 100) < 15 AS mk
+             |  FROM tok),
+             |r AS (SELECT doc_id, pos, tok, mk,
+             |    CASE WHEN mk AND NOT coalesce(lag(mk) OVER w, false)
+             |         THEN 1 ELSE 0 END AS rs
+             |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |rr AS (SELECT *, sum(rs) OVER (PARTITION BY doc_id ORDER BY pos) AS runid
+             |  FROM r),
+             |inp AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input
+             |  FROM (SELECT doc_id, pos,
+             |          CASE WHEN NOT mk THEN tok
+             |               WHEN rs = 1 THEN '<extra_id_' || (runid - 1) || '>'
+             |          END AS piece
+             |        FROM rr)
+             |  WHERE piece IS NOT NULL GROUP BY doc_id),
+             |tg AS (SELECT doc_id,
+             |    string_agg(CASE WHEN rs = 1
+             |        THEN '<extra_id_' || (runid - 1) || '> ' || tok
+             |        ELSE tok END, ' ' ORDER BY pos) AS body,
+             |    max(runid) AS nspans
+             |  FROM rr WHERE mk GROUP BY doc_id)
+             |SELECT i.doc_id, i.input,
+             |  coalesce(tg.body || ' <extra_id_' || tg.nspans || '>', '') AS target,
+             |  coalesce(tg.nspans, 0) AS n_spans
+             |FROM inp i LEFT JOIN tg ON i.doc_id = tg.doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          spanCorrupt(col("text"), col("doc_id"), 15).as("sc"))
+        .select(col("doc_id"), col("sc.input").as("input"),
+          col("sc.target").as("target"),
+          col("sc.n_spans").cast("long").as("n_spans"))),
+
     // ---- CCNet canonicalization → fingerprint: normalized-text dedup
     //      keys (full Unicode path unit-tested in PipelineSpec; the ASCII
     //      fixture projects to lowercase + digit-fold, which the oracle

@@ -413,6 +413,45 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("T5 span corruption: sentinel structure, determinism, round-trip") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i =>
+      (i, (1 to 30).map(j => s"tok$j").mkString(" "))).toDF("id", "t")
+    val out = df.select(col("id"),
+      TextAnalysis.spanCorrupt(col("t"), col("id"), 15).as("sc"))
+      .select(col("id"), col("sc.input"), col("sc.target"), col("sc.n_spans"))
+      .collect()
+    val sentinel = """<extra_id_(\d+)>""".r
+    out.foreach { r =>
+      val (input, target, n) = (r.getString(1), r.getString(2), r.getInt(3))
+      // input sentinels are 0..n-1 in order; target repeats them + terminator n
+      val inIds = sentinel.findAllMatchIn(input).map(_.group(1).toInt).toSeq
+      assert(inIds == (0 until n), s"input sentinels $inIds for n=$n")
+      val tgtIds = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(tgtIds == (0 to n).take(if (n == 0) 0 else n + 1))
+      // round-trip: splicing target spans back into input restores the doc
+      if (n > 0) {
+        var restored = input
+        val spans = ("""<extra_id_\d+>""".r.split(target).map(_.trim)).drop(1)
+        spans.zipWithIndex.foreach { case (span, k) =>
+          restored = restored.replace(s"<extra_id_$k>", span)
+        }
+        assert(restored.split("\\s+").toSeq ==
+          (1 to 30).map(j => s"tok$j"), s"round-trip failed: $restored")
+      }
+    }
+    // ~15% of tokens masked across the corpus (i.i.d. md5 rule)
+    val total = 50 * 30
+    val maskedTokens = out.map { r =>
+      30 - r.getString(1).split("\\s+").count(!_.startsWith("<extra_id_")) }.sum
+    assert(maskedTokens > total * 0.10 && maskedTokens < total * 0.20,
+      s"masked $maskedTokens of $total")
+    // deterministic
+    val again = df.select(TextAnalysis.spanCorrupt(col("t"), col("id"), 15)
+      .getField("input")).collect().map(_.getString(0))
+    assert(out.map(_.getString(1)).sameElements(again))
+  }
+
   test("text normalization: NFKC, casefold, accent strip, digit fold") {
     import spark.implicits._
     val df = Seq(
