@@ -102,6 +102,26 @@ object TextAnalysis {
   def repetitionStats(text: Column, n: Int): Column =
     graft.functions.GramRepStats(shingles(text, n))
 
+  /** FIM — fill-in-the-middle transformation (Bavarian et al. 2022):
+    * split the document at two deterministic cut points into
+    * prefix/middle/suffix and emit the PSM training string
+    * `<PRE> prefix <SUF> suffix <MID> middle` (the autoregressive infilling
+    * objective; char-level, like the paper). Cut points are md5 buckets of
+    * the row id — reruns and engines agree. Pure codegen'd column ops. */
+  def fimTransform(text: Column, id: Column): Column = {
+    val len = length(text)
+    val c1 = (sampleBucket(concat(id.cast("string"), lit(":a")), 1000000)
+      % greatest(len, lit(1))) + 1
+    val c2 = (sampleBucket(concat(id.cast("string"), lit(":b")), 1000000)
+      % greatest(len, lit(1))) + 1
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    concat(
+      lit("<PRE>"), text.substr(lit(1), lo - 1),
+      lit("<SUF>"), text.substr(hi + 1, len - hi),
+      lit("<MID>"), text.substr(lo, hi - lo + 1))
+  }
+
   /** T5 span corruption (Raffel et al. 2020 §3.1.4): deterministic masked-
     * span denoising pairs — struct(input, target, n_spans). One-pass
     * native kernel ([[graft.functions.SpanCorrupt]]); the md5 mask rule

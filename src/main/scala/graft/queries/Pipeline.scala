@@ -217,6 +217,26 @@ object PipelineQueries {
       (s, dir) => LanguageModel.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("lm_logprob", round(col("lm_logprob"), 4))),
 
+    // ---- FIM fill-in-the-middle (Bavarian et al. 2022): PSM strings from
+    //      md5-deterministic char cuts; DuckDB replays the same cuts
+    GraftQuery("q153_fim_transform",
+      Some("""WITH c AS (SELECT doc_id, text, length(text) AS len,
+             |    (('0x' || substr(md5(doc_id::VARCHAR || ':a'), 1, 8))::BIGINT % 1000000)
+             |      % greatest(length(text), 1) + 1 AS c1,
+             |    (('0x' || substr(md5(doc_id::VARCHAR || ':b'), 1, 8))::BIGINT % 1000000)
+             |      % greatest(length(text), 1) + 1 AS c2
+             |  FROM documents),
+             |s AS (SELECT doc_id, text, len,
+             |    least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c)
+             |SELECT doc_id,
+             |  '<PRE>' || substr(text, 1, lo - 1) ||
+             |  '<SUF>' || substr(text, hi + 1, len - hi) ||
+             |  '<MID>' || substr(text, lo, hi - lo + 1) AS psm
+             |FROM s""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          fimTransform(col("text"), col("doc_id")).as("psm"))),
+
     // ---- T5 span corruption (Raffel et al. 2020 §3.1.4): deterministic
     //      denoising pairs; the oracle replays the md5 mask, run grouping,
     //      sentinel numbering, and terminator with window functions

@@ -413,6 +413,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("FIM transform: PSM reassembles to the original document") {
+    val out = docs.limit(50).select(col("doc_id"), col("text"),
+      TextAnalysis.fimTransform(col("text"), col("doc_id")).as("psm"))
+      .collect()
+    val shape = """(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$""".r
+    out.foreach { r =>
+      r.getString(2) match {
+        case shape(pre, suf, mid) =>
+          assert(pre + mid + suf == r.getString(1), s"doc ${r.getLong(0)}")
+          assert(mid.nonEmpty, "middle span never empty (inclusive cuts)")
+        case other => fail(s"bad PSM shape: ${other.take(60)}")
+      }
+    }
+  }
+
   test("T5 span corruption: sentinel structure, determinism, round-trip") {
     import spark.implicits._
     val df = (1L to 50L).map(i =>
