@@ -102,6 +102,12 @@ object TextAnalysis {
   def repetitionStats(text: Column, n: Int): Column =
     graft.functions.GramRepStats(shingles(text, n))
 
+  /** BERT MLM masking (Devlin et al. 2018 §3.1): deterministic 80/10/10
+    * masked-token pairs — struct(masked, labels, n_masked). One-pass
+    * native kernel ([[graft.functions.MlmMask]]); md5 rules replay in SQL. */
+  def mlmMask(text: Column, id: Column, ratePct: Int = 15): Column =
+    graft.functions.MlmMask(tokens(text), id.cast("string"), ratePct)
+
   /** FIM — fill-in-the-middle transformation (Bavarian et al. 2022):
     * split the document at two deterministic cut points into
     * prefix/middle/suffix and emit the PSM training string

@@ -217,6 +217,39 @@ object PipelineQueries {
       (s, dir) => LanguageModel.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("lm_logprob", round(col("lm_logprob"), 4))),
 
+    // ---- BERT MLM masking (Devlin et al. 2018 §3.1): deterministic
+    //      80/10/10 draw; the oracle replays selection, action, and the
+    //      doc-local random replacement
+    GraftQuery("q154_mlm_mask",
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |tok AS (SELECT doc_id, toks, toks[g.i] AS tok, g.i - 1 AS pos,
+             |    len(toks) AS n
+             |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+             |m AS (SELECT doc_id, pos, tok, n, toks,
+             |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR), 1, 8))::BIGINT % 100 < 15 AS sel,
+             |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR || ':act'), 1, 8))::BIGINT % 10 AS act
+             |  FROM tok),
+             |p AS (SELECT doc_id, pos,
+             |    CASE WHEN NOT sel THEN tok
+             |         WHEN act < 8 THEN '[MASK]'
+             |         WHEN act = 8 THEN toks[
+             |           (('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR || ':rnd'), 1, 8))::BIGINT % n) + 1]
+             |         ELSE tok END AS piece,
+             |    CASE WHEN sel THEN pos || '=' || tok END AS lab
+             |  FROM m)
+             |SELECT doc_id,
+             |  string_agg(piece, ' ' ORDER BY pos) AS masked,
+             |  coalesce(string_agg(lab, ' ' ORDER BY pos), '') AS labels,
+             |  count(lab) AS n_masked
+             |FROM p GROUP BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          mlmMask(col("text"), col("doc_id"), 15).as("mm"))
+        .select(col("doc_id"), col("mm.masked").as("masked"),
+          col("mm.labels").as("labels"),
+          col("mm.n_masked").cast("long").as("n_masked"))),
+
     // ---- FIM fill-in-the-middle (Bavarian et al. 2022): PSM strings from
     //      md5-deterministic char cuts; DuckDB replays the same cuts
     GraftQuery("q153_fim_transform",

@@ -413,6 +413,42 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("MLM masking: labels restore, rate ~15%, 80/10/10 action split") {
+    import spark.implicits._
+    val df = (1L to 80L).map(i =>
+      (i, (1 to 25).map(j => s"w$j").mkString(" "))).toDF("id", "t")
+    val out = df.select(col("id"),
+      TextAnalysis.mlmMask(col("t"), col("id"), 15).as("mm"))
+      .select(col("id"), col("mm.masked"), col("mm.labels"), col("mm.n_masked"))
+      .collect()
+    var totalSel = 0; var maskTok = 0
+    out.foreach { r =>
+      val toks = r.getString(1).split(" ")
+      assert(toks.length == 25, "masking never changes token count")
+      val labels = r.getString(2).split(" ").filter(_.nonEmpty)
+        .map { kv => val Array(p, t) = kv.split("=", 2); (p.toInt, t) }
+      assert(labels.length == r.getInt(3))
+      totalSel += labels.length
+      // splicing the labels back restores the original document
+      val restored = toks.clone()
+      labels.foreach { case (p, t) => restored(p) = t }
+      assert(restored.toSeq == (1 to 25).map(j => s"w$j"))
+      // positions NOT selected are untouched
+      val sel = labels.map(_._1).toSet
+      toks.zipWithIndex.foreach { case (t, p) =>
+        if (!sel(p)) assert(t == s"w${p + 1}")
+      }
+      maskTok += toks.count(_ == "[MASK]")
+    }
+    val total = 80 * 25
+    assert(totalSel > total * 0.10 && totalSel < total * 0.20,
+      s"selected $totalSel of $total")
+    // [MASK] share of selected ≈ 80% (random-replacement can collide with
+    // the original token, so "keep" is slightly over 10%)
+    assert(maskTok > totalSel * 0.7 && maskTok < totalSel * 0.9,
+      s"[MASK] $maskTok of $totalSel selected")
+  }
+
   test("FIM transform: PSM reassembles to the original document") {
     val out = docs.limit(50).select(col("doc_id"), col("text"),
       TextAnalysis.fimTransform(col("text"), col("doc_id")).as("psm"))
