@@ -31,6 +31,11 @@ object InfluxQL {
     """(?is)^SHOW\s+FIELD\s+KEYS(?:\s+FROM\s+([\w"]+))?\s*$""".r
   private val showSeriesRe =
     """(?is)^SHOW\s+SERIES(?:\s+FROM\s+([\w"]+))?\s*$""".r
+  private val createCqRe =
+    """(?is)^CREATE\s+CONTINUOUS\s+QUERY\s+([\w"]+)\s+ON\s+[\w"]+\s+BEGIN\s+(.*?)\s+END\s*$""".r
+  private val showCqRe = """(?is)^SHOW\s+CONTINUOUS\s+QUERIES\s*$""".r
+  private val dropCqRe =
+    """(?is)^DROP\s+CONTINUOUS\s+QUERY\s+([\w"]+)\s+ON\s+[\w"]+\s*$""".r
 
   def run(engine: TsdbEngine, q: String): DataFrame = {
     val trimmed = q.trim.stripSuffix(";").trim
@@ -75,6 +80,28 @@ object InfluxQL {
               (m, c.name, t)
             }
         }.toDF("iox::measurement", "fieldKey", "fieldType")
+      case createCqRe(name, bodyRaw) =>
+        // continuous query = a stored SELECT ... INTO, persisted in the
+        // warehouse (survives engine restarts); [[runContinuousQueries]]
+        // re-materializes each one — a FULL recompute, idempotent through
+        // INTO's overwrite mode (InfluxDB schedules incremental windows;
+        // full recompute is the simpler correct form, documented)
+        val body = bodyRaw.trim
+        val stmt = parseSelect(body)
+        require(stmt.into.isDefined,
+          "continuous query body must be SELECT ... INTO target ...")
+        val dir = java.nio.file.Paths.get(engine.warehouse, "_cq")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve(unquote(name) + ".iql"),
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Seq((unquote(name), body)).toDF("name", "query")
+      case showCqRe() =>
+        listCqs(engine).toDF("name", "query")
+      case dropCqRe(name) =>
+        val f = java.nio.file.Paths.get(engine.warehouse, "_cq",
+          unquote(name) + ".iql")
+        val existed = java.nio.file.Files.deleteIfExists(f)
+        Seq((unquote(name), existed)).toDF("name", "dropped")
       case showSeriesRe(measOpt) =>
         // SHOW SERIES: one row per stored series, formatted as the
         // line-protocol series key `measurement,tag1=v1,tag2=v2` with tag
@@ -117,6 +144,29 @@ object InfluxQL {
         }
     }
   }
+
+  /** Stored continuous queries, name-sorted. */
+  private def listCqs(engine: TsdbEngine): Seq[(String, String)] = {
+    val dir = java.nio.file.Paths.get(engine.warehouse, "_cq")
+    if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    val fs = java.nio.file.Files.list(dir).iterator()
+    val out = Seq.newBuilder[(String, String)]
+    while (fs.hasNext) {
+      val f = fs.next()
+      if (f.toString.endsWith(".iql"))
+        out += ((f.getFileName.toString.stripSuffix(".iql"),
+          new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8)))
+    }
+    out.result().sortBy(_._1)
+  }
+
+  /** Re-materialize every stored continuous query (full recompute,
+    * idempotent via INTO's overwrite mode). Returns (name, rows written). */
+  def runContinuousQueries(engine: TsdbEngine): Seq[(String, Long)] =
+    listCqs(engine).map { case (name, body) =>
+      name -> run(engine, body).head().getAs[Long]("written")
+    }
 
   /** INTO materialization: auto-create the target (time key; the select's
     * GROUP BY tags become TAG columns; everything else a typed field) and

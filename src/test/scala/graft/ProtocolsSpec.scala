@@ -486,6 +486,37 @@ class ProtocolsSpec extends SparkSpec {
       "SELECT v FROM m WHERE time <= now() + 1h").count() == 2)
   }
 
+  test("InfluxQL continuous queries: create, show, run, drop") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-cq").toString)
+    LineProtocol.ingest(e, Seq(
+      "m,host=a v=1.0 1704067200000000000",
+      "m,host=a v=3.0 1704067260000000000",
+      "m,host=b v=9.0 1704067200000000000").toDS())
+    InfluxQL.run(e,
+      """CREATE CONTINUOUS QUERY cq_hourly ON public BEGIN
+        |SELECT max(v) AS mx INTO m_h FROM m GROUP BY time(1h), host fill(none)
+        |END""".stripMargin).collect()
+    assert(InfluxQL.run(e, "SHOW CONTINUOUS QUERIES")
+      .select("name").as[String].collect().toSeq == Seq("cq_hourly"))
+    // body without INTO is rejected
+    intercept[IllegalArgumentException](InfluxQL.run(e,
+      "CREATE CONTINUOUS QUERY bad ON public BEGIN SELECT max(v) FROM m END"))
+    // run: materializes; second run idempotent (overwrite dedup)
+    val r1 = InfluxQL.runContinuousQueries(e)
+    assert(r1 == Seq("cq_hourly" -> 2L))
+    InfluxQL.runContinuousQueries(e)
+    assert(InfluxQL.run(e, "SELECT mx FROM m_h").count() == 2)
+    // registry survives a fresh engine on the same warehouse
+    val e2 = new TsdbEngine(spark, e.warehouse)
+    assert(InfluxQL.run(e2, "SHOW CONTINUOUS QUERIES").count() == 1)
+    // drop
+    assert(InfluxQL.run(e, "DROP CONTINUOUS QUERY cq_hourly ON public")
+      .head().getAs[Boolean]("dropped"))
+    assert(InfluxQL.run(e, "SHOW CONTINUOUS QUERIES").count() == 0)
+  }
+
   test("InfluxQL SELECT INTO: materializes, idempotent on re-run") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
