@@ -58,4 +58,41 @@ object Packing {
         floor(col("global_offset") / seqLen).cast("long").as("seq_id"),
         pmod(col("global_offset"), lit(seqLen.toLong)).as("seq_pos"))
   }
+
+  /** Token-budget corpus selection — "take the best documents until the
+    * training budget is spent" (the data-constrained selection step):
+    * orders by `scoreCol` DESC (id tie-break), keeps every document whose
+    * INCLUSIVE cumulative token count fits the budget, and returns it with
+    * its running total.
+    *
+    * The cumulative count is the same distributed two-phase prefix scan as
+    * [[pack]] — range-repartition on the (score, id) total order, O(P)
+    * driver offsets, per-partition parallel window — so the global
+    * "cumsum then cut" never serializes through one reducer. */
+  def takeUntilBudget(
+      df: DataFrame, idCol: String, textCol: String, scoreCol: String,
+      budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counted = df
+      .select(col(idCol), col(scoreCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(col(scoreCol).desc, col(idCol))
+      .sortWithinPartitions(col(scoreCol).desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = counted.groupBy("__pid").agg(sum("n_tokens").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.map(_._1)
+      .zip(totals.scanLeft(0L) { case (acc, (_, t)) => acc + t })
+      .toSeq.toDF("__pid", "__base")
+    val w = Window.partitionBy("__pid")
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted
+      .join(broadcast(bases), "__pid")
+      .withColumn("cum_tokens", col("__base") + sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(scoreCol), col("n_tokens"), col("cum_tokens"))
+  }
 }

@@ -217,6 +217,27 @@ object PipelineQueries {
       (s, dir) => LanguageModel.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("lm_logprob", round(col("lm_logprob"), 4))),
 
+    // ---- token-budget selection: best docs by lexical-diversity score
+    //      until 20k tokens; oracle replays the global ordered cumsum the
+    //      two-phase scan computes distributively
+    GraftQuery("q155_budget_select",
+      Some("""WITH t AS (SELECT doc_id,
+             |    round(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+             |      / len(string_split_regex(trim(text), '\s+')), 4) AS score,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, score, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum_tokens
+             |  FROM t)
+             |SELECT doc_id, score, n_tokens, cum_tokens
+             |FROM c WHERE cum_tokens <= 20000""".stripMargin),
+      (s, dir) => graft.pipeline.Packing.takeUntilBudget(
+        t(s, dir, "documents")
+          .withColumn("score", round(
+            size(array_distinct(tokens(col("text")))).cast("double") /
+              tokenCount(col("text")), 4)),
+        "doc_id", "text", "score", budget = 20000L)),
+
     // ---- BERT MLM masking (Devlin et al. 2018 §3.1): deterministic
     //      80/10/10 draw; the oracle replays selection, action, and the
     //      doc-local random replacement

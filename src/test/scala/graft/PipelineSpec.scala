@@ -413,6 +413,28 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("budget selection: greedy-by-score prefix, budget respected, equals naive") {
+    import spark.implicits._
+    val df = docs.withColumn("score",
+      round(size(array_distinct(TextAnalysis.tokens(col("text")))).cast("double") /
+        TextAnalysis.tokenCount(col("text")), 4))
+    val out = Packing.takeUntilBudget(df, "doc_id", "text", "score", 5000L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // budget respected, inclusive running totals consistent
+    assert(out.nonEmpty && out.forall(_._4 <= 5000L))
+    val sorted = out.sortBy(r => (-r._2, r._1))
+    assert(sorted.zip(sorted.scanLeft(0L)(_ + _._3).tail)
+      .forall { case (r, cum) => r._4 == cum })
+    // equals the naive single-window formulation
+    val naive = df.select(col("doc_id"), col("score"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().sortBy(r => (-r.getDouble(1), r.getLong(0)))
+    var cum = 0L
+    val expect = naive.takeWhile { r => cum += r.getLong(2); cum <= 5000L }
+      .map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == expect)
+  }
+
   test("MLM masking: labels restore, rate ~15%, 80/10/10 action split") {
     import spark.implicits._
     val df = (1L to 80L).map(i =>
