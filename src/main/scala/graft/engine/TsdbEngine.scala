@@ -305,7 +305,8 @@ final class TsdbEngine(
     * analytic_engine/src/table/mod.rs) — an append racing a concurrent
     * compact could land in the old generation and be dropped with it.
     */
-  def compact(name: String, nowMs: Long = System.currentTimeMillis()): Unit = {
+  def compact(name: String, nowMs: Long = System.currentTimeMillis(),
+      retain: Option[org.apache.spark.sql.Column] = None): Unit = {
     purgeExpiredSegments(name, nowMs)
     val s = catalog.get(name)
     val (gen, _) = catalog.compactionState(name)
@@ -328,6 +329,8 @@ final class TsdbEngine(
     s.options.ttlMillis.filter(_ => s.options.enableTtl).foreach { ttl =>
       df = df.filter(col(s.timestampKey) >= timestamp_millis(lit(nowMs - ttl)))
     }
+    // deletion support: the rewrite keeps only retained rows ([[deleteWhere]])
+    retain.foreach(keep => df = df.filter(keep))
 
     // rebuild the storage layout exactly like append: __segment recomputed
     // from the timestamp; __bucket (if partitioned) is already a column of
@@ -356,6 +359,14 @@ final class TsdbEngine(
       GraftCatalog.deleteRecursively(java.nio.file.Paths.get(catalog.genDataDir(name, g)))
     }
   }
+
+  /** Physical row deletion: rewrite the table keeping rows NOT matching
+    * `condition` — the same generation-flip rewrite as [[compact]] (so
+    * deletes also dedup/TTL-purge as a side effect). Serialize with
+    * writes per table, like compaction. */
+  def deleteWhere(name: String, condition: org.apache.spark.sql.Column,
+      nowMs: Long = System.currentTimeMillis()): Unit =
+    compact(name, nowMs, retain = Some(!coalesce(condition, lit(false))))
 
   /** Compaction scheduling policy (the reference picks strategies via the
     * `compaction_strategy` table option and schedules on accumulated

@@ -34,6 +34,10 @@ object InfluxQL {
   private val createCqRe =
     """(?is)^CREATE\s+CONTINUOUS\s+QUERY\s+([\w"]+)\s+ON\s+[\w"]+\s+BEGIN\s+(.*?)\s+END\s*$""".r
   private val showCqRe = """(?is)^SHOW\s+CONTINUOUS\s+QUERIES\s*$""".r
+  private val dropMeasRe =
+    """(?is)^DROP\s+MEASUREMENT\s+([\w"]+)\s*$""".r
+  private val deleteRe =
+    """(?is)^DELETE\s+FROM\s+([\w"]+)(?:\s+WHERE\s+(.*?))?\s*$""".r
   private val dropCqRe =
     """(?is)^DROP\s+CONTINUOUS\s+QUERY\s+([\w"]+)\s+ON\s+[\w"]+\s*$""".r
 
@@ -80,6 +84,23 @@ object InfluxQL {
               (m, c.name, t)
             }
         }.toDF("iox::measurement", "fieldKey", "fieldType")
+      case dropMeasRe(m) =>
+        val name = unquote(m)
+        val existed = engine.catalog.drop(name, ifExists = true)
+        Seq((name, existed)).toDF("measurement", "dropped")
+      case deleteRe(m, whereOpt) =>
+        // DELETE FROM m [WHERE time/tag conds]: physical rewrite through
+        // the engine's compaction path (generation flip) keeping the
+        // complement. Bare DELETE truncates.
+        val name = unquote(m)
+        val schema = engine.catalog.get(name)
+        val conds = Option(whereOpt).map(w =>
+          splitTopKeyword(w, "AND").map(parseCond)).getOrElse(Nil)
+        val condition = conds
+          .map(condCol(_, schema.timestampKey))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        engine.deleteWhere(name, condition)
+        Seq((name, true)).toDF("measurement", "deleted")
       case createCqRe(name, bodyRaw) =>
         // continuous query = a stored SELECT ... INTO, persisted in the
         // warehouse (survives engine restarts); [[runContinuousQueries]]
@@ -212,6 +233,54 @@ object InfluxQL {
   }
 
   private def unquote(s: String): String = s.stripPrefix("\"").stripSuffix("\"")
+
+  private def timeLit(c: Cond): Column = {
+    // `now() [± dur]` — relative bounds (Grafana's default time range);
+    // evaluated once per query on the driver clock
+    val nowRe = """(?i)now\(\)\s*(?:([+-])\s*(\w+))?""".r
+    c.value.trim match {
+      case nowRe(signOpt, durOpt) =>
+        val base = System.currentTimeMillis() * 1000L
+        val off = Option(durOpt).map(d =>
+          graft.model.TableOptions.durationMillis(d) * 1000L).getOrElse(0L)
+        return timestamp_micros(lit(
+          if (signOpt == "-") base - off else base + off))
+      case _ =>
+    }
+    // epoch literals: bare = nanoseconds (InfluxQL default), with the
+    // s/ms/u duration suffixes (reference golden uses `...000ms`);
+    // compared at the engine's micros precision — truncating to ms would
+    // misplace sub-ms bounds
+    if (c.valueIsNumber) {
+      val re = """(\d+)(ns|ms|u|s)?""".r
+      val us = c.value match {
+        case re(n, suffix) => suffix match {
+          case null | "ns" => n.toLong / 1000L
+          case "u"         => n.toLong
+          case "ms"        => n.toLong * 1000L
+          case "s"         => n.toLong * 1000000L
+        }
+        case other =>
+          throw new IllegalArgumentException(s"bad time literal '$other'")
+      }
+      timestamp_micros(lit(us))
+    } else to_timestamp(lit(c.value))
+  }
+
+  private def condCol(c: Cond, tsCol: String): Column = {
+    val lhs: Column = if (c.isTime) col(tsCol) else col(c.lhs)
+    val rhs: Column = if (c.isTime) timeLit(c) else lit(c.value)
+    c.op match {
+      case ">=" => lhs >= rhs
+      case "<=" => lhs <= rhs
+      case ">"  => lhs > rhs
+      case "<"  => lhs < rhs
+      case "="  => lhs === rhs
+      case "!=" => lhs =!= rhs
+      case "=~" => lhs.cast("string").rlike(c.value)
+      case "!~" => !lhs.cast("string").rlike(c.value)
+    }
+  }
 
   // ------------------------------------------------------------------ AST
 
@@ -499,57 +568,9 @@ object InfluxQL {
       s0.copy(groupTags = tableTags) else s0
     var df = source
 
-    def timeLit(c: Cond): Column = {
-      // `now() [± dur]` — relative bounds (Grafana's default time range);
-      // evaluated once per query on the driver clock
-      val nowRe = """(?i)now\(\)\s*(?:([+-])\s*(\w+))?""".r
-      c.value.trim match {
-        case nowRe(signOpt, durOpt) =>
-          val base = System.currentTimeMillis() * 1000L
-          val off = Option(durOpt).map(d =>
-            graft.model.TableOptions.durationMillis(d) * 1000L).getOrElse(0L)
-          return timestamp_micros(lit(
-            if (signOpt == "-") base - off else base + off))
-        case _ =>
-      }
-      timeLitAbs(c)
-    }
-    def timeLitAbs(c: Cond): Column =
-      // epoch literals: bare = nanoseconds (InfluxQL default), with the
-      // s/ms/u duration suffixes (reference golden uses `...000ms`);
-      // compared at the engine's micros precision — truncating to ms would
-      // misplace sub-ms bounds
-      if (c.valueIsNumber) {
-        val re = """(\d+)(ns|ms|u|s)?""".r
-        val us = c.value match {
-          case re(n, suffix) => suffix match {
-            case null | "ns" => n.toLong / 1000L
-            case "u"         => n.toLong
-            case "ms"        => n.toLong * 1000L
-            case "s"         => n.toLong * 1000000L
-          }
-          case other =>
-            throw new IllegalArgumentException(s"bad time literal '$other'")
-        }
-        timestamp_micros(lit(us))
-      } else to_timestamp(lit(c.value))
-
-    def condCol(c: Cond): Column = {
-      val lhs: Column = if (c.isTime) col(tsCol) else col(c.lhs)
-      val rhs: Column = if (c.isTime) timeLit(c) else lit(c.value)
-      c.op match {
-        case ">=" => lhs >= rhs
-        case "<=" => lhs <= rhs
-        case ">"  => lhs > rhs
-        case "<"  => lhs < rhs
-        case "="  => lhs === rhs
-        case "!=" => lhs =!= rhs
-        case "=~" => lhs.cast("string").rlike(c.value)
-        case "!~" => !lhs.cast("string").rlike(c.value)
-      }
-    }
-    s.conds.foreach(c => df = df.filter(condCol(c)))
-    s.condGroups.foreach(g => df = df.filter(g.map(condCol).reduce(_ || _)))
+    s.conds.foreach(c => df = df.filter(condCol(c, tsCol)))
+    s.condGroups.foreach(g =>
+      df = df.filter(g.map(condCol(_, tsCol)).reduce(_ || _)))
 
     val isAgg = s.projections.exists(_.agg.isDefined)
     val ord: Column => Column = c => if (s.orderDesc) c.desc else c.asc

@@ -486,6 +486,31 @@ class ProtocolsSpec extends SparkSpec {
       "SELECT v FROM m WHERE time <= now() + 1h").count() == 2)
   }
 
+  test("InfluxQL DELETE FROM and DROP MEASUREMENT") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-del").toString)
+    LineProtocol.ingest(e, Seq(
+      "m,host=a v=1.0 1704067200000000000",
+      "m,host=a v=2.0 1704153600000000000",  // day 2
+      "m,host=b v=3.0 1704067200000000000").toDS())
+    // time-ranged delete rewrites physically; the rest survives
+    InfluxQL.run(e,
+      "DELETE FROM m WHERE time < 1704153600000000000").collect()
+    val left = InfluxQL.run(e, "SELECT v FROM m")
+      .collect().map(_.getAs[Double]("v")).toSeq
+    assert(left == Seq(2.0))
+    // tag-scoped delete
+    LineProtocol.ingest(e, Seq("m,host=b v=9.0 1704240000000000000").toDS())
+    InfluxQL.run(e, "DELETE FROM m WHERE host = 'b'").collect()
+    assert(InfluxQL.run(e, "SELECT v FROM m")
+      .collect().map(_.getAs[Double]("v")).toSeq == Seq(2.0))
+    // drop removes the measurement entirely
+    assert(InfluxQL.run(e, "DROP MEASUREMENT m").head().getAs[Boolean]("dropped"))
+    assert(InfluxQL.run(e, "SHOW MEASUREMENTS").count() == 0)
+    assert(!InfluxQL.run(e, "DROP MEASUREMENT m").head().getAs[Boolean]("dropped"))
+  }
+
   test("InfluxQL continuous queries: create, show, run, drop") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
