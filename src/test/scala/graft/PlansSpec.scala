@@ -84,6 +84,18 @@ class PlansSpec extends SparkSpec {
       s"default near-dup must stay a bucket equi-join, got:\n$plan")
   }
 
+  test("map-only text kernels run shuffle-free end to end") {
+    // the quality/objective kernels (entropy, normalization, T5/MLM
+    // masking, FIM) claim map-only execution — no Exchange may appear
+    // anywhere in their plans
+    for (name <- Seq("q137_char_entropy", "q152_t5_span_corrupt",
+        "q154_mlm_mask", "q153_fim_transform")) {
+      val plan = finalPlan(q(name)).toString
+      assert(!plan.contains("Exchange"),
+        s"$name must be map-only, found a shuffle in:\n$plan")
+    }
+  }
+
   test("per-key cap rewrites to WindowGroupLimit (map-side top-n per key)") {
     // the rank filter must become a group limit BEFORE the shuffle, so a
     // dominating key ships O(tasks·n) rows, not its whole partition
