@@ -84,6 +84,13 @@ object InfluxQL {
               (m, c.name, t)
             }
         }.toDF("iox::measurement", "fieldKey", "fieldType")
+      case _ if trimmed.toUpperCase.startsWith("EXPLAIN ") =>
+        // EXPLAIN <stmt>: the engine's actual (Catalyst) plan — the
+        // InfluxDB explain surface mapped onto what really executes here
+        val inner = run(engine, trimmed.substring("EXPLAIN ".length))
+        inner.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          .linesIterator.toSeq.toDF("plan")
       case dropMeasRe(m) =>
         val name = unquote(m)
         val existed = engine.catalog.drop(name, ifExists = true)

@@ -486,6 +486,19 @@ class ProtocolsSpec extends SparkSpec {
       "SELECT v FROM m WHERE time <= now() + 1h").count() == 2)
   }
 
+  test("InfluxQL EXPLAIN returns the executed Catalyst plan") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-exp").toString)
+    LineProtocol.ingest(e, Seq("m,host=a v=1.0 1704067200000000000").toDS())
+    val plan = InfluxQL.run(e,
+      "EXPLAIN SELECT sum(v) AS s FROM m WHERE host = 'a' GROUP BY time(1h)")
+      .as[String].collect().mkString("\n")
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"),
+      s"plan missing aggregate:\n$plan")
+    assert(plan.contains("Scan") || plan.contains("FileScan"))
+  }
+
   test("InfluxQL DELETE FROM and DROP MEASUREMENT") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
