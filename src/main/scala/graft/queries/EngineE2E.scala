@@ -134,17 +134,23 @@ object EngineE2E {
 
     // Streaming custom state (flatMapGroupsWithState): per-series gauge
     // rate with one-sample state, replayed into an engine table. The
-    // oracle re-derives the chain with lag() windows — Δt computed on
-    // integral ns differences so both sides round identically.
+    // oracle re-derives the chain with lag() windows — Δt mirrors the
+    // kernel's µs arithmetic exactly (SeriesRate divides by ΔtUs/1e6) so
+    // the raw quotient is bit-identical, and the rate is presented as an
+    // INTEGER µ-rate (q145 convention): DuckDB round() preserves -0.0 on
+    // tiny negatives where Spark's BigDecimal HALF_UP does not, and the
+    // BIGINT cast erases that sign bit on both sides.
     GraftQuery("q73_streaming_series_rate",
-      Some("""SELECT event_type AS series, make_timestamp(epoch_ns(ts) // 1000) AS ts,
-             |  round(("value" - pv) / ((epoch_ns(ts) - pt) / 1e9), 4) AS rate
+      Some("""SELECT event_type AS series, make_timestamp(us) AS ts,
+             |  CAST(round(("value" - pv) / ((us - pt) / 1e6) * 1000000.0, 0)
+             |    AS BIGINT) AS rate
              |FROM (
-             |  SELECT event_type, ts, "value",
-             |    lag("value") OVER w AS pv, lag(epoch_ns(ts)) OVER w AS pt
+             |  SELECT event_type, epoch_ns(ts) // 1000 AS us, "value",
+             |    lag("value") OVER w AS pv,
+             |    lag(epoch_ns(ts) // 1000) OVER w AS pt
              |  FROM events
              |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, "value"))
-             |WHERE pv IS NOT NULL AND epoch_ns(ts) > pt""".stripMargin),
+             |WHERE pv IS NOT NULL AND us > pt""".stripMargin),
       (s, dir) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = StructType(Seq(
@@ -156,7 +162,8 @@ object EngineE2E {
         graft.streaming.SeriesRate.rateToTable(
             e, dir, "events.parquet", schema, nanosTs = true,
             "ts", "event_type", "value", "events_rate")
-          .select(col("series"), col("ts"), round(col("rate"), 4).as("rate"))
+          .select(col("series"), col("ts"),
+            round(col("rate") * 1000000.0, 0).cast("long").as("rate"))
       }),
 
     // Streaming session windows (gap-based, append mode): per-user sessions

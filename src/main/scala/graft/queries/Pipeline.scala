@@ -221,21 +221,26 @@ object PipelineQueries {
     //      until 20k tokens; oracle replays the global ordered cumsum the
     //      two-phase scan computes distributively
     GraftQuery("q155_budget_select",
+      // score is an INTEGER basis-point diversity (×10⁴, q145 convention):
+      // the raw quotient drives the global order, so a single cross-engine
+      // x.xxxx5 rounding flip would reshuffle every cumulative sum after
+      // it — round-to-integer of the bit-identical quotient can't flip.
+      // cum_tokens casts off DuckDB's HUGEINT window sum (q119 note).
       Some("""WITH t AS (SELECT doc_id,
-             |    round(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
-             |      / len(string_split_regex(trim(text), '\s+')), 4) AS score,
+             |    CAST(round(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+             |      / len(string_split_regex(trim(text), '\s+')) * 10000.0, 0) AS BIGINT) AS score,
              |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
              |  FROM documents),
              |c AS (SELECT doc_id, score, n_tokens,
              |    sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum_tokens
              |  FROM t)
-             |SELECT doc_id, score, n_tokens, cum_tokens
+             |SELECT doc_id, score, n_tokens, cum_tokens::BIGINT AS cum_tokens
              |FROM c WHERE cum_tokens <= 20000""".stripMargin),
       (s, dir) => graft.pipeline.Packing.takeUntilBudget(
         t(s, dir, "documents")
           .withColumn("score", round(
             size(array_distinct(tokens(col("text")))).cast("double") /
-              tokenCount(col("text")), 4)),
+              tokenCount(col("text")) * 10000.0, 0).cast("long")),
         "doc_id", "text", "score", budget = 20000L)),
 
     // ---- BERT MLM masking (Devlin et al. 2018 §3.1): deterministic
@@ -321,9 +326,11 @@ object PipelineQueries {
              |        ELSE tok END, ' ' ORDER BY pos) AS body,
              |    max(runid) AS nspans
              |  FROM rr WHERE mk GROUP BY doc_id)
+             |-- nspans descends from a window sum() (HUGEINT) — cast to
+             |-- BIGINT for the driver's typed compare (q119 note)
              |SELECT i.doc_id, i.input,
              |  coalesce(tg.body || ' <extra_id_' || tg.nspans || '>', '') AS target,
-             |  coalesce(tg.nspans, 0) AS n_spans
+             |  coalesce(tg.nspans, 0)::BIGINT AS n_spans
              |FROM inp i LEFT JOIN tg ON i.doc_id = tg.doc_id""".stripMargin),
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
@@ -705,8 +712,12 @@ object PipelineQueries {
              |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
              |  FROM t)
-             |SELECT doc_id, n_tokens, o AS global_offset,
-             |  o // 1024 AS seq_id, o % 1024 AS seq_pos FROM c""".stripMargin),
+             |-- window sum() is HUGEINT in DuckDB — cast to BIGINT so the
+             |-- driver's typed compare sees int64 on both sides (HUGEINT
+             |-- surfaces as float64 through pandas, Spark writes int64)
+             |SELECT doc_id, n_tokens, o::BIGINT AS global_offset,
+             |  (o // 1024)::BIGINT AS seq_id, (o % 1024)::BIGINT AS seq_pos
+             |FROM c""".stripMargin),
       (s, dir) => graft.pipeline.Packing.pack(
         t(s, dir, "documents"), "doc_id", "text", seqLen = 1024)),
 

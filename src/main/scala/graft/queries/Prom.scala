@@ -310,13 +310,22 @@ object Prom {
              |  AND hts <= TIMESTAMP '2024-01-11 00:00:00'""".stripMargin)),
 
     // ---- deriv: least-squares slope per series over each 1h window —
-    //      DuckDB regr_slope is the same covariance/variance formula
-    q("q101_promql_deriv", "deriv(events[1h])",
+    //      DuckDB regr_slope is the same covariance/variance formula.
+    //      Presented as an INTEGER micro-slope (the q145 convention):
+    //      decimal rounding of a raw quotient can differ between engines at
+    //      x.xxxx5 boundaries, and DuckDB round() keeps the sign of tiny
+    //      negatives (-0.0) where Spark's BigDecimal HALF_UP does not —
+    //      both classes vanish under round-to-integer + BIGINT cast.
+    GraftQuery("q101_promql_deriv",
       Some(s"""WITH $gridSql
               |SELECT event_type, gts AS ts,
-              |  round(regr_slope(v, tms / 1000.0), 4) AS "value"
+              |  CAST(round(regr_slope(v, tms / 1000.0) * 1000000.0, 0) AS BIGINT) AS "value"
               |FROM win GROUP BY event_type, gts
-              |HAVING count(*) >= 2 AND var_pop(tms / 1000.0) > 0""".stripMargin)),
+              |HAVING count(*) >= 2 AND var_pop(tms / 1000.0) > 0""".stripMargin),
+      (s, dir) => PromQL.eval(s, table(s, dir), "deriv(events[1h])", p)
+        .withColumn("value", org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 1000000.0, 0)
+          .cast("long"))),
 
     // ---- count_values: per-step histogram of instant sample values
     q("q102_promql_count_values", """count_values("v", events)""",
