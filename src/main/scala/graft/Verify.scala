@@ -16,12 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=q55,q60 limits the dump for targeted iteration
-    // (same contract as Bench); the driver never sets it.
+    // SPARK_GRAFT_ONLY=q55_minhash_lsh,q60_... limits the dump for targeted
+    // iteration — exact-name match, the same contract as Bench (a prefix
+    // rule would make "q5" also select q50–q59); the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith)) }
+      only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

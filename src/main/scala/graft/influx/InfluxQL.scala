@@ -85,9 +85,19 @@ object InfluxQL {
             }
         }.toDF("iox::measurement", "fieldKey", "fieldType")
       case _ if trimmed.toUpperCase.startsWith("EXPLAIN ") =>
-        // EXPLAIN <stmt>: the engine's actual (Catalyst) plan — the
-        // InfluxDB explain surface mapped onto what really executes here
-        val inner = run(engine, trimmed.substring("EXPLAIN ".length))
+        // EXPLAIN SELECT: the engine's actual (Catalyst) plan — the
+        // InfluxDB explain surface mapped onto what really executes here.
+        // Only SELECT is explainable (matching InfluxDB's EXPLAIN
+        // [ANALYZE] SELECT grammar): recursing into DELETE / DROP /
+        // SELECT INTO / CQ statements would execute their side effects.
+        val innerSql = trimmed.substring("EXPLAIN ".length).trim
+        val innerUpper = innerSql.toUpperCase
+        val hasInto = """(?is)^SELECT\s+.*?\s+INTO\s+[\w"]+\s+FROM\s""".r
+          .findFirstIn(innerSql).isDefined
+        if (!innerUpper.startsWith("SELECT") || hasInto)
+          throw new IllegalArgumentException(
+            "EXPLAIN supports only SELECT statements (without INTO)")
+        val inner = run(engine, innerSql)
         inner.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
           .linesIterator.toSeq.toDF("plan")
@@ -516,12 +526,14 @@ object InfluxQL {
   }
 
   /** Split on a top-level keyword (case-insensitive, not inside parens
-    * or quotes). */
+    * or quotes). Any Java whitespace delimits the keyword — a clause
+    * wrapped as `... time >= '...'\nAND host='a'` must split the same as
+    * its single-line spelling. */
   private def splitTopKeyword(s: String, kw: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; var inStr = false; var last = 0
     val upper = s.toUpperCase
-    val pat = " " + kw.toUpperCase + " "
+    val kwU = kw.toUpperCase
     var i = 0
     while (i < s.length) {
       s(i) match {
@@ -530,9 +542,14 @@ object InfluxQL {
         case ')' if !inStr => depth -= 1
         case _ =>
       }
-      if (!inStr && depth == 0 && upper.startsWith(pat, i)) {
+      val hit = !inStr && depth == 0 &&
+        Character.isWhitespace(s(i)) &&
+        upper.startsWith(kwU, i + 1) &&
+        i + 1 + kwU.length < s.length &&
+        Character.isWhitespace(s(i + 1 + kwU.length))
+      if (hit) {
         out += s.substring(last, i)
-        i += pat.length
+        i += 1 + kwU.length + 1
         last = i
       } else i += 1
     }
@@ -1084,14 +1101,6 @@ object InfluxQL {
       .withColumn("__srk", dense_rank().over(Window.orderBy(seriesCols.map(col): _*)))
       .filter(col("__srk") > soffset && col("__srk") <= hi).drop("__srk")
   }
-
-  /** The first n series in tag order. Ranks the DISTINCT series frame (the
-    * small side — series cardinality, not points) so the global sort window
-    * never touches the full data; callers semi-join the result back. */
-  private def firstNSeries(df: DataFrame, seriesCols: Seq[String], n: Int): DataFrame =
-    df.select(seriesCols.map(col): _*).distinct()
-      .withColumn("__srk", dense_rank().over(Window.orderBy(seriesCols.map(col): _*)))
-      .filter(col("__srk") <= n).drop("__srk")
 
   /** Materialize empty buckets and fill them. The grid spans
     * [bucket(lower), bucket(upper)] — explicit WHERE time bounds when

@@ -92,22 +92,25 @@ object OpenTsdb {
           ("__ds_ts", df.groupBy(keys: _*).agg(dsAgg.as(t.valueCol)))
         case None => (t.tsCol, df)
       }
-    // rate (opt-in like downsample — the reference parses-but-ignores it
-    // too): per-SERIES dv/dt in units/second between consecutive points,
-    // after downsampling and before the cross-series aggregator (OpenTSDB
-    // 2.x ordering). First point of each series emits nothing.
-    val df3 =
-      if (sub.rate && applyRate) {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(t.tags.map(col): _*).orderBy(col(tsCol2))
-        val dtSec =
-          (unix_millis(col(tsCol2)) - lag(unix_millis(col(tsCol2)), 1).over(w)) / 1000.0
-        val dv = col(t.valueCol) - lag(col(t.valueCol), 1).over(w)
-        df2.withColumn(t.valueCol, dv / dtSec)
-          .filter(col(t.valueCol).isNotNull)
-      } else df2
     val tEff = t.copy(tsCol = tsCol2)
-    runAggregation(q, sub, tEff, df3)
+    val agged = runAggregation(q, sub, tEff, df2)
+    // rate (opt-in like downsample — the reference parses-but-ignores it
+    // too): dv/dt in units/second between consecutive points of each
+    // OUTPUT series, i.e. AFTER the cross-series aggregator — OpenTSDB
+    // 2.x's documented order of operations (filtering → grouping →
+    // downsampling → aggregation → rate conversion), so a group holding
+    // several series gets the rate of the aggregate, not the aggregate of
+    // rates. For aggregator "none" the output series are the raw tag sets,
+    // so this degrades to per-series rate. First point emits nothing.
+    if (sub.rate && applyRate) {
+      val partCols = agged.columns.filterNot(c => c == "ts" || c == "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(partCols.map(col): _*).orderBy(col("ts"))
+      val dtSec =
+        (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)) / 1000.0
+      val dv = col("value") - lag(col("value"), 1).over(w)
+      agged.withColumn("value", dv / dtSec).filter(col("value").isNotNull)
+    } else agged
   }
 
   private def runAggregation(

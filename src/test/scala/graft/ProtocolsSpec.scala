@@ -497,6 +497,35 @@ class ProtocolsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("Aggregate"),
       s"plan missing aggregate:\n$plan")
     assert(plan.contains("Scan") || plan.contains("FileScan"))
+
+    // EXPLAIN must not execute side effects: InfluxDB's grammar is
+    // EXPLAIN [ANALYZE] SELECT only — DELETE/DROP/INTO are rejected, and
+    // the data they would have destroyed survives
+    intercept[IllegalArgumentException](
+      InfluxQL.run(e, "EXPLAIN DELETE FROM m"))
+    intercept[IllegalArgumentException](
+      InfluxQL.run(e, "EXPLAIN DROP MEASUREMENT m"))
+    intercept[IllegalArgumentException](
+      InfluxQL.run(e, "EXPLAIN SELECT v INTO m2 FROM m"))
+    assert(InfluxQL.run(e, "SELECT v FROM m").count() == 1)
+  }
+
+  test("InfluxQL WHERE splits AND/OR on any whitespace, not just spaces") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-ws").toString)
+    LineProtocol.ingest(e, Seq(
+      "m,host=a v=1.0 1704067200000000000",
+      "m,host=b v=2.0 1704067260000000000").toDS())
+    // newline and tab before/after the keyword must parse like spaces —
+    // a swallowed AND would silently return zero rows
+    val got = InfluxQL.run(e,
+      "SELECT v FROM m WHERE time >= '2024-01-01 00:00:00'\nAND\thost = 'a'")
+      .collect().map(_.getAs[Double]("v")).toSeq
+    assert(got == Seq(1.0))
+    val orGot = InfluxQL.run(e,
+      "SELECT v FROM m WHERE (host = 'a'\r\nOR host = 'b')").count()
+    assert(orGot == 2)
   }
 
   test("InfluxQL DELETE FROM and DROP MEASUREMENT") {
@@ -982,6 +1011,32 @@ class ProtocolsSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows.forall(_.getAs[String]("svc") == "web"))
     assert(rows.forall(_.getAs[Double]("value") == 0.5))
+  }
+
+  test("OpenTSDB rate runs AFTER aggregation (2.x order): rate-of-sums") {
+    import spark.implicits._
+    // two series land in ONE group (svc ungrouped) — OpenTSDB 2.x's order
+    // of operations aggregates first, then converts the aggregate to a
+    // rate. Sum-of-rates would give (0.5+1.0)=1.5/s; rate-of-sums gives
+    // Δ(sum)/Δt = ((40+80)-(10+20))/60 = 1.5/s here but the ragged second
+    // step separates them: series b stops, so the sum DROPS and the rate
+    // goes negative — per-series rates could never produce that.
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), "a", 10.0),
+      (ts("2024-01-01 00:01:00"), "a", 40.0),   // a: +0.5/s
+      (ts("2024-01-01 00:00:00"), "b", 20.0),
+      (ts("2024-01-01 00:01:00"), "b", 80.0),   // b: +1.0/s
+      (ts("2024-01-01 00:02:00"), "a", 70.0))   // b absent → sum drops
+      .toDF("ts", "svc", "v")
+    val bind = (_: String) => graft.promql.PromQL.SeriesTable(df, "ts", "v", Seq("svc"))
+    val q = OpenTsdb.parseQuery(
+      """{"start": 1704067200000, "queries": [{"metric": "m",
+        |  "aggregator": "sum", "rate": true}]}""".stripMargin)
+    val rows = OpenTsdb.runSub(q, q.queries.head, bind, applyRate = true)
+      .orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("value") == (120.0 - 30.0) / 60.0) // 1.5/s
+    assert(rows(1).getAs[Double]("value") == (70.0 - 120.0) / 60.0) // negative
   }
 
   test("OpenTSDB sub-second downsample (500ms-avg) buckets on millis floor") {
