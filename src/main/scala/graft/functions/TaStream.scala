@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+
+/** Streaming evaluators for the sequential TA recurrences (EMA / RSI /
+  * DEMA / TEMA) of InfluxQL's technical-analysis transforms (the IOx
+  * planner surface the reference inherits via its DataFusion planner).
+  *
+  * The previous formulation collected each series into one in-memory
+  * array (`sort_array(collect_list(...))` + array kernel) — fine on a
+  * bucketed `GROUP BY time()` grid (grid-bounded), a skew bomb on a RAW
+  * hot series at scale (one task holds the series' entire history).
+  * These state machines carry O(window) state instead: callers
+  * `repartition(series).sortWithinPartitions(series, t, v)` and run
+  * [[TaStream.run]] over each partition's row iterator, so a series of
+  * any length streams through Spark's spillable sort and never
+  * materializes. The recurrence itself is inherently sequential, so a
+  * series still pays serial CPU — but memory is O(1) and the sort spills.
+  */
+object TaStream {
+
+  /** One series' recurrence state: push a point, get the emitted value
+    * (None during warm-up). Timestamps pass through untouched. */
+  sealed trait State {
+    def push(v: Double): Option[Double]
+  }
+
+  /** SMA-seeded EMA (InfluxQL convention): first emission at point n is
+    * the simple average of the first n values, then
+    * ema = α·x + (1−α)·ema with α = 2/(n+1). */
+  final class Ema(n: Int) extends State {
+    private val alpha = 2.0 / (n + 1)
+    private var i = 0
+    private var seedSum = 0.0
+    private var ema = 0.0
+    def push(v: Double): Option[Double] = {
+      if (i < n) seedSum += v
+      if (i == n - 1) ema = seedSum / n
+      else if (i >= n) ema = alpha * v + (1.0 - alpha) * ema
+      val out = if (i >= n - 1) Some(ema) else None
+      i += 1
+      out
+    }
+  }
+
+  /** Wilder RSI (Wilder 1978): first avg gain/loss is the mean
+    * of the first n diffs, then Wilder smoothing. */
+  final class Rsi(n: Int) extends State {
+    private var i = 0
+    private var prev = 0.0
+    private var avgUp = 0.0
+    private var avgDown = 0.0
+    def push(v: Double): Option[Double] = {
+      if (i == 0) { prev = v; i = 1; return None }
+      val d = v - prev
+      prev = v
+      val up = if (d > 0) d else 0.0
+      val down = if (d < 0) -d else 0.0
+      if (i <= n) { avgUp += up; avgDown += down }
+      if (i == n) { avgUp /= n; avgDown /= n }
+      else if (i > n) {
+        avgUp = (avgUp * (n - 1) + up) / n
+        avgDown = (avgDown * (n - 1) + down) / n
+      }
+      val out =
+        if (i >= n) Some(
+          if (avgDown == 0.0 && avgUp == 0.0) 50.0
+          else if (avgDown == 0.0) 100.0
+          else 100.0 - 100.0 / (1.0 + avgUp / avgDown))
+        else None
+      i += 1
+      out
+    }
+  }
+
+  /** DEMA = 2·E1 − E2 / TEMA = 3·E1 − 3·E2 + E3 (Mulloy 1994):
+    * chained EMA stages — when a later stage emits its j-th value, the
+    * earlier stages' currently-pushed values are exactly the offsets the
+    * Mulloy formulas pair it with, so the chain needs no buffering. */
+  final class Dema(n: Int, triple: Boolean) extends State {
+    private val s1 = new Ema(n)
+    private val s2 = new Ema(n)
+    private val s3 = new Ema(n)
+    def push(v: Double): Option[Double] =
+      s1.push(v).flatMap { e1 =>
+        s2.push(e1).flatMap { e2 =>
+          if (!triple) Some(2.0 * e1 - e2)
+          else s3.push(e2).map(e3 => 3.0 * e1 - 3.0 * e2 + e3)
+        }
+      }
+  }
+
+  /** Stream a partition's rows through per-series state machines. Rows
+    * must arrive sorted by (series key, time, value) with the first
+    * `keyLen` columns the series key, then the (opaque) timestamp, then
+    * the double value; a key change resets the recurrence. Emits
+    * Row(key..., t, out) for every point the recurrence yields. */
+  def run(rows: Iterator[Row], keyLen: Int, mk: () => State): Iterator[Row] =
+    new Iterator[Row] {
+      private var state: State = null
+      private var key: Seq[Any] = null
+      private var pending: Row = null
+      private def advance(): Unit = {
+        while (pending == null && rows.hasNext) {
+          val r = rows.next()
+          val k = (0 until keyLen).map(r.get)
+          if (state == null || k != key) { state = mk(); key = k }
+          val v = if (r.isNullAt(keyLen + 1)) 0.0 else r.getDouble(keyLen + 1)
+          state.push(v).foreach { out =>
+            pending = Row.fromSeq(k :+ r.get(keyLen) :+ out)
+          }
+        }
+      }
+      def hasNext: Boolean = { advance(); pending != null }
+      def next(): Row = {
+        advance()
+        if (pending == null) throw new NoSuchElementException
+        val r = pending; pending = null; r
+      }
+    }
+}

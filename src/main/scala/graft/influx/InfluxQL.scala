@@ -1047,28 +1047,41 @@ object InfluxQL {
            "double_exponential_moving_average" |
            "triple_exponential_moving_average" =>
         // sequential recurrences — not window-expressible without
-        // overflow-prone (1−α)^(−i) weights, so: ONE groupBy-by-series
-        // shuffle collecting the (grid-bounded) series into an array, then
-        // the linear native kernel, re-exploded. Tag columns keep their
-        // original types (no string-cast round trip).
+        // overflow-prone (1−α)^(−i) weights. ONE hash-by-series shuffle,
+        // then the O(window)-state streaming kernel over each partition's
+        // (series, t, v)-sorted iterator: a raw hot series never
+        // materializes in memory (the sort spills), unlike a per-series
+        // collect_list. Tag columns keep their original types.
         val n = arg.map(_.trim.toInt).getOrElse(throw new IllegalArgumentException(
           s"$fn needs a window size"))
-        val pts = base.groupBy(tagCols.map(col): _*)
-          .agg(sort_array(collect_list(struct(
-            col(timeCol).as("t"), v.cast("double").as("v")))).as("__pts"))
-        val (kernel, field) = fn match {
+        require(n >= 1, s"$fn window must be >= 1")
+        val mk: () => graft.functions.TaStream.State = fn match {
           case "relative_strength_index" =>
-            (graft.functions.RsiPoints(col("__pts"), n), "rsi")
+            () => new graft.functions.TaStream.Rsi(n)
           case "double_exponential_moving_average" =>
-            (graft.functions.DemaPoints(col("__pts"), n, triple = false), "v")
+            () => new graft.functions.TaStream.Dema(n, triple = false)
           case "triple_exponential_moving_average" =>
-            (graft.functions.DemaPoints(col("__pts"), n, triple = true), "v")
-          case _ => (graft.functions.EmaPoints(col("__pts"), n), "ema")
+            () => new graft.functions.TaStream.Dema(n, triple = true)
+          case _ => () => new graft.functions.TaStream.Ema(n)
         }
-        return pts
-          .select(tagCols.map(col) :+ explode(kernel).as("__e"): _*)
-          .select(tagCols.map(col) ++
-            Seq(col("__e.t").as(timeCol), col(s"__e.$field").as(outName)): _*)
+        val projected = base.select(
+          tagCols.map(col) :+ col(timeCol) :+ v.cast("double").as("__tav"): _*)
+        // an untagged statement is one global series → one partition; the
+        // secondary __tav sort keeps raw-point time ties deterministic
+        // (same tie-break as the windowed transforms above)
+        val parted =
+          (if (tagCols.isEmpty) projected.repartition(1)
+           else projected.repartition(tagCols.map(col): _*))
+            .sortWithinPartitions(
+              tagCols.map(col) :+ col(timeCol) :+ col("__tav"): _*)
+        val outSchema = org.apache.spark.sql.types.StructType(
+          parted.schema.fields.dropRight(1) :+
+            org.apache.spark.sql.types.StructField(
+              outName, org.apache.spark.sql.types.DoubleType))
+        val k = tagCols.length
+        return parted.mapPartitions(
+          graft.functions.TaStream.run(_, k, mk))(
+          org.apache.spark.sql.Encoders.row(outSchema))
       case "elapsed" =>
         // integer time delta between consecutive points in `arg` units
         // (InfluxDB default 1ns; engine resolution is µs → ×1000)

