@@ -90,6 +90,95 @@ object TaStream {
       }
   }
 
+  /** Additive Holt-Winters recurrence (level l, trend b, S seasonal
+    * offsets; S = 0 ⇒ Holt's linear trend). Seed: l = x₀, b = 0, s ≡ 0 at
+    * the first point; for point t ≥ 1 with idx = t mod S —
+    *
+    *   fit  = l + b + s(idx)                      (one-step-ahead)
+    *   l'   = α·(x − s(idx)) + (1−α)·(l + b)
+    *   b'   = β·(l' − l) + (1−β)·b
+    *   s(idx)' = γ·(x − l') + (1−γ)·s(idx)
+    *
+    * Forecast h buckets past the last point T: l + h·b + s((T+h) mod S).
+    * α = β = γ = 0.5 fixed (see InfluxQL.applyHoltWinters scaladoc). */
+  final class HoltWinters(season: Int) {
+    private val a = 0.5
+    private var i = 0
+    private var l = 0.0
+    private var b = 0.0
+    private val s = if (season > 0) new Array[Double](season) else null
+    /** One-step-ahead fit for this point (None at the seed point). */
+    def push(x: Double): Option[Double] = {
+      if (i == 0) { l = x; i = 1; return None }
+      val idx = if (season > 0) i % season else 0
+      val sv = if (season > 0) s(idx) else 0.0
+      val fit = l + b + sv
+      val l2 = a * (x - sv) + (1.0 - a) * (l + b)
+      b = a * (l2 - l) + (1.0 - a) * b
+      if (season > 0) s(idx) = a * (x - l2) + (1.0 - a) * sv
+      l = l2
+      i += 1
+      Some(fit)
+    }
+    /** h-th forecast (1-based) from the terminal state. */
+    def forecast(h: Int): Double = {
+      val sv = if (season > 0) s((i - 1 + h) % season) else 0.0
+      l + h.toDouble * b + sv
+    }
+    def points: Int = i
+  }
+
+  /** Stream sorted (key..., t, v) rows through per-series [[HoltWinters]]
+    * machines: emits the in-sample fits when `withFit`, and at each series
+    * boundary (key change / iterator end) `nFc` forecast rows whose
+    * timestamps extend the grid by `stepUs` microseconds per bucket. */
+  def runHoltWinters(
+      rows: Iterator[Row], keyLen: Int, season: Int, nFc: Int,
+      withFit: Boolean, stepUs: Long): Iterator[Row] =
+    new Iterator[Row] {
+      private val out = scala.collection.mutable.Queue.empty[Row]
+      private var state: HoltWinters = null
+      private var key: Seq[Any] = null
+      private var lastT: Any = null
+      private def addUs(t: Any, us: Long): Any = t match {
+        case ts: java.sql.Timestamp =>
+          java.sql.Timestamp.from(ts.toInstant.plusNanos(us * 1000L))
+        case inst: java.time.Instant => inst.plusNanos(us * 1000L)
+        case other => throw new IllegalArgumentException(
+          s"unsupported time type: ${other.getClass}")
+      }
+      private def flush(): Unit = {
+        if (state != null && state.points >= 1) {
+          var h = 1
+          while (h <= nFc) {
+            out += Row.fromSeq(key :+ addUs(lastT, h * stepUs) :+ state.forecast(h))
+            h += 1
+          }
+        }
+        state = null
+      }
+      private def advance(): Unit = {
+        while (out.isEmpty && rows.hasNext) {
+          val r = rows.next()
+          val k = (0 until keyLen).map(r.get)
+          if (state != null && k != key) flush() // forecasts of the previous series
+          if (state == null) { state = new HoltWinters(season); key = k }
+          val t = r.get(keyLen)
+          val v = if (r.isNullAt(keyLen + 1)) 0.0 else r.getDouble(keyLen + 1)
+          val fit = state.push(v)
+          lastT = t
+          if (withFit) fit.foreach(f => out += Row.fromSeq(k :+ t :+ f))
+        }
+        if (out.isEmpty && !rows.hasNext) flush()
+      }
+      def hasNext: Boolean = { advance(); out.nonEmpty }
+      def next(): Row = {
+        advance()
+        if (out.isEmpty) throw new NoSuchElementException
+        out.dequeue()
+      }
+    }
+
   /** Stream a partition's rows through per-series state machines. Rows
     * must arrive sorted by (series key, time, value) with the first
     * `keyLen` columns the series key, then the (opaque) timestamp, then

@@ -336,6 +336,7 @@ object InfluxQL {
     "top", "bottom", "sample")
   private val transformFns = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "moving_average", "cumulative_sum",
+    "holt_winters", "holt_winters_with_fit",
     "elapsed", "exponential_moving_average", "chande_momentum_oscillator",
     "kaufmans_efficiency_ratio", "relative_strength_index",
     "double_exponential_moving_average", "triple_exponential_moving_average")
@@ -483,8 +484,11 @@ object InfluxQL {
         require(parts.nonEmpty, s"$fn needs an argument")
         val ip = parseProjection(parts.head)
         require(ip.transform.isEmpty, s"nested transformations unsupported: $body")
+        // multi-argument transforms (holt_winters' N, S) keep the whole
+        // tail, comma-joined; single-argument ones see just the argument
         ip.copy(alias = alias, transform = Some(fn.toLowerCase),
-          transformArg = parts.lift(1))
+          transformArg =
+            if (parts.size > 1) Some(parts.drop(1).mkString(",")) else None)
       case fnRe(fn, inner) if mathFns(fn.toLowerCase) =>
         // abs(value) on raw points, or round(mean(value)) around an
         // aggregate; log(field, base) / pow(field, exp) carry a number
@@ -865,7 +869,22 @@ object InfluxQL {
       // aggregates survive; all-transform selects keep rows where at least
       // one transformation produced a point (InfluxDB result shape)
       val tProjs = s.projections.zipWithIndex.filter(_._1.transform.isDefined)
-      if (tProjs.nonEmpty) {
+      if (tProjs.exists(_._1.transform.exists(_.startsWith("holt_winters")))) {
+        // holt_winters(_with_fit): unlike the other transforms its output
+        // rows extend PAST the grid (N forecast buckets), so there is no
+        // (tags, time) join-back — the transform's frame IS the result
+        require(s.groupTime.isDefined && tProjs.forall(_._1.agg.isDefined),
+          "holt_winters requires an aggregate argument with GROUP BY time()")
+        require(s.projections.size == 1,
+          "holt_winters cannot be combined with other projections")
+        val (pr, i) = tProjs.head
+        val named = nameTransforms(s.projections)
+        val stepUs =
+          graft.model.TableOptions.durationMillis(s.groupTime.get) * 1000L
+        out = applyHoltWinters(out, "time", s.groupTags, pr.transform.get,
+          pr.transformArg, named.head._2, s"__tv$i", stepUs)
+          .orderBy(ord(col("time")))
+      } else if (tProjs.nonEmpty) {
         require(s.groupTime.isDefined && tProjs.forall(_._1.agg.isDefined),
           "transformations require an aggregate argument with GROUP BY time()")
         val named = nameTransforms(s.projections)
@@ -1091,6 +1110,9 @@ object InfluxQL {
         val dtUs = unix_micros(col(timeCol)) - lag(unix_micros(col(timeCol)), 1).over(w)
         base.withColumn(outName,
           if (unitUs == 0L) dtUs * 1000L else (dtUs / unitUs).cast("long"))
+      case "holt_winters" | "holt_winters_with_fit" =>
+        throw new IllegalArgumentException(
+          "holt_winters requires GROUP BY time()")
       case other =>
         throw new IllegalArgumentException(s"unsupported transformation: $other")
     }
@@ -1098,6 +1120,53 @@ object InfluxQL {
     out.filter(col(outName).isNotNull &&
         (if (nonNeg) col(outName) >= 0 else lit(true)))
       .select(keep :+ col(outName): _*)
+  }
+
+  /** `holt_winters(agg, N, S)` / `holt_winters_with_fit`: additive
+    * Holt-Winters (level + trend + S-length additive season; S = 0 drops
+    * the seasonal component, leaving Holt's linear trend) over each
+    * series' `GROUP BY time()` grid, forecasting N buckets past the last
+    * in-sample point; the `_with_fit` form also emits the one-step-ahead
+    * fitted value at every in-sample bucket after the first.
+    *
+    * Deliberate deviation, documented in COVERAGE.md: InfluxDB fits
+    * α/β/γ per series by Nelder-Mead on SSE (influxql/query/
+    * holt_winters.go); here all three are fixed at 0.5 — deterministic,
+    * engine-replayable (0.5 is exact in binary, so a recursive-CTE oracle
+    * reproduces the recurrence bit-for-bit), and still genuinely
+    * trend+season-following. Same scale posture as the other TA
+    * recurrences: one hash-by-series shuffle, O(S) state per series,
+    * nothing materialized ([[graft.functions.TaStream]]).
+    */
+  private def applyHoltWinters(
+      agg: DataFrame, timeCol: String, tagCols: Seq[String],
+      fn: String, arg: Option[String], outName: String, valueCol: String,
+      stepUs: Long): DataFrame = {
+    val parts = arg.map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    require(parts.size == 2,
+      s"$fn(field, N, S) needs forecast count and season length")
+    val nFc = parts(0).toInt
+    val season = parts(1).toInt
+    require(nFc >= 1, "holt_winters forecast count must be >= 1")
+    require(season >= 0, "holt_winters season length must be >= 0")
+    val withFit = fn == "holt_winters_with_fit"
+    val v = col(valueCol)
+    val projected = agg.filter(v.isNotNull).select(
+      tagCols.map(col) :+ col(timeCol) :+ v.cast("double").as("__hwv"): _*)
+    val parted =
+      (if (tagCols.isEmpty) projected.repartition(1)
+       else projected.repartition(tagCols.map(col): _*))
+        .sortWithinPartitions(
+          tagCols.map(col) :+ col(timeCol) :+ col("__hwv"): _*)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      parted.schema.fields.dropRight(1) :+
+        org.apache.spark.sql.types.StructField(
+          outName, org.apache.spark.sql.types.DoubleType))
+    val k = tagCols.length
+    parted.mapPartitions(
+      graft.functions.TaStream.runHoltWinters(
+        _, k, season, nFc, withFit, stepUs))(
+      org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Row pagination: OFFSET skips, LIMIT caps (frames arrive ordered). */

@@ -509,6 +509,58 @@ object Protocols {
         InfluxQL.run(e, "SHOW SERIES FROM events")
       }),
 
+    // ---- holt_winters_with_fit: additive Holt-Winters (α=β=γ=0.5, S=4
+    //      season) over the hourly-max grid — in-sample one-step fits plus
+    //      3 forecast buckets past each series' last point. The oracle
+    //      carries ALL THREE recurrence states (level, trend, seasonal
+    //      LIST) in ONE recursive CTE (the NEXT.md recursion-over-
+    //      recursion gotcha) with the exact expression shapes of
+    //      TaStream.HoltWinters, so values are bit-identical; presented as
+    //      integer ×10⁴ (q145 convention).
+    GraftQuery("q156_influx_holt_winters",
+      Some("""WITH RECURSIVE hourly AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS "time",
+             |    event_type, max("value") AS m
+             |  FROM events GROUP BY 1, 2),
+             |o AS (SELECT event_type, "time", m,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY "time") AS rn
+             |  FROM hourly),
+             |rec AS (
+             |  SELECT event_type, rn, m AS l, CAST(0.0 AS DOUBLE) AS b,
+             |    [0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS s, CAST(NULL AS DOUBLE) AS fit
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT event_type, rn, l2 AS l,
+             |    0.5 * (l2 - l1) + 0.5 * b1 AS b,
+             |    s1[: idx - 1] || [0.5 * (x - l2) + 0.5 * s1[idx]] || s1[idx + 1 :] AS s,
+             |    l1 + b1 + s1[idx] AS fit
+             |  FROM (
+             |    SELECT o.event_type, o.rn, o.m AS x, rec.l AS l1, rec.b AS b1,
+             |      rec.s AS s1, ((o.rn - 1) % 4) + 1 AS idx,
+             |      0.5 * (o.m - rec.s[((o.rn - 1) % 4) + 1]) + 0.5 * (rec.l + rec.b) AS l2
+             |    FROM rec JOIN o ON o.event_type = rec.event_type AND o.rn = rec.rn + 1)),
+             |fits AS (
+             |  SELECT r.event_type, o."time",
+             |    CAST(round(r.fit * 10000.0, 0) AS BIGINT) AS hw
+             |  FROM rec r JOIN o USING (event_type, rn) WHERE r.fit IS NOT NULL),
+             |mx AS (SELECT event_type, max(rn) AS mrn, max("time") AS tlast
+             |  FROM o GROUP BY 1),
+             |fc AS (
+             |  SELECT t.event_type, t.tlast + (g.h * INTERVAL 1 HOUR) AS "time",
+             |    CAST(round((t.l + g.h * t.b +
+             |      t.s[((t.mrn - 1 + g.h) % 4) + 1]) * 10000.0, 0) AS BIGINT) AS hw
+             |  FROM (SELECT r.*, mx.mrn, mx.tlast FROM rec r
+             |        JOIN mx ON r.event_type = mx.event_type AND r.rn = mx.mrn) t,
+             |    unnest(generate_series(1, 3)) AS g(h))
+             |SELECT * FROM fits UNION ALL SELECT * FROM fc""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT holt_winters_with_fit(max(value), 3, 4) AS hw FROM events
+            |GROUP BY time(1h), event_type fill(none)""".stripMargin)
+          .withColumn("hw", round(col("hw") * 10000.0, 0).cast("long"))
+      }),
+
     // ---- SELECT INTO round-trip: daily maxima materialized into a new
     //      engine table (auto-create, tags preserved), read back raw
     GraftQuery("q150_influx_into",

@@ -658,6 +658,56 @@ class ProtocolsSpec extends SparkSpec {
     assert(g == Seq(2.0, 3.0, 4.0))
   }
 
+  test("InfluxQL holt_winters: additive triple smoothing + forecast") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-hw").toString)
+    // one point per hour, linear ramp: 1, 2, 3, 4 on host a
+    LineProtocol.ingest(e, ((0 until 4).map(i =>
+      s"m,host=a v=${i + 1}.0 ${1704067200L + i * 3600}000000000") :+
+      "m,host=b v=9.0 1704067200000000000").toDS())
+    // S=0 (Holt linear), α=β=0.5. Seed l=1, b=0; then per point:
+    //   x=2: fit=1,   l=.5·2+.5·1   =1.5,   b=.5·.5+0      =0.25
+    //   x=3: fit=1.75 l=.5·3+.5·1.75=2.375, b=.5·.875+.125 =0.5625
+    //   x=4: fit=2.9375, l=.5·4+.5·2.9375=3.46875, b=.5·1.09375+.28125=.828125
+    // forecasts: l+h·b = 4.296875, 5.125
+    val out = InfluxQL.run(e,
+      """SELECT holt_winters_with_fit(mean(v), 2, 0) AS hw FROM m
+        |WHERE host = 'a' GROUP BY time(1h) fill(none)""".stripMargin)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("time").getTime,
+        r.getAs[Double]("hw"))).toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1704070800000L, 1.0), (1704074400000L, 1.75), (1704078000000L, 2.9375),
+      (1704081600000L, 4.296875), (1704085200000L, 5.125)))
+    // plain holt_winters: forecasts only, timestamps extend the grid
+    val fc = InfluxQL.run(e,
+      """SELECT holt_winters(mean(v), 2, 0) AS hw FROM m
+        |WHERE host = 'a' GROUP BY time(1h) fill(none)""".stripMargin)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("time").getTime,
+        r.getAs[Double]("hw"))).toSeq.sortBy(_._1)
+    assert(fc == Seq((1704081600000L, 4.296875), (1704085200000L, 5.125)))
+    // per-series isolation under GROUP BY host: a single-point series
+    // forecasts its flat level
+    val multi = InfluxQL.run(e,
+      """SELECT holt_winters(mean(v), 1, 0) AS hw FROM m
+        |GROUP BY time(1h), host""".stripMargin)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Double]("hw"))).toSet
+    assert(multi.contains(("b", 9.0)))
+    // seasonal path: S=2 on an alternating series learns the oscillation
+    LineProtocol.ingest(e, (0 until 8).map(i =>
+      s"m2,host=c v=${if (i % 2 == 0) 10.0 else 20.0} ${1704067200L + i * 3600}000000000").toDS())
+    val season = InfluxQL.run(e,
+      """SELECT holt_winters(mean(v), 2, 2) AS hw FROM m2
+        |GROUP BY time(1h), host""".stripMargin)
+      .collect().map(_.getAs[Double]("hw")).sorted.toSeq
+    // the two forecasts must land on opposite sides of the 15 midline
+    assert(season.size == 2 && season.head < 15.0 && season.last > 15.0,
+      s"seasonal forecasts should alternate around 15: $season")
+    // raw points (no GROUP BY time) are rejected, like InfluxDB
+    intercept[IllegalArgumentException](
+      InfluxQL.run(e, "SELECT holt_winters(v, 2, 0) AS hw FROM m"))
+  }
+
   test("TA raw-series path streams — no full-series collect, skew-safe") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
