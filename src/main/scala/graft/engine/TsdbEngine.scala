@@ -28,6 +28,20 @@ final class TsdbEngine(
     // segment-duration sampling is always on, as in the reference
     val enablePkSampling: Boolean = false) {
   val catalog = new GraftCatalog(warehouse)
+
+  /** Per-table write/compact monitor — the reference's per-table serial
+    * executor analogue (analytic_engine/src/table/mod.rs runs one table's
+    * mutations on one serial runtime). An append that resolves the data
+    * directory before a concurrent generation flip would land its rows in
+    * the superseded generation and lose them to the NEXT compaction's GC,
+    * so every mutating operation on a table serializes on its monitor.
+    * Readers stay lock-free: the manifest flips atomically and superseded
+    * generations survive one grace cycle. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withTableLock[T](name: String)(f: => T): T =
+    tableLocks.computeIfAbsent(name, _ => new Object).synchronized(f)
+
   graft.functions.GraftFunctions.register(spark)
   // engine optimizer rules: Exact/Inexact dedup pushdown + KEY/HASH bucket
   // pruning (both no-ops on plans without engine shapes)
@@ -184,7 +198,7 @@ final class TsdbEngine(
     * writes time-segmented parquet. Also the Structured Streaming
     * foreachBatch target (streaming ingest replaces the reference's WAL +
     * memtable path; checkpointing replaces WAL durability). */
-  def append(name: String, batch: DataFrame): Unit = {
+  def append(name: String, batch: DataFrame): Unit = withTableLock(name) {
     val s = catalog.get(name)
     // one sequence block per batch; within a batch, later rows win
     val seqBase = catalog.reserveSeq(name, 1)
@@ -299,14 +313,16 @@ final class TsdbEngine(
     * Readers hold no locks: they resolve the directory through the manifest,
     * which flips atomically (tmp + ATOMIC_MOVE); the superseded generation
     * is kept for one more compaction cycle so already-planned scans can
-    * finish, then garbage-collected. WRITES must be serialized with
-    * compaction per table (call `maybeCompact` from the ingest loop itself,
-    * like the reference's per-table serial executor,
-    * analytic_engine/src/table/mod.rs) — an append racing a concurrent
-    * compact could land in the old generation and be dropped with it.
+    * finish, then garbage-collected. Writes serialize with compaction per
+    * table on the engine's table monitor (`withTableLock` — the
+    * reference's per-table serial executor,
+    * analytic_engine/src/table/mod.rs): an append racing a concurrent
+    * compact could otherwise land in the old generation and be dropped
+    * with it. TsdbEngineSpec races appends against compactions to pin the
+    * no-row-loss guarantee.
     */
   def compact(name: String, nowMs: Long = System.currentTimeMillis(),
-      retain: Option[org.apache.spark.sql.Column] = None): Unit = {
+      retain: Option[org.apache.spark.sql.Column] = None): Unit = withTableLock(name) {
     purgeExpiredSegments(name, nowMs)
     val s = catalog.get(name)
     val (gen, _) = catalog.compactionState(name)
@@ -377,7 +393,7 @@ final class TsdbEngine(
     * (e.g. a streaming foreachBatch) for WAL-style background upkeep. */
   def maybeCompact(
       name: String, minBatches: Long = 16,
-      nowMs: Long = System.currentTimeMillis()): Boolean = {
+      nowMs: Long = System.currentTimeMillis()): Boolean = withTableLock(name) {
     val m = catalog.get(name)
     val (_, floor) = catalog.compactionState(name)
     val pending = catalog.nextSeqOf(name) - floor
@@ -392,7 +408,7 @@ final class TsdbEngine(
     * past the TTL horizon — segment k covers [k·seg, (k+1)·seg), expired
     * when (k+1)·seg <= now - ttl (reference: table/data.rs:744 is_expired).
     * Returns the dropped segment ids. */
-  def purgeExpiredSegments(name: String, nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
+  def purgeExpiredSegments(name: String, nowMs: Long = System.currentTimeMillis()): Seq[Long] = withTableLock(name) {
     val s = catalog.get(name)
     (s.options.ttlMillis.filter(_ => s.options.enableTtl), s.options.segmentMillis) match {
       case (Some(ttl), Some(seg)) =>

@@ -346,6 +346,38 @@ class TsdbEngineSpec extends SparkSpec {
     assert(!e.maybeCompact("mca", minBatches = 1))
   }
 
+  test("appends racing compactions never lose rows (per-table monitor)") {
+    import spark.implicits._
+    // append-mode + TTL so compaction rewrites (and has a GC to race);
+    // unique PKs so every appended row must survive verbatim
+    val e = engine()
+    e.execute(
+      """CREATE TABLE race (ts timestamp NOT NULL, v double, timestamp KEY(ts))
+        | ENGINE=Analytic
+        | WITH (update_mode='append', enable_ttl='true', ttl='365d')""".stripMargin)
+    val base = System.currentTimeMillis()
+    val perThread = 4
+    val appenders = (0 until 3).map { tid =>
+      new Thread(() => {
+        (0 until perThread).foreach { i =>
+          val rows = (0 until 25).map(j =>
+            (new java.sql.Timestamp(base - (tid * 1000000 + i * 1000 + j)), 1.0))
+          e.append("race", rows.toDF("ts", "v"))
+        }
+      })
+    }
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactor = new Thread(() => {
+      while (!stop.get()) e.compact("race")
+    })
+    compactor.start(); appenders.foreach(_.start())
+    appenders.foreach(_.join())
+    stop.set(true); compactor.join()
+    e.compact("race") // settle: one final rewrite over everything
+    assert(e.read("race").count() == 3L * perThread * 25,
+      "a batch landed in a garbage-collected generation")
+  }
+
   test("property: overwrite read == last-write-wins under random batches + compactions") {
     // randomized (seeded, deterministic) equivalence against a model: any
     // interleaving of multi-row inserts, duplicate PKs, and compactions
