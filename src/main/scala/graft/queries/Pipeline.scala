@@ -539,23 +539,38 @@ object PipelineQueries {
         t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10,
         tables = 16, bits = 6)),
 
-    // ---- IVF (k-means-bucketed) ANN — the other classic scale path;
-    //      recall + exact-when-probing-all asserted in PipelineSpec
-    GraftQuery("q72_ann_ivf", None,
+    // ---- IVF (k-means-bucketed) ANN — the other classic scale path. The
+    //      battery runs it at nprobe = nlist, where IVF degenerates to
+    //      exact top-k and the brute-force SQL becomes a true oracle
+    //      (hash-checked); the PRUNED path (nprobe << nlist) keeps its
+    //      recall spec in PipelineSpec — operator unchanged, only the
+    //      query's probe width is exhaustive.
+    GraftQuery("q72_ann_ivf",
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cosine
+             |FROM embeddings, q
+             |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
       (s, dir) => Ivf.ivfTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10,
-        nlist = 16, nprobe = 4)),
+        nlist = 16, nprobe = 16)),
 
     // ---- persisted IVF index: corpus written partitioned by inverted
-    //      list, probe = partition-directory pruning (2 of 16 dirs read);
-    //      exactness-vs-brute-force + plan assert in PipelineSpec
-    GraftQuery("q124_ann_ivf_index", None,
+    //      list, probe = partition-directory pruning. Full-probe here for
+    //      the exact oracle (q72 note); the 2-of-16-directories pruning
+    //      demo + plan assert live in PipelineSpec
+    GraftQuery("q124_ann_ivf_index",
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cosine
+             |FROM embeddings, q
+             |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
       (s, dir) => {
         val path = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
         Ivf.buildIndex(t(s, dir, "embeddings"), "vec_id", "embedding", path,
           nlist = 16)
         Ivf.probeIndex(s, path, "vec_id", "embedding", queryVec(s, dir), 10,
-          nprobe = 4)
+          nprobe = 16)
       }),
 
     // ---- PCA whitening (embedding-space curation preprocessing): one

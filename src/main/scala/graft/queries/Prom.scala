@@ -148,10 +148,35 @@ object Prom {
               |FROM (${extrapolatedSql(counter = true, perSecond = false)})
               |GROUP BY ts""".stripMargin)),
 
-    // ---- irate via last two samples + regex matcher; spec-tested, oracle
-    //      covers row multiset through the rows-only check
-    q("q44_promql_irate_regex", """irate(events{event_type=~"err.*|sign.*"}[1h])""",
-      None),
+    // ---- irate via last two samples + regex matcher (fully-anchored, as
+    //      PromQL matchers are). The oracle replays lastTwo exactly:
+    //      counter reset (last < prev → diff = last), Δt on integral ms
+    //      before one division; presented as integer µ-rate (q145/q73
+    //      convention) so no rounding boundary or -0.0 can split engines.
+    GraftQuery("q44_promql_irate_regex",
+      Some(s"""WITH $gridSql,
+              |rk AS (
+              |  SELECT gts, event_type, tms, v,
+              |    row_number() OVER (PARTITION BY event_type, gts
+              |      ORDER BY tms DESC, v DESC) AS rn
+              |  FROM win
+              |  WHERE regexp_matches(event_type, '^(?:err.*|sign.*)$$')),
+              |pair AS (
+              |  SELECT a.event_type, a.gts, a.tms AS t1, a.v AS v1,
+              |    b.tms AS t0, b.v AS v0
+              |  FROM rk a JOIN rk b
+              |    ON a.event_type = b.event_type AND a.gts = b.gts
+              |    AND a.rn = 1 AND b.rn = 2
+              |  WHERE a.tms > b.tms)
+              |SELECT event_type, gts AS ts,
+              |  CAST(round(CASE WHEN v1 < v0 THEN v1 ELSE v1 - v0 END
+              |    / ((t1 - t0) / 1000.0) * 1000000.0, 0) AS BIGINT) AS "value"
+              |FROM pair""".stripMargin),
+      (s, dir) => PromQL.eval(s, table(s, dir),
+          """irate(events{event_type=~"err.*|sign.*"}[1h])""", p)
+        .withColumn("value", org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 1000000.0, 0)
+          .cast("long"))),
 
     // ---- subquery: inner instant eval on an absolute 15m grid (5m
     //      lookback), outer max over each trailing 1h window
