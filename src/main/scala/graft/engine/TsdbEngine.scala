@@ -538,6 +538,35 @@ final class TsdbEngine(
         throw new IllegalArgumentException(
           s"Table is not found, table:$n (table identifiers are case-sensitive)")
     }
+    // COLUMN identifiers also resolve case-sensitively like the reference
+    // (case_sensitive.sql: `SELECT VALUE1 ... WHERE value1 > 0` errors
+    // when the column was declared value1). Spark's analyzer is
+    // case-insensitive — and flipping spark.sql.caseSensitive would change
+    // semantics for every non-engine query — so enforce narrowly here:
+    // an unresolved attribute that case-insensitively matches a declared
+    // column of a referenced ENGINE table must match it exactly.
+    // Query-defined aliases are exempt (a case-sensitive resolver would
+    // bind them first); Spark views never pass through this path.
+    val declaredCols: Set[String] = tables.filter(referenced.contains)
+      .flatMap(n => catalog.get(n).columns.map(_.name)).toSet
+    val declByLower = declaredCols.groupBy(_.toLowerCase)
+    val aliasNames: Set[String] = plans.flatMap(_.flatMap(node =>
+      node.expressions.flatMap(_.collect {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias => al.name
+      }))).toSet
+    plans.foreach(_.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case a: UnresolvedAttribute =>
+          val n = a.nameParts.last
+          if (!declaredCols.contains(n) && !aliasNames.contains(n))
+            declByLower.get(n.toLowerCase).foreach { decl =>
+              throw new IllegalArgumentException(
+                s"Column is not found, column:$n (column identifiers are " +
+                  s"case-sensitive; declared: ${decl.mkString(", ")})")
+            }
+        case _ =>
+      })
+    })
     // register only the tables THIS query references — re-registering the
     // whole catalog per statement is O(catalog) driver work (and resolves
     // each table's read plan needlessly)

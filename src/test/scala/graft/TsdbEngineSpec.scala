@@ -231,6 +231,21 @@ class TsdbEngineSpec extends SparkSpec {
     assert(ex.getMessage.contains("not found"), ex.getMessage)
     intercept[IllegalArgumentException](
       e.runSql("SELECT * FROM `case_sensitive_t1`"))
+    // COLUMN identifiers too (the reference rejects
+    // `SELECT VALUE1 ... WHERE value1 > 0` mixing declared case)
+    assert(e.runSql(
+      "SELECT VALUE1 FROM case_SENSITIVE_t1 WHERE VALUE1 > 0").count() == 2)
+    val cx = intercept[IllegalArgumentException](
+      e.runSql("SELECT value1 FROM case_SENSITIVE_t1"))
+    assert(cx.getMessage.contains("case-sensitive"), cx.getMessage)
+    intercept[IllegalArgumentException](
+      e.runSql("SELECT VALUE1 FROM case_SENSITIVE_t1 WHERE value1 > 0"))
+    // a query-defined alias in ANY case is exempt (a case-sensitive
+    // resolver binds the alias, not the column)
+    assert(e.runSql(
+      """SELECT Value1 FROM
+        |  (SELECT VALUE1 AS Value1 FROM case_SENSITIVE_t1)""".stripMargin)
+      .count() == 2)
   }
 
   test("CTE names are not treated as catalog tables by the validators") {
