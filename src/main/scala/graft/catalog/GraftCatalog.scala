@@ -36,6 +36,17 @@ final class GraftCatalog(val warehouse: String) {
   def dataDir(name: String): String =
     genDataDir(name, if (exists(name)) manifest(name).dataGen.getOrElse(0) else 0)
 
+  /** Streaming checkpoint root for a sink table — lives under the
+    * warehouse (not a per-run temp dir) so a restarted stream resumes
+    * from its persisted offsets/state, the WAL-recovery behavior the
+    * engine's streaming ingest claims. `_checkpoints` carries no
+    * `_manifest.json`, so [[list]] never mistakes it for a table. */
+  def checkpointDir(table: String): String = {
+    val p = Paths.get(warehouse, "_checkpoints", table)
+    Files.createDirectories(p)
+    p.toString
+  }
+
   /** (current generation, sequence floor): rows with __seq below the floor
     * were physically deduped by the last compaction. */
   def compactionState(name: String): (Int, Long) = {

@@ -87,7 +87,7 @@ object Rollup {
         // resolve multiple emissions of one window to the newest.
         .outputMode("update")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("rollup-ckpt").toString)
+          engine.catalog.checkpointDir(table))
         .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
         .start()
       q.awaitTermination()

@@ -110,7 +110,7 @@ object SeriesRate {
         .trigger(Trigger.AvailableNow())
         .outputMode("append")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("srate-ckpt").toString)
+          engine.catalog.checkpointDir(table))
         .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
         .start()
       q.awaitTermination()

@@ -71,7 +71,7 @@ object Sessionize {
         // final no-data batch that advances the watermark and flushes)
         .outputMode("append")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("sess-ckpt").toString)
+          engine.catalog.checkpointDir(table))
         .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
         .start()
       q.awaitTermination()

@@ -37,7 +37,7 @@ object StreamDedup {
         .trigger(Trigger.AvailableNow())
         .outputMode("append")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("dedup-ckpt").toString)
+          engine.catalog.checkpointDir(table))
         .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
         .start()
       q.awaitTermination()

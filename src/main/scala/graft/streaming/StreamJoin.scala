@@ -65,7 +65,7 @@ object StreamJoin {
         .trigger(Trigger.AvailableNow())
         .outputMode("append")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("ssjoin-ckpt").toString)
+          engine.catalog.checkpointDir(table))
         .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
         .start()
       q.awaitTermination()

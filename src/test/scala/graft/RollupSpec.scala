@@ -64,12 +64,18 @@ class RollupSpec extends SparkSpec {
     assert(snap() == Seq(
       ("a", base, 2L, 3.0), ("a", base + h, 1L, 3.0), ("b", base, 1L, 10.0)))
 
-    // a second replay over a grown source (fresh checkpoint) re-emits every
-    // window; the overwrite-mode table resolves to the NEWEST emission —
-    // update-stream-as-upsert through engine dedup
+    // a second run over a grown source RESUMES from the warehouse
+    // checkpoint (restart recovery): the file source skips already-
+    // processed files, carried window state absorbs the new point, and
+    // update mode re-emits ONLY the changed window — the overwrite-mode
+    // table resolves to the newest emission (update-stream-as-upsert)
     writeSource(srcDir, Seq((base + 180000, "a", 5.0)))
     assert(snap() == Seq(
       ("a", base, 3L, 8.0), ("a", base + h, 1L, 3.0), ("b", base, 1L, 10.0)))
+    // physical storage proves incrementality: 3 first-run emissions + 1
+    // re-emitted window — a fresh checkpoint would have re-emitted all 3
+    assert(spark.read.parquet(e.catalog.dataDir("roll")).count() == 4,
+      "resumed run must emit only the changed window")
 
     // the sink is a real engine table: compaction folds superseded
     // emissions away and the plain read stays identical
