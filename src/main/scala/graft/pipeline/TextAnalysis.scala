@@ -181,6 +181,21 @@ object TextAnalysis {
   def sampleBucket(text: Column, buckets: Int = 100): Column =
     conv(substring(md5(text), 1, 8), 16, 10).cast("long") % buckets
 
+  /** Deterministic train/val/test assignment from an id hash: the same
+    * document lands in the same split across runs, engines and data
+    * layouts (a `randomSplit` is neither — re-shuffling the corpus moves
+    * documents between splits and silently contaminates eval). The salt
+    * keeps the split draw independent of any sampling draw on the same id.
+    * Map-only. */
+  def hashSplit(
+      id: Column, trainPct: Int = 80, valPct: Int = 10,
+      salt: String = ":split"): Column = {
+    val b = sampleBucket(concat(id.cast("string"), lit(salt)), 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Cap each key's rows at `n`, keeping a deterministic content-hash
     * priority (the C4-style per-domain quota: no single source dominates
     * the corpus, and reruns keep the same docs). One window shuffle on the

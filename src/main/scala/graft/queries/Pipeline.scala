@@ -813,6 +813,115 @@ object PipelineQueries {
         val media = Multimodal.fromDocuments(s, t(s, dir, "documents"))
         Multimodal.extractFeatures(media)
           .select(col("media_id"), col("kind"), col("n_bytes"))
-      })
+      }),
+
+    // ---- hybrid retrieval: BM25 top-100 ∪ dense-cosine top-100 fused by
+    //      Reciprocal Rank Fusion (rank-based, no score calibration)
+    GraftQuery("q160_hybrid_rrf",
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |d AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM t),
+             |s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+             |  sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS dfa,
+             |  sum(CASE WHEN list_contains(toks, 'stream') THEN 1 ELSE 0 END)::DOUBLE AS dfb,
+             |  sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END)::DOUBLE AS dfc FROM d),
+             |tf AS (SELECT doc_id, dl,
+             |  len(list_filter(toks, x -> x = 'hash'))::DOUBLE AS tfa,
+             |  len(list_filter(toks, x -> x = 'stream'))::DOUBLE AS tfb,
+             |  len(list_filter(toks, x -> x = 'window'))::DOUBLE AS tfc FROM d),
+             |bm AS (SELECT doc_id,
+             |    ln((n - dfa + 0.5)/(dfa + 0.5) + 1) * (tfa*2.2)/(tfa + 1.2*(0.25 + 0.75*dl/avgdl))
+             |  + ln((n - dfb + 0.5)/(dfb + 0.5) + 1) * (tfb*2.2)/(tfb + 1.2*(0.25 + 0.75*dl/avgdl))
+             |  + ln((n - dfc + 0.5)/(dfc + 0.5) + 1) * (tfc*2.2)/(tfc + 1.2*(0.25 + 0.75*dl/avgdl)) AS raw
+             |  FROM tf CROSS JOIN s),
+             |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY raw DESC, doc_id) AS r
+             |        FROM bm ORDER BY raw DESC, doc_id LIMIT 100),
+             |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+             |dn AS (SELECT vec_id AS doc_id,
+             |         list_inner_product(embedding::DOUBLE[], qv)
+             |           / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             |              * sqrt(list_inner_product(qv, qv))) AS raw
+             |       FROM embeddings, q),
+             |dnr AS (SELECT doc_id, row_number() OVER (ORDER BY raw DESC, doc_id) AS r
+             |        FROM dn ORDER BY raw DESC, doc_id LIMIT 100),
+             |fused AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+             |    coalesce(1.0/(60 + b.r), 0) + coalesce(1.0/(60 + v.r), 0) AS rrf
+             |  FROM bmr b FULL OUTER JOIN dnr v ON b.doc_id = v.doc_id)
+             |SELECT doc_id, round(rrf, 6) AS rrf_score
+             |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => graft.pipeline.Retrieval.hybridRrf(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        Seq("hash", "stream", "window"), queryVec(s, dir),
+        n = 100, k = 20)),
+
+    // ---- contrastive hard-negative mining: per anchor, top-5 most-similar
+    //      vectors with a different label (broadcast anchors, map-side
+    //      scoring, WindowGroupLimit per-anchor top-k)
+    GraftQuery("q161_hard_negatives",
+      Some("""WITH a AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS al
+             |           FROM embeddings WHERE vec_id < 3),
+             |s AS (SELECT anchor_id, c.vec_id,
+             |        list_inner_product(c.embedding::DOUBLE[], av)
+             |          / (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+             |             * sqrt(list_inner_product(av, av))) AS raw
+             |      FROM a JOIN embeddings c ON c.label <> a.al),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY raw DESC, vec_id) AS rn
+             |      FROM s)
+             |SELECT anchor_id, rn AS rank, vec_id, round(raw, 4) AS cosine
+             |FROM r WHERE rn <= 5""".stripMargin),
+      (s, dir) => graft.pipeline.Retrieval.hardNegatives(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        col("vec_id") < 3, k = 5)),
+
+    // ---- deterministic hash split: reproducible train/val/test assignment
+    //      (md5-bucketed, layout- and engine-independent), audited per lang
+    GraftQuery("q162_hash_split",
+      Some("""WITH b AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 AS bkt,
+             |                  lang, n_chars FROM documents)
+             |SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+             |       lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+             |FROM b GROUP BY 1, 2""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("split", TextAnalysis.hashSplit(col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))),
+
+    // ---- MMR diversified rerank over the dense top-20 candidates: greedy
+    //      λ·rel − μ·maxsim selection, replayed in SQL by a recursive CTE
+    //      carrying the selected-id list
+    GraftQuery("q163_mmr_diversify",
+      Some("""WITH RECURSIVE q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+             |cand AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v,
+             |         list_inner_product(embedding::DOUBLE[], qv)
+             |           / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             |              * sqrt(list_inner_product(qv, qv))) AS rel
+             |  FROM embeddings, q WHERE vec_id <> 0
+             |  ORDER BY rel DESC, vec_id LIMIT 20),
+             |pairs AS (
+             |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+             |         list_inner_product(a.v, b.v)
+             |           / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
+             |  FROM cand a, cand b),
+             |sel AS (
+             |  SELECT 1 AS step,
+             |         [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)] AS ids
+             |  UNION ALL
+             |  SELECT step + 1, list_append(ids, (
+             |      SELECT c.vec_id FROM cand c
+             |      WHERE NOT list_contains(ids, c.vec_id)
+             |      ORDER BY 0.7 * c.rel - 0.3 * (
+             |          SELECT max(p.sim) FROM pairs p
+             |          WHERE p.ia = c.vec_id AND list_contains(ids, p.ib)) DESC,
+             |        c.vec_id
+             |      LIMIT 1))
+             |  FROM sel WHERE step < 10),
+             |final AS (SELECT ids FROM sel WHERE step = 10)
+             |SELECT g.i AS rank, ids[g.i] AS vec_id,
+             |       round((SELECT rel FROM cand WHERE vec_id = ids[g.i]), 4) AS rel
+             |FROM final, (SELECT unnest(generate_series(1, 10)) AS i) g(i)""".stripMargin),
+      (s, dir) => graft.pipeline.Retrieval.mmrRerank(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir),
+        n = 20, k = 10, excludeId = Some(0L)))
   )
 }

@@ -826,4 +826,90 @@ class PipelineSpec extends SparkSpec {
       .toDF("text").select(TextAnalysis.qualityScore(col("text")).as("q")).head().getDouble(0)
     assert(prose > junk)
   }
+
+  test("RRF fusion rewards docs found by both retrievers; ranks bounded") {
+    val qv = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val fused = Retrieval.hybridRrf(docs, embs, "doc_id", "text",
+      "vec_id", "embedding", Seq("hash", "stream", "window"), qv,
+      n = 100, k = 20).collect()
+    assert(fused.length == 20)
+    // scores are valid RRF sums: at most 2/(60+1), decreasing
+    val scores = fused.map(_.getDouble(1))
+    assert(scores.head <= 2.0 / 61 + 1e-9)
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    // a doc on BOTH top-n lists outranks one with only a deep single-list hit:
+    // max possible single-list score is 1/61 < two mid-list hits
+    assert(scores.head > 1.0 / 61,
+      "top fused doc should appear in both candidate lists")
+    // deterministic across runs
+    val again = Retrieval.hybridRrf(docs, embs, "doc_id", "text",
+      "vec_id", "embedding", Seq("hash", "stream", "window"), qv,
+      n = 100, k = 20).collect()
+    assert(fused.map(_.getLong(0)).sameElements(again.map(_.getLong(0))))
+  }
+
+  test("hard negatives: different label, k per anchor, descending cosine") {
+    val out = Retrieval.hardNegatives(embs, "vec_id", "embedding", "label",
+      col("vec_id") < 3, k = 5)
+    val rows = out.collect()
+    val anchorLabels = embs.filter(col("vec_id") < 3)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val candLabels = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length == anchorLabels.size * 5)
+    rows.groupBy(_.getLong(0)).foreach { case (a, grp) =>
+      assert(grp.length == 5)
+      // every mined negative carries a different label than its anchor
+      grp.foreach { r =>
+        assert(candLabels(r.getLong(2)) != anchorLabels(a)) }
+      val cosines = grp.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.sameElements(cosines.sorted(Ordering[Double].reverse)))
+    }
+  }
+
+  test("hash split is deterministic, disjoint, and near the declared ratios") {
+    val split = docs.withColumn("split", TextAnalysis.hashSplit(col("doc_id")))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == docs.count())
+    // 80/10/10 within sampling noise on 500 docs
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.1)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // same id always lands in the same split (re-evaluation, new plan)
+    val again = docs.withColumn("split", TextAnalysis.hashSplit(col("doc_id")))
+    assert(split.select("doc_id", "split").except(
+      again.select("doc_id", "split")).count() == 0)
+  }
+
+  test("MMR: first pick is max-relevance; λ=1 degenerates to top-k; dup vectors are deferred") {
+    import spark.implicits._
+    val qv = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val topk = Similarity.bruteForceTopK(
+      embs.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0))
+    // with the diversity term off, MMR must reproduce plain top-k order
+    val pure = Retrieval.mmrRerank(embs, "vec_id", "embedding", qv,
+      n = 20, k = 10, lambda = 1.0, mu = 0.0, excludeId = Some(0L))
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(pure.sameElements(topk))
+    // duplicate the most relevant vector: λ<1 MMR picks the duplicate pair
+    // in positions 1 and LAST-ish, never back-to-back at the top
+    val best = embs.filter(col("vec_id") === pure.head)
+      .withColumn("vec_id", lit(900000L))
+    val withDup = embs.unionByName(best)
+    val mmr = Retrieval.mmrRerank(withDup, "vec_id", "embedding", qv,
+      n = 20, k = 10, lambda = 0.7, mu = 0.3, excludeId = Some(0L))
+      .orderBy("rank").collect().map(_.getLong(1))
+    val posOrig = mmr.indexOf(pure.head)
+    val posDup = mmr.indexOf(900000L)
+    assert(posOrig == 0, "max-relevance item picked first")
+    // its exact duplicate (sim = 1.0) is pushed away from rank 2
+    assert(posDup != 1, s"duplicate adjacent to original: ${mmr.mkString(",")}")
+  }
 }
