@@ -94,6 +94,55 @@ object Retrieval {
         round(col("__raw"), 4).as("cosine"))
   }
 
+  /** Ranking-quality evaluation — recall@k, MRR@k, nDCG@k per anchor — for
+    * a label-relevance protocol: candidates sharing the anchor's label are
+    * the relevant set (the standard intrinsic eval for embedding spaces).
+    * This closes the curation loop: mine negatives, train, then *measure*
+    * whether the space ranks same-label items on top.
+    *
+    * Determinism is engineered in: the DCG discount weights are the
+    * integers round(1e6 / log2(rank+1)) — so DCG is an exact integer sum
+    * (run-order independent, no float-accumulation drift across engines),
+    * and MRR uses max() (order independent by construction). One broadcast
+    * nested-loop score pass over bounded anchors, one window shuffle on
+    * anchor_id; the final per-anchor aggregate reuses that partitioning. */
+  def rankingMetrics(
+      embDf: DataFrame, idCol: String, embCol: String, labelCol: String,
+      anchorPred: Column, k: Int = 10): DataFrame = {
+    val weights: Seq[Long] =
+      (1 to k).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+    val prefix: Seq[Long] = weights.scanLeft(0L)(_ + _).tail
+
+    val anchors = embDf.filter(anchorPred).select(
+      col(idCol).as("anchor_id"), col(embCol).as("__av"),
+      col(labelCol).as("__al"))
+    val raw = DotProduct(col(embCol), col("__av")) /
+      (sqrt(DotProduct(col(embCol), col(embCol))) *
+       sqrt(DotProduct(col("__av"), col("__av"))))
+    val ranked = embDf.join(broadcast(anchors), col(idCol) =!= col("anchor_id"))
+      .select(col("anchor_id"),
+        (col(labelCol) === col("__al")).cast("int").as("__rel"),
+        raw.as("__raw"), col(idCol).as("__cid"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("anchor_id").orderBy(col("__raw").desc, col("__cid"))))
+
+    val inTop = col("__rel") === 1 && col("__rn") <= k
+    val dcgW = element_at(typedLit(weights), col("__rn").cast("int"))
+    val agg = ranked.groupBy("anchor_id").agg(
+      sum(col("__rel")).as("n_rel"),
+      sum(when(inTop, 1L).otherwise(0L)).as("__hits"),
+      coalesce(max(when(inTop, lit(1.0) / col("__rn"))), lit(0.0)).as("__mrr"),
+      sum(when(inTop, dcgW).otherwise(0L)).as("__dcg"))
+    val idcg = element_at(typedLit(prefix),
+      least(lit(k), col("n_rel")).cast("int"))
+    agg.select(col("anchor_id"), col("n_rel"),
+        round(col("__hits").cast("double") / least(lit(k), col("n_rel")), 4)
+          .as("recall"),
+        round(col("__mrr"), 4).as("mrr"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(round(col("__dcg").cast("double") / idcg, 4)).as("ndcg"))
+  }
+
   /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998): from
     * the top-n candidates by query relevance, greedily select k items
     * maximizing λ·rel(c) − μ·max_{s∈selected} sim(c, s) — relevant AND

@@ -922,6 +922,63 @@ object PipelineQueries {
              |FROM final, (SELECT unnest(generate_series(1, 10)) AS i) g(i)""".stripMargin),
       (s, dir) => graft.pipeline.Retrieval.mmrRerank(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir),
-        n = 20, k = 10, excludeId = Some(0L)))
+        n = 20, k = 10, excludeId = Some(0L))),
+
+    // ---- embedding-space ranking eval: recall@10 / MRR@10 / nDCG@10 with
+    //      label-match relevance; DCG uses an integer weight table so the
+    //      sum is exact (run-order independent) on both engines
+    GraftQuery("q166_retrieval_metrics",
+      Some("""WITH a AS (SELECT vec_id AS aid, embedding::DOUBLE[] AS av, label AS al
+             |           FROM embeddings WHERE vec_id < 10),
+             |s AS (SELECT aid, al, c.vec_id AS cid, c.label AS cl,
+             |        list_inner_product(c.embedding::DOUBLE[], av)
+             |          / (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+             |             * sqrt(list_inner_product(av, av))) AS raw
+             |      FROM a JOIN embeddings c ON c.vec_id <> a.aid),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY aid ORDER BY raw DESC, cid) AS rn
+             |      FROM s),
+             |g AS (SELECT aid,
+             |        sum(CASE WHEN cl = al THEN 1 ELSE 0 END) AS n_rel,
+             |        sum(CASE WHEN cl = al AND rn <= 10 THEN 1 ELSE 0 END) AS hits,
+             |        coalesce(max(CASE WHEN cl = al AND rn <= 10
+             |          THEN 1.0::DOUBLE / rn END), 0) AS mrr,
+             |        sum(CASE WHEN cl = al AND rn <= 10
+             |          THEN ([1000000,630930,500000,430677,386853,356207,333333,315465,301030,289065])[rn]
+             |          ELSE 0 END) AS dcg
+             |      FROM r GROUP BY 1)
+             |SELECT aid AS anchor_id, n_rel,
+             |  round(hits::DOUBLE / least(10, n_rel), 4) AS recall,
+             |  round(mrr, 4) AS mrr,
+             |  round(dcg::DOUBLE / list_sum(list_slice(
+             |    [1000000,630930,500000,430677,386853,356207,333333,315465,301030,289065],
+             |    1, least(10, n_rel)::INT)), 4) AS ndcg
+             |FROM g""".stripMargin),
+      (s, dir) => graft.pipeline.Retrieval.rankingMetrics(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        col("vec_id") < 10, k = 10)),
+
+    // ---- int8 symmetric scalar quantization audit: per-vector scale,
+    //      clipped-component count, and original-vs-reconstruction cosine
+    //      (map-only; 4x compression quality gate)
+    GraftQuery("q167_int8_quantize",
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |s AS (SELECT vec_id, e,
+             |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+             |qz AS (SELECT vec_id, e, scale,
+             |         list_transform(e, x -> greatest(-127, least(127,
+             |           floor(x / scale + 0.5)))) AS codes,
+             |         len(list_filter(e, x -> abs(floor(x / scale + 0.5)) > 127)) AS n_clip
+             |       FROM s),
+             |rec AS (SELECT vec_id, e, scale, n_clip,
+             |          list_transform(codes, c -> c * scale) AS r FROM qz)
+             |SELECT vec_id, round(scale, 6) AS scale, n_clip,
+             |  round(list_inner_product(e, r)
+             |    / (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(r, r))), 6)
+             |    AS cos_sim
+             |FROM rec""".stripMargin),
+      (s, dir) => graft.pipeline.Quantize.int8Symmetric(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          col("n_clip"), round(col("cos_sim"), 6).as("cos_sim")))
   )
 }

@@ -110,6 +110,46 @@ object TimeSeries {
       None,
       (s, dir) => t(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct("user_id", 0.01).as("approx_users")))
+        .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))),
+
+    // ---- as-of join: each purchase enriched with the user's most recent
+    //      prior login (graft.operators.AsofJoin — single-shuffle union +
+    //      last-observation window; DuckDB replays it with native ASOF)
+    GraftQuery("q164_asof_join",
+      Some("""SELECT l.event_id, l.user_id, l.ts,
+             |  round(l."value", 2) AS purchase_value,
+             |  r.ts AS login_ts, round(r."value", 2) AS login_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val logins = ev.filter(col("event_type") === "login")
+          .select("user_id", "ts", "value")
+        graft.operators.AsofJoin.asofJoin(purchases, logins, Seq("user_id"), "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value"), 2).as("purchase_value"),
+            col("right_ts").as("login_ts"),
+            round(col("right_value"), 2).as("login_value"))
+      }),
+
+    // ---- M4 downsampling: per-series 6h buckets keeping first/last/min/max
+    //      (graft.operators.Downsample — one partial-aggregating hash agg)
+    GraftQuery("q165_m4_downsample",
+      Some("""SELECT user_id,
+             |  make_timestamp((epoch_ms(ts) // 21600000) * 21600000 * 1000) AS bucket,
+             |  count(*) AS n,
+             |  round(min("value"), 2) AS v_min, round(max("value"), 2) AS v_max,
+             |  round(arg_min("value", ts), 2) AS v_first,
+             |  round(arg_max("value", ts), 2) AS v_last
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) => graft.operators.Downsample.m4(
+          t(s, dir, "events"), "user_id", "ts", "value", bucketSeconds = 21600L)
+        .select(col("user_id"), col("bucket"), col("n"),
+          round(col("v_min"), 2).as("v_min"), round(col("v_max"), 2).as("v_max"),
+          round(col("v_first"), 2).as("v_first"),
+          round(col("v_last"), 2).as("v_last")))
   )
 }

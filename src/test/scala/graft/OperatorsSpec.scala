@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.{AsofJoin, Downsample}
+import graft.pipeline.{Quantize, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** Specs for the whole-operator additions: as-of join, M4 downsampling,
+  * ranking-eval metrics, int8 quantization. Each is checked against a
+  * hand-computed example AND for its plan shape (one shuffle / map-only —
+  * the 100 TB contract).
+  */
+class OperatorsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val embs = Tables.t(spark, dir, "embeddings").cache()
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** Executed plan string after AQE finalization (the AdaptiveSparkPlanExec
+    * toString prints Initial AND Final plans — counting operators on it
+    * double-counts every node). */
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+  }
+
+  test("asof join: hand-computed matches, ties at equal ts, missing prior -> null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 10.0),
+      (2L, "a", ts("2024-01-01 12:00:00"), 20.0),
+      (3L, "b", ts("2024-01-01 09:00:00"), 30.0), // before any right row
+      (4L, "b", ts("2024-01-01 11:00:00"), 40.0)
+    ).toDF("id", "k", "ts", "v")
+    val right = Seq(
+      ("a", ts("2024-01-01 09:30:00"), 1.0),
+      ("a", ts("2024-01-01 12:00:00"), 2.0), // equal ts: must match row 2
+      ("b", ts("2024-01-01 10:30:00"), 3.0)
+    ).toDF("k", "ts", "rv")
+
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "ts")
+      .select("id", "right_rv").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> Some(3.0)))
+  }
+
+  test("asof join tolerance: stale matches become null") {
+    import spark.implicits._
+    val left = Seq((1L, "a", ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(("a", ts("2024-01-01 07:00:00"), 5.0)).toDF("k", "ts", "rv")
+    val wide = AsofJoin.asofJoin(left, right, Seq("k"), "ts",
+      tolerance = Some("'4' HOUR"))
+    assert(wide.select("right_rv").head().getDouble(0) == 5.0)
+    val tight = AsofJoin.asofJoin(left, right, Seq("k"), "ts",
+      tolerance = Some("'2' HOUR"))
+    assert(tight.select("right_rv").head().isNullAt(0))
+  }
+
+  test("asof join plan: one key shuffle, no join operator, no cartesian") {
+    val ev = Tables.t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val logins = ev.filter(col("event_type") === "login")
+      .select("user_id", "ts", "value")
+    val df = AsofJoin.asofJoin(purchases, logins, Seq("user_id"), "ts")
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"asof join degenerated to a product:\n$plan")
+    assert(!plan.contains("Join"), s"asof join should be join-free:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 key shuffle, got $shuffles:\n$plan")
+  }
+
+  test("m4 keeps first/last/min/max per series bucket") {
+    import spark.implicits._
+    val df = Seq(
+      (7L, ts("2024-01-01 00:10:00"), 5.0),
+      (7L, ts("2024-01-01 01:20:00"), 9.0),
+      (7L, ts("2024-01-01 02:30:00"), 1.0),
+      (7L, ts("2024-01-01 03:40:00"), 4.0), // same 6h bucket
+      (7L, ts("2024-01-01 07:00:00"), 8.0)  // next bucket
+    ).toDF("user_id", "ts", "value")
+    val out = Downsample.m4(df, "user_id", "ts", "value", 21600L)
+      .orderBy("bucket").collect()
+    assert(out.length == 2)
+    val b0 = out(0)
+    assert(b0.getLong(2) == 4 && b0.getDouble(3) == 1.0 && b0.getDouble(4) == 9.0
+      && b0.getDouble(5) == 5.0 && b0.getDouble(6) == 4.0,
+      s"unexpected M4 row: $b0")
+    assert(out(1).getLong(2) == 1 && out(1).getDouble(5) == 8.0)
+  }
+
+  test("m4 plan: map-side partial aggregation, single shuffle") {
+    val df = Downsample.m4(Tables.t(spark, dir, "events"),
+      "user_id", "ts", "value", 21600L)
+    val plan = planString(df)
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles")
+  }
+
+  test("ranking metrics: identical same-label vectors rank on top -> perfect scores") {
+    import spark.implicits._
+    // 3 labels x 4 copies of an orthogonal basis vector each: every anchor's
+    // same-label candidates have cosine 1, different-label cosine 0.
+    val rows = for {
+      lbl <- 0 until 3; copy <- 0 until 4
+    } yield {
+      val v = Array.fill(3)(0.0f); v(lbl) = 1.0f
+      (lbl * 4L + copy, v.toSeq, lbl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val m = Retrieval.rankingMetrics(df, "vec_id", "embedding", "label",
+      col("vec_id") === 0, k = 3).head()
+    assert(m.getLong(1) == 3)            // n_rel
+    assert(m.getDouble(2) == 1.0)        // recall@3
+    assert(m.getDouble(3) == 1.0)        // mrr
+    assert(m.getDouble(4) == 1.0)        // ndcg: perfect ranking
+  }
+
+  test("ranking metrics DCG weight table matches the SQL oracle literal") {
+    val expected = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    val computed = (1 to 10).map(i =>
+      math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+    assert(computed == expected)
+  }
+
+  test("int8 quantization: codes bounded, reconstruction cosine >= 0.999, deterministic") {
+    val out = Quantize.int8Symmetric(embs, "vec_id", "embedding").cache()
+    val n = embs.count()
+    assert(out.count() == n)
+    assert(out.filter(col("n_clip") > 0).count() == 0)
+    assert(out.agg(min("cos_sim")).head().getDouble(0) >= 0.999)
+    // max|code| == 127 exactly (the scale spans the full int8 range)
+    assert(out.select(array_max(transform(col("codes"), c => abs(c))).as("m"))
+      .agg(min("m"), max("m")).head() match {
+        case r => r.getLong(0) == 127L && r.getLong(1) == 127L
+      })
+    val again = Quantize.int8Symmetric(embs, "vec_id", "embedding")
+    assert(out.select("vec_id", "scale", "cos_sim")
+      .except(again.select("vec_id", "scale", "cos_sim")).count() == 0)
+    out.unpersist()
+  }
+
+  test("quantization plan is shuffle-free (map-only scan transform)") {
+    val df = Quantize.int8Symmetric(embs, "vec_id", "embedding")
+    val plan = planString(df)
+    assert(!plan.contains("Exchange"), s"quantization shuffled:\n$plan")
+  }
+}
