@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-analytics operators over an append-only event stream table:
+  * gap-based sessionization, ordered funnel matching, and cohort retention.
+  * These are the query shapes an events table exists to answer; the
+  * streaming side of the engine has their online twins
+  * (streaming/Sessionize.scala session windows), these are the replayable
+  * batch versions.
+  *
+  * 100 TB posture: every operator is one hash shuffle on the entity key
+  * followed by key-local windows/aggregates — Spark reuses the exchange
+  * across the window passes and the final aggregation, so adding funnel
+  * steps or session statistics does not add shuffles. Skew is bounded by
+  * the hottest single entity.
+  */
+object EventAnalytics {
+
+  /** Gap-based session assignment: a new session starts when the key's
+    * inter-event gap exceeds `gapSeconds` (the batch analogue of a
+    * streaming session window). Adds `session_seq` (1-based per key) to
+    * every input row. Two window passes (lag + running sum) over one key
+    * shuffle. */
+  def sessionize(
+      df: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(tsCol), 1).over(byKey)
+    val brk = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    df.withColumn("session_seq", sum(brk).over(run))
+  }
+
+  /** Ordered funnel: per key, the timestamp each step was first reached,
+    * where step i counts only at-or-after step i-1's first occurrence
+    * (the strict-ordering funnel semantics). Output: one row per key with
+    * `step_1_ts .. step_N_ts` (null = never reached). One key shuffle;
+    * one window pass per step reusing the same partitioning. */
+  def funnelSteps(
+      df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val byKey = Window.partitionBy(keyCol)
+    val withSteps = steps.zipWithIndex.foldLeft(df) { case (acc, (step, i)) =>
+      val reached: Column =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step &&
+          col(s"step_${i}_ts").isNotNull &&
+          col(tsCol) >= col(s"step_${i}_ts")
+      acc.withColumn(s"step_${i + 1}_ts",
+        min(when(reached, col(tsCol))).over(byKey))
+    }
+    withSteps
+      .groupBy(col(keyCol))
+      .agg(min(col("step_1_ts")).as("step_1_ts"),
+        (2 to steps.length).map(i =>
+          min(col(s"step_${i}_ts")).as(s"step_${i}_ts")): _*)
+  }
+
+  /** Cohort retention: keys grouped by the period of their first activity
+    * (the cohort), counted as active per whole-period offset since that
+    * first activity. Integer epoch-day arithmetic on both engines — no
+    * float in sight. Two aggregations on the key partitioning + one final
+    * rollup on (cohort, offset). */
+  def retentionCohorts(
+      df: DataFrame, keyCol: String, tsCol: String,
+      periodDays: Int = 7): DataFrame = {
+    val first = df.groupBy(keyCol).agg(min(col(tsCol)).as("__t0"))
+    val ms = 86400000L
+    df.join(first, keyCol)
+      .select(col(keyCol),
+        ((unix_millis(col(tsCol)) / ms).cast("long") -
+         (unix_millis(col("__t0")) / ms).cast("long")).as("__day_off"),
+        (unix_millis(col("__t0")) / ms).cast("long").as("__day0"))
+      .groupBy((col("__day0") / periodDays).cast("long").as("cohort_period"),
+        (col("__day_off") / periodDays).cast("long").as("period_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
+}

@@ -113,26 +113,26 @@ object TimeSeries {
         .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))),
 
     // ---- as-of join: each purchase enriched with the user's most recent
-    //      prior login (graft.operators.AsofJoin — single-shuffle union +
+    //      prior click (graft.operators.AsofJoin — single-shuffle union +
     //      last-observation window; DuckDB replays it with native ASOF)
     GraftQuery("q164_asof_join",
       Some("""SELECT l.event_id, l.user_id, l.ts,
              |  round(l."value", 2) AS purchase_value,
-             |  r.ts AS login_ts, round(r."value", 2) AS login_value
+             |  r.ts AS click_ts, round(r."value", 2) AS click_value
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') r
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
              |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin),
       (s, dir) => {
         val ev = t(s, dir, "events")
         val purchases = ev.filter(col("event_type") === "purchase")
           .select("event_id", "user_id", "ts", "value")
-        val logins = ev.filter(col("event_type") === "login")
+        val clicks = ev.filter(col("event_type") === "click")
           .select("user_id", "ts", "value")
-        graft.operators.AsofJoin.asofJoin(purchases, logins, Seq("user_id"), "ts")
+        graft.operators.AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts")
           .select(col("event_id"), col("user_id"), col("ts"),
             round(col("value"), 2).as("purchase_value"),
-            col("right_ts").as("login_ts"),
-            round(col("right_value"), 2).as("login_value"))
+            col("right_ts").as("click_ts"),
+            round(col("right_value"), 2).as("click_value"))
       }),
 
     // ---- M4 downsampling: per-series 6h buckets keeping first/last/min/max
@@ -150,6 +150,69 @@ object TimeSeries {
         .select(col("user_id"), col("bucket"), col("n"),
           round(col("v_min"), 2).as("v_min"), round(col("v_max"), 2).as("v_max"),
           round(col("v_first"), 2).as("v_first"),
-          round(col("v_last"), 2).as("v_last")))
+          round(col("v_last"), 2).as("v_last"))),
+
+    // ---- batch sessionization: gap>4h starts a session; session summaries
+    //      (graft.operators.EventAnalytics.sessionize — lag + running-sum
+    //      windows and the summary agg all on ONE user_id shuffle)
+    GraftQuery("q168_batch_sessionize",
+      Some("""WITH o AS (SELECT user_id, ts, "value",
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 4 HOUR
+             |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM o)
+             |SELECT user_id, session_seq, min(ts) AS session_start,
+             |  max(ts) AS session_end, count(*) AS n_events,
+             |  round(sum("value"), 2) AS total
+             |FROM s GROUP BY 1, 2""".stripMargin),
+      (s, dir) => graft.operators.EventAnalytics.sessionize(
+          t(s, dir, "events").select("user_id", "ts", "value"),
+          "user_id", "ts", gapSeconds = 4 * 3600L)
+        .groupBy("user_id", "session_seq")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))),
+
+    // ---- ordered funnel: view -> click -> purchase, completion within 7
+    //      days of the first view (EventAnalytics.funnelSteps — one window
+    //      pass per step, all reusing the user_id partitioning)
+    GraftQuery("q169_funnel",
+      Some("""WITH f AS (SELECT user_id, min(ts) FILTER (WHERE event_type='view') AS t1
+             |           FROM events GROUP BY 1),
+             |c AS (SELECT f.user_id, t1,
+             |        (SELECT min(ts) FROM events e WHERE e.user_id = f.user_id
+             |           AND e.event_type='click' AND e.ts >= t1) AS t2 FROM f),
+             |p AS (SELECT c.user_id, t1, t2,
+             |        (SELECT min(ts) FROM events e WHERE e.user_id = c.user_id
+             |           AND e.event_type='purchase' AND e.ts >= t2) AS t3 FROM c)
+             |SELECT count(*) FILTER (WHERE t1 IS NOT NULL) AS step1_view,
+             |  count(*) FILTER (WHERE t2 IS NOT NULL) AS step2_click,
+             |  count(*) FILTER (WHERE t3 IS NOT NULL
+             |    AND t3 <= t1 + INTERVAL 7 DAY) AS step3_purchase_7d
+             |FROM p""".stripMargin),
+      (s, dir) => graft.operators.EventAnalytics.funnelSteps(
+          t(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .agg(
+          count(when(col("step_1_ts").isNotNull, 1)).as("step1_view"),
+          count(when(col("step_2_ts").isNotNull, 1)).as("step2_click"),
+          count(when(col("step_3_ts").isNotNull &&
+            col("step_3_ts") <= col("step_1_ts") + expr("INTERVAL 7 DAY"), 1))
+            .as("step3_purchase_7d"))),
+
+    // ---- weekly cohort retention: users bucketed by first-activity week,
+    //      counted per week-offset (EventAnalytics.retentionCohorts —
+    //      integer epoch-day arithmetic, no floats)
+    GraftQuery("q170_retention_cohorts",
+      Some("""WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1)
+             |SELECT (epoch_ms(f.t0) // 86400000) // 7 AS cohort_period,
+             |  ((epoch_ms(e.ts) // 86400000) - (epoch_ms(f.t0) // 86400000)) // 7
+             |    AS period_offset,
+             |  count(DISTINCT e.user_id) AS n_users
+             |FROM events e JOIN f USING (user_id)
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => graft.operators.EventAnalytics.retentionCohorts(
+        t(s, dir, "events"), "user_id", "ts", periodDays = 7))
   )
 }

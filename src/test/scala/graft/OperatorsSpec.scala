@@ -152,4 +152,80 @@ class OperatorsSpec extends SparkSpec {
     val plan = planString(df)
     assert(!plan.contains("Exchange"), s"quantization shuffled:\n$plan")
   }
+
+  test("sessionize: gap starts new session, boundary gap stays in session") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")), // 30m gap: same session
+      (1L, ts("2024-01-01 12:00:00")), // exactly the 1h30m gap: same (> is strict)
+      (1L, ts("2024-01-01 13:30:01")), // 1h30m1s: new session
+      (2L, ts("2024-01-01 09:00:00"))  // other key: own session 1
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.sessionize(df, "user_id", "ts", gapSeconds = 5400L)
+      .select("user_id", "ts", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:30:00"), 1L),
+      (1L, ts("2024-01-01 12:00:00"), 1L),
+      (1L, ts("2024-01-01 13:30:01"), 2L),
+      (2L, ts("2024-01-01 09:00:00"), 1L)))
+  }
+
+  test("funnel: strict ordering — step events before the prior step don't count") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    val df = Seq(
+      // u1: click BEFORE view must not satisfy step 2; later click does
+      (1L, ts("2024-01-01 09:00:00"), "click"),
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u2: view only
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // u3: purchase before click: depth 2
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:30:00"), "purchase"),
+      (3L, ts("2024-01-01 11:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnelSteps(df, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    assert(out(1L) == (ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"),
+      ts("2024-01-01 12:00:00")))
+    assert(out(2L)._2 == null && out(2L)._3 == null)
+    assert(out(3L)._2 == ts("2024-01-01 11:00:00") && out(3L)._3 == null,
+      "purchase before the qualifying click must not complete the funnel")
+  }
+
+  test("funnel + sessionize plans: single key shuffle each") {
+    import graft.operators.EventAnalytics
+    val ev = Tables.t(spark, dir, "events")
+    val sess = EventAnalytics.sessionize(
+      ev.select("user_id", "ts", "value"), "user_id", "ts", 4 * 3600L)
+    val sPlan = planString(sess)
+    assert("Exchange hashpartitioning".r.findAllIn(sPlan).length == 1,
+      s"sessionize should shuffle once:\n$sPlan")
+    val fun = EventAnalytics.funnelSteps(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    val fPlan = planString(fun)
+    assert("Exchange hashpartitioning".r.findAllIn(fPlan).length == 1,
+      s"funnel should reuse one key shuffle across step windows:\n$fPlan")
+  }
+
+  test("retention cohorts: offsets non-negative, cohort-0 count equals cohort size") {
+    import graft.operators.EventAnalytics
+    val ev = Tables.t(spark, dir, "events")
+    val out = EventAnalytics.retentionCohorts(ev, "user_id", "ts").cache()
+    assert(out.filter(col("period_offset") < 0).count() == 0)
+    // every user appears in their cohort's offset-0 row (first event itself)
+    val zero = out.filter(col("period_offset") === 0)
+      .agg(sum("n_users")).head().getLong(0)
+    val users = ev.select(countDistinct("user_id")).head().getLong(0)
+    assert(zero == users)
+    out.unpersist()
+  }
 }
