@@ -979,6 +979,37 @@ object PipelineQueries {
       (s, dir) => graft.pipeline.Quantize.int8Symmetric(
           t(s, dir, "embeddings"), "vec_id", "embedding")
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-          col("n_clip"), round(col("cos_sim"), 6).as("cos_sim")))
+          col("n_clip"), round(col("cos_sim"), 6).as("cos_sim"))),
+
+    // ---- corpus data card: the per-(source, lang) release-documentation
+    //      stats (docs, tokens, char spread, vocabulary) — counts and exact
+    //      integer sums only, so the report is engine-reproducible
+    GraftQuery("q172_corpus_datacard",
+      Some("""WITH base AS (
+             |  SELECT source, lang, count(*) AS n_docs,
+             |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS total_tokens,
+             |    min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |    round(avg(n_chars), 2) AS avg_chars
+             |  FROM documents GROUP BY 1, 2),
+             |uniq AS (
+             |  SELECT source, lang, count(DISTINCT tok) AS n_uniq_tokens
+             |  FROM (SELECT source, lang,
+             |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1, 2)
+             |SELECT base.*, uniq.n_uniq_tokens
+             |FROM base JOIN uniq USING (source, lang)""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val base = d.groupBy("source", "lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("total_tokens"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+          round(avg("n_chars"), 2).as("avg_chars"))
+        val uniq = d.select(col("source"), col("lang"),
+            explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .groupBy("source", "lang").agg(countDistinct("tok").as("n_uniq_tokens"))
+        base.join(uniq, Seq("source", "lang"))
+      })
   )
 }

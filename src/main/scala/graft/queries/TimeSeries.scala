@@ -213,6 +213,41 @@ object TimeSeries {
              |FROM events e JOIN f USING (user_id)
              |GROUP BY 1, 2""".stripMargin),
       (s, dir) => graft.operators.EventAnalytics.retentionCohorts(
-        t(s, dir, "events"), "user_id", "ts", periodDays = 7))
+        t(s, dir, "events"), "user_id", "ts", periodDays = 7)),
+
+    // ---- keyless point-in-interval range join: per error event, how many
+    //      sessions (any user) were open at that instant. Spark plans a raw
+    //      BETWEEN join as a nested-loop product; RangeJoin discretizes to
+    //      day buckets and equi-joins (graft.operators.RangeJoin).
+    GraftQuery("q171_interval_join",
+      Some("""WITH o AS (SELECT user_id, ts,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 4 HOUR
+             |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS seq FROM o),
+             |sess AS (SELECT user_id, seq, min(ts) AS st, max(ts) AS en
+             |         FROM s GROUP BY 1, 2),
+             |err AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+             |SELECT e.event_id, count(x.st) AS n_open_sessions
+             |FROM err e LEFT JOIN sess x ON e.ts >= x.st AND e.ts <= x.en
+             |GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val sess = graft.operators.EventAnalytics.sessionize(
+            ev.select("user_id", "ts"), "user_id", "ts", gapSeconds = 4 * 3600L)
+          .groupBy("user_id", "session_seq")
+          .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select("event_id", "ts")
+        val counts = graft.operators.RangeJoin.pointInInterval(
+            errors, "ts", sess.select("s_start", "s_end"),
+            "s_start", "s_end", bucketSeconds = 86400L)
+          .groupBy("event_id").agg(count(lit(1)).as("__n"))
+        errors.join(counts, Seq("event_id"), "left")
+          .select(col("event_id"),
+            coalesce(col("__n"), lit(0L)).as("n_open_sessions"))
+      })
   )
 }

@@ -216,6 +216,56 @@ class OperatorsSpec extends SparkSpec {
       s"funnel should reuse one key shuffle across step windows:\n$fPlan")
   }
 
+  test("range join: containment pairs exactly once, bucket-straddling intervals included") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val points = Seq(
+      (1L, ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-03 00:00:00")),
+      (3L, ts("2024-01-09 23:59:59"))
+    ).toDF("pid", "pts")
+    val ivals = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")), // covers p1 (+p2? no)
+      (11L, ts("2024-01-02 23:00:00"), ts("2024-01-05 00:00:00")), // straddles days, covers p2
+      (12L, ts("2024-01-03 00:00:00"), ts("2024-01-03 00:00:00"))  // degenerate: exactly p2
+    ).toDF("iid", "ivs", "ive")
+    val out = RangeJoin.pointInInterval(points, "pts", ivals, "ivs", "ive", 86400L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (2L, 11L), (2L, 12L)))
+    // no duplicate pairs despite the multi-bucket interval expansion
+    val n = RangeJoin.pointInInterval(points, "pts", ivals, "ivs", "ive", 86400L).count()
+    assert(n == 3)
+  }
+
+  test("range join equals the naive nested-loop result on real data") {
+    import graft.operators.{EventAnalytics, RangeJoin}
+    val ev = Tables.t(spark, dir, "events")
+    val sess = EventAnalytics.sessionize(
+        ev.select("user_id", "ts"), "user_id", "ts", 4 * 3600L)
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("st"), max("ts").as("en"))
+      .select("st", "en").cache()
+    val errs = ev.filter(col("event_type") === "error").select("event_id", "ts").cache()
+    val bucketed = RangeJoin.pointInInterval(errs, "ts", sess, "st", "en", 86400L)
+      .groupBy("event_id").count()
+    val naive = errs.join(sess, col("ts") >= col("st") && col("ts") <= col("en"))
+      .groupBy("event_id").count()
+    assert(bucketed.except(naive).count() == 0 && naive.except(bucketed).count() == 0)
+    sess.unpersist(); errs.unpersist()
+  }
+
+  test("range join plan: equi-join on buckets, no nested loop or cartesian") {
+    import graft.operators.RangeJoin
+    val ev = Tables.t(spark, dir, "events")
+    val errs = ev.filter(col("event_type") === "error").select("event_id", "ts")
+    val ivals = ev.filter(col("event_type") === "purchase")
+      .select(col("ts").as("st"), (col("ts") + expr("INTERVAL 2 HOUR")).as("en"))
+    val plan = planString(
+      RangeJoin.pointInInterval(errs, "ts", ivals, "st", "en", 7200L))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join degenerated:\n$plan")
+  }
+
   test("retention cohorts: offsets non-negative, cohort-0 count equals cohort size") {
     import graft.operators.EventAnalytics
     val ev = Tables.t(spark, dir, "events")
