@@ -248,6 +248,42 @@ object TimeSeries {
         errors.join(counts, Seq("event_id"), "left")
           .select(col("event_id"),
             coalesce(col("__n"), lit(0L)).as("n_open_sessions"))
-      })
+      }),
+
+    // ---- LTOB downsampling (Steinarsson 2013 §4.1): per-series top-1 by
+    //      local triangle area within equal-count buckets — declarative,
+    //      WindowGroupLimit-friendly; the oracle replays the same windows
+    GraftQuery("q173_ltob_downsample",
+      Some("""WITH p AS (SELECT user_id, ts, "value",
+             |    epoch_us(ts)::DOUBLE AS x, "value"::DOUBLE AS y,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS i,
+             |    count(*) OVER (PARTITION BY user_id) AS n,
+             |    lag(epoch_us(ts)::DOUBLE)  OVER (PARTITION BY user_id ORDER BY ts) AS xp,
+             |    lag("value"::DOUBLE)       OVER (PARTITION BY user_id ORDER BY ts) AS yp,
+             |    lead(epoch_us(ts)::DOUBLE) OVER (PARTITION BY user_id ORDER BY ts) AS xn,
+             |    lead("value"::DOUBLE)      OVER (PARTITION BY user_id ORDER BY ts) AS yn
+             |  FROM events),
+             |a AS (SELECT *, abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp)) AS area,
+             |    CASE WHEN i = 1 THEN 0 WHEN i = n THEN 49
+             |      ELSE 1 + floor(((i - 2)::DOUBLE * 48) / (n - 2)::DOUBLE)::BIGINT
+             |    END AS b
+             |  FROM p),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, b
+             |        ORDER BY area DESC NULLS LAST, ts) AS rk FROM a)
+             |SELECT user_id, ts, "value"
+             |FROM r WHERE n <= 50 OR i = 1 OR i = n OR rk = 1""".stripMargin),
+      (s, dir) => graft.operators.Downsample.ltob(
+        t(s, dir, "events"), "user_id", "ts", "value", nOut = 50)),
+
+    // ---- LTTB downsampling (Steinarsson 2013 §4.2): the greedy
+    //      prev-selected/next-centroid recurrence as a per-partition
+    //      streaming kernel. Sequential selection is not SQL-replayable at
+    //      reasonable cost (recursion over argmax over recursion), so the
+    //      gate is rows-only; OperatorsSpec proves equality against an
+    //      in-memory textbook implementation.
+    GraftQuery("q174_lttb_downsample",
+      None,
+      (s, dir) => graft.operators.Downsample.lttb(
+        t(s, dir, "events"), "user_id", "ts", "value", nOut = 50))
   )
 }

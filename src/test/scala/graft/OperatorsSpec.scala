@@ -266,6 +266,96 @@ class OperatorsSpec extends SparkSpec {
       s"range join degenerated:\n$plan")
   }
 
+  test("ltob: first/last kept, one point per bucket, short series pass through") {
+    import graft.operators.Downsample
+    val ev = Tables.t(spark, dir, "events")
+    val nOut = 50
+    val out = Downsample.ltob(ev, "user_id", "ts", "value", nOut).cache()
+    val perUser = out.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inCounts = ev.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    inCounts.foreach { case (u, n) =>
+      assert(perUser(u) == math.min(n, nOut.toLong),
+        s"user $u: $n points -> ${perUser(u)} kept") }
+    // endpoints survive
+    val firstLast = ev.groupBy("user_id")
+      .agg(min("ts").as("lo"), max("ts").as("hi")).collect()
+    val kept = out.select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    firstLast.foreach { r =>
+      assert(kept.contains((r.getLong(0), r.getTimestamp(1))))
+      assert(kept.contains((r.getLong(0), r.getTimestamp(2)))) }
+    out.unpersist()
+  }
+
+  /** Textbook LTTB (Steinarsson 2013 §4.2) over one in-memory series —
+    * an independent reference the streaming kernel must reproduce.
+    * Returns selected 0-based indices in ts order. */
+  private def refLttb(pts: IndexedSeq[(Long, Double)], nOut: Int): Seq[Int] = {
+    val n = pts.length
+    if (n <= nOut) return pts.indices
+    // 0-based interior index j in [1, n-2] -> bucket 1..nOut-2 (kernel is
+    // 1-based: i = j+1, so (i-2) = j-1)
+    def bucket(j: Int): Int =
+      1 + math.floor(((j - 1).toDouble * (nOut - 2)) / (n - 2).toDouble).toInt
+    val byBucket = (1 to n - 2).groupBy(bucket).toSeq.sortBy(_._1).map(_._2)
+    val selected = scala.collection.mutable.ArrayBuffer(0)
+    var prev: (Double, Double) = (pts(0)._1.toDouble, pts(0)._2)
+    for (k <- byBucket.indices) {
+      val anchor: (Double, Double) =
+        if (k == byBucket.length - 1) (pts(n - 1)._1.toDouble, pts(n - 1)._2)
+        else {
+          val nxt = byBucket(k + 1)
+          var sx = 0.0; var sy = 0.0
+          nxt.foreach { j => sx += pts(j)._1.toDouble; sy += pts(j)._2 }
+          (sx / nxt.length, sy / nxt.length)
+        }
+      var best = -1; var bestArea = Double.NegativeInfinity
+      byBucket(k).foreach { j =>
+        val bx = pts(j)._1.toDouble; val by = pts(j)._2
+        val area = math.abs((prev._1 - anchor._1) * (by - prev._2) -
+          (prev._1 - bx) * (anchor._2 - prev._2))
+        if (area > bestArea) { bestArea = area; best = j }
+      }
+      selected += best
+      prev = (pts(best)._1.toDouble, pts(best)._2)
+    }
+    selected += n - 1
+    selected.toSeq
+  }
+
+  test("lttb streaming kernel equals the in-memory textbook implementation") {
+    import graft.operators.Downsample
+    val ev = Tables.t(spark, dir, "events")
+    val nOut = 50
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val out = Downsample.lttb(ev, "user_id", "ts", "value", nOut)
+      .collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getDouble(2)))
+      .groupBy(_._1)
+    val series = ev.select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(series.nonEmpty && series.exists(_._2.length > nOut),
+      "fixture must exercise the downsampling path")
+    series.foreach { case (u, rows) =>
+      val pts = rows.sortBy(_._2).map(t => (t._2, t._3)).toIndexedSeq
+      val want = refLttb(pts, nOut).map(pts(_)).toSeq
+      val got = out(u).sortBy(_._2).map(t => (t._2, t._3)).toSeq
+      assert(got == want, s"user $u kernel/reference divergence")
+    }
+  }
+
+  test("lttb plan: no series materialization (no collect_list / object agg)") {
+    import graft.operators.Downsample
+    val plan = planString(Downsample.lttb(
+      Tables.t(spark, dir, "events"), "user_id", "ts", "value", 50))
+    assert(!plan.contains("collect_list") && !plan.contains("ObjectHashAggregate"),
+      s"lttb materializes series:\n$plan")
+  }
+
   test("retention cohorts: offsets non-negative, cohort-0 count equals cohort size") {
     import graft.operators.EventAnalytics
     val ev = Tables.t(spark, dir, "events")
