@@ -95,4 +95,57 @@ object Packing {
       .filter(col("cum_tokens") <= budget)
       .select(col(idCol), col(scoreCol), col("n_tokens"), col("cum_tokens"))
   }
+
+  /** Length-grouped batching (the dynamic-batching / "bucketing by length"
+    * step of training and inference serving): documents are grouped into
+    * power-of-two length buckets, deterministically shuffled within each
+    * bucket (salted md5 — reruns produce identical batches), and cut into
+    * `batchSize`-row batches. Output is the per-batch audit: sizes, length
+    * spread, and padding waste (rows x max_len − sum_len, the tokens a
+    * padded batch wastes) — the number this operator exists to minimize.
+    *
+    * The within-bucket index is the same distributed two-phase prefix scan
+    * as [[pack]] (range partition on the total order, O(P) driver offsets,
+    * parallel per-partition windows) — NOT a per-bucket global window,
+    * which would serialize each length bucket through one reducer. Bucket
+    * ids are exact integers (length of the binary representation), so the
+    * whole pipeline is integer arithmetic — engine-reproducible. */
+  def lengthGroupedBatches(
+      df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counted = df
+      .select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("len_bucket", length(bin(col("n_tokens"))).cast("long"))
+      .withColumn("__h", md5(concat(col(idCol).cast("string"), lit(":batch"))))
+      .repartitionByRange(col("len_bucket"), col("__h"), col(idCol))
+      .sortWithinPartitions(col("len_bucket"), col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = counted.groupBy("__pid").agg(count(lit(1)).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.map(_._1)
+      .zip(totals.scanLeft(0L) { case (acc, (_, t)) => acc + t })
+      .toSeq.toDF("__pid", "__base")
+    val w = Window.partitionBy("__pid")
+      .orderBy(col("len_bucket"), col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counted
+      .join(broadcast(bases), "__pid")
+      .withColumn("__rank", col("__base") + count(lit(1)).over(w) - 1)
+    // each bucket's first global rank -> within-bucket index (bucket count
+    // is O(log max_len): the subtraction join broadcasts)
+    val starts = ranked.groupBy("len_bucket").agg(min("__rank").as("__start"))
+    ranked.join(broadcast(starts), "len_bucket")
+      .withColumn("batch_id",
+        floor((col("__rank") - col("__start")) / batchSize).cast("long"))
+      .groupBy("len_bucket", "batch_id")
+      .agg(count(lit(1)).as("n_seqs"),
+        min("n_tokens").as("min_len"), max("n_tokens").as("max_len"),
+        sum("n_tokens").as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("n_seqs") * col("max_len") - col("sum_tokens"))
+  }
 }

@@ -1010,6 +1010,26 @@ object PipelineQueries {
             explode(split(trim(col("text")), "\\s+")).as("tok"))
           .groupBy("source", "lang").agg(countDistinct("tok").as("n_uniq_tokens"))
         base.join(uniq, Seq("source", "lang"))
-      })
+      }),
+
+    // ---- length-grouped batching audit: pow-2 length buckets, salted-md5
+    //      deterministic shuffle, batchSize=32 cuts; per-batch padding
+    //      waste (distributed prefix scan — no per-bucket single reducer)
+    GraftQuery("q175_length_batching",
+      Some("""WITH tok AS (SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+             |  FROM documents),
+             |b AS (SELECT doc_id, n_tokens,
+             |    length(bin(n_tokens))::BIGINT AS len_bucket,
+             |    md5(doc_id::VARCHAR || ':batch') AS h FROM tok),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY len_bucket
+             |    ORDER BY h, doc_id) - 1 AS idx FROM b)
+             |SELECT len_bucket, idx // 32 AS batch_id, count(*) AS n_seqs,
+             |  min(n_tokens) AS min_len, max(n_tokens) AS max_len,
+             |  sum(n_tokens)::BIGINT AS sum_tokens,
+             |  (count(*) * max(n_tokens) - sum(n_tokens))::BIGINT AS padding_waste
+             |FROM r GROUP BY 1, 2""".stripMargin),
+      (s, dir) => graft.pipeline.Packing.lengthGroupedBatches(
+        t(s, dir, "documents"), "doc_id", "text", batchSize = 32))
   )
 }

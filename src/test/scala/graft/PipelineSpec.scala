@@ -885,6 +885,30 @@ class PipelineSpec extends SparkSpec {
       again.select("doc_id", "split")).count() == 0)
   }
 
+  test("length-grouped batching: pow-2 buckets, full batches, exact waste accounting") {
+    val out = Packing.lengthGroupedBatches(docs, "doc_id", "text", batchSize = 32)
+      .cache()
+    val rows = out.collect()
+    // every doc lands in exactly one batch
+    assert(rows.map(_.getLong(2)).sum == docs.count())
+    rows.foreach { r =>
+      val (bucket, n, minL, maxL, sumL, waste) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(n <= 32)
+      // bucket b holds lengths in [2^(b-1), 2^b)
+      assert(minL >= (1L << (bucket - 1).toInt) && maxL < (1L << bucket.toInt),
+        s"bucket $bucket got lengths [$minL,$maxL]")
+      assert(waste == n * maxL - sumL && waste >= 0)
+    }
+    // at most one ragged (non-full) batch per bucket
+    rows.groupBy(_.getLong(0)).foreach { case (b, grp) =>
+      assert(grp.count(_.getLong(2) < 32) <= 1, s"bucket $b has >1 ragged batch") }
+    // deterministic re-run
+    val again = Packing.lengthGroupedBatches(docs, "doc_id", "text", 32)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    out.unpersist()
+  }
+
   test("MMR: first pick is max-relevance; λ=1 degenerates to top-k; dup vectors are deferred") {
     import spark.implicits._
     val qv = embs.filter(col("vec_id") === 0)
