@@ -310,6 +310,26 @@ object Relational {
         val cold = e.filter(col("value") <= 150).groupBy("event_type")
           .agg(count(lit(1)).as("n")).select(lit("cold").as("tag"), col("event_type"), col("n"))
         hot.unionAll(cold)
+      }),
+
+    // ---- skew-busting salted join (graft.operators.SaltedJoin): the
+    //      deterministic-salt fact-dim join; result is row-identical to
+    //      the plain join, which is exactly what the oracle checks
+    GraftQuery("q176_salted_join",
+      Some("""SELECT p.p_brand, l.l_returnflag, count(*) AS n,
+             |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+             |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val dim = t(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        graft.operators.SaltedJoin.join(li, dim, Seq("l_partkey"),
+            saltByCol = "l_orderkey", factor = 8)
+          .groupBy("p_brand", "l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"))
       })
   )
 }

@@ -284,6 +284,21 @@ object TimeSeries {
     GraftQuery("q174_lttb_downsample",
       None,
       (s, dir) => graft.operators.Downsample.lttb(
-        t(s, dir, "events"), "user_id", "ts", "value", nOut = 50))
+        t(s, dir, "events"), "user_id", "ts", "value", nOut = 50)),
+
+    // ---- mergeable HLL sketch rollup (graft.operators.SketchRollup):
+    //      daily per-type sketches merged into whole-range distinct-user
+    //      estimates without rescanning raw data. Estimates are
+    //      hash-dependent (rows-only); OperatorsSpec binds the merge
+    //      identity (merged rollup == direct sketch, bit-exact) and the
+    //      HLL error contract vs exact counts.
+    GraftQuery("q177_sketch_rollup",
+      None,
+      (s, dir) => {
+        val rollup = graft.operators.SketchRollup.build(
+          t(s, dir, "events"), Seq("event_type"), "ts",
+          bucketSeconds = 86400L, distinctCol = "user_id")
+        graft.operators.SketchRollup.estimate(rollup, Seq("event_type"))
+      })
   )
 }

@@ -356,6 +356,54 @@ class OperatorsSpec extends SparkSpec {
       s"lttb materializes series:\n$plan")
   }
 
+  test("salted join is row-identical to the plain join and spreads the hot key") {
+    import graft.operators.SaltedJoin
+    val li = Tables.t(spark, dir, "lineitem")
+    val dim = Tables.t(spark, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val salted = SaltedJoin.join(li, dim, Seq("l_partkey"), "l_orderkey", 8)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "p_brand")
+    val plain = li.join(dim, "l_partkey")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "p_brand")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+    // determinism under re-execution (the rand()-salt failure mode)
+    val again = SaltedJoin.join(li, dim, Seq("l_partkey"), "l_orderkey", 8)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "p_brand")
+    assert(salted.except(again).count() == 0)
+  }
+
+  test("sketch rollup: merged daily sketches == direct whole-range sketch, <=2% error") {
+    import graft.operators.SketchRollup
+    val ev = Tables.t(spark, dir, "events")
+    val rollup = SketchRollup.build(ev, Seq("event_type"), "ts", 86400L, "user_id")
+      .cache()
+    val merged = SketchRollup.estimate(rollup, Seq("event_type")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merge identity: union of per-bucket sketches == sketch of the union
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("d")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct,
+      s"sketch merge must be lossless: $merged vs $direct")
+    // error contract vs exact distinct counts
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(merged(k) - e).toDouble / e <= 0.02,
+        s"$k: estimate ${merged(k)} vs exact $e") }
+    // a coarser window (first 10 days) from the same rollup
+    val firstDays = SketchRollup.estimate(rollup, Seq("event_type"),
+      Some(col("bucket") < lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactFirst = ev.filter(col("ts") < lit(ts("2024-01-11 00:00:00")))
+      .groupBy("event_type").agg(countDistinct("user_id").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactFirst.foreach { case (k, e) =>
+      assert(math.abs(firstDays(k) - e).toDouble / e <= 0.02) }
+    rollup.unpersist()
+  }
+
   test("retention cohorts: offsets non-negative, cohort-0 count equals cohort size") {
     import graft.operators.EventAnalytics
     val ev = Tables.t(spark, dir, "events")
