@@ -1,0 +1,226 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, floor, lit, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.DoubleType
+
+/** Transparent materialized-rollup query rewriting — the TSDB optimization
+  * the reference reaches through manually-queried rollup tables, promoted
+  * here to a Catalyst rule: an aggregate over the RAW table whose grouping
+  * is (subset of rollup tags) x (time bucket that is a multiple of the
+  * rollup grain) and whose aggregates are rollup-mergeable
+  * (count→sum(n), sum→sum(sum_x), min→min(min_x), max→max(max_x)) is
+  * rewritten to read the pre-aggregated rollup instead — turning a
+  * 100 TB raw scan into a |tags|x|buckets|-row one. The rewrite is
+  * result-invisible (the correctness gate runs the ORIGINAL query's oracle
+  * over raw data).
+  *
+  * v1 scope, by design: exact Aggregate(Project(Relation)) shape only — a
+  * Filter anywhere below the aggregate disables the rewrite (time-range
+  * filters would need grain-aligned interval reasoning to stay lossless),
+  * as do unsupported aggregate functions and non-canonical bucket
+  * expressions. Bail-out is always safe: the original plan runs.
+  */
+object Rollups {
+
+  /** One registered rollup. `rawPathContains` identifies the raw table's
+    * file-source scan; `rollup` yields the pre-aggregated frame (pin it
+    * with localCheckpoint — the rule splices its optimized plan). */
+  final case class RollupSpec(
+      rawPathContains: String,
+      tsCol: String,
+      grainUs: Long,
+      tags: Set[String],
+      bucketCol: String,
+      countCol: String,
+      sums: Map[String, String],
+      mins: Map[String, String],
+      maxs: Map[String, String],
+      rollup: () => DataFrame)
+
+  private val specs = new ConcurrentHashMap[String, RollupSpec]()
+
+  def register(spark: SparkSession, name: String, spec: RollupSpec): Unit = {
+    ensureRule(spark)
+    specs.put(name, spec)
+  }
+  def unregister(name: String): Unit = specs.remove(name)
+  def clear(): Unit = specs.clear()
+
+  def ensureRule(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RollupRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RollupRewrite
+
+  /** The canonical epoch-aligned bucket shape this engine emits everywhere
+    * (time_bucket, M4, GROUP BY time()):
+    * `timestamp_micros(floor(unix_micros(ts) / G) * G)` after constant
+    * folding. Extracts (tsExpr, grainUs). */
+  private object CanonicalBucket {
+    def unapply(e: Expression): Option[(Expression, Long)] = e match {
+      case MicrosToTimestamp(Multiply(f @ Floor(Divide(c: Cast, Literal(gd: Double, DoubleType), _)), Literal(gl: Long, _), _))
+          if c.dataType == DoubleType && gd == gl.toDouble =>
+        c.child match {
+          case UnixMicros(ts) => Some((ts, gl))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  object RollupRewrite extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case agg @ Aggregate(groups, outs, child, _) =>
+        rewrite(agg, groups, outs, child).getOrElse(agg)
+    }
+
+    private def relationPath(p: LogicalPlan): Option[String] = p match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Some(fs.location.rootPaths.mkString(","))
+      case _ => None
+    }
+
+    private def rewrite(
+        agg: Aggregate, groups: Seq[Expression], outs: Seq[NamedExpression],
+        child: LogicalPlan): Option[LogicalPlan] = {
+      // shape: Aggregate over (optionally pruned/bucket-aliased) Project
+      // over a file relation — anything else (Filter!) bails
+      val (projMap, relPath) = child match {
+        case Project(list, rel) =>
+          val path = relationPath(rel)
+          if (path.isEmpty) return None
+          (list.map(ne => ne.exprId -> ne).toMap, path.get)
+        case rel =>
+          val path = relationPath(rel)
+          if (path.isEmpty) return None
+          (rel.output.map(a => a.exprId -> (a: NamedExpression)).toMap, path.get)
+      }
+      val spec = {
+        val it = specs.values().iterator()
+        var found: RollupSpec = null
+        while (it.hasNext && found == null) {
+          val s = it.next()
+          if (relPath.contains(s.rawPathContains)) found = s
+        }
+        if (found == null) return None
+        found
+      }
+
+      // resolve a grouping/output attribute through the pruning Project
+      def resolve(e: Expression): Expression = e match {
+        case a: AttributeReference => projMap.get(a.exprId) match {
+          case Some(Alias(inner, _)) => inner
+          case Some(attr) => attr
+          case None => a
+        }
+        case other => other
+      }
+
+      // classify grouping expressions: rollup tags and at most one bucket
+      var bucketG: Option[Long] = None
+      val tagNames = scala.collection.mutable.LinkedHashSet.empty[String]
+      groups.foreach { g =>
+        resolve(g) match {
+          case CanonicalBucket(tsExpr, gUs)
+              if bucketG.isEmpty && gUs % spec.grainUs == 0 &&
+                tsExpr.references.map(_.name).toSet == Set(spec.tsCol) =>
+            bucketG = Some(gUs)
+          case a: AttributeReference if spec.tags.contains(a.name) =>
+            tagNames += a.name
+          case _ => return None
+        }
+      }
+
+      // classify outputs -> (rollup-side column builders, in output order)
+      sealed trait Out
+      case class TagOut(name: String) extends Out
+      case object BucketOut extends Out
+      case class AggOut(c: Column) extends Out
+
+      def mergeAgg(ae: AggregateExpression): Option[Column] = {
+        if (ae.isDistinct || ae.filter.nonEmpty) return None
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(_, _))) =>
+            Some(org.apache.spark.sql.functions.sum(col(spec.countCol)))
+          case s: Sum => resolve(s.child) match {
+            case a: AttributeReference if spec.sums.contains(a.name) =>
+              Some(org.apache.spark.sql.functions.sum(col(spec.sums(a.name))))
+            case _ => None
+          }
+          case m: Min => resolve(m.child) match {
+            case a: AttributeReference if spec.mins.contains(a.name) =>
+              Some(org.apache.spark.sql.functions.min(col(spec.mins(a.name))))
+            case _ => None
+          }
+          case m: Max => resolve(m.child) match {
+            case a: AttributeReference if spec.maxs.contains(a.name) =>
+              Some(org.apache.spark.sql.functions.max(col(spec.maxs(a.name))))
+            case _ => None
+          }
+          case _ => None
+        }
+      }
+      val classified: Seq[(Out, NamedExpression)] = outs.map { o =>
+        val out: Out = o match {
+          case a: AttributeReference if spec.tags.contains(a.name) &&
+              tagNames.contains(a.name) => TagOut(a.name)
+          case Alias(inner, _) => resolve(inner) match {
+            case CanonicalBucket(_, g) if bucketG.contains(g) => BucketOut
+            case ae: AggregateExpression =>
+              AggOut(mergeAgg(ae).getOrElse(return None))
+            // CollapseProject folds the engine's round(agg, k) presentation
+            // idiom into the Aggregate — rebuild the rounding on top of the
+            // merged aggregate
+            case r: Round => r.child match {
+              case ae: AggregateExpression => r.scale match {
+                case Literal(sc: Int, _) => AggOut(
+                  org.apache.spark.sql.functions.round(
+                    mergeAgg(ae).getOrElse(return None), sc))
+                case _ => return None
+              }
+              case _ => return None
+            }
+            case _ => return None
+          }
+          case _ => return None
+        }
+        (out, o)
+      }
+      if (!classified.exists(_._1.isInstanceOf[AggOut])) return None
+
+      // build the rewritten aggregate with the DataFrame API (no
+      // hand-assembled expression trees), then re-alias to the original
+      // output attribute ids so parent plans keep resolving
+      val coarse: Option[Column] = bucketG.map { g =>
+        timestamp_micros((floor(unix_micros(col(spec.bucketCol)) / lit(g))
+          .cast("long") * lit(g)).cast("long")).as("__cb")
+      }
+      val groupCols = tagNames.toSeq.map(col) ++ coarse.toSeq
+      val aggCols = classified.zipWithIndex.collect {
+        case ((AggOut(c), _), i) => c.as(s"__o$i")
+      }
+      val sel = classified.zipWithIndex.map {
+        case ((TagOut(n), _), _) => col(n)
+        case ((BucketOut, _), _) => col("__cb")
+        case ((AggOut(_), _), i) => col(s"__o$i")
+      }
+      val rewritten = spec.rollup()
+        .groupBy(groupCols: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(sel: _*)
+      val newPlan = rewritten.queryExecution.optimizedPlan
+      if (newPlan.output.length != outs.length) return None
+      val aliased = outs.zip(newPlan.output).map { case (o, a) =>
+        Alias(a, o.name)(exprId = o.exprId)
+      }
+      Some(Project(aliased, newPlan))
+    }
+  }
+}

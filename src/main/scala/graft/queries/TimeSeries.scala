@@ -16,6 +16,35 @@ object TimeSeries {
 
   private val ts = (s: String) => java.sql.Timestamp.valueOf(s)
 
+  /** Build + register the 6h events rollup once per (session, fixture):
+    * q178 then aggregates the RAW table and the RollupRewrite rule must
+    * transparently serve it from this pre-aggregate (PlansSpec-style
+    * assert in OperatorsSpec; the oracle still checks against raw). */
+  private val rollupMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]()
+  private def ensureEventsRollup(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    rollupMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val grainUs = 21600000000L // 6h
+      val rollup = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          timestamp_micros((floor(unix_micros(col("ts")) / grainUs)
+            .cast("long") * grainUs)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .localCheckpoint()
+      graft.plans.Rollups.register(s, s"events_6h:$dir",
+        graft.plans.Rollups.RollupSpec(
+          rawPathContains = s"$dir/events.parquet",
+          tsCol = "ts", grainUs = grainUs, tags = Set("event_type"),
+          bucketCol = "bucket", countCol = "n",
+          sums = Map("value" -> "sum_value"),
+          mins = Map("value" -> "min_value"),
+          maxs = Map("value" -> "max_value"),
+          rollup = () => rollup))
+      java.lang.Boolean.TRUE
+    })
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- time-range scan: HoraeDB's Predicate{time_range} pushdown
@@ -299,6 +328,28 @@ object TimeSeries {
           t(s, dir, "events"), Seq("event_type"), "ts",
           bucketSeconds = 86400L, distinctCol = "user_id")
         graft.operators.SketchRollup.estimate(rollup, Seq("event_type"))
+      }),
+
+    // ---- transparent rollup rewrite (plans/Rollups.scala): this query
+    //      aggregates the RAW events table at 1-day grain; the registered
+    //      6h rollup serves it via the Catalyst rule (count->sum(n),
+    //      sum->sum(sum), min/max re-min/max). The oracle checks against
+    //      raw data — the rewrite must be result-invisible.
+    GraftQuery("q178_rollup_rewrite",
+      Some("""SELECT event_type,
+             |  make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS day,
+             |  count(*) AS n, round(sum("value"), 2) AS total,
+             |  min("value") AS v_min, max("value") AS v_max
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        ensureEventsRollup(s, dir)
+        val dayUs = 86400000000L
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            timestamp_micros((floor(unix_micros(col("ts")) / dayUs)
+              .cast("long") * dayUs)).as("day"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+            min("value").as("v_min"), max("value").as("v_max"))
       })
   )
 }

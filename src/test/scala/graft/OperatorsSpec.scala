@@ -404,6 +404,58 @@ class OperatorsSpec extends SparkSpec {
     rollup.unpersist()
   }
 
+  test("rollup rewrite: serves compatible aggregates from the rollup, bails otherwise") {
+    import graft.plans.Rollups
+    val ev = Tables.t(spark, dir, "events")
+    val grainUs = 21600000000L; val dayUs = 86400000000L
+    def bucket(g: Long) = timestamp_micros(
+      (floor(unix_micros(col("ts")) / g).cast("long") * g)).as("day")
+    def query(g: Long) = ev.groupBy(col("event_type"), bucket(g))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        min("value").as("v_min"), max("value").as("v_max"))
+
+    val baseline = query(dayUs).collect().toSet // registry empty: raw plan
+    val rollup = ev.groupBy(col("event_type"),
+        timestamp_micros((floor(unix_micros(col("ts")) / grainUs)
+          .cast("long") * grainUs)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .localCheckpoint()
+    Rollups.register(spark, "spec_rollup", Rollups.RollupSpec(
+      rawPathContains = s"$dir/events.parquet",
+      tsCol = "ts", grainUs = grainUs, tags = Set("event_type"),
+      bucketCol = "bucket", countCol = "n",
+      sums = Map("value" -> "sum_value"), mins = Map("value" -> "min_value"),
+      maxs = Map("value" -> "max_value"), rollup = () => rollup))
+    try {
+      val rewritten = query(dayUs)
+      val plan = rewritten.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("parquet") && plan.contains("LogicalRDD"),
+        s"rewrite did not fire — still scanning raw:\n$plan")
+      assert(rewritten.collect().toSet == baseline,
+        "rollup-served results differ from raw")
+      // incompatible grain (5m is not a multiple of 6h): stays on raw
+      val p5m = query(300000000L).queryExecution.optimizedPlan.toString
+      assert(p5m.contains("parquet"), "must not rewrite incompatible grain")
+      // a filter below the aggregate: stays on raw (v1 bails)
+      val pf = ev.filter(col("value") > 100)
+        .groupBy(col("event_type"), bucket(dayUs))
+        .agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString
+      assert(pf.contains("parquet"), "must not rewrite through a filter")
+      // unsupported aggregate (avg): stays on raw
+      val pa = ev.groupBy(col("event_type"), bucket(dayUs))
+        .agg(avg("value").as("a"))
+        .queryExecution.optimizedPlan.toString
+      assert(pa.contains("parquet"), "must not rewrite avg")
+      // non-tag grouping column: stays on raw
+      val pu = ev.groupBy(col("user_id"), bucket(dayUs))
+        .agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString
+      assert(pu.contains("parquet"), "must not rewrite unknown tags")
+    } finally Rollups.unregister("spec_rollup")
+  }
+
   test("retention cohorts: offsets non-negative, cohort-0 count equals cohort size") {
     import graft.operators.EventAnalytics
     val ev = Tables.t(spark, dir, "events")
