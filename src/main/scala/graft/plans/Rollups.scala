@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.functions.{col, floor, lit, timestamp_micros, unix_micros}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
 
 /** Transparent materialized-rollup query rewriting — the TSDB optimization
   * the reference reaches through manually-queried rollup tables, promoted
@@ -22,11 +23,18 @@ import org.apache.spark.sql.types.DoubleType
   * result-invisible (the correctness gate runs the ORIGINAL query's oracle
   * over raw data).
   *
-  * v1 scope, by design: exact Aggregate(Project(Relation)) shape only — a
-  * Filter anywhere below the aggregate disables the rewrite (time-range
-  * filters would need grain-aligned interval reasoning to stay lossless),
-  * as do unsupported aggregate functions and non-canonical bucket
-  * expressions. Bail-out is always safe: the original plan runs.
+  * Scope: Aggregate over [Project over] [Filter over] a file relation. A
+  * Filter below the aggregate is served iff every conjunct is losslessly
+  * expressible against the rollup: `ts >= lit` / `ts < lit` with the
+  * literal aligned to the ROLLUP grain (the half-open bound then selects
+  * whole rollup buckets — the query's own bucket grain may be coarser and
+  * even misaligned with the bound, because raw-side filtering happens
+  * before bucketing on both plans), tag equality / IN on rollup tag
+  * columns (the rollup preserves tag granularity), and the IsNotNull
+  * guards the optimizer infers from those. `ts > lit`, `ts <= lit`, or a
+  * misaligned bound would split a rollup bucket — bail. Unsupported
+  * aggregate functions and non-canonical bucket expressions also bail.
+  * Bail-out is always safe: the original plan runs.
   */
 object Rollups {
 
@@ -90,18 +98,18 @@ object Rollups {
     private def rewrite(
         agg: Aggregate, groups: Seq[Expression], outs: Seq[NamedExpression],
         child: LogicalPlan): Option[LogicalPlan] = {
-      // shape: Aggregate over (optionally pruned/bucket-aliased) Project
-      // over a file relation — anything else (Filter!) bails
-      val (projMap, relPath) = child match {
-        case Project(list, rel) =>
-          val path = relationPath(rel)
-          if (path.isEmpty) return None
-          (list.map(ne => ne.exprId -> ne).toMap, path.get)
-        case rel =>
-          val path = relationPath(rel)
-          if (path.isEmpty) return None
-          (rel.output.map(a => a.exprId -> (a: NamedExpression)).toMap, path.get)
+      // shape: Aggregate over [pruning/bucket-aliasing Project] over
+      // [rollup-servable Filter] over a file relation — anything else bails
+      val (projList, filterCond, rel) = child match {
+        case Project(l, Filter(c, r)) => (Some(l), Some(c), r)
+        case Project(l, r)            => (Some(l), None, r)
+        case Filter(c, r)             => (None, Some(c), r)
+        case r                        => (None, None, r)
       }
+      val relPath = relationPath(rel).getOrElse(return None)
+      val projMap = projList
+        .map(_.map(ne => ne.exprId -> ne).toMap)
+        .getOrElse(rel.output.map(a => a.exprId -> (a: NamedExpression)).toMap)
       val spec = {
         val it = specs.values().iterator()
         var found: RollupSpec = null
@@ -111,6 +119,78 @@ object Rollups {
         }
         if (found == null) return None
         found
+      }
+
+      // translate the raw-side filter (if any) into rollup-side conditions;
+      // any untranslatable conjunct bails the whole rewrite
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => split(l) ++ split(r)
+        case other     => Seq(other)
+      }
+      def toScala(l: Literal): Any =
+        CatalystTypeConverters.convertToScala(l.value, l.dataType)
+      // the ts column as queries see it: either a plain timestamp attribute
+      // or the engine's nanos-storage derivation timestamp_micros(ts div 1000)
+      def isTs(e: Expression): Boolean = e match {
+        case a: AttributeReference => a.name == spec.tsCol
+        case MicrosToTimestamp(IntegralDivide(a: AttributeReference, Literal(1000L, _), _)) =>
+          a.name == spec.tsCol
+        case _ => false
+      }
+      val rollupFilter: Option[Column] = filterCond match {
+        case None => None
+        case Some(c) =>
+          // pass 1: precise grain-aligned bounds, tag filters, null guards
+          var loUs = Long.MinValue; var hiUs = Long.MaxValue
+          val cols = scala.collection.mutable.ListBuffer.empty[Column]
+          val residual = scala.collection.mutable.ListBuffer.empty[Expression]
+          split(c).foreach {
+            case GreaterThanOrEqual(e, Literal(m: Long, TimestampType))
+                if isTs(e) && m >= 0 && m % spec.grainUs == 0 =>
+              loUs = math.max(loUs, m)
+              cols += (col(spec.bucketCol) >= timestamp_micros(lit(m)))
+            case LessThan(e, Literal(m: Long, TimestampType))
+                if isTs(e) && m >= 0 && m % spec.grainUs == 0 =>
+              hiUs = math.min(hiUs, m)
+              cols += (col(spec.bucketCol) < timestamp_micros(lit(m)))
+            case IsNotNull(a: AttributeReference) if a.name == spec.tsCol =>
+              cols += col(spec.bucketCol).isNotNull
+            case IsNotNull(a: AttributeReference) if spec.tags.contains(a.name) =>
+              cols += col(a.name).isNotNull
+            case EqualTo(a: AttributeReference, l: Literal)
+                if spec.tags.contains(a.name) =>
+              cols += (col(a.name) === lit(toScala(l)))
+            case EqualTo(l: Literal, a: AttributeReference)
+                if spec.tags.contains(a.name) =>
+              cols += (col(a.name) === lit(toScala(l)))
+            case In(a: AttributeReference, vs)
+                if spec.tags.contains(a.name) && vs.forall(_.isInstanceOf[Literal]) =>
+              cols += col(a.name).isin(vs.map(v => toScala(v.asInstanceOf[Literal])): _*)
+            case InSet(a: AttributeReference, hs) if spec.tags.contains(a.name) =>
+              cols += col(a.name).isin(hs.toSeq.map(v =>
+                CatalystTypeConverters.convertToScala(v, a.dataType)): _*)
+            case other => residual += other
+          }
+          // pass 2: the optimizer derives redundant raw-nanos bounds on the
+          // storage long (`ts#L > lo_ns - 1ms` etc.) for parquet pushdown —
+          // droppable iff numerically implied by the precise [loUs, hiUs)
+          val loNs = if (loUs > 0 && loUs < Long.MaxValue / 1000) loUs * 1000 else Long.MinValue
+          val hiNs = if (hiUs > 0 && hiUs < Long.MaxValue / 1000) hiUs * 1000 else Long.MaxValue
+          def isRawNs(a: AttributeReference) =
+            a.name == spec.tsCol && a.dataType == LongType
+          val allImplied = residual.forall {
+            case GreaterThan(a: AttributeReference, Literal(x: Long, LongType))
+                if isRawNs(a) => loNs != Long.MinValue && x < loNs
+            case GreaterThanOrEqual(a: AttributeReference, Literal(x: Long, LongType))
+                if isRawNs(a) => loNs != Long.MinValue && x <= loNs
+            case LessThan(a: AttributeReference, Literal(x: Long, LongType))
+                if isRawNs(a) => hiNs != Long.MaxValue && x >= hiNs
+            case LessThanOrEqual(a: AttributeReference, Literal(x: Long, LongType))
+                if isRawNs(a) => hiNs != Long.MaxValue && x >= hiNs - 1
+            case _ => false
+          }
+          if (!allImplied || cols.isEmpty) return None
+          Some(cols.reduce(_ && _))
       }
 
       // resolve a grouping/output attribute through the pruning Project
@@ -211,7 +291,8 @@ object Rollups {
         case ((BucketOut, _), _) => col("__cb")
         case ((AggOut(_), _), i) => col(s"__o$i")
       }
-      val rewritten = spec.rollup()
+      val base = rollupFilter.foldLeft(spec.rollup())(_ filter _)
+      val rewritten = base
         .groupBy(groupCols: _*)
         .agg(aggCols.head, aggCols.tail: _*)
         .select(sel: _*)

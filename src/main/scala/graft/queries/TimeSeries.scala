@@ -350,6 +350,34 @@ object TimeSeries {
               .cast("long") * dayUs)).as("day"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
             min("value").as("v_min"), max("value").as("v_max"))
+      }),
+
+    // ---- rollup rewrite under a filter: the WHERE carries a time range
+    //      whose bounds are 6h-aligned (to the ROLLUP grain — deliberately
+    //      NOT day-aligned to the query's own bucket) plus a tag IN — all
+    //      losslessly servable from the rollup, so the rule still fires.
+    //      2024-01-05T06:00Z = 1704434400000000 µs; 2024-01-20T18:00Z =
+    //      1705773600000000 µs; both % 21_600_000_000 == 0.
+    GraftQuery("q179_rollup_rewrite_filtered",
+      Some("""SELECT event_type,
+             |  make_timestamp((epoch_ms(ts) // 86400000) * 86400000 * 1000) AS day,
+             |  count(*) AS n, round(sum("value"), 2) AS total
+             |FROM events
+             |WHERE ts >= make_timestamp(1704434400000000)
+             |  AND ts < make_timestamp(1705773600000000)
+             |  AND event_type IN ('click', 'view', 'error')
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        ensureEventsRollup(s, dir)
+        val dayUs = 86400000000L
+        t(s, dir, "events")
+          .filter(col("ts") >= timestamp_micros(lit(1704434400000000L)) &&
+            col("ts") < timestamp_micros(lit(1705773600000000L)) &&
+            col("event_type").isin("click", "view", "error"))
+          .groupBy(col("event_type"),
+            timestamp_micros((floor(unix_micros(col("ts")) / dayUs)
+              .cast("long") * dayUs)).as("day"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       })
   )
 }

@@ -437,12 +437,47 @@ class OperatorsSpec extends SparkSpec {
       // incompatible grain (5m is not a multiple of 6h): stays on raw
       val p5m = query(300000000L).queryExecution.optimizedPlan.toString
       assert(p5m.contains("parquet"), "must not rewrite incompatible grain")
-      // a filter below the aggregate: stays on raw (v1 bails)
+      // a non-translatable filter below the aggregate: stays on raw
       val pf = ev.filter(col("value") > 100)
         .groupBy(col("event_type"), bucket(dayUs))
         .agg(count(lit(1)).as("n"))
         .queryExecution.optimizedPlan.toString
-      assert(pf.contains("parquet"), "must not rewrite through a filter")
+      assert(pf.contains("parquet"), "must not rewrite a value filter")
+      // grain-aligned half-open time range + tag IN: rewrite fires and
+      // matches the raw answer (bounds 6h-aligned, query grain 1d)
+      val lo = 1704434400000000L; val hi = 1705773600000000L
+      def filtered(d: org.apache.spark.sql.DataFrame) = d
+        .filter(col("ts") >= timestamp_micros(lit(lo)) &&
+          col("ts") < timestamp_micros(lit(hi)) &&
+          col("event_type").isin("click", "view"))
+        .groupBy(col("event_type"), bucket(dayUs))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      Rollups.unregister("spec_rollup")
+      val filteredBaseline = filtered(ev).collect().toSet
+      Rollups.register(spark, "spec_rollup", Rollups.RollupSpec(
+        rawPathContains = s"$dir/events.parquet",
+        tsCol = "ts", grainUs = grainUs, tags = Set("event_type"),
+        bucketCol = "bucket", countCol = "n",
+        sums = Map("value" -> "sum_value"), mins = Map("value" -> "min_value"),
+        maxs = Map("value" -> "max_value"), rollup = () => rollup))
+      val fq = filtered(ev)
+      val fqPlan = fq.queryExecution.optimizedPlan.toString
+      assert(!fqPlan.contains("parquet") && fqPlan.contains("LogicalRDD"),
+        s"aligned-filter rewrite did not fire:\n$fqPlan")
+      assert(fq.collect().toSet == filteredBaseline,
+        "filtered rollup-served results differ from raw")
+      // misaligned lower bound (not a 6h multiple): stays on raw
+      val pm = ev.filter(col("ts") >= timestamp_micros(lit(lo + 60000000L)))
+        .groupBy(col("event_type"), bucket(dayUs))
+        .agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString
+      assert(pm.contains("parquet"), "must not rewrite a misaligned bound")
+      // strict > even when aligned (splits the boundary bucket): stays raw
+      val pg = ev.filter(col("ts") > timestamp_micros(lit(lo)))
+        .groupBy(col("event_type"), bucket(dayUs))
+        .agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString
+      assert(pg.contains("parquet"), "must not rewrite a strict bound")
       // unsupported aggregate (avg): stays on raw
       val pa = ev.groupBy(col("event_type"), bucket(dayUs))
         .agg(avg("value").as("a"))
