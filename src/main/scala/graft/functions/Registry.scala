@@ -64,6 +64,24 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"approx_percentile_cont takes (col, q), got ${other.length} args")
     }, "scala_udf")
+    // mergeable quantile sketches (rollup form of approx_percentile_cont)
+    reg.createOrReplaceTempFunction("tdigest_agg", {
+      case Seq(c) => TDigestAgg(c, 100.0)
+      case Seq(c, Literal(comp, _)) =>
+        TDigestAgg(c, comp.toString.toDouble)
+      case other => throw new IllegalArgumentException(
+        s"tdigest_agg takes (col [, compression]), got ${other.length} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("tdigest_merge", {
+      case Seq(c) => TDigestMergeAgg(c)
+      case other => throw new IllegalArgumentException(
+        s"tdigest_merge takes 1 arg, got ${other.length}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("tdigest_quantile", {
+      case Seq(c, q) => TDigestQuantile(c, q)
+      case other => throw new IllegalArgumentException(
+        s"tdigest_quantile takes (sketch, q), got ${other.length} args")
+    }, "scala_udf")
     // DataFusion built-in the reference goldens exercise (date_bin.sql)
     reg.createOrReplaceTempFunction("date_bin", {
       case Seq(iv, ts, origin) => DateBin(iv, ts, origin)

@@ -378,6 +378,22 @@ object TimeSeries {
             timestamp_micros((floor(unix_micros(col("ts")) / dayUs)
               .cast("long") * dayUs)).as("day"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      }),
+
+    // ---- mergeable t-digest quantile rollup (operators/QuantileRollup,
+    //      functions/TDigest.scala): daily per-type sketches merged into
+    //      whole-range p50/p95/p99 without rescanning raw data. Estimates
+    //      are sketch approximations (rows-only); OperatorsSpec binds the
+    //      rank-error contract and the merge identity.
+    GraftQuery("q180_quantile_rollup",
+      None,
+      (s, dir) => {
+        val rollup = graft.operators.QuantileRollup.build(
+          t(s, dir, "events"), Seq("event_type"), "ts",
+          bucketSeconds = 86400L, valueCol = "value")
+        graft.operators.QuantileRollup.quantiles(
+          rollup, Seq("event_type"), Seq(0.5, 0.95, 0.99))
+          .orderBy("event_type")
       })
   )
 }

@@ -404,6 +404,60 @@ class OperatorsSpec extends SparkSpec {
     rollup.unpersist()
   }
 
+  test("quantile rollup: merged t-digests hit exact ranks within 1.5%") {
+    import graft.operators.QuantileRollup
+    // digest kernel sanity: uniform 0..9999, every decile within 1% rank
+    val d = new graft.functions.TDigestSketch.Digest(100.0)
+    (0 until 10000).foreach(i => d.add(((i * 7919) % 10000).toDouble))
+    (1 to 9).foreach { k =>
+      val est = d.quantile(k / 10.0)
+      assert(math.abs(est / 9999.0 - k / 10.0) <= 0.01,
+        s"uniform q=${k / 10.0}: $est")
+    }
+    assert(d.quantile(0.0) == 0.0 && d.quantile(1.0) == 9999.0,
+      "extremes must anchor at tracked min/max")
+    // distributed: daily rollup -> merged whole-range quantiles
+    val ev = Tables.t(spark, dir, "events")
+    val rollup = QuantileRollup.build(
+      ev, Seq("event_type"), "ts", 86400L, "value").cache()
+    val est = QuantileRollup.quantiles(
+      rollup, Seq("event_type"), Seq(0.5, 0.95, 0.99)).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val byType = ev.select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rows) =>
+        k -> rows.map(_.getDouble(1)).sorted }
+    def rankOf(sorted: Array[Double], v: Double): Double =
+      sorted.count(_ <= v).toDouble / sorted.length
+    byType.foreach { case (k, sorted) =>
+      val (p50, p95, p99) = est(k)
+      Seq(0.5 -> p50, 0.95 -> p95, 0.99 -> p99).foreach { case (q, v) =>
+        assert(math.abs(rankOf(sorted, v) - q) <= 0.015,
+          s"$k q=$q: est $v has rank ${rankOf(sorted, v)}") }
+    }
+    // coarser window (first 10 days) answered from the SAME rollup
+    val first = QuantileRollup.quantiles(rollup, Seq("event_type"), Seq(0.95),
+      Some(col("bucket") < lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val firstSorted = ev
+      .filter(col("ts") < lit(ts("2024-01-11 00:00:00")))
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rows) =>
+        k -> rows.map(_.getDouble(1)).sorted }
+    firstSorted.foreach { case (k, sorted) =>
+      assert(math.abs(rankOf(sorted, first(k)) - 0.95) <= 0.015,
+        s"windowed $k: ${first(k)} rank ${rankOf(sorted, first(k))}") }
+    // SQL surface parity
+    graft.functions.GraftFunctions.register(spark)
+    ev.createOrReplaceTempView("__qr_events")
+    val sqlRow = spark.sql(
+      """SELECT tdigest_quantile(tdigest_merge(s), 0.5) FROM
+        |  (SELECT event_type, tdigest_agg(value) AS s
+        |   FROM __qr_events GROUP BY 1)""".stripMargin).collect().head
+    assert(!sqlRow.isNullAt(0), "SQL surface must produce an estimate")
+    rollup.unpersist()
+  }
+
   test("rollup rewrite: serves compatible aggregates from the rollup, bails otherwise") {
     import graft.plans.Rollups
     val ev = Tables.t(spark, dir, "events")
