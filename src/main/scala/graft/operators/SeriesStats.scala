@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust per-series statistics: MAD anomaly detection and lagged
+  * cross-correlation — the analytics layer TSDB deployments bolt onto the
+  * reference (Kapacitor-style alert rules over InfluxQL, recording rules
+  * over PromQL). Both are plain declarative plans: Catalyst broadcasts the
+  * tiny per-series stats frames and the raw scan stays one pass.
+  */
+object SeriesStats {
+
+  /** Points whose robust z-score |v - median| / (1.4826 * MAD) exceeds
+    * `k`. Median and MAD are exact here (two groupBy passes over the
+    * series column + broadcast joins back); at 100 TB swap the exact
+    * median for percentile_approx — the plan shape is unchanged. The
+    * 1.4826 factor rescales MAD to σ under normality (the standard robust
+    * z-score), folded into one literal so the oracle multiplies in the
+    * same order. */
+  def madOutliers(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val kc = keys.map(col)
+    val med = df.groupBy(kc: _*).agg(median(col(valueCol)).as("__med"))
+    val mad = df.join(broadcast(med), keys)
+      .groupBy(kc: _*)
+      .agg(median(abs(col(valueCol) - col("__med"))).as("__mad"))
+    df.join(broadcast(med), keys).join(broadcast(mad), keys)
+      .filter(abs(col(valueCol) - col("__med")) > lit(k * 1.4826) * col("__mad"))
+  }
+
+  /** Pearson correlation between two bucketed series at each lag in
+    * [0, maxLag]: series `a` at bucket t against series `b` at bucket
+    * t + lag. Buckets are epoch-aligned `grainUs` averages; the join is a
+    * broadcast of the lag axis against two already-aggregated series
+    * frames (|buckets| rows each), so raw data is scanned once per side
+    * regardless of how many lags are asked for. */
+  def lagCorrelation(
+      df: DataFrame, seriesCol: String, aSeries: String, bSeries: String,
+      tsCol: String, valueCol: String, grainUs: Long,
+      maxLag: Int): DataFrame = {
+    def bucketed(name: String) = df
+      .filter(col(seriesCol) === name)
+      .groupBy((floor(unix_micros(col(tsCol)) / grainUs)).cast("long").as("__b"))
+      .agg(avg(col(valueCol)).as("__v"))
+    val a = bucketed(aSeries)
+    val b = bucketed(bSeries)
+    a.crossJoin(broadcast(
+        a.sparkSession.createDataFrame(
+          (0 to maxLag).map(Tuple1(_))).toDF("lag")))
+      .join(b.withColumnRenamed("__v", "__w").withColumnRenamed("__b", "__bb"),
+        col("__bb") === col("__b") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), round(corr(col("__v"), col("__w")), 3).as("r"))
+  }
+}

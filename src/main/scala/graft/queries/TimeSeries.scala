@@ -394,6 +394,45 @@ object TimeSeries {
         graft.operators.QuantileRollup.quantiles(
           rollup, Seq("event_type"), Seq(0.5, 0.95, 0.99))
           .orderBy("event_type")
+      }),
+
+    // ---- robust anomaly detection (operators/SeriesStats.madOutliers):
+    //      per-series median/MAD, flag |v-med| > 3*1.4826*MAD. Exact
+    //      medians here; percentile_approx is the drop-in at 100 TB.
+    GraftQuery("q181_anomaly_mad",
+      Some("""WITH med AS (
+             |  SELECT event_type, median("value") AS m FROM events GROUP BY 1),
+             |mad AS (
+             |  SELECT e.event_type, median(abs(e."value" - med.m)) AS d
+             |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+             |SELECT e.event_type, e.event_id, round(e."value", 3) AS v
+             |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+             |WHERE abs(e."value" - med.m) > 4.4478 * mad.d""".stripMargin),
+      (s, dir) => {
+        graft.operators.SeriesStats.madOutliers(
+          t(s, dir, "events"), Seq("event_type"), "value", k = 3.0)
+          .select(col("event_type"), col("event_id"),
+            round(col("value"), 3).as("v"))
+      }),
+
+    // ---- lagged cross-correlation between two bucketed series
+    //      (operators/SeriesStats.lagCorrelation): click vs view 6h
+    //      averages at lags 0..3 — the "does A lead B" diagnostic.
+    GraftQuery("q182_lag_correlation",
+      Some("""WITH c AS (
+             |  SELECT epoch_ms(ts) // 21600000 AS b, avg("value") AS v
+             |  FROM events WHERE event_type = 'click' GROUP BY 1),
+             |v AS (
+             |  SELECT epoch_ms(ts) // 21600000 AS b, avg("value") AS w
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |l AS (SELECT unnest(generate_series(0, 3)) AS lag)
+             |SELECT l.lag, count(*) AS n, round(corr(c.v, v.w), 3) AS r
+             |FROM l, c JOIN v ON v.b = c.b + l.lag
+             |GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        graft.operators.SeriesStats.lagCorrelation(
+          t(s, dir, "events"), "event_type", "click", "view",
+          "ts", "value", grainUs = 21600000000L, maxLag = 3)
       })
   )
 }

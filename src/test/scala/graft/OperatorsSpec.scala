@@ -404,6 +404,34 @@ class OperatorsSpec extends SparkSpec {
     rollup.unpersist()
   }
 
+  test("series stats: MAD flags the planted outlier; shifted series peaks at its lag") {
+    import graft.operators.SeriesStats
+    import spark.implicits._
+    // 100 well-behaved points plus one gross outlier
+    val vals = (1 to 100).map(i => ("s", i.toLong, 10.0 + (i % 7))) :+ (("s", 101L, 500.0))
+    val df = vals.toDF("k", "id", "v")
+    val flagged = SeriesStats.madOutliers(df, Seq("k"), "v").select("id")
+      .as[Long].collect().toSet
+    assert(flagged == Set(101L), s"expected only the planted outlier: $flagged")
+    // plan: stats joins broadcast, no cartesian product
+    val plan = SeriesStats.madOutliers(df, Seq("k"), "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"),
+      s"MAD stats must broadcast:\n$plan")
+    // lag correlation: series b is exactly series a shifted one 6h bucket
+    val grainUs = 21600000000L
+    val base = (0 until 48).map(i => (i, math.sin(i / 3.0) * 10 + 20))
+    val rows =
+      base.map { case (i, v) => ("a", new java.sql.Timestamp(i * grainUs / 1000 + 1000), v) } ++
+      base.map { case (i, v) => ("b", new java.sql.Timestamp((i + 1) * grainUs / 1000 + 1000), v) }
+    val ts2 = rows.toDF("series", "t", "v")
+    val r = SeriesStats.lagCorrelation(
+      ts2, "series", "a", "b", "t", "v", grainUs, maxLag = 2)
+      .collect().map(row => row.getInt(0) -> row.getDouble(2)).toMap
+    assert(r(1) == 1.0, s"shift-by-1 series must correlate perfectly at lag 1: $r")
+    assert(r(0) < 1.0 && r(2) < 1.0, s"off-lags must not be perfect: $r")
+  }
+
   test("quantile rollup: merged t-digests hit exact ranks within 1.5%") {
     import graft.operators.QuantileRollup
     // digest kernel sanity: uniform 0..9999, every decile within 1% rank
