@@ -66,6 +66,47 @@ object Decontaminate {
       .agg(countDistinct(col("__g")).as("n_hits"))
   }
 
+  /** [[contaminated]] with a Bloom-filter prefilter on the corpus side —
+    * the shape that survives a benchmark set too large to broadcast as an
+    * exact hash set: the bench grams fold into a fixed-size Bloom filter
+    * (driver-bounded, ~1.2 bytes/item at 1% FPP), the 100 TB corpus gram
+    * stream is prefiltered by a codegen'd `might_contain` BEFORE the
+    * broadcast semi-join, and the semi-join then removes Bloom false
+    * positives — so the result is bit-identical to [[contaminated]] (the
+    * same oracle checks both) while the join probe sees only the ~FPP
+    * fraction of corpus grams. Uses Spark's native BloomFilterAggregate /
+    * BloomFilterMightContain (the runtime-row-level-filtering kernels).
+    */
+  def bloomContaminated(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val benchGrams = gramRows(bench, Nil, col(benchTextCol), n).distinct()
+      .localCheckpoint() // evaluated twice: bloom build + verify join
+    val bloomBytes = benchGrams
+      .agg(GraftBridge.col(new BloomFilterAggregate(
+        GraftBridge.expr(col("__g")),
+        Literal(expectedItems), Literal(expectedItems * 8))
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val empty = docs.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      new org.apache.spark.sql.types.StructType()
+        .add(idCol, org.apache.spark.sql.types.LongType)
+        .add("n_hits", org.apache.spark.sql.types.LongType))
+    if (bloomBytes == null) return empty // empty benchmark set
+    gramRows(docs, Seq(col(idCol)), col(textCol), n)
+      .filter(GraftBridge.col(BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType), GraftBridge.expr(col("__g")))))
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .groupBy(idCol)
+      .agg(countDistinct(col("__g")).as("n_hits"))
+  }
+
   /** The complement view a pipeline actually materializes: `docs` with
     * contaminated rows removed (same broadcast anti-join shape). */
   def clean(

@@ -1030,6 +1030,33 @@ object PipelineQueries {
              |  (count(*) * max(n_tokens) - sum(n_tokens))::BIGINT AS padding_waste
              |FROM r GROUP BY 1, 2""".stripMargin),
       (s, dir) => graft.pipeline.Packing.lengthGroupedBatches(
-        t(s, dir, "documents"), "doc_id", "text", batchSize = 32))
+        t(s, dir, "documents"), "doc_id", "text", batchSize = 32)),
+
+    // ---- Bloom-prefiltered decontamination: bit-identical to q80 (the
+    //      bloom's false positives are removed by the exact verify join,
+    //      so the SAME oracle hash-checks it) while the broadcast probe
+    //      sees only the ~FPP fraction of corpus grams — the shape for
+    //      benchmark sets too large to broadcast as exact hash sets.
+    GraftQuery("q183_bloom_decontaminate",
+      Some("""WITH tok AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS ts
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(ts) >= 8 THEN array_to_string(ts[g.i:g.i+7], ' ')
+             |         ELSE array_to_string(ts, ' ') END AS gram
+             |  FROM tok CROSS JOIN LATERAL
+             |    (SELECT unnest(range(1, greatest(len(ts)-7, 1)+1)) AS i) g),
+             |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0)
+             |SELECT doc_id, count(DISTINCT gram) AS n_hits
+             |FROM grams
+             |WHERE doc_id % 7 <> 0 AND gram IN (SELECT gram FROM bench)
+             |GROUP BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Decontaminate.bloomContaminated(
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 7 === 0), "text", n = 8)
+      })
   )
 }

@@ -71,6 +71,29 @@ class PipelineSpec extends SparkSpec {
       plan.contains("broadcast"), plan)
   }
 
+  test("bloom decontamination: bit-identical to exact, prefilter in the plan") {
+    import graft.pipeline.Decontaminate
+    val docs = Tables.t(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val exact = Decontaminate.contaminated(
+      corpus, "doc_id", "text", bench, "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBloom = Decontaminate.bloomContaminated(
+      corpus, "doc_id", "text", bench, "text", n = 8)
+    assert(viaBloom.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == exact,
+      "bloom path must be false-positive-free after the verify join")
+    val plan = viaBloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"exact verify must stay a broadcast semi-join:\n$plan")
+    // empty benchmark: no rows, no NPE
+    assert(Decontaminate.bloomContaminated(
+      corpus, "doc_id", "text", bench.filter(lit(false)), "text", n = 8)
+      .collect().isEmpty)
+  }
+
   test("minhash LSH recovers nearly all exact 3-gram near-dup pairs (recall)") {
     // unblocked exact baseline (500 docs → cross join is fine in-test)
     val sh = docs.select(col("doc_id"),
