@@ -258,6 +258,31 @@ object EngineE2E {
             partitionByKey = Some(5))
           .filter(col("event_type") === "click")
           .withColumn("total", round(col("total"), 2))
+      }),
+
+    // Streaming sketch rollup: per-trigger PARTIAL t-digest sketches
+    // appended to an append-mode engine table — mergeability replaces
+    // streaming state (no watermark/state store; read-time merge answers
+    // any window). Quantile estimates are sketch-approx (rows-only);
+    // RollupSpec binds the rank-error contract and the exact n identity
+    // against a deliberately multi-batch replay.
+    GraftQuery("q184_streaming_sketch_rollup",
+      None,
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-sksink").toString)
+        val sk = graft.streaming.Rollup.sketchRollupToTable(
+          e, dir, "events.parquet", schema, nanosTs = true,
+          "ts", "event_type", "value", bucketSeconds = 86400L,
+          "events_sketch_rollup")
+        graft.operators.QuantileRollup.quantiles(
+            sk, Seq("event_type"), Seq(0.5, 0.95, 0.99))
+          .orderBy("event_type")
       })
   )
 }

@@ -98,6 +98,55 @@ object Rollup {
     engine.read(table).select(s.columns.map(c => org.apache.spark.sql.functions.col(c.name)): _*)
   }
 
+  /** Streaming SKETCH rollup: each trigger appends its batch's PARTIAL
+    * per-(tag, bucket) t-digest sketches to an append-mode engine table;
+    * read-time [[graft.operators.QuantileRollup.quantiles]] merges them.
+    * Sketch mergeability replaces streaming state entirely — no watermark,
+    * no state store, no update-mode upserts: late data is just another
+    * partial row, restarts replay only unprocessed files (checkpointed
+    * source offsets), and any coarser window is answered at read time by
+    * merging. This is the streaming analogue of the batch rollup family
+    * ([[graft.operators.SketchRollup]]/QuantileRollup) and the third point
+    * in the state-management design space next to [[windowedRollupToTable]]
+    * (watermarked state) — the trade is approximate values for O(0) state.
+    */
+  def sketchRollupToTable(
+      engine: TsdbEngine, dir: String, glob: String, schema: StructType,
+      nanosTs: Boolean, tsCol: String, tagCol: String, valueCol: String,
+      bucketSeconds: Long, table: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val spark = engine.spark
+    if (!engine.catalog.exists(table))
+      engine.execute(
+        s"""CREATE TABLE $table (
+           |  bucket timestamp NOT NULL, $tagCol string TAG,
+           |  sketch varbinary, n_rows bigint,
+           |  timestamp KEY(bucket))
+           |ENGINE=Analytic WITH (update_mode='append')""".stripMargin)
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    val raw = maxFilesPerTrigger
+      .fold(src)(n => src.option("maxFilesPerTrigger", n.toString))
+      .parquet(dir)
+    val events =
+      if (nanosTs) raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      else raw
+    val q = events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", engine.catalog.checkpointDir(table))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = graft.operators.QuantileRollup.build(
+          batch, Seq(tagCol), tsCol, bucketSeconds, valueCol)
+        engine.append(table, partial.select(
+          col("bucket"), col(tagCol), col("sketch"), col("n_rows")))
+      }
+      .start()
+    q.awaitTermination()
+    val s = engine.catalog.get(table)
+    engine.read(table).select(s.columns.map(c => col(c.name)): _*)
+  }
+
   /** The shared stream → windowed aggregate: per (window start, tag):
     * count + sum. The watermark (when given) is applied on the EVENT-TIME
     * column before the aggregation — that is what lets Spark evict settled

@@ -84,6 +84,41 @@ class RollupSpec extends SparkSpec {
       ("a", base, 3L, 8.0), ("a", base + h, 1L, 3.0), ("b", base, 1L, 10.0)))
   }
 
+  test("sketchRollupToTable: multi-batch partials merge to exact counts and bounded ranks") {
+    val srcDir = tmpDir("skroll-src")
+    val h = 3600000L
+    val base = 1704067200000L
+    // three files -> three triggers at maxFilesPerTrigger=1: partials are
+    // genuinely split across batches
+    val rnd = new scala.util.Random(7)
+    val chunks = (0 until 3).map(c => (0 until 200).map(i =>
+      (base + c * h + i * 1000L, if (i % 2 == 0) "a" else "b",
+        rnd.nextDouble() * 100)))
+    chunks.foreach(rows => writeSource(srcDir, rows))
+
+    val e = new TsdbEngine(spark, tmpDir("skroll-wh"))
+    val sk = graft.streaming.Rollup.sketchRollupToTable(
+      e, srcDir, "*.parquet", schema, nanosTs = false,
+      "ts", "tag", "v", bucketSeconds = 86400L, "skroll",
+      maxFilesPerTrigger = Some(1))
+    // multiple partial rows per (tag, bucket): the table holds per-batch
+    // sketches, not a single merged one
+    val partials = sk.count()
+    assert(partials > 2, s"expected per-batch partial rows, got $partials")
+    val q = graft.operators.QuantileRollup.quantiles(sk, Seq("tag"), Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val all = chunks.flatten
+    Seq("a", "b").foreach { tag =>
+      val vals = all.filter(_._2 == tag).map(_._3).sorted
+      val (n, p50, p95) = q(tag)
+      assert(n == vals.length, s"$tag: exact count must survive the merge")
+      def rank(v: Double) = vals.count(_ <= v).toDouble / vals.length
+      assert(math.abs(rank(p50) - 0.5) <= 0.02, s"$tag p50=$p50 rank ${rank(p50)}")
+      assert(math.abs(rank(p95) - 0.95) <= 0.02, s"$tag p95=$p95 rank ${rank(p95)}")
+    }
+  }
+
   test("SeriesRate: per-series state chains across micro-batches, evicts on timeout") {
     import graft.streaming.SeriesRate
     import graft.streaming.SeriesRate.{LastSample, RatePoint, SampleIn}
