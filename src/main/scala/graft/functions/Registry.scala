@@ -82,6 +82,22 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"tdigest_quantile takes (sketch, q), got ${other.length} args")
     }, "scala_udf")
+    // mergeable frequent-items summaries (Misra-Gries)
+    reg.createOrReplaceTempFunction("mg_agg", {
+      case Seq(c, Literal(k, _)) => MisraGriesAgg(c, k.toString.toInt)
+      case other => throw new IllegalArgumentException(
+        s"mg_agg takes (col, k), got ${other.length} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("mg_merge", {
+      case Seq(c) => MisraGriesMergeAgg(c)
+      case other => throw new IllegalArgumentException(
+        s"mg_merge takes 1 arg, got ${other.length}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("mg_topk", {
+      case Seq(c, Literal(n, _)) => MisraGriesTopK(c, n.toString.toInt)
+      case other => throw new IllegalArgumentException(
+        s"mg_topk takes (summary, n), got ${other.length} args")
+    }, "scala_udf")
     // DataFusion built-in the reference goldens exercise (date_bin.sql)
     reg.createOrReplaceTempFunction("date_bin", {
       case Seq(iv, ts, origin) => DateBin(iv, ts, origin)

@@ -433,6 +433,25 @@ object TimeSeries {
         graft.operators.SeriesStats.lagCorrelation(
           t(s, dir, "events"), "event_type", "click", "view",
           "ts", "value", grainUs = 21600000000L, maxLag = 3)
+      }),
+
+    // ---- mergeable frequent-items rollup (operators/FreqRollup,
+    //      functions/FreqSketch.scala): daily per-type Misra-Gries
+    //      summaries of user_id merged into whole-range top-5. Capacity
+    //      100k >= the fixture's user universe, where MG is lossless and
+    //      the exact top-k SQL is a true oracle (hash-checked); the
+    //      undersized-capacity guarantee is OperatorsSpec-bound.
+    GraftQuery("q185_freq_rollup",
+      Some("""WITH c AS (SELECT event_type, user_id::VARCHAR AS item,
+             |    count(*) AS est_count FROM events GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |    ORDER BY est_count DESC, item) AS rk FROM c)
+             |SELECT event_type, item, est_count FROM r WHERE rk <= 5""".stripMargin),
+      (s, dir) => {
+        val rollup = graft.operators.FreqRollup.build(
+          t(s, dir, "events"), Seq("event_type"), "ts",
+          bucketSeconds = 86400L, itemCol = "user_id", k = 100000)
+        graft.operators.FreqRollup.topK(rollup, Seq("event_type"), 5)
       })
   )
 }

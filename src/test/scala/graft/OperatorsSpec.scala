@@ -432,6 +432,46 @@ class OperatorsSpec extends SparkSpec {
     assert(r(0) < 1.0 && r(2) < 1.0, s"off-lags must not be perfect: $r")
   }
 
+  test("freq rollup: lossless at full capacity, MG bound when undersized") {
+    import graft.operators.FreqRollup
+    import graft.functions.MisraGries
+    // kernel: zipf-ish stream, k=8 — every estimate obeys
+    // true - N/(k+1) <= est <= true, and the heavy hitter survives
+    val s8 = new MisraGries.Summary(8)
+    val stream = (0 until 3000).map { i =>
+      if (i % 3 == 0) "hot" else s"cold_${i % 40}" }
+    stream.foreach(s8.add(_))
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = stream.size / 9.0
+    s8.counts.foreach { case (item, est) =>
+      assert(est <= truth(item) && est >= truth(item) - bound,
+        s"$item: est $est vs true ${truth(item)} (bound $bound)") }
+    assert(s8.counts.contains("hot"), "heavy hitter must survive")
+    // merge keeps the bound: split the stream in 3, merge the summaries
+    val parts = stream.grouped(1000).map { chunk =>
+      val p = new MisraGries.Summary(8); chunk.foreach(p.add(_)); p }.toSeq
+    val merged = new MisraGries.Summary(8)
+    parts.foreach(merged.mergeIn)
+    merged.counts.foreach { case (item, est) =>
+      assert(est <= truth(item) && est >= truth(item) - bound,
+        s"merged $item: est $est vs true ${truth(item)}") }
+    assert(merged.counts.contains("hot"))
+    // distributed, capacity >= universe: rollup top-k == exact top-k
+    val ev = Tables.t(spark, dir, "events")
+    val rollup = FreqRollup.build(
+      ev, Seq("event_type"), "ts", 86400L, "user_id", k = 100000)
+    val got = FreqRollup.topK(rollup, Seq("event_type"), 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val exact = ev.groupBy(col("event_type"), col("user_id").cast("string").as("item"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("n").desc, col("item"))))
+      .filter(col("rk") <= 3).drop("rk")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == exact, s"lossless-capacity top-k must be exact:\n$got\nvs\n$exact")
+  }
+
   test("quantile rollup: merged t-digests hit exact ranks within 1.5%") {
     import graft.operators.QuantileRollup
     // digest kernel sanity: uniform 0..9999, every decile within 1% rank
