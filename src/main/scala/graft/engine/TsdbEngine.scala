@@ -42,6 +42,51 @@ final class TsdbEngine(
   private def withTableLock[T](name: String)(f: => T): T =
     tableLocks.computeIfAbsent(name, _ => new Object).synchronized(f)
 
+  /** Engine-registered transparent rollup rewrites
+    * (plans/Rollups.RollupRewrite): regName -> (rawTable, rollupTable).
+    * A mutation of EITHER side invalidates the registration — a stale
+    * rollup must never serve fresh-raw queries; re-materializing (e.g.
+    * InfluxQL.runContinuousQueries) re-registers. */
+  private val rollupRegs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Declare `rollupTable` a faithful `grainSeconds` rollup of `raw`
+    * (per (tags, bucket): the mapped count/sum/min/max columns), after
+    * which compatible aggregates over the raw table are transparently
+    * served from the rollup — see [[graft.plans.Rollups]] for the exact
+    * servable shapes and bail-out rules. The caller asserts faithfulness
+    * (the engine asserts freshness via write invalidation). */
+  def registerRollup(
+      regName: String, raw: String, rollupTable: String, grainSeconds: Long,
+      tags: Seq[String], bucketCol: String,
+      countStarCol: Option[String] = None,
+      counts: Map[String, String] = Map.empty,
+      sums: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty): Unit = {
+    val s = catalog.get(raw)
+    graft.plans.Rollups.register(spark, s"engine:$regName",
+      graft.plans.Rollups.RollupSpec(
+        rawPathContains = catalog.dataDir(raw),
+        tsCol = s.timestampKey, grainUs = grainSeconds * 1000000L,
+        tags = tags.toSet, bucketCol = bucketCol, countCol = countStarCol,
+        counts = counts, sums = sums, mins = mins, maxs = maxs,
+        rollup = () => read(rollupTable)))
+    rollupRegs.put(s"engine:$regName", (raw, rollupTable))
+  }
+
+  /** Drop every rollup registration touching `table` (as raw or rollup). */
+  def invalidateRollups(table: String): Unit = {
+    val it = rollupRegs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue._1 == table || e.getValue._2 == table) {
+        graft.plans.Rollups.unregister(e.getKey)
+        it.remove()
+      }
+    }
+  }
+
   graft.functions.GraftFunctions.register(spark)
   // engine optimizer rules: Exact/Inexact dedup pushdown + KEY/HASH bucket
   // pruning (both no-ops on plans without engine shapes)
@@ -62,6 +107,7 @@ final class TsdbEngine(
     case CreateTable(schema, ifNotExists) =>
       catalog.create(schema, ifNotExists); affectedRows(0)
     case DropTable(name, ifExists) =>
+      invalidateRollups(name)
       catalog.drop(name, ifExists)
       spark.catalog.dropTempView(name) // a stale view would read deleted files
       affectedRows(0)
@@ -199,6 +245,7 @@ final class TsdbEngine(
     * foreachBatch target (streaming ingest replaces the reference's WAL +
     * memtable path; checkpointing replaces WAL durability). */
   def append(name: String, batch: DataFrame): Unit = withTableLock(name) {
+    invalidateRollups(name) // fresh raw writes must not be served stale
     val s = catalog.get(name)
     // one sequence block per batch; within a batch, later rows win
     val seqBase = catalog.reserveSeq(name, 1)
@@ -381,8 +428,10 @@ final class TsdbEngine(
     * deletes also dedup/TTL-purge as a side effect). Serialize with
     * writes per table, like compaction. */
   def deleteWhere(name: String, condition: org.apache.spark.sql.Column,
-      nowMs: Long = System.currentTimeMillis()): Unit =
+      nowMs: Long = System.currentTimeMillis()): Unit = {
+    invalidateRollups(name)
     compact(name, nowMs, retain = Some(!coalesce(condition, lit(false))))
+  }
 
   /** Compaction scheduling policy (the reference picks strategies via the
     * `compaction_strategy` table option and schedules on accumulated

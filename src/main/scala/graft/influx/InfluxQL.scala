@@ -178,9 +178,73 @@ object InfluxQL {
         val out = lower(engine, stmt)
         stmt.into match {
           case None => out
-          case Some(target) => writeInto(engine, target, out, stmt)
+          case Some(target) =>
+            val written = writeInto(engine, target, out, stmt)
+            maybeRegisterRollup(engine, target, stmt)
+            written
         }
     }
+  }
+
+  /** After an INTO materialization, register the target as a transparent
+    * rollup of the source measurement (plans/Rollups via
+    * TsdbEngine.registerRollup) when the statement provably IS a faithful
+    * grain rollup: plain count/sum/min/max aggregates over raw fields,
+    * a fixed-width GROUP BY time() with no offset/tz shift, grouped on
+    * real tag columns, `fill(none)` (the InfluxQL default fill(null)
+    * materializes empty buckets — filler rows would surface as extra
+    * result rows when served), and no WHERE (a filtered rollup cannot
+    * serve unfiltered queries). Anything else silently skips — the
+    * materialization itself is unaffected. Registration is invalidated by
+    * any write to either table; re-running the CQ re-registers. */
+  private def maybeRegisterRollup(
+      engine: TsdbEngine, target: String, stmt: SelectStmt): Unit = {
+    if (engine == null || stmt.groupTime.isEmpty) return
+    if (stmt.conds.nonEmpty || stmt.condGroups.nonEmpty) return
+    if (!stmt.fill.contains("none")) return
+    if (stmt.tz.isDefined || stmt.groupTimeOffset.isDefined) return
+    if (stmt.limit.isDefined || stmt.slimit.isDefined ||
+        stmt.offset != 0 || stmt.soffset != 0) return
+    if (stmt.source.isLeft == false) return
+    val raw = stmt.measurement
+    if (!engine.catalog.exists(raw)) return
+    val rawSchema = engine.catalog.get(raw)
+    val tagNames = rawSchema.tagColumns.map(_.name).toSet
+    if (!stmt.groupTags.forall(tagNames.contains)) return
+    val grainSeconds = {
+      import graft.functions.{TimePeriod => TP}
+      val (unit, n) = try TP.parse(influxDurToPeriod(stmt.groupTime.get))
+        catch { case _: IllegalArgumentException => return }
+      unit match {
+        case TP.SECOND => n
+        case TP.MINUTE => n * 60
+        case TP.HOUR   => n * 3600
+        case TP.DAY    => n * 86400 // UTC buckets: epoch-aligned
+        case _ => return
+      }
+    }
+    var counts = Map.empty[String, String]
+    var sums = Map.empty[String, String]
+    var mins = Map.empty[String, String]
+    var maxs = Map.empty[String, String]
+    stmt.projections.foreach { p =>
+      if (p.math.isDefined || p.transform.isDefined || p.aggArg.isDefined)
+        return
+      val outName = p.alias.getOrElse(p.agg.getOrElse(return))
+      p.agg.get match {
+        case "count" => counts += (p.field -> outName)
+        case "sum"   => sums += (p.field -> outName)
+        case "min"   => mins += (p.field -> outName)
+        case "max"   => maxs += (p.field -> outName)
+        case _ => return
+      }
+    }
+    val outNames = counts.values ++ sums.values ++ mins.values ++ maxs.values
+    if (outNames.toSet.size != outNames.size) return // ambiguous columns
+    engine.registerRollup(
+      s"cq:$target", raw, target, grainSeconds,
+      tags = stmt.groupTags, bucketCol = "time",
+      counts = counts, sums = sums, mins = mins, maxs = maxs)
   }
 
   /** Stored continuous queries, name-sorted. */

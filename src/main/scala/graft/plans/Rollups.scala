@@ -47,11 +47,14 @@ object Rollups {
       grainUs: Long,
       tags: Set[String],
       bucketCol: String,
-      countCol: String,
+      countCol: Option[String],
       sums: Map[String, String],
       mins: Map[String, String],
       maxs: Map[String, String],
-      rollup: () => DataFrame)
+      rollup: () => DataFrame,
+      /** per-field non-null counts (count(x), not count(*)) — mergeable
+        * regardless of nulls: sum of per-bucket non-null counts */
+      counts: Map[String, String] = Map.empty)
 
   private val specs = new ConcurrentHashMap[String, RollupSpec]()
 
@@ -79,6 +82,22 @@ object Rollups {
           case UnixMicros(ts) => Some((ts, gl))
           case _ => None
         }
+      // the engine's own time_bucket expression, when its buckets are
+      // epoch-aligned: sub-day periods always are (TimeBucketUtil floors
+      // raw epoch micros); P{n}D only at offset multiples of the width
+      case tb: graft.functions.TimeBucket =>
+        import graft.functions.TimePeriod
+        val (unit, n) = TimePeriod.parse(tb.period)
+        val offUs = tb.offsetMinutes * 60000000L
+        val gUs = unit match {
+          case TimePeriod.SECOND => n * 1000000L
+          case TimePeriod.MINUTE => n * 60000000L
+          case TimePeriod.HOUR   => n * 3600000000L
+          case TimePeriod.DAY if offUs % (n * 86400000000L) == 0 =>
+            n * 86400000000L
+          case _ => 0L
+        }
+        if (gUs > 0) Some((tb.child, gUs)) else None
       case _ => None
     }
   }
@@ -227,8 +246,13 @@ object Rollups {
       def mergeAgg(ae: AggregateExpression): Option[Column] = {
         if (ae.isDistinct || ae.filter.nonEmpty) return None
         ae.aggregateFunction match {
-          case Count(Seq(Literal(_, _))) =>
-            Some(org.apache.spark.sql.functions.sum(col(spec.countCol)))
+          case Count(Seq(Literal(_, _))) => spec.countCol.map(c =>
+            org.apache.spark.sql.functions.sum(col(c)))
+          case Count(Seq(child)) => resolve(child) match {
+            case a: AttributeReference if spec.counts.contains(a.name) =>
+              Some(org.apache.spark.sql.functions.sum(col(spec.counts(a.name))))
+            case _ => None
+          }
           case s: Sum => resolve(s.child) match {
             case a: AttributeReference if spec.sums.contains(a.name) =>
               Some(org.apache.spark.sql.functions.sum(col(spec.sums(a.name))))

@@ -37,7 +37,7 @@ object TimeSeries {
         graft.plans.Rollups.RollupSpec(
           rawPathContains = s"$dir/events.parquet",
           tsCol = "ts", grainUs = grainUs, tags = Set("event_type"),
-          bucketCol = "bucket", countCol = "n",
+          bucketCol = "bucket", countCol = Some("n"),
           sums = Map("value" -> "sum_value"),
           mins = Map("value" -> "min_value"),
           maxs = Map("value" -> "max_value"),

@@ -546,7 +546,7 @@ class OperatorsSpec extends SparkSpec {
     Rollups.register(spark, "spec_rollup", Rollups.RollupSpec(
       rawPathContains = s"$dir/events.parquet",
       tsCol = "ts", grainUs = grainUs, tags = Set("event_type"),
-      bucketCol = "bucket", countCol = "n",
+      bucketCol = "bucket", countCol = Some("n"),
       sums = Map("value" -> "sum_value"), mins = Map("value" -> "min_value"),
       maxs = Map("value" -> "max_value"), rollup = () => rollup))
     try {
@@ -579,7 +579,7 @@ class OperatorsSpec extends SparkSpec {
       Rollups.register(spark, "spec_rollup", Rollups.RollupSpec(
         rawPathContains = s"$dir/events.parquet",
         tsCol = "ts", grainUs = grainUs, tags = Set("event_type"),
-        bucketCol = "bucket", countCol = "n",
+        bucketCol = "bucket", countCol = Some("n"),
         sums = Map("value" -> "sum_value"), mins = Map("value" -> "min_value"),
         maxs = Map("value" -> "max_value"), rollup = () => rollup))
       val fq = filtered(ev)

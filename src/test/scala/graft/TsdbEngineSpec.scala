@@ -341,6 +341,71 @@ class TsdbEngineSpec extends SparkSpec {
     assert(snapshot().exists(_ == ("a", 1704067200000L, 100.0)))
   }
 
+  test("CQ rollup auto-registration: raw SQL served from the rollup, writes invalidate") {
+    import graft.influx.InfluxQL
+    val e = engine()
+    e.execute(
+      """CREATE TABLE metrics (
+        |    t timestamp NOT NULL, host string TAG, v double,
+        |    timestamp KEY(t))
+        |ENGINE=Analytic WITH (update_mode='append', enable_ttl='false')""".stripMargin)
+    val h = 3600000L; val base = 1704067200000L // 2024-01-01 00:00 UTC
+    def ins(ms: Long, host: String, v: Double) = e.execute(
+      s"INSERT INTO metrics (t, host, v) VALUES ($ms, '$host', $v)")
+    ins(base + 60000, "a", 1.0); ins(base + 120000, "a", 2.0)
+    ins(base + h + 60000, "a", 3.0); ins(base + 60000, "b", 10.0)
+
+    val sql = """SELECT host, time_bucket(t, 'PT1H', '+00:00') AS b,
+                |  count(v) AS cv, sum(v) AS sv FROM metrics
+                |GROUP BY host, time_bucket(t, 'PT1H', '+00:00')""".stripMargin
+    def snap() = e.runSql(sql).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3))).toSet
+    def scansRollup(): Boolean = {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val paths = e.runSql(sql).queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      paths.nonEmpty && paths.forall(_.contains("/metrics_1h/")) }
+    val baseline = snap() // no registration yet: raw plan
+    assert(baseline == Set(
+      ("a", base, 2L, 3.0), ("a", base + h, 1L, 3.0), ("b", base, 1L, 10.0)))
+
+    // the CQ materializes AND auto-registers (fill(none), no WHERE)
+    InfluxQL.run(e,
+      """SELECT count(v) AS cv, sum(v) AS sv, min(v) AS mn, max(v) AS mx
+        |INTO metrics_1h FROM metrics GROUP BY time(1h), host fill(none)""".stripMargin)
+    assert(scansRollup(), "query must now be served from metrics_1h")
+    assert(snap() == baseline, "rollup-served results must equal raw")
+
+    // a raw write invalidates: plan reverts, fresh row visible
+    ins(base + 180000, "a", 5.0)
+    assert(!scansRollup(), "stale rollup must not serve after a raw write")
+    assert(snap() == Set(
+      ("a", base, 3L, 8.0), ("a", base + h, 1L, 3.0), ("b", base, 1L, 10.0)))
+
+    // stored CQ re-materialization re-registers with fresh data
+    InfluxQL.run(e,
+      """CREATE CONTINUOUS QUERY cq1 ON db BEGIN
+        |SELECT count(v) AS cv, sum(v) AS sv, min(v) AS mn, max(v) AS mx
+        |INTO metrics_1h FROM metrics GROUP BY time(1h), host fill(none)
+        |END""".stripMargin)
+    InfluxQL.runContinuousQueries(e)
+    assert(scansRollup(), "re-materialized CQ must re-register")
+    assert(snap() == Set(
+      ("a", base, 3L, 8.0), ("a", base + h, 1L, 3.0), ("b", base, 1L, 10.0)))
+
+    // a WHERE-filtered or fill-defaulted INTO must NOT register
+    e.invalidateRollups("metrics")
+    InfluxQL.run(e,
+      """SELECT sum(v) AS sv INTO metrics_bad FROM metrics
+        |GROUP BY time(1h), host""".stripMargin) // default fill(null)
+    assert(!scansRollup() && snap().nonEmpty)
+  }
+
   test("maybeCompact triggers on accumulated batches only") {
     val e = engine()
     e.execute(
