@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -266,6 +266,15 @@ object Rollups {
           case m: Max => resolve(m.child) match {
             case a: AttributeReference if spec.maxs.contains(a.name) =>
               Some(org.apache.spark.sql.functions.max(col(spec.maxs(a.name))))
+            case _ => None
+          }
+          // avg(x) = sum of per-bucket sums / sum of per-bucket non-null
+          // counts — needs BOTH mappings (count(*) would miscount nulls)
+          case a: Average => resolve(a.child) match {
+            case at: AttributeReference
+                if spec.sums.contains(at.name) && spec.counts.contains(at.name) =>
+              Some(org.apache.spark.sql.functions.sum(col(spec.sums(at.name))) /
+                org.apache.spark.sql.functions.sum(col(spec.counts(at.name))))
             case _ => None
           }
           case _ => None

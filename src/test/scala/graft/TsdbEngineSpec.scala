@@ -361,15 +361,16 @@ class TsdbEngineSpec extends SparkSpec {
     def snap() = e.runSql(sql).collect()
       .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
         r.getDouble(3))).toSet
-    def scansRollup(): Boolean = {
+    def servedFromRollup(q: String): Boolean = {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val paths = e.runSql(sql).queryExecution.optimizedPlan.collect {
+      val paths = e.runSql(q).queryExecution.optimizedPlan.collect {
         case l: LogicalRelation => l.relation match {
           case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
           case _ => Nil
         }
       }.flatten
       paths.nonEmpty && paths.forall(_.contains("/metrics_1h/")) }
+    def scansRollup(): Boolean = servedFromRollup(sql)
     val baseline = snap() // no registration yet: raw plan
     assert(baseline == Set(
       ("a", base, 2L, 3.0), ("a", base + h, 1L, 3.0), ("b", base, 1L, 10.0)))
@@ -397,6 +398,17 @@ class TsdbEngineSpec extends SparkSpec {
     assert(scansRollup(), "re-materialized CQ must re-register")
     assert(snap() == Set(
       ("a", base, 3L, 8.0), ("a", base + h, 1L, 3.0), ("b", base, 1L, 10.0)))
+
+    // avg(v) is served as sum(sv)/sum(cv) (per-field count — null-correct)
+    val avgSql = """SELECT host, time_bucket(t, 'PT1H', '+00:00') AS b,
+                   |  round(avg(v), 6) AS av FROM metrics
+                   |GROUP BY host, time_bucket(t, 'PT1H', '+00:00')""".stripMargin
+    assert(servedFromRollup(avgSql), "avg query must be served from the rollup")
+    val avgGot = e.runSql(avgSql).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2))).toSet
+    assert(avgGot == Set(
+      ("a", base, math.rint(8.0 / 3 * 1e6) / 1e6), ("a", base + h, 3.0),
+      ("b", base, 10.0)), s"avg must merge as sum/count: $avgGot")
 
     // a WHERE-filtered or fill-defaulted INTO must NOT register
     e.invalidateRollups("metrics")
