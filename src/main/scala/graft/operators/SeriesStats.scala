@@ -30,6 +30,29 @@ object SeriesStats {
       .filter(abs(col(valueCol) - col("__med")) > lit(k * 1.4826) * col("__mad"))
   }
 
+  /** Time x value heatmap grid (the Grafana heatmap backend): per
+    * (time bucket, equi-width value bin) point counts. The value range is
+    * computed in one tiny stats pass broadcast back over the scan —
+    * two passes total, both full-width; the grid output is
+    * |buckets| x nBins rows regardless of input size. Bin arithmetic is
+    * plain IEEE division+floor so an oracle reproduces it bit-for-bit. */
+  def heatmap(
+      df: DataFrame, tsCol: String, valueCol: String, grainUs: Long,
+      nBins: Int): DataFrame = {
+    val stats = df.agg(
+      min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__vb", least(greatest(
+        floor((col(valueCol) - col("__lo")) /
+          ((col("__hi") - col("__lo")) / nBins.toDouble)).cast("long"),
+        lit(0L)), lit(nBins - 1L)))
+      .groupBy(
+        timestamp_micros((floor(unix_micros(col(tsCol)) / grainUs)
+          .cast("long") * grainUs)).as("tb"),
+        col("__vb").as("vb"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Pearson correlation between two bucketed series at each lag in
     * [0, maxLag]: series `a` at bucket t against series `b` at bucket
     * t + lag. Buckets are epoch-aligned `grainUs` averages; the join is a

@@ -452,6 +452,20 @@ object TimeSeries {
           t(s, dir, "events"), Seq("event_type"), "ts",
           bucketSeconds = 86400L, itemCol = "user_id", k = 100000)
         graft.operators.FreqRollup.topK(rollup, Seq("event_type"), 5)
-      })
+      }),
+
+    // ---- time x value heatmap grid (operators/SeriesStats.heatmap):
+    //      6h buckets x 20 equi-width value bins, range from a broadcast
+    //      stats pass. Bin edges are raw IEEE floor((v-lo)/w) on both
+    //      sides — bit-identical bucket assignment.
+    GraftQuery("q186_value_heatmap",
+      Some("""WITH s AS (SELECT min("value") AS lo, max("value") AS hi FROM events)
+             |SELECT make_timestamp((epoch_ms(ts) // 21600000) * 21600000 * 1000) AS tb,
+             |  least(greatest(floor(("value" - s.lo)
+             |    / ((s.hi - s.lo) / 20.0))::BIGINT, 0), 19) AS vb,
+             |  count(*) AS n
+             |FROM events, s GROUP BY 1, 2""".stripMargin),
+      (s, dir) => graft.operators.SeriesStats.heatmap(
+        t(s, dir, "events"), "ts", "value", grainUs = 21600000000L, nBins = 20))
   )
 }

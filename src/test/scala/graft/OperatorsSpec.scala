@@ -430,6 +430,16 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(row => row.getInt(0) -> row.getDouble(2)).toMap
     assert(r(1) == 1.0, s"shift-by-1 series must correlate perfectly at lag 1: $r")
     assert(r(0) < 1.0 && r(2) < 1.0, s"off-lags must not be perfect: $r")
+    // heatmap: mass conservation, bin bounds, min/max land in edge bins
+    val ev = Tables.t(spark, dir, "events")
+    val hm = SeriesStats.heatmap(ev, "ts", "value", 21600000000L, 20).cache()
+    assert(hm.agg(sum("n")).head().getLong(0) == ev.count(),
+      "every point lands in exactly one cell")
+    val (minVb, maxVb) = hm.agg(min("vb"), max("vb")).head() match {
+      case row => (row.getLong(0), row.getLong(1)) }
+    assert(minVb >= 0 && maxVb <= 19, s"bins out of range: $minVb..$maxVb")
+    assert(minVb == 0 && maxVb == 19, "extreme values must hit the edge bins")
+    hm.unpersist()
   }
 
   test("freq rollup: lossless at full capacity, MG bound when undersized") {
