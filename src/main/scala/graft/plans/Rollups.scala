@@ -129,16 +129,25 @@ object Rollups {
       val projMap = projList
         .map(_.map(ne => ne.exprId -> ne).toMap)
         .getOrElse(rel.output.map(a => a.exprId -> (a: NamedExpression)).toMap)
-      val spec = {
-        val it = specs.values().iterator()
-        var found: RollupSpec = null
-        while (it.hasNext && found == null) {
-          val s = it.next()
-          if (relPath.contains(s.rawPathContains)) found = s
-        }
-        if (found == null) return None
-        found
+      // all registered rollups of this raw table, coarsest grain first:
+      // the first one that can serve scans the fewest rows (a 1d rollup
+      // beats a 1h rollup for a 1d-bucket query; finer grains remain the
+      // fallback when the coarse grain does not divide the query's)
+      val candidates = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[RollupSpec]
+        specs.values().forEach(s =>
+          if (relPath.contains(s.rawPathContains)) b += s)
+        b.sortBy(-_.grainUs).toSeq
       }
+      if (candidates.isEmpty) return None
+      candidates.view.flatMap(spec =>
+        attempt(spec, groups, outs, projMap, filterCond)).headOption
+    }
+
+    private def attempt(
+        spec: RollupSpec, groups: Seq[Expression], outs: Seq[NamedExpression],
+        projMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId, NamedExpression],
+        filterCond: Option[Expression]): Option[LogicalPlan] = {
 
       // translate the raw-side filter (if any) into rollup-side conditions;
       // any untranslatable conjunct bails the whole rewrite

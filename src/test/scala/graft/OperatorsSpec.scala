@@ -536,6 +536,44 @@ class OperatorsSpec extends SparkSpec {
     rollup.unpersist()
   }
 
+  test("rollup rewrite: coarsest serving rollup wins; finer remains the fallback") {
+    import graft.plans.Rollups
+    val ev = Tables.t(spark, dir, "events")
+    val grain6h = 21600000000L; val grain1d = 86400000000L
+    def mkRollup(g: Long) = ev.groupBy(col("event_type"),
+        timestamp_micros((floor(unix_micros(col("ts")) / g)
+          .cast("long") * g)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .localCheckpoint()
+    val r6 = mkRollup(grain6h); val r1d = mkRollup(grain1d)
+    var calls6 = 0; var calls1d = 0
+    def reg(name: String, g: Long, df: org.apache.spark.sql.DataFrame,
+        bump: () => Unit) =
+      Rollups.register(spark, name, Rollups.RollupSpec(
+        rawPathContains = s"$dir/events.parquet",
+        tsCol = "ts", grainUs = g, tags = Set("event_type"),
+        bucketCol = "bucket", countCol = Some("n"),
+        sums = Map("value" -> "sum_value"), mins = Map.empty, maxs = Map.empty,
+        rollup = () => { bump(); df }))
+    reg("spec_r6", grain6h, r6, () => calls6 += 1)
+    reg("spec_r1d", grain1d, r1d, () => calls1d += 1)
+    try {
+      def query(g: Long) = ev.groupBy(col("event_type"),
+          timestamp_micros((floor(unix_micros(col("ts")) / g)
+            .cast("long") * g)).as("b"))
+        .agg(count(lit(1)).as("n"))
+      // 1d-bucket query: both could serve; the 1d rollup must be chosen
+      val p1 = query(grain1d).queryExecution.optimizedPlan.toString
+      assert(p1.contains("LogicalRDD") && calls1d > 0 && calls6 == 0,
+        s"1d query must use the 1d rollup (1d calls=$calls1d, 6h calls=$calls6)")
+      // 6h-bucket query: 1d cannot serve (grain does not divide), 6h does
+      calls6 = 0; calls1d = 0
+      val p2 = query(grain6h).queryExecution.optimizedPlan.toString
+      assert(p2.contains("LogicalRDD") && calls6 > 0 && calls1d == 0,
+        s"6h query must fall back to the 6h rollup ($calls6/$calls1d)")
+    } finally { Rollups.unregister("spec_r6"); Rollups.unregister("spec_r1d") }
+  }
+
   test("rollup rewrite: serves compatible aggregates from the rollup, bails otherwise") {
     import graft.plans.Rollups
     val ev = Tables.t(spark, dir, "events")
