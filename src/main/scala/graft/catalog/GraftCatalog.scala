@@ -109,6 +109,10 @@ final class GraftCatalog(val warehouse: String) {
   /** Reserve `n` ingest sequence numbers; returns the first. The sequence
     * orders overwrite-mode duplicates (newest wins), standing in for the
     * reference's WAL sequence. */
+  /** The next unreserved ingest sequence (no reservation) — a write
+    * high-water mark for incremental consumers. */
+  def peekSeq(name: String): Long = synchronized { manifest(name).nextSeq }
+
   def reserveSeq(name: String, n: Long): Long = synchronized {
     val m = manifest(name)
     writeManifest(name, m.copy(nextSeq = m.nextSeq + n))

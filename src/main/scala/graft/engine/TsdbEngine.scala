@@ -75,6 +75,22 @@ final class TsdbEngine(
     rollupRegs.put(s"engine:$regName", (raw, rollupTable))
   }
 
+  /** Write high-water mark: the next unreserved ingest sequence. */
+  def currentSeq(name: String): Long = catalog.peekSeq(name)
+
+  /** Earliest event-time micros among rows with `__seq >= sinceSeq`, or
+    * None when no such rows exist — the incremental-rematerialization
+    * cursor (which time suffix must be recomputed). One bounded agg over
+    * the seq-filtered storage scan. */
+  def minTsSince(name: String, sinceSeq: Long): Option[Long] = {
+    val s = catalog.get(name)
+    val r = readStorage(s)
+      .filter(col(TableSchema.SeqColumn) >= sinceSeq)
+      .agg(min(unix_micros(col(s.timestampKey))))
+      .head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
   /** Drop every rollup registration touching `table` (as raw or rollup). */
   def invalidateRollups(table: String): Unit = {
     val it = rollupRegs.entrySet().iterator()

@@ -211,18 +211,7 @@ object InfluxQL {
     val rawSchema = engine.catalog.get(raw)
     val tagNames = rawSchema.tagColumns.map(_.name).toSet
     if (!stmt.groupTags.forall(tagNames.contains)) return
-    val grainSeconds = {
-      import graft.functions.{TimePeriod => TP}
-      val (unit, n) = try TP.parse(influxDurToPeriod(stmt.groupTime.get))
-        catch { case _: IllegalArgumentException => return }
-      unit match {
-        case TP.SECOND => n
-        case TP.MINUTE => n * 60
-        case TP.HOUR   => n * 3600
-        case TP.DAY    => n * 86400 // UTC buckets: epoch-aligned
-        case _ => return
-      }
-    }
+    val grainSeconds = cqGrainSeconds(stmt).getOrElse(return)
     var counts = Map.empty[String, String]
     var sums = Map.empty[String, String]
     var mins = Map.empty[String, String]
@@ -247,6 +236,21 @@ object InfluxQL {
       counts = counts, sums = sums, mins = mins, maxs = maxs)
   }
 
+  /** Fixed epoch-aligned grain of a CQ's GROUP BY time(), when it has
+    * one (UTC, no offset — month-ish durations are not fixed-width). */
+  private def cqGrainSeconds(stmt: SelectStmt): Option[Long] = {
+    import graft.functions.{TimePeriod => TP}
+    val parsed = try Some(TP.parse(influxDurToPeriod(stmt.groupTime.getOrElse(
+      return None)))) catch { case _: IllegalArgumentException => None }
+    parsed.flatMap { case (unit, n) => unit match {
+      case TP.SECOND => Some(n)
+      case TP.MINUTE => Some(n * 60)
+      case TP.HOUR   => Some(n * 3600)
+      case TP.DAY    => Some(n * 86400) // UTC buckets: epoch-aligned
+      case _ => None
+    } }
+  }
+
   /** Stored continuous queries, name-sorted. */
   private def listCqs(engine: TsdbEngine): Seq[(String, String)] = {
     val dir = java.nio.file.Paths.get(engine.warehouse, "_cq")
@@ -267,8 +271,65 @@ object InfluxQL {
     * idempotent via INTO's overwrite mode). Returns (name, rows written). */
   def runContinuousQueries(engine: TsdbEngine): Seq[(String, Long)] =
     listCqs(engine).map { case (name, body) =>
-      name -> run(engine, body).head().getAs[Long]("written")
+      name -> runCqIncremental(engine, name, body)
     }
+
+  /** One CQ re-materialization, incrementally when provably safe: for a
+    * `fill(none)`, WHERE-less, fixed-grain CQ over an existing measurement
+    * the run recomputes only the time SUFFIX from the earliest bucket that
+    * received rows since the last run (tracked as a per-CQ (ingest-seq,
+    * data-generation) watermark under `_cq/<name>.seq`) — buckets strictly
+    * before it have no new rows and their materialized values stand; the
+    * overwrite-mode target upserts the recomputed suffix per (time, tags).
+    * A generation flip (compaction / DELETE rewrote storage) or any
+    * non-incrementable statement shape falls back to the full recompute.
+    * Late stragglers just widen the suffix — correct, only less
+    * incremental. Rollup auto-registration applies the ORIGINAL statement
+    * (the materialized table as a whole is the faithful rollup). */
+  private def runCqIncremental(
+      engine: TsdbEngine, name: String, body: String): Long = {
+    val stmt = parseSelect(body)
+    val grain = cqGrainSeconds(stmt)
+    val incrementable = stmt.into.isDefined && stmt.source.isLeft &&
+      grain.isDefined && stmt.conds.isEmpty && stmt.condGroups.isEmpty &&
+      stmt.tz.isEmpty && stmt.groupTimeOffset.isEmpty &&
+      stmt.fill.contains("none") && engine.catalog.exists(stmt.measurement)
+    if (!incrementable)
+      return run(engine, body).head().getAs[Long]("written")
+    val raw = stmt.measurement
+    val target = stmt.into.get
+    val seqFile = java.nio.file.Paths.get(engine.warehouse, "_cq", s"$name.seq")
+    val nowSeq = engine.currentSeq(raw) // appends during the run re-run next time
+    val nowGen = engine.catalog.dataDir(raw)
+    val watermark: Option[(Long, String)] =
+      if (java.nio.file.Files.exists(seqFile)) {
+        val lines = new String(java.nio.file.Files.readAllBytes(seqFile),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+        if (lines.length >= 2) Some((lines(0).trim.toLong, lines(1).trim))
+        else None
+      } else None
+    val written: Long = watermark match {
+      case Some((since, gen)) if gen == nowGen && engine.catalog.exists(target) =>
+        engine.minTsSince(raw, since) match {
+          case None => 0L // nothing new: stored values stand
+          case Some(minUs) =>
+            val gUs = grain.get * 1000000L
+            val floorUs = math.floorDiv(minUs, gUs) * gUs
+            val suffix = stmt.copy(conds = stmt.conds :+
+              Cond("time", ">=", s"${floorUs}u", isTime = true,
+                valueIsNumber = true))
+            writeInto(engine, target, lower(engine, suffix), suffix)
+              .head().getAs[Long]("written")
+        }
+      case _ =>
+        val out = lower(engine, stmt)
+        writeInto(engine, target, out, stmt).head().getAs[Long]("written")
+    }
+    java.nio.file.Files.write(seqFile,
+      s"$nowSeq\n$nowGen\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    maybeRegisterRollup(engine, target, stmt) // original statement shape
+    written
+  }
 
   /** INTO materialization: auto-create the target (time key; the select's
     * GROUP BY tags become TAG columns; everything else a typed field) and

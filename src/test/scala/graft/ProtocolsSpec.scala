@@ -584,6 +584,53 @@ class ProtocolsSpec extends SparkSpec {
     assert(InfluxQL.run(e, "SHOW CONTINUOUS QUERIES").count() == 0)
   }
 
+  test("incremental CQ: suffix-only recompute; stragglers widen; generation flip -> full") {
+    import spark.implicits._
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("iql-inc").toString)
+    val h0 = 1704067200000000000L; val h1 = h0 + 3600L * 1000000000L
+    LineProtocol.ingest(e, Seq(
+      s"m,host=a v=1.0 ${h0 + 60000000000L}",
+      s"m,host=a v=3.0 ${h1 + 60000000000L}").toDS())
+    InfluxQL.run(e,
+      """CREATE CONTINUOUS QUERY cq ON public BEGIN
+        |SELECT count(v) AS cv, sum(v) AS sv INTO m_h FROM m
+        |GROUP BY time(1h), host fill(none)
+        |END""".stripMargin).collect()
+    def targetSeqs(): Map[Long, Long] = // bucket epoch-ms -> max __seq
+      spark.read.parquet(e.catalog.dataDir("m_h"))
+        .groupBy(col("time")).agg(max("__seq").as("s")).collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    def snap(): Set[(Long, Long, Double)] =
+      InfluxQL.run(e, "SELECT cv, sv FROM m_h GROUP BY host")
+        .collect().map(r => (r.getTimestamp(0).getTime,
+          r.getAs[Long]("cv"), r.getAs[Double]("sv"))).toSet
+
+    assert(InfluxQL.runContinuousQueries(e) == Seq("cq" -> 2L)) // full
+    val seqs1 = targetSeqs()
+    // no new rows: the run writes nothing and stored values stand
+    assert(InfluxQL.runContinuousQueries(e) == Seq("cq" -> 0L))
+    assert(targetSeqs() == seqs1, "no-op run must not rewrite the target")
+    // new point in h1 only: h0's materialized row must NOT be rewritten
+    LineProtocol.ingest(e, Seq(s"m,host=a v=5.0 ${h1 + 120000000000L}").toDS())
+    assert(InfluxQL.runContinuousQueries(e) == Seq("cq" -> 1L))
+    val seqs2 = targetSeqs()
+    assert(seqs2(h0 / 1000000) == seqs1(h0 / 1000000), "h0 stands")
+    assert(seqs2(h1 / 1000000) > seqs1(h1 / 1000000), "h1 recomputed")
+    assert(snap() == Set((h0 / 1000000, 1L, 1.0), (h1 / 1000000, 2L, 8.0)))
+    // straggler into h0: the suffix widens back to h0 (both recomputed)
+    LineProtocol.ingest(e, Seq(s"m,host=a v=7.0 ${h0 + 120000000000L}").toDS())
+    assert(InfluxQL.runContinuousQueries(e) == Seq("cq" -> 2L))
+    assert(snap() == Set((h0 / 1000000, 2L, 8.0), (h1 / 1000000, 2L, 8.0)))
+    // compaction flips the raw generation: next run is a full recompute
+    val seqs3 = targetSeqs()
+    e.compact("m")
+    assert(InfluxQL.runContinuousQueries(e) == Seq("cq" -> 2L))
+    assert(targetSeqs().values.forall(s => seqs3.values.forall(_ < s)),
+      "generation flip must force a full rewrite")
+    assert(snap() == Set((h0 / 1000000, 2L, 8.0), (h1 / 1000000, 2L, 8.0)))
+  }
+
   test("InfluxQL SELECT INTO: materializes, idempotent on re-run") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
