@@ -30,6 +30,36 @@ object SeriesStats {
       .filter(abs(col(valueCol) - col("__med")) > lit(k * 1.4826) * col("__mad"))
   }
 
+  /** Prometheus-style alert rule `avg(value) > threshold FOR k steps`:
+    * per-series grain-bucket averages; an alert is ACTIVE at a bucket
+    * when the condition held on that bucket and the k-1 immediately
+    * preceding CONSECUTIVE buckets (a gap in the series resets the
+    * streak, like a missing Prometheus sample ending the `for` window).
+    * One keyed shuffle for the bucket aggregation; the streak logic is
+    * two window functions over the already-small bucket frame. */
+  def alertRule(
+      df: DataFrame, seriesCol: String, tsCol: String, valueCol: String,
+      grainUs: Long, threshold: Double, forSteps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .groupBy(col(seriesCol),
+        (floor(unix_micros(col(tsCol)) / grainUs)).cast("long").as("__b"))
+      .agg(avg(col(valueCol)).as("__v"))
+    val frame = Window.partitionBy(seriesCol).orderBy("__b")
+    val streak = g
+      .withColumn("__o", when(col("__v") > threshold, 1).otherwise(0))
+      .withColumn("__c",
+        sum(col("__o")).over(frame.rowsBetween(-(forSteps - 1), 0)))
+      .withColumn("__b0", lag(col("__b"), forSteps - 1).over(frame))
+    streak
+      .filter(col("__c") === forSteps &&
+        col("__b") - col("__b0") === (forSteps - 1))
+      .select(col(seriesCol),
+        timestamp_micros(col("__b") * grainUs).as("fired_at"),
+        col("__v").as("v")) // raw average: presentation rounding is the
+                            // caller's (see the q187 scaled-integer note)
+  }
+
   /** Time x value heatmap grid (the Grafana heatmap backend): per
     * (time bucket, equi-width value bin) point counts. The value range is
     * computed in one tiny stats pass broadcast back over the scan —

@@ -466,6 +466,29 @@ object TimeSeries {
              |  count(*) AS n
              |FROM events, s GROUP BY 1, 2""".stripMargin),
       (s, dir) => graft.operators.SeriesStats.heatmap(
-        t(s, dir, "events"), "ts", "value", grainUs = 21600000000L, nBins = 20))
+        t(s, dir, "events"), "ts", "value", grainUs = 21600000000L, nBins = 20)),
+
+    // ---- alert rule `avg(value) > 52 FOR 3 consecutive 6h buckets`
+    //      (operators/SeriesStats.alertRule) — the Prometheus `for`
+    //      clause with gap-resets-streak semantics. The firing average is
+    //      presented as a x10^4 scaled INTEGER (q145 convention): raw
+    //      round(.,4) sat exactly on a 55.12125 boundary at sf0.01.
+    GraftQuery("q187_alert_rule",
+      Some("""WITH g AS (SELECT event_type, epoch_ms(ts) // 21600000 AS b,
+             |    avg("value") AS v FROM events GROUP BY 1, 2),
+             |w AS (SELECT *,
+             |    sum(CASE WHEN v > 52 THEN 1 ELSE 0 END) OVER (
+             |      PARTITION BY event_type ORDER BY b
+             |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c,
+             |    lag(b, 2) OVER (PARTITION BY event_type ORDER BY b) AS b0
+             |  FROM g)
+             |SELECT event_type, make_timestamp(b * 21600000000) AS fired_at,
+             |  CAST(round(v * 10000, 0) AS BIGINT) AS v4
+             |FROM w WHERE c = 3 AND b - b0 = 2""".stripMargin),
+      (s, dir) => graft.operators.SeriesStats.alertRule(
+          t(s, dir, "events"), "event_type", "ts", "value",
+          grainUs = 21600000000L, threshold = 52.0, forSteps = 3)
+        .select(col("event_type"), col("fired_at"),
+          round(col("v") * 10000, 0).cast("long").as("v4")))
   )
 }

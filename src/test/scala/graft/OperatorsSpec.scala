@@ -430,6 +430,18 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(row => row.getInt(0) -> row.getDouble(2)).toMap
     assert(r(1) == 1.0, s"shift-by-1 series must correlate perfectly at lag 1: $r")
     assert(r(0) < 1.0 && r(2) < 1.0, s"off-lags must not be perfect: $r")
+    // alert rule: fires only after k consecutive over-threshold buckets;
+    // a missing bucket resets the streak (Prometheus `for` semantics)
+    val g6 = 21600000000L
+    def pt(i: Int, v: Double) =
+      ("s", new java.sql.Timestamp(i * g6 / 1000 + 1000), v)
+    // buckets 0,1,2 over; 3 missing; 4,5 over (streak broken by the gap)
+    val alertDf = Seq(pt(0, 99.0), pt(1, 99.0), pt(2, 99.0),
+      pt(4, 99.0), pt(5, 99.0)).toDF("series", "t", "v")
+    val fired = SeriesStats.alertRule(
+      alertDf, "series", "t", "v", g6, threshold = 50.0, forSteps = 3)
+      .collect().map(_.getTimestamp(1).getTime / (g6 / 1000)).toSet
+    assert(fired == Set(2L), s"only bucket 2 completes a 3-streak: $fired")
     // heatmap: mass conservation, bin bounds, min/max land in edge bins
     val ev = Tables.t(spark, dir, "events")
     val hm = SeriesStats.heatmap(ev, "ts", "value", 21600000000L, 20).cache()
