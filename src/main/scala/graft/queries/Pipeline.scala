@@ -1057,6 +1057,61 @@ object PipelineQueries {
         Decontaminate.bloomContaminated(
           docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
           docs.filter(col("doc_id") % 7 === 0), "text", n = 8)
+      }),
+
+    // ---- end-to-end corpus cleaning (pipeline/CleanCorpus): exact dedup
+    //      -> Gopher rules -> benchmark decontamination, the deterministic
+    //      stage chain composed and oracle-checked as ONE query.
+    GraftQuery("q188_clean_corpus",
+      Some("""WITH corpus AS (SELECT min(doc_id) AS doc_id, text
+             |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY text),
+             |t AS (SELECT doc_id, text,
+             |    string_split_regex(trim(text), '\s+') AS toks,
+             |    string_split(text, chr(10)) AS lines FROM corpus),
+             |s AS (SELECT doc_id, text,
+             |    len(toks)::DOUBLE AS n,
+             |    list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS mwl,
+             |    ((length(text) - length(replace(text, '#', '')))
+             |      + (length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE
+             |      / len(toks) AS symr,
+             |    len(list_filter(lines, l -> starts_with(trim(l), '•')
+             |      OR starts_with(trim(l), '-') OR starts_with(trim(l), '*')))::DOUBLE
+             |      / len(lines) AS bf,
+             |    len(list_filter(lines, l -> ends_with(trim(l), '...')
+             |      OR ends_with(trim(l), '…')))::DOUBLE / len(lines) AS ef,
+             |    len(list_filter(toks, x -> regexp_matches(x, '\p{L}')))::DOUBLE
+             |      / len(toks) AS af,
+             |    len(list_filter(['the','be','to','of','and','that','have','with'],
+             |      w -> list_contains(string_split_regex(trim(lower(text)), '\s+'), w)))
+             |      AS hits
+             |  FROM t),
+             |q AS (SELECT doc_id, text, n::BIGINT AS n_words FROM s
+             |  WHERE (n BETWEEN 50 AND 100000) AND (mwl BETWEEN 3 AND 10)
+             |    AND symr <= 0.1 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8
+             |    AND hits >= 2),
+             |tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+             |  FROM q),
+             |grams AS (SELECT doc_id,
+             |    CASE WHEN len(ts) >= 8 THEN array_to_string(ts[g.i:g.i+7], ' ')
+             |         ELSE array_to_string(ts, ' ') END AS gram
+             |  FROM tok CROSS JOIN LATERAL
+             |    (SELECT unnest(range(1, greatest(len(ts)-7, 1)+1)) AS i) g),
+             |btok AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ts
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |bgrams AS (SELECT DISTINCT
+             |    CASE WHEN len(ts) >= 8 THEN array_to_string(ts[g.i:g.i+7], ' ')
+             |         ELSE array_to_string(ts, ' ') END AS gram
+             |  FROM btok CROSS JOIN LATERAL
+             |    (SELECT unnest(range(1, greatest(len(ts)-7, 1)+1)) AS i) g),
+             |contam AS (SELECT DISTINCT doc_id FROM grams
+             |  WHERE gram IN (SELECT gram FROM bgrams))
+             |SELECT q.doc_id, q.n_words FROM q
+             |WHERE q.doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.pipeline.CleanCorpus.clean(
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 7 === 0), "text", n = 8)
       })
   )
 }
