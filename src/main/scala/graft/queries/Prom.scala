@@ -610,6 +610,26 @@ object Prom {
         table(s, dir),
         Seq(graft.promql.EqMatcher("__name__", "events"),
             graft.promql.ReMatcher("event_type", "error|signup")),
-        startMs = 1704844800000L, endMs = 1704931200000L))
+        startMs = 1704844800000L, endMs = 1704931200000L)),
+
+    // ---- recording rule (promql/Recording.scala — the PromQL analogue of
+    //      InfluxQL continuous queries): the stored rate(events[1h]) rule
+    //      is evaluated and materialized into an overwrite-mode engine
+    //      table; the READ-BACK of that table must match q41's direct-eval
+    //      oracle — materialization round-trips the series losslessly.
+    GraftQuery("q189_recording_rule",
+      Some(s"""SELECT event_type, ts, round(raw, 4) AS "value"
+              |FROM (${extrapolatedSql(counter = true, perSecond = true)})""".stripMargin),
+      (s, dir) => {
+        val e = new graft.engine.TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-rules").toString)
+        graft.promql.Recording.create(e, "events_rate_1h", "rate(events[1h])")
+        graft.promql.Recording.runRules(e, table(s, dir), p)
+        e.read("events_rate_1h")
+          .select(org.apache.spark.sql.functions.col("event_type"),
+            org.apache.spark.sql.functions.col("ts"),
+            org.apache.spark.sql.functions.round(
+              org.apache.spark.sql.functions.col("value"), 4).as("value"))
+      })
   )
 }

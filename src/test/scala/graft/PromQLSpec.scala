@@ -739,4 +739,32 @@ class PromQLSpec extends SparkSpec {
     assert(one("timestamp(m)") == t0 / 1000.0)
     intercept[IllegalArgumentException](PromQL.parse("clamp(m, 1)"))
   }
+  test("recording rules: lifecycle, idempotent re-run, restart persistence") {
+    import spark.implicits._
+    import graft.promql.Recording
+    val e = new graft.engine.TsdbEngine(spark, tmpDir("rules-wh"))
+    val base = 1704067200000L
+    val src = (0 until 12).map(i =>
+      (new java.sql.Timestamp(base + i * 300000L), "a", i * 2.0))
+      .toDF("ts", "event_type", "value")
+    val resolve: String => PromQL.SeriesTable = {
+      case "m" => PromQL.SeriesTable(src, "ts", "value", Seq("event_type"))
+      case other => fail(s"unknown metric $other")
+    }
+    val p = EvalParams(startMs = base + 1800000L, endMs = base + 3600000L,
+      stepMs = 900000L)
+    Recording.create(e, "m_rate", "rate(m[15m])")
+    intercept[IllegalArgumentException](Recording.create(e, "bad name", "m"))
+    intercept[Exception](Recording.create(e, "bad_expr", "rate(m[15m")) // parse now
+    val r1 = Recording.runRules(e, resolve, p)
+    assert(r1.map(_._1) == Seq("m_rate") && r1.head._2 > 0)
+    val snap1 = e.read("m_rate").collect().map(_.toString).sorted.toSeq
+    // idempotent: re-running over the same grid upserts, never duplicates
+    Recording.runRules(e, resolve, p)
+    assert(e.read("m_rate").collect().map(_.toString).sorted.toSeq == snap1)
+    // the registry is file-backed: a fresh engine on the warehouse sees it
+    val e2 = new graft.engine.TsdbEngine(spark, e.warehouse)
+    assert(Recording.list(e2).map(_._1) == Seq("m_rate"))
+    assert(Recording.drop(e2, "m_rate") && Recording.list(e2).isEmpty)
+  }
 }
