@@ -44,13 +44,19 @@ final case class VectorLitExpr(v: Double) extends PromExpr
 /** scalar(v): per step, the single element's value when the child has
   * exactly one element, else NaN (Prometheus scalar() semantics). */
 final case class ScalarOfExpr(child: PromExpr) extends PromExpr
-/** op ∈ sum|avg|count|min|max, grouped by `by` labels (empty = collapse). */
-final case class AggExpr(op: String, by: Seq[String], child: PromExpr) extends PromExpr
+/** op ∈ sum|avg|count|min|max, grouped by `by` labels (empty = collapse).
+  * With `without=true` the listed labels are DROPPED and grouping keeps all
+  * remaining labels (Prometheus `sum without (l,...) (v)`); labels that
+  * don't exist are silently ignored, per Prometheus. */
+final case class AggExpr(op: String, by: Seq[String], child: PromExpr,
+    without: Boolean = false) extends PromExpr
 /** Beyond the reference's pushdown set (Prometheus-native semantics):
   * topk/bottomk keep the k extreme series per grid step. */
 final case class TopkExpr(op: String, k: Int, child: PromExpr) extends PromExpr
-/** φ-quantile across series per (by-labels, step), linear interpolation. */
-final case class QuantileExpr(phi: Double, by: Seq[String], child: PromExpr) extends PromExpr
+/** φ-quantile across series per (by-labels, step), linear interpolation.
+  * `without` inverts the label list like [[AggExpr]]. */
+final case class QuantileExpr(phi: Double, by: Seq[String], child: PromExpr,
+    without: Boolean = false) extends PromExpr
 /** Scalar literal — only legal as a binary-operation operand. */
 final case class NumberLit(v: Double) extends PromExpr
 /** Vector-matching spec for binary operations: `on(labels)` restricts the

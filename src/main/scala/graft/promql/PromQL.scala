@@ -268,13 +268,14 @@ object PromQL {
       ws()
       if (aggOps(name)) {
         // Prometheus allows the grouping clause before OR after the args:
-        // `sum by (l) (expr)` and `sum(expr) by (l)`
-        var by: Seq[String] = parseByClause().getOrElse(Nil)
+        // `sum by (l) (expr)` and `sum(expr) by (l)` — `without` likewise
+        var grouping: Option[(Seq[String], Boolean)] = parseByClause()
         expect('(')
         val child = parseExpr()
         expect(')')
-        if (by.isEmpty) by = parseByClause().getOrElse(Nil)
-        val out = AggExpr(name, by, child)
+        if (grouping.isEmpty) grouping = parseByClause()
+        val (by, without) = grouping.getOrElse((Nil, false))
+        val out = AggExpr(name, by, child, without)
         ws(); out
       } else if (name == "topk" || name == "bottomk") {
         expect('(')
@@ -285,14 +286,15 @@ object PromQL {
         expect(')')
         TopkExpr(name, k.toInt, child)
       } else if (name == "quantile") {
-        var by: Seq[String] = parseByClause().getOrElse(Nil)
+        var grouping: Option[(Seq[String], Boolean)] = parseByClause()
         expect('(')
         val phi = number()
         expect(',')
         val child = parseExpr()
         expect(')')
-        if (by.isEmpty) by = parseByClause().getOrElse(Nil)
-        QuantileExpr(phi, by, child)
+        if (grouping.isEmpty) grouping = parseByClause()
+        val (by, without) = grouping.getOrElse((Nil, false))
+        QuantileExpr(phi, by, child, without)
       } else if (name == "histogram_quantile") {
         expect('(')
         val phi = number()
@@ -409,11 +411,18 @@ object PromQL {
       }
     }
 
-    private def parseByClause(): Option[Seq[String]] = {
+    /** `by (l,...)` or `without (l,...)` — second element is true for
+      * `without` (Prometheus grouping-clause grammar). */
+    private def parseByClause(): Option[(Seq[String], Boolean)] = {
       ws()
-      if (s.startsWith("by", i) &&
-          { val j = i + 2; j >= s.length || !s(j).isLetterOrDigit }) {
-        i += 2
+      val kw =
+        if (s.startsWith("by", i) &&
+            { val j = i + 2; j >= s.length || !s(j).isLetterOrDigit }) Some(2)
+        else if (s.startsWith("without", i) &&
+            { val j = i + 7; j >= s.length || !s(j).isLetterOrDigit }) Some(7)
+        else None
+      kw.map { len =>
+        i += len
         expect('(')
         val bs = Seq.newBuilder[String]
         var more = true
@@ -422,8 +431,8 @@ object PromQL {
           if (peek == ',') i += 1 else more = false
         }
         expect(')')
-        Some(bs.result())
-      } else None
+        (bs.result(), len == 7)
+      }
     }
 
     private def parseSelector(): Selector = {
@@ -547,12 +556,19 @@ object PromQL {
       val tagCols = inner.columns.filterNot(c => c == "ts" || c == "value").toSeq
       alignSamplesFrame(spark, inner, tagCols, p, rangeMs, f,
         param.getOrElse(Double.NaN), param2.getOrElse(Double.NaN))
-    case AggExpr(op, by, child) =>
+    case AggExpr(op, by, child, without) =>
       val in = evalExpr(spark, resolve, child, p)
       val tagCols = in.columns.filterNot(c => c == "ts" || c == "value").toSeq
-      val unknown = by.filterNot(tagCols.contains)
-      require(unknown.isEmpty, s"unknown grouping labels: ${unknown.mkString(",")}")
-      val keys = (by :+ "ts").map(col)
+      // `without` drops the listed labels, keeping all others; unknown
+      // labels are silently ignored (Prometheus). `by` requires its labels.
+      val groupLabels =
+        if (without) tagCols.filterNot(by.contains)
+        else {
+          val unknown = by.filterNot(tagCols.contains)
+          require(unknown.isEmpty, s"unknown grouping labels: ${unknown.mkString(",")}")
+          by
+        }
+      val keys = (groupLabels :+ "ts").map(col)
       val agg = op match {
         case "sum"   => sum("value")
         case "avg"   => avg("value")
@@ -580,14 +596,19 @@ object PromQL {
           Window.partitionBy(col("ts")).orderBy(ord: _*)))
         .filter(col("__rk") <= k).drop("__rk")
 
-    case QuantileExpr(phi, by, child) =>
+    case QuantileExpr(phi, by, child, without) =>
       // φ-quantile across series per (by, step) with linear interpolation —
       // Spark's exact `percentile` matches Prometheus's quantile math
       val in = evalExpr(spark, resolve, child, p)
       val tagCols = in.columns.filterNot(c => c == "ts" || c == "value").toSeq
-      val unknown = by.filterNot(tagCols.contains)
-      require(unknown.isEmpty, s"unknown grouping labels: ${unknown.mkString(",")}")
-      in.groupBy((by :+ "ts").map(col): _*)
+      val groupLabels =
+        if (without) tagCols.filterNot(by.contains)
+        else {
+          val unknown = by.filterNot(tagCols.contains)
+          require(unknown.isEmpty, s"unknown grouping labels: ${unknown.mkString(",")}")
+          by
+        }
+      in.groupBy((groupLabels :+ "ts").map(col): _*)
         .agg(percentile(col("value"), lit(phi)).as("value"))
 
     case CountValuesExpr(label, child) =>

@@ -630,6 +630,28 @@ object Prom {
             org.apache.spark.sql.functions.col("ts"),
             org.apache.spark.sql.functions.round(
               org.apache.spark.sql.functions.col("value"), 4).as("value"))
-      })
+      }),
+
+    // ---- `without` grouping (Prometheus aggregation grammar): drop the
+    //      listed labels, keep all others. Over the histogram metric
+    //      (labels event_type+le), `sum without (le)` collapses the bucket
+    //      dimension per event_type — the standard histogram-series sum.
+    //      One hash-agg shuffle; label set shrinks before the shuffle.
+    q("q190_promql_without", "sum without (le) (events_bucket)",
+      Some("""WITH counts AS (
+             |  SELECT make_timestamp(CAST(ceil(epoch_ms(ts) / 3600000.0) AS BIGINT)
+             |           * 3600000 * 1000) AS hts,
+             |    event_type,
+             |    CAST(count(*) FILTER (WHERE "value" <= 10)  AS DOUBLE) AS n10,
+             |    CAST(count(*) FILTER (WHERE "value" <= 50)  AS DOUBLE) AS n50,
+             |    CAST(count(*) FILTER (WHERE "value" <= 100) AS DOUBLE) AS n100,
+             |    CAST(count(*) FILTER (WHERE "value" <= 200) AS DOUBLE) AS n200,
+             |    CAST(count(*) AS DOUBLE) AS total
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, hts AS ts,
+             |  round(n10 + n50 + n100 + n200 + total, 4) AS "value"
+             |FROM counts
+             |WHERE hts >= TIMESTAMP '2024-01-10 01:00:00'
+             |  AND hts <= TIMESTAMP '2024-01-11 00:00:00'""".stripMargin))
   )
 }

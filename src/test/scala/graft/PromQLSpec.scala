@@ -202,6 +202,36 @@ class PromQLSpec extends SparkSpec {
     assert(combo.toSeq == Seq(9.0 - 3.0))
   }
 
+  test("without grouping drops listed labels and keeps the rest") {
+    // parser: both clause positions, distinguished from `by`
+    assert(PromQL.parse("sum without (le) (m)") ==
+      AggExpr("sum", Seq("le"), VectorSelector(Selector("m", Nil, None)),
+        without = true))
+    assert(PromQL.parse("avg(m) without (a, b)") ==
+      AggExpr("avg", Seq("a", "b"), VectorSelector(Selector("m", Nil, None)),
+        without = true))
+    assert(PromQL.parse("quantile without (le) (0.5, m)") ==
+      QuantileExpr(0.5, Seq("le"), VectorSelector(Selector("m", Nil, None)),
+        without = true))
+
+    import spark.implicits._
+    val t0 = 100000L
+    val df = Seq(("api", "10", 1.0), ("api", "50", 4.0),
+                 ("db", "10", 2.0), ("db", "50", 8.0))
+      .map { case (j, le, v) => (new java.sql.Timestamp(t0), j, le, v) }
+      .toDF("ts", "job", "le", "value")
+    val bind = (_: String) => PromQL.SeriesTable(df, "ts", "value", Seq("job", "le"))
+    val p = EvalParams(startMs = t0, endMs = t0, stepMs = 60000L)
+    val out = PromQL.eval(spark, bind, "sum without (le) (m)", p).collect()
+      .map(r => (r.getAs[String]("job"), r.getAs[Double]("value"))).toMap
+    assert(out == Map("api" -> 5.0, "db" -> 10.0))
+    // unknown labels in `without` are ignored (Prometheus), unlike `by`
+    val same = PromQL.eval(spark, bind, "sum without (nope) (m)", p).collect()
+    assert(same.length == 4)
+    intercept[IllegalArgumentException](
+      PromQL.eval(spark, bind, "sum by (nope) (m)", p).collect())
+  }
+
   test("label_replace / label_join rewrite labels without touching samples") {
     import spark.implicits._
     val t0 = 100000L
