@@ -62,6 +62,31 @@ object EventAnalytics {
           min(col(s"step_${i}_ts")).as(s"step_${i}_ts")): _*)
   }
 
+  /** Gaps-and-islands interval merge: collapse overlapping-or-touching
+    * [start, end] intervals per key into maximal disjoint spans. A new
+    * island starts when an interval's start exceeds the running max end of
+    * every earlier interval of the key (strictly greater — touching
+    * intervals merge). Timestamp comparisons are integer microseconds on
+    * both engines, so the result is bit-deterministic. One key shuffle;
+    * both windows and the final aggregation reuse it. */
+  def mergeIntervals(
+      df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = df
+      .withColumn("__new", when(prevMax.isNull ||
+        col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new"))
+        .over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col(keyCol), col("__isl"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__isl")
+  }
+
   /** Cohort retention: keys grouped by the period of their first activity
     * (the cohort), counted as active per whole-period offset since that
     * first activity. Integer epoch-day arithmetic on both engines — no

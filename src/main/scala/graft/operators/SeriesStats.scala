@@ -83,6 +83,101 @@ object SeriesStats {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Integer division of two integer columns presented as an
+    * engine-portable scaled value. Both DuckDB's `//` and Java's `/`
+    * TRUNCATE toward zero, and both engines' `%` keeps the dividend's
+    * sign, so `(a - a % b) / b` is the shared truncating quotient —
+    * Spark has no integral-divide Column op, but `a - a % b` is exactly
+    * divisible by `b`, making the double division exact whenever the
+    * numerator stays under 2^53 (trivially true for the 1e4-scaled
+    * analytics here). Bit-exact on both engines, any sign. */
+  private[operators] def scaledTruncDiv(
+      num: Column, denom: Column, scale: Long): Column = {
+    val a = num * scale
+    ((a - (a % denom)) / denom).cast("long")
+  }
+
+  /** Two-window mean-shift changepoint scan (CUSUM's windowed cousin):
+    * flag points where the mean of the next `k` samples differs from the
+    * mean of the previous `k` by more than `threshold` (value units).
+    * Values are scaled to integer milli-units first, so the window sums —
+    * and therefore the detection decision — are run-order independent and
+    * engine-exact; `sum_delta_milli` = (leading sum − trailing sum) in
+    * milli-units, i.e. k·1000·(mean shift). One key shuffle, two frame
+    * sums over it. */
+  def meanShiftChangepoints(
+      df: DataFrame, seriesCol: String, tsCol: String, idCol: String,
+      valueCol: String, k: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byS = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(idCol))
+    val v = round(col(valueCol) * 1000).cast("long")
+    val trail = sum(v).over(byS.rowsBetween(-k, -1))
+    val lead = sum(v).over(byS.rowsBetween(0, k - 1))
+    val nTrail = count(lit(1)).over(byS.rowsBetween(-k, -1))
+    val nLead = count(lit(1)).over(byS.rowsBetween(0, k - 1))
+    df.select(col(seriesCol), col(tsCol), col(idCol),
+        trail.as("__t"), lead.as("__l"), nTrail.as("__nt"), nLead.as("__nl"))
+      .filter(col("__nt") === k && col("__nl") === k &&
+        abs(col("__l") - col("__t")) > lit(math.round(threshold * 1000) * k))
+      .select(col(seriesCol), col(tsCol), col(idCol),
+        (col("__l") - col("__t")).as("sum_delta_milli"))
+  }
+
+  /** Classical additive seasonal decomposition by moving averages
+    * (the STL ancestor: trend = centered 2×m MA, seasonal = per-phase mean
+    * of the detrended series, residual = remainder). Operates on per-bucket
+    * SUMS of milli-scaled values so every intermediate is an exact integer
+    * rational with a constant denominator: trend numerator is the
+    * half-weighted window sum (denominator 2m), seasonal sums those
+    * numerators per phase (denominator 2m·n_phase), and the residual is
+    * recombined over the common denominator — all presented through
+    * [[scaledTruncDiv]] at 1e-4 resolution, bit-identical across engines
+    * and runs. Trend requires a CONTIGUOUS full window (a grid gap yields
+    * no decomposition at that bucket, like a missing sample in R's
+    * `decompose`). One bucket aggregation shuffle; windows and the phase
+    * join operate on the grid-bounded bucket frame. */
+  def seasonalDecompose(
+      df: DataFrame, tsCol: String, valueCol: String, grainUs: Long,
+      period: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(period % 2 == 0, "period must be even (2xm centered MA)")
+    val h = period / 2
+    val buckets = df
+      .groupBy((floor(unix_micros(col(tsCol)) / grainUs)).cast("long").as("b"))
+      .agg(sum(round(col(valueCol) * 1000).cast("long")).as("x"))
+    val byB = Window.orderBy(col("b"))
+    // half-weighted centered window: x[b-h] + 2*sum(x[b-h+1..b+h-1]) + x[b+h]
+    // over denominator 2m; contiguity enforced via count + span.
+    val w = buckets
+      .withColumn("__lo", first(col("x")).over(byB.rowsBetween(-h, h)))
+      .withColumn("__hi", last(col("x")).over(byB.rowsBetween(-h, h)))
+      .withColumn("__mid2",
+        sum(col("x") * 2).over(byB.rowsBetween(-h + 1, h - 1)))
+      .withColumn("__n", count(lit(1)).over(byB.rowsBetween(-h, h)))
+      .withColumn("__b0", first(col("b")).over(byB.rowsBetween(-h, h)))
+      .withColumn("__b1", last(col("b")).over(byB.rowsBetween(-h, h)))
+      .filter(col("__n") === period + 1 && col("__b1") - col("__b0") === period)
+      .withColumn("trend_num", col("__lo") + col("__mid2") + col("__hi"))
+      .select(col("b"), col("x"), col("trend_num"),
+        pmod(col("b"), lit(period.toLong)).as("phase"),
+        // detrended numerator over denominator 2m
+        (col("x") * (2L * period) - col("trend_num")).as("det_num"))
+    val seasonal = w.groupBy(col("phase"))
+      .agg(sum(col("det_num")).as("s_num"), count(lit(1)).as("n_p"))
+    w.join(broadcast(seasonal), "phase")
+      .select(
+        timestamp_micros(col("b") * grainUs).as("bucket"),
+        col("x").as("sum_milli"),
+        scaledTruncDiv(col("trend_num"), lit(2L * period), 10000L)
+          .as("trend_1e4"),
+        scaledTruncDiv(col("s_num"), lit(2L * period) * col("n_p"), 10000L)
+          .as("seasonal_1e4"),
+        scaledTruncDiv(
+          col("x") * (lit(2L * period) * col("n_p")) -
+            col("trend_num") * col("n_p") - col("s_num"),
+          lit(2L * period) * col("n_p"), 10000L).as("residual_1e4"))
+  }
+
   /** Pearson correlation between two bucketed series at each lag in
     * [0, maxLag]: series `a` at bucket t against series `b` at bucket
     * t + lag. Buckets are epoch-aligned `grainUs` averages; the join is a

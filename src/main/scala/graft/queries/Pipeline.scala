@@ -1112,6 +1112,29 @@ object PipelineQueries {
         graft.pipeline.CleanCorpus.clean(
           docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
           docs.filter(col("doc_id") % 7 === 0), "text", n = 8)
-      })
+      }),
+
+    // ---- winnowing fingerprints (pipeline/Winnow — Schleimer et al. 2003,
+    //      the MOSS algorithm): k=5 char grams hashed with the portable
+    //      md5-prefix integer, windows of w=8, rightmost-minimum selection.
+    //      The oracle materializes every window and ranks (h ASC, pos DESC)
+    //      — the same selection the operator's one window pass computes.
+    GraftQuery("q194_winnow_fingerprints",
+      Some("""WITH d AS (SELECT doc_id, text, length(text) - 4 AS n
+             |  FROM documents WHERE length(text) >= 12),
+             |g AS (SELECT doc_id, i.i AS pos, n,
+             |    ('0x' || substr(md5(substr(text, i.i::INT, 5)), 1, 15))::BIGINT AS h
+             |  FROM d CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(1, n)) AS i) i),
+             |w AS (SELECT doc_id, pos - o.off AS ws, pos, h
+             |  FROM g CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(0, 7)) AS off) o
+             |  WHERE pos - o.off >= 1 AND pos - o.off <= n - 7),
+             |r AS (SELECT doc_id, ws, pos, h, row_number() OVER (
+             |    PARTITION BY doc_id, ws ORDER BY h ASC, pos DESC) AS rk FROM w)
+             |SELECT DISTINCT doc_id, pos::BIGINT AS pos, h AS fp
+             |FROM r WHERE rk = 1""".stripMargin),
+      (s, dir) => graft.pipeline.Winnow.fingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8))
   )
 }

@@ -489,6 +489,87 @@ object TimeSeries {
           t(s, dir, "events"), "event_type", "ts", "value",
           grainUs = 21600000000L, threshold = 52.0, forSteps = 3)
         .select(col("event_type"), col("fired_at"),
-          round(col("v") * 10000, 0).cast("long").as("v4")))
+          round(col("v") * 10000, 0).cast("long").as("v4"))),
+
+    // ---- gaps-and-islands interval merge (EventAnalytics.mergeIntervals):
+    //      per-user click intervals [ts, ts + value minutes] collapsed to
+    //      maximal disjoint spans. Integer-microsecond comparisons on both
+    //      engines; touching intervals merge (start > running-max-end
+    //      starts an island).
+    GraftQuery("q191_interval_merge",
+      Some("""WITH iv AS (
+             |  SELECT user_id, epoch_us(ts) AS s,
+             |    epoch_us(ts) + CAST(round("value" * 60, 0) AS BIGINT) * 1000000 AS e
+             |  FROM events WHERE event_type = 'click'),
+             |m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+             |i AS (SELECT *, sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM m)
+             |SELECT user_id, make_timestamp(min(s)) AS span_start,
+             |  make_timestamp(max(e)) AS span_end, count(*) AS n_merged
+             |FROM i GROUP BY user_id, g""".stripMargin),
+      (s, dir) => {
+        val iv = t(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("s0"),
+            timestamp_micros(unix_micros(col("ts")) +
+              round(col("value") * 60, 0).cast("long") * 1000000L).as("e0"))
+        graft.operators.EventAnalytics.mergeIntervals(iv, "user_id", "s0", "e0")
+      }),
+
+    // ---- two-window mean-shift changepoint scan
+    //      (SeriesStats.meanShiftChangepoints): |mean(next 12) −
+    //      mean(prev 12)| > 8 value units per event_type stream. Window
+    //      sums over milli-scaled integers — run-order independent,
+    //      engine-exact detection.
+    GraftQuery("q192_changepoints",
+      Some("""WITH v AS (SELECT event_type, ts, event_id,
+             |    CAST(round("value" * 1000, 0) AS BIGINT) AS v FROM events),
+             |w AS (SELECT event_type, ts, event_id,
+             |    sum(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS st,
+             |    count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS nt,
+             |    sum(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS sl,
+             |    count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS nl
+             |  FROM v)
+             |SELECT event_type, ts, event_id, sl - st AS sum_delta_milli
+             |FROM w WHERE nt = 12 AND nl = 12 AND abs(sl - st) > 8000 * 12""".stripMargin),
+      (s, dir) => graft.operators.SeriesStats.meanShiftChangepoints(
+        t(s, dir, "events"), "event_type", "ts", "event_id", "value",
+        k = 12, threshold = 8.0)),
+
+    // ---- classical seasonal decomposition by moving averages
+    //      (SeriesStats.seasonalDecompose): hourly sum-of-milli series,
+    //      daily season (m=24, 2xm centered MA). Every intermediate is an
+    //      exact integer rational; presentation is the shared truncating
+    //      division at 1e-4.
+    GraftQuery("q193_seasonal_decompose",
+      Some("""WITH g AS (SELECT epoch_ms(ts) // 3600000 AS b,
+             |    sum(CAST(round("value" * 1000, 0) AS BIGINT)) AS x
+             |  FROM events GROUP BY 1),
+             |w AS (SELECT b, x,
+             |    first_value(x) OVER w1 AS lo, last_value(x) OVER w1 AS hi,
+             |    count(*) OVER w1 AS n,
+             |    first_value(b) OVER w1 AS b0, last_value(b) OVER w1 AS b1,
+             |    sum(2 * x) OVER (ORDER BY b
+             |      ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS mid2
+             |  FROM g WINDOW w1 AS (ORDER BY b
+             |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+             |d AS (SELECT b, x, lo + mid2 + hi AS tn, b % 24 AS phase,
+             |    x * 48 - (lo + mid2 + hi) AS dn
+             |  FROM w WHERE n = 25 AND b1 - b0 = 24),
+             |s AS (SELECT phase, sum(dn) AS sn, count(*) AS np FROM d GROUP BY 1)
+             |SELECT make_timestamp(b * 3600000000) AS bucket, x AS sum_milli,
+             |  (tn * 10000) // 48 AS trend_1e4,
+             |  (sn * 10000) // (48 * np) AS seasonal_1e4,
+             |  ((x * 48 * np - tn * np - sn) * 10000) // (48 * np) AS residual_1e4
+             |FROM d JOIN s USING (phase)""".stripMargin),
+      (s, dir) => graft.operators.SeriesStats.seasonalDecompose(
+        t(s, dir, "events"), "ts", "value",
+        grainUs = 3600000000L, period = 24))
   )
 }

@@ -685,4 +685,62 @@ class OperatorsSpec extends SparkSpec {
     assert(zero == users)
     out.unpersist()
   }
+
+  test("interval merge: overlap and touch collapse, gaps split, single shuffle") {
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    val iv = Seq(
+      ("a", 1L, 5L), ("a", 4L, 8L),   // overlap -> one span
+      ("a", 8L, 10L),                 // touching (start == running max end) merges
+      ("a", 12L, 14L),                // gap -> new span
+      ("b", 3L, 4L)
+    ).toDF("k", "s", "e")
+    val out = EventAnalytics.mergeIntervals(iv, "k", "s", "e")
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(("a", 1L, 10L, 3L), ("a", 12L, 14L, 1L), ("b", 3L, 4L, 1L)))
+    val plan = planString(out)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"interval merge should be one key shuffle:\n$plan")
+  }
+
+  test("mean-shift changepoints: planted level shift detected exactly once") {
+    import graft.operators.SeriesStats
+    import spark.implicits._
+    // 15 points at 10.0 then 15 points at 50.0, 1s apart
+    val pts = (0 until 30).map { i =>
+      ("s", ts("2024-01-01 00:00:00").getTime / 1000 + i,
+        if (i < 15) 10.0 else 50.0)
+    }.map { case (k, sec, v) =>
+      (k, new java.sql.Timestamp(sec * 1000), sec, v)
+    }.toDF("k", "t", "id", "v")
+    val out = SeriesStats.meanShiftChangepoints(
+      pts, "k", "t", "id", "v", k = 5, threshold = 35.0).collect()
+    assert(out.length == 1)
+    // the detection lands on the first shifted point, delta = 5*(50-10)*1000
+    assert(out.head.getLong(3) == 200000L)
+  }
+
+  test("seasonal decomposition: pure seasonal series -> zero residual, exact indexes") {
+    import graft.operators.SeriesStats
+    import spark.implicits._
+    val pattern = (0 until 24).map(h => 10.0 + (h % 6) * 3.0) // mean 17.5
+    val pts = (0 until 24 * 5).map { i =>
+      (new java.sql.Timestamp(i * 3600L * 1000), pattern(i % 24))
+    }.toDF("t", "v")
+    val out = SeriesStats.seasonalDecompose(
+      pts, "t", "v", grainUs = 3600000000L, period = 24).cache()
+    // interior buckets only (centered 2x24 window)
+    assert(out.count() == 24 * 5 - 24)
+    assert(out.filter(col("residual_1e4") =!= 0L).count() == 0,
+      "perfectly periodic series must decompose with zero residual")
+    // trend is the flat seasonal mean: 17.5 -> milli 17500 -> 1e4-scaled
+    assert(out.select(countDistinct(col("trend_1e4"))).head().getLong(0) == 1)
+    assert(out.select(first(col("trend_1e4"))).head().getLong(0) == 175000000L)
+    // seasonal index for phase of hour 0: (10.0 - 17.5) * 1000 * 1e4
+    val p0 = out.filter(col("bucket") === ts("1970-01-02 00:00:00"))
+      .select("seasonal_1e4").head().getLong(0)
+    assert(p0 == -75000000L)
+    out.unpersist()
+  }
 }

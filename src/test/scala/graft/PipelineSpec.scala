@@ -959,4 +959,51 @@ class PipelineSpec extends SparkSpec {
     // its exact duplicate (sim = 1.0) is pushed away from rank 2
     assert(posDup != 1, s"duplicate adjacent to original: ${mmr.mkString(",")}")
   }
+
+  test("winnowing equals the textbook implementation; every window is covered") {
+    import spark.implicits._
+
+    def naive(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val n = text.length - (k - 1)
+      if (n < w) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = (1 to n).map { p =>
+        val hex = md.digest(text.substring(p - 1, p - 1 + k)
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      (0 to n - w).map { j => // rightmost minimum of each window (the paper)
+        val (h, i) = (j until j + w).map(i => (hs(i), i))
+          .minBy { case (h, i) => (h, -i) }
+        ((i + 1).toLong, h)
+      }.toSet
+    }
+
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog repeatedly",
+      2L -> "aaaaaaaaaaaaaaaaaaaa", // degenerate: all grams identical
+      3L -> "short", // fewer than w grams -> nothing
+      4L -> "abcdefghijkl" // exactly w grams at k=5,w=8: one window
+    )
+    val df = texts.toDF("doc_id", "text")
+    val out = Winnow.fingerprints(df, "doc_id", "text", k = 5, w = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toList
+    val got = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    texts.foreach { case (id, t) =>
+      val want = naive(t, 5, 8)
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id")
+    }
+    // coverage guarantee on real prose: every window of w consecutive
+    // grams contains at least one selected fingerprint position
+    val doc = Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") === 7).select("doc_id", "text")
+    val text = doc.head().getString(1)
+    val sel = Winnow.fingerprints(doc, "doc_id", "text", k = 5, w = 8)
+      .collect().map(_.getLong(1)).toSet
+    val n = text.length - 4
+    (1 to n - 7).foreach { j =>
+      assert((j until j + 8).exists(sel.contains(_)),
+        s"window at $j has no fingerprint")
+    }
+  }
 }
