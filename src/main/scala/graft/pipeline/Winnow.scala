@@ -49,4 +49,23 @@ object Winnow {
       .select(col(idCol), (-col("__m.np")).as("pos"), col("__m.__h").as("fp"))
     sel.distinct()
   }
+
+  /** MOSS-style clone detection on top of [[fingerprints]]: unordered doc
+    * pairs sharing at least `minShared` distinct fingerprint hashes, with
+    * the shared count. The join is an equi-join on the fingerprint value —
+    * quadratic only inside one fingerprint's bucket (documents sharing
+    * that exact k-gram selection), never across the corpus; candidate rows
+    * carry ids only. The winnowing guarantee makes this sound: any shared
+    * run of length ≥ w+k-1 produces at least one shared fingerprint. */
+  def similarPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 8, minShared: Long = 3): DataFrame = {
+    val fps = fingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

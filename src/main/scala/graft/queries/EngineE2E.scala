@@ -283,6 +283,32 @@ object EngineE2E {
         graft.operators.QuantileRollup.quantiles(
             sk, Seq("event_type"), Seq(0.5, 0.95, 0.99))
           .orderBy("event_type")
+      }),
+
+    // Streaming frequent-items rollup: the Misra-Gries twin of q184 —
+    // per-trigger partial MG summaries appended to an engine table, merged
+    // at read time. Capacity 100k >= the fixture's user universe, so the
+    // summaries are lossless and the exact top-5 SQL is a true oracle:
+    // a STREAMING query the driver hash-checks end-to-end.
+    GraftQuery("q195_streaming_freq_rollup",
+      Some("""WITH c AS (SELECT event_type, user_id::VARCHAR AS item,
+             |    count(*) AS est_count FROM events GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |    ORDER BY est_count DESC, item) AS rk FROM c)
+             |SELECT event_type, item, est_count FROM r WHERE rk <= 5""".stripMargin),
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-mgsink").toString)
+        val sk = graft.streaming.Rollup.freqRollupToTable(
+          e, dir, "events.parquet", schema, nanosTs = true,
+          "ts", "event_type", "user_id", bucketSeconds = 86400L, k = 100000,
+          "events_freq_rollup")
+        graft.operators.FreqRollup.topK(sk, Seq("event_type"), 5)
       })
   )
 }

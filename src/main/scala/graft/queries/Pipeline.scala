@@ -1135,6 +1135,31 @@ object PipelineQueries {
              |SELECT DISTINCT doc_id, pos::BIGINT AS pos, h AS fp
              |FROM r WHERE rk = 1""".stripMargin),
       (s, dir) => graft.pipeline.Winnow.fingerprints(
-        t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8))
+        t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8)),
+
+    // ---- MOSS clone detection (pipeline/Winnow.similarPairs): doc pairs
+    //      sharing >= 25 distinct winnowing fingerprints (the synthetic
+    //      small-vocab fixture makes low thresholds promiscuous; real
+    //      corpora use ~3). Equi-join on the fingerprint hash — quadratic
+    //      only within one hash's bucket, candidate rows carry ids only.
+    GraftQuery("q196_winnow_similarity",
+      Some("""WITH d AS (SELECT doc_id, text, length(text) - 4 AS n
+             |  FROM documents WHERE length(text) >= 12),
+             |g AS (SELECT doc_id, i.i AS pos, n,
+             |    ('0x' || substr(md5(substr(text, i.i::INT, 5)), 1, 15))::BIGINT AS h
+             |  FROM d CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(1, n)) AS i) i),
+             |w AS (SELECT doc_id, pos - o.off AS ws, pos, h
+             |  FROM g CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(0, 7)) AS off) o
+             |  WHERE pos - o.off >= 1 AND pos - o.off <= n - 7),
+             |r AS (SELECT doc_id, ws, h, row_number() OVER (
+             |    PARTITION BY doc_id, ws ORDER BY h ASC, pos DESC) AS rk FROM w),
+             |fp AS (SELECT DISTINCT doc_id, h FROM r WHERE rk = 1)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+             |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 25""".stripMargin),
+      (s, dir) => graft.pipeline.Winnow.similarPairs(
+        t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8, minShared = 25))
   )
 }

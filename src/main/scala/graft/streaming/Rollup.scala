@@ -147,6 +147,51 @@ object Rollup {
     engine.read(table).select(s.columns.map(c => col(c.name)): _*)
   }
 
+  /** Streaming FREQUENT-ITEMS rollup: the Misra-Gries twin of
+    * [[sketchRollupToTable]] — each trigger appends its batch's partial
+    * per-(tag, bucket) MG summaries to an append-mode engine table;
+    * read-time [[graft.operators.FreqRollup.topK]] merges them. Same
+    * zero-state streaming contract (mergeability instead of a state
+    * store); when `k` is at least the item universe the summaries are
+    * lossless and the merged top-n is EXACT, which is what lets the
+    * driver hash-check a streaming query against a plain SQL oracle. */
+  def freqRollupToTable(
+      engine: TsdbEngine, dir: String, glob: String, schema: StructType,
+      nanosTs: Boolean, tsCol: String, tagCol: String, itemCol: String,
+      bucketSeconds: Long, k: Int, table: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val spark = engine.spark
+    if (!engine.catalog.exists(table))
+      engine.execute(
+        s"""CREATE TABLE $table (
+           |  bucket timestamp NOT NULL, $tagCol string TAG,
+           |  sketch varbinary, n_rows bigint,
+           |  timestamp KEY(bucket))
+           |ENGINE=Analytic WITH (update_mode='append')""".stripMargin)
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    val raw = maxFilesPerTrigger
+      .fold(src)(n => src.option("maxFilesPerTrigger", n.toString))
+      .parquet(dir)
+    val events =
+      if (nanosTs) raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      else raw
+    val q = events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", engine.catalog.checkpointDir(table))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = graft.operators.FreqRollup.build(
+          batch, Seq(tagCol), tsCol, bucketSeconds, itemCol, k)
+        engine.append(table, partial.select(
+          col("bucket"), col(tagCol), col("sketch"), col("n_rows")))
+      }
+      .start()
+    q.awaitTermination()
+    val s = engine.catalog.get(table)
+    engine.read(table).select(s.columns.map(c => col(c.name)): _*)
+  }
+
   /** The shared stream → windowed aggregate: per (window start, tag):
     * count + sum. The watermark (when given) is applied on the EVENT-TIME
     * column before the aggregation — that is what lets Spark evict settled

@@ -1006,4 +1006,29 @@ class PipelineSpec extends SparkSpec {
         s"window at $j has no fingerprint")
     }
   }
+
+  test("winnow similar pairs equal pairwise fingerprint-set intersections") {
+    import spark.implicits._
+    val shared = "a long common passage that both documents quote verbatim"
+    val docs = Seq(
+      1L -> s"first document leads $shared and then diverges completely xyzzy",
+      2L -> s"second doc opens differently yet contains $shared near its end",
+      3L -> "entirely unrelated content with no overlap whatsoever qqwwee"
+    ).toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 5, w = 8)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val want = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      n = (fps(a) & fps(b)).size.toLong if n >= 1
+    } yield (a, b, n)).toSet
+    val got = Winnow.similarPairs(docs, "doc_id", "text", k = 5, w = 8,
+        minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // the planted clone pair dominates any accidental overlap
+    val clone = got.find(p => p._1 == 1L && p._2 == 2L)
+    assert(clone.isDefined, s"clone pair missing: $got")
+    assert(clone.get._3 >= 5, s"clone pair should share many fingerprints: $clone")
+  }
 }

@@ -119,6 +119,38 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("freqRollupToTable: multi-batch MG partials merge losslessly at full capacity") {
+    val srcDir = tmpDir("mgroll-src")
+    val h = 3600000L
+    val base = 1704067200000L
+    val rnd = new scala.util.Random(11)
+    // zipf-ish item draws split over three files/triggers
+    val chunks = (0 until 3).map(c => (0 until 200).map { i =>
+      val item = (math.pow(rnd.nextDouble(), 2) * 20).toInt
+      (base + c * h + i * 1000L, if (i % 2 == 0) "a" else "b", item.toDouble)
+    })
+    chunks.foreach(rows => writeSource(srcDir, rows))
+
+    val e = new TsdbEngine(spark, tmpDir("mgroll-wh"))
+    val sk = graft.streaming.Rollup.freqRollupToTable(
+      e, srcDir, "*.parquet", schema, nanosTs = false,
+      "ts", "tag", "v", bucketSeconds = 86400L, k = 1000, "mgroll",
+      maxFilesPerTrigger = Some(1))
+    val partials = sk.count()
+    assert(partials > 2, s"expected per-batch partial rows, got $partials")
+    // capacity >= universe: the merged top-k must be EXACT per tag
+    val got = graft.operators.FreqRollup.topK(sk, Seq("tag"), 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val all = chunks.flatten
+    val want = Seq("a", "b").flatMap { tag =>
+      all.filter(_._2 == tag).groupBy(_._3.toString).view
+        .mapValues(_.size.toLong).toSeq
+        .sortBy { case (item, n) => (-n, item) }.take(3)
+        .map { case (item, n) => (tag, item, n) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("SeriesRate: per-series state chains across micro-batches, evicts on timeout") {
     import graft.streaming.SeriesRate
     import graft.streaming.SeriesRate.{LastSample, RatePoint, SampleIn}
