@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
@@ -26,29 +25,17 @@ object Winnow {
   /** One row per selected fingerprint: (id, pos, fp) where `pos` is the
     * 1-based gram position and `fp` the 60-bit md5-prefix hash. Documents
     * with fewer than `w` grams (length < w+k-1) emit nothing, like the
-    * paper's guarantee threshold. */
+    * paper's guarantee threshold. Map-only: the
+    * [[graft.functions.WinnowFp]] kernel does the hash + window-min scan
+    * per document (O(|text|), O(w) state), so the only plan nodes are a
+    * scan, a projection, and the generate — no shuffle at all. */
   def fingerprints(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 8): DataFrame = {
-    val n = (length(col(textCol)) - (k - 1)).cast("long")
-    val grams = docs
-      .filter(n >= w)
-      .select(col(idCol), n.as("__n"),
-        explode(sequence(lit(1L), n)).as("pos"), col(textCol))
-      .select(col(idCol), col("__n"), col("pos"),
-        conv(substring(md5(col(textCol).substr(col("pos"), lit(k))), 1, 15),
-          16, 10).cast("long").as("__h"))
-    val byDoc = Window.partitionBy(idCol).orderBy(col("pos"))
-    // rightmost minimum of the window starting at each valid pos:
-    // lexicographic min of (hash, -pos) == ORDER BY h ASC, pos DESC limit 1
-    val sel = grams
-      .withColumn("__m",
-        min(struct(col("__h"), (-col("pos")).as("np")))
-          .over(byDoc.rowsBetween(0, w - 1)))
-      .filter(col("pos") <= col("__n") - (w - 1))
-      .select(col(idCol), (-col("__m.np")).as("pos"), col("__m.__h").as("fp"))
-    sel.distinct()
-  }
+      k: Int = 5, w: Int = 8): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(graft.functions.WinnowFp(col(textCol), k, w)).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
 
   /** MOSS-style clone detection on top of [[fingerprints]]: unordered doc
     * pairs sharing at least `minShared` distinct fingerprint hashes, with
@@ -56,13 +43,27 @@ object Winnow {
     * quadratic only inside one fingerprint's bucket (documents sharing
     * that exact k-gram selection), never across the corpus; candidate rows
     * carry ids only. The winnowing guarantee makes this sound: any shared
-    * run of length ≥ w+k-1 produces at least one shared fingerprint. */
+    * run of length ≥ w+k-1 produces at least one shared fingerprint.
+    *
+    * `maxDocFreq` is MOSS's "ignore matches appearing in more than N
+    * documents" knob: ubiquitous fingerprints (boilerplate, common
+    * phrases) carry no clone signal but dominate the join quadratically —
+    * dropping them bounds every bucket at maxDocFreq docs, i.e.
+    * O(maxDocFreq²) pairs per fingerprint. The document-frequency count
+    * is a window over the same fp partitioning the join shuffles on, so
+    * the cap costs no extra exchange. */
   def similarPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 8, minShared: Long = 3): DataFrame = {
+      k: Int = 5, w: Int = 8, minShared: Long = 3,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fps = fingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp")).distinct()
-    fps.as("a").join(fps.as("b"),
+    val kept = maxDocFreq.fold(fps) { m =>
+      fps.withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("__df") <= m).drop("__df")
+    }
+    kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))

@@ -1138,10 +1138,12 @@ object PipelineQueries {
         t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8)),
 
     // ---- MOSS clone detection (pipeline/Winnow.similarPairs): doc pairs
-    //      sharing >= 25 distinct winnowing fingerprints (the synthetic
-    //      small-vocab fixture makes low thresholds promiscuous; real
-    //      corpora use ~3). Equi-join on the fingerprint hash — quadratic
-    //      only within one hash's bucket, candidate rows carry ids only.
+    //      sharing >= 3 distinct informative winnowing fingerprints, with
+    //      MOSS's ignore-ubiquitous-matches cap at 20 docs (the synthetic
+    //      small-vocab fixture yields only ~726 distinct fingerprints, the
+    //      hottest in 78% of docs — exactly the boilerplate case the cap
+    //      exists for). Equi-join on the fingerprint hash — bounded at
+    //      O(maxDf²) pairs per fingerprint, candidate rows carry ids only.
     GraftQuery("q196_winnow_similarity",
       Some("""WITH d AS (SELECT doc_id, text, length(text) - 4 AS n
              |  FROM documents WHERE length(text) >= 12),
@@ -1155,11 +1157,14 @@ object PipelineQueries {
              |  WHERE pos - o.off >= 1 AND pos - o.off <= n - 7),
              |r AS (SELECT doc_id, ws, h, row_number() OVER (
              |    PARTITION BY doc_id, ws ORDER BY h ASC, pos DESC) AS rk FROM w),
-             |fp AS (SELECT DISTINCT doc_id, h FROM r WHERE rk = 1)
+             |fp AS (SELECT DISTINCT doc_id, h FROM r WHERE rk = 1),
+             |keep AS (SELECT doc_id, h FROM (SELECT doc_id, h,
+             |    count(*) OVER (PARTITION BY h) AS df FROM fp) WHERE df <= 20)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-             |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-             |GROUP BY 1, 2 HAVING count(*) >= 25""".stripMargin),
+             |FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
       (s, dir) => graft.pipeline.Winnow.similarPairs(
-        t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8, minShared = 25))
+        t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8,
+        minShared = 3, maxDocFreq = Some(20)))
   )
 }

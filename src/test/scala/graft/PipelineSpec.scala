@@ -1005,6 +1005,13 @@ class PipelineSpec extends SparkSpec {
       assert((j until j + 8).exists(sel.contains(_)),
         s"window at $j has no fingerprint")
     }
+    // the kernel formulation is map-only: scan -> project -> generate,
+    // no exchange anywhere
+    val fp = Winnow.fingerprints(
+      Tables.t(spark, dir, "documents"), "doc_id", "text")
+    fp.collect()
+    val plan = fp.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"winnowing must not shuffle:\n$plan")
   }
 
   test("winnow similar pairs equal pairwise fingerprint-set intersections") {
