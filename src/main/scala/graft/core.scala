@@ -18,12 +18,38 @@ final case class GraftQuery(
 
 /** Helpers shared by all query builders. */
 object Tables {
-  /** Columns stored as Parquet TIMESTAMP(NANOS), which Spark cannot read
-    * natively: loaded as raw nanos (legacy.parquet.nanosAsLong) and converted
-    * to microsecond timestamps with integral division (ns epochs exceed
-    * double's 53-bit mantissa, so `div`, never `/`). DuckDB applies the same
-    * floor truncation, keeping the oracle comparable. */
+  /** Event-time columns whose on-disk representation has varied across
+    * driver fixture generations: TIMESTAMP(NANOS) (unreadable natively —
+    * loaded as raw nanos via legacy.parquet.nanosAsLong and floor-divided
+    * to µs; ns epochs exceed double's 53-bit mantissa, so `div`, never `/`)
+    * or TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ —
+    * cast to the session-zoned type, a pure re-tag under the UTC session
+    * the drivers run). Both normalize to TimestampType µs, which is also
+    * what DuckDB's make_timestamp/epoch_* see, keeping oracles comparable. */
   private val nanosColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  /** Normalize one event-time column to session-zoned TimestampType(µs),
+    * whatever the source representation (raw nanos long / NTZ µs / already
+    * zoned). Shared by the batch loader and the streaming sources. */
+  def normalizeEventTime(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(c, org.apache.spark.sql.functions.col(c).cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** RAW on-disk schema of a fixture file (nanos bridge enabled), for
+    * callers that must declare a schema up front (readStream). */
+  def rawSchema(spark: SparkSession, dir: String, name: String)
+      : org.apache.spark.sql.types.StructType = {
+    if (nanosColumns.getOrElse(name, Nil).nonEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet").schema
+  }
 
   /** Load one driver-generated table (TESTDATA.md). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -36,11 +62,7 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    nsCols.foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
-      else d
-    }
+    nsCols.foldLeft(df)(normalizeEventTime)
   }
 
   /** A session tuned the way the engine wants it (AQE on, sane shuffle

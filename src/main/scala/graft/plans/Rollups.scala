@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.functions.{col, floor, lit, timestamp_micros, unix_micros}
-import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Transparent materialized-rollup query rewriting — the TSDB optimization
   * the reference reaches through manually-queried rollup tables, promoted
@@ -157,13 +157,24 @@ object Rollups {
       }
       def toScala(l: Literal): Any =
         CatalystTypeConverters.convertToScala(l.value, l.dataType)
-      // the ts column as queries see it: either a plain timestamp attribute
+      // the ts column as queries see it: a plain timestamp attribute, the
+      // NTZ-storage cast (Tables.normalizeEventTime over µs-NTZ fixtures),
       // or the engine's nanos-storage derivation timestamp_micros(ts div 1000)
       def isTs(e: Expression): Boolean = e match {
         case a: AttributeReference => a.name == spec.tsCol
+        case Cast(a: AttributeReference, TimestampType, _, _) => a.name == spec.tsCol
         case MicrosToTimestamp(IntegralDivide(a: AttributeReference, Literal(1000L, _), _)) =>
           a.name == spec.tsCol
         case _ => false
+      }
+      // timestamp bound literals: LTZ and NTZ both store epoch-µs longs,
+      // identical instants under the UTC sessions this engine runs
+      object TsMicrosLit {
+        def unapply(e: Expression): Option[Long] = e match {
+          case Literal(m: Long, TimestampType)    => Some(m)
+          case Literal(m: Long, TimestampNTZType) => Some(m)
+          case _ => None
+        }
       }
       val rollupFilter: Option[Column] = filterCond match {
         case None => None
@@ -173,11 +184,11 @@ object Rollups {
           val cols = scala.collection.mutable.ListBuffer.empty[Column]
           val residual = scala.collection.mutable.ListBuffer.empty[Expression]
           split(c).foreach {
-            case GreaterThanOrEqual(e, Literal(m: Long, TimestampType))
+            case GreaterThanOrEqual(e, TsMicrosLit(m))
                 if isTs(e) && m >= 0 && m % spec.grainUs == 0 =>
               loUs = math.max(loUs, m)
               cols += (col(spec.bucketCol) >= timestamp_micros(lit(m)))
-            case LessThan(e, Literal(m: Long, TimestampType))
+            case LessThan(e, TsMicrosLit(m))
                 if isTs(e) && m >= 0 && m % spec.grainUs == 0 =>
               hiUs = math.min(hiUs, m)
               cols += (col(spec.bucketCol) < timestamp_micros(lit(m)))

@@ -52,14 +52,12 @@ object EngineE2E {
             |  ts timestamp NOT NULL, event_type string TAG, value double,
             |  event_id int64, timestamp KEY(ts))
             |ENGINE=Analytic WITH (update_mode='append', enable_ttl='false')""".stripMargin)
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        def src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // actual on-disk schema (fixture generations vary: nanos-long vs
+        // µs-NTZ) — normalizeEventTime downstream handles either
+        val schema = Tables.rawSchema(s, dir, "events")
+        def src = Tables.normalizeEventTime(
+            s.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(dir), "ts")
           .select("ts", "event_type", "value", "event_id")
         graft.streaming.StreamDedup.dedupToTable(
           e, src.unionAll(src), "ts", "1 hour", Seq("event_id"), "events_dedup")
@@ -83,12 +81,9 @@ object EngineE2E {
             |  value double, event_id int64,
             |  timestamp KEY(ts))
             |ENGINE=Analytic WITH (update_mode='append', enable_ttl='false')""".stripMargin)
-        // events.parquet carries TIMESTAMP(NANOS): stream it as raw long
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // actual on-disk schema (fixture generations vary: nanos-long vs
+        // µs-NTZ) — normalizeEventTime downstream handles either
+        val schema = Tables.rawSchema(s, dir, "events")
         // file streaming source wants a directory: stream the sf dir,
         // glob-filtered to the events table
         val stream = s.readStream.schema(schema)
@@ -98,8 +93,7 @@ object EngineE2E {
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            e.append("events_ingest", batch
-              .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            e.append("events_ingest", Tables.normalizeEventTime(batch, "ts")
               .select("ts", "event_type", "user_id", "value", "event_id"))
           }
           .start()
@@ -119,11 +113,9 @@ object EngineE2E {
              |  event_type, count(*) AS n, round(sum("value"), 2) AS total
              |FROM events GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // actual on-disk schema (fixture generations vary: nanos-long vs
+        // µs-NTZ) — normalizeEventTime downstream handles either
+        val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
           java.nio.file.Files.createTempDirectory("graft-rollup").toString)
         graft.streaming.Rollup.windowedRollupToTable(
@@ -152,11 +144,9 @@ object EngineE2E {
              |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, "value"))
              |WHERE pv IS NOT NULL AND us > pt""".stripMargin),
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // actual on-disk schema (fixture generations vary: nanos-long vs
+        // µs-NTZ) — normalizeEventTime downstream handles either
+        val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
           java.nio.file.Files.createTempDirectory("graft-srate").toString)
         graft.streaming.SeriesRate.rateToTable(
@@ -195,11 +185,9 @@ object EngineE2E {
              |WHERE end_us <= (SELECT ((max(us) // 1000) - 3600000) * 1000 FROM e)
              |""".stripMargin),
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // actual on-disk schema (fixture generations vary: nanos-long vs
+        // µs-NTZ) — normalizeEventTime downstream handles either
+        val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
           java.nio.file.Files.createTempDirectory("graft-sess").toString)
         graft.streaming.Sessionize.sessionsToTable(
@@ -223,11 +211,9 @@ object EngineE2E {
              |  AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 7200000000
              |""".stripMargin),
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // actual on-disk schema (fixture generations vary: nanos-long vs
+        // µs-NTZ) — normalizeEventTime downstream handles either
+        val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
           java.nio.file.Files.createTempDirectory("graft-ssjoin").toString)
         graft.streaming.StreamJoin.intervalJoinToTable(
@@ -245,11 +231,9 @@ object EngineE2E {
              |  event_type, count(*) AS n, round(sum("value"), 2) AS total
              |FROM events WHERE event_type = 'click' GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // actual on-disk schema (fixture generations vary: nanos-long vs
+        // µs-NTZ) — normalizeEventTime downstream handles either
+        val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
           java.nio.file.Files.createTempDirectory("graft-psink").toString)
         graft.streaming.Rollup.windowedRollupToTable(
@@ -269,11 +253,9 @@ object EngineE2E {
     GraftQuery("q184_streaming_sketch_rollup",
       None,
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // actual on-disk schema (fixture generations vary: nanos-long vs
+        // µs-NTZ) — normalizeEventTime downstream handles either
+        val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
           java.nio.file.Files.createTempDirectory("graft-sksink").toString)
         val sk = graft.streaming.Rollup.sketchRollupToTable(
@@ -297,11 +279,9 @@ object EngineE2E {
              |    ORDER BY est_count DESC, item) AS rk FROM c)
              |SELECT event_type, item, est_count FROM r WHERE rk <= 5""".stripMargin),
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // actual on-disk schema (fixture generations vary: nanos-long vs
+        // µs-NTZ) — normalizeEventTime downstream handles either
+        val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
           java.nio.file.Files.createTempDirectory("graft-mgsink").toString)
         val sk = graft.streaming.Rollup.freqRollupToTable(

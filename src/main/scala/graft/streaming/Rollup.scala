@@ -129,7 +129,7 @@ object Rollup {
       .fold(src)(n => src.option("maxFilesPerTrigger", n.toString))
       .parquet(dir)
     val events =
-      if (nanosTs) raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      if (nanosTs) graft.Tables.normalizeEventTime(raw, tsCol)
       else raw
     val q = events.writeStream
       .trigger(Trigger.AvailableNow())
@@ -174,7 +174,7 @@ object Rollup {
       .fold(src)(n => src.option("maxFilesPerTrigger", n.toString))
       .parquet(dir)
     val events =
-      if (nanosTs) raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      if (nanosTs) graft.Tables.normalizeEventTime(raw, tsCol)
       else raw
     val q = events.writeStream
       .trigger(Trigger.AvailableNow())
@@ -203,7 +203,7 @@ object Rollup {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
     val events =
-      if (nanosTs) raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      if (nanosTs) graft.Tables.normalizeEventTime(raw, tsCol)
       else raw
     val marked = watermarkDelay.fold(events)(d => events.withWatermark(tsCol, d))
     marked

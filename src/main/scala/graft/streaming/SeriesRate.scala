@@ -89,12 +89,13 @@ object SeriesRate {
            |  timestamp KEY(ts))
            |ENGINE=Analytic WITH (update_mode='append')""".stripMargin)
 
-    val raw = spark.readStream.schema(schema)
+    val raw0 = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
-    val tsUs =
-      // integral div: ns epochs exceed double's mantissa, `/` would drift
-      if (nanosTs) expr(s"$tsCol div 1000")
-      else unix_micros(col(tsCol))
+    // normalize first (raw-nanos long / NTZ µs / zoned all → TimestampType):
+    // unix_micros on the normalized column is the same integral µs the old
+    // `div 1000` nanos bridge produced — no float drift on either path
+    val raw = if (nanosTs) graft.Tables.normalizeEventTime(raw0, tsCol) else raw0
+    val tsUs = unix_micros(col(tsCol))
     val samples = raw.select(
         col(seriesCol).cast("string").as("series"),
         tsUs.as("tsUs"),

@@ -34,7 +34,7 @@ object Sessionize {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
     val events =
-      if (nanosTs) raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      if (nanosTs) graft.Tables.normalizeEventTime(raw, tsCol)
       else raw
     events
       .withWatermark(tsCol, watermarkDelay)

@@ -46,7 +46,7 @@ object StreamJoin {
       val raw = spark.readStream.schema(schema)
         .option("pathGlobFilter", glob).parquet(dir)
       val events =
-        if (nanosTs) raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+        if (nanosTs) graft.Tables.normalizeEventTime(raw, tsCol)
         else raw
       events.filter(col(typeCol) === evType)
         .select(col(keyCol).cast("string").as(s"${alias}_key"),
