@@ -21,7 +21,10 @@ object Verify {
     // rule would make "q5" also select q50–q59); the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
+    // sorted execution: hash-map order varies as queries are added, which
+    // makes two driver runs interleave fixtures differently — name order
+    // keeps run-to-run behavior (and any partial-failure tail) reproducible
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -946,7 +946,7 @@ object PipelineQueries {
              |          THEN ([1000000,630930,500000,430677,386853,356207,333333,315465,301030,289065])[rn]
              |          ELSE 0 END) AS dcg
              |      FROM r GROUP BY 1)
-             |SELECT aid AS anchor_id, n_rel,
+             |SELECT aid AS anchor_id, n_rel::BIGINT AS n_rel,
              |  round(hits::DOUBLE / least(10, n_rel), 4) AS recall,
              |  round(mrr, 4) AS mrr,
              |  round(dcg::DOUBLE / list_sum(list_slice(

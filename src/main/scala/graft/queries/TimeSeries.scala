@@ -192,7 +192,7 @@ object TimeSeries {
              |  FROM events),
              |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
              |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM o)
-             |SELECT user_id, session_seq, min(ts) AS session_start,
+             |SELECT user_id, session_seq::BIGINT AS session_seq, min(ts) AS session_start,
              |  max(ts) AS session_end, count(*) AS n_events,
              |  round(sum("value"), 2) AS total
              |FROM s GROUP BY 1, 2""".stripMargin),
@@ -536,7 +536,7 @@ object TimeSeries {
              |    count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
              |      ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS nl
              |  FROM v)
-             |SELECT event_type, ts, event_id, sl - st AS sum_delta_milli
+             |SELECT event_type, ts, event_id, (sl - st)::BIGINT AS sum_delta_milli
              |FROM w WHERE nt = 12 AND nl = 12 AND abs(sl - st) > 8000 * 12""".stripMargin),
       (s, dir) => graft.operators.SeriesStats.meanShiftChangepoints(
         t(s, dir, "events"), "event_type", "ts", "event_id", "value",
@@ -563,10 +563,10 @@ object TimeSeries {
              |    x * 48 - (lo + mid2 + hi) AS dn
              |  FROM w WHERE n = 25 AND b1 - b0 = 24),
              |s AS (SELECT phase, sum(dn) AS sn, count(*) AS np FROM d GROUP BY 1)
-             |SELECT make_timestamp(b * 3600000000) AS bucket, x AS sum_milli,
-             |  (tn * 10000) // 48 AS trend_1e4,
-             |  (sn * 10000) // (48 * np) AS seasonal_1e4,
-             |  ((x * 48 * np - tn * np - sn) * 10000) // (48 * np) AS residual_1e4
+             |SELECT make_timestamp(b * 3600000000) AS bucket, x::BIGINT AS sum_milli,
+             |  ((tn * 10000) // 48)::BIGINT AS trend_1e4,
+             |  ((sn * 10000) // (48 * np))::BIGINT AS seasonal_1e4,
+             |  (((x * 48 * np - tn * np - sn) * 10000) // (48 * np))::BIGINT AS residual_1e4
              |FROM d JOIN s USING (phase)""".stripMargin),
       (s, dir) => graft.operators.SeriesStats.seasonalDecompose(
         t(s, dir, "events"), "ts", "value",
