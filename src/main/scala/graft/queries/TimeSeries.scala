@@ -306,12 +306,60 @@ object TimeSeries {
 
     // ---- LTTB downsampling (Steinarsson 2013 §4.2): the greedy
     //      prev-selected/next-centroid recurrence as a per-partition
-    //      streaming kernel. Sequential selection is not SQL-replayable at
-    //      reasonable cost (recursion over argmax over recursion), so the
-    //      gate is rows-only; OperatorsSpec proves equality against an
-    //      in-memory textbook implementation.
+    //      streaming kernel. The oracle replays the sequential selection
+    //      with a recursive CTE carrying (series, prev-selected point) and
+    //      a correlated argmax per step (the q163 MMR pattern); the area
+    //      expression mirrors the kernel's operand order exactly and bucket
+    //      centroids sum in index order, so doubles agree bit-for-bit.
+    //      OperatorsSpec additionally proves equality against an in-memory
+    //      textbook implementation.
     GraftQuery("q174_lttb_downsample",
-      None,
+      Some("""WITH RECURSIVE pts AS (
+             |  SELECT user_id AS s, ts, "value" AS v,
+             |         epoch_us(ts)::DOUBLE AS x,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS i,
+             |         count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM events),
+             |small AS (SELECT s, ts, v FROM pts WHERE n <= 50),
+             |mid AS (
+             |  SELECT s, ts, v, x, i,
+             |         1 + floor((i - 2)::DOUBLE * 48 / (n - 2)::DOUBLE)::BIGINT AS b
+             |  FROM pts WHERE n > 50 AND i >= 2 AND i <= n - 1),
+             |cent AS (
+             |  SELECT s, b,
+             |         list_sum(list(x ORDER BY i)) / count(*) AS cx,
+             |         list_sum(list(v ORDER BY i)) / count(*) AS cy
+             |  FROM mid GROUP BY s, b),
+             |lastpt AS (SELECT s, ts, v, x FROM pts WHERE n > 50 AND i = n),
+             |firstpt AS (SELECT s, ts, v, x FROM pts WHERE n > 50 AND i = 1),
+             |anch AS (
+             |  SELECT m.s, m.b AS k,
+             |         coalesce(c.cx, l.x) AS ax, coalesce(c.cy, l.v) AS ay
+             |  FROM (SELECT DISTINCT s, b FROM mid) m
+             |  LEFT JOIN cent c ON c.s = m.s AND c.b = m.b + 1
+             |  JOIN lastpt l ON l.s = m.s),
+             |sel AS (
+             |  SELECT s, 0::BIGINT AS k, x AS px, v AS py,
+             |         CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS DOUBLE) AS v
+             |  FROM firstpt
+             |  UNION ALL
+             |  SELECT sel.s, sel.k + 1, w.pt.x, w.pt.v, w.pt.ts, w.pt.v
+             |  FROM sel, LATERAL (
+             |    SELECT (
+             |      SELECT {'ts': m.ts, 'v': m.v, 'x': m.x}
+             |      FROM mid m JOIN anch a ON a.s = sel.s AND a.k = sel.k + 1
+             |      WHERE m.s = sel.s AND m.b = sel.k + 1
+             |      ORDER BY abs((sel.px - a.ax) * (m.v - sel.py)
+             |                 - (sel.px - m.x) * (a.ay - sel.py)) DESC, m.i ASC
+             |      LIMIT 1) AS pt) w
+             |  WHERE sel.k < 48)
+             |SELECT s AS user_id, ts, v AS "value" FROM small
+             |UNION ALL
+             |SELECT s, ts, v FROM firstpt
+             |UNION ALL
+             |SELECT s, ts, v FROM sel WHERE k >= 1
+             |UNION ALL
+             |SELECT s, ts, v FROM lastpt""".stripMargin),
       (s, dir) => graft.operators.Downsample.lttb(
         t(s, dir, "events"), "user_id", "ts", "value", nOut = 50)),
 
