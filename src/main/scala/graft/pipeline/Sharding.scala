@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus shuffle + size-balanced shard export — the final
+  * stage of a training-data pipeline: the cleaned corpus is given one
+  * reproducible global order (a keyed shuffle, so "epoch 0 order" is a
+  * pure function of the salt, not of cluster scheduling) and cut into
+  * equal-size shards the trainer streams.
+  *
+  * The global rank is a prefix count over a total order, computed with the
+  * same distributed two-phase scan as [[Packing]]: an unpartitioned
+  * `row_number()` would serialize 100 TB through one reducer, so instead
+  * range-repartition on the shuffle key (partition p holds a contiguous
+  * key span), collect per-partition row counts (O(partitions), independent
+  * of corpus size), and add each partition's exclusive base to a fully
+  * parallel per-partition window rank.
+  *
+  * Shards are CONTIGUOUS RANK BLOCKS (`shard = seq * n / N`), not hash
+  * buckets: block assignment makes every shard's size exact (±1 doc) where
+  * modulo hashing only balances in expectation, and it keeps each shard a
+  * contiguous range of the shuffled order — a shard is a reproducible
+  * sample of the corpus, and writing it touches one partition's span.
+  */
+object Sharding {
+
+  /** The corpus in its deterministic shuffle order: adds `seq` (0-based
+    * global rank by md5(salt, id) — uniform, collision-free over distinct
+    * ids, and engine-portable) while keeping every input column. */
+  def shuffled(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .withColumn("__key", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .repartitionByRange(col("__key"))
+      .sortWithinPartitions("__key")
+      .withColumn("__pid", spark_partition_id())
+      // pin phase 1's range boundaries so phase 2 sees identical partitions
+      .localCheckpoint()
+    val counts = keyed.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = counts.map(_._1)
+      .zip(counts.scanLeft(0L) { case (acc, (_, c)) => acc + c })
+      .toSeq.toDF("__pid", "__base")
+    val w = Window.partitionBy("__pid").orderBy("__key")
+    keyed
+      .join(broadcast(bases), "__pid")
+      .withColumn("seq", col("__base") + row_number().over(w).cast("long") - 1)
+      .drop("__pid", "__base", "__key")
+  }
+
+  /** [[shuffled]] plus the block-balanced `shard` column
+    * (`shard = seq * nShards / N`, integer division). N comes from a
+    * 1-row max(seq) agg over the checkpointed rank frame — no second
+    * scan of the data columns, no per-row window. */
+  def assign(df: DataFrame, idCol: String, salt: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val s = shuffled(df, idCol, salt)
+    val n = Option(s.agg(max("seq")).head.get(0))
+      .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
+    // integral division (Column./ is double division — a float quotient
+    // here could mis-assign the block boundary docs at 100 TB rank scale)
+    s.withColumn("shard", expr(s"(seq * $nShards) div ${n}L").cast("int"))
+  }
+
+  /** Per-shard release manifest: doc count, token total, rank span —
+    * the exact-size audit a trainer checks before an epoch. */
+  def manifest(
+      df: DataFrame, idCol: String, textCol: String, salt: String,
+      nShards: Int): DataFrame =
+    assign(df, idCol, salt, nShards)
+      .withColumn("__t", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("total_tokens"),
+        min("seq").as("min_seq"), max("seq").as("max_seq"))
+
+  /** Write the sharded corpus: one parquet file per shard (each shard is
+    * repartitioned to a single writer task — shard size is the file size),
+    * directory-partitioned so a trainer reads `shard=K/` directly. */
+  def write(
+      df: DataFrame, idCol: String, salt: String, nShards: Int,
+      outDir: String): Unit =
+    assign(df, idCol, salt, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("seq")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(outDir)
+}

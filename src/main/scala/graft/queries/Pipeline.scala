@@ -1165,6 +1165,25 @@ object PipelineQueries {
              |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
       (s, dir) => graft.pipeline.Winnow.similarPairs(
         t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8,
-        minShared = 3, maxDocFreq = Some(20)))
+        minShared = 3, maxDocFreq = Some(20))),
+
+    // ---- deterministic corpus shuffle + size-balanced shard manifest
+    //      (pipeline/Sharding): md5-keyed global order via the two-phase
+    //      prefix scan (no single-reducer row_number), contiguous rank
+    //      blocks as shards (exact ±1 balance, unlike modulo hashing).
+    //      md5 is engine-portable, so the whole layout is hash-checkable.
+    GraftQuery("q197_shard_manifest",
+      Some("""WITH k AS (SELECT doc_id, text,
+             |    md5('g4' || doc_id::VARCHAR) AS key FROM documents),
+             |r AS (SELECT doc_id, text,
+             |    row_number() OVER (ORDER BY key) - 1 AS seq,
+             |    count(*) OVER () AS n FROM k)
+             |SELECT ((seq * 16) // n)::INT AS shard,
+             |  count(*) AS n_docs,
+             |  sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS total_tokens,
+             |  min(seq)::BIGINT AS min_seq, max(seq)::BIGINT AS max_seq
+             |FROM r GROUP BY 1""".stripMargin),
+      (s, dir) => graft.pipeline.Sharding.manifest(
+        t(s, dir, "documents"), "doc_id", "text", salt = "g4", nShards = 16))
   )
 }

@@ -1038,4 +1038,42 @@ class PipelineSpec extends SparkSpec {
     assert(clone.isDefined, s"clone pair missing: $got")
     assert(clone.get._3 >= 5, s"clone pair should share many fingerprints: $clone")
   }
+
+  test("sharding: seq is a dense permutation, shards balanced ±1, layout deterministic") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    val a = Sharding.assign(docs, "doc_id", salt = "s1", nShards = 7)
+      .select("doc_id", "seq", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // dense 0..N-1 rank, exactly once each
+    assert(a.map(_._2).sorted.toSeq == (0L until 1000L))
+    // block-contiguous shards, sizes within 1 of each other
+    val sizes = a.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0 until 7).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    // same salt => identical layout (reproducible epoch order);
+    // different salt => a different permutation
+    val b = Sharding.assign(docs, "doc_id", salt = "s1", nShards = 7)
+      .select("doc_id", "seq", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    val c = Sharding.shuffled(docs, "doc_id", salt = "s2")
+      .select("doc_id", "seq").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(c.sortBy(_._1).map(_._2).toSeq != a.sortBy(_._1).map(_._2).toSeq)
+  }
+
+  test("sharding: write emits one parquet file per shard, readable by shard dir") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"d $i")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Sharding.write(docs, "doc_id", salt = "w", nShards = 4, outDir = out)
+    (0 until 4).foreach { sh =>
+      val files = new java.io.File(s"$out/shard=$sh")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $sh: ${files.length} files")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200)
+    assert(back.select("doc_id").distinct().count() == 200)
+  }
 }
