@@ -1184,6 +1184,53 @@ object PipelineQueries {
              |  min(seq)::BIGINT AS min_seq, max(seq)::BIGINT AS max_seq
              |FROM r GROUP BY 1""".stripMargin),
       (s, dir) => graft.pipeline.Sharding.manifest(
-        t(s, dir, "documents"), "doc_id", "text", salt = "g4", nShards = 16))
+        t(s, dir, "documents"), "doc_id", "text", salt = "g4", nShards = 16)),
+
+    // ---- incremental exact dedup against a persisted content-hash index
+    //      (pipeline/Incremental): the corpus is indexed once (md5 set);
+    //      an incoming batch = 50 replayed docs (new ids, same bytes) +
+    //      50 modified docs. The anti-join must drop exactly the replays.
+    GraftQuery("q198_incremental_exact",
+      Some("""WITH idx AS (SELECT DISTINCT md5(text) AS h FROM documents),
+             |incoming AS (
+             |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 20000, text || ' updated' FROM documents
+             |  WHERE doc_id >= 50 AND doc_id < 100)
+             |SELECT doc_id, length(text)::BIGINT AS n_chars FROM incoming
+             |WHERE md5(text) NOT IN (SELECT h FROM idx)""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val idx = graft.pipeline.Incremental.exactIndex(docs, "text")
+        val incoming = docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+            .select((col("doc_id") + 20000).as("doc_id"),
+              concat(col("text"), lit(" updated")).as("text")))
+        graft.pipeline.Incremental.filterNewExact(idx, incoming, "text")
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      }),
+
+    // ---- incremental NEAR-dup dedup against the signature index: batch =
+    //      50 lightly-edited replays (one appended token — near-dups of
+    //      indexed docs) + the 50 highest-id docs as stand-ins for fresh
+    //      content (corpus index stops at doc_id < 250). Signature
+    //      agreement is minhash-dependent (rows-only); PipelineSpec binds
+    //      planted recall and clean-batch pass-through.
+    GraftQuery("q199_incremental_near_dup",
+      None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val idx = graft.pipeline.Incremental.signatureIndex(
+          docs.filter(col("doc_id") < 250), "doc_id", "text")
+        val incoming = docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zq")).as("text"))
+          .unionAll(docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        graft.pipeline.Incremental.filterNewNear(idx, incoming, "doc_id", "text")
+          .agg(count(lit(1)).as("n_new"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      })
   )
 }

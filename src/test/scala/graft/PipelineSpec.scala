@@ -1062,6 +1062,38 @@ class PipelineSpec extends SparkSpec {
     assert(c.sortBy(_._1).map(_._2).toSeq != a.sortBy(_._1).map(_._2).toSeq)
   }
 
+  test("incremental dedup: replays drop, edits near-match, fresh content passes") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about distributed query engines at scale"),
+      (3L, "a third document with its own unique words nothing shared here")
+    ).toDF("doc_id", "text")
+    // exact path: byte replay drops, any edit passes
+    val exIdx = Incremental.exactIndex(corpus, "text")
+    val exIn = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (12L, "the quick brown fox jumps over the lazy dog again and again tomorrow"))
+      .toDF("doc_id", "text")
+    assert(Incremental.filterNewExact(exIdx, exIn, "text")
+      .select("doc_id").as[Long].collect().toSet == Set(12L))
+    // near path: a one-token edit of an indexed doc is condemned by
+    // signature agreement; unrelated text passes
+    val sigIdx = Incremental.signatureIndex(corpus, "doc_id", "text")
+    val nearIn = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog again and again today extra"),
+      (22L, "entirely novel material mentioning neither foxes nor engines whatsoever"))
+      .toDF("doc_id", "text")
+    val kept = Incremental.filterNewNear(sigIdx, nearIn, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(22L), s"expected only the novel doc to survive: $kept")
+    // an exact replay has identical signatures -> agreement 1.0 -> drops
+    val replay = Seq((31L,
+      "a third document with its own unique words nothing shared here"))
+      .toDF("doc_id", "text")
+    assert(Incremental.filterNewNear(sigIdx, replay, "doc_id", "text").count() == 0)
+  }
+
   test("sharding: write emits one parquet file per shard, readable by shard dir") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"d $i")).toDF("doc_id", "text")
