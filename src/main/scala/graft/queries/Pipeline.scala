@@ -1231,6 +1231,57 @@ object PipelineQueries {
         graft.pipeline.Incremental.filterNewNear(idx, incoming, "doc_id", "text")
           .agg(count(lit(1)).as("n_new"),
             min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      }),
+
+    // ---- the release pipeline end-to-end: exact dedup -> token-length
+    //      band -> benchmark decontamination -> deterministic shuffle ->
+    //      balanced shard manifest, composed as ONE query (the q188
+    //      cleaning chain swaps its fixture-vacuous Gopher stage for the
+    //      length band so the output is non-trivial on this corpus). The
+    //      whole chain is engine-portable (md5 ranks, integer counts), so
+    //      the driver hash-checks the final shard manifest.
+    GraftQuery("q200_release_pipeline",
+      Some("""WITH corpus AS (SELECT min(doc_id) AS doc_id, text
+             |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY text),
+             |sized AS (SELECT doc_id, text FROM corpus
+             |  WHERE len(string_split_regex(trim(text), '\s+')) BETWEEN 50 AND 100000),
+             |tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM sized),
+             |grams AS (SELECT doc_id,
+             |    CASE WHEN len(ts) >= 8 THEN array_to_string(ts[g.i:g.i+7], ' ')
+             |         ELSE array_to_string(ts, ' ') END AS gram
+             |  FROM tok CROSS JOIN LATERAL
+             |    (SELECT unnest(range(1, greatest(len(ts)-7, 1)+1)) AS i) g),
+             |btok AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ts
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |bgrams AS (SELECT DISTINCT
+             |    CASE WHEN len(ts) >= 8 THEN array_to_string(ts[g.i:g.i+7], ' ')
+             |         ELSE array_to_string(ts, ' ') END AS gram
+             |  FROM btok CROSS JOIN LATERAL
+             |    (SELECT unnest(range(1, greatest(len(ts)-7, 1)+1)) AS i) g),
+             |contam AS (SELECT DISTINCT doc_id FROM grams
+             |  WHERE gram IN (SELECT gram FROM bgrams)),
+             |clean AS (SELECT doc_id, text FROM sized
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+             |k AS (SELECT doc_id, text, md5('p5' || doc_id::VARCHAR) AS key FROM clean),
+             |r AS (SELECT doc_id, text, row_number() OVER (ORDER BY key) - 1 AS seq,
+             |    count(*) OVER () AS cnt FROM k)
+             |SELECT ((seq * 4) // cnt)::INT AS shard, count(*) AS n_docs,
+             |  sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS total_tokens,
+             |  min(seq)::BIGINT AS min_seq, max(seq)::BIGINT AS max_seq
+             |FROM r GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+        val bench = docs.filter(col("doc_id") % 7 === 0)
+        val dedup = graft.pipeline.Dedup.exactKeepFirst(corpus, "doc_id", "text")
+          .select("doc_id", "text")
+        val sized = dedup.filter(graft.pipeline.TextAnalysis
+          .tokenCount(col("text")).between(50, 100000))
+        val contaminated = graft.pipeline.Decontaminate.contaminated(
+          sized, "doc_id", "text", bench, "text", 8).select("doc_id")
+        val clean = sized.join(contaminated, Seq("doc_id"), "left_anti")
+        graft.pipeline.Sharding.manifest(clean, "doc_id", "text",
+          salt = "p5", nShards = 4)
       })
   )
 }
