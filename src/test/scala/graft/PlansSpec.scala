@@ -105,4 +105,22 @@ class PlansSpec extends SparkSpec {
         .findFirstIn(plan).isDefined || plan.contains("Partial"),
       s"expected a partial (pre-shuffle) group limit phase in:\n$plan")
   }
+
+  test("ts range filter pushes to parquet on the REAL driver fixture") {
+    // the driver regenerates fixtures per round and the event-time physical
+    // type has already changed once (nanos -> µs-NTZ); whatever bridge
+    // Tables.t inserts (div-1000 derivation, NTZ->LTZ cast), a range filter
+    // written against the normalized column must still unwrap to a pushed
+    // parquet filter — a 100 TB scan without row-group pruning is the
+    // single worst silent regression a fixture change could cause
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("ts") >=
+          lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")))
+      .select("event_id", "ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"time-range filter did not reach the parquet scan:\n$plan")
+  }
 }
