@@ -131,3 +131,53 @@ object DotProduct {
   def apply(a: Column, b: Column): Column =
     GraftBridge.col(DotProduct(GraftBridge.expr(a), GraftBridge.expr(b)))
 }
+
+/** Fraction of agreeing slots between two equal-length minhash signatures
+  * (array&lt;long&gt;) — the standard unbiased Jaccard estimator, and the
+  * verification kernel of index-based incremental dedup. A
+  * `zip_with`+`filter` composition evaluates interpreted AND its lambda
+  * variables mint fresh expression ids per call, so every invocation
+  * generates (and compiles) new codegen source; this native form is one
+  * primitive loop with stable source, compiled once per session. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var i = 0; var eq = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val eq = ctx.freshName("eq")
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $i = 0; int $eq = 0;
+         |while ($i < $n) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |  $i++;
+         |}
+         |${ev.value} = $n == 0 ? 0.0 : ((double) $eq) / $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigAgreement {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.col(SigAgreement(GraftBridge.expr(a), GraftBridge.expr(b)))
+}

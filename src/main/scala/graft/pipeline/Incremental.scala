@@ -38,7 +38,10 @@ object Incremental {
       .drop("__h")
 
   /** Near-dup signature index: (id, sig[numHashes], bandkeys[bands]).
-    * Built once per corpus generation; appended to as batches land. */
+    * Built once per corpus generation; appended to as batches land.
+    * PERSIST the result (a table, or localCheckpoint in-session): passing
+    * the lazy frame to [[filterNewNear]] re-derives corpus signatures per
+    * downstream join — exactly the rescan the index exists to avoid. */
   def signatureIndex(
       corpus: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
@@ -52,12 +55,12 @@ object Incremental {
   }
 
   /** Estimated Jaccard between two equal-length minhash signatures: the
-    * fraction of agreeing slots (the standard unbiased minhash estimator).
-    * Candidate sets are LSH-pruned before this runs, so the interpreted
-    * higher-order function touches only candidate pairs, never the corpus. */
+    * fraction of agreeing slots (the standard unbiased minhash estimator),
+    * as a native codegen'd kernel — a zip_with/filter HOF would evaluate
+    * interpreted and recompile fresh codegen source per call (lambda
+    * variables mint new expression ids). */
   private def sigAgreement(a: Column, b: Column): Column =
-    size(filter(zip_with(a, b, (x, y) => (x === y).cast("int")),
-      v => v === 1)).cast("double") / size(a)
+    graft.functions.SigAgreement(a, b)
 
   /** Deduplicate an incoming batch against the signature index: a row is
     * dropped when SOME indexed document shares an LSH band AND the

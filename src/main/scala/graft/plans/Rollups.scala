@@ -54,7 +54,14 @@ object Rollups {
       rollup: () => DataFrame,
       /** per-field non-null counts (count(x), not count(*)) — mergeable
         * regardless of nulls: sum of per-bucket non-null counts */
-      counts: Map[String, String] = Map.empty)
+      counts: Map[String, String] = Map.empty,
+      /** Datasketches HLL sketch columns: raw col -> (sketch col, lgK).
+        * `hll_sketch_estimate(hll_sketch_agg(x, lgK))` over raw is served
+        * as estimate(union of per-bucket sketches) — BIT-EXACT, the merge
+        * identity union(sketch(A), sketch(B)) == sketch(A ∪ B) that
+        * OperatorsSpec proves for SketchRollup. Same-lgK only: a
+        * mixed-precision union downgrades and would change the estimate. */
+      hlls: Map[String, (String, Int)] = Map.empty)
 
   private val specs = new ConcurrentHashMap[String, RollupSpec]()
 
@@ -300,12 +307,31 @@ object Rollups {
           case _ => None
         }
       }
+      // hll_sketch_agg(x, lgK) over raw -> union of the rollup's sketches
+      // (same lgK only — see RollupSpec.hlls)
+      def mergeSketch(ae: AggregateExpression): Option[Column] = {
+        if (ae.isDistinct || ae.filter.nonEmpty) return None
+        ae.aggregateFunction match {
+          case h: org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg =>
+            (resolve(h.left), h.right) match {
+              case (a: AttributeReference, Literal(lgK: Int, _))
+                  if spec.hlls.get(a.name).exists(_._2 == lgK) =>
+                Some(org.apache.spark.sql.functions.hll_union_agg(
+                  col(spec.hlls(a.name)._1), lit(false)))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
       val classified: Seq[(Out, NamedExpression)] = outs.map { o =>
         val out: Out = o match {
           case a: AttributeReference if spec.tags.contains(a.name) &&
               tagNames.contains(a.name) => TagOut(a.name)
           case Alias(inner, _) => resolve(inner) match {
             case CanonicalBucket(_, g) if bucketG.contains(g) => BucketOut
+            case HllSketchEstimate(ae: AggregateExpression) =>
+              AggOut(org.apache.spark.sql.functions.hll_sketch_estimate(
+                mergeSketch(ae).getOrElse(return None)))
             case ae: AggregateExpression =>
               AggOut(mergeAgg(ae).getOrElse(return None))
             // CollapseProject folds the engine's round(agg, k) presentation

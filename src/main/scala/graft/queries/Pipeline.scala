@@ -1221,8 +1221,10 @@ object PipelineQueries {
       None,
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // the index is a PERSISTED artifact in real use — pin it so the
+        // query joins against materialized signatures, not a re-derivation
         val idx = graft.pipeline.Incremental.signatureIndex(
-          docs.filter(col("doc_id") < 250), "doc_id", "text")
+          docs.filter(col("doc_id") < 250), "doc_id", "text").localCheckpoint()
         val incoming = docs.filter(col("doc_id") < 50)
           .select((col("doc_id") + 10000).as("doc_id"),
             concat(col("text"), lit(" zq")).as("text"))

@@ -673,6 +673,41 @@ class OperatorsSpec extends SparkSpec {
     } finally Rollups.unregister("spec_rollup")
   }
 
+  test("rollup rewrite: serves hll_sketch_estimate bit-exactly from sketch rollups") {
+    import graft.plans.Rollups
+    val ev = Tables.t(spark, dir, "events")
+    val grainUs = 21600000000L; val dayUs = 86400000000L
+    def query(lgK: Int) = ev
+      .groupBy(col("event_type"), timestamp_micros(
+        (floor(unix_micros(col("ts")) / dayUs).cast("long") * dayUs)).as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK)))
+        .as("approx_users"))
+    val baseline = query(12).collect().toSet // registry empty: raw plan
+    val sk = graft.operators.SketchRollup.build(
+      ev, Seq("event_type"), "ts", bucketSeconds = 21600L,
+      distinctCol = "user_id", lgConfigK = 12).localCheckpoint()
+    Rollups.register(spark, "sketch_spec", Rollups.RollupSpec(
+      rawPathContains = s"$dir/events.parquet",
+      tsCol = "ts", grainUs = grainUs, tags = Set("event_type"),
+      bucketCol = "bucket", countCol = None,
+      sums = Map.empty, mins = Map.empty, maxs = Map.empty,
+      rollup = () => sk, hlls = Map("user_id" -> ("sketch", 12))))
+    try {
+      val served = query(12)
+      val plan = served.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("parquet") && plan.contains("LogicalRDD"),
+        s"sketch rewrite did not fire:\n$plan")
+      // union of per-bucket sketches IS the sketch of the union: the
+      // served estimates must equal the raw-scan estimates BIT-exactly
+      assert(served.collect().toSet == baseline,
+        "sketch-rollup-served estimates differ from raw")
+      // different lgK: a mixed-precision union would change the estimate —
+      // must stay on the raw plan
+      val pk = query(11).queryExecution.optimizedPlan.toString
+      assert(pk.contains("parquet"), "must not serve a different lgK")
+    } finally Rollups.unregister("sketch_spec")
+  }
+
   test("retention cohorts: offsets non-negative, cohort-0 count equals cohort size") {
     import graft.operators.EventAnalytics
     val ev = Tables.t(spark, dir, "events")
