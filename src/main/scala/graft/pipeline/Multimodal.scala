@@ -57,6 +57,27 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: strided byte resampling to the target dimensions' byte
+    * budget (newLen = len * tw*th / (w*h), out[j] = in[j*len/newLen]) with
+    * the metadata columns updated — a real implementation swaps the stride
+    * loop for a codec's scaler; the map-only pipeline shape (payload in,
+    * payload + metadata out, no shuffle) is the contract under test. */
+  def resize(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val len = r.media.length
+      val area = math.max(1L, r.width.toLong * r.height)
+      val newLen = math.max(1L, len.toLong * (tw.toLong * th) / area).toInt
+      val out = new Array[Byte](math.min(newLen, math.max(len, 1)))
+      var j = 0
+      while (j < out.length && len > 0) {
+        out(j) = r.media((j.toLong * len / out.length).toInt)
+        j += 1
+      }
+      r.copy(media = out, width = tw, height = th)
+    }
+  }
+
   /** Deterministic frame/chunk sampling of a binary payload: n evenly-spaced
     * fixed-size slices (a video frame-sampler's access pattern). */
   def sampleChunks(media: Dataset[MediaRow], n: Int, chunkBytes: Int): DataFrame = {

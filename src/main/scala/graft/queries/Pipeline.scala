@@ -815,6 +815,29 @@ object PipelineQueries {
           .select(col("media_id"), col("kind"), col("n_bytes"))
       }),
 
+    // ---- multimodal resize + frame-sampling geometry: the codec is
+    //      stubbed (strided byte resampling) but every offset/length is
+    //      integer-deterministic, so the full resize -> evenly-spaced
+    //      chunk-sample access pattern is hash-checked end-to-end.
+    GraftQuery("q201_multimodal_resize_sample",
+      Some("""WITH m AS (SELECT doc_id AS media_id, strlen(text) AS len,
+             |    (doc_id % 640 + 64) * (doc_id % 480 + 48) AS area FROM documents),
+             |r AS (SELECT media_id,
+             |    least(greatest(1, len * 4096 // area), greatest(len, 1)) AS rlen FROM m),
+             |c AS (SELECT media_id, rlen, g.i AS chunk_idx,
+             |    least(rlen * g.i // 4, greatest(0, rlen - 1)) AS off
+             |  FROM r CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g(i))
+             |SELECT media_id, chunk_idx::INT AS chunk_idx, off::BIGINT AS "offset",
+             |  (least(off + 16, rlen) - off)::BIGINT AS chunk_len
+             |FROM c""".stripMargin),
+      (s, dir) => {
+        val media = Multimodal.fromDocuments(s, t(s, dir, "documents"))
+        Multimodal.sampleChunks(Multimodal.resize(media, 64, 64),
+            n = 4, chunkBytes = 16)
+          .select(col("media_id"), col("chunk_idx"), col("offset"),
+            length(col("chunk")).cast("long").as("chunk_len"))
+      }),
+
     // ---- hybrid retrieval: BM25 top-100 ∪ dense-cosine top-100 fused by
     //      Reciprocal Rank Fusion (rank-based, no score calibration)
     GraftQuery("q160_hybrid_rrf",

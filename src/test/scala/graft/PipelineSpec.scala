@@ -276,6 +276,18 @@ class PipelineSpec extends SparkSpec {
     val chunks = Multimodal.sampleChunks(media.limit(5), n = 4, chunkBytes = 16)
     assert(chunks.count() == 20)
     assert(chunks.agg(max("chunk_idx")).head().getInt(0) == 3)
+    // resize: metadata updated, byte budget scales with target area,
+    // never upsamples past the original, deterministic
+    val small = Multimodal.resize(media.limit(5), 64, 64).collect()
+    small.foreach { r =>
+      assert(r.width == 64 && r.height == 64)
+      assert(r.media.length >= 1)
+    }
+    val orig = media.limit(5).collect().map(r => r.media_id -> r.media.length).toMap
+    small.foreach(r => assert(r.media.length <= math.max(orig(r.media_id), 1)))
+    val small2 = Multimodal.resize(media.limit(5), 64, 64).collect()
+      .map(r => r.media_id -> r.media.toSeq).toMap
+    small.foreach(r => assert(small2(r.media_id) == r.media.toSeq))
   }
 
   test("thetasketch_distinct within 1% of exact (reference HLL err 0.01)") {
