@@ -76,6 +76,33 @@ object Sharding {
       .agg(count(lit(1)).as("n_docs"), sum("__t").as("total_tokens"),
         min("seq").as("min_seq"), max("seq").as("max_seq"))
 
+  /** Pack each shard independently into fixed-length token sequences —
+    * the trainer-input layout: documents in shuffle order within their
+    * shard, laid end-to-end, cut every `seqLen` tokens. Returns per doc:
+    * shard, its rank, token count, the token offset WITHIN its shard, and
+    * the (shard-local) sequence id/position its first token lands in.
+    *
+    * Parallelism note: the running token offset is a window per shard —
+    * sequential within a shard, parallel across shards. That is the right
+    * grain, not a bottleneck: shards are the trainer's own parallel unit
+    * and block assignment keeps every shard the same bounded size, so at
+    * 100 TB the work is nShards equal windows (pick nShards accordingly),
+    * never one global scan. */
+  def packShards(
+      df: DataFrame, idCol: String, textCol: String, salt: String,
+      nShards: Int, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy("shard").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assign(df, idCol, salt, nShards)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("shard_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("shard"), col(idCol), col("seq"), col("n_tokens"),
+        col("shard_offset"),
+        floor(col("shard_offset") / seqLen).cast("long").as("seq_id"),
+        pmod(col("shard_offset"), lit(seqLen.toLong)).as("seq_pos"))
+  }
+
   /** Write the sharded corpus: one parquet file per shard (each shard is
     * repartitioned to a single writer task — shard size is the file size),
     * directory-partitioned so a trainer reads `shard=K/` directly. */

@@ -838,6 +838,30 @@ object PipelineQueries {
             length(col("chunk")).cast("long").as("chunk_len"))
       }),
 
+    // ---- per-shard sequence packing (Sharding.packShards): the trainer
+    //      input layout — docs in shuffle order within their shard, laid
+    //      end-to-end, cut every 512 tokens. Running offsets are one
+    //      window per shard: sequential within (trainer semantics),
+    //      parallel across. Integer arithmetic end-to-end: hash-checked.
+    GraftQuery("q202_shard_packing",
+      Some("""WITH k AS (SELECT doc_id, text,
+             |    md5('g4' || doc_id::VARCHAR) AS key FROM documents),
+             |r AS (SELECT doc_id, text,
+             |    row_number() OVER (ORDER BY key) - 1 AS seq,
+             |    count(*) OVER () AS n FROM k),
+             |a AS (SELECT doc_id, seq, ((seq * 16) // n)::INT AS shard,
+             |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+             |  FROM r),
+             |o AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY shard ORDER BY seq
+             |    ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS shard_offset FROM a)
+             |SELECT shard, doc_id, seq::BIGINT AS seq, n_tokens, shard_offset,
+             |  (shard_offset // 512)::BIGINT AS seq_id,
+             |  (shard_offset % 512)::BIGINT AS seq_pos
+             |FROM o""".stripMargin),
+      (s, dir) => graft.pipeline.Sharding.packShards(
+        t(s, dir, "documents"), "doc_id", "text",
+        salt = "g4", nShards = 16, seqLen = 512)),
+
     // ---- hybrid retrieval: BM25 top-100 ∪ dense-cosine top-100 fused by
     //      Reciprocal Rank Fusion (rank-based, no score calibration)
     GraftQuery("q160_hybrid_rrf",

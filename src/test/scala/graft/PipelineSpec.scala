@@ -1072,6 +1072,20 @@ class PipelineSpec extends SparkSpec {
     val c = Sharding.shuffled(docs, "doc_id", salt = "s2")
       .select("doc_id", "seq").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(c.sortBy(_._1).map(_._2).toSeq != a.sortBy(_._1).map(_._2).toSeq)
+    // per-shard packing: offsets start at 0 and are gap-free within a shard
+    val packed = Sharding.packShards(docs, "doc_id", "text",
+        salt = "s1", nShards = 7, seqLen = 8)
+      .select("shard", "seq", "n_tokens", "shard_offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_._2)
+      assert(inOrder.head._4 == 0L, "first doc of a shard must pack at offset 0")
+      inOrder.sliding(2).foreach {
+        case Array(p, q) => assert(q._4 == p._4 + p._3,
+          s"offset gap within shard: $p -> $q")
+        case _ =>
+      }
+    }
   }
 
   test("incremental dedup: replays drop, edits near-match, fresh content passes") {
