@@ -39,12 +39,33 @@ object Bench {
 
     // optional comma-separated name filter for targeted profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Inter-query isolation: many operators pin intermediates with
+    // localCheckpoint(), whose blocks are freed only after a GC lets the
+    // ContextCleaner see them unreachable. Across ~190 queries in one
+    // 128 GiB JVM a GC may never run, so blocks (and block-manager entries)
+    // accumulate and later queries time the pressure, not their plan —
+    // in-battery timings ran 2-4x their isolated cost. Unpersist eagerly
+    // after each query and nudge GC periodically so every query starts
+    // from the same clean block manager. (On a long-lived cluster app the
+    // equivalent knob is spark.cleaner.periodicGC.interval.)
+    // SPARK_GRAFT_RECLAIM: "none" | "unpersist" (default) | "gc"
+    // (unpersist + a periodic System.gc() to drain the ContextCleaner)
+    val reclaimMode = sys.env.getOrElse("SPARK_GRAFT_RECLAIM", "unpersist")
+    var sinceGc = 0
+    def reclaim(): Unit = if (reclaimMode != "none") {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(r => quietly(r.unpersist(blocking = false)))
+      sinceGc += 1
+      if (reclaimMode == "gc" && sinceGc >= 16) { sinceGc = 0; System.gc() }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      reclaim()
+      name -> dt
     }
     val total = results.map(_._2).sum
     // The driver stores only the LAST ~2000 chars of this process's output

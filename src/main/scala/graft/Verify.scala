@@ -26,12 +26,20 @@ object Verify {
     // keeps run-to-run behavior (and any partial-failure tail) reproducible
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.contains(name)) }
+    // Inter-query isolation (same rationale as Bench.reclaim): drop
+    // localCheckpoint/cache blocks left by each query so a ~190-query run
+    // doesn't accumulate block-manager state and slow its own tail.
+    var sinceGc = 0
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => () })
+      sinceGc += 1
+      if (sinceGc >= 16) { sinceGc = 0; System.gc() }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

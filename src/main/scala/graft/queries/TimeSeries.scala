@@ -26,13 +26,21 @@ object TimeSeries {
       s: org.apache.spark.sql.SparkSession, dir: String): Unit =
     rollupMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
       val grainUs = 21600000000L // 6h
-      val rollup = t(s, dir, "events")
+      // materialize to DISK, not localCheckpoint: the rollup is shared by
+      // many queries across the whole battery, and the harness unpersists
+      // pinned blocks between queries (inter-query isolation). A stored
+      // parquet table is also what a production rollup IS — the serving
+      // rule splices a plain scan of the pre-aggregate.
+      val rollupPath = java.nio.file.Files
+        .createTempDirectory("graft-rollup-6h").toString
+      t(s, dir, "events")
         .groupBy(col("event_type"),
           timestamp_micros((floor(unix_micros(col("ts")) / grainUs)
             .cast("long") * grainUs)).as("bucket"))
         .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
           min("value").as("min_value"), max("value").as("max_value"))
-        .localCheckpoint()
+        .write.mode("overwrite").parquet(rollupPath)
+      val rollup = s.read.parquet(rollupPath)
       graft.plans.Rollups.register(s, s"events_6h:$dir",
         graft.plans.Rollups.RollupSpec(
           rawPathContains = s"$dir/events.parquet",
