@@ -1349,6 +1349,75 @@ object PipelineQueries {
         val clean = sized.join(contaminated, Seq("doc_id"), "left_anti")
         graft.pipeline.Sharding.manifest(clean, "doc_id", "text",
           salt = "p5", nShards = 4)
-      })
+      }),
+
+    // ---- substring-level exact dedup (pipeline/SubstringDedup): maximal
+    //      cross-document duplicated token runs at 8-gram resolution.
+    //      Oracle re-derives them: shingle-hash → min-id owner →
+    //      gaps-and-islands merge of covered [pos, pos+7] ranges.
+    GraftQuery("q203_substring_dup_spans",
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |g AS (SELECT doc_id, i.i - 1 AS pos,
+             |    ('0x' || substr(md5(list_aggregate(toks[i.i:i.i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS h
+             |  FROM t CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) i
+             |  WHERE len(toks) >= 8),
+             |o AS (SELECT h, min(doc_id) AS owner FROM g GROUP BY h),
+             |d AS (SELECT g.doc_id, g.pos FROM g JOIN o USING (h)
+             |  WHERE g.doc_id > o.owner),
+             |m AS (SELECT doc_id, pos, max(pos + 7) OVER (PARTITION BY doc_id
+             |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |  FROM d),
+             |i AS (SELECT *, sum(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m)
+             |SELECT doc_id, min(pos)::BIGINT AS span_start,
+             |  (max(pos) + 7)::BIGINT AS span_end,
+             |  (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_tokens
+             |FROM i GROUP BY doc_id, grp""".stripMargin),
+      (s, dir) => graft.pipeline.SubstringDedup.duplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)),
+
+    // ---- the excision step: corpus with repeated substrings removed
+    //      (canonical lowest-id occurrence survives). Oracle rebuilds
+    //      clean_text token-by-token via an anti-join against the covered
+    //      positions.
+    GraftQuery("q204_substring_dedup_clean",
+      Some("""WITH t AS (SELECT doc_id, text,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |g AS (SELECT doc_id, i.i - 1 AS pos,
+             |    ('0x' || substr(md5(list_aggregate(toks[i.i:i.i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS h
+             |  FROM t CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) i
+             |  WHERE len(toks) >= 8),
+             |o AS (SELECT h, min(doc_id) AS owner FROM g GROUP BY h),
+             |d AS (SELECT g.doc_id, g.pos FROM g JOIN o USING (h)
+             |  WHERE g.doc_id > o.owner),
+             |m AS (SELECT doc_id, pos, max(pos + 7) OVER (PARTITION BY doc_id
+             |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |  FROM d),
+             |i AS (SELECT *, sum(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m),
+             |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e,
+             |    max(pos) + 7 - min(pos) + 1 AS n FROM i GROUP BY doc_id, grp),
+             |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM sp),
+             |tok AS (SELECT doc_id, ti.i - 1 AS p, toks[ti.i] AS tok
+             |  FROM t CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(1, len(toks))) AS i) ti),
+             |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+             |  ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p),
+             |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct
+             |  FROM kept GROUP BY doc_id),
+             |rem AS (SELECT doc_id, sum(n) AS removed FROM sp GROUP BY doc_id)
+             |SELECT t.doc_id, coalesce(rem.removed, 0)::BIGINT AS removed_tokens,
+             |  CASE WHEN rem.doc_id IS NULL THEN t.text
+             |       ELSE coalesce(agg.ct, '') END AS clean_text
+             |FROM t LEFT JOIN rem ON t.doc_id = rem.doc_id
+             |LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin),
+      (s, dir) => graft.pipeline.SubstringDedup.removeDuplicated(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .select("doc_id", "removed_tokens", "clean_text"))
   )
 }

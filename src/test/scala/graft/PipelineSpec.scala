@@ -1134,4 +1134,46 @@ class PipelineSpec extends SparkSpec {
     assert(back.count() == 200)
     assert(back.select("doc_id").distinct().count() == 200)
   }
+
+  test("substring dedup: hand-computed spans, merge, excision, pass-through") {
+    import spark.implicits._
+    // doc 1 owns "a b c d"; doc 2 repeats it twice with a gap; doc 3 is
+    // shorter than k; doc 4 shares nothing; doc 5 is an exact copy of doc 1
+    val corpus = Seq(
+      (1L, "a b c d x y z w"),
+      (2L, "a b c d q q q q q a b c d"),
+      (3L, "a b c"),
+      (4L, "p q r s t u v w"),
+      (5L, "a b c d x y z w")
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup.duplicatedSpans(corpus, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 2: [0,3] and [9,12]; doc 5: whole text [0,7] (every 4-gram shared
+    // with doc 1, overlapping covers merge into one span)
+    assert(spans.toSeq == Seq((2L, 0L, 3L, 4L), (2L, 9L, 12L, 4L), (5L, 0L, 7L, 8L)))
+
+    val clean = SubstringDedup.removeDuplicated(corpus, "doc_id", "text", k = 4)
+      .select("doc_id", "removed_tokens", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(clean.toSeq == Seq(
+      (1L, 0L, "a b c d x y z w"),     // owner keeps the canonical copy
+      (2L, 8L, "q q q q q"),           // both repeats excised, middle kept
+      (3L, 0L, "a b c"),               // below shingle resolution: untouched
+      (4L, 0L, "p q r s t u v w"),     // nothing shared
+      (5L, 8L, "")))                   // fully duplicated document vanishes
+  }
+
+  test("substring dedup: adjacent covers merge into one maximal span") {
+    import spark.implicits._
+    // doc 20 contains doc 10's run split across two shingles whose covers
+    // touch seamlessly (positions 0 and 4 with k=4 → [0,3] + [4,7])
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),
+      (20L, "a b c d e f g h tail1 tail2 tail3")
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup.duplicatedSpans(corpus, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((20L, 0L, 7L)))
+  }
 }
