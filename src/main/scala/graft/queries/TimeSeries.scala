@@ -626,6 +626,27 @@ object TimeSeries {
              |FROM d JOIN s USING (phase)""".stripMargin),
       (s, dir) => graft.operators.SeriesStats.seasonalDecompose(
         t(s, dir, "events"), "ts", "value",
-        grainUs = 3600000000L, period = 24))
+        grainUs = 3600000000L, period = 24)),
+
+    // ---- z-order layout round-trip (operators/ZOrder): rewrite events
+    //      clustered on (user_id, value), then answer a two-dimensional
+    //      range predicate from the re-clustered copy. Result is
+    //      layout-invariant (the oracle filters the raw table); the
+    //      layout's pruning quality is asserted in OperatorsSpec.
+    GraftQuery("q205_zorder_scan",
+      Some("""SELECT event_id, user_id, "value" FROM events
+             |WHERE user_id BETWEEN 2 AND 5
+             |  AND "value" BETWEEN 50.0 AND 150.0""".stripMargin),
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-zorder").toString
+        graft.operators.ZOrder.write(
+          t(s, dir, "events"), Seq("user_id", "value"), out,
+          bits = 4, nFiles = 8)
+        s.read.parquet(out)
+          .filter(col("user_id").between(2, 5) &&
+            col("value").between(50.0, 150.0))
+          .select("event_id", "user_id", "value")
+      })
   )
 }

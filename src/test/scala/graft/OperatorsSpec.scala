@@ -778,4 +778,40 @@ class OperatorsSpec extends SparkSpec {
     assert(p0 == -75000000L)
     out.unpersist()
   }
+
+  test("zorder: tight file spans on BOTH dims where a linear sort has one") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    // two independent uniform dims; any 1-D sort leaves the other dim's
+    // per-file span at ~full range, z-order shrinks both
+    val rows = (0 until 20000).map { i =>
+      (i.toLong, (i * 2654435761L % 10007L).toDouble,
+        (i * 40503L % 9973L).toDouble)
+    }.toDF("id", "x", "y")
+    val nFiles = 16
+
+    val zDir = java.nio.file.Files.createTempDirectory("spec-z").toString
+    ZOrder.write(rows, Seq("x", "y"), zDir, bits = 4, nFiles = nFiles)
+    val sDir = java.nio.file.Files.createTempDirectory("spec-s").toString
+    rows.repartitionByRange(nFiles, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sDir)
+
+    def avgSpan(dir: String, dim: String, range: Double): Double = {
+      val spans = ZOrder.fileSpans(spark, dir, dim)
+        .select(((col("max_v") - col("min_v")) / range).as("f"))
+        .agg(avg("f")).head().getDouble(0)
+      spans
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(zDir).count() == 20000)
+    val zx = avgSpan(zDir, "x", 10007.0); val zy = avgSpan(zDir, "y", 9973.0)
+    val sx = avgSpan(sDir, "x", 10007.0); val sy = avgSpan(sDir, "y", 9973.0)
+    // linear sort: leading dim near-perfect, trailing dim useless
+    assert(sx < 0.15, s"sorted leading-dim span $sx")
+    assert(sy > 0.8, s"sorted trailing-dim span $sy")
+    // z-order: BOTH dims well under the trailing-dim baseline; 16 files
+    // on a 16x16 grid is ~a 4x4 block per file => ~0.25 + quantile fuzz
+    assert(zx < 0.5, s"zorder x span $zx")
+    assert(zy < 0.5, s"zorder y span $zy")
+  }
 }
