@@ -1419,5 +1419,34 @@ object PipelineQueries {
       (s, dir) => graft.pipeline.SubstringDedup.removeDuplicated(
         t(s, dir, "documents"), "doc_id", "text", k = 8)
         .select("doc_id", "removed_tokens", "clean_text"))
+  ,
+
+    // ---- edit-distance similarity join (pipeline/EditDistance): typo-
+    //      tolerant linkage on 40-char prefixes, exercised against a
+    //      deterministically mutated copy of the corpus (one substituted
+    //      character). The oracle replays the exact predicate over the
+    //      length-filtered cross product — affordable at oracle scale,
+    //      which is exactly why the operator exists for the real one.
+    GraftQuery("q206_editdist_pairs",
+      Some("""WITH p0 AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents),
+             |mut AS (SELECT doc_id + 100000 AS doc_id,
+             |    substr(s, 1, 9) || '~' || substr(s, 11) AS s
+             |  FROM p0 WHERE doc_id < 100 AND length(s) >= 11),
+             |p AS (SELECT * FROM p0 UNION ALL SELECT * FROM mut)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  levenshtein(a.s, b.s)::BIGINT AS dist
+             |FROM p a JOIN p b ON a.doc_id < b.doc_id
+             |  AND abs(length(a.s) - length(b.s)) <= 1
+             |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin),
+      (s, dir) => {
+        val p0 = t(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("s"))
+        val mut = p0.filter(col("doc_id") < 100 && length(col("s")) >= 11)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(substring(col("s"), 1, 9), lit("~"),
+              substring(col("s"), 11, 1000)).as("s"))
+        graft.pipeline.EditDistance.pairsWithin(
+          p0.unionAll(mut), "doc_id", "s", d = 1, maxLen = 40)
+      })
   )
 }

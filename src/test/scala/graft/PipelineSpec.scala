@@ -1176,4 +1176,36 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(spans.toSeq == Seq((20L, 0L, 7L)))
   }
+
+  test("edit-distance join: finds exactly the <=d pairs, no cross product") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "kitten"), (2L, "sitten"),   // substitution: d=1
+      (3L, "kitte"),                    // deletion vs 1: d=1
+      (4L, "kittens"),                  // insertion vs 1: d=1
+      (5L, "sitting"),                  // d=2 from 2 — excluded at d=1
+      (6L, "zebra"), (7L, "kitten")     // exact copy of 1: d=0
+    ).toDF("id", "s")
+    val got = EditDistance.pairsWithin(rows, "id", "s", d = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (1L, 7L, 0L),
+      (2L, 7L, 1L), (3L, 7L, 1L), (4L, 7L, 1L)),
+      s"got $got")
+    // no cartesian product in the plan
+    val plan = EditDistance.pairsWithin(rows, "id", "s", d = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "edit-distance join must stay an equi-join on deletion variants")
+  }
+
+  test("edit-distance join at d=2 catches two-edit pairs") {
+    import spark.implicits._
+    val rows = Seq((1L, "kitten"), (2L, "sitting"), (3L, "mitten")).toDF("id", "s")
+    val got = EditDistance.pairsWithin(rows, "id", "s", d = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((1L, 3L, 1L)))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 2L),
+      "kitten->sitting is d=3, must not appear")
+  }
 }
