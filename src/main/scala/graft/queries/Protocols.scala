@@ -868,6 +868,30 @@ object Protocols {
         LineProtocol.ingest(e,
           Seq("events,event_type=error value=1.0 1704067200000000000").toDS())
         InfluxQL.run(e, "SHOW MEASUREMENTS")
+      }),
+
+    // ---- HTTP /sql wire round-trip (server/HttpApi): the aggregate runs
+    //      through the engine, serializes to the reference's response JSON
+    //      ({"rows":[{col: value}...]}, proxy/src/http/sql.rs), and the
+    //      payload is parsed BACK into typed rows — asserting the codec
+    //      both ways. Integer-scaled totals keep the JSON float-free.
+    GraftQuery("q207_http_sql_api",
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(round(sum("value") * 100, 0) AS BIGINT) AS total_c
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        val resp = graft.server.HttpApi.handleSql(e,
+          """{"query": "SELECT event_type, count(*) AS n, CAST(round(sum(value) * 100, 0) AS BIGINT) AS total_c FROM events GROUP BY event_type"}""")
+        import s.implicits._
+        val rows = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(resp).get("rows")
+        require(rows != null, s"wire payload carried no rows: $resp")
+        (0 until rows.size()).map { i =>
+          val r = rows.get(i)
+          (r.get("event_type").asText(), r.get("n").asLong(),
+            r.get("total_c").asLong())
+        }.toDF("event_type", "n", "total_c")
       })
   )
 }

@@ -1224,4 +1224,73 @@ class ProtocolsSpec extends SparkSpec {
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("http api: /sql round-trip — DDL, INSERT, query rows, error shape") {
+    import graft.server.HttpApi
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("http-sql").toString)
+    def sql(q: String) = HttpApi.handleSql(e, s"""{"query": ${
+      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(q)}}""")
+    assert(sql("""CREATE TABLE demo (t timestamp NOT NULL, tag1 string TAG,
+                 |  v double, timestamp KEY(t)) ENGINE=Analytic""".stripMargin)
+      == """{"affected_rows":0}""")
+    assert(sql("INSERT INTO demo (t, tag1, v) VALUES " +
+      "(1651737067000, 'a', 100), (1651737067001, 'b', 200)")
+      == """{"affected_rows":2}""")
+    assert(sql("SELECT t, tag1, v FROM demo ORDER BY t") ==
+      """{"rows":[{"t":1651737067000,"tag1":"a","v":100.0},""" +
+      """{"t":1651737067001,"tag1":"b","v":200.0}]}""")
+    // reference error shape: {"code": c, "message": m}
+    val err = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(sql("SELECT nope FROM missing_table"))
+    assert(err.get("code").asInt() == 500)
+    assert(err.get("message").asText().nonEmpty)
+    // malformed request body
+    val bad = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(HttpApi.handleSql(e, """{"q": "SELECT 1"}"""))
+    assert(bad.get("code").asInt() == 500)
+  }
+
+  test("http api: influx write + query — series split, time formats") {
+    import graft.server.HttpApi
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("http-influx").toString)
+    assert(HttpApi.handleInfluxWrite(e,
+      """cpu,host=a usage=0.5 1704067200000000000
+        |cpu,host=a usage=0.7 1704067260000000000
+        |cpu,host=b usage=0.9 1704067200000000000""".stripMargin) == "")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // grouped query: one series per host with a tags map, epoch millis
+    val grouped = mapper.readTree(HttpApi.handleInfluxQuery(e,
+      """SELECT mean(usage) FROM cpu GROUP BY time(1m), host""",
+      epoch = Some("ms")))
+    val series = grouped.get("results").get(0).get("series")
+    assert(grouped.get("results").get(0).get("statement_id").asInt() == 0)
+    assert(series.size() == 2)
+    val hosts = (0 until series.size())
+      .map(i => series.get(i).get("tags").get("host").asText()).sorted
+    assert(hosts == Seq("a", "b"))
+    val s0 = series.get(0)
+    assert(s0.get("name").asText() == "cpu")
+    assert(s0.get("columns").get(0).asText() == "time")
+    assert(s0.get("values").get(0).get(0).asLong() == 1704067200000L)
+    // no epoch param: RFC3339 Z strings
+    val rfc = mapper.readTree(HttpApi.handleInfluxQuery(e,
+      "SELECT usage FROM cpu WHERE host = 'b'"))
+    val v0 = rfc.get("results").get(0).get("series").get(0)
+      .get("values").get(0).get(0).asText()
+    assert(v0 == "2024-01-01T00:00:00Z", v0)
+  }
+
+  test("http api: opentsdb put lands in the engine") {
+    import graft.server.HttpApi
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("http-tsdb").toString)
+    assert(HttpApi.handleOpentsdbPut(e,
+      """[{"metric":"sys.cpu","timestamp":1704067200,"value":42.5,
+        |  "tags":{"host":"web01"}}]""".stripMargin) == "")
+    val row = e.read("sys.cpu").head()
+    assert(row.getAs[Double]("value") == 42.5)
+    assert(row.getAs[String]("host") == "web01")
+  }
 }
