@@ -1293,4 +1293,44 @@ class ProtocolsSpec extends SparkSpec {
     assert(row.getAs[Double]("value") == 42.5)
     assert(row.getAs[String]("host") == "web01")
   }
+
+  test("http api: prometheus query payload shapes (matrix, vector, naming)") {
+    import graft.server.HttpApi
+    import spark.implicits._
+    val h1 = 1704848400000L // 2024-01-10 01:00:00 UTC
+    val df = Seq(
+      ("a", new java.sql.Timestamp(h1 - 1800000L), 1.0),  // 00:30, outside lookback
+      ("a", new java.sql.Timestamp(h1), 2.0),             // at the step
+      ("b", new java.sql.Timestamp(h1 - 900000L), 7.5)    // 00:45, outside lookback
+    ).toDF("event_type", "ts", "value")
+    val resolve = (_: String) =>
+      graft.promql.PromQL.SeriesTable(df, "ts", "value", Seq("event_type"))
+
+    val matrix = HttpApi.handlePromRange(spark, resolve, "events",
+      graft.promql.EvalParams(h1, h1, 3600000L))
+    assert(matrix ==
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+      """{"metric":{"__name__":"events","event_type":"a"},"values":[[1704848400,"2"]]}]}}""",
+      matrix)
+
+    val vector = HttpApi.handlePromInstant(spark, resolve,
+      """events{event_type="a"}""", h1)
+    assert(vector ==
+      """{"status":"success","data":{"resultType":"vector","result":[""" +
+      """{"metric":{"__name__":"events","event_type":"a"},"value":[1704848400,"2"]}]}}""",
+      vector)
+
+    // aggregation drops __name__, like Prometheus
+    val agg = HttpApi.handlePromRange(spark, resolve, "sum(events)",
+      graft.promql.EvalParams(h1, h1, 3600000L))
+    assert(!agg.contains("__name__"), agg)
+    assert(agg.contains(""""resultType":"matrix""""), agg)
+
+    // error shape
+    val err = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(HttpApi.handlePromRange(spark, resolve, "not a promql ((",
+        graft.promql.EvalParams(h1, h1, 3600000L)))
+    assert(err.get("status").asText() == "error")
+    assert(err.get("error").asText().nonEmpty)
+  }
 }
