@@ -22,4 +22,31 @@ object GraftBridge {
   /** The analyzed logical plan behind a DataFrame. */
   def plan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Serialize a DataFrame's result as one complete Arrow IPC stream
+    * (schema message, record-batch messages, end-of-stream marker) — the
+    * payload format any Arrow reader (pyarrow, arrow-rs, arrow-vector)
+    * consumes directly. Batch encoding delegates to Spark's own
+    * ArrowConverters (the code path PySpark's toPandas rides), so type
+    * mapping and timezone handling match Spark exactly. */
+  def toArrowStream(df: DataFrame, timeZoneId: String = "UTC",
+      maxRecordsPerBatch: Long = 10000L): Array[Byte] = {
+    import org.apache.arrow.vector.ipc.WriteChannel
+    import org.apache.arrow.vector.ipc.message.{IpcOption, MessageSerializer}
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val schema = ds.schema
+    val rows = ds.queryExecution.executedPlan.executeCollect().iterator
+    val batches = execution.arrow.ArrowConverters.toBatchIterator(
+      rows, schema, maxRecordsPerBatch, timeZoneId,
+      true /* errorOnDuplicatedFieldNames */, false /* largeVarTypes */,
+      null /* TaskContext: driver-side */)
+    val out = new java.io.ByteArrayOutputStream()
+    val ch = new WriteChannel(java.nio.channels.Channels.newChannel(out))
+    MessageSerializer.serialize(ch,
+      util.ArrowUtils.toArrowSchema(schema, timeZoneId, true, false))
+    batches.foreach(b => ch.write(b))
+    org.apache.arrow.vector.ipc.ArrowStreamWriter
+      .writeEndOfStream(ch, IpcOption.DEFAULT)
+    out.toByteArray
+  }
 }

@@ -1294,6 +1294,41 @@ class ProtocolsSpec extends SparkSpec {
     assert(row.getAs[String]("host") == "web01")
   }
 
+  test("http api: /sql arrow payload round-trips through an Arrow reader") {
+    import graft.server.HttpApi
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("http-arrow").toString)
+    HttpApi.handleSql(e,
+      """{"query": "CREATE TABLE ar (t timestamp NOT NULL, tag1 string TAG, v double, timestamp KEY(t)) ENGINE=Analytic"}""")
+    HttpApi.handleSql(e,
+      """{"query": "INSERT INTO ar (t, tag1, v) VALUES (1651737067000, 'a', 1.5), (1651737067001, 'b', 2.5)"}""")
+    val bytes = HttpApi.handleSqlArrow(e,
+      """{"query": "SELECT t, tag1, v FROM ar ORDER BY t"}""")
+
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val fields = root.getSchema.getFields
+      assert((0 until fields.size()).map(fields.get(_).getName) ==
+        Seq("t", "tag1", "v"))
+      assert(reader.loadNextBatch())
+      assert(root.getRowCount == 2)
+      val tagVec = root.getVector("tag1")
+        .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+      assert(new String(tagVec.get(0), "UTF-8") == "a")
+      assert(new String(tagVec.get(1), "UTF-8") == "b")
+      val vVec = root.getVector("v")
+        .asInstanceOf[org.apache.arrow.vector.Float8Vector]
+      assert(vVec.get(0) == 1.5 && vVec.get(1) == 2.5)
+      val tVec = root.getVector("t")
+        .asInstanceOf[org.apache.arrow.vector.TimeStampMicroTZVector]
+      assert(tVec.get(0) == 1651737067000000L)
+      assert(!reader.loadNextBatch()) // exactly one batch then EOS
+    } finally { reader.close(); alloc.close() }
+  }
+
   test("http api: prometheus query payload shapes (matrix, vector, naming)") {
     import graft.server.HttpApi
     import spark.implicits._
