@@ -1447,6 +1447,32 @@ object PipelineQueries {
               substring(col("s"), 11, 1000)).as("s"))
         graft.pipeline.EditDistance.pairsWithin(
           p0.unionAll(mut), "doc_id", "s", d = 1, maxLen = 40)
+      }),
+
+    // ---- JSONL shard release (pipeline/Export): write the corpus as one
+    //      JSONL file per shard, then read the release BACK from disk —
+    //      the oracle recomputes the md5-rank/block layout, so the check
+    //      covers the whole write-serialize-parse cycle.
+    GraftQuery("q208_jsonl_release",
+      Some("""WITH k AS (SELECT doc_id,
+             |    md5('j8' || doc_id::VARCHAR) AS key FROM documents),
+             |r AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY key) - 1 AS seq,
+             |    count(*) OVER () AS n FROM k)
+             |SELECT doc_id, seq::BIGINT AS seq,
+             |  ((seq * 8) // n)::INT AS shard
+             |FROM r""".stripMargin),
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-jsonl-rel").toString
+        graft.pipeline.Export.writeJsonlShards(
+          t(s, dir, "documents"), "doc_id", salt = "j8", nShards = 8, out,
+          cols = Seq("doc_id"))
+        s.read.format("text").load(out)
+          .select(
+            get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+            get_json_object(col("value"), "$.seq").cast("long").as("seq"),
+            col("shard").cast("int").as("shard"))
       })
   )
 }

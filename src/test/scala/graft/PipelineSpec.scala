@@ -1199,6 +1199,88 @@ class PipelineSpec extends SparkSpec {
       "edit-distance join must stay an equi-join on deletion variants")
   }
 
+  test("jsonl shard export: one file per shard, dense seq, parseable lines") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    Export.writeJsonlShards(docs, "doc_id", salt = "j", nShards = 4, out)
+    (0 until 4).foreach { sh =>
+      val files = new java.io.File(s"$out/shard=$sh")
+        .listFiles().filter(_.getName.startsWith("part-"))
+      assert(files.length == 1, s"shard $sh: ${files.length} files")
+    }
+    val back = spark.read.format("text").load(out)
+      .select(col("shard"),
+        get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+        get_json_object(col("value"), "$.seq").cast("long").as("seq"))
+    assert(back.count() == 200)
+    assert(back.select("seq").distinct().count() == 200)
+    assert(back.agg(min("seq"), max("seq")).head() ==
+      org.apache.spark.sql.Row(0L, 199L))
+    // same assignment as the parquet path
+    val expect = Sharding.assign(docs, "doc_id", "j", 4)
+      .select("doc_id", "seq", "shard")
+    assert(back.select("doc_id", "seq", "shard")
+      .except(expect).count() == 0)
+  }
+
+  test("webdataset tar shards: ustar round-trip, pair members, determinism") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"sample text $i")).toDF("doc_id", "text")
+    val out1 = java.nio.file.Files.createTempDirectory("graft-tar1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-tar2").toString
+    Export.writeTarShards(docs, "doc_id", "text", salt = "t", nShards = 2, out1)
+    Export.writeTarShards(docs, "doc_id", "text", salt = "t", nShards = 2, out2)
+
+    def members(path: java.io.File): Seq[(String, String)] = {
+      val bytes = java.nio.file.Files.readAllBytes(path.toPath)
+      var off = 0
+      val out = Seq.newBuilder[(String, String)]
+      while (off + 512 <= bytes.length && bytes(off) != 0) {
+        val name = new String(bytes, off, 100, "US-ASCII").takeWhile(_ != 0)
+        val size = java.lang.Long.parseLong(
+          new String(bytes, off + 124, 11, "US-ASCII").trim, 8).toInt
+        // checksum must validate (spaces substituted for the field)
+        val stored = java.lang.Long.parseLong(
+          new String(bytes, off + 148, 6, "US-ASCII").trim, 8)
+        var sum = 0L
+        for (i <- 0 until 512)
+          sum += (if (i >= 148 && i < 156) ' '.toByte else bytes(off + i)) & 0xff
+        assert(sum == stored, s"checksum mismatch at $name")
+        assert(new String(bytes, off + 257, 5, "US-ASCII") == "ustar")
+        out += name -> new String(bytes, off + 512, size, "UTF-8")
+        off += 512 + ((size + 511) / 512) * 512
+      }
+      out.result()
+    }
+
+    val tars = new java.io.File(out1).listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+    assert(tars.length == 2, tars.map(_.getName).mkString(","))
+    val all = tars.flatMap(members).toSeq
+    assert(all.size == 100) // 50 samples x (txt + json)
+    // consecutive .txt/.json pairs sharing the seq key, in shuffle order
+    val assigned = Sharding.assign(docs, "doc_id", "t", 2)
+      .select("doc_id", "seq", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val bySeq = assigned.map(a => a._2 -> a._1).toMap
+    all.grouped(2).foreach { case Seq((tn, text), (jn, json)) =>
+      assert(tn.endsWith(".txt") && jn.endsWith(".json"))
+      val seq = tn.stripSuffix(".txt").toLong
+      assert(jn.stripSuffix(".json").toLong == seq)
+      assert(text == s"sample text ${bySeq(seq)}")
+      assert(json.contains(s""""seq":$seq"""))
+    }
+    // byte-identical across runs
+    tars.foreach { t =>
+      val twin = new java.io.File(out2, t.getName)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(t.toPath),
+        java.nio.file.Files.readAllBytes(twin.toPath)),
+        s"${t.getName} not deterministic")
+    }
+  }
+
   test("edit-distance join at d=2 catches two-edit pairs") {
     import spark.implicits._
     val rows = Seq((1L, "kitten"), (2L, "sitting"), (3L, "mitten")).toDF("id", "s")
