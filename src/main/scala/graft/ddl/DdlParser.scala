@@ -20,6 +20,10 @@ final case class AlterModifySetting(name: String, settings: Map[String, String])
 final case class InsertValues(
     table: String, columns: Seq[String], rows: Seq[Seq[Literal]]) extends Statement
 final case class PassthroughSql(sql: String) extends Statement
+/** `OPTIMIZE [TABLE] t [ZORDER BY (c1, c2, ...)]` — layout rewrite:
+  * compaction, optionally re-clustered on a Morton curve over `zorderBy`
+  * (the Delta-style OPTIMIZE surface over the engine's generation flip). */
+final case class OptimizeTable(name: String, zorderBy: Seq[String]) extends Statement
 
 /** A VALUES literal. */
 sealed trait Literal
@@ -166,7 +170,23 @@ object DdlParser {
     else if (p.tryKw("EXISTS")) { p.expectKw("TABLE"); ExistsTable(p.ident()) }
     else if (p.tryKw("ALTER")) { p.expectKw("TABLE"); parseAlter(p) }
     else if (p.tryKw("INSERT")) parseInsert(p)
+    else if (p.tryKw("OPTIMIZE")) parseOptimize(p)
     else PassthroughSql(sql)
+  }
+
+  private def parseOptimize(p: P): OptimizeTable = {
+    p.tryKw("TABLE")
+    val name = p.ident()
+    val cols =
+      if (p.tryKw("ZORDER")) {
+        p.expectKw("BY")
+        p.expectPunct("(")
+        var cs = Vector(p.ident())
+        while (p.tryPunct(",")) cs :+= p.ident()
+        p.expectPunct(")")
+        cs
+      } else Vector.empty[String]
+    OptimizeTable(name, cols)
   }
 
   private def parseCreate(p: P): CreateTable = {

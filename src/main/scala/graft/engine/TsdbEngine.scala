@@ -144,6 +144,9 @@ final class TsdbEngine(
     case AlterModifySetting(name, settings) =>
       catalog.alterSetting(name, settings); affectedRows(0)
     case ins: InsertValues => affectedRows(insertValues(ins))
+    case OptimizeTable(name, zcols) =>
+      require(catalog.exists(name), s"Table is not found, table:$name")
+      compact(name, zorderBy = zcols); affectedRows(0)
     case PassthroughSql(sql) => runSql(sql)
   }
 
@@ -385,7 +388,8 @@ final class TsdbEngine(
     * no-row-loss guarantee.
     */
   def compact(name: String, nowMs: Long = System.currentTimeMillis(),
-      retain: Option[org.apache.spark.sql.Column] = None): Unit = withTableLock(name) {
+      retain: Option[org.apache.spark.sql.Column] = None,
+      zorderBy: Seq[String] = Nil): Unit = withTableLock(name) {
     purgeExpiredSegments(name, nowMs)
     val s = catalog.get(name)
     val (gen, _) = catalog.compactionState(name)
@@ -425,8 +429,23 @@ final class TsdbEngine(
     // PK-sorted rewrite: the reference's SSTs are PK-ordered, which is what
     // makes parquet row-group min/max stats prune on tag predicates; sorting
     // by (partition dirs, PK) also satisfies the partitioned writer's
-    // required ordering, so no extra writer-side sort happens
-    df = df.sortWithinPartitions((partCols ++ s.primaryKey).map(col): _*)
+    // required ordering, so no extra writer-side sort happens.
+    // With ZORDER BY, the intra-directory order is the Morton curve over
+    // the requested columns instead (OPTIMIZE ... ZORDER BY surface):
+    // min/max stats stay tight on EVERY clustered dimension, generalizing
+    // the single-prefix pruning the PK sort gives. The range repartition
+    // spreads the curve across tasks so each output file is a contiguous
+    // curve segment WITHIN its directory.
+    if (zorderBy.nonEmpty) {
+      val missing = zorderBy.filterNot(c => df.columns.contains(c))
+      require(missing.isEmpty, s"ZORDER BY unknown columns: ${missing.mkString(", ")}")
+      df = graft.operators.ZOrder.withZValue(df, zorderBy)
+      df = df
+        .repartitionByRange((partCols :+ "__z").map(col): _*)
+        .sortWithinPartitions((partCols :+ "__z").map(col): _*)
+        .drop("__z")
+    } else
+      df = df.sortWithinPartitions((partCols ++ s.primaryKey).map(col): _*)
 
     val newDir = catalog.genDataDir(name, gen + 1)
     val w = bloomOnTags(df.write.mode("overwrite"), s)

@@ -543,4 +543,47 @@ class TsdbEngineSpec extends SparkSpec {
       .select("v").collect().map(_.getDouble(0)).toSeq
     assert(vs2 == Seq(1.0), s"expired row must be physically rewritten away, got $vs2")
   }
+
+  test("OPTIMIZE TABLE ... ZORDER BY: layout rewrite preserves rows, tightens both dims") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = engine()
+    e.execute(
+      """CREATE TABLE zt (ts timestamp NOT NULL, x double, y double,
+        |  timestamp KEY(ts)) ENGINE=Analytic WITH (update_mode='append')""".stripMargin)
+    val base = 1704067200000L
+    val rows = (0 until 20000).map { i =>
+      (new java.sql.Timestamp(base + i),
+        (i * 2654435761L % 10007L).toDouble, (i * 40503L % 9973L).toDouble)
+    }.toDF("ts", "x", "y")
+    e.append("zt", rows)
+    val sumBefore = e.read("zt").agg(sum("x"), sum("y"), count(lit(1))).head()
+
+    // parser surface incl. the optional TABLE keyword and column list
+    assert(graft.ddl.DdlParser.parse("OPTIMIZE zt ZORDER BY (x, y)") ==
+      graft.ddl.OptimizeTable("zt", Seq("x", "y")))
+    assert(graft.ddl.DdlParser.parse("OPTIMIZE TABLE zt") ==
+      graft.ddl.OptimizeTable("zt", Nil))
+
+    // AQE would coalesce the tiny range shuffle to one file; pin it off so
+    // the span assertion sees the multi-file layout a real table gets
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try e.execute("OPTIMIZE TABLE zt ZORDER BY (x, y)")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    assert(e.read("zt").agg(sum("x"), sum("y"), count(lit(1))).head() == sumBefore,
+      "optimize must not change table contents")
+    val spans = e.read("zt")
+      .groupBy(input_file_name().as("f"))
+      .agg(((max("x") - min("x")) / 10007.0).as("sx"),
+        ((max("y") - min("y")) / 9973.0).as("sy"))
+    assert(spans.count() >= 2, "expected a multi-file layout")
+    val avgSpans = spans.agg(avg("sx"), avg("sy")).head()
+    assert(avgSpans.getDouble(0) < 0.75 && avgSpans.getDouble(1) < 0.75,
+      s"both clustered dims must have tight per-file spans, got $avgSpans")
+
+    // unknown column errors cleanly
+    val err = intercept[Exception](e.execute("OPTIMIZE zt ZORDER BY (nope)"))
+    assert(err.getMessage.contains("nope"))
+  }
 }
