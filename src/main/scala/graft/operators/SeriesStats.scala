@@ -60,6 +60,46 @@ object SeriesStats {
                             // caller's (see the q187 scaled-integer note)
   }
 
+  /** Multiwindow multi-burn-rate SLO alert (the SRE-workbook paging rule):
+    * per key, bucket events to `grainUs` grains, compute error/total
+    * counts over a SHORT and a LONG trailing window, and alert only when
+    * BOTH windows burn error budget faster than the threshold — the long
+    * window guards against flappy spikes, the short one ends the alert
+    * quickly once the burn stops.
+    *
+    * Windows are RANGE frames over the bucket epoch, not ROWS frames:
+    * event gaps leave missing buckets, and a rows-frame would silently
+    * stretch the window over them (a 100 TB corpus of sparse series hits
+    * this constantly). The alert predicate is integer cross-multiplied
+    * (`err * thrDen >= thrNum * total` with threshold×budget = thrNum/
+    * thrDen), so the output is engine-exact — no float division anywhere.
+    *
+    * One (key, bucket) aggregation shuffle; both window passes and the
+    * final projection reuse the key partitioning. */
+  def burnRateAlerts(
+      df: DataFrame, keyCol: String, tsCol: String,
+      errCond: org.apache.spark.sql.Column, grainUs: Long,
+      shortBuckets: Int, longBuckets: Int,
+      thrNum: Long, thrDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .groupBy(col(keyCol),
+        (floor(unix_micros(col(tsCol)) / grainUs).cast("long") * grainUs).as("__bus"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(errCond, 1L).otherwise(0L)).as("__e"))
+    def frame(buckets: Int) = Window.partitionBy(keyCol).orderBy("__bus")
+      .rangeBetween(-(buckets - 1L) * grainUs, 0)
+    g
+      .withColumn("err_short", sum("__e").over(frame(shortBuckets)))
+      .withColumn("n_short", sum("__n").over(frame(shortBuckets)))
+      .withColumn("err_long", sum("__e").over(frame(longBuckets)))
+      .withColumn("n_long", sum("__n").over(frame(longBuckets)))
+      .select(col(keyCol), timestamp_micros(col("__bus")).as("bucket"),
+        col("err_short"), col("n_short"), col("err_long"), col("n_long"),
+        (col("err_short") * thrDen >= lit(thrNum) * col("n_short") &&
+         col("err_long") * thrDen >= lit(thrNum) * col("n_long")).as("alert"))
+  }
+
   /** Time x value heatmap grid (the Grafana heatmap backend): per
     * (time bucket, equi-width value bin) point counts. The value range is
     * computed in one tiny stats pass broadcast back over the scan —

@@ -647,6 +647,35 @@ object TimeSeries {
           .filter(col("user_id").between(2, 5) &&
             col("value").between(50.0, 150.0))
           .select("event_id", "user_id", "value")
-      })
+      }),
+
+    // ---- multiwindow multi-burn-rate SLO alert (SeriesStats
+    //      .burnRateAlerts): 3h/24h trailing windows over 1h grains,
+    //      threshold*budget = 144/10000, error = value >= 300. RANGE
+    //      frames (sparse-bucket-correct) and an integer cross-multiplied
+    //      predicate keep the whole output engine-exact.
+    GraftQuery("q209_slo_burn_rate",
+      Some("""WITH g AS (SELECT event_type,
+             |    (epoch_us(ts) // 3600000000) * 3600000000 AS bus,
+             |    count(*) AS n,
+             |    sum(CASE WHEN "value" >= 300 THEN 1 ELSE 0 END) AS e
+             |  FROM events GROUP BY 1, 2),
+             |w AS (SELECT event_type, bus,
+             |    sum(e) OVER s AS es, sum(n) OVER s AS ns,
+             |    sum(e) OVER l AS el, sum(n) OVER l AS nl
+             |  FROM g WINDOW
+             |    s AS (PARTITION BY event_type ORDER BY bus
+             |      RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW),
+             |    l AS (PARTITION BY event_type ORDER BY bus
+             |      RANGE BETWEEN 82800000000 PRECEDING AND CURRENT ROW))
+             |SELECT event_type, make_timestamp(bus) AS bucket,
+             |  es::BIGINT AS err_short, ns::BIGINT AS n_short,
+             |  el::BIGINT AS err_long, nl::BIGINT AS n_long,
+             |  (es * 10000 >= 144 * ns AND el * 10000 >= 144 * nl) AS alert
+             |FROM w""".stripMargin),
+      (s, dir) => graft.operators.SeriesStats.burnRateAlerts(
+        t(s, dir, "events"), "event_type", "ts",
+        errCond = col("value") >= 300, grainUs = 3600000000L,
+        shortBuckets = 3, longBuckets = 24, thrNum = 144L, thrDen = 10000L))
   )
 }

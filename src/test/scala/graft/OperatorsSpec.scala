@@ -779,6 +779,31 @@ class OperatorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("burn-rate alerts: RANGE windows skip gaps; both windows must burn") {
+    import spark.implicits._
+    import graft.operators.SeriesStats
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // buckets (60s grain): t=0 (2 events, both errors), t=60 (2 ok),
+    // t=240 (1 error) — the 120s/180s gap is the rows-vs-range trap
+    val events = Seq(
+      ("svc", t(0), true), ("svc", t(30), true),
+      ("svc", t(60), false), ("svc", t(90), false),
+      ("svc", t(240), true)
+    ).toDF("k", "ts", "err")
+    val out = SeriesStats.burnRateAlerts(events, "k", "ts",
+      errCond = col("err"), grainUs = 60000000L,
+      shortBuckets = 2, longBuckets = 4, thrNum = 1L, thrDen = 2L)
+      .orderBy("bucket")
+      .collect().map(r => (r.getTimestamp(1).getTime / 1000,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 2L, 2L, true),     // 100% burn in both windows
+      (60L, 2L, 4L, 2L, 4L, true),    // 50% in both == threshold
+      // short window [180,240] sees ONLY bucket 240 (gap skipped): 1/1;
+      // long window [60,240] sees buckets 60+240: 1/3 < 50% -> no alert
+      (240L, 1L, 1L, 1L, 3L, false)))
+  }
+
   test("zorder: tight file spans on BOTH dims where a linear sort has one") {
     import spark.implicits._
     import graft.operators.ZOrder
