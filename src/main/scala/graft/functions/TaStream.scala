@@ -184,6 +184,29 @@ object TaStream {
     * `keyLen` columns the series key, then the (opaque) timestamp, then
     * the double value; a key change resets the recurrence. Emits
     * Row(key..., t, out) for every point the recurrence yields. */
+  /** One-step-ahead Holt (level+trend) forecast ERROR: after seeding
+    * l=y2, b=y2−y1 from the first two points, each further point emits
+    * y_t − (l+b) — the error of the forecast made BEFORE seeing y_t —
+    * then updates l' = α·y + (1−α)(l+b), b' = β(l'−l) + (1−β)b. With
+    * α=β=0.5 every multiply is an exact binary halving, so an oracle
+    * replaying the same operand order reproduces the doubles bit-for-bit
+    * (the backtest contract: rolling-origin evaluation without
+    * re-fitting per origin). */
+  final class HoltError(alpha: Double, beta: Double) extends State {
+    private var i = 0
+    private var l = 0.0
+    private var b = 0.0
+    def push(v: Double): Option[Double] = {
+      if (i == 0) { l = v; i = 1; return None }
+      if (i == 1) { b = v - l; l = v; i = 2; return None }
+      val err = v - (l + b)
+      val lNew = alpha * v + (1.0 - alpha) * (l + b)
+      b = beta * (lNew - l) + (1.0 - beta) * b
+      l = lNew
+      Some(err)
+    }
+  }
+
   def run(rows: Iterator[Row], keyLen: Int, mk: () => State): Iterator[Row] =
     new Iterator[Row] {
       private var state: State = null

@@ -60,6 +60,37 @@ object SeriesStats {
                             // caller's (see the q187 scaled-integer note)
   }
 
+  /** Rolling-origin forecast backtest: one-step-ahead Holt (level+trend)
+    * forecast errors per series over grain buckets — the "how good would
+    * my forecast have been" evaluation a capacity planner runs before
+    * trusting an alerting forecast. The bucket series uses MAX (order-
+    * independent, so the recurrence input is engine-exact); the sequential
+    * recurrence streams per series through the
+    * [[graft.functions.TaStream]] kernel pattern — one hash-by-series
+    * shuffle, O(1) state, a hot series spills through the sort instead of
+    * materializing. Errors are presented as µ-scaled integers. */
+  def holtBacktest(
+      df: DataFrame, seriesCol: String, tsCol: String, valueCol: String,
+      grainUs: Long, alpha: Double = 0.5, beta: Double = 0.5): DataFrame = {
+    val g = df
+      .groupBy(col(seriesCol),
+        (floor(unix_micros(col(tsCol)) / grainUs).cast("long") * grainUs)
+          .as("__bus"))
+      .agg(max(col(valueCol)).cast("double").as("__v"))
+    val parted = g.repartition(col(seriesCol))
+      .sortWithinPartitions(col(seriesCol), col("__bus"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      parted.schema.fields.dropRight(1) :+
+        org.apache.spark.sql.types.StructField(
+          "__err", org.apache.spark.sql.types.DoubleType))
+    parted.mapPartitions(
+      graft.functions.TaStream.run(_, 1,
+        () => new graft.functions.TaStream.HoltError(alpha, beta)))(
+      org.apache.spark.sql.Encoders.row(outSchema))
+      .select(col(seriesCol), timestamp_micros(col("__bus")).as("bucket"),
+        round(col("__err") * 1000000.0, 0).cast("long").as("err_1e6"))
+  }
+
   /** Multiwindow multi-burn-rate SLO alert (the SRE-workbook paging rule):
     * per key, bucket events to `grainUs` grains, compute error/total
     * counts over a SHORT and a LONG trailing window, and alert only when

@@ -676,6 +676,41 @@ object TimeSeries {
       (s, dir) => graft.operators.SeriesStats.burnRateAlerts(
         t(s, dir, "events"), "event_type", "ts",
         errCond = col("value") >= 300, grainUs = 3600000000L,
-        shortBuckets = 3, longBuckets = 24, thrNum = 144L, thrDen = 10000L))
+        shortBuckets = 3, longBuckets = 24, thrNum = 144L, thrDen = 10000L)),
+
+    // ---- rolling-origin Holt forecast backtest (SeriesStats
+    //      .holtBacktest): one-step-ahead level+trend forecast errors per
+    //      hourly bucket. Bucket series = max (order-independent), α=β=0.5
+    //      (exact binary halvings); the oracle's recursive CTE carries
+    //      (l, b) with kernel-identical operand order, so the µ-scaled
+    //      errors are bit-equal.
+    GraftQuery("q210_holt_backtest",
+      Some("""WITH RECURSIVE g AS (SELECT event_type,
+             |    (epoch_us(ts) // 3600000000) * 3600000000 AS bus,
+             |    max("value") AS v
+             |  FROM events GROUP BY 1, 2),
+             |o AS (SELECT event_type, bus, v,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY bus) AS rn
+             |  FROM g),
+             |rec AS (
+             |  SELECT s2.event_type, CAST(2 AS BIGINT) AS rn, s2.v AS l,
+             |    s2.v - s1.v AS b, CAST(NULL AS DOUBLE) AS err,
+             |    CAST(NULL AS BIGINT) AS bus
+             |  FROM o s1 JOIN o s2 ON s1.event_type = s2.event_type
+             |    AND s1.rn = 1 AND s2.rn = 2
+             |  UNION ALL
+             |  SELECT r.event_type, r.rn + 1,
+             |    0.5 * o.v + 0.5 * (r.l + r.b),
+             |    0.5 * ((0.5 * o.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+             |    o.v - (r.l + r.b),
+             |    o.bus
+             |  FROM rec r JOIN o ON o.event_type = r.event_type
+             |    AND o.rn = r.rn + 1)
+             |SELECT event_type, make_timestamp(bus) AS bucket,
+             |  CAST(round(err * 1000000.0, 0) AS BIGINT) AS err_1e6
+             |FROM rec WHERE err IS NOT NULL""".stripMargin),
+      (s, dir) => graft.operators.SeriesStats.holtBacktest(
+        t(s, dir, "events"), "event_type", "ts", "value",
+        grainUs = 3600000000L))
   )
 }

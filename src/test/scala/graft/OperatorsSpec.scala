@@ -804,6 +804,27 @@ class OperatorsSpec extends SparkSpec {
       (240L, 1L, 1L, 1L, 3L, false)))
   }
 
+  test("holt backtest: hand-computed one-step errors; constant trend -> zero error") {
+    import spark.implicits._
+    import graft.operators.SeriesStats
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // series 'lin' is perfectly linear (10, 20, 30, 40): after seeding
+    // l=20, b=10 every forecast is exact -> all errors 0.
+    // series 'jmp': 10, 10, 20 -> seed l=10, b=0; err at 3rd = 20-10 = 10.
+    val events = Seq(
+      ("lin", t(0), 10.0), ("lin", t(60), 20.0),
+      ("lin", t(120), 30.0), ("lin", t(180), 40.0),
+      ("jmp", t(0), 10.0), ("jmp", t(60), 10.0), ("jmp", t(120), 20.0)
+    ).toDF("k", "ts", "v")
+    val out = SeriesStats.holtBacktest(events, "k", "ts", "v",
+      grainUs = 60000000L)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      ("jmp", 120L, 10000000L),
+      ("lin", 120L, 0L), ("lin", 180L, 0L)))
+  }
+
   test("zorder: tight file spans on BOTH dims where a linear sort has one") {
     import spark.implicits._
     import graft.operators.ZOrder
