@@ -138,6 +138,41 @@ object Ivf {
       .limit(k)
   }
 
+  /** Filtered (metadata-constrained) probe with adaptive widening — the
+    * classic filtered-ANN failure is a selective predicate emptying the
+    * probed buckets (recall collapses silently); here each round scans
+    * the next-nearest cluster directories, applies the filter BEFORE
+    * scoring, and the probe set doubles until k survivors exist or every
+    * bucket was read (where it degenerates to exact filtered search —
+    * the correctness floor). Each round is one small pruned-scan job;
+    * rounds are bounded by log2(nlist), so the worst case reads the
+    * filtered table once, never more. */
+  def probeIndexFiltered(
+      spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
+      embCol: String, query: Array[Double], k: Int,
+      filter: org.apache.spark.sql.Column, nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val qn = normalize(query)
+    val ranked = centroids.zipWithIndex
+      .map { case (c, i) => (i, dot(qn, c)) }
+      .sortBy(-_._2).map(_._1)
+    var probe = math.min(math.max(nprobe, 1), ranked.length)
+    def scan(n: Int): DataFrame =
+      spark.read.parquet(s"$path/data")
+        .filter(col("__ivf").isin(ranked.take(n).map(Integer.valueOf): _*))
+        .filter(filter)
+        .select(col(idCol),
+          round(Similarity.cosineToQuery(col(embCol), query), 4).as("cosine"))
+    var candidates = scan(probe)
+    while (candidates.count() < k && probe < ranked.length) {
+      probe = math.min(probe * 2, ranked.length)
+      candidates = scan(probe)
+    }
+    candidates.orderBy(col("cosine").desc, col(idCol)).limit(k)
+  }
+
   private[pipeline] def toDoubles(xs: Seq[Any]): Array[Double] =
     xs.map {
       case f: Float  => f.toDouble

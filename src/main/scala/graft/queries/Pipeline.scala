@@ -1473,6 +1473,39 @@ object PipelineQueries {
             get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
             get_json_object(col("value"), "$.seq").cast("long").as("seq"),
             col("shard").cast("int").as("shard"))
+      }),
+
+    // ---- filtered ANN, exact baseline: metadata predicate BEFORE
+    //      scoring (post-filtering the unfiltered top-k would silently
+    //      drop recall when the filter is selective)
+    GraftQuery("q211_ann_filtered",
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cosine
+             |FROM embeddings, q WHERE label = 1
+             |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+      (s, dir) => Similarity.bruteForceTopK(
+        t(s, dir, "embeddings").filter(col("label") === 1),
+        "vec_id", "embedding", queryVec(s, dir), 10)),
+
+    // ---- filtered ANN over the persisted IVF index with adaptive probe
+    //      widening (Ivf.probeIndexFiltered). Full probe degenerates to
+    //      exact filtered search — the deterministic oracle anchor (the
+    //      q124 pattern); selective-filter widening is spec-covered.
+    GraftQuery("q212_ann_ivf_filtered",
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cosine
+             |FROM embeddings, q WHERE label = 1
+             |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ivf-filt").toString
+        graft.pipeline.Ivf.buildIndex(
+          t(s, dir, "embeddings"), "vec_id", "embedding", path, nlist = 8)
+        graft.pipeline.Ivf.probeIndexFiltered(
+          s, path, "vec_id", "embedding", queryVec(s, dir), 10,
+          filter = col("label") === 1, nprobe = 8)
       })
   )
 }

@@ -1281,6 +1281,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("filtered IVF probe widens until the filter has k survivors") {
+    import spark.implicits._
+    // cluster A hugs (1,0); cluster B hugs (0,1). The filter keeps ONLY
+    // B members, but the query sits in A — nprobe=1 reads A, finds zero
+    // survivors, and must widen to reach B instead of silently returning
+    // an empty (or short) result.
+    val vecs = (
+      (0 until 20).map(i => (i.toLong, Seq(1.0f, 0.001f * i), 0)) ++
+      (20 until 40).map(i => (i.toLong, Seq(0.001f * i, 1.0f), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val path = tmpDir("ivf-filt")
+    Ivf.buildIndex(vecs, "vec_id", "embedding", path, nlist = 2, iters = 4)
+    val query = Array(1.0, 0.0)
+    val got = Ivf.probeIndexFiltered(spark, path, "vec_id", "embedding",
+      query, k = 5, filter = col("label") === 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 5, s"widening must still deliver k results, got ${got.length}")
+    val brute = Similarity.bruteForceTopK(
+      vecs.filter(col("label") === 1), "vec_id", "embedding", query, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == brute.toSeq,
+      s"widened probe must equal exact filtered search: $got vs $brute")
+  }
+
   test("edit-distance join at d=2 catches two-edit pairs") {
     import spark.implicits._
     val rows = Seq((1L, "kitten"), (2L, "sitting"), (3L, "mitten")).toDF("id", "s")
