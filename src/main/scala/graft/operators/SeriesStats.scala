@@ -273,4 +273,94 @@ object SeriesStats {
       .groupBy(col("lag"))
       .agg(count(lit(1)).as("n"), round(corr(col("__v"), col("__w")), 3).as("r"))
   }
+
+  /** Time-weighted average per (series, bucket): the irregular-sampling
+    * mean every TSDB downsampler needs (InfluxDB `integral/elapsed`,
+    * Timescale `time_weight('Linear',…)` with left-step interpolation).
+    * Each in-bucket point holds its value until the next point
+    * (last-observation-carried-forward), truncated at the bucket's own
+    * first/last samples: twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first).
+    * A bucket whose samples all share one timestamp (n=1 included)
+    * degrades to their plain mean.
+    *
+    * Every intermediate is an exact integer (milli-value × µs area sums),
+    * presented via [[scaledTruncDiv]] at 1e-4 — run-order independent and
+    * engine-exact. One keyed shuffle on (series, bucket); the lead()
+    * window rides the same partitioning (no second exchange). */
+  def timeWeightedAvg(
+      df: DataFrame, seriesCol: String, tsCol: String, idCol: String,
+      valueCol: String, grainUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(
+      col(seriesCol).as("__s"),
+      unix_micros(col(tsCol)).as("__us"),
+      (floor(unix_micros(col(tsCol)) / grainUs)).cast("long").as("__b"),
+      col(idCol).as("__id"),
+      round(col(valueCol) * 1000).cast("long").as("__v"))
+    val w = Window.partitionBy("__s", "__b").orderBy(col("__us"), col("__id"))
+    val g = pts
+      .withColumn("__nextUs", lead(col("__us"), 1).over(w))
+      .groupBy(col("__s"), col("__b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__nextUs").isNotNull,
+          col("__v") * (col("__nextUs") - col("__us"))).otherwise(lit(0L)))
+          .as("__area"),
+        min(col("__us")).as("__t0"), max(col("__us")).as("__t1"),
+        sum(col("__v")).as("__sv"))
+    g.select(
+      col("__s").as(seriesCol),
+      timestamp_micros(col("__b") * grainUs).as("bucket"),
+      col("n"),
+      when(col("__t1") === col("__t0"),
+        scaledTruncDiv(col("__sv"), col("n"), 10L))
+        .otherwise(scaledTruncDiv(col("__area"), col("__t1") - col("__t0"), 10L))
+        .as("twa_1e4"))
+  }
+
+  /** Series-cardinality governance report: per grain bucket, how many
+    * distinct series were ACTIVE, how many were seen for the FIRST time,
+    * and the running total of distinct series ever seen — the churn view
+    * an operator of a high-cardinality TSDB watches to catch tag-explosion
+    * incidents (the reference bounds series via its tsid sampling; this is
+    * the monitoring for when that bound is threatened).
+    *
+    * All counts are integers. Two keyed shuffles over the DISTINCT
+    * (series, bucket) frame (partial aggregation absorbs the raw scan);
+    * the running sum rides the grid-bounded bucket frame (|time range| /
+    * grain rows — thousands, never data-scale, so the single-partition
+    * window is safe at any corpus size). */
+  def cardinalityReport(
+      df: DataFrame, tagCols: Seq[String], tsCol: String,
+      grainUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sb = df.select(
+      concat_ws(" ", tagCols.map(c => col(c).cast("string")): _*).as("__series"),
+      (floor(unix_micros(col(tsCol)) / grainUs)).cast("long").as("__b"))
+      .distinct()
+    val active = sb.groupBy(col("__b")).agg(count(lit(1)).as("active_series"))
+    val fresh = sb.groupBy(col("__series")).agg(min(col("__b")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("new_series"))
+    active.join(fresh, Seq("__b"), "left")
+      .withColumn("new_series", coalesce(col("new_series"), lit(0L)))
+      .withColumn("cum_series",
+        sum(col("new_series")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(timestamp_micros(col("__b") * grainUs).as("bucket"),
+        col("active_series"), col("new_series"), col("cum_series"))
+  }
+
+  /** Seasonal-adjusted anomalies: buckets whose [[seasonalDecompose]]
+    * residual exceeds `thr1e4` (1e-4 value units) in absolute value —
+    * level shifts and spikes that survive removal of trend AND the
+    * periodic pattern, the detection a plain threshold or MAD scan
+    * cannot do on strongly seasonal series. Purely integer comparisons
+    * over the decomposition's exact-rational output. */
+  def seasonalAnomalies(
+      df: DataFrame, tsCol: String, valueCol: String, grainUs: Long,
+      period: Int, thr1e4: Long): DataFrame =
+    seasonalDecompose(df, tsCol, valueCol, grainUs, period)
+      .filter(abs(col("residual_1e4")) > thr1e4)
+      .select(col("bucket"), col("sum_milli"), col("trend_1e4"),
+        col("seasonal_1e4"), col("residual_1e4"))
 }

@@ -156,6 +156,45 @@ object EngineE2E {
             round(col("rate") * 1000000.0, 0).cast("long").as("rate"))
       }),
 
+    // Streaming EWMA anomaly detection (flatMapGroupsWithState): per-series
+    // (n, ewma, ewmvar) state, flag |x − ewma| > 4σ against PRE-update
+    // statistics after a 16-sample warm-up, replayed into an engine table.
+    // α = 1/4 and k = 4 are exact binary; the oracle's recursive CTE
+    // carries (mean, var) with kernel-identical operand order (q210
+    // convention), so the flag decisions and the floor-scaled deviation
+    // are bit-equal.
+    GraftQuery("q213_streaming_anomaly",
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT event_type AS series, epoch_us(ts) AS us, "value" AS v,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY ts, "value") AS rn
+             |  FROM events),
+             |rec AS (
+             |  SELECT series, rn, CAST(1 AS BIGINT) AS n, v AS mean,
+             |    CAST(0.0 AS DOUBLE) AS var, FALSE AS flag,
+             |    CAST(0.0 AS DOUBLE) AS dev
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.series, o.rn, r.n + 1,
+             |    r.mean + 0.25 * (o.v - r.mean),
+             |    0.75 * (r.var + 0.25 * (o.v - r.mean) * (o.v - r.mean)),
+             |    r.n >= 16 AND abs(o.v - r.mean) > 4.0 * sqrt(r.var),
+             |    o.v - r.mean
+             |  FROM rec r JOIN o ON o.series = r.series AND o.rn = r.rn + 1)
+             |SELECT r.series, make_timestamp(o.us) AS ts,
+             |  CAST(round(o.v * 1000, 0) AS BIGINT) AS value_milli,
+             |  CAST(floor(r.dev * 10000) AS BIGINT) AS dev_1e4
+             |FROM rec r JOIN o USING (series, rn) WHERE r.flag""".stripMargin),
+      (s, dir) => {
+        val schema = Tables.rawSchema(s, dir, "events")
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-sanom").toString)
+        graft.streaming.AnomalyDetect.anomaliesToTable(
+          e, dir, "events.parquet", schema,
+          "ts", "event_type", "value",
+          alpha = 0.25, k = 4.0, warm = 16, table = "events_anomaly")
+      }),
+
     // Streaming session windows (gap-based, append mode): per-user sessions
     // with a 4h inactivity gap, closed by a 1h watermark, materialized into
     // an engine table. The oracle re-derives gap sessionization with

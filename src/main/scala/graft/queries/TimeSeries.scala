@@ -711,6 +711,85 @@ object TimeSeries {
              |FROM rec WHERE err IS NOT NULL""".stripMargin),
       (s, dir) => graft.operators.SeriesStats.holtBacktest(
         t(s, dir, "events"), "event_type", "ts", "value",
-        grainUs = 3600000000L))
+        grainUs = 3600000000L)),
+
+    // ---- time-weighted average per hourly bucket (SeriesStats
+    //      .timeWeightedAvg): LOCF step interpolation truncated at the
+    //      bucket's own first/last samples; same-timestamp buckets degrade
+    //      to the plain mean. Milli-value × µs area sums are exact
+    //      integers; presentation is the shared truncating division.
+    GraftQuery("q214_time_weighted_avg",
+      Some("""WITH p AS (SELECT event_type, epoch_us(ts) AS us,
+             |    epoch_us(ts) // 3600000000 AS b, event_id AS id,
+             |    CAST(round("value" * 1000, 0) AS BIGINT) AS v
+             |  FROM events),
+             |nx AS (SELECT *, lead(us) OVER (PARTITION BY event_type, b
+             |    ORDER BY us, id) AS nus FROM p),
+             |g AS (SELECT event_type, b, count(*) AS n,
+             |    sum(CASE WHEN nus IS NOT NULL THEN v * (nus - us) ELSE 0 END) AS area,
+             |    min(us) AS t0, max(us) AS t1, sum(v) AS sv
+             |  FROM nx GROUP BY 1, 2)
+             |SELECT event_type, make_timestamp(b * 3600000000) AS bucket,
+             |  n::BIGINT AS n,
+             |  (CASE WHEN t1 = t0 THEN ((sv * 10) - ((sv * 10) % n)) // n
+             |        ELSE ((area * 10) - ((area * 10) % (t1 - t0))) // (t1 - t0)
+             |   END)::BIGINT AS twa_1e4
+             |FROM g""".stripMargin),
+      (s, dir) => graft.operators.SeriesStats.timeWeightedAvg(
+        t(s, dir, "events"), "event_type", "ts", "event_id", "value",
+        grainUs = 3600000000L)),
+
+    // ---- series-cardinality churn report (SeriesStats
+    //      .cardinalityReport): per hour, active / first-seen / cumulative
+    //      distinct (event_type, user_id) series — tag-explosion
+    //      monitoring. Integer-only.
+    GraftQuery("q215_cardinality_report",
+      Some("""WITH sb AS (SELECT DISTINCT
+             |    event_type || ' ' || CAST(user_id AS VARCHAR) AS s,
+             |    epoch_us(ts) // 3600000000 AS b FROM events),
+             |a AS (SELECT b, count(*) AS active_series FROM sb GROUP BY 1),
+             |f0 AS (SELECT s, min(b) AS b FROM sb GROUP BY 1),
+             |f AS (SELECT b, count(*) AS new_series FROM f0 GROUP BY 1)
+             |SELECT make_timestamp(a.b * 3600000000) AS bucket,
+             |  a.active_series,
+             |  coalesce(f.new_series, 0)::BIGINT AS new_series,
+             |  (sum(coalesce(f.new_series, 0)) OVER (ORDER BY a.b
+             |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_series
+             |FROM a LEFT JOIN f ON a.b = f.b""".stripMargin),
+      (s, dir) => graft.operators.SeriesStats.cardinalityReport(
+        t(s, dir, "events"), Seq("event_type", "user_id"), "ts",
+        grainUs = 3600000000L)),
+
+    // ---- seasonal-adjusted anomalies (SeriesStats.seasonalAnomalies):
+    //      q193's exact-rational decomposition filtered to buckets whose
+    //      |residual| clears 4e9 · 1e-4 milli-units — spikes that survive
+    //      removal of trend and the daily pattern. Integer comparisons
+    //      over q193's already-exact output.
+    GraftQuery("q216_seasonal_anomaly",
+      Some("""WITH g AS (SELECT epoch_ms(ts) // 3600000 AS b,
+             |    sum(CAST(round("value" * 1000, 0) AS BIGINT)) AS x
+             |  FROM events GROUP BY 1),
+             |w AS (SELECT b, x,
+             |    first_value(x) OVER w1 AS lo, last_value(x) OVER w1 AS hi,
+             |    count(*) OVER w1 AS n,
+             |    first_value(b) OVER w1 AS b0, last_value(b) OVER w1 AS b1,
+             |    sum(2 * x) OVER (ORDER BY b
+             |      ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS mid2
+             |  FROM g WINDOW w1 AS (ORDER BY b
+             |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+             |d AS (SELECT b, x, lo + mid2 + hi AS tn, b % 24 AS phase,
+             |    x * 48 - (lo + mid2 + hi) AS dn
+             |  FROM w WHERE n = 25 AND b1 - b0 = 24),
+             |s AS (SELECT phase, sum(dn) AS sn, count(*) AS np FROM d GROUP BY 1)
+             |SELECT make_timestamp(b * 3600000000) AS bucket, x::BIGINT AS sum_milli,
+             |  ((tn * 10000) // 48)::BIGINT AS trend_1e4,
+             |  ((sn * 10000) // (48 * np))::BIGINT AS seasonal_1e4,
+             |  (((x * 48 * np - tn * np - sn) * 10000) // (48 * np))::BIGINT AS residual_1e4
+             |FROM d JOIN s USING (phase)
+             |WHERE abs((((x * 48 * np - tn * np - sn) * 10000) // (48 * np))::BIGINT)
+             |  > 4000000000""".stripMargin),
+      (s, dir) => graft.operators.SeriesStats.seasonalAnomalies(
+        t(s, dir, "events"), "ts", "value",
+        grainUs = 3600000000L, period = 24, thr1e4 = 4000000000L))
   )
 }

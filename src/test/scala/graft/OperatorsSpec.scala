@@ -860,4 +860,68 @@ class OperatorsSpec extends SparkSpec {
     assert(zx < 0.5, s"zorder x span $zx")
     assert(zy < 0.5, s"zorder y span $zy")
   }
+
+  test("time-weighted average: LOCF areas, single-point and tied-ts buckets") {
+    import graft.operators.SeriesStats
+    import spark.implicits._
+    // 10s buckets. Bucket 0: v=10 holds 2s, v=20 holds 4s over a 6s span
+    // -> twa = 100/6 = 16.6666; bucket 1: single point -> its value;
+    // bucket 2: both samples share one timestamp -> plain mean.
+    val rows = Seq(
+      ("a", 0L, 1L, 10.0), ("a", 2000L, 2L, 20.0), ("a", 6000L, 3L, 40.0),
+      ("a", 12000L, 4L, 7.0),
+      ("a", 24000L, 5L, 1.0), ("a", 24000L, 6L, 3.0)
+    ).map { case (k, ms, id, v) => (k, new java.sql.Timestamp(ms), id, v) }
+      .toDF("k", "t", "id", "v")
+    val out = SeriesStats.timeWeightedAvg(rows, "k", "t", "id", "v",
+      grainUs = 10000000L)
+    val got = out.collect().map(r =>
+      (r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 3L, 166666L), (10000L, 1L, 70000L),
+      (20000L, 2L, 20000L)), got.toString)
+    val plan = planString(out)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"twa should be one key shuffle:\n$plan")
+  }
+
+  test("cardinality report: active / first-seen / cumulative per bucket") {
+    import graft.operators.SeriesStats
+    import spark.implicits._
+    // hour buckets; series = (typ, uid). h0: A,B  h1: B,C  h2: A
+    val h = 3600000L
+    val rows = Seq(
+      (0L, "t1", 1L), (1000L, "t2", 1L),
+      (h + 1L, "t2", 1L), (h + 2L, "t3", 1L),
+      (2 * h + 1L, "t1", 1L)
+    ).map { case (ms, typ, uid) => (new java.sql.Timestamp(ms), typ, uid) }
+      .toDF("t", "typ", "uid")
+    val got = SeriesStats.cardinalityReport(rows, Seq("typ", "uid"), "t",
+        grainUs = 3600000000L)
+      .collect().map(r => (r.getTimestamp(0).getTime / h,
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L), (2L, 1L, 0L, 3L)),
+      got.toString)
+  }
+
+  test("seasonal anomalies: planted spike flagged, clean periodic buckets aren't") {
+    import graft.operators.SeriesStats
+    import spark.implicits._
+    // strict period-4 pattern over 1s buckets, one +500 spike at bucket 21
+    val rows = (0 until 48).map { b =>
+      val v = Seq(10.0, 20.0, 30.0, 40.0)(b % 4) + (if (b == 21) 500.0 else 0.0)
+      (new java.sql.Timestamp(b * 1000L), v)
+    }.toDF("t", "v")
+    val dec = SeriesStats.seasonalDecompose(rows, "t", "v",
+      grainUs = 1000000L, period = 4)
+    // exact algebra (period=4 ⇒ ±2 window, spike weight 2/8 for direct
+    // neighbours): spike residual = +3.409e9, worst pollution −1.136e9 —
+    // a 2e9 threshold isolates exactly the spike bucket
+    val anom = SeriesStats.seasonalAnomalies(rows, "t", "v",
+      grainUs = 1000000L, period = 4, thr1e4 = 2000000000L)
+    val flagged = anom.collect().map(_.getTimestamp(0).getTime / 1000).toSet
+    assert(flagged == Set(21L), flagged.toString)
+    // anomalies are exactly the decompose rows clearing the threshold
+    val expect = dec.filter(abs(col("residual_1e4")) > 2000000000L).count()
+    assert(anom.count() == expect)
+  }
 }

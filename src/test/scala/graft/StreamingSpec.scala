@@ -135,4 +135,45 @@ class StreamingSpec extends SparkSpec {
     // unfiltered read: full rollup equals the batch aggregate
     assert(read.count() == 3)
   }
+
+  test("ewma anomaly transition: warm-up guard, pre-update flag, state chaining") {
+    import graft.streaming.AnomalyDetect
+    import graft.streaming.AnomalyDetect.{Anomaly, EwmState, SampleIn}
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val step = AnomalyDetect.transition(
+      alpha = 0.25, k = 4.0, warm = 16, idleTimeout = None) _
+
+    // batch 1: an early outlier (sample 5) inside warm-up must NOT flag
+    val st = TestGroupState.create[EwmState](
+      Optional.empty(), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long](), false)
+    val b1 = (1 to 10).map(i =>
+      SampleIn("s", i * 1000L, if (i == 5) 99.0 else 10.0))
+    assert(step("s", b1.iterator, st).isEmpty, "warm-up must suppress flags")
+    assert(st.get.n == 10L)
+
+    // batch 2 chains on batch 1's state: constant series drives ewmvar
+    // toward 0, then a spike must flag against PRE-update stats
+    val b2 = (11 to 40).map(i =>
+      SampleIn("s", i * 1000L, if (i == 40) 50.0 else 10.0))
+    val out = step("s", b2.iterator, st).toSeq
+    assert(out.length == 1, out.toString)
+    val a = out.head
+    assert(a.tsUs == 40000L && a.value == 50.0)
+    // mean just before the spike is ~10 (within rounding): dev ~ +40
+    assert(a.dev1e4 > 390000L && a.dev1e4 <= 400000L, a.dev1e4.toString)
+    // the spike IS folded into state after flagging
+    assert(st.get.n == 40L && st.get.mean > 10.0)
+
+    // out-of-order arrivals within a batch are time-sorted before chaining:
+    // same points shuffled give the same single flag
+    val st2 = TestGroupState.create[EwmState](
+      Optional.empty(), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long](), false)
+    val shuffled = new scala.util.Random(7).shuffle((b1 ++ b2).toList)
+    val out2 = step("s", shuffled.iterator, st2).toSeq
+    assert(out2.map(x => (x.tsUs, x.value, x.dev1e4)) ==
+      out.map(x => (x.tsUs, x.value, x.dev1e4)))
+  }
 }
