@@ -335,7 +335,7 @@ object SeriesStats {
       grainUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sb = df.select(
-      concat_ws(" ", tagCols.map(c => col(c).cast("string")): _*).as("__series"),
+      concat_ws("\u0000", tagCols.map(c => col(c).cast("string")): _*).as("__series"),
       (floor(unix_micros(col(tsCol)) / grainUs)).cast("long").as("__b"))
       .distinct()
     val active = sb.groupBy(col("__b")).agg(count(lit(1)).as("active_series"))
