@@ -760,7 +760,11 @@ object InfluxQL {
           df.columns.filterNot(_.startsWith("__"))
             .filterNot(_ == graft.model.TableSchema.TsidColumn).toSeq.map(col)
         }
-        else col(tsCol).as("time") +: s.projections.map { p =>
+        else (col(tsCol).as("time") +:
+          // raw select GROUP BY tag: the tag is a series key, carried on
+          // every point (InfluxDB raw-series split — the HTTP codec then
+          // renders one series per tag combination)
+          s.groupTags.map(col)) ++ s.projections.map { p =>
           val base = col(p.field)
           p.math match {
             case Some(fn) => applyMath(fn, p.mathArg, base)

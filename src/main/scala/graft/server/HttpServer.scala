@@ -1,0 +1,198 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.engine.TsdbEngine
+import graft.model.DatumKind
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The reference server's HTTP surface on a real socket
+  * (`server/src/http.rs:303-327` routes), mounting the [[HttpApi]] payload
+  * codecs on the JDK's built-in `com.sun.net.httpserver` (no extra
+  * dependencies — the engine stays a plain library plus one optional
+  * `start()`):
+  *
+  *   - `POST /sql`                 — `{"query": …}` → rows/affected_rows JSON;
+  *                                   `?format=arrow` answers the Arrow IPC
+  *                                   stream (the gRPC arrow payload's HTTP twin)
+  *   - `POST /influxdb/v1/write`   — line protocol, 204 on success (InfluxDB v1)
+  *   - `GET/POST /influxdb/v1/query` — `q=` InfluxQL, `epoch=` time unit
+  *   - `POST /opentsdb/api/put`    — OpenTSDB JSON datapoints
+  *   - `GET/POST /api/v1/query`    — PromQL instant (`query`, `time` unix secs)
+  *   - `GET/POST /api/v1/query_range` — PromQL range (`start`/`end` unix
+  *                                   secs, `step` secs or Go-style duration)
+  *
+  * PromQL metric names resolve against the engine catalog: a metric is an
+  * engine table, its tags are the TAG columns, its value is the first
+  * float/double field (the reference's implicit single-value mapping).
+  *
+  * Scale posture: the server is a stateless front — every request plans a
+  * Spark job, so concurrency and data scale belong to the cluster, not
+  * this layer. Handlers run on a small pool (Spark's scheduler does the
+  * real fan-out); responses are protocol-sized (the codecs collect only
+  * final results, same as the reference proxy).
+  */
+final class GraftHttpServer(engine: TsdbEngine, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+
+  /** Metric → SeriesTable binding from the engine catalog (tags = TAG
+    * columns, value = first float/double field). */
+  def resolve(metric: String): graft.promql.PromQL.SeriesTable = {
+    val s = engine.catalog.get(metric)
+    val tags = s.columns.filter(_.isTag).map(_.name)
+    val value = s.columns
+      .find(c => !c.isTag && c.name != s.timestampKey &&
+        (c.kind == DatumKind.Double || c.kind == DatumKind.Float))
+      .map(_.name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table '$metric' has no float/double field to serve as the metric value"))
+    // project off engine-internal columns (tsid/seq), the user-schema contract
+    val df = engine.read(metric)
+      .select(s.columns.map(c => org.apache.spark.sql.functions.col(c.name)): _*)
+    graft.promql.PromQL.SeriesTable(df, s.timestampKey, value, tags)
+  }
+
+  // ------------------------------------------------------------ plumbing
+
+  private def body(x: HttpExchange): String =
+    new String(x.getRequestBody.readAllBytes(), UTF_8)
+
+  /** Query-string + form-body params (last wins), URL-decoded. */
+  private def params(x: HttpExchange): Map[String, String] = {
+    def parse(s: String): Seq[(String, String)] =
+      s.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        java.net.URLDecoder.decode(k, UTF_8) ->
+          java.net.URLDecoder.decode(v, UTF_8)
+      }
+    val fromQuery = Option(x.getRequestURI.getRawQuery).map(parse).getOrElse(Nil)
+    val fromBody =
+      if (x.getRequestMethod == "POST" &&
+          Option(x.getRequestHeaders.getFirst("Content-Type"))
+            .exists(_.startsWith("application/x-www-form-urlencoded")))
+        parse(body(x))
+      else Nil
+    (fromQuery ++ fromBody).toMap
+  }
+
+  private def respond(x: HttpExchange, code: Int, payload: Array[Byte],
+      contentType: String): Unit = {
+    x.getResponseHeaders.set("Content-Type", contentType)
+    if (payload.isEmpty) x.sendResponseHeaders(code, -1)
+    else {
+      x.sendResponseHeaders(code, payload.length.toLong)
+      x.getResponseBody.write(payload)
+    }
+    x.close()
+  }
+
+  private def json(x: HttpExchange, s: String, code: Int = 200): Unit =
+    respond(x, code, s.getBytes(UTF_8), "application/json")
+
+  private def route(path: String)(h: HttpExchange => Unit): Unit =
+    server.createContext(path, (x: HttpExchange) =>
+      try h(x)
+      catch { case e: Throwable =>
+        try json(x, s"""{"code":500,"message":${jstr(e.toString)}}""", 500)
+        catch { case _: Throwable => () }
+      })
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  /** Prometheus time param: unix seconds, integral or fractional. */
+  private def unixMs(s: String): Long = math.round(s.toDouble * 1000.0)
+
+  /** Prometheus step: float seconds or a Go-ish duration (15s, 1m, 2h, 1d). */
+  private def stepMs(s: String): Long = {
+    val dur = "([0-9]+)(ms|s|m|h|d|w)".r
+    s match {
+      case dur(n, u) =>
+        n.toLong * (u match {
+          case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
+          case "h" => 3600000L; case "d" => 86400000L; case "w" => 604800000L
+        })
+      case _ => math.round(s.toDouble * 1000.0)
+    }
+  }
+
+  // -------------------------------------------------------------- routes
+
+  route("/sql") { x =>
+    val b = body(x)
+    if (params(x).get("format").contains("arrow"))
+      respond(x, 200, HttpApi.handleSqlArrow(engine, b),
+        "application/vnd.apache.arrow.stream")
+    else json(x, HttpApi.handleSql(engine, b))
+  }
+
+  route("/influxdb/v1/write") { x =>
+    val r = HttpApi.handleInfluxWrite(engine, body(x))
+    // InfluxDB v1 answers 204 No Content on success, JSON error otherwise
+    if (r.contains("\"code\"")) json(x, r, 500)
+    else respond(x, 204, Array.emptyByteArray, "application/json")
+  }
+
+  route("/influxdb/v1/query") { x =>
+    val p = params(x)
+    p.get("q") match {
+      case None =>
+        json(x, """{"code":400,"message":"missing parameter: q"}""", 400)
+      case Some(q) =>
+        json(x, HttpApi.handleInfluxQuery(engine, q, p.get("epoch")))
+    }
+  }
+
+  route("/opentsdb/api/put") { x =>
+    val r = HttpApi.handleOpentsdbPut(engine, body(x))
+    // OpenTSDB answers 204 No Content on full success (http.rs put route)
+    if (r.isEmpty) respond(x, 204, Array.emptyByteArray, "application/json")
+    else json(x, r, 500)
+  }
+
+  route("/api/v1/query") { x =>
+    val p = params(x)
+    p.get("query") match {
+      case None => json(x,
+        """{"status":"error","errorType":"bad_data","error":"missing parameter: query"}""",
+        400)
+      case Some(q) =>
+        val t = p.get("time").map(unixMs).getOrElse(System.currentTimeMillis())
+        json(x, HttpApi.handlePromInstant(engine.spark, resolve, q, t))
+    }
+  }
+
+  route("/api/v1/query_range") { x =>
+    val p = params(x)
+    (p.get("query"), p.get("start"), p.get("end"), p.get("step")) match {
+      case (Some(q), Some(s0), Some(e0), Some(st)) =>
+        json(x, HttpApi.handlePromRange(engine.spark, resolve, q,
+          graft.promql.EvalParams(unixMs(s0), unixMs(e0), stepMs(st))))
+      case _ =>
+        json(x, """{"status":"error","errorType":"bad_data","error":"query, start, end, step are required"}""", 400)
+    }
+  }
+
+  // ----------------------------------------------------------- lifecycle
+
+  def start(): GraftHttpServer = {
+    server.setExecutor(pool)
+    server.start()
+    this
+  }
+
+  /** The actual bound port (ephemeral when constructed with port = 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+    ()
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.engine.TsdbEngine
+import graft.server.GraftHttpServer
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The reference's HTTP routes served on a REAL socket
+  * (server/src/http.rs:303-327): write paths, query paths, Prometheus API,
+  * and error shapes, exercised end-to-end with the JDK HTTP client against
+  * an ephemeral port.
+  */
+class HttpServerSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(url: String, body: String,
+      contentType: String = "application/json"): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+        .header("Content-Type", contentType)
+        .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, UTF_8)
+
+  test("http server: reference routes round-trip on a real socket") {
+    val e = new TsdbEngine(spark, tmpDir("httpsrv-wh"))
+    val srv = new GraftHttpServer(e).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+
+      // ---- influx line-protocol write: 204, table auto-created
+      val t0 = 1704067200000000000L // 2024-01-01T00:00:00Z in ns
+      val lp =
+        s"""cpu,host=a usage=1.5 $t0
+           |cpu,host=b usage=2.5 ${t0 + 60000000000L}""".stripMargin
+      val w = post(s"$base/influxdb/v1/write", lp, "text/plain")
+      assert(w.statusCode() == 204, w.body())
+
+      // ---- POST /sql: rows JSON in the reference shape
+      val sql = post(s"$base/sql",
+        """{"query": "SELECT host, usage FROM cpu ORDER BY host"}""")
+      assert(sql.statusCode() == 200)
+      val rows = mapper.readTree(sql.body()).get("rows")
+      assert(rows != null && rows.size() == 2, sql.body())
+      assert(rows.get(0).get("host").asText() == "a")
+      assert(rows.get(0).get("usage").asDouble() == 1.5)
+
+      // ---- GET /influxdb/v1/query: v1 results/series shape, epoch=ms
+      val iq = get(s"$base/influxdb/v1/query?epoch=ms&q=" +
+        enc("SELECT mean(usage) AS usage FROM cpu GROUP BY time(1m), host"))
+      assert(iq.statusCode() == 200)
+      val series = mapper.readTree(iq.body())
+        .get("results").get(0).get("series")
+      assert(series.size() == 2, iq.body())
+      assert(series.get(0).get("tags").get("host").asText() == "a")
+      assert(series.get(0).get("values").get(0).get(0).asLong()
+        == t0 / 1000000L) // epoch ms
+
+      // ---- raw select split by tag (InfluxDB raw-series GROUP BY)
+      val rq = get(s"$base/influxdb/v1/query?epoch=ms&q=" +
+        enc("SELECT usage FROM cpu GROUP BY host"))
+      val rSeries = mapper.readTree(rq.body())
+        .get("results").get(0).get("series")
+      assert(rSeries.size() == 2, rq.body())
+      assert(rSeries.get(1).get("tags").get("host").asText() == "b")
+      assert(rSeries.get(1).get("values").get(0).get(1).asDouble() == 2.5)
+
+      // ---- POST /opentsdb/api/put: 204, then queryable over /sql
+      val put = post(s"$base/opentsdb/api/put",
+        """[{"metric":"tsdbm","timestamp":1704067200,"value":3.5,"tags":{"dc":"x"}}]""")
+      assert(put.statusCode() == 204, put.body())
+      val putQ = post(s"$base/sql",
+        """{"query": "SELECT dc, value FROM tsdbm"}""")
+      val putRows = mapper.readTree(putQ.body()).get("rows")
+      assert(putRows.size() == 1 && putRows.get(0).get("value").asDouble() == 3.5)
+
+      // ---- Prometheus instant query: engine table served as a metric
+      val pi = get(s"$base/api/v1/query?query=cpu&time=1704067260")
+      assert(pi.statusCode() == 200)
+      val piJ = mapper.readTree(pi.body())
+      assert(piJ.get("status").asText() == "success", pi.body())
+      val result = piJ.get("data").get("result")
+      assert(piJ.get("data").get("resultType").asText() == "vector")
+      val byHost = (0 until result.size()).map { i =>
+        result.get(i).get("metric").get("host").asText() ->
+          result.get(i).get("value").get(1).asText()
+      }.toMap
+      assert(byHost == Map("a" -> "1.5", "b" -> "2.5"), pi.body())
+      assert(result.get(0).get("metric").get("__name__").asText() == "cpu")
+
+      // ---- Prometheus range query with a duration step
+      val pr = get(s"$base/api/v1/query_range?query=cpu" +
+        "&start=1704067200&end=1704067260&step=60s")
+      val prJ = mapper.readTree(pr.body())
+      assert(prJ.get("status").asText() == "success", pr.body())
+      assert(prJ.get("data").get("resultType").asText() == "matrix")
+      // host=a is visible at both grid points (5m lookback), host=b at one
+      val counts = {
+        val r = prJ.get("data").get("result")
+        (0 until r.size()).map(i =>
+          r.get(i).get("metric").get("host").asText() ->
+            r.get(i).get("values").size()).toMap
+      }
+      assert(counts == Map("a" -> 2, "b" -> 1), pr.body())
+
+      // ---- Arrow answer: right content type, parseable IPC stream bytes
+      val ar = client.send(HttpRequest.newBuilder(
+          URI.create(s"$base/sql?format=arrow"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query": "SELECT host, usage FROM cpu ORDER BY host"}""", UTF_8))
+          .build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(ar.statusCode() == 200)
+      assert(ar.headers().firstValue("Content-Type").orElse("")
+        == "application/vnd.apache.arrow.stream")
+      assert(ar.body().length > 8, "empty arrow payload")
+
+      // ---- error shapes: SQL error JSON, missing-parameter 400s
+      val bad = post(s"$base/sql", """{"query": "SELECT FROM nowhere ("}""")
+      assert(mapper.readTree(bad.body()).has("code"), bad.body())
+      assert(get(s"$base/influxdb/v1/query").statusCode() == 400)
+      assert(get(s"$base/api/v1/query").statusCode() == 400)
+      assert(get(s"$base/api/v1/query_range?query=cpu").statusCode() == 400)
+    } finally srv.stop()
+  }
+}
