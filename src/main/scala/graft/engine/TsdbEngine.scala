@@ -185,6 +185,40 @@ final class TsdbEngine(
     deduped.select(s.canonicalColumns.map(c => col(c.name)): _*)
   }
 
+  /** Snapshot read: the table as it stood after ingest sequence `asOfSeq`
+    * (inclusive) — batches reserved later are invisible, and overwrite
+    * dedup picks the newest version WITHIN the snapshot. The engine's
+    * per-batch `__seq` (the WAL-sequence analogue) is the version axis, so
+    * this is a pure storage-scan filter: no extra state, no copies, the
+    * same plan shape as [[read]].
+    *
+    * History bound: compaction physically rewrites everything below its
+    * sequence floor to newest-per-PK, so a snapshot older than `floor - 1`
+    * can no longer be reconstructed and is rejected (the same contract as
+    * a lakehouse VACUUM: time travel reaches only as far back as retained
+    * versions). TTL row filtering is skipped — a snapshot shows the data
+    * as written, not as aged. */
+  def readAsOf(name: String, asOfSeq: Long): DataFrame = {
+    val s = catalog.get(name)
+    val (_, floor) = catalog.compactionState(name)
+    require(asOfSeq >= floor - 1,
+      s"snapshot at seq $asOfSeq predates compaction floor $floor: " +
+        "overwritten versions below the floor were physically removed")
+    val storage = readStorage(s)
+      .filter(col(TableSchema.SeqColumn) <= asOfSeq)
+    val deduped = s.options.updateMode match {
+      case UpdateMode.Overwrite =>
+        val pk = s.primaryKey.map(col)
+        storage
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(pk: _*).orderBy(
+              col(TableSchema.SeqColumn).desc, col(TableSchema.SubSeqColumn).desc)))
+          .filter(col("__rn") === 1)
+      case _ => storage
+    }
+    deduped.select(s.canonicalColumns.map(c => col(c.name)): _*)
+  }
+
   private def readStorage(s: TableSchema): DataFrame = {
     val dir = catalog.dataDir(s.name)
     import graft.plans.Partitioning

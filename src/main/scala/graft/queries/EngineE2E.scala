@@ -37,6 +37,38 @@ object EngineE2E {
             |FROM demo GROUP BY name""".stripMargin)
       }),
 
+    // Time-travel snapshot reads (TsdbEngine.readAsOf): click events
+    // ingested as version 0, overwritten with doubled values as version 1;
+    // the snapshot at seq 0 still answers the original state while the
+    // live read sees the overwrite — the engine's __seq axis doing
+    // lakehouse-style versioning with zero extra storage. Keys are
+    // pre-deduped to (user_id, ts) max so within-batch ordering cannot
+    // leak into the oracle.
+    GraftQuery("q217_time_travel",
+      Some("""WITH c AS (SELECT user_id, ts, max("value") AS v
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT 'v0' AS version, count(*) AS n, round(sum(v), 2) AS total FROM c
+             |UNION ALL
+             |SELECT 'v1' AS version, count(*) AS n, round(sum(v * 2), 2) AS total FROM c""".stripMargin),
+      (s, dir) => {
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-travel").toString)
+        e.execute(
+          """CREATE TABLE snap (
+            |  ts timestamp NOT NULL, user_id uint64 TAG, value double,
+            |  timestamp KEY(ts)) ENGINE=Analytic WITH (enable_ttl='false')""".stripMargin)
+        val clicks = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("value").as("value"))
+          .select("ts", "user_id", "value")
+        e.append("snap", clicks)                                      // seq 0
+        e.append("snap", clicks.withColumn("value", col("value") * 2)) // seq 1
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+            .select(lit(tag).as("version"), col("n"), col("total"))
+        agg(e.readAsOf("snap", 0), "v0").unionAll(agg(e.read("snap"), "v1"))
+      }),
+
     // Streaming exactly-once dedup: the events stream delivered TWICE
     // (two file sources unioned — a replayed-producer model), watermarked
     // dropDuplicatesWithinWatermark on event_id, appended to an engine

@@ -586,4 +586,54 @@ class TsdbEngineSpec extends SparkSpec {
     val err = intercept[Exception](e.execute("OPTIMIZE zt ZORDER BY (nope)"))
     assert(err.getMessage.contains("nope"))
   }
+
+  test("time travel: snapshots see per-seq versions, compaction bounds history") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE tt (ts timestamp NOT NULL, k string TAG, v double,
+        |  timestamp KEY(ts))
+        |ENGINE=Analytic WITH (enable_ttl='false')""".stripMargin)
+    import spark.implicits._
+    def batch(v: Double) = Seq(
+      (new java.sql.Timestamp(1000L), "a", v),
+      (new java.sql.Timestamp(2000L), "b", v)
+    ).toDF("ts", "k", "v")
+    e.append("tt", batch(1.0))   // seq 0
+    e.append("tt", batch(2.0))   // seq 1: overwrites both keys
+    assert(e.currentSeq("tt") == 2L) // next unreserved; newest snapshot is 1
+
+    def vals(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("v")).toMap
+    assert(vals(e.readAsOf("tt", 0)) == Map("a" -> 1.0, "b" -> 1.0))
+    assert(vals(e.readAsOf("tt", 1)) == Map("a" -> 2.0, "b" -> 2.0))
+    // newest snapshot == the live read
+    assert(vals(e.readAsOf("tt", e.currentSeq("tt") - 1)) == vals(e.read("tt")))
+
+    // compaction: floor moves to nextSeq (=2); seq-1 snapshot (= floor-1,
+    // the compacted state itself) stays servable, older history is gone
+    e.compact("tt")
+    assert(vals(e.readAsOf("tt", 1)) == Map("a" -> 2.0, "b" -> 2.0))
+    val err = intercept[IllegalArgumentException](e.readAsOf("tt", 0))
+    assert(err.getMessage.contains("compaction floor"))
+
+    // post-compaction appends version on top of the preserved seqs
+    e.append("tt", batch(3.0))   // seq 2
+    assert(vals(e.readAsOf("tt", 1)) == Map("a" -> 2.0, "b" -> 2.0))
+    assert(vals(e.readAsOf("tt", 2)) == Map("a" -> 3.0, "b" -> 3.0))
+  }
+
+  test("time travel on append tables filters batches, never dedups") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE ta (ts timestamp NOT NULL, k string TAG, v double,
+        |  timestamp KEY(ts))
+        |ENGINE=Analytic WITH (update_mode='append', enable_ttl='false')""".stripMargin)
+    import spark.implicits._
+    def one(v: Double) =
+      Seq((new java.sql.Timestamp(1000L), "a", v)).toDF("ts", "k", "v")
+    e.append("ta", one(1.0))
+    e.append("ta", one(2.0))
+    assert(e.readAsOf("ta", 0).count() == 1)
+    assert(e.readAsOf("ta", 1).count() == 2)
+  }
 }
