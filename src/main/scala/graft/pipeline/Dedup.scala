@@ -76,14 +76,28 @@ object Dedup {
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    val bits = 64 / bands
     val docs = df.repartition(col(idCol)) // parallelize per-doc hashing
-      .select(col(idCol).as("id"),
-        SimHash.simhash64(tokens(col(textCol))).as("sim"))
+      .select(col(idCol),
+        SimHash.simhash64(tokens(col(textCol))).as("__sim"))
+    bandedHammingPairs(docs, idCol, "__sim", bands, maxHamming)
+  }
+
+  /** Generic banded Hamming self-join over ANY 64-bit signature column
+    * (simhash, perceptual hash, …): explode each row to its `bands`
+    * sub-keys, shuffle by (band, key), verify full Hamming ≤ `maxHamming`
+    * with `bit_count(xor)` inside the buckets. Pigeonhole guarantee: a
+    * pair with Hamming < `bands` agrees on at least one band, so recall in
+    * that radius is exact; everything stays bucket-bounded — no all-pairs
+    * product, candidate shuffle carries (id, signature) only.
+    * Returns (id_a, id_b, hamming) with id_a < id_b, deduped across bands. */
+  def bandedHammingPairs(
+      hashed: DataFrame, idCol: String, bitsCol: String,
+      bands: Int, maxHamming: Int): DataFrame = {
+    val bits = 64 / bands
     // bands is a compile-time constant → unroll (shift amounts must be static)
     val bandCols = (0 until bands).map(b =>
-      shiftrightunsigned(col("sim"), b * bits).bitwiseAND(lit((1L << bits) - 1)))
-    val banded = docs.select(col("id"), col("sim"),
+      shiftrightunsigned(col(bitsCol), b * bits).bitwiseAND(lit((1L << bits) - 1)))
+    val banded = hashed.select(col(idCol).as("id"), col(bitsCol).as("sim"),
       posexplode(array(bandCols: _*)).as(Seq("band", "key")))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,

@@ -106,4 +106,110 @@ object Multimodal {
         when(col("doc_id") % 2 === 0, 0).otherwise(16000).cast("int").as("sample_rate"))
       .as[MediaRow]
   }
+
+  // ------------------------------------------------- perceptual hashing
+
+  /** Perceptual hash, the pHash pipeline shape: payload → luma grid →
+    * 2-D DCT-II → 8×8 low-frequency block → sign-vs-median 64-bit hash.
+    * Only the grid extraction is the STUB decode step (strided byte
+    * resample standing in for decode+grayscale+resize); the DCT and the
+    * median threshold — what makes the hash robust to small perturbations
+    * — are the real math. A real decoder swaps [[lumaGrid]] only. */
+  object Phash {
+    private val N = 32 // grid side; 8×8 low block of its DCT feeds the hash
+
+    private[pipeline] def lumaGrid(payload: Array[Byte]): Array[Double] = {
+      val g = new Array[Double](N * N)
+      val len = payload.length
+      if (len == 0) return g
+      var i = 0
+      while (i < N * N) {
+        g(i) = (payload(((i.toLong * len) / (N * N)).toInt) & 0xff).toDouble
+        i += 1
+      }
+      g
+    }
+
+    // cos(π(2x+1)u / 2N) lookup, shared by rows and columns
+    private val cosTab: Array[Double] = {
+      val t = new Array[Double](N * N)
+      var u = 0
+      while (u < N) {
+        var x = 0
+        while (x < N) {
+          t(u * N + x) = math.cos(math.Pi * (2 * x + 1) * u / (2.0 * N))
+          x += 1
+        }
+        u += 1
+      }
+      t
+    }
+
+    /** Separable 2-D DCT-II restricted to the 8×8 low-frequency output
+      * block (the only coefficients the hash reads — 8·32·32 + 8·8·32
+      * multiplies per image instead of the full 32³). */
+    private[pipeline] def dctLowBlock(g: Array[Double]): Array[Double] = {
+      val rows = new Array[Double](8 * N) // DCT along x for u < 8
+      var u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < N) {
+          var s = 0.0
+          var x = 0
+          while (x < N) { s += g(y * N + x) * cosTab(u * N + x); x += 1 }
+          rows(u * N + y) = s
+          y += 1
+        }
+        u += 1
+      }
+      val out = new Array[Double](64)
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < N) { s += rows(u * N + y) * cosTab(v * N + y); y += 1 }
+          out(u * 8 + v) = s
+          v += 1
+        }
+        u += 1
+      }
+      out
+    }
+
+    /** 64-bit hash: bit i set iff DCT coefficient i exceeds the median of
+      * the 64 low-block coefficients (DC included in the median like the
+      * common pHash variant — the median threshold is what cancels global
+      * brightness/scale). */
+    def hash64(payload: Array[Byte]): Long = {
+      val c = dctLowBlock(lumaGrid(payload))
+      val sorted = c.clone(); java.util.Arrays.sort(sorted)
+      val med = (sorted(31) + sorted(32)) / 2.0
+      var h = 0L
+      var i = 0
+      while (i < 64) { if (c(i) > med) h |= (1L << i); i += 1 }
+      h
+    }
+  }
+
+  /** (media_id, phash) for every row — map-only, one codec context's worth
+    * of work per row, no shuffle. */
+  def phash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map(r => (r.media_id, Phash.hash64(r.media)))
+      .toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate media pairs by banded pHash Hamming distance — the
+    * [[Dedup.simhashNearDupPairs]] machinery over the perceptual hash:
+    * split 64 bits into `bands`, shuffle by (band, key), verify full
+    * Hamming ≤ `maxHamming` with `bit_count(xor)` inside each bucket.
+    * Pigeonhole: any pair with Hamming < `bands` agrees on ≥1 band, so
+    * recall is exact in that radius; candidate volume stays bucket-bounded
+    * (never an all-pairs product). Returns (id_a, id_b, hamming). */
+  def phashNearDupPairs(
+      media: Dataset[MediaRow], bands: Int = 4, maxHamming: Int = 6): DataFrame =
+    Dedup.bandedHammingPairs(
+      phash(media), "media_id", "phash", bands, maxHamming)
 }

@@ -541,6 +541,26 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_pairs"),
              coalesce(round(avg("hamming"), 4), lit(-1.0)).as("avg_hamming"))),
 
+    // ---- perceptual-hash media near-dup (Multimodal.Phash): DCT-based
+    //      64-bit hash over the stubbed luma grid, banded-Hamming bucket
+    //      join (the simhash machinery generalized to any signature).
+    //      Hash-dependent output → rows-only; robustness/recall contracts
+    //      in PipelineSpec.
+    //      The corpus is each media row PLUS a half-resolution resized copy
+    //      (ids offset) — rescaled copies are exactly what a perceptual
+    //      hash must catch that exact/byte hashing cannot.
+    GraftQuery("q218_phash_media_dup", None,
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.fromDocuments(s, t(s, dir, "documents"))
+        val scaled = Multimodal.resize(media, 32, 24)
+          .map(r => r.copy(media_id = r.media_id + 1000000000L))
+        Multimodal.phashNearDupPairs(media.unionAll(scaled),
+            bands = 4, maxHamming = 6)
+          .agg(count(lit(1)).as("n_pairs"),
+               coalesce(round(avg("hamming"), 4), lit(-1.0)).as("avg_hamming"))
+      }),
+
     // ---- brute-force cosine top-k (the ANN correctness baseline)
     GraftQuery("q57_ann_brute_force",
       Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

@@ -1314,4 +1314,43 @@ class PipelineSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 1L && p._2 == 2L),
       "kitten->sitting is d=3, must not appear")
   }
+
+  test("phash: deterministic, robust to small payload edits, separates unrelated media") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.{MediaRow, Phash}
+    // deterministic pseudo-image payloads (LCG bytes)
+    def payload(seed: Long, n: Int): Array[Byte] = {
+      var s = seed
+      Array.fill(n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 33).toByte
+      }
+    }
+    val base = payload(1L, 4096)
+    val near = base.clone()
+    for (i <- Seq(7, 999, 2048)) near(i) = (near(i) ^ 0x5a).toByte
+    val far = payload(99L, 4096)
+
+    // deterministic across calls
+    assert(Phash.hash64(base) == Phash.hash64(base.clone()))
+    // a 3-byte edit moves few DCT signs; unrelated payloads ~half the bits
+    val hNear = java.lang.Long.bitCount(Phash.hash64(base) ^ Phash.hash64(near))
+    val hFar = java.lang.Long.bitCount(Phash.hash64(base) ^ Phash.hash64(far))
+    assert(hNear <= 6, s"near pair hamming $hNear")
+    assert(hFar > 16, s"unrelated pair hamming $hFar")
+    // constant brightness shift touches only the DC coefficient
+    val bright = base.map(b => math.min(255, (b & 0xff) + 10).toByte)
+    assert(java.lang.Long.bitCount(
+      Phash.hash64(base) ^ Phash.hash64(bright)) <= 8)
+
+    val media = Seq(
+      MediaRow(1L, "image", base, 64, 64, 0),
+      MediaRow(2L, "image", near, 64, 64, 0),
+      MediaRow(3L, "image", far, 64, 64, 0)
+    ).toDS()
+    val pairs = Multimodal.phashNearDupPairs(media, bands = 4, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
 }
