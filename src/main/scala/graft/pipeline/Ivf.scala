@@ -116,6 +116,53 @@ object Ivf {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** The persisted index's centroid matrix (cluster-ordered). */
+  def readCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+
+  /** Incremental index maintenance, FAISS `add` semantics: assign a NEW
+    * vector batch to the EXISTING centroids (one map pass, centroid matrix
+    * riding in the expression) and append into the per-cluster directories.
+    * Per-batch cost is O(|batch|·nlist·dim) — independent of index size,
+    * no retrain, no rewrite of resident data — and probes see the union
+    * immediately (new files join their cluster's directory). Centroids are
+    * frozen, exactly like FAISS `IndexIVF.add`: growth never re-trains.
+    * When [[indexBalance]] shows drift (skewing clusters / falling member
+    * cosine), rebuild with [[buildIndex]] — the rebalance is a rewrite by
+    * design, not a side effect of ingestion. */
+  def appendToIndex(
+      embDf: DataFrame, idCol: String, embCol: String, path: String): Unit = {
+    val centroids = readCentroids(embDf.sparkSession, path)
+    embDf
+      .withColumn("__ivf", assignColumn(col(embCol), centroids))
+      .write.mode("append").partitionBy("__ivf")
+      .parquet(s"$path/data")
+  }
+
+  /** Index health report: per-cluster member count and mean cosine of
+    * members to their centroid (quantization quality). One scan joined to
+    * the broadcast centroid table; the native [[graft.functions.DotProduct]]
+    * kernel scores members (centroids are unit-norm, so cosine =
+    * dot / ||member||). Falling `mean_cosine` or ballooning `n` on a few
+    * clusters is the rebuild signal for [[appendToIndex]] workloads. */
+  def indexBalance(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      embCol: String): DataFrame = {
+    import graft.functions.DotProduct
+    val cents = spark.read.parquet(s"$path/centroids")
+      .withColumnRenamed("cluster", "__ivf")
+    spark.read.parquet(s"$path/data")
+      .join(broadcast(cents), "__ivf")
+      .select(col("__ivf").as("cluster"),
+        (DotProduct(col(embCol), col("weights")) /
+          sqrt(DotProduct(col(embCol), col(embCol)))).as("__cos"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), round(avg("__cos"), 4).as("mean_cosine"))
+  }
+
   /** Top-k cosine against a persisted index: reads ONLY the nprobe nearest
     * cluster directories (partition pruning — assert `PartitionFilters`
     * carries `__ivf`), exact re-rank inside. */
@@ -123,9 +170,7 @@ object Ivf {
       spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
       embCol: String, query: Array[Double], k: Int,
       nprobe: Int = 4): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
+    val centroids = readCentroids(spark, path)
     val qn = normalize(query)
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (i, dot(qn, c)) }
@@ -151,9 +196,7 @@ object Ivf {
       spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
       embCol: String, query: Array[Double], k: Int,
       filter: org.apache.spark.sql.Column, nprobe: Int = 4): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
+    val centroids = readCentroids(spark, path)
     val qn = normalize(query)
     val ranked = centroids.zipWithIndex
       .map { case (c, i) => (i, dot(qn, c)) }

@@ -611,6 +611,29 @@ object PipelineQueries {
           nprobe = 16)
       }),
 
+    // ---- incremental IVF maintenance (Ivf.appendToIndex, FAISS `add`
+    //      semantics): index built on HALF the corpus, the other half
+    //      appended against the frozen centroids; a full-width probe
+    //      (nprobe = nlist → every directory scanned) must equal exact
+    //      brute force over the UNION — proving appended vectors are
+    //      first-class index members. Same oracle as q124.
+    GraftQuery("q219_ann_ivf_append",
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cosine
+             |FROM embeddings, q
+             |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val path = java.nio.file.Files.createTempDirectory("graft-ivf-a").toString
+        val embs = t(s, dir, "embeddings")
+        Ivf.buildIndex(embs.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", path, nlist = 16)
+        Ivf.appendToIndex(embs.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", path)
+        Ivf.probeIndex(s, path, "vec_id", "embedding", queryVec(s, dir), 10,
+          nprobe = 16)
+      }),
+
     // ---- PCA whitening (embedding-space curation preprocessing): one
     //      treeAggregate covariance pass + driver eigendecomp + map-only
     //      projection; rows-only (eigenbasis is learned) — identity

@@ -850,6 +850,37 @@ class PipelineSpec extends SparkSpec {
     assert(narrow.select("vec_id").collect().map(_.getLong(0)).headOption.contains(0L))
   }
 
+  test("IVF append: frozen centroids, union visible to probes, balance report") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-add").toString
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 === 1)
+    Ivf.buildIndex(half1, "vec_id", "embedding", path, nlist = 8)
+    val before = Ivf.readCentroids(spark, path)
+    Ivf.appendToIndex(half2, "vec_id", "embedding", path)
+    // add never retrains
+    val after = Ivf.readCentroids(spark, path)
+    assert(before.flatten.toSeq == after.flatten.toSeq)
+    // full-width probe over the grown index == brute force over the union
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val probed = Ivf.probeIndex(spark, path, "vec_id", "embedding", q, 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(probed == brute)
+    // appended rows joined their cluster's directory (no new top-level dirs)
+    val dirs = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.forall(_.startsWith("__ivf=")) && dirs.size <= 8, dirs.toString)
+    // balance report covers every member with sane cosines
+    val bal = Ivf.indexBalance(spark, path, "embedding")
+    assert(bal.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      == embs.count())
+    assert(bal.collect().forall { r =>
+      val c = r.getDouble(2); c >= -1.0001 && c <= 1.0001 })
+  }
+
   test("quality score is in [0,1] and penalizes junk") {
     import spark.implicits._
     val good = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
