@@ -26,16 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object Sharding {
 
-  /** The corpus in its deterministic shuffle order: adds `seq` (0-based
-    * global rank by md5(salt, id) — uniform, collision-free over distinct
-    * ids, and engine-portable) while keeping every input column. */
-  def shuffled(df: DataFrame, idCol: String, salt: String): DataFrame = {
+  /** Global 0-based rank (`seq`) over an arbitrary TOTAL order — the
+    * distributed two-phase scan shared by shuffle and curriculum
+    * ordering: range-repartition on the sort key (partition p holds a
+    * contiguous key span), collect O(partitions) row counts, add each
+    * partition's exclusive base to a fully parallel per-partition window
+    * rank. `sortCols` must totally order the rows (append an id
+    * tiebreaker); the caller drops its own key columns afterwards. */
+  private def globalRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df
-      .withColumn("__key", md5(concat(lit(salt), col(idCol).cast("string"))))
-      .repartitionByRange(col("__key"))
-      .sortWithinPartitions("__key")
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       // pin phase 1's range boundaries so phase 2 sees identical partitions
       .localCheckpoint()
@@ -44,11 +47,38 @@ object Sharding {
     val bases = counts.map(_._1)
       .zip(counts.scanLeft(0L) { case (acc, (_, c)) => acc + c })
       .toSeq.toDF("__pid", "__base")
-    val w = Window.partitionBy("__pid").orderBy("__key")
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
     keyed
       .join(broadcast(bases), "__pid")
       .withColumn("seq", col("__base") + row_number().over(w).cast("long") - 1)
-      .drop("__pid", "__base", "__key")
+      .drop("__pid", "__base")
+  }
+
+  /** The corpus in its deterministic shuffle order: adds `seq` (0-based
+    * global rank by md5(salt, id) — uniform, collision-free over distinct
+    * ids, and engine-portable) while keeping every input column. */
+  def shuffled(df: DataFrame, idCol: String, salt: String): DataFrame =
+    globalRank(
+      df.withColumn("__key", md5(concat(lit(salt), col(idCol).cast("string")))),
+      Seq(col("__key")))
+      .drop("__key")
+
+  /** The corpus in CURRICULUM order: `seq` ranks by (difficulty asc, id)
+    * and `shard` cuts contiguous rank blocks — shard 0 holds the easiest
+    * documents, the last shard the hardest, each exactly balanced (±1).
+    * A trainer schedules shards in order (curriculum learning: present
+    * easy examples first) and still gets the manifest/packing machinery,
+    * which only reads `seq`/`shard`. Same two-phase scan as [[shuffled]]
+    * — no global single-reducer sort at any size. */
+  def curriculum(
+      df: DataFrame, idCol: String, difficulty: org.apache.spark.sql.Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val s = globalRank(df.withColumn("__d", difficulty),
+      Seq(col("__d"), col(idCol))).drop("__d")
+    val n = Option(s.agg(max("seq")).head.get(0))
+      .map(_.asInstanceOf[Long] + 1L).getOrElse(1L)
+    s.withColumn("shard", expr(s"(seq * $nShards) div ${n}L").cast("int"))
   }
 
   /** [[shuffled]] plus the block-balanced `shard` column

@@ -1294,6 +1294,30 @@ object PipelineQueries {
       (s, dir) => graft.pipeline.Sharding.manifest(
         t(s, dir, "documents"), "doc_id", "text", salt = "g4", nShards = 16)),
 
+    // ---- curriculum sharding (Sharding.curriculum): global rank by
+    //      (difficulty asc, id) via the two-phase scan, contiguous rank
+    //      blocks as shards — shard 0 easiest → last shard hardest, sizes
+    //      exact (±1). Difficulty = whitespace token count (the standard
+    //      length curriculum); all integers, fully oracle-checkable.
+    GraftQuery("q220_curriculum_shards",
+      Some("""WITH d AS (SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+             |r AS (SELECT doc_id, t,
+             |    row_number() OVER (ORDER BY t, doc_id) - 1 AS seq,
+             |    count(*) OVER () AS n FROM d)
+             |SELECT ((seq * 8) // n)::INT AS shard, count(*) AS n_docs,
+             |  min(t)::BIGINT AS min_tokens, max(t)::BIGINT AS max_tokens,
+             |  sum(t)::BIGINT AS total_tokens
+             |FROM r GROUP BY 1""".stripMargin),
+      (s, dir) => graft.pipeline.Sharding.curriculum(
+          t(s, dir, "documents")
+            .withColumn("__t", TextAnalysis.tokenCount(col("text")).cast("long")),
+          "doc_id", col("__t"), nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min("__t").as("min_tokens"), max("__t").as("max_tokens"),
+          sum("__t").as("total_tokens"))),
+
     // ---- incremental exact dedup against a persisted content-hash index
     //      (pipeline/Incremental): the corpus is indexed once (md5 set);
     //      an incoming batch = 50 replayed docs (new ids, same bytes) +

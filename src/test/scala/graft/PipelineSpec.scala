@@ -1346,6 +1346,30 @@ class PipelineSpec extends SparkSpec {
       "kitten->sitting is d=3, must not appear")
   }
 
+  test("curriculum shards: difficulty-monotonic blocks, exact balance") {
+    import graft.pipeline.Sharding
+    val cur = Sharding.curriculum(
+      docs.withColumn("__t", TextAnalysis.tokenCount(col("text")).cast("long")),
+      "doc_id", col("__t"), nShards = 8).cache()
+    val stats = cur.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("__t").as("lo"), max("__t").as("hi"))
+      .orderBy("shard").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.map(_._1).toSeq == (0 until 8))
+    // contiguous rank blocks over a difficulty sort: shard k's hardest doc
+    // is never harder than shard k+1's easiest
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"non-monotonic shards: $a -> $b") }
+    // exact balance (±1)
+    val sizes = stats.map(_._2)
+    assert(sizes.max - sizes.min <= 1, sizes.toSeq.toString)
+    // seq is a permutation of 0..N-1
+    val n = cur.count()
+    assert(cur.agg(min("seq"), max("seq"), countDistinct("seq")).head().toSeq
+      == Seq(0L, n - 1, n))
+    cur.unpersist()
+  }
+
   test("phash: deterministic, robust to small payload edits, separates unrelated media") {
     import spark.implicits._
     import graft.pipeline.Multimodal
