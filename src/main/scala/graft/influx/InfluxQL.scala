@@ -31,6 +31,10 @@ object InfluxQL {
     """(?is)^SHOW\s+FIELD\s+KEYS(?:\s+FROM\s+([\w"]+))?\s*$""".r
   private val showSeriesRe =
     """(?is)^SHOW\s+SERIES(?:\s+FROM\s+([\w"]+))?\s*$""".r
+  private val cardinalityRe =
+    """(?is)^SHOW\s+(SERIES|MEASUREMENT|TAG\s+KEY|FIELD\s+KEY)\s+CARDINALITY(?:\s+FROM\s+([\w"]+))?\s*$""".r
+  private val tagValuesCardRe =
+    """(?is)^SHOW\s+TAG\s+VALUES\s+CARDINALITY(?:\s+FROM\s+([\w"]+))?\s+WITH\s+KEY\s*=\s*["']?(\w+)["']?\s*$""".r
   private val createCqRe =
     """(?is)^CREATE\s+CONTINUOUS\s+QUERY\s+([\w"]+)\s+ON\s+[\w"]+\s+BEGIN\s+(.*?)\s+END\s*$""".r
   private val showCqRe = """(?is)^SHOW\s+CONTINUOUS\s+QUERIES\s*$""".r
@@ -140,6 +144,42 @@ object InfluxQL {
           unquote(name) + ".iql")
         val existed = java.nio.file.Files.deleteIfExists(f)
         Seq((unquote(name), existed)).toDF("name", "dropped")
+      case cardinalityRe(kind, measOpt) =>
+        // SHOW <kind> CARDINALITY: EXACT counts (InfluxDB's default is a
+        // sketch estimate; exact is its `EXACT ...` variant — the engine
+        // computes the distinct directly, so exact is the cheap path here).
+        // Series counts are tag-combo distincts — series-cardinality
+        // sized, never the point count.
+        val ms = Option(measOpt).map(m => Seq(unquote(m)))
+          .getOrElse(engine.catalog.list().sorted)
+        kind.toUpperCase.replaceAll("\\s+", " ") match {
+          case "MEASUREMENT" =>
+            Seq(ms.size.toLong).toDF("count")
+          case "SERIES" =>
+            ms.toList.map { m =>
+              val tags = engine.catalog.get(m).tagColumns.map(_.name)
+              val n =
+                if (tags.isEmpty) math.min(engine.read(m).limit(1).count(), 1L)
+                else engine.read(m).select(tags.map(col): _*).distinct().count()
+              (m, n)
+            }.toDF("iox::measurement", "count")
+          case "TAG KEY" =>
+            ms.map(m => (m, engine.catalog.get(m).tagColumns.size.toLong))
+              .toDF("iox::measurement", "count")
+          case "FIELD KEY" =>
+            ms.map { m =>
+              val sch = engine.catalog.get(m)
+              (m, sch.columns.count(c =>
+                !c.isTag && c.name != sch.timestampKey).toLong)
+            }.toDF("iox::measurement", "count")
+        }
+      case tagValuesCardRe(measOpt, key) =>
+        val k = unquote(key)
+        val ms = Option(measOpt).map(m => Seq(unquote(m)))
+          .getOrElse(engine.catalog.list().sorted)
+        ms.filter(m => engine.catalog.get(m).tagColumns.exists(_.name == k))
+          .map(m => (m, engine.read(m).select(col(k)).distinct().count()))
+          .toDF("iox::measurement", "count")
       case showSeriesRe(measOpt) =>
         // SHOW SERIES: one row per stored series, formatted as the
         // line-protocol series key `measurement,tag1=v1,tag2=v2` with tag

@@ -156,6 +156,43 @@ object EngineE2E {
           .withColumn("total", round(col("total"), 2))
       }),
 
+    // TWO chained stateful operators in ONE streaming query (Spark's
+    // multiple-stateful-operator support): 4h-gap sessions per user, then
+    // an hourly rollup of closed sessions keyed on session end-time —
+    // watermark propagation does the inter-stage handoff. The oracle
+    // replays both stages' append cutoffs: a session participates once the
+    // final watermark passed its end; an hour emits once the watermark
+    // passed the hour end.
+    GraftQuery("q222_streaming_session_rollup",
+      Some("""WITH e AS (SELECT cast(user_id AS varchar) AS user_id,
+             |    epoch_us(ts) AS us FROM events),
+             |s AS (SELECT user_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |           OR us - lag(us) OVER w >= 14400000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |s2 AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+             |sess AS (SELECT user_id, max(us) + 14400000000 AS end_us,
+             |    count(*) AS n FROM s2 GROUP BY user_id, sid),
+             |wm AS (SELECT ((max(us) // 1000) - 3600000) * 1000 AS wm_us FROM e),
+             |closed AS (SELECT * FROM sess, wm WHERE end_us <= wm_us),
+             |b AS (SELECT (end_us - 1) // 3600000000 AS h,
+             |    count(*) AS n_sessions, sum(n) AS n_events
+             |  FROM closed GROUP BY 1)
+             |SELECT make_timestamp(h * 3600000000) AS bucket,
+             |  n_sessions::BIGINT AS n_sessions, n_events::BIGINT AS n_events
+             |FROM b, wm WHERE (h + 1) * 3600000000 <= wm_us""".stripMargin),
+      (s, dir) => {
+        val schema = Tables.rawSchema(s, dir, "events")
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-sessroll").toString)
+        graft.streaming.Sessionize.sessionRollupToTable(
+          e, dir, "events.parquet", schema,
+          "ts", "user_id", "value", gap = "4 hours",
+          watermarkDelay = "1 hour", grain = "1 hour",
+          table = "session_rollup")
+      }),
+
     // Streaming custom state (flatMapGroupsWithState): per-series gauge
     // rate with one-sample state, replayed into an engine table. The
     // oracle re-derives the chain with lag() windows — Δt mirrors the

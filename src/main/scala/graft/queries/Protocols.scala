@@ -509,6 +509,31 @@ object Protocols {
         InfluxQL.run(e, "SHOW SERIES FROM events")
       }),
 
+    // ---- SHOW ... CARDINALITY family: exact series/tag-value counts
+    //      (InfluxDB's EXACT variants; the estimate-by-default sketch is
+    //      pointless when the distinct is this cheap). Series count is a
+    //      tag-combo distinct — never the point count.
+    GraftQuery("q221_influx_cardinality",
+      Some("""SELECT 'events' AS "iox::measurement",
+             |  count(DISTINCT event_type)::BIGINT AS count, 'series' AS what
+             |FROM events
+             |UNION ALL
+             |SELECT 'events', count(DISTINCT event_type)::BIGINT, 'tag_values'
+             |FROM events
+             |UNION ALL
+             |SELECT 'events', 1, 'tag_keys'""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        def tag(df: org.apache.spark.sql.DataFrame, what: String) =
+          df.withColumn("what", lit(what))
+        tag(InfluxQL.run(e, "SHOW SERIES CARDINALITY FROM events"), "series")
+          .unionAll(tag(InfluxQL.run(e,
+            "SHOW TAG VALUES CARDINALITY FROM events WITH KEY = event_type"),
+            "tag_values"))
+          .unionAll(tag(InfluxQL.run(e, "SHOW TAG KEY CARDINALITY FROM events"),
+            "tag_keys"))
+      }),
+
     // ---- holt_winters_with_fit: additive Holt-Winters (α=β=γ=0.5, S=4
     //      season) over the hourly-max grid — in-sample one-step fits plus
     //      3 forecast buckets past each series' last point. The oracle

@@ -4,6 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import graft.engine.TsdbEngine
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 
 /** HTTP API payload codec: the reference server's request/response JSON
   * shapes (HoraeDB `server/src/http.rs` routes — POST /sql,
@@ -204,6 +205,90 @@ object HttpApi {
   private def formatPromValue(v: Double): String =
     if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString
     else v.toString
+
+  /** `GET /api/v1/labels`: label names across the served metrics — every
+    * TAG column of every engine table plus `__name__` (the Prometheus
+    * union-of-label-keys semantics). */
+  def handlePromLabels(engine: TsdbEngine): String =
+    try {
+      val labels = ("__name__" +: engine.catalog.list().flatMap(n =>
+        engine.catalog.get(n).columns.filter(_.isTag).map(_.name))).distinct.sorted
+      promStrings(labels)
+    } catch { case e: Throwable => promError(e) }
+
+  /** `GET /api/v1/label/<name>/values`: `__name__` answers the metric
+    * (table) names; any other label answers the distinct values of that
+    * tag across the tables that declare it (one small distinct per table —
+    * label values are bounded by tag cardinality, the protocol contract). */
+  def handlePromLabelValues(engine: TsdbEngine, label: String): String =
+    try {
+      val values =
+        if (label == "__name__") engine.catalog.list().sorted
+        else engine.catalog.list()
+          .filter(n => engine.catalog.get(n).columns.exists(c =>
+            c.isTag && c.name == label))
+          .flatMap { n =>
+            engine.read(n).select(col(label).cast("string")).distinct()
+              .collect().map(_.getString(0)).toSeq
+          }.distinct.sorted
+      promStrings(values)
+    } catch { case e: Throwable => promError(e) }
+
+  /** `GET /api/v1/series?match[]=<selector>`: the distinct label sets
+    * matching each bare selector `metric{k="v",k2=~"re",...}`. Matchers
+    * follow Prometheus semantics (`=`, `!=`, `=~`, `!~`; regexes fully
+    * anchored). The scan is a tag-distinct per metric — series-cardinality
+    * sized, never sample-sized. */
+  def handlePromSeries(engine: TsdbEngine, matches: Seq[String]): String =
+    try {
+      val root = mapper.createObjectNode()
+      root.put("status", "success")
+      val data = root.putArray("data")
+      matches.foreach { sel =>
+        val selRe = """^\s*([a-zA-Z_:][a-zA-Z0-9_:]*)\s*(?:\{(.*)\})?\s*$""".r
+        val (metric, body) = sel match {
+          case selRe(m, b) => (m, Option(b).getOrElse(""))
+          case _ => throw new IllegalArgumentException(s"bad selector: $sel")
+        }
+        val s = engine.catalog.get(metric)
+        val tags = s.columns.filter(_.isTag).map(_.name)
+        var df = engine.read(metric)
+          .select(tags.map(t => col(t).cast("string").as(t)): _*)
+          .distinct()
+        if (body.trim.nonEmpty) {
+          val mRe = """\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*""".r
+          body.split(',').foreach {
+            case mRe(k, op, v) =>
+              val c = col(k)
+              df = df.filter(op match {
+                case "="  => c === v
+                case "!=" => c =!= v
+                case "=~" => c.rlike("^(?:" + v + ")$")
+                case "!~" => !c.rlike("^(?:" + v + ")$")
+              })
+            case other =>
+              throw new IllegalArgumentException(s"bad matcher: $other")
+          }
+        }
+        df.collect()
+          .map(r => tags.map(t => t -> r.getAs[String](t)).toMap)
+          .sortBy(_.toSeq.sortBy(_._1).mkString(","))
+          .foreach { labels =>
+            val o = data.addObject()
+            o.put("__name__", metric)
+            labels.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+          }
+      }
+      mapper.writeValueAsString(root)
+    } catch { case e: Throwable => promError(e) }
+
+  private def promStrings(values: Seq[String]): String = {
+    val root = mapper.createObjectNode()
+    root.put("status", "success")
+    val data = root.putArray("data")
+    values.foreach(data.add)
+    mapper.writeValueAsString(root)
+  }
 
   private def promError(e: Throwable): String = {
     val o = mapper.createObjectNode()

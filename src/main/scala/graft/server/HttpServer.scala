@@ -78,6 +78,19 @@ final class GraftHttpServer(engine: TsdbEngine, port: Int = 0) {
     (fromQuery ++ fromBody).toMap
   }
 
+  /** Repeated query/form values for one key (e.g. Prometheus `match[]`). */
+  private def multiParams(x: HttpExchange, key: String): Seq[String] = {
+    def parse(s: String): Seq[(String, String)] =
+      s.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        java.net.URLDecoder.decode(k, UTF_8) ->
+          java.net.URLDecoder.decode(v, UTF_8)
+      }
+    Option(x.getRequestURI.getRawQuery).map(parse).getOrElse(Nil)
+      .collect { case (k, v) if k == key => v }
+  }
+
   private def respond(x: HttpExchange, code: Int, payload: Array[Byte],
       contentType: String): Unit = {
     x.getResponseHeaders.set("Content-Type", contentType)
@@ -177,6 +190,30 @@ final class GraftHttpServer(engine: TsdbEngine, port: Int = 0) {
       case _ =>
         json(x, """{"status":"error","errorType":"bad_data","error":"query, start, end, step are required"}""", 400)
     }
+  }
+
+  route("/api/v1/labels") { x =>
+    json(x, HttpApi.handlePromLabels(engine))
+  }
+
+  // path-parameter route: /api/v1/label/<name>/values
+  route("/api/v1/label/") { x =>
+    val path = x.getRequestURI.getPath
+    """^/api/v1/label/([^/]+)/values$""".r.findFirstMatchIn(path) match {
+      case Some(m) => json(x, HttpApi.handlePromLabelValues(
+        engine, java.net.URLDecoder.decode(m.group(1), UTF_8)))
+      case None => json(x,
+        """{"status":"error","errorType":"bad_data","error":"use /api/v1/label/<name>/values"}""",
+        400)
+    }
+  }
+
+  route("/api/v1/series") { x =>
+    val m = multiParams(x, "match[]")
+    if (m.isEmpty) json(x,
+      """{"status":"error","errorType":"bad_data","error":"no match[] parameter provided"}""",
+      400)
+    else json(x, HttpApi.handlePromSeries(engine, m))
   }
 
   // ----------------------------------------------------------- lifecycle

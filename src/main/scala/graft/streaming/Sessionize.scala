@@ -79,4 +79,53 @@ object Sessionize {
     val s = engine.catalog.get(table)
     engine.read(table).select(s.columns.map(c => col(c.name)): _*)
   }
+
+  /** TWO chained stateful operators in ONE streaming query (the Spark 3.4+
+    * multiple-stateful-operator path): gap sessionization per key, then a
+    * tumbling rollup of the CLOSED sessions — counts and event totals per
+    * `grain` bucket of session end-time. A deployment would otherwise need
+    * two queries with an intermediate table; chaining keeps it one
+    * exactly-once pipeline with watermark propagation doing the inter-stage
+    * handoff (`window_time` re-derives the event-time column from the
+    * session window so the second aggregation stays watermark-aligned).
+    * Each session lands in the bucket of its inclusive end event-time
+    * (`window_time` = session end − 1µs). */
+  def sessionRollupToTable(
+      engine: TsdbEngine, dir: String, glob: String, schema: StructType,
+      tsCol: String, keyCol: String, valueCol: String,
+      gap: String, watermarkDelay: String, grain: String,
+      table: String): DataFrame = {
+    val spark = engine.spark
+    if (!engine.catalog.exists(table))
+      engine.execute(
+        s"""CREATE TABLE $table (
+           |  bucket timestamp NOT NULL, n_sessions bigint, n_events bigint,
+           |  timestamp KEY(bucket))
+           |ENGINE=Analytic WITH (update_mode='append')""".stripMargin)
+
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    val events = graft.Tables.normalizeEventTime(raw, tsCol)
+
+    StreamConf.withStatePartitions(spark, 8) {
+      val sessions = events
+        .withWatermark(tsCol, watermarkDelay)
+        .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+        .agg(count(lit(1)).as("n"))
+      val rollup = sessions
+        .groupBy(window(window_time(col("w")), grain).as("hw"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+        .select(col("hw.start").as("bucket"),
+          col("n_sessions"), col("n_events"))
+      val q = rollup.writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation", engine.catalog.checkpointDir(table))
+        .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
+        .start()
+      q.awaitTermination()
+    }
+    val s = engine.catalog.get(table)
+    engine.read(table).select(s.columns.map(c => col(c.name)): _*)
+  }
 }

@@ -124,6 +124,38 @@ class HttpServerSpec extends SparkSpec {
         == "application/vnd.apache.arrow.stream")
       assert(ar.body().length > 8, "empty arrow payload")
 
+      // ---- Prometheus metadata endpoints
+      val labels = mapper.readTree(get(s"$base/api/v1/labels").body())
+      val labelList = (0 until labels.get("data").size())
+        .map(labels.get("data").get(_).asText())
+      assert(labelList.contains("__name__") && labelList.contains("host")
+        && labelList.contains("dc"), labelList.toString)
+
+      val names = mapper.readTree(
+        get(s"$base/api/v1/label/__name__/values").body())
+      val nameList = (0 until names.get("data").size())
+        .map(names.get("data").get(_).asText())
+      assert(nameList.contains("cpu") && nameList.contains("tsdbm"))
+
+      val hosts = mapper.readTree(
+        get(s"$base/api/v1/label/host/values").body())
+      assert((0 until hosts.get("data").size())
+        .map(hosts.get("data").get(_).asText()) == Seq("a", "b"))
+
+      val ser = mapper.readTree(get(
+        s"$base/api/v1/series?match[]=" + enc("""cpu{host=~"a|b"}""")).body())
+      assert(ser.get("status").asText() == "success", ser.toString)
+      val serList = (0 until ser.get("data").size()).map { i =>
+        val o = ser.get("data").get(i)
+        (o.get("__name__").asText(), o.get("host").asText())
+      }
+      assert(serList == Seq(("cpu", "a"), ("cpu", "b")), serList.toString)
+      // negative matcher drops a series
+      val ser2 = mapper.readTree(get(
+        s"$base/api/v1/series?match[]=" + enc("""cpu{host!="a"}""")).body())
+      assert(ser2.get("data").size() == 1)
+      assert(get(s"$base/api/v1/series").statusCode() == 400)
+
       // ---- error shapes: SQL error JSON, missing-parameter 400s
       val bad = post(s"$base/sql", """{"query": "SELECT FROM nowhere ("}""")
       assert(mapper.readTree(bad.body()).has("code"), bad.body())

@@ -1368,4 +1368,32 @@ class ProtocolsSpec extends SparkSpec {
     assert(err.get("status").asText() == "error")
     assert(err.get("error").asText().nonEmpty)
   }
+
+  test("influx SHOW ... CARDINALITY: exact counts in every variant") {
+    import graft.server.HttpApi
+    val e = new TsdbEngine(spark,
+      java.nio.file.Files.createTempDirectory("card-influx").toString)
+    assert(HttpApi.handleInfluxWrite(e,
+      """cpu,host=a,dc=x usage=0.5 1704067200000000000
+        |cpu,host=b,dc=x usage=0.7 1704067260000000000
+        |cpu,host=b,dc=y usage=0.9 1704067320000000000
+        |mem,host=a free=1.0 1704067200000000000""".stripMargin) == "")
+
+    def one(q: String): Seq[(String, Long)] =
+      graft.influx.InfluxQL.run(e, q).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+    // 3 distinct (host, dc) combos for cpu, 1 for mem
+    assert(one("SHOW SERIES CARDINALITY") == Seq(("cpu", 3L), ("mem", 1L)))
+    assert(one("SHOW SERIES CARDINALITY FROM cpu") == Seq(("cpu", 3L)))
+    assert(one("SHOW TAG KEY CARDINALITY FROM cpu") == Seq(("cpu", 2L)))
+    assert(one("SHOW FIELD KEY CARDINALITY FROM cpu") == Seq(("cpu", 1L)))
+    assert(one("""SHOW TAG VALUES CARDINALITY FROM cpu WITH KEY = host""")
+      == Seq(("cpu", 2L)))
+    // dc has values x,y on cpu only; mem lacks the tag -> excluded
+    assert(one("""SHOW TAG VALUES CARDINALITY WITH KEY = dc""")
+      == Seq(("cpu", 2L)))
+    val m = graft.influx.InfluxQL.run(e, "SHOW MEASUREMENT CARDINALITY")
+    assert(m.columns.toSeq == Seq("count") && m.head().getLong(0) == 2L)
+  }
 }
