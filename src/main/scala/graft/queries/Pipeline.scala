@@ -1318,6 +1318,81 @@ object PipelineQueries {
           min("__t").as("min_tokens"), max("__t").as("max_tokens"),
           sum("__t").as("total_tokens"))),
 
+    // ---- dataset drift between snapshots (pipeline/Drift): per-column
+    //      fingerprints (rows/nulls/distincts) of two halves of the corpus
+    //      joined with integer deltas — the release-gate diff. One
+    //      aggregation pass per snapshot, per-column result rows only.
+    GraftQuery("q223_dataset_drift",
+      Some("""WITH b AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+             |c AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+             |pb AS (
+             |  SELECT 'lang' AS col, count(*) AS n_rows,
+             |    count(*) - count(lang) AS n_null,
+             |    count(DISTINCT lang) AS n_distinct FROM b
+             |  UNION ALL SELECT 'source', count(*), count(*) - count(source),
+             |    count(DISTINCT source) FROM b
+             |  UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars),
+             |    count(DISTINCT n_chars) FROM b),
+             |pc AS (
+             |  SELECT 'lang' AS col, count(*) AS n_rows,
+             |    count(*) - count(lang) AS n_null,
+             |    count(DISTINCT lang) AS n_distinct FROM c
+             |  UNION ALL SELECT 'source', count(*), count(*) - count(source),
+             |    count(DISTINCT source) FROM c
+             |  UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars),
+             |    count(DISTINCT n_chars) FROM c)
+             |SELECT pb.col AS "column",
+             |  pb.n_rows::BIGINT AS base_rows, pc.n_rows::BIGINT AS cur_rows,
+             |  pb.n_null::BIGINT AS base_null, pc.n_null::BIGINT AS cur_null,
+             |  pb.n_distinct::BIGINT AS base_distinct,
+             |  pc.n_distinct::BIGINT AS cur_distinct,
+             |  (pc.n_rows - pb.n_rows)::BIGINT AS d_rows,
+             |  (pc.n_distinct - pb.n_distinct)::BIGINT AS d_distinct
+             |FROM pb JOIN pc ON pb.col = pc.col""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.pipeline.Drift.drift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          Seq("lang", "source", "n_chars"))
+      }),
+
+    // ---- PSI distribution drift (Drift.psi): equi-width bins over the
+    //      BASELINE range (edge-clamped), (p_c−p_b)·ln(p_c/p_b) per bin,
+    //      total = Σ of the FLOORED 1e-6 terms (integer sum — run-order
+    //      independent; the kernel-identical float ops make the per-bin
+    //      terms bit-equal across engines).
+    GraftQuery("q224_psi_drift",
+      Some("""WITH b AS (SELECT "value"::DOUBLE AS v FROM events WHERE event_id % 2 = 0),
+             |c AS (SELECT "value"::DOUBLE AS v FROM events WHERE event_id % 2 = 1),
+             |r AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+             |bb AS (SELECT least(greatest(
+             |    floor((v - lo) / ((hi - lo) / 10)), 0), 9)::BIGINT AS bin,
+             |    count(*) AS n FROM b, r GROUP BY 1),
+             |cb AS (SELECT least(greatest(
+             |    floor((v - lo) / ((hi - lo) / 10)), 0), 9)::BIGINT AS bin,
+             |    count(*) AS n FROM c, r GROUP BY 1),
+             |g AS (SELECT unnest(generate_series(0, 9)) AS bin),
+             |j AS (SELECT g.bin, coalesce(bb.n, 0)::BIGINT AS nb,
+             |    coalesce(cb.n, 0)::BIGINT AS nc
+             |  FROM g LEFT JOIN bb ON g.bin = bb.bin LEFT JOIN cb ON g.bin = cb.bin),
+             |tot AS (SELECT sum(nb)::DOUBLE AS bn, sum(nc)::DOUBLE AS cn FROM j),
+             |t AS (SELECT bin, nb, nc,
+             |    floor((greatest(nc / cn, 1e-6) - greatest(nb / bn, 1e-6))
+             |      * ln(greatest(nc / cn, 1e-6) / greatest(nb / bn, 1e-6))
+             |      * 1000000)::BIGINT AS term_1e6
+             |  FROM j, tot)
+             |SELECT bin::INT AS bin, nb AS base_n, nc AS cur_n, term_1e6,
+             |  (SELECT sum(term_1e6) FROM t)::BIGINT AS psi_1e6
+             |FROM t""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        graft.pipeline.Drift.psi(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1),
+          "value", nBins = 10)
+      }),
+
     // ---- incremental exact dedup against a persisted content-hash index
     //      (pipeline/Incremental): the corpus is indexed once (md5 set);
     //      an incoming batch = 50 replayed docs (new ids, same bytes) +

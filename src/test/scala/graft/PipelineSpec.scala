@@ -1346,6 +1346,33 @@ class PipelineSpec extends SparkSpec {
       "kitten->sitting is d=3, must not appear")
   }
 
+  test("drift: identical snapshots score ~0 PSI, a shifted one drifts; profiles diff") {
+    import spark.implicits._
+    import graft.pipeline.Drift
+    val base = (1 to 1000).map(i => (i.toLong, (i % 100).toDouble, s"s${i % 5}"))
+      .toDF("id", "v", "src")
+    // same distribution, different rows
+    val same = (1 to 1000).map(i => (i.toLong + 5000, (i % 100).toDouble, s"s${i % 5}"))
+      .toDF("id", "v", "src")
+    // mass moved up by 60: most values land in different bins
+    val shifted = base.withColumn("v", col("v") + 60.0)
+
+    def psiOf(cur: org.apache.spark.sql.DataFrame): Long =
+      Drift.psi(base, cur, "v").head().getLong(4)
+    assert(psiOf(same) == 0L, "identical distribution must score 0")
+    assert(psiOf(shifted) > 250000L, s"shifted distribution must exceed 0.25: ${psiOf(shifted)}")
+    // shifted values above the baseline max clamp into the top bin
+    val bins = Drift.psi(base, shifted, "v").collect()
+    assert(bins.map(_.getLong(2)).sum == 1000L, "no current rows may vanish")
+
+    // id <= 50 keeps v in {1..50}: 100 -> 50 distincts, rows 1000 -> 50
+    val d = Drift.drift(base, base.filter(col("id") <= 50), Seq("v", "src"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(7), r.getLong(8))).toMap
+    assert(d("v") == ((1000L, 50L, -950L, -50L)), d.toString)
+    assert(d("src")._4 == 0L)                          // all 5 sources survive
+  }
+
   test("curriculum shards: difficulty-monotonic blocks, exact balance") {
     import graft.pipeline.Sharding
     val cur = Sharding.curriculum(
