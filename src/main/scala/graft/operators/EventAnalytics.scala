@@ -106,4 +106,27 @@ object EventAnalytics {
         (col("__day_off") / periodDays).cast("long").as("period_offset"))
       .agg(countDistinct(col(keyCol)).as("n_users"))
   }
+
+  /** Top event-type paths — the product-analytics "user flow" view: per
+    * key ordered by (ts, id), every window of `k` consecutive events is a
+    * path `a>b>c`; paths are counted globally and the top `topN` returned
+    * by (count desc, path). Truncated windows at a key's tail (fewer than
+    * k events left) don't form paths, matching the n-gram convention.
+    * One key-partitioned window shuffle for the leads, one count shuffle;
+    * the top-n plans as TakeOrderedAndProject (per-partition top-n, no
+    * global sort). */
+  def topPaths(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, k: Int = 3, topN: Int = 20): DataFrame = {
+    require(k >= 2, "a path needs at least 2 steps")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val steps = col(typeCol) +:
+      (1 until k).map(i => lead(col(typeCol), i).over(w))
+    df.select(concat_ws(">", steps: _*).as("path"),
+        steps.last.isNotNull.as("__full"))
+      .filter(col("__full"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topN)
+  }
 }

@@ -790,6 +790,71 @@ object TimeSeries {
              |  > 4000000000""".stripMargin),
       (s, dir) => graft.operators.SeriesStats.seasonalAnomalies(
         t(s, dir, "events"), "ts", "value",
-        grainUs = 3600000000L, period = 24, thr1e4 = 4000000000L))
+        grainUs = 3600000000L, period = 24, thr1e4 = 4000000000L)),
+
+    // ---- counter-aware rollup served at a coarser grain (operators/
+    //      CounterRollup): a synthetic per-series cumulative counter with
+    //      mod-1e9 resets, hourly reset-adjusted increases (PromQL
+    //      `increase` recurrence: Δ if nonnegative, else the post-reset
+    //      value), re-aggregated to 6h buckets PLUS a truncating-division
+    //      per-second rate — all integers, the Thanos counter-downsampling
+    //      shape a sum/min/max rollup cannot express.
+    GraftQuery("q225_counter_rollup",
+      Some("""WITH v AS (SELECT event_type, ts, event_id,
+             |    greatest(CAST(round("value" * 1000, 0) AS BIGINT), 0) AS d
+             |  FROM events),
+             |c AS (SELECT event_type, ts, event_id,
+             |    (sum(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING)) % 1000000000 AS c FROM v),
+             |l AS (SELECT event_type, ts, event_id, c,
+             |    epoch_us(ts) // 21600000000 AS cb,
+             |    lag(c) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS p
+             |  FROM c),
+             |a AS (SELECT *,
+             |    CASE WHEN p IS NULL THEN 0
+             |         WHEN c - p >= 0 THEN c - p ELSE c END AS adj,
+             |    CASE WHEN p IS NOT NULL AND c - p < 0 THEN 1 ELSE 0 END AS rst,
+             |    first_value(c) OVER wb AS fv,
+             |    last_value(c) OVER (PARTITION BY event_type, cb
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+             |  FROM l WINDOW wb AS (PARTITION BY event_type, cb ORDER BY ts, event_id))
+             |SELECT event_type, make_timestamp(cb * 21600000000) AS bucket,
+             |  count(*) AS n, min(fv)::BIGINT AS first_v, min(lv)::BIGINT AS last_v,
+             |  sum(rst)::BIGINT AS resets, sum(adj)::BIGINT AS increase,
+             |  ((sum(adj) * 1000000 - ((sum(adj) * 1000000) % 21600)) // 21600)::BIGINT
+             |    AS rate_1e6
+             |FROM a GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val counter = t(s, dir, "events").select(
+          col("event_type"), col("ts"), col("event_id"),
+          pmod(sum(greatest(round(col("value") * 1000).cast("long"), lit(0L)))
+            .over(w), lit(1000000000L)).as("c"))
+        val fine = graft.operators.CounterRollup.rollup(
+          counter, "event_type", "ts", "event_id", "c",
+          grainUs = 3600000000L)
+        graft.operators.CounterRollup.serveCoarse(
+          fine, "event_type", coarseGrainUs = 21600000000L)
+      }),
+
+    // ---- top event-type paths (EventAnalytics.topPaths): 3-step n-grams
+    //      of each user's event sequence, counted globally, top 20 —
+    //      the product-analytics "user flow" query. Integer counts,
+    //      (count desc, path) total order.
+    GraftQuery("q226_top_paths",
+      Some("""WITH p AS (SELECT event_type,
+             |    lead(event_type, 1) OVER w AS t1,
+             |    lead(event_type, 2) OVER w AS t2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT event_type || '>' || t1 || '>' || t2 AS path,
+             |  count(*) AS n
+             |FROM p WHERE t2 IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin),
+      (s, dir) => graft.operators.EventAnalytics.topPaths(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        k = 3, topN = 20))
   )
 }

@@ -861,6 +861,48 @@ class OperatorsSpec extends SparkSpec {
     assert(zy < 0.5, s"zorder y span $zy")
   }
 
+  test("counter rollup: reset-adjusted increases, additive coarse serving") {
+    import graft.operators.CounterRollup
+    import spark.implicits._
+    // series s, 10s buckets: b0 has 10,25; b1 has 40 then RESET to 5; b2 has 30
+    val pts = Seq(
+      (0L, 1L, 10L), (4000L, 2L, 25L),
+      (11000L, 3L, 40L), (15000L, 4L, 5L),
+      (21000L, 5L, 30L)
+    ).map { case (ms, id, c) => ("s", new java.sql.Timestamp(ms), id, c) }
+      .toDF("k", "t", "id", "c")
+    val fine = CounterRollup.rollup(pts, "k", "t", "id", "c",
+      grainUs = 10000000L)
+    val f = fine.collect().map(r => r.getTimestamp(1).getTime / 10000 ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // b0: first point contributes 0, then +15; b1: +15 then reset (+5); b2: +25
+    assert(f(0L) == ((2L, 10L, 25L, 0L, 15L)), f.toString)
+    assert(f(1L) == ((2L, 40L, 5L, 1L, 20L)), f.toString)
+    assert(f(2L) == ((1L, 30L, 30L, 0L, 25L)), f.toString)
+
+    // one 30s coarse bucket: everything sums, envelope first/last respected
+    val c = CounterRollup.serveCoarse(fine, "k", coarseGrainUs = 30000000L)
+      .head()
+    assert((c.getLong(2), c.getLong(3), c.getLong(4), c.getLong(5),
+      c.getLong(6)) == ((5L, 10L, 30L, 1L, 60L)))
+    assert(c.getLong(7) == 60L * 1000000L / 30L) // increase/sec scaled 1e6
+  }
+
+  test("top paths: windows per key, truncated tails dropped, tie order") {
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"),
+      (3L, 1L, "x"), (3L, 2L, "y") // too short for k=3: no path
+    ).map { case (u, id, t) =>
+      (u, new java.sql.Timestamp(id * 1000L), id, t)
+    }.toDF("u", "t", "id", "typ")
+    val got = EventAnalytics.topPaths(ev, "u", "t", "id", "typ", k = 3, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b>c", 2L), ("b>c>a", 1L)), got.toString)
+  }
+
   test("time-weighted average: LOCF areas, single-point and tied-ts buckets") {
     import graft.operators.SeriesStats
     import spark.implicits._
