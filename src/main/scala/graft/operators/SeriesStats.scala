@@ -363,4 +363,36 @@ object SeriesStats {
       .filter(abs(col("residual_1e4")) > thr1e4)
       .select(col("bucket"), col("sum_milli"), col("trend_1e4"),
         col("seasonal_1e4"), col("residual_1e4"))
+
+  /** Data-gap report: the `topK` largest inter-arrival gaps per series —
+    * the "where is my data missing" scan every TSDB operator runs after
+    * an ingest incident. One window pass per series (lag on the ordered
+    * integer-µs timestamps), then a per-series top-k that Spark executes
+    * with WindowGroupLimit (map-side partial top-k before the shuffle).
+    * All-integer arithmetic — deterministic across engines.
+    *
+    * Ties in (ts, value) order pair equal timestamps arbitrarily, but any
+    * pairing yields the same gap multiset (equal-ts gaps are 0 and
+    * filtered), so the output is still deterministic. */
+  def seriesGaps(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gaps = df
+      .select(col(keyCol).as("series"), unix_micros(col(tsCol)).as("__us"),
+        col(valueCol).as("__v"))
+      .withColumn("__pu", lag(col("__us"), 1).over(
+        Window.partitionBy(col("series")).orderBy(col("__us"), col("__v"))))
+      .filter(col("__pu").isNotNull && col("__us") > col("__pu"))
+      .select(col("series"), col("__pu").as("__s"), col("__us").as("__e"),
+        (col("__us") - col("__pu")).as("gap_us"))
+    val rank = Window.partitionBy(col("series"))
+      .orderBy(desc("gap_us"), asc("__s"))
+    gaps.withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= topK)
+      .select(col("series"),
+        timestamp_micros(col("__s")).as("gap_start"),
+        timestamp_micros(col("__e")).as("gap_end"),
+        col("gap_us"))
+  }
 }

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level lexical statistics for training-data curation: vocabulary
+  * coverage (OOV rate against a frequency-derived vocab), per-document
+  * TF-IDF salient terms, and PMI collocations (the word2phrase signal).
+  *
+  * Scale notes (100 TB posture):
+  *  - every aggregate is a hash-agg with map-side combine keyed on a token
+  *    or (doc, token) — no collects, no windows over the whole corpus;
+  *  - the derived vocab is LIMIT-bounded and joined back with an explicit
+  *    `broadcast()` — the corpus-sized side never re-shuffles;
+  *  - rankings are over IEEE-exact integer-count quotients with total
+  *    tie-breaks, so results are deterministic across engines and runs
+  *    (two distinct rationals p/q with p,q < 2^26 are farther apart than
+  *    a double ULP, so the quotient doubles order exactly like the
+  *    rationals — see the q229/q230 oracles).
+  */
+object CorpusStats {
+
+  private def toks(text: Column): Column = TextAnalysis.tokens(text)
+
+  /** The top-`vocabSize` tokens by corpus frequency (ties broken by token
+    * asc — deterministic). One narrow aggregate over the exploded corpus. */
+  def topVocab(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w"))
+      .limit(vocabSize)
+
+  /** Per-document out-of-vocabulary profile against the corpus top-K vocab:
+    * token count, OOV token count, and the OOV rate in basis points
+    * (floor-scaled integer — the cross-engine-stable presentation).
+    *
+    * The vocab side is tiny by construction (LIMIT K) and broadcast; the
+    * exploded corpus joins against it map-side, then re-aggregates per doc.
+    */
+  def vocabCoverage(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(toks(col(textCol))).as("w"))
+    val vocab = broadcast(topVocab(docs, textCol, vocabSize)
+      .select(col("w"), lit(1).as("__in_vocab")))
+    tok.join(vocab, Seq("w"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp",
+        floor(col("n_oov") * 10000.0 / col("n_tokens")).cast("long"))
+  }
+
+  /** Top-`k` salient terms per document by TF-IDF, with idf taken as the
+    * monotone 1/df surrogate so the ranking key is the exact rational
+    * tf/df (ln() would introduce libm-dependent ulps; the ORDER is
+    * identical because ln is monotone and df>0). Ties break by term asc.
+    * Score presented as floor(tf*1e6/df) — both engines compute the same
+    * IEEE quotient, so the floor is bit-stable.
+    *
+    * Plan shape: explode → (doc,term) hash-agg → term hash-agg for df →
+    * broadcast df back (term universe is vocab-bounded) → per-doc window
+    * top-k (WindowGroupLimit pushes the limit map-side).
+    */
+  def tfidfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs.select(col(idCol), explode(toks(col(textCol))).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("tf"))
+    // one row per (doc, term) already, so df = row count per term
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "w")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+    val win = Window.partitionBy(idCol)
+      .orderBy(desc("score"), asc("w"))
+    scored.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("rn").cast("long").as("rank"), col("w").as("term"),
+        col("tf"), col("df"),
+        floor(col("tf") * 1000000.0 / col("df")).cast("long").as("score_ppm"))
+  }
+
+  /** PMI collocations over adjacent token pairs (the word2phrase signal):
+    * top-`topN` bigrams with count >= `minCount`, ranked by the PMI
+    * argument c_xy·T/(c_x·c_y) (ln is monotone — ordering identical,
+    * no libm in the ranking key). Presented as floor(arg·1e6).
+    *
+    * The operand order (cxy·T / cx / cy, then ·1e6) is mirrored exactly
+    * in the q230 oracle so the IEEE rounding sequence is identical.
+    * Bigram extraction is an array transform inside codegen (no
+    * self-join); counts are hash-aggs; unigram counts broadcast back.
+    */
+  def pmiCollocations(
+      docs: DataFrame, textCol: String,
+      minCount: Long, topN: Int): DataFrame = {
+    val a = toks(col(textCol))
+    val withToks = docs.withColumn(s"${textCol}_toks", a)
+      .filter(size(col(s"${textCol}_toks")) >= 2)
+    val big = withToks
+      .select(explode(expr(
+        s"""transform(sequence(0, size(${textCol}_toks) - 2),
+           |  i -> struct(${textCol}_toks[i] AS x, ${textCol}_toks[i+1] AS y))"""
+          .stripMargin)).as("b"))
+      .select(col("b.x"), col("b.y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    val uni = docs.select(explode(a).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("t"))
+    val scored = big.filter(col("cxy") >= minCount)
+      .join(broadcast(uni.select(col("w").as("x"), col("c").as("cx"))), "x")
+      .join(broadcast(uni.select(col("w").as("y"), col("c").as("cy"))), "y")
+      .crossJoin(broadcast(total))
+      .withColumn("arg",
+        col("cxy").cast("double") * col("t") / col("cx") / col("cy"))
+    scored
+      .orderBy(desc("arg"), asc("x"), asc("y"))
+      .limit(topN)
+      .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"),
+        floor(col("arg") * 1000000.0).cast("long").as("pmi_ppm"))
+  }
+}

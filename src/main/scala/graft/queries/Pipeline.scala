@@ -1648,6 +1648,75 @@ object PipelineQueries {
         graft.pipeline.Ivf.probeIndexFiltered(
           s, path, "vec_id", "embedding", queryVec(s, dir), 10,
           filter = col("label") === 1, nprobe = 8)
-      })
+      }),
+
+    // ---- vocabulary coverage (pipeline/CorpusStats.vocabCoverage):
+    //      per-doc OOV profile against the corpus top-16 frequency vocab
+    //      (tie-break token asc). The fixture universe is 31 tokens, so
+    //      top-16 leaves a real OOV tail. OOV rate presented in floor-
+    //      scaled basis points — identical IEEE quotient on both engines.
+    GraftQuery("q227_vocab_coverage",
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS w
+             |  FROM documents),
+             |f AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+             |v AS (SELECT w FROM f ORDER BY c DESC, w LIMIT 16)
+             |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+             |  sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+             |  CAST(floor(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+             |    * 10000.0 / count(*)) AS BIGINT) AS oov_bp
+             |FROM tok t LEFT JOIN v ON v.w = t.w
+             |GROUP BY 1""".stripMargin),
+      (s, dir) => graft.pipeline.CorpusStats.vocabCoverage(
+        t(s, dir, "documents"), "doc_id", "text", vocabSize = 16)),
+
+    // ---- TF-IDF salient terms (CorpusStats.tfidfTopTerms): top-3 terms
+    //      per doc ranked by the exact rational tf/df (idf's ln is
+    //      monotone — same order, no libm in the key), ties by term asc.
+    //      Integer tf/df plus a floor-scaled ppm score.
+    GraftQuery("q229_tfidf_top_terms",
+      Some("""WITH tf AS (SELECT doc_id, w, count(*) AS tf
+             |  FROM (SELECT doc_id,
+             |      unnest(string_split_regex(trim(text), '\s+')) AS w
+             |    FROM documents)
+             |  GROUP BY 1, 2),
+             |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+             |r AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf::DOUBLE / df.df DESC, tf.w) AS rn
+             |  FROM tf JOIN df USING (w))
+             |SELECT doc_id, rn::BIGINT AS rank, w AS term,
+             |  tf::BIGINT AS tf, df::BIGINT AS df,
+             |  CAST(floor(tf * 1000000.0 / df) AS BIGINT) AS score_ppm
+             |FROM r WHERE rn <= 3""".stripMargin),
+      (s, dir) => graft.pipeline.CorpusStats.tfidfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // ---- PMI collocations (CorpusStats.pmiCollocations): top-20 adjacent
+    //      bigrams by the PMI argument c_xy*T/(c_x*c_y) (ln monotone — no
+    //      libm in the ranking), count >= 5, ties (x, y) asc. The operand
+    //      order cxy*T / cx / cy * 1e6 is mirrored exactly here so the
+    //      IEEE rounding sequence matches bit-for-bit.
+    GraftQuery("q230_pmi_bigrams",
+      Some("""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |b AS (SELECT toks[i.i] AS x, toks[i.i + 1] AS y
+             |  FROM t CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) i
+             |  WHERE len(toks) >= 2),
+             |cxy AS (SELECT x, y, count(*) AS cxy FROM b GROUP BY 1, 2),
+             |u AS (SELECT w, count(*) AS c
+             |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+             |tot AS (SELECT sum(c)::BIGINT AS t FROM u)
+             |SELECT x, y, cxy::BIGINT AS cxy, ux.c::BIGINT AS cx,
+             |  uy.c::BIGINT AS cy,
+             |  CAST(floor(cxy::DOUBLE * tot.t / ux.c / uy.c * 1000000.0)
+             |    AS BIGINT) AS pmi_ppm
+             |FROM cxy JOIN u ux ON ux.w = x JOIN u uy ON uy.w = y, tot
+             |WHERE cxy >= 5
+             |ORDER BY cxy::DOUBLE * tot.t / ux.c / uy.c DESC, x, y
+             |LIMIT 20""".stripMargin),
+      (s, dir) => graft.pipeline.CorpusStats.pmiCollocations(
+        t(s, dir, "documents"), "text", minCount = 5, topN = 20))
   )
 }

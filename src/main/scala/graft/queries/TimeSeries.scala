@@ -855,6 +855,26 @@ object TimeSeries {
              |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin),
       (s, dir) => graft.operators.EventAnalytics.topPaths(
         t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
-        k = 3, topN = 20))
+        k = 3, topN = 20)),
+
+    // ---- per-series data-gap report (SeriesStats.seriesGaps): the 5
+    //      largest inter-arrival gaps per event_type — the post-incident
+    //      "where is my data missing" scan. Integer-µs lag arithmetic,
+    //      (gap desc, start asc) total order; WindowGroupLimit runs the
+    //      per-series top-k map-side.
+    GraftQuery("q228_series_gaps",
+      Some("""WITH o AS (SELECT event_type AS series, epoch_us(ts) AS us,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY event_type
+             |      ORDER BY ts, "value") AS pu
+             |  FROM events),
+             |g AS (SELECT series, pu AS s, us AS e, us - pu AS gap_us
+             |  FROM o WHERE pu IS NOT NULL AND us > pu),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY series
+             |    ORDER BY gap_us DESC, s) AS rn FROM g)
+             |SELECT series, make_timestamp(s) AS gap_start,
+             |  make_timestamp(e) AS gap_end, gap_us
+             |FROM r WHERE rn <= 5""".stripMargin),
+      (s, dir) => graft.operators.SeriesStats.seriesGaps(
+        t(s, dir, "events"), "event_type", "ts", "value", topK = 5))
   )
 }

@@ -966,4 +966,51 @@ class OperatorsSpec extends SparkSpec {
     val expect = dec.filter(abs(col("residual_1e4")) > 2000000000L).count()
     assert(anom.count() == expect)
   }
+
+  test("series gaps: hand-computed top-k, zero-gap dupes excluded, per-series rank") {
+    import graft.operators.SeriesStats
+    import spark.implicits._
+    // series a: points at 0s, 10s, 10s (dup ts), 70s, 100s -> gaps 10, 60, 30
+    // series b: points at 0s, 5s -> gap 5
+    val rows = Seq(
+      ("a", 0L), ("a", 10L), ("a", 10L), ("a", 70L), ("a", 100L),
+      ("b", 0L), ("b", 5L)
+    ).map { case (k, sec) => (k, new java.sql.Timestamp(sec * 1000L), 1.0) }
+      .toDF("k", "t", "v")
+    val got = SeriesStats.seriesGaps(rows, "k", "t", "v", topK = 2)
+      .select("series", "gap_us").as[(String, Long)].collect().toSet
+    // a keeps its 2 largest gaps (60s, 30s); the 10s gap is cut by top-2;
+    // the 0-gap duplicate never appears; b keeps its single 5s gap
+    assert(got == Set(("a", 60000000L), ("a", 30000000L), ("b", 5000000L)), got.toString)
+  }
+
+  test("corpus stats: vocab coverage + tfidf + pmi on a hand-computed corpus") {
+    import graft.pipeline.CorpusStats
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x y"),     // tf(x)=3 tf(y)=1
+      (2L, "x y y z"),     // z appears only here
+      (3L, "x y")
+    ).toDF("doc_id", "text")
+    // freq: x=5, y=4, z=1 -> top-2 vocab {x, y}; OOV only z in doc 2
+    val cov = CorpusStats.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .select("doc_id", "n_tokens", "n_oov", "oov_bp")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(cov(1L) == (4L, 0L, 0L))
+    assert(cov(2L) == (4L, 1L, 2500L))
+    assert(cov(3L) == (2L, 0L, 0L))
+    // df: x=3, y=3, z=1. doc2 scores: z 1/1=1.0 > y 2/3 > x 1/3
+    val top = CorpusStats.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 2L).orderBy("rank")
+      .select("term", "tf", "df", "score_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(top == Seq(("z", 1L, 1L, 1000000L), ("y", 2L, 3L, 666666L)), top.toString)
+    // bigrams with minCount=2: (x,x) c=2, (x,y) c=3; T=10, cx=5, cy=4
+    // arg(x,y) = 3*10/20 = 1.5 ; arg(x,x) = 2*10/25 = 0.8
+    val pmi = CorpusStats.pmiCollocations(docs, "text", minCount = 2, topN = 10)
+      .select("x", "y", "cxy", "pmi_ppm").as[(String, String, Long, Long)]
+      .collect().toSeq
+    assert(pmi == Seq(("x", "y", 3L, 1500000L), ("x", "x", 2L, 800000L)), pmi.toString)
+  }
 }
