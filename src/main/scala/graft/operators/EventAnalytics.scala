@@ -129,4 +129,39 @@ object EventAnalytics {
       .orderBy(col("n").desc, col("path"))
       .limit(topN)
   }
+
+  /** Marketing-attribution summary with journey-reset semantics: each
+    * conversion's journey is the span since the key's previous conversion;
+    * the journey's earliest touch wins under `first_touch`, the latest
+    * under `last_touch`, and a journey with no touch attributes to
+    * `direct`. Output: (model, touch_type, conversions).
+    *
+    * One key-partitioned window assigns journey ids (running count of
+    * prior conversions); touches reduce per (key, journey) with
+    * min_by/max_by over the total (ts, id) order — deterministic, no
+    * second window pass — then a single left join back to conversions.
+    * All-integer counts; scales as one key shuffle + one small join.
+    */
+  def attribution(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, convType: String, touchTypes: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val j = df.withColumn("__journey", coalesce(
+        sum(when(col(typeCol) === convType, 1L).otherwise(0L)).over(w), lit(0L)))
+    val touches = j.filter(col(typeCol).isin(touchTypes.map(x => x: Any): _*))
+      .groupBy(col(keyCol), col("__journey"))
+      .agg(
+        min_by(col(typeCol), struct(col(tsCol), col(idCol))).as("__first"),
+        max_by(col(typeCol), struct(col(tsCol), col(idCol))).as("__last"))
+    val convs = j.filter(col(typeCol) === convType)
+      .select(col(keyCol), col("__journey"))
+      .join(touches, Seq(keyCol, "__journey"), "left")
+    convs.select(lit("first_touch").as("model"),
+        coalesce(col("__first"), lit("direct")).as("touch_type"))
+      .unionByName(convs.select(lit("last_touch").as("model"),
+        coalesce(col("__last"), lit("direct")).as("touch_type")))
+      .groupBy("model", "touch_type")
+      .agg(count(lit(1)).as("conversions"))
+  }
 }

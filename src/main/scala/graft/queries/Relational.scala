@@ -330,6 +330,30 @@ object Relational {
           .agg(count(lit(1)).as("n"),
             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
               .as("revenue"))
+      }),
+
+    // ---- bucketed co-located join (operators/Colocate): both sides
+    //      persisted bucketBy+sortBy on the join key, then sort-merge
+    //      joined with ZERO exchanges and ZERO sorts (plan-asserted in
+    //      PlansSpec). The oracle is the plain join — layout must be
+    //      result-invisible. Prices sum as exact integer cents.
+    GraftQuery("q231_bucketed_join",
+      Some("""SELECT o.o_orderpriority, count(*)::BIGINT AS n,
+             |  sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS cents
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val suffix = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes).map("%02x".format(_)).mkString.take(8)
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("__cents"))
+        val ord = t(s, dir, "orders").select(
+          col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.operators.Colocate.bucketedEquiJoin(s,
+            li, s"graft_bkt_li_$suffix", ord, s"graft_bkt_ord_$suffix",
+            "l_orderkey", buckets = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("__cents")).as("cents"))
       })
   )
 }

@@ -875,6 +875,40 @@ object TimeSeries {
              |  make_timestamp(e) AS gap_end, gap_us
              |FROM r WHERE rn <= 5""".stripMargin),
       (s, dir) => graft.operators.SeriesStats.seriesGaps(
-        t(s, dir, "events"), "event_type", "ts", "value", topK = 5))
+        t(s, dir, "events"), "event_type", "ts", "value", topK = 5)),
+
+    // ---- first/last-touch attribution (EventAnalytics.attribution):
+    //      journey-reset semantics — each purchase attributes to the
+    //      earliest (first_touch) / latest (last_touch) click-or-view
+    //      since the user's previous purchase; no touch => 'direct'.
+    //      Integer counts; journey ids via one running-count window.
+    GraftQuery("q232_attribution",
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+             |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS j
+             |  FROM events),
+             |tt AS (SELECT user_id, j, event_type,
+             |    row_number() OVER (PARTITION BY user_id, j
+             |      ORDER BY ts, event_id) AS ra,
+             |    row_number() OVER (PARTITION BY user_id, j
+             |      ORDER BY ts DESC, event_id DESC) AS rd
+             |  FROM e WHERE event_type IN ('click', 'view')),
+             |c AS (SELECT user_id, j FROM e WHERE event_type = 'purchase')
+             |SELECT 'first_touch' AS model,
+             |  coalesce(tt.event_type, 'direct') AS touch_type,
+             |  count(*)::BIGINT AS conversions
+             |FROM c LEFT JOIN tt ON tt.user_id = c.user_id AND tt.j = c.j
+             |  AND tt.ra = 1
+             |GROUP BY 1, 2
+             |UNION ALL
+             |SELECT 'last_touch', coalesce(tt.event_type, 'direct'),
+             |  count(*)::BIGINT
+             |FROM c LEFT JOIN tt ON tt.user_id = c.user_id AND tt.j = c.j
+             |  AND tt.rd = 1
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => graft.operators.EventAnalytics.attribution(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        convType = "purchase", touchTypes = Seq("click", "view")))
   )
 }

@@ -1013,4 +1013,26 @@ class OperatorsSpec extends SparkSpec {
       .collect().toSeq
     assert(pmi == Seq(("x", "y", 3L, 1500000L), ("x", "x", 2L, 800000L)), pmi.toString)
   }
+
+  test("attribution: journey reset, first/last touch, direct fallback") {
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    // user 1: view(0) click(1) BUY(2) click(3) BUY(4)  -> journey 0 has
+    //   first=view last=click; journey 1 has first=last=click
+    // user 2: BUY(5) -> no touches -> direct under both models
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 1L, "click"), (1L, 2L, "purchase"),
+      (1L, 3L, "click"), (1L, 4L, "purchase"),
+      (2L, 5L, "purchase")
+    ).map { case (u, sec, ty) =>
+      (u, new java.sql.Timestamp(sec * 1000L), sec, ty)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.attribution(rows, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("click", "view"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("first_touch", "view", 1L), ("first_touch", "click", 1L),
+      ("first_touch", "direct", 1L),
+      ("last_touch", "click", 2L), ("last_touch", "direct", 1L)), got.toString)
+  }
 }

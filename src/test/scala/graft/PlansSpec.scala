@@ -123,4 +123,37 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
       s"time-range filter did not reach the parquet scan:\n$plan")
   }
+
+  test("bucketed co-located join: zero exchanges, zero sorts") {
+    import org.apache.spark.sql.functions.col
+    // forbid broadcast so the join must be sort-merge — the case bucketing
+    // exists for; bucketed scans provide both partitioning AND order, so
+    // the SMJ needs no exchange and no sort on either side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.t(spark, dir, "lineitem").select(col("l_orderkey"))
+      val ord = Tables.t(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val joined = graft.operators.Colocate.bucketedEquiJoin(spark,
+        li, "graft_bkt_spec_li", ord, "graft_bkt_spec_ord",
+        "l_orderkey", buckets = 4)
+      val plan = finalPlan(joined).toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      // the scale win: NO exchange on either side. (A local per-bucket
+      // Sort remains: since SPARK-28632 Spark only trusts sortBy file
+      // order for single-file buckets, and sorting already-sorted runs
+      // is near-free; the shuffle is what would dominate at 100 TB.)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // layout is result-invisible
+      assert(joined.count() ==
+        li.join(ord, "l_orderkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_spec_li")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_spec_ord")
+    }
+  }
 }
