@@ -91,6 +91,56 @@ final class TsdbEngine(
     if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 
+  /** Incremental rollup maintenance (the refresh side of the serving-side
+    * [[registerRollup]]): recompute ONLY the grain buckets touched by raw
+    * rows with `__seq >= sinceSeq` and append the recomputed rows to
+    * `rollupTable` — an overwrite-mode table keyed (bucket, tags), so the
+    * newest recomputation wins on read and earlier generations of the
+    * same bucket are superseded, never double-counted. Returns the new
+    * high-water sequence to pass as `sinceSeq` next time.
+    *
+    * Bucket-scoped recomputation (rather than delta-merging partials)
+    * stays correct under ANY raw-table semantics — late/out-of-order
+    * rows, overwrite-mode dedup of the raw table, deletes via rewrite —
+    * because touched buckets are rebuilt from the full raw read. Cost is
+    * bounded by the touched time span, not table size: the raw scan is
+    * pre-filtered with `ts >= min touched bucket` (pushed to parquet
+    * segment/row-group stats via the engine's time-segment layout), then
+    * exact-matched with a bucket semi-join.
+    *
+    * `aggs` maps output column -> aggregate over the raw columns, e.g.
+    * `"n" -> count(lit(1)), "sum_milli" -> sum(...)`. */
+  def refreshRollup(
+      raw: String, rollupTable: String, grainSeconds: Long,
+      tags: Seq[String], aggs: Seq[(String, Column)],
+      sinceSeq: Long): Long = {
+    val grainUs = grainSeconds * 1000000L
+    val s = catalog.get(raw)
+    val rs = catalog.get(rollupTable)
+    val hw = currentSeq(raw)
+    minTsSince(raw, sinceSeq) match {
+      case None => hw // no delta — refresh is a no-op
+      case Some(minUs) =>
+        val floorUs = java.lang.Math.floorDiv(minUs, grainUs) * grainUs
+        def bucketOf(c: Column): Column =
+          timestamp_micros((floor(unix_micros(c) / grainUs)
+            .cast("long") * grainUs))
+        val touched = readStorage(s)
+          .filter(col(TableSchema.SeqColumn) >= sinceSeq)
+          .select(bucketOf(col(s.timestampKey)).as(rs.timestampKey))
+          .distinct()
+        val recomputed = read(raw)
+          .filter(col(s.timestampKey) >= timestamp_micros(lit(floorUs)))
+          .withColumn(rs.timestampKey, bucketOf(col(s.timestampKey)))
+          .join(touched, Seq(rs.timestampKey), "left_semi")
+          .groupBy((rs.timestampKey +: tags).map(col): _*)
+          .agg(aggs.head._2.as(aggs.head._1),
+            aggs.tail.map { case (n, c) => c.as(n) }: _*)
+        append(rollupTable, recomputed)
+        hw
+    }
+  }
+
   /** Drop every rollup registration touching `table` (as raw or rollup). */
   def invalidateRollups(table: String): Unit = {
     val it = rollupRegs.entrySet().iterator()

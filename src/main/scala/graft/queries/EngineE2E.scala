@@ -397,6 +397,89 @@ object EngineE2E {
           "ts", "event_type", "user_id", bucketSeconds = 86400L, k = 100000,
           "events_freq_rollup")
         graft.operators.FreqRollup.topK(sk, Seq("event_type"), 5)
+      }),
+
+    // Incremental rollup maintenance (TsdbEngine.refreshRollup): the raw
+    // table is ingested in two batches — the second landing LATE rows
+    // into already-rolled-up buckets — and after each append only the
+    // touched 6h buckets are recomputed and overwrite-appended to the
+    // rollup table (update_mode='overwrite' on (bucket, tag) supersedes
+    // earlier generations at read). The oracle is the full one-shot
+    // rollup: incremental must equal recompute-everything. Integer-exact
+    // counts and milli-scaled sums.
+    GraftQuery("q233_rollup_incremental",
+      Some("""SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
+             |  event_type,
+             |  count(*)::BIGINT AS n,
+             |  sum(CAST(round("value" * 1000, 0) AS BIGINT)) AS sum_milli
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-increfresh").toString)
+        e.execute(
+          """CREATE TABLE ev_raw (
+            |  ts timestamp NOT NULL, event_type string TAG, value double,
+            |  timestamp KEY(ts))
+            |ENGINE=Analytic WITH (update_mode='append', enable_ttl='false')""".stripMargin)
+        e.execute(
+          """CREATE TABLE ev_rollup_6h (
+            |  bucket timestamp NOT NULL, event_type string TAG,
+            |  n uint64, sum_milli int64,
+            |  timestamp KEY(bucket))
+            |ENGINE=Analytic WITH (update_mode='overwrite', enable_ttl='false')""".stripMargin)
+        val ev = Tables.t(s, dir, "events")
+          .select(col("ts"), col("event_type"), col("value"))
+        val cutoff = java.sql.Timestamp.valueOf("2024-01-20 03:00:00")
+        val aggs = Seq(
+          "n" -> count(lit(1)),
+          "sum_milli" -> sum(round(col("value") * 1000, 0).cast("long")))
+        // batch 1: everything before the cutoff; refresh from seq 0
+        e.append("ev_raw", ev.filter(col("ts") < lit(cutoff)))
+        val hw1 = e.refreshRollup("ev_raw", "ev_rollup_6h", 21600L,
+          Seq("event_type"), aggs, sinceSeq = 0L)
+        // batch 2: the tail — its first 6h bucket (2024-01-20 00:00) is
+        // ALREADY materialized from batch 1, so this refresh exercises
+        // the late-data recompute-and-supersede path
+        e.append("ev_raw", ev.filter(col("ts") >= lit(cutoff)))
+        e.refreshRollup("ev_raw", "ev_rollup_6h", 21600L,
+          Seq("event_type"), aggs, sinceSeq = hw1)
+        e.read("ev_rollup_6h")
+          .select(col("bucket"), col("event_type"),
+            col("n").cast("long").as("n"), col("sum_milli"))
+      }),
+
+    // Stream-stream LEFT OUTER interval join: matches emit immediately;
+    // unmatched clicks emit (click_ts, user, NULL) once the watermark
+    // passes click_ts + 2h. The oracle replays the final-watermark cutoff
+    // W = min(max click ts, max purchase ts) - 1h: unmatched lefts with
+    // l_ts + 2h < W are the exact null-extension set.
+    GraftQuery("q234_stream_left_join",
+      Some("""WITH l AS (SELECT user_id, epoch_us(ts) AS us FROM events
+             |  WHERE event_type = 'click'),
+             |r AS (SELECT user_id, epoch_us(ts) AS us FROM events
+             |  WHERE event_type = 'purchase'),
+             |wm AS (SELECT least((SELECT max(us) FROM l),
+             |    (SELECT max(us) FROM r)) - 3600000000 AS w)
+             |SELECT make_timestamp(l.us) AS left_ts,
+             |  cast(l.user_id AS varchar) AS user_id,
+             |  make_timestamp(r.us) AS right_ts
+             |FROM l JOIN r ON l.user_id = r.user_id
+             |  AND r.us >= l.us AND r.us <= l.us + 7200000000
+             |UNION ALL
+             |SELECT make_timestamp(l.us), cast(l.user_id AS varchar), NULL
+             |FROM l, wm
+             |WHERE NOT EXISTS (SELECT 1 FROM r
+             |    WHERE r.user_id = l.user_id
+             |      AND r.us >= l.us AND r.us <= l.us + 7200000000)
+             |  AND l.us + 7200000000 < wm.w""".stripMargin),
+      (s, dir) => {
+        val schema = Tables.rawSchema(s, dir, "events")
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-ssleft").toString)
+        graft.streaming.StreamJoin.intervalLeftJoinToTable(
+          e, dir, "events.parquet", schema, nanosTs = true,
+          "ts", "user_id", "event_type", "click", "purchase",
+          "2 hours", "1 hour", "click_purchase_left")
       })
   )
 }

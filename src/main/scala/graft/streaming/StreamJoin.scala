@@ -73,4 +73,63 @@ object StreamJoin {
     val s = engine.catalog.get(table)
     engine.read(table).select(s.columns.map(c => col(c.name)): _*)
   }
+
+  /** LEFT OUTER variant: matched pairs emit immediately as in the inner
+    * join; an UNMATCHED left row emits with a null `right_ts` only once
+    * the global watermark passes `l.ts + maxSpan` — the point where no
+    * in-watermark right row could still join it — exactly Spark's outer
+    * stream-stream contract. Lefts still inside the horizon when the
+    * AvailableNow run drains stay in (bounded) state and emit nothing:
+    * the replayable cutoff the oracle re-derives with
+    * `W = min(max left ts, max right ts) - delay`.
+    *
+    * Same 100 TB posture as the inner join: state bounded by the
+    * watermark × span horizon, null emission is a state-store eviction
+    * (no extra pass), appends distributed. */
+  def intervalLeftJoinToTable(
+      engine: TsdbEngine, dir: String, glob: String, schema: StructType,
+      nanosTs: Boolean, tsCol: String, keyCol: String, typeCol: String,
+      leftType: String, rightType: String, maxSpan: String,
+      watermarkDelay: String, table: String): DataFrame = {
+    val spark = engine.spark
+    if (!engine.catalog.exists(table))
+      engine.execute(
+        s"""CREATE TABLE $table (
+           |  left_ts timestamp NOT NULL, $keyCol string TAG,
+           |  right_ts timestamp,
+           |  timestamp KEY(left_ts))
+           |ENGINE=Analytic WITH (update_mode='append')""".stripMargin)
+
+    def side(evType: String, alias: String): DataFrame = {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+      val events =
+        if (nanosTs) graft.Tables.normalizeEventTime(raw, tsCol)
+        else raw
+      events.filter(col(typeCol) === evType)
+        .select(col(keyCol).cast("string").as(s"${alias}_key"),
+          col(tsCol).as(s"${alias}_ts"))
+        .withWatermark(s"${alias}_ts", watermarkDelay)
+    }
+
+    val joined = side(leftType, "l").join(side(rightType, "r"),
+      expr(s"""l_key = r_key AND
+              |r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $maxSpan""".stripMargin),
+      "left_outer")
+      .select(col("l_ts").as("left_ts"), col("l_key").as(keyCol),
+        col("r_ts").as("right_ts"))
+
+    StreamConf.withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation",
+          engine.catalog.checkpointDir(table))
+        .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
+        .start()
+      q.awaitTermination()
+    }
+    val s = engine.catalog.get(table)
+    engine.read(table).select(s.columns.map(c => col(c.name)): _*)
+  }
 }

@@ -107,6 +107,37 @@ class StreamingSpec extends SparkSpec {
       (base + 60 * min, "a", base + 70 * min)))
   }
 
+  test("stream-stream LEFT OUTER join: matches + watermark-expired nulls only") {
+    val src = tmpDir("sslj-src")
+    // span 30m, delay 5m. Final watermark W = min(max click, max purchase)
+    // - 5m = min(300m, 200m) - 5m = 195m.
+    //   click a@0   -> purchase a@10m  => pair
+    //   click b@5m  -> no purchase; 5m + 30m = 35m < 195m  => null row
+    //   click c@180m-> no purchase; 180m + 30m = 210m >= 195m => stays in
+    //     state, emits NOTHING
+    //   click a@300m (the left-side max, advances the left watermark)
+    //     -> no purchase; 300m + 30m >= 195m => nothing
+    writeSource(src, Seq(
+      (base, "a", "click", 0.0), (base + 10 * min, "a", "purchase", 1.0),
+      (base + 5 * min, "b", "click", 0.0),
+      (base + 180 * min, "c", "click", 0.0),
+      (base + 300 * min, "a", "click", 0.0),
+      (base + 200 * min, "z", "purchase", 9.0))) // right-side max
+
+    val e = new TsdbEngine(spark, tmpDir("sslj-wh"))
+    val out = graft.streaming.StreamJoin.intervalLeftJoinToTable(
+        e, src, "*.parquet", schema, nanosTs = false,
+        "ts", "key", "typ", "click", "purchase", "30 minutes", "5 minutes",
+        "pairs_left")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        Option(r.getTimestamp(2)).map(_.getTime)))
+      .toSet
+    assert(out == Set(
+      (base, "a", Some(base + 10 * min)),
+      (base + 5 * min, "b", None)), out.toString)
+  }
+
   test("partitioned streaming sink: rollup lands in bucket dirs, reads prune") {
     val src = tmpDir("psink-src")
     writeSource(src, Seq(

@@ -636,4 +636,46 @@ class TsdbEngineSpec extends SparkSpec {
     assert(e.readAsOf("ta", 0).count() == 1)
     assert(e.readAsOf("ta", 1).count() == 2)
   }
+
+  test("incremental rollup refresh: touched-bucket recompute, late-data supersede, no-op") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE irr (ts timestamp NOT NULL, k string TAG, v double,
+        |  timestamp KEY(ts))
+        |ENGINE=Analytic WITH (update_mode='append', enable_ttl='false')""".stripMargin)
+    e.execute(
+      """CREATE TABLE irr_1m (bucket timestamp NOT NULL, k string TAG,
+        |  n uint64, sum_milli int64, timestamp KEY(bucket))
+        |ENGINE=Analytic WITH (update_mode='overwrite', enable_ttl='false')""".stripMargin)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def rows(r: Seq[(Long, String, Double)]) =
+      r.map { case (s, k, v) => (new java.sql.Timestamp(s * 1000L), k, v) }
+        .toDF("ts", "k", "v")
+    val aggs = Seq("n" -> count(lit(1)),
+      "sum_milli" -> sum(round(col("v") * 1000, 0).cast("long")))
+    def rollup(): Map[(Long, String), (Long, Long)] =
+      e.read("irr_1m")
+        .select(col("bucket"), col("k"), col("n").cast("long"), col("sum_milli"))
+        .collect().map(r => (r.getTimestamp(0).getTime / 1000,
+          r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+
+    // batch 1: two buckets (0-60s, 60-120s)
+    e.append("irr", rows(Seq((10, "a", 1.0), (20, "a", 2.0), (70, "a", 3.0))))
+    val hw1 = e.refreshRollup("irr", "irr_1m", 60L, Seq("k"), aggs, 0L)
+    assert(rollup() == Map((0L, "a") -> ((2L, 3000L)), (60L, "a") -> ((1L, 3000L))))
+
+    // batch 2: LATE row into bucket 0 + a new bucket; only those two
+    // buckets recompute, bucket 60 keeps its original generation
+    e.append("irr", rows(Seq((30, "a", 5.0), (130, "b", 7.0))))
+    val hw2 = e.refreshRollup("irr", "irr_1m", 60L, Seq("k"), aggs, hw1)
+    assert(rollup() == Map(
+      (0L, "a") -> ((3L, 8000L)),   // superseded: 1+2+5
+      (60L, "a") -> ((1L, 3000L)),
+      (120L, "b") -> ((1L, 7000L))))
+
+    // no delta: refresh is a no-op (same high water, same rollup rows)
+    assert(e.refreshRollup("irr", "irr_1m", 60L, Seq("k"), aggs, hw2) == hw2)
+    assert(e.read("irr_1m").count() == 3)
+  }
 }
