@@ -141,6 +141,33 @@ final class TsdbEngine(
     }
   }
 
+  /** Row-level diff between two ingest-sequence snapshots of a table:
+    * every primary key present in either snapshot, labeled `added`
+    * (absent at `s0`), `removed` (absent at `s1` — possible on append
+    * tables sliced by seq; overwrite tables only grow), `updated` (any
+    * non-key column differs) or `unchanged`. The lakehouse "table diff"
+    * over the engine's `__seq` axis — one full-outer join of the two
+    * snapshot reads, shuffled on the PK like any dedup read.
+    */
+  def snapshotDiff(name: String, s0: Long, s1: Long): DataFrame = {
+    val s = catalog.get(name)
+    val keys = s.columns.filter(c => c.isTag).map(_.name) :+ s.timestampKey
+    val fields = s.columns.map(_.name).filterNot(keys.contains)
+    val v0 = readAsOf(name, s0).select(s.columns.map(c => col(c.name)): _*)
+    val v1 = readAsOf(name, s1).select(s.columns.map(c => col(c.name)): _*)
+    val a = v0.select(keys.map(col) :+
+      struct(fields.map(col): _*).as("__f0"): _*)
+    val b = v1.select(keys.map(col) :+
+      struct(fields.map(col): _*).as("__f1"): _*)
+    a.join(b, keys, "full_outer")
+      .withColumn("change",
+        when(col("__f0").isNull, lit("added"))
+          .when(col("__f1").isNull, lit("removed"))
+          .when(!(col("__f0") <=> col("__f1")), lit("updated"))
+          .otherwise(lit("unchanged")))
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   /** Drop every rollup registration touching `table` (as raw or rollup). */
   def invalidateRollups(table: String): Unit = {
     val it = rollupRegs.entrySet().iterator()

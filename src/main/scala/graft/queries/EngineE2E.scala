@@ -480,6 +480,96 @@ object EngineE2E {
           e, dir, "events.parquet", schema, nanosTs = true,
           "ts", "user_id", "event_type", "click", "purchase",
           "2 hours", "1 hour", "click_purchase_left")
+      }),
+
+    // Hierarchical rollup cascade: raw -> 6h -> 1d, BOTH levels maintained
+    // incrementally per ingest batch with refreshRollup — the daily level
+    // refreshes FROM the 6h rollup (mergeable sum-of-sums / sum-of-counts),
+    // never rescanning raw: the multi-resolution retention layout every
+    // production TSDB runs (raw short-TTL, coarse grains long-TTL). The
+    // oracle computes the daily rollup directly from events — the cascade
+    // must be indistinguishable from one-shot recomputation.
+    GraftQuery("q235_rollup_cascade",
+      Some("""SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,
+             |  event_type,
+             |  count(*)::BIGINT AS n,
+             |  sum(CAST(round("value" * 1000, 0) AS BIGINT)) AS sum_milli
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-cascade").toString)
+        e.execute(
+          """CREATE TABLE c_raw (
+            |  ts timestamp NOT NULL, event_type string TAG, value double,
+            |  timestamp KEY(ts))
+            |ENGINE=Analytic WITH (update_mode='append', enable_ttl='false')""".stripMargin)
+        for (t <- Seq("c_6h", "c_1d")) e.execute(
+          s"""CREATE TABLE $t (
+             |  bucket timestamp NOT NULL, event_type string TAG,
+             |  n uint64, sum_milli int64,
+             |  timestamp KEY(bucket))
+             |ENGINE=Analytic WITH (update_mode='overwrite', enable_ttl='false')""".stripMargin)
+        val ev = Tables.t(s, dir, "events")
+          .select(col("ts"), col("event_type"), col("value"))
+        val rawAggs = Seq(
+          "n" -> count(lit(1)),
+          "sum_milli" -> sum(round(col("value") * 1000, 0).cast("long")))
+        // the daily level merges the 6h level's partials
+        val mergeAggs = Seq(
+          "n" -> sum(col("n").cast("long")),
+          "sum_milli" -> sum(col("sum_milli")))
+        val cutoff = java.sql.Timestamp.valueOf("2024-01-18 09:00:00")
+        var hw6h = 0L; var hw1d = 0L
+        for (batch <- Seq(ev.filter(col("ts") < lit(cutoff)),
+                          ev.filter(col("ts") >= lit(cutoff)))) {
+          e.append("c_raw", batch)
+          hw6h = e.refreshRollup("c_raw", "c_6h", 21600L,
+            Seq("event_type"), rawAggs, hw6h)
+          hw1d = e.refreshRollup("c_6h", "c_1d", 86400L,
+            Seq("event_type"), mergeAggs, hw1d)
+        }
+        e.read("c_1d").select(col("bucket").as("day"), col("event_type"),
+          col("n").cast("long").as("n"), col("sum_milli"))
+      }),
+
+    // Snapshot diff over the __seq axis (TsdbEngine.snapshotDiff): the
+    // lakehouse "what changed between versions" read. v0 = click keys;
+    // v1 overwrites even-user clicks (updated) and adds view keys
+    // (added); odd-user clicks are untouched. One full-outer PK join of
+    // the two snapshot reads.
+    GraftQuery("q238_snapshot_diff",
+      Some("""WITH c AS (SELECT user_id, ts, max("value") AS v
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |w AS (SELECT DISTINCT user_id, ts FROM events
+             |  WHERE event_type = 'view'),
+             |a AS (SELECT * FROM w WHERE NOT EXISTS (SELECT 1 FROM c
+             |  WHERE c.user_id = w.user_id AND c.ts = w.ts))
+             |SELECT 'added' AS change, count(*)::BIGINT AS n FROM a
+             |UNION ALL
+             |SELECT 'updated', count(*)::BIGINT FROM c WHERE user_id % 2 = 0
+             |UNION ALL
+             |SELECT 'unchanged', count(*)::BIGINT FROM c WHERE user_id % 2 = 1""".stripMargin),
+      (s, dir) => {
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-snapdiff").toString)
+        e.execute(
+          """CREATE TABLE sd (
+            |  ts timestamp NOT NULL, user_id uint64 TAG, value double,
+            |  timestamp KEY(ts))
+            |ENGINE=Analytic WITH (update_mode='overwrite', enable_ttl='false')""".stripMargin)
+        def keyed(ty: String) = Tables.t(s, dir, "events")
+          .filter(col("event_type") === ty)
+          .groupBy("user_id", "ts").agg(max("value").as("value"))
+          .select("ts", "user_id", "value")
+        val clicks = keyed("click")
+        e.append("sd", clicks)                                        // seq 0
+        val views = keyed("view").join(clicks.select("user_id", "ts"),
+          Seq("user_id", "ts"), "left_anti")
+        e.append("sd", clicks.filter(col("user_id") % 2 === 0)
+          .withColumn("value", col("value") * 2)
+          .unionByName(views))                                        // seq 1
+        e.snapshotDiff("sd", 0L, 1L)
+          .groupBy("change").agg(count(lit(1)).as("n"))
       })
   )
 }

@@ -909,6 +909,31 @@ object TimeSeries {
              |GROUP BY 1, 2""".stripMargin),
       (s, dir) => graft.operators.EventAnalytics.attribution(
         t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
-        convType = "purchase", touchTypes = Seq("click", "view")))
+        convType = "purchase", touchTypes = Seq("click", "view"))),
+
+    // ---- event-time RANGE window: trailing-6h moving count/sum per
+    //      series over RAW (unbucketed) points — the frame is a time
+    //      interval, not a row count, so irregular sampling is handled
+    //      exactly. Integer-µs range bounds and milli-scaled integer
+    //      sums; equal-ts peers are all in-frame on both engines, so no
+    //      ordering ambiguity survives.
+    GraftQuery("q236_range_window",
+      Some("""SELECT event_type AS series, ts,
+             |  count(*) OVER w AS n_6h,
+             |  sum(CAST(round("value" * 1000, 0) AS BIGINT)) OVER w AS sum_milli_6h
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-21600000000L, 0L)
+        t(s, dir, "events").select(
+          col("event_type").as("series"), col("ts"),
+          count(lit(1)).over(w).as("n_6h"),
+          sum(round(col("value") * 1000, 0).cast("long")).over(w)
+            .as("sum_milli_6h"))
+      })
   )
 }

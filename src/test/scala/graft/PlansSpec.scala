@@ -124,6 +124,34 @@ class PlansSpec extends SparkSpec {
       s"time-range filter did not reach the parquet scan:\n$plan")
   }
 
+  test("runtime bloom filter injects into a selective fact-dim shuffle join") {
+    import org.apache.spark.sql.functions.col
+    // at 100 TB a selective dim filter should row-prune the fact scan
+    // BEFORE the shuffle (Spark's runtime bloom filter); keep the feature
+    // provably live under this engine's session settings. Thresholds are
+    // lowered only because the fixture is tiny; on real data the defaults
+    // (10 MB creation side) fire on their own.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = Tables.t(spark, dir, "lineitem")
+      val dim = Tables.t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter in:\n$optimized")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed co-located join: zero exchanges, zero sorts") {
     import org.apache.spark.sql.functions.col
     // forbid broadcast so the join must be sort-merge — the case bucketing

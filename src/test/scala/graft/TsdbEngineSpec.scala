@@ -678,4 +678,23 @@ class TsdbEngineSpec extends SparkSpec {
     assert(e.refreshRollup("irr", "irr_1m", 60L, Seq("k"), aggs, hw2) == hw2)
     assert(e.read("irr_1m").count() == 3)
   }
+
+  test("snapshot diff: added / updated / unchanged per PK across seqs") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE sd (ts timestamp NOT NULL, k string TAG, v double,
+        |  timestamp KEY(ts))
+        |ENGINE=Analytic WITH (update_mode='overwrite', enable_ttl='false')""".stripMargin)
+    import spark.implicits._
+    def df(r: Seq[(Long, String, Double)]) =
+      r.map { case (s, k, v) => (new java.sql.Timestamp(s * 1000L), k, v) }
+        .toDF("ts", "k", "v")
+    e.append("sd", df(Seq((1, "a", 1.0), (2, "b", 2.0))))        // seq 0
+    e.append("sd", df(Seq((1, "a", 9.0), (3, "c", 3.0))))        // seq 1
+    val got = e.snapshotDiff("sd", 0L, 1L).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getString(2))).toSet
+    assert(got == Set(("a", 1L, "updated"), ("b", 2L, "unchanged"),
+      ("c", 3L, "added")), got.toString)
+  }
 }
