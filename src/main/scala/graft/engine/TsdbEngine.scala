@@ -141,6 +141,41 @@ final class TsdbEngine(
     }
   }
 
+  /** Forced range backfill of a rollup: recompute every grain bucket whose
+    * start lies in `[fromUs, untilUs)` from the current raw table state,
+    * regardless of ingest sequences. This is the operational escape hatch
+    * the seq-cursor [[refreshRollup]] cannot provide: a `deleteWhere` or
+    * compaction TTL purge rewrites raw segments WITHOUT new sequences, so
+    * a cursor-driven refresh would never notice. The range's existing
+    * rollup rows are physically deleted first (a bucket whose raw rows
+    * were all deleted must disappear, not linger as a stale generation),
+    * then the surviving raw data re-aggregates in. */
+  def refreshRollupRange(
+      raw: String, rollupTable: String, grainSeconds: Long,
+      tags: Seq[String], aggs: Seq[(String, Column)],
+      fromUs: Long, untilUs: Long): Unit = {
+    val grainUs = grainSeconds * 1000000L
+    val s = catalog.get(raw)
+    val rs = catalog.get(rollupTable)
+    // snap the range OUT to grain boundaries: a bucket straddling either
+    // edge must recompute from ALL its raw rows, not a partial slice
+    val floorUs = java.lang.Math.floorDiv(fromUs, grainUs) * grainUs
+    val ceilUs = java.lang.Math.floorDiv(untilUs + grainUs - 1, grainUs) * grainUs
+    deleteWhere(rollupTable,
+      col(rs.timestampKey) >= timestamp_micros(lit(floorUs)) &&
+        col(rs.timestampKey) < timestamp_micros(lit(ceilUs)))
+    val recomputed = read(raw)
+      .filter(col(s.timestampKey) >= timestamp_micros(lit(floorUs)) &&
+        col(s.timestampKey) < timestamp_micros(lit(ceilUs)))
+      .withColumn(rs.timestampKey,
+        timestamp_micros((floor(unix_micros(col(s.timestampKey)) / grainUs)
+          .cast("long") * grainUs)))
+      .groupBy((rs.timestampKey +: tags).map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    append(rollupTable, recomputed)
+  }
+
   /** Row-level diff between two ingest-sequence snapshots of a table:
     * every primary key present in either snapshot, labeled `added`
     * (absent at `s0`), `removed` (absent at `s1` — possible on append

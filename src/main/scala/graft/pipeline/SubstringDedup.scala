@@ -119,4 +119,39 @@ object SubstringDedup {
                 sp => i >= sp("span_start") && i <= sp("span_end")))))
           .as("clean_text"): _*)
   }
+
+  /** Per-document duplication diagnostic: of a doc's k-shingles, how many
+    * occur in MORE THAN ONE distinct document (symmetric — the canonical
+    * owner counts too, unlike the excision ownership rule). This is the
+    * metric that tunes dedup thresholds before committing to an excision
+    * run. Output: (id, n_shingles, n_dup, dup_bp) with the rate in
+    * floor-scaled basis points.
+    *
+    * Shape: the same map-only shingling as the excision path, one
+    * count-distinct-docs hash-agg per shingle, equi-join back, per-doc
+    * agg — no windows, nothing quadratic. */
+  def duplicationProfile(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val grams = docs
+      .select(col(idCol).as("__id"),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .repartition(sc.defaultParallelism)
+      .select(col("__id"),
+        explode(sequence(lit(0), size(col("__toks")) - k)).as("pos"),
+        col("__toks"))
+      .select(col("__id"),
+        gramHash(concat_ws(" ", slice(col("__toks"), col("pos") + 1, lit(k))))
+          .as("__h"))
+    val spread = grams.groupBy("__h")
+      .agg(countDistinct(col("__id")).as("__nd"))
+    grams.join(spread, "__h")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("n_dup"),
+        floor(col("n_dup") * 10000.0 / col("n_shingles")).cast("long")
+          .as("dup_bp"))
+  }
 }

@@ -1717,6 +1717,28 @@ object PipelineQueries {
              |ORDER BY cxy::DOUBLE * tot.t / ux.c / uy.c DESC, x, y
              |LIMIT 20""".stripMargin),
       (s, dir) => graft.pipeline.CorpusStats.pmiCollocations(
-        t(s, dir, "documents"), "text", minCount = 5, topN = 20))
+        t(s, dir, "documents"), "text", minCount = 5, topN = 20)),
+
+    // ---- per-doc duplication diagnostic (SubstringDedup
+    //      .duplicationProfile): fraction of each doc's 8-gram shingles
+    //      occurring in >1 distinct document — the threshold-tuning scan
+    //      before an excision run. Same engine-portable md5 shingle hash
+    //      as q203; floor-scaled basis points.
+    GraftQuery("q239_dup_ngram_rate",
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |g AS (SELECT doc_id,
+             |    ('0x' || substr(md5(list_aggregate(toks[i.i:i.i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS h
+             |  FROM t CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) i
+             |  WHERE len(toks) >= 8),
+             |o AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+             |SELECT g.doc_id, count(*)::BIGINT AS n_shingles,
+             |  sum(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+             |  CAST(floor(sum(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END)
+             |    * 10000.0 / count(*)) AS BIGINT) AS dup_bp
+             |FROM g JOIN o USING (h) GROUP BY 1""".stripMargin),
+      (s, dir) => graft.pipeline.SubstringDedup.duplicationProfile(
+        t(s, dir, "documents"), "doc_id", "text", k = 8))
   )
 }

@@ -679,6 +679,44 @@ class TsdbEngineSpec extends SparkSpec {
     assert(e.read("irr_1m").count() == 3)
   }
 
+  test("range backfill refresh survives deleteWhere (seq cursor cannot)") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE rbf (ts timestamp NOT NULL, k string TAG, v double,
+        |  timestamp KEY(ts))
+        |ENGINE=Analytic WITH (update_mode='append', enable_ttl='false')""".stripMargin)
+    e.execute(
+      """CREATE TABLE rbf_1m (bucket timestamp NOT NULL, k string TAG,
+        |  n uint64, sum_milli int64, timestamp KEY(bucket))
+        |ENGINE=Analytic WITH (update_mode='overwrite', enable_ttl='false')""".stripMargin)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val aggs = Seq("n" -> count(lit(1)),
+      "sum_milli" -> sum(round(col("v") * 1000, 0).cast("long")))
+    e.append("rbf", Seq((10L, "a", 1.0), (20L, "a", 2.0), (70L, "a", 3.0))
+      .map { case (s, k, v) => (new java.sql.Timestamp(s * 1000L), k, v) }
+      .toDF("ts", "k", "v"))
+    e.refreshRollup("rbf", "rbf_1m", 60L, Seq("k"), aggs, 0L)
+    // a GDPR-style correction rewrites raw WITHOUT a new ingest seq:
+    // the seq-cursor refresh sees nothing, the rollup is silently stale
+    e.deleteWhere("rbf", col("v") === 2.0)
+    val hw = e.currentSeq("rbf")
+    assert(e.refreshRollup("rbf", "rbf_1m", 60L, Seq("k"), aggs, hw) == hw)
+    // forced range backfill over bucket 0 recomputes from surviving rows
+    e.refreshRollupRange("rbf", "rbf_1m", 60L, Seq("k"), aggs,
+      fromUs = 0L, untilUs = 60000000L)
+    val got = e.read("rbf_1m")
+      .select(col("bucket"), col("n").cast("long"), col("sum_milli"))
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(0L -> ((1L, 1000L)), 60L -> ((1L, 3000L))), got.toString)
+    // backfill of a range whose raw rows were ALL deleted removes the
+    // bucket instead of leaving a stale generation
+    e.deleteWhere("rbf", col("ts") < new java.sql.Timestamp(60000L))
+    e.refreshRollupRange("rbf", "rbf_1m", 60L, Seq("k"), aggs, 0L, 60000000L)
+    assert(e.read("rbf_1m").count() == 1)
+  }
+
   test("snapshot diff: added / updated / unchanged per PK across seqs") {
     val e = engine()
     e.execute(
