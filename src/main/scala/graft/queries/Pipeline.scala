@@ -1739,6 +1739,55 @@ object PipelineQueries {
              |    * 10000.0 / count(*)) AS BIGINT) AS dup_bp
              |FROM g JOIN o USING (h) GROUP BY 1""".stripMargin),
       (s, dir) => graft.pipeline.SubstringDedup.duplicationProfile(
-        t(s, dir, "documents"), "doc_id", "text", k = 8))
+        t(s, dir, "documents"), "doc_id", "text", k = 8)),
+
+    // ---- deterministic integer PageRank (operators/Graph.pageRankInt)
+    //      over the token bigram graph: ranks in integer micro-units,
+    //      damping as the rational 17/20 with integer division per edge —
+    //      per-node sums are integer sums, so the distributed fixed point
+    //      is bit-identical to the oracle's ten UNROLLED join+group CTEs
+    //      (floating PageRank would be run-order sensitive and
+    //      unverifiable).
+    GraftQuery("q240_pagerank_tokens", Some(pageRankOracle(10)),
+      (s, dir) => {
+        val toks = graft.pipeline.TextAnalysis.tokens(col("text"))
+        val edges = t(s, dir, "documents")
+          .withColumn("__toks", toks)
+          .filter(size(col("__toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(0, size(__toks) - 2),
+              |  i -> struct(__toks[i] AS x, __toks[i+1] AS y))""".stripMargin))
+            .as("b"))
+          .groupBy(col("b.x").as("x"), col("b.y").as("y"))
+          .agg(count(lit(1)).as("w"))
+        graft.operators.Graph.pageRankInt(edges, "x", "y", "w", iters = 10)
+      })
   )
+
+  /** The q240 oracle: the same integer PageRank as ten unrolled
+    * join+group CTE pairs — `//` everywhere Spark uses `div`, the same
+    * 17/20 damping and (3*scale)/(20*N) teleport integer arithmetic. */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |e AS (SELECT toks[i.i] AS x, toks[i.i + 1] AS y, count(*)::BIGINT AS w
+        |  FROM t CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) i
+        |  WHERE len(toks) >= 2 GROUP BY 1, 2),
+        |nodes AS (SELECT x AS node FROM e UNION SELECT y FROM e),
+        |ow AS (SELECT x AS node, sum(w) AS ow FROM e GROUP BY 1),
+        |p AS (SELECT count(*)::BIGINT AS cnt FROM nodes),
+        |r0 AS (SELECT node, (SELECT 1000000 // cnt FROM p) AS r FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.y AS node,
+         |  sum((17 * pr.r * e.w) // (20 * o.ow)) AS s
+         |  FROM e JOIN r${i - 1} pr ON pr.node = e.x
+         |  JOIN ow o ON o.node = e.x GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |  (SELECT (3 * 1000000) // (20 * cnt) FROM p) + coalesce(c.s, 0) AS r
+         |  FROM nodes n LEFT JOIN c$i c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$steps\nSELECT node, r::BIGINT AS rank_micro FROM r$iters"
+  }
 }

@@ -1014,6 +1014,24 @@ class OperatorsSpec extends SparkSpec {
     assert(pmi == Seq(("x", "y", 3L, 1500000L), ("x", "x", 2L, 800000L)), pmi.toString)
   }
 
+  test("integer pagerank: hand-computed fixed point, dangling mass dropped") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // a -> b (w=1): N=2, base=500000, teleport=(3e6)//(20*2)=75000
+    // iter1: b = 75000 + (17*500000*1)//(20*1) = 500000 ; a = 75000
+    // iter2: b = 75000 + (17*75000)//20 = 138750 ; a = 75000
+    val edges = Seq(("a", "b", 1L)).toDF("x", "y", "w")
+    val r2 = Graph.pageRankInt(edges, "x", "y", "w", iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r2 == Map("a" -> 75000L, "b" -> 138750L), r2.toString)
+    // total mass never exceeds scale (dangling/rounding mass only LEAKS)
+    val cyc = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L),
+      ("c", "a", 3L)).toDF("x", "y", "w")
+    val m = Graph.pageRankInt(cyc, "x", "y", "w", iters = 10)
+      .as[(String, Long)].collect().map(_._2).sum
+    assert(m <= 1000000L && m > 800000L, m.toString)
+  }
+
   test("attribution: journey reset, first/last touch, direct fallback") {
     import graft.operators.EventAnalytics
     import spark.implicits._
