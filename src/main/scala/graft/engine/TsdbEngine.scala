@@ -176,6 +176,19 @@ final class TsdbEngine(
     append(rollupTable, recomputed)
   }
 
+  /** Ingest history — one row per ingest sequence still present in
+    * storage: (seq, n_rows, min_ts, max_ts). The lakehouse DESCRIBE
+    * HISTORY over the engine's `__seq` axis; compaction folds history
+    * (superseded versions disappear), which this report makes visible. */
+  def tableHistory(name: String): DataFrame = {
+    val s = catalog.get(name)
+    readStorage(s)
+      .groupBy(col(TableSchema.SeqColumn).as("seq"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(s.timestampKey)).as("min_ts"),
+        max(col(s.timestampKey)).as("max_ts"))
+  }
+
   /** Row-level diff between two ingest-sequence snapshots of a table:
     * every primary key present in either snapshot, labeled `added`
     * (absent at `s0`), `removed` (absent at `s1` — possible on append

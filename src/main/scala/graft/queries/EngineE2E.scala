@@ -570,6 +570,82 @@ object EngineE2E {
           .unionByName(views))                                        // seq 1
         e.snapshotDiff("sd", 0L, 1L)
           .groupBy("change").agg(count(lit(1)).as("n"))
+      }),
+
+    // Stream-static enrichment join (streaming/Enrich): the event stream
+    // broadcast-joined with a user-tier dimension BEFORE landing — a
+    // stateless map-side join (no watermark, no state store), appended to
+    // an engine table and aggregated at read. The oracle enriches in SQL.
+    GraftQuery("q241_stream_static_join",
+      Some("""SELECT 'tier' || (user_id % 3) AS tier, event_type,
+             |  count(*)::BIGINT AS n,
+             |  sum(CAST(round("value" * 1000, 0) AS BIGINT)) AS sum_milli
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val schema = Tables.rawSchema(s, dir, "events")
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-enrich").toString)
+        val dim = Tables.t(s, dir, "events").select("user_id").distinct()
+          .withColumn("tier", concat(lit("tier"), col("user_id") % 3))
+        graft.streaming.Enrich.streamStaticJoinToTable(
+            e, dir, "events.parquet", schema, nanosTs = true,
+            "ts", "user_id", "value", dim, "tier", "events_enriched",
+            passthrough = Seq("event_type"))
+          .groupBy("tier", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1000, 0).cast("long")).as("sum_milli"))
+      }),
+
+    // Equal-frequency binning (featurization): ntile(10) per event_type
+    // over (value, event_id) — the unique id makes the quantile ordering
+    // total, so bucket boundaries are deterministic on both engines.
+    GraftQuery("q242_equal_freq_binning",
+      Some("""WITH b AS (SELECT event_type,
+             |    ntile(10) OVER (PARTITION BY event_type
+             |      ORDER BY "value", event_id) AS bucket,
+             |    CAST(round("value" * 1000, 0) AS BIGINT) AS vm
+             |  FROM events)
+             |SELECT event_type, bucket, count(*)::BIGINT AS n,
+             |  min(vm) AS min_milli, max(vm) AS max_milli
+             |FROM b GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        Tables.t(s, dir, "events")
+          .select(col("event_type"), ntile(10).over(w).as("bucket"),
+            round(col("value") * 1000, 0).cast("long").as("vm"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"), min("vm").as("min_milli"),
+            max("vm").as("max_milli"))
+      }),
+
+    // Ingest history (TsdbEngine.tableHistory): one row per surviving
+    // ingest sequence — the DESCRIBE HISTORY read over the __seq axis.
+    GraftQuery("q244_table_history",
+      Some("""SELECT 0::BIGINT AS seq, count(*)::BIGINT AS n_rows,
+             |  min(ts) AS min_ts, max(ts) AS max_ts
+             |FROM events WHERE event_type = 'click'
+             |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+             |UNION ALL
+             |SELECT 1::BIGINT, count(*)::BIGINT, min(ts), max(ts)
+             |FROM events WHERE event_type = 'click'
+             |  AND ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin),
+      (s, dir) => {
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-hist").toString)
+        e.execute(
+          """CREATE TABLE th (
+            |  ts timestamp NOT NULL, user_id uint64 TAG, value double,
+            |  timestamp KEY(ts))
+            |ENGINE=Analytic WITH (update_mode='append', enable_ttl='false')""".stripMargin)
+        val clicks = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select("ts", "user_id", "value")
+        val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+        e.append("th", clicks.filter(col("ts") < lit(cut)))
+        e.append("th", clicks.filter(col("ts") >= lit(cut)))
+        e.tableHistory("th")
       })
   )
 }
