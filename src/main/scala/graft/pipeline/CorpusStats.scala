@@ -81,6 +81,21 @@ object CorpusStats {
         floor(col("tf") * 1000000.0 / col("df")).cast("long").as("score_ppm"))
   }
 
+  /** Feature-hashing vectorizer (the hashing trick): tokens map to a
+    * fixed `dim`-bucket space via the engine-portable md5 hash (the
+    * [[SubstringDedup]] scheme — DuckDB replays it exactly), emitting the
+    * sparse (id, bucket, cnt) representation. No vocabulary pass, no
+    * driver state — the property that makes the hashing trick the
+    * featurizer of choice at corpus scale. Map-only explode + one
+    * (id, bucket) hash-agg. */
+  def featureHash(
+      docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame =
+    docs.select(col(idCol), explode(toks(col(textCol))).as("w"))
+      .select(col(idCol),
+        (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % dim)
+          .as("bucket"))
+      .groupBy(idCol, "bucket").agg(count(lit(1)).as("cnt"))
+
   /** PMI collocations over adjacent token pairs (the word2phrase signal):
     * top-`topN` bigrams with count >= `minCount`, ranked by the PMI
     * argument c_xy·T/(c_x·c_y) (ln is monotone — ordering identical,

@@ -1761,7 +1761,21 @@ object PipelineQueries {
           .groupBy(col("b.x").as("x"), col("b.y").as("y"))
           .agg(count(lit(1)).as("w"))
         graft.operators.Graph.pageRankInt(edges, "x", "y", "w", iters = 10)
-      })
+      }),
+
+    // ---- feature-hashing vectorizer (CorpusStats.featureHash): sparse
+    //      64-bucket token counts via the engine-portable md5 hash — no
+    //      vocabulary pass, the corpus-scale featurizer. Integer counts.
+    GraftQuery("q245_feature_hashing",
+      Some("""SELECT doc_id,
+             |  ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bucket,
+             |  count(*)::BIGINT AS cnt
+             |FROM (SELECT doc_id,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS w
+             |  FROM documents)
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => graft.pipeline.CorpusStats.featureHash(
+        t(s, dir, "documents"), "doc_id", "text", dim = 64))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled
