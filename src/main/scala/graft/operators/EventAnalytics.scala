@@ -130,6 +130,47 @@ object EventAnalytics {
       .limit(topN)
   }
 
+  /** RFM segmentation (recency / frequency / monetary): per-key purchase
+    * stats quartiled into a 3-digit segment code. Quartiles assign by the
+    * rank formula `(rank * 4) div n + 1` over a TOTAL order (metric +
+    * key tiebreak) — deterministic, and computed with the distributed
+    * two-phase rank ([[graft.pipeline.Sharding.ranked]]) instead of a
+    * single-partition ntile window, so a billion-customer frame never
+    * funnels through one task. Recency quartile orders oldest-first
+    * (r_q 4 = most recent); frequency and monetary order ascending
+    * (4 = highest). Reference time = the newest conversion in the data.
+    *
+    * All-integer arithmetic: recency in whole days via integer µs
+    * division, monetary in milli-units. */
+  def rfmSegments(
+      df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      valueCol: String, convType: String): DataFrame = {
+    import graft.pipeline.Sharding
+    val p = df.filter(col(typeCol) === convType)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+        round(col(valueCol) * 1000, 0).cast("long").as("__vm"))
+    val refUs = p.agg(max("__us")).head().getLong(0)
+    val perKey = p.groupBy(col(keyCol)).agg(
+        max(col("__us")).as("__mx"),
+        count(lit(1)).as("f"),
+        sum(col("__vm")).as("m"))
+      .withColumn("r_days", expr(s"($refUs - __mx) div 86400000000"))
+      .drop("__mx")
+    val n = perKey.count()
+    def quart(d: DataFrame, order: Seq[org.apache.spark.sql.Column],
+        out: String): DataFrame =
+      Sharding.ranked(d, order)
+        .withColumn(out, expr(s"(seq * 4) div $n + 1"))
+        .drop("seq")
+    val scored = quart(quart(quart(perKey,
+        Seq(col("r_days").desc, col(keyCol)), "r_q"),
+        Seq(col("f"), col(keyCol)), "f_q"),
+        Seq(col("m"), col(keyCol)), "m_q")
+    scored.groupBy((col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+        .as("segment"))
+      .agg(count(lit(1)).as("n_keys"), sum("m").as("m_milli"))
+  }
+
   /** Marketing-attribution summary with journey-reset semantics: each
     * conversion's journey is the span since the key's previous conversion;
     * the journey's earliest touch wins under `first_touch`, the latest

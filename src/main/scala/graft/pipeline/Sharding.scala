@@ -54,6 +54,13 @@ object Sharding {
       .drop("__pid", "__base")
   }
 
+  /** Public total-order rank: adds `seq` (0-based global rank over
+    * `sortCols`, which must totally order the rows) via the two-phase
+    * scan — the building block quantile/segment assignment reuses
+    * (ntile-by-formula over `seq` instead of a single-partition window). */
+  def ranked(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    globalRank(df, sortCols)
+
   /** The corpus in its deterministic shuffle order: adds `seq` (0-based
     * global rank by md5(salt, id) — uniform, collision-free over distinct
     * ids, and engine-portable) while keeping every input column. */

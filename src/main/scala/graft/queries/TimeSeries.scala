@@ -934,6 +934,88 @@ object TimeSeries {
           count(lit(1)).over(w).as("n_6h"),
           sum(round(col("value") * 1000, 0).cast("long")).over(w)
             .as("sum_milli_6h"))
-      })
+      }),
+
+    // ---- semi-structured props: JSON field extraction + rollup — the
+    //      annotation/field side-channel every event pipeline carries.
+    //      Extraction stays inside codegen (get_json_object); integer
+    //      field, deterministic buckets.
+    GraftQuery("q246_json_rollup",
+      Some("""SELECT event_type,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_band,
+             |  count(*)::BIGINT AS n,
+             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        t(s, dir, "events")
+          .filter(k >= 50)
+          .groupBy(col("event_type"), expr(
+            "cast(get_json_object(props, '$.k') as bigint) div 10")
+            .as("k_band"))
+          .agg(count(lit(1)).as("n"), sum(k).as("sum_k"))
+      }),
+
+    // ---- JSON schema profile: per-key presence/type/value ranges over
+    //      the props column — the schema-inference report a
+    //      semi-structured ingest runs before promoting fields to
+    //      columns. Key discovery via json_object_keys (no fixed schema
+    //      assumed); all-integer output.
+    GraftQuery("q247_json_profile",
+      Some("""WITH kv AS (SELECT unnest(json_keys(props)) AS key,
+             |    props FROM events),
+             |t AS (SELECT key,
+             |    json_extract_string(props, '$.' || key) AS v FROM kv)
+             |SELECT key, count(*)::BIGINT AS n,
+             |  sum(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_int,
+             |  min(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+             |    THEN CAST(v AS BIGINT) END) AS min_int,
+             |  max(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+             |    THEN CAST(v AS BIGINT) END) AS max_int
+             |FROM t GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val df = t(s, dir, "events")
+          .select(explode(json_object_keys(col("props"))).as("key"),
+            col("props"))
+          .select(col("key"),
+            expr("get_json_object(props, concat('$.', key))").as("v"))
+        val isInt = col("v").rlike("^-?[0-9]+$")
+        df.groupBy("key").agg(
+          count(lit(1)).as("n"),
+          sum(when(isInt, 1L).otherwise(0L)).as("n_int"),
+          min(when(isInt, col("v").cast("long"))).as("min_int"),
+          max(when(isInt, col("v").cast("long"))).as("max_int"))
+      }),
+
+    // ---- RFM segmentation (EventAnalytics.rfmSegments): purchase
+    //      recency/frequency/monetary quartiles via the rank formula
+    //      (rank*4 div n)+1 over total orders — assigned with the
+    //      distributed two-phase rank, not a single-partition ntile.
+    GraftQuery("q248_rfm_segments",
+      Some("""WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+             |    CAST(round("value" * 1000, 0) AS BIGINT) AS vm
+             |  FROM events WHERE event_type = 'purchase'),
+             |u AS (SELECT user_id,
+             |    ((SELECT max(us) FROM p) - max(us)) // 86400000000 AS r_days,
+             |    count(*) AS f, sum(vm) AS m
+             |  FROM p GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM u),
+             |k AS (SELECT u.*,
+             |    ((row_number() OVER (ORDER BY r_days DESC, user_id) - 1) * 4)
+             |      // (SELECT n FROM n) + 1 AS r_q,
+             |    ((row_number() OVER (ORDER BY f, user_id) - 1) * 4)
+             |      // (SELECT n FROM n) + 1 AS f_q,
+             |    ((row_number() OVER (ORDER BY m, user_id) - 1) * 4)
+             |      // (SELECT n FROM n) + 1 AS m_q
+             |  FROM u)
+             |SELECT (r_q * 100 + f_q * 10 + m_q)::BIGINT AS segment,
+             |  count(*)::BIGINT AS n_keys, sum(m) AS m_milli
+             |FROM k GROUP BY 1""".stripMargin),
+      (s, dir) => graft.operators.EventAnalytics.rfmSegments(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "value",
+        convType = "purchase"))
   )
 }
