@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.functions.{ThetaAgg, ThetaANotBEst, ThetaEstimate, ThetaIntersectEst, ThetaUnionEst}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distinct-set algebra over theta sketches ([[graft.functions.ThetaAgg]]):
+  * per-group distinct counts PLUS intersection / union / difference
+  * between groups — the audience-overlap analytics an HLL rollup cannot
+  * answer (HLL only unions). One sketch per group (map-side mergeable
+  * agg); the set operations run on the tiny compact sketches, joined
+  * declaratively — nothing scales with row count.
+  *
+  * Below the sketch's k nominal entries the results are EXACT (theta
+  * exact mode) — the q249 oracle hash-checks them; above k the ≤~2%
+  * error envelope applies (spec-bound).
+  */
+object ThetaOps {
+
+  /** Per-group distinct estimates plus set-op estimates for the given
+    * (a, b) group pairs. Output: (a, op, est) with op ∈ distinct /
+    * intersect_<b> / union_<b> / diff_<b>. */
+  def setReport(
+      df: DataFrame, groupCol: String, keyCol: String,
+      pairs: Seq[(String, String)], lgK: Int = 12): DataFrame = {
+    val sk = df.groupBy(col(groupCol).as("g"))
+      .agg(ThetaAgg(col(keyCol), lgK).as("sk"))
+      .localCheckpoint()
+    val singles = sk.select(col("g").as("a"), lit("distinct").as("op"),
+      ThetaEstimate(col("sk")).as("est"))
+    val pairDf = pairs.map { case (a, b) =>
+      val l = sk.filter(col("g") === a).select(col("sk").as("ska"))
+      val r = sk.filter(col("g") === b).select(col("sk").as("skb"))
+      val x = l.crossJoin(r)
+      x.select(lit(a).as("a"), lit(s"intersect_$b").as("op"),
+          ThetaIntersectEst(col("ska"), col("skb")).as("est"))
+        .unionByName(x.select(lit(a).as("a"), lit(s"union_$b").as("op"),
+          ThetaUnionEst(col("ska"), col("skb")).as("est")))
+        .unionByName(x.select(lit(a).as("a"), lit(s"diff_$b").as("op"),
+          ThetaANotBEst(col("ska"), col("skb")).as("est")))
+    }.reduce(_ unionByName _)
+    singles.unionByName(pairDf)
+  }
+}

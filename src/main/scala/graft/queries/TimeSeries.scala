@@ -1016,6 +1016,35 @@ object TimeSeries {
              |FROM k GROUP BY 1""".stripMargin),
       (s, dir) => graft.operators.EventAnalytics.rfmSegments(
         t(s, dir, "events"), "user_id", "ts", "event_type", "value",
-        convType = "purchase"))
+        convType = "purchase")),
+
+    // ---- theta-sketch distinct-set algebra (operators/ThetaOps +
+    //      functions/ThetaSketch): per-type distinct users plus
+    //      click∩/∪/∖purchase overlap — the set operations HLL cannot
+    //      do. The fixture's user universe (≤1500 at sf0.1) sits far
+    //      below k=4096, so the sketches are in EXACT mode and the
+    //      distinct-count oracle hash-checks; the estimate-mode error
+    //      envelope is OperatorsSpec-bound.
+    GraftQuery("q249_theta_set_ops",
+      Some("""SELECT event_type AS a, 'distinct' AS op,
+             |  count(DISTINCT user_id)::BIGINT AS est
+             |FROM events GROUP BY 1
+             |UNION ALL
+             |SELECT 'click', 'intersect_purchase',
+             |  (SELECT count(DISTINCT user_id) FROM events
+             |   WHERE event_type = 'click' AND user_id IN
+             |     (SELECT user_id FROM events WHERE event_type = 'purchase'))::BIGINT
+             |UNION ALL
+             |SELECT 'click', 'union_purchase',
+             |  (SELECT count(DISTINCT user_id) FROM events
+             |   WHERE event_type IN ('click', 'purchase'))::BIGINT
+             |UNION ALL
+             |SELECT 'click', 'diff_purchase',
+             |  (SELECT count(DISTINCT user_id) FROM events
+             |   WHERE event_type = 'click' AND user_id NOT IN
+             |     (SELECT user_id FROM events WHERE event_type = 'purchase'))::BIGINT""".stripMargin),
+      (s, dir) => graft.operators.ThetaOps.setReport(
+        t(s, dir, "events"), "event_type", "user_id",
+        pairs = Seq(("click", "purchase")), lgK = 12))
   )
 }

@@ -1014,6 +1014,32 @@ class OperatorsSpec extends SparkSpec {
     assert(pmi == Seq(("x", "y", 3L, 1500000L), ("x", "x", 2L, 800000L)), pmi.toString)
   }
 
+  test("theta sketches: exact below k, <=3% estimate above, merge == direct") {
+    import graft.functions._
+    import spark.implicits._
+    // exact mode: 200 distinct < k=4096 -> set ops are exact
+    val a = (0 until 200).map(i => ("a", i.toLong)).toDF("g", "u")
+    val b = (100 until 300).map(i => ("b", i.toLong)).toDF("g", "u")
+    val rep = graft.operators.ThetaOps.setReport(
+      a.union(b), "g", "u", Seq(("a", "b")), lgK = 12)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rep(("a", "distinct")) == 200L)
+    assert(rep(("a", "intersect_b")) == 100L)
+    assert(rep(("a", "union_b")) == 300L)
+    assert(rep(("a", "diff_b")) == 100L)
+    // estimate mode: 60k distinct >> k=1024 -> within 3%
+    val big = (0 until 60000).map(_.toLong).toDF("u")
+    val est = big.agg(ThetaEstimate(ThetaAgg(col("u"), 10)).as("e"))
+      .head().getLong(0)
+    assert(math.abs(est - 60000L) <= 1800, est.toString)
+    // merge identity: union of two half-sketches == sketch of the union
+    val halves = big.withColumn("h", col("u") % 2)
+      .groupBy("h").agg(ThetaAgg(col("u"), 10).as("sk"))
+      .agg(ThetaEstimate(ThetaMergeAgg(col("sk"), 10)).as("e"))
+      .head().getLong(0)
+    assert(halves == est, s"$halves != $est")
+  }
+
   test("integer pagerank: hand-computed fixed point, dangling mass dropped") {
     import graft.operators.Graph
     import spark.implicits._
