@@ -98,6 +98,39 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"mg_topk takes (summary, n), got ${other.length} args")
     }, "scala_udf")
+    // theta sketches: the set-operation distinct family (A∩B / A∖B)
+    reg.createOrReplaceTempFunction("theta_agg", {
+      case Seq(c) => ThetaAgg(c, 12)
+      case Seq(c, Literal(k, _)) => ThetaAgg(c, k.toString.toInt)
+      case other => throw new IllegalArgumentException(
+        s"theta_agg takes (col [, lgK]), got ${other.length} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("theta_merge", {
+      case Seq(c) => ThetaMergeAgg(c, 12)
+      case Seq(c, Literal(k, _)) => ThetaMergeAgg(c, k.toString.toInt)
+      case other => throw new IllegalArgumentException(
+        s"theta_merge takes (sketch [, lgK]), got ${other.length} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("theta_estimate", {
+      case Seq(c) => ThetaEstimate(c)
+      case other => throw new IllegalArgumentException(
+        s"theta_estimate takes 1 arg, got ${other.length}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("theta_intersect_est", {
+      case Seq(a, b) => ThetaIntersectEst(a, b)
+      case other => throw new IllegalArgumentException(
+        s"theta_intersect_est takes 2 args, got ${other.length}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("theta_union_est", {
+      case Seq(a, b) => ThetaUnionEst(a, b)
+      case other => throw new IllegalArgumentException(
+        s"theta_union_est takes 2 args, got ${other.length}")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("theta_anotb_est", {
+      case Seq(a, b) => ThetaANotBEst(a, b)
+      case other => throw new IllegalArgumentException(
+        s"theta_anotb_est takes 2 args, got ${other.length}")
+    }, "scala_udf")
     // DataFusion built-in the reference goldens exercise (date_bin.sql)
     reg.createOrReplaceTempFunction("date_bin", {
       case Seq(iv, ts, origin) => DateBin(iv, ts, origin)

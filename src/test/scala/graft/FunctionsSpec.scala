@@ -142,4 +142,20 @@ class TsidSpec extends SparkSpec {
       .selectExpr("u64_sub(a, b) AS d").head().getLong(0)
     assert(wrap == Long.MaxValue) // wraps instead of throwing
   }
+
+  test("theta family SQL-callable via the registry (exact below k)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    (0 until 100).map(i => ("a", i)).union((50 until 150).map(i => ("b", i)))
+      .toDF("g", "u").createOrReplaceTempView("tv")
+    val r = spark.sql(
+      """WITH s AS (SELECT g, theta_agg(u) AS sk FROM tv GROUP BY g)
+        |SELECT theta_estimate(a.sk) AS da,
+        |  theta_intersect_est(a.sk, b.sk) AS i,
+        |  theta_union_est(a.sk, b.sk) AS un,
+        |  theta_anotb_est(a.sk, b.sk) AS d
+        |FROM s a JOIN s b ON a.g = 'a' AND b.g = 'b'""".stripMargin).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((100L, 50L, 150L, 50L)), r.toString)
+  }
 }
