@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{ThetaAgg, ThetaANotBEst, ThetaEstimate, ThetaIntersectEst, ThetaUnionEst}
+import graft.functions.{ThetaAgg, ThetaANotBEst, ThetaEstimate, ThetaIntersectEst, ThetaMergeAgg, ThetaUnionEst}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -40,5 +40,39 @@ object ThetaOps {
           ThetaANotBEst(col("ska"), col("skb")).as("est")))
     }.reduce(_ unionByName _)
     singles.unionByName(pairDf)
+  }
+
+  /** Theta rollup: one sketch per (group, time bucket) — the mergeable
+    * distinct summary table. Coarser windows and CROSS-WINDOW overlap
+    * (retention: "active in range A and still active in range B") are
+    * answered from the rollup, never rescanning raw. */
+  def buildRollup(
+      df: DataFrame, groupCol: String, tsCol: String, keyCol: String,
+      bucketSeconds: Long, lgK: Int = 12): DataFrame = {
+    val bUs = bucketSeconds * 1000000L
+    df.groupBy(col(groupCol).as("g"),
+        timestamp_micros((floor(unix_micros(col(tsCol)) / bUs)
+          .cast("long") * bUs)).as("bucket"))
+      .agg(ThetaAgg(col(keyCol), lgK).as("sk"))
+  }
+
+  /** Distinct-overlap between two time ranges, per group, from the
+    * rollup: merge each range's bucket sketches, then intersect/union/
+    * difference. Output: (g, n_a, n_b, n_both, n_a_only, n_union). */
+  def rangeOverlap(
+      rollup: DataFrame,
+      aFrom: java.sql.Timestamp, aUntil: java.sql.Timestamp,
+      bFrom: java.sql.Timestamp, bUntil: java.sql.Timestamp,
+      lgK: Int = 12): DataFrame = {
+    def merged(from: java.sql.Timestamp, until: java.sql.Timestamp, out: String) =
+      rollup.filter(col("bucket") >= lit(from) && col("bucket") < lit(until))
+        .groupBy("g").agg(ThetaMergeAgg(col("sk"), lgK).as(out))
+    merged(aFrom, aUntil, "ska").join(merged(bFrom, bUntil, "skb"), "g")
+      .select(col("g"),
+        ThetaEstimate(col("ska")).as("n_a"),
+        ThetaEstimate(col("skb")).as("n_b"),
+        ThetaIntersectEst(col("ska"), col("skb")).as("n_both"),
+        ThetaANotBEst(col("ska"), col("skb")).as("n_a_only"),
+        ThetaUnionEst(col("ska"), col("skb")).as("n_union"))
   }
 }

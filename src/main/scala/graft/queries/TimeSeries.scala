@@ -1045,6 +1045,42 @@ object TimeSeries {
              |     (SELECT user_id FROM events WHERE event_type = 'purchase'))::BIGINT""".stripMargin),
       (s, dir) => graft.operators.ThetaOps.setReport(
         t(s, dir, "events"), "event_type", "user_id",
-        pairs = Seq(("click", "purchase")), lgK = 12))
+        pairs = Seq(("click", "purchase")), lgK = 12)),
+
+    // ---- theta rollup + cross-window retention overlap (ThetaOps
+    //      .buildRollup/rangeOverlap): daily per-type sketches; users
+    //      active in Jan 1-10 vs Jan 20-30 answered by MERGING bucket
+    //      sketches and intersecting — raw data is never rescanned.
+    //      Exact mode below k ⇒ the distinct-overlap oracle hash-checks.
+    GraftQuery("q250_theta_retention_overlap",
+      Some("""WITH a AS (SELECT event_type AS g, user_id FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-10 00:00:00'),
+             |b AS (SELECT event_type AS g, user_id FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-30 00:00:00')
+             |SELECT g,
+             |  (SELECT count(DISTINCT user_id) FROM a WHERE a.g = x.g) AS n_a,
+             |  (SELECT count(DISTINCT user_id) FROM b WHERE b.g = x.g) AS n_b,
+             |  (SELECT count(DISTINCT a.user_id) FROM a
+             |    WHERE a.g = x.g AND a.user_id IN
+             |      (SELECT user_id FROM b WHERE b.g = x.g)) AS n_both,
+             |  (SELECT count(DISTINCT a.user_id) FROM a
+             |    WHERE a.g = x.g AND a.user_id NOT IN
+             |      (SELECT user_id FROM b WHERE b.g = x.g)) AS n_a_only,
+             |  (SELECT count(DISTINCT user_id) FROM (
+             |    SELECT user_id FROM a WHERE a.g = x.g
+             |    UNION SELECT user_id FROM b WHERE b.g = x.g)) AS n_union
+             |FROM (SELECT DISTINCT g FROM a INTERSECT SELECT DISTINCT g FROM b) x""".stripMargin),
+      (s, dir) => {
+        val rollup = graft.operators.ThetaOps.buildRollup(
+          t(s, dir, "events"), "event_type", "ts", "user_id",
+          bucketSeconds = 86400L, lgK = 12)
+        graft.operators.ThetaOps.rangeOverlap(rollup,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-30 00:00:00"), lgK = 12)
+      })
   )
 }
