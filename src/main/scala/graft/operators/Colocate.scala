@@ -22,10 +22,20 @@ object Colocate {
   /** Persist `df` as a parquet bucketed catalog table (overwriting any
     * previous layout — fixture regeneration must never serve stale rows). */
   def writeBucketed(
-      df: DataFrame, name: String, key: String, buckets: Int): Unit =
+      df: DataFrame, name: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // The warehouse DIRECTORY outlives the (in-memory) session catalog: a
+    // fresh session that re-creates the table would hit
+    // LOCATION_ALREADY_EXISTS on the orphaned path, so clear it explicitly.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
     df.write.format("parquet").mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(name) // managed table under spark.sql.warehouse.dir
+  }
 
   /** Write both sides bucketed on the join key and return their equi-join.
     * With matching bucket counts Spark plans a sort-merge join with zero
