@@ -354,6 +354,66 @@ object Relational {
             "l_orderkey", buckets = 8)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), sum(col("__cents")).as("cents"))
-      })
+      }),
+
+    // ---- key-skew profiler (operators/SkewReport.keySkew): the
+    //      pre-shuffle diagnostic — exact rows-per-key percentiles,
+    //      heaviest-key share, and the straggler factor a hash
+    //      partitioning on this key would suffer. All integer arithmetic
+    //      (div / nearest-rank), so the report is oracle-exact.
+    GraftQuery("q251_skew_report",
+      Some("""WITH c AS (SELECT o_custkey, count(*) AS c
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c, o_custkey) AS rk,
+             |  count(*) OVER () AS k FROM c)
+             |SELECT sum(c)::BIGINT AS n_rows, max(k)::BIGINT AS n_keys,
+             |  max(c)::BIGINT AS max_key_rows,
+             |  ((max(c) * 10000) // sum(c))::BIGINT AS top1_share_bp,
+             |  max(CASE WHEN rk = greatest(CAST(ceil(k * 50 / 100.0) AS BIGINT), 1)
+             |    THEN c END)::BIGINT AS p50_key_rows,
+             |  max(CASE WHEN rk = greatest(CAST(ceil(k * 90 / 100.0) AS BIGINT), 1)
+             |    THEN c END)::BIGINT AS p90_key_rows,
+             |  max(CASE WHEN rk = greatest(CAST(ceil(k * 99 / 100.0) AS BIGINT), 1)
+             |    THEN c END)::BIGINT AS p99_key_rows,
+             |  ((max(c) * 100 * max(k)) // sum(c))::BIGINT AS skew_x100
+             |FROM r""".stripMargin),
+      (s, dir) => graft.operators.SkewReport.keySkew(
+        t(s, dir, "orders"), Seq(col("o_custkey")))),
+
+    // ---- heavy keys (operators/SkewReport.heavyKeys): the top-10
+    //      hottest keys with counts and basis-point shares — the list to
+    //      salt, quota, or broadcast-filter. TakeOrderedAndProject over
+    //      the |keys|-row histogram.
+    GraftQuery("q253_heavy_keys",
+      Some("""WITH n AS (SELECT count(*) AS total FROM events)
+             |SELECT event_type, count(*)::BIGINT AS key_rows,
+             |  ((count(*) * 10000) // (SELECT total FROM n))::BIGINT AS share_bp
+             |FROM events GROUP BY 1
+             |ORDER BY key_rows DESC, event_type LIMIT 10""".stripMargin),
+      (s, dir) => graft.operators.SkewReport.heavyKeys(
+        t(s, dir, "events"), Seq(col("event_type")), topN = 10)),
+
+    // ---- join-cardinality pre-flight (operators/JoinStats): the EXACT
+    //      output size of orders ⋈ lineitem from the two key histograms —
+    //      two |keys|-row aggregates and a histogram join, never the
+    //      data-×-data join. The numbers printed are the planner inputs:
+    //      output rows, matching keys, hottest key's share.
+    GraftQuery("q252_join_cardinality",
+      Some("""WITH ha AS (SELECT o_orderkey AS k, count(*) AS na
+             |  FROM orders GROUP BY 1),
+             |hb AS (SELECT l_orderkey AS k, count(*) AS nb
+             |  FROM lineitem GROUP BY 1),
+             |p AS (SELECT na * nb AS p, na, nb FROM ha JOIN hb USING (k))
+             |SELECT sum(p)::BIGINT AS join_rows,
+             |  count(*)::BIGINT AS n_matching_keys,
+             |  max(p)::BIGINT AS max_key_pairs,
+             |  ((max(p) * 10000) // sum(p))::BIGINT AS top1_share_bp,
+             |  sum(na)::BIGINT AS rows_a_matching,
+             |  sum(nb)::BIGINT AS rows_b_matching
+             |FROM p""".stripMargin),
+      (s, dir) => graft.operators.JoinStats.exactJoinCardinality(
+        t(s, dir, "orders").withColumnRenamed("o_orderkey", "k"),
+        t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k"),
+        "k"))
   )
 }

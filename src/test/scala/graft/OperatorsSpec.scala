@@ -1079,4 +1079,45 @@ class OperatorsSpec extends SparkSpec {
       ("first_touch", "direct", 1L),
       ("last_touch", "click", 2L), ("last_touch", "direct", 1L)), got.toString)
   }
+
+  test("skew report: hand-computed percentiles, shares, straggler factor") {
+    import spark.implicits._
+    // keys: a×6, b×2, c×1, d×1 → n=10, k=4, max=6
+    // counts sorted: [1,1,2,6]; p50 → rank ceil(4*.5)=2 → 1;
+    // p90 → rank ceil(3.6)=4 → 6; p99 → rank 4 → 6
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val r = operators.SkewReport.keySkew(df, Seq(col("k"))).collect().head
+    assert(r.getLong(0) == 10 && r.getLong(1) == 4 && r.getLong(2) == 6)
+    assert(r.getLong(3) == 6000) // top1 share bp
+    assert(r.getLong(4) == 1 && r.getLong(5) == 6 && r.getLong(6) == 6)
+    assert(r.getLong(7) == 240) // 6 / (10/4) = 2.4× straggler factor
+
+    val heavy = operators.SkewReport.heavyKeys(df, Seq(col("k")), 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(heavy == Seq(("a", 6L, 6000L), ("b", 2L, 2000L)), heavy.toString)
+  }
+
+  test("join cardinality: exact sum of per-key products; sampled estimate sane") {
+    import spark.implicits._
+    // a: k1×3, k2×1, k3×2; b: k1×2, k2×5, k4×1
+    // join rows = 3*2 + 1*5 = 11; matching keys = 2; max pair = 6
+    val a = (Seq.fill(3)("k1") ++ Seq("k2") ++ Seq.fill(2)("k3")).toDF("k")
+    val b = (Seq.fill(2)("k1") ++ Seq.fill(5)("k2") ++ Seq("k4")).toDF("k")
+    val r = operators.JoinStats.exactJoinCardinality(a, b, "k").collect().head
+    assert(r.getLong(0) == 11 && r.getLong(1) == 2 && r.getLong(2) == 6)
+    assert(r.getLong(3) == 5454) // 6/11 in bp
+    assert(r.getLong(4) == 4 && r.getLong(5) == 7) // matching-side rows
+    // the exact report equals the physically-executed join's count
+    assert(a.join(b, "k").count() == 11)
+
+    // sampled estimator at 100% == exact; at 50% it is a scaled integer
+    // from the surviving-key subset (deterministic md5 draw)
+    val full = operators.JoinStats.sampledJoinCardinality(a, b, "k", 100)
+      .collect().head
+    assert(full.getLong(0) == 11 && full.getLong(1) == 2)
+    val half = operators.JoinStats.sampledJoinCardinality(a, b, "k", 50)
+      .collect().head
+    assert(half.getLong(0) % 2 == 0 && half.getLong(1) <= 2)
+  }
 }
