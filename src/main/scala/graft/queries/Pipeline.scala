@@ -1775,7 +1775,64 @@ object PipelineQueries {
              |  FROM documents)
              |GROUP BY 1, 2""".stripMargin),
       (s, dir) => graft.pipeline.CorpusStats.featureHash(
-        t(s, dir, "documents"), "doc_id", "text", dim = 64))
+        t(s, dir, "documents"), "doc_id", "text", dim = 64)),
+
+    // ---- leakage-safe split: train/val/test assignment by CLUSTER, not
+    //      document — near-duplicate docs (q87's connected components)
+    //      always land in the same split, so eval can't score memorized
+    //      near-copies of training docs (the contamination a per-doc
+    //      hash split silently allows). Split = md5 hash of the cluster
+    //      representative; crossing_clusters is the audit certificate
+    //      (0 by construction, computed from the data, not assumed).
+    GraftQuery("q254_leakage_safe_split",
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
+             |    length(text) // 100 AS lenb
+             |  FROM documents),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+             |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |lab AS (SELECT d.doc_id, d.n_chars,
+             |    coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+             |  FROM documents d LEFT JOIN cc USING (doc_id)),
+             |s AS (SELECT *, CASE WHEN b < 80 THEN 'train'
+             |    WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT *,
+             |    ('0x' || substr(md5(cluster_id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 AS b
+             |  FROM lab)),
+             |x AS (SELECT count(*)::BIGINT AS crossing FROM (
+             |  SELECT cluster_id FROM s GROUP BY 1
+             |  HAVING count(DISTINCT split) > 1))
+             |SELECT split, count(*)::BIGINT AS n_docs,
+             |  count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+             |  sum(n_chars)::BIGINT AS sum_chars,
+             |  (SELECT crossing FROM x) AS crossing_clusters
+             |FROM s GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val cc = graft.pipeline.Dedup.connectedComponents(jaccardPairs(s, dir))
+          .withColumnRenamed("id", "doc_id")
+        val labeled = t(s, dir, "documents")
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("split", TextAnalysis.hashSplit(col("cluster_id")))
+        val crossing = labeled.groupBy("cluster_id")
+          .agg(countDistinct("split").as("__ns"))
+          .filter(col("__ns") > 1).count()
+        labeled.groupBy("split").agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct("cluster_id").as("n_clusters"),
+            sum("n_chars").as("sum_chars"))
+          .withColumn("crossing_clusters", lit(crossing))
+      })
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled
