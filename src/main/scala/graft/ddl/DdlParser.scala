@@ -23,7 +23,8 @@ final case class PassthroughSql(sql: String) extends Statement
 /** `OPTIMIZE [TABLE] t [ZORDER BY (c1, c2, ...)]` — layout rewrite:
   * compaction, optionally re-clustered on a Morton curve over `zorderBy`
   * (the Delta-style OPTIMIZE surface over the engine's generation flip). */
-final case class OptimizeTable(name: String, zorderBy: Seq[String]) extends Statement
+final case class OptimizeTable(name: String, zorderBy: Seq[String],
+    smallFiles: Boolean = false) extends Statement
 
 /** A VALUES literal. */
 sealed trait Literal
@@ -177,16 +178,23 @@ object DdlParser {
   private def parseOptimize(p: P): OptimizeTable = {
     p.tryKw("TABLE")
     val name = p.ident()
-    val cols =
-      if (p.tryKw("ZORDER")) {
-        p.expectKw("BY")
-        p.expectPunct("(")
-        var cs = Vector(p.ident())
-        while (p.tryPunct(",")) cs :+= p.ident()
-        p.expectPunct(")")
-        cs
-      } else Vector.empty[String]
-    OptimizeTable(name, cols)
+    // OPTIMIZE t COMPACT [SMALL FILES]: segment-scoped small-file
+    // bin-packing (purely physical) instead of the full logical rewrite
+    if (p.tryKw("COMPACT")) {
+      if (p.tryKw("SMALL")) p.expectKw("FILES")
+      OptimizeTable(name, Vector.empty, smallFiles = true)
+    } else {
+      val cols =
+        if (p.tryKw("ZORDER")) {
+          p.expectKw("BY")
+          p.expectPunct("(")
+          var cs = Vector(p.ident())
+          while (p.tryPunct(",")) cs :+= p.ident()
+          p.expectPunct(")")
+          cs
+        } else Vector.empty[String]
+      OptimizeTable(name, cols)
+    }
   }
 
   private def parseCreate(p: P): CreateTable = {

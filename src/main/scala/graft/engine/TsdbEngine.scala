@@ -269,9 +269,11 @@ final class TsdbEngine(
     case AlterModifySetting(name, settings) =>
       catalog.alterSetting(name, settings); affectedRows(0)
     case ins: InsertValues => affectedRows(insertValues(ins))
-    case OptimizeTable(name, zcols) =>
+    case OptimizeTable(name, zcols, smallFiles) =>
       require(catalog.exists(name), s"Table is not found, table:$name")
-      compact(name, zorderBy = zcols); affectedRows(0)
+      if (smallFiles) compactSmallFiles(name)
+      else compact(name, zorderBy = zcols)
+      affectedRows(0)
     case PassthroughSql(sql) => runSql(sql)
   }
 
@@ -615,6 +617,98 @@ final class TsdbEngine(
     (0 until gen).foreach { g =>
       GraftCatalog.deleteRecursively(java.nio.file.Paths.get(catalog.genDataDir(name, g)))
     }
+  }
+
+  /** Segment-scoped small-file compaction: bin-pack ONLY fragmented
+    * segment directories, hard-linking every healthy one into the next
+    * generation untouched. Every append flush adds a file per segment it
+    * touches, so a steadily-ingesting table accumulates thousands of tiny
+    * files per segment — the classic small-files problem that multiplies
+    * scan open/footer costs at 100 TB. A full [[compact]] fixes that by
+    * rewriting the WHOLE table; this rewrites only segments with more
+    * than `maxFilesPerSegment` files (coalesced toward `targetBytes`
+    * outputs, PK-sorted, tag blooms re-applied), which on a mostly-cold
+    * time-partitioned table means touching just the hot tail.
+    *
+    * Purely PHYSICAL: rows (including `__seq`) are carried verbatim and
+    * the compaction sequence floor is left unchanged, so read-side
+    * dedup/TTL semantics are exactly as before — this can run between
+    * logical compactions at any frequency. Atomicity is the same
+    * generation flip as [[compact]]: readers either see the old
+    * generation or the complete new one, never a half-rewritten segment
+    * (hard links make the untouched majority O(1) data movement; copy is
+    * the fallback for filesystems without link support).
+    *
+    * Returns (segments_total, segments_rewritten, files_before,
+    * files_after) for the maintenance log. */
+  def compactSmallFiles(
+      name: String, maxFilesPerSegment: Int = 8,
+      targetBytes: Long = 128L << 20): (Long, Long, Long, Long) = withTableLock(name) {
+    import java.nio.file.{Files, Path, Paths}
+    val s = catalog.get(name)
+    val (gen, floor) = catalog.compactionState(name)
+    val curRoot = Paths.get(catalog.genDataDir(name, gen))
+    val nextRoot = Paths.get(catalog.genDataDir(name, gen + 1))
+    if (!Files.isDirectory(curRoot)) (0L, 0L, 0L, 0L)
+    else compactSmallFilesAt(s, gen, floor, curRoot, nextRoot,
+      maxFilesPerSegment, targetBytes)
+  }
+
+  private def compactSmallFilesAt(
+      s: TableSchema, gen: Int, floor: Long,
+      curRoot: java.nio.file.Path, nextRoot: java.nio.file.Path,
+      maxFilesPerSegment: Int, targetBytes: Long): (Long, Long, Long, Long) = {
+    import java.nio.file.{Files, Path, Paths}
+    val name = s.name
+
+    def isData(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") || (!n.startsWith("_") && !n.startsWith("."))
+    }
+    // leaf dirs = deepest directories holding data files ("" when the
+    // table is unsegmented and files sit in the root)
+    val leaves = scala.collection.mutable.ArrayBuffer[Path]()
+    def walk(d: Path): Unit = {
+      val (dirs, files) = Files.list(d).iterator().asScala.toSeq
+        .partition(Files.isDirectory(_))
+      dirs.filterNot(_.getFileName.toString.startsWith(".")).foreach(walk)
+      if (files.exists(f => Files.isRegularFile(f) && isData(f))) leaves += d
+    }
+    walk(curRoot)
+
+    var (rewritten, filesBefore, filesAfter) = (0L, 0L, 0L)
+    leaves.foreach { leaf =>
+      val rel = curRoot.relativize(leaf)
+      val dst = nextRoot.resolve(rel)
+      Files.createDirectories(dst)
+      val files = Files.list(leaf).iterator().asScala.toSeq
+        .filter(f => Files.isRegularFile(f) && isData(f))
+      filesBefore += files.size
+      if (files.size <= maxFilesPerSegment) {
+        files.foreach { f =>
+          val t = dst.resolve(f.getFileName)
+          try Files.createLink(t, f)
+          catch { case _: Throwable => Files.copy(f, t) }
+        }
+        filesAfter += files.size
+      } else {
+        rewritten += 1
+        val bytes = files.map(Files.size).sum
+        val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        // partition columns are dir-encoded in `rel` — reading the leaf
+        // directly drops them, writing to the mirrored leaf restores them
+        val df = spark.read.parquet(leaf.toString)
+          .repartition(parts)
+          .sortWithinPartitions(s.primaryKey.map(col): _*)
+        bloomOnTags(df.write.mode("overwrite"), s).parquet(dst.toString)
+        filesAfter += parts.toLong
+      }
+    }
+    catalog.markCompacted(name, gen + 1, floor) // floor UNCHANGED: physical only
+    (0 until gen).foreach { g =>
+      GraftCatalog.deleteRecursively(Paths.get(catalog.genDataDir(name, g)))
+    }
+    (leaves.size.toLong, rewritten, filesBefore, filesAfter)
   }
 
   /** Physical row deletion: rewrite the table keeping rows NOT matching

@@ -106,6 +106,16 @@ class DdlParserSpec extends AnyFunSuite {
       PassthroughSql("SELECT sum(v) FROM demo GROUP BY name"))
   }
 
+  test("OPTIMIZE variants: zorder rewrite vs small-file compaction") {
+    assert(DdlParser.parse("OPTIMIZE TABLE t ZORDER BY (a, b)") ==
+      OptimizeTable("t", Seq("a", "b")))
+    assert(DdlParser.parse("OPTIMIZE t") == OptimizeTable("t", Nil))
+    assert(DdlParser.parse("OPTIMIZE TABLE t COMPACT SMALL FILES") ==
+      OptimizeTable("t", Nil, smallFiles = true))
+    assert(DdlParser.parse("OPTIMIZE t COMPACT") ==
+      OptimizeTable("t", Nil, smallFiles = true))
+  }
+
   test("rejects bad DDL") {
     intercept[IllegalArgumentException] {
       DdlParser.parse("CREATE TABLE t (a string)") // no TIMESTAMP KEY

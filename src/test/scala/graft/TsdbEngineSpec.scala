@@ -301,6 +301,56 @@ class TsdbEngineSpec extends SparkSpec {
     assert(e.runSql("SELECT host, v FROM vt").count() == 1)
   }
 
+  test("small-file compaction: bin-packs only fragmented segments, purely physical") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE sfc (host string TAG, v double, t timestamp NOT NULL,
+        |  timestamp KEY(t))
+        | ENGINE=Analytic WITH (update_mode='overwrite', segment_duration='1h')""".stripMargin)
+    // segment A (hour 0): five separate appends → five files; one of them
+    // is a PK duplicate so read-side dedup is observable afterward.
+    // segment B (hour 1): one append → healthy, must be linked untouched
+    val h0 = 1704067200000L; val h1 = h0 + 3600000L
+    (0 until 4).foreach(i =>
+      e.execute(s"INSERT INTO sfc (t, host, v) VALUES (${h0 + i}, 'a', $i.0)"))
+    e.execute(s"INSERT INTO sfc (t, host, v) VALUES ($h0, 'a', 9.0)") // dup PK of v=0.0
+    e.execute(s"INSERT INTO sfc (t, host, v) VALUES ($h1, 'b', 7.0)")
+
+    def snapshot() = e.read("sfc").orderBy("host", "t").collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[java.sql.Timestamp]("t").getTime,
+        r.getAs[Double]("v"))).toSeq
+    def segFiles(dir: String): Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(f =>
+          f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      }.toMap
+    }
+    val before = snapshot()
+    val filesBefore = segFiles(e.catalog.dataDir("sfc"))
+    val fragSeg = s"__segment=${h0 / 3600000L}"
+    val okSeg = s"__segment=${h1 / 3600000L}"
+    assert(filesBefore(fragSeg) == 5 && filesBefore(okSeg) == 1, filesBefore.toString)
+
+    val (total, rewritten, fb, fa) =
+      e.compactSmallFiles("sfc", maxFilesPerSegment = 2)
+    assert(total == 2 && rewritten == 1, s"($total, $rewritten)")
+    assert(fb == 6 && fa < fb, s"($fb, $fa)")
+    val filesAfter = segFiles(e.catalog.dataDir("sfc"))
+    assert(filesAfter(fragSeg) == 1, filesAfter.toString) // bin-packed
+    assert(filesAfter(okSeg) == 1) // linked through
+    // PHYSICAL only: all 6 rows still on disk (incl. the PK duplicate) …
+    assert(spark.read.parquet(e.catalog.dataDir("sfc")).count() == 6)
+    // … and read-side dedup still applies, results identical
+    assert(snapshot() == before, "small-file compaction must not change results")
+    assert(snapshot() == Seq(("a", h0, 9.0), ("a", h0 + 1, 1.0), ("a", h0 + 2, 2.0),
+      ("a", h0 + 3, 3.0), ("b", h1, 7.0)))
+    // a later LOGICAL compaction over the packed layout still dedups
+    e.compact("sfc")
+    assert(spark.read.parquet(e.catalog.dataDir("sfc")).count() == 5)
+    assert(snapshot() == before)
+  }
+
   test("compaction: same results, dedup window dropped, re-enabled on append") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     def hasDedupWindow(df: org.apache.spark.sql.DataFrame): Boolean =
