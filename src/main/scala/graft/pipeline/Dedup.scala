@@ -292,6 +292,45 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Incremental connected components: fold ONE new batch's near-dup
+    * pairs into a persisted `(id, cluster_id)` assignment, touching only
+    * the clusters the batch actually reaches. The continual-ingestion
+    * companion to [[connectedComponents]] (same contract as
+    * [[graft.pipeline.Incremental]]'s index probes): per-batch cost
+    * scales with the affected subgraph, not the corpus.
+    *
+    * Correctness: an assignment produced by [[connectedComponents]] binds
+    * every member to its cluster's minimum id, and that minimum is itself
+    * a member — so `(member → cluster_id)` edges are an exact contraction
+    * of all prior pairs. Running CC over {binding edges of affected
+    * clusters} ∪ {new pairs} therefore yields the same labels a full
+    * recompute over (prior ∪ new) pairs would, including cascaded cluster
+    * merges when a new doc bridges two old clusters; untouched clusters
+    * pass through by anti-join. q255's oracle checks exactly this
+    * equivalence (incremental result == from-scratch transitive closure).
+    *
+    * Plan shape: two semi/anti joins on ids + CC over the (small)
+    * affected subgraph — id-only shuffles throughout. */
+  def updateClusters(
+      assignments: DataFrame, newPairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val pairs = newPairs.select(col(idA).as("id_a"), col(idB).as("id_b"))
+      .localCheckpoint() // consumed three times below
+    val touchedIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val touchedClusters = assignments.join(touchedIds, "id")
+      .select("cluster_id").distinct()
+    val affected = assignments
+      .join(touchedClusters.hint("shuffle_hash"), Seq("cluster_id"))
+    val subEdges = affected
+      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+      .union(pairs)
+    val relabeled = connectedComponents(subEdges)
+    assignments.join(touchedClusters, Seq("cluster_id"), "left_anti")
+      .select("id", "cluster_id")
+      .union(relabeled.select("id", "cluster_id"))
+  }
+
   /** One union-find sweep per partition over (src, dst) long edges: emits
     * (node, root) with root = min member of the node's partition-local
     * component — including (root, root) itself, so no node disappears. */

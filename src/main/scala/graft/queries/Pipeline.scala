@@ -1832,6 +1832,40 @@ object PipelineQueries {
             countDistinct("cluster_id").as("n_clusters"),
             sum("n_chars").as("sum_chars"))
           .withColumn("crossing_clusters", lit(crossing))
+      }),
+
+    // ---- incremental connected components (Dedup.updateClusters): the
+    //      last 20% of docs (by id hash) arrive as a "new batch"; their
+    //      pairs fold into the old corpus' persisted cluster assignment
+    //      touching only affected clusters — old↔old clusters bridged by
+    //      a new doc merge and relabel correctly. The oracle is the FULL
+    //      from-scratch transitive closure over all pairs: incremental
+    //      must be indistinguishable from recompute.
+    GraftQuery("q255_incremental_clusters",
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
+             |    length(text) // 100 AS lenb
+             |  FROM documents),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+             |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+      (s, dir) => {
+        val pairs = jaccardPairs(s, dir)
+        def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(10L)) >= 8
+        val oldOld = pairs.filter(!isNew(col("id_a")) && !isNew(col("id_b")))
+        val withNew = pairs.filter(isNew(col("id_a")) || isNew(col("id_b")))
+        val assignments = graft.pipeline.Dedup.connectedComponents(oldOld)
+        graft.pipeline.Dedup.updateClusters(assignments, withNew)
+          .select(col("id").as("doc_id"), col("cluster_id"))
       })
   )
 

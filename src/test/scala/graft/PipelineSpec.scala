@@ -395,6 +395,20 @@ class PipelineSpec extends SparkSpec {
     assert(Seq(20L, 21L).forall(cc(_) == 20L))
     assert(cc.size == 10)
 
+    // incremental CC: a new doc (100) bridges old clusters {1,2} and
+    // {5,6} → all five relabel to 1; untouched {10,11} passes through
+    // (and equals a full recompute over old ∪ new pairs)
+    val oldPairs = Seq((1L, 2L), (5L, 6L), (10L, 11L)).toDF("id_a", "id_b")
+    val newPairs = Seq((2L, 100L), (100L, 5L)).toDF("id_a", "id_b")
+    val assign = Dedup.connectedComponents(oldPairs)
+    val inc = Dedup.updateClusters(assign, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(oldPairs.union(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"incremental $inc != full recompute $full")
+    assert(Seq(1L, 2L, 5L, 6L, 100L).forall(inc(_) == 1L), inc.toString)
+    assert(inc(10L) == 10L && inc(11L) == 10L && inc.size == 7)
+
     // dedupByClusters keeps exactly the min id per cluster + singletons
     val docs = (1L to 25L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val kept = Dedup.dedupByClusters(docs, "doc_id", pairs)
