@@ -95,6 +95,48 @@ object Ivf {
     ivfTopKWith(embDf, idCol, embCol,
       train(embDf, idCol, embCol, nlist, iters, seed), query, k, nprobe)
 
+  /** Probe-width tuning report: recall@k against the exact (brute-force)
+    * answer and the fraction of the corpus an IVF probe actually scans,
+    * for each candidate `nprobe` — the recall/cost curve every ANN
+    * deployment sweeps before fixing its operating point (FAISS's
+    * standard nprobe tuning loop, run as Spark jobs).
+    *
+    * Cost: one training pass, ONE brute-force top-k (the ground truth),
+    * one cluster-histogram aggregate (reused across all probe widths),
+    * then one bucket-pruned top-k per candidate width. Driver state is
+    * bounded: k truth ids + nlist histogram rows + k ids per width.
+    *
+    * Output per width (all integers, deterministic given the seeded
+    * trainer): nprobe, recall_bp (recall@k in basis points — 10000 at
+    * nprobe = nlist by construction), scanned_rows, scanned_bp (fraction
+    * of corpus rows the probe touches). */
+  def probeSweep(
+      embDf: DataFrame, idCol: String, embCol: String,
+      query: Array[Double], k: Int, nlist: Int, nprobes: Seq[Int],
+      iters: Int = 2, seed: Long = 42L): DataFrame = {
+    val spark = embDf.sparkSession
+    import spark.implicits._
+    val centroids = train(embDf, idCol, embCol, nlist, iters, seed)
+    val truth = Similarity.bruteForceTopK(embDf, idCol, embCol, query, k)
+      .select(col(idCol)).collect().map(_.get(0)).toSet
+    val assigned = embDf
+      .withColumn("__c", assignColumn(col(embCol), centroids))
+    val hist = assigned.groupBy("__c").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Number](0).intValue -> r.getLong(1)).toMap
+    val total = hist.values.sum
+    val qn = normalize(query)
+    val order = centroids.zipWithIndex
+      .map { case (c, i) => (i, dot(qn, c)) }.sortBy(-_._2).map(_._1)
+    val rows = nprobes.sorted.map { np =>
+      val got = ivfTopKWith(embDf, idCol, embCol, centroids, query, k, np)
+        .select(col(idCol)).collect().map(_.get(0)).toSet
+      val scanned = order.take(np).map(c => hist.getOrElse(c, 0L)).sum
+      (np, got.intersect(truth).size.toLong * 10000 / k,
+        scanned, scanned * 10000 / math.max(total, 1L))
+    }
+    rows.toDF("nprobe", "recall_bp", "scanned_rows", "scanned_bp")
+  }
+
   /** Persist an IVF index: the corpus written PARTITIONED BY cluster id
     * (one directory per inverted list) plus the centroid matrix. This is
     * the "assignment as a partition column" deployment the probe path is

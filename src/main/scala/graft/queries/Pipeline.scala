@@ -1866,7 +1866,17 @@ object PipelineQueries {
         val assignments = graft.pipeline.Dedup.connectedComponents(oldOld)
         graft.pipeline.Dedup.updateClusters(assignments, withNew)
           .select(col("id").as("doc_id"), col("cluster_id"))
-      })
+      }),
+
+    // ---- IVF probe-width sweep (Ivf.probeSweep): the recall@k / scan-cost
+    //      curve per nprobe — how an ANN index's operating point is chosen.
+    //      Ground truth = brute-force top-k; recall hits 10000 bp at
+    //      nprobe = nlist by construction (spec-asserted). kmeans-derived →
+    //      rows-only at the driver gate.
+    GraftQuery("q256_ivf_probe_sweep", None,
+      (s, dir) => graft.pipeline.Ivf.probeSweep(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir),
+        k = 10, nlist = 16, nprobes = Seq(1, 2, 4, 8, 16)))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

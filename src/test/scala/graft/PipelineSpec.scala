@@ -232,6 +232,23 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@10 $recall < 0.3")
   }
 
+  test("IVF probe sweep: recall and scan cost rise with nprobe; full probe is exact") {
+    val q = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val sweep = Ivf.probeSweep(embs, "vec_id", "embedding", q,
+        k = 10, nlist = 8, nprobes = Seq(1, 2, 4, 8))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sweep.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // scanned rows strictly accumulate with probe width; full probe = corpus
+    assert(sweep.map(_._3).toSeq == sweep.map(_._3).toSeq.sorted)
+    assert(sweep.last._4 == 10000L, s"full probe must scan everything: ${sweep.last}")
+    // full probe == brute force → perfect recall
+    assert(sweep.last._2 == 10000L, s"full probe must be exact: ${sweep.last}")
+    // recall never decreases as more lists are probed (nested probe sets)
+    assert(sweep.map(_._2).toSeq == sweep.map(_._2).toSeq.sorted,
+      s"recall must be monotone: $sweep")
+  }
+
   test("embedding near-dup: LSH finds perturbed twins; exact pairs match a local recompute") {
     import spark.implicits._
     val base = embs.limit(20).select(col("vec_id"), col("embedding"))
