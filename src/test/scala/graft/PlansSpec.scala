@@ -58,6 +58,41 @@ class PlansSpec extends SparkSpec {
     assert(finalPlan(q("q01_pricing_summary")).toString.contains("partial_"))
   }
 
+  test("plan lint: flags the 100TB anti-patterns, passes disciplined plans") {
+    import graft.plans.PlanLint
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{expr, row_number, sum}
+    val a = spark.range(100).toDF("x")
+    val b = spark.range(100).toDF("y")
+
+    // cartesian product
+    assert(PlanLint.lint(a.crossJoin(b)).has("cartesian-product"))
+    // single-partition window
+    assert(PlanLint.lint(
+      a.withColumn("rn", row_number().over(W.orderBy("x"))))
+      .has("single-partition-window"))
+    // global sort without a limit; the limit-absorbed form passes
+    assert(PlanLint.lint(a.orderBy("x")).has("global-sort-no-limit"))
+    assert(!PlanLint.lint(a.orderBy("x").limit(5)).has("global-sort-no-limit"))
+    // interpreted HOF lambda in a projection
+    assert(PlanLint.lint(
+      a.select(expr("aggregate(sequence(1, 3), 0L, (acc, v) -> acc + v + x)")))
+      .has("interpreted-expression"))
+
+    // a disciplined keyed aggregate lints clean (one shuffle, advisory)
+    val good = PlanLint.lint(
+      Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+        .groupBy("l_returnflag").agg(sum("l_quantity")))
+    assert(good.clean, good.findings.toString)
+    assert(good.shuffles <= 1 && good.scans >= 1, (good.shuffles, good.scans).toString)
+
+    // wide scans flag; narrow projected scans don't
+    val li = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+    assert(PlanLint.lint(li, wideScanCols = 10).has("wide-scan"))
+    assert(!PlanLint.lint(li.select("l_orderkey", "l_quantity"), wideScanCols = 10)
+      .has("wide-scan"))
+  }
+
   test("hot relational path runs in WholeStageCodegen") {
     // treeString marks codegen stages with "*(n)"
     assert(finalPlan(q("q01_pricing_summary")).toString.contains("*("))
