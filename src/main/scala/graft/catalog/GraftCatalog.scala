@@ -198,6 +198,44 @@ final class GraftCatalog(val warehouse: String) {
 
   private def sqlTypeName(k: DatumKind.Value): String = DatumKind.sqlName(k)
 
+  /** Export a consistent table snapshot: the manifest plus the CURRENT
+    * data generation, hard-linked where the filesystem allows (copy
+    * fallback) — generation-flip atomicity means the current gen dir is
+    * immutable once written, so a link-based snapshot is consistent
+    * without quiescing writers (links pin the inodes even if a later
+    * compaction GCs the directory entry). Older generations, checkpoints
+    * and in-flight tmp files are not part of a snapshot. */
+  def exportSnapshot(name: String, destDir: String): Unit = synchronized {
+    val m = manifest(name)
+    val dest = Paths.get(destDir)
+    Files.createDirectories(dest)
+    Files.copy(manifestPath(name), dest.resolve("_manifest.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val gen = m.dataGen.getOrElse(0)
+    val src = Paths.get(genDataDir(name, gen))
+    if (Files.isDirectory(src))
+      GraftCatalog.linkTree(src, dest.resolve(src.getFileName))
+  }
+
+  /** Register a snapshot directory as a (new) table: data is linked/copied
+    * into the warehouse and the manifest's table name rewritten — the
+    * restore/clone half of [[exportSnapshot]] (also an environment-move:
+    * snapshots are plain portable directories of parquet + one JSON). */
+  def importSnapshot(srcDir: String, newName: String): Unit = synchronized {
+    require(!exists(newName), s"table '$newName' already exists")
+    val src = Paths.get(srcDir)
+    val m = JsonMethods.parse(Files.readString(src.resolve("_manifest.json")))
+      .extract[Manifest]
+    Files.createDirectories(tableDir(newName))
+    val gen = m.dataGen.getOrElse(0)
+    val dataName = Paths.get(genDataDir(m.name, gen)).getFileName
+    val srcData = src.resolve(dataName)
+    if (Files.isDirectory(srcData))
+      GraftCatalog.linkTree(srcData,
+        Paths.get(genDataDir(newName, gen)))
+    writeManifest(newName, m.copy(name = newName))
+  }
+
   private def manifest(name: String): Manifest = {
     if (!exists(name)) throw new IllegalStateException(s"table '$name' does not exist")
     JsonMethods.parse(Files.readString(manifestPath(name))).extract[Manifest]
@@ -213,6 +251,23 @@ final class GraftCatalog(val warehouse: String) {
 }
 
 object GraftCatalog {
+  /** Recursive hard-link tree copy with per-file copy fallback (cross-
+    * filesystem moves, filesystems without link support). */
+  def linkTree(src: Path, dest: Path): Unit = {
+    Files.createDirectories(dest)
+    val s = Files.list(src)
+    try s.iterator().asScala.foreach { p =>
+      val t = dest.resolve(p.getFileName)
+      if (Files.isDirectory(p)) linkTree(p, t)
+      else if (!Files.exists(t)) {
+        try Files.createLink(t, p)
+        catch { case _: Throwable =>
+          Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally s.close()
+  }
+
   /** Shared recursive delete (used by table drop and compaction GC). */
   def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {

@@ -745,6 +745,17 @@ final class TsdbEngine(
     * past the TTL horizon — segment k covers [k·seg, (k+1)·seg), expired
     * when (k+1)·seg <= now - ttl (reference: table/data.rs:744 is_expired).
     * Returns the dropped segment ids. */
+  /** Consistent table snapshot → a portable directory (manifest + the
+    * immutable current data generation, hard-linked where possible). See
+    * [[GraftCatalog.exportSnapshot]]; serialized against writers. */
+  def exportSnapshot(name: String, destDir: String): Unit =
+    withTableLock(name) { catalog.exportSnapshot(name, destDir) }
+
+  /** Restore/clone a snapshot directory as table `newName` (this engine's
+    * warehouse — also the cross-environment restore path). */
+  def importSnapshot(srcDir: String, newName: String): Unit =
+    catalog.importSnapshot(srcDir, newName)
+
   def purgeExpiredSegments(name: String, nowMs: Long = System.currentTimeMillis()): Seq[Long] = withTableLock(name) {
     val s = catalog.get(name)
     (s.options.ttlMillis.filter(_ => s.options.enableTtl), s.options.segmentMillis) match {

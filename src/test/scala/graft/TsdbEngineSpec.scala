@@ -301,6 +301,46 @@ class TsdbEngineSpec extends SparkSpec {
     assert(e.runSql("SELECT host, v FROM vt").count() == 1)
   }
 
+  test("snapshot export/import: portable clone with identical data and semantics") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE snap (host string TAG, v double, t timestamp NOT NULL,
+        |  timestamp KEY(t))
+        | ENGINE=Analytic WITH (update_mode='overwrite', segment_duration='1h')""".stripMargin)
+    e.execute("INSERT INTO snap (t, host, v) VALUES (1704067200000, 'a', 1.0)")
+    e.execute("INSERT INTO snap (t, host, v) VALUES (1704067200000, 'a', 2.0), (1704070800000, 'b', 3.0)")
+    def rows(en: graft.engine.TsdbEngine, n: String) =
+      en.read(n).orderBy("host", "t").collect()
+        .map(r => (r.getAs[String]("host"), r.getAs[java.sql.Timestamp]("t").getTime,
+          r.getAs[Double]("v"))).toSeq
+    val expect = Seq(("a", 1704067200000L, 2.0), ("b", 1704070800000L, 3.0))
+    assert(rows(e, "snap") == expect)
+
+    val dir = tmpDir("snap-out")
+    e.exportSnapshot("snap", dir)
+
+    // clone under a new name in the SAME engine: data + overwrite
+    // semantics identical, and fully independent of the source table
+    e.importSnapshot(dir, "snap2")
+    assert(rows(e, "snap2") == expect)
+    e.execute("INSERT INTO snap2 (t, host, v) VALUES (1704067200000, 'a', 9.0)")
+    assert(rows(e, "snap2") == Seq(("a", 1704067200000L, 9.0), ("b", 1704070800000L, 3.0)))
+    assert(rows(e, "snap") == expect, "source table must be unaffected by clone writes")
+
+    // restore into a DIFFERENT engine/warehouse (the disaster-recovery path)
+    val e2 = new graft.engine.TsdbEngine(spark, tmpDir("snap-wh2"))
+    e2.importSnapshot(dir, "snap")
+    assert(rows(e2, "snap") == expect)
+    assert(e2.runSql("SELECT count(*) AS n FROM snap").head().getLong(0) == 2)
+
+    // a post-compaction snapshot carries the seq floor (no dedup window)
+    e.compact("snap")
+    val dir2 = tmpDir("snap-out2")
+    e.exportSnapshot("snap", dir2)
+    e2.importSnapshot(dir2, "snap_compacted")
+    assert(rows(e2, "snap_compacted") == expect)
+  }
+
   test("small-file compaction: bin-packs only fragmented segments, purely physical") {
     val e = engine()
     e.execute(
