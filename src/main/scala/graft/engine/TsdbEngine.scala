@@ -676,34 +676,54 @@ final class TsdbEngine(
     }
     walk(curRoot)
 
-    var (rewritten, filesBefore, filesAfter) = (0L, 0L, 0L)
-    leaves.foreach { leaf =>
-      val rel = curRoot.relativize(leaf)
-      val dst = nextRoot.resolve(rel)
-      Files.createDirectories(dst)
+    val inventory = leaves.map { leaf =>
       val files = Files.list(leaf).iterator().asScala.toSeq
         .filter(f => Files.isRegularFile(f) && isData(f))
-      filesBefore += files.size
-      if (files.size <= maxFilesPerSegment) {
-        files.foreach { f =>
-          val t = dst.resolve(f.getFileName)
-          try Files.createLink(t, f)
-          catch { case _: Throwable => Files.copy(f, t) }
-        }
-        filesAfter += files.size
-      } else {
-        rewritten += 1
+      (leaf, files)
+    }
+    val (fragmented, healthy) =
+      inventory.partition(_._2.size > maxFilesPerSegment)
+    val filesBefore = inventory.map(_._2.size.toLong).sum
+    healthy.foreach { case (leaf, files) =>
+      val dst = nextRoot.resolve(curRoot.relativize(leaf))
+      Files.createDirectories(dst)
+      files.foreach { f =>
+        val t = dst.resolve(f.getFileName)
+        try Files.createLink(t, f)
+        catch { case _: Throwable => Files.copy(f, t) }
+      }
+    }
+    // Rewrite fragmented segments as CONCURRENT Spark jobs: each is a
+    // small read→sort→write, so running them one at a time leaves the
+    // cluster (or the 32 local cores) almost idle per job — the scheduler
+    // interleaves their tasks when submitted together. Bounded pool;
+    // failures propagate after all complete.
+    val rewritePool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, fragmented.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(rewritePool)
+    val futures = fragmented.map { case (leaf, files) =>
+      scala.concurrent.Future {
+        val dst = nextRoot.resolve(curRoot.relativize(leaf))
+        Files.createDirectories(dst)
         val bytes = files.map(Files.size).sum
         val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        // partition columns are dir-encoded in `rel` — reading the leaf
-        // directly drops them, writing to the mirrored leaf restores them
+        // partition columns are dir-encoded in the leaf path — reading the
+        // leaf directly drops them, writing to the mirrored leaf restores them
         val df = spark.read.parquet(leaf.toString)
           .repartition(parts)
           .sortWithinPartitions(s.primaryKey.map(col): _*)
         bloomOnTags(df.write.mode("overwrite"), s).parquet(dst.toString)
-        filesAfter += parts.toLong
+        parts.toLong
       }
     }
+    val rewrittenParts =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
+      finally rewritePool.shutdown()
+    val rewritten = fragmented.size.toLong
+    val filesAfter = healthy.map(_._2.size.toLong).sum + rewrittenParts.sum
     catalog.markCompacted(name, gen + 1, floor) // floor UNCHANGED: physical only
     (0 until gen).foreach { g =>
       GraftCatalog.deleteRecursively(Paths.get(catalog.genDataDir(name, g)))

@@ -646,6 +646,44 @@ object EngineE2E {
         e.append("th", clicks.filter(col("ts") < lit(cut)))
         e.append("th", clicks.filter(col("ts") >= lit(cut)))
         e.tableHistory("th")
+      }),
+
+    // ---- small-file compaction under the gate (TsdbEngine
+    //      .compactSmallFiles): clicks ingested as four interleaved
+    //      batches leave four files in every touched day segment; the
+    //      pass bin-packs each segment to one file and the daily rollup
+    //      read through the compacted layout must equal the raw-parquet
+    //      oracle — physical maintenance is result-invisible.
+    GraftQuery("q257_small_file_compact",
+      Some("""SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,
+             |  count(*)::BIGINT AS n,
+             |  sum(CAST(round("value" * 1000, 0) AS BIGINT)) AS sum_milli
+             |FROM events WHERE event_type = 'click'
+             |GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-sfc").toString)
+        e.execute(
+          """CREATE TABLE sfx (
+            |  ts timestamp NOT NULL, user_id uint64 TAG, value double,
+            |  timestamp KEY(ts))
+            |ENGINE=Analytic WITH (update_mode='append', enable_ttl='false',
+            |  segment_duration='1d')""".stripMargin)
+        val clicks = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select("ts", "user_id", "value")
+        (0 until 4).foreach(i =>
+          e.append("sfx", clicks.filter(pmod(col("user_id"), lit(4)) === i)))
+        val (_, rewritten, fb, fa) =
+          e.compactSmallFiles("sfx", maxFilesPerSegment = 2)
+        require(rewritten > 0 && fa < fb,
+          s"compaction did no work: rewrote $rewritten, files $fb -> $fa")
+        e.read("sfx")
+          .groupBy(timestamp_micros(
+            expr("(unix_micros(ts) div 86400000000) * 86400000000"))
+            .as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1000, 0).cast("long")).as("sum_milli"))
       })
   )
 }
