@@ -45,65 +45,69 @@ object Pq {
       embDf: DataFrame, idCol: String, embCol: String,
       m: Int, ksub: Int, iters: Int = 2, seed: Long = 42L,
       maxTrain: Int = 20000): Array[Array[Double]] = {
-    val dim = embDf.select(size(col(embCol))).head().getInt(0)
+    // ONE distributed job: the hash-ordered bounded sample of normalized
+    // vectors comes to the driver (orderBy+limit plans as
+    // TakeOrderedAndProject — a top-k, never a global sort of the
+    // corpus), then Lloyd's runs locally over it. Driver state is
+    // maxTrain × dim doubles (defaults: 20 k × 64 ≈ 10 MB) — bounded
+    // regardless of corpus size, which is exactly FAISS's deployment
+    // shape: codebook quality saturates long before the corpus is
+    // exhausted, so a 100 TB corpus trains from the same 10 MB while
+    // encode/score stay fully distributed. (The previous formulation ran
+    // each Lloyd iteration as a corpus-sample-wide Spark job — correct,
+    // but 6+ scheduler round-trips to move <10 MB of state.)
+    val sample: Array[Array[Double]] = embDf
+      .select(xxhash64(col(idCol), lit(seed)).as("__h"),
+        col(idCol).as("__id"), normalized(col(embCol)).as("__v"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(maxTrain)
+      .select("__v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ on an empty corpus")
+    val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
 
-    val n = embDf.count()
-    val trainDf =
-      if (n <= maxTrain) embDf
-      else embDf.filter(
-        pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)) <
-          lit(1000000L * maxTrain / n))
-
-    // (id, mi, sub): every subvector of every normalized training vector —
-    // cached for the init pass + `iters` assignment passes, dropped after
-    val subDf = trainDf
-      .select(col(idCol).as("__id"), normalized(col(embCol)).as("__v"))
-      .select(col("__id"), posexplode(array(
-        (0 until m).map(mi => slice(col("__v"), mi * dsub + 1, dsub)): _*
-      )).as(Seq("__m", "__sub")))
-      .persist()
-    try trainOn(subDf, m, ksub, dsub, iters, seed)
-    finally subDf.unpersist(false)
-  }
-
-  private def trainOn(subDf: DataFrame, m: Int, ksub: Int, dsub: Int,
-      iters: Int, seed: Long): Array[Array[Double]] = {
-    // init: per subspace, the ksub hash-first subvectors (seeded, stable)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__m").orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
-    val init = subDf
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= ksub)
-      .select("__m", "__rn", "__sub")
-      .collect()
     var books = Array.fill(m * ksub)(new Array[Double](dsub))
-    init.foreach { r =>
-      books(r.getInt(0) * ksub + (r.getInt(1) - 1)) =
-        r.getSeq[Double](2).toArray
+    // init: per subspace, the subvectors of the ksub hash-first samples
+    // (seeded, stable across layouts — same draw the distributed
+    // formulation used)
+    sample.take(ksub).zipWithIndex.foreach { case (v, j) =>
+      (0 until m).foreach { mi =>
+        books(mi * ksub + j) = java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub)
+      }
     }
-
     var it = 0
     while (it < iters) {
-      // one distributed pass: assign every subvector in every subspace,
-      // then re-estimate all m codebooks from one keyed aggregation
-      val sums = subDf
-        .withColumn("__c", subspaceNearest(col("__sub"), col("__m"), books, ksub))
-        .select(col("__m"), col("__c"),
-          posexplode(col("__sub")).as(Seq("__p", "__x")))
-        .groupBy("__m", "__c", "__p")
-        .agg(sum("__x").as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = books.map(_.clone())
-      val seen = Array.fill(m * ksub)(false)
-      sums.foreach { r =>
-        val row = r.getInt(0) * ksub + r.getInt(1)
-        next(row)(r.getInt(2)) = r.getDouble(3) / r.getLong(4)
-        seen(row) = true
+      val sums = Array.fill(m * ksub)(new Array[Double](dsub))
+      val counts = new Array[Long](m * ksub)
+      sample.foreach { v =>
+        var mi = 0
+        while (mi < m) {
+          // min-L2 codeword, lowest index on ties
+          var best = 0; var bestD = Double.PositiveInfinity
+          var j = 0
+          while (j < ksub) {
+            val c = books(mi * ksub + j)
+            var s = 0.0; var p = 0
+            while (p < dsub) {
+              val d = c(p) - v(mi * dsub + p); s += d * d; p += 1
+            }
+            if (s < bestD) { bestD = s; best = j }
+            j += 1
+          }
+          val row = mi * ksub + best
+          var p = 0
+          while (p < dsub) { sums(row)(p) += v(mi * dsub + p); p += 1 }
+          counts(row) += 1
+          mi += 1
+        }
       }
       // empty codewords keep their previous value (standard Lloyd's)
-      books = books.indices.map(i => if (seen(i)) next(i) else books(i)).toArray
+      books = books.indices.map { i =>
+        if (counts(i) == 0) books(i)
+        else sums(i).map(_ / counts(i))
+      }.toArray
       it += 1
     }
     books
@@ -175,11 +179,6 @@ object Pq {
       .limit(k)
   }
 
-  private def subspaceNearest(sub: Column, mIdx: Column,
-      books: Array[Array[Double]], ksub: Int): Column =
-    GraftBridge.col(SubspaceNearest(
-      GraftBridge.expr(sub), GraftBridge.expr(mIdx), books, ksub))
-
   /** x / ||x||₂ as array<double>; zero vectors pass through. */
   private[pipeline] def normalized(emb: Column): Column = {
     val v = transform(emb, x => x.cast("double"))
@@ -194,36 +193,6 @@ object Pq {
     }
     s
   }
-}
-
-/** (array<double> subvector, int subspace) → int code of the min-L2
-  * codeword within that subspace's ksub-row segment of the flat codebook.
-  * Training-path assignment; interpreted eval is fine there. */
-case class SubspaceNearest(left: Expression, right: Expression,
-    books: Array[Array[Double]], ksub: Int)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = IntegerType
-  override def prettyName: String = "pq_subspace_nearest"
-
-  override protected def nullSafeEval(sub: Any, mIdx: Any): Any = {
-    val arr = sub.asInstanceOf[ArrayData]
-    val base = mIdx.asInstanceOf[Int] * ksub
-    var best = 0; var bestD = Double.PositiveInfinity
-    var j = 0
-    while (j < ksub) {
-      val c = books(base + j)
-      var s = 0.0; var i = 0
-      while (i < c.length) {
-        val d = c(i) - arr.getDouble(i); s += d * d; i += 1
-      }
-      if (s < bestD) { bestD = s; best = j }
-      j += 1
-    }
-    best
-  }
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
 }
 
 /** array<double> (normalized) → array<int> of m min-L2 codes, one pass,
