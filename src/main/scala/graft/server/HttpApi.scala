@@ -31,12 +31,18 @@ object HttpApi {
 
   private val mapper = new ObjectMapper()
 
-  /** POST /sql with body `{"query": "..."}`. */
+  /** Body of /sql: `{"query": "..."}` or, like the reference
+    * (http.rs:306-310 `warp::body::json().or(bytes)`), the raw SQL text
+    * itself as a plain body. */
+  private def sqlOf(body: String): String =
+    (try Option(mapper.readTree(body)) catch { case _: Throwable => None })
+      .flatMap(n => Option(n.get("query")).map(_.asText()))
+      .getOrElse(body)
+
+  /** POST /sql with body `{"query": "..."}` (or raw SQL text). */
   def handleSql(engine: TsdbEngine, body: String): String =
     try {
-      val req = mapper.readTree(body)
-      val q = Option(req.get("query")).map(_.asText())
-        .getOrElse(throw new IllegalArgumentException("missing field: query"))
+      val q = sqlOf(body)
       val df = engine.execute(q)
       val out = mapper.createObjectNode()
       if (df.schema.length == 1 && df.schema.head.name == "affected_rows") {
@@ -59,11 +65,69 @@ object HttpApi {
     * record-batch messages, end-of-stream marker, parseable by any Arrow
     * client (pyarrow/arrow-rs). Errors raise — the transport maps them to
     * its JSON error shape. */
-  def handleSqlArrow(engine: TsdbEngine, body: String): Array[Byte] = {
-    val req = mapper.readTree(body)
-    val q = Option(req.get("query")).map(_.asText())
-      .getOrElse(throw new IllegalArgumentException("missing field: query"))
-    org.apache.spark.sql.GraftBridge.toArrowStream(engine.execute(q))
+  def handleSqlArrow(engine: TsdbEngine, body: String): Array[Byte] =
+    org.apache.spark.sql.GraftBridge.toArrowStream(engine.execute(sqlOf(body)))
+
+  /** POST /opentsdb/api/query — the reference's OpenTSDB query endpoint
+    * (http.rs:463-477): runs each subquery and answers the OpenTSDB 2.x
+    * response array, one entry per (subquery × group): `metric`, the
+    * group's `tags`, `aggregatedTags` (tag keys aggregated away), and
+    * `dps` keyed by timestamp string (proxy/src/opentsdb/types.rs:220-233;
+    * string keys in a BTreeMap — lexicographic order, reproduced here). */
+  def handleOpentsdbQuery(
+      resolve: String => graft.promql.PromQL.SeriesTable,
+      body: String): String =
+    try {
+      val q = graft.opentsdb.OpenTsdb.parseQuery(body)
+      val arr = mapper.createArrayNode()
+      q.queries.zip(graft.opentsdb.OpenTsdb.run(q, resolve)).foreach {
+        case (sub, df) =>
+          val st = resolve(sub.metric)
+          // run() renames the output time/value columns to ts/value
+          val tagCols = df.schema.fieldNames
+            .filterNot(n => n == "ts" || n == "value")
+          val aggregated = st.tags.filterNot(tagCols.contains)
+          // group rows by their tag tuple; dps sorted by the STRING key
+          val groups = new java.util.LinkedHashMap[
+            Seq[String], java.util.TreeMap[String, Double]]()
+          df.collect().foreach { r =>
+            val key = tagCols.map(c => String.valueOf(r.getAs[Any](c))).toSeq
+            val ts = r.getAs[java.sql.Timestamp]("ts").getTime.toString
+            val v = r.getAs[Number]("value").doubleValue
+            groups.computeIfAbsent(key, _ => new java.util.TreeMap[String, Double]())
+              .put(ts, v)
+          }
+          groups.forEach { (key, dps) =>
+            val o = arr.addObject()
+            o.put("metric", sub.metric)
+            val tags = o.putObject("tags")
+            tagCols.zip(key).foreach { case (k, v) => tags.put(k, v) }
+            val at = o.putArray("aggregatedTags")
+            aggregated.foreach(at.add)
+            val d = o.putObject("dps")
+            dps.forEach { (k, v) => d.put(k, v) }
+          }
+      }
+      mapper.writeValueAsString(arr)
+    } catch { case e: Throwable => errorJson(500, e) }
+
+  /** GET /route/<table> — the reference's route endpoint
+    * (proxy/src/http/route.rs:36-67): `{"routes": [{"table": t,
+    * "endpoint": {"addr", "port"}}]}`. A single-node engine routes every
+    * existing table to itself; an empty/unknown table answers no routes,
+    * like the reference's empty-table short-circuit (route.rs:41-43). */
+  def handleRoute(engine: TsdbEngine, table: String,
+      addr: String, port: Int): String = {
+    val out = mapper.createObjectNode()
+    val routes = out.putArray("routes")
+    if (table.nonEmpty && engine.catalog.exists(table)) {
+      val o = routes.addObject()
+      o.put("table", table)
+      val e = o.putObject("endpoint")
+      e.put("addr", addr)
+      e.put("port", port)
+    }
+    mapper.writeValueAsString(out)
   }
 
   /** POST /influxdb/v1/write with a line-protocol body; empty response on

@@ -162,6 +162,25 @@ final class GraftHttpServer(engine: TsdbEngine, port: Int = 0) {
     }
   }
 
+  // home route: exact "/" answers {"status":"ok"} (http.rs:296-301);
+  // the JDK server routes every otherwise-unmatched path here → 404
+  route("/") { x =>
+    if (x.getRequestURI.getPath == "/") json(x, """{"status":"ok"}""")
+    else json(x, """{"code":404,"message":"not found"}""", 404)
+  }
+
+  // GET /route/<table>: single-node routing — every existing table routes
+  // to this server (route.rs:36-67)
+  route("/route/") { x =>
+    val t = x.getRequestURI.getPath.stripPrefix("/route/")
+    json(x, HttpApi.handleRoute(engine,
+      java.net.URLDecoder.decode(t, UTF_8), "127.0.0.1", boundPort))
+  }
+
+  route("/opentsdb/api/query") { x =>
+    json(x, HttpApi.handleOpentsdbQuery(resolve, body(x)))
+  }
+
   route("/opentsdb/api/put") { x =>
     val r = HttpApi.handleOpentsdbPut(engine, body(x))
     // OpenTSDB answers 204 No Content on full success (http.rs put route)

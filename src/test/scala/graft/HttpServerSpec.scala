@@ -83,6 +83,43 @@ class HttpServerSpec extends SparkSpec {
       val putRows = mapper.readTree(putQ.body()).get("rows")
       assert(putRows.size() == 1 && putRows.get(0).get("value").asDouble() == 3.5)
 
+      // ---- home route: {"status":"ok"} on "/", 404 elsewhere (http.rs:296)
+      assert(mapper.readTree(get(s"$base/").body()).get("status").asText() == "ok")
+      assert(get(s"$base/nope").statusCode() == 404)
+
+      // ---- raw-SQL body on /sql (reference accepts json OR plain text)
+      val rawSql = post(s"$base/sql", "SELECT dc FROM tsdbm", "text/plain")
+      assert(mapper.readTree(rawSql.body()).get("rows").get(0)
+        .get("dc").asText() == "x", rawSql.body())
+
+      // ---- GET /route/<table>: single-node routing (route.rs shape)
+      val rt = mapper.readTree(get(s"$base/route/tsdbm").body())
+      assert(rt.get("routes").size() == 1)
+      assert(rt.get("routes").get(0).get("table").asText() == "tsdbm")
+      assert(rt.get("routes").get(0).get("endpoint").get("port").asInt() == srv.boundPort)
+      assert(mapper.readTree(get(s"$base/route/absent").body())
+        .get("routes").size() == 0)
+
+      // ---- POST /opentsdb/api/query: 2.x response array with dps
+      post(s"$base/opentsdb/api/put",
+        """[{"metric":"tsdbm","timestamp":1704067260,"value":1.5,"tags":{"dc":"x"}},
+          |{"metric":"tsdbm","timestamp":1704067260,"value":2.0,"tags":{"dc":"y"}}]""".stripMargin)
+      val oq = post(s"$base/opentsdb/api/query",
+        """{"start": 0, "end": 1704100000000,
+          | "queries": [{"metric": "tsdbm", "aggregator": "sum",
+          |   "filters": [{"type": "literal_or", "tagk": "dc",
+          |     "filter": "x|y", "groupBy": true}]}]}""".stripMargin)
+      assert(oq.statusCode() == 200, oq.body())
+      val oqJ = mapper.readTree(oq.body())
+      assert(oqJ.size() == 2, oq.body()) // one entry per dc group
+      val byDc = (0 until oqJ.size()).map { i =>
+        oqJ.get(i).get("tags").get("dc").asText() -> oqJ.get(i).get("dps")
+      }.toMap
+      assert(byDc("x").get("1704067200000").asDouble() == 3.5)
+      assert(byDc("x").get("1704067260000").asDouble() == 1.5)
+      assert(byDc("y").get("1704067260000").asDouble() == 2.0)
+      assert(oqJ.get(0).get("metric").asText() == "tsdbm")
+
       // ---- Prometheus instant query: engine table served as a metric
       val pi = get(s"$base/api/v1/query?query=cpu&time=1704067260")
       assert(pi.statusCode() == 200)
