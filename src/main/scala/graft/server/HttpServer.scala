@@ -107,7 +107,7 @@ final class GraftHttpServer(engine: TsdbEngine, port: Int = 0) {
 
   private def route(path: String)(h: HttpExchange => Unit): Unit =
     server.createContext(path, (x: HttpExchange) =>
-      try h(x)
+      try { countRequest(x.getRequestURI.getPath); h(x) }
       catch { case e: Throwable =>
         try json(x, s"""{"code":500,"message":${jstr(e.toString)}}""", 500)
         catch { case _: Throwable => () }
@@ -162,11 +162,45 @@ final class GraftHttpServer(engine: TsdbEngine, port: Int = 0) {
     }
   }
 
+  // request counters served by /metrics (reference http.rs:532 +
+  // metrics.rs dump — Prometheus text exposition)
+  private val requestCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+  private def countRequest(path: String): Unit =
+    requestCounts.computeIfAbsent(path,
+      _ => new java.util.concurrent.atomic.LongAdder()).increment()
+
   // home route: exact "/" answers {"status":"ok"} (http.rs:296-301);
   // the JDK server routes every otherwise-unmatched path here → 404
   route("/") { x =>
     if (x.getRequestURI.getPath == "/") json(x, """{"status":"ok"}""")
     else json(x, """{"code":404,"message":"not found"}""", 404)
+  }
+
+  // GET /metrics: Prometheus text exposition of server counters
+  // (http.rs:532; the reference dumps its global prometheus registry —
+  // here the server's own request counters + engine gauge)
+  route("/metrics") { x =>
+    val sb = new StringBuilder
+    sb.append("# TYPE graft_http_requests_total counter\n")
+    requestCounts.forEach { (p, c) =>
+      sb.append(s"""graft_http_requests_total{path="$p"} ${c.sum()}""").append('\n')
+    }
+    sb.append("# TYPE graft_engine_tables gauge\n")
+    sb.append(s"graft_engine_tables ${engine.catalog.list().size}\n")
+    respond(x, 200, sb.toString.getBytes(UTF_8), "text/plain; version=0.0.4")
+  }
+
+  // POST /debug/flush_memtable (http.rs:484-526): flushes every table's
+  // memtable to SSTs and answers {"success": [...], "failed": [...]}.
+  // This engine's write path is already durable parquet at append time —
+  // there is no memtable to flush — so every table trivially succeeds;
+  // the response shape (and "all data in SSTs afterwards" postcondition)
+  // match the reference.
+  route("/debug/flush_memtable") { x =>
+    val names = engine.catalog.list().sorted
+    json(x, names.map(jstr).mkString(
+      """{"success":[""", ",", """],"failed":[]}"""))
   }
 
   // GET /route/<table>: single-node routing — every existing table routes

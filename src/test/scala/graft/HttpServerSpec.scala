@@ -120,6 +120,21 @@ class HttpServerSpec extends SparkSpec {
       assert(byDc("y").get("1704067260000").asDouble() == 2.0)
       assert(oqJ.get(0).get("metric").asText() == "tsdbm")
 
+      // ---- POST /debug/flush_memtable: reference response shape; every
+      // table succeeds (writes are already durable at append time)
+      val fl = mapper.readTree(post(s"$base/debug/flush_memtable", "").body())
+      val flushed = (0 until fl.get("success").size())
+        .map(fl.get("success").get(_).asText()).toSet
+      assert(flushed.contains("cpu") && flushed.contains("tsdbm"), fl.toString)
+      assert(fl.get("failed").size() == 0)
+
+      // ---- GET /metrics: Prometheus text exposition with request counters
+      val mx = get(s"$base/metrics")
+      assert(mx.statusCode() == 200)
+      assert(mx.body().contains("# TYPE graft_http_requests_total counter"))
+      assert(mx.body().contains("""graft_http_requests_total{path="/sql"}"""))
+      assert(mx.body().contains("graft_engine_tables 2"), mx.body())
+
       // ---- Prometheus instant query: engine table served as a metric
       val pi = get(s"$base/api/v1/query?query=cpu&time=1704067260")
       assert(pi.statusCode() == 200)
