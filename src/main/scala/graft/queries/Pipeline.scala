@@ -1824,6 +1824,9 @@ object PipelineQueries {
           .join(cc, Seq("doc_id"), "left")
           .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
           .withColumn("split", TextAnalysis.hashSplit(col("cluster_id")))
+          // pinned: both the certificate below and the returned aggregate
+          // consume it — without this the CC pipeline runs twice
+          .localCheckpoint()
         val crossing = labeled.groupBy("cluster_id")
           .agg(countDistinct("split").as("__ns"))
           .filter(col("__ns") > 1).count()
