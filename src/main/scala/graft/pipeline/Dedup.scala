@@ -292,6 +292,63 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** LSH banding tuning sweep — the MinHash twin of
+    * [[graft.pipeline.Ivf.probeSweep]]: how many bands does this corpus
+    * need before the near-dup pass stops missing pairs? For each
+    * candidate band count the sweep runs the full banded pipeline on a
+    * deterministic hash-sample and reports pairs found relative to the
+    * most sensitive configuration (one minhash row per band — a pair is
+    * a candidate if ANY signature slot agrees, the recall ceiling of the
+    * signature), which uses the exact same shingle space, verification
+    * and threshold, so the curve is apples-to-apples by construction.
+    *
+    * Output per config: bands, rows_per_band, found_pairs, ref_pairs,
+    * recall_bp (relative recall in basis points — 10000 at bands =
+    * numHashes). All draws md5/xxhash-deterministic; sample size is the
+    * knob that bounds cost (the reference config's buckets are the
+    * densest). Every found set is exact-verified ≥ threshold, so
+    * precision is 1 throughout and recall is the whole tuning story. */
+  def lshTuningSweep(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64,
+      bandsChoices: Seq[Int] = Seq(4, 8, 16, 32),
+      threshold: Double = 0.8, samplePct: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // signatures are band-independent: ONE shingle+signature pass over
+    // the sample is shared by every configuration (recomputing it per
+    // config dominated the sweep's cost)
+    val sigs = df.filter(TextAnalysis.sampleBucket(
+        concat(col(idCol).cast("string"), lit(":lshsweep")), 100) < samplePct)
+      .repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sh"))
+      .withColumn("sig", TextAnalysis.minhashSignature(col("sh"), numHashes))
+      .localCheckpoint()
+    def pairsAt(bands: Int): Long = {
+      val banded = sigs.select(col("id"), posexplode(
+        TextAnalysis.minhashBands(col("sig"), bands, numHashes / bands))
+        .as(Seq("band", "key")))
+      val candidates = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      candidates
+        .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= threshold)
+        .count()
+    }
+    val refN = pairsAt(numHashes)
+    val rows = bandsChoices.filter(numHashes % _ == 0).sorted.map { b =>
+      val n = pairsAt(b)
+      (b, numHashes / b, n, refN, if (refN == 0) 10000L else n * 10000 / refN)
+    } :+ ((numHashes, 1, refN, refN, 10000L))
+    rows.toDF("bands", "rows_per_band", "found_pairs", "ref_pairs", "recall_bp")
+  }
+
   /** Incremental connected components: fold ONE new batch's near-dup
     * pairs into a persisted `(id, cluster_id)` assignment, touching only
     * the clusters the batch actually reaches. The continual-ingestion

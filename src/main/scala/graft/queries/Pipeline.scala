@@ -1879,7 +1879,19 @@ object PipelineQueries {
     GraftQuery("q256_ivf_probe_sweep", None,
       (s, dir) => graft.pipeline.Ivf.probeSweep(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir),
-        k = 10, nlist = 16, nprobes = Seq(1, 2, 4, 8, 16)))
+        k = 10, nlist = 16, nprobes = Seq(1, 2, 4, 8, 16))),
+
+    // ---- LSH banding sweep (Dedup.lshTuningSweep): relative recall per
+    //      band count against the one-row-per-band ceiling — the dedup
+    //      deployment's tuning curve (q55's bands=16 operating point read
+    //      off this curve). Banded candidate sets NEST along the doubling
+    //      chain, so recall is provably monotone (spec-asserted).
+    //      minhash-derived → rows-only.
+    GraftQuery("q258_lsh_tuning_sweep", None,
+      (s, dir) => graft.pipeline.Dedup.lshTuningSweep(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 64, bandsChoices = Seq(4, 8, 16, 32),
+        threshold = 0.8, samplePct = 5))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

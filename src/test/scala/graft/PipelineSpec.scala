@@ -249,6 +249,22 @@ class PipelineSpec extends SparkSpec {
       s"recall must be monotone: $sweep")
   }
 
+  test("LSH tuning sweep: recall monotone along the doubling chain, ceiling at 1-row bands") {
+    val docs = Tables.t(spark, dir, "documents")
+    val sweep = Dedup.lshTuningSweep(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 64, bandsChoices = Seq(4, 8, 16, 32),
+        threshold = 0.8, samplePct = 40)
+      .orderBy("bands")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    assert(sweep.map(_._1).toSeq == Seq(4, 8, 16, 32, 64))
+    assert(sweep.map(_._2).toSeq == Seq(16, 8, 4, 2, 1))
+    // candidate sets nest along 4|8|16|32|64 → found counts non-decreasing
+    assert(sweep.map(_._3).toSeq == sweep.map(_._3).toSeq.sorted, sweep.mkString(","))
+    assert(sweep.last._4 == 10000L)
+    // every config's recall_bp is ≤ the ceiling
+    assert(sweep.forall(_._4 <= 10000L))
+  }
+
   test("embedding near-dup: LSH finds perturbed twins; exact pairs match a local recompute") {
     import spark.implicits._
     val base = embs.limit(20).select(col("vec_id"), col("embedding"))
