@@ -414,6 +414,17 @@ object Relational {
       (s, dir) => graft.operators.JoinStats.exactJoinCardinality(
         t(s, dir, "orders").withColumnRenamed("o_orderkey", "k"),
         t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k"),
+        "k")),
+
+    // ---- join-strategy advisor (operators/JoinAdvisor): the skew +
+    //      cardinality reports composed into the broadcast/salt/shuffle
+    //      decision with its justifying numbers. Byte estimates come
+    //      from a bounded row sample → rows-only at the gate
+    //      (decision table spec'd in OperatorsSpec).
+    GraftQuery("q259_join_advice", None,
+      (s, dir) => graft.operators.JoinAdvisor.adviseDf(
+        t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k"),
+        t(s, dir, "orders").withColumnRenamed("o_orderkey", "k"),
         "k"))
   )
 }

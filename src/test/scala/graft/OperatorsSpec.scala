@@ -1098,6 +1098,30 @@ class OperatorsSpec extends SparkSpec {
     assert(heavy == Seq(("a", 6L, 6000L), ("b", 2L, 2000L)), heavy.toString)
   }
 
+  test("join advisor: broadcast small sides, salt skew, shuffle otherwise") {
+    import spark.implicits._
+    import graft.operators.JoinAdvisor
+    val small = (1L to 50L).map(i => (i, s"d$i")).toDF("k", "name")
+    val big = (1L to 50L).flatMap(i => Seq.fill(20)((i, i * 2.0))).toDF("k", "v")
+
+    // small side fits the budget → broadcast it
+    val a1 = JoinAdvisor.advise(big, small, "k")
+    assert(a1.strategy == "broadcast_right", a1.toString)
+    assert(a1.joinRows == 1000)
+
+    // force past broadcast with a tiny budget; uniform keys → shuffle
+    val a2 = JoinAdvisor.advise(big, big, "k", broadcastBytes = 1L)
+    assert(a2.strategy == "shuffle", a2.toString)
+    assert(a2.skewLeftX100 == 100) // perfectly uniform
+
+    // one dominant key → salt, factor from the measured straggler ratio
+    val skewed = ((1L to 50L) ++ Seq.fill(950)(7L)).map(i => (i, i)).toDF("k", "v")
+    val a3 = JoinAdvisor.advise(skewed, big, "k", broadcastBytes = 1L,
+      saltAbove = 400L)
+    assert(a3.strategy == "salt", a3.toString)
+    assert(a3.saltFactor > 1 && a3.saltFactor <= 64)
+  }
+
   test("join cardinality: exact sum of per-key products; sampled estimate sane") {
     import spark.implicits._
     // a: k1×3, k2×1, k3×2; b: k1×2, k2×5, k4×1
