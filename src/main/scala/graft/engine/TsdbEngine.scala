@@ -684,6 +684,11 @@ final class TsdbEngine(
     val (fragmented, healthy) =
       inventory.partition(_._2.size > maxFilesPerSegment)
     val filesBefore = inventory.map(_._2.size.toLong).sum
+    // nothing fragmented → NO generation flip: a periodic maintenance
+    // loop must be free to call this every batch without churning
+    // link-trees for an already-healthy table
+    if (fragmented.isEmpty)
+      return (leaves.size.toLong, 0L, filesBefore, filesBefore)
     healthy.foreach { case (leaf, files) =>
       val dst = nextRoot.resolve(curRoot.relativize(leaf))
       Files.createDirectories(dst)
@@ -765,6 +770,29 @@ final class TsdbEngine(
     * past the TTL horizon — segment k covers [k·seg, (k+1)·seg), expired
     * when (k+1)·seg <= now - ttl (reference: table/data.rs:744 is_expired).
     * Returns the dropped segment ids. */
+  /** One maintenance tick for a steadily-ingesting table — the call a
+    * `foreachBatch` sink (or a cron) makes after appends: fold pending
+    * batches into the base when enough accumulated ([[maybeCompact]] —
+    * dedup/TTL applied, seq floor advanced), otherwise bin-pack any
+    * fragmented segments ([[compactSmallFiles]] — purely physical; a
+    * no-op when every segment is healthy, so calling this every batch is
+    * free). Logical compaction subsumes the physical pass (its rewrite
+    * already packs), hence the either/or.
+    *
+    * Returns (compacted, segmentsRewritten) for the maintenance log. */
+  def runMaintenance(
+      name: String, minBatches: Long = 16, maxFilesPerSegment: Int = 32,
+      targetBytes: Long = 128L << 20,
+      nowMs: Long = System.currentTimeMillis()): (Boolean, Long) = {
+    val compacted = maybeCompact(name, minBatches, nowMs)
+    if (compacted) (true, 0L)
+    else {
+      val (_, rewritten, _, _) =
+        compactSmallFiles(name, maxFilesPerSegment, targetBytes)
+      (false, rewritten)
+    }
+  }
+
   /** Consistent table snapshot → a portable directory (manifest + the
     * immutable current data generation, hard-linked where possible). See
     * [[GraftCatalog.exportSnapshot]]; serialized against writers. */

@@ -508,6 +508,34 @@ class TsdbEngineSpec extends SparkSpec {
     assert(!scansRollup() && snap().nonEmpty)
   }
 
+  test("maintenance tick: pack when fragmented, no-op when healthy, compact when due") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE mt (host string TAG, v double, t timestamp NOT NULL,
+        |  timestamp KEY(t))
+        | ENGINE=Analytic WITH (update_mode='overwrite', segment_duration='1h')""".stripMargin)
+    def gen = e.catalog.compactionState("mt")._1
+    val h0 = 1704067200000L
+    (0 until 2).foreach(i =>
+      e.execute(s"INSERT INTO mt (t, host, v) VALUES (${h0 + i}, 'a', $i.0)"))
+    // healthy (2 files ≤ 2): the tick is a FREE no-op — no generation flip
+    val g0 = gen
+    assert(e.runMaintenance("mt", minBatches = 99, maxFilesPerSegment = 2)
+      == ((false, 0L)))
+    assert(gen == g0, "no-op maintenance must not flip the generation")
+    // four more appends fragment the segment → the tick bin-packs it
+    (2 until 6).foreach(i =>
+      e.execute(s"INSERT INTO mt (t, host, v) VALUES (${h0 + i}, 'a', $i.0)"))
+    val (c1, rw1) = e.runMaintenance("mt", minBatches = 99, maxFilesPerSegment = 2)
+    assert(!c1 && rw1 == 1L, s"($c1, $rw1)")
+    assert(gen == g0 + 1)
+    assert(e.read("mt").count() == 6)
+    // enough pending batches → the tick runs the LOGICAL compaction
+    val (c2, rw2) = e.runMaintenance("mt", minBatches = 1, maxFilesPerSegment = 2)
+    assert(c2 && rw2 == 0L)
+    assert(e.read("mt").count() == 6)
+  }
+
   test("maybeCompact triggers on accumulated batches only") {
     val e = engine()
     e.execute(
