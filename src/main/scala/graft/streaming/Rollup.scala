@@ -61,7 +61,13 @@ object Rollup {
       engine: TsdbEngine, dir: String, glob: String, schema: StructType,
       nanosTs: Boolean, tsCol: String, tagCol: String, valueCol: String,
       windowDur: String, watermarkDelay: String, table: String,
-      partitionByKey: Option[Int] = None): DataFrame = {
+      partitionByKey: Option[Int] = None,
+      // opt-in per-batch maintenance tick: (minBatches for logical
+      // compaction, maxFilesPerSegment for the physical pass). Safe to run
+      // every micro-batch — the tick is a free no-op on a healthy table —
+      // so a long-running stream never accumulates small files or an
+      // unbounded dedup window.
+      maintain: Option[(Long, Int)] = None): DataFrame = {
     val spark = engine.spark
     val partClause =
       partitionByKey.fold("")(n => s"PARTITION BY KEY($tagCol) PARTITIONS $n")
@@ -88,7 +94,12 @@ object Rollup {
         .outputMode("update")
         .option("checkpointLocation",
           engine.catalog.checkpointDir(table))
-        .foreachBatch { (batch: DataFrame, _: Long) => engine.append(table, batch) }
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          engine.append(table, batch)
+          maintain.foreach { case (minB, maxF) =>
+            engine.runMaintenance(table, minB, maxF)
+          }
+        }
         .start()
       q.awaitTermination()
     }

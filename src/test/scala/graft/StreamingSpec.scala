@@ -138,6 +138,25 @@ class StreamingSpec extends SparkSpec {
       (base + 5 * min, "b", None)), out.toString)
   }
 
+  test("streaming maintenance tick: sink table compacts during ingest, results unchanged") {
+    val src = tmpDir("maint-src")
+    writeSource(src, Seq(
+      (base + min, "a", "x", 1.0), (base + 2 * min, "a", "x", 2.0),
+      (base + 61 * min, "b", "x", 20.0)))
+    val e = new TsdbEngine(spark, tmpDir("maint-wh"))
+    val read = graft.streaming.Rollup.windowedRollupToTable(
+      e, src, "*.parquet", schema, nanosTs = false,
+      "ts", "key", "v", "1 hour", "2 hours", "roll_mt",
+      maintain = Some((1L, 1)))
+    assert(read.orderBy("key").collect().map(r =>
+      (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      == Seq(("a", 2L, 3.0), ("b", 1L, 20.0)))
+    // the per-batch tick ran the logical compaction: seq floor advanced,
+    // so the read needs no dedup window over the compacted base
+    assert(e.catalog.compactionState("roll_mt")._2 > 0L,
+      e.catalog.compactionState("roll_mt").toString)
+  }
+
   test("partitioned streaming sink: rollup lands in bucket dirs, reads prune") {
     val src = tmpDir("psink-src")
     writeSource(src, Seq(
