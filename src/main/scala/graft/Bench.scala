@@ -89,7 +89,7 @@ object Bench {
       java.nio.file.Paths.get("target/bench_full.json"),
       line(results, 0.0) + "\n")
     catch { case _: Throwable => () }
-    val budget = 1600 // chars; leaves room for sbt's prefix + epilogue lines
+    val budget = 1400 // chars; leaves room for sbt's prefix + epilogue lines
     var keep = results.sortBy(-_._2)
     var rest = 0.0
     var out = line(keep.sortBy(_._1), rest)
