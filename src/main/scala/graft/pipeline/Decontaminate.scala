@@ -148,4 +148,42 @@ object Decontaminate {
         sum(when(col("__rep").isNotNull, 1).otherwise(0)).as("n_repeated"))
       .withColumn("repeated_frac", col("n_repeated") / col("n_grams"))
   }
+
+  /** SEMANTIC decontamination: training vectors whose embedding is
+    * near-identical to any benchmark/test vector (paraphrased test
+    * leakage that n-gram overlap misses — the embedding-space
+    * complement of [[contaminated]]).
+    *
+    * Scale shape: the benchmark side is small by definition, so it
+    * broadcasts and the train side streams map-only through a
+    * broadcast nested-loop join — exact (no LSH recall loss), no
+    * shuffle of train vectors; only pairs over the threshold reach the
+    * per-train-id rollup (combine-enabled keyed agg). Exactness also
+    * makes the operator oracle-checkable, unlike the LSH path
+    * ([[Similarity.nearDupPairs]]) it complements at corpus×corpus scale.
+    *
+    * Output per contaminated train id: hit count and max cosine. */
+  def semanticContamination(
+      train: DataFrame, trainIdCol: String, trainEmbCol: String,
+      bench: DataFrame, benchEmbCol: String,
+      threshold: Double): DataFrame = {
+    def withNorm(df: DataFrame, emb: String, id: Option[String],
+                 prefix: String): DataFrame = {
+      val cols = id.map(c => col(c).as(s"${prefix}id")).toSeq ++ Seq(
+        col(emb).as(s"${prefix}emb"),
+        sqrt(aggregate(col(emb), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))
+          .as(s"${prefix}nrm"))
+      df.select(cols: _*)
+    }
+    val t = withNorm(train, trainEmbCol, Some(trainIdCol), "t_")
+    val b = withNorm(bench, benchEmbCol, None, "b_")
+    t.join(broadcast(b))
+      .withColumn("cosine", round(
+        graft.functions.DotProduct(col("t_emb"), col("b_emb")) /
+          (col("t_nrm") * col("b_nrm")), 4))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("t_id").as(trainIdCol))
+      .agg(count(lit(1)).as("n_hits"), max("cosine").as("max_cosine"))
+  }
 }

@@ -1891,7 +1891,49 @@ object PipelineQueries {
       (s, dir) => graft.pipeline.Dedup.lshTuningSweep(
         t(s, dir, "documents"), "doc_id", "text",
         shingleK = 3, numHashes = 64, bandsChoices = Seq(4, 8, 16, 32),
-        threshold = 0.8, samplePct = 5))
+        threshold = 0.8, samplePct = 5)),
+
+    // ---- systematic PPS sampling (pipeline/Sampling): draw k=50 docs
+    //      proportionally to n_chars via midpoint strata on the cumulative
+    //      weight line — pure integer arithmetic, so the oracle replays the
+    //      draw bit-exactly (deterministic sibling of the q117 Gumbel draw);
+    //      cumsum is the two-phase distributed prefix scan
+    GraftQuery("q262_pps_sample",
+      Some("""WITH d AS (SELECT doc_id, n_chars::BIGINT AS w,
+             |    sum(n_chars::BIGINT) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM documents),
+             |s AS (SELECT sum(w)::BIGINT AS tw FROM d)
+             |SELECT doc_id, w,
+             |  (least(50, (100 * cum + tw) // (2 * tw))
+             |   - least(50, (100 * (cum - w) + tw) // (2 * tw)))::BIGINT AS n_hits
+             |FROM d CROSS JOIN s
+             |WHERE least(50, (100 * cum + tw) // (2 * tw))
+             |    > least(50, (100 * (cum - w) + tw) // (2 * tw))""".stripMargin),
+      (s, dir) => graft.pipeline.Sampling.systematicPps(
+        t(s, dir, "documents"), "doc_id", "n_chars", k = 50)),
+
+    // ---- semantic decontamination (Decontaminate.semanticContamination):
+    //      train vectors near-identical to any held-out/benchmark vector
+    //      (vec_id % 50 = 0 plays the benchmark set) — broadcast the small
+    //      bench side, exact cosine map-side, rollup only over-threshold
+    //      pairs; exactness is what makes it oracle-checkable
+    GraftQuery("q263_semantic_decontaminate",
+      Some("""WITH b AS (SELECT embedding FROM embeddings WHERE vec_id % 50 = 0),
+             |t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+             |p AS (SELECT t.vec_id,
+             |    round(list_cosine_similarity(t.embedding::DOUBLE[],
+             |                                 b.embedding::DOUBLE[]), 4) AS c
+             |  FROM t CROSS JOIN b)
+             |SELECT vec_id, count(*) AS n_hits, max(c) AS max_cosine
+             |FROM p WHERE c >= 0.25 GROUP BY vec_id""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Decontaminate.semanticContamination(
+          emb.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 50 === 0), "embedding",
+          threshold = 0.25)
+      })
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

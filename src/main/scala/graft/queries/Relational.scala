@@ -425,6 +425,35 @@ object Relational {
       (s, dir) => graft.operators.JoinAdvisor.adviseDf(
         t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k"),
         t(s, dir, "orders").withColumnRenamed("o_orderkey", "k"),
-        "k"))
+        "k")),
+
+    // ---- PIVOT: wide crosstab via RelationalGroupedDataset.pivot with
+    //      EXPLICIT pivot values — at scale the values list must be declared
+    //      (or Spark runs a distinct scan just to discover column names);
+    //      single shuffle, same cost as the groupBy it sugar-coats
+    GraftQuery("q260_pivot",
+      Some("""SELECT o_orderpriority,
+             |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+             |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+             |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))),
+
+    // ---- UNPIVOT (melt): wide→long without a join or shuffle — each input
+    //      row expands map-side into one row per value column
+    GraftQuery("q261_unpivot",
+      Some("""SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
+             |FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'p_size' AS attr, p_size::DOUBLE AS val
+             |FROM part""".stripMargin),
+      (s, dir) => t(s, dir, "part")
+        .withColumn("p_size", col("p_size").cast("double"))
+        .unpivot(Array(col("p_partkey")),
+                 Array(col("p_retailprice"), col("p_size")),
+                 "attr", "val"))
   )
 }

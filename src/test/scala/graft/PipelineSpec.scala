@@ -1482,4 +1482,54 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
+
+  test("systematic PPS: exactly k hits, heavy items draw multiplicity, integer-deterministic") {
+    import spark.implicits._
+    val k = 7
+    // one heavy doc (weight > 2 strides) among light ones
+    val rows = Seq((1L, 10L), (2L, 10L), (3L, 300L), (4L, 10L), (5L, 10L),
+                   (6L, 10L), (7L, 10L), (8L, 10L), (9L, 10L), (10L, 10L))
+      .toDF("doc_id", "wt")
+    val out = Sampling.systematicPps(rows, "doc_id", "wt", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum == k, out.mkString(","))
+    val hits = out.map(t => t._1 -> t._3).toMap
+    // heavy doc covers 300/390 of the line -> at least floor(k*300/390)=5 hits
+    assert(hits(3L) >= 5, hits.toString)
+    // sequential reference: same midpoint-boundary walk on the driver
+    val ws = (1L to 10L).map(i => i -> (if (i == 3L) 300L else 10L))
+    val W = ws.map(_._2).sum
+    var cum = 0L
+    val ref = ws.flatMap { case (id, w) =>
+      val g1 = math.min(k.toLong, (2L * k * (cum + w) + W) / (2L * W))
+      val g0 = math.min(k.toLong, (2L * k * cum + W) / (2L * W))
+      cum += w
+      if (g1 > g0) Some(id -> (g1 - g0)) else None
+    }.toMap
+    assert(hits == ref, s"spark=$hits ref=$ref")
+    // zero-weight rows can never be selected
+    val withZero = rows.unionAll(Seq((11L, 0L)).toDF("doc_id", "wt"))
+    val out2 = Sampling.systematicPps(withZero, "doc_id", "wt", k)
+    assert(out2.filter(col("doc_id") === 11L).count() == 0)
+    assert(out2.agg(sum("n_hits")).head().getLong(0) == k)
+  }
+
+  test("semantic decontamination: exact-dup train vec flagged, orthogonal not; bench broadcasts") {
+    import spark.implicits._
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val e3 = Array(0.9f, 0.1f, 0.0f, 0.0f) // cos vs e1 = 0.9939
+    val train = Seq((10L, e1), (11L, e2), (12L, e3)).toDF("vec_id", "embedding")
+    val bench = Seq((1L, e1)).toDF("bid", "embedding")
+    val out = Decontaminate.semanticContamination(
+      train, "vec_id", "embedding", bench, "embedding", threshold = 0.9)
+    val got = out.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(10L, 12L), got.toString)
+    assert(got(10L) == 1.0 && got(12L) > 0.99, got.toString)
+    // scale shape: the bench side must broadcast (no shuffle of train vectors
+    // into a cartesian) - exact operator, broadcast nested-loop plan
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin"), phys.take(2000))
+    assert(!phys.contains("CartesianProduct"), phys.take(2000))
+  }
 }
