@@ -395,4 +395,33 @@ object SeriesStats {
         timestamp_micros(col("__e")).as("gap_end"),
         col("gap_us"))
   }
+
+  /** Out-of-order-arrival report — the telemetry that sizes a streaming
+    * watermark (and the engine's dedup-window): per series, how many
+    * points arrived with an event time BEHIND the series' running
+    * maximum (in arrival order = `arrivalCol`, the producer sequence),
+    * and how far behind the worst one was. A watermark shorter than
+    * `max_late_us` silently drops data; `late_bp` (basis points) says
+    * whether lateness is endemic or a stray producer.
+    *
+    * One keyed window in arrival order — parallel across series, no
+    * global sort; all integer µs arithmetic, engine-replayable. */
+  def latenessReport(
+      df: DataFrame, keyCol: String, tsCol: String,
+      arrivalCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("series")).orderBy(col("__arr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(keyCol).as("series"), unix_micros(col(tsCol)).as("__us"),
+        col(arrivalCol).as("__arr"))
+      .withColumn("__mx", max("__us").over(w))
+      .withColumn("__late", col("__mx").isNotNull && col("__us") < col("__mx"))
+      .groupBy("series")
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(when(col("__late"), 1L).otherwise(0L)).as("n_late"),
+        coalesce(max(when(col("__late"), col("__mx") - col("__us"))), lit(0L))
+          .as("max_late_us"))
+      .withColumn("late_bp", expr("(10000 * n_late) div n_points"))
+  }
 }

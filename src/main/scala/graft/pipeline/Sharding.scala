@@ -152,4 +152,67 @@ object Sharding {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")
       .parquet(outDir)
+
+  /** Surgical tombstone rewrite — the right-to-be-forgotten / takedown
+    * primitive: remove a (small) id list from an already-released sharded
+    * corpus WITHOUT touching the unaffected shards. At 100 TB deleting a
+    * few hundred documents must cost O(affected shards), not a corpus
+    * rewrite — the Iceberg/Delta partition-overwrite pattern on plain
+    * parquet dirs:
+    *
+    *   1. broadcast the tombstone ids into a semi-join over the shard
+    *      store to learn WHICH shard partitions contain them (the scan
+    *      reads only the id column);
+    *   2. re-read just those partitions (partition-pruned by `shard=K`),
+    *      anti-join the tombstones, and stage the survivors
+    *      (localCheckpoint pins only affected-shard rows);
+    *   3. overwrite only those partition dirs (dynamic partition
+    *      overwrite), leaving every clean shard's files byte-identical.
+    *
+    * Returns the rewrite audit derived from the ACTUAL staged data (not a
+    * re-derived assignment): per affected shard, docs removed + remaining. */
+  def deleteRewrite(
+      spark: org.apache.spark.sql.SparkSession, shardDir: String,
+      idCol: String, tombstones: DataFrame): DataFrame = {
+    import spark.implicits._
+    val corpus = spark.read.parquet(shardDir)
+    val tomb = tombstones.select(col(idCol)).distinct()
+    val affected = corpus.join(broadcast(tomb), Seq(idCol), "left_semi")
+      .select("shard").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by |tombstones|
+    if (affected.isEmpty)
+      return Seq.empty[(Int, Long, Long)]
+        .toDF("shard", "docs_removed", "docs_remaining")
+    val hit = corpus.filter(col("shard").isin(affected.map(Int.box): _*))
+      .join(broadcast(tomb.withColumn("__dead", lit(true))), Seq(idCol), "left")
+      .withColumn("__dead", coalesce(col("__dead"), lit(false)))
+      .localCheckpoint() // staged: source files are about to be replaced
+    val audit = hit.groupBy("shard").agg(
+        sum(when(col("__dead"), 1L).otherwise(0L)).as("docs_removed"),
+        sum(when(col("__dead"), 0L).otherwise(1L)).as("docs_remaining"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val writer = hit.filter(!col("__dead")).drop("__dead")
+      .repartition(affected.length, col("shard"))
+      .sortWithinPartitions("seq")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try writer.write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(shardDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // a shard whose every doc was tombstoned writes no partition at all
+    // under dynamic overwrite — its stale dir must be dropped explicitly
+    val emptied = audit.filter(_._3 == 0L).map(_._1)
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(shardDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { k =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$shardDir/shard=$k"), true)
+      }
+    }
+    audit.toSeq.toDF("shard", "docs_removed", "docs_remaining")
+  }
 }

@@ -1933,6 +1933,33 @@ object PipelineQueries {
           emb.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
           emb.filter(col("vec_id") % 50 === 0), "embedding",
           threshold = 0.25)
+      }),
+
+    // ---- surgical tombstone rewrite (Sharding.deleteRewrite): remove a
+    //      takedown id list from a released sharded corpus by rewriting
+    //      ONLY the affected shard partitions (dynamic partition
+    //      overwrite) — O(affected shards), never a corpus rewrite. The
+    //      audit is derived from the staged data the rewrite actually
+    //      wrote; the oracle re-derives the md5 shard assignment.
+    GraftQuery("q264_tombstone_rewrite",
+      Some("""WITH k AS (SELECT doc_id, md5('g4' || doc_id::VARCHAR) AS key
+             |  FROM documents),
+             |r AS (SELECT doc_id, row_number() OVER (ORDER BY key) - 1 AS seq,
+             |    count(*) OVER () AS n FROM k),
+             |a AS (SELECT doc_id, ((seq * 16) // n)::INT AS shard FROM r)
+             |SELECT shard,
+             |  sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT AS docs_removed,
+             |  sum(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END)::BIGINT AS docs_remaining
+             |FROM a GROUP BY shard
+             |HAVING sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) > 0""".stripMargin),
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-tombstone").toString
+        graft.pipeline.Sharding.write(
+          t(s, dir, "documents"), "doc_id", salt = "g4", nShards = 16, out)
+        val tomb = t(s, dir, "documents")
+          .filter(col("doc_id") % 97 === 0).select("doc_id")
+        graft.pipeline.Sharding.deleteRewrite(s, out, "doc_id", tomb)
       })
   )
 

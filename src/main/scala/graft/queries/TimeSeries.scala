@@ -877,6 +877,27 @@ object TimeSeries {
       (s, dir) => graft.operators.SeriesStats.seriesGaps(
         t(s, dir, "events"), "event_type", "ts", "value", topK = 5)),
 
+    // ---- out-of-order-arrival report (SeriesStats.latenessReport): per
+    //      series, late-arrival count/fraction and worst lateness vs the
+    //      running event-time max in producer order (event_id) — the
+    //      telemetry that sizes a streaming watermark. One keyed window,
+    //      all integer µs.
+    GraftQuery("q265_lateness_report",
+      Some("""WITH o AS (SELECT event_type AS series, epoch_us(ts) AS us,
+             |    max(epoch_us(ts)) OVER (PARTITION BY event_type
+             |      ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+             |  FROM events)
+             |SELECT series, count(*) AS n_points,
+             |  sum(CASE WHEN mx IS NOT NULL AND us < mx THEN 1 ELSE 0 END)::BIGINT AS n_late,
+             |  coalesce(max(CASE WHEN mx IS NOT NULL AND us < mx
+             |    THEN mx - us END), 0)::BIGINT AS max_late_us,
+             |  (10000 * sum(CASE WHEN mx IS NOT NULL AND us < mx THEN 1 ELSE 0 END))
+             |    // count(*) AS late_bp
+             |FROM o GROUP BY series""".stripMargin),
+      (s, dir) => graft.operators.SeriesStats.latenessReport(
+        t(s, dir, "events"), "event_type", "ts", "event_id")),
+
     // ---- first/last-touch attribution (EventAnalytics.attribution):
     //      journey-reset semantics — each purchase attributes to the
     //      earliest (first_touch) / latest (last_touch) click-or-view

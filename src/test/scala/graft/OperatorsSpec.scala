@@ -1144,4 +1144,21 @@ class OperatorsSpec extends SparkSpec {
       .collect().head
     assert(half.getLong(0) % 2 == 0 && half.getLong(1) <= 2)
   }
+
+  test("lateness report: hand-computed late counts, worst lateness, basis points") {
+    import spark.implicits._
+    // series A in arrival order: ts 100, 200, 150(late by 50), 300, 120(late by 180)
+    // series B strictly increasing -> zero late
+    val rows = Seq(
+      ("A", 1L, 100L), ("A", 2L, 200L), ("A", 3L, 150L),
+      ("A", 4L, 300L), ("A", 5L, 120L),
+      ("B", 1L, 10L), ("B", 2L, 20L), ("B", 3L, 30L), ("B", 4L, 40L)
+    ).toDF("k", "arr", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = graft.operators.SeriesStats.latenessReport(rows, "k", "ts", "arr")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("A") == ((5L, 2L, 180L, 4000L)), out.toString) // 2/5 = 4000 bp
+    assert(out("B") == ((4L, 0L, 0L, 0L)), out.toString)
+  }
 }

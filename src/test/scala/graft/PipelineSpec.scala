@@ -1532,4 +1532,39 @@ class PipelineSpec extends SparkSpec {
     assert(phys.contains("BroadcastNestedLoopJoin"), phys.take(2000))
     assert(!phys.contains("CartesianProduct"), phys.take(2000))
   }
+
+  test("tombstone rewrite: ids gone, clean shards byte-untouched, emptied shard dir dropped") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-tomb-spec").toString
+    Sharding.write(docs, "doc_id", salt = "ts", nShards = 8, out)
+    val before = spark.read.parquet(out)
+    val beforeCount = before.count() // eager: `before` is stale post-rewrite
+    // pick one shard and tombstone ALL its docs (dir must vanish), plus two
+    // docs from another shard (partial rewrite); the rest stay untouched
+    val byShard = before.groupBy("shard").agg(collect_list("doc_id").as("ids"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val fullShard = byShard.keys.min
+    val partialShard = byShard.keys.max
+    val tombIds = byShard(fullShard) ++ byShard(partialShard).take(2)
+    val fileState = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .map(d => d.getName -> d.listFiles.map(f => (f.getName, f.lastModified, f.length)).toSet)
+      .toMap
+    val audit = Sharding.deleteRewrite(spark, out, "doc_id",
+        tombIds.toDF("doc_id"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit(fullShard) == (byShard(fullShard).size.toLong, 0L), audit.toString)
+    assert(audit(partialShard)._1 == 2L, audit.toString)
+    assert(audit.size == 2, audit.toString)
+    // emptied shard dir is gone; survivors readable; no tombstoned id remains
+    assert(!new java.io.File(s"$out/shard=$fullShard").exists())
+    val after = spark.read.parquet(out)
+    assert(after.filter(col("doc_id").isin(tombIds.map(Long.box): _*)).count() == 0)
+    assert(after.count() == beforeCount - tombIds.size)
+    // unaffected shard partitions: files byte-identical (same name/mtime/size)
+    val afterState = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .map(d => d.getName -> d.listFiles.map(f => (f.getName, f.lastModified, f.length)).toSet)
+      .toMap
+    val untouched = fileState.keySet -- Set(s"shard=$fullShard", s"shard=$partialShard")
+    untouched.foreach(k => assert(afterState(k) == fileState(k), s"shard $k was rewritten"))
+  }
 }
