@@ -411,7 +411,7 @@ object EngineE2E {
       Some("""SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
              |  event_type,
              |  count(*)::BIGINT AS n,
-             |  sum(CAST(round("value" * 1000, 0) AS BIGINT)) AS sum_milli
+             |  sum(CAST(round("value" * 1000, 0) AS BIGINT))::BIGINT AS sum_milli
              |FROM events GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
         val e = new TsdbEngine(s,
@@ -493,7 +493,7 @@ object EngineE2E {
       Some("""SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,
              |  event_type,
              |  count(*)::BIGINT AS n,
-             |  sum(CAST(round("value" * 1000, 0) AS BIGINT)) AS sum_milli
+             |  sum(CAST(round("value" * 1000, 0) AS BIGINT))::BIGINT AS sum_milli
              |FROM events GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
         val e = new TsdbEngine(s,
@@ -579,7 +579,7 @@ object EngineE2E {
     GraftQuery("q241_stream_static_join",
       Some("""SELECT 'tier' || (user_id % 3) AS tier, event_type,
              |  count(*)::BIGINT AS n,
-             |  sum(CAST(round("value" * 1000, 0) AS BIGINT)) AS sum_milli
+             |  sum(CAST(round("value" * 1000, 0) AS BIGINT))::BIGINT AS sum_milli
              |FROM events GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
         val schema = Tables.rawSchema(s, dir, "events")
@@ -657,7 +657,7 @@ object EngineE2E {
     GraftQuery("q257_small_file_compact",
       Some("""SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,
              |  count(*)::BIGINT AS n,
-             |  sum(CAST(round("value" * 1000, 0) AS BIGINT)) AS sum_milli
+             |  sum(CAST(round("value" * 1000, 0) AS BIGINT))::BIGINT AS sum_milli
              |FROM events WHERE event_type = 'click'
              |GROUP BY 1""".stripMargin),
       (s, dir) => {

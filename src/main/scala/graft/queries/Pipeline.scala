@@ -197,7 +197,7 @@ object PipelineQueries {
              |  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
              |  WHERE nd > 1)
              |SELECT g.doc_id, count(*) AS n_grams,
-             |  sum(CASE WHEN md.rep IS NOT NULL THEN 1 ELSE 0 END) AS n_repeated,
+             |  sum(CASE WHEN md.rep IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_repeated,
              |  round(sum(CASE WHEN md.rep IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4)
              |    AS repeated_frac
              |FROM g LEFT JOIN md USING (gram) GROUP BY g.doc_id""".stripMargin),

@@ -413,7 +413,7 @@ object Prom {
       """absent_over_time(events{event_type="no_such_type"}[1h])""",
       Some("""SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
              |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS ts,
-             |  1.0 AS "value"""".stripMargin)),
+             |  1.0::DOUBLE AS "value"""".stripMargin)),
 
     // ---- scalar(): per-step share of the across-series total
     q("q106_promql_scalar_share", "events * 100 / scalar(sum(events))",
@@ -493,7 +493,7 @@ object Prom {
              |      ORDER BY e.ts DESC, e."value" DESC LIMIT 1) AS v
              |  FROM grid g CROSS JOIN series s)
              |SELECT event_type, gts AS ts,
-             |  round(dayofweek(gts) * 100.0 + hour(gts), 4) AS "value"
+             |  round(dayofweek(gts) * 100.0 + hour(gts), 4)::DOUBLE AS "value"
              |FROM latest WHERE v IS NOT NULL""".stripMargin)),
 
     // ---- resets + changes (counter analysis): folded into one value
@@ -509,7 +509,7 @@ object Prom {
               |SELECT event_type, gts AS ts,
               |  round(sum(CASE WHEN pv IS NOT NULL AND v < pv THEN 1 ELSE 0 END)
               |    + 100.0 * sum(CASE WHEN pv IS NOT NULL AND v <> pv THEN 1 ELSE 0 END), 4)
-              |    AS "value"
+              |    ::DOUBLE AS "value"
               |FROM ordered GROUP BY event_type, gts""".stripMargin)),
 
     // ---- stddev aggregator (population, aggregations.go) over a trig
@@ -533,7 +533,7 @@ object Prom {
     q("q100_promql_absent", """absent(events{event_type="no_such_type"})""",
       Some("""SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
              |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS ts,
-             |  1.0 AS "value"""".stripMargin)),
+             |  1.0::DOUBLE AS "value"""".stripMargin)),
 
     // ---- comparison filter (alerting shape): instant values over 150
     q("q99_promql_threshold", "events > 150",

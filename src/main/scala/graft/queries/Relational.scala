@@ -339,7 +339,7 @@ object Relational {
     //      result-invisible. Prices sum as exact integer cents.
     GraftQuery("q231_bucketed_join",
       Some("""SELECT o.o_orderpriority, count(*)::BIGINT AS n,
-             |  sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS cents
+             |  sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS cents
              |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
              |GROUP BY 1""".stripMargin),
       (s, dir) => {

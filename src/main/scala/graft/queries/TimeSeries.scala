@@ -892,8 +892,8 @@ object TimeSeries {
              |  sum(CASE WHEN mx IS NOT NULL AND us < mx THEN 1 ELSE 0 END)::BIGINT AS n_late,
              |  coalesce(max(CASE WHEN mx IS NOT NULL AND us < mx
              |    THEN mx - us END), 0)::BIGINT AS max_late_us,
-             |  (10000 * sum(CASE WHEN mx IS NOT NULL AND us < mx THEN 1 ELSE 0 END))
-             |    // count(*) AS late_bp
+             |  ((10000 * sum(CASE WHEN mx IS NOT NULL AND us < mx THEN 1 ELSE 0 END))
+             |    // count(*))::BIGINT AS late_bp
              |FROM o GROUP BY series""".stripMargin),
       (s, dir) => graft.operators.SeriesStats.latenessReport(
         t(s, dir, "events"), "event_type", "ts", "event_id")),
@@ -941,7 +941,7 @@ object TimeSeries {
     GraftQuery("q236_range_window",
       Some("""SELECT event_type AS series, ts,
              |  count(*) OVER w AS n_6h,
-             |  sum(CAST(round("value" * 1000, 0) AS BIGINT)) OVER w AS sum_milli_6h
+             |  (sum(CAST(round("value" * 1000, 0) AS BIGINT)) OVER w)::BIGINT AS sum_milli_6h
              |FROM events
              |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
              |  RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin),
@@ -965,7 +965,7 @@ object TimeSeries {
       Some("""SELECT event_type,
              |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_band,
              |  count(*)::BIGINT AS n,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
              |FROM events
              |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
              |GROUP BY 1, 2""".stripMargin),
@@ -1033,7 +1033,7 @@ object TimeSeries {
              |      // (SELECT n FROM n) + 1 AS m_q
              |  FROM u)
              |SELECT (r_q * 100 + f_q * 10 + m_q)::BIGINT AS segment,
-             |  count(*)::BIGINT AS n_keys, sum(m) AS m_milli
+             |  count(*)::BIGINT AS n_keys, sum(m)::BIGINT AS m_milli
              |FROM k GROUP BY 1""".stripMargin),
       (s, dir) => graft.operators.EventAnalytics.rfmSegments(
         t(s, dir, "events"), "user_id", "ts", "event_type", "value",
