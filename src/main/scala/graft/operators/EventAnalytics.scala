@@ -205,4 +205,45 @@ object EventAnalytics {
       .groupBy("model", "touch_type")
       .agg(count(lit(1)).as("conversions"))
   }
+
+  /** Event-type co-occurrence with lift (market-basket association over
+    * behavioral baskets): a basket is the DISTINCT event types one user
+    * produced inside one time bucket; for every unordered type pair,
+    * support counts and lift = N·n_ab / (n_a·n_b), presented as an exact
+    * scaled integer (`lift_micro`) so the statistic is engine-replayable.
+    *
+    * Scale shape: basket extraction is one distinct (keyed shuffle on
+    * (user, bucket, type)); the pair join is a composite-key equi-join of
+    * the basket table with itself — per-basket cost is quadratic only in
+    * the number of DISTINCT types in that basket (bounded by the type
+    * vocabulary, not by event volume); singles counts broadcast back. */
+  def cooccurrenceLift(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      bucketUs: Long): DataFrame = {
+    val baskets = df
+      .select(col(userCol).as("__u"),
+        expr(s"unix_micros($tsCol) div ${bucketUs}L").as("__b"),
+        col(typeCol).as("__t"))
+      .distinct()
+      .localCheckpoint() // reused three times below; basket table is the
+                         // distinct (user,bucket,type) frame, far smaller
+                         // than the event stream
+    val nBaskets = baskets.select(col("__u"), col("__b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val singles = baskets.groupBy(col("__t")).agg(count(lit(1)).as("__n1"))
+    val x = baskets; val y = baskets.select(col("__u"), col("__b"),
+      col("__t").as("__t2"))
+    x.join(y, Seq("__u", "__b")).filter(col("__t") < col("__t2"))
+      .groupBy(col("__t").as("type_a"), col("__t2").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(singles).withColumnRenamed("__t", "type_a")
+        .withColumnRenamed("__n1", "n_a"), "type_a")
+      .join(broadcast(singles).withColumnRenamed("__t", "type_b")
+        .withColumnRenamed("__n1", "n_b"), "type_b")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("lift_micro",
+        expr("(1000000 * n_baskets * n_ab) div (n_a * n_b)"))
+      .select("type_a", "type_b", "n_ab", "n_a", "n_b", "n_baskets",
+        "lift_micro")
+  }
 }

@@ -898,6 +898,31 @@ object TimeSeries {
       (s, dir) => graft.operators.SeriesStats.latenessReport(
         t(s, dir, "events"), "event_type", "ts", "event_id")),
 
+    // ---- co-occurrence lift (EventAnalytics.cooccurrenceLift): market-
+    //      basket association over (user, hour) baskets of distinct event
+    //      types — support counts + lift as an exact scaled integer.
+    //      Basket self-join is quadratic only in per-basket distinct
+    //      types (vocabulary-bounded), singles broadcast.
+    GraftQuery("q266_cooccurrence_lift",
+      Some("""WITH b AS (SELECT DISTINCT user_id AS u,
+             |    epoch_us(ts) // 3600000000 AS bk, event_type AS t
+             |  FROM events),
+             |n AS (SELECT count(*)::BIGINT AS n_baskets
+             |  FROM (SELECT DISTINCT u, bk FROM b)),
+             |s AS (SELECT t, count(*)::BIGINT AS n1 FROM b GROUP BY t),
+             |p AS (SELECT x.t AS type_a, y.t AS type_b, count(*)::BIGINT AS n_ab
+             |  FROM b x JOIN b y ON x.u = y.u AND x.bk = y.bk AND x.t < y.t
+             |  GROUP BY 1, 2)
+             |SELECT p.type_a, p.type_b, p.n_ab,
+             |  sa.n1 AS n_a, sb.n1 AS n_b, n.n_baskets,
+             |  ((1000000 * n.n_baskets * p.n_ab) // (sa.n1 * sb.n1))::BIGINT
+             |    AS lift_micro
+             |FROM p JOIN s sa ON sa.t = p.type_a
+             |JOIN s sb ON sb.t = p.type_b CROSS JOIN n""".stripMargin),
+      (s, dir) => graft.operators.EventAnalytics.cooccurrenceLift(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        bucketUs = 3600000000L)),
+
     // ---- first/last-touch attribution (EventAnalytics.attribution):
     //      journey-reset semantics — each purchase attributes to the
     //      earliest (first_touch) / latest (last_touch) click-or-view

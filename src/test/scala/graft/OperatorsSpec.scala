@@ -1161,4 +1161,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out("A") == ((5L, 2L, 180L, 4000L)), out.toString) // 2/5 = 4000 bp
     assert(out("B") == ((4L, 0L, 0L, 0L)), out.toString)
   }
+
+  test("co-occurrence lift: hand-computed baskets, support and scaled lift") {
+    import spark.implicits._
+    // buckets of 100us; baskets: u1/b0 {a,b}, u1/b1 {a}, u2/b0 {a,b,c}, u3/b0 {b}
+    val rows = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "a"), // u1/b0 dup a collapses
+      (1L, 150L, "a"),
+      (2L, 40L, "a"), (2L, 50L, "b"), (2L, 60L, "c"),
+      (3L, 70L, "b")
+    ).toDF("u", "us", "t").withColumn("ts", timestamp_micros(col("us")))
+    val out = graft.operators.EventAnalytics.cooccurrenceLift(
+        rows, "u", "ts", "t", bucketUs = 100L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // N=4 baskets; n_a=3, n_b=3, n_c=1; ab in 2 baskets, ac 1, bc 1
+    assert(out(("a","b")) == ((2L, 3L, 3L, 4L, 888888L)), out.toString) // 4*2/(3*3)
+    assert(out(("a","c")) == ((1L, 3L, 1L, 4L, 1333333L)), out.toString)
+    assert(out(("b","c")) == ((1L, 3L, 1L, 4L, 1333333L)), out.toString)
+    assert(out.size == 3)
+  }
 }
