@@ -38,4 +38,25 @@ object Pii {
   /** Total PII hits across all classes (counted pre-redaction). */
   def piiCount(text: Column): Column =
     emailCount(text) + ipv4Count(text) + phoneCount(text)
+
+  /** k-anonymity / l-diversity release audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007): group the corpus by its quasi-identifier columns and
+    * flag every group that re-identifies (size < k) or lacks sensitive
+    * diversity (distinct sensitive values < l) — the privacy gate a
+    * dataset release runs after [[redact]] has handled direct identifiers.
+    *
+    * One keyed aggregation (count + count-distinct per group, both
+    * map-side-combinable), violating groups only — output is bounded by
+    * the violation count, not the corpus. All integer counts. */
+  def kAnonymityReport(
+      df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int, l: Int): org.apache.spark.sql.DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("violation",
+        when(col("group_size") < k && col("n_sensitive") < l, "k_and_l")
+          .when(col("group_size") < k, "k_anonymity")
+          .when(col("n_sensitive") < l, "l_diversity"))
+      .filter(col("violation").isNotNull)
 }

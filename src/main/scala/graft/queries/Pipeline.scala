@@ -1960,7 +1960,30 @@ object PipelineQueries {
         val tomb = t(s, dir, "documents")
           .filter(col("doc_id") % 97 === 0).select("doc_id")
         graft.pipeline.Sharding.deleteRewrite(s, out, "doc_id", tomb)
-      })
+      }),
+
+    // ---- k-anonymity / l-diversity release audit (Pii.kAnonymityReport):
+    //      quasi-identifiers = (event_type, hour, value band), sensitive =
+    //      user_id; groups with size < 5 or sensitive diversity < 3 are
+    //      the release blockers. One combinable keyed agg, violating
+    //      groups only, all integer counts.
+    GraftQuery("q267_k_anonymity",
+      Some("""WITH g AS (SELECT event_type, hour(ts) AS hh,
+             |    (floor("value")::BIGINT) // 100 AS vband,
+             |    count(*) AS group_size,
+             |    count(DISTINCT user_id) AS n_sensitive
+             |  FROM events GROUP BY 1, 2, 3)
+             |SELECT event_type, hh, vband, group_size, n_sensitive,
+             |  CASE WHEN group_size < 5 AND n_sensitive < 3 THEN 'k_and_l'
+             |       WHEN group_size < 5 THEN 'k_anonymity'
+             |       WHEN n_sensitive < 3 THEN 'l_diversity' END AS violation
+             |FROM g
+             |WHERE group_size < 5 OR n_sensitive < 3""".stripMargin),
+      (s, dir) => Pii.kAnonymityReport(
+        t(s, dir, "events")
+          .withColumn("hh", hour(col("ts")))
+          .withColumn("vband", expr("floor(value) div 100")),
+        Seq("event_type", "hh", "vband"), "user_id", k = 5, l = 3))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

@@ -1567,4 +1567,22 @@ class PipelineSpec extends SparkSpec {
     val untouched = fileState.keySet -- Set(s"shard=$fullShard", s"shard=$partialShard")
     untouched.foreach(k => assert(afterState(k) == fileState(k), s"shard $k was rewritten"))
   }
+
+  test("k-anonymity report: violation classes, passing groups excluded") {
+    import spark.implicits._
+    // group A: 5 rows, 3 users -> passes both; group B: 2 rows (k viol);
+    // group C: 6 rows but 1 user (l viol); group D: 1 row, 1 user (both)
+    val rows =
+      (1 to 5).map(i => ("A", i.toLong)) ++
+      Seq(("B", 1L), ("B", 2L), ("B", 3L)).take(2).map{case (g,u) => (g,u)} ++
+      (1 to 6).map(_ => ("C", 7L)) ++
+      Seq(("D", 9L))
+    val df = rows.toDF("qi", "user")
+    val out = Pii.kAnonymityReport(df, Seq("qi"), "user", k = 5, l = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(!out.contains("A"), out.toString)
+    assert(out("B") == ((2L, 2L, "k_and_l")), out.toString)
+    assert(out("C") == ((6L, 1L, "l_diversity")), out.toString)
+    assert(out("D") == ((1L, 1L, "k_and_l")), out.toString)
+  }
 }
