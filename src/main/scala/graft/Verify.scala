@@ -29,10 +29,21 @@ object Verify {
     // Inter-query isolation (same rationale as Bench.reclaim): drop
     // localCheckpoint/cache blocks left by each query so a ~190-query run
     // doesn't accumulate block-manager state and slow its own tail.
+    // SPARK_GRAFT_LINT=1: run the PlanLint scale audit over every query's
+    // physical plan before executing it — prints `[lint] name: rule detail`
+    // for the fatal anti-patterns (cartesian, single-partition window,
+    // unbounded global sort). Off by default; the driver never sets it.
+    val lint = sys.env.get("SPARK_GRAFT_LINT").contains("1")
     var sinceGc = 0
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        if (lint) graft.plans.PlanLint.lint(df).findings
+          .filter(f => Set("cartesian-product", "single-partition-window",
+            "global-sort-no-limit").contains(f.rule))
+          .foreach(f => println(s"[lint] $name: ${f.rule} ${f.detail}"))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
