@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property-style randomized tests (fixed seeds — reruns are identical)
+  * for the integer-exact kernels the oracle strategy rests on: whatever
+  * the input, the arithmetic must hold exactly, not just on the fixtures
+  * the battery happens to use.
+  */
+class PropertySpec extends SparkSpec {
+  graft.functions.GraftFunctions.register(spark)
+
+  test("systematic PPS: Σhits = k and matches the sequential reference on random weights") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 12) {
+      val n = 1 + rnd.nextInt(40)
+      val k = 1 + rnd.nextInt(20)
+      // include zero weights and heavy outliers
+      val ws = (1L to n.toLong).map(i => i -> (rnd.nextInt(4) match {
+        case 0 => 0L
+        case 1 => rnd.nextInt(5000).toLong
+        case _ => rnd.nextInt(50).toLong
+      }))
+      val total = ws.map(_._2).sum
+      if (total > 0) {
+        val out = pipeline.Sampling
+          .systematicPps(ws.toDF("id", "w"), "id", "w", k)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        assert(out.values.sum == k, s"k=$k ws=$ws got=$out")
+        // sequential reference walk of the same boundary formula
+        var cum = 0L
+        val ref = ws.flatMap { case (id, w) =>
+          val g1 = math.min(k.toLong, (2L * k * (cum + w) + total) / (2L * total))
+          val g0 = math.min(k.toLong, (2L * k * cum + total) / (2L * total))
+          cum += w
+          if (g1 > g0) Some(id -> (g1 - g0)) else None
+        }.toMap
+        assert(out == ref, s"k=$k ws=$ws")
+        ws.filter(_._2 == 0L).foreach { case (id, _) =>
+          assert(!out.contains(id), s"zero-weight $id selected") }
+      }
+    }
+  }
+
+  test("u64 arithmetic wraps exactly like BigInt mod 2^64") {
+    val rnd = new scala.util.Random(7)
+    val m = BigInt(1) << 64
+    def toU(b: BigInt): BigInt = ((b % m) + m) % m
+    def asLong(b: BigInt): Long = toU(b).toLong // two's-complement carrier
+    for (_ <- 1 to 15) {
+      val a = rnd.nextLong(); val b = rnd.nextLong()
+      val row = spark.sql(
+        s"SELECT u64_add(${a}L, ${b}L), u64_sub(${a}L, ${b}L), u64_mul(${a}L, ${b}L)")
+        .head()
+      assert(row.getLong(0) == asLong(toU(BigInt(a)) + toU(BigInt(b))), s"add $a $b")
+      assert(row.getLong(1) == asLong(toU(BigInt(a)) - toU(BigInt(b))), s"sub $a $b")
+      assert(row.getLong(2) == asLong(toU(BigInt(a)) * toU(BigInt(b))), s"mul $a $b")
+    }
+  }
+
+  test("time_bucket contains its input for fixed-width periods, any timestamp") {
+    val rnd = new scala.util.Random(11)
+    val periods = Seq("PT30S" -> 30000000L, "PT5M" -> 300000000L,
+      "PT2H" -> 7200000000L)
+    for (_ <- 1 to 10) {
+      // ±20 years around epoch, µs precision
+      val us = (rnd.nextLong() % (20L * 365 * 86400 * 1000000)).abs *
+        (if (rnd.nextBoolean()) 1 else -1)
+      for ((p, width) <- periods) {
+        val got = spark.sql(
+          s"SELECT unix_micros(time_bucket(timestamp_micros(${us}L), '$p'))")
+          .head().getLong(0)
+        assert(got <= us && us < got + width, s"$p us=$us bucket=$got")
+        assert(java.lang.Math.floorMod(got, width) == 0, s"$p misaligned: $got")
+      }
+    }
+  }
+
+  test("k-anonymity report never emits a compliant group, any data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 8) {
+      val rows = (1 to (5 + rnd.nextInt(60))).map(_ =>
+        (s"g${rnd.nextInt(6)}", rnd.nextInt(4).toLong))
+      val k = 2 + rnd.nextInt(4); val l = 1 + rnd.nextInt(3)
+      val df = rows.toDF("qi", "user")
+      val out = pipeline.Pii.kAnonymityReport(df, Seq("qi"), "user", k, l)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val truth = rows.groupBy(_._1).map { case (g, rs) =>
+        (g, rs.size.toLong, rs.map(_._2).distinct.size.toLong) }
+      out.foreach { case (g, sz, ns) =>
+        assert(sz < k || ns < l, s"compliant group emitted: $g")
+        assert(truth.exists(t => t == ((g, sz, ns))), s"counts wrong for $g") }
+      truth.filter(t => t._2 < k || t._3 < l).foreach { t =>
+        assert(out.exists(o => (o._1, o._2, o._3) == t), s"violation missed: $t") }
+    }
+  }
+}
