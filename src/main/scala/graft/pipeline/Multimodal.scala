@@ -93,6 +93,55 @@ object Multimodal {
     }.toDF("media_id", "chunk_idx", "offset", "chunk")
   }
 
+  /** Audio frame analysis — the VAD/energy pre-pass a speech-data
+    * pipeline runs before transcription: interpret the payload as
+    * little-endian int16 PCM (the STUB decode step — a real codec would
+    * decompress to PCM first; only this interpretation is fake, the
+    * framing and signal math are real), cut it into `frameSamples`-sample
+    * frames every `hopSamples`, and emit per frame:
+    *
+    *   - `rms_milli`: floor(1000·RMS) from the exact integer Σs² (IEEE
+    *     sqrt of an exact integer — deterministic everywhere),
+    *   - `zcr_bp`: zero crossings per frame in basis points (integer),
+    *   - `voiced`: rms_milli >= vadRmsMilli (the energy-gate VAD).
+    *
+    * Same per-partition batch shape as [[extractFeatures]]: one codec
+    * context per partition, frames streamed out — map-only, no shuffle;
+    * at 100 TB the frame stream parallelizes by media row. */
+  def audioFrames(
+      media: Dataset[MediaRow], frameSamples: Int, hopSamples: Int,
+      vadRmsMilli: Long): DataFrame = {
+    import media.sparkSession.implicits._
+    require(frameSamples > 0 && hopSamples > 0)
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.media.length / 2
+        val frames = if (n < frameSamples) 0 else (n - frameSamples) / hopSamples + 1
+        def sample(i: Int): Int = // int16 LE
+          ((r.media(2 * i + 1).toInt << 8) | (r.media(2 * i) & 0xff)).toShort.toInt
+        (0 until frames).iterator.map { f =>
+          val off = f * hopSamples
+          var sumSq = 0L; var crossings = 0L; var prevSign = 0
+          var i = 0
+          while (i < frameSamples) {
+            val s = sample(off + i)
+            sumSq += s.toLong * s
+            val sign = java.lang.Integer.signum(s)
+            if (sign != 0) {
+              if (prevSign != 0 && sign != prevSign) crossings += 1
+              prevSign = sign
+            }
+            i += 1
+          }
+          val rmsMilli =
+            math.floor(math.sqrt(sumSq.toDouble / frameSamples) * 1000).toLong
+          val zcrBp = 10000L * crossings / (frameSamples - 1)
+          (r.media_id, f, rmsMilli, zcrBp, rmsMilli >= vadRmsMilli)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "rms_milli", "zcr_bp", "voiced")
+  }
+
   /** Synthesize a media table from the documents fixture (text bytes as the
     * payload) — stands in for a real binary corpus in tests/benchmarks. */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

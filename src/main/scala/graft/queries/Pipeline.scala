@@ -1983,7 +1983,22 @@ object PipelineQueries {
         t(s, dir, "events")
           .withColumn("hh", hour(col("ts")))
           .withColumn("vband", expr("floor(value) div 100")),
-        Seq("event_type", "hh", "vband"), "user_id", k = 5, l = 3))
+        Seq("event_type", "hh", "vband"), "user_id", k = 5, l = 3)),
+
+    // ---- audio frame analysis (Multimodal.audioFrames): PCM16 framing +
+    //      integer RMS/zero-crossing + energy-gate VAD, per-partition
+    //      batch shape; per-media rollup. Binary parse not expressible in
+    //      the oracle → rows-only; signal math spec'd on a hand-built
+    //      sine/silence payload in PipelineSpec.
+    GraftQuery("q268_audio_frames", None,
+      (s, dir) => Multimodal.audioFrames(
+          Multimodal.fromDocuments(s, t(s, dir, "documents")),
+          frameSamples = 256, hopSamples = 128, vadRmsMilli = 50000)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("voiced"), 1L).otherwise(0L)).as("n_voiced"),
+          max("rms_milli").as("max_rms_milli"),
+          max("zcr_bp").as("max_zcr_bp")))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

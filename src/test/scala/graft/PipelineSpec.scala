@@ -1585,4 +1585,36 @@ class PipelineSpec extends SparkSpec {
     assert(out("C") == ((6L, 1L, "l_diversity")), out.toString)
     assert(out("D") == ((1L, 1L, "k_and_l")), out.toString)
   }
+
+  test("audio frames: sine RMS/ZCR exact, silence unvoiced, framing geometry") {
+    import spark.implicits._
+    // 1024 samples: first 512 a square wave (+A/-A alternating every 8
+    // samples), last 512 silence. Square wave RMS = A exactly.
+    val amp = 1000
+    val pcm = new Array[Byte](2048)
+    for (i <- 0 until 512) {
+      val v = if ((i / 8) % 2 == 0) amp else -amp
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", pcm, 0, 0, 16000),
+      Multimodal.MediaRow(2L, "image", pcm, 8, 8, 0) // filtered out
+    ).toDS()
+    val frames = Multimodal.audioFrames(media,
+        frameSamples = 256, hopSamples = 256, vadRmsMilli = 500000)
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // (1024-256)/256+1 = 4 frames; frames 0-1 squarewave, 2-3 silence
+    assert(frames.size == 4, frames.toString)
+    assert(frames(0)._1 == amp * 1000L, frames.toString) // RMS == A exactly
+    assert(frames(0)._3 && frames(1)._3, "square frames voiced")
+    assert(frames(2) == ((0L, 0L, false)) && frames(3) == ((0L, 0L, false)))
+    // square wave crosses every 8 samples: 256/8 - 1 crossings per frame?
+    // signs flip at i=8,16,...,248 -> 31 crossings; zcr = 10000*31/255
+    assert(frames(0)._2 == 10000L * 31 / 255, frames.toString)
+    // image row contributed nothing
+    assert(!Multimodal.audioFrames(media, 256, 256, 0)
+      .select("media_id").distinct().collect().map(_.getLong(0)).contains(2L))
+  }
 }
