@@ -196,7 +196,10 @@ object Dedup {
     val prefix = posting.join(dfreq, "tok")
       .withColumn("rk", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("tok"))))
-      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("ntok")) + 1)
+      // +2, not the exact-arithmetic bound's +1: (1.0 - t) underestimates
+      // in doubles at exact multiples of ntok, which would drop the last
+      // required prefix token and lose pairs (see containmentPairs)
+      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("ntok")) + 2)
       .select("tok", "id", "lang", "lenb")
 
     val cand = prefix.as("a").join(prefix.as("b"),
@@ -215,6 +218,65 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact CONTAINMENT pairs via the same prefix-filter argument as
+    * [[prefixFilteredJaccardPairs]]: C(A,B) = |A∩B| / |A| >= t for the
+    * smaller-set side A — the asymmetric near-dup Jaccard misses (a
+    * quote-expanded or boilerplate-wrapped document contains an older one
+    * almost verbatim while J stays low). No length-band blocking — unequal
+    * lengths are exactly the point; instead the contained side indexes its
+    * floor((1-t)·|A|)+1 rarest n-grams (if A∩B misses ALL of them,
+    * |A∩B| <= |A| − (⌊(1−t)|A|⌋+1) < t·|A| — lossless for any such
+    * subset; rarity ordering just keeps posting lists short) and joins
+    * them against the FULL posting list of the container side. Rare-token
+    * postings bound the candidate volume; verification is the native
+    * sorted-merge intersect kernel. Output: (id_contained, id_container,
+    * containment), direction smaller→larger (ties broken by id). */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      n: Int = 1, threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), col(langCol).as("lang"),
+        array_distinct(shingles(col(textCol), n)).as("sh"))
+      .withColumn("ntok", size(col("sh")))
+      .withColumn("v", sort_array(transform(col("sh"), t => xxhash64(t))))
+      .localCheckpoint()
+
+    val posting = docs.select(col("id"), col("lang"), col("ntok"),
+      explode(col("sh")).as("tok"))
+    val dfreq = posting.groupBy("tok").agg(count(lit(1)).as("df"))
+    // prefix size: the lossless bound is floor((1-t)·|A|)+1 in EXACT
+    // arithmetic — but (1.0 - 0.9) is 0.09999…98 in doubles, which
+    // understates (1-t)·|A| at exact multiples and silently drops the
+    // last required prefix token (measured: 28/17608 pairs lost at
+    // t=0.9). One extra token (+2) dominates the exact bound for every
+    // representable t at negligible candidate cost.
+    val prefix = posting.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("ntok")) + 2)
+      .select(col("tok"), col("id"), col("lang"), col("ntok"))
+
+    val cand = prefix.as("a").join(posting.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+        (col("a.ntok") < col("b.ntok") ||
+          (col("a.ntok") === col("b.ntok") && col("a.id") < col("b.id"))))
+      .select(col("a.id").as("id_contained"), col("b.id").as("id_container"))
+      .distinct()
+
+    cand
+      .join(docs.select(col("id").as("id_contained"), col("v").as("va"),
+        col("ntok").as("na")), "id_contained")
+      .join(docs.select(col("id").as("id_container"), col("v").as("vb")),
+        "id_container")
+      .withColumn("containment",
+        graft.functions.SortedIntersectSize(col("va"), col("vb"))
+          .cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_contained"), col("id_container"),
+        round(col("containment"), 4).as("containment"))
   }
 
   /** Connected components over a near-duplicate pair list: every doc in a

@@ -1990,6 +1990,26 @@ object PipelineQueries {
     //      batch shape; per-media rollup. Binary parse not expressible in
     //      the oracle → rows-only; signal math spec'd on a hand-built
     //      sine/silence payload in PipelineSpec.
+    // ---- containment (asymmetric) near-dup pairs (Dedup.containmentPairs):
+    //      |A∩B|/|A| >= 0.9 with A the smaller token set — the doc-inside-
+    //      doc duplication Jaccard misses. Prefix-filtered (lossless), no
+    //      length blocking, native sorted-intersect verify; oracle is the
+    //      exact all-pairs formulation.
+    GraftQuery("q269_containment_pairs",
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+             |  FROM documents)
+             |SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+             |  round(len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks), 4)
+             |    AS containment
+             |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+             |  AND (len(a.toks) < len(b.toks)
+             |    OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
+             |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks) >= 0.9""".stripMargin),
+      (s, dir) => Dedup.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text", "lang",
+        n = 1, threshold = 0.9)),
+
     GraftQuery("q268_audio_frames", None,
       (s, dir) => Multimodal.audioFrames(
           Multimodal.fromDocuments(s, t(s, dir, "documents")),

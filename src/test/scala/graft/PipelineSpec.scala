@@ -1617,4 +1617,30 @@ class PipelineSpec extends SparkSpec {
     assert(!Multimodal.audioFrames(media, 256, 256, 0)
       .select("media_id").distinct().collect().map(_.getLong(0)).contains(2L))
   }
+
+  test("containment pairs: subset doc scores 1.0 despite low jaccard; direction small->large") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      // contains ALL of doc 1's tokens plus 16 more: J = 4/20 = 0.2, C = 1.0
+      (2L, "en", "alpha beta gamma delta e f g h i j k l m n o p q r s t"),
+      (3L, "en", "completely different words entirely here now today folks"),
+      (4L, "de", "alpha beta gamma delta") // other lang: blocked
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.containmentPairs(corpus, "doc_id", "text", "lang",
+        n = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSet == Set((1L, 2L, 1.0)), out.mkString(","))
+  }
+
+  test("prefix-filtered jaccard equals the exact blocked join on the fixture") {
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = key(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+      n = 1, threshold = 0.8))
+    val pp = key(Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text", "lang",
+      n = 1, threshold = 0.8))
+    assert(pp == exact, s"missing=${(exact -- pp).take(5)} extra=${(pp -- exact).take(5)}")
+    assert(exact.nonEmpty)
+  }
 }
