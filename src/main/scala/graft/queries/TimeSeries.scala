@@ -923,6 +923,34 @@ object TimeSeries {
         t(s, dir, "events"), "user_id", "ts", "event_type",
         bucketUs = 3600000000L)),
 
+    // ---- watermark audit (streaming/WatermarkAudit): replay events as 4
+    //      deterministic micro-batches through a watermarked hourly rollup
+    //      and report per-batch input vs watermark-dropped rows — how a
+    //      watermark choice (q265) is validated against real arrival
+    //      order. The fixture arrives perfectly ordered (q265: zero
+    //      lateness), so the audit simulates the classic straggler
+    //      producer: a deterministic 2% of events (xxhash64-selected)
+    //      upload 2 days late — far past the 30-minute watermark, so
+    //      they surface as per-batch drop counts. Engine progress
+    //      metrics → rows-only at the gate; exact drop semantics spec'd
+    //      in StreamingSpec.
+    GraftQuery("q270_watermark_audit", None,
+      (s, dir) => {
+        val staged = java.nio.file.Files
+          .createTempDirectory("graft-wm").toString
+        graft.streaming.WatermarkAudit.stageArrivalFiles(
+          t(s, dir, "events")
+            .withColumn("arrival_us", unix_micros(col("ts")) +
+              when(pmod(xxhash64(col("event_id")), lit(50L)) === 0,
+                lit(172800000000L)).otherwise(lit(0L)))
+            .select("arrival_us", "ts", "event_type"),
+          "arrival_us", nBatches = 4, staged)
+        val schema = s.read.parquet(s"$staged/part000.parquet").schema
+        graft.streaming.WatermarkAudit.audit(
+          s, staged, schema, "ts", "event_type",
+          delaySeconds = 1800L, windowSeconds = 3600)
+      }),
+
     // ---- first/last-touch attribution (EventAnalytics.attribution):
     //      journey-reset semantics — each purchase attributes to the
     //      earliest (first_touch) / latest (last_touch) click-or-view

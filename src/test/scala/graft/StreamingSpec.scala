@@ -226,4 +226,34 @@ class StreamingSpec extends SparkSpec {
     assert(out2.map(x => (x.tsUs, x.value, x.dev1e4)) ==
       out.map(x => (x.tsUs, x.value, x.dev1e4)))
   }
+
+  test("watermark audit: late row beyond delay is dropped and counted, in-delay late row is not") {
+    import spark.implicits._
+    // arrival order (arr), event time (sec): batch 1 advances the clock to
+    // 1000s; batch 2 carries one row 5s late (inside the 60s watermark ->
+    // kept) and batch 3 one row 500s late (window long closed -> dropped).
+    val rows = Seq(
+      (1L, 100L), (2L, 900L), (3L, 1000L),          // batch 1
+      (4L, 1010L), (5L, 995L),                      // batch 2: 5s late, kept
+      (6L, 1100L), (7L, 400L)                       // batch 3: 500s late, dropped
+    ).toDF("arr", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("tag", lit("t"))
+      .select("arr", "ts", "tag")
+    val dir = tmpDir("graft-wm-audit")
+    graft.streaming.WatermarkAudit.stageArrivalFiles(rows, "arr", 3, dir)
+    val schema = spark.read.parquet(s"$dir/part000.parquet").schema
+    val audit = graft.streaming.WatermarkAudit.audit(
+        spark, dir, schema, "ts", "tag", delaySeconds = 60L,
+        windowSeconds = 60)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(audit.length == 3, audit.mkString(","))
+    assert(audit.map(_._1).sum == 7, audit.mkString(","))  // all rows arrived
+    // authoritative data-derived lateness: only the 500s-late row in batch 3
+    // (the 5s-late row in batch 2 is inside the 60s delay)
+    assert(audit.map(_._2) sameElements Array(0L, 0L, 1L), audit.mkString(","))
+    // the engine's window-granular counter agrees here (the late row's
+    // window was long evicted, so it reaches the state op and is counted)
+    assert(audit.map(_._3) sameElements Array(0L, 0L, 1L), audit.mkString(","))
+  }
 }
