@@ -96,4 +96,39 @@ class PropertySpec extends SparkSpec {
         assert(out.exists(o => (o._1, o._2, o._3) == t), s"violation missed: $t") }
     }
   }
+
+  test("DDL round-trip: SHOW CREATE re-parses to an identical canonical form, random schemas") {
+    val rnd = new scala.util.Random(19)
+    val e = new graft.engine.TsdbEngine(spark, tmpDir("graft-ddl-prop"))
+    val tagTypes = Seq("string", "bigint", "int", "smallint", "tinyint",
+      "uint64", "uint32", "uint16", "uint8", "boolean", "varbinary")
+    val fieldTypes = tagTypes ++ Seq("double", "float", "date")
+    for (i <- 1 to 8) {
+      val nCols = 2 + rnd.nextInt(5)
+      val cols = Seq(s"t0 string TAG") ++ (1 to nCols).map { j =>
+        val isTag = rnd.nextBoolean()
+        val tpe = if (isTag) tagTypes(rnd.nextInt(tagTypes.length))
+                  else fieldTypes(rnd.nextInt(fieldTypes.length))
+        val dict = if (isTag && tpe == "string" && rnd.nextBoolean()) " DICTIONARY" else ""
+        val nn = if (rnd.nextBoolean()) " NOT NULL" else ""
+        val dflt = if (!isTag && tpe == "bigint" && rnd.nextBoolean()) " DEFAULT 7" else ""
+        s"c$j $tpe${if (isTag) " TAG" else ""}$dict$nn$dflt"
+      }
+      val pk = if (rnd.nextBoolean()) ", PRIMARY KEY(t0, ts)" else ""
+      val opts = Seq(
+        if (rnd.nextBoolean()) Some("update_mode='append'") else None,
+        if (rnd.nextBoolean()) Some("segment_duration='2h'") else None
+      ).flatten
+      val withClause = if (opts.isEmpty) "" else s" WITH (${opts.mkString(", ")})"
+      val ddl = s"CREATE TABLE rt$i (ts timestamp NOT NULL, " +
+        s"${cols.mkString(", ")}, TIMESTAMP KEY(ts)$pk) ENGINE=Analytic$withClause"
+      e.execute(ddl)
+      val printed1 = e.catalog.showCreate(s"rt$i")
+      e.execute(s"DROP TABLE rt$i")
+      e.execute(printed1) // the printer's output must be valid input...
+      val printed2 = e.catalog.showCreate(s"rt$i")
+      assert(printed1 == printed2, s"not a fixed point:\n$printed1\n$printed2")
+      e.execute(s"DROP TABLE rt$i")
+    }
+  }
 }
