@@ -90,6 +90,61 @@ object TaStream {
       }
   }
 
+  /** Kaufman's Adaptive Moving Average (Kaufman 1995): smoothing constant
+    * adapts to the trailing-window efficiency ratio ER = |x_t − x_{t−m}| /
+    * Σ|Δx| (m = min(t, n) diffs), SC = (ER·(2/3 − 2/31) + 2/31)², then
+    * kama = kama + SC·(x − kama), seeded kama₀ = x₀ and emitted once a
+    * full n-diff window exists. The recurrence is a CONTRACTION (SC < 1),
+    * so window-sum last-ulp differences between engines decay rather than
+    * amplify — the property the q271 oracle's round(4) relies on. */
+  final class Kama(n: Int) extends State {
+    private val fast = 2.0 / 3.0  // 2/(fastest period 2 + 1)
+    private val slow = 2.0 / 31.0 // 2/(slowest period 30 + 1)
+    private val ring = new Array[Double](n + 1)
+    private var i = 0
+    private var kama = 0.0
+    def push(v: Double): Option[Double] = {
+      ring(i % (n + 1)) = v
+      if (i == 0) kama = v
+      else {
+        val m = math.min(i, n)
+        val oldest = ring(((i - m) % (n + 1) + n + 1) % (n + 1))
+        var den = 0.0
+        var j = i - m + 1
+        while (j <= i) {
+          den += math.abs(ring(j % (n + 1)) - ring((j - 1 + n + 1) % (n + 1)))
+          j += 1
+        }
+        val er = if (den == 0.0) 0.0 else math.abs(v - oldest) / den
+        val s = er * (fast - slow) + slow
+        kama = kama + (s * s) * (v - kama)
+      }
+      val out = if (i >= n) Some(kama) else None
+      i += 1
+      out
+    }
+  }
+
+  /** TRIX (triple-exponential derivative, Hutson 1983): percentage
+    * one-step change of the triple-smoothed EMA — 100·(e3 − e3')/e3'.
+    * Reuses the SMA-seeded [[Ema]] chain; first emission one step after
+    * the third stage seeds. */
+  final class Trix(n: Int) extends State {
+    private val s1 = new Ema(n)
+    private val s2 = new Ema(n)
+    private val s3 = new Ema(n)
+    private var prev: Option[Double] = None
+    def push(v: Double): Option[Double] =
+      s1.push(v).flatMap(s2.push).flatMap(s3.push) match {
+        case Some(e3) =>
+          val out = prev.map(p =>
+            if (p == 0.0) 0.0 else 100.0 * (e3 - p) / p)
+          prev = Some(e3)
+          out
+        case None => None
+      }
+  }
+
   /** Additive Holt-Winters recurrence (level l, trend b, S seasonal
     * offsets; S = 0 ⇒ Holt's linear trend). Seed: l = x₀, b = 0, s ≡ 0 at
     * the first point; for point t ≥ 1 with idx = t mod S —

@@ -504,7 +504,8 @@ object InfluxQL {
     "holt_winters", "holt_winters_with_fit",
     "elapsed", "exponential_moving_average", "chande_momentum_oscillator",
     "kaufmans_efficiency_ratio", "relative_strength_index",
-    "double_exponential_moving_average", "triple_exponential_moving_average")
+    "double_exponential_moving_average", "triple_exponential_moving_average",
+    "kaufmans_adaptive_moving_average", "triple_exponential_derivative")
   // InfluxQL 1.x scalar math functions (query/math.go): element-wise over a
   // raw field or around an aggregate; log/pow take a numeric second argument
   private val mathFns = Set("abs", "sin", "cos", "tan", "asin", "acos", "atan",
@@ -1233,7 +1234,9 @@ object InfluxQL {
           .select(keep :+ col(outName): _*)
       case "exponential_moving_average" | "relative_strength_index" |
            "double_exponential_moving_average" |
-           "triple_exponential_moving_average" =>
+           "triple_exponential_moving_average" |
+           "kaufmans_adaptive_moving_average" |
+           "triple_exponential_derivative" =>
         // sequential recurrences — not window-expressible without
         // overflow-prone (1−α)^(−i) weights. ONE hash-by-series shuffle,
         // then the O(window)-state streaming kernel over each partition's
@@ -1250,6 +1253,10 @@ object InfluxQL {
             () => new graft.functions.TaStream.Dema(n, triple = false)
           case "triple_exponential_moving_average" =>
             () => new graft.functions.TaStream.Dema(n, triple = true)
+          case "kaufmans_adaptive_moving_average" =>
+            () => new graft.functions.TaStream.Kama(n)
+          case "triple_exponential_derivative" =>
+            () => new graft.functions.TaStream.Trix(n)
           case _ => () => new graft.functions.TaStream.Ema(n)
         }
         val projected = base.select(

@@ -744,6 +744,119 @@ object Protocols {
           .withColumn("dema", round(col("dema"), 4))
       }),
 
+    // ---- kaufmans_adaptive_moving_average: the adaptive-α recurrence
+    //      (TaStream.Kama). Windowed ER/SC in plain window algebra, then
+    //      a recursive CTE carrying only kama — the recurrence is a
+    //      contraction, so cross-engine window-sum ulps decay under the
+    //      round(4) presentation.
+    GraftQuery("q271_influx_kama",
+      Some("""WITH RECURSIVE hourly AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS "time",
+             |    event_type, max("value") AS m
+             |  FROM events GROUP BY 1, 2),
+             |o AS (SELECT event_type, "time", m,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY "time") AS rn
+             |  FROM hourly),
+             |w AS (SELECT event_type, rn, m,
+             |    first_value(m) OVER wn AS oldest,
+             |    sum(abs(d)) OVER wd AS den
+             |  FROM (SELECT *, m - lag(m) OVER (PARTITION BY event_type ORDER BY rn) AS d
+             |        FROM o)
+             |  WINDOW wn AS (PARTITION BY event_type ORDER BY rn
+             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             |  wd AS (PARTITION BY event_type ORDER BY rn
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+             |sc AS (SELECT event_type, rn, m,
+             |    CASE WHEN den IS NULL OR den = 0
+             |      THEN (0.0 * (2.0/3 - 2.0/31) + 2.0/31)
+             |      ELSE (abs(m - oldest) / den * (2.0/3 - 2.0/31) + 2.0/31)
+             |    END AS s
+             |  FROM w),
+             |rec AS (
+             |  SELECT event_type, rn, m AS kama FROM sc WHERE rn = 1
+             |  UNION ALL
+             |  SELECT s.event_type, s.rn,
+             |    rec.kama + (s.s * s.s) * (s.m - rec.kama)
+             |  FROM rec JOIN sc s ON s.event_type = rec.event_type
+             |    AND s.rn = rec.rn + 1)
+             |SELECT o.event_type, o."time", round(rec.kama, 4) AS kama
+             |FROM rec JOIN o USING (event_type, rn)
+             |WHERE rn >= 5""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT kaufmans_adaptive_moving_average(max(value), 4) AS kama
+            |FROM events GROUP BY time(1h), event_type fill(none)""".stripMargin)
+          .withColumn("kama", round(col("kama"), 4))
+      }),
+
+    // ---- triple_exponential_derivative (TRIX): 100·Δe3/e3' over the
+    //      triple-smoothed EMA chain (TaStream.Trix). One recursion
+    //      carries all three chained EMA states (the q144 pattern, one
+    //      stage deeper); the percentage change is a lag over the
+    //      recursion's e3 column.
+    GraftQuery("q272_influx_trix",
+      Some("""WITH RECURSIVE hourly AS (
+             |  SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS "time",
+             |    event_type, max("value") AS m
+             |  FROM events GROUP BY 1, 2),
+             |o AS (SELECT event_type, "time", m,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY "time") AS rn
+             |  FROM hourly),
+             |s1 AS (SELECT event_type, rn, m,
+             |    avg(m) OVER w AS sma FROM o
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY rn
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+             |rec AS (
+             |  SELECT event_type, rn, sma AS e1, sma AS acc2,
+             |    CAST(NULL AS DOUBLE) AS e2, CAST(NULL AS DOUBLE) AS acc3,
+             |    CAST(NULL AS DOUBLE) AS e3
+             |  FROM s1 WHERE rn = 4
+             |  UNION ALL
+             |  SELECT o.event_type, o.rn,
+             |    (2.0/5) * o.m + (1 - 2.0/5) * rec.e1,
+             |    CASE WHEN o.rn <= 7
+             |      THEN rec.acc2 + ((2.0/5) * o.m + (1 - 2.0/5) * rec.e1)
+             |      ELSE rec.acc2 END,
+             |    CASE WHEN o.rn = 7
+             |      THEN (rec.acc2 + ((2.0/5) * o.m + (1 - 2.0/5) * rec.e1)) / 4
+             |      WHEN o.rn > 7
+             |      THEN (2.0/5) * ((2.0/5) * o.m + (1 - 2.0/5) * rec.e1)
+             |           + (1 - 2.0/5) * rec.e2
+             |    END,
+             |    CASE WHEN o.rn = 7
+             |      THEN (rec.acc2 + ((2.0/5) * o.m + (1 - 2.0/5) * rec.e1)) / 4
+             |      WHEN o.rn > 7 AND o.rn <= 10
+             |      THEN rec.acc3 + ((2.0/5) * ((2.0/5) * o.m + (1 - 2.0/5) * rec.e1)
+             |           + (1 - 2.0/5) * rec.e2)
+             |      ELSE rec.acc3 END,
+             |    CASE WHEN o.rn = 10
+             |      THEN (rec.acc3 + ((2.0/5) * ((2.0/5) * o.m + (1 - 2.0/5) * rec.e1)
+             |           + (1 - 2.0/5) * rec.e2)) / 4
+             |      WHEN o.rn > 10
+             |      THEN (2.0/5) * ((2.0/5) * ((2.0/5) * o.m + (1 - 2.0/5) * rec.e1)
+             |           + (1 - 2.0/5) * rec.e2) + (1 - 2.0/5) * rec.e3
+             |    END
+             |  FROM rec JOIN o ON o.event_type = rec.event_type
+             |    AND o.rn = rec.rn + 1)
+             |SELECT event_type, "time", round(trix, 4) AS trix FROM (
+             |  SELECT o.event_type, o."time", rec.rn,
+             |    CASE WHEN lag(rec.e3) OVER (PARTITION BY rec.event_type
+             |        ORDER BY rec.rn) = 0 THEN 0.0
+             |      ELSE 100 * (rec.e3 - lag(rec.e3) OVER (PARTITION BY rec.event_type
+             |        ORDER BY rec.rn)) / lag(rec.e3) OVER (PARTITION BY rec.event_type
+             |        ORDER BY rec.rn) END AS trix
+             |  FROM rec JOIN o USING (event_type, rn)
+             |  WHERE rec.e3 IS NOT NULL)
+             |WHERE trix IS NOT NULL AND rn >= 11""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        InfluxQL.run(e,
+          """SELECT triple_exponential_derivative(max(value), 4) AS trix
+            |FROM events GROUP BY time(1h), event_type fill(none)""".stripMargin)
+          .withColumn("trix", round(col("trix"), 4))
+      }),
+
     // ---- relative_strength_index over the hourly grid: Wilder's coupled
     //      gain/loss recurrences, replayed by a recursive CTE carrying
     //      both running averages

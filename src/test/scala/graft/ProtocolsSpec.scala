@@ -1396,4 +1396,30 @@ class ProtocolsSpec extends SparkSpec {
     val m = graft.influx.InfluxQL.run(e, "SHOW MEASUREMENT CARDINALITY")
     assert(m.columns.toSeq == Seq("count") && m.head().getLong(0) == 2L)
   }
+
+  test("KAMA and TRIX kernels: hand-computed recurrences, warmup, flat-window ER") {
+    // KAMA n=2 over 1,2,3,3,3: seeds kama=1 at i=0; emits from i>=2
+    val kama = new graft.functions.TaStream.Kama(2)
+    val fast = 2.0 / 3.0; val slow = 2.0 / 31.0
+    def sc(er: Double) = { val s = er * (fast - slow) + slow; s * s }
+    // i=1: m=1, er=|2-1|/1=1, kama=1+sc(1)*(2-1)
+    var k = 1.0 + sc(1.0) * (2.0 - 1.0)
+    assert(kama.push(1.0).isEmpty && kama.push(2.0).isEmpty)
+    // i=2: er=|3-1|/(1+1)=1
+    k = k + sc(1.0) * (3.0 - k)
+    assert(kama.push(3.0).contains(k))
+    // i=3: er=|3-2|/(1+0)=1
+    k = k + sc(1.0) * (3.0 - k)
+    assert(kama.push(3.0).contains(k))
+    // i=4: flat window: den=0 -> er=0 -> sc=slow^2
+    k = k + sc(0.0) * (3.0 - k)
+    assert(kama.push(3.0).contains(k))
+
+    // TRIX n=1: every EMA stage is the identity (alpha=1), so e3=x and
+    // trix = 100*(x_t - x_{t-1})/x_{t-1}, first emission at the 2nd point
+    val trix = new graft.functions.TaStream.Trix(1)
+    assert(trix.push(4.0).isEmpty)
+    assert(trix.push(5.0).contains(100.0 * (5.0 - 4.0) / 4.0))
+    assert(trix.push(2.0).contains(100.0 * (2.0 - 5.0) / 5.0))
+  }
 }
