@@ -216,7 +216,13 @@ object EventAnalytics {
     * (user, bucket, type)); the pair join is a composite-key equi-join of
     * the basket table with itself — per-basket cost is quadratic only in
     * the number of DISTINCT types in that basket (bounded by the type
-    * vocabulary, not by event volume); singles counts broadcast back. */
+    * vocabulary, not by event volume); singles counts broadcast back.
+    *
+    * Integer headroom: `lift_micro` computes 1e6·n_baskets·n_ab in long
+    * arithmetic, exact while that product stays under 2^63 — i.e.
+    * n_baskets·n_ab < 9.2e12. Past that (trillions of basket-pair
+    * observations) switch the presentation to a double ratio; the
+    * supporting counts stay exact regardless. */
   def cooccurrenceLift(
       df: DataFrame, userCol: String, tsCol: String, typeCol: String,
       bucketUs: Long): DataFrame = {

@@ -178,29 +178,47 @@ object Dedup {
     * the (lang, ±1 length-bucket) block and are verified exactly. All
     * stages key-partitioned: one groupBy over n-grams, one window by doc
     * id, one join on rare n-grams, one verify join. */
-  def prefixFilteredJaccardPairs(
+  /** Shared machinery of the prefix-filter family
+    * ([[prefixFilteredJaccardPairs]], [[containmentPairs]]): per-doc
+    * shingle prep, the token posting list, and the rare-token prefix
+    * index. Returns (docs, posting, prefix).
+    *
+    * Prefix size: the lossless bound is floor((1-t)·|A|)+1 in EXACT
+    * arithmetic — but (1.0 − t) underestimates in doubles at exact
+    * multiples of |A|, silently dropping the last required prefix token
+    * (measured: 28/17608 containment pairs lost at t=0.9). One extra
+    * token (+2) dominates the exact bound for every representable t at
+    * negligible candidate cost. */
+  private def prefixIndex(
       df: DataFrame, idCol: String, textCol: String, langCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int, threshold: Double, withLenb: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    val cols = Seq(col(idCol).as("id"), col(langCol).as("lang"),
+      array_distinct(shingles(col(textCol), n)).as("sh")) ++
+      (if (withLenb) Seq((floor(length(col(textCol)) / 100)).as("lenb")) else Nil)
     val docs = df.repartition(col(idCol)) // parallelize per-doc prep
-      .select(col(idCol).as("id"), col(langCol).as("lang"),
-        array_distinct(shingles(col(textCol), n)).as("sh"),
-        (floor(length(col(textCol)) / 100)).as("lenb"))
+      .select(cols: _*)
       .withColumn("ntok", size(col("sh")))
       .withColumn("v", sort_array(transform(col("sh"), t => xxhash64(t))))
       .localCheckpoint() // not cache(): see minhashNearDupPairs
-
-    val posting = docs.select(col("id"), col("lang"), col("lenb"), col("ntok"),
-      explode(col("sh")).as("tok"))
+    val postCols = Seq(col("id"), col("lang"), col("ntok")) ++
+      (if (withLenb) Seq(col("lenb")) else Nil)
+    val posting = docs.select(postCols :+ explode(col("sh")).as("tok"): _*)
     val dfreq = posting.groupBy("tok").agg(count(lit(1)).as("df"))
     val prefix = posting.join(dfreq, "tok")
       .withColumn("rk", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("tok"))))
-      // +2, not the exact-arithmetic bound's +1: (1.0 - t) underestimates
-      // in doubles at exact multiples of ntok, which would drop the last
-      // required prefix token and lose pairs (see containmentPairs)
       .filter(col("rk") <= floor((lit(1.0) - threshold) * col("ntok")) + 2)
-      .select("tok", "id", "lang", "lenb")
+      .drop("rk", "df")
+    (docs, posting, prefix)
+  }
+
+  def prefixFilteredJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val (docs, _, prefix) =
+      prefixIndex(df, idCol, textCol, langCol, n, threshold, withLenb = true)
 
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
@@ -236,28 +254,8 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String, langCol: String,
       n: Int = 1, threshold: Double = 0.9): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = df.repartition(col(idCol))
-      .select(col(idCol).as("id"), col(langCol).as("lang"),
-        array_distinct(shingles(col(textCol), n)).as("sh"))
-      .withColumn("ntok", size(col("sh")))
-      .withColumn("v", sort_array(transform(col("sh"), t => xxhash64(t))))
-      .localCheckpoint()
-
-    val posting = docs.select(col("id"), col("lang"), col("ntok"),
-      explode(col("sh")).as("tok"))
-    val dfreq = posting.groupBy("tok").agg(count(lit(1)).as("df"))
-    // prefix size: the lossless bound is floor((1-t)·|A|)+1 in EXACT
-    // arithmetic — but (1.0 - 0.9) is 0.09999…98 in doubles, which
-    // understates (1-t)·|A| at exact multiples and silently drops the
-    // last required prefix token (measured: 28/17608 pairs lost at
-    // t=0.9). One extra token (+2) dominates the exact bound for every
-    // representable t at negligible candidate cost.
-    val prefix = posting.join(dfreq, "tok")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
-      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("ntok")) + 2)
-      .select(col("tok"), col("id"), col("lang"), col("ntok"))
+    val (docs, posting, prefix) =
+      prefixIndex(df, idCol, textCol, langCol, n, threshold, withLenb = false)
 
     val cand = prefix.as("a").join(posting.as("b"),
         col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&

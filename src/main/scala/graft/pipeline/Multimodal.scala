@@ -112,7 +112,8 @@ object Multimodal {
       media: Dataset[MediaRow], frameSamples: Int, hopSamples: Int,
       vadRmsMilli: Long): DataFrame = {
     import media.sparkSession.implicits._
-    require(frameSamples > 0 && hopSamples > 0)
+    // >= 2: ZCR divides by (frameSamples - 1) crossing slots
+    require(frameSamples >= 2 && hopSamples > 0)
     media.filter(_.kind == "audio").mapPartitions { rows =>
       rows.flatMap { r =>
         val n = r.media.length / 2

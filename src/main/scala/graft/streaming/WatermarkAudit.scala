@@ -32,12 +32,15 @@ object WatermarkAudit {
   def stageArrivalFiles(
       df: DataFrame, arrivalCol: String, nBatches: Int, dir: String): String = {
     val spark = df.sparkSession
-    val bounds = df.stat.approxQuantile(
+    // pin once: the quantile pass + one filtered write per batch would
+    // otherwise each recompute the full upstream lineage (nBatches+1 scans)
+    val pinned = df.localCheckpoint()
+    val bounds = pinned.stat.approxQuantile(
       arrivalCol, (1 to (nBatches - 1)).map(_.toDouble / nBatches).toArray, 0.0)
     val edges = (Double.NegativeInfinity +: bounds.toSeq :+ Double.PositiveInfinity)
       .sliding(2).map(w => (w.head, w.last)).toSeq
     edges.zipWithIndex.foreach { case ((lo, hi), i) =>
-      val part = df.filter(col(arrivalCol) > lo && col(arrivalCol) <= hi)
+      val part = pinned.filter(col(arrivalCol) > lo && col(arrivalCol) <= hi)
       part.coalesce(1).write.mode("overwrite").parquet(s"$dir/b$i")
       // the file source replays oldest-mtime-first: pin the intended order
       val d = new java.io.File(s"$dir/b$i")
@@ -69,9 +72,11 @@ object WatermarkAudit {
       tsCol: String, tagCol: String, delaySeconds: Long,
       windowSeconds: Int): DataFrame = {
     import spark.implicits._
-    val progress =
-      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]
-    var runId: java.util.UUID = null
+    // every event is captured tagged with its runId and filtered AFTER the
+    // query's runId is known — accepting events while runId is unassigned
+    // would record any concurrently-running stream's progress too
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[
+      (java.util.UUID, Long, Long, Long, Long)]
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -80,11 +85,9 @@ object WatermarkAudit {
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
-        if (runId == null || p.runId == runId) {
-          val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
-          val stateRows = p.stateOperators.map(_.numRowsTotal).sum
-          progress.add((p.batchId, p.numInputRows, dropped, stateRows))
-        }
+        val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+        val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+        progress.add((p.runId, p.batchId, p.numInputRows, dropped, stateRows))
       }
     }
     spark.streams.addListener(listener)
@@ -98,7 +101,7 @@ object WatermarkAudit {
         .writeStream.outputMode("append").format("noop")
         .trigger(Trigger.AvailableNow())
         .start()
-      runId = q.runId
+      val thisRun = q.runId
       q.awaitTermination()
       // listener delivery is async: drain until the bus settles
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
@@ -107,29 +110,37 @@ object WatermarkAudit {
         last = progress.size
         Thread.sleep(200)
       }
+      // data-derived lateness per staged batch: replay the watermark
+      // recurrence over the files in their replay order (name == mtime
+      // order). One tiny agg per file — audit tooling, not a data path.
+      // An EMPTY staged file (duplicate quantile bounds) yields an
+      // empty engine batch that the progress filter below also drops —
+      // skip it here too so batch/file alignment stays 1:1, and leave
+      // runMax untouched (no data, no watermark movement).
+      val files = new java.io.File(stagedDir).listFiles
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      var runMax = Long.MinValue
+      val lateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      files.foreach { f =>
+        val wm = if (runMax == Long.MinValue) Long.MinValue
+                 else runMax - delaySeconds * 1000000L
+        val r = spark.read.parquet(f.getPath)
+          .agg(max(unix_micros(col(tsCol))),
+            sum(when(unix_micros(col(tsCol)) < wm, 1L).otherwise(0L)))
+          .head()
+        if (!r.isNullAt(0)) {
+          runMax = math.max(runMax, r.getLong(0))
+          lateRows += r.getLong(1)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      progress.asScala.toSeq
+        .filter(p => p._1 == thisRun && p._3 > 0)
+        .map(p => (p._2, p._3, p._4, p._5)).sortBy(_._1).zipWithIndex
+        .map { case ((b, in, drop, st), i) =>
+          (b, in, if (i < lateRows.length) lateRows(i) else 0L, drop, st) }
+        .toDF("batch_id", "input_rows", "late_rows", "engine_dropped",
+          "state_rows")
     } finally spark.streams.removeListener(listener)
-    // data-derived lateness per staged batch: replay the watermark
-    // recurrence over the files in their replay order (name == mtime
-    // order). One tiny agg per file — audit tooling, not a data path.
-    val files = new java.io.File(stagedDir).listFiles
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    var runMax = Long.MinValue
-    val lateRows = files.zipWithIndex.map { case (f, i) =>
-      val wm = if (runMax == Long.MinValue) Long.MinValue
-               else runMax - delaySeconds * 1000000L
-      val r = spark.read.parquet(f.getPath)
-        .agg(max(unix_micros(col(tsCol))),
-          sum(when(unix_micros(col(tsCol)) < wm, 1L).otherwise(0L)))
-        .head()
-      runMax = math.max(runMax, r.getLong(0))
-      i.toLong -> r.getLong(1)
-    }.toMap
-    import scala.jdk.CollectionConverters._
-    progress.asScala.toSeq
-      .filter(_._2 > 0).sortBy(_._1).zipWithIndex
-      .map { case ((b, in, drop, st), i) =>
-        (b, in, lateRows.getOrElse(i.toLong, 0L), drop, st) }
-      .toDF("batch_id", "input_rows", "late_rows", "engine_dropped",
-        "state_rows")
   }
 }
