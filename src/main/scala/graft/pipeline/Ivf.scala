@@ -205,6 +205,67 @@ object Ivf {
       .agg(count(lit(1)).as("n"), round(avg("__cos"), 4).as("mean_cosine"))
   }
 
+  /** Rebuild a drifted index in place: retrain centroids on the CURRENT
+    * contents (append workloads assign new vectors to stale centroids —
+    * [[indexBalance]] is the signal), re-partition the data by the new
+    * assignment, and swap generations (write `data_rebuild`, rename old
+    * out, rename new in — readers between renames retry; for a shared
+    * filesystem wrap the swap in the engine's table-lock pattern).
+    *
+    * Returns the one-row report a maintenance log wants: cluster count,
+    * row count (must be preserved), the straggler factor (max/mean member
+    * count, ×100), and the QUANTIZATION quality (member-weighted mean
+    * cosine to own centroid, ×10⁴) before and after — quality is what a
+    * retrain on the full contents actually optimizes (the k-means
+    * objective); the straggler factor is operational context, not a
+    * guarantee (k-means does not balance counts). */
+  def rebalanceIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
+      embCol: String, nlist: Int, iters: Int = 2, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    def straggler(df: DataFrame): (Long, Long) = {
+      val counts = df.groupBy("__ivf").agg(count(lit(1)).as("n"))
+        .select("n").collect().map(_.getLong(0))
+      (counts.sum, if (counts.isEmpty) 0L
+        else counts.max * 100L * counts.length / counts.sum)
+    }
+    def quality(): Long = {
+      val rows = indexBalance(spark, path, embCol)
+        .select(col("n"), col("mean_cosine")).collect()
+      val n = rows.map(_.getLong(0)).sum
+      if (n == 0) 0L
+      else math.round(rows.map(r => r.getLong(0) * r.getDouble(1)).sum / n * 10000)
+    }
+    val before = spark.read.parquet(s"$path/data")
+    val (rowsBefore, skewBefore) = straggler(before)
+    val qualBefore = quality()
+    val data = before.drop("__ivf").localCheckpoint() // source dirs move below
+    val centroids = train(data, idCol, embCol, nlist, iters, seed)
+    data.withColumn("__ivf", assignColumn(col(embCol), centroids))
+      .write.mode("overwrite").partitionBy("__ivf")
+      .parquet(s"$path/data_rebuild")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids_rebuild")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(name: String): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val nxt = new org.apache.hadoop.fs.Path(s"$path/${name}_rebuild")
+      fs.delete(cur, true)
+      fs.rename(nxt, cur)
+    }
+    swap("data"); swap("centroids")
+    val (rowsAfter, skewAfter) =
+      straggler(spark.read.parquet(s"$path/data"))
+    require(rowsAfter == rowsBefore,
+      s"rebalance lost rows: $rowsBefore -> $rowsAfter")
+    val qualAfter = quality()
+    Seq((nlist, rowsAfter, skewBefore, skewAfter, qualBefore, qualAfter))
+      .toDF("nlist", "n_rows", "skew_before_x100", "skew_after_x100",
+        "mean_cos_before_bp", "mean_cos_after_bp")
+  }
+
   /** Top-k cosine against a persisted index: reads ONLY the nprobe nearest
     * cluster directories (partition pruning — assert `PartitionFilters`
     * carries `__ivf`), exact re-rank inside. */

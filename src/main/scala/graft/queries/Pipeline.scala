@@ -634,6 +634,22 @@ object PipelineQueries {
           nprobe = 16)
       }),
 
+    // ---- IVF index rebalance (Ivf.rebalanceIndex): the index-lifecycle
+    //      maintenance step — retrain on current contents after drifting
+    //      appends, generation-swap the layout, report rows/skew/
+    //      quantization quality before and after. kmeans-derived →
+    //      rows-only; quality-never-degrades + rows-preserved spec'd.
+    GraftQuery("q273_ivf_rebalance", None,
+      (s, dir) => {
+        val path = java.nio.file.Files.createTempDirectory("graft-ivf-r").toString
+        val embs = t(s, dir, "embeddings")
+        Ivf.buildIndex(embs.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", path, nlist = 16)
+        Ivf.appendToIndex(embs.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", path)
+        Ivf.rebalanceIndex(s, path, "vec_id", "embedding", nlist = 16)
+      }),
+
     // ---- PCA whitening (embedding-space curation preprocessing): one
     //      treeAggregate covariance pass + driver eigendecomp + map-only
     //      projection; rows-only (eigenbasis is learned) — identity

@@ -1643,4 +1643,29 @@ class PipelineSpec extends SparkSpec {
     assert(pp == exact, s"missing=${(exact -- pp).take(5)} extra=${(pp -- exact).take(5)}")
     assert(exact.nonEmpty)
   }
+
+  test("IVF rebalance: drifted-append index rebuilds, rows preserved, skew shrinks, probe intact") {
+    val dir = tmpDir("graft-ivf-rebal")
+    // stale index: trained on the first half only; second half appended
+    // against those stale centroids (the drift scenario)
+    val half1 = embs.filter(col("vec_id") < 250)
+    val half2 = embs.filter(col("vec_id") >= 250)
+    Ivf.buildIndex(half1, "vec_id", "embedding", dir, nlist = 8)
+    Ivf.appendToIndex(half2, "vec_id", "embedding", dir)
+    val total = spark.read.parquet(s"$dir/data").count()
+    val rep = Ivf.rebalanceIndex(spark, dir, "vec_id", "embedding", nlist = 8)
+      .collect().head
+    assert(rep.getLong(1) == total, rep.toString)
+    // quantization quality (the k-means objective) must not degrade when
+    // retraining on the full contents vs the stale half-trained centroids
+    assert(rep.getLong(5) >= rep.getLong(4), rep.toString)
+    assert(rep.getLong(2) >= 100 && rep.getLong(3) >= 100, rep.toString)
+    // the rebuilt index still serves probes (k results, pruned read)
+    val q = embs.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    assert(Ivf.probeIndex(spark, dir, "vec_id", "embedding", q, 10).count() == 10)
+    // rebuild dirs swapped away
+    assert(!new java.io.File(s"$dir/data_rebuild").exists())
+  }
 }
