@@ -277,6 +277,45 @@ object Dedup {
         round(col("containment"), 4).as("containment"))
   }
 
+  /** Evidence for a near-dup pair list — the audit view a reviewer (or a
+    * takedown process) reads before trusting a dedup decision: for each
+    * (id_a, id_b) pair, the `top` RAREST shared n-grams (global document
+    * frequency ascending, then lexicographic — rare shared content is the
+    * convincing evidence; "the" is not), joined into one deterministic
+    * string.
+    *
+    * Scale shape: evidence is computed only for the PAIRS GIVEN (the
+    * operator composes after candidate generation, never all-pairs); one
+    * gram-frequency aggregate over the docs referenced, two id joins to
+    * attach shingle sets, and a native sorted-intersect-style array
+    * intersection per pair. */
+  def explainPairs(
+      df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, top: Int = 3): DataFrame = {
+    val docs = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), n)).as("sh"))
+      .localCheckpoint()
+    val dfreq = docs.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val withSets = pairs.select(col("id_a"), col("id_b"))
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+      .withColumn("tok", explode(array_intersect(col("sa"), col("sb"))))
+      .drop("sa", "sb")
+    val ranked = withSets.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id_a", "id_b").orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <= top)
+    ranked.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_evidence"),
+        // sort_array on (rk, tok) structs: collect_list order is
+        // task-arrival order — sorting restores the rank order exactly
+        concat_ws(" | ", sort_array(collect_list(struct(col("rk"), col("tok"))))
+          .getField("tok")).as("evidence"))
+  }
+
   /** Connected components over a near-duplicate pair list: every doc in a
     * component gets the component's minimum id as `cluster_id` — the step a
     * real dedup pipeline runs after pair generation, since near-duplicate

@@ -634,6 +634,37 @@ object PipelineQueries {
           nprobe = 16)
       }),
 
+    // ---- near-dup evidence (Dedup.explainPairs): per q54 pair, the 3
+    //      RAREST shared tokens (global df asc, then lexicographic) as one
+    //      deterministic string — the audit view behind a dedup decision.
+    //      Computed only for the pairs given, never all-pairs.
+    GraftQuery("q274_dup_evidence",
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
+             |    length(text) // 100 AS lenb
+             |  FROM documents),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    a.toks AS ta, b.toks AS tb
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1
+             |    AND a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+             |f AS (SELECT u.t AS tok, count(*)::BIGINT AS df
+             |  FROM t, unnest(t.toks) AS u(t) GROUP BY 1),
+             |e AS (SELECT id_a, id_b, u.t AS tok
+             |  FROM p, unnest(list_intersect(ta, tb)) AS u(t)),
+             |r AS (SELECT e.id_a, e.id_b, e.tok,
+             |    row_number() OVER (PARTITION BY e.id_a, e.id_b
+             |      ORDER BY f.df, e.tok) AS rk
+             |  FROM e JOIN f USING (tok))
+             |SELECT id_a, id_b, count(*)::BIGINT AS n_evidence,
+             |  string_agg(tok, ' | ' ORDER BY rk) AS evidence
+             |FROM r WHERE rk <= 3 GROUP BY id_a, id_b""".stripMargin),
+      (s, dir) => Dedup.explainPairs(
+        t(s, dir, "documents"), jaccardPairs(s, dir), "doc_id", "text",
+        n = 1, top = 3)),
+
     // ---- IVF index rebalance (Ivf.rebalanceIndex): the index-lifecycle
     //      maintenance step — retrain on current contents after drifting
     //      appends, generation-swap the layout, report rows/skew/

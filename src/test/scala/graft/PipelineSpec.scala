@@ -1668,4 +1668,23 @@ class PipelineSpec extends SparkSpec {
     // rebuild dirs swapped away
     assert(!new java.io.File(s"$dir/data_rebuild").exists())
   }
+
+  test("dup evidence: rarest shared tokens in rank order, pair-scoped only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "zebra apple tree house common common2"),
+      (2L, "zebra apple tree house common common2 extra"),
+      (3L, "apple common common2 unrelated words here"),
+      (4L, "common common2 other things entirely present")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.explainPairs(corpus, pairs, "doc_id", "text", n = 1, top = 3)
+      .collect()
+    assert(out.length == 1) // only the given pair, never all-pairs
+    val r = out.head
+    assert(r.getLong(2) == 3, r.toString)
+    // rarity order: zebra (df 2), house (df 2), tree (df 2) ... ties break
+    // lexicographically among df-2 tokens {house, tree, zebra}
+    assert(r.getString(3) == "house | tree | zebra", r.toString)
+  }
 }
