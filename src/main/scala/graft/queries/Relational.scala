@@ -442,6 +442,26 @@ object Relational {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(round(sum("o_totalprice"), 2))),
 
+    // ---- GROUPING SETS with grouping() flags: the super-aggregate row
+    //      disambiguation (NULL-from-data vs NULL-from-rollup) every
+    //      reporting consumer of grouping sets needs
+    GraftQuery("q275_grouping_sets_id",
+      Some("""SELECT c_mktsegment, c_nationkey,
+             |  grouping(c_mktsegment)::BIGINT AS g_seg,
+             |  grouping(c_nationkey)::BIGINT AS g_nat,
+             |  count(*) AS n, round(sum(c_acctbal), 2) AS bal
+             |FROM customer
+             |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""".stripMargin),
+      (s, dir) => t(s, dir, "customer")
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq()),
+          col("c_mktsegment"), col("c_nationkey"))
+        .agg(
+          grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+          grouping(col("c_nationkey")).cast("long").as("g_nat"),
+          count(lit(1)).as("n"),
+          round(sum("c_acctbal"), 2).as("bal"))),
+
     // ---- UNPIVOT (melt): wide→long without a join or shuffle — each input
     //      row expands map-side into one row per value column
     GraftQuery("q261_unpivot",
