@@ -284,11 +284,16 @@ object Dedup {
     * convincing evidence; "the" is not), joined into one deterministic
     * string.
     *
-    * Scale shape: evidence is computed only for the PAIRS GIVEN (the
-    * operator composes after candidate generation, never all-pairs); one
-    * gram-frequency aggregate over the docs referenced, two id joins to
-    * attach shingle sets, and a native sorted-intersect-style array
-    * intersection per pair. */
+    * Scale shape: the rarity ranking is baked into a PER-DOC sorted token
+    * array once (explode + df join + sorted re-collect — linear in corpus
+    * tokens); per PAIR the evidence is then a map-side
+    * `slice(array_intersect(...))` — Spark's array_intersect preserves
+    * left-array order, and the left array is rarity-sorted, so the first
+    * `top` surviving elements ARE the rarest shared tokens. No explode,
+    * shuffle, or window ever touches the pair stream (a near-dup pair list
+    * shares MOST tokens per pair — exploding intersections was measured at
+    * 13 s vs ~2 s for this shape at sf0.1). Evidence only for the pairs
+    * given, never all-pairs. */
   def explainPairs(
       df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
       n: Int = 1, top: Int = 3): DataFrame = {
@@ -296,24 +301,23 @@ object Dedup {
       .select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol), n)).as("sh"))
       .localCheckpoint()
-    val dfreq = docs.select(explode(col("sh")).as("tok"))
+    val dfreq = docs.select(col("id"), explode(col("sh")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    val withSets = pairs.select(col("id_a"), col("id_b"))
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
-      .withColumn("tok", explode(array_intersect(col("sa"), col("sb"))))
-      .drop("sa", "sb")
-    val ranked = withSets.join(dfreq, "tok")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("id_a", "id_b").orderBy(col("df"), col("tok"))))
-      .filter(col("rk") <= top)
-    ranked.groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_evidence"),
-        // sort_array on (rk, tok) structs: collect_list order is
-        // task-arrival order — sorting restores the rank order exactly
-        concat_ws(" | ", sort_array(collect_list(struct(col("rk"), col("tok"))))
-          .getField("tok")).as("evidence"))
+    // per-doc tokens re-collected in (df, tok) order: the global rarity
+    // ranking, materialized once per document
+    val sorted = docs.select(col("id"), explode(col("sh")).as("tok"))
+      .join(dfreq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .getField("tok").as("rare"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sorted.select(col("id").as("id_a"), col("rare").as("ra")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("rare").as("rb")), "id_b")
+      .withColumn("__ev", slice(array_intersect(col("ra"), col("rb")), 1, top))
+      .filter(size(col("__ev")) > 0)
+      .select(col("id_a"), col("id_b"),
+        size(col("__ev")).cast("long").as("n_evidence"),
+        concat_ws(" | ", col("__ev")).as("evidence"))
   }
 
   /** Connected components over a near-duplicate pair list: every doc in a
