@@ -89,7 +89,33 @@ object OpenTsdb {
           val bucket = dsBucket(col(t.tsCol), parts(0))
           val dsAgg = aggFn(parts(1), col(t.valueCol))
           val keys = t.tags.map(col) :+ bucket.as("__ds_ts")
-          ("__ds_ts", df.groupBy(keys: _*).agg(dsAgg.as(t.valueCol)))
+          val grouped = df.groupBy(keys: _*).agg(dsAgg.as(t.valueCol))
+          // OpenTSDB 2.x fill policy ("interval-agg-fill"): emit every
+          // interval bucket between each series' first and last sample so
+          // the cross-series aggregator sees ALIGNED timestamps (the
+          // reason fill exists). none (default) skips empty buckets;
+          // zero/nan substitute; null keeps the bucket with a null value.
+          ("__ds_ts", parts.lift(2).map(_.toLowerCase) match {
+            case None | Some("none") => grouped
+            case Some(policy) =>
+              val stepUs = dsStepUs(parts(0))
+              val sCols = t.tags.map(col)
+              val bounds = grouped.groupBy(sCols: _*)
+                .agg(min("__ds_ts").as("__lo"), max("__ds_ts").as("__hi"))
+              val grid = bounds.select(sCols :+ explode(sequence(
+                  col("__lo"), col("__hi"),
+                  expr(s"INTERVAL $stepUs MICROSECOND"))).as("__ds_ts"): _*)
+              val joined = grid.join(grouped, t.tags :+ "__ds_ts", "left")
+              policy match {
+                case "zero" => joined.withColumn(t.valueCol,
+                  coalesce(col(t.valueCol), lit(0.0)))
+                case "nan" => joined.withColumn(t.valueCol,
+                  coalesce(col(t.valueCol), lit(Double.NaN)))
+                case "null" => joined
+                case other => throw new IllegalArgumentException(
+                  s"unsupported fill policy '$other'")
+              }
+          })
         case None => (t.tsCol, df)
       }
     val tEff = t.copy(tsCol = tsCol2)
@@ -192,6 +218,19 @@ object OpenTsdb {
       case "p99"  => Some(0.99)
       case "p999" => Some(0.999)
       case _      => None
+    }
+  }
+
+  /** Downsample interval → grid step in microseconds (fill-policy grids). */
+  private def dsStepUs(interval: String): Long = {
+    val re = """(\d+)(ms|s|m|h|d)""".r
+    interval match {
+      case re(n, "ms") => n.toLong * 1000L
+      case re(n, "s")  => n.toLong * 1000000L
+      case re(n, "m")  => n.toLong * 60000000L
+      case re(n, "h")  => n.toLong * 3600000000L
+      case re(n, "d")  => n.toLong * 86400000000L
+      case other => throw new IllegalArgumentException(s"bad downsample interval '$other'")
     }
   }
 

@@ -225,6 +225,36 @@ object Protocols {
           .withColumn("value", round(col("value") * 1000000.0, 0).cast("long"))
       }),
 
+    // ---- OpenTSDB downsample FILL POLICY ("6h-avg-zero", aggregator
+    //      none): every 6h bucket between each series' first and last
+    //      sample emitted, empty buckets as 0.0 — the aligned-timestamps
+    //      contract the cross-series aggregator needs. Oracle re-derives
+    //      the per-series grid with generate_series.
+    GraftQuery("q276_opentsdb_fill",
+      Some("""WITH b AS (
+             |  SELECT event_type, make_timestamp(
+             |      (epoch_us(ts) // 21600000000) * 21600000000) AS ts,
+             |    round(avg("value"), 4) AS v
+             |  FROM events WHERE event_type IN ('click', 'error')
+             |  GROUP BY 1, 2),
+             |r AS (SELECT event_type, min(ts) AS lo, max(ts) AS hi FROM b
+             |  GROUP BY 1),
+             |g AS (SELECT r.event_type, unnest(generate_series(r.lo, r.hi,
+             |    INTERVAL 6 HOUR)) AS ts FROM r)
+             |SELECT g.event_type, g.ts, coalesce(b.v, 0.0) AS "value"
+             |FROM g LEFT JOIN b USING (event_type, ts)""".stripMargin),
+      (s, dir) => {
+        val q = OpenTsdb.parseQuery(
+          """{"start": 0,
+            | "queries": [{"metric": "events", "aggregator": "none",
+            |   "downsample": "6h-avg-zero",
+            |   "filters": [{"type": "literal_or", "tagk": "event_type",
+            |     "filter": "click|error", "groupBy": true}]}]}""".stripMargin)
+        OpenTsdb.runSub(q, q.queries.head, eventsTable(s, dir),
+            applyDownsample = true)
+          .withColumn("value", round(col("value"), 4))
+      }),
+
     // ---- InfluxQL count(DISTINCT()) + integral(): the trapezoid area per
     //      day bucket; oracle replays the lag-window trapezoid with the
     //      same (ts, value) tie-break

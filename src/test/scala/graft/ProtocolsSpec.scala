@@ -1422,4 +1422,33 @@ class ProtocolsSpec extends SparkSpec {
     assert(trix.push(5.0).contains(100.0 * (5.0 - 4.0) / 4.0))
     assert(trix.push(2.0).contains(100.0 * (2.0 - 5.0) / 5.0))
   }
+
+  test("opentsdb downsample fill policies: zero fills gaps, null keeps them, none skips") {
+    import spark.implicits._
+    // one series, hourly buckets 0,1,3 (bucket 2 empty)
+    val rows = Seq(
+      ("a", 0L, 1.0), ("a", 3600L, 2.0), ("a", 3L * 3600, 4.0)
+    ).toDF("event_type", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val table = (_: String) => graft.promql.PromQL.SeriesTable(
+      rows, "ts", "value", Seq("event_type"))
+    def run(ds: String) = {
+      val q = graft.opentsdb.OpenTsdb.parseQuery(
+        s"""{"start": 0, "queries": [{"metric": "m", "aggregator": "none",
+           |  "downsample": "$ds",
+           |  "filters": [{"type": "literal_or", "tagk": "event_type",
+           |    "filter": "a", "groupBy": true}]}]}""".stripMargin)
+      graft.opentsdb.OpenTsdb.runSub(q, q.queries.head, table, applyDownsample = true)
+        .collect().map(r => r.getAs[java.sql.Timestamp]("ts").getTime / 1000 ->
+          (if (r.isNullAt(r.fieldIndex("value"))) None
+           else Some(r.getAs[Double]("value")))).toMap
+    }
+    assert(run("1h-avg") == Map(0L -> Some(1.0), 3600L -> Some(2.0), 10800L -> Some(4.0)))
+    assert(run("1h-avg-zero") == Map(0L -> Some(1.0), 3600L -> Some(2.0),
+      7200L -> Some(0.0), 10800L -> Some(4.0)))
+    assert(run("1h-avg-null") == Map(0L -> Some(1.0), 3600L -> Some(2.0),
+      7200L -> None, 10800L -> Some(4.0)))
+    val nan = run("1h-avg-nan")
+    assert(nan(7200L).exists(_.isNaN))
+  }
 }
