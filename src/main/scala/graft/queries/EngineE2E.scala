@@ -156,6 +156,31 @@ object EngineE2E {
           .withColumn("total", round(col("total"), 2))
       }),
 
+    // ---- streaming SLIDING-window rollup: 6h windows every 3h —
+    //      overlapping windows, each point in two (map-side expansion);
+    //      state/sink still keyed (window start, tag). Oracle expands the
+    //      two slide-aligned starts per point with unnest.
+    GraftQuery("q277_streaming_sliding_rollup",
+      Some("""WITH p AS (SELECT event_type, epoch_us(ts) AS us, "value"
+             |  FROM events),
+             |w AS (SELECT event_type, "value",
+             |    unnest(ARRAY[(us // 10800000000) * 10800000000,
+             |                 (us // 10800000000) * 10800000000 - 10800000000]) AS s
+             |  FROM p)
+             |SELECT make_timestamp(s) AS bucket, event_type,
+             |  count(*) AS n, round(sum("value"), 2) AS total
+             |FROM w GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val schema = Tables.rawSchema(s, dir, "events")
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-sliding").toString)
+        graft.streaming.Rollup.windowedRollupToTable(
+            e, dir, "events.parquet", schema, nanosTs = true,
+            "ts", "event_type", "value", "6 hours", "2 hours",
+            "events_sliding", slide = Some("3 hours"))
+          .withColumn("total", round(col("total"), 2))
+      }),
+
     // TWO chained stateful operators in ONE streaming query (Spark's
     // multiple-stateful-operator support): 4h-gap sessions per user, then
     // an hourly rollup of closed sessions keyed on session end-time —

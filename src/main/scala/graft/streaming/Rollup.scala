@@ -62,6 +62,7 @@ object Rollup {
       nanosTs: Boolean, tsCol: String, tagCol: String, valueCol: String,
       windowDur: String, watermarkDelay: String, table: String,
       partitionByKey: Option[Int] = None,
+      slide: Option[String] = None,
       // opt-in per-batch maintenance tick: (minBatches for logical
       // compaction, maxFilesPerSegment for the physical pass). Safe to run
       // every micro-batch — the tick is a free no-op on a healthy table —
@@ -85,7 +86,7 @@ object Rollup {
     // than a data shuffle. Pinned at the stream's first run from this conf.
     StreamConf.withStatePartitions(spark, 8) {
       val q = windowAgg(spark, dir, glob, schema, nanosTs, tsCol, tagCol, valueCol,
-          windowDur, Some(watermarkDelay))
+          windowDur, Some(watermarkDelay), slide)
         .writeStream
         .trigger(Trigger.AvailableNow())
         // update mode: emit each changed window per trigger; watermark evicts
@@ -210,15 +211,22 @@ object Rollup {
   def windowAgg(
       spark: SparkSession, dir: String, glob: String, schema: StructType,
       nanosTs: Boolean, tsCol: String, tagCol: String, valueCol: String,
-      windowDur: String, watermarkDelay: Option[String] = None): DataFrame = {
+      windowDur: String, watermarkDelay: Option[String] = None,
+      slide: Option[String] = None): DataFrame = {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
     val events =
       if (nanosTs) graft.Tables.normalizeEventTime(raw, tsCol)
       else raw
     val marked = watermarkDelay.fold(events)(d => events.withWatermark(tsCol, d))
+    // slide < duration = OVERLAPPING windows: each point contributes to
+    // duration/slide windows (Spark expands map-side); state and the sink
+    // key stay (window start, tag) — starts are slide-aligned, so the
+    // overwrite-table upsert semantics are unchanged
+    val win = slide.fold(window(col(tsCol), windowDur))(
+      sl => window(col(tsCol), windowDur, sl))
     marked
-      .groupBy(window(col(tsCol), windowDur).as("w"), col(tagCol))
+      .groupBy(win.as("w"), col(tagCol))
       .agg(count(lit(1)).as("n"), sum(valueCol).as("total"))
       .select(col("w.start").as("bucket"), col(tagCol), col("n"), col("total"))
   }
