@@ -219,4 +219,17 @@ class PlansSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_spec_ord")
     }
   }
+
+  test("two-phase prefix scans plan partitioned windows only (PPS sampler)") {
+    import spark.implicits._
+    // the global cumsum must ride per-partition windows (partitioned by
+    // __pid), never one unpartitioned window — the single-reducer cumsum
+    // is exactly the 100 TB regression this guard pins
+    val df = (1L to 1000L).map(i => i -> (i % 7 + 1)).toDF("id", "w")
+    val out = graft.pipeline.Sampling.systematicPps(df, "id", "w", 10)
+    val rep = graft.plans.PlanLint.lint(out)
+    assert(!rep.has("single-partition-window"), rep.findings.mkString(", "))
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_hits"))
+      .head().getLong(0) == 10)
+  }
 }
