@@ -131,4 +131,32 @@ class PropertySpec extends SparkSpec {
       e.execute(s"DROP TABLE rt$i")
     }
   }
+
+  test("containment pairs equal driver-side brute force on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = ('a' to 'j').map(_.toString)
+    for (_ <- 1 to 6) {
+      val docs = (1L to (8 + rnd.nextInt(8)).toLong).map { id =>
+        val n = 2 + rnd.nextInt(7)
+        (id, "en", (1 to n).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      val t = 0.75
+      val got = pipeline.Dedup.containmentPairs(
+          docs.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang",
+          n = 1, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.map { case (id, _, txt) =>
+        id -> txt.split("\\s+").toSet }.toMap
+      val want = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b
+        if sa.size < sb.size || (sa.size == sb.size && a < b)
+        if sa.intersect(sb).size.toDouble / sa.size >= t
+      } yield (a, b)).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)} docs=$docs")
+    }
+  }
 }
