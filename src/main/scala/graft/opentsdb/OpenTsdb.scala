@@ -100,10 +100,29 @@ object OpenTsdb {
             case Some(policy) =>
               val stepUs = dsStepUs(parts(0))
               val sCols = t.tags.map(col)
+              // bounds are the series' observed buckets, which the time
+              // filter above already clamped to the query's [start, end]
+              // (OpenTSDB aligns fill to the query range; an out-of-range
+              // sample can't widen the grid because it never reaches here)
               val bounds = grouped.groupBy(sCols: _*)
                 .agg(min("__ds_ts").as("__lo"), max("__ds_ts").as("__hi"))
-              val grid = bounds.select(sCols :+ explode(sequence(
+              // two-level grid generation: a sparse series over a long
+              // range with a fine step (500ms over months) must not
+              // materialize one span-length sequence() array — emit chunk
+              // starts first (span/1000 elements), then ≤1000 buckets per
+              // chunk, so every in-flight array is bounded regardless of
+              // span while the row count stays exactly the grid size
+              val chunkLen = 1000L
+              val chunkUs = stepUs * chunkLen
+              val grid = bounds
+                .select(sCols :+ explode(sequence(
                   col("__lo"), col("__hi"),
+                  expr(s"INTERVAL $chunkUs MICROSECOND"))).as("__chunk")
+                  :+ col("__hi"): _*)
+                .select(sCols :+ explode(sequence(
+                  col("__chunk"),
+                  least(col("__hi"), col("__chunk") +
+                    expr(s"INTERVAL ${stepUs * (chunkLen - 1)} MICROSECOND")),
                   expr(s"INTERVAL $stepUs MICROSECOND"))).as("__ds_ts"): _*)
               val joined = grid.join(grouped, t.tags :+ "__ds_ts", "left")
               policy match {

@@ -178,7 +178,11 @@ object Decontaminate {
     }
     val t = withNorm(train, trainEmbCol, Some(trainIdCol), "t_")
     val b = withNorm(bench, benchEmbCol, None, "b_")
-    t.join(broadcast(b))
+    // zero-norm embeddings have no defined cosine: drop them explicitly
+    // (Spark non-ANSI x/0 is NULL and would silently drop the row anyway,
+    // but DuckDB's NaN sorts greatest and would pass a >= threshold — the
+    // engines must agree by construction, not by fixture luck)
+    t.filter(col("t_nrm") > 0.0).join(broadcast(b.filter(col("b_nrm") > 0.0)))
       .withColumn("cosine", round(
         graft.functions.DotProduct(col("t_emb"), col("b_emb")) /
           (col("t_nrm") * col("b_nrm")), 4))

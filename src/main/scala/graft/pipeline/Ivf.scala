@@ -137,31 +137,119 @@ object Ivf {
     rows.toDF("nprobe", "recall_bp", "scanned_rows", "scanned_bp")
   }
 
+  // ---- generation-manifest index layout ------------------------------
+  //   <path>/MANIFEST          one line: name of the live generation dir
+  //   <path>/gen_<n>/data      corpus partitioned by __ivf
+  //   <path>/gen_<n>/centroids centroid matrix trained WITH that data
+  // Data and centroids are only ever swapped TOGETHER: a rebuild writes a
+  // complete new generation, atomically repoints MANIFEST, and deletes the
+  // old generation last — a reader that resolved the manifest keeps a
+  // complete self-consistent pair, and a crash at any point leaves the
+  // manifest on a complete generation (orphan gen dirs are pruned by the
+  // next successful publish). Mixed centroids/data cannot be observed.
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Directory of the live generation (resolve ONCE per operation and use
+    * the result for every component read, so a concurrent rebuild can't
+    * split a reader across generations). */
+  def currentGenDir(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val fs = hadoopFs(spark, path)
+    val mp = new org.apache.hadoop.fs.Path(s"$path/MANIFEST")
+    if (!fs.exists(mp)) path // pre-manifest flat layout
+    else {
+      val in = fs.open(mp)
+      val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s"$path/$gen"
+    }
+  }
+
+  /** The live generation's data directory (tests/tools peek here). */
+  def dataDir(spark: org.apache.spark.sql.SparkSession, path: String): String =
+    s"${currentGenDir(spark, path)}/data"
+
+  private def genNumber(genDir: String): Int = {
+    val name = genDir.substring(genDir.lastIndexOf('/') + 1)
+    if (name.startsWith("gen_")) name.drop(4).toInt else 0
+  }
+
+  /** Atomically repoint MANIFEST (tmp file + rename-with-overwrite). */
+  private def publishGen(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      gen: String): Unit = {
+    val fs = hadoopFs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/MANIFEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/MANIFEST"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Delete every gen_* dir except the live one (old generations after a
+    * successful swap, partial rebuilds a crash left behind). */
+  private def pruneOldGens(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keep: String): Unit = {
+    val fs = hadoopFs(spark, path)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen_") &&
+        s"$path/${s.getPath.getName}" != keep)
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
+  private def writeGeneration(
+      embDf: DataFrame, embCol: String, genDir: String,
+      centroids: Array[Array[Double]]): Unit = {
+    val spark = embDf.sparkSession
+    import spark.implicits._
+    embDf
+      .withColumn("__ivf", assignColumn(col(embCol), centroids))
+      .write.mode("overwrite").partitionBy("__ivf")
+      .parquet(s"$genDir/data")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genDir/centroids")
+  }
+
   /** Persist an IVF index: the corpus written PARTITIONED BY cluster id
     * (one directory per inverted list) plus the centroid matrix. This is
     * the "assignment as a partition column" deployment the probe path is
     * designed for: filtering on cluster ids becomes directory pruning, so
     * a probe reads nprobe/nlist of the data from disk — the IVF promise
-    * delivered by the storage layout instead of an in-memory index. */
+    * delivered by the storage layout instead of an in-memory index.
+    * Written as a new generation and published atomically (see layout
+    * note above), so rebuilding over a live index is safe. */
   def buildIndex(
       embDf: DataFrame, idCol: String, embCol: String, path: String,
       nlist: Int, iters: Int = 2, seed: Long = 42L): Unit = {
     val spark = embDf.sparkSession
-    import spark.implicits._
     val centroids = train(embDf, idCol, embCol, nlist, iters, seed)
-    embDf
-      .withColumn("__ivf", assignColumn(col(embCol), centroids))
-      .write.mode("overwrite").partitionBy("__ivf")
-      .parquet(s"$path/data")
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster", "weights")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val fs = hadoopFs(spark, path)
+    val cur = currentGenDir(spark, path)
+    val gen = s"gen_${genNumber(cur) + 1}"
+    writeGeneration(embDf, embCol, s"$path/$gen", centroids)
+    publishGen(spark, path, gen)
+    pruneOldGens(spark, path, s"$path/$gen")
+    // pre-manifest flat components, if rebuilding over a legacy index
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/data"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
   }
 
   /** The persisted index's centroid matrix (cluster-ordered). */
   def readCentroids(
       spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
-    spark.read.parquet(s"$path/centroids")
+    readCentroidsIn(spark, currentGenDir(spark, path))
+
+  private def readCentroidsIn(
+      spark: org.apache.spark.sql.SparkSession, genDir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$genDir/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
 
@@ -177,11 +265,12 @@ object Ivf {
     * design, not a side effect of ingestion. */
   def appendToIndex(
       embDf: DataFrame, idCol: String, embCol: String, path: String): Unit = {
-    val centroids = readCentroids(embDf.sparkSession, path)
+    val gen = currentGenDir(embDf.sparkSession, path)
+    val centroids = readCentroidsIn(embDf.sparkSession, gen)
     embDf
       .withColumn("__ivf", assignColumn(col(embCol), centroids))
       .write.mode("append").partitionBy("__ivf")
-      .parquet(s"$path/data")
+      .parquet(s"$gen/data")
   }
 
   /** Index health report: per-cluster member count and mean cosine of
@@ -194,9 +283,10 @@ object Ivf {
       spark: org.apache.spark.sql.SparkSession, path: String,
       embCol: String): DataFrame = {
     import graft.functions.DotProduct
-    val cents = spark.read.parquet(s"$path/centroids")
+    val gen = currentGenDir(spark, path)
+    val cents = spark.read.parquet(s"$gen/centroids")
       .withColumnRenamed("cluster", "__ivf")
-    spark.read.parquet(s"$path/data")
+    spark.read.parquet(s"$gen/data")
       .join(broadcast(cents), "__ivf")
       .select(col("__ivf").as("cluster"),
         (DotProduct(col(embCol), col("weights")) /
@@ -208,9 +298,9 @@ object Ivf {
   /** Rebuild a drifted index in place: retrain centroids on the CURRENT
     * contents (append workloads assign new vectors to stale centroids —
     * [[indexBalance]] is the signal), re-partition the data by the new
-    * assignment, and swap generations (write `data_rebuild`, rename old
-    * out, rename new in — readers between renames retry; for a shared
-    * filesystem wrap the swap in the engine's table-lock pattern).
+    * assignment, and publish it as a new generation via the MANIFEST
+    * swap (see layout note above): write the complete gen dir, repoint
+    * the manifest atomically, delete the old generation last.
     *
     * Returns the one-row report a maintenance log wants: cluster count,
     * row count (must be preserved), the straggler factor (max/mean member
@@ -236,28 +326,25 @@ object Ivf {
       if (n == 0) 0L
       else math.round(rows.map(r => r.getLong(0) * r.getDouble(1)).sum / n * 10000)
     }
-    val before = spark.read.parquet(s"$path/data")
+    val curGen = currentGenDir(spark, path)
+    val before = spark.read.parquet(s"$curGen/data")
     val (rowsBefore, skewBefore) = straggler(before)
     val qualBefore = quality()
-    val data = before.drop("__ivf").localCheckpoint() // source dirs move below
+    val data = before.drop("__ivf").localCheckpoint() // source dirs go away below
     val centroids = train(data, idCol, embCol, nlist, iters, seed)
-    data.withColumn("__ivf", assignColumn(col(embCol), centroids))
-      .write.mode("overwrite").partitionBy("__ivf")
-      .parquet(s"$path/data_rebuild")
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster", "weights")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids_rebuild")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(name: String): Unit = {
-      val cur = new org.apache.hadoop.fs.Path(s"$path/$name")
-      val nxt = new org.apache.hadoop.fs.Path(s"$path/${name}_rebuild")
-      fs.delete(cur, true)
-      fs.rename(nxt, cur)
-    }
-    swap("data"); swap("centroids")
+    // write the COMPLETE next generation (data + matching centroids),
+    // atomically repoint the manifest, delete the old generation last:
+    // a crash anywhere leaves the manifest on a complete generation and
+    // readers can never pair new data with old centroids
+    val nextGen = s"gen_${genNumber(curGen) + 1}"
+    writeGeneration(data, embCol, s"$path/$nextGen", centroids)
+    publishGen(spark, path, nextGen)
+    pruneOldGens(spark, path, s"$path/$nextGen")
+    val fs = hadoopFs(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/data"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
     val (rowsAfter, skewAfter) =
-      straggler(spark.read.parquet(s"$path/data"))
+      straggler(spark.read.parquet(s"$path/$nextGen/data"))
     require(rowsAfter == rowsBefore,
       s"rebalance lost rows: $rowsBefore -> $rowsAfter")
     val qualAfter = quality()
@@ -273,12 +360,13 @@ object Ivf {
       spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
       embCol: String, query: Array[Double], k: Int,
       nprobe: Int = 4): DataFrame = {
-    val centroids = readCentroids(spark, path)
+    val gen = currentGenDir(spark, path)
+    val centroids = readCentroidsIn(spark, gen)
     val qn = normalize(query)
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (i, dot(qn, c)) }
       .sortBy(-_._2).take(nprobe).map(_._1)
-    spark.read.parquet(s"$path/data")
+    spark.read.parquet(s"$gen/data")
       .filter(col("__ivf").isin(probes.map(Integer.valueOf): _*))
       .select(col(idCol),
         round(Similarity.cosineToQuery(col(embCol), query), 4).as("cosine"))
@@ -299,14 +387,15 @@ object Ivf {
       spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
       embCol: String, query: Array[Double], k: Int,
       filter: org.apache.spark.sql.Column, nprobe: Int = 4): DataFrame = {
-    val centroids = readCentroids(spark, path)
+    val gen = currentGenDir(spark, path)
+    val centroids = readCentroidsIn(spark, gen)
     val qn = normalize(query)
     val ranked = centroids.zipWithIndex
       .map { case (c, i) => (i, dot(qn, c)) }
       .sortBy(-_._2).map(_._1)
     var probe = math.min(math.max(nprobe, 1), ranked.length)
     def scan(n: Int): DataFrame =
-      spark.read.parquet(s"$path/data")
+      spark.read.parquet(s"$gen/data")
         .filter(col("__ivf").isin(ranked.take(n).map(Integer.valueOf): _*))
         .filter(filter)
         .select(col(idCol),

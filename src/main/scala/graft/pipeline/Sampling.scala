@@ -43,6 +43,11 @@ object Sampling {
       .toSeq.toDF("__pid", "__base")
     val bigW = totals.map(_._2).sum
     require(bigW > 0, s"systematicPps: total $weightCol must be positive")
+    // the boundary arithmetic below computes 2k·cum + W in Long; past the
+    // headroom the non-ANSI multiply would wrap SILENTLY and draw wrong
+    // rows — fail loudly at the documented limit instead
+    require(bigW <= (Long.MaxValue - bigW) / (2L * k),
+      s"systematicPps: 2*$k*$bigW overflows Long — reduce k or rescale weights")
     val win = Window.partitionBy("__pid").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val kk = 2L * k // boundary j sits at (2j-1)·W / 2k on the weight line

@@ -198,13 +198,18 @@ object PipelineQueries {
              |  WHERE nd > 1)
              |SELECT g.doc_id, count(*) AS n_grams,
              |  sum(CASE WHEN md.rep IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_repeated,
-             |  round(sum(CASE WHEN md.rep IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4)
-             |    AS repeated_frac
+             |  CAST(floor(sum(CASE WHEN md.rep IS NOT NULL THEN 1 ELSE 0 END)
+             |    * 10000.0 / count(*)) AS BIGINT) AS repeated_bp
              |FROM g LEFT JOIN md USING (gram) GROUP BY g.doc_id""".stripMargin),
       (s, dir) => Decontaminate.crossDocRepeats(
           t(s, dir, "documents"), "doc_id", "text", n = 16)
-        .withColumn("n_repeated", col("n_repeated").cast("double"))
-        .withColumn("repeated_frac", round(col("repeated_frac"), 4))),
+        .withColumn("n_repeated", col("n_repeated").cast("long"))
+        // basis-point integer (the q239 dup_bp convention) instead of a
+        // 4-dp double quotient: integer hash equality can't drift on
+        // rounding boundaries, and long matches the oracle's ::BIGINT
+        .withColumn("repeated_bp",
+          floor(col("n_repeated") * 10000.0 / col("n_grams")).cast("long"))
+        .drop("repeated_frac")),
 
     // ---- BPE tokenizer training: the learned merge table over the corpus
     //      word histogram (deterministic — ties break lexicographically);

@@ -39,18 +39,25 @@ object WatermarkAudit {
       arrivalCol, (1 to (nBatches - 1)).map(_.toDouble / nBatches).toArray, 0.0)
     val edges = (Double.NegativeInfinity +: bounds.toSeq :+ Double.PositiveInfinity)
       .sliding(2).map(w => (w.head, w.last)).toSeq
+    // Hadoop FS API throughout (like Sharding.deleteRewrite), so the
+    // staging works wherever Spark can write — local, HDFS, or any store
+    // whose connector supports setTimes (object stores that ignore mtime
+    // can't host a mtime-ordered file source replay in the first place)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     edges.zipWithIndex.foreach { case ((lo, hi), i) =>
       val part = pinned.filter(col(arrivalCol) > lo && col(arrivalCol) <= hi)
       part.coalesce(1).write.mode("overwrite").parquet(s"$dir/b$i")
       // the file source replays oldest-mtime-first: pin the intended order
-      val d = new java.io.File(s"$dir/b$i")
-      d.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
-        val dst = new java.io.File(dir, f"part$i%03d.parquet")
-        java.nio.file.Files.move(f.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1600000000000L + i * 60000L)
-      }
-      org.apache.commons.io.FileUtils.deleteDirectory(d)
+      val bdir = new org.apache.hadoop.fs.Path(s"$dir/b$i")
+      fs.listStatus(bdir)
+        .filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+          val dst = new org.apache.hadoop.fs.Path(dir, f"part$i%03d.parquet")
+          fs.delete(dst, false)
+          fs.rename(st.getPath, dst)
+          fs.setTimes(dst, 1600000000000L + i * 60000L, -1)
+        }
+      fs.delete(bdir, true)
     }
     dir
   }
@@ -117,14 +124,17 @@ object WatermarkAudit {
       // empty engine batch that the progress filter below also drops —
       // skip it here too so batch/file alignment stays 1:1, and leave
       // runMax untouched (no data, no watermark movement).
-      val files = new java.io.File(stagedDir).listFiles
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val sfs = new org.apache.hadoop.fs.Path(stagedDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = sfs.listStatus(new org.apache.hadoop.fs.Path(stagedDir))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
       var runMax = Long.MinValue
       val lateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
       files.foreach { f =>
         val wm = if (runMax == Long.MinValue) Long.MinValue
                  else runMax - delaySeconds * 1000000L
-        val r = spark.read.parquet(f.getPath)
+        val r = spark.read.parquet(f.getPath.toString)
           .agg(max(unix_micros(col(tsCol))),
             sum(when(unix_micros(col(tsCol)) < wm, 1L).otherwise(0L)))
           .head()

@@ -917,7 +917,7 @@ class PipelineSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(probed == brute)
     // appended rows joined their cluster's directory (no new top-level dirs)
-    val dirs = new java.io.File(s"$path/data").listFiles()
+    val dirs = new java.io.File(Ivf.dataDir(spark, path)).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs.forall(_.startsWith("__ivf=")) && dirs.size <= 8, dirs.toString)
     // balance report covers every member with sane cosines
@@ -1652,7 +1652,8 @@ class PipelineSpec extends SparkSpec {
     val half2 = embs.filter(col("vec_id") >= 250)
     Ivf.buildIndex(half1, "vec_id", "embedding", dir, nlist = 8)
     Ivf.appendToIndex(half2, "vec_id", "embedding", dir)
-    val total = spark.read.parquet(s"$dir/data").count()
+    val total = spark.read.parquet(Ivf.dataDir(spark, dir)).count()
+    val genBefore = Ivf.currentGenDir(spark, dir)
     val rep = Ivf.rebalanceIndex(spark, dir, "vec_id", "embedding", nlist = 8)
       .collect().head
     assert(rep.getLong(1) == total, rep.toString)
@@ -1665,8 +1666,16 @@ class PipelineSpec extends SparkSpec {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
     assert(Ivf.probeIndex(spark, dir, "vec_id", "embedding", q, 10).count() == 10)
-    // rebuild dirs swapped away
-    assert(!new java.io.File(s"$dir/data_rebuild").exists())
+    // the swap published a NEW generation and pruned the old one: the
+    // manifest moved, exactly one gen_* dir remains, and data+centroids
+    // live together inside it (never a mixed pair)
+    val genAfter = Ivf.currentGenDir(spark, dir)
+    assert(genAfter != genBefore, s"$genBefore -> $genAfter")
+    val gens = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_")).map(_.getName)
+    assert(gens.length == 1 && s"$dir/${gens.head}" == genAfter, gens.toSeq.toString)
+    assert(new java.io.File(s"$genAfter/data").isDirectory &&
+      new java.io.File(s"$genAfter/centroids").isDirectory)
   }
 
   test("dup evidence: rarest shared tokens in rank order, pair-scoped only") {

@@ -1451,4 +1451,28 @@ class ProtocolsSpec extends SparkSpec {
     val nan = run("1h-avg-nan")
     assert(nan(7200L).exists(_.isNaN))
   }
+
+  test("opentsdb fill grid chunks long sparse spans (bounded arrays, exact grid)") {
+    import spark.implicits._
+    // two samples 5000 buckets apart at 1s step: the grid generator must
+    // not build one 5001-element sequence() array per series — it chunks
+    // (1000 buckets per in-flight array) yet still emits the exact grid
+    val rows = Seq(("a", 0L, 1.0), ("a", 5000L, 2.0))
+      .toDF("event_type", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val table = (_: String) => graft.promql.PromQL.SeriesTable(
+      rows, "ts", "value", Seq("event_type"))
+    val q = graft.opentsdb.OpenTsdb.parseQuery(
+      """{"start": 0, "queries": [{"metric": "m", "aggregator": "none",
+        |  "downsample": "1s-avg-zero",
+        |  "filters": [{"type": "literal_or", "tagk": "event_type",
+        |    "filter": "a", "groupBy": true}]}]}""".stripMargin)
+    val out = graft.opentsdb.OpenTsdb
+      .runSub(q, q.queries.head, table, applyDownsample = true)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("ts").getTime / 1000 ->
+        r.getAs[Double]("value")).toMap
+    assert(out.size == 5001, out.size.toString)
+    assert(out(0L) == 1.0 && out(5000L) == 2.0)
+    assert(out(999L) == 0.0 && out(1000L) == 0.0 && out(4999L) == 0.0)
+  }
 }

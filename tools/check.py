@@ -40,8 +40,28 @@ for name in sorted(os.listdir(out)):
             if str(df[c].dtype).startswith("datetime"):
                 df[c] = df[c].astype("datetime64[us]")
         return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # dtype-FAMILY strictness BEFORE the float64 normalization: the driver
+    # hashes typed values (0 != 0.0), so an int-vs-float skew must fail
+    # locally too — r4's one driver red (q96) shipped because this gate
+    # normalized both sides to float64 first and couldn't see the skew.
+    def family(dt):
+        s = str(dt)
+        if s.startswith(("int", "uint", "Int", "UInt")): return "int"
+        if s.startswith(("float", "Float")): return "float"
+        if s.startswith("datetime"): return "datetime"
+        if s.startswith("bool"): return "bool"
+        return "other"
+    tybad = None
+    for c in sorted(set(got.columns) & set(want.columns)):
+        fg, fw = family(got[c].dtype), family(want[c].dtype)
+        if fg != fw:
+            tybad = (f"dtype family differs on col {c}: "
+                     f"got {got[c].dtype} ({fg}) want {want[c].dtype} ({fw})")
+            break
     g, w = norm(got), norm(want)
-    if list(g.columns) != list(w.columns):
+    if tybad:
+        bad.append((name, tybad))
+    elif list(g.columns) != list(w.columns):
         bad.append((name, f"columns differ: got {list(g.columns)} want {list(w.columns)}"))
     elif len(g) != len(w):
         bad.append((name, f"rowcount differ: got {len(g)} want {len(w)}"))
