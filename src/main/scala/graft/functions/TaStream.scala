@@ -20,8 +20,11 @@ import org.apache.spark.sql.Row
 object TaStream {
 
   /** One series' recurrence state: push a point, get the emitted value
-    * (None during warm-up). Timestamps pass through untouched. */
-  sealed trait State {
+    * (None during warm-up). Timestamps pass through untouched.
+    * Serializable so [[TaChunked]] can thread a state across chunk
+    * boundaries (the hand-off copies the fields verbatim — no arithmetic,
+    * so chunked evaluation stays bit-identical to the serial walk). */
+  sealed trait State extends Serializable {
     def push(v: Double): Option[Double]
   }
 
@@ -156,7 +159,7 @@ object TaStream {
     *
     * Forecast h buckets past the last point T: l + h·b + s((T+h) mod S).
     * α = β = γ = 0.5 fixed (see InfluxQL.applyHoltWinters scaladoc). */
-  final class HoltWinters(season: Int) {
+  final class HoltWinters(season: Int) extends Serializable {
     private val a = 0.5
     private var i = 0
     private var l = 0.0

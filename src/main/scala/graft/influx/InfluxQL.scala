@@ -1261,12 +1261,16 @@ object InfluxQL {
         }
         val projected = base.select(
           tagCols.map(col) :+ col(timeCol) :+ v.cast("double").as("__tav"): _*)
-        // an untagged statement is one global series → one partition; the
-        // secondary __tav sort keeps raw-point time ties deterministic
-        // (same tie-break as the windowed transforms above)
-        val parted =
-          (if (tagCols.isEmpty) projected.repartition(1)
-           else projected.repartition(tagCols.map(col): _*))
+        // an untagged statement is ONE global series: chunked two-phase
+        // evaluation (parallel range sort + state carried across chunk
+        // boundaries) instead of a single-partition sort+walk — exact and
+        // bit-identical to the serial recurrence, see TaChunked scaladoc.
+        // The secondary __tav sort keeps raw-point time ties deterministic
+        // (same tie-break as the windowed transforms above).
+        if (tagCols.isEmpty)
+          return graft.functions.TaChunked.runGlobal(
+            projected, timeCol, "__tav", mk, outName)
+        val parted = projected.repartition(tagCols.map(col): _*)
             .sortWithinPartitions(
               tagCols.map(col) :+ col(timeCol) :+ col("__tav"): _*)
         val outSchema = org.apache.spark.sql.types.StructType(
@@ -1329,9 +1333,12 @@ object InfluxQL {
     val v = col(valueCol)
     val projected = agg.filter(v.isNotNull).select(
       tagCols.map(col) :+ col(timeCol) :+ v.cast("double").as("__hwv"): _*)
-    val parted =
-      (if (tagCols.isEmpty) projected.repartition(1)
-       else projected.repartition(tagCols.map(col): _*))
+    // untagged = one global series: chunked two-phase evaluation (see
+    // TaChunked scaladoc) instead of a single-partition sort+walk
+    if (tagCols.isEmpty)
+      return graft.functions.TaChunked.runGlobalHoltWinters(
+        projected, timeCol, "__hwv", season, nFc, withFit, stepUs, outName)
+    val parted = projected.repartition(tagCols.map(col): _*)
         .sortWithinPartitions(
           tagCols.map(col) :+ col(timeCol) :+ col("__hwv"): _*)
     val outSchema = org.apache.spark.sql.types.StructType(

@@ -705,6 +705,57 @@ class ProtocolsSpec extends SparkSpec {
     assert(g == Seq(2.0, 3.0, 4.0))
   }
 
+  test("untagged TA runs chunked: multi-task sort, bit-identical to serial") {
+    import spark.implicits._
+    // one hot global series (no tags): the former repartition(1) path.
+    // Values chosen irregular so every chunk boundary matters.
+    val n = 5000
+    val df = (0 until n).map(i =>
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704067200L + i * 7)),
+         math.sin(i * 0.37) * 100 + i % 13))
+      .toDF("time", "__tav")
+    // the staged sort must be MULTI-task (the 100 TB point of the rework)
+    val staged = graft.functions.TaChunked.stageSorted(df, "time", "__tav", 8)
+    assert(staged.rdd.getNumPartitions == 8)
+    val perPart = staged.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.count(_ > 0) > 1, perPart.toSeq.toString)
+    // chunked output == the serial kernel walked over the sorted series,
+    // bit-for-bit (same doubles, not approximately)
+    for (mk <- Seq[() => graft.functions.TaStream.State](
+        () => new graft.functions.TaStream.Ema(4),
+        () => new graft.functions.TaStream.Rsi(14),
+        () => new graft.functions.TaStream.Kama(10),
+        () => new graft.functions.TaStream.Trix(5))) {
+      val got = graft.functions.TaChunked
+        .runGlobal(df, "time", "__tav", mk, "out", chunks = 8)
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getDouble(1)))
+        .sortBy(_._1).toSeq
+      val serial = {
+        val st = mk()
+        df.collect().map(r => (r.getTimestamp(0).getTime, r.getDouble(1)))
+          .sortBy(_._1)
+          .flatMap { case (t, v) => st.push(v).map(o => (t, o)) }.toSeq
+      }
+      assert(got == serial, s"chunked != serial for $mk")
+    }
+    // holt_winters untagged: fits replay chunk-parallel, forecasts come
+    // from the phase-A terminal state — both bit-equal to the serial walk
+    val hwGot = graft.functions.TaChunked
+      .runGlobalHoltWinters(df, "time", "__tav", season = 4, nFc = 3,
+        withFit = true, stepUs = 7000000L, "out", chunks = 8)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    val hwSerial = {
+      val st = new graft.functions.TaStream.HoltWinters(4)
+      val pts = df.collect().map(r => (r.getTimestamp(0).getTime, r.getDouble(1)))
+        .sortBy(_._1)
+      val fits = pts.flatMap { case (t, v) => st.push(v).map(f => (t, f)) }
+      val lastT = pts.last._1
+      (fits ++ (1 to 3).map(h => (lastT + h * 7000L, st.forecast(h)))).sortBy(_._1).toSeq
+    }
+    assert(hwGot == hwSerial)
+  }
+
   test("InfluxQL holt_winters: additive triple smoothing + forecast") {
     import spark.implicits._
     val e = new TsdbEngine(spark,
