@@ -54,14 +54,17 @@ object Similarity {
 
   /** ANN top-k via multi-table hyperplane LSH: candidates = union of the
     * query's buckets across tables, then exact cosine re-rank of candidates
-    * only. Recall grows with `tables`; cost per probe is candidates-only. */
+    * only. Recall grows with `tables`; cost per probe is candidates-only.
+    * Hyperplanes are the engine-portable md5-seeded Rademacher family
+    * ([[graft.functions.RademacherSig]]), so the whole probe is
+    * SQL-replayable by an oracle. */
   def lshTopK(
       embDf: DataFrame, idCol: String, embCol: String,
       query: Array[Double], k: Int,
-      tables: Int = 8, bits: Int = 12, seed: Long = 42L): DataFrame = {
-    val sigs = HyperplaneSignature.signature(col(embCol), tables, bits, seed)
+      tables: Int = 8, bits: Int = 12): DataFrame = {
+    val sigs = graft.functions.RademacherSig.signature(col(embCol), tables, bits)
     val indexed = embDf.select(col(idCol), col(embCol), sigs.as("buckets"))
-    val qSig = HyperplaneSignature.signatureOf(query, tables, bits, seed)
+    val qSig = graft.functions.RademacherSig.signatureOfVec(query, tables, bits)
     // candidate = agrees with the query bucket in at least one table
     val cond = (0 until tables)
       .map(t => element_at(col("buckets"), t + 1) === lit(qSig(t)))
@@ -81,8 +84,8 @@ object Similarity {
   def nearDupPairs(
       embDf: DataFrame, idCol: String, embCol: String,
       threshold: Double = 0.95,
-      tables: Int = 8, bits: Int = 8, seed: Long = 42L): DataFrame =
-    cosineNearDupPairs(embDf, idCol, embCol, threshold, tables, bits, seed)
+      tables: Int = 8, bits: Int = 8): DataFrame =
+    cosineNearDupPairs(embDf, idCol, embCol, threshold, tables, bits)
 
   /** Exact all-pairs embedding near-dup — SMALL-N ORACLE BASELINE ONLY:
     * intrinsically Θ(n²) (a low cosine threshold makes the OUTPUT itself
@@ -106,16 +109,20 @@ object Similarity {
   }
 
   /** All-pairs near-dup by embedding cosine: LSH-bucket join + exact verify,
-    * same shape as Dedup.minhashNearDupPairs. */
+    * same shape as Dedup.minhashNearDupPairs. Buckets come from the
+    * engine-portable Rademacher family ([[graft.functions.RademacherSig]]):
+    * candidate generation AND verify are both SQL-replayable, which is what
+    * promotes the LSH near-dup query from rows-only to oracle-hash-checked. */
   def cosineNearDupPairs(
       embDf: DataFrame, idCol: String, embCol: String,
       threshold: Double = 0.95,
-      tables: Int = 8, bits: Int = 8, seed: Long = 42L): DataFrame = {
+      tables: Int = 8, bits: Int = 8): DataFrame = {
     val docs = embDf.repartition(col(idCol)) // parallelize per-vector prep
       .select(col(idCol).as("id"), col(embCol).as("emb"),
       sqrt(aggregate(col(embCol), lit(0.0),
         (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"),
-      HyperplaneSignature.signature(col(embCol), tables, bits, seed).as("buckets"))
+      graft.functions.RademacherSig.signature(col(embCol), tables, bits)
+        .as("buckets"))
       // localCheckpoint, not cache(): blocks are freed by the ContextCleaner
       // when the result is dropped; cache() pins until explicit unpersist
       .localCheckpoint()
@@ -140,80 +147,4 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
-}
-
-/** Sign-random-projection signatures: for table t, bit j, the hyperplane
-  * weight for dimension d is a deterministic pseudo-gaussian derived from
-  * splitmix64(seed, t, j, d) — no stored projection matrix, so executors
-  * recompute weights locally and nothing is broadcast.
-  */
-object HyperplaneSignature {
-  def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
-  /** uniform in [-1, 1) from the mixed key — adequate for sign projections */
-  def weight(seed: Long, table: Int, bit: Int, dim: Int): Double = {
-    val h = splitmix64(seed ^ (table.toLong << 40) ^ (bit.toLong << 20) ^ dim.toLong)
-    (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-  }
-
-  def signatureOfVec(v: Array[Double], tables: Int, bits: Int, seed: Long): Array[Long] = {
-    val out = new Array[Long](tables)
-    var t = 0
-    while (t < tables) {
-      var sig = 0L
-      var b = 0
-      while (b < bits) {
-        var dot = 0.0
-        var d = 0
-        while (d < v.length) { dot += v(d) * weight(seed, t, b, d); d += 1 }
-        if (dot > 0) sig |= (1L << b)
-        b += 1
-      }
-      out(t) = sig
-      t += 1
-    }
-    out
-  }
-
-  /** driver-side signature of a constant query vector */
-  def signatureOf(q: Array[Double], tables: Int, bits: Int, seed: Long): Array[Long] =
-    signatureOfVec(q, tables, bits, seed)
-
-  def signature(emb: Column, tables: Int, bits: Int, seed: Long): Column =
-    GraftBridge.col(HyperplaneSignatureExpr(GraftBridge.expr(emb), tables, bits, seed))
-}
-
-/** array<numeric> → array<long> of per-table LSH bucket keys. Interpreted
-  * eval (index build path, not the query hot path); the arithmetic is a
-  * tight primitive loop either way. */
-case class HyperplaneSignatureExpr(child: Expression, tables: Int, bits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "hyperplane_signature"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val elemType = child.dataType.asInstanceOf[ArrayType].elementType
-    val v = new Array[Double](arr.numElements())
-    var i = 0
-    while (i < v.length) {
-      v(i) = elemType match {
-        case FloatType  => arr.getFloat(i).toDouble
-        case DoubleType => arr.getDouble(i)
-        case IntegerType => arr.getInt(i).toDouble
-        case LongType   => arr.getLong(i).toDouble
-        case other => throw new IllegalStateException(s"bad embedding element $other")
-      }
-      i += 1
-    }
-    new GenericArrayData(HyperplaneSignature.signatureOfVec(v, tables, bits, seed))
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

@@ -576,8 +576,33 @@ object PipelineQueries {
       (s, dir) => Similarity.bruteForceTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10)),
 
-    // ---- LSH-bucketed ANN (scale path; recall asserted in PipelineSpec)
-    GraftQuery("q58_ann_lsh", None,
+    // ---- LSH-bucketed ANN (scale path; recall asserted in PipelineSpec).
+    //      Hash-checked since round 5: the md5-seeded Rademacher planes +
+    //      integer-quantized dots (functions/RademacherSig) make candidate
+    //      generation SQL-replayable, so the oracle reruns the exact probe.
+    GraftQuery("q58_ann_lsh",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+             |qv AS (SELECT vec_id, i.i - 1 AS d,
+             |    CAST(round(emb[i.i] * 1000000) AS BIGINT) AS q
+             |  FROM e, unnest(generate_series(1, len(emb))) i(i)),
+             |pl AS (SELECT t.t, j.j, d.d,
+             |    CASE WHEN ('0x' || substr(md5('rp:' || t.t || ':' || j.j || ':' || d.d), 1, 1))::INT % 2 = 0
+             |      THEN 1 ELSE -1 END AS s
+             |  FROM generate_series(0, 15) t(t), generate_series(0, 5) j(j),
+             |       generate_series(0, 63) d(d)),
+             |dots AS (SELECT qv.vec_id, pl.t, pl.j, sum(qv.q * pl.s) AS dot
+             |  FROM qv JOIN pl ON qv.d = pl.d GROUP BY 1, 2, 3),
+             |sig AS (SELECT vec_id, t,
+             |    sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END)::BIGINT AS key
+             |  FROM dots GROUP BY 1, 2),
+             |qsig AS (SELECT t, key FROM sig WHERE vec_id = 0),
+             |cand AS (SELECT DISTINCT s.vec_id
+             |  FROM sig s JOIN qsig ON s.t = qsig.t AND s.key = qsig.key)
+             |SELECT e.vec_id,
+             |  round(list_cosine_similarity(e.emb,
+             |    (SELECT emb FROM e WHERE vec_id = 0)), 4) AS cosine
+             |FROM cand JOIN e USING (vec_id)
+             |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
       (s, dir) => Similarity.lshTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryVec(s, dir), 10,
         tables = 16, bits = 6)),
@@ -733,13 +758,42 @@ object PipelineQueries {
 
     // ---- embedding near-dup via LSH buckets (the index-scale path: true
     //      near-dups at cos>=0.9 collide with ~94% probability at these
-    //      params; recall asserted in PipelineSpec on perturbed twins)
-    GraftQuery("q61_embedding_near_dup_lsh", None,
+    //      params; recall asserted in PipelineSpec on perturbed twins).
+    //      Hash-checked since round 5 (portable Rademacher planes, q58
+    //      note); the summary is integer basis points, not a float avg,
+    //      so summation order can't flake the hash.
+    GraftQuery("q61_embedding_near_dup_lsh",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+             |qv AS (SELECT vec_id, i.i - 1 AS d,
+             |    CAST(round(emb[i.i] * 1000000) AS BIGINT) AS q
+             |  FROM e, unnest(generate_series(1, len(emb))) i(i)),
+             |pl AS (SELECT t.t, j.j, d.d,
+             |    CASE WHEN ('0x' || substr(md5('rp:' || t.t || ':' || j.j || ':' || d.d), 1, 1))::INT % 2 = 0
+             |      THEN 1 ELSE -1 END AS s
+             |  FROM generate_series(0, 7) t(t), generate_series(0, 7) j(j),
+             |       generate_series(0, 63) d(d)),
+             |dots AS (SELECT qv.vec_id, pl.t, pl.j, sum(qv.q * pl.s) AS dot
+             |  FROM qv JOIN pl ON qv.d = pl.d GROUP BY 1, 2, 3),
+             |sig AS (SELECT vec_id, t,
+             |    sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END)::BIGINT AS key
+             |  FROM dots GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM sig a JOIN sig b ON a.t = b.t AND a.key = b.key
+             |    AND a.vec_id < b.vec_id),
+             |ver AS (SELECT id_a, id_b,
+             |    round(list_cosine_similarity(ea.emb, eb.emb), 4) AS c
+             |  FROM cand JOIN e ea ON ea.vec_id = id_a
+             |    JOIN e eb ON eb.vec_id = id_b)
+             |SELECT count(*)::BIGINT AS n_pairs,
+             |  coalesce(sum(CAST(round(c * 10000) AS BIGINT)), 0)::BIGINT
+             |    AS sum_cosine_bp
+             |FROM ver WHERE c >= 0.9""".stripMargin),
       (s, dir) => Similarity.nearDupPairs(
           t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.9, tables = 8, bits = 8)
         .agg(count(lit(1)).as("n_pairs"),
-             coalesce(round(avg("cosine"), 4), lit(0.0)).as("avg_cosine"))),
+             coalesce(sum(round(col("cosine") * 10000).cast("long")), lit(0L))
+               .as("sum_cosine_bp"))),
 
     // ---- DSIR importance weights (Xie et al. 2023): log p_target/p_raw
     //      per doc under add-1 bag-of-ngram models, target = English docs;
