@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -10,11 +10,23 @@ import org.apache.spark.sql.types._
   *
   * Broder minhash: each of `numHashes` hash permutations keeps its minimum
   * over the document's shingles. Instead of `numHashes` independent string
-  * hashes per shingle, each shingle is xxhash64'd once and the permutations
-  * are affine maps `a_i * h + b_i` over Z_2^64 (a_i odd ⇒ bijective) with
-  * deterministic seeded coefficients — the standard tabulation-free
-  * construction (same scheme as Spark MLlib's MinHashLSH, reduced mod-prime
-  * there). One array scan per row; O(|shingles| + 64·|shingles|) multiply-adds.
+  * hashes per shingle, each shingle is base-hashed once and the permutations
+  * are affine maps `a_i * h + b_i` over Z_2^64 (a_i odd ⇒ bijective) —
+  * the standard tabulation-free construction (same scheme as Spark MLlib's
+  * MinHashLSH, reduced mod-prime there). One array scan per row;
+  * O(|shingles| + 64·|shingles|) multiply-adds.
+  *
+  * ENGINE-PORTABLE since round 5 (the q194-winnowing trick, which is what
+  * lets the LSH dedup queries be DuckDB-oracle-checked):
+  *   - base hash  h  = md5-prefix-60 of the shingle
+  *                     (`('0x' || substr(md5(s),1,15))::BIGINT` in SQL);
+  *   - coefficients derive from md5 too, not a JVM RNG:
+  *       a_j = 2·md5p28("mh:a:"+j) + 1   (odd, < 2^29)
+  *       b_j = md5p60("mh:b:"+j)
+  *     so a_j·h + b_j < 2^90 — replayable exactly in 128-bit SQL
+  *     arithmetic as `(a::HUGEINT * h + b) % 2^64`;
+  *   - the slot minimum is UNSIGNED (Long.compareUnsigned here, natural
+  *     HUGEINT order on the mod-2^64 value in SQL).
   *
   * Replaces a higher-order-function formulation (`transform(sequence(0,63),
   * i -> aggregate(shingles, ...))`) that re-evaluated the whole shingle
@@ -29,29 +41,25 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  // Deterministic permutation coefficients (fixed seed: stable signatures
-  // across runs/executors, the property the reference gets from its fixed
-  // sketch seed — df_operator/src/udfs/thetasketch_distinct.rs:59-80).
   @transient private lazy val coeffs: (Array[Long], Array[Long]) = {
-    val rnd = new java.util.Random(0x5eed5eedL)
-    val a = Array.fill(numHashes)(rnd.nextLong() | 1L)
-    val b = Array.fill(numHashes)(rnd.nextLong())
+    val a = Array.tabulate(numHashes)(j => 2L * MinHashSig.md5Prefix(s"mh:a:$j", 7) + 1L)
+    val b = Array.tabulate(numHashes)(j => MinHashSig.md5Prefix(s"mh:b:$j", 15))
     (a, b)
   }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val (as, bs) = coeffs
-    val mins = Array.fill(numHashes)(Long.MaxValue)
+    // unsigned min; -1L is the unsigned maximum
+    val mins = Array.fill(numHashes)(-1L)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+      val h = MinHashSig.md5Prefix60(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < numHashes) {
-        val g = as(j) * h + bs(j)
-        if (g < mins(j)) mins(j) = g
+        val g = as(j) * h + bs(j) // wraps mod 2^64, matching the SQL replay
+        if (java.lang.Long.compareUnsigned(g, mins(j)) < 0) mins(j) = g
         j += 1
       }
       i += 1
@@ -64,6 +72,26 @@ case class MinHashSig(child: Expression, numHashes: Int)
 }
 
 object MinHashSig {
+  /** First `nHex` hex chars of md5(bytes) as a non-negative Long —
+    * identical to SQL's `('0x' || substr(md5(s), 1, nHex))::BIGINT`. */
+  def md5PrefixBytes(bytes: Array[Byte], nHex: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < nHex) {
+      val nib = if (i % 2 == 0) (d(i / 2) >>> 4) & 0xF else d(i / 2) & 0xF
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  def md5Prefix(s: String, nHex: Int): Long =
+    md5PrefixBytes(s.getBytes("UTF-8"), nHex)
+
+  /** 60-bit base hash of a shingle (15 hex chars). */
+  def md5Prefix60(bytes: Array[Byte]): Long = md5PrefixBytes(bytes, 15)
+
   /** Signature column from an array&lt;string&gt; shingle column. */
   def apply(shingles: Column, numHashes: Int): Column =
     GraftBridge.col(MinHashSig(GraftBridge.expr(shingles), numHashes))

@@ -218,12 +218,22 @@ object TextAnalysis {
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
     graft.functions.MinHashSig(shingleSet, numHashes)
 
-  /** LSH band keys from a minhash signature: `bands` hashes, each over a
-    * contiguous `rows`-slice of the signature. Docs sharing any band key are
-    * near-dup candidates (classic banding: b bands of r rows trade precision
-    * against recall). */
+  /** A signed-long signature slot rendered as its UNSIGNED decimal string
+    * (the mod-2^64 value) — the representation the SQL oracle's HUGEINT
+    * arithmetic produces natively, so band keys agree across engines. */
+  private def u64str(x: Column): Column =
+    when(x >= 0, x.cast("string"))
+      .otherwise((x.cast(org.apache.spark.sql.types.DecimalType(22, 0)) +
+        lit(new java.math.BigDecimal("18446744073709551616")))
+        .cast(org.apache.spark.sql.types.DecimalType(20, 0)).cast("string"))
+
+  /** LSH band keys from a minhash signature: `bands` keys, each the md5 of
+    * a contiguous `rows`-slice of the signature (unsigned-decimal slots,
+    * comma-joined — replayable as `md5(string_agg(m::VARCHAR, ','))` in
+    * SQL). Docs sharing any band key are near-dup candidates (classic
+    * banding: b bands of r rows trade precision against recall). */
   def minhashBands(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)),
-        x => x.cast("string")))))
+      b => md5(concat_ws(",",
+        transform(slice(sig, b * rows + 1, lit(rows)), x => u64str(x)))))
 }

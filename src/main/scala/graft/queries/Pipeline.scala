@@ -531,13 +531,53 @@ object PipelineQueries {
       (s, dir) => Dedup.connectedComponents(jaccardPairs(s, dir))
         .select(col("id").as("doc_id"), col("cluster_id"))),
 
-    // ---- MinHash-LSH near-dup (summary; exact-vs-LSH recall in PipelineSpec)
-    GraftQuery("q55_minhash_lsh", None,
+    // ---- MinHash-LSH near-dup (exact-vs-LSH recall in PipelineSpec).
+    //      Hash-checked since round 5: the md5-portable minhash family
+    //      (functions/MinHash.scala scaladoc) lets the oracle replay the
+    //      ENTIRE pipeline — base hashes, affine permutations in HUGEINT
+    //      mod-2^64, unsigned slot minima, banded md5 keys, bucket join,
+    //      exact Jaccard verify. Summary is integer basis points so
+    //      summation order can't flake the hash.
+    GraftQuery("q55_minhash_lsh",
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
+             |  FROM t, unnest(generate_series(1, len(toks) - 2)) i(i)
+             |  WHERE len(toks) >= 3
+             |  UNION
+             |  SELECT doc_id, array_to_string(toks, ' ') FROM t WHERE len(toks) < 3),
+             |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+             |co AS (SELECT j.j,
+             |    2 * ('0x' || substr(md5('mh:a:' || j.j), 1, 7))::BIGINT + 1 AS a,
+             |    ('0x' || substr(md5('mh:b:' || j.j), 1, 15))::BIGINT AS b
+             |  FROM generate_series(0, 63) j(j)),
+             |mins AS (SELECT doc_id, j,
+             |    min((a::HUGEINT * h + b) % 18446744073709551616) AS m
+             |  FROM hs CROSS JOIN co GROUP BY doc_id, j),
+             |bk AS (SELECT doc_id, j // 4 AS band,
+             |    md5(string_agg(m::VARCHAR, ',' ORDER BY j)) AS key
+             |  FROM mins GROUP BY doc_id, j // 4),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+             |    AND a.doc_id < b.doc_id),
+             |sl AS (SELECT doc_id, list(s) AS l FROM sh GROUP BY doc_id),
+             |ver AS (SELECT id_a, id_b,
+             |    len(list_intersect(sa.l, sb.l))::DOUBLE
+             |      / len(list_distinct(list_concat(sa.l, sb.l))) AS jac
+             |  FROM cand JOIN sl sa ON sa.doc_id = id_a
+             |    JOIN sl sb ON sb.doc_id = id_b)
+             |SELECT count(*)::BIGINT AS n_pairs,
+             |  coalesce(sum(CAST(round(jac * 10000) AS BIGINT)), 0)::BIGINT
+             |    AS sum_jaccard_bp
+             |FROM ver WHERE jac >= 0.8""".stripMargin),
       (s, dir) => Dedup.minhashNearDupPairs(
           t(s, dir, "documents"), "doc_id", "text",
           shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
         .agg(count(lit(1)).as("n_pairs"),
-             coalesce(round(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"))),
+             coalesce(sum(round(col("jaccard") * 10000).cast("long")), lit(0L))
+               .as("sum_jaccard_bp"))),
 
     // ---- SimHash near-dup (summary)
     GraftQuery("q56_simhash", None,
@@ -1531,7 +1571,51 @@ object PipelineQueries {
     //      agreement is minhash-dependent (rows-only); PipelineSpec binds
     //      planted recall and clean-batch pass-through.
     GraftQuery("q199_incremental_near_dup",
-      None,
+      // hash-checked since round 5: md5-portable minhash (q55 note) lets
+      // the oracle rebuild BOTH the corpus signature index and the batch
+      // signatures, replay the band join + slot-agreement verify (÷64 is
+      // exact in binary), and re-derive the surviving batch
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+             |inc AS (
+             |  SELECT doc_id + 10000 AS doc_id, text || ' zq' AS text
+             |  FROM documents WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 20000, text
+             |  FROM documents WHERE doc_id >= 250 AND doc_id < 300),
+             |allv AS (SELECT 'c' AS sd, doc_id, text FROM corpus
+             |  UNION ALL SELECT 'i', doc_id, text FROM inc),
+             |t AS (SELECT sd, doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM allv),
+             |sh AS (
+             |  SELECT sd, doc_id, toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
+             |  FROM t, unnest(generate_series(1, len(toks) - 2)) i(i)
+             |  WHERE len(toks) >= 3
+             |  UNION
+             |  SELECT sd, doc_id, array_to_string(toks, ' ') FROM t WHERE len(toks) < 3),
+             |hs AS (SELECT sd, doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+             |co AS (SELECT j.j,
+             |    2 * ('0x' || substr(md5('mh:a:' || j.j), 1, 7))::BIGINT + 1 AS a,
+             |    ('0x' || substr(md5('mh:b:' || j.j), 1, 15))::BIGINT AS b
+             |  FROM generate_series(0, 63) j(j)),
+             |mins AS (SELECT sd, doc_id, j,
+             |    min((a::HUGEINT * h + b) % 18446744073709551616) AS m
+             |  FROM hs CROSS JOIN co GROUP BY sd, doc_id, j),
+             |bk AS (SELECT sd, doc_id, j // 4 AS band,
+             |    md5(string_agg(m::VARCHAR, ',' ORDER BY j)) AS key
+             |  FROM mins GROUP BY sd, doc_id, j // 4),
+             |cand AS (SELECT DISTINCT i.doc_id AS iid, c.doc_id AS cid
+             |  FROM bk i JOIN bk c ON i.band = c.band AND i.key = c.key
+             |  WHERE i.sd = 'i' AND c.sd = 'c'),
+             |agr AS (SELECT cand.iid, cand.cid,
+             |    sum(CASE WHEN mi.m = mc.m THEN 1 ELSE 0 END) / 64.0 AS agree
+             |  FROM cand
+             |  JOIN mins mi ON mi.sd = 'i' AND mi.doc_id = cand.iid
+             |  JOIN mins mc ON mc.sd = 'c' AND mc.doc_id = cand.cid AND mc.j = mi.j
+             |  GROUP BY 1, 2),
+             |dup AS (SELECT DISTINCT iid FROM agr WHERE agree >= 0.8)
+             |SELECT count(*)::BIGINT AS n_new, min(doc_id)::BIGINT AS min_id,
+             |  max(doc_id)::BIGINT AS max_id
+             |FROM inc WHERE doc_id NOT IN (SELECT iid FROM dup)""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
         // the index is a PERSISTED artifact in real use — pin it so the
