@@ -1,0 +1,368 @@
+package graft.server
+
+import graft.engine.TsdbEngine
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException, IOException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import scala.collection.mutable
+
+/** gRPC storage service for the engine — the Spark twin of the reference's
+  * primary SDK ingest/query protocol
+  * (`server/src/grpc/storage_service/mod.rs:70,230,261`:
+  * `write` / `sql_query` over tonic). Serves real gRPC-over-HTTP/2 on a
+  * TCP socket with a hand-rolled HTTP/2 + HPACK + protobuf stack — the
+  * same byte-level wire-server pattern as [[GraftMysqlServer]] /
+  * [[GraftPgServer]], one layer lower.
+  *
+  * Scope mirrors the reference surface a migrating SDK app hits first:
+  *   - `/storage.StorageService/SqlQuery` — unary SQL; DML/DDL answer
+  *     `affected_rows` (u32, proxy/src/grpc/sql_query.rs:322), SELECTs
+  *     answer an `ArrowPayload` whose record_batches carry Arrow IPC
+  *     bytes with Compression=NONE (arrow_ext CompressionMethod::None is
+  *     the reference's uncompressed mode)
+  *   - `/storage.StorageService/Write` — tag/field-indexed series entries
+  *     with the reference's auto-create/auto-ADD-column semantics
+  *     (proxy/src/write.rs:176-260: unseen table → CREATE with timestamp
+  *     key + TAG columns, unseen columns → ALTER ADD), timestamp key
+  *     named `timestamp` (common_types/schema.rs:227), `update_mode =
+  *     append` so every written point survives
+  *   - other service methods answer gRPC UNIMPLEMENTED(12), like a
+  *     reference build without the corresponding feature flags
+  *
+  * HTTP/2 subset (documented contract, asserted by GrpcServerSpec's
+  * hand-rolled client): one HEADERS frame per request (END_HEADERS set,
+  * no CONTINUATION), HPACK without Huffman-coded string literals, flow
+  * control windows assumed large enough for the response (the spec client
+  * announces 2^31-1). These are wire-format simplifications only — frames,
+  * HPACK static/dynamic tables, gRPC length-prefixed messages, and
+  * trailers are the real thing.
+  *
+  * Scale posture: identical to the other wire servers — a stateless front
+  * that plans one Spark job per request; fan-out belongs to the cluster.
+  */
+final class GraftGrpcServer(engine: TsdbEngine, port: Int = 0) {
+
+  private val server = new ServerSocket(port, 16, InetAddress.getByName("127.0.0.1"))
+  @volatile private var running = true
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+
+  def boundPort: Int = server.getLocalPort
+
+  def start(): GraftGrpcServer = {
+    pool.submit(new Runnable {
+      def run(): Unit = while (running) {
+        try {
+          val s = server.accept()
+          pool.submit(new Runnable { def run(): Unit = serve(s) })
+        } catch { case _: IOException => () }
+      }
+    })
+    this
+  }
+
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case _: IOException => () }
+    pool.shutdownNow()
+    ()
+  }
+
+  // --------------------------------------------------------------- HTTP/2
+
+  private val Preface = "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("US-ASCII")
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    try {
+      val pre = new Array[Byte](Preface.length)
+      in.readFully(pre)
+      if (!java.util.Arrays.equals(pre, Preface)) return
+      writeFrame(out, 0x4, 0, 0, Array.emptyByteArray) // our SETTINGS
+      out.flush()
+      val hpack = new Http2.HpackDecoder
+      val paths = mutable.Map.empty[Int, String]
+      val bodies = mutable.Map.empty[Int, java.io.ByteArrayOutputStream]
+      while (true) {
+        val (len, tpe, flags, sid) = readFrameHeader(in)
+        val payload = new Array[Byte](len)
+        in.readFully(payload)
+        tpe match {
+          case 0x4 => // SETTINGS: ack non-acks
+            if ((flags & 0x1) == 0) { writeFrame(out, 0x4, 0x1, 0, Array.emptyByteArray); out.flush() }
+          case 0x6 => // PING → ack
+            if ((flags & 0x1) == 0) { writeFrame(out, 0x6, 0x1, 0, payload); out.flush() }
+          case 0x8 => () // WINDOW_UPDATE: windows assumed ample (scaladoc)
+          case 0x1 => // HEADERS (END_HEADERS required by our contract)
+            require((flags & 0x4) != 0, "CONTINUATION not supported")
+            var off = 0
+            var dataLen = len
+            if ((flags & 0x8) != 0) { off = payload(0) + 1 + 5; dataLen = len - off } // PADDED+PRIORITY
+            else if ((flags & 0x20) != 0) { off = 5; dataLen = len - 5 }              // PRIORITY
+            val hdrs = hpack.decode(payload, off, off + dataLen)
+            hdrs.find(_._1 == ":path").foreach(p => paths(sid) = p._2)
+            if ((flags & 0x1) != 0) dispatch(out, sid, paths, bodies) // END_STREAM
+          case 0x0 => // DATA
+            bodies.getOrElseUpdate(sid, new java.io.ByteArrayOutputStream())
+              .write(payload)
+            if ((flags & 0x1) != 0) dispatch(out, sid, paths, bodies)
+          case 0x3 => paths.remove(sid); bodies.remove(sid) // RST_STREAM
+          case 0x7 => return // GOAWAY
+          case _   => ()     // ignore unknown frame types (spec-compliant)
+        }
+      }
+    } catch { case _: EOFException | _: IOException => () }
+    finally { try sock.close() catch { case _: IOException => () } }
+  }
+
+  private def readFrameHeader(in: DataInputStream): (Int, Int, Int, Int) = {
+    val len = ((in.readUnsignedByte() << 16) | (in.readUnsignedByte() << 8) |
+      in.readUnsignedByte())
+    val tpe = in.readUnsignedByte()
+    val flags = in.readUnsignedByte()
+    val sid = in.readInt() & 0x7FFFFFFF
+    (len, tpe, flags, sid)
+  }
+
+  private def writeFrame(
+      out: java.io.OutputStream, tpe: Int, flags: Int, sid: Int,
+      payload: Array[Byte]): Unit = {
+    val len = payload.length
+    out.write((len >>> 16) & 0xFF); out.write((len >>> 8) & 0xFF); out.write(len & 0xFF)
+    out.write(tpe); out.write(flags)
+    out.write((sid >>> 24) & 0x7F); out.write((sid >>> 16) & 0xFF)
+    out.write((sid >>> 8) & 0xFF); out.write(sid & 0xFF)
+    out.write(payload)
+  }
+
+  // ----------------------------------------------------------------- gRPC
+
+  private def dispatch(
+      out: java.io.OutputStream, sid: Int,
+      paths: mutable.Map[Int, String],
+      bodies: mutable.Map[Int, java.io.ByteArrayOutputStream]): Unit = {
+    val path = paths.remove(sid).getOrElse("")
+    val body = bodies.remove(sid).map(_.toByteArray).getOrElse(Array.emptyByteArray)
+    // gRPC message framing: 1-byte compressed flag + u32 big-endian length
+    val msg =
+      if (body.length >= 5) {
+        val n = ((body(1) & 0xFF) << 24) | ((body(2) & 0xFF) << 16) |
+          ((body(3) & 0xFF) << 8) | (body(4) & 0xFF)
+        java.util.Arrays.copyOfRange(body, 5, 5 + n)
+      } else Array.emptyByteArray
+    val (grpcStatus, grpcMsg, resp): (Int, String, Array[Byte]) =
+      try path match {
+        case "/storage.StorageService/SqlQuery" =>
+          val req = Pb.parseSqlQueryRequest(msg)
+          (0, "", handleSql(req.sql))
+        case "/storage.StorageService/Write" =>
+          val req = Pb.parseWriteRequest(msg)
+          (0, "", handleWrite(req))
+        case other => (12, s"method $other is not implemented", Array.emptyByteArray)
+      } catch { case e: Throwable =>
+        // reference behavior: server-side failures still answer a response
+        // message with a non-OK header code, grpc-status stays 0
+        (0, "", Pb.writeSqlResponseAffected(500,
+          Option(e.getMessage).getOrElse(e.toString).take(512), 0L))
+      }
+    val enc = new Http2.HpackEncoder
+    if (grpcStatus == 12) {
+      writeFrame(out, 0x1, 0x4 | 0x1, sid, enc.encode(Seq(
+        (":status", "200"), ("content-type", "application/grpc"),
+        ("grpc-status", grpcStatus.toString), ("grpc-message", grpcMsg))))
+      out.flush(); return
+    }
+    writeFrame(out, 0x1, 0x4, sid, enc.encode(Seq(
+      (":status", "200"), ("content-type", "application/grpc"))))
+    val framed = new Array[Byte](resp.length + 5)
+    framed(1) = ((resp.length >>> 24) & 0xFF).toByte
+    framed(2) = ((resp.length >>> 16) & 0xFF).toByte
+    framed(3) = ((resp.length >>> 8) & 0xFF).toByte
+    framed(4) = (resp.length & 0xFF).toByte
+    System.arraycopy(resp, 0, framed, 5, resp.length)
+    var off = 0
+    while (off < framed.length) { // respect SETTINGS_MAX_FRAME_SIZE default
+      val n = math.min(16384, framed.length - off)
+      writeFrame(out, 0x0, 0, sid, java.util.Arrays.copyOfRange(framed, off, off + n))
+      off += n
+    }
+    writeFrame(out, 0x1, 0x4 | 0x1, sid,
+      enc.encode(Seq(("grpc-status", "0")))) // trailers
+    out.flush()
+  }
+
+  // ------------------------------------------------------------- handlers
+
+  private def handleSql(sql: String): Array[Byte] = {
+    val df = engine.execute(sql)
+    if (df.schema.length == 1 && df.schema.head.name == "affected_rows") {
+      val n = df.collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      Pb.writeSqlResponseAffected(200, "", n)
+    } else Pb.writeSqlResponseArrow(200,
+      Seq(org.apache.spark.sql.GraftBridge.toArrowStream(df)))
+  }
+
+  private def handleWrite(req: Pb.WriteRequest): Array[Byte] = {
+    import graft.model.{ColumnSpec, DatumKind, TableOptions, TableSchema}
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val spark = engine.spark
+    var success = 0L
+    req.tables.foreach { t =>
+      val fieldKind: Map[String, DatumKind.Value] = t.fieldNames.zipWithIndex.map {
+        case (fn, i) =>
+          val v = t.entries.iterator.flatMap(_.fieldGroups).flatMap(_.fields)
+            .find(_.nameIndex == i).map(_.value)
+          fn -> (v match {
+            case Some(Pb.Value(_, Some(_), _, _)) => DatumKind.String
+            case Some(Pb.Value(_, _, Some(_), _)) => DatumKind.Int64
+            case Some(Pb.Value(_, _, _, Some(_))) => DatumKind.Boolean
+            case _                                => DatumKind.Double
+          })
+      }.toMap
+      if (!engine.catalog.exists(t.table)) {
+        val cols =
+          ColumnSpec("timestamp", DatumKind.Timestamp, isNullable = false) +:
+          (t.tagNames.map(k => ColumnSpec(k, DatumKind.String, isTag = true)) ++
+           t.fieldNames.map(f => ColumnSpec(f, fieldKind(f))))
+        engine.catalog.create(
+          TableSchema(t.table, cols, "timestamp", None,
+            TableOptions(raw = Map("update_mode" -> "append"))),
+          ifNotExists = true)
+      } else {
+        val known = engine.catalog.get(t.table).columns.map(_.name).toSet
+        val newCols =
+          t.tagNames.filterNot(known).map(k =>
+            ColumnSpec(k, DatumKind.String, isTag = true)) ++
+          t.fieldNames.filterNot(known).map(f => ColumnSpec(f, fieldKind(f)))
+        if (newCols.nonEmpty) engine.catalog.alterAddColumns(t.table, newCols)
+      }
+      val schema = engine.catalog.get(t.table)
+      // rows: (ts_ms, tag values by name, field values by name)
+      val rows: Seq[(Long, Map[String, Any])] = t.entries.flatMap { e =>
+        val tagVals: Map[String, Any] = e.tags.map(tag =>
+          t.tagNames(tag.nameIndex) -> tag.value.any).toMap
+        e.fieldGroups.map { g =>
+          val fieldVals: Map[String, Any] = g.fields.map(f =>
+            t.fieldNames(f.nameIndex) -> f.value.any).toMap
+          (g.timestampMs, tagVals ++ fieldVals)
+        }
+      }
+      if (rows.nonEmpty) {
+        import spark.implicits._
+        val dataCols = schema.columns.filter(_.name != schema.timestampKey)
+        val tuples = rows.map { case (ms, vals) =>
+          (ms, dataCols.map(c => Option(vals.getOrElse(c.name, null))
+            .map(_.toString).orNull))
+        }
+        val raw = tuples.toDF("_ms", "_vals")
+        val batch = raw.select(schema.columns.map { c =>
+          if (c.name == schema.timestampKey) expr("timestamp_micros(_ms * 1000)").as(c.name)
+          else col("_vals")(dataCols.indexWhere(_.name == c.name))
+            .cast(c.sparkType).as(c.name)
+        }: _*)
+        engine.append(t.table, batch)
+        success += rows.length
+      }
+    }
+    Pb.writeWriteResponse(200, "", success, 0L)
+  }
+}
+
+/** Minimal HPACK (RFC 7541): static table, dynamic table, plain (non-
+  * Huffman) string literals. Enough for a full request/response cycle
+  * between this server and any client that does not Huffman-encode. */
+object Http2 {
+
+  /** RFC 7541 Appendix A static table. */
+  val StaticTable: IndexedSeq[(String, String)] = IndexedSeq(
+    (":authority", ""), (":method", "GET"), (":method", "POST"),
+    (":path", "/"), (":path", "/index.html"), (":scheme", "http"),
+    (":scheme", "https"), (":status", "200"), (":status", "204"),
+    (":status", "206"), (":status", "304"), (":status", "400"),
+    (":status", "404"), (":status", "500"), ("accept-charset", ""),
+    ("accept-encoding", "gzip, deflate"), ("accept-language", ""),
+    ("accept-ranges", ""), ("accept", ""), ("access-control-allow-origin", ""),
+    ("age", ""), ("allow", ""), ("authorization", ""), ("cache-control", ""),
+    ("content-disposition", ""), ("content-encoding", ""),
+    ("content-language", ""), ("content-length", ""), ("content-location", ""),
+    ("content-range", ""), ("content-type", ""), ("cookie", ""), ("date", ""),
+    ("etag", ""), ("expect", ""), ("expires", ""), ("from", ""), ("host", ""),
+    ("if-match", ""), ("if-modified-since", ""), ("if-none-match", ""),
+    ("if-range", ""), ("if-unmodified-since", ""), ("last-modified", ""),
+    ("link", ""), ("location", ""), ("max-forwards", ""),
+    ("proxy-authenticate", ""), ("proxy-authorization", ""), ("range", ""),
+    ("referer", ""), ("refresh", ""), ("retry-after", ""), ("server", ""),
+    ("set-cookie", ""), ("strict-transport-security", ""),
+    ("transfer-encoding", ""), ("user-agent", ""), ("vary", ""), ("via", ""),
+    ("www-authenticate", ""))
+
+  final class HpackDecoder {
+    private val dynamic = mutable.ArrayBuffer.empty[(String, String)]
+
+    private def entry(idx: Int): (String, String) =
+      if (idx <= StaticTable.length) StaticTable(idx - 1)
+      else dynamic(idx - StaticTable.length - 1)
+
+    def decode(b: Array[Byte], from: Int, to: Int): Seq[(String, String)] = {
+      var pos = from
+      def int(prefixBits: Int): Int = {
+        val max = (1 << prefixBits) - 1
+        var v = b(pos) & max; pos += 1
+        if (v == max) {
+          var shift = 0; var c = 0
+          do {
+            c = b(pos) & 0xFF; pos += 1
+            v += (c & 0x7F) << shift; shift += 7
+          } while ((c & 0x80) != 0)
+        }
+        v
+      }
+      def str(): String = {
+        val huff = (b(pos) & 0x80) != 0
+        val n = int(7)
+        require(!huff, "Huffman-coded literals not supported")
+        val s = new String(b, pos, n, "UTF-8"); pos += n; s
+      }
+      val out = mutable.ArrayBuffer.empty[(String, String)]
+      while (pos < to) {
+        val first = b(pos) & 0xFF
+        if ((first & 0x80) != 0) {              // indexed
+          out += entry(int(7))
+        } else if ((first & 0xC0) == 0x40) {    // literal, incremental indexing
+          val idx = int(6)
+          val name = if (idx == 0) str() else entry(idx)._1
+          val value = str()
+          dynamic.insert(0, (name, value))
+          out += ((name, value))
+        } else if ((first & 0xE0) == 0x20) {    // dynamic table size update
+          int(5); ()
+        } else {                                // literal without/never indexed
+          val idx = int(4)
+          val name = if (idx == 0) str() else entry(idx)._1
+          out += ((name, str()))
+        }
+      }
+      out.toSeq
+    }
+  }
+
+  final class HpackEncoder {
+    /** Everything as literal-without-indexing with plain string literals,
+      * except `:status: 200` which uses its static index. */
+    def encode(headers: Seq[(String, String)]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def str(s: String): Unit = {
+        val b = s.getBytes("UTF-8")
+        require(b.length < 127, "long header values unsupported")
+        out.write(b.length); out.write(b)
+      }
+      headers.foreach {
+        case (":status", "200") => out.write(0x88)
+        case (name, value) =>
+          out.write(0x00) // literal without indexing, new name
+          str(name); str(value)
+      }
+      out.toByteArray
+    }
+  }
+}

@@ -49,4 +49,29 @@ object GraftBridge {
       .writeEndOfStream(ch, IpcOption.DEFAULT)
     out.toByteArray
   }
+
+  /** Inverse of [[toArrowStream]]: decode one complete Arrow IPC stream
+    * back into a local DataFrame (wire-client/spec tooling — rows are
+    * materialized driver-side by construction). */
+  def fromArrowStream(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val schema = util.ArrowUtils.fromArrowSchema(root.getSchema)
+      val conv = catalyst.CatalystTypeConverters.createToScalaConverter(schema)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (reader.loadNextBatch()) {
+        val cols = root.getFieldVectors.asScala
+          .map(v => new vectorized.ArrowColumnVector(v): vectorized.ColumnVector)
+          .toArray
+        val batch = new vectorized.ColumnarBatch(cols, root.getRowCount)
+        batch.rowIterator().asScala.foreach(ir =>
+          rows += conv(ir.copy()).asInstanceOf[Row])
+      }
+      spark.createDataFrame(rows.asJava, schema)
+    } finally { reader.close(); alloc.close() }
+  }
 }
