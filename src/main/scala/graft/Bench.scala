@@ -22,6 +22,15 @@ object Bench {
     // Best-effort: a missing fixture must not kill the bench (the timed
     // loop degrades per-query instead)
     def quietly(f: => Any): Unit = try f catch { case _: Throwable => () }
+    // SPARK_GRAFT_COLD=1: skip ALL warmups (fixture ingest, codegen,
+    // static-init priming) so every query pays its full end-to-end cost —
+    // the mode for cross-round per-query comparisons, where a warmed
+    // shared fixture would otherwise hide ingest work inside whichever
+    // query happens to run first (the r3 q47/q49 0.07 s artifact). The
+    // default (warmed) line measures steady-state query semantics; see
+    // README "Bench semantics".
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    if (!cold) {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
       .foreach(n => quietly(Tables.t(spark, sfDir, n).count()))
@@ -36,6 +45,7 @@ object Bench {
     // whichever influx query happens to run first times its own semantics,
     // not the fixture ingest (q47 ingests fresh and still times the write path)
     quietly(queries.Protocols.warmIngest(spark, sfDir))
+    }
 
     // optional comma-separated name filter for targeted profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
