@@ -79,7 +79,8 @@ object Dedup {
     val docs = df.repartition(col(idCol)) // parallelize per-doc hashing
       .select(col(idCol),
         SimHash.simhash64(tokens(col(textCol))).as("__sim"))
-    bandedHammingPairs(docs, idCol, "__sim", bands, maxHamming)
+    bandedHammingPairs(docs, idCol, "__sim", bands, maxHamming,
+      width = SimHashUtil.Bits)
   }
 
   /** Generic banded Hamming self-join over ANY 64-bit signature column
@@ -89,11 +90,13 @@ object Dedup {
     * pair with Hamming < `bands` agrees on at least one band, so recall in
     * that radius is exact; everything stays bucket-bounded — no all-pairs
     * product, candidate shuffle carries (id, signature) only.
-    * Returns (id_a, id_b, hamming) with id_a < id_b, deduped across bands. */
+    * Returns (id_a, id_b, hamming) with id_a < id_b, deduped across bands.
+    * `width` = signature width in bits (64 for pHash, 60 for the portable
+    * simhash). */
   def bandedHammingPairs(
       hashed: DataFrame, idCol: String, bitsCol: String,
-      bands: Int, maxHamming: Int): DataFrame = {
-    val bits = 64 / bands
+      bands: Int, maxHamming: Int, width: Int = 64): DataFrame = {
+    val bits = width / bands
     // bands is a compile-time constant → unroll (shift amounts must be static)
     val bandCols = (0 until bands).map(b =>
       shiftrightunsigned(col(bitsCol), b * bits).bitwiseAND(lit((1L << bits) - 1)))

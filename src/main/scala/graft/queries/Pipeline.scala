@@ -579,12 +579,37 @@ object PipelineQueries {
              coalesce(sum(round(col("jaccard") * 10000).cast("long")), lit(0L))
                .as("sum_jaccard_bp"))),
 
-    // ---- SimHash near-dup (summary)
-    GraftQuery("q56_simhash", None,
+    // ---- SimHash near-dup. Hash-checked since round 5: the md5-prefix-60
+    //      token hash (SimHashUtil scaladoc) makes the 60-bit fingerprint,
+    //      4×15 banding, and bit_count verify all SQL-replayable; summary
+    //      is an integer hamming sum (order-free).
+    GraftQuery("q56_simhash",
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |tok AS (SELECT doc_id, u.t AS tk FROM t, unnest(toks) u(t)),
+             |h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h
+             |  FROM tok),
+             |bs AS (SELECT doc_id, b.b,
+             |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+             |  FROM h, generate_series(0, 59) b(b) GROUP BY 1, 2),
+             |fp AS (SELECT doc_id,
+             |    sum(CASE WHEN c > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS sim
+             |  FROM bs GROUP BY 1),
+             |bk AS (SELECT doc_id, sim, b.b AS band,
+             |    (sim >> (b.b * 15)) & 32767 AS key
+             |  FROM fp, generate_series(0, 3) b(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    a.sim AS sa, b.sim AS sb
+             |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+             |    AND a.doc_id < b.doc_id),
+             |ver AS (SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+             |  FROM cand WHERE bit_count(xor(sa, sb)) <= 3)
+             |SELECT count(*)::BIGINT AS n_pairs,
+             |  coalesce(sum(hamming), 0)::BIGINT AS sum_hamming FROM ver""".stripMargin),
       (s, dir) => Dedup.simhashNearDupPairs(
           t(s, dir, "documents"), "doc_id", "text", bands = 4, maxHamming = 3)
         .agg(count(lit(1)).as("n_pairs"),
-             coalesce(round(avg("hamming"), 4), lit(-1.0)).as("avg_hamming"))),
+             coalesce(sum(col("hamming").cast("long")), lit(0L)).as("sum_hamming"))),
 
     // ---- perceptual-hash media near-dup (Multimodal.Phash): DCT-based
     //      64-bit hash over the stubbed luma grid, banded-Hamming bucket
@@ -2076,8 +2101,51 @@ object PipelineQueries {
     //      deployment's tuning curve (q55's bands=16 operating point read
     //      off this curve). Banded candidate sets NEST along the doubling
     //      chain, so recall is provably monotone (spec-asserted).
-    //      minhash-derived → rows-only.
-    GraftQuery("q258_lsh_tuning_sweep", None,
+    //      Hash-checked since round 5: the md5-portable minhash (q55 note)
+    //      plus the md5 sample draw make every configuration's candidate
+    //      set and exact-verify count SQL-replayable.
+    GraftQuery("q258_lsh_tuning_sweep",
+      Some("""WITH smp AS (SELECT doc_id, text FROM documents
+             |  WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':lshsweep'), 1, 8))::BIGINT % 100 < 5),
+             |t AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM smp),
+             |sh AS (
+             |  SELECT doc_id, toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
+             |  FROM t, unnest(generate_series(1, len(toks) - 2)) i(i)
+             |  WHERE len(toks) >= 3
+             |  UNION
+             |  SELECT doc_id, array_to_string(toks, ' ') FROM t WHERE len(toks) < 3),
+             |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+             |co AS (SELECT j.j,
+             |    2 * ('0x' || substr(md5('mh:a:' || j.j), 1, 7))::BIGINT + 1 AS a,
+             |    ('0x' || substr(md5('mh:b:' || j.j), 1, 15))::BIGINT AS b
+             |  FROM generate_series(0, 63) j(j)),
+             |mins AS (SELECT doc_id, j,
+             |    min((a::HUGEINT * h + b) % 18446744073709551616) AS m
+             |  FROM hs CROSS JOIN co GROUP BY doc_id, j),
+             |cfg AS (SELECT * FROM (VALUES (4, 16), (8, 8), (16, 4), (32, 2),
+             |  (64, 1)) c(bands, rpb)),
+             |bk AS (SELECT c.bands, doc_id, j // c.rpb AS band,
+             |    md5(string_agg(m::VARCHAR, ',' ORDER BY j)) AS key
+             |  FROM mins CROSS JOIN cfg c GROUP BY c.bands, c.rpb, doc_id, j // c.rpb),
+             |sl AS (SELECT doc_id, list(s) AS l FROM sh GROUP BY doc_id),
+             |cand AS (SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bk a JOIN bk b ON a.bands = b.bands AND a.band = b.band
+             |    AND a.key = b.key AND a.doc_id < b.doc_id),
+             |ver AS (SELECT bands, count(*) AS n FROM cand
+             |  JOIN sl sa ON sa.doc_id = cand.id_a
+             |  JOIN sl sb ON sb.doc_id = cand.id_b
+             |  WHERE len(list_intersect(sa.l, sb.l))::DOUBLE
+             |    / len(list_distinct(list_concat(sa.l, sb.l))) >= 0.8
+             |  GROUP BY bands),
+             |f AS (SELECT c.bands, c.rpb, coalesce(v.n, 0) AS n
+             |  FROM cfg c LEFT JOIN ver v USING (bands)),
+             |r AS (SELECT n AS refn FROM f WHERE bands = 64)
+             |SELECT f.bands, f.rpb AS rows_per_band, f.n::BIGINT AS found_pairs,
+             |  r.refn::BIGINT AS ref_pairs,
+             |  (CASE WHEN r.refn = 0 THEN 10000
+             |    ELSE f.n * 10000 // r.refn END)::BIGINT AS recall_bp
+             |FROM f, r""".stripMargin),
       (s, dir) => graft.pipeline.Dedup.lshTuningSweep(
         t(s, dir, "documents"), "doc_id", "text",
         shingleK = 3, numHashes = 64, bandsChoices = Seq(4, 8, 16, 32),
