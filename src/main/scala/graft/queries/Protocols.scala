@@ -1060,6 +1060,37 @@ object Protocols {
           (r.get("event_type").asText(), r.get("n").asLong(),
             r.get("total_c").asLong())
         }.toDF("event_type", "n", "total_c")
+      }),
+
+    // ---- gRPC storage service round trip THROUGH THE SOCKET: start the
+    //      server, run the SQL over real HTTP/2+HPACK+protobuf frames with
+    //      the hand-rolled wire client, decode the ArrowPayload back to a
+    //      DataFrame — the driver gate proves the reference's primary SDK
+    //      protocol end-to-end (q207's HTTP twin, one layer deeper: q207
+    //      calls the handler, this one crosses TCP)
+    GraftQuery("q278_grpc_sql_api",
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(round(sum("value") * 100, 0) AS BIGINT) AS total_c
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        val server = new graft.server.GraftGrpcServer(e).start()
+        try {
+          val c = new graft.server.GrpcWireClient(server.boundPort)
+          try {
+            val (resp, status) = c.call("/storage.StorageService/SqlQuery",
+              graft.server.Pb.writeSqlQueryRequest(graft.server.Pb.SqlQueryRequest(
+                "public", Seq("events"),
+                "SELECT event_type, count(*) AS n, " +
+                  "CAST(round(sum(value) * 100, 0) AS BIGINT) AS total_c " +
+                  "FROM events GROUP BY event_type")))
+            require(status == 0, s"grpc-status $status")
+            val (code, err, _, batches) =
+              graft.server.Pb.parseSqlQueryResponse(resp)
+            require(code == 200 && batches.nonEmpty, s"code $code err $err")
+            org.apache.spark.sql.GraftBridge.fromArrowStream(s, batches.head)
+          } finally c.close()
+        } finally server.stop()
       })
   )
 }

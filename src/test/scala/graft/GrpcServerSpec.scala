@@ -1,101 +1,17 @@
 package graft
 
 import graft.engine.TsdbEngine
-import graft.server.{GraftGrpcServer, Http2, Pb}
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream}
-import java.net.Socket
-import org.scalatest.funsuite.AnyFunSuite
+import graft.server.{GraftGrpcServer, GrpcWireClient, Pb}
 
-/** End-to-end gRPC storage-service round trip with a hand-rolled
-  * HTTP/2 + HPACK + protobuf wire client — the same prove-it-on-the-wire
-  * pattern as MysqlServerSpec/PgServerSpec (no gRPC library on either
-  * side). Mirrors the reference SDK flow: Write points, SqlQuery them
-  * back (arrow payload), DDL through SqlQuery (affected_rows). */
+/** End-to-end gRPC storage-service round trip with the hand-rolled
+  * HTTP/2 + HPACK + protobuf wire client ([[GrpcWireClient]]) — the same
+  * prove-it-on-the-wire pattern as MysqlServerSpec/PgServerSpec (no gRPC
+  * library on either side). Mirrors the reference SDK flow: Write points,
+  * SqlQuery them back (arrow payload), DDL through SqlQuery
+  * (affected_rows). */
 class GrpcServerSpec extends SparkSpec {
 
-  /** Minimal gRPC-over-HTTP/2 unary client. */
-  private final class Client(port: Int) {
-    private val sock = new Socket("127.0.0.1", port)
-    sock.setTcpNoDelay(true)
-    private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    private val out = new BufferedOutputStream(sock.getOutputStream)
-    private var nextStream = 1
-    private val decoder = new Http2.HpackDecoder
-
-    // connection preface + SETTINGS (huge initial window: the server's
-    // documented contract is announced-ample flow control)
-    out.write("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("US-ASCII"))
-    frame(0x4, 0, 0, settings(Seq((4, Int.MaxValue)))) // INITIAL_WINDOW_SIZE
-    out.flush()
-
-    private def settings(kvs: Seq[(Int, Int)]): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(kvs.size * 6)
-      kvs.foreach { case (k, v) => b.putShort(k.toShort).putInt(v) }
-      b.array()
-    }
-
-    private def frame(tpe: Int, flags: Int, sid: Int, payload: Array[Byte]): Unit = {
-      val len = payload.length
-      out.write((len >>> 16) & 0xFF); out.write((len >>> 8) & 0xFF); out.write(len & 0xFF)
-      out.write(tpe); out.write(flags)
-      out.write((sid >>> 24) & 0x7F); out.write((sid >>> 16) & 0xFF)
-      out.write((sid >>> 8) & 0xFF); out.write(sid & 0xFF)
-      out.write(payload)
-    }
-
-    /** unary call: returns (response message bytes, grpc-status, trailers) */
-    def call(path: String, msg: Array[Byte]): (Array[Byte], Int) = {
-      val sid = nextStream; nextStream += 2
-      val enc = new Http2.HpackEncoder
-      frame(0x1, 0x4, sid, enc.encode(Seq(
-        (":method", "POST"), (":scheme", "http"), (":path", path),
-        (":authority", "localhost"), ("content-type", "application/grpc"),
-        ("te", "trailers"))))
-      val framed = new Array[Byte](msg.length + 5)
-      framed(1) = ((msg.length >>> 24) & 0xFF).toByte
-      framed(2) = ((msg.length >>> 16) & 0xFF).toByte
-      framed(3) = ((msg.length >>> 8) & 0xFF).toByte
-      framed(4) = (msg.length & 0xFF).toByte
-      System.arraycopy(msg, 0, framed, 5, msg.length)
-      frame(0x0, 0x1, sid, framed) // DATA + END_STREAM
-      out.flush()
-      // read frames until the END_STREAM trailers for our stream
-      val body = new java.io.ByteArrayOutputStream()
-      var status = -1
-      var done = false
-      while (!done) {
-        val len = (in.readUnsignedByte() << 16) | (in.readUnsignedByte() << 8) |
-          in.readUnsignedByte()
-        val tpe = in.readUnsignedByte(); val flags = in.readUnsignedByte()
-        val fsid = in.readInt() & 0x7FFFFFFF
-        val payload = new Array[Byte](len)
-        in.readFully(payload)
-        tpe match {
-          case 0x4 => if ((flags & 0x1) == 0) { frame(0x4, 0x1, 0, Array.emptyByteArray); out.flush() }
-          case 0x1 if fsid == sid =>
-            decoder.decode(payload, 0, len).foreach {
-              case ("grpc-status", v) => status = v.toInt
-              case _                  => ()
-            }
-            if ((flags & 0x1) != 0) done = true
-          case 0x0 if fsid == sid =>
-            body.write(payload)
-            if ((flags & 0x1) != 0) done = true
-          case _ => ()
-        }
-      }
-      val raw = body.toByteArray
-      val resp =
-        if (raw.length >= 5) {
-          val n = ((raw(1) & 0xFF) << 24) | ((raw(2) & 0xFF) << 16) |
-            ((raw(3) & 0xFF) << 8) | (raw(4) & 0xFF)
-          java.util.Arrays.copyOfRange(raw, 5, 5 + n)
-        } else Array.emptyByteArray
-      (resp, status)
-    }
-
-    def close(): Unit = sock.close()
-  }
+  private type Client = GrpcWireClient
 
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
