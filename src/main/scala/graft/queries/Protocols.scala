@@ -1091,6 +1091,62 @@ object Protocols {
             org.apache.spark.sql.GraftBridge.fromArrowStream(s, batches.head)
           } finally c.close()
         } finally server.stop()
+      }),
+
+    // ---- gRPC Write ingest round trip: fixture events → WriteSeriesEntry
+    //      batches over the socket (auto-create with TAG column, append
+    //      mode, ms timestamps — proxy/src/write.rs semantics) → aggregate
+    //      back out over gRPC SqlQuery. The q49 opentsdb-put twin on the
+    //      SDK protocol; both directions cross real HTTP/2 frames.
+    GraftQuery("q279_grpc_write",
+      // write timestamps are milliseconds, so the oracle truncates the
+      // fixture's timestamps to ms before min/max (the q49 convention)
+      Some("""SELECT event_type, count(*) AS n, round(sum("value"), 4) AS total,
+             |  min(make_timestamp((epoch_ns(ts) // 1000000) * 1000)) AS first_ts,
+             |  max(make_timestamp((epoch_ns(ts) // 1000000) * 1000)) AS last_ts
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        val e = new TsdbEngine(s,
+          java.nio.file.Files.createTempDirectory("graft-grpc-write").toString)
+        val server = new graft.server.GraftGrpcServer(e).start()
+        try {
+          val c = new graft.server.GrpcWireClient(server.boundPort)
+          try {
+            // the SDK shape: points grouped into one series entry per tag
+            // set, one field group per point (request-sized by nature)
+            val pts = Tables.t(s, dir, "events")
+              .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+                col("value"))
+              .collect()
+              .groupBy(_.getString(0))
+            val entries = pts.toSeq.sortBy(_._1).map { case (et, rows) =>
+              graft.server.Pb.WriteSeriesEntry(
+                Seq(graft.server.Pb.TagPb(0,
+                  graft.server.Pb.Value(str = Some(et)))),
+                rows.toSeq.map(r => graft.server.Pb.FieldGroup(r.getLong(1),
+                  Seq(graft.server.Pb.FieldPb(0,
+                    graft.server.Pb.Value(f64 = Some(r.getDouble(2))))))))
+            }
+            val (wresp, wstatus) = c.call("/storage.StorageService/Write",
+              graft.server.Pb.writeWriteRequest(graft.server.Pb.WriteRequest(
+                "public", Seq(graft.server.Pb.WriteTableRequest(
+                  "events_grpc", Seq("event_type"), Seq("value"), entries)))))
+            val (wcode, werr, success, failed) =
+              graft.server.Pb.parseWriteResponse(wresp)
+            require(wstatus == 0 && wcode == 200 && failed == 0 && success > 0,
+              s"write failed: status=$wstatus code=$wcode err=$werr")
+            val (qresp, _) = c.call("/storage.StorageService/SqlQuery",
+              graft.server.Pb.writeSqlQueryRequest(graft.server.Pb.SqlQueryRequest(
+                "public", Seq("events_grpc"),
+                """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total,
+                  |  min(timestamp) AS first_ts, max(timestamp) AS last_ts
+                  |FROM events_grpc GROUP BY event_type""".stripMargin)))
+            val (qcode, qerr, _, batches) =
+              graft.server.Pb.parseSqlQueryResponse(qresp)
+            require(qcode == 200 && batches.nonEmpty, s"query: $qcode $qerr")
+            org.apache.spark.sql.GraftBridge.fromArrowStream(s, batches.head)
+          } finally c.close()
+        } finally server.stop()
       })
   )
 }

@@ -50,7 +50,15 @@ final class GrpcWireClient(port: Int) {
     framed(3) = ((msg.length >>> 8) & 0xFF).toByte
     framed(4) = (msg.length & 0xFF).toByte
     System.arraycopy(msg, 0, framed, 5, msg.length)
-    frame(0x0, 0x1, sid, framed)
+    // chunk DATA to SETTINGS_MAX_FRAME_SIZE's default, like the server does
+    var off = 0
+    while (off < framed.length) {
+      val n = math.min(16384, framed.length - off)
+      val last = off + n >= framed.length
+      frame(0x0, if (last) 0x1 else 0x0, sid,
+        java.util.Arrays.copyOfRange(framed, off, off + n))
+      off += n
+    }
     out.flush()
     val body = new java.io.ByteArrayOutputStream()
     var status = -1
