@@ -291,6 +291,226 @@ object Pb {
   def writeSqlResponseAffected(code: Int, error: String, rows: Long): Array[Byte] =
     new Writer().msg(1, header(code, error)).int64Always(4, rows).toBytes
 
+  // ----------------------------------------------------------- Route shapes
+  // RouteRequest{context=1, tables=2}; RouteResponse{header=1, routes=2};
+  // Route{table=1, endpoint=2}; Endpoint{ip=1, port=2} (the shape
+  // router/src/endpoint.rs:67-74 populates).
+
+  final case class RouteRequest(database: String, tables: Seq[String])
+  final case class RoutePb(table: String, ip: String, port: Int)
+
+  def writeRouteRequest(req: RouteRequest): Array[Byte] = {
+    val w = new Writer
+    if (req.database.nonEmpty)
+      w.msg(1, new Writer().stringAlways(1, req.database))
+    req.tables.foreach(w.stringAlways(2, _))
+    w.toBytes
+  }
+
+  def parseRouteRequest(b: Array[Byte]): RouteRequest = {
+    var db = ""
+    val tables = ArrayBuffer.empty[String]
+    val r = new Reader(b)
+    while (r.hasNext) r.readKey() match {
+      case (1, 2) =>
+        val c = r.lenDelim()
+        while (c.hasNext) c.readKey() match {
+          case (1, 2) => db = c.stringField()
+          case (_, w) => c.skip(w)
+        }
+      case (2, 2) => tables += r.stringField()
+      case (_, w) => r.skip(w)
+    }
+    RouteRequest(db, tables.toSeq)
+  }
+
+  def writeRouteResponse(code: Int, error: String, routes: Seq[RoutePb]): Array[Byte] = {
+    val w = new Writer().msg(1, header(code, error))
+    routes.foreach { rt =>
+      w.msg(2, new Writer().stringAlways(1, rt.table)
+        .msg(2, new Writer().stringAlways(1, rt.ip).uint32(2, rt.port.toLong)))
+    }
+    w.toBytes
+  }
+
+  /** parsed RouteResponse: (code, error, routes) */
+  def parseRouteResponse(b: Array[Byte]): (Int, String, Seq[RoutePb]) = {
+    var code = 0; var err = ""
+    val routes = ArrayBuffer.empty[RoutePb]
+    val r = new Reader(b)
+    while (r.hasNext) r.readKey() match {
+      case (1, 2) =>
+        val h = r.lenDelim()
+        while (h.hasNext) h.readKey() match {
+          case (1, 0) => code = h.varint().toInt
+          case (2, 2) => err = h.stringField()
+          case (_, w) => h.skip(w)
+        }
+      case (2, 2) =>
+        val rt = r.lenDelim()
+        var table = ""; var ip = ""; var port = 0
+        while (rt.hasNext) rt.readKey() match {
+          case (1, 2) => table = rt.stringField()
+          case (2, 2) =>
+            val e = rt.lenDelim()
+            while (e.hasNext) e.readKey() match {
+              case (1, 2) => ip = e.stringField()
+              case (2, 0) => port = e.varint().toInt
+              case (_, w) => e.skip(w)
+            }
+          case (_, w) => rt.skip(w)
+        }
+        routes += RoutePb(table, ip, port)
+      case (_, w) => r.skip(w)
+    }
+    (code, err, routes.toSeq)
+  }
+
+  // ------------------------------------------------ Prometheus remote read
+  // PrometheusRemoteQueryRequest{context=1, query=2} where `query` is one
+  // prompb Query (proxy/src/http/prom.rs:185 `Query::decode(req.query)`);
+  // PrometheusRemoteQueryResponse{header=1, response=2} where `response` is
+  // a prompb QueryResult (prom.rs:205 `v.encode_to_vec()`). The prompb
+  // shapes are the PUBLIC Prometheus remote-storage proto:
+  // Query{start_timestamp_ms=1, end_timestamp_ms=2, matchers=3};
+  // LabelMatcher{type=1 (EQ/NEQ/RE/NRE), name=2, value=3};
+  // QueryResult{timeseries=1}; TimeSeries{labels=1, samples=2};
+  // Label{name=1, value=2}; Sample{value=1, timestamp=2}.
+
+  final case class LabelMatcherPb(tpe: Int, name: String, value: String)
+  final case class PromQueryPb(startMs: Long, endMs: Long, matchers: Seq[LabelMatcherPb])
+  final case class PromLabel(name: String, value: String)
+  final case class PromSample(value: Double, timestampMs: Long)
+  final case class PromSeries(labels: Seq[PromLabel], samples: Seq[PromSample])
+
+  def writePromQuery(q: PromQueryPb): Array[Byte] = {
+    val w = new Writer().int64(1, q.startMs).int64(2, q.endMs)
+    q.matchers.foreach { m =>
+      w.msg(3, new Writer().uint32(1, m.tpe.toLong)
+        .stringAlways(2, m.name).stringAlways(3, m.value))
+    }
+    w.toBytes
+  }
+
+  def parsePromQuery(b: Array[Byte]): PromQueryPb = {
+    var s = 0L; var e = 0L
+    val ms = ArrayBuffer.empty[LabelMatcherPb]
+    val r = new Reader(b)
+    while (r.hasNext) r.readKey() match {
+      case (1, 0) => s = r.varint()
+      case (2, 0) => e = r.varint()
+      case (3, 2) =>
+        val m = r.lenDelim()
+        var t = 0; var n = ""; var v = ""
+        while (m.hasNext) m.readKey() match {
+          case (1, 0) => t = m.varint().toInt
+          case (2, 2) => n = m.stringField()
+          case (3, 2) => v = m.stringField()
+          case (_, w) => m.skip(w)
+        }
+        ms += LabelMatcherPb(t, n, v)
+      case (_, w) => r.skip(w)
+    }
+    PromQueryPb(s, e, ms.toSeq)
+  }
+
+  def writeQueryResult(series: Seq[PromSeries]): Array[Byte] = {
+    val w = new Writer
+    series.foreach { ts =>
+      val tw = new Writer
+      ts.labels.foreach(l => tw.msg(1,
+        new Writer().stringAlways(1, l.name).stringAlways(2, l.value)))
+      ts.samples.foreach(sm => tw.msg(2,
+        new Writer().double(1, sm.value).int64Always(2, sm.timestampMs)))
+      w.msg(1, tw)
+    }
+    w.toBytes
+  }
+
+  def parseQueryResult(b: Array[Byte]): Seq[PromSeries] = {
+    val series = ArrayBuffer.empty[PromSeries]
+    val r = new Reader(b)
+    while (r.hasNext) r.readKey() match {
+      case (1, 2) =>
+        val t = r.lenDelim()
+        val labels = ArrayBuffer.empty[PromLabel]
+        val samples = ArrayBuffer.empty[PromSample]
+        while (t.hasNext) t.readKey() match {
+          case (1, 2) =>
+            val l = t.lenDelim()
+            var n = ""; var v = ""
+            while (l.hasNext) l.readKey() match {
+              case (1, 2) => n = l.stringField()
+              case (2, 2) => v = l.stringField()
+              case (_, w) => l.skip(w)
+            }
+            labels += PromLabel(n, v)
+          case (2, 2) =>
+            val sm = t.lenDelim()
+            var v = 0.0; var ts = 0L
+            while (sm.hasNext) sm.readKey() match {
+              case (1, 1) => v = java.lang.Double.longBitsToDouble(sm.fixed64())
+              case (2, 0) => ts = sm.varint()
+              case (_, w) => sm.skip(w)
+            }
+            samples += PromSample(v, ts)
+          case (_, w) => t.skip(w)
+        }
+        series += PromSeries(labels.toSeq, samples.toSeq)
+      case (_, w) => r.skip(w)
+    }
+    series.toSeq
+  }
+
+  def writePromRemoteQueryRequest(database: String, query: PromQueryPb): Array[Byte] = {
+    val w = new Writer
+    if (database.nonEmpty) w.msg(1, new Writer().stringAlways(1, database))
+    w.bytes(2, writePromQuery(query)).toBytes
+  }
+
+  /** parsed PrometheusRemoteQueryRequest: (database, query) */
+  def parsePromRemoteQueryRequest(b: Array[Byte]): (String, PromQueryPb) = {
+    var db = ""; var q = PromQueryPb(0L, 0L, Nil)
+    val r = new Reader(b)
+    while (r.hasNext) r.readKey() match {
+      case (1, 2) =>
+        val c = r.lenDelim()
+        while (c.hasNext) c.readKey() match {
+          case (1, 2) => db = c.stringField()
+          case (_, w) => c.skip(w)
+        }
+      case (2, 2) => q = parsePromQuery(r.bytesField())
+      case (_, w) => r.skip(w)
+    }
+    (db, q)
+  }
+
+  def writePromRemoteQueryResponse(
+      code: Int, error: String, result: Seq[PromSeries]): Array[Byte] = {
+    val w = new Writer().msg(1, header(code, error))
+    if (code == 200) w.bytes(2, writeQueryResult(result))
+    w.toBytes
+  }
+
+  /** parsed PrometheusRemoteQueryResponse: (code, error, series) */
+  def parsePromRemoteQueryResponse(b: Array[Byte]): (Int, String, Seq[PromSeries]) = {
+    var code = 0; var err = ""
+    var series: Seq[PromSeries] = Nil
+    val r = new Reader(b)
+    while (r.hasNext) r.readKey() match {
+      case (1, 2) =>
+        val h = r.lenDelim()
+        while (h.hasNext) h.readKey() match {
+          case (1, 0) => code = h.varint().toInt
+          case (2, 2) => err = h.stringField()
+          case (_, w) => h.skip(w)
+        }
+      case (2, 2) => series = parseQueryResult(r.bytesField())
+      case (_, w) => r.skip(w)
+    }
+    (code, err, series)
+  }
+
   def writeSqlResponseArrow(code: Int, ipcStreams: Seq[Array[Byte]]): Array[Byte] = {
     val arrow = new Writer
     ipcStreams.foreach(arrow.bytes(1, _))

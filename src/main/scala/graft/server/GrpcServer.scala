@@ -19,12 +19,34 @@ import scala.collection.mutable
   *     answer an `ArrowPayload` whose record_batches carry Arrow IPC
   *     bytes with Compression=NONE (arrow_ext CompressionMethod::None is
   *     the reference's uncompressed mode)
+  *   - `/storage.StorageService/StreamSqlQuery` — same request, but the
+  *     response is SERVER-STREAMED: one self-contained SqlQueryResponse
+  *     per record batch of `streamBatchRows` rows
+  *     (proxy/src/grpc/sql_query.rs:190-209 emits one response per
+  *     RecordBatch; affected-rows outputs stream a single response)
   *   - `/storage.StorageService/Write` — tag/field-indexed series entries
   *     with the reference's auto-create/auto-ADD-column semantics
   *     (proxy/src/write.rs:176-260: unseen table → CREATE with timestamp
   *     key + TAG columns, unseen columns → ALTER ADD), timestamp key
   *     named `timestamp` (common_types/schema.rs:227), `update_mode =
   *     append` so every written point survives
+  *   - `/storage.StorageService/StreamWrite` — CLIENT-STREAMED WriteRequest
+  *     messages answered by one WriteResponse carrying the summed success
+  *     count; processing stops at the first failed batch
+  *     (storage_service/mod.rs:356-421)
+  *   - `/storage.StorageService/Route` — answers each EXISTING table with
+  *     this server's own endpoint (standalone deployment: the
+  *     single-node twin of router/src/rule_based.rs:170-185, which routes
+  *     to the shard's node; unknown tables are omitted, the no-rules
+  *     `Ok(Vec::new())` path)
+  *   - `/storage.StorageService/PromRemoteQuery` — Prometheus remote-read:
+  *     the request wraps one prompb `Query` (proxy/src/http/prom.rs:185),
+  *     `__name__` selects the table (prom.rs:423 find_metric), matchers
+  *     filter, and the response wraps a prompb `QueryResult` of raw
+  *     samples grouped per series (prom.rs:352-440 Converter). Series and
+  *     labels are emitted in deterministic sorted order (the reference
+  *     iterates a HashMap — order there is unspecified, so sorting is a
+  *     compatible refinement)
   *   - other service methods answer gRPC UNIMPLEMENTED(12), like a
   *     reference build without the corresponding feature flags
   *
@@ -39,7 +61,8 @@ import scala.collection.mutable
   * Scale posture: identical to the other wire servers — a stateless front
   * that plans one Spark job per request; fan-out belongs to the cluster.
   */
-final class GraftGrpcServer(engine: TsdbEngine, port: Int = 0) {
+final class GraftGrpcServer(
+    engine: TsdbEngine, port: Int = 0, streamBatchRows: Int = 4096) {
 
   private val server = new ServerSocket(port, 16, InetAddress.getByName("127.0.0.1"))
   @volatile private var running = true
@@ -137,33 +160,51 @@ final class GraftGrpcServer(engine: TsdbEngine, port: Int = 0) {
 
   // ----------------------------------------------------------------- gRPC
 
+  /** split a request body into its length-prefixed gRPC messages (one for
+    * unary calls, several for a client-streamed call — each message is
+    * 1-byte compressed flag + u32 big-endian length + payload) */
+  private def grpcMessages(body: Array[Byte]): Seq[Array[Byte]] = {
+    val msgs = mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 0
+    while (off + 5 <= body.length) {
+      val n = ((body(off + 1) & 0xFF) << 24) | ((body(off + 2) & 0xFF) << 16) |
+        ((body(off + 3) & 0xFF) << 8) | (body(off + 4) & 0xFF)
+      msgs += java.util.Arrays.copyOfRange(body, off + 5, off + 5 + n)
+      off += 5 + n
+    }
+    msgs.toSeq
+  }
+
   private def dispatch(
       out: java.io.OutputStream, sid: Int,
       paths: mutable.Map[Int, String],
       bodies: mutable.Map[Int, java.io.ByteArrayOutputStream]): Unit = {
     val path = paths.remove(sid).getOrElse("")
     val body = bodies.remove(sid).map(_.toByteArray).getOrElse(Array.emptyByteArray)
-    // gRPC message framing: 1-byte compressed flag + u32 big-endian length
-    val msg =
-      if (body.length >= 5) {
-        val n = ((body(1) & 0xFF) << 24) | ((body(2) & 0xFF) << 16) |
-          ((body(3) & 0xFF) << 8) | (body(4) & 0xFF)
-        java.util.Arrays.copyOfRange(body, 5, 5 + n)
-      } else Array.emptyByteArray
-    val (grpcStatus, grpcMsg, resp): (Int, String, Array[Byte]) =
+    val msgs = grpcMessages(body)
+    def first: Array[Byte] = msgs.headOption.getOrElse(Array.emptyByteArray)
+    val (grpcStatus, grpcMsg, resps): (Int, String, Seq[Array[Byte]]) =
       try path match {
         case "/storage.StorageService/SqlQuery" =>
-          val req = Pb.parseSqlQueryRequest(msg)
-          (0, "", handleSql(req.sql))
+          (0, "", Seq(handleSql(Pb.parseSqlQueryRequest(first).sql, stream = false).head))
+        case "/storage.StorageService/StreamSqlQuery" =>
+          (0, "", handleSql(Pb.parseSqlQueryRequest(first).sql, stream = true))
         case "/storage.StorageService/Write" =>
-          val req = Pb.parseWriteRequest(msg)
-          (0, "", handleWrite(req))
-        case other => (12, s"method $other is not implemented", Array.emptyByteArray)
+          (0, "", Seq(handleWrite(Seq(Pb.parseWriteRequest(first)))))
+        case "/storage.StorageService/StreamWrite" =>
+          (0, "", Seq(handleWrite(msgs.map(Pb.parseWriteRequest))))
+        case "/storage.StorageService/Route" =>
+          (0, "", Seq(handleRoute(Pb.parseRouteRequest(first))))
+        case "/storage.StorageService/PromRemoteQuery" =>
+          (0, "", Seq(handlePromRemoteQuery(first)))
+        case other => (12, s"method $other is not implemented", Nil)
       } catch { case e: Throwable =>
         // reference behavior: server-side failures still answer a response
-        // message with a non-OK header code, grpc-status stays 0
-        (0, "", Pb.writeSqlResponseAffected(500,
-          Option(e.getMessage).getOrElse(e.toString).take(512), 0L))
+        // message with a non-OK header code, grpc-status stays 0. A
+        // header-only message ({header=1}) parses under EVERY response
+        // type in storage.proto (field 1 is the header in all of them).
+        (0, "", Seq(Pb.writeSqlResponseAffected(500,
+          Option(e.getMessage).getOrElse(e.toString).take(512), 0L)))
       }
     val enc = new Http2.HpackEncoder
     if (grpcStatus == 12) {
@@ -174,17 +215,20 @@ final class GraftGrpcServer(engine: TsdbEngine, port: Int = 0) {
     }
     writeFrame(out, 0x1, 0x4, sid, enc.encode(Seq(
       (":status", "200"), ("content-type", "application/grpc"))))
-    val framed = new Array[Byte](resp.length + 5)
-    framed(1) = ((resp.length >>> 24) & 0xFF).toByte
-    framed(2) = ((resp.length >>> 16) & 0xFF).toByte
-    framed(3) = ((resp.length >>> 8) & 0xFF).toByte
-    framed(4) = (resp.length & 0xFF).toByte
-    System.arraycopy(resp, 0, framed, 5, resp.length)
-    var off = 0
-    while (off < framed.length) { // respect SETTINGS_MAX_FRAME_SIZE default
-      val n = math.min(16384, framed.length - off)
-      writeFrame(out, 0x0, 0, sid, java.util.Arrays.copyOfRange(framed, off, off + n))
-      off += n
+    resps.foreach { resp =>
+      val framed = new Array[Byte](resp.length + 5)
+      framed(1) = ((resp.length >>> 24) & 0xFF).toByte
+      framed(2) = ((resp.length >>> 16) & 0xFF).toByte
+      framed(3) = ((resp.length >>> 8) & 0xFF).toByte
+      framed(4) = (resp.length & 0xFF).toByte
+      System.arraycopy(resp, 0, framed, 5, resp.length)
+      var off = 0
+      while (off < framed.length) { // respect SETTINGS_MAX_FRAME_SIZE default
+        val n = math.min(16384, framed.length - off)
+        writeFrame(out, 0x0, 0, sid, java.util.Arrays.copyOfRange(framed, off, off + n))
+        off += n
+      }
+      out.flush() // one flush per streamed message: responses go out as computed
     }
     writeFrame(out, 0x1, 0x4 | 0x1, sid,
       enc.encode(Seq(("grpc-status", "0")))) // trailers
@@ -193,16 +237,84 @@ final class GraftGrpcServer(engine: TsdbEngine, port: Int = 0) {
 
   // ------------------------------------------------------------- handlers
 
-  private def handleSql(sql: String): Array[Byte] = {
+  /** `stream = false`: one response with the full arrow payload.
+    * `stream = true`: one response per `streamBatchRows`-row batch, each a
+    * self-contained ArrowPayload (affected-rows outputs are a single
+    * response either way, like the reference's stream::once path). */
+  private def handleSql(sql: String, stream: Boolean): Seq[Array[Byte]] = {
     val df = engine.execute(sql)
     if (df.schema.length == 1 && df.schema.head.name == "affected_rows") {
       val n = df.collect().headOption.map(_.getLong(0)).getOrElse(0L)
-      Pb.writeSqlResponseAffected(200, "", n)
-    } else Pb.writeSqlResponseArrow(200,
-      Seq(org.apache.spark.sql.GraftBridge.toArrowStream(df)))
+      Seq(Pb.writeSqlResponseAffected(200, "", n))
+    } else if (stream) {
+      val parts = org.apache.spark.sql.GraftBridge
+        .toArrowStreams(df, maxRecordsPerBatch = streamBatchRows.toLong)
+      if (parts.isEmpty) // empty result: still answer one (schema-only) payload
+        Seq(Pb.writeSqlResponseArrow(200,
+          Seq(org.apache.spark.sql.GraftBridge.toArrowStream(df))))
+      else parts.map(p => Pb.writeSqlResponseArrow(200, Seq(p)))
+    } else Seq(Pb.writeSqlResponseArrow(200,
+      Seq(org.apache.spark.sql.GraftBridge.toArrowStream(df))))
   }
 
-  private def handleWrite(req: Pb.WriteRequest): Array[Byte] = {
+  /** Route: standalone single-node deployment — every existing table lives
+    * here, so each known table routes to this server's own endpoint. */
+  private def handleRoute(req: Pb.RouteRequest): Array[Byte] = {
+    val routes = req.tables.filter(engine.catalog.exists).map(t =>
+      Pb.RoutePb(t, "127.0.0.1", boundPort))
+    Pb.writeRouteResponse(200, "", routes)
+  }
+
+  /** Prometheus remote read over gRPC: one prompb Query in, one prompb
+    * QueryResult out (raw samples per series, no alignment). */
+  private def handlePromRemoteQuery(msg: Array[Byte]): Array[Byte] = {
+    import graft.promql.{EqMatcher, Matcher, NeqMatcher, NreMatcher, ReMatcher}
+    val (_, q) = Pb.parsePromRemoteQueryRequest(msg)
+    val matchers: Seq[Matcher] = q.matchers.map { m =>
+      m.tpe match {
+        case 0 => EqMatcher(m.name, m.value)
+        case 1 => NeqMatcher(m.name, m.value)
+        case 2 => ReMatcher(m.name, m.value)
+        case 3 => NreMatcher(m.name, m.value)
+        case t => throw new IllegalArgumentException(s"unknown matcher type $t")
+      }
+    }
+    val metric = matchers.collectFirst { case EqMatcher("__name__", v) => v }
+      .getOrElse(throw new IllegalArgumentException("Metric name is not found"))
+    val resolve: String => graft.promql.PromQL.SeriesTable = { name =>
+      val schema = engine.catalog.get(name)
+      val tags = schema.columns.filter(_.isTag).map(_.name)
+      graft.promql.PromQL.SeriesTable(
+        engine.read(name), schema.timestampKey, "value", tags)
+    }
+    val df = graft.promql.PromQL.remoteRead(resolve, matchers, q.startMs, q.endMs)
+    val tagCols = df.columns.dropRight(2).toSeq // remoteRead: tags..., ts, value
+    // deterministic series assembly: rows arrive tag-sorted from remoteRead
+    val rows = df.collect()
+    val series = mutable.LinkedHashMap.empty[Seq[String], mutable.ArrayBuffer[Pb.PromSample]]
+    rows.foreach { r =>
+      val key = tagCols.indices.map(i => if (r.isNullAt(i)) "" else r.getString(i))
+      val ts = r.getTimestamp(tagCols.length)
+      series.getOrElseUpdate(key, mutable.ArrayBuffer.empty) +=
+        Pb.PromSample(r.getDouble(tagCols.length + 1), ts.getTime)
+    }
+    val result = series.toSeq.map { case (key, samples) =>
+      val labels = tagCols.zip(key).sortBy(_._1)
+        .map { case (n, v) => Pb.PromLabel(n, v) } :+
+        Pb.PromLabel("__name__", metric)
+      Pb.PromSeries(labels, samples.toSeq)
+    }
+    Pb.writePromRemoteQueryResponse(200, "", result)
+  }
+
+  private def handleWrite(reqs: Seq[Pb.WriteRequest]): Array[Byte] = {
+    var total = 0L
+    reqs.foreach { req => total += doWrite(req) } // first failure throws → err header
+    Pb.writeWriteResponse(200, "", total, 0L)
+  }
+
+  /** returns the success count for one WriteRequest */
+  private def doWrite(req: Pb.WriteRequest): Long = {
     import graft.model.{ColumnSpec, DatumKind, TableOptions, TableSchema}
     import org.apache.spark.sql.functions.{col, expr, lit}
     val spark = engine.spark
@@ -264,7 +376,7 @@ final class GraftGrpcServer(engine: TsdbEngine, port: Int = 0) {
         success += rows.length
       }
     }
-    Pb.writeWriteResponse(200, "", success, 0L)
+    success
   }
 }
 

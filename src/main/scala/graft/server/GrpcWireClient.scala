@@ -36,21 +36,33 @@ final class GrpcWireClient(port: Int) {
     out.write(payload)
   }
 
-  /** unary call: returns (response message bytes, grpc-status). */
+  /** unary call: returns (first response message bytes, grpc-status). */
   def call(path: String, msg: Array[Byte]): (Array[Byte], Int) = {
+    val (resps, status) = callMulti(path, Seq(msg))
+    (resps.headOption.getOrElse(Array.emptyByteArray), status)
+  }
+
+  /** streaming-capable call: sends every request message on one stream
+    * (client streaming = several length-prefixed messages before
+    * END_STREAM) and returns ALL response messages (server streaming =
+    * several length-prefixed messages before the trailers). */
+  def callMulti(path: String, msgs: Seq[Array[Byte]]): (Seq[Array[Byte]], Int) = {
     val sid = nextStream; nextStream += 2
     val enc = new Http2.HpackEncoder
     frame(0x1, 0x4, sid, enc.encode(Seq(
       (":method", "POST"), (":scheme", "http"), (":path", path),
       (":authority", "localhost"), ("content-type", "application/grpc"),
       ("te", "trailers"))))
-    val framed = new Array[Byte](msg.length + 5)
-    framed(1) = ((msg.length >>> 24) & 0xFF).toByte
-    framed(2) = ((msg.length >>> 16) & 0xFF).toByte
-    framed(3) = ((msg.length >>> 8) & 0xFF).toByte
-    framed(4) = (msg.length & 0xFF).toByte
-    System.arraycopy(msg, 0, framed, 5, msg.length)
+    val all = new java.io.ByteArrayOutputStream()
+    msgs.foreach { msg =>
+      all.write(0)
+      all.write((msg.length >>> 24) & 0xFF); all.write((msg.length >>> 16) & 0xFF)
+      all.write((msg.length >>> 8) & 0xFF); all.write(msg.length & 0xFF)
+      all.write(msg)
+    }
+    val framed = all.toByteArray
     // chunk DATA to SETTINGS_MAX_FRAME_SIZE's default, like the server does
+    if (framed.isEmpty) frame(0x0, 0x1, sid, Array.emptyByteArray)
     var off = 0
     while (off < framed.length) {
       val n = math.min(16384, framed.length - off)
@@ -86,13 +98,15 @@ final class GrpcWireClient(port: Int) {
       }
     }
     val raw = body.toByteArray
-    val resp =
-      if (raw.length >= 5) {
-        val n = ((raw(1) & 0xFF) << 24) | ((raw(2) & 0xFF) << 16) |
-          ((raw(3) & 0xFF) << 8) | (raw(4) & 0xFF)
-        java.util.Arrays.copyOfRange(raw, 5, 5 + n)
-      } else Array.emptyByteArray
-    (resp, status)
+    val resps = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    while (pos + 5 <= raw.length) {
+      val n = ((raw(pos + 1) & 0xFF) << 24) | ((raw(pos + 2) & 0xFF) << 16) |
+        ((raw(pos + 3) & 0xFF) << 8) | (raw(pos + 4) & 0xFF)
+      resps += java.util.Arrays.copyOfRange(raw, pos + 5, pos + 5 + n)
+      pos += 5 + n
+    }
+    (resps.toSeq, status)
   }
 
   def close(): Unit = sock.close()

@@ -50,6 +50,32 @@ object GraftBridge {
     out.toByteArray
   }
 
+  /** Like [[toArrowStream]] but one SELF-CONTAINED IPC stream (schema +
+    * one record batch + EOS) per `maxRecordsPerBatch` rows — the shape a
+    * server-streaming RPC emits, where every streamed message must decode
+    * independently (the reference's stream_sql_query builds one complete
+    * payload per RecordBatch, proxy/src/grpc/sql_query.rs:190-209). */
+  def toArrowStreams(df: DataFrame, timeZoneId: String = "UTC",
+      maxRecordsPerBatch: Long = 4096L): Seq[Array[Byte]] = {
+    import org.apache.arrow.vector.ipc.WriteChannel
+    import org.apache.arrow.vector.ipc.message.{IpcOption, MessageSerializer}
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val schema = ds.schema
+    val rows = ds.queryExecution.executedPlan.executeCollect().iterator
+    val batches = execution.arrow.ArrowConverters.toBatchIterator(
+      rows, schema, maxRecordsPerBatch, timeZoneId, true, false, null)
+    batches.map { b =>
+      val out = new java.io.ByteArrayOutputStream()
+      val ch = new WriteChannel(java.nio.channels.Channels.newChannel(out))
+      MessageSerializer.serialize(ch,
+        util.ArrowUtils.toArrowSchema(schema, timeZoneId, true, false))
+      ch.write(b)
+      org.apache.arrow.vector.ipc.ArrowStreamWriter
+        .writeEndOfStream(ch, IpcOption.DEFAULT)
+      out.toByteArray
+    }.toSeq
+  }
+
   /** Inverse of [[toArrowStream]]: decode one complete Arrow IPC stream
     * back into a local DataFrame (wire-client/spec tooling — rows are
     * materialized driver-side by construction). */

@@ -90,8 +90,10 @@ class GrpcServerSpec extends SparkSpec {
         .fromArrowStream(spark, cbatches.head).collect().head.getLong(0)
       assert(n == 5L)
 
-      // 6. unknown method → UNIMPLEMENTED(12) in the trailers
-      val (_, ustatus) = c.call("/storage.StorageService/PromRemoteQuery",
+      // 6. unknown method → UNIMPLEMENTED(12) in the trailers (PromQuery
+      //    is the structured-expr API the reference marks "not used in
+      //    prod now" — left unimplemented here, like a build without it)
+      val (_, ustatus) = c.call("/storage.StorageService/PromQuery",
         Array.emptyByteArray)
       assert(ustatus == 12)
 
@@ -102,6 +104,123 @@ class GrpcServerSpec extends SparkSpec {
       assert(estatus == 0)
       val (ecode, eerr, _, _) = Pb.parseSqlQueryResponse(eresp)
       assert(ecode == 500 && eerr.nonEmpty)
+      c.close()
+    } finally server.stop()
+  }
+
+  test("gRPC streaming RPCs: StreamWrite sums batches, StreamSqlQuery chunks") {
+    val engine = new TsdbEngine(spark, tmp("grpc-stream"))
+    // streamBatchRows=4 forces multiple streamed responses on 10 rows
+    val server = new GraftGrpcServer(engine, streamBatchRows = 4).start()
+    try {
+      val c = new Client(server.boundPort)
+      // 1. StreamWrite: three WriteRequest messages on ONE stream → one
+      //    WriteResponse with the summed success count
+      def writeReq(host: String, baseTs: Long, n: Int): Array[Byte] =
+        Pb.writeWriteRequest(Pb.WriteRequest("public", Seq(Pb.WriteTableRequest(
+          "stream_cpu", Seq("host"), Seq("usage"),
+          Seq(Pb.WriteSeriesEntry(
+            Seq(Pb.TagPb(0, Pb.Value(str = Some(host)))),
+            (0 until n).map(i => Pb.FieldGroup(baseTs + i * 1000L,
+              Seq(Pb.FieldPb(0, Pb.Value(f64 = Some(i.toDouble))))))))))))
+      val (wresps, wstatus) = c.callMulti("/storage.StorageService/StreamWrite",
+        Seq(writeReq("h1", 1704067200000L, 4), writeReq("h2", 1704067200000L, 3),
+          writeReq("h3", 1704067200000L, 3)))
+      assert(wstatus == 0 && wresps.length == 1)
+      val (wcode, werr, success, failed) = Pb.parseWriteResponse(wresps.head)
+      assert(wcode == 200 && werr.isEmpty && success == 10 && failed == 0)
+
+      // 2. StreamSqlQuery: 10 rows at streamBatchRows=4 → 3 streamed
+      //    responses, each a SELF-CONTAINED arrow payload
+      val (qresps, qstatus) = c.callMulti("/storage.StorageService/StreamSqlQuery",
+        Seq(Pb.writeSqlQueryRequest(Pb.SqlQueryRequest("public", Seq("stream_cpu"),
+          "SELECT host, usage FROM stream_cpu ORDER BY host, timestamp"))))
+      assert(qstatus == 0 && qresps.length == 3, s"got ${qresps.length} messages")
+      val chunks = qresps.map { r =>
+        val (code, err, _, batches) = Pb.parseSqlQueryResponse(r)
+        assert(code == 200 && batches.length == 1, err)
+        org.apache.spark.sql.GraftBridge.fromArrowStream(spark, batches.head)
+          .collect().map(row => (row.getString(0), row.getDouble(1))).toSeq
+      }
+      assert(chunks.map(_.size) == Seq(4, 4, 2))
+      assert(chunks.flatten == Seq(
+        ("h1", 0.0), ("h1", 1.0), ("h1", 2.0), ("h1", 3.0),
+        ("h2", 0.0), ("h2", 1.0), ("h2", 2.0),
+        ("h3", 0.0), ("h3", 1.0), ("h3", 2.0)))
+
+      // 3. affected-rows output streams a single response
+      val (dresps, _) = c.callMulti("/storage.StorageService/StreamSqlQuery",
+        Seq(Pb.writeSqlQueryRequest(Pb.SqlQueryRequest("public", Nil,
+          "INSERT INTO stream_cpu (timestamp, host, usage) " +
+            "VALUES (1704067500000, 'h9', 1.5)"))))
+      assert(dresps.length == 1)
+      assert(Pb.parseSqlQueryResponse(dresps.head)._3.contains(1L))
+      c.close()
+    } finally server.stop()
+  }
+
+  test("gRPC Route answers existing tables with the local endpoint") {
+    val engine = new TsdbEngine(spark, tmp("grpc-route"))
+    val server = new GraftGrpcServer(engine).start()
+    try {
+      val c = new Client(server.boundPort)
+      engine.execute("CREATE TABLE routed (timestamp TIMESTAMP NOT NULL TIMESTAMP KEY, " +
+        "host STRING TAG, v DOUBLE)")
+      val (resp, status) = c.call("/storage.StorageService/Route",
+        Pb.writeRouteRequest(Pb.RouteRequest("public", Seq("routed", "ghost"))))
+      assert(status == 0)
+      val (code, err, routes) = Pb.parseRouteResponse(resp)
+      assert(code == 200 && err.isEmpty)
+      // existing table → local endpoint; unknown table omitted (the
+      // rule-less standalone path answers only what it can place)
+      assert(routes == Seq(Pb.RoutePb("routed", "127.0.0.1", server.boundPort)))
+      c.close()
+    } finally server.stop()
+  }
+
+  test("gRPC PromRemoteQuery ships raw samples per series") {
+    val engine = new TsdbEngine(spark, tmp("grpc-prom"))
+    val server = new GraftGrpcServer(engine).start()
+    try {
+      val c = new Client(server.boundPort)
+      // seed a metric table through the Write path (value field, host tag)
+      val write = Pb.WriteRequest("public", Seq(Pb.WriteTableRequest(
+        "prom_metric", Seq("host"), Seq("value"),
+        Seq(
+          Pb.WriteSeriesEntry(Seq(Pb.TagPb(0, Pb.Value(str = Some("a1")))),
+            Seq(Pb.FieldGroup(1704067200000L,
+                Seq(Pb.FieldPb(0, Pb.Value(f64 = Some(1.5))))),
+              Pb.FieldGroup(1704067260000L,
+                Seq(Pb.FieldPb(0, Pb.Value(f64 = Some(2.5))))))),
+          Pb.WriteSeriesEntry(Seq(Pb.TagPb(0, Pb.Value(str = Some("b2")))),
+            Seq(Pb.FieldGroup(1704067200000L,
+              Seq(Pb.FieldPb(0, Pb.Value(f64 = Some(9.0)))))))))))
+      c.call("/storage.StorageService/Write", Pb.writeWriteRequest(write))
+
+      // remote read: __name__ selects the table, regex narrows, range clips
+      val (resp, status) = c.call("/storage.StorageService/PromRemoteQuery",
+        Pb.writePromRemoteQueryRequest("public", Pb.PromQueryPb(
+          1704067200000L, 1704067260000L, Seq(
+            Pb.LabelMatcherPb(0, "__name__", "prom_metric"),
+            Pb.LabelMatcherPb(2, "host", "a.*|b.*")))))
+      assert(status == 0)
+      val (code, err, series) = Pb.parsePromRemoteQueryResponse(resp)
+      assert(code == 200 && err.isEmpty, err)
+      assert(series == Seq(
+        Pb.PromSeries(
+          Seq(Pb.PromLabel("host", "a1"), Pb.PromLabel("__name__", "prom_metric")),
+          Seq(Pb.PromSample(1.5, 1704067200000L), Pb.PromSample(2.5, 1704067260000L))),
+        Pb.PromSeries(
+          Seq(Pb.PromLabel("host", "b2"), Pb.PromLabel("__name__", "prom_metric")),
+          Seq(Pb.PromSample(9.0, 1704067200000L)))))
+
+      // no __name__ matcher → non-OK header, stream stays alive
+      val (eresp, estatus) = c.call("/storage.StorageService/PromRemoteQuery",
+        Pb.writePromRemoteQueryRequest("public", Pb.PromQueryPb(
+          0L, 1L, Seq(Pb.LabelMatcherPb(0, "host", "a1")))))
+      assert(estatus == 0)
+      val (ecode, eerr, _) = Pb.parsePromRemoteQueryResponse(eresp)
+      assert(ecode == 500 && eerr.contains("Metric name"))
       c.close()
     } finally server.stop()
   }
@@ -117,6 +236,18 @@ class GrpcServerSpec extends SparkSpec {
     assert(parsed == req)
     val sq = Pb.SqlQueryRequest("", Seq("t1", "t2"), "SELECT 1")
     assert(Pb.parseSqlQueryRequest(Pb.writeSqlQueryRequest(sq)) == sq)
+    val rr = Pb.RouteRequest("db", Seq("a", "b"))
+    assert(Pb.parseRouteRequest(Pb.writeRouteRequest(rr)) == rr)
+    val routes = Seq(Pb.RoutePb("a", "10.0.0.1", 8831), Pb.RoutePb("b", "10.0.0.2", 1))
+    assert(Pb.parseRouteResponse(Pb.writeRouteResponse(200, "", routes)) ==
+      ((200, "", routes)))
+    val pq = Pb.PromQueryPb(1L, 2L, Seq(Pb.LabelMatcherPb(2, "n", "v.*")))
+    assert(Pb.parsePromRemoteQueryRequest(
+      Pb.writePromRemoteQueryRequest("d", pq)) == (("d", pq)))
+    val ser = Seq(Pb.PromSeries(
+      Seq(Pb.PromLabel("host", "h")), Seq(Pb.PromSample(-1.25, 42L))))
+    assert(Pb.parsePromRemoteQueryResponse(
+      Pb.writePromRemoteQueryResponse(200, "", ser)) == ((200, "", ser)))
     // varint edge: max-u64-ish values survive
     val w = new Pb.Writer().int64Always(1, -1L)
     val r = new Pb.Reader(w.toBytes)
