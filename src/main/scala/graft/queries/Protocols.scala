@@ -1147,6 +1147,77 @@ object Protocols {
             org.apache.spark.sql.GraftBridge.fromArrowStream(s, batches.head)
           } finally c.close()
         } finally server.stop()
+      }),
+
+    // ---- gRPC StreamSqlQuery round trip: the server-streamed variant of
+    //      q278 — one self-contained ArrowPayload per 16-row batch
+    //      (proxy/src/grpc/sql_query.rs:190-209), reassembled client-side
+    //      by union. The require(>1) pins that the result actually
+    //      STREAMED (several HTTP/2 DATA messages on one stream), not one
+    //      payload. Integer-exact columns (count + sum of int64 event_id)
+    //      keep the multi-chunk reassembly float-free.
+    GraftQuery("q280_grpc_stream_query",
+      Some("""SELECT event_type, CAST(user_id % 50 AS BIGINT) AS ub,
+             |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_eid
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        val server = new graft.server.GraftGrpcServer(e, streamBatchRows = 16).start()
+        try {
+          val c = new graft.server.GrpcWireClient(server.boundPort)
+          try {
+            val (resps, status) = c.callMulti("/storage.StorageService/StreamSqlQuery",
+              Seq(graft.server.Pb.writeSqlQueryRequest(graft.server.Pb.SqlQueryRequest(
+                "public", Seq("events"),
+                "SELECT event_type, CAST(user_id % 50 AS BIGINT) AS ub, " +
+                  "count(*) AS n, sum(event_id) AS sum_eid " +
+                  "FROM events GROUP BY 1, 2"))))
+            require(status == 0, s"grpc-status $status")
+            require(resps.length > 1, s"expected a streamed response, got ${resps.length}")
+            val frames = resps.map { r =>
+              val (code, err, _, batches) = graft.server.Pb.parseSqlQueryResponse(r)
+              require(code == 200 && batches.length == 1, s"code $code err $err")
+              org.apache.spark.sql.GraftBridge.fromArrowStream(s, batches.head)
+            }
+            frames.reduce(_ unionAll _)
+          } finally c.close()
+        } finally server.stop()
+      }),
+
+    // ---- gRPC Prometheus remote read: one prompb Query in (anchored
+    //      regex matcher on the tag, __name__ selects the table), one
+    //      prompb QueryResult out — raw samples per series, ms timestamps
+    //      (proxy/src/http/prom.rs:185,352-440). Values are the engine's
+    //      f64 points, bit-identical to the fixture doubles through the
+    //      line-protocol round trip (Double.toString ↔ parseDouble).
+    GraftQuery("q281_grpc_prom_remote",
+      Some("""SELECT event_type, (epoch_ns(ts) // 1000000) AS ms, "value" AS v
+             |FROM events
+             |WHERE regexp_full_match(event_type, 'click|view|purchase')""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        val server = new graft.server.GraftGrpcServer(e).start()
+        try {
+          val c = new graft.server.GrpcWireClient(server.boundPort)
+          try {
+            val (resp, status) = c.call("/storage.StorageService/PromRemoteQuery",
+              graft.server.Pb.writePromRemoteQueryRequest("public",
+                graft.server.Pb.PromQueryPb(0L, 4102444800000L, Seq(
+                  graft.server.Pb.LabelMatcherPb(0, "__name__", "events"),
+                  graft.server.Pb.LabelMatcherPb(2, "event_type",
+                    "click|view|purchase")))))
+            require(status == 0, s"grpc-status $status")
+            val (code, err, series) =
+              graft.server.Pb.parsePromRemoteQueryResponse(resp)
+            require(code == 200 && series.nonEmpty, s"code $code err $err")
+            import s.implicits._
+            series.flatMap { ts =>
+              val et = ts.labels.find(_.name == "event_type")
+                .map(_.value).getOrElse("")
+              ts.samples.map(sm => (et, sm.timestampMs, sm.value))
+            }.toDF("event_type", "ms", "v")
+          } finally c.close()
+        } finally server.stop()
       })
   )
 }

@@ -99,7 +99,11 @@ object Pb {
     def skip(wire: Int): Unit = wire match {
       case 0 => varint(); ()
       case 1 => pos += 8
-      case 2 => pos += varint().toInt
+      case 2 =>
+        // NB: must read the length varint BEFORE touching pos — `pos +=
+        // varint()` reads the OLD pos before varint() advances it, silently
+        // losing the length byte(s) and desyncing the stream
+        val n = varint().toInt; pos += n
       case 5 => pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
@@ -511,11 +515,41 @@ object Pb {
     (code, err, series)
   }
 
+  // Reference compression contract (components/arrow_ext/src/ipc.rs:48-59,
+  // 106-121): the encoded IPC payload is zstd-bulk-compressed at level 3
+  // once it reaches 80 KiB; smaller payloads ship uncompressed
+  // (CompressOptions::default). ArrowPayload.compression: NONE=0 / ZSTD=1.
+  private[graft] val CompressMinLength: Int = 80 * 1024
+  private[graft] val ZstdLevel: Int = 3
+
   def writeSqlResponseArrow(code: Int, ipcStreams: Seq[Array[Byte]]): Array[Byte] = {
     val arrow = new Writer
-    ipcStreams.foreach(arrow.bytes(1, _))
+    val compress = ipcStreams.exists(_.length >= CompressMinLength)
+    ipcStreams.foreach { s =>
+      arrow.bytes(1,
+        if (compress) com.github.luben.zstd.Zstd.compress(s, ZstdLevel) else s)
+    }
+    if (compress) arrow.uint32(2, 1L) // Compression::ZSTD
     // compression field 2 = NONE (0): omitted, proto3 default
     new Writer().msg(1, header(code, "")).msg(5, arrow).toBytes
+  }
+
+  /** compression enum of the response's ArrowPayload (0=NONE, 1=ZSTD) —
+    * spec/tooling introspection; [[parseSqlQueryResponse]] already hands
+    * back decompressed batches. */
+  def arrowCompressionOf(b: Array[Byte]): Int = {
+    var method = 0
+    val r = new Reader(b)
+    while (r.hasNext) r.readKey() match {
+      case (5, 2) =>
+        val a = r.lenDelim()
+        while (a.hasNext) a.readKey() match {
+          case (2, 0) => method = a.varint().toInt
+          case (_, w) => a.skip(w)
+        }
+      case (_, w) => r.skip(w)
+    }
+    method
   }
 
   /** parsed SqlQueryResponse: (code, error, affectedRows, arrowBatches) */
@@ -523,6 +557,7 @@ object Pb {
       b: Array[Byte]): (Int, String, Option[Long], Seq[Array[Byte]]) = {
     var code = 0; var err = ""
     var affected: Option[Long] = None
+    var method = 0 // ArrowPayload.compression: NONE=0, ZSTD=1
     val batches = ArrayBuffer.empty[Array[Byte]]
     val r = new Reader(b)
     while (r.hasNext) r.readKey() match {
@@ -538,10 +573,17 @@ object Pb {
         val a = r.lenDelim()
         while (a.hasNext) a.readKey() match {
           case (1, 2) => batches += a.bytesField()
+          case (2, 0) => method = a.varint().toInt
           case (_, w) => a.skip(w)
         }
       case (_, w) => r.skip(w)
     }
-    (code, err, affected, batches.toSeq)
+    val out =
+      if (method == 1) batches.map { c =>
+        val n = com.github.luben.zstd.Zstd.getFrameContentSize(c)
+        require(n >= 0 && n <= Int.MaxValue, s"bad zstd frame size $n")
+        com.github.luben.zstd.Zstd.decompress(c, n.toInt)
+      } else batches
+    (code, err, affected, out.toSeq)
   }
 }

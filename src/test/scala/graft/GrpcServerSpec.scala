@@ -225,6 +225,37 @@ class GrpcServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("gRPC arrow payloads zstd-compress at the reference's 80 KiB bound") {
+    val engine = new TsdbEngine(spark, tmp("grpc-zstd"))
+    val server = new GraftGrpcServer(engine).start()
+    try {
+      val c = new Client(server.boundPort)
+      // wide payload (~160 KB of IPC) → compression=ZSTD(1) on the wire,
+      // transparently decompressed by the parse side
+      val (resp, status) = c.call("/storage.StorageService/SqlQuery",
+        Pb.writeSqlQueryRequest(Pb.SqlQueryRequest("public", Nil,
+          "SELECT id, repeat('x', 400) AS pad FROM range(400) ORDER BY id")))
+      assert(status == 0)
+      assert(Pb.arrowCompressionOf(resp) == 1, "payload should be ZSTD")
+      val (code, err, _, batches) = Pb.parseSqlQueryResponse(resp)
+      assert(code == 200 && batches.length == 1, err)
+      val rows = org.apache.spark.sql.GraftBridge.fromArrowStream(spark, batches.head)
+        .collect()
+      assert(rows.length == 400 && rows.head.getLong(0) == 0L &&
+        rows.head.getString(1) == "x" * 400)
+      assert(batches.head.length > Pb.CompressMinLength,
+        "decompressed IPC must exceed the bound, else the test is vacuous")
+      assert(resp.length < batches.head.length / 2,
+        "wire bytes should be much smaller than the IPC payload")
+
+      // small payload stays NONE (reference compress_min_length path)
+      val (sresp, _) = c.call("/storage.StorageService/SqlQuery",
+        Pb.writeSqlQueryRequest(Pb.SqlQueryRequest("public", Nil, "SELECT 1 AS one")))
+      assert(Pb.arrowCompressionOf(sresp) == 0)
+      c.close()
+    } finally server.stop()
+  }
+
   test("protobuf codec round-trips the storage message shapes") {
     val req = Pb.WriteRequest("db", Seq(Pb.WriteTableRequest(
       "t", Seq("a"), Seq("f"),
@@ -248,6 +279,13 @@ class GrpcServerSpec extends SparkSpec {
       Seq(Pb.PromLabel("host", "h")), Seq(Pb.PromSample(-1.25, 42L))))
     assert(Pb.parsePromRemoteQueryResponse(
       Pb.writePromRemoteQueryResponse(200, "", ser)) == ((200, "", ser)))
+    // Reader.skip over an unknown length-delimited field must consume the
+    // length varint AND the payload (regression: `pos += varint()` read the
+    // old pos and lost the length byte, desyncing every later field)
+    val sk = new Pb.Reader(Array[Byte](0x0A, 0x02, 0x61, 0x62, 0x10, 0x07))
+    assert(sk.readKey() == ((1, 2))); sk.skip(2)
+    assert(sk.readKey() == ((2, 0)) && sk.varint() == 7L && !sk.hasNext)
+
     // varint edge: max-u64-ish values survive
     val w = new Pb.Writer().int64Always(1, -1L)
     val r = new Pb.Reader(w.toBytes)
