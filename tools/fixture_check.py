@@ -54,4 +54,31 @@ if diffs:
     print("\n".join(diffs))
     print(f"\n{len(diffs)} fixture schema change(s) since last record.")
     sys.exit(1)
+
+# Data-level invariants the battery assumes (beyond schemas). The ingest
+# round-trip queries (q45/q47/q278-q281) write events through overwrite-mode
+# series tables keyed on (event_type, ms): a regenerated fixture with
+# same-millisecond duplicates within one series would silently dedup on the
+# Spark side while the DuckDB oracle reads every raw row.
+try:
+    import duckdb
+    bad = []
+    for sf in sorted(glob.glob("/root/testdata/sf*")):
+        f = f"{sf}/events.parquet"
+        if not os.path.exists(f):
+            continue
+        n = duckdb.sql(
+            f"SELECT count(*) FROM (SELECT event_type, epoch_ns(ts)//1000000 AS ms,"
+            f" count(*) c FROM '{f}' GROUP BY 1,2 HAVING c > 1)").fetchone()[0]
+        if n:
+            bad.append(f"{os.path.basename(sf)}: {n} (event_type, ms) collisions")
+    if bad:
+        print("\n".join(bad))
+        print("\nevents fixture has same-ms series collisions — the ingest "
+              "round-trip oracles (q45/q47/q278-q281) assume none; re-check "
+              "those before trusting the battery.")
+        sys.exit(1)
+except ImportError:
+    pass  # schema check alone still useful where duckdb is absent
+
 print(f"fixtures unchanged ({len(cur)} files match baseline)")
