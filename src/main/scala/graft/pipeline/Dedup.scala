@@ -533,4 +533,26 @@ object Dedup {
       .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
       .drop("cluster_id")
   }
+
+  /** Keep the highest-quality doc per near-dup cluster — production dedup
+    * retains the best copy (longest / highest-scored), not the arbitrary
+    * min-id one. Per component: argmax of `quality`, ascending-id
+    * tiebreak; docs outside every pair survive as their own singleton
+    * cluster (a singleton's id can never collide with a component's
+    * cluster_id, since that min-id doc is IN the component). Plans as
+    * `row_number()=1` → Spark 4 WindowGroupLimit: the top-1 is taken
+    * partially before the shuffle, so full doc payloads cross the wire
+    * once per cluster, not once per member. */
+  def dedupByClustersKeepBest(docs: DataFrame, idCol: String,
+      pairs: DataFrame, quality: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val w = Window.partitionBy(col("__cid"))
+      .orderBy(quality.desc, col(idCol).asc)
+    docs.join(cc, Seq(idCol), "left")
+      .withColumn("__cid", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("cluster_id", "__cid", "__rk")
+  }
 }

@@ -531,6 +531,68 @@ object PipelineQueries {
       (s, dir) => Dedup.connectedComponents(jaccardPairs(s, dir))
         .select(col("id").as("doc_id"), col("cluster_id"))),
 
+    // ---- keep-best cluster dedup: per near-dup component retain the
+    //      HIGHEST-QUALITY copy (n_chars, id tiebreak) instead of the
+    //      arbitrary min-id — what a production pipeline actually ships.
+    //      Singletons survive as their own cluster. Oracle re-derives the
+    //      q87 closure, then takes the same argmax with QUALIFY.
+    GraftQuery("q282_keep_best_dedup",
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
+             |    length(text) // 100 AS lenb
+             |  FROM documents),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+             |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+             |SELECT d.doc_id, d.lang, d.source, d.n_chars
+             |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+             |QUALIFY row_number() OVER (
+             |  PARTITION BY coalesce(cc.cluster_id, d.doc_id)
+             |  ORDER BY d.n_chars DESC, d.doc_id) = 1""".stripMargin),
+      (s, dir) => Dedup.dedupByClustersKeepBest(
+        t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        "doc_id", jaccardPairs(s, dir), col("n_chars"))),
+
+    // ---- inter-source duplication matrix: near-dup pairs bucketed by the
+    //      unordered (source, source) pair — the data-card view of WHICH
+    //      sources duplicate each other (within-source on the diagonal).
+    //      Pair-scoped joins against a 2-column doc frame; counts only.
+    GraftQuery("q283_source_overlap_matrix",
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
+             |    length(text) // 100 AS lenb
+             |  FROM documents),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8)
+             |SELECT least(da.source, db.source) AS src_a,
+             |  greatest(da.source, db.source) AS src_b,
+             |  count(*) AS n_pairs
+             |FROM p JOIN documents da ON da.doc_id = p.id_a
+             |  JOIN documents db ON db.doc_id = p.id_b
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        jaccardPairs(s, dir)
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+          .groupBy(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      }),
+
     // ---- MinHash-LSH near-dup (exact-vs-LSH recall in PipelineSpec).
     //      Hash-checked since round 5: the md5-portable minhash family
     //      (functions/MinHash.scala scaladoc) lets the oracle replay the

@@ -448,6 +448,19 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val survivors = Set(1L, 10L, 20L) ++ (6L to 9L) ++ (13L to 19L) ++ (22L to 25L)
     assert(kept == survivors)
+
+    // keep-best: the argmax-quality member survives per cluster (quality
+    // = doc_id % 7: cluster {1..5} keeps 5 (q=5), {10,11,12} keeps 12
+    // (q=5), {20,21} keeps 20 (q=6)); singletons all survive
+    val scored = docs.withColumn("q", col("doc_id") % 7)
+    val best = Dedup.dedupByClustersKeepBest(scored, "doc_id", pairs, col("q"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bestSurvivors = Set(5L, 12L, 20L) ++ (6L to 9L) ++ (13L to 19L) ++ (22L to 25L)
+    assert(best == bestSurvivors, best.toString)
+    // equal quality everywhere → degrades to min-id (tiebreak = id asc)
+    val flat = Dedup.dedupByClustersKeepBest(docs, "doc_id", pairs, lit(1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flat == survivors)
   }
 
   test("bm25: hand-computed score, tf monotonicity, absent terms score zero") {
