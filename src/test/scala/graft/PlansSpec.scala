@@ -141,6 +141,16 @@ class PlansSpec extends SparkSpec {
       s"expected a partial (pre-shuffle) group limit phase in:\n$plan")
   }
 
+  test("keep-best cluster dedup takes its top-1 partially (WindowGroupLimit)") {
+    // one survivor per near-dup cluster: the argmax must be a group limit
+    // taken BEFORE the shuffle, so a mega-cluster ships O(tasks) doc
+    // payloads to the reducer, not every member
+    val plan = finalPlan(q("q282_keep_best_dedup")).toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial"),
+      s"expected a partial (pre-shuffle) group limit phase in:\n$plan")
+  }
+
   test("ts range filter pushes to parquet on the REAL driver fixture") {
     // the driver regenerates fixtures per round and the event-time physical
     // type has already changed once (nanos -> µs-NTZ); whatever bridge
