@@ -72,10 +72,20 @@ case class MinHashSig(child: Expression, numHashes: Int)
 }
 
 object MinHashSig {
+  // One MessageDigest per task thread: getInstance("MD5") is a provider
+  // lookup + allocation, and this runs once per shingle of every row of
+  // the corpus-wide signature pass (q55/q199/q258, simhash token hash).
+  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First `nHex` hex chars of md5(bytes) as a non-negative Long —
     * identical to SQL's `('0x' || substr(md5(s), 1, nHex))::BIGINT`. */
   def md5PrefixBytes(bytes: Array[Byte], nHex: Int): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(bytes)
     var v = 0L
     var i = 0
     while (i < nHex) {

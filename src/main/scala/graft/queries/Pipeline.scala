@@ -602,7 +602,7 @@ object PipelineQueries {
     //      summation order can't flake the hash.
     GraftQuery("q55_minhash_lsh",
       Some("""WITH t AS (SELECT doc_id,
-             |    string_split_regex(trim(lower(text)), '\s+') AS toks
+             |    string_split_regex(trim(text), '\s+') AS toks
              |  FROM documents),
              |sh AS (
              |  SELECT doc_id, toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
@@ -1672,7 +1672,7 @@ object PipelineQueries {
              |allv AS (SELECT 'c' AS sd, doc_id, text FROM corpus
              |  UNION ALL SELECT 'i', doc_id, text FROM inc),
              |t AS (SELECT sd, doc_id,
-             |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM allv),
+             |    string_split_regex(trim(text), '\s+') AS toks FROM allv),
              |sh AS (
              |  SELECT sd, doc_id, toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
              |  FROM t, unnest(generate_series(1, len(toks) - 2)) i(i)
@@ -2170,7 +2170,7 @@ object PipelineQueries {
       Some("""WITH smp AS (SELECT doc_id, text FROM documents
              |  WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':lshsweep'), 1, 8))::BIGINT % 100 < 5),
              |t AS (SELECT doc_id,
-             |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM smp),
+             |    string_split_regex(trim(text), '\s+') AS toks FROM smp),
              |sh AS (
              |  SELECT doc_id, toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
              |  FROM t, unnest(generate_series(1, len(toks) - 2)) i(i)

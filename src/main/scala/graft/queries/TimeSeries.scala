@@ -1023,13 +1023,14 @@ object TimeSeries {
              |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
              |GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
-        val k = get_json_object(col("props"), "$.k").cast("long")
+        // extract $.k ONCE into a column — filter, group key, and agg all
+        // reuse it (three separate get_json_object calls re-parsed the
+        // JSON three times per row)
         t(s, dir, "events")
-          .filter(k >= 50)
-          .groupBy(col("event_type"), expr(
-            "cast(get_json_object(props, '$.k') as bigint) div 10")
-            .as("k_band"))
-          .agg(count(lit(1)).as("n"), sum(k).as("sum_k"))
+          .withColumn("__k", get_json_object(col("props"), "$.k").cast("long"))
+          .filter(col("__k") >= 50)
+          .groupBy(col("event_type"), expr("__k div 10").as("k_band"))
+          .agg(count(lit(1)).as("n"), sum(col("__k")).as("sum_k"))
       }),
 
     // ---- JSON schema profile: per-key presence/type/value ranges over

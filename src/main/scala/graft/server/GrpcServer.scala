@@ -118,16 +118,23 @@ final class GraftGrpcServer(
           case 0x8 => () // WINDOW_UPDATE: windows assumed ample (scaladoc)
           case 0x1 => // HEADERS (END_HEADERS required by our contract)
             require((flags & 0x4) != 0, "CONTINUATION not supported")
-            var off = 0
-            var dataLen = len
-            if ((flags & 0x8) != 0) { off = payload(0) + 1 + 5; dataLen = len - off } // PADDED+PRIORITY
-            else if ((flags & 0x20) != 0) { off = 5; dataLen = len - 5 }              // PRIORITY
+            // RFC 7540 §6.2: [pad len (PADDED)] [priority (PRIORITY)]
+            // [header block] [padding] — pad length is unsigned and the
+            // padding TRAILS the header block.
+            val padLen = if ((flags & 0x8) != 0) payload(0) & 0xFF else 0
+            var off = if ((flags & 0x8) != 0) 1 else 0
+            if ((flags & 0x20) != 0) off += 5 // PRIORITY fields
+            val dataLen = len - off - padLen
+            require(dataLen >= 0, "padding exceeds frame payload")
             val hdrs = hpack.decode(payload, off, off + dataLen)
             hdrs.find(_._1 == ":path").foreach(p => paths(sid) = p._2)
             if ((flags & 0x1) != 0) dispatch(out, sid, paths, bodies) // END_STREAM
-          case 0x0 => // DATA
+          case 0x0 => // DATA (RFC 7540 §6.1: optional pad len + data + padding)
+            val padLen = if ((flags & 0x8) != 0) payload(0) & 0xFF else 0
+            val off = if ((flags & 0x8) != 0) 1 else 0
+            require(len - off - padLen >= 0, "padding exceeds frame payload")
             bodies.getOrElseUpdate(sid, new java.io.ByteArrayOutputStream())
-              .write(payload)
+              .write(payload, off, len - off - padLen)
             if ((flags & 0x1) != 0) dispatch(out, sid, paths, bodies)
           case 0x3 => paths.remove(sid); bodies.remove(sid) // RST_STREAM
           case 0x7 => return // GOAWAY
@@ -163,10 +170,16 @@ final class GraftGrpcServer(
   /** split a request body into its length-prefixed gRPC messages (one for
     * unary calls, several for a client-streamed call — each message is
     * 1-byte compressed flag + u32 big-endian length + payload) */
+  /** thrown when a client sends a compressed gRPC message; we advertise no
+    * grpc-encoding, so answer UNIMPLEMENTED(12) instead of misparsing the
+    * compressed bytes as protobuf */
+  private final class CompressedMessage extends RuntimeException
+
   private def grpcMessages(body: Array[Byte]): Seq[Array[Byte]] = {
     val msgs = mutable.ArrayBuffer.empty[Array[Byte]]
     var off = 0
     while (off + 5 <= body.length) {
+      if (body(off) != 0) throw new CompressedMessage
       val n = ((body(off + 1) & 0xFF) << 24) | ((body(off + 2) & 0xFF) << 16) |
         ((body(off + 3) & 0xFF) << 8) | (body(off + 4) & 0xFF)
       msgs += java.util.Arrays.copyOfRange(body, off + 5, off + 5 + n)
@@ -181,7 +194,7 @@ final class GraftGrpcServer(
       bodies: mutable.Map[Int, java.io.ByteArrayOutputStream]): Unit = {
     val path = paths.remove(sid).getOrElse("")
     val body = bodies.remove(sid).map(_.toByteArray).getOrElse(Array.emptyByteArray)
-    val msgs = grpcMessages(body)
+    lazy val msgs = grpcMessages(body)
     def first: Array[Byte] = msgs.headOption.getOrElse(Array.emptyByteArray)
     val (grpcStatus, grpcMsg, resps): (Int, String, Seq[Array[Byte]]) =
       try path match {
@@ -198,7 +211,10 @@ final class GraftGrpcServer(
         case "/storage.StorageService/PromRemoteQuery" =>
           (0, "", Seq(handlePromRemoteQuery(first)))
         case other => (12, s"method $other is not implemented", Nil)
-      } catch { case e: Throwable =>
+      } catch {
+        case _: CompressedMessage =>
+          (12, "compressed grpc messages are not supported (no grpc-encoding advertised)", Nil)
+        case e: Throwable =>
         // reference behavior: server-side failures still answer a response
         // message with a non-OK header code, grpc-status stays 0. A
         // header-only message ({header=1}) parses under EVERY response

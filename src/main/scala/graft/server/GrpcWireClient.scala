@@ -45,17 +45,32 @@ final class GrpcWireClient(port: Int) {
   /** streaming-capable call: sends every request message on one stream
     * (client streaming = several length-prefixed messages before
     * END_STREAM) and returns ALL response messages (server streaming =
-    * several length-prefixed messages before the trailers). */
-  def callMulti(path: String, msgs: Seq[Array[Byte]]): (Seq[Array[Byte]], Int) = {
+    * several length-prefixed messages before the trailers).
+    *
+    * Test knobs: `pad` > 0 sends HEADERS and DATA with the PADDED flag
+    * (RFC 7540 §6.1/§6.2 — pad-length octet, then the block, then `pad`
+    * zero octets of trailing padding); `compressedFlag` sets each gRPC
+    * message's compressed-flag byte to 1 (we advertise no grpc-encoding,
+    * so a conforming server must answer UNIMPLEMENTED, not misparse). */
+  def callMulti(path: String, msgs: Seq[Array[Byte]],
+      pad: Int = 0, compressedFlag: Boolean = false): (Seq[Array[Byte]], Int) = {
     val sid = nextStream; nextStream += 2
     val enc = new Http2.HpackEncoder
-    frame(0x1, 0x4, sid, enc.encode(Seq(
+    val hdrBlock = enc.encode(Seq(
       (":method", "POST"), (":scheme", "http"), (":path", path),
       (":authority", "localhost"), ("content-type", "application/grpc"),
-      ("te", "trailers"))))
+      ("te", "trailers")))
+    def padded(block: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](1 + block.length + pad)
+      b(0) = pad.toByte
+      System.arraycopy(block, 0, b, 1, block.length)
+      b // trailing pad bytes stay zero
+    }
+    if (pad > 0) frame(0x1, 0x4 | 0x8, sid, padded(hdrBlock))
+    else frame(0x1, 0x4, sid, hdrBlock)
     val all = new java.io.ByteArrayOutputStream()
     msgs.foreach { msg =>
-      all.write(0)
+      all.write(if (compressedFlag) 1 else 0)
       all.write((msg.length >>> 24) & 0xFF); all.write((msg.length >>> 16) & 0xFF)
       all.write((msg.length >>> 8) & 0xFF); all.write(msg.length & 0xFF)
       all.write(msg)
@@ -67,8 +82,9 @@ final class GrpcWireClient(port: Int) {
     while (off < framed.length) {
       val n = math.min(16384, framed.length - off)
       val last = off + n >= framed.length
-      frame(0x0, if (last) 0x1 else 0x0, sid,
-        java.util.Arrays.copyOfRange(framed, off, off + n))
+      val chunk = java.util.Arrays.copyOfRange(framed, off, off + n)
+      if (pad > 0) frame(0x0, (if (last) 0x1 else 0x0) | 0x8, sid, padded(chunk))
+      else frame(0x0, if (last) 0x1 else 0x0, sid, chunk)
       off += n
     }
     out.flush()

@@ -256,6 +256,38 @@ class GrpcServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("gRPC wire edges: PADDED frames parse, compressed flag refused") {
+    val engine = new TsdbEngine(spark, tmp("grpc-edges"))
+    val server = new GraftGrpcServer(engine).start()
+    try {
+      val c = new Client(server.boundPort)
+      // 1. PADDED HEADERS + PADDED DATA (RFC 7540 §6.1/§6.2: padding
+      //    TRAILS the block; pad length is an unsigned octet). A server
+      //    that treats padding as leading desyncs HPACK here.
+      val (resps, status) = c.callMulti("/storage.StorageService/SqlQuery",
+        Seq(Pb.writeSqlQueryRequest(Pb.SqlQueryRequest("public", Nil,
+          "SELECT 7 AS seven"))), pad = 200)
+      assert(status == 0 && resps.length == 1)
+      val (code, err, _, batches) = Pb.parseSqlQueryResponse(resps.head)
+      assert(code == 200 && batches.length == 1, err)
+      assert(org.apache.spark.sql.GraftBridge
+        .fromArrowStream(spark, batches.head).collect().head.getInt(0) == 7)
+
+      // 2. compressed-flag byte set without negotiated grpc-encoding →
+      //    UNIMPLEMENTED(12), not a misparse-as-protobuf garbage write
+      val (_, cstatus) = c.callMulti("/storage.StorageService/SqlQuery",
+        Seq(Pb.writeSqlQueryRequest(Pb.SqlQueryRequest("public", Nil,
+          "SELECT 1 AS one"))), compressedFlag = true)
+      assert(cstatus == 12)
+
+      // 3. the connection survives both edge cases
+      val (okResp, okStatus) = c.call("/storage.StorageService/SqlQuery",
+        Pb.writeSqlQueryRequest(Pb.SqlQueryRequest("public", Nil, "SELECT 2 AS two")))
+      assert(okStatus == 0 && Pb.parseSqlQueryResponse(okResp)._1 == 200)
+      c.close()
+    } finally server.stop()
+  }
+
   test("protobuf codec round-trips the storage message shapes") {
     val req = Pb.WriteRequest("db", Seq(Pb.WriteTableRequest(
       "t", Seq("a"), Seq("f"),

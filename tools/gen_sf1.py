@@ -4,15 +4,38 @@
 The driver provides sf0.001/0.01/0.1 only; sf1 is derived by replicating
 sf0.1 ten times with key offsets — same schemas (duckdb COPY preserves
 physical types, incl. events' TIMESTAMP-us), same value distributions,
-10x the rows. events keep their time range but gain 10x density (ts
-jittered by k*7us so copies never tie exactly); ids offset per copy.
+10x the rows.
+
+Diversified text (round 6): naive 10x replication made every copy-family
+mutually near-dup, inflating pair-operator outputs ~100x (SCALING.md
+par.8.1's caveat). Copies k>0 now get a deterministic per-copy VOCABULARY
+RENAMING: token t -> t + 'x' + md5(t:k)[0:4] when md5(t:k) % 100 < 40.
+Because the mapping is keyed by (token, copy) — not by doc — it is applied
+consistently across all docs of a copy, so INTRA-copy near-dup structure
+(jaccard over token shingles) is preserved exactly, while INTER-copy
+token overlap drops to ~36% (3-gram shingle overlap ~5%, jaccard ~0.02 —
+far below every near-dup threshold in the battery). Near-dup selectivity
+at sf1 therefore matches sf0.1 (10x the docs, 10x the pairs), which is
+what a real 10x-bigger corpus looks like. n_chars is recomputed for the
+rewritten text. Copy 0 stays verbatim.
+
+events: jitter is k * 1 ms (was k*7us, which put all 10 replicas of an
+event in the same millisecond + event_type — violating the (event_type,
+ms) no-collision invariant fixture_check enforces for the ingest
+round-trip oracles q45/q47/q278-q281). 1 ms shifts keep ms-truncation
+distinct WITHIN a replica family; cross-family collisions are possible
+in principle, so this script prints the residual (event_type, ms)
+collision count — if it is non-zero, do NOT use sf1 for the ingest
+round-trip oracles (it is a scaling-ladder fixture, not a gate fixture;
+fixture_check only scans /root/testdata).
+
 Output: target/sf1/*.parquet (NOT committed; /root/testdata is read-only).
 
-Honest-methodology note for the ladder: replication gives exact-duplicate
-families of 10 across copies, which the driver generator does not have —
-fine for the cost curves measured here (q54-family pair counts are
-vocabulary-driven and already dense), but don't use this set to study
-exact-dedup selectivity.
+Honest-methodology note for the ladder: the renaming changes the token
+VOCABULARY of copies k>0 (suffixed tokens are not stopwords, so
+langid/stopword-ratio distributions shift in perturbed copies); length
+and shingle-count distributions are preserved. Fine for dedup/pair cost
+curves — that is what this set exists for.
 """
 import os
 import duckdb
@@ -54,15 +77,38 @@ copy(f"""SELECT l_orderkey + k.k * 1000000 AS l_orderkey,
                 l_tax, l_returnflag, l_linestatus, l_shipdate
          FROM '{SRC}/lineitem.parquet', range(10) k(k)""", "lineitem")
 
-# events: same range, 10x density (jitter keeps timestamps unique-ish)
+# events: same range, 10x density; k*1ms jitter keeps ms-truncated copies
+# of one source event distinct (see module docstring)
 copy(f"""SELECT event_id + k.k * 100000 AS event_id,
-                ts + k.k * INTERVAL 7 MICROSECOND AS ts,
+                ts + k.k * INTERVAL 1 MILLISECOND AS ts,
                 user_id + k.k * 2000 AS user_id,
                 event_type, "value", props
          FROM '{SRC}/events.parquet', range(10) k(k)""", "events")
 
-copy(f"""SELECT doc_id + k.k * 5000 AS doc_id, text, lang, source, n_chars
-         FROM '{SRC}/documents.parquet', range(10) k(k)""", "documents")
+ncoll = con.sql(f"""
+    SELECT count(*) FROM (
+      SELECT event_type, date_trunc('millisecond', ts) AS ms
+      FROM '{DST}/events.parquet' GROUP BY 1, 2 HAVING count(*) > 1)
+    """).fetchone()[0]
+print(f"events (event_type, ms) residual collisions: {ncoll}"
+      + ("" if ncoll == 0 else "  [do NOT use sf1 for ingest round-trip oracles]"))
+
+# documents: copy 0 verbatim; copies 1..9 vocabulary-renamed (docstring)
+copy(f"""SELECT doc_id + k.k * 5000 AS doc_id,
+                CASE WHEN k.k = 0 THEN text ELSE array_to_string(
+                  list_transform(string_split_regex(trim(text), '\\s+'),
+                    t -> CASE WHEN ('0x' || substr(md5(t || ':' || k.k), 1, 8))::BIGINT % 100 < 40
+                         THEN t || 'x' || substr(md5(t || ':' || k.k), 1, 4)
+                         ELSE t END), ' ') END AS text,
+                lang, source,
+                CASE WHEN k.k = 0 THEN n_chars ELSE NULL END AS n_chars_raw,
+                k.k AS __k
+         FROM '{SRC}/documents.parquet', range(10) k(k)""", "documents_stage")
+copy(f"""SELECT doc_id, text, lang, source,
+                coalesce(n_chars_raw, length(text)) AS n_chars
+         FROM '{DST}/documents_stage.parquet'""", "documents")
+os.remove(os.path.join(DST, "documents_stage.parquet"))
+
 copy(f"""SELECT vec_id + k.k * 2000 AS vec_id, embedding, label
          FROM '{SRC}/embeddings.parquet', range(10) k(k)""", "embeddings")
 
