@@ -501,6 +501,15 @@ object PromQL {
       query: String, p: EvalParams): DataFrame =
     evalExpr(spark, resolve, parse(query), p)
 
+  /** AST-level entry for callers that already hold a lowered [[PromExpr]] —
+    * the gRPC `PromQuery` structured-expr handler builds the AST straight
+    * from protobuf (reference query_frontend/src/promql/convert.rs), no
+    * query string involved. */
+  def evalAst(
+      spark: SparkSession, resolve: String => SeriesTable,
+      expr: PromExpr, p: EvalParams): DataFrame =
+    evalExpr(spark, resolve, expr, p)
+
   private def evalExpr(
       spark: SparkSession, resolve: String => SeriesTable,
       expr: PromExpr, p: EvalParams): DataFrame = expr match {

@@ -1218,6 +1218,90 @@ object Protocols {
             }.toDF("event_type", "ms", "v")
           } finally c.close()
         } finally server.stop()
+      }),
+
+    // ---- gRPC PromQuery (structured-expr API, proxy/src/grpc/
+    //      prom_query.rs): sum(rate(events{event_type IN ...}[1h])) as a
+    //      protobuf Expr tree — Aggr(sum) over Func(rate) over a Selector
+    //      with a multi-param LITERAL_OR filter — through the socket. The
+    //      oracle replays the Prometheus counter extrapolation at MS grain
+    //      (the engine stores line-protocol timestamps truncated to ms, so
+    //      window membership and Δt must both use epoch_ms, not the
+    //      fixture's µs). Per-series ms ties are impossible by the
+    //      fixture's (event_type, ms) no-collision invariant.
+    GraftQuery("q284_grpc_prom_query",
+      Some("""WITH grid AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 01:00:00',
+             |    TIMESTAMP '2024-01-11 00:00:00', INTERVAL 1 HOUR)) AS gts),
+             |win AS (
+             |  SELECT g.gts, e.event_type, epoch_ms(e.ts) AS tms, e."value" AS v
+             |  FROM grid g JOIN events e
+             |    ON epoch_ms(e.ts) > epoch_ms(g.gts) - 3600000
+             |   AND epoch_ms(e.ts) <= epoch_ms(g.gts)
+             |  WHERE e.event_type IN ('click', 'view', 'purchase')),
+             |agg AS (
+             |  SELECT gts, event_type, count(*) AS n,
+             |    min(tms) AS t_first, max(tms) AS t_last,
+             |    first(v ORDER BY tms) AS v_first,
+             |    last(v ORDER BY tms) AS v_last,
+             |    sum(CASE WHEN pv IS NOT NULL AND v < pv THEN pv ELSE 0 END) AS resets
+             |  FROM (SELECT gts, event_type, tms, v,
+             |          lag(v) OVER (PARTITION BY gts, event_type ORDER BY tms) AS pv
+             |        FROM win)
+             |  GROUP BY gts, event_type),
+             |calc AS (
+             |  SELECT gts, event_type, n,
+             |    v_last - v_first + resets AS result0,
+             |    (t_first - (epoch_ms(gts) - 3600000)) / 1000.0 AS d_start,
+             |    (epoch_ms(gts) - t_last) / 1000.0 AS d_end,
+             |    (t_last - t_first) / 1000.0 AS sampled,
+             |    v_first
+             |  FROM agg WHERE n >= 2),
+             |calc2 AS (
+             |  SELECT gts, result0, sampled, sampled / (n - 1) AS avg_dur,
+             |    CASE WHEN result0 > 0 AND v_first >= 0
+             |          AND sampled * (v_first / result0) < d_start
+             |         THEN sampled * (v_first / result0) ELSE d_start END AS d_start2,
+             |    d_end
+             |  FROM calc WHERE sampled > 0),
+             |calc3 AS (
+             |  SELECT gts, result0, sampled,
+             |    sampled
+             |    + CASE WHEN d_start2 < avg_dur * 1.1 THEN d_start2 ELSE avg_dur / 2 END
+             |    + CASE WHEN d_end < avg_dur * 1.1 THEN d_end ELSE avg_dur / 2 END
+             |      AS extrap
+             |  FROM calc2)
+             |SELECT gts AS ts,
+             |  round(sum(result0 * (extrap / sampled) / 3600.0), 4) AS "value"
+             |FROM calc3 GROUP BY gts""".stripMargin),
+      (s, dir) => {
+        val e = ingestEvents(s, dir)
+        val server = new graft.server.GraftGrpcServer(e).start()
+        try {
+          val c = new graft.server.GrpcWireClient(server.boundPort)
+          try {
+            import graft.server.Pb
+            val sel = Pb.PromSelectorPb("events",
+              start = 1704844800000L, end = 1704931200000L,
+              alignStart = 1704848400000L, alignEnd = 1704931200000L,
+              filters = Seq(Pb.PromFilterPb("event_type",
+                Seq(Pb.PromFilterCondPb(0, Seq("click", "view", "purchase"))))),
+              range = 3600000L, step = 3600000L)
+            val expr = Pb.PromSubExprPb(0, "sum",
+              Seq(Pb.PromSubExprPb(1, "rate", Seq(Pb.PromOperandSelector(sel)))))
+            val (resp, status) = c.call("/storage.StorageService/PromQuery",
+              Pb.writePromQueryRequest("public", expr))
+            require(status == 0, s"grpc-status $status")
+            val (code, err, series) = Pb.parsePromQueryResponse(resp)
+            require(code == 200 && series.length == 1,
+              s"code $code err $err n=${series.length}")
+            import s.implicits._
+            series.head.samples
+              .map(sm => (new java.sql.Timestamp(sm.timestampMs), sm.value))
+              .toDF("ts", "value")
+              .withColumn("value", round(col("value"), 4))
+          } finally c.close()
+        } finally server.stop()
       })
   )
 }

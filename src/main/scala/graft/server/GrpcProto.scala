@@ -515,6 +515,236 @@ object Pb {
     (code, err, series)
   }
 
+  // --------------------------------------------- PromQuery structured expr
+  // The reference's gRPC `PromQuery` carries a pre-lowered PromQL expression
+  // tree (its Prometheus fork pushes selector/func/aggregate down instead of
+  // a query string). Message layout is the PUBLIC apache/incubator-
+  // horaedb-proto `prometheus.proto` (the revision the reference pins in
+  // Cargo.toml:104); field order matches the prost struct declaration order
+  // consumed in query_frontend/src/promql/convert.rs:64-130:
+  //   Expr{node oneof: operand=1, sub_expr=2};
+  //   Operand{value oneof: selector=1, float_val=2, string_val=3};
+  //   SubExpr{op_type=1 (AGGR=0/FUNC=1/BINARY=2), operator=2, operands=3,
+  //           group=4, without=5};
+  //   Selector{measurement=1, start=2, end=3, align_start=4, align_end=5,
+  //            filters=6, range=7, field=8, offset=9, step=10};
+  //   Filter{tag_key=1, operators=2};
+  //   FilterCondition{filter_type=1 (LITERAL_OR=0/NOT_LITERAL_OR=1/
+  //                   REGEXP=2/NOT_REGEXP_MATCH=3), params=2};
+  //   PrometheusQueryRequest{context=1, expr=2};
+  //   PrometheusQueryResponse{header=1, timeseries=2} with
+  //   TimeSeries/Label/Sample shaped like the prompb messages above.
+
+  final case class PromFilterCondPb(tpe: Int, params: Seq[String])
+  final case class PromFilterPb(tagKey: String, conds: Seq[PromFilterCondPb])
+  final case class PromSelectorPb(
+      measurement: String, start: Long, end: Long,
+      alignStart: Long, alignEnd: Long,
+      filters: Seq[PromFilterPb] = Nil, range: Long = 0L,
+      field: String = "value", offset: Long = 0L, step: Long = 0L)
+  sealed trait PromExprPb
+  final case class PromOperandSelector(sel: PromSelectorPb) extends PromExprPb
+  final case class PromOperandFloat(v: Double) extends PromExprPb
+  final case class PromOperandString(v: String) extends PromExprPb
+  /** opType: 0=AGGR 1=FUNC 2=BINARY (sub_expr.OperatorType) */
+  final case class PromSubExprPb(opType: Int, operator: String,
+      operands: Seq[PromExprPb], group: Seq[String] = Nil,
+      without: Boolean = false) extends PromExprPb
+
+  private def writeSelectorPb(s: PromSelectorPb): Writer = {
+    val w = new Writer().string(1, s.measurement)
+      .int64(2, s.start).int64(3, s.end)
+      .int64(4, s.alignStart).int64(5, s.alignEnd)
+    s.filters.foreach { f =>
+      val fw = new Writer().stringAlways(1, f.tagKey)
+      f.conds.foreach { c =>
+        val cw = new Writer().uint32(1, c.tpe.toLong)
+        c.params.foreach(p => cw.bytes(2, p.getBytes("UTF-8")))
+        fw.msg(2, cw)
+      }
+      w.msg(6, fw)
+    }
+    w.int64(7, s.range).string(8, s.field).int64(9, s.offset).int64(10, s.step)
+  }
+
+  def writePromExpr(e: PromExprPb): Array[Byte] = {
+    val w = new Writer
+    e match {
+      case PromOperandSelector(sel) =>
+        w.msg(1, new Writer().msg(1, writeSelectorPb(sel)))
+      case PromOperandFloat(v) =>
+        w.msg(1, new Writer().double(2, v))
+      case PromOperandString(v) =>
+        w.msg(1, new Writer().stringAlways(3, v))
+      case PromSubExprPb(opType, operator, operands, group, without) =>
+        val sw = new Writer().uint32(1, opType.toLong).stringAlways(2, operator)
+        operands.foreach(o => sw.bytes(3, writePromExpr(o)))
+        group.foreach(g => sw.bytes(4, g.getBytes("UTF-8")))
+        if (without) sw.boolAlways(5, without)
+        w.msg(2, sw)
+    }
+    w.toBytes
+  }
+
+  def parsePromExpr(b: Array[Byte]): PromExprPb = {
+    val r = new Reader(b)
+    var result: PromExprPb = null
+    while (r.hasNext) r.readKey() match {
+      case (1, 2) => // Operand
+        val o = r.lenDelim()
+        while (o.hasNext) o.readKey() match {
+          case (1, 2) => result = PromOperandSelector(parseSelectorPb(o.bytesField()))
+          case (2, 1) => result = PromOperandFloat(
+            java.lang.Double.longBitsToDouble(o.fixed64()))
+          case (3, 2) => result = PromOperandString(o.stringField())
+          case (_, w) => o.skip(w)
+        }
+      case (2, 2) => // SubExpr
+        val s = r.lenDelim()
+        var tpe = 0; var op = ""; var without = false
+        val operands = ArrayBuffer.empty[PromExprPb]
+        val group = ArrayBuffer.empty[String]
+        while (s.hasNext) s.readKey() match {
+          case (1, 0) => tpe = s.varint().toInt
+          case (2, 2) => op = s.stringField()
+          case (3, 2) => operands += parsePromExpr(s.bytesField())
+          case (4, 2) => group += s.stringField()
+          case (5, 0) => without = s.varint() != 0L
+          case (_, w) => s.skip(w)
+        }
+        result = PromSubExprPb(tpe, op, operands.toSeq, group.toSeq, without)
+      case (_, w) => r.skip(w)
+    }
+    if (result == null)
+      throw new IllegalArgumentException("unknown expr") // convert.rs:121
+    result
+  }
+
+  private def parseSelectorPb(b: Array[Byte]): PromSelectorPb = {
+    var measurement = ""; var start = 0L; var end = 0L
+    var alignStart = 0L; var alignEnd = 0L; var range = 0L
+    var field = ""; var offset = 0L; var step = 0L
+    val filters = ArrayBuffer.empty[PromFilterPb]
+    val r = new Reader(b)
+    while (r.hasNext) r.readKey() match {
+      case (1, 2)  => measurement = r.stringField()
+      case (2, 0)  => start = r.varint()
+      case (3, 0)  => end = r.varint()
+      case (4, 0)  => alignStart = r.varint()
+      case (5, 0)  => alignEnd = r.varint()
+      case (6, 2)  =>
+        val f = r.lenDelim()
+        var tagKey = ""
+        val conds = ArrayBuffer.empty[PromFilterCondPb]
+        while (f.hasNext) f.readKey() match {
+          case (1, 2) => tagKey = f.stringField()
+          case (2, 2) =>
+            val c = f.lenDelim()
+            var tpe = 0
+            val params = ArrayBuffer.empty[String]
+            while (c.hasNext) c.readKey() match {
+              case (1, 0) => tpe = c.varint().toInt
+              case (2, 2) => params += c.stringField()
+              case (_, w) => c.skip(w)
+            }
+            conds += PromFilterCondPb(tpe, params.toSeq)
+          case (_, w) => f.skip(w)
+        }
+        filters += PromFilterPb(tagKey, conds.toSeq)
+      case (7, 0)  => range = r.varint()
+      case (8, 2)  => field = r.stringField()
+      case (9, 0)  => offset = r.varint()
+      case (10, 0) => step = r.varint()
+      case (_, w)  => r.skip(w)
+    }
+    PromSelectorPb(measurement, start, end, alignStart, alignEnd,
+      filters.toSeq, range, if (field.isEmpty) "value" else field, offset, step)
+  }
+
+  def writePromQueryRequest(database: String, expr: PromExprPb): Array[Byte] = {
+    val w = new Writer
+    if (database.nonEmpty) w.msg(1, new Writer().stringAlways(1, database))
+    w.bytes(2, writePromExpr(expr)).toBytes
+  }
+
+  /** parsed PrometheusQueryRequest: (database, expr) */
+  def parsePromQueryRequest(b: Array[Byte]): (String, PromExprPb) = {
+    var db = ""; var expr: PromExprPb = null
+    val r = new Reader(b)
+    while (r.hasNext) r.readKey() match {
+      case (1, 2) =>
+        val c = r.lenDelim()
+        while (c.hasNext) c.readKey() match {
+          case (1, 2) => db = c.stringField()
+          case (_, w) => c.skip(w)
+        }
+      case (2, 2) => expr = parsePromExpr(r.bytesField())
+      case (_, w) => r.skip(w)
+    }
+    if (expr == null)
+      throw new IllegalArgumentException(
+        "Expr is not found in prom request") // frontend.rs:60
+    (db, expr)
+  }
+
+  def writePromQueryResponse(
+      code: Int, error: String, series: Seq[PromSeries]): Array[Byte] = {
+    val w = new Writer().msg(1, header(code, error))
+    series.foreach { ts =>
+      val tw = new Writer
+      ts.labels.foreach(l => tw.msg(1,
+        new Writer().stringAlways(1, l.name).stringAlways(2, l.value)))
+      ts.samples.foreach(sm => tw.msg(2,
+        new Writer().double(1, sm.value).int64Always(2, sm.timestampMs)))
+      w.msg(2, tw)
+    }
+    w.toBytes
+  }
+
+  /** parsed PrometheusQueryResponse: (code, error, series) */
+  def parsePromQueryResponse(b: Array[Byte]): (Int, String, Seq[PromSeries]) = {
+    var code = 0; var err = ""
+    val series = ArrayBuffer.empty[PromSeries]
+    val r = new Reader(b)
+    while (r.hasNext) r.readKey() match {
+      case (1, 2) =>
+        val h = r.lenDelim()
+        while (h.hasNext) h.readKey() match {
+          case (1, 0) => code = h.varint().toInt
+          case (2, 2) => err = h.stringField()
+          case (_, w) => h.skip(w)
+        }
+      case (2, 2) =>
+        val t = r.lenDelim()
+        val labels = ArrayBuffer.empty[PromLabel]
+        val samples = ArrayBuffer.empty[PromSample]
+        while (t.hasNext) t.readKey() match {
+          case (1, 2) =>
+            val l = t.lenDelim()
+            var n = ""; var v = ""
+            while (l.hasNext) l.readKey() match {
+              case (1, 2) => n = l.stringField()
+              case (2, 2) => v = l.stringField()
+              case (_, w) => l.skip(w)
+            }
+            labels += PromLabel(n, v)
+          case (2, 2) =>
+            val sm = t.lenDelim()
+            var v = 0.0; var ts = 0L
+            while (sm.hasNext) sm.readKey() match {
+              case (1, 1) => v = java.lang.Double.longBitsToDouble(sm.fixed64())
+              case (2, 0) => ts = sm.varint()
+              case (_, w) => sm.skip(w)
+            }
+            samples += PromSample(v, ts)
+          case (_, w) => t.skip(w)
+        }
+        series += PromSeries(labels.toSeq, samples.toSeq)
+      case (_, w) => r.skip(w)
+    }
+    (code, err, series.toSeq)
+  }
+
   // Reference compression contract (components/arrow_ext/src/ipc.rs:48-59,
   // 106-121): the encoded IPC payload is zstd-bulk-compressed at level 3
   // once it reaches 80 KiB; smaller payloads ship uncompressed

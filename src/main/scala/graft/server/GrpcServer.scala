@@ -210,6 +210,8 @@ final class GraftGrpcServer(
           (0, "", Seq(handleRoute(Pb.parseRouteRequest(first))))
         case "/storage.StorageService/PromRemoteQuery" =>
           (0, "", Seq(handlePromRemoteQuery(first)))
+        case "/storage.StorageService/PromQuery" =>
+          (0, "", Seq(handlePromQuery(first)))
         case other => (12, s"method $other is not implemented", Nil)
       } catch {
         case _: CompressedMessage =>
@@ -321,6 +323,115 @@ final class GraftGrpcServer(
       Pb.PromSeries(labels, samples.toSeq)
     }
     Pb.writePromRemoteQueryResponse(200, "", result)
+  }
+
+  /** gRPC `PromQuery`: the structured-expr PromQL API
+    * (proxy/src/grpc/prom_query.rs, lowered-expr protobuf from
+    * query_frontend/src/promql/convert.rs). The expr tree maps onto the
+    * SAME PromQL AST the string parser produces, so evaluation reuses
+    * [[graft.promql.PromQL.evalAst]] — exactly how PromRemoteQuery reuses
+    * `remoteRead`. Reference scope: bare selector → raw samples over
+    * [start, end] (align left to the caller, convert.rs:188-191); Func
+    * (rate/irate/delta/idelta/increase) and Aggr (sum/max/min/count/avg,
+    * by/without) evaluate on the align_start..align_end step grid. Binary
+    * exprs are rejected like the reference (convert.rs:409-414). */
+  private def handlePromQuery(msg: Array[Byte]): Array[Byte] = {
+    import graft.promql._
+    val (_, exprPb) = Pb.parsePromQueryRequest(msg)
+
+    def quoteAlt(params: Seq[String]): String =
+      params.map(java.util.regex.Pattern.quote).mkString("|")
+    def matchers(filters: Seq[Pb.PromFilterPb]): Seq[Matcher] =
+      filters.map { f =>
+        // reference compares only the first operator per tag
+        // (convert.rs:494-520 "only compare first op now")
+        val c = f.conds.headOption.getOrElse(
+          throw new IllegalArgumentException(s"filter ${f.tagKey} has no operator"))
+        (c.tpe, c.params) match {
+          case (0, Seq(v))  => EqMatcher(f.tagKey, v)
+          case (0, vs)      => ReMatcher(f.tagKey, quoteAlt(vs))   // literal IN
+          case (1, Seq(v))  => NeqMatcher(f.tagKey, v)
+          case (1, vs)      => NreMatcher(f.tagKey, quoteAlt(vs))  // literal NOT IN
+          case (2, Seq(re)) => ReMatcher(f.tagKey, re)
+          case (3, Seq(re)) => NreMatcher(f.tagKey, re)
+          case (t, _) => throw new IllegalArgumentException(s"unknown filter type $t")
+        }
+      }
+    def toSelector(s: Pb.PromSelectorPb, withRange: Boolean): Selector =
+      Selector(s.measurement, matchers(s.filters),
+        if (withRange && s.range > 0) Some(s.range) else None,
+        offsetMs = s.offset)
+    val funcs = Set("rate", "irate", "delta", "idelta", "increase")
+    val aggs = Set("sum", "max", "min", "count", "avg")
+    // (AST, selector) — the selector carries the align grid for EvalParams
+    def toAst(e: Pb.PromExprPb, level: Int): (PromExpr, Pb.PromSelectorPb) =
+      e match {
+        case Pb.PromOperandSelector(sel) =>
+          (VectorSelector(toSelector(sel, withRange = false)), sel)
+        case Pb.PromSubExprPb(1, op, operands, _, _) => // FUNC
+          if (!funcs.contains(op))
+            throw new IllegalArgumentException(s"Func $op is not supported yet")
+          val sel = operands.headOption match {
+            case Some(Pb.PromOperandSelector(s)) => s
+            case _ => throw new IllegalArgumentException(
+              "first arg of func must be selector") // convert.rs:263-266
+          }
+          (RangeFunc(op, toSelector(sel, withRange = true)), sel)
+        case Pb.PromSubExprPb(0, op, operands, group, without) => // AGGR
+          if (!aggs.contains(op))
+            throw new IllegalArgumentException(s"aggr $op not supported now")
+          val (child, sel) = toAst(operands.headOption.getOrElse(
+            throw new IllegalArgumentException("aggr needs an operand")), level + 1)
+          (AggExpr(op, group, child, without), sel)
+        case Pb.PromSubExprPb(2, _, _, _, _) =>
+          throw new IllegalArgumentException(
+            "binary Expr not supported") // convert.rs:349-352
+        case _ => throw new IllegalArgumentException(
+          "scalar value not allowed in plan node") // convert.rs:221-224
+      }
+    val (ast, sel) = toAst(exprPb, 1)
+
+    val resolve: String => graft.promql.PromQL.SeriesTable = { name =>
+      val schema = engine.catalog.get(name)
+      val tags = schema.columns.filter(_.isTag).map(_.name)
+      graft.promql.PromQL.SeriesTable(
+        engine.read(name), schema.timestampKey, sel.field, tags)
+    }
+    val df = ast match {
+      case VectorSelector(s) =>
+        // level-1 selector: raw samples over [start, end], no align —
+        // "align is done in Prometheus itself" (convert.rs:188-191)
+        graft.promql.PromQL.remoteRead(resolve,
+          EqMatcher("__name__", s.metric) +: s.matchers, sel.start, sel.end)
+      case other =>
+        val step = math.max(sel.step, 1L)
+        graft.promql.PromQL.evalAst(engine.spark, resolve, other,
+          EvalParams(sel.alignStart, sel.alignEnd, step))
+    }
+    // assemble per-series samples exactly like PromRemoteQuery: the eval
+    // frame is (labels..., ts, value), tag-sorted rows
+    val names = df.schema.fieldNames
+    val labelCols = names.filterNot(n => n == "ts" || n == "value").toSeq
+    val tsIdx = names.indexOf("ts"); val vIdx = names.indexOf("value")
+    val rows = df.orderBy(
+      (labelCols.map(org.apache.spark.sql.functions.col) :+
+        org.apache.spark.sql.functions.col("ts")): _*).collect()
+    val series = mutable.LinkedHashMap.empty[Seq[String], mutable.ArrayBuffer[Pb.PromSample]]
+    rows.foreach { r =>
+      val key = labelCols.indices.map { i =>
+        val x = r.get(names.indexOf(labelCols(i)))
+        if (x == null) "" else x.toString
+      }
+      series.getOrElseUpdate(key, mutable.ArrayBuffer.empty) +=
+        Pb.PromSample(r.getDouble(vIdx),
+          r.getAs[java.sql.Timestamp](tsIdx).getTime)
+    }
+    val result = series.toSeq.map { case (key, samples) =>
+      val labels = labelCols.zip(key).sortBy(_._1)
+        .map { case (n, v) => Pb.PromLabel(n, v) }
+      Pb.PromSeries(labels, samples.toSeq)
+    }
+    Pb.writePromQueryResponse(200, "", result)
   }
 
   private def handleWrite(reqs: Seq[Pb.WriteRequest]): Array[Byte] = {

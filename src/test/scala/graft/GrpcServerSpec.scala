@@ -90,10 +90,8 @@ class GrpcServerSpec extends SparkSpec {
         .fromArrowStream(spark, cbatches.head).collect().head.getLong(0)
       assert(n == 5L)
 
-      // 6. unknown method → UNIMPLEMENTED(12) in the trailers (PromQuery
-      //    is the structured-expr API the reference marks "not used in
-      //    prod now" — left unimplemented here, like a build without it)
-      val (_, ustatus) = c.call("/storage.StorageService/PromQuery",
+      // 6. unknown method → UNIMPLEMENTED(12) in the trailers
+      val (_, ustatus) = c.call("/storage.StorageService/NoSuchMethod",
         Array.emptyByteArray)
       assert(ustatus == 12)
 
@@ -252,6 +250,89 @@ class GrpcServerSpec extends SparkSpec {
       val (sresp, _) = c.call("/storage.StorageService/SqlQuery",
         Pb.writeSqlQueryRequest(Pb.SqlQueryRequest("public", Nil, "SELECT 1 AS one")))
       assert(Pb.arrowCompressionOf(sresp) == 0)
+      c.close()
+    } finally server.stop()
+  }
+
+  test("gRPC PromQuery evaluates structured selector/func/aggr exprs") {
+    val engine = new TsdbEngine(spark, tmp("grpc-promquery"))
+    val server = new GraftGrpcServer(engine).start()
+    try {
+      val c = new Client(server.boundPort)
+      val t0 = 1704067200000L
+      // metric with host tag: a1 = counter 1.5 -> 2.5; b2 = flat 9.0
+      val write = Pb.WriteRequest("public", Seq(Pb.WriteTableRequest(
+        "pq_metric", Seq("host"), Seq("value"),
+        Seq(
+          Pb.WriteSeriesEntry(Seq(Pb.TagPb(0, Pb.Value(str = Some("a1")))),
+            Seq(Pb.FieldGroup(t0, Seq(Pb.FieldPb(0, Pb.Value(f64 = Some(1.5))))),
+                Pb.FieldGroup(t0 + 60000L,
+                  Seq(Pb.FieldPb(0, Pb.Value(f64 = Some(2.5))))))),
+          Pb.WriteSeriesEntry(Seq(Pb.TagPb(0, Pb.Value(str = Some("b2")))),
+            Seq(Pb.FieldGroup(t0,
+              Seq(Pb.FieldPb(0, Pb.Value(f64 = Some(9.0)))))))))))
+      c.call("/storage.StorageService/Write", Pb.writeWriteRequest(write))
+
+      // 1. bare selector -> raw samples over [start, end], literal-or filter
+      val sel = Pb.PromSelectorPb("pq_metric", t0, t0 + 60000L,
+        t0, t0 + 60000L,
+        filters = Seq(Pb.PromFilterPb("host",
+          Seq(Pb.PromFilterCondPb(0, Seq("a1", "b2"))))),
+        step = 60000L)
+      val (r1, s1) = c.call("/storage.StorageService/PromQuery",
+        Pb.writePromQueryRequest("public", Pb.PromOperandSelector(sel)))
+      assert(s1 == 0)
+      val (c1, e1, ser1) = Pb.parsePromQueryResponse(r1)
+      assert(c1 == 200 && e1.isEmpty, e1)
+      assert(ser1 == Seq(
+        Pb.PromSeries(Seq(Pb.PromLabel("host", "a1")),
+          Seq(Pb.PromSample(1.5, t0), Pb.PromSample(2.5, t0 + 60000L))),
+        Pb.PromSeries(Seq(Pb.PromLabel("host", "b2")),
+          Seq(Pb.PromSample(9.0, t0)))))
+
+      // 2. sum(selector): instant eval on the align grid, labels collapse
+      val (r2, s2) = c.call("/storage.StorageService/PromQuery",
+        Pb.writePromQueryRequest("public",
+          Pb.PromSubExprPb(0, "sum", Seq(Pb.PromOperandSelector(sel)))))
+      assert(s2 == 0)
+      val (c2, _, ser2) = Pb.parsePromQueryResponse(r2)
+      assert(c2 == 200 && ser2.length == 1 && ser2.head.labels.isEmpty)
+      assert(ser2.head.samples == Seq(
+        Pb.PromSample(10.5, t0), Pb.PromSample(11.5, t0 + 60000L)))
+
+      // 3. rate(selector[2m]) with a regexp filter: Prometheus counter
+      //    extrapolation on the single a.* series — both samples in the
+      //    (t0-60s, t0+60s] window, extrapolates the left gap fully:
+      //    1.0 * (120/60) / 120 = 1/60
+      val rateSel = Pb.PromSelectorPb("pq_metric",
+        t0 - 60000L, t0 + 60000L, t0 + 60000L, t0 + 60000L,
+        filters = Seq(Pb.PromFilterPb("host",
+          Seq(Pb.PromFilterCondPb(2, Seq("a.*"))))),
+        range = 120000L, step = 60000L)
+      val (r3, s3) = c.call("/storage.StorageService/PromQuery",
+        Pb.writePromQueryRequest("public",
+          Pb.PromSubExprPb(1, "rate", Seq(Pb.PromOperandSelector(rateSel)))))
+      assert(s3 == 0)
+      val (c3, _, ser3) = Pb.parsePromQueryResponse(r3)
+      assert(c3 == 200 && ser3.length == 1)
+      assert(ser3.head.labels == Seq(Pb.PromLabel("host", "a1")))
+      val Seq(sample) = ser3.head.samples
+      assert(sample.timestampMs == t0 + 60000L)
+      assert(math.abs(sample.value - 1.0 / 60.0) < 1e-9, s"got ${sample.value}")
+
+      // 4. binary sub-exprs are rejected like the reference (non-OK header)
+      val (r4, s4) = c.call("/storage.StorageService/PromQuery",
+        Pb.writePromQueryRequest("public", Pb.PromSubExprPb(2, "+",
+          Seq(Pb.PromOperandSelector(sel), Pb.PromOperandFloat(1.0)))))
+      assert(s4 == 0)
+      val (c4, e4, _) = Pb.parsePromQueryResponse(r4)
+      assert(c4 == 500 && e4.contains("binary"), e4)
+
+      // 5. expr codec round-trips the full tree
+      val tree: Pb.PromExprPb = Pb.PromSubExprPb(0, "sum",
+        Seq(Pb.PromSubExprPb(1, "rate", Seq(Pb.PromOperandSelector(rateSel)))),
+        group = Seq("host"), without = true)
+      assert(Pb.parsePromExpr(Pb.writePromExpr(tree)) == tree)
       c.close()
     } finally server.stop()
   }
