@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Join-strategy advisor: composes the two pre-flight reports
   * ([[JoinStats]] for output size, [[SkewReport]] for key distribution)
@@ -19,9 +20,16 @@ import org.apache.spark.sql.functions._
   *      bucket both sides when the join repeats (see
   *      [[Colocate.bucketedEquiJoin]]).
   *
-  * Row-size estimation samples `sampleRows` rows per side and scales —
-  * bounded driver state, one small job per side. All advisory: the
-  * report IS the output (one row), nothing is rewritten.
+  * Row-size estimation is a DETERMINISTIC distributed sample: rows whose
+  * md5 draw on the join key (`md5(k || ":jasample") % 100 < samplePct`,
+  * the q258/q135 portable-hash convention) contribute their typed byte
+  * size (fixed width per numeric/temporal type, length+4 for
+  * string/binary, 1 for NULL — all engine-replayable SQL), and the
+  * integer-division average scales by the exact row count. One aggregate
+  * job per side, no driver-side row collection, identical on every run /
+  * partitioning / engine — which is what lets the battery hash-check the
+  * report (q259). Empty sample (tiny inputs) falls back to the full-table
+  * average; empty side → (0, 0).
   */
 object JoinAdvisor {
 
@@ -32,16 +40,41 @@ object JoinAdvisor {
       bytesLeftEst: Long, bytesRightEst: Long,
       joinRows: Long, skewLeftX100: Long, skewRightX100: Long)
 
+  /** Typed per-row byte size as a Column (NULL → 1 byte, like a null
+    * bitmap entry + tag; the exact constants matter less than being the
+    * same everywhere). */
+  private def rowBytesCol(df: DataFrame): Column =
+    df.schema.fields.map { f =>
+      val c = col(f.name)
+      val sz: Column = f.dataType match {
+        case StringType | BinaryType => length(c).cast("long") + lit(4L)
+        case LongType | DoubleType | TimestampType | TimestampNTZType =>
+          lit(8L)
+        case IntegerType | FloatType | DateType => lit(4L)
+        case ShortType => lit(2L)
+        case BooleanType | ByteType => lit(1L)
+        case _ => lit(8L) // nested/decimal: flat estimate
+      }
+      when(c.isNull, lit(1L)).otherwise(sz)
+    }.reduce(_ + _)
+
   def advise(
       left: DataFrame, right: DataFrame, key: String,
       broadcastBytes: Long = 64L << 20, saltAbove: Long = 400L,
-      sampleRows: Int = 200): Advice = {
+      samplePct: Int = 5): Advice = {
     def sizeEst(df: DataFrame): (Long, Long) = {
-      val n = df.count()
+      val inSample = graft.pipeline.TextAnalysis.sampleBucket(
+        concat(col(key).cast("string"), lit(":jasample")), 100) < samplePct
+      val b = rowBytesCol(df)
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(inSample, b)), lit(0L)).as("sb"),
+        coalesce(sum(when(inSample, lit(1L))), lit(0L)).as("sn"),
+        coalesce(sum(b), lit(0L)).as("tb")).head()
+      val (n, sb, sn, tb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       if (n == 0) (0L, 0L)
       else {
-        val sampled = df.limit(sampleRows).collect()
-        val avg = sampled.map(r => rowBytes(r)).sum / math.max(sampled.length, 1)
+        val avg = if (sn > 0) sb / sn else tb / n
         (n, n * avg)
       }
     }
@@ -61,30 +94,20 @@ object JoinAdvisor {
     Advice(advice._1, advice._2, nl, nr, bl, br, joinRows, sl, sr)
   }
 
-  /** Rough serialized size of one row (driver-side, sample only). */
-  private def rowBytes(r: org.apache.spark.sql.Row): Long =
-    r.toSeq.map {
-      case null => 1L
-      case s: String => s.length.toLong + 4
-      case a: Array[Byte] => a.length.toLong + 4
-      case _: Long | _: Double => 8L
-      case _: Int | _: Float => 4L
-      case _: Short => 2L
-      case _: Boolean | _: Byte => 1L
-      case seq: scala.collection.Seq[_] => seq.length.toLong * 8 + 4
-      case other => other.toString.length.toLong
-    }.sum
-
-  /** The advice as a one-row DataFrame (for the query surface). */
+  /** The advice as a one-row DataFrame (for the query surface) —
+    * including the byte estimates that justify the broadcast branch, so
+    * the oracle can replay the whole decision. */
   def adviseDf(
       left: DataFrame, right: DataFrame, key: String,
       broadcastBytes: Long = 64L << 20, saltAbove: Long = 400L): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
     val a = advise(left, right, key, broadcastBytes, saltAbove)
-    Seq((a.strategy, a.saltFactor, a.rowsLeft, a.rowsRight, a.joinRows,
+    Seq((a.strategy, a.saltFactor.toLong, a.rowsLeft, a.rowsRight,
+      a.bytesLeftEst, a.bytesRightEst, a.joinRows,
       a.skewLeftX100, a.skewRightX100))
       .toDF("strategy", "salt_factor", "rows_left", "rows_right",
-        "join_rows", "skew_left_x100", "skew_right_x100")
+        "bytes_left_est", "bytes_right_est", "join_rows",
+        "skew_left_x100", "skew_right_x100")
   }
 }

@@ -418,10 +418,71 @@ object Relational {
 
     // ---- join-strategy advisor (operators/JoinAdvisor): the skew +
     //      cardinality reports composed into the broadcast/salt/shuffle
-    //      decision with its justifying numbers. Byte estimates come
-    //      from a bounded row sample → rows-only at the gate
-    //      (decision table spec'd in OperatorsSpec).
-    GraftQuery("q259_join_advice", None,
+    //      decision with its justifying numbers. Hash-checked since
+    //      round 6: the byte estimate is a deterministic md5-keyed
+    //      sample (q258 convention) over typed per-row sizes, so the
+    //      oracle replays the WHOLE decision — sample draw, integer-avg
+    //      bytes, skew_x100, exact join cardinality, decision table
+    //      (decision-table branches additionally spec'd in OperatorsSpec).
+    GraftQuery("q259_join_advice",
+      Some("""WITH l AS (SELECT l_orderkey AS k,
+             |   (CASE WHEN l_orderkey IS NULL THEN 1 ELSE 8 END
+             |  + CASE WHEN l_partkey IS NULL THEN 1 ELSE 8 END
+             |  + CASE WHEN l_suppkey IS NULL THEN 1 ELSE 8 END
+             |  + CASE WHEN l_linenumber IS NULL THEN 1 ELSE 4 END
+             |  + CASE WHEN l_quantity IS NULL THEN 1 ELSE 8 END
+             |  + CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 8 END
+             |  + CASE WHEN l_discount IS NULL THEN 1 ELSE 8 END
+             |  + CASE WHEN l_tax IS NULL THEN 1 ELSE 8 END
+             |  + CASE WHEN l_returnflag IS NULL THEN 1 ELSE length(l_returnflag) + 4 END
+             |  + CASE WHEN l_linestatus IS NULL THEN 1 ELSE length(l_linestatus) + 4 END
+             |  + CASE WHEN l_shipdate IS NULL THEN 1 ELSE 8 END)::BIGINT AS b
+             |  FROM lineitem),
+             |r AS (SELECT o_orderkey AS k,
+             |   (CASE WHEN o_orderkey IS NULL THEN 1 ELSE 8 END
+             |  + CASE WHEN o_custkey IS NULL THEN 1 ELSE 8 END
+             |  + CASE WHEN o_orderstatus IS NULL THEN 1 ELSE length(o_orderstatus) + 4 END
+             |  + CASE WHEN o_totalprice IS NULL THEN 1 ELSE 8 END
+             |  + CASE WHEN o_orderdate IS NULL THEN 1 ELSE 8 END
+             |  + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE length(o_orderpriority) + 4 END)::BIGINT AS b
+             |  FROM orders),
+             |le AS (SELECT count(*) AS n,
+             |    coalesce(sum(CASE WHEN smp THEN b END), 0) AS sb,
+             |    coalesce(sum(CASE WHEN smp THEN 1 END), 0) AS sn,
+             |    coalesce(sum(b), 0) AS tb
+             |  FROM (SELECT b, ('0x' || substr(md5(k::VARCHAR || ':jasample'), 1, 8))::BIGINT % 100 < 5 AS smp FROM l)),
+             |re AS (SELECT count(*) AS n,
+             |    coalesce(sum(CASE WHEN smp THEN b END), 0) AS sb,
+             |    coalesce(sum(CASE WHEN smp THEN 1 END), 0) AS sn,
+             |    coalesce(sum(b), 0) AS tb
+             |  FROM (SELECT b, ('0x' || substr(md5(k::VARCHAR || ':jasample'), 1, 8))::BIGINT % 100 < 5 AS smp FROM r)),
+             |sk AS (SELECT
+             |    (SELECT (max(c) * 100 * count(*)) // sum(c)
+             |     FROM (SELECT count(*) AS c FROM l GROUP BY k)) AS sl,
+             |    (SELECT (max(c) * 100 * count(*)) // sum(c)
+             |     FROM (SELECT count(*) AS c FROM r GROUP BY k)) AS sr),
+             |jr AS (SELECT coalesce(sum(na * nb), 0) AS join_rows
+             |  FROM (SELECT k, count(*) AS na FROM l GROUP BY 1) a
+             |  JOIN (SELECT k, count(*) AS nb FROM r GROUP BY 1) b USING (k)),
+             |fin AS (SELECT le.n AS rows_left, re.n AS rows_right,
+             |    le.n * (CASE WHEN le.sn > 0 THEN le.sb // le.sn ELSE le.tb // le.n END) AS bl,
+             |    re.n * (CASE WHEN re.sn > 0 THEN re.sb // re.sn ELSE re.tb // re.n END) AS br,
+             |    sk.sl AS sl, sk.sr AS sr, jr.join_rows AS join_rows
+             |  FROM le, re, sk, jr)
+             |SELECT
+             |  CASE WHEN bl <= 67108864 AND bl <= br THEN 'broadcast_left'
+             |       WHEN br <= 67108864 THEN 'broadcast_right'
+             |       WHEN greatest(sl, sr) > 400 THEN 'salt'
+             |       ELSE 'shuffle' END AS strategy,
+             |  (CASE WHEN (bl <= 67108864 AND bl <= br) OR br <= 67108864 THEN 1
+             |        WHEN greatest(sl, sr) > 400
+             |        THEN least(64, greatest(sl, sr) // 100 + 1)
+             |        ELSE 1 END)::BIGINT AS salt_factor,
+             |  rows_left::BIGINT AS rows_left, rows_right::BIGINT AS rows_right,
+             |  bl::BIGINT AS bytes_left_est, br::BIGINT AS bytes_right_est,
+             |  join_rows::BIGINT AS join_rows,
+             |  sl::BIGINT AS skew_left_x100, sr::BIGINT AS skew_right_x100
+             |FROM fin""".stripMargin),
       (s, dir) => graft.operators.JoinAdvisor.adviseDf(
         t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k"),
         t(s, dir, "orders").withColumnRenamed("o_orderkey", "k"),
