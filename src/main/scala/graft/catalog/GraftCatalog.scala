@@ -85,7 +85,12 @@ final class GraftCatalog(val warehouse: String) {
       finally s.close() // directory streams hold an fd until closed
     }
 
-  def create(schema: TableSchema, ifNotExists: Boolean): Boolean = {
+  /** Synchronized like every other manifest mutator: two concurrent
+    * auto-creates (gRPC Write racing line-protocol ingest on the same new
+    * table) must resolve to exactly one manifest write — the loser sees
+    * `exists` and returns false (ifNotExists) instead of clobbering the
+    * winner's schema. */
+  def create(schema: TableSchema, ifNotExists: Boolean): Boolean = synchronized {
     if (exists(schema.name)) {
       if (ifNotExists) return false
       throw new IllegalStateException(s"table '${schema.name}' already exists")
@@ -129,6 +134,19 @@ final class GraftCatalog(val warehouse: String) {
     writeManifest(name, Manifest(
       s.copy(columns = s.columns ++ cols, version = s.version + 1), m.nextSeq)
       .copy(dataGen = m.dataGen, compactedSeq = m.compactedSeq))
+  }
+
+  /** Idempotent auto-add for the ingest fast paths (gRPC Write, line
+    * protocol, OpenTSDB put): columns already present — added by a racing
+    * writer between the caller's schema read and this call — are skipped
+    * under the catalog lock instead of failing the whole write. Returns
+    * the columns actually added. */
+  def alterAddColumnsIfAbsent(
+      name: String, cols: Seq[ColumnSpec]): Seq[ColumnSpec] = synchronized {
+    val known = manifest(name).toSchema.columns.map(_.name).toSet
+    val fresh = cols.filterNot(c => known(c.name))
+    if (fresh.nonEmpty) alterAddColumns(name, fresh)
+    fresh
   }
 
   /** Apply first-flush sampling suggestions (engine/Sampler.scala): set the

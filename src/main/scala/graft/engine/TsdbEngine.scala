@@ -429,7 +429,16 @@ final class TsdbEngine(
     val s = catalog.get(name)
     // one sequence block per batch; within a batch, later rows win
     val seqBase = catalog.reserveSeq(name, 1)
-    var df = batch.select(s.columns.map(c => col(c.name).cast(c.sparkType)): _*)
+    // Schema may be AHEAD of this batch: a concurrent writer's auto-ADD
+    // can widen the table between the caller building `batch` and this
+    // lock acquisition (ConcurrencySpec). Columns the batch doesn't carry
+    // are written as NULL — the same value they hold for every pre-ADD
+    // row — instead of failing the append on an unresolved column.
+    val have = batch.columns.toSet
+    var df = batch.select(s.columns.map { c =>
+      if (have(c.name)) col(c.name).cast(c.sparkType)
+      else lit(null).cast(c.sparkType).as(c.name)
+    }: _*)
     if (s.usesTsid) {
       val tags = s.columns.zipWithIndex.collect { case (c, i) if c.isTag => (col(c.name), i) }
       df = df.withColumn(TableSchema.TsidColumn,

@@ -106,26 +106,22 @@ object LineProtocol {
         case "boolean" => DatumKind.Boolean
         case _         => DatumKind.Double
       }
-      if (!engine.catalog.exists(m)) {
-        val cols =
-          ColumnSpec("time", DatumKind.Timestamp, isNullable = false) +:
-          (tagKeys.map(k => ColumnSpec(k, DatumKind.String, isTag = true)) ++
-           fieldNames.map(f => ColumnSpec(f, kindOf(fieldTypes(f)))))
-        engine.catalog.create(
-          TableSchema(m, cols, "time", None,
-            TableOptions(raw = Map("update_mode" -> "overwrite"))),
-          ifNotExists = true)
-      } else {
-        // influx writers vary field sets per point: unseen tags/fields
-        // auto-ADD (the reference's write-path auto-add-columns,
-        // proxy/src/write.rs:176-260)
-        val known = engine.catalog.get(m).columns.map(_.name).toSet
-        val newCols =
-          tagKeys.filterNot(known).map(k =>
-            ColumnSpec(k, DatumKind.String, isTag = true)) ++
-          fieldNames.filterNot(known).map(f => ColumnSpec(f, kindOf(fieldTypes(f))))
-        if (newCols.nonEmpty) engine.catalog.alterAddColumns(m, newCols)
-      }
+      // influx writers vary field sets per point: unseen tags/fields
+      // auto-ADD (the reference's write-path auto-add-columns,
+      // proxy/src/write.rs:176-260). Race-safe ensure-schema: synchronized
+      // idempotent create, then ifAbsent add — a writer that loses the
+      // create race still lands its extra columns (GrpcServer.doWrite
+      // shape).
+      val wantedCols =
+        tagKeys.map(k => ColumnSpec(k, DatumKind.String, isTag = true)) ++
+        fieldNames.map(f => ColumnSpec(f, kindOf(fieldTypes(f))))
+      val created = engine.catalog.create(
+        TableSchema(m,
+          ColumnSpec("time", DatumKind.Timestamp, isNullable = false) +: wantedCols,
+          "time", None,
+          TableOptions(raw = Map("update_mode" -> "overwrite"))),
+        ifNotExists = true)
+      if (!created) engine.catalog.alterAddColumnsIfAbsent(m, wantedCols)
 
       val forM = parsed.filter(_.measurement == m)
       val rowsDf = forM.map { p =>

@@ -349,21 +349,18 @@ object OpenTsdb {
       counts.keys.toSeq.sorted.map { m =>
         val tagKeys =
           tagKeysByMetric.getOrElse(m, Array.empty).map(_._2).distinct.sorted.toSeq
-        if (!engine.catalog.exists(m)) {
-          val cols =
-            ColumnSpec("timestamp", DatumKind.Timestamp, isNullable = false) +:
-            (tagKeys.map(k => ColumnSpec(k, DatumKind.String, isTag = true)) :+
-             ColumnSpec("value", DatumKind.Double))
-          engine.catalog.create(
-            TableSchema(m, cols, "timestamp", None,
-              TableOptions(raw = Map("update_mode" -> "overwrite"))),
-            ifNotExists = true)
-        } else {
-          val known = engine.catalog.get(m).columns.map(_.name).toSet
-          val newCols = tagKeys.filterNot(known).map(k =>
-            ColumnSpec(k, DatumKind.String, isTag = true))
-          if (newCols.nonEmpty) engine.catalog.alterAddColumns(m, newCols)
-        }
+        // race-safe ensure-schema (GrpcServer.doWrite shape): idempotent
+        // create, then ifAbsent add for tags unseen by the create winner
+        val wantedCols =
+          tagKeys.map(k => ColumnSpec(k, DatumKind.String, isTag = true)) :+
+          ColumnSpec("value", DatumKind.Double)
+        val created = engine.catalog.create(
+          TableSchema(m,
+            ColumnSpec("timestamp", DatumKind.Timestamp, isNullable = false) +: wantedCols,
+            "timestamp", None,
+            TableOptions(raw = Map("update_mode" -> "overwrite"))),
+          ifNotExists = true)
+        if (!created) engine.catalog.alterAddColumnsIfAbsent(m, wantedCols)
 
         val schema = engine.catalog.get(m)
         val rowsDf = points.filter(_.metric == m)

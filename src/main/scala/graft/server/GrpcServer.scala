@@ -458,23 +458,22 @@ final class GraftGrpcServer(
             case _                                => DatumKind.Double
           })
       }.toMap
-      if (!engine.catalog.exists(t.table)) {
-        val cols =
-          ColumnSpec("timestamp", DatumKind.Timestamp, isNullable = false) +:
-          (t.tagNames.map(k => ColumnSpec(k, DatumKind.String, isTag = true)) ++
-           t.fieldNames.map(f => ColumnSpec(f, fieldKind(f))))
-        engine.catalog.create(
-          TableSchema(t.table, cols, "timestamp", None,
-            TableOptions(raw = Map("update_mode" -> "append"))),
-          ifNotExists = true)
-      } else {
-        val known = engine.catalog.get(t.table).columns.map(_.name).toSet
-        val newCols =
-          t.tagNames.filterNot(known).map(k =>
-            ColumnSpec(k, DatumKind.String, isTag = true)) ++
-          t.fieldNames.filterNot(known).map(f => ColumnSpec(f, fieldKind(f)))
-        if (newCols.nonEmpty) engine.catalog.alterAddColumns(t.table, newCols)
-      }
+      // Concurrency-safe ensure-schema: create is synchronized+idempotent
+      // (the loser of a create race returns false instead of clobbering),
+      // and the follow-up add is ifAbsent under the same catalog lock — so
+      // a writer that raced past `exists` with a DIFFERENT column set
+      // still lands its columns instead of silently dropping their values
+      // (the old check-then-act did exactly that).
+      val wanted =
+        t.tagNames.map(k => ColumnSpec(k, DatumKind.String, isTag = true)) ++
+        t.fieldNames.map(f => ColumnSpec(f, fieldKind(f)))
+      val created = engine.catalog.create(
+        TableSchema(t.table,
+          ColumnSpec("timestamp", DatumKind.Timestamp, isNullable = false) +: wanted,
+          "timestamp", None,
+          TableOptions(raw = Map("update_mode" -> "append"))),
+        ifNotExists = true)
+      if (!created) engine.catalog.alterAddColumnsIfAbsent(t.table, wanted)
       val schema = engine.catalog.get(t.table)
       // rows: (ts_ms, tag values by name, field values by name)
       val rows: Seq[(Long, Map[String, Any])] = t.entries.flatMap { e =>
