@@ -254,6 +254,106 @@ class GrpcServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  /** Mirrors the reference's SDK integration script
+    * (`integration_tests/sdk/rust/src/main.rs`): auto-create via Write →
+    * query check → add-column Write (new tag + field on live table) →
+    * query check with the old rows' new columns null → DROP IF EXISTS
+    * round trips. The reference's `test_block_table` exercises its
+    * config-driven table limiter (`limiter.rs`) — a deploy-config feature
+    * with no engine counterpart here, so that step is out of scope. */
+  test("gRPC SDK golden flow: auto-create, add column, drop") {
+    val engine = new TsdbEngine(spark, tmp("grpc-sdk"))
+    val server = new GraftGrpcServer(engine).start()
+    try {
+      val c = new Client(server.boundPort)
+      val ts = 1704067200000L // the script uses now(); pinned for determinism
+      val table = s"test_table_$ts"
+      def sql(q: String): (Int, String, Option[Long], Seq[Array[Byte]]) = {
+        val (resp, status) = c.call("/storage.StorageService/SqlQuery",
+          Pb.writeSqlQueryRequest(Pb.SqlQueryRequest("public", Seq(table), q)))
+        assert(status == 0)
+        Pb.parseSqlQueryResponse(resp)
+      }
+      // format_rows convention: per row sort cells by column name, null
+      // string → "", null int → 0 (the SDK's expected-value shapes)
+      def rowsOf(batches: Seq[Array[Byte]], names: Seq[String]): Seq[String] = {
+        if (batches.isEmpty) return Nil
+        val df = org.apache.spark.sql.GraftBridge.fromArrowStream(spark, batches.head)
+        val idx = names.sorted.map(n => df.schema.fieldNames.indexOf(n))
+        df.collect().toSeq.map { r =>
+          idx.map { i =>
+            if (r.isNullAt(i)) {
+              if (df.schema.fields(i).dataType ==
+                org.apache.spark.sql.types.StringType) "" else "0"
+            } else r.get(i) match {
+              case t: java.sql.Timestamp => t.getTime.toString
+              case x => x.toString
+            }
+          }.mkString("|")
+        }.sorted
+      }
+
+      // drop_test_table_if_exists: legal on an absent table
+      val (dcode, derr, _, _) = sql(s"DROP TABLE IF EXISTS `$table`")
+      assert(dcode == 200, derr)
+
+      def writePoints(newColumn: Boolean): Unit = {
+        val (tags, fields) =
+          if (!newColumn) (Seq("old-tag"), Seq("old-field0", "old-field1"))
+          else (Seq("old-tag", "new-tag"), Seq("old-field0", "old-field1", "new-field"))
+        def entry(oldTag: String, f0: Long, f1: Long, newTag: String, nf: Long) =
+          Pb.WriteSeriesEntry(
+            (Seq(Pb.TagPb(0, Pb.Value(str = Some(oldTag)))) ++
+              (if (newColumn) Seq(Pb.TagPb(1, Pb.Value(str = Some(newTag)))) else Nil)),
+            Seq(Pb.FieldGroup(ts,
+              Seq(Pb.FieldPb(0, Pb.Value(i64 = Some(f0))),
+                  Pb.FieldPb(1, Pb.Value(i64 = Some(f1)))) ++
+              (if (newColumn) Seq(Pb.FieldPb(2, Pb.Value(i64 = Some(nf)))) else Nil))))
+        val entries =
+          if (!newColumn) Seq(
+            entry("old-tagv0", 123L, 1222223333334L, "", 0L),
+            entry("old-tagv1", 124L, 1222223333335L, "", 0L))
+          else Seq(
+            entry("old-tagv0", 123L, 1222223333334L, "new-tagv0", 666666L),
+            entry("old-tagv1", 124L, 1222223333335L, "new-tagv1", 88888888L))
+        val (wresp, wstatus) = c.call("/storage.StorageService/Write",
+          Pb.writeWriteRequest(Pb.WriteRequest("public",
+            Seq(Pb.WriteTableRequest(table, tags, fields, entries)))))
+        assert(wstatus == 0)
+        val (wcode, werr, success, failed) = Pb.parseWriteResponse(wresp)
+        assert(wcode == 200 && success == 2 && failed == 0, werr)
+      }
+
+      // test_auto_create_table
+      writePoints(newColumn = false)
+      val q4 = "SELECT `timestamp`,`old-tag`,`old-field0`,`old-field1` " +
+        s"FROM `$table`"
+      val (c1, e1, aff1, b1) = sql(q4)
+      assert(c1 == 200 && aff1.isEmpty, e1)
+      assert(rowsOf(b1, Seq("timestamp", "old-tag", "old-field0", "old-field1")) ==
+        Seq(s"123|1222223333334|old-tagv0|$ts",
+            s"124|1222223333335|old-tagv1|$ts"))
+
+      // test_add_column: same timestamps, new tag changes the series → 4 rows
+      writePoints(newColumn = true)
+      val q6 = "SELECT `timestamp`,`old-tag`,`old-field0`,`old-field1`," +
+        s"`new-tag`,`new-field` FROM `$table`"
+      val (c2, e2, _, b2) = sql(q6)
+      assert(c2 == 200, e2)
+      assert(rowsOf(b2, Seq("timestamp", "old-tag", "old-field0", "old-field1",
+        "new-tag", "new-field")) ==
+        Seq(s"0||123|1222223333334|old-tagv0|$ts",
+            s"0||124|1222223333335|old-tagv1|$ts",
+            s"666666|new-tagv0|123|1222223333334|old-tagv0|$ts",
+            s"88888888|new-tagv1|124|1222223333335|old-tagv1|$ts"))
+
+      // final drops (both exist and not)
+      assert(sql(s"DROP TABLE IF EXISTS `$table`")._1 == 200)
+      assert(sql(s"DROP TABLE IF EXISTS `$table`")._1 == 200)
+      c.close()
+    } finally server.stop()
+  }
+
   test("gRPC PromQuery evaluates structured selector/func/aggr exprs") {
     val engine = new TsdbEngine(spark, tmp("grpc-promquery"))
     val server = new GraftGrpcServer(engine).start()
