@@ -9,15 +9,21 @@ physical types, incl. events' TIMESTAMP-us), same value distributions,
 Diversified text (round 6): naive 10x replication made every copy-family
 mutually near-dup, inflating pair-operator outputs ~100x (SCALING.md
 par.8.1's caveat). Copies k>0 now get a deterministic per-copy VOCABULARY
-RENAMING: token t -> t + 'x' + md5(t:k)[0:4] when md5(t:k) % 100 < 40.
-Because the mapping is keyed by (token, copy) — not by doc — it is applied
-consistently across all docs of a copy, so INTRA-copy near-dup structure
-(jaccard over token shingles) is preserved exactly, while INTER-copy
-token overlap drops to ~36% (3-gram shingle overlap ~5%, jaccard ~0.02 —
-far below every near-dup threshold in the battery). Near-dup selectivity
-at sf1 therefore matches sf0.1 (10x the docs, 10x the pairs), which is
-what a real 10x-bigger corpus looks like. n_chars is recomputed for the
-rewritten text. Copy 0 stays verbatim.
+CIPHER: when md5(t:k) % 100 < 40, token t is rewritten through a per-copy
+substitution cipher (lowercase alphabet -> UPPERCASE alphabet rotated by
+7k). The cipher is LENGTH-PRESERVING and globally injective (per-char
+bijection; the fixture corpus is all-lowercase, so ciphered tokens can
+never equal an un-ciphered one), and the selection is keyed by (token,
+copy) — not by doc — so it applies consistently across all docs of a
+copy. Consequences, verified in-round: intra-copy near-dup structure is
+EXACTLY preserved (token/shingle jaccard unchanged AND q54's
+char-length-band blocking unchanged — an earlier suffix-append variant
+inflated lengths and silently dropped ~20% of intra-copy pairs through
+the length bands), while inter-copy token overlap drops to ~36% (jaccard
+~0.15, far below every near-dup threshold in the battery). Near-dup
+selectivity at sf1 therefore matches sf0.1 (10x the docs, ~10x the
+pairs), which is what a real 10x-bigger corpus looks like. n_chars is
+unchanged (lengths preserved). Copy 0 stays verbatim.
 
 events: jitter is k * 1 ms (was k*7us, which put all 10 replicas of an
 event in the same millisecond + event_type — violating the (event_type,
@@ -93,21 +99,21 @@ ncoll = con.sql(f"""
 print(f"events (event_type, ms) residual collisions: {ncoll}"
       + ("" if ncoll == 0 else "  [do NOT use sf1 for ingest round-trip oracles]"))
 
-# documents: copy 0 verbatim; copies 1..9 vocabulary-renamed (docstring)
+# documents: copy 0 verbatim; copies 1..9 vocabulary-ciphered (docstring)
+lower = "abcdefghijklmnopqrstuvwxyz"
+upper = lower.upper()
+rot = {k: upper[7 * k % 26:] + upper[:7 * k % 26] for k in range(1, 10)}
+cipher_cases = " ".join(
+    f"WHEN k.k = {k} THEN translate(t, '{lower}', '{rot[k]}')"
+    for k in range(1, 10))
 copy(f"""SELECT doc_id + k.k * 5000 AS doc_id,
                 CASE WHEN k.k = 0 THEN text ELSE array_to_string(
                   list_transform(string_split_regex(trim(text), '\\s+'),
                     t -> CASE WHEN ('0x' || substr(md5(t || ':' || k.k), 1, 8))::BIGINT % 100 < 40
-                         THEN t || 'x' || substr(md5(t || ':' || k.k), 1, 4)
+                         THEN CASE {cipher_cases} ELSE t END
                          ELSE t END), ' ') END AS text,
-                lang, source,
-                CASE WHEN k.k = 0 THEN n_chars ELSE NULL END AS n_chars_raw,
-                k.k AS __k
-         FROM '{SRC}/documents.parquet', range(10) k(k)""", "documents_stage")
-copy(f"""SELECT doc_id, text, lang, source,
-                coalesce(n_chars_raw, length(text)) AS n_chars
-         FROM '{DST}/documents_stage.parquet'""", "documents")
-os.remove(os.path.join(DST, "documents_stage.parquet"))
+                lang, source, n_chars
+         FROM '{SRC}/documents.parquet', range(10) k(k)""", "documents")
 
 copy(f"""SELECT vec_id + k.k * 2000 AS vec_id, embedding, label
          FROM '{SRC}/embeddings.parquet', range(10) k(k)""", "embeddings")
