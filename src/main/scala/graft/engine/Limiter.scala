@@ -1,0 +1,176 @@
+package graft.engine
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
+
+/** Runtime query/write limiter — the standalone twin of the reference's
+  * proxy-layer `Limiter` (proxy/src/limiter.rs): per-table read/write
+  * block lists plus global block rules, all mutable at runtime through
+  * the `/admin/block` HTTP admin (handlers/admin.rs, server/http.rs:659).
+  * Errors carry the reference's exact message shapes
+  * ("Table operation is blocked, table:.., op:..",
+  * "Table operation is blocked by rule:.., op:..") so SDK clients that
+  * match on the text (integration_tests/sdk/rust/src/main.rs:139-155)
+  * behave identically.
+  *
+  * Enforcement points (this engine's proxy layer IS the engine surface):
+  *   - `TsdbEngine.runSql` → read block list + query rules, on the PARSED
+  *     plan before any expensive work;
+  *   - `TsdbEngine.append` → write block list (covers every protocol's
+  *     write path: SQL INSERT, gRPC Write, line protocol, OpenTSDB put);
+  *   - protocol ingest entries → the AnyInsert rule (kept off the
+  *     engine-internal appends like rollup recompute, matching the
+  *     reference where rules run only at the proxy).
+  *
+  * Rule semantics follow limiter.rs:
+  *   - AnyQuery / AnyInsert: block the whole plan class;
+  *   - QueryWithoutPredicate: a query with no WHERE directly over a table
+  *     scan is blocked (full-scan brake);
+  *   - QueryRange(maxMs): block when every bounded timestamp-key range in
+  *     the query exceeds the threshold; UNBOUNDED queries pass, like the
+  *     reference (`if let Some(range)` — range None is not limited;
+  *     compose with QueryWithoutPredicate to brake those).
+  */
+object Limiter {
+  sealed trait BlockRule { def ruleName: String }
+  case object QueryWithoutPredicate extends BlockRule {
+    val ruleName = "QueryWithoutPredicate"
+  }
+  final case class QueryRange(maxMs: Long) extends BlockRule {
+    val ruleName = "QueryRange"
+  }
+  case object AnyQuery extends BlockRule { val ruleName = "AnyQuery" }
+  case object AnyInsert extends BlockRule { val ruleName = "AnyInsert" }
+
+  final class BlockedException(msg: String) extends RuntimeException(msg)
+}
+
+final class Limiter {
+  import Limiter._
+
+  private val writeBlock = scala.collection.mutable.Set.empty[String]
+  private val readBlock = scala.collection.mutable.Set.empty[String]
+  private val rules = scala.collection.mutable.Set.empty[BlockRule]
+
+  // -------------------------------------------------- admin surface
+  def addWriteBlock(ts: Seq[String]): Unit = synchronized { writeBlock ++= ts }
+  def addReadBlock(ts: Seq[String]): Unit = synchronized { readBlock ++= ts }
+  def addRules(rs: Seq[BlockRule]): Unit = synchronized { rules ++= rs }
+  def setWriteBlock(ts: Seq[String]): Unit = synchronized {
+    writeBlock.clear(); writeBlock ++= ts
+  }
+  def setReadBlock(ts: Seq[String]): Unit = synchronized {
+    readBlock.clear(); readBlock ++= ts
+  }
+  def setRules(rs: Seq[BlockRule]): Unit = synchronized {
+    rules.clear(); rules ++= rs
+  }
+  def removeWriteBlock(ts: Seq[String]): Unit = synchronized { writeBlock --= ts }
+  def removeReadBlock(ts: Seq[String]): Unit = synchronized { readBlock --= ts }
+  def removeRules(rs: Seq[BlockRule]): Unit = synchronized { rules --= rs }
+  def writeBlockList: Seq[String] = synchronized { writeBlock.toSeq.sorted }
+  def readBlockList: Seq[String] = synchronized { readBlock.toSeq.sorted }
+  def blockRules: Seq[BlockRule] = synchronized {
+    rules.toSeq.sortBy(_.ruleName)
+  }
+
+  private def blockedTable(table: String, op: String): Nothing =
+    throw new BlockedException(
+      s"Table operation is blocked, table:$table, op:$op")
+  private def blockedByRule(rule: BlockRule, op: String): Nothing =
+    throw new BlockedException(
+      s"Table operation is blocked by rule:${rule.ruleName}, op:$op")
+
+  // -------------------------------------------------- enforcement
+  /** Write path (engine.append): table-scoped block list. */
+  def checkWrite(table: String): Unit = synchronized {
+    if (writeBlock.contains(table)) blockedTable(table, "insert")
+  }
+
+  /** Protocol ingest entry points: the AnyInsert brake. */
+  def checkInsertRule(): Unit = synchronized {
+    if (rules.contains(AnyInsert)) blockedByRule(AnyInsert, "insert")
+  }
+
+  /** Query path (runSql): read block list + query rules against the
+    * PARSED plans (main + CTE subplans) of one statement.
+    *
+    * @param referencedEngine engine tables the statement references
+    * @param tsColumns        their timestamp-key column names
+    */
+  def checkQuery(
+      referencedEngine: Set[String], tsColumns: Set[String],
+      plans: Seq[LogicalPlan]): Unit = {
+    val (rb, rs) = synchronized { (readBlock.toSet, rules.toSet) }
+    referencedEngine.intersect(rb).toSeq.sorted.headOption
+      .foreach(t => blockedTable(t, "query"))
+    if (rs.isEmpty) return
+    if (rs.contains(AnyQuery)) blockedByRule(AnyQuery, "query")
+    if (rs.contains(QueryWithoutPredicate) && referencedEngine.nonEmpty &&
+        !plans.exists(hasScanFilter))
+      blockedByRule(QueryWithoutPredicate, "query")
+    rs.collectFirst { case r: QueryRange => r }.foreach { r =>
+      boundedTsRangeMs(plans, tsColumns).foreach { range =>
+        if (range > r.maxMs) blockedByRule(r, "query")
+      }
+    }
+  }
+
+  /** A Filter sitting (through aliases) directly over a relation scan —
+    * limiter.rs `contains_filter`. */
+  private def hasScanFilter(plan: LogicalPlan): Boolean = {
+    def overScan(p: LogicalPlan): Boolean = p match {
+      case SubqueryAlias(_, child) => overScan(child)
+      case _: UnresolvedRelation => true
+      case _ => false
+    }
+    plan.collectFirst { case Filter(_, child) if overScan(child) => () }.nonEmpty
+  }
+
+  /** Tightest bounded [lower, upper] width over any timestamp-key column
+    * compared against literals; None when nothing is bounded on both
+    * sides. Literal forms are the engine's: TIMESTAMP literals (µs) and
+    * epoch-integer milliseconds (the EpochMillisRewrite convention). */
+  private def boundedTsRangeMs(
+      plans: Seq[LogicalPlan], tsColumns: Set[String]): Option[Long] = {
+    val lowers = scala.collection.mutable.Map.empty[String, Long]
+    val uppers = scala.collection.mutable.Map.empty[String, Long]
+    def litMs(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, t) if t.typeName.startsWith("timestamp") =>
+        Some(v / 1000L) // µs → ms
+      case Literal(v: Number, _) => Some(v.longValue())
+      case Cast(child, _, _, _) => litMs(child)
+      case _ => None
+    }
+    def tsName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if tsColumns.contains(a.nameParts.last) =>
+        Some(a.nameParts.last)
+      case Cast(child, _, _, _) => tsName(child)
+      case _ => None
+    }
+    def visit(cond: Expression): Unit = cond.foreach {
+      case GreaterThanOrEqual(l, r) =>
+        for (n <- tsName(l); v <- litMs(r))
+          lowers(n) = math.max(lowers.getOrElse(n, Long.MinValue), v)
+      case GreaterThan(l, r) =>
+        for (n <- tsName(l); v <- litMs(r))
+          lowers(n) = math.max(lowers.getOrElse(n, Long.MinValue), v)
+      case LessThanOrEqual(l, r) =>
+        for (n <- tsName(l); v <- litMs(r))
+          uppers(n) = math.min(uppers.getOrElse(n, Long.MaxValue), v)
+      case LessThan(l, r) =>
+        for (n <- tsName(l); v <- litMs(r))
+          uppers(n) = math.min(uppers.getOrElse(n, Long.MaxValue), v)
+      case _ => ()
+    }
+    plans.foreach(_.foreach {
+      case Filter(cond, _) => visit(cond)
+      case _ => ()
+    })
+    val widths = lowers.keySet.intersect(uppers.keySet).map { n =>
+      math.max(0L, uppers(n) - lowers(n))
+    }
+    if (widths.isEmpty) None else Some(widths.min)
+  }
+}

@@ -29,6 +29,10 @@ final class TsdbEngine(
     val enablePkSampling: Boolean = false) {
   val catalog = new GraftCatalog(warehouse)
 
+  /** Runtime block lists + rules (reference proxy/src/limiter.rs);
+    * mutable through the HTTP `/admin/block` endpoint. */
+  val limiter = new Limiter
+
   /** Per-table write/compact monitor — the reference's per-table serial
     * executor analogue (analytic_engine/src/table/mod.rs runs one table's
     * mutations on one serial runtime). An append that resolves the data
@@ -379,6 +383,7 @@ final class TsdbEngine(
     * themselves defaulted) columns, applied in declaration order like the
     * reference (insert.rs:219-350; create_tables.sql `default c3*2 + 1`). */
   def insertValues(ins: InsertValues): Long = {
+    limiter.checkInsertRule() // the AnyInsert brake (protocol entry)
     val s = catalog.get(ins.table)
     val targets = if (ins.columns.nonEmpty) ins.columns else s.columns.map(_.name)
     targets.foreach(s.column) // validates
@@ -425,6 +430,7 @@ final class TsdbEngine(
     * foreachBatch target (streaming ingest replaces the reference's WAL +
     * memtable path; checkpointing replaces WAL durability). */
   def append(name: String, batch: DataFrame): Unit = withTableLock(name) {
+    limiter.checkWrite(name) // blocked tables refuse every write path
     invalidateRollups(name) // fresh raw writes must not be served stale
     val s = catalog.get(name)
     // one sequence block per batch; within a batch, later rows win
@@ -983,6 +989,9 @@ final class TsdbEngine(
       systemTables().createOrReplaceTempView("system_public_tables")
     val tsColumns: Set[String] = tables.filter(referenced.contains)
       .map(n => catalog.get(n).timestampKey).toSet
+    // read block list + query rules on the parsed plans (proxy-layer
+    // try_limit twin — every SQL-serving protocol funnels through here)
+    limiter.checkQuery(referenced.intersect(tableSet), tsColumns, plans)
     GraftBridge.ofRows(spark, EpochMillisRewrite(plan, tsColumns))
   }
 

@@ -59,6 +59,7 @@ object LineProtocol {
     * sight), append through the engine write path (tsid + seq + segments).
     * Returns rows appended per measurement. */
   def ingest(engine: TsdbEngine, lines: Dataset[String]): Map[String, Long] = {
+    engine.limiter.checkInsertRule() // AnyInsert brake (protocol entry)
     val spark = lines.sparkSession
     import spark.implicits._
     val parsed: Dataset[ParsedLine] = lines

@@ -336,6 +336,7 @@ object OpenTsdb {
     * per metric.
     */
   def put(engine: TsdbEngine, bodies: Dataset[String]): Map[String, Long] = {
+    engine.limiter.checkInsertRule() // AnyInsert brake (protocol entry)
     val spark = bodies.sparkSession
     import spark.implicits._
     val points = bodies.flatMap(parsePut(_)).cache()

@@ -442,6 +442,7 @@ final class GraftGrpcServer(
 
   /** returns the success count for one WriteRequest */
   private def doWrite(req: Pb.WriteRequest): Long = {
+    engine.limiter.checkInsertRule() // AnyInsert brake (protocol entry)
     import graft.model.{ColumnSpec, DatumKind, TableOptions, TableSchema}
     import org.apache.spark.sql.functions.{col, expr, lit}
     val spark = engine.spark

@@ -362,6 +362,77 @@ object HttpApi {
     mapper.writeValueAsString(o)
   }
 
+  /** `POST /admin/block` (reference handlers/admin.rs + http.rs:659):
+    * Add/Set/Remove on the limiter's write/read block lists and block
+    * rules; answers the resulting state sorted. Rule JSON is serde's
+    * adjacently-tagged shape: `{"type":"AnyQuery"}`,
+    * `{"type":"QueryRange","content":"24h"}` (ReadableDuration grammar:
+    * integer + ms|s|m|h|d). */
+  def handleAdminBlock(
+      engine: graft.engine.TsdbEngine, body: String): String =
+    try {
+      import graft.engine.Limiter._
+      val root = mapper.readTree(body)
+      def strings(field: String): Seq[String] = {
+        val n = root.get(field)
+        if (n == null || !n.isArray) Nil
+        else (0 until n.size).map(i => n.get(i).asText())
+      }
+      def durationMs(s: String): Long = {
+        val m = """^\s*(\d+)\s*(ms|s|m|h|d)\s*$""".r
+          .findFirstMatchIn(s)
+          .getOrElse(throw new IllegalArgumentException(
+            s"invalid duration: $s"))
+        val n = m.group(1).toLong
+        m.group(2) match {
+          case "ms" => n
+          case "s"  => n * 1000L
+          case "m"  => n * 60000L
+          case "h"  => n * 3600000L
+          case "d"  => n * 86400000L
+        }
+      }
+      def rules(field: String): Seq[BlockRule] = {
+        val n = root.get(field)
+        if (n == null || !n.isArray) Nil
+        else (0 until n.size).map { i =>
+          val r = n.get(i)
+          r.get("type").asText() match {
+            case "QueryWithoutPredicate" => QueryWithoutPredicate
+            case "AnyQuery" => AnyQuery
+            case "AnyInsert" => AnyInsert
+            case "QueryRange" => QueryRange(durationMs(r.get("content").asText()))
+            case other => throw new IllegalArgumentException(s"unknown rule: $other")
+          }
+        }
+      }
+      val l = engine.limiter
+      val (w, r, bs) =
+        (strings("write_block_list"), strings("read_block_list"),
+          rules("block_rules"))
+      Option(root.get("operation")).map(_.asText()).getOrElse("") match {
+        case "Add" => l.addWriteBlock(w); l.addReadBlock(r); l.addRules(bs)
+        case "Set" => l.setWriteBlock(w); l.setReadBlock(r); l.setRules(bs)
+        case "Remove" =>
+          l.removeWriteBlock(w); l.removeReadBlock(r); l.removeRules(bs)
+        case other =>
+          throw new IllegalArgumentException(s"unknown operation: $other")
+      }
+      val o = mapper.createObjectNode()
+      val wa = o.putArray("write_block_list")
+      l.writeBlockList.foreach(wa.add)
+      val ra = o.putArray("read_block_list")
+      l.readBlockList.foreach(ra.add)
+      val ba = o.putArray("block_rules")
+      l.blockRules.foreach {
+        case QueryRange(ms) =>
+          val rn = ba.addObject()
+          rn.put("type", "QueryRange"); rn.put("content", s"${ms}ms")
+        case rule => ba.addObject().put("type", rule.ruleName)
+      }
+      mapper.writeValueAsString(o)
+    } catch { case e: Throwable => errorJson(400, e) }
+
   // ---- helpers ----------------------------------------------------------
 
   private def errorJson(code: Int, e: Throwable): String = {

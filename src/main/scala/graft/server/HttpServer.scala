@@ -191,6 +191,12 @@ final class GraftHttpServer(engine: TsdbEngine, port: Int = 0) {
     respond(x, 200, sb.toString.getBytes(UTF_8), "text/plain; version=0.0.4")
   }
 
+  // POST /admin/block (http.rs:659, handlers/admin.rs): runtime edits of
+  // the limiter's read/write block lists and block rules
+  route("/admin/block") { x =>
+    json(x, HttpApi.handleAdminBlock(engine, body(x)))
+  }
+
   // POST /debug/flush_memtable (http.rs:484-526): flushes every table's
   // memtable to SSTs and answers {"success": [...], "failed": [...]}.
   // This engine's write path is already durable parquet at append time —

@@ -257,10 +257,9 @@ class GrpcServerSpec extends SparkSpec {
   /** Mirrors the reference's SDK integration script
     * (`integration_tests/sdk/rust/src/main.rs`): auto-create via Write →
     * query check → add-column Write (new tag + field on live table) →
-    * query check with the old rows' new columns null → DROP IF EXISTS
-    * round trips. The reference's `test_block_table` exercises its
-    * config-driven table limiter (`limiter.rs`) — a deploy-config feature
-    * with no engine counterpart here, so that step is out of scope. */
+    * query check with the old rows' new columns null → block-table
+    * (write AND query refused with the script's asserted error text,
+    * `main.rs:139-155`) → DROP IF EXISTS round trips. */
   test("gRPC SDK golden flow: auto-create, add column, drop") {
     val engine = new TsdbEngine(spark, tmp("grpc-sdk"))
     val server = new GraftGrpcServer(engine).start()
@@ -347,9 +346,41 @@ class GrpcServerSpec extends SparkSpec {
             s"666666|new-tagv0|123|1222223333334|old-tagv0|$ts",
             s"88888888|new-tagv1|124|1222223333335|old-tagv1|$ts"))
 
+      // test_block_table: create, block, then write AND query both
+      // refuse with the text the script asserts on
+      def sqlOn(tbl: String, q: String): (Int, String) = {
+        val (resp, status) = c.call("/storage.StorageService/SqlQuery",
+          Pb.writeSqlQueryRequest(Pb.SqlQueryRequest("public", Seq(tbl), q)))
+        assert(status == 0)
+        val (code, err, _, _) = Pb.parseSqlQueryResponse(resp)
+        (code, err)
+      }
+      assert(sqlOn("block_test_table",
+        "CREATE TABLE block_test_table (name string TAG, " +
+          "value double NOT NULL, t timestamp NOT NULL, timestamp KEY (t))")._1 == 200)
+      engine.limiter.addWriteBlock(Seq("block_test_table"))
+      engine.limiter.addReadBlock(Seq("block_test_table"))
+      val (bresp, bstatus) = c.call("/storage.StorageService/Write",
+        Pb.writeWriteRequest(Pb.WriteRequest("public", Seq(Pb.WriteTableRequest(
+          "block_test_table", Seq("name"), Seq("value"),
+          Seq(Pb.WriteSeriesEntry(
+            Seq(Pb.TagPb(0, Pb.Value(str = Some("name1")))),
+            Seq(Pb.FieldGroup(ts,
+              Seq(Pb.FieldPb(0, Pb.Value(f64 = Some(0.42)))))))))))))
+      assert(bstatus == 0)
+      val (bcode, berr, _, _) = Pb.parseWriteResponse(bresp)
+      assert(bcode == 500 && berr.contains("Table operation is blocked"), berr)
+      val (qcode, qerr) = sqlOn("block_test_table",
+        "SELECT * from block_test_table")
+      assert(qcode == 500 && qerr.contains("Table operation is blocked"), qerr)
+      engine.limiter.removeWriteBlock(Seq("block_test_table"))
+      engine.limiter.removeReadBlock(Seq("block_test_table"))
+
       // final drops (both exist and not)
       assert(sql(s"DROP TABLE IF EXISTS `$table`")._1 == 200)
       assert(sql(s"DROP TABLE IF EXISTS `$table`")._1 == 200)
+      assert(sqlOn("block_test_table",
+        "DROP TABLE IF EXISTS block_test_table")._1 == 200)
       c.close()
     } finally server.stop()
   }
