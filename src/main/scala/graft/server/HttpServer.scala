@@ -139,10 +139,17 @@ final class GraftHttpServer(engine: TsdbEngine, port: Int = 0) {
 
   route("/sql") { x =>
     val b = body(x)
+    val t0 = System.nanoTime()
     if (params(x).get("format").contains("arrow"))
       respond(x, 200, HttpApi.handleSqlArrow(engine, b),
         "application/vnd.apache.arrow.stream")
     else json(x, HttpApi.handleSql(engine, b))
+    // slow-query log (reference dyn_config.slow_threshold): statements
+    // slower than the runtime threshold leave an operator-visible trace
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (secs >= slowThresholdSecs.get())
+      System.err.println(f"[slow-sql] ${secs}%.1fs over " +
+        s"${slowThresholdSecs.get()}s threshold: ${b.take(200)}")
   }
 
   route("/influxdb/v1/write") { x =>
@@ -195,6 +202,143 @@ final class GraftHttpServer(engine: TsdbEngine, port: Int = 0) {
   // the limiter's read/write block lists and block rules
   route("/admin/block") { x =>
     json(x, HttpApi.handleAdminBlock(engine, body(x)))
+  }
+
+  // GET /debug/config (http.rs:582): the server's effective config — the
+  // reference serves its TOML config content verbatim; the standalone
+  // analogue is the engine + session knobs that govern behavior here
+  route("/debug/config") { x =>
+    val s = engine.spark
+    val lines = Seq(
+      s"warehouse = ${jstr(engine.warehouse)}",
+      s"spark.master = ${jstr(s.sparkContext.master)}",
+      s"spark.sql.shuffle.partitions = " +
+        s.conf.get("spark.sql.shuffle.partitions", "200"),
+      s"spark.sql.session.timeZone = " +
+        jstr(s.conf.get("spark.sql.session.timeZone", "")),
+      s"limiter.write_block_list = [${engine.limiter.writeBlockList.map(jstr).mkString(", ")}]",
+      s"limiter.read_block_list = [${engine.limiter.readBlockList.map(jstr).mkString(", ")}]",
+      s"limiter.rules = [${engine.limiter.blockRules.map(r => jstr(r.ruleName)).mkString(", ")}]",
+      s"slow_threshold_secs = ${slowThresholdSecs.get()}")
+    respond(x, 200, (lines.mkString("\n") + "\n").getBytes(UTF_8), "text/plain")
+  }
+
+  // GET /debug/shards (http.rs:592): cluster-only in the reference — the
+  // standalone build answers the same refusal (http.rs:150)
+  route("/debug/shards") { x =>
+    json(x, """{"code":400,"message":"Querying shards is only supported in cluster mode"}""", 400)
+  }
+
+  // GET /debug/wal_stats (http.rs:609): WAL statistics. This engine's
+  // write path is durable parquet at append time (no WAL); the analogue
+  // statistics are the per-table storage counters that play the same
+  // operational role (how much is written, how the manifest advances).
+  route("/debug/wal_stats") { x =>
+    val sb = new StringBuilder("[Data wal stats]:\n")
+    engine.catalog.list().sorted.foreach { t =>
+      val (gen, floor) = engine.catalog.compactionState(t)
+      sb.append(s"table=$t next_seq=${engine.catalog.peekSeq(t)} " +
+        s"data_gen=$gen compacted_seq=$floor\n")
+    }
+    sb.append("\n[Manifest wal stats]:\nmanifest=json-per-table (no wal)\n")
+    respond(x, 200, sb.toString.getBytes(UTF_8), "text/plain")
+  }
+
+  // PUT /debug/log_level/{level} (http.rs:640): runtime log-level switch —
+  // mapped onto the Spark context's log level
+  route("/debug/log_level/") { x =>
+    val level = x.getRequestURI.getPath.stripPrefix("/debug/log_level/")
+      .toUpperCase
+    val valid = Set("ALL", "DEBUG", "ERROR", "FATAL", "INFO", "OFF", "TRACE", "WARN")
+    if (!valid.contains(level))
+      json(x, s"""{"code":400,"message":${jstr(s"invalid log level: $level")}}""", 400)
+    else {
+      engine.spark.sparkContext.setLogLevel(level)
+      json(x, jstr(level.toLowerCase))
+    }
+  }
+
+  // POST /debug/query_push_down/{true|false} (http.rs:681): dist-query
+  // pushdown toggle. Standalone has no remote plan shipping, so the flag
+  // is stored and echoed — which is also its only observable effect in a
+  // single-node reference deployment.
+  private val queryPushDown = new java.util.concurrent.atomic.AtomicBoolean(false)
+  route("/debug/query_push_down/") { x =>
+    x.getRequestURI.getPath.stripPrefix("/debug/query_push_down/") match {
+      case "true"  => queryPushDown.set(true); respond(x, 200, "true".getBytes(UTF_8), "text/plain")
+      case "false" => queryPushDown.set(false); respond(x, 200, "false".getBytes(UTF_8), "text/plain")
+      case other   =>
+        json(x, s"""{"code":400,"message":${jstr(s"invalid bool: $other")}}""", 400)
+    }
+  }
+
+  // GET /debug/profile/cpu/{seconds} (http.rs:535): CPU profile over a
+  // window. The reference dumps pprof; the JVM analogue samples every
+  // live thread's stack for the window (20 Hz) and answers a flat text
+  // profile of top-frame sample counts — the same "where is time going"
+  // answer, tool-free.
+  route("/debug/profile/cpu/") { x =>
+    val raw = x.getRequestURI.getPath.stripPrefix("/debug/profile/cpu/")
+    raw.toLongOption match {
+      case Some(n) if n > 0 =>
+        val windowMs = math.min(n, 30L) * 1000L
+        val counts = new java.util.HashMap[String, Long]()
+        val deadline = System.currentTimeMillis() + windowMs
+        var samples = 0
+        while (System.currentTimeMillis() < deadline) {
+          val stacks = Thread.getAllStackTraces
+          stacks.forEach { (t, frames) =>
+            if (t.getState == Thread.State.RUNNABLE && frames.nonEmpty) {
+              val top = frames(0)
+              counts.merge(s"${top.getClassName}.${top.getMethodName}", 1L, _ + _)
+            }
+          }
+          samples += 1
+          Thread.sleep(50)
+        }
+        val sb = new StringBuilder(s"cpu profile: $samples samples over ${windowMs / 1000}s\n")
+        import scala.jdk.CollectionConverters._
+        counts.asScala.toSeq.sortBy(-_._2).take(50).foreach { case (f, c) =>
+          sb.append(s"$c $f\n")
+        }
+        respond(x, 200, sb.toString.getBytes(UTF_8), "text/plain")
+      case _ =>
+        json(x, s"""{"code":400,"message":${jstr(s"invalid seconds: $raw")}}""", 400)
+    }
+  }
+
+  // GET /debug/profile/heap/{seconds} (http.rs:558): heap profile — the
+  // JVM analogue is the current per-pool memory usage (a jeprof-style
+  // allocation window needs an agent; the current-usage dump is what the
+  // reference's endpoint is used for operationally)
+  route("/debug/profile/heap/") { x =>
+    val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+    val sb = new StringBuilder
+    val h = mem.getHeapMemoryUsage
+    sb.append(s"heap: used=${h.getUsed} committed=${h.getCommitted} max=${h.getMax}\n")
+    val nh = mem.getNonHeapMemoryUsage
+    sb.append(s"non-heap: used=${nh.getUsed} committed=${nh.getCommitted}\n")
+    pools.forEach { p =>
+      val u = p.getUsage
+      if (u != null) sb.append(s"pool ${p.getName}: used=${u.getUsed} committed=${u.getCommitted}\n")
+    }
+    respond(x, 200, sb.toString.getBytes(UTF_8), "text/plain")
+  }
+
+  // PUT /debug/slow_threshold/{seconds} (http.rs:700): slow-query log
+  // threshold; /sql logs statements slower than this to stderr
+  private[server] val slowThresholdSecs =
+    new java.util.concurrent.atomic.AtomicLong(60L)
+  route("/debug/slow_threshold/") { x =>
+    val raw = x.getRequestURI.getPath.stripPrefix("/debug/slow_threshold/")
+    raw.toLongOption match {
+      case Some(n) if n >= 0 =>
+        slowThresholdSecs.set(n)
+        respond(x, 200, s"current_slow_threshold:${n}s".getBytes(UTF_8), "text/plain")
+      case _ =>
+        json(x, s"""{"code":400,"message":${jstr(s"invalid seconds: $raw")}}""", 400)
+    }
   }
 
   // POST /debug/flush_memtable (http.rs:484-526): flushes every table's

@@ -214,6 +214,40 @@ class HttpServerSpec extends SparkSpec {
       assert(get(s"$base/influxdb/v1/query").statusCode() == 400)
       assert(get(s"$base/api/v1/query").statusCode() == 400)
       assert(get(s"$base/api/v1/query_range?query=cpu").statusCode() == 400)
+
+      // ---- debug/admin routes (http.rs:535-705)
+      val cfg = get(s"$base/debug/config")
+      assert(cfg.statusCode() == 200 &&
+        cfg.body().contains("warehouse = ") &&
+        cfg.body().contains("slow_threshold_secs = 60"), cfg.body())
+      val shards = get(s"$base/debug/shards")
+      assert(shards.statusCode() == 400 &&
+        shards.body().contains("only supported in cluster mode"))
+      val wal = get(s"$base/debug/wal_stats")
+      assert(wal.statusCode() == 200 &&
+        wal.body().contains("[Data wal stats]") &&
+        wal.body().contains("next_seq="), wal.body())
+      val lvl = client.send(HttpRequest.newBuilder(
+          URI.create(s"$base/debug/log_level/warn"))
+          .PUT(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(lvl.statusCode() == 200 && lvl.body() == "\"warn\"", lvl.body())
+      assert(get(s"$base/debug/log_level/bogus").statusCode() == 400)
+      assert(post(s"$base/debug/query_push_down/true", "").body() == "true")
+      assert(post(s"$base/debug/query_push_down/nah", "").statusCode() == 400)
+      val st = client.send(HttpRequest.newBuilder(
+          URI.create(s"$base/debug/slow_threshold/5"))
+          .PUT(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(st.body() == "current_slow_threshold:5s", st.body())
+      assert(get(s"$base/debug/config").body()
+        .contains("slow_threshold_secs = 5"))
+      val cpu = get(s"$base/debug/profile/cpu/1")
+      assert(cpu.statusCode() == 200 &&
+        cpu.body().startsWith("cpu profile:"), cpu.body().take(80))
+      val heap = get(s"$base/debug/profile/heap/1")
+      assert(heap.statusCode() == 200 && heap.body().startsWith("heap: used="),
+        heap.body().take(80))
     } finally srv.stop()
   }
 }
