@@ -513,6 +513,21 @@ object PromQL {
   private def evalExpr(
       spark: SparkSession, resolve: String => SeriesTable,
       expr: PromExpr, p: EvalParams): DataFrame = expr match {
+    case VectorSelector(sel) if sel.rangeMs.isDefined && sel.atMs.isEmpty =>
+      // TOP-LEVEL range selector `m{...}[5m]`: the RAW samples in
+      // (t-range, t] per series — Prometheus's matrix-of-raw-samples
+      // shape, which the reference serves through remote read
+      // (integration_tests/prom/remote-query.py asserts exactly this)
+      val (t, s2) = applyFieldLabel(resolve(sel.metric), sel)
+      val off = s2.offsetMs
+      s2.matchers.foldLeft(t.df)((d, m) => d.filter(matcherCol(m)))
+        .filter(col(t.tsCol) >
+            timestamp_millis(lit(p.endMs - s2.rangeMs.get - off)) &&
+          col(t.tsCol) <= timestamp_millis(lit(p.endMs - off)))
+        .select(t.tags.map(c => col(c).cast("string").as(c)) :+
+          col(t.tsCol).as("ts") :+
+          col(t.valueCol).cast("double").as("value"): _*)
+
     case VectorSelector(sel) =>
       aligned(spark, resolve(sel.metric), sel, p, "instant")
 
@@ -939,10 +954,30 @@ object PromQL {
     * Output columns: tag columns (as string), ts (timestamp), value.
     * An `@` modifier evaluates once at the pinned instant and replicates
     * that value across the requested grid (Prometheus fixed-time eval). */
+  /** `__horaedb_field__="f"` (query_frontend/src/promql/remote.rs:46,118):
+    * a selector matcher that picks WHICH field column serves as the
+    * metric value instead of the default — consumed here, never applied
+    * as a tag filter. Only a single equality matcher is meaningful. */
+  private val FieldLabel = "__horaedb_field__"
+
+  private def applyFieldLabel(
+      t: SeriesTable, sel: Selector): (SeriesTable, Selector) = {
+    val (f, rest) = sel.matchers.partition(_.label == FieldLabel)
+    f match {
+      case Seq() => (t, sel)
+      case Seq(EqMatcher(_, v)) =>
+        (t.copy(valueCol = v), sel.copy(matchers = rest))
+      case _ => throw new IllegalArgumentException(
+        s"$FieldLabel must be a single equality matcher")
+    }
+  }
+
   private def aligned(
-      spark: SparkSession, t: SeriesTable, sel: Selector,
+      spark: SparkSession, t0: SeriesTable, sel0: Selector,
       p: EvalParams, func: String, param: Double = Double.NaN,
-      param2: Double = Double.NaN): DataFrame = sel.atMs match {
+      param2: Double = Double.NaN): DataFrame = {
+  val (t, sel) = applyFieldLabel(t0, sel0)
+  sel.atMs match {
     case Some(at) =>
       val single = alignedGrid(spark, t, sel.copy(atMs = None),
         p.copy(startMs = at, endMs = at), func, param, param2)
@@ -952,6 +987,7 @@ object PromQL {
         .select(t.tags.map(col) :+
           timestamp_millis(col("__step")).as("ts") :+ col("value"): _*)
     case None => alignedGrid(spark, t, sel, p, func, param, param2)
+  }
   }
 
   private def alignedGrid(
@@ -1026,8 +1062,18 @@ object PromQL {
       case EqMatcher("__name__", v) => v
     }.getOrElse(throw new IllegalArgumentException(
       "remote read requires an equality __name__ matcher"))
-    val t = resolve(metric)
-    val rest = matchers.filterNot(_.label == "__name__")
+    val t0 = resolve(metric)
+    // __horaedb_field__ selects the value column (remote.rs:118)
+    val (t, fieldRest) = {
+      val (f, others) = matchers.partition(_.label == FieldLabel)
+      f match {
+        case Seq() => (t0, others)
+        case Seq(EqMatcher(_, v)) => (t0.copy(valueCol = v), others)
+        case _ => throw new IllegalArgumentException(
+          s"$FieldLabel must be a single equality matcher")
+      }
+    }
+    val rest = fieldRest.filterNot(_.label == "__name__")
     val filtered = rest.foldLeft(t.df)((d, m) => d.filter(matcherCol(m)))
       .filter(col(t.tsCol) >= timestamp_millis(lit(startMs)) &&
               col(t.tsCol) <= timestamp_millis(lit(endMs)))

@@ -217,22 +217,30 @@ object HttpApi {
       query, "matrix")
     catch { case e: Throwable => promError(e) }
 
-  /** `GET /api/v1/query` (instant vector at one evaluation timestamp). */
+  /** `GET /api/v1/query` (instant vector at one evaluation timestamp).
+    * A top-level RANGE selector (`m{...}[5m]`) answers the raw-sample
+    * matrix like Prometheus (integration_tests/prom/remote-query.py). */
   def handlePromInstant(
       spark: org.apache.spark.sql.SparkSession,
       resolve: String => graft.promql.PromQL.SeriesTable,
       query: String, timeMs: Long, lookbackMs: Long = 300000L): String =
-    try promPayload(
-      graft.promql.PromQL.eval(spark, resolve, query,
-        graft.promql.EvalParams(timeMs, timeMs, 1L, lookbackMs)),
-      query, "vector")
-    catch { case e: Throwable => promError(e) }
+    try {
+      val kind = if (bareRangeSelectorRe.findFirstIn(query.trim).isDefined)
+        "matrix" else "vector"
+      promPayload(
+        graft.promql.PromQL.eval(spark, resolve, query,
+          graft.promql.EvalParams(timeMs, timeMs, 1L, lookbackMs)),
+        query, kind)
+    } catch { case e: Throwable => promError(e) }
+
+  private val bareRangeSelectorRe =
+    """^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[^}]*\})?\[[0-9]+(ms|s|m|h|d|w)\]$""".r
 
   private def promPayload(df: DataFrame, query: String, kind: String): String = {
     val bareSelector =
-      """^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[^}]*\})?$""".r
+      """^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[^}]*\})?(\[[0-9]+(ms|s|m|h|d|w)\])?$""".r
         .findFirstIn(query.trim).isDefined
-    val metricName = query.trim.takeWhile(c => c != '{').trim
+    val metricName = query.trim.takeWhile(c => c != '{' && c != '[').trim
     val names = df.schema.fieldNames
     val labelCols = names.filterNot(n => n == "ts" || n == "value")
     val tsIdx = names.indexOf("ts"); val vIdx = names.indexOf("value")

@@ -250,4 +250,64 @@ class HttpServerSpec extends SparkSpec {
         heap.body().take(80))
     } finally srv.stop()
   }
+
+  /** Mirrors `integration_tests/prom/remote-query.py`: top-level range
+    * selectors answer the raw-sample matrix, matchers hit case-sensitive
+    * uppercase tags and tables, and `__horaedb_field__` selects a
+    * NON-default value column (remote.rs:46). Pinned timestamps replace
+    * the script's now(). */
+  test("prom remote-query script: range selectors, field label, case") {
+    val e = new TsdbEngine(spark, tmpDir("promrq-wh"))
+    val srv = new GraftHttpServer(e).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val ts = 1704067200000L // script: now(); pinned
+      for (t <- Seq("prom_remote_query_test", "PROM_REMOTE_QUERY_TEST"))
+        e.execute(s"CREATE TABLE `$t` (`t` timestamp NOT NULL, " +
+          "`tag1` string TAG, `TAG2` string TAG, `value` double NOT NULL, " +
+          "`VALUE2` double NOT NULL, timestamp KEY (t))")
+      e.execute("insert into prom_remote_query_test(t, tag1, TAG2, value, VALUE2) " +
+        s"values (${ts - 5000}, 'v1', 'v2', 1, 2), ($ts, 'v1', 'v2', 11, 22)")
+      e.execute("insert into PROM_REMOTE_QUERY_TEST(t, tag1, TAG2, value, VALUE2) " +
+        s"values (${ts - 5000}, 'v1', 'v2', 10, 20), ($ts, 'v1', 'v2', 110, 220)")
+
+      def pql(q: String): com.fasterxml.jackson.databind.JsonNode = {
+        val r = get(s"$base/api/v1/query?query=${enc(q)}&time=${ts / 1000}")
+        assert(r.statusCode() == 200, r.body())
+        mapper.readTree(r.body())
+      }
+      def values(j: com.fasterxml.jackson.databind.JsonNode): Seq[(Long, String)] = {
+        val vs = j.get("data").get("result").get(0).get("values")
+        (0 until vs.size).map(i =>
+          (vs.get(i).get(0).asLong(), vs.get(i).get(1).asText()))
+      }
+      val tsec = ts / 1000
+
+      val r1 = pql("""prom_remote_query_test{tag1="v1"}[5m]""")
+      assert(r1.get("data").get("resultType").asText() == "matrix")
+      val m1 = r1.get("data").get("result").get(0).get("metric")
+      assert(m1.get("__name__").asText() == "prom_remote_query_test" &&
+        m1.get("tag1").asText() == "v1" && m1.get("TAG2").asText() == "v2")
+      assert(values(r1) == Seq((tsec - 5, "1"), (tsec, "11")))
+
+      // uppercase tag matcher
+      assert(values(pql("""prom_remote_query_test{TAG2="v2"}[5m]""")) ==
+        Seq((tsec - 5, "1"), (tsec, "11")))
+      // regex matcher
+      assert(values(pql("""prom_remote_query_test{tag1=~"v1"}[5m]""")) ==
+        Seq((tsec - 5, "1"), (tsec, "11")))
+      // negative matchers drop everything
+      assert(pql("""prom_remote_query_test{tag1!="v1"}[5m]""")
+        .get("data").get("result").size() == 0)
+      assert(pql("""prom_remote_query_test{tag1!~"v1"}[5m]""")
+        .get("data").get("result").size() == 0)
+      // field label selects the UPPERCASE non-default value column
+      assert(values(pql(
+        """prom_remote_query_test{tag1="v1",__horaedb_field__="VALUE2"}[5m]""")) ==
+        Seq((tsec - 5, "2"), (tsec, "22")))
+      // uppercase table
+      assert(values(pql("""PROM_REMOTE_QUERY_TEST{tag1="v1"}[5m]""")) ==
+        Seq((tsec - 5, "10"), (tsec, "110")))
+    } finally srv.stop()
+  }
 }
