@@ -251,6 +251,94 @@ class HttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  /** Mirrors `integration_tests/opentsdb/test-put.py`: put validation
+    * errors (empty/invalid bodies, empty metric/tags/tag-name, timestamp
+    * bounds) answer 500; single/multi-point puts succeed with 204,
+    * auto-create the table (tags → TAG, `value` double), read back
+    * through /sql with null tags for points that lack one, and
+    * second-resolution timestamps normalize to ms. Pinned timestamps
+    * replace the script's now(). */
+  test("opentsdb put script: validations, auto-create, read-back") {
+    val e = new TsdbEngine(spark, tmpDir("otsdbput-wh"))
+    val srv = new GraftHttpServer(e).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val ts = 1704067200000L
+      def put(bodyStr: String) = post(s"$base/opentsdb/api/put", bodyStr)
+      def putFail(bodyStr: String): Unit =
+        assert(put(bodyStr).statusCode() == 500, bodyStr.take(60))
+
+      // validation failures (test_put_validate_error)
+      putFail("")
+      putFail("{xxx")
+      putFail(s"""{"metric":"","timestamp":$ts,"value":18,"tags":{"host":"web01","dc":"lga"}}""")
+      putFail(s"""{"metric":"sys.cpu.nice","timestamp":$ts,"value":18,"tags":{}}""")
+      putFail(s"""{"metric":"sys.cpu.nice","timestamp":$ts,"value":18,"tags":{"":"web01","dc":"lga"}}""")
+      putFail("""{"metric":"sys.cpu.nice","timestamp":1,"value":18,"tags":{"host":"web01"}}""")
+      putFail("""{"metric":"sys.cpu.nice","timestamp":10000000000000,"value":18,"tags":{"host":"web01"}}""")
+
+      // single point, int value → double column, schema contents
+      val tbl = s"opentsdb_test_$ts"
+      assert(put(s"""{"metric":"$tbl","timestamp":$ts,"value":9527,"tags":{"host":"web01","dc":"lga"}}""")
+        .statusCode() == 204)
+      val sc = post(s"$base/sql", s"""{"query": "SHOW CREATE TABLE $tbl"}""").body()
+      for (frag <- Seq("`timestamp` timestamp NOT NULL", "`dc` string TAG",
+          "`host` string TAG", "`value` double"))
+        assert(sc.contains(frag), s"missing $frag in $sc")
+      val r1 = mapper.readTree(post(s"$base/sql",
+        s"""{"query": "SELECT timestamp, dc, host, value FROM $tbl"}""").body())
+      assert(r1.get("rows").size() == 1)
+      val row1 = r1.get("rows").get(0)
+      assert(row1.get("timestamp").asLong() == ts &&
+        row1.get("dc").asText() == "lga" && row1.get("host").asText() == "web01" &&
+        row1.get("value").asDouble() == 9527.0)
+
+      // second-resolution timestamp normalizes to the same ms
+      val tbl2 = s"opentsdb_test2_$ts"
+      assert(put(s"""{"metric":"$tbl2","timestamp":${ts / 1000},"value":95.27,"tags":{"host":"web01","dc":"lga"}}""")
+        .statusCode() == 204)
+      val r2 = mapper.readTree(post(s"$base/sql",
+        s"""{"query": "SELECT timestamp, value FROM $tbl2"}""").body())
+      assert(r2.get("rows").get(0).get("timestamp").asLong() == ts)
+      assert(r2.get("rows").get(0).get("value").asDouble() == 95.27)
+
+      // multi-point, different tag sets in one table → null for absent tag
+      val tbl3 = s"opentsdb_test3_$ts"
+      assert(put(s"""[
+        {"metric":"$tbl3","timestamp":$ts,"value":18,"tags":{"host":"web01"}},
+        {"metric":"$tbl3","timestamp":$ts,"value":9,"tags":{"dc":"lga"}}]""")
+        .statusCode() == 204)
+      val r3 = mapper.readTree(post(s"$base/sql",
+        s"""{"query": "SELECT timestamp, dc, host, value FROM $tbl3 ORDER BY value desc"}""").body())
+      assert(r3.get("rows").size() == 2, r3.toString)
+      assert(r3.get("rows").get(0).get("dc").isNull &&
+        r3.get("rows").get(0).get("host").asText() == "web01" &&
+        r3.get("rows").get(0).get("value").asDouble() == 18.0)
+      assert(r3.get("rows").get(1).get("dc").asText() == "lga" &&
+        r3.get("rows").get(1).get("host").isNull &&
+        r3.get("rows").get(1).get("value").asDouble() == 9.0)
+
+      // mixed int/double values in one put succeed (the script documents
+      // this as a reference-internal-error regression test)
+      val tbl4 = s"opentsdb_test4_$ts"
+      assert(put(s"""[
+        {"metric":"$tbl4","timestamp":$ts,"value":18,"tags":{"host":"web01","dc":"lga"}},
+        {"metric":"$tbl4","timestamp":$ts,"value":9.999,"tags":{"host":"web02","dc":"lga"}}]""")
+        .statusCode() == 204)
+
+      // multi-table put in one request
+      val (ta, tb) = (s"opentsdb_test5_$ts", s"opentsdb_test6_$ts")
+      assert(put(s"""[
+        {"metric":"$ta","timestamp":$ts,"value":18,"tags":{"host":"web01","dc":"lga"}},
+        {"metric":"$tb","timestamp":$ts,"value":9,"tags":{"host":"web02","dc":"lga"}}]""")
+        .statusCode() == 204)
+      for (t <- Seq(ta, tb))
+        assert(mapper.readTree(post(s"$base/sql",
+          s"""{"query": "SELECT count(*) AS n FROM $t"}""").body())
+          .get("rows").get(0).get("n").asLong() == 1L)
+    } finally srv.stop()
+  }
+
   /** Mirrors `integration_tests/prom/remote-query.py`: top-level range
     * selectors answer the raw-sample matrix, matchers hit case-sensitive
     * uppercase tags and tables, and `__horaedb_field__` selects a

@@ -174,6 +174,23 @@ class MysqlServerSpec extends SparkSpec {
       // prepared statements refused (worker.rs:67-75)
       assert(c.prepare("SELECT ?").contains("not supported"))
 
+      // ---- integration_tests/mysql/basic.sh, statement for statement
+      assert(c.query("show tables").err == null)
+      val sn = c.query("select 1, now()")
+      assert(sn.err == null && sn.rows.head.head == "1" &&
+        sn.rows.head(1).toLong > 0L, sn.toString)
+      assert(c.query(
+        "CREATE TABLE `demo`(`name`string TAG,`id` int TAG," +
+          "`value` double NOT NULL,`t` timestamp NOT NULL," +
+          "TIMESTAMP KEY(t)) ENGINE = Analytic with(enable_ttl=false)").err == null)
+      val di = c.query(
+        "insert into demo (name,value,t)values(\"horaedb\",1,1683280523000)")
+      assert(di.err == null && di.affected == 1, s"${di.err}")
+      val dq = c.query("select * from demo")
+      assert(dq.err == null && dq.rows.length == 1, s"${dq.err}")
+      assert(dq.cols.map(_._1).contains("name") &&
+        dq.rows.head(dq.cols.indexWhere(_._1 == "name")) == "horaedb")
+
       c.quit()
     } finally srv.stop()
   }

@@ -209,6 +209,22 @@ class PgServerSpec extends SparkSpec {
       val c2 = new PgClient(srv.boundPort)
       c2.startup()
       assert(c2.query("SELECT 41 + 1 AS a").rows.head.head == "42")
+
+      // ---- integration_tests/postgresql/basic.sh, statement for statement
+      assert(c2.query("show tables").err == null)
+      val sn = c2.query("select 1, now();")
+      assert(sn.err == null && sn.rows.head.head == "1", sn.toString)
+      assert(c2.query("drop table if exists demo;").err == null)
+      assert(c2.query(
+        "CREATE TABLE `demo`(`name`string TAG,`id` int TAG," +
+          "`value` double NOT NULL,`t` timestamp NOT NULL," +
+          "TIMESTAMP KEY(t)) ENGINE = Analytic with(enable_ttl=false);").err == null)
+      val di = c2.query(
+        "insert into demo (name,value,t)values(\"horaedb\",1,1691116127622);")
+      assert(di.err == null, s"${di.err}")
+      val dq = c2.query("select * from demo;")
+      assert(dq.err == null && dq.rows.length == 1, s"${dq.err}")
+      assert(dq.rows.head(dq.cols.indexWhere(_._1 == "name")) == "horaedb")
       c2.terminate()
     } finally srv.stop()
   }
