@@ -7,25 +7,26 @@ import java.util.concurrent.{CountDownLatch, TimeUnit}
 import java.util.concurrent.atomic.AtomicReference
 
 import graft.engine.TsdbEngine
-import graft.server.{GraftGrpcServer, GraftPgServer, GrpcWireClient, Pb}
+import graft.server.{GraftGrpcServer, GraftHttpServer, GraftMysqlServer, GraftPgServer, GrpcWireClient, Pb}
 
 /** Concurrent multi-protocol stress: all wire servers share ONE
   * SparkSession and the engine's per-table locks, but nothing before this
-  * spec proved correctness under *parallel* clients. Drives five clients
-  * at once across two protocols (gRPC storage service + PostgreSQL v3):
+  * spec proved correctness under *parallel* clients. Drives seven clients
+  * at once across four protocols (gRPC storage service, PostgreSQL v3,
+  * MySQL text protocol, HTTP):
   *
   *   - two gRPC writers RACING the auto-create of the same table with
   *     DIFFERENT column sets (the create race: the loser must land its
   *     extra columns via the ifAbsent add, not silently drop values —
   *     catalog.create is synchronized, `GraftCatalog.scala`);
-  *   - a PG reader and a gRPC reader polling count(*) concurrently with
-  *     the writes (counts must be non-decreasing: per-table write locks +
-  *     manifest swaps may never expose a partial batch);
+  *   - PG, gRPC, MySQL and HTTP readers polling count(*) concurrently
+  *     with the writes (counts must be non-decreasing: per-table write
+  *     locks + manifest swaps may never expose a partial batch);
   *   - a PG DDL client creating/inserting/querying an unrelated table
   *     (shared-session isolation).
   *
-  * End state: exact row count and sum through BOTH protocols, and the
-  * catalog holds every column either writer introduced.
+  * End state: exact row count and sum re-checked through gRPC and PG,
+  * and the catalog holds every column either writer introduced.
   */
 class ConcurrencySpec extends SparkSpec {
 
@@ -102,6 +103,73 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  /** Minimal MySQL text-protocol client: handshake + COM_QUERY returning
+    * (first-cell-of-first-row, error) — enough for count polling. */
+  private final class MyClient(port: Int) {
+    private val sock = new Socket("127.0.0.1", port)
+    private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    private var seq = 0
+    private def readPacket(): Array[Byte] = {
+      val b0 = in.read(); val b1 = in.read(); val b2 = in.read()
+      val len = b0 | (b1 << 8) | (b2 << 16)
+      seq = (in.readByte() & 0xff) + 1
+      val p = new Array[Byte](len); in.readFully(p); p
+    }
+    private def writePacket(payload: Array[Byte]): Unit = {
+      out.write(payload.length & 0xff)
+      out.write((payload.length >> 8) & 0xff)
+      out.write((payload.length >> 16) & 0xff)
+      out.write(seq & 0xff); seq += 1
+      out.write(payload); out.flush()
+    }
+    def handshake(): Unit = {
+      readPacket()
+      val b = new java.io.ByteArrayOutputStream()
+      def u32(v: Long): Unit =
+        (0 until 4).foreach(i => b.write(((v >> (8 * i)) & 0xff).toInt))
+      u32(0x0200L | 0x8000L); u32(16777216L); b.write(33)
+      b.write(new Array[Byte](23), 0, 23)
+      b.write("root".getBytes(UTF_8)); b.write(0); b.write(0)
+      writePacket(b.toByteArray)
+      assert((readPacket()(0) & 0xff) == 0x00)
+      seq = 0
+    }
+    private def lenenc(p: Array[Byte], off: Int): (Long, Int) = (p(off) & 0xff) match {
+      case 0xfc => (((p(off + 1) & 0xff) | ((p(off + 2) & 0xff) << 8)).toLong, off + 3)
+      case 0xfd => (((p(off + 1) & 0xff) | ((p(off + 2) & 0xff) << 8) |
+        ((p(off + 3) & 0xff) << 16)).toLong, off + 4)
+      case 0xfe => ((0 until 8).map(i => (p(off + 1 + i) & 0xffL) << (8 * i)).sum, off + 9)
+      case v => (v.toLong, off + 1)
+    }
+    /** first cell of the first row, or Left(error text) */
+    def queryOne(sql: String): Either[String, String] = {
+      seq = 0
+      writePacket(Array[Byte](0x03) ++ sql.getBytes(UTF_8))
+      val first = readPacket()
+      (first(0) & 0xff) match {
+        case 0x00 => Right(null)
+        case 0xff => Left(new String(first, 9, first.length - 9, UTF_8))
+        case _ =>
+          val (ncols, _) = lenenc(first, 0)
+          (0 until ncols.toInt).foreach(_ => readPacket())
+          assert((readPacket()(0) & 0xff) == 0xfe)
+          var cell: String = null
+          var done = false
+          while (!done) {
+            val p = readPacket()
+            if ((p(0) & 0xff) == 0xfe && p.length < 9) done = true
+            else if (cell == null) {
+              val (n, o) = lenenc(p, 0)
+              cell = new String(p, o, n.toInt, UTF_8)
+            }
+          }
+          Right(cell)
+      }
+    }
+    def close(): Unit = { seq = 0; writePacket(Array[Byte](0x01)); sock.close() }
+  }
+
   private def grpcWrite(
       c: GrpcWireClient, table: String, host: String,
       fields: Seq[(String, Double)], baseTs: Long, n: Int): Long = {
@@ -135,6 +203,8 @@ class ConcurrencySpec extends SparkSpec {
     val engine = new TsdbEngine(spark, tmpDir("conc"))
     val grpc = new GraftGrpcServer(engine).start()
     val pg = new GraftPgServer(engine).start()
+    val my = new GraftMysqlServer(engine).start()
+    val http = new GraftHttpServer(engine).start()
     val failure = new AtomicReference[Throwable](null)
     val start = new CountDownLatch(1)
     val writersDone = new CountDownLatch(2)
@@ -202,6 +272,28 @@ class ConcurrencySpec extends SparkSpec {
         if (err != null) Left(err) else Right(rows.head.head.toLong)
       } finally c.close()
     }
+    val rm = thread("reader-mysql") {
+      val c = new MyClient(my.boundPort)
+      c.handshake()
+      try monotone { () =>
+        c.queryOne("SELECT count(*) AS n FROM conc_cpu").map(_.toLong)
+      } finally c.close()
+    }
+    val rh = thread("reader-http") {
+      val hc = java.net.http.HttpClient.newHttpClient()
+      monotone { () =>
+        val r = hc.send(java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:${http.boundPort}/sql"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              """{"query": "SELECT count(*) AS n FROM conc_cpu"}""", UTF_8))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val m = """"n":(\d+)""".r.findFirstMatchIn(r.body())
+        m.map(x => Right(x.group(1).toLong))
+          .getOrElse(Left(r.body().take(200)))
+      }
+    }
     // PG DDL client on an unrelated table through the shared session
     val dd = thread("pg-ddl") {
       val c = new PgClient(pg.boundPort)
@@ -222,7 +314,7 @@ class ConcurrencySpec extends SparkSpec {
     }
 
     start.countDown()
-    Seq(wa, wb, rg, rp, dd).foreach(_.join(TimeUnit.MINUTES.toMillis(5)))
+    Seq(wa, wb, rg, rp, rm, rh, dd).foreach(_.join(TimeUnit.MINUTES.toMillis(5)))
     if (failure.get() != null) throw failure.get()
 
     // end-state consistency through BOTH protocols
@@ -253,7 +345,7 @@ class ConcurrencySpec extends SparkSpec {
         "SELECT CAST(sum(usage) AS BIGINT) AS s FROM conc_cpu")
       assert(serr == null && srows.head.head.toLong == expectedUsage.toLong)
     } finally {
-      gc.close(); pc.close(); grpc.stop(); pg.stop()
+      gc.close(); pc.close(); grpc.stop(); pg.stop(); my.stop(); http.stop()
     }
   }
 }
