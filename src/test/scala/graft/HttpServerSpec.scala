@@ -251,6 +251,68 @@ class HttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  /** Mirrors `integration_tests/recovery/run.sh` + `check.py`: prepare
+    * two tables (one uppercase) over /sql, "restart" (a NEW engine and
+    * server on the same warehouse — the process-restart analogue), and
+    * the same SELECT * answers the same rows including the tsid column;
+    * then flush_memtable, restart again, and check once more. The tsid
+    * VALUE is engine-specific (documented deviation) — the contract
+    * checked here is that it is surfaced and STABLE across restarts. */
+  test("recovery script: data and schema survive engine restarts") {
+    val wh = tmpDir("recovery-wh")
+    val ts = 1704067200000L
+    val tables = Seq(s"sql_test$ts", s"SQL_TEST$ts")
+
+    def withServer[A](f: String => A): A = {
+      val e = new TsdbEngine(spark, wh)
+      val srv = new GraftHttpServer(e).start()
+      try f(s"http://127.0.0.1:${srv.boundPort}") finally srv.stop()
+    }
+    def rows(base: String, t: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+      val r = post(s"$base/sql",
+        s"""{"query": "SELECT * FROM `$t` ORDER BY t"}""")
+      assert(r.statusCode() == 200, r.body())
+      val rs = mapper.readTree(r.body()).get("rows")
+      (0 until rs.size).map(rs.get)
+    }
+    def check(base: String, expectTsid: Option[Long]): Long = {
+      val r1 = rows(base, tables(0))
+      assert(r1.map(_.get("value").asDouble()) == Seq(1.0, 11.0) &&
+        r1.map(_.get("VALUE2").asDouble()) == Seq(2.0, 22.0) &&
+        r1.map(_.get("t").asLong()) == Seq(ts - 5000, ts) &&
+        r1.forall(x => x.get("tag1").asText() == "v1" &&
+          x.get("tag2").asText() == "v2"), r1.toString)
+      val r2 = rows(base, tables(1))
+      assert(r2.map(_.get("value").asDouble()) == Seq(10.0, 110.0) &&
+        r2.map(_.get("VALUE2").asDouble()) == Seq(20.0, 220.0), r2.toString)
+      // both tables share one tag set → one tsid, stable across restarts
+      val tsids = (r1 ++ r2).map(_.get("tsid").asLong()).distinct
+      assert(tsids.length == 1, tsids.toString)
+      expectTsid.foreach(x => assert(x == tsids.head, "tsid changed across restart"))
+      tsids.head
+    }
+
+    // first boot: prepare + initial check
+    val tsid0 = withServer { base =>
+      for (t <- tables)
+        assert(post(s"$base/sql", s"""{"query": "CREATE TABLE if not exists ${'`'}$t${'`'} (${'`'}t${'`'} timestamp NOT NULL, ${'`'}tag1${'`'} string TAG, ${'`'}tag2${'`'} string TAG, ${'`'}value${'`'} double NOT NULL, ${'`'}VALUE2${'`'} double NOT NULL, timestamp KEY (t))"}""")
+          .statusCode() == 200)
+      assert(post(s"$base/sql", s"""{"query": "insert into ${tables(0)}(t, tag1, tag2, value, VALUE2) values (${ts - 5000}, 'v1', 'v2', 1, 2), ($ts, 'v1', 'v2', 11, 22)"}""")
+        .statusCode() == 200)
+      assert(post(s"$base/sql", s"""{"query": "insert into ${tables(1)}(t, tag1, tag2, value, VALUE2) values (${ts - 5000}, 'v1', 'v2', 10, 20), ($ts, 'v1', 'v2', 110, 220)"}""")
+        .statusCode() == 200)
+      check(base, None)
+    }
+    // restart and check
+    val tsid1 = withServer(base => check(base, Some(tsid0)))
+    // flush, restart and check
+    withServer { base =>
+      assert(post(s"$base/debug/flush_memtable", "").statusCode() == 200)
+      check(base, Some(tsid1))
+    }
+    withServer(base => check(base, Some(tsid1)))
+  }
+
   /** Mirrors `integration_tests/opentsdb/test-put.py`: put validation
     * errors (empty/invalid bodies, empty metric/tags/tag-name, timestamp
     * bounds) answer 500; single/multi-point puts succeed with 204,
