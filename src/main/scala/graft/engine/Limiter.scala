@@ -149,20 +149,30 @@ final class Limiter {
       case Cast(child, _, _, _) => tsName(child)
       case _ => None
     }
-    def visit(cond: Expression): Unit = cond.foreach {
+    def lower(n: String, v: Long): Unit =
+      lowers(n) = math.max(lowers.getOrElse(n, Long.MinValue), v)
+    def upper(n: String, v: Long): Unit =
+      uppers(n) = math.min(uppers.getOrElse(n, Long.MaxValue), v)
+    // Walk only CONJUNCTS: an OR/NOT disjunct does not constrain the scan
+    // range (a `ts >= a OR ts <= b` tautology is unbounded — conflating
+    // its sides would spuriously block). Both operand orders count: the
+    // cap must not be evadable by writing `lit <= ts`.
+    def visit(cond: Expression): Unit = cond match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        visit(l); visit(r)
       case GreaterThanOrEqual(l, r) =>
-        for (n <- tsName(l); v <- litMs(r))
-          lowers(n) = math.max(lowers.getOrElse(n, Long.MinValue), v)
+        for (n <- tsName(l); v <- litMs(r)) lower(n, v)
+        for (n <- tsName(r); v <- litMs(l)) upper(n, v)
       case GreaterThan(l, r) =>
-        for (n <- tsName(l); v <- litMs(r))
-          lowers(n) = math.max(lowers.getOrElse(n, Long.MinValue), v)
+        for (n <- tsName(l); v <- litMs(r)) lower(n, v)
+        for (n <- tsName(r); v <- litMs(l)) upper(n, v)
       case LessThanOrEqual(l, r) =>
-        for (n <- tsName(l); v <- litMs(r))
-          uppers(n) = math.min(uppers.getOrElse(n, Long.MaxValue), v)
+        for (n <- tsName(l); v <- litMs(r)) upper(n, v)
+        for (n <- tsName(r); v <- litMs(l)) lower(n, v)
       case LessThan(l, r) =>
-        for (n <- tsName(l); v <- litMs(r))
-          uppers(n) = math.min(uppers.getOrElse(n, Long.MaxValue), v)
-      case _ => ()
+        for (n <- tsName(l); v <- litMs(r)) upper(n, v)
+        for (n <- tsName(r); v <- litMs(l)) lower(n, v)
+      case _ => () // OR/NOT/other: no range contribution
     }
     plans.foreach(_.foreach {
       case Filter(cond, _) => visit(cond)

@@ -990,8 +990,11 @@ final class TsdbEngine(
     val tsColumns: Set[String] = tables.filter(referenced.contains)
       .map(n => catalog.get(n).timestampKey).toSet
     // read block list + query rules on the parsed plans (proxy-layer
-    // try_limit twin — every SQL-serving protocol funnels through here)
-    limiter.checkQuery(referenced.intersect(tableSet), tsColumns, plans)
+    // try_limit twin — every SQL-serving protocol funnels through here).
+    // CTE names shadow tables like in every validator above: a CTE named
+    // after a blocked table never touches the engine table.
+    limiter.checkQuery(
+      referenced.filterNot(isCte).intersect(tableSet), tsColumns, plans)
     GraftBridge.ofRows(spark, EpochMillisRewrite(plan, tsColumns))
   }
 

@@ -20,16 +20,16 @@ import org.apache.spark.sql.types._
   *      bucket both sides when the join repeats (see
   *      [[Colocate.bucketedEquiJoin]]).
   *
-  * Row-size estimation is a DETERMINISTIC distributed sample: rows whose
-  * md5 draw on the join key (`md5(k || ":jasample") % 100 < samplePct`,
-  * the q258/q135 portable-hash convention) contribute their typed byte
-  * size (fixed width per numeric/temporal type, length+4 for
-  * string/binary, 1 for NULL — all engine-replayable SQL), and the
-  * integer-division average scales by the exact row count. One aggregate
-  * job per side, no driver-side row collection, identical on every run /
-  * partitioning / engine — which is what lets the battery hash-check the
-  * report (q259). Empty sample (tiny inputs) falls back to the full-table
-  * average; empty side → (0, 0).
+  * Row-size estimation is an EXACT distributed sum of typed per-row byte
+  * sizes (fixed width per numeric/temporal type, length+4 for
+  * string/binary, element-count-scaled for arrays, 1 for NULL — all
+  * engine-replayable SQL) computed in the same aggregate as the row
+  * count: one job per side, no driver-side row collection, identical on
+  * every run / partitioning / engine — which is what lets the battery
+  * hash-check the report (q259). (An earlier md5-sampled variant ran the
+  * byte expression over every row anyway — same scan, noisier answer —
+  * so the sample was pure overhead; at 100 TB the right lever is
+  * sampling PARTITIONS at the scan, not rows after it.)
   */
 object JoinAdvisor {
 
@@ -53,6 +53,10 @@ object JoinAdvisor {
         case IntegerType | FloatType | DateType => lit(4L)
         case ShortType => lit(2L)
         case BooleanType | ByteType => lit(1L)
+        // arrays dominate embedding-bearing tables: element-count scaled
+        // (a flat 8 would under-count a 128-float vector ~100x and could
+        // emit broadcast advice for a side that cannot be broadcast)
+        case _: ArrayType => size(c).cast("long") * 8L + lit(4L)
         case _ => lit(8L) // nested/decimal: flat estimate
       }
       when(c.isNull, lit(1L)).otherwise(sz)
@@ -60,23 +64,12 @@ object JoinAdvisor {
 
   def advise(
       left: DataFrame, right: DataFrame, key: String,
-      broadcastBytes: Long = 64L << 20, saltAbove: Long = 400L,
-      samplePct: Int = 5): Advice = {
+      broadcastBytes: Long = 64L << 20, saltAbove: Long = 400L): Advice = {
     def sizeEst(df: DataFrame): (Long, Long) = {
-      val inSample = graft.pipeline.TextAnalysis.sampleBucket(
-        concat(col(key).cast("string"), lit(":jasample")), 100) < samplePct
-      val b = rowBytesCol(df)
       val r = df.agg(
         count(lit(1)).as("n"),
-        coalesce(sum(when(inSample, b)), lit(0L)).as("sb"),
-        coalesce(sum(when(inSample, lit(1L))), lit(0L)).as("sn"),
-        coalesce(sum(b), lit(0L)).as("tb")).head()
-      val (n, sb, sn, tb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-      if (n == 0) (0L, 0L)
-      else {
-        val avg = if (sn > 0) sb / sn else tb / n
-        (n, n * avg)
-      }
+        coalesce(sum(rowBytesCol(df)), lit(0L)).as("tb")).head()
+      (r.getLong(0), r.getLong(1))
     }
     val (nl, bl) = sizeEst(left)
     val (nr, br) = sizeEst(right)

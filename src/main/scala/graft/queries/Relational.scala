@@ -419,11 +419,10 @@ object Relational {
     // ---- join-strategy advisor (operators/JoinAdvisor): the skew +
     //      cardinality reports composed into the broadcast/salt/shuffle
     //      decision with its justifying numbers. Hash-checked since
-    //      round 6: the byte estimate is a deterministic md5-keyed
-    //      sample (q258 convention) over typed per-row sizes, so the
-    //      oracle replays the WHOLE decision — sample draw, integer-avg
-    //      bytes, skew_x100, exact join cardinality, decision table
-    //      (decision-table branches additionally spec'd in OperatorsSpec).
+    //      round 6: the byte sizes are an EXACT typed per-row sum, so the
+    //      oracle replays the WHOLE decision — byte math, skew_x100,
+    //      exact join cardinality, decision table (decision-table
+    //      branches additionally spec'd in OperatorsSpec).
     GraftQuery("q259_join_advice",
       Some("""WITH l AS (SELECT l_orderkey AS k,
              |   (CASE WHEN l_orderkey IS NULL THEN 1 ELSE 8 END
@@ -446,16 +445,8 @@ object Relational {
              |  + CASE WHEN o_orderdate IS NULL THEN 1 ELSE 8 END
              |  + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE length(o_orderpriority) + 4 END)::BIGINT AS b
              |  FROM orders),
-             |le AS (SELECT count(*) AS n,
-             |    coalesce(sum(CASE WHEN smp THEN b END), 0) AS sb,
-             |    coalesce(sum(CASE WHEN smp THEN 1 END), 0) AS sn,
-             |    coalesce(sum(b), 0) AS tb
-             |  FROM (SELECT b, ('0x' || substr(md5(k::VARCHAR || ':jasample'), 1, 8))::BIGINT % 100 < 5 AS smp FROM l)),
-             |re AS (SELECT count(*) AS n,
-             |    coalesce(sum(CASE WHEN smp THEN b END), 0) AS sb,
-             |    coalesce(sum(CASE WHEN smp THEN 1 END), 0) AS sn,
-             |    coalesce(sum(b), 0) AS tb
-             |  FROM (SELECT b, ('0x' || substr(md5(k::VARCHAR || ':jasample'), 1, 8))::BIGINT % 100 < 5 AS smp FROM r)),
+             |le AS (SELECT count(*) AS n, coalesce(sum(b), 0) AS tb FROM l),
+             |re AS (SELECT count(*) AS n, coalesce(sum(b), 0) AS tb FROM r),
              |sk AS (SELECT
              |    (SELECT (max(c) * 100 * count(*)) // sum(c)
              |     FROM (SELECT count(*) AS c FROM l GROUP BY k)) AS sl,
@@ -465,8 +456,7 @@ object Relational {
              |  FROM (SELECT k, count(*) AS na FROM l GROUP BY 1) a
              |  JOIN (SELECT k, count(*) AS nb FROM r GROUP BY 1) b USING (k)),
              |fin AS (SELECT le.n AS rows_left, re.n AS rows_right,
-             |    le.n * (CASE WHEN le.sn > 0 THEN le.sb // le.sn ELSE le.tb // le.n END) AS bl,
-             |    re.n * (CASE WHEN re.sn > 0 THEN re.sb // re.sn ELSE re.tb // re.n END) AS br,
+             |    le.tb AS bl, re.tb AS br,
              |    sk.sl AS sl, sk.sr AS sr, jr.join_rows AS join_rows
              |  FROM le, re, sk, jr)
              |SELECT

@@ -225,22 +225,32 @@ object HttpApi {
       resolve: String => graft.promql.PromQL.SeriesTable,
       query: String, timeMs: Long, lookbackMs: Long = 300000L): String =
     try {
-      val kind = if (bareRangeSelectorRe.findFirstIn(query.trim).isDefined)
-        "matrix" else "vector"
+      // decide the result kind from the PARSED expr, not a re-lex of the
+      // string — `m[5m] offset 1m` and whitespace variants must take the
+      // matrix path too, or the vector rendering silently keeps only the
+      // newest raw sample per series
+      val kind = graft.promql.PromQL.parse(query) match {
+        case graft.promql.VectorSelector(sel)
+            if sel.rangeMs.isDefined && sel.atMs.isEmpty => "matrix"
+        case _ => "vector"
+      }
       promPayload(
         graft.promql.PromQL.eval(spark, resolve, query,
           graft.promql.EvalParams(timeMs, timeMs, 1L, lookbackMs)),
         query, kind)
     } catch { case e: Throwable => promError(e) }
 
-  private val bareRangeSelectorRe =
-    """^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[^}]*\})?\[[0-9]+(ms|s|m|h|d|w)\]$""".r
-
   private def promPayload(df: DataFrame, query: String, kind: String): String = {
-    val bareSelector =
-      """^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[^}]*\})?(\[[0-9]+(ms|s|m|h|d|w)\])?$""".r
-        .findFirstIn(query.trim).isDefined
-    val metricName = query.trim.takeWhile(c => c != '{' && c != '[').trim
+    // bare selector → attach __name__ (Prometheus drops it for any
+    // function/aggregation). AST-based: offset/@ suffixes and whitespace
+    // are selectors too, which a string regex missed.
+    val bareMetric: Option[String] =
+      try graft.promql.PromQL.parse(query) match {
+        case graft.promql.VectorSelector(sel) => Some(sel.metric)
+        case _ => None
+      } catch { case _: Throwable => None }
+    val bareSelector = bareMetric.isDefined
+    val metricName = bareMetric.getOrElse("")
     val names = df.schema.fieldNames
     val labelCols = names.filterNot(n => n == "ts" || n == "value")
     val tsIdx = names.indexOf("ts"); val vIdx = names.indexOf("value")

@@ -277,31 +277,39 @@ final class GraftHttpServer(engine: TsdbEngine, port: Int = 0) {
   // live thread's stack for the window (20 Hz) and answers a flat text
   // profile of top-frame sample counts — the same "where is time going"
   // answer, tool-free.
+  // one profile at a time: the sample loop parks a handler-pool thread
+  // for the whole window, and the pool is small — concurrent profiles
+  // must not starve /sql or /admin/block (the un-block path)
+  private val profilePermit = new java.util.concurrent.Semaphore(1)
   route("/debug/profile/cpu/") { x =>
     val raw = x.getRequestURI.getPath.stripPrefix("/debug/profile/cpu/")
     raw.toLongOption match {
       case Some(n) if n > 0 =>
-        val windowMs = math.min(n, 30L) * 1000L
-        val counts = new java.util.HashMap[String, Long]()
-        val deadline = System.currentTimeMillis() + windowMs
-        var samples = 0
-        while (System.currentTimeMillis() < deadline) {
-          val stacks = Thread.getAllStackTraces
-          stacks.forEach { (t, frames) =>
-            if (t.getState == Thread.State.RUNNABLE && frames.nonEmpty) {
-              val top = frames(0)
-              counts.merge(s"${top.getClassName}.${top.getMethodName}", 1L, _ + _)
+        if (!profilePermit.tryAcquire())
+          json(x, """{"code":429,"message":"a profile is already running"}""", 429)
+        else try {
+          val windowMs = math.min(n, 30L) * 1000L
+          val counts = new java.util.HashMap[String, Long]()
+          val deadline = System.currentTimeMillis() + windowMs
+          var samples = 0
+          while (System.currentTimeMillis() < deadline) {
+            val stacks = Thread.getAllStackTraces
+            stacks.forEach { (t, frames) =>
+              if (t.getState == Thread.State.RUNNABLE && frames.nonEmpty) {
+                val top = frames(0)
+                counts.merge(s"${top.getClassName}.${top.getMethodName}", 1L, _ + _)
+              }
             }
+            samples += 1
+            Thread.sleep(50)
           }
-          samples += 1
-          Thread.sleep(50)
-        }
-        val sb = new StringBuilder(s"cpu profile: $samples samples over ${windowMs / 1000}s\n")
-        import scala.jdk.CollectionConverters._
-        counts.asScala.toSeq.sortBy(-_._2).take(50).foreach { case (f, c) =>
-          sb.append(s"$c $f\n")
-        }
-        respond(x, 200, sb.toString.getBytes(UTF_8), "text/plain")
+          val sb = new StringBuilder(s"cpu profile: $samples samples over ${windowMs / 1000}s\n")
+          import scala.jdk.CollectionConverters._
+          counts.asScala.toSeq.sortBy(-_._2).take(50).foreach { case (f, c) =>
+            sb.append(s"$c $f\n")
+          }
+          respond(x, 200, sb.toString.getBytes(UTF_8), "text/plain")
+        } finally profilePermit.release()
       case _ =>
         json(x, s"""{"code":400,"message":${jstr(s"invalid seconds: $raw")}}""", 400)
     }

@@ -95,12 +95,26 @@ class LimiterSpec extends SparkSpec {
     intercept[BlockedException](e.execute(
       "SELECT count(*) FROM lim_t WHERE timestamp >= 1704067200000 " +
         "AND timestamp <= 1704074400000"))
+    // literal-on-left operand order must not evade the cap
+    intercept[BlockedException](e.execute(
+      "SELECT count(*) FROM lim_t WHERE 1704067200000 <= timestamp " +
+        "AND timestamp <= 1704074400000"))
     // 30m → passes
     e.execute("SELECT count(*) FROM lim_t WHERE timestamp >= 1704067200000 " +
       "AND timestamp <= 1704069000000").collect()
     // unbounded passes (reference: range None is not limited)
     e.execute("SELECT count(*) FROM lim_t WHERE host = 'h1'").collect()
+    // an OR of one-sided bounds is a tautology (unbounded) — its
+    // disjuncts must NOT be conflated into a bounded 2h range
+    e.execute("SELECT count(*) FROM lim_t WHERE timestamp >= 1704067200000 " +
+      "OR timestamp <= 1704074400000").collect()
     e.limiter.removeRules(Seq(QueryRange(3600000L)))
+
+    // a CTE shadowing a blocked table name never touches the engine table
+    e.limiter.addReadBlock(Seq("lim_t"))
+    assert(e.execute("WITH lim_t AS (SELECT 1 AS x) SELECT count(*) AS n FROM lim_t")
+      .collect().head.getLong(0) == 1L)
+    e.limiter.removeReadBlock(Seq("lim_t"))
   }
 
   test("POST /admin/block edits the live limiter (Add/Set/Remove)") {
