@@ -419,4 +419,71 @@ class ConcurrencySpec extends SparkSpec {
     val (gen, _) = engine.catalog.compactionState("cc_t")
     assert(gen >= 2, s"expected several generations, got $gen")
   }
+
+  /** Overwrite-mode dedup racing compaction: writers keep REWRITING the
+    * same primary keys while the compactor repeatedly rewrites history
+    * below its sequence floor. Newest-sequence-wins must hold at every
+    * read and at the end — a reader may never observe an older version
+    * resurrected by a concurrent rewrite. */
+  test("overwrite dedup holds while compaction races re-writers") {
+    import org.apache.spark.sql.functions.col
+    val engine = new TsdbEngine(spark, tmpDir("conc-ow"))
+    engine.execute("CREATE TABLE ow_t (timestamp TIMESTAMP NOT NULL TIMESTAMP KEY, " +
+      "host STRING TAG, v BIGINT) WITH (update_mode = 'overwrite')")
+    val failure = new AtomicReference[Throwable](null)
+    val start = new CountDownLatch(1)
+    val writerDone = new CountDownLatch(1)
+    def thread(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() => {
+        start.await()
+        try body catch { case e: Throwable => failure.compareAndSet(null, e) }
+      }, name)
+      t.start(); t
+    }
+    import spark.implicits._
+    val t0 = 1704067200000L
+    val hosts = 5
+    val rounds = 10
+
+    // each round rewrites the SAME (ts, host) keys with v = round
+    val wa = thread("rewriter") {
+      try {
+        for (r <- 1 to rounds) {
+          val df = (0 until hosts)
+            .map(h => (t0, s"h$h", r.toLong))
+            .toDF("ms", "host", "v")
+            .select(org.apache.spark.sql.functions.expr("timestamp_micros(ms * 1000)").as("timestamp"),
+              col("host"), col("v"))
+          engine.append("ow_t", df)
+        }
+      } finally writerDone.countDown()
+    }
+    val cp = thread("compactor") {
+      while (writerDone.getCount > 0) engine.compact("ow_t")
+      engine.compact("ow_t")
+    }
+    val rd = thread("reader") {
+      var lastMin = 0L
+      while (writerDone.getCount > 0) {
+        val rows = engine.read("ow_t").select("host", "v")
+          .as[(String, Long)].collect()
+        // exactly one version per key, and versions never move backwards
+        assert(rows.map(_._1).distinct.length == rows.length,
+          s"duplicate keys visible: ${rows.toSeq}")
+        if (rows.nonEmpty) {
+          val minV = rows.map(_._2).min
+          assert(minV >= lastMin, s"version went backwards: $lastMin -> $minV")
+          lastMin = minV
+        }
+      }
+    }
+
+    start.countDown()
+    Seq(wa, cp, rd).foreach(_.join(TimeUnit.MINUTES.toMillis(5)))
+    if (failure.get() != null) throw failure.get()
+
+    val fin = engine.read("ow_t").select("host", "v")
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(fin == (0 until hosts).map(h => (s"h$h", rounds.toLong)), fin.toString)
+  }
 }
