@@ -593,6 +593,61 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_pairs"))
       }),
 
+    // ---- MinHash near-dup DECONTAMINATION (round 6): corpus docs that
+    //      are paraphrase-level near-dups of a benchmark item — the
+    //      lexical middle ground between exact n-gram (q80) and
+    //      embedding-cosine (q263) contamination. Bench side broadcasts;
+    //      candidates are band-bucket collisions only. The oracle replays
+    //      the ENTIRE two-sided pipeline with the q55 md5-portable
+    //      machinery; summary is order-free integers.
+    GraftQuery("q285_near_dup_decontaminate",
+      Some("""WITH allv AS (
+             |  SELECT CASE WHEN doc_id % 7 = 0 THEN 'b' ELSE 'c' END AS sd,
+             |    doc_id, text FROM documents),
+             |t AS (SELECT sd, doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM allv),
+             |sh AS (
+             |  SELECT sd, doc_id, toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
+             |  FROM t, unnest(generate_series(1, len(toks) - 2)) i(i)
+             |  WHERE len(toks) >= 3
+             |  UNION
+             |  SELECT sd, doc_id, array_to_string(toks, ' ') FROM t WHERE len(toks) < 3),
+             |hs AS (SELECT sd, doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+             |co AS (SELECT j.j,
+             |    2 * ('0x' || substr(md5('mh:a:' || j.j), 1, 7))::BIGINT + 1 AS a,
+             |    ('0x' || substr(md5('mh:b:' || j.j), 1, 15))::BIGINT AS b
+             |  FROM generate_series(0, 63) j(j)),
+             |mins AS (SELECT sd, doc_id, j,
+             |    min((a::HUGEINT * h + b) % 18446744073709551616) AS m
+             |  FROM hs CROSS JOIN co GROUP BY sd, doc_id, j),
+             |bk AS (SELECT sd, doc_id, j // 4 AS band,
+             |    md5(string_agg(m::VARCHAR, ',' ORDER BY j)) AS key
+             |  FROM mins GROUP BY sd, doc_id, j // 4),
+             |cand AS (SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+             |  FROM bk c JOIN bk b ON c.band = b.band AND c.key = b.key
+             |  WHERE c.sd = 'c' AND b.sd = 'b'),
+             |sl AS (SELECT sd, doc_id, list(s) AS l FROM sh GROUP BY sd, doc_id),
+             |ver AS (SELECT cid, bid,
+             |    len(list_intersect(sc.l, sb.l))::DOUBLE
+             |      / len(list_distinct(list_concat(sc.l, sb.l))) AS jac
+             |  FROM cand JOIN sl sc ON sc.sd = 'c' AND sc.doc_id = cid
+             |    JOIN sl sb ON sb.sd = 'b' AND sb.doc_id = bid)
+             |SELECT count(*)::BIGINT AS n_pairs,
+             |  count(DISTINCT cid)::BIGINT AS n_contaminated,
+             |  coalesce(sum(CAST(round(jac * 10000) AS BIGINT)), 0)::BIGINT
+             |    AS sum_jaccard_bp
+             |FROM ver WHERE jac >= 0.8""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Decontaminate.nearDupContaminated(
+            docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("doc_id")).as("n_contaminated"),
+            coalesce(sum(round(col("jaccard") * 10000).cast("long")), lit(0L))
+              .as("sum_jaccard_bp"))
+      }),
+
     // ---- MinHash-LSH near-dup (exact-vs-LSH recall in PipelineSpec).
     //      Hash-checked since round 5: the md5-portable minhash family
     //      (functions/MinHash.scala scaladoc) lets the oracle replay the

@@ -71,6 +71,39 @@ class PipelineSpec extends SparkSpec {
       plan.contains("broadcast"), plan)
   }
 
+  test("near-dup decontamination: verbatim + small-edit leak flagged, unrelated not") {
+    import graft.pipeline.Decontaminate
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val smallEdit = ((1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i")).mkString(" ")
+    val corpus = Seq(
+      (10L, base),                 // verbatim copy of bench item 1
+      (11L, smallEdit),            // paraphrase-level: one token changed
+      (12L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, base)).toDF("bench_id", "btext")
+    val out = Decontaminate.nearDupContaminated(
+        corpus, "doc_id", "text", bench, "bench_id", "btext")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(10L, 11L), out.toString)
+    assert(out(10L) == 1.0, out.toString)
+    // one changed token kills the 3 shingles through position 20:
+    // 35 shared / 41 union = 0.8537
+    assert(out(11L) > 0.8 && out(11L) < 1.0, out.toString)
+
+    // scale shape: the bench side broadcasts in BOTH the candidate and
+    // the verify joins; corpus text never shuffles
+    val plan = Decontaminate.nearDupContaminated(
+        corpus, "doc_id", "text", bench, "bench_id", "btext")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+
+    // empty benchmark: no rows, no failure
+    assert(Decontaminate.nearDupContaminated(
+      corpus, "doc_id", "text", bench.filter(lit(false)), "bench_id", "btext")
+      .collect().isEmpty)
+  }
+
   test("bloom decontamination: bit-identical to exact, prefilter in the plan") {
     import graft.pipeline.Decontaminate
     val docs = Tables.t(spark, dir, "documents")
