@@ -193,6 +193,58 @@ final class TsdbEngine(
         max(col(s.timestampKey)).as("max_ts"))
   }
 
+  /** Per-SST-file metadata report — the standalone twin of the
+    * reference's `sst-metadata` tool (`tools/src/sst_util.rs` +
+    * `tools/src/bin/sst-metadata.rs`: per-file rows, size, time range
+    * read from parquet footers). One distributed pass: rows/ts/seq
+    * ranges group by `input_file_name()`, file sizes join in from a
+    * driver-side directory listing (O(files) metadata, no data read for
+    * sizes). Columns: file (relative to the table dir), segment (-1
+    * when unsegmented), n_rows, bytes, min_ts, max_ts, min_seq,
+    * max_seq. The operational "what is on disk" view that pairs with
+    * small-file compaction. */
+  def sstMetadata(name: String): DataFrame = {
+    val s = catalog.get(name)
+    val dir = java.nio.file.Paths.get(catalog.dataDir(s.name))
+    val sizes: Seq[(String, Long)] =
+      if (!java.nio.file.Files.exists(dir)) Nil
+      else {
+        val st = java.nio.file.Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet"))
+            .map(p => (dir.relativize(p).toString, java.nio.file.Files.size(p)))
+            .toSeq
+        } finally st.close()
+      }
+    val spark0 = spark
+    import spark0.implicits._
+    val sizeDf = sizes.toDF("file", "bytes")
+    val segCol =
+      if (s.options.segmentMillis.isDefined) col(TableSchema.SegmentColumn)
+      else lit(-1L)
+    // input_file_name() is a file: URI with a variable number of slashes;
+    // normalize to a plain absolute path before stripping the table dir
+    val perFile = readStorage(s)
+      .groupBy(expr(
+        s"substring(regexp_replace(input_file_name(), '^file:/+', '/'), " +
+          s"length('${dir.toString}') + 2)")
+        .as("file"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(s.timestampKey)).as("min_ts"),
+        max(col(s.timestampKey)).as("max_ts"),
+        min(col(TableSchema.SeqColumn)).as("min_seq"),
+        max(col(TableSchema.SeqColumn)).as("max_seq"),
+        // partition-dir values read back as int — pin the column type
+        first(segCol).cast("long").as("segment"))
+    perFile.join(sizeDf, Seq("file"), "left")
+      .select(col("file"), col("segment"), col("n_rows"),
+        coalesce(col("bytes"), lit(-1L)).as("bytes"),
+        col("min_ts"), col("max_ts"), col("min_seq"), col("max_seq"))
+  }
+
   /** Row-level diff between two ingest-sequence snapshots of a table:
     * every primary key present in either snapshot, labeled `added`
     * (absent at `s0`), `removed` (absent at `s1` — possible on append

@@ -244,6 +244,31 @@ final class GraftHttpServer(engine: TsdbEngine, port: Int = 0) {
     respond(x, 200, sb.toString.getBytes(UTF_8), "text/plain")
   }
 
+  // GET /debug/sst_metadata/{table}: the reference's `sst-metadata` CLI
+  // (tools/src/bin/sst-metadata.rs — per-SST rows/size/time range from
+  // parquet footers) served as a debug route: one JSON row per data file
+  route("/debug/sst_metadata/") { x =>
+    val t = java.net.URLDecoder.decode(
+      x.getRequestURI.getPath.stripPrefix("/debug/sst_metadata/"), UTF_8)
+    if (!engine.catalog.exists(t))
+      json(x, s"""{"code":404,"message":${jstr(s"table not found: $t")}}""", 404)
+    else {
+      val rows = engine.sstMetadata(t)
+        .orderBy("segment", "file").collect()
+      val body = rows.map { r =>
+        s"""{"file":${jstr(r.getAs[String]("file"))},""" +
+          s""""segment":${r.getAs[Long]("segment")},""" +
+          s""""n_rows":${r.getAs[Long]("n_rows")},""" +
+          s""""bytes":${r.getAs[Long]("bytes")},""" +
+          s""""min_ts":${r.getAs[java.sql.Timestamp]("min_ts").getTime},""" +
+          s""""max_ts":${r.getAs[java.sql.Timestamp]("max_ts").getTime},""" +
+          s""""min_seq":${r.getAs[Long]("min_seq")},""" +
+          s""""max_seq":${r.getAs[Long]("max_seq")}}"""
+      }.mkString("""{"files":[""", ",", "]}")
+      json(x, body)
+    }
+  }
+
   // PUT /debug/log_level/{level} (http.rs:640): runtime log-level switch —
   // mapped onto the Spark context's log level
   route("/debug/log_level/") { x =>

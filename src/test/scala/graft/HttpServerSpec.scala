@@ -227,6 +227,13 @@ class HttpServerSpec extends SparkSpec {
       assert(wal.statusCode() == 200 &&
         wal.body().contains("[Data wal stats]") &&
         wal.body().contains("next_seq="), wal.body())
+      // sst-metadata tool twin: per-file rows/bytes for the cpu table
+      val sst = mapper.readTree(get(s"$base/debug/sst_metadata/cpu").body())
+      assert(sst.get("files").size() >= 1)
+      val f0 = sst.get("files").get(0)
+      assert(f0.get("n_rows").asLong() >= 1L && f0.get("bytes").asLong() > 0L &&
+        f0.get("file").asText().endsWith(".parquet"), f0.toString)
+      assert(get(s"$base/debug/sst_metadata/ghost").statusCode() == 404)
       val lvl = client.send(HttpRequest.newBuilder(
           URI.create(s"$base/debug/log_level/warn"))
           .PUT(HttpRequest.BodyPublishers.noBody()).build(),

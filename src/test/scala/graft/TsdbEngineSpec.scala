@@ -853,4 +853,33 @@ class TsdbEngineSpec extends SparkSpec {
     assert(got == Set(("a", 1L, "updated"), ("b", 2L, "unchanged"),
       ("c", 3L, "added")), got.toString)
   }
+
+  test("sst metadata report: per-file rows/bytes/ranges, survives compaction") {
+    val e = engine()
+    e.execute(
+      """CREATE TABLE sm (ts timestamp NOT NULL, v double, timestamp KEY(ts))
+        | ENGINE=Analytic WITH(segment_duration='2h', enable_ttl='false')""".stripMargin)
+    // two appends across two 2h segments -> >= 2 files, 2 ingest seqs
+    e.execute("INSERT INTO sm (ts, v) VALUES (0, 1.0), (3600000, 2.0), (7200000, 3.0)")
+    e.execute("INSERT INTO sm (ts, v) VALUES (1800000, 4.0)")
+    val rep = e.sstMetadata("sm").collect()
+    assert(rep.nonEmpty)
+    assert(rep.map(_.getAs[Long]("n_rows")).sum == 4L, rep.mkString("; "))
+    assert(rep.forall(_.getAs[Long]("bytes") > 0L), "sizes must resolve")
+    assert(rep.forall(r => !r.getAs[String]("file").startsWith("/")),
+      "files must be table-dir relative")
+    assert(rep.map(_.getAs[Long]("segment")).toSet == Set(0L, 1L))
+    val seg0 = rep.filter(_.getAs[Long]("segment") == 0L)
+    assert(seg0.map(_.getAs[Long]("n_rows")).sum == 3L)
+    // seq range covers both ingests before compaction
+    assert(rep.map(_.getAs[Long]("min_seq")).min == 0L &&
+      rep.map(_.getAs[Long]("max_seq")).max == 1L)
+    // compaction rewrites the layout; rows and time ranges are preserved
+    e.compact("sm")
+    val rep2 = e.sstMetadata("sm").collect()
+    assert(rep2.map(_.getAs[Long]("n_rows")).sum == 4L)
+    assert(rep2.map(_.getAs[java.sql.Timestamp]("min_ts").getTime).min == 0L)
+    assert(rep2.map(_.getAs[java.sql.Timestamp]("max_ts").getTime).max == 7200000L)
+    assert(rep2.forall(_.getAs[Long]("bytes") > 0L))
+  }
 }
