@@ -424,4 +424,51 @@ object SeriesStats {
           .as("max_late_us"))
       .withColumn("late_bp", expr("(10000 * n_late) div n_points"))
   }
+
+  /** SAX motif discovery (Lin et al. 2003, "A Symbolic Representation of
+    * Time Series"): each series is discretized into an `alphabet`-symbol
+    * string — here per POINT against the series' own [min, max] span
+    * rather than PAA-mean buckets, so symbol assignment is single-value
+    * IEEE arithmetic (bit-identical in any engine; a mean would make bin
+    * edges depend on float summation order) — and every `wordLen`-point
+    * sliding window becomes a word. Words recurring in two or more
+    * DISTINCT series are the motifs: shared shapes (sawtooth resets,
+    * load ramps, burst-decay) that cross-series alerting keys on.
+    *
+    * Output: one row per motif word — (word, n_series, n_occurrences).
+    *
+    * Scale shape: min/max are order-insensitive exact aggregates over the
+    * series key (map-side combined, broadcast back); symbolization is
+    * map-only; the sliding word is a per-series lead() window (keyed
+    * shuffle, never global); the motif rollup keys on the word. Driver
+    * state: none.
+    */
+  def saxMotifs(
+      df: DataFrame, seriesCol: Column, tsCol: String, valueCol: String,
+      idCol: String, alphabet: Int = 4, wordLen: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(seriesCol.as("series"), col(tsCol).as("__ts"),
+      col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))
+    val span = pts.groupBy("series")
+      .agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    val w = Window.partitionBy("series").orderBy(col("__ts"), col("__id"))
+    val sym = pts.join(broadcast(span), "series")
+      .withColumn("__sym",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(lit(alphabet - 1).cast("long"),
+            floor((col("__v") - col("__lo")) * alphabet /
+              (col("__hi") - col("__lo"))))))
+    val word = concat_ws("",
+      (0 until wordLen).map(i =>
+        if (i == 0) col("__sym") else lead(col("__sym"), i).over(w)): _*)
+    sym.withColumn("__word", word)
+      // the trailing wordLen-1 points of each series have no full window:
+      // their concat_ws silently skipped the null leads, leaving a short
+      // word — drop by length, not null checks
+      .filter(length(col("__word")) === wordLen)
+      .groupBy(col("__word").as("word"))
+      .agg(countDistinct(col("series")).as("n_series"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_series") >= 2)
+  }
 }

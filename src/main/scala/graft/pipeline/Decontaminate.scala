@@ -149,6 +149,54 @@ object Decontaminate {
       .withColumn("repeated_frac", col("n_repeated") / col("n_grams"))
   }
 
+  /** Multi-benchmark contamination MATRIX: [[contaminated]] generalized to
+    * many eval suites and several n-gram sizes at once — the per-release
+    * report a data card actually publishes ("X% of the corpus shares a
+    * 13-gram with MMLU, Y% a 5-gram with GSM8K"), GPT-3 appendix-C style
+    * where each benchmark gets its own overlap rate rather than one
+    * merged bench set.
+    *
+    * Output: one row per (benchmark, ngram_n) — guaranteed present even
+    * at zero hits — with the contaminated-doc count, corpus size and the
+    * rate in basis points (integer division; all-integer output so the
+    * report is engine-replayable bit-for-bit).
+    *
+    * Scale shape: same as [[contaminated]] — bench gram hashes broadcast
+    * per n, the corpus side is probed map-side where the scan put it, and
+    * the only aggregation keys on (benchmark, doc). The corpus is scanned
+    * once per n-gram size (sizes are few and fixed); nothing scales with
+    * corpus size except the map work.
+    */
+  def contaminationMatrix(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchKeyCol: String, benchTextCol: String,
+      ns: Seq[Int]): DataFrame = {
+    val spark = docs.sparkSession
+    val nDocs = docs.count()
+    val benchKeys = bench.select(col(benchKeyCol).as("benchmark")).distinct()
+    val perN = ns.map { n =>
+      val benchGrams = gramRows(
+          bench, Seq(col(benchKeyCol).as("benchmark")), col(benchTextCol), n)
+        .distinct()
+      gramRows(docs, Seq(col(idCol)), col(textCol), n)
+        // inner broadcast join (not semi: the benchmark key must survive),
+        // then distinct (benchmark, doc) — a doc hitting many grams of one
+        // suite still counts once
+        .join(broadcast(benchGrams), Seq("__g"))
+        .select(col("benchmark"), col(idCol)).distinct()
+        .groupBy("benchmark").agg(count(lit(1)).as("n_contaminated"))
+        .withColumn("ngram_n", lit(n.toLong))
+    }.reduce(_ unionByName _)
+    benchKeys.crossJoin(
+        spark.createDataFrame(ns.map(n => Tuple1(n.toLong))).toDF("ngram_n"))
+      .join(perN, Seq("benchmark", "ngram_n"), "left")
+      .select(col("benchmark"), col("ngram_n"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        lit(nDocs).as("n_docs"),
+        (coalesce(col("n_contaminated"), lit(0L)) * 10000 / nDocs)
+          .cast("long").as("rate_bp"))
+  }
+
   /** SEMANTIC decontamination: training vectors whose embedding is
     * near-identical to any benchmark/test vector (paraphrased test
     * leakage that n-gram overlap misses — the embedding-space

@@ -38,4 +38,57 @@ object Mixing {
     df.join(broadcast(rates), keyCol).filter(u < col("__rate"))
       .drop("__rate")
   }
+
+  /** Data-constrained epoch allocation (the "how many times may each
+    * source repeat" planner, Muennighoff et al. 2023): split a total
+    * token budget across sources by weight, cap every source at
+    * `maxEpochsBp`/10000 epochs of its available tokens (past ~4 epochs
+    * repeated data stops helping), and redistribute the capped surplus to
+    * sources with headroom in ONE deterministic round (weight-
+    * proportional, integer division — a fixed point would iterate, but
+    * one round already reclaims the bulk and keeps the plan
+    * engine-replayable bit-for-bit).
+    *
+    * Input: one row per key with its available token count (`tokensCol`)
+    * and sampling weight (`weightCol` — any deterministic integer
+    * expression). Output per key: n_tokens, weight, target_alloc (pre-cap
+    * weight share), final_alloc (post-cap + one redistribution),
+    * epochs_bp (final/available in basis points). All integers.
+    *
+    * Scale shape: operates on the per-source histogram (key-domain-sized,
+    * thousands at most), with two broadcast totals — the corpus itself is
+    * aggregated once upstream by the caller. Driver state is O(1).
+    */
+  def epochAllocation(
+      perKey: DataFrame, keyCol: String, tokensCol: String,
+      weightCol: org.apache.spark.sql.Column,
+      budget: Long, maxEpochsBp: Int = 20000): DataFrame = {
+    val base = perKey.select(
+      col(keyCol), col(tokensCol).cast("long").as("n_tokens"),
+      weightCol.cast("long").as("weight"))
+    val tot = base.agg(sum("weight").as("__w")) // one tiny driver-free total
+    val alloc = base.crossJoin(broadcast(tot))
+      .withColumn("target_alloc",
+        (col("weight").cast("decimal(38,0)") * budget / col("__w"))
+          .cast("long"))
+      .withColumn("__cap",
+        (col("n_tokens").cast("decimal(38,0)") * maxEpochsBp / 10000)
+          .cast("long"))
+      .withColumn("__first", least(col("target_alloc"), col("__cap")))
+    // one redistribution round: surplus flows to keys with headroom,
+    // weight-proportionally, re-capped
+    val tot2 = alloc.agg(
+      sum(col("target_alloc") - col("__first")).as("__surplus"),
+      sum(when(col("__first") < col("__cap"), col("weight"))
+        .otherwise(0L)).as("__w2"))
+    alloc.crossJoin(broadcast(tot2))
+      .withColumn("final_alloc", least(col("__cap"),
+        col("__first") + when(col("__first") < col("__cap") && col("__w2") > 0,
+          (col("weight").cast("decimal(38,0)") * col("__surplus") / col("__w2"))
+            .cast("long")).otherwise(0L)))
+      .select(col(keyCol), col("n_tokens"), col("weight"),
+        col("target_alloc"), col("final_alloc"),
+        (col("final_alloc").cast("decimal(38,0)") * 10000 / col("n_tokens"))
+          .cast("long").as("epochs_bp"))
+  }
 }

@@ -648,6 +648,130 @@ object PipelineQueries {
               .as("sum_jaccard_bp"))
       }),
 
+    // ---- multi-benchmark contamination MATRIX (round 6): per-(eval
+    //      suite, n-gram size) overlap rates — the data-card report that
+    //      generalizes q80's single-bench check. Two pseudo-benchmarks
+    //      drawn by doc_id residue; corpus excludes both. All-integer
+    //      output, zero-hit rows guaranteed present.
+    GraftQuery("q286_contamination_matrix",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0),
+             |bench AS (
+             |  SELECT 'b11' AS bm, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id % 11 = 0
+             |  UNION ALL
+             |  SELECT 'b13', string_split_regex(trim(lower(text)), '\s+')
+             |  FROM documents WHERE doc_id % 13 = 0),
+             |ns AS (SELECT unnest([5, 13]) AS n),
+             |pos AS (SELECT unnest(generate_series(1,
+             |  (SELECT max(len(string_split_regex(trim(text), '\s+')))
+             |   FROM documents))) AS i),
+             |cg AS (
+             |  SELECT ns.n, c.doc_id,
+             |    array_to_string(c.toks[pos.i : pos.i + ns.n - 1], ' ') AS g
+             |  FROM corpus c CROSS JOIN ns CROSS JOIN pos
+             |  WHERE len(c.toks) >= ns.n AND pos.i <= len(c.toks) - ns.n + 1
+             |  UNION ALL
+             |  SELECT ns.n, c.doc_id, array_to_string(c.toks, ' ')
+             |  FROM corpus c CROSS JOIN ns WHERE len(c.toks) < ns.n),
+             |bg AS (
+             |  SELECT DISTINCT ns.n, b.bm,
+             |    array_to_string(b.toks[pos.i : pos.i + ns.n - 1], ' ') AS g
+             |  FROM bench b CROSS JOIN ns CROSS JOIN pos
+             |  WHERE len(b.toks) >= ns.n AND pos.i <= len(b.toks) - ns.n + 1
+             |  UNION ALL
+             |  SELECT DISTINCT ns.n, b.bm, array_to_string(b.toks, ' ')
+             |  FROM bench b CROSS JOIN ns WHERE len(b.toks) < ns.n),
+             |hits AS (SELECT DISTINCT bg.bm, cg.n, cg.doc_id
+             |  FROM cg JOIN bg ON bg.n = cg.n AND bg.g = cg.g),
+             |tot AS (SELECT count(*) AS n_docs FROM corpus),
+             |hc AS (SELECT bm, n, count(*) AS c FROM hits GROUP BY 1, 2)
+             |SELECT k.bm AS benchmark, ns.n::BIGINT AS ngram_n,
+             |  coalesce(hc.c, 0)::BIGINT AS n_contaminated,
+             |  tot.n_docs::BIGINT AS n_docs,
+             |  (coalesce(hc.c, 0) * 10000 // tot.n_docs)::BIGINT AS rate_bp
+             |FROM (SELECT 'b11' AS bm UNION ALL SELECT 'b13') k
+             |CROSS JOIN ns CROSS JOIN tot
+             |LEFT JOIN hc ON hc.bm = k.bm AND hc.n = ns.n""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(
+          col("doc_id") % 11 =!= 0 && col("doc_id") % 13 =!= 0)
+        val bench = docs.filter(col("doc_id") % 11 === 0)
+          .select(lit("b11").as("benchmark"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select(lit("b13").as("benchmark"), col("text")))
+        Decontaminate.contaminationMatrix(
+          corpus, "doc_id", "text", bench, "benchmark", "text", Seq(5, 13))
+      }),
+
+    // ---- exact tie-aware ROC AUC of a pipeline score (round 6): does
+    //      token-diversity separate English from the rest? The Eval
+    //      machinery is the point — histogram Mann-Whitney with ×2
+    //      integer tie credit, never a per-row sort. One all-integer row.
+    GraftQuery("q287_score_auc",
+      Some("""WITH s AS (SELECT
+             |    (len(list_distinct(string_split_regex(trim(text), '\s+'))) * 10000
+             |      // len(string_split_regex(trim(text), '\s+'))) AS sc,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |h AS (SELECT sc, sum(y) AS np, sum(1 - y) AS nn FROM s GROUP BY 1),
+             |c AS (SELECT sc, np, nn,
+             |    coalesce(sum(nn) OVER (ORDER BY sc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+             |  FROM h)
+             |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+             |  sum(np * (2 * below + nn))::BIGINT AS u_x2,
+             |  (sum(np * (2 * below + nn)) * 10000
+             |    // (sum(np) * sum(nn) * 2))::BIGINT AS auc_bp
+             |FROM c""".stripMargin),
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        graft.pipeline.Eval.binaryAuc(
+          t(s, dir, "documents").select(
+            (size(array_distinct(toks)).cast("long") * 10000 /
+              size(toks).cast("long")).cast("long").as("score"),
+            col("lang")),
+          col("score"), col("lang") === "en")
+      }),
+
+    // ---- data-constrained epoch allocation (round 6): weight-split a
+    //      token budget across sources, cap at 2.0 epochs, redistribute
+    //      the surplus one deterministic round. Integer decision table
+    //      per source — the mixing plan a 100 TB run locks in up front.
+    GraftQuery("q288_epoch_allocation",
+      Some("""WITH d AS (SELECT source,
+             |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS nt
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT source, nt,
+             |    (('0x' || substr(md5(source || ':w'), 1, 8))::BIGINT % 100) + 1 AS wt
+             |  FROM d),
+             |tt AS (SELECT (sum(nt) * 3 // 2) AS b, sum(wt) AS sw FROM w),
+             |a AS (SELECT source, nt, wt, (wt * b // sw) AS ta,
+             |    (nt * 20000 // 10000) AS cap FROM w CROSS JOIN tt),
+             |f AS (SELECT *, least(ta, cap) AS fst FROM a),
+             |t2 AS (SELECT sum(ta - fst) AS surplus,
+             |    sum(CASE WHEN fst < cap THEN wt ELSE 0 END) AS w2 FROM f),
+             |fin AS (SELECT source, nt, wt, ta,
+             |    least(cap, fst + CASE WHEN fst < cap AND w2 > 0
+             |      THEN wt * surplus // w2 ELSE 0 END) AS fa
+             |  FROM f CROSS JOIN t2)
+             |SELECT source, nt::BIGINT AS n_tokens, wt::BIGINT AS weight,
+             |  ta::BIGINT AS target_alloc, fa::BIGINT AS final_alloc,
+             |  (fa * 10000 // nt)::BIGINT AS epochs_bp
+             |FROM fin""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val perSrc = docs.groupBy(col("source"))
+          .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+        val budget = perSrc.agg(sum("n_tokens")).head.getLong(0) * 3 / 2
+        graft.pipeline.Mixing.epochAllocation(
+          perSrc, "source", "n_tokens",
+          sampleBucket(concat(col("source"), lit(":w")), 100) + lit(1L),
+          budget, maxEpochsBp = 20000)
+      }),
+
     // ---- MinHash-LSH near-dup (exact-vs-LSH recall in PipelineSpec).
     //      Hash-checked since round 5: the md5-portable minhash family
     //      (functions/MinHash.scala scaladoc) lets the oracle replay the

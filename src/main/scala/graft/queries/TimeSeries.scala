@@ -898,6 +898,36 @@ object TimeSeries {
       (s, dir) => graft.operators.SeriesStats.latenessReport(
         t(s, dir, "events"), "event_type", "ts", "event_id")),
 
+    // ---- SAX motif discovery (SeriesStats.saxMotifs, round 6): per-point
+    //      4-symbol discretization against each series' own [min,max]
+    //      (single-value IEEE arithmetic — bit-identical across engines,
+    //      unlike PAA means), 6-symbol sliding words via lead(), motifs =
+    //      words recurring in >= 2 distinct series. Series key fans
+    //      event_type out by user_id % 8 so shared shapes must cross
+    //      users, not just rows.
+    GraftQuery("q289_sax_motifs",
+      Some("""WITH p AS (SELECT event_type || '#' || (user_id % 8)::VARCHAR AS series,
+             |    ts, event_id, "value" AS v FROM events),
+             |sp AS (SELECT series, min(v) AS lo, max(v) AS hi FROM p GROUP BY 1),
+             |sym AS (SELECT p.series, ts, event_id,
+             |    CASE WHEN hi = lo THEN 0
+             |      ELSE least(3, floor(((v - lo) * 4) / (hi - lo))::BIGINT) END AS s
+             |  FROM p JOIN sp ON sp.series = p.series),
+             |wd AS (SELECT series,
+             |    s::VARCHAR || (lead(s, 1) OVER w)::VARCHAR
+             |      || (lead(s, 2) OVER w)::VARCHAR || (lead(s, 3) OVER w)::VARCHAR
+             |      || (lead(s, 4) OVER w)::VARCHAR || (lead(s, 5) OVER w)::VARCHAR
+             |      AS word
+             |  FROM sym WINDOW w AS (PARTITION BY series ORDER BY ts, event_id))
+             |SELECT word, count(DISTINCT series)::BIGINT AS n_series,
+             |  count(*)::BIGINT AS n_occurrences
+             |FROM wd WHERE word IS NOT NULL
+             |GROUP BY 1 HAVING count(DISTINCT series) >= 2""".stripMargin),
+      (s, dir) => graft.operators.SeriesStats.saxMotifs(
+        t(s, dir, "events"),
+        concat(col("event_type"), lit("#"), (col("user_id") % 8).cast("string")),
+        "ts", "value", "event_id", alphabet = 4, wordLen = 6)),
+
     // ---- co-occurrence lift (EventAnalytics.cooccurrenceLift): market-
     //      basket association over (user, hour) baskets of distinct event
     //      types — support counts + lift as an exact scaled integer.

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Downsample}
+import graft.operators.{AsofJoin, Downsample, SeriesStats}
 import graft.pipeline.{Quantize, Retrieval}
 import org.apache.spark.sql.functions._
 
@@ -1180,5 +1180,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("a","c")) == ((1L, 3L, 1L, 4L, 1333333L)), out.toString)
     assert(out(("b","c")) == ((1L, 3L, 1L, 4L, 1333333L)), out.toString)
     assert(out.size == 3)
+  }
+
+  test("SAX motifs: shared shapes across series; single-series words excluded") {
+    import spark.implicits._
+    // a and b are identical 7-point sawtooths (syms 0303030 -> two full
+    // 6-words each); c is constant (hi == lo -> all-zero syms, one series
+    // only, so its words never reach the motif report)
+    val saw = Seq(0.0, 10.0, 0.0, 10.0, 0.0, 10.0, 0.0)
+    val rows = (for {
+      (s, off) <- Seq(("a", 0L), ("b", 100L), ("c", 200L))
+      (v, i) <- (if (s == "c") Seq.fill(7)(5.0) else saw).zipWithIndex
+    } yield (s, i.toLong, off + i, v)).toDF("series", "t", "id", "v")
+    val out = SeriesStats.saxMotifs(
+        rows, col("series"), "t", "v", "id", alphabet = 4, wordLen = 6)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("030303" -> ((2L, 2L)), "303030" -> ((2L, 2L))),
+      out.toString)
   }
 }

@@ -1742,4 +1742,60 @@ class PipelineSpec extends SparkSpec {
     // lexicographically among df-2 tokens {house, tree, zebra}
     assert(r.getString(3) == "house | tree | zebra", r.toString)
   }
+
+  test("contamination matrix: per-(benchmark, n) counts, zero rows present") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "x y z w v"), (3L, "p q r")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      ("b1", "c d e f g"), ("b2", "no overlap here at all")
+    ).toDF("benchmark", "text")
+    val out = Decontaminate.contaminationMatrix(
+        corpus, "doc_id", "text", bench, "benchmark", "text", Seq(2, 3))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // b1 shares "c d"/"d e" (n=2) and "c d e" (n=3) with doc 1 only
+    assert(out(("b1", 2L)) == ((1L, 3L, 3333L)), out.toString)
+    assert(out(("b1", 3L)) == ((1L, 3L, 3333L)), out.toString)
+    // b2 hits nothing — rows still present at zero
+    assert(out(("b2", 2L)) == ((0L, 3L, 0L)), out.toString)
+    assert(out(("b2", 3L)) == ((0L, 3L, 0L)), out.toString)
+    assert(out.size == 4)
+  }
+
+  test("binary AUC: exact tie-aware Mann-Whitney from the histogram") {
+    import spark.implicits._
+    // pos scores {3, 2}, neg {1, 2}: U = 1+1+1+0.5 = 3.5 -> AUC 0.875
+    val df = Seq((3L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("s", "y")
+    val r = Eval.binaryAuc(df, col("s"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 7L, 8750L)), r.toString)
+    // perfect separation -> 10000 bp; reversed -> 0
+    val perfect = Seq((5L, true), (4L, true), (1L, false)).toDF("s", "y")
+    assert(Eval.binaryAuc(perfect, col("s"), col("y")).head().getLong(3) == 10000L)
+    val reversed = Seq((1L, true), (5L, false)).toDF("s", "y")
+    assert(Eval.binaryAuc(reversed, col("s"), col("y")).head().getLong(3) == 0L)
+    // degenerate single-class input -> null auc, counts still reported
+    val oneClass = Seq((1L, true), (2L, true)).toDF("s", "y")
+    val d = Eval.binaryAuc(oneClass, col("s"), col("y")).head()
+    assert(d.getLong(0) == 2L && d.getLong(1) == 0L && d.isNullAt(3), d.toString)
+  }
+
+  test("epoch allocation: cap binds, surplus redistributes, budget conserved") {
+    import spark.implicits._
+    val perKey = Seq(("A", 100L, 3L), ("B", 1000L, 1L))
+      .toDF("source", "n_tokens", "w")
+    val out = Mixing.epochAllocation(
+        perKey, "source", "n_tokens", col("w"),
+        budget = 600L, maxEpochsBp = 20000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // A: target 450 capped at 2.0 epochs = 200; B: target 150 + all 250
+    // surplus (sole headroom key) = 400 -> 0.4 epochs
+    assert(out("A") == ((450L, 200L, 20000L)), out.toString)
+    assert(out("B") == ((150L, 400L, 4000L)), out.toString)
+    assert(out.values.map(_._2).sum == 600L) // conservation after one round
+  }
 }
