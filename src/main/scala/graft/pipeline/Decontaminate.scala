@@ -107,12 +107,31 @@ object Decontaminate {
       .agg(countDistinct(col("__g")).as("n_hits"))
   }
 
+  /** The benchmark side's distinct n-gram hashes as a standalone frame —
+    * compute once (and pin) when many batches will probe the same suite,
+    * e.g. the streaming gate ([[graft.streaming.StreamGate]]): re-deriving
+    * it per micro-batch would re-tokenize the benchmark every trigger. */
+  def benchGramSet(bench: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    gramRows(bench, Nil, col(benchTextCol), n).distinct()
+
+  /** [[clean]] against an already-computed [[benchGramSet]] frame. */
+  def cleanAgainstGrams(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchGrams: DataFrame, n: Int): DataFrame = {
+    val hit = gramRows(docs, Seq(col(idCol)), col(textCol), n)
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
+    // no broadcast hint on `hit`: it derives from the corpus side and is
+    // only small in practice, not by construction — let AQE decide
+    docs.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** The complement view a pipeline actually materializes: `docs` with
     * contaminated rows removed (same broadcast anti-join shape). */
   def clean(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
-    val benchGrams = gramRows(bench, Nil, col(benchTextCol), n).distinct()
+    val benchGrams = benchGramSet(bench, benchTextCol, n)
     val hit = gramRows(docs, Seq(col(idCol)), col(textCol), n)
       .join(broadcast(benchGrams), Seq("__g"), "left_semi")
       .select(col(idCol)).distinct()

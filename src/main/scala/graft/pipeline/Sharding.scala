@@ -68,6 +68,42 @@ object Sharding {
     globalRank(
       df.withColumn("__key", md5(concat(lit(salt), col(idCol).cast("string")))),
       Seq(col("__key")))
+
+  /** Source-interleaved training order: each source is md5-shuffled
+    * independently, then the streams are round-robin woven —
+    * `interleave_seq = within_source_rank * n_sources + source_index` —
+    * so any contiguous slice of the order carries every source at its
+    * natural cadence (a plain [[shuffled]] gives uniform mixing only in
+    * expectation; interleaving bounds the gap between consecutive docs of
+    * one source, the property curriculum-sensitive trainers ask for).
+    * The key is a total order, not dense: once a source exhausts, its
+    * residues simply stop occurring.
+    *
+    * Scale shape: ONE two-phase global rank over (source, key) — source
+    * blocks are contiguous in that order, so the within-source rank is
+    * `seq - min(seq) per source`, recovered with an O(sources) driver
+    * pass that also assigns the source index. No per-source window
+    * partitions (a 100 TB source would serialize into one task), no
+    * second shuffle. */
+  def interleaved(df: DataFrame, idCol: String, sourceCol: String,
+      salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = globalRank(
+      df.withColumn("__key", md5(concat(lit(salt), col(idCol).cast("string")))),
+      Seq(col(sourceCol), col("__key"), col(idCol)))
+    val bases = ranked.groupBy(sourceCol).agg(min("seq").as("__base"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1) // source index = rank of the source NAME (stable)
+    val nSources = bases.length.toLong
+    val idx = bases.zipWithIndex
+      .map { case ((src, base), i) => (src, base, i.toLong) }
+      .toSeq.toDF(sourceCol, "__base", "__idx")
+    ranked.join(broadcast(idx), sourceCol)
+      .withColumn("interleave_seq",
+        (col("seq") - col("__base")) * nSources + col("__idx"))
+      .drop("__key", "seq", "__base", "__idx")
+  }
       .drop("__key")
 
   /** The corpus in CURRICULUM order: `seq` ranks by (difficulty asc, id)

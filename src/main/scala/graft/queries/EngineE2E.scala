@@ -98,6 +98,48 @@ object EngineE2E {
             |FROM events_dedup GROUP BY event_type""".stripMargin)
       }),
 
+    // Streaming decontamination GATE (round 6): documents stream through a
+    // stateless per-batch broadcast anti-join against a static benchmark
+    // gram set; only clean rows reach the parquet sink — contamination is
+    // blocked at ingest rather than scrubbed later. Oracle replays the
+    // batch semantics (gate output == batch clean, by construction).
+    GraftQuery("q290_streaming_decontaminate_gate",
+      Some("""WITH corpus AS (SELECT doc_id, source, n_chars,
+             |    string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id % 17 <> 0),
+             |bench AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id % 17 = 0),
+             |pos AS (SELECT unnest(generate_series(1,
+             |  (SELECT max(len(string_split_regex(trim(text), '\s+')))
+             |   FROM documents))) AS i),
+             |bg AS (
+             |  SELECT DISTINCT array_to_string(toks[pos.i : pos.i + 7], ' ') AS g
+             |  FROM bench CROSS JOIN pos
+             |  WHERE len(toks) >= 8 AND pos.i <= len(toks) - 7
+             |  UNION
+             |  SELECT array_to_string(toks, ' ') FROM bench WHERE len(toks) < 8),
+             |cg AS (
+             |  SELECT c.doc_id, array_to_string(c.toks[pos.i : pos.i + 7], ' ') AS g
+             |  FROM corpus c CROSS JOIN pos
+             |  WHERE len(c.toks) >= 8 AND pos.i <= len(c.toks) - 7
+             |  UNION ALL
+             |  SELECT doc_id, array_to_string(toks, ' ')
+             |  FROM corpus WHERE len(toks) < 8),
+             |hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g))
+             |SELECT doc_id, source, n_chars FROM corpus
+             |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val schema = Tables.rawSchema(s, dir, "documents")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-gate-out").toString
+        graft.streaming.StreamGate.decontaminateToParquet(
+            s, dir, "documents.parquet", schema, "doc_id", "text",
+            docs.filter(col("doc_id") % 17 === 0), "text", n = 8, out)
+          .filter(col("doc_id") % 17 =!= 0) // bench rows gate themselves out; corpus view
+          .select(col("doc_id"), col("source"), col("n_chars"))
+      }),
+
     // Streaming ingest (reference WAL+memtable path → Structured Streaming
     // foreachBatch, SURVEY §2.9/§3.2): replay the events table through a
     // streaming source into an engine table, then query the table.

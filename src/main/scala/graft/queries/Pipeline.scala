@@ -772,6 +772,27 @@ object PipelineQueries {
           budget, maxEpochsBp = 20000)
       }),
 
+    // ---- source-interleaved training order (round 6): per-source md5
+    //      shuffle + round-robin weave (rank*S + source_idx) — bounds the
+    //      gap between consecutive docs of one source, where a plain
+    //      md5 shuffle mixes only in expectation. One two-phase global
+    //      rank; O(sources) driver state.
+    GraftQuery("q291_interleaved_order",
+      Some("""WITH k AS (SELECT doc_id, source,
+             |    md5(':il' || doc_id::VARCHAR) AS ky FROM documents),
+             |r AS (SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source ORDER BY ky, doc_id) - 1 AS rn
+             |  FROM k),
+             |s AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+             |  FROM (SELECT DISTINCT source FROM documents)),
+             |c AS (SELECT count(*) AS ns FROM s)
+             |SELECT r.doc_id, r.source,
+             |  (r.rn * c.ns + s.idx)::BIGINT AS interleave_seq
+             |FROM r JOIN s USING (source) CROSS JOIN c""".stripMargin),
+      (s, dir) => graft.pipeline.Sharding.interleaved(
+          t(s, dir, "documents"), "doc_id", "source", ":il")
+        .select(col("doc_id"), col("source"), col("interleave_seq"))),
+
     // ---- MinHash-LSH near-dup (exact-vs-LSH recall in PipelineSpec).
     //      Hash-checked since round 5: the md5-portable minhash family
     //      (functions/MinHash.scala scaladoc) lets the oracle replay the

@@ -1798,4 +1798,28 @@ class PipelineSpec extends SparkSpec {
     assert(out("B") == ((150L, 400L, 4000L)), out.toString)
     assert(out.values.map(_._2).sum == 600L) // conservation after one round
   }
+
+  test("interleaved order: round-robin residues per source, md5 order within") {
+    import spark.implicits._
+    val df = Seq((1L, "A"), (2L, "A"), (3L, "A"), (10L, "B"), (20L, "B"))
+      .toDF("doc_id", "source")
+    val out = Sharding.interleaved(df, "doc_id", "source", ":il")
+      .select(col("doc_id"), col("source"), col("interleave_seq"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 5 && out.map(_._3).distinct.length == 5)
+    // residue mod n_sources identifies the source (A=0, B=1 by name order)
+    assert(out.filter(_._2 == "A").forall(_._3 % 2 == 0), out.mkString(","))
+    assert(out.filter(_._2 == "B").forall(_._3 % 2 == 1), out.mkString(","))
+    // within a source, seq order == md5(salt||id) order (the shuffle draw)
+    val key = (id: Long) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s":il$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (src <- Seq("A", "B")) {
+      val got = out.filter(_._2 == src).sortBy(_._3).map(_._1).toSeq
+      val want = out.filter(_._2 == src).map(_._1).sortBy(key).toSeq
+      assert(got == want, s"$src: $got vs $want")
+    }
+    // ranks are dense within source: A occupies 0,2,4 and B 1,3
+    assert(out.filter(_._2 == "A").map(_._3).sorted.toSeq == Seq(0L, 2L, 4L))
+    assert(out.filter(_._2 == "B").map(_._3).sorted.toSeq == Seq(1L, 3L))
+  }
 }

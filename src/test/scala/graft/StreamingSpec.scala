@@ -256,4 +256,27 @@ class StreamingSpec extends SparkSpec {
     // window was long evicted, so it reaches the state op and is counted)
     assert(audit.map(_._3) sameElements Array(0L, 0L, 1L), audit.mkString(","))
   }
+
+  test("streaming decontamination gate == batch clean; contaminated rows never land") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val srcDir = tmpDir("gate-src")
+    val docs = Seq(
+      (1L, "a b c d"),        // shares 2-gram "b c" with the bench
+      (2L, "x y z w"),        // clean
+      (3L, "q r"),            // clean (no bench gram)
+      (4L, "p b c")           // shares "b c" too
+    ).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val bench = Seq(Tuple1("m b c n")).toDF("text")
+    val out = graft.streaming.StreamGate.decontaminateToParquet(
+      spark, srcDir, "*.parquet", docs.schema, "doc_id", "text",
+      bench, "text", n = 2, tmpDir("gate-out"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // the defining identity: gate output == the batch operator's clean view
+    val batch = graft.pipeline.Decontaminate.clean(
+      docs, "doc_id", "text", bench, "text", n = 2)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      batch.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
 }
