@@ -446,6 +446,9 @@ object SeriesStats {
   def saxMotifs(
       df: DataFrame, seriesCol: Column, tsCol: String, valueCol: String,
       idCol: String, alphabet: Int = 4, wordLen: Int = 6): DataFrame = {
+    // symbols must be single characters: the full-window filter below
+    // distinguishes complete words from trailing stubs by string LENGTH
+    require(alphabet >= 2 && alphabet <= 10, s"alphabet $alphabet not in [2,10]")
     import org.apache.spark.sql.expressions.Window
     val pts = df.select(seriesCol.as("series"), col(tsCol).as("__ts"),
       col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))

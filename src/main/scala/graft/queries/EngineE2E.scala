@@ -138,6 +138,9 @@ object EngineE2E {
             docs.filter(col("doc_id") % 17 === 0), "text", n = 8, out)
           .filter(col("doc_id") % 17 =!= 0) // bench rows gate themselves out; corpus view
           .select(col("doc_id"), col("source"), col("n_chars"))
+          // pin dump order: the sink's part-file names are run-random
+          // UUIDs, so the read-back row order would vary across runs
+          .orderBy("doc_id")
       }),
 
     // Streaming ingest (reference WAL+memtable path → Structured Streaming
