@@ -216,6 +216,64 @@ object Decontaminate {
           .cast("long").as("rate_bp"))
   }
 
+  /** SURGICAL span decontamination: instead of dropping every document
+    * sharing an n-gram with the benchmark ([[clean]] — which discards a
+    * whole book over one quoted test item), excise ONLY the contaminated
+    * token spans and keep the rest (the span-level counterpart of Lee et
+    * al.'s substring dedup, applied to benchmark overlap). A kept token is
+    * one not covered by any matching n-gram window [p, p+n-1].
+    *
+    * Matching is case-insensitive (both sides lowercase, like the rest of
+    * the family); the emitted text preserves the ORIGINAL token case and
+    * normalizes inter-token whitespace to single spaces (documented — the
+    * surgery is token-level, not byte-level). Documents shorter than n
+    * tokens are never excised (no full n-gram can match; the whole-text
+    * fallback of [[contaminated]] is a detection convenience, not a span).
+    *
+    * Scale shape: bench gram hashes broadcast; the corpus gram probe is
+    * map-side; matched (id, position) pairs — benchmark-overlap-sized, not
+    * corpus-sized — aggregate to one positions array per AFFECTED doc, and
+    * only those docs pay the interpreted higher-order rebuild (HOFs on the
+    * pruned candidate set, per the house rule); untouched docs flow through
+    * a codegen'd array_join. Output: (id, cleaned_text, n_tokens,
+    * n_removed).
+    */
+  def exciseSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = benchGramSet(bench, benchTextCol, n)
+    val toksO = split(trim(col(textCol)), "\\s+")
+    val toksL = lowerTokens(col(textCol))
+    val base = docs
+      .select(col(idCol), toksO.as("__t"), toksL.as("__tl"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val matched = base
+      .select(col(idCol), posexplode(
+        when(size(col("__tl")) >= n,
+          transform(sequence(lit(0), size(col("__tl")) - n),
+            i => concat_ws(" ", slice(col("__tl"), i + 1, lit(n)))))
+          .otherwise(array())).as(Seq("__p", "__gs")))
+      .select(col(idCol), col("__p"), xxhash64(col("__gs")).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .groupBy(idCol).agg(collect_set(col("__p")).as("__m"))
+    val hit = base.join(matched, Seq(idCol))
+      .withColumn("__kept", filter(
+        zip_with(col("__t"), sequence(lit(0), size(col("__t")) - 1),
+          (t, i) => when(exists(col("__m"),
+            m => i >= m && i <= m + (n - 1)), lit(null)).otherwise(t)),
+        t => t.isNotNull))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("cleaned_text"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"))
+    val untouched = base.join(matched, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        array_join(col("__t"), " ").as("cleaned_text"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"))
+    hit.unionByName(untouched)
+  }
+
   /** SEMANTIC decontamination: training vectors whose embedding is
     * near-identical to any benchmark/test vector (paraphrased test
     * leakage that n-gram overlap misses — the embedding-space

@@ -793,6 +793,52 @@ object PipelineQueries {
           t(s, dir, "documents"), "doc_id", "source", ":il")
         .select(col("doc_id"), col("source"), col("interleave_seq"))),
 
+    // ---- SURGICAL span decontamination (round 6): excise only the
+    //      contaminated 8-gram spans, keep the document — the span-level
+    //      alternative to dropping whole docs (q80/q290). Oracle replays
+    //      the token surgery per position; text + integers, hash-checked.
+    GraftQuery("q292_span_decontaminate",
+      Some("""WITH corpus AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks,
+             |    string_split_regex(trim(lower(text)), '\s+') AS ltoks
+             |  FROM documents WHERE doc_id % 19 <> 0),
+             |bench AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id % 19 = 0),
+             |pos AS (SELECT unnest(generate_series(1,
+             |  (SELECT max(len(string_split_regex(trim(text), '\s+')))
+             |   FROM documents))) AS i),
+             |bg AS (
+             |  SELECT DISTINCT array_to_string(toks[pos.i : pos.i + 7], ' ') AS g
+             |  FROM bench CROSS JOIN pos
+             |  WHERE len(toks) >= 8 AND pos.i <= len(toks) - 7
+             |  UNION
+             |  SELECT array_to_string(toks, ' ') FROM bench WHERE len(toks) < 8),
+             |cg AS (SELECT c.doc_id, pos.i AS p,
+             |    array_to_string(c.ltoks[pos.i : pos.i + 7], ' ') AS g
+             |  FROM corpus c CROSS JOIN pos
+             |  WHERE len(c.ltoks) >= 8 AND pos.i <= len(c.ltoks) - 7),
+             |m AS (SELECT DISTINCT cg.doc_id, cg.p FROM cg JOIN bg USING (g)),
+             |cov AS (SELECT DISTINCT m.doc_id, u.i AS ti
+             |  FROM m CROSS JOIN unnest(generate_series(m.p, m.p + 7)) u(i)),
+             |tok AS (SELECT doc_id, u.i, toks[u.i] AS tk
+             |  FROM corpus, unnest(generate_series(1, len(toks))) u(i)),
+             |keep AS (SELECT t.doc_id, t.i, t.tk FROM tok t
+             |  LEFT JOIN cov v ON v.doc_id = t.doc_id AND v.ti = t.i
+             |  WHERE v.doc_id IS NULL)
+             |SELECT c.doc_id, coalesce(k.ct, '') AS cleaned_text,
+             |  len(c.toks)::BIGINT AS n_tokens,
+             |  (len(c.toks) - coalesce(k.n, 0))::BIGINT AS n_removed
+             |FROM corpus c LEFT JOIN (
+             |  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS ct,
+             |    count(*) AS n
+             |  FROM keep GROUP BY 1) k USING (doc_id)""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Decontaminate.exciseSpans(
+          docs.filter(col("doc_id") % 19 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 19 === 0), "text", n = 8)
+      }),
+
     // ---- MinHash-LSH near-dup (exact-vs-LSH recall in PipelineSpec).
     //      Hash-checked since round 5: the md5-portable minhash family
     //      (functions/MinHash.scala scaladoc) lets the oracle replay the

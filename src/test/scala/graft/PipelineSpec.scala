@@ -1822,4 +1822,24 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(_._2 == "A").map(_._3).sorted.toSeq == Seq(0L, 2L, 4L))
     assert(out.filter(_._2 == "B").map(_._3).sorted.toSeq == Seq(1L, 3L))
   }
+
+  test("span excision: covered windows removed, case-insensitive, doc kept") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x A B C y"),      // bench 3-gram "a b c" covers tokens 1..3
+      (2L, "clean doc here"), // untouched
+      (3L, "a b c d"),        // overlapping matches cover everything
+      (4L, "a b")             // shorter than n: never excised
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("a b c d")).toDF("text")
+    val out = Decontaminate.exciseSpans(
+        corpus, "doc_id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("x y", 5L, 3L)), out.toString)   // original case kept
+    assert(out(2L) == (("clean doc here", 3L, 0L)), out.toString)
+    assert(out(3L) == (("", 4L, 4L)), out.toString)      // fully excised
+    assert(out(4L) == (("a b", 2L, 0L)), out.toString)   // too short to match
+    assert(out.size == 4)
+  }
 }
