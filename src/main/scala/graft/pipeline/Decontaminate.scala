@@ -130,15 +130,9 @@ object Decontaminate {
     * contaminated rows removed (same broadcast anti-join shape). */
   def clean(
       docs: DataFrame, idCol: String, textCol: String,
-      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
-    val benchGrams = benchGramSet(bench, benchTextCol, n)
-    val hit = gramRows(docs, Seq(col(idCol)), col(textCol), n)
-      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
-      .select(col(idCol)).distinct()
-    // no broadcast hint on `hit`: it derives from the corpus side and is
-    // only small in practice, not by construction — let AQE decide
-    docs.join(hit, Seq(idCol), "left_anti")
-  }
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =
+    cleanAgainstGrams(docs, idCol, textCol,
+      benchGramSet(bench, benchTextCol, n), n)
 
   /** Cross-document repeated passages (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better": long verbatim passages recurring
@@ -191,7 +185,10 @@ object Decontaminate {
       bench: DataFrame, benchKeyCol: String, benchTextCol: String,
       ns: Seq[Int]): DataFrame = {
     val spark = docs.sparkSession
-    val nDocs = docs.count()
+    // the denominator stays INSIDE the plan (1-row broadcast frame): a
+    // driver-side count() would fire an eager extra corpus scan at
+    // construction time even if the report is never evaluated
+    val tot = docs.agg(count(lit(1)).as("__nd"))
     val benchKeys = bench.select(col(benchKeyCol).as("benchmark")).distinct()
     val perN = ns.map { n =>
       val benchGrams = gramRows(
@@ -209,11 +206,14 @@ object Decontaminate {
     benchKeys.crossJoin(
         spark.createDataFrame(ns.map(n => Tuple1(n.toLong))).toDF("ngram_n"))
       .join(perN, Seq("benchmark", "ngram_n"), "left")
+      .crossJoin(broadcast(tot))
       .select(col("benchmark"), col("ngram_n"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        lit(nDocs).as("n_docs"),
-        (coalesce(col("n_contaminated"), lit(0L)) * 10000 / nDocs)
-          .cast("long").as("rate_bp"))
+        col("__nd").as("n_docs"),
+        // decimal, not Column./ (double): an integral quotient must stay
+        // exact past 2^53 for the report to be engine-replayable
+        (coalesce(col("n_contaminated"), lit(0L)).cast("decimal(38,0)")
+          * 10000 / col("__nd")).cast("long").as("rate_bp"))
   }
 
   /** SURGICAL span decontamination: instead of dropping every document

@@ -69,11 +69,18 @@ object Eval {
       .agg(
         sum("__np").as("n_pos"),
         sum("__nn").as("n_neg"),
-        sum(col("__np") * (lit(2L) * col("__below") + col("__nn")))
-          .as("u_x2"))
-      .select(col("n_pos"), col("n_neg"), col("u_x2"),
+        // accumulate in decimal: the per-score term and its sum approach
+        // 2·n_pos·n_neg, which leaves long range around 4.3e9 balanced
+        // rows — long math here would wrap silently and poison auc_bp
+        sum(col("__np").cast("decimal(38,0)") *
+            (lit(2L) * col("__below") + col("__nn")).cast("decimal(38,0)"))
+          .as("__u2d"))
+      .select(col("n_pos"), col("n_neg"),
+        // the reported u_x2 column is a long (saturating display past
+        // 9.2e18); auc_bp divides the exact decimal, never the long
+        col("__u2d").cast("long").as("u_x2"),
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
-          .otherwise((col("u_x2").cast("decimal(38,0)") * 10000 /
+          .otherwise((col("__u2d") * 10000 /
             (col("n_pos").cast("decimal(38,0)") * col("n_neg") * 2))
             .cast("long"))
           .as("auc_bp"))

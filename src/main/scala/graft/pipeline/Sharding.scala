@@ -68,6 +68,7 @@ object Sharding {
     globalRank(
       df.withColumn("__key", md5(concat(lit(salt), col(idCol).cast("string")))),
       Seq(col("__key")))
+      .drop("__key")
 
   /** Source-interleaved training order: each source is md5-shuffled
     * independently, then the streams are round-robin woven —
@@ -84,7 +85,12 @@ object Sharding {
     * `seq - min(seq) per source`, recovered with an O(sources) driver
     * pass that also assigns the source index. No per-source window
     * partitions (a 100 TB source would serialize into one task), no
-    * second shuffle. */
+    * second shuffle.
+    *
+    * `sourceCol` must be a non-null STRING column; source indices follow
+    * UTF-8 BYTE order (SQL binary collation), not Java's UTF-16 order —
+    * the two disagree on supplementary-plane names, and an engine
+    * replaying the weave sorts bytes. */
   def interleaved(df: DataFrame, idCol: String, sourceCol: String,
       salt: String): DataFrame = {
     val spark = df.sparkSession
@@ -92,9 +98,10 @@ object Sharding {
     val ranked = globalRank(
       df.withColumn("__key", md5(concat(lit(salt), col(idCol).cast("string")))),
       Seq(col(sourceCol), col("__key"), col(idCol)))
+    val utf8 = Ordering.Implicits.seqOrdering[Seq, Int]
     val bases = ranked.groupBy(sourceCol).agg(min("seq").as("__base"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1) // source index = rank of the source NAME (stable)
+      .sortBy(_._1.getBytes("UTF-8").map(_ & 0xff).toSeq)(utf8)
     val nSources = bases.length.toLong
     val idx = bases.zipWithIndex
       .map { case ((src, base), i) => (src, base, i.toLong) }
@@ -104,7 +111,6 @@ object Sharding {
         (col("seq") - col("__base")) * nSources + col("__idx"))
       .drop("__key", "seq", "__base", "__idx")
   }
-      .drop("__key")
 
   /** The corpus in CURRICULUM order: `seq` ranks by (difficulty asc, id)
     * and `shard` cuts contiguous rank blocks — shard 0 holds the easiest

@@ -42,13 +42,19 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-id-scoped dir + overwrite = idempotent under the
+        // at-least-once foreachBatch contract: a retried micro-batch
+        // replaces its own output instead of appending a second copy
         Decontaminate.cleanAgainstGrams(batch, idCol, textCol, benchGrams, n)
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/b$batchId")
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    // schema pinned: a zero-batch run leaves outPath empty and schema
+    // inference would throw instead of returning the empty frame
+    spark.read.schema(schema).option("recursiveFileLookup", "true")
+      .parquet(outPath)
   }
 }
