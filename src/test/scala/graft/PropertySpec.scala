@@ -159,4 +159,84 @@ class PropertySpec extends SparkSpec {
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)} docs=$docs")
     }
   }
+
+  test("binary AUC equals the O(n²) pairwise definition on random ties-heavy data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 10) {
+      val n = 2 + rnd.nextInt(60)
+      // small score domain on purpose: ties are the hard part
+      val rows = (1 to n).map(_ => (rnd.nextInt(6).toLong, rnd.nextBoolean()))
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val r = pipeline.Eval
+          .binaryAuc(rows.toDF("s", "y"), col("s"), col("y")).head()
+        // U×2 by definition: 2 per win, 1 per tie, over all pos×neg pairs
+        val u2 = (for (p <- pos; q <- neg)
+          yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+        assert(r.getLong(2) == u2, s"rows=$rows")
+        assert(r.getLong(3) ==
+          u2 * 10000L / (2L * pos.length * neg.length), s"rows=$rows")
+      }
+    }
+  }
+
+  test("span excision equals driver-side brute force on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector("a", "b", "c", "d", "E") // small: collisions likely
+    for (_ <- 1 to 8) {
+      val nGram = 2 + rnd.nextInt(2)
+      def sentence(len: Int) =
+        Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docs = (1L to 12L).map(i => (i, sentence(1 + rnd.nextInt(12))))
+      val bench = (1 to 3).map(_ => Tuple1(sentence(2 + rnd.nextInt(6))))
+      val got = pipeline.Decontaminate.exciseSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          bench.toDF("text"), "text", n = nGram)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      // brute force: lowercase n-gram match positions -> covered indices
+      val benchGrams = bench.map(_._1.toLowerCase).flatMap { t =>
+        val bt = t.split("\\s+").toSeq
+        if (bt.size >= nGram) bt.sliding(nGram).map(_.mkString(" ")).toSeq
+        else Seq(bt.mkString(" "))
+      }.toSet
+      for ((id, text) <- docs) {
+        val toks = text.split("\\s+").toSeq
+        val low = text.toLowerCase.split("\\s+").toSeq
+        val covered = (0 to low.size - nGram)
+          .filter(p => benchGrams(low.slice(p, p + nGram).mkString(" ")))
+          .flatMap(p => p until p + nGram).toSet
+        val kept = toks.zipWithIndex.collect {
+          case (t, i) if !covered(i) => t }
+        assert(got(id) ==
+          ((kept.mkString(" "), toks.size.toLong, covered.size.toLong)),
+          s"doc=$text bench=$benchGrams got=${got(id)}")
+      }
+    }
+  }
+
+  test("epoch allocation: caps respected, budget never exceeded, any input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 10) {
+      val keys = (1 to (2 + rnd.nextInt(8))).map(i =>
+        (s"s$i", 1L + rnd.nextInt(10000), 1L + rnd.nextInt(100)))
+      val budget = 1L + rnd.nextInt(50000)
+      val capBp = 5000 + rnd.nextInt(30000)
+      val out = pipeline.Mixing.epochAllocation(
+          keys.toDF("k", "nt", "w"), "k", "nt", col("w"), budget, capBp)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      val caps = keys.map(k => k._1 -> k._2 * capBp / 10000).toMap
+      for ((k, nt, ta, fa) <- out) {
+        assert(fa >= 0 && fa <= caps(k), s"$k fa=$fa cap=${caps(k)}")
+        assert(fa >= math.min(ta, caps(k)), s"$k shrank below first-pass")
+      }
+      // one redistribution round can only move surplus, never mint budget
+      assert(out.map(_._4).sum <= out.map(_._3).sum,
+        s"Σfinal=${out.map(_._4).sum} Σtarget=${out.map(_._3).sum}")
+    }
+  }
 }
