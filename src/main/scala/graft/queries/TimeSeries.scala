@@ -928,6 +928,24 @@ object TimeSeries {
         concat(col("event_type"), lit("#"), (col("user_id") % 8).cast("string")),
         "ts", "value", "event_id", alphabet = 4, wordLen = 6)),
 
+    // ---- EXACT per-key quantiles (ExactQuantiles.perKey, round 6): the
+    //      compliance-grade p50/p90/p99 a t-digest cannot serve — actual
+    //      data values selected by nearest rank over ONE ranged two-phase
+    //      global rank (never a per-key window partition). Values are
+    //      picked, not aggregated, so doubles stay bit-exact.
+    GraftQuery("q293_exact_quantiles",
+      Some("""WITH r AS (SELECT event_type, "value" AS v, event_id,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY "value", event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |qs AS (SELECT unnest([50, 90, 99]) AS q)
+             |SELECT r.event_type, qs.q::BIGINT AS q, r.v AS "value"
+             |FROM r JOIN qs ON r.rn = (qs.q * r.n + 99) // 100""".stripMargin),
+      (s, dir) => graft.operators.ExactQuantiles.perKey(
+        t(s, dir, "events"), "event_type", "value", "event_id",
+        Seq(50, 90, 99))),
+
     // ---- co-occurrence lift (EventAnalytics.cooccurrenceLift): market-
     //      basket association over (user, hour) baskets of distinct event
     //      types — support counts + lift as an exact scaled integer.

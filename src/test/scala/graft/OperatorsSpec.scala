@@ -1198,4 +1198,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map("030303" -> ((2L, 2L)), "303030" -> ((2L, 2L))),
       out.toString)
   }
+
+  test("exact quantiles: nearest-rank values per key, uneven key sizes") {
+    import spark.implicits._
+    // key a: 1..10 -> p50=5, p90=9, p99=10; key b: 3 values -> p50=2nd
+    val rows = ((1 to 10).map(i => ("a", i.toDouble, i.toLong)) ++
+      Seq(("b", 7.0, 100L), ("b", 1.0, 101L), ("b", 4.0, 102L)))
+      .toDF("k", "v", "id")
+    val out = graft.operators.ExactQuantiles
+      .perKey(rows, "k", "v", "id", Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out == Map(
+      ("a", 50L) -> 5.0, ("a", 90L) -> 9.0, ("a", 99L) -> 10.0,
+      ("b", 50L) -> 4.0, ("b", 90L) -> 7.0, ("b", 99L) -> 7.0), out.toString)
+  }
 }
