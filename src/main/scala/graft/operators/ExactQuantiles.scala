@@ -23,7 +23,9 @@ object ExactQuantiles {
 
   /** Nearest-rank quantiles `qsPercent` (e.g. 50/90/99) of `valueCol`
     * per `keyCol`; ties and row identity are broken by `idCol` so the
-    * total order — and therefore the selected row — is unique.
+    * total order — and therefore the selected row — is unique. NULL
+    * values are excluded before ranking (the SQL percentile convention —
+    * ranking them would let a NULL become "the p50").
     * Output: (keyCol, q, valueCol), one row per (key, q). */
   def perKey(
       df: DataFrame, keyCol: String, valueCol: String, idCol: String,
@@ -32,7 +34,8 @@ object ExactQuantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val ranked = Sharding.ranked(
-      df.select(col(keyCol), col(valueCol), col(idCol)),
+      df.filter(col(valueCol).isNotNull)
+        .select(col(keyCol), col(valueCol), col(idCol)),
       Seq(col(keyCol), col(valueCol), col(idCol)))
     val stats = ranked.groupBy(keyCol)
       .agg(min("seq").as("__base"), count(lit(1)).as("__n"))
@@ -40,12 +43,10 @@ object ExactQuantiles {
       .crossJoin(qsPercent.map(_.toLong).toDF("q"))
       // nearest-rank, 1-based: ceil(q·n/100) = (q·n + 99) div 100
       .withColumn("__target", expr("(q * __n + 99) div 100"))
-      // renamed key: targets derives from `ranked`, and a same-name join
-      // would be an ambiguous self-join reference
-      .select(col(keyCol).as("__k"), col("q"),
-        (col("__base") + col("__target") - 1).as("__seq"))
-    ranked.join(broadcast(targets),
-        col(keyCol) === col("__k") && col("seq") === col("__seq"))
+      // seq is globally unique, so the join needs no key clause (which
+      // would also be an ambiguous self-join reference on keyCol)
+      .select(col("q"), (col("__base") + col("__target") - 1).as("__seq"))
+    ranked.join(broadcast(targets), col("seq") === col("__seq"))
       .select(col(keyCol), col("q"), col(valueCol))
   }
 }

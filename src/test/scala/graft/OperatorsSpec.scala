@@ -1205,10 +1205,12 @@ class OperatorsSpec extends SparkSpec {
     val rows = ((1 to 10).map(i => ("a", i.toDouble, i.toLong)) ++
       Seq(("b", 7.0, 100L), ("b", 1.0, 101L), ("b", 4.0, 102L)))
       .toDF("k", "v", "id")
-    val out = graft.operators.ExactQuantiles
+    val collected = graft.operators.ExactQuantiles
       .perKey(rows, "k", "v", "id", Seq(50, 90, 99))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
-      .toMap
+      .collect()
+    assert(collected.length == 6, collected.mkString(",")) // no dup matches
+    val out = collected
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(out == Map(
       ("a", 50L) -> 5.0, ("a", 90L) -> 9.0, ("a", 99L) -> 10.0,
       ("b", 50L) -> 4.0, ("b", 90L) -> 7.0, ("b", 99L) -> 7.0), out.toString)
