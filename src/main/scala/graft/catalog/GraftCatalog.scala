@@ -65,6 +65,18 @@ final class GraftCatalog(val warehouse: String) {
     m.nextSeq > m.compactedSeq.getOrElse(0L)
   }
 
+  /** Read-consistency fingerprint (dataGen, compactedSeq, nextSeq): any
+    * committed append or compaction flip changes it. A reader that wants
+    * to SKIP the dedup window compares the fingerprint from before and
+    * after pinning its file listing — equality proves no state transition
+    * committed across the listing, closing the check-then-list race
+    * (appends reserve their seq BEFORE files land, so a changed manifest
+    * is always visible by the second look). */
+  def readFingerprint(name: String): (Int, Long, Long) = synchronized {
+    val m = manifest(name)
+    (m.dataGen.getOrElse(0), m.compactedSeq.getOrElse(0L), m.nextSeq)
+  }
+
   /** Flip the manifest to the new generation. The seq floor is the nextSeq
     * observed when the compaction SCAN started — a batch reserved after the
     * scan is not in the rewrite and must stay above the floor. */

@@ -344,6 +344,13 @@ final class TsdbEngine(
     */
   def read(name: String): DataFrame = {
     val s = catalog.get(name)
+    // fingerprint BEFORE the scan pins its file listing: the dedup-skip
+    // decision below is a check-then-list race against concurrent
+    // writers/compaction otherwise (a reader could decide "all compacted",
+    // then list files that already include a newer rewrite — both
+    // versions would surface with no window; caught by ConcurrencySpec's
+    // compaction-race stress under full-suite load)
+    val pre = catalog.readFingerprint(name)
     val storage = readStorage(s)
     val ttled = s.options.ttlMillis match {
       case Some(ttl) if s.options.enableTtl =>
@@ -351,10 +358,15 @@ final class TsdbEngine(
           (current_timestamp() - expr(s"INTERVAL ${ttl / 1000} SECOND")))
       case _ => storage
     }
+    // when every batch is under the compaction seq floor the data is
+    // physically deduped — skip the window (cheaper plan, same rows).
+    // Skipping is safe only if NO append/compaction committed across the
+    // listing: appends reserve their seq before files land, so an
+    // unchanged fingerprint proves the listing matches the checked state.
+    val dedupSafeToSkip =
+      !catalog.needsDedup(name) && catalog.readFingerprint(name) == pre
     val deduped = s.options.updateMode match {
-      // when every batch is under the compaction seq floor the data is
-      // physically deduped — skip the window (cheaper plan, same rows)
-      case UpdateMode.Overwrite if catalog.needsDedup(name) =>
+      case UpdateMode.Overwrite if !dedupSafeToSkip =>
         val pk = s.primaryKey.map(col)
         ttled
           .withColumn("__rn", row_number().over(

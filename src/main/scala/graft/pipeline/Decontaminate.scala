@@ -25,17 +25,11 @@ object Decontaminate {
 
   /** The k-token shingles of `text` as strings (docs shorter than k tokens
     * contribute their whole text as one shingle so short benchmark prompts
-    * still match verbatim copies). Hashing happens AFTER the explode as a
-    * codegen'd column op — higher-order-function bodies evaluate
-    * interpreted, so keeping xxhash64 out of the transform() lambda roughly
-    * halves the per-gram cost on the corpus hot path. */
-  private def grams(text: Column, n: Int): Column = {
-    val toks = lowerTokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+    * still match verbatim copies). Native single-pass kernel
+    * ([[graft.functions.ShingleJoin]]); hashing happens AFTER the explode
+    * as a codegen'd column op. */
+  private def grams(text: Column, n: Int): Column =
+    graft.functions.ShingleJoin(lowerTokens(text), n)
 
   /** (id, __g) rows: one per n-gram occurrence, hashed post-explode.
     * The input is repartitioned round-robin before the CPU-dense gram
@@ -248,11 +242,9 @@ object Decontaminate {
       .select(col(idCol), toksO.as("__t"), toksL.as("__tl"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val matched = base
-      .select(col(idCol), posexplode(
-        when(size(col("__tl")) >= n,
-          transform(sequence(lit(0), size(col("__tl")) - n),
-            i => concat_ws(" ", slice(col("__tl"), i + 1, lit(n)))))
-          .otherwise(array())).as(Seq("__p", "__gs")))
+      .select(col(idCol), posexplode(graft.functions.ShingleJoin(
+          col("__tl"), n, wholeTextFallback = false))
+        .as(Seq("__p", "__gs")))
       .select(col(idCol), col("__p"), xxhash64(col("__gs")).as("__g"))
       .join(broadcast(benchGrams), Seq("__g"), "left_semi")
       .groupBy(idCol).agg(collect_set(col("__p")).as("__m"))

@@ -86,14 +86,11 @@ object TextAnalysis {
     xxhash64(concat_ws(" ", tokens(text)))
 
   /** k-token shingles as strings; short docs fall back to the whole text as
-    * one shingle so every doc gets >=1. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+    * one shingle so every doc gets >=1. Native single-pass kernel
+    * ([[graft.functions.ShingleJoin]]) — the transform()-lambda
+    * formulation evaluated interpreted per gram on the corpus hot path. */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.ShingleJoin(tokens(text), k)
 
   /** n-gram repetition character masses — struct(top_chars, dup_chars) from
     * the single-pass [[graft.functions.GramRepStats]] kernel over

@@ -158,4 +158,34 @@ class TsidSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((100L, 50L, 150L, 50L)), r.toString)
   }
+
+  test("ShingleJoin == the transform-lambda formulation, both fallback modes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "", "one", "a b", "a b c", "x  y\tz  w", // runs of whitespace
+      "the quick brown fox jumps over the lazy dog",
+      "  padded   with   spaces  ", ("tok " * 50).trim
+    ).toDF("t")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val toks = split(trim(col("t")), "\\s+")
+      val lambda = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array(concat_ws(" ", toks)))
+      val both = texts.select(
+        graft.functions.ShingleJoin(toks, k).as("native"),
+        lambda.as("lam"),
+        graft.functions.ShingleJoin(toks, k, wholeTextFallback = false)
+          .as("nofb"),
+        size(toks).as("n"))
+        .collect()
+      for (r <- both) {
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k $r")
+        val expectNofb =
+          if (r.getInt(3) >= k) r.getSeq[String](1) else Seq.empty[String]
+        assert(r.getSeq[String](2) == expectNofb, s"k=$k $r")
+      }
+    }
+  }
 }
