@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON metric from the last
+// ~2000 chars of sbt's output. sbt's default LoggedOutput wraps forked
+// stdout as "[info] {...}" and appends a "[success] Total time..."
+// epilogue — both defeated the driver's parser every round (BENCH_r01-r06
+// all "parsed": null). Forward forked stdout/stderr verbatim and drop the
+// epilogue so the metric line is the final, bare stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -77,38 +77,57 @@ object Bench {
       reclaim()
       name -> dt
     }
-    val total = results.map(_._2).sum
-    // The driver stores only the LAST ~2000 chars of this process's output
-    // and parses the JSON line from that tail — a line carrying every query
-    // at full double precision gets its head truncated and parses as null
-    // (BENCH_r02/r03 failed exactly this way). Emit the full map first for
-    // humans/logs, then a compact line that provably fits the tail budget:
-    // 3-decimal values and, if still too long, the smallest timings folded
-    // into one "_rest" aggregate (top queries by cost are what gets graded).
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).underlying
-      .stripTrailingZeros.toPlainString
-    def line(qs: Seq[(String, Double)], rest: Double): String = {
-      val entries = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
-        (if (rest > 0) Seq("\"_rest\":" + fmt(rest)) else Nil)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
-        entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
-    }
     // full per-query map → file (all queries, full precision, for analysis)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      line(results, 0.0) + "\n")
+      fullLine(results, sfDir) + "\n")
     catch { case _: Throwable => () }
-    val budget = 1400 // chars; leaves room for sbt's prefix + epilogue lines
+    val out = compactLine(results, sfDir)
+    // Stop Spark BEFORE printing (log level down so shutdown is silent):
+    // the metric line must be the LAST thing on stdout — the driver parses
+    // it from a ~2000-char output tail, and build.sbt's StdoutOutput /
+    // showSuccess settings keep sbt from prefixing or following it.
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
+    println(out)
+    System.out.flush()
+  }
+
+  /** The driver stores only the LAST ~2000 chars of this process's output
+    * and parses the JSON line from that tail — a line carrying every query
+    * at full double precision gets its head truncated and parses as null
+    * (BENCH_r02/r03 failed exactly this way). Emit a compact line that
+    * provably fits the tail budget: 3-decimal values and, if still too
+    * long, the smallest timings folded into one "_rest" aggregate (top
+    * queries by cost are what gets graded). */
+  val tailBudget = 1400 // chars; headroom inside the driver's ~2000 tail
+
+  private def fmt(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).underlying
+    .stripTrailingZeros.toPlainString
+
+  private def line(
+      qs: Seq[(String, Double)], rest: Double, total: Double,
+      sfDir: String): String = {
+    val entries = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
+      (if (rest > 0) Seq("\"_rest\":" + fmt(rest)) else Nil)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
+      entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+  }
+
+  def fullLine(results: Seq[(String, Double)], sfDir: String): String =
+    line(results, 0.0, results.map(_._2).sum, sfDir)
+
+  def compactLine(results: Seq[(String, Double)], sfDir: String): String = {
+    val total = results.map(_._2).sum
     var keep = results.sortBy(-_._2)
     var rest = 0.0
-    var out = line(keep.sortBy(_._1), rest)
-    while (out.length > budget && keep.nonEmpty) {
+    var out = line(keep.sortBy(_._1), rest, total, sfDir)
+    while (out.length > tailBudget && keep.nonEmpty) {
       rest += keep.last._2
       keep = keep.dropRight(1)
-      out = line(keep.sortBy(_._1), rest)
+      out = line(keep.sortBy(_._1), rest, total, sfDir)
     }
-    println(out)
-    spark.stop()
+    out
   }
 }

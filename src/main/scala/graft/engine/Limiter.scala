@@ -27,10 +27,14 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Subquer
   *   - AnyQuery / AnyInsert: block the whole plan class;
   *   - QueryWithoutPredicate: a query with no WHERE directly over a table
   *     scan is blocked (full-scan brake);
-  *   - QueryRange(maxMs): block when every bounded timestamp-key range in
-  *     the query exceeds the threshold; UNBOUNDED queries pass, like the
-  *     reference (`if let Some(range)` — range None is not limited;
-  *     compose with QueryWithoutPredicate to brake those).
+  *   - QueryRange(maxMs): block when the extracted timestamp-key range
+  *     width exceeds the threshold. Like the reference, an UNBOUNDED or
+  *     half-bounded query has width i64::MAX and is BLOCKED
+  *     (plan.rs `extract_time_range` falls back to `TimeRange::min_to_max`
+  *     and `query_range`'s checked_sub overflow maps to i64::MAX — this
+  *     rule exists to brake exactly those scans); range None — an
+  *     evals-false filter like `ts > 100 AND ts < 10` — is the only case
+  *     that is not limited.
   */
 object Limiter {
   sealed trait BlockRule { def ruleName: String }
@@ -79,8 +83,11 @@ final class Limiter {
     throw new BlockedException(
       s"Table operation is blocked, table:$table, op:$op")
   private def blockedByRule(rule: BlockRule, op: String): Nothing =
+    // limiter.rs formats the rule with Debug (`rule:{:?}`): plain variants
+    // print their name, QueryRange prints `QueryRange(86400000)` — Scala
+    // case-class/object toString matches that shape exactly.
     throw new BlockedException(
-      s"Table operation is blocked by rule:${rule.ruleName}, op:$op")
+      s"Table operation is blocked by rule:$rule, op:$op")
 
   // -------------------------------------------------- enforcement
   /** Write path (engine.append): table-scoped block list. */
@@ -111,9 +118,10 @@ final class Limiter {
         !plans.exists(hasScanFilter))
       blockedByRule(QueryWithoutPredicate, "query")
     rs.collectFirst { case r: QueryRange => r }.foreach { r =>
-      boundedTsRangeMs(plans, tsColumns).foreach { range =>
-        if (range > r.maxMs) blockedByRule(r, "query")
-      }
+      if (referencedEngine.nonEmpty)
+        queryRangeMs(plans, tsColumns).foreach { range =>
+          if (range > r.maxMs) blockedByRule(r, "query")
+        }
     }
   }
 
@@ -128,11 +136,16 @@ final class Limiter {
     plan.collectFirst { case Filter(_, child) if overScan(child) => () }.nonEmpty
   }
 
-  /** Tightest bounded [lower, upper] width over any timestamp-key column
-    * compared against literals; None when nothing is bounded on both
-    * sides. Literal forms are the engine's: TIMESTAMP literals (µs) and
-    * epoch-integer milliseconds (the EpochMillisRewrite convention). */
-  private def boundedTsRangeMs(
+  /** The query's scan width in ms — the twin of plan.rs `query_range()`:
+    * per timestamp-key column, the tightest [inclusive start, exclusive
+    * end) from literal conjuncts, starting UNBOUNDED (i64::MIN, i64::MAX)
+    * so a query with no usable bound yields Long.MaxValue via subtraction
+    * overflow (`checked_sub(..).unwrap_or(i64::MAX)`) and gets blocked.
+    * None ONLY for an invalid range (start > end — an evals-false
+    * filter), which the reference does not limit. Literal forms are the
+    * engine's: TIMESTAMP literals (µs) and epoch-integer milliseconds
+    * (the EpochMillisRewrite convention). */
+  private def queryRangeMs(
       plans: Seq[LogicalPlan], tsColumns: Set[String]): Option[Long] = {
     val lowers = scala.collection.mutable.Map.empty[String, Long]
     val uppers = scala.collection.mutable.Map.empty[String, Long]
@@ -149,38 +162,49 @@ final class Limiter {
       case Cast(child, _, _, _) => tsName(child)
       case _ => None
     }
-    def lower(n: String, v: Long): Unit =
+    def lower(n: String, v: Long): Unit = // inclusive start
       lowers(n) = math.max(lowers.getOrElse(n, Long.MinValue), v)
-    def upper(n: String, v: Long): Unit =
+    def upper(n: String, v: Long): Unit = // EXCLUSIVE end (plan.rs Bound)
       uppers(n) = math.min(uppers.getOrElse(n, Long.MaxValue), v)
+    def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     // Walk only CONJUNCTS: an OR/NOT disjunct does not constrain the scan
     // range (a `ts >= a OR ts <= b` tautology is unbounded — conflating
-    // its sides would spuriously block). Both operand orders count: the
-    // cap must not be evadable by writing `lit <= ts`.
+    // its sides would spuriously BOUND it and let it slip the cap). Both
+    // operand orders count: the cap must not be evadable via `lit <= ts`.
     def visit(cond: Expression): Unit = cond match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
         visit(l); visit(r)
-      case GreaterThanOrEqual(l, r) =>
+      case GreaterThanOrEqual(l, r) => // ts >= v | v >= ts (ts <= v)
         for (n <- tsName(l); v <- litMs(r)) lower(n, v)
+        for (n <- tsName(r); v <- litMs(l)) upper(n, inc(v))
+      case GreaterThan(l, r) => // ts > v | v > ts (ts < v)
+        for (n <- tsName(l); v <- litMs(r)) lower(n, inc(v))
         for (n <- tsName(r); v <- litMs(l)) upper(n, v)
-      case GreaterThan(l, r) =>
-        for (n <- tsName(l); v <- litMs(r)) lower(n, v)
-        for (n <- tsName(r); v <- litMs(l)) upper(n, v)
-      case LessThanOrEqual(l, r) =>
-        for (n <- tsName(l); v <- litMs(r)) upper(n, v)
+      case LessThanOrEqual(l, r) => // ts <= v | v <= ts (ts >= v)
+        for (n <- tsName(l); v <- litMs(r)) upper(n, inc(v))
         for (n <- tsName(r); v <- litMs(l)) lower(n, v)
-      case LessThan(l, r) =>
+      case LessThan(l, r) => // ts < v | v < ts (ts > v)
         for (n <- tsName(l); v <- litMs(r)) upper(n, v)
-        for (n <- tsName(r); v <- litMs(l)) lower(n, v)
+        for (n <- tsName(r); v <- litMs(l)) lower(n, inc(v))
       case _ => () // OR/NOT/other: no range contribution
     }
     plans.foreach(_.foreach {
       case Filter(cond, _) => visit(cond)
       case _ => ()
     })
-    val widths = lowers.keySet.intersect(uppers.keySet).map { n =>
-      math.max(0L, uppers(n) - lowers(n))
+    // Per column, start/end default to UNBOUNDED; width = end − start with
+    // overflow → Long.MaxValue. An invalid range (end < start) is the
+    // reference's `None` — not limited. The query's width is the tightest
+    // (min) over its timestamp keys, MaxValue when none is constrained.
+    val widths = tsColumns.toSeq.map { n =>
+      val lo = lowers.getOrElse(n, Long.MinValue)
+      val hi = uppers.getOrElse(n, Long.MaxValue)
+      if (hi < lo) None
+      else Some(
+        try Math.subtractExact(hi, lo)
+        catch { case _: ArithmeticException => Long.MaxValue })
     }
-    if (widths.isEmpty) None else Some(widths.min)
+    if (widths.exists(_.isEmpty)) None
+    else Some(widths.flatten.foldLeft(Long.MaxValue)(math.min))
   }
 }

@@ -501,10 +501,18 @@ final class TsdbEngine(
     val seqBase = catalog.reserveSeq(name, 1)
     // Schema may be AHEAD of this batch: a concurrent writer's auto-ADD
     // can widen the table between the caller building `batch` and this
-    // lock acquisition (ConcurrencySpec). Columns the batch doesn't carry
-    // are written as NULL — the same value they hold for every pre-ADD
-    // row — instead of failing the append on an unresolved column.
+    // lock acquisition (ConcurrencySpec). Only the columns that race can
+    // produce — nullable, non-key — are written as NULL (the same value
+    // they hold for every pre-ADD row). A batch missing the timestamp
+    // key, a primary-key column, or any NOT NULL column is malformed and
+    // must keep failing loudly: NULL-filling those would land rows that
+    // break the non-null invariant and segment/tsid assignment.
     val have = batch.columns.toSet
+    val pk = s.primaryKey.toSet
+    s.columns.find(c => !have(c.name) &&
+        (!c.isNullable || c.name == s.timestampKey || pk(c.name)))
+      .foreach(c => throw new IllegalArgumentException(
+        s"append to '$name' is missing required column '${c.name}'"))
     var df = batch.select(s.columns.map { c =>
       if (have(c.name)) col(c.name).cast(c.sparkType)
       else lit(null).cast(c.sparkType).as(c.name)

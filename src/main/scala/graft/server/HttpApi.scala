@@ -384,8 +384,10 @@ object HttpApi {
     * Add/Set/Remove on the limiter's write/read block lists and block
     * rules; answers the resulting state sorted. Rule JSON is serde's
     * adjacently-tagged shape: `{"type":"AnyQuery"}`,
-    * `{"type":"QueryRange","content":"24h"}` (ReadableDuration grammar:
-    * integer + ms|s|m|h|d). */
+    * `{"type":"QueryRange","content":"24h"}` (ReadableDuration grammar,
+    * time_ext/src/lib.rs:278 — concatenated `<number><unit>` segments
+    * with units d|h|m|s|ms in strictly DECREASING order, numbers may be
+    * fractional: "1h30m", "1.5h", "2d12h30m5s"). */
   def handleAdminBlock(
       engine: graft.engine.TsdbEngine, body: String): String =
     try {
@@ -396,19 +398,44 @@ object HttpApi {
         if (n == null || !n.isArray) Nil
         else (0 until n.size).map(i => n.get(i).asText())
       }
-      def durationMs(s: String): Long = {
-        val m = """^\s*(\d+)\s*(ms|s|m|h|d)\s*$""".r
-          .findFirstMatchIn(s)
-          .getOrElse(throw new IllegalArgumentException(
-            s"invalid duration: $s"))
-        val n = m.group(1).toLong
-        m.group(2) match {
-          case "ms" => n
-          case "s"  => n * 1000L
-          case "m"  => n * 60000L
-          case "h"  => n * 3600000L
-          case "d"  => n * 86400000L
+      // ReadableDuration::from_str (time_ext/src/lib.rs:278): scan for
+      // unit chars, each segment is <number><unit>, units must strictly
+      // decrease ("1h30m" ok, "30m1h" rejected), numbers parse as floats,
+      // the whole string must be consumed, negatives rejected; the
+      // accumulated value truncates to whole milliseconds.
+      def durationMs(s0: String): Long = {
+        val s = s0.trim
+        val errMsg = "valid duration, only d, h, m, s, ms are supported."
+        if (!s.forall(_ < 128))
+          throw new IllegalArgumentException(s"unexpected ascii string: $s")
+        var left = s
+        var lastUnit = Long.MaxValue
+        var dur = 0.0
+        var idx = left.indexWhere(c => "dhms".contains(c))
+        while (idx >= 0) {
+          val (numStr, rest) = left.splitAt(idx)
+          val (unitMs, consumed) =
+            if (rest.startsWith("ms")) (1L, 2)
+            else rest.head match {
+              case 'd' => (86400000L, 1)
+              case 'h' => (3600000L, 1)
+              case 'm' => (60000L, 1)
+              case 's' => (1000L, 1)
+            }
+          if (unitMs >= lastUnit) throw new IllegalArgumentException(
+            "d, h, m, s, ms should occur in given order.")
+          val n = try numStr.trim.toDouble
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(errMsg) }
+          dur += n * unitMs
+          lastUnit = unitMs
+          left = rest.drop(consumed)
+          idx = left.indexWhere(c => "dhms".contains(c))
         }
+        if (left.nonEmpty) throw new IllegalArgumentException(errMsg)
+        if (dur < 0) throw new IllegalArgumentException(
+          "duration should be positive.")
+        dur.toLong
       }
       def rules(field: String): Seq[BlockRule] = {
         val n = root.get(field)

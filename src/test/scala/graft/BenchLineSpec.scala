@@ -1,0 +1,61 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's bench capture: it keeps only the LAST ~2000 chars of the
+  * sbt process's combined output and parses the metric JSON line out of
+  * that tail. BENCH_r01–r06 all arrived `parsed: null` because sbt wrapped
+  * the line as `[info] {...}` and appended a `[success] Total time...`
+  * epilogue. The fix (build.sbt StdoutOutput + showSuccess:=false, Bench
+  * printing after spark.stop) makes the bare JSON the final stdout line —
+  * this spec replays that capture end-to-end against Bench's actual line
+  * builder. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  // a battery-sized result set with realistic name lengths and timings
+  private def results(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"q${i}%03d_some_operator_name_$i", 0.137 * (i % 29) + 0.4))
+
+  test("compact line fits the tail budget at battery scale and beyond") {
+    for (n <- Seq(1, 50, 280, 400, 1000)) {
+      val out = Bench.compactLine(results(n), "/root/testdata/sf0.1")
+      assert(out.length <= Bench.tailBudget, s"n=$n line ${out.length} chars")
+      val j = mapper.readTree(out) // must be valid JSON on its own
+      assert(j.get("metric").asText() == "total")
+      assert(j.get("unit").asText() == "sec")
+      assert(j.get("queries").size() > 0)
+    }
+  }
+
+  test("folded _rest preserves the total") {
+    val rs = results(400)
+    val j = mapper.readTree(Bench.compactLine(rs, "sf"))
+    val total = j.get("value").asDouble()
+    var sum = 0.0
+    j.get("queries").fields().forEachRemaining(e => sum += e.getValue.asDouble())
+    assert(math.abs(sum - total) < 0.01 * 400, s"sum=$sum total=$total")
+    assert(math.abs(total - rs.map(_._2).sum) < 0.002)
+  }
+
+  test("driver tail capture: last 2000 chars end with a parseable line") {
+    // simulate the process output the driver captures: compile noise,
+    // Spark WARN chatter, then the metric line LAST (what Bench now emits)
+    val noise = (1 to 80).map(i =>
+      s"26/08/15 07:47:5$i WARN MapPartitionsRDD: RDD $i was locally " +
+        "checkpointed, its lineage has been truncated").mkString("\n")
+    val metric = Bench.compactLine(results(280), "/root/testdata/sf0.1")
+    val output = noise + "\n" + metric + "\n"
+    val tail = output.takeRight(2000)
+    // a tail parser in the driver's position: last non-empty line is JSON
+    val last = tail.split("\n").filter(_.nonEmpty).last
+    val j = mapper.readTree(last)
+    assert(j.get("metric").asText() == "total")
+    assert(j.get("queries").size() > 0)
+    // and a line-scan parser finds exactly one JSON-object line
+    assert(tail.split("\n").count(l =>
+      l.startsWith("{") && l.endsWith("}")) == 1)
+  }
+}

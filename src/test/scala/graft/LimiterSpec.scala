@@ -91,10 +91,12 @@ class LimiterSpec extends SparkSpec {
     e.limiter.removeRules(Seq(QueryWithoutPredicate))
 
     e.limiter.addRules(Seq(QueryRange(3600000L))) // 1h cap
-    // 2h bounded range → blocked
-    intercept[BlockedException](e.execute(
+    // 2h bounded range → blocked, with the reference's Debug rule format
+    val re = intercept[BlockedException](e.execute(
       "SELECT count(*) FROM lim_t WHERE timestamp >= 1704067200000 " +
         "AND timestamp <= 1704074400000"))
+    assert(re.getMessage ==
+      "Table operation is blocked by rule:QueryRange(3600000), op:query")
     // literal-on-left operand order must not evade the cap
     intercept[BlockedException](e.execute(
       "SELECT count(*) FROM lim_t WHERE 1704067200000 <= timestamp " +
@@ -102,12 +104,25 @@ class LimiterSpec extends SparkSpec {
     // 30m → passes
     e.execute("SELECT count(*) FROM lim_t WHERE timestamp >= 1704067200000 " +
       "AND timestamp <= 1704069000000").collect()
-    // unbounded passes (reference: range None is not limited)
-    e.execute("SELECT count(*) FROM lim_t WHERE host = 'h1'").collect()
+    // UNBOUNDED is blocked (reference: extract_time_range → min_to_max →
+    // checked_sub overflow → i64::MAX > threshold) — the full-history scan
+    // is exactly what this rule exists to brake
+    intercept[BlockedException](
+      e.execute("SELECT count(*) FROM lim_t WHERE host = 'h1'"))
+    // half-bounded is blocked too (width = MAX − start, still > 1h)
+    intercept[BlockedException](e.execute(
+      "SELECT count(*) FROM lim_t WHERE timestamp >= 1704067200000"))
     // an OR of one-sided bounds is a tautology (unbounded) — its
-    // disjuncts must NOT be conflated into a bounded 2h range
-    e.execute("SELECT count(*) FROM lim_t WHERE timestamp >= 1704067200000 " +
-      "OR timestamp <= 1704074400000").collect()
+    // disjuncts must NOT be conflated into a bounded 30m range that
+    // slips the cap
+    intercept[BlockedException](e.execute(
+      "SELECT count(*) FROM lim_t WHERE timestamp >= 1704067200000 " +
+        "OR timestamp <= 1704069000000"))
+    // an evals-false range (start > end) is the reference's None → passes
+    e.execute("SELECT count(*) FROM lim_t WHERE timestamp >= 1704074400000 " +
+      "AND timestamp <= 1704067200000").collect()
+    // no engine table referenced → the rule does not apply
+    e.execute("SELECT 1 AS one").collect()
     e.limiter.removeRules(Seq(QueryRange(3600000L)))
 
     // a CTE shadowing a blocked table name never touches the engine table
