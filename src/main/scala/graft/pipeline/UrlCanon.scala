@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL/domain canonicalization + dedup — the WET-pipeline front door for a
+  * web-scale training corpus (the operation CommonCrawl-derived pipelines
+  * run before any text dedup: collapse scheme/case/port/tracking-param
+  * variants of one page, then cap per-domain document counts so no single
+  * host dominates the mix).
+  *
+  * Canonical form (documented, both the engine and the DuckDB oracle
+  * implement exactly these rules):
+  *   - scheme lowercased; host lowercased; a leading `www.` stripped;
+  *   - a default port dropped (`:80` for http, `:443` for https), any
+  *     other port kept;
+  *   - path: trailing `/` stripped; empty path becomes `/`;
+  *   - fragment dropped;
+  *   - query: tracking params removed (`utm_*`, `fbclid`, `gclid`,
+  *     `ref`), the rest SORTED bytewise and re-joined; empty → no `?`.
+  *
+  * Registered domain: last two host labels, or last three when the
+  * second-to-last label is a common second-level suffix (co, com, org,
+  * net, ac, gov — the minimal public-suffix heuristic; a production
+  * deployment would broadcast the full PSL as a lookup table, same plan
+  * shape).
+  *
+  * Scale posture: canonicalization is map-only native string expressions
+  * (no UDFs, no interpreted lambdas — the only array ops are lambda-free
+  * `array_sort`/`array_join`/`slice`, which stay codegen-friendly);
+  * `dedupByUrl` is one hash aggregation keyed by the canonical string;
+  * `domainCap` is one window keyed by registered domain. Shuffles carry
+  * urls/domains, never document text.
+  */
+object UrlCanon {
+
+  /** Tracking params stripped by the canonicalizer (one alternation, so
+    * the strip is a single regexp_replace pass). */
+  val trackingPattern = "(^|&)(utm_[a-z]+|fbclid|gclid|ref)=[^&]*"
+
+  private def hostPort(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)
+
+  def scheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+
+  /** Lowercased host, `www.` and port stripped. */
+  def host(url: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(hostPort(url)), ":[0-9]+$", ""), "^www\\.", "")
+
+  /** Non-default port with its colon, else empty ("":80 http, ":443"
+    * https are defaults). */
+  def nonDefaultPort(url: Column): Column = {
+    val p = regexp_extract(lower(hostPort(url)), ":([0-9]+)$", 1)
+    when(p === "", lit(""))
+      .when(scheme(url) === "http" && p === "80", lit(""))
+      .when(scheme(url) === "https" && p === "443", lit(""))
+      .otherwise(concat(lit(":"), p))
+  }
+
+  /** Path with trailing slash stripped; empty → "/". */
+  def path(url: Column): Column = {
+    val raw = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val trimmed = regexp_replace(raw, "/+$", "")
+    when(trimmed === "", lit("/")).otherwise(trimmed)
+  }
+
+  /** Query string with tracking params removed and the remainder sorted
+    * bytewise; empty when nothing survives. */
+  def canonicalQuery(url: Column): Column = {
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val stripped = regexp_replace(
+      regexp_replace(q, trackingPattern, ""), "^&+", "")
+    when(stripped === "", lit(""))
+      .otherwise(array_join(array_sort(split(stripped, "&")), "&"))
+  }
+
+  def canonicalUrl(url: Column): Column = {
+    val q = canonicalQuery(url)
+    concat(scheme(url), lit("://"), host(url), nonDefaultPort(url), path(url),
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Registered domain (minimal public-suffix heuristic, see header). */
+  def registeredDomain(url: Column): Column = {
+    val labels = split(host(url), "\\.")
+    val n = size(labels)
+    val secondLevel = element_at(labels, -2)
+    val take3 = n >= 3 &&
+      secondLevel.isin("co", "com", "org", "net", "ac", "gov")
+    array_join(slice(labels, when(take3, n - 2).otherwise(n - 1),
+      lit(Int.MaxValue)), ".")
+  }
+
+  /** Adds url_canonical / url_host / url_domain / url_path columns. */
+  def canonicalize(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    df.withColumn("url_canonical", canonicalUrl(u))
+      .withColumn("url_host", host(u))
+      .withColumn("url_domain", registeredDomain(u))
+      .withColumn("url_path", path(u))
+  }
+
+  /** Exact URL-level dedup: one keeper (lowest id) per canonical URL,
+    * with the collapsed variant count. One hash aggregation. */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    canonicalize(df, urlCol)
+      .groupBy(col("url_canonical"), col("url_domain"))
+      .agg(min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("n_variants"))
+
+  /** Per-registered-domain cap over the DEDUPED set: keep the `cap`
+    * lowest-keeper-id pages of each domain (the anti-domination mix rule).
+    * One window keyed by domain — domains are the natural parallel unit;
+    * a pathological single-domain corpus would need the salted two-phase
+    * rank instead (Sharding's pattern). */
+  def domainCap(df: DataFrame, urlCol: String, idCol: String, cap: Int): DataFrame =
+    dedupByUrl(df, urlCol, idCol)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("url_domain")).orderBy(col("keeper_id"))))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+}

@@ -22,7 +22,7 @@ object EngineE2E {
              |SELECT 'b' AS name, CAST(3 AS BIGINT) AS n, CAST(15.0 AS DOUBLE) AS total""".stripMargin),
       (s, _) => {
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-e2e").toString)
+          graft.TempDirs.create("graft-e2e").toString)
         e.execute(
           """CREATE TABLE demo (
             |  name string TAG, value double NOT NULL, t timestamp NOT NULL,
@@ -52,7 +52,7 @@ object EngineE2E {
              |SELECT 'v1' AS version, count(*) AS n, round(sum(v * 2), 2) AS total FROM c""".stripMargin),
       (s, dir) => {
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-travel").toString)
+          graft.TempDirs.create("graft-travel").toString)
         e.execute(
           """CREATE TABLE snap (
             |  ts timestamp NOT NULL, user_id uint64 TAG, value double,
@@ -78,7 +78,7 @@ object EngineE2E {
              |FROM events GROUP BY event_type""".stripMargin),
       (s, dir) => {
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-sdedup").toString)
+          graft.TempDirs.create("graft-sdedup").toString)
         e.execute(
           """CREATE TABLE events_dedup (
             |  ts timestamp NOT NULL, event_type string TAG, value double,
@@ -131,8 +131,7 @@ object EngineE2E {
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
         val schema = Tables.rawSchema(s, dir, "documents")
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-gate-out").toString
+        val out = graft.TempDirs.create("graft-gate-out").toString
         graft.streaming.StreamGate.decontaminateToParquet(
             s, dir, "documents.parquet", schema, "doc_id", "text",
             docs.filter(col("doc_id") % 17 === 0), "text", n = 8, out)
@@ -151,7 +150,7 @@ object EngineE2E {
              |FROM events GROUP BY event_type""".stripMargin),
       (s, dir) => {
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-stream").toString)
+          graft.TempDirs.create("graft-stream").toString)
         e.execute(
           """CREATE TABLE events_ingest (
             |  ts timestamp NOT NULL, event_type string TAG, user_id int64,
@@ -168,7 +167,7 @@ object EngineE2E {
         val q = stream.writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+            graft.TempDirs.create("graft-ckpt").toString)
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             e.append("events_ingest", Tables.normalizeEventTime(batch, "ts")
               .select("ts", "event_type", "user_id", "value", "event_id"))
@@ -194,7 +193,7 @@ object EngineE2E {
         // µs-NTZ) — normalizeEventTime downstream handles either
         val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-rollup").toString)
+          graft.TempDirs.create("graft-rollup").toString)
         graft.streaming.Rollup.windowedRollupToTable(
             e, dir, "events.parquet", schema, nanosTs = true,
             "ts", "event_type", "value", "1 hour", "2 hours", "events_rollup")
@@ -218,7 +217,7 @@ object EngineE2E {
       (s, dir) => {
         val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-sliding").toString)
+          graft.TempDirs.create("graft-sliding").toString)
         graft.streaming.Rollup.windowedRollupToTable(
             e, dir, "events.parquet", schema, nanosTs = true,
             "ts", "event_type", "value", "6 hours", "2 hours",
@@ -255,7 +254,7 @@ object EngineE2E {
       (s, dir) => {
         val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-sessroll").toString)
+          graft.TempDirs.create("graft-sessroll").toString)
         graft.streaming.Sessionize.sessionRollupToTable(
           e, dir, "events.parquet", schema,
           "ts", "user_id", "value", gap = "4 hours",
@@ -287,7 +286,7 @@ object EngineE2E {
         // µs-NTZ) — normalizeEventTime downstream handles either
         val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-srate").toString)
+          graft.TempDirs.create("graft-srate").toString)
         graft.streaming.SeriesRate.rateToTable(
             e, dir, "events.parquet", schema, nanosTs = true,
             "ts", "event_type", "value", "events_rate")
@@ -327,7 +326,7 @@ object EngineE2E {
       (s, dir) => {
         val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-sanom").toString)
+          graft.TempDirs.create("graft-sanom").toString)
         graft.streaming.AnomalyDetect.anomaliesToTable(
           e, dir, "events.parquet", schema,
           "ts", "event_type", "value",
@@ -367,7 +366,7 @@ object EngineE2E {
         // µs-NTZ) — normalizeEventTime downstream handles either
         val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-sess").toString)
+          graft.TempDirs.create("graft-sess").toString)
         graft.streaming.Sessionize.sessionsToTable(
             e, dir, "events.parquet", schema, nanosTs = true,
             "ts", "user_id", "value", "4 hours", "1 hour", "user_sessions")
@@ -393,7 +392,7 @@ object EngineE2E {
         // µs-NTZ) — normalizeEventTime downstream handles either
         val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-ssjoin").toString)
+          graft.TempDirs.create("graft-ssjoin").toString)
         graft.streaming.StreamJoin.intervalJoinToTable(
           e, dir, "events.parquet", schema, nanosTs = true,
           "ts", "user_id", "event_type", "click", "purchase",
@@ -413,7 +412,7 @@ object EngineE2E {
         // µs-NTZ) — normalizeEventTime downstream handles either
         val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-psink").toString)
+          graft.TempDirs.create("graft-psink").toString)
         graft.streaming.Rollup.windowedRollupToTable(
             e, dir, "events.parquet", schema, nanosTs = true,
             "ts", "event_type", "value", "1 hour", "2 hours", "events_rollup_pk",
@@ -435,7 +434,7 @@ object EngineE2E {
         // µs-NTZ) — normalizeEventTime downstream handles either
         val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-sksink").toString)
+          graft.TempDirs.create("graft-sksink").toString)
         val sk = graft.streaming.Rollup.sketchRollupToTable(
           e, dir, "events.parquet", schema, nanosTs = true,
           "ts", "event_type", "value", bucketSeconds = 86400L,
@@ -461,7 +460,7 @@ object EngineE2E {
         // µs-NTZ) — normalizeEventTime downstream handles either
         val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-mgsink").toString)
+          graft.TempDirs.create("graft-mgsink").toString)
         val sk = graft.streaming.Rollup.freqRollupToTable(
           e, dir, "events.parquet", schema, nanosTs = true,
           "ts", "event_type", "user_id", bucketSeconds = 86400L, k = 100000,
@@ -485,7 +484,7 @@ object EngineE2E {
              |FROM events GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-increfresh").toString)
+          graft.TempDirs.create("graft-increfresh").toString)
         e.execute(
           """CREATE TABLE ev_raw (
             |  ts timestamp NOT NULL, event_type string TAG, value double,
@@ -545,7 +544,7 @@ object EngineE2E {
       (s, dir) => {
         val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-ssleft").toString)
+          graft.TempDirs.create("graft-ssleft").toString)
         graft.streaming.StreamJoin.intervalLeftJoinToTable(
           e, dir, "events.parquet", schema, nanosTs = true,
           "ts", "user_id", "event_type", "click", "purchase",
@@ -567,7 +566,7 @@ object EngineE2E {
              |FROM events GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-cascade").toString)
+          graft.TempDirs.create("graft-cascade").toString)
         e.execute(
           """CREATE TABLE c_raw (
             |  ts timestamp NOT NULL, event_type string TAG, value double,
@@ -621,7 +620,7 @@ object EngineE2E {
              |SELECT 'unchanged', count(*)::BIGINT FROM c WHERE user_id % 2 = 1""".stripMargin),
       (s, dir) => {
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-snapdiff").toString)
+          graft.TempDirs.create("graft-snapdiff").toString)
         e.execute(
           """CREATE TABLE sd (
             |  ts timestamp NOT NULL, user_id uint64 TAG, value double,
@@ -654,7 +653,7 @@ object EngineE2E {
       (s, dir) => {
         val schema = Tables.rawSchema(s, dir, "events")
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-enrich").toString)
+          graft.TempDirs.create("graft-enrich").toString)
         val dim = Tables.t(s, dir, "events").select("user_id").distinct()
           .withColumn("tier", concat(lit("tier"), col("user_id") % 3))
         graft.streaming.Enrich.streamStaticJoinToTable(
@@ -703,7 +702,7 @@ object EngineE2E {
              |  AND ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin),
       (s, dir) => {
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-hist").toString)
+          graft.TempDirs.create("graft-hist").toString)
         e.execute(
           """CREATE TABLE th (
             |  ts timestamp NOT NULL, user_id uint64 TAG, value double,
@@ -732,7 +731,7 @@ object EngineE2E {
              |GROUP BY 1""".stripMargin),
       (s, dir) => {
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-sfc").toString)
+          graft.TempDirs.create("graft-sfc").toString)
         e.execute(
           """CREATE TABLE sfx (
             |  ts timestamp NOT NULL, user_id uint64 TAG, value double,

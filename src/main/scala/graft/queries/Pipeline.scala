@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.pipeline.{Decontaminate, Dedup, Ivf, LanguageModel, Multimodal, Pii, Pq, Relevance, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Ivf, LanguageModel, Multimodal, Pii, Pq, Relevance, Similarity, TextAnalysis, TokenizerAudit, UrlCanon}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline battery over the documents/embeddings
@@ -35,8 +35,7 @@ object PipelineQueries {
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val path = diskMemo.computeIfAbsent(
       (System.identityHashCode(s), dir, key), _ => {
-        val p = java.nio.file.Files
-          .createTempDirectory(s"graft-memo-$key").toString
+        val p = graft.TempDirs.create(s"graft-memo-$key").toString
         build.write.mode("overwrite").parquet(p)
         p
       })
@@ -63,6 +62,76 @@ object PipelineQueries {
       graft.pipeline.Dsir.importanceWeights(
         t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
     }
+
+  /** Deterministic synthetic URL per document (the fixture has no URL
+    * column): scheme/case/port/tracking/fragment variants derived from
+    * doc_id so canonicalization has real work to do and the DuckDB oracle
+    * can rebuild the exact same string (twin: `urlBuildSql`). */
+  private def syntheticUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 3 === 0, lit("http://"))
+        .when(id % 3 === 1, lit("https://")).otherwise(lit("HTTPS://")),
+      when(id % 4 === 0, lit("WWW.")).otherwise(lit("")),
+      when(id % 17 === 0, lit("cdn.")).otherwise(lit("")),
+      when(id % 9 === 0, upper(col("source"))).otherwise(col("source")),
+      when(id % 5 === 0, lit(".co.uk")).otherwise(lit(".com")),
+      when(id % 2 === 0,
+        when(id % 3 === 0, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit("")),
+      lit("/docs/"), col("lang"), lit("/p"), (id % 40).cast("string"),
+      when(id % 7 === 0, lit("/")).otherwise(lit("")),
+      when(id % 2 === 0, concat(lit("?utm_source=feed&id="),
+          (id % 10).cast("string"), lit("&q=spark")))
+        .when(id % 11 === 0, concat(lit("?id="), (id % 10).cast("string")))
+        .otherwise(lit("")),
+      when(id % 13 === 0, lit("#frag")).otherwise(lit("")))
+  }
+
+  private val urlBuildSql =
+    """CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://' ELSE 'HTTPS://' END ||
+      |CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
+      |CASE WHEN doc_id % 17 = 0 THEN 'cdn.' ELSE '' END ||
+      |CASE WHEN doc_id % 9 = 0 THEN upper(source) ELSE source END ||
+      |CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END ||
+      |CASE WHEN doc_id % 2 = 0 THEN CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END ELSE '' END ||
+      |'/docs/' || lang || '/p' || (doc_id % 40) ||
+      |CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+      |CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || (doc_id % 10) || '&q=spark'
+      |     WHEN doc_id % 11 = 0 THEN '?id=' || (doc_id % 10) ELSE '' END ||
+      |CASE WHEN doc_id % 13 = 0 THEN '#frag' ELSE '' END""".stripMargin
+
+  /** UrlCanon's rule list as DuckDB SQL over a CTE `u(doc_id, url)` —
+    * parses scheme/host/port/path/query with the same regexes, same
+    * order of operations (the oracle twin of `UrlCanon`). */
+  private val urlCanonSql =
+    """SELECT doc_id,
+      |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |  regexp_replace(regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':[0-9]+$', ''), '^www\.', '') AS host,
+      |  regexp_extract(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':([0-9]+)$', 1) AS port,
+      |  CASE WHEN regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') = '' THEN '/'
+      |       ELSE regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') END AS path,
+      |  regexp_replace(regexp_replace(regexp_extract(url, '\?([^#]*)', 1), '(^|&)(utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'), '^&+', '') AS qs
+      |FROM u""".stripMargin
+
+  /** Canonical-URL + registered-domain assembly over `c0` (the
+    * `urlCanonSql` output) — shared by the q294/q295 oracles. */
+  private val urlAssembleSql =
+    """SELECT doc_id,
+      |  scheme || '://' || host ||
+      |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |            OR (scheme = 'https' AND port = '443')
+      |       THEN '' ELSE ':' || port END || path ||
+      |  CASE WHEN qs = '' THEN ''
+      |       ELSE '?' || array_to_string(list_sort(string_split(qs, '&')), '&') END
+      |    AS canonical,
+      |  CASE WHEN len(string_split(host, '.')) >= 3
+      |            AND string_split(host, '.')[-2] IN ('co','com','org','net','ac','gov')
+      |       THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+      |       ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END
+      |    AS domain,
+      |  host, path
+      |FROM c0""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -1007,7 +1076,7 @@ object PipelineQueries {
              |FROM embeddings, q
              |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
       (s, dir) => {
-        val path = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+        val path = graft.TempDirs.create("graft-ivf-q").toString
         Ivf.buildIndex(t(s, dir, "embeddings"), "vec_id", "embedding", path,
           nlist = 16)
         Ivf.probeIndex(s, path, "vec_id", "embedding", queryVec(s, dir), 10,
@@ -1027,7 +1096,7 @@ object PipelineQueries {
              |FROM embeddings, q
              |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
       (s, dir) => {
-        val path = java.nio.file.Files.createTempDirectory("graft-ivf-a").toString
+        val path = graft.TempDirs.create("graft-ivf-a").toString
         val embs = t(s, dir, "embeddings")
         Ivf.buildIndex(embs.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", path, nlist = 16)
@@ -1075,7 +1144,7 @@ object PipelineQueries {
     //      rows-only; quality-never-degrades + rows-preserved spec'd.
     GraftQuery("q273_ivf_rebalance", None,
       (s, dir) => {
-        val path = java.nio.file.Files.createTempDirectory("graft-ivf-r").toString
+        val path = graft.TempDirs.create("graft-ivf-r").toString
         val embs = t(s, dir, "embeddings")
         Ivf.buildIndex(embs.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", path, nlist = 16)
@@ -2128,8 +2197,7 @@ object PipelineQueries {
              |  ((seq * 8) // n)::INT AS shard
              |FROM r""".stripMargin),
       (s, dir) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-jsonl-rel").toString
+        val out = graft.TempDirs.create("graft-jsonl-rel").toString
         graft.pipeline.Export.writeJsonlShards(
           t(s, dir, "documents"), "doc_id", salt = "j8", nShards = 8, out,
           cols = Seq("doc_id"))
@@ -2164,8 +2232,7 @@ object PipelineQueries {
              |FROM embeddings, q WHERE label = 1
              |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
       (s, dir) => {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-ivf-filt").toString
+        val path = graft.TempDirs.create("graft-ivf-filt").toString
         graft.pipeline.Ivf.buildIndex(
           t(s, dir, "embeddings"), "vec_id", "embedding", path, nlist = 8)
         graft.pipeline.Ivf.probeIndexFiltered(
@@ -2519,8 +2586,7 @@ object PipelineQueries {
              |FROM a GROUP BY shard
              |HAVING sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) > 0""".stripMargin),
       (s, dir) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-tombstone").toString
+        val out = graft.TempDirs.create("graft-tombstone").toString
         graft.pipeline.Sharding.write(
           t(s, dir, "documents"), "doc_id", salt = "g4", nShards = 16, out)
         val tomb = t(s, dir, "documents")
@@ -2584,7 +2650,80 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_frames"),
           sum(when(col("voiced"), 1L).otherwise(0L)).as("n_voiced"),
           max("rms_milli").as("max_rms_milli"),
-          max("zcr_bp").as("max_zcr_bp")))
+          max("zcr_bp").as("max_zcr_bp"))),
+
+    // ---- URL canonicalization (UrlCanon): the WET-pipeline front door.
+    //      Scheme/case/port/tracking/fragment variants collapse to one
+    //      canonical form + registered domain; the synthetic URL column is
+    //      built from fixture values by BOTH engines (urlBuildSql twin).
+    //      Map-only native string expressions — no UDFs, no interpreted
+    //      lambdas (array_sort/array_join here are lambda-free).
+    GraftQuery("q294_url_canonicalize",
+      Some(s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+              |c0 AS ($urlCanonSql)
+              |SELECT doc_id, canonical AS canonical_url, domain, host, path
+              |FROM ($urlAssembleSql)""".stripMargin),
+      (s, dir) => UrlCanon.canonicalize(
+          t(s, dir, "documents").withColumn("url", syntheticUrl), "url")
+        .select(col("doc_id"), col("url_canonical").as("canonical_url"),
+          col("url_domain").as("domain"), col("url_host").as("host"),
+          col("url_path").as("path"))),
+
+    // ---- URL dedup + per-domain cap (UrlCanon.dedupByUrl/domainCap):
+    //      one keeper (lowest doc_id) per canonical URL, then at most 3
+    //      keepers per registered domain; per-domain accounting incl. the
+    //      SUM of kept keeper ids (validates WHICH rows the cap kept, not
+    //      just how many). One hash agg + one domain-keyed window.
+    GraftQuery("q295_url_dedup_cap",
+      Some(s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+              |c0 AS ($urlCanonSql),
+              |c AS ($urlAssembleSql),
+              |d AS (SELECT canonical, domain, min(doc_id) AS keeper_id,
+              |        count(*) AS n_variants FROM c GROUP BY 1, 2),
+              |k AS (SELECT domain, keeper_id, row_number() OVER (
+              |        PARTITION BY domain ORDER BY keeper_id) AS rk FROM d)
+              |SELECT d.domain,
+              |  sum(d.n_variants)::BIGINT AS n_docs,
+              |  count(*)::BIGINT AS n_unique,
+              |  (SELECT count(*) FROM k WHERE k.domain = d.domain AND k.rk <= 3)::BIGINT AS n_kept,
+              |  (SELECT sum(keeper_id) FROM k WHERE k.domain = d.domain AND k.rk <= 3)::BIGINT AS kept_id_sum
+              |FROM d GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val withUrl = t(s, dir, "documents").withColumn("url", syntheticUrl)
+        val dd = UrlCanon.dedupByUrl(withUrl, "url", "doc_id")
+        val capped = UrlCanon.domainCap(withUrl, "url", "doc_id", cap = 3)
+        dd.groupBy(col("url_domain").as("domain"))
+          .agg(sum("n_variants").as("n_docs"),
+            count(lit(1)).as("n_unique"))
+          .join(capped.groupBy(col("url_domain").as("domain"))
+            .agg(count(lit(1)).as("n_kept"),
+              sum("keeper_id").as("kept_id_sum")), "domain")
+      }),
+
+    // ---- tokenizer-fertility audit (TokenizerAudit.fertilityByLang):
+    //      vocabulary coverage + byte-fallback subword accounting per
+    //      language — top-500 corpus words cost 1 token, OOV words cost
+    //      one per char; fertility and chars/token as scaled integers
+    //      (the pre-mix sequence-length-cost report per language).
+    GraftQuery("q296_tokenizer_fertility",
+      Some("""WITH w AS (SELECT lang, w FROM (
+             |    SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+             |    FROM documents) WHERE w <> ''),
+             |v AS (SELECT w AS vw FROM (
+             |    SELECT w, count(*) AS c FROM w GROUP BY 1
+             |    ORDER BY c DESC, w LIMIT 500)),
+             |a AS (SELECT lang, count(*) AS words,
+             |    sum(CASE WHEN w IN (SELECT vw FROM v) THEN 1 ELSE length(w) END) AS subword_tokens,
+             |    sum(length(w)) AS word_chars
+             |  FROM w GROUP BY 1),
+             |d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+             |SELECT a.lang, d.n_docs::BIGINT AS n_docs, a.words::BIGINT AS words,
+             |  a.subword_tokens::BIGINT AS subword_tokens,
+             |  ((a.subword_tokens * 1000) // a.words)::BIGINT AS fertility_x1000,
+             |  ((a.word_chars * 1000) // a.subword_tokens)::BIGINT AS chars_per_token_x1000
+             |FROM a JOIN d ON a.lang = d.lang""".stripMargin),
+      (s, dir) => TokenizerAudit.fertilityByLang(
+        t(s, dir, "documents"), "text", "lang", vocabSize = 500))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

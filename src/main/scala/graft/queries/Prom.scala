@@ -622,7 +622,7 @@ object Prom {
               |FROM (${extrapolatedSql(counter = true, perSecond = true)})""".stripMargin),
       (s, dir) => {
         val e = new graft.engine.TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-rules").toString)
+          graft.TempDirs.create("graft-rules").toString)
         graft.promql.Recording.create(e, "events_rate_1h", "rate(events[1h])")
         graft.promql.Recording.runRules(e, table(s, dir), p)
         e.read("events_rate_1h")

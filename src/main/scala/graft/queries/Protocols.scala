@@ -39,7 +39,7 @@ object Protocols {
 
   private def doIngestEvents(s: org.apache.spark.sql.SparkSession, dir: String): TsdbEngine = {
     val e = new TsdbEngine(s,
-      java.nio.file.Files.createTempDirectory("graft-influx").toString)
+      graft.TempDirs.create("graft-influx").toString)
     val lines = Tables.t(s, dir, "events").select(
       concat(
         lit("events,event_type="), col("event_type"),
@@ -133,7 +133,7 @@ object Protocols {
       (s, dir) => {
         import s.implicits._
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-otsdb-put").toString)
+          graft.TempDirs.create("graft-otsdb-put").toString)
         val bodies = Tables.t(s, dir, "events").select(
           to_json(struct(
             lit("events_put").as("metric"),
@@ -1032,7 +1032,7 @@ object Protocols {
       (s, dir) => {
         import s.implicits._
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-influx").toString)
+          graft.TempDirs.create("graft-influx").toString)
         LineProtocol.ingest(e,
           Seq("events,event_type=error value=1.0 1704067200000000000").toDS())
         InfluxQL.run(e, "SHOW MEASUREMENTS")
@@ -1107,7 +1107,7 @@ object Protocols {
              |FROM events GROUP BY event_type""".stripMargin),
       (s, dir) => {
         val e = new TsdbEngine(s,
-          java.nio.file.Files.createTempDirectory("graft-grpc-write").toString)
+          graft.TempDirs.create("graft-grpc-write").toString)
         val server = new graft.server.GraftGrpcServer(e).start()
         try {
           val c = new graft.server.GrpcWireClient(server.boundPort)

@@ -31,8 +31,7 @@ object TimeSeries {
       // pinned blocks between queries (inter-query isolation). A stored
       // parquet table is also what a production rollup IS — the serving
       // rule splices a plain scan of the pre-aggregate.
-      val rollupPath = java.nio.file.Files
-        .createTempDirectory("graft-rollup-6h").toString
+      val rollupPath = graft.TempDirs.create("graft-rollup-6h").toString
       t(s, dir, "events")
         .groupBy(col("event_type"),
           timestamp_micros((floor(unix_micros(col("ts")) / grainUs)
@@ -638,8 +637,7 @@ object TimeSeries {
              |WHERE user_id BETWEEN 2 AND 5
              |  AND "value" BETWEEN 50.0 AND 150.0""".stripMargin),
       (s, dir) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-zorder").toString
+        val out = graft.TempDirs.create("graft-zorder").toString
         graft.operators.ZOrder.write(
           t(s, dir, "events"), Seq("user_id", "value"), out,
           bits = 4, nFiles = 8)
@@ -984,8 +982,7 @@ object TimeSeries {
     //      in StreamingSpec.
     GraftQuery("q270_watermark_audit", None,
       (s, dir) => {
-        val staged = java.nio.file.Files
-          .createTempDirectory("graft-wm").toString
+        val staged = graft.TempDirs.create("graft-wm").toString
         graft.streaming.WatermarkAudit.stageArrivalFiles(
           t(s, dir, "events")
             .withColumn("arrival_us", unix_micros(col("ts")) +

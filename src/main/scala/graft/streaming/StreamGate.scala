@@ -34,8 +34,7 @@ object StreamGate {
     // same blocks instead of re-tokenizing the benchmark
     val benchGrams =
       Decontaminate.benchGramSet(bench, benchTextCol, n).localCheckpoint()
-    val checkpoint = java.nio.file.Files
-      .createTempDirectory("graft-gate-ckpt").toString
+    val checkpoint = graft.TempDirs.create("graft-gate-ckpt").toString
     val q = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
       .writeStream

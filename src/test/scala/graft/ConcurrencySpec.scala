@@ -27,6 +27,11 @@ import graft.server.{GraftGrpcServer, GraftHttpServer, GraftMysqlServer, GraftPg
   *
   * End state: exact row count and sum re-checked through gRPC and PG,
   * and the catalog holds every column either writer introduced.
+  *
+  * Round 7 adds: the same create/widen race driven by WRITERS on all four
+  * protocols at once (gRPC Write + OpenTSDB put auto-create/auto-ADD
+  * racing MySQL/PG CREATE IF NOT EXISTS + ALTER ADD + INSERT), and a
+  * dedicated stress for read()'s dedup-skip fingerprint guard.
   */
 class ConcurrencySpec extends SparkSpec {
 
@@ -349,6 +354,160 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  /** Create/widen races through ALL FOUR protocols at once: gRPC Write and
+    * HTTP OpenTSDB put both auto-create/auto-ADD (the reference's storage
+    * write + put ingest), while MySQL and PG clients race CREATE TABLE IF
+    * NOT EXISTS + ALTER ADD COLUMN + INSERT on the same table. Whichever
+    * client wins the create, every column any writer introduced must land
+    * in the catalog, no field value may be silently dropped, and the
+    * per-writer row/value accounting must hold exactly. (Round 6 fixed
+    * three real races in exactly this code — synchronized catalog.create,
+    * idempotent ensure-schema via alterAddColumnsIfAbsent, append under a
+    * schema widened between batch build and lock acquisition; this drives
+    * them through the remaining two protocols.) */
+  test("create/widen race via gRPC, OpenTSDB put, MySQL and PG writers") {
+    val engine = new TsdbEngine(spark, tmpDir("conc-mp"))
+    val grpc = new GraftGrpcServer(engine).start()
+    val pg = new GraftPgServer(engine).start()
+    val my = new GraftMysqlServer(engine).start()
+    val http = new GraftHttpServer(engine).start()
+    val failure = new AtomicReference[Throwable](null)
+    val start = new CountDownLatch(1)
+    val writersDone = new CountDownLatch(4)
+    def thread(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() => {
+        start.await()
+        try body catch { case e: Throwable => failure.compareAndSet(null, e) }
+      }, name)
+      t.start(); t
+    }
+    val t0 = 1704067200000L
+    val batches = 8
+    val rowsPerBatch = 5
+    val sqlRows = 20
+    // DISJOINT (host, ts) keys per writer: auto-created tables dedup on
+    // (tsid, timestamp), so colliding keys would collapse rows
+    val wg = thread("writer-grpc") {
+      val c = new GrpcWireClient(grpc.boundPort)
+      try {
+        for (b <- 0 until batches) {
+          val fields = if (b < 3) Seq("value" -> 3.0)
+            else Seq("value" -> 3.0, "ext_g" -> 10.0)
+          assert(grpcWrite(c, "conc_mp", s"g$b", fields,
+            t0 + b * 100000L, rowsPerBatch) == rowsPerBatch)
+        }
+      } finally { c.close(); writersDone.countDown() }
+    }
+    val wo = thread("writer-put") {
+      val hc = java.net.http.HttpClient.newHttpClient()
+      try {
+        for (b <- 0 until batches) {
+          val pts = (0 until rowsPerBatch).map { i =>
+            s"""{"metric":"conc_mp","timestamp":${t0 + 10000L + b * 100000L + i * 1000L},""" +
+              s""""value":1.25,"tags":{"host":"p$b","dc":"d${b % 2}"}}"""
+          }.mkString("[", ",", "]")
+          val r = hc.send(java.net.http.HttpRequest
+              .newBuilder(java.net.URI.create(
+                s"http://127.0.0.1:${http.boundPort}/opentsdb/api/put"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(pts, UTF_8))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          assert(r.statusCode() == 204, s"put: ${r.statusCode()} ${r.body()}")
+        }
+      } finally writersDone.countDown()
+    }
+    // SQL writers: CREATE IF NOT EXISTS may lose to an auto-create with a
+    // DIFFERENT column set → the writer's extra column must then land via
+    // ALTER ADD (tolerating "exists" if its own create won or the other
+    // SQL writer added first — each column is added by exactly one client,
+    // but create/alter interleave freely)
+    def sqlWriter(exec: String => Option[String], extCol: String,
+        hostPfx: String, tsOff: Long, vOff: Double): Unit = {
+      exec("CREATE TABLE IF NOT EXISTS conc_mp (" +
+        "timestamp TIMESTAMP NOT NULL TIMESTAMP KEY, host STRING TAG, " +
+        s""""value" DOUBLE, $extCol DOUBLE)""")
+        .foreach(e => throw new AssertionError(s"create: $e"))
+      exec(s"ALTER TABLE conc_mp ADD COLUMN $extCol DOUBLE").foreach { e =>
+        assert(e.toLowerCase.contains("exist") || e.toLowerCase.contains("duplicate"),
+          s"alter: $e")
+      }
+      for (i <- 0 until sqlRows) {
+        val r = exec(s"""INSERT INTO conc_mp (timestamp, host, "value", $extCol) """ +
+          s"VALUES (${t0 + tsOff + i * 1000L}, '$hostPfx$i', ${i + vOff}, 7.0)")
+        r.foreach(e => throw new AssertionError(s"insert: $e"))
+      }
+    }
+    val wm = thread("writer-mysql") {
+      val c = new MyClient(my.boundPort)
+      c.handshake()
+      try sqlWriter(sql => c.queryOne(sql).left.toOption,
+        "ext_m", "m", 20000L, 0.0)
+      finally { c.close(); writersDone.countDown() }
+    }
+    val wp = thread("writer-pg") {
+      val c = new PgClient(pg.boundPort)
+      c.startup()
+      try sqlWriter(sql => Option(c.query(sql)._2), "ext_p", "q", 30000L, 0.5)
+      finally { c.close(); writersDone.countDown() }
+    }
+    // one monotone reader through HTTP while all four writers run
+    val rh = thread("reader-http") {
+      val hc = java.net.http.HttpClient.newHttpClient()
+      var last = 0L
+      while (writersDone.getCount > 0) {
+        val r = hc.send(java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:${http.boundPort}/sql"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              """{"query": "SELECT count(*) AS n FROM conc_mp"}""", UTF_8))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        """"n":(\d+)""".r.findFirstMatchIn(r.body()).foreach { m =>
+          val n = m.group(1).toLong
+          assert(n >= last, s"count went backwards: $last -> $n")
+          last = n
+        }
+      }
+    }
+
+    start.countDown()
+    Seq(wg, wo, wm, wp, rh).foreach(_.join(TimeUnit.MINUTES.toMillis(5)))
+    if (failure.get() != null) throw failure.get()
+
+    val gc = new GrpcWireClient(grpc.boundPort)
+    try {
+      val expected = 2L * batches * rowsPerBatch + 2L * sqlRows
+      assert(grpcCount(gc, "SELECT count(*) AS n FROM conc_mp") == Right(expected))
+      // every column ANY writer introduced is in the catalog
+      val cols = engine.catalog.get("conc_mp").columns.map(_.name).toSet
+      assert(Set("timestamp", "host", "value", "ext_g", "dc",
+        "ext_m", "ext_p").subsetOf(cols), cols)
+      // per-writer column accounting: nothing silently dropped
+      assert(grpcCount(gc, "SELECT count(ext_g) AS n FROM conc_mp") ==
+        Right((batches - 3) * rowsPerBatch.toLong))
+      assert(grpcCount(gc, "SELECT count(dc) AS n FROM conc_mp") ==
+        Right(batches * rowsPerBatch.toLong))
+      assert(grpcCount(gc, "SELECT count(ext_m) AS n FROM conc_mp") ==
+        Right(sqlRows.toLong))
+      assert(grpcCount(gc, "SELECT count(ext_p) AS n FROM conc_mp") ==
+        Right(sqlRows.toLong))
+      // value integrity across all four write paths (all values are
+      // multiples of 0.25 → the double sum is exact)
+      val gSum = batches * (rowsPerBatch * 3.0 + (0 until rowsPerBatch).sum)
+      val oSum = batches * rowsPerBatch * 1.25
+      val mSum = (0 until sqlRows).sum.toDouble
+      val pSum = (0 until sqlRows).map(_ + 0.5).sum
+      // backticks: the SELECT runs through Spark SQL, where double quotes
+      // make a string literal (the INSERTs above run through DdlParser,
+      // which accepts either quoting)
+      assert(grpcCount(gc,
+        "SELECT CAST(sum(`value`) * 4 AS BIGINT) AS n FROM conc_mp") ==
+        Right(((gSum + oSum + mSum + pSum) * 4).toLong))
+    } finally {
+      gc.close(); grpc.stop(); pg.stop(); my.stop(); http.stop()
+    }
+  }
+
   /** Readers racing the compaction generation swap: compact() writes the
     * new generation, atomically repoints the manifest, and GCs only
     * generations OLDER than the one it superseded (a one-generation grace
@@ -483,6 +642,87 @@ class ConcurrencySpec extends SparkSpec {
     if (failure.get() != null) throw failure.get()
 
     val fin = engine.read("ow_t").select("host", "v")
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(fin == (0 until hosts).map(h => (s"h$h", rounds.toLong)), fin.toString)
+  }
+
+  /** The dedup-skip fast path's fingerprint guard, hammered directly:
+    * read() decides it may SKIP the newest-seq-wins window only when the
+    * table is fully compacted AND `readFingerprint` (dataGen,
+    * compactedSeq, nextSeq) is identical before and after the scan pins
+    * its file listing — otherwise a rewrite committing mid-listing could
+    * surface BOTH versions of a key with no window to collapse them
+    * (round 6's check-then-list race fix). Writers keep rewriting the
+    * same keys while a compactor keeps swapping generations; ~100
+    * read interleavings must each observe exactly one version per key,
+    * with per-key versions non-decreasing. */
+  test("dedup-skip fingerprint guard: no duplicate/stale keys across reads") {
+    import org.apache.spark.sql.functions.col
+    val engine = new TsdbEngine(spark, tmpDir("conc-fp"))
+    engine.execute("CREATE TABLE fp_t (timestamp TIMESTAMP NOT NULL TIMESTAMP KEY, " +
+      "host STRING TAG, v BIGINT) WITH (update_mode = 'overwrite')")
+    val failure = new AtomicReference[Throwable](null)
+    val start = new CountDownLatch(1)
+    val writerDone = new CountDownLatch(1)
+    def thread(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() => {
+        start.await()
+        try body catch { case e: Throwable => failure.compareAndSet(null, e) }
+      }, name)
+      t.start(); t
+    }
+    import spark.implicits._
+    val t0 = 1704067200000L
+    val hosts = 4
+    val rounds = 25
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    val wa = thread("rewriter") {
+      try {
+        for (r <- 1 to rounds) {
+          val df = (0 until hosts)
+            .map(h => (t0, s"h$h", r.toLong))
+            .toDF("ms", "host", "v")
+            .select(org.apache.spark.sql.functions.expr("timestamp_micros(ms * 1000)").as("timestamp"),
+              col("host"), col("v"))
+          engine.append("fp_t", df)
+          // let the compactor often reach the fully-compacted state the
+          // skip path needs before the next rewrite dirties it
+          Thread.sleep(5)
+        }
+      } finally writerDone.countDown()
+    }
+    val cp = thread("compactor") {
+      while (writerDone.getCount > 0) engine.compact("fp_t")
+      engine.compact("fp_t")
+    }
+    def reader(): Unit = {
+      val lastSeen = scala.collection.mutable.Map.empty[String, Long]
+      while (writerDone.getCount > 0 || reads.get() < 100) {
+        val rows = engine.read("fp_t").select("host", "v")
+          .as[(String, Long)].collect()
+        reads.incrementAndGet()
+        // exactly one version per key — a skip decision that raced a
+        // rewrite would surface two
+        assert(rows.map(_._1).distinct.length == rows.length,
+          s"duplicate keys visible: ${rows.toSeq.sortBy(_._1)}")
+        rows.foreach { case (h, v) =>
+          val prev = lastSeen.getOrElse(h, 0L)
+          assert(v >= prev, s"key $h version went backwards: $prev -> $v")
+          lastSeen(h) = v
+        }
+        if (writerDone.getCount == 0 && reads.get() >= 100) return
+      }
+    }
+    val r1 = thread("reader-1")(reader())
+    val r2 = thread("reader-2")(reader())
+
+    start.countDown()
+    Seq(wa, cp, r1, r2).foreach(_.join(TimeUnit.MINUTES.toMillis(5)))
+    if (failure.get() != null) throw failure.get()
+    assert(reads.get() >= 100, s"only ${reads.get()} read interleavings")
+
+    val fin = engine.read("fp_t").select("host", "v")
       .as[(String, Long)].collect().toSeq.sortBy(_._1)
     assert(fin == (0 until hosts).map(h => (s"h$h", rounds.toLong)), fin.toString)
   }

@@ -29,11 +29,17 @@ events: jitter is k * 1 ms (was k*7us, which put all 10 replicas of an
 event in the same millisecond + event_type — violating the (event_type,
 ms) no-collision invariant fixture_check enforces for the ingest
 round-trip oracles q45/q47/q278-q281). 1 ms shifts keep ms-truncation
-distinct WITHIN a replica family; cross-family collisions are possible
-in principle, so this script prints the residual (event_type, ms)
-collision count — if it is non-zero, do NOT use sf1 for the ingest
-round-trip oracles (it is a scaling-ladder fixture, not a gate fixture;
-fixture_check only scans /root/testdata).
+distinct WITHIN a replica family; cross-family collisions (two same-type
+source events exactly d ms apart, d in 1..9) left ~41 residuals — and no
+constant jitter step eliminates them (measured: every candidate delta
+from 1 ms to ~10 s leaves 3-9 colliding source pairs, the stream is that
+dense). So a deterministic REPAIR pass follows the copy: each residual
+(event_type, ms) group keeps its lowest-event_id row and shifts the
+others by rank * 17471 ms, re-checking until zero (converges in 1-2
+passes; worst-case drift per repaired row is a few minutes on a 90-day
+stream — irrelevant to the ladder's distributions). The script exits
+non-zero if residuals remain, so sf1 is now a GATE-grade fixture for the
+ingest round-trip oracles, not just a timing ladder.
 
 Output: target/sf1/*.parquet (NOT committed; /root/testdata is read-only).
 
@@ -91,13 +97,37 @@ copy(f"""SELECT event_id + k.k * 100000 AS event_id,
                 event_type, "value", props
          FROM '{SRC}/events.parquet', range(10) k(k)""", "events")
 
-ncoll = con.sql(f"""
-    SELECT count(*) FROM (
-      SELECT event_type, date_trunc('millisecond', ts) AS ms
-      FROM '{DST}/events.parquet' GROUP BY 1, 2 HAVING count(*) > 1)
-    """).fetchone()[0]
-print(f"events (event_type, ms) residual collisions: {ncoll}"
-      + ("" if ncoll == 0 else "  [do NOT use sf1 for ingest round-trip oracles]"))
+def event_collisions():
+    return con.sql(f"""
+        SELECT count(*) FROM (
+          SELECT event_type, date_trunc('millisecond', ts) AS ms
+          FROM '{DST}/events.parquet' GROUP BY 1, 2 HAVING count(*) > 1)
+        """).fetchone()[0]
+
+# deterministic repair: within each colliding (event_type, ms) group, keep
+# the lowest event_id and shift the rest by rank * 17471 ms (see docstring)
+ncoll = event_collisions()
+passes = 0
+while ncoll > 0 and passes < 5:
+    # stage to a sibling file: COPY must not truncate its own input
+    con.sql(f"""
+        COPY (
+          WITH ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type, date_trunc('millisecond', ts)
+                ORDER BY event_id) - 1 AS rnk
+            FROM '{DST}/events.parquet')
+          SELECT event_id, ts + rnk * INTERVAL 17471 MILLISECOND AS ts,
+                 user_id, event_type, "value", props
+          FROM ranked
+        ) TO '{DST}/events_repair.parquet' (FORMAT PARQUET)""")
+    os.replace(f"{DST}/events_repair.parquet", f"{DST}/events.parquet")
+    passes += 1
+    ncoll = event_collisions()
+    print(f"events collision repair pass {passes}: {ncoll} residual")
+print(f"events (event_type, ms) residual collisions: {ncoll}")
+if ncoll > 0:
+    raise SystemExit("sf1 events still collide — ingest oracles would flake")
 
 # documents: copy 0 verbatim; copies 1..9 vocabulary-ciphered (docstring)
 lower = "abcdefghijklmnopqrstuvwxyz"
