@@ -90,8 +90,10 @@ object UrlCanon {
     val secondLevel = element_at(labels, -2)
     val take3 = n >= 3 &&
       secondLevel.isin("co", "com", "org", "net", "ac", "gov")
+    // exact slice length — a huge sentinel length overflows start+length
+    // inside Slice and yields an empty array
     array_join(slice(labels, when(take3, n - 2).otherwise(n - 1),
-      lit(Int.MaxValue)), ".")
+      when(take3, lit(3)).otherwise(lit(2))), ".")
   }
 
   /** Adds url_canonical / url_host / url_domain / url_path columns. */

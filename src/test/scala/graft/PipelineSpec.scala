@@ -1842,4 +1842,83 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == (("a b", 2L, 0L)), out.toString)   // too short to match
     assert(out.size == 4)
   }
+
+  test("URL canonicalization: known-answer rule matrix") {
+    import spark.implicits._
+    val urls = Seq(
+      // case + www + default port + fragment + tracking param
+      (1L, "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&z=1&a=2#frag"),
+      // https default port, param sort, trailing slash on short path
+      (2L, "https://sub.Example.co.uk:443/p/?z=1&a=2"),
+      // NON-default port survives; no query; root path from empty
+      (3L, "http://example.com:8080"),
+      // all params are tracking → no '?'; www kept mid-host only if leading
+      (4L, "https://www.news.org/x?fbclid=abc&gclid=1&ref=z"),
+      // no variants at all: already canonical
+      (5L, "https://plain.net/ok?a=1"))
+      .toDF("id", "url")
+    val got = UrlCanon.canonicalize(urls, "url")
+      .select("id", "url_canonical", "url_domain", "url_host", "url_path")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == (("http://example.com/a/b?a=2&z=1", "example.com",
+      "example.com", "/a/b")), got(1L).toString)
+    assert(got(2L) == (("https://sub.example.co.uk/p?a=2&z=1",
+      "example.co.uk", "sub.example.co.uk", "/p")), got(2L).toString)
+    assert(got(3L) == (("http://example.com:8080/", "example.com",
+      "example.com", "/")), got(3L).toString)
+    assert(got(4L) == (("https://news.org/x", "news.org", "news.org",
+      "/x")), got(4L).toString)
+    assert(got(5L) == (("https://plain.net/ok?a=1", "plain.net",
+      "plain.net", "/ok")), got(5L).toString)
+  }
+
+  test("URL dedup + domain cap: keeper ids, variant counts, cap selection") {
+    import spark.implicits._
+    // ids 1,2,3 are one page (case/port/tracking variants); 4 another page
+    // on the same domain; 5..8 four distinct pages on a second domain
+    val urls = Seq(
+      (1L, "http://a.com/x?b=2&a=1"),
+      (2L, "HTTP://WWW.A.com:80/x/?a=1&utm_medium=m&b=2"),
+      (3L, "http://a.com/x?a=1&b=2#f"),
+      (4L, "http://a.com/y"),
+      (5L, "http://b.com/1"), (6L, "http://b.com/2"),
+      (7L, "http://b.com/3"), (8L, "http://b.com/4"))
+      .toDF("id", "url")
+    val dd = UrlCanon.dedupByUrl(urls, "url", "id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(dd("http://a.com/x?a=1&b=2") == ((1L, 3L)), dd.toString)
+    assert(dd("http://a.com/y") == ((4L, 1L)), dd.toString)
+    assert(dd.size == 6)
+    val capped = UrlCanon.domainCap(urls, "url", "id", cap = 3)
+      .select("url_domain", "keeper_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // a.com has 2 unique pages (both kept); b.com's cap keeps the 3
+    // lowest keeper ids of its 4 pages
+    assert(capped == Set(("a.com", 1L), ("a.com", 4L),
+      ("b.com", 5L), ("b.com", 6L), ("b.com", 7L)), capped.toString)
+  }
+
+  test("tokenizer fertility: brute-force reference on a tiny corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("en", "aa aa aa bb"),     // aa in-vocab(top2), bb OOV len 2
+      ("en", "aa ccc"),          // ccc OOV len 3
+      ("de", "aa dddd"))         // dddd OOV len 4
+      .toDF("lang", "text")
+    // vocabSize=2 → vocab by (count desc, token asc): aa(5), bb(1) ties
+    // with ccc/dddd broken ascending → bb
+    val got = TokenizerAudit.fertilityByLang(corpus, "text", "lang", 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // en: 6 words; subwords = aa*4=4 + bb(in-vocab)=1 + ccc=3 → 8;
+    //     chars = 2*4+2+3 = 13 → fertility 8000/6=1333, chars/token
+    //     13000/8=1625
+    assert(got("en") == ((2L, 6L, 8L, 1333L, 1625L)), got.toString)
+    // de: 2 words; subwords = aa=1 + dddd=4 → 5; chars 6 → 2500, 1200
+    assert(got("de") == ((1L, 2L, 5L, 2500L, 1200L)), got.toString)
+  }
 }
