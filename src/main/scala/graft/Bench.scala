@@ -116,8 +116,13 @@ object Bench {
       entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
   }
 
-  def fullLine(results: Seq[(String, Double)], sfDir: String): String =
-    line(results, 0.0, results.map(_._2).sum, sfDir)
+  /** Full-precision record for round-over-round analysis (the compact
+    * line rounds to 3 decimals for the tail budget; this one must not). */
+  def fullLine(results: Seq[(String, Double)], sfDir: String): String = {
+    val entries = results.map { case (k, v) => "\"" + k + "\":" + v }
+    s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":${
+      entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+  }
 
   def compactLine(results: Seq[(String, Double)], sfDir: String): String = {
     val total = results.map(_._2).sum

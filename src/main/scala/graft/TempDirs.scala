@@ -38,9 +38,12 @@ object TempDirs {
   }
 
   /** Delete leftover graft-* temp dirs from previous crashed/killed JVMs.
-    * Age-gated so a concurrently-running sibling process (a battery run
-    * takes minutes) is never swept. */
-  def sweepStale(maxAgeHours: Int = 6): Unit = try {
+    * Age-gated from the dir's mtime (= creation), so the gate must exceed
+    * the LONGEST plausible sibling run, not the typical one — a full sf1
+    * ladder battery can run the better part of an hour, and a live dir
+    * swept mid-run fails that JVM's lazy reads. 12 h clears the previous
+    * round's leftovers while staying far above any real run length. */
+  def sweepStale(maxAgeHours: Int = 12): Unit = try {
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - maxAgeHours * 3600000L
     val s = Files.list(tmp)

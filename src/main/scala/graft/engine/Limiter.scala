@@ -104,10 +104,11 @@ final class Limiter {
     * PARSED plans (main + CTE subplans) of one statement.
     *
     * @param referencedEngine engine tables the statement references
-    * @param tsColumns        their timestamp-key column names
+    *                         (CTE-shadowed names already excluded)
+    * @param tsColsByTable    engine table → its timestamp-key column
     */
   def checkQuery(
-      referencedEngine: Set[String], tsColumns: Set[String],
+      referencedEngine: Set[String], tsColsByTable: Map[String, String],
       plans: Seq[LogicalPlan]): Unit = {
     val (rb, rs) = synchronized { (readBlock.toSet, rules.toSet) }
     referencedEngine.intersect(rb).toSeq.sorted.headOption
@@ -118,10 +119,14 @@ final class Limiter {
         !plans.exists(hasScanFilter))
       blockedByRule(QueryWithoutPredicate, "query")
     rs.collectFirst { case r: QueryRange => r }.foreach { r =>
-      if (referencedEngine.nonEmpty)
-        queryRangeMs(plans, tsColumns).foreach { range =>
-          if (range > r.maxMs) blockedByRule(r, "query")
-        }
+      // Per-SCAN widths, then block if ANY scan exceeds the cap. One
+      // query-global bound map would let two individually-unbounded
+      // branches present as one bounded range (UNION ALL of a >= scan
+      // and a <= scan) and slip exactly the full-history reads this
+      // rule brakes. Invalid (evals-false) scans read nothing — the
+      // reference's None — and are not limited.
+      val widths = scanRangesMs(plans, tsColsByTable).flatten
+      if (widths.nonEmpty && widths.max > r.maxMs) blockedByRule(r, "query")
     }
   }
 
@@ -136,19 +141,24 @@ final class Limiter {
     plan.collectFirst { case Filter(_, child) if overScan(child) => () }.nonEmpty
   }
 
-  /** The query's scan width in ms — the twin of plan.rs `query_range()`:
-    * per timestamp-key column, the tightest [inclusive start, exclusive
-    * end) from literal conjuncts, starting UNBOUNDED (i64::MIN, i64::MAX)
-    * so a query with no usable bound yields Long.MaxValue via subtraction
-    * overflow (`checked_sub(..).unwrap_or(i64::MAX)`) and gets blocked.
-    * None ONLY for an invalid range (start > end — an evals-false
-    * filter), which the reference does not limit. Literal forms are the
-    * engine's: TIMESTAMP literals (µs) and epoch-integer milliseconds
-    * (the EpochMillisRewrite convention). */
-  private def queryRangeMs(
-      plans: Seq[LogicalPlan], tsColumns: Set[String]): Option[Long] = {
-    val lowers = scala.collection.mutable.Map.empty[String, Long]
-    val uppers = scala.collection.mutable.Map.empty[String, Long]
+  /** Width in ms of every ENGINE-TABLE SCAN in the plans — the twin of
+    * plan.rs `query_range()`, applied per scan: for each
+    * `UnresolvedRelation` of a limited table, the tightest [inclusive
+    * start, exclusive end) over that table's timestamp key from the
+    * conjuncts of the Filter nodes ABOVE that scan (its own branch
+    * only), starting UNBOUNDED (i64::MIN, i64::MAX) so a scan with no
+    * usable bound yields Long.MaxValue via subtraction overflow
+    * (`checked_sub(..).unwrap_or(i64::MAX)`) and gets blocked. None ONLY
+    * for an invalid range (start > end — an evals-false filter), which
+    * the reference does not limit. Literal forms are the engine's:
+    * TIMESTAMP literals (µs) and epoch-integer milliseconds (the
+    * EpochMillisRewrite convention). Name-based like every validator on
+    * the parsed plan: a CTE-shadowed table name is excluded from
+    * `tsColsByTable` by the caller, so shadowed references are never
+    * treated as engine scans. */
+  private def scanRangesMs(
+      plans: Seq[LogicalPlan],
+      tsColsByTable: Map[String, String]): Seq[Option[Long]] = {
     def litMs(e: Expression): Option[Long] = e match {
       case Literal(v: Long, t) if t.typeName.startsWith("timestamp") =>
         Some(v / 1000L) // µs → ms
@@ -156,55 +166,59 @@ final class Limiter {
       case Cast(child, _, _, _) => litMs(child)
       case _ => None
     }
-    def tsName(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute if tsColumns.contains(a.nameParts.last) =>
-        Some(a.nameParts.last)
-      case Cast(child, _, _, _) => tsName(child)
-      case _ => None
+    def isTs(e: Expression, tsCol: String): Boolean = e match {
+      case a: UnresolvedAttribute => a.nameParts.last == tsCol
+      case Cast(child, _, _, _) => isTs(child, tsCol)
+      case _ => false
     }
-    def lower(n: String, v: Long): Unit = // inclusive start
-      lowers(n) = math.max(lowers.getOrElse(n, Long.MinValue), v)
-    def upper(n: String, v: Long): Unit = // EXCLUSIVE end (plan.rs Bound)
-      uppers(n) = math.min(uppers.getOrElse(n, Long.MaxValue), v)
     def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
-    // Walk only CONJUNCTS: an OR/NOT disjunct does not constrain the scan
-    // range (a `ts >= a OR ts <= b` tautology is unbounded — conflating
-    // its sides would spuriously BOUND it and let it slip the cap). Both
-    // operand orders count: the cap must not be evadable via `lit <= ts`.
-    def visit(cond: Expression): Unit = cond match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        visit(l); visit(r)
-      case GreaterThanOrEqual(l, r) => // ts >= v | v >= ts (ts <= v)
-        for (n <- tsName(l); v <- litMs(r)) lower(n, v)
-        for (n <- tsName(r); v <- litMs(l)) upper(n, inc(v))
-      case GreaterThan(l, r) => // ts > v | v > ts (ts < v)
-        for (n <- tsName(l); v <- litMs(r)) lower(n, inc(v))
-        for (n <- tsName(r); v <- litMs(l)) upper(n, v)
-      case LessThanOrEqual(l, r) => // ts <= v | v <= ts (ts >= v)
-        for (n <- tsName(l); v <- litMs(r)) upper(n, inc(v))
-        for (n <- tsName(r); v <- litMs(l)) lower(n, v)
-      case LessThan(l, r) => // ts < v | v < ts (ts > v)
-        for (n <- tsName(l); v <- litMs(r)) upper(n, v)
-        for (n <- tsName(r); v <- litMs(l)) lower(n, inc(v))
-      case _ => () // OR/NOT/other: no range contribution
-    }
-    plans.foreach(_.foreach {
-      case Filter(cond, _) => visit(cond)
-      case _ => ()
-    })
-    // Per column, start/end default to UNBOUNDED; width = end − start with
-    // overflow → Long.MaxValue. An invalid range (end < start) is the
-    // reference's `None` — not limited. The query's width is the tightest
-    // (min) over its timestamp keys, MaxValue when none is constrained.
-    val widths = tsColumns.toSeq.map { n =>
-      val lo = lowers.getOrElse(n, Long.MinValue)
-      val hi = uppers.getOrElse(n, Long.MaxValue)
-      if (hi < lo) None
+
+    /** [inclusive start, exclusive end) width for ONE scan from the
+      * conjuncts of the Filters above it. Walk only CONJUNCTS: an OR/NOT
+      * disjunct does not constrain the scan range (a `ts >= a OR ts <= b`
+      * tautology is unbounded — conflating its sides would spuriously
+      * BOUND it and let it slip the cap). Both operand orders count: the
+      * cap must not be evadable via `lit <= ts`. */
+    def widthOf(conds: Seq[Expression], tsCol: String): Option[Long] = {
+      var lo = Long.MinValue
+      var hi = Long.MaxValue
+      def lower(v: Long): Unit = lo = math.max(lo, v)
+      def upper(v: Long): Unit = hi = math.min(hi, v)
+      def visit(cond: Expression): Unit = cond match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          visit(l); visit(r)
+        case GreaterThanOrEqual(l, r) => // ts >= v | v >= ts (ts <= v)
+          if (isTs(l, tsCol)) litMs(r).foreach(lower)
+          if (isTs(r, tsCol)) litMs(l).foreach(v => upper(inc(v)))
+        case GreaterThan(l, r) => // ts > v | v > ts (ts < v)
+          if (isTs(l, tsCol)) litMs(r).foreach(v => lower(inc(v)))
+          if (isTs(r, tsCol)) litMs(l).foreach(upper)
+        case LessThanOrEqual(l, r) => // ts <= v | v <= ts (ts >= v)
+          if (isTs(l, tsCol)) litMs(r).foreach(v => upper(inc(v)))
+          if (isTs(r, tsCol)) litMs(l).foreach(lower)
+        case LessThan(l, r) => // ts < v | v < ts (ts > v)
+          if (isTs(l, tsCol)) litMs(r).foreach(upper)
+          if (isTs(r, tsCol)) litMs(l).foreach(v => lower(inc(v)))
+        case _ => () // OR/NOT/other: no range contribution
+      }
+      conds.foreach(visit)
+      if (hi < lo) None // evals-false: reads nothing, not limited
       else Some(
         try Math.subtractExact(hi, lo)
         catch { case _: ArithmeticException => Long.MaxValue })
     }
-    if (widths.exists(_.isEmpty)) None
-    else Some(widths.flatten.foldLeft(Long.MaxValue)(math.min))
+
+    // Walk each plan carrying the Filter conjuncts active on the branch;
+    // every engine-table relation leaf yields its own scan width.
+    val out = Seq.newBuilder[Option[Long]]
+    def go(p: LogicalPlan, conds: Seq[Expression]): Unit = p match {
+      case Filter(c, child) => go(child, conds :+ c)
+      case r: UnresolvedRelation =>
+        tsColsByTable.get(r.multipartIdentifier.last)
+          .foreach(ts => out += widthOf(conds, ts))
+      case other => other.children.foreach(go(_, conds))
+    }
+    plans.foreach(go(_, Nil))
+    out.result()
   }
 }

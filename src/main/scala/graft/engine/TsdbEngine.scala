@@ -1064,9 +1064,12 @@ final class TsdbEngine(
     // read block list + query rules on the parsed plans (proxy-layer
     // try_limit twin — every SQL-serving protocol funnels through here).
     // CTE names shadow tables like in every validator above: a CTE named
-    // after a blocked table never touches the engine table.
-    limiter.checkQuery(
-      referenced.filterNot(isCte).intersect(tableSet), tsColumns, plans)
+    // after a blocked table never touches the engine table (and is
+    // excluded from the QueryRange scan map below for the same reason).
+    val engineTables = referenced.filterNot(isCte).intersect(tableSet)
+    limiter.checkQuery(engineTables,
+      engineTables.iterator.map(n => n -> catalog.get(n).timestampKey).toMap,
+      plans)
     GraftBridge.ofRows(spark, EpochMillisRewrite(plan, tsColumns))
   }
 

@@ -15,20 +15,26 @@ import org.apache.spark.sql.functions._
   * makes the audit exactly replayable in SQL while measuring the real
   * quantity of interest: vocabulary coverage per language.
   *
-  * Scale posture: one explode + hash-agg builds the frequency table; the
+  * Scale posture: ONE tokenize+explode (localCheckpoint-pinned — it
+  * feeds both the frequency table and the word-level join); the
   * vocabulary is top-K BOUNDED (TakeOrdered, never a full sort) and
-  * broadcast to the word-level join; per-language aggregation is the only
-  * other shuffle. Shuffles carry single words, never document text.
+  * broadcast to the word-level join; per-language aggregation is the
+  * only other shuffle, plus one column-pruned doc-count scan. Shuffles
+  * carry single words, never document text.
   */
 object TokenizerAudit {
 
   def fertilityByLang(
       docs: DataFrame, textCol: String, langCol: String,
       vocabSize: Int): DataFrame = {
+    // the explode feeds BOTH the vocabulary aggregation and the word-level
+    // join — pin it so the corpus-scan tokenization runs once, not twice
+    // (lazy localCheckpoint: materialized on first use, reused after)
     val words = docs
       .select(col(langCol).as("lang"),
         explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
+      .localCheckpoint(false)
     val vocab = words.groupBy("w").agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__cnt").desc, col("w").asc).limit(vocabSize)
       .select(col("w"), lit(1).as("__iv"))

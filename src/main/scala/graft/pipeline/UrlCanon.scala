@@ -83,17 +83,23 @@ object UrlCanon {
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
 
-  /** Registered domain (minimal public-suffix heuristic, see header). */
+  /** Registered domain (minimal public-suffix heuristic, see header).
+    * A host with fewer than two labels (localhost, an empty host from a
+    * malformed URL — routine in real web corpora) IS its own domain: the
+    * guard must come first, because slice(start=0) and
+    * element_at(labels, -2) both THROW under ANSI mode on 1-label
+    * arrays. */
   def registeredDomain(url: Column): Column = {
-    val labels = split(host(url), "\\.")
+    val h = host(url)
+    val labels = split(h, "\\.")
     val n = size(labels)
-    val secondLevel = element_at(labels, -2)
     val take3 = n >= 3 &&
-      secondLevel.isin("co", "com", "org", "net", "ac", "gov")
+      element_at(labels, -2).isin("co", "com", "org", "net", "ac", "gov")
     // exact slice length — a huge sentinel length overflows start+length
     // inside Slice and yields an empty array
-    array_join(slice(labels, when(take3, n - 2).otherwise(n - 1),
-      when(take3, lit(3)).otherwise(lit(2))), ".")
+    when(n <= 1, h).otherwise(
+      array_join(slice(labels, when(take3, n - 2).otherwise(n - 1),
+        when(take3, lit(3)).otherwise(lit(2))), "."))
   }
 
   /** Adds url_canonical / url_host / url_domain / url_path columns. */
@@ -119,7 +125,13 @@ object UrlCanon {
     * a pathological single-domain corpus would need the salted two-phase
     * rank instead (Sharding's pattern). */
   def domainCap(df: DataFrame, urlCol: String, idCol: String, cap: Int): DataFrame =
-    dedupByUrl(df, urlCol, idCol)
+    capDeduped(dedupByUrl(df, urlCol, idCol), cap)
+
+  /** The cap alone, over an already-deduped frame (`dedupByUrl` output) —
+    * so a pipeline that needs both the dedup stats AND the capped set
+    * canonicalizes/aggregates once instead of twice. */
+  def capDeduped(deduped: DataFrame, cap: Int): DataFrame =
+    deduped
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("url_domain")).orderBy(col("keeper_id"))))
       .filter(col("__rk") <= cap)

@@ -2691,7 +2691,9 @@ object PipelineQueries {
       (s, dir) => {
         val withUrl = t(s, dir, "documents").withColumn("url", syntheticUrl)
         val dd = UrlCanon.dedupByUrl(withUrl, "url", "doc_id")
-        val capped = UrlCanon.domainCap(withUrl, "url", "doc_id", cap = 3)
+        // cap over the SAME deduped frame — one canonicalize+aggregate;
+        // the shared subtree's shuffle is reused across the two branches
+        val capped = UrlCanon.capDeduped(dd, cap = 3)
         dd.groupBy(col("url_domain").as("domain"))
           .agg(sum("n_variants").as("n_docs"),
             count(lit(1)).as("n_unique"))

@@ -123,6 +123,18 @@ class LimiterSpec extends SparkSpec {
       "AND timestamp <= 1704067200000").collect()
     // no engine table referenced → the rule does not apply
     e.execute("SELECT 1 AS one").collect()
+    // widths are PER SCAN: a UNION ALL of two half-bounded scans must not
+    // conflate branch 1's lower with branch 2's upper into a small range
+    intercept[BlockedException](e.execute(
+      "SELECT count(*) AS n FROM (" +
+        "SELECT v FROM lim_t WHERE timestamp >= 1704067200000 " +
+        "UNION ALL SELECT v FROM lim_t WHERE timestamp <= 1704069000000)"))
+    // ...while two bounded scans within the cap both pass
+    e.execute(
+      "SELECT count(*) AS n FROM (" +
+        "SELECT v FROM lim_t WHERE timestamp >= 1704067200000 AND timestamp <= 1704069000000 " +
+        "UNION ALL SELECT v FROM lim_t WHERE timestamp >= 1704070000000 AND timestamp <= 1704071000000)")
+      .collect()
     e.limiter.removeRules(Seq(QueryRange(3600000L)))
 
     // a CTE shadowing a blocked table name never touches the engine table

@@ -1855,7 +1855,12 @@ class PipelineSpec extends SparkSpec {
       // all params are tracking → no '?'; www kept mid-host only if leading
       (4L, "https://www.news.org/x?fbclid=abc&gclid=1&ref=z"),
       // no variants at all: already canonical
-      (5L, "https://plain.net/ok?a=1"))
+      (5L, "https://plain.net/ok?a=1"),
+      // single-label host (routine in real corpora): its own domain —
+      // must not throw under ANSI (slice start 0 / element_at -2)
+      (6L, "http://localhost:8080/page"),
+      // malformed: no scheme → empty host/scheme; must not throw either
+      (7L, "not a url at all"))
       .toDF("id", "url")
     val got = UrlCanon.canonicalize(urls, "url")
       .select("id", "url_canonical", "url_domain", "url_host", "url_path")
@@ -1872,6 +1877,9 @@ class PipelineSpec extends SparkSpec {
       "/x")), got(4L).toString)
     assert(got(5L) == (("https://plain.net/ok?a=1", "plain.net",
       "plain.net", "/ok")), got(5L).toString)
+    assert(got(6L) == (("http://localhost:8080/page", "localhost",
+      "localhost", "/page")), got(6L).toString)
+    assert(got(7L) == ((":///", "", "", "/")), got(7L).toString)
   }
 
   test("URL dedup + domain cap: keeper ids, variant counts, cap selection") {
