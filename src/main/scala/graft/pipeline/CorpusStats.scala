@@ -96,6 +96,68 @@ object CorpusStats {
           .as("bucket"))
       .groupBy(idCol, "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Heaps-law vocabulary growth curve: walk the corpus in `idCol` order,
+    * cut it into `nBuckets` equal-count prefixes, and report cumulative
+    * docs / tokens / DISTINCT-vocabulary size at each cut, plus the
+    * type-token ratio in basis points. The saturation shape answers the
+    * curation question "does more of this source still buy new language,
+    * or only repetition?" — flat vocab growth at the tail is the
+    * crawl-another-snapshot stop signal.
+    *
+    * Scale shape: ONE two-phase global rank ([[Sharding.ranked]] — never a
+    * single-partition window) assigns prefix buckets; the distinct-vocab
+    * count per prefix comes from each token's FIRST-occurrence bucket
+    * (token-keyed hash-agg min), so no prefix ever re-counts the corpus;
+    * the cumulation runs on the O(nBuckets) rollup via a broadcast
+    * triangular self-join (lint-free — no unpartitioned window).
+    * The total row count rides in as a broadcast 1-row frame, not an
+    * eager driver count. */
+  def vocabGrowth(
+      docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val bucketed = Sharding
+      .ranked(docs.select(col(idCol), col(textCol)), Seq(col(idCol)))
+      .crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"(seq * $nBuckets) div __n") + 1L)
+    val docAgg = bucketed
+      .withColumn("__ntok", size(toks(col(textCol))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("__ntok").as("n_tokens"))
+    val newTypes = bucketed
+      .select(col("bucket"), explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val b = docAgg.join(newTypes, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+    val prev = b.select(col("bucket").as("__b2"), col("n_docs").as("__d2"),
+      col("n_tokens").as("__t2"), col("new_types").as("__v2"))
+    b.join(broadcast(prev), col("__b2") <= col("bucket"))
+      .groupBy("bucket")
+      .agg(sum("__d2").as("cum_docs"), sum("__t2").as("cum_tokens"),
+        sum("__v2").as("cum_vocab"))
+      .withColumn("ttr_bp",
+        floor(col("cum_vocab") * 10000.0 / col("cum_tokens")).cast("long"))
+  }
+
+  /** Zipf frequency spectrum: tokens bucketed by floor(log2(corpus
+    * frequency)), with type/occurrence masses and count bounds per bucket
+    * (the count-of-counts profile — a heavy singleton tail is OCR noise /
+    * mint-everything tokenization; a fat head is boilerplate). The log2
+    * bucket is computed as `length(bin(c)) - 1` — STRING arithmetic, not
+    * libm log2, so both engines bucket power-of-two boundaries identically
+    * (Math.log quotients at exact powers are ulp-hazardous).
+    * `first_token` = bytewise-min token of the bucket (deterministic
+    * representative). Two token-keyed hash-aggs, map-only in between. */
+  def zipfSpectrum(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("freq_bucket", (length(bin(col("c"))) - 1).cast("long"))
+      .groupBy("freq_bucket")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("n_occurrences"),
+        min("c").as("min_count"), max("c").as("max_count"),
+        min("w").as("first_token"))
+
   /** PMI collocations over adjacent token pairs (the word2phrase signal):
     * top-`topN` bigrams with count >= `minCount`, ranked by the PMI
     * argument c_xy·T/(c_x·c_y) (ln is monotone — ordering identical,

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-level corpus curation — the RefinedWeb/C4 layer ABOVE per-page
+  * filtering: aggregate per-page quality signals to the registered domain
+  * (spam, SEO farms and boilerplate mills are domain-shaped, not
+  * page-shaped), decide keep/drop at domain grain, and draw train/val/test
+  * splits at domain grain so near-identical pages from one host can never
+  * straddle an eval boundary (URL- or doc-level hash splits leak through
+  * template pages; a domain split cannot).
+  *
+  * Scale posture: both operators are ONE map-only canonicalization
+  * ([[UrlCanon]] native string expressions) followed by ONE hash
+  * aggregation keyed on the registered domain (then a second, O(splits)-
+  * sized rollup for the split report). Shuffles carry (domain, counters) —
+  * never document text. Domain cardinality is web-host-sized (millions at
+  * 100 TB), far inside hash-agg territory; no windows, no collects.
+  */
+object DomainStats {
+
+  private def ntok(textCol: String): Column =
+    TextAnalysis.tokenCount(col(textCol))
+
+  /** Per-registered-domain quality rollup + keep decision: doc count,
+    * token totals, short-doc ("low quality", token count < `minTokens`)
+    * share in basis points, and `kept` = 1 when the short-doc share stays
+    * under `maxLowBp`. Integer arithmetic throughout (floor-scaled
+    * averages) — the cross-engine-stable presentation. */
+  def qualityRollup(
+      docs: DataFrame, urlCol: String, textCol: String,
+      minTokens: Int, maxLowBp: Int): DataFrame =
+    docs
+      .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol)))
+      .withColumn("__ntok", ntok(textCol))
+      .groupBy(col("__domain").as("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__ntok").as("total_tokens"),
+        sum(when(col("__ntok") < minTokens, 1L).otherwise(0L)).as("n_low"))
+      .withColumn("avg_tokens_x1000",
+        floor(col("total_tokens") * 1000.0 / col("n_docs")).cast("long"))
+      .withColumn("low_bp",
+        floor(col("n_low") * 10000.0 / col("n_docs")).cast("long"))
+      .withColumn("kept",
+        when(col("low_bp") < maxLowBp, 1L).otherwise(0L))
+
+  /** Leakage-safe DOMAIN-level split: every document of one registered
+    * domain lands in the same train/val/test bucket (md5(domain+salt) —
+    * deterministic across runs, engines and layouts, the
+    * [[TextAnalysis.hashSplit]] scheme applied at domain grain).
+    *
+    * Report: per split, the domain / doc / token masses plus
+    * `n_docs_naive_other` — how many of the split's documents a naive
+    * DOC-level hash split would have sent to a DIFFERENT split (each one a
+    * potential template-page leak across the eval boundary; the number is
+    * the concrete risk the domain split retires). */
+  def domainSplit(
+      docs: DataFrame, urlCol: String, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol)))
+      .withColumn("split", TextAnalysis.hashSplit(col("__domain")))
+      .withColumn("__doc_split", TextAnalysis.hashSplit(col(idCol)))
+      .withColumn("__ntok", ntok(textCol))
+      .groupBy("split")
+      .agg(
+        countDistinct("__domain").as("n_domains"),
+        count(lit(1)).as("n_docs"),
+        sum("__ntok").as("total_tokens"),
+        sum(when(col("__doc_split") =!= col("split"), 1L).otherwise(0L))
+          .as("n_docs_naive_other"))
+}

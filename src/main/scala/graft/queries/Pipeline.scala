@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.pipeline.{Decontaminate, Dedup, Ivf, LanguageModel, Multimodal, Pii, Pq, Relevance, Similarity, TextAnalysis, TokenizerAudit, UrlCanon}
+import graft.pipeline.{Decontaminate, Dedup, DomainStats, Ivf, LanguageModel, Multimodal, Pii, Pq, Relevance, Similarity, TextAnalysis, TokenizerAudit, UrlCanon}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline battery over the documents/embeddings
@@ -2725,7 +2725,108 @@ object PipelineQueries {
              |  ((a.word_chars * 1000) // a.subword_tokens)::BIGINT AS chars_per_token_x1000
              |FROM a JOIN d ON a.lang = d.lang""".stripMargin),
       (s, dir) => TokenizerAudit.fertilityByLang(
-        t(s, dir, "documents"), "text", "lang", vocabSize = 500))
+        t(s, dir, "documents"), "text", "lang", vocabSize = 500)),
+
+    // ---- domain-level quality rollup (DomainStats.qualityRollup): the
+    //      RefinedWeb layer above per-page filtering — short-doc share per
+    //      registered domain decides keep/drop at domain grain. One
+    //      map-only canonicalization + one domain-keyed hash agg.
+    GraftQuery("q297_domain_quality_rollup",
+      Some(s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+              |c0 AS ($urlCanonSql),
+              |c AS ($urlAssembleSql),
+              |j AS (SELECT c.domain,
+              |    len(string_split_regex(trim(d.text), '\\s+')) AS ntok
+              |  FROM c JOIN documents d USING (doc_id)),
+              |a AS (SELECT domain, count(*) AS n_docs, sum(ntok) AS total_tokens,
+              |    sum(CASE WHEN ntok < 40 THEN 1 ELSE 0 END) AS n_low
+              |  FROM j GROUP BY 1)
+              |SELECT domain, n_docs::BIGINT AS n_docs,
+              |  total_tokens::BIGINT AS total_tokens, n_low::BIGINT AS n_low,
+              |  CAST(floor(total_tokens * 1000.0 / n_docs) AS BIGINT) AS avg_tokens_x1000,
+              |  CAST(floor(n_low * 10000.0 / n_docs) AS BIGINT) AS low_bp,
+              |  (CASE WHEN CAST(floor(n_low * 10000.0 / n_docs) AS BIGINT) < 4000
+              |        THEN 1 ELSE 0 END)::BIGINT AS kept
+              |FROM a""".stripMargin),
+      (s, dir) => DomainStats.qualityRollup(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "text", minTokens = 40, maxLowBp = 4000)),
+
+    // ---- Heaps-law vocabulary growth (CorpusStats.vocabGrowth):
+    //      cumulative distinct-vocab vs token mass at ten equal-count
+    //      corpus prefixes — the "does more of this source still buy new
+    //      language?" saturation curve. Two-phase global rank for the
+    //      prefix cut; per-token FIRST-occurrence bucket for the distinct
+    //      counting (no prefix re-counts the corpus).
+    GraftQuery("q298_vocab_growth",
+      Some("""WITH r AS (SELECT text,
+             |    ((row_number() OVER (ORDER BY doc_id) - 1) * 10)
+             |      // (SELECT count(*) FROM documents) + 1 AS bucket
+             |  FROM documents),
+             |tok AS (SELECT bucket,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS w FROM r),
+             |da AS (SELECT bucket, count(*) AS n_docs FROM r GROUP BY 1),
+             |ta AS (SELECT bucket, count(*) AS n_tokens FROM tok GROUP BY 1),
+             |fo AS (SELECT w, min(bucket) AS bucket FROM tok GROUP BY 1),
+             |nv AS (SELECT bucket, count(*) AS new_types FROM fo GROUP BY 1),
+             |b AS (SELECT da.bucket, da.n_docs, ta.n_tokens,
+             |    coalesce(nv.new_types, 0) AS new_types
+             |  FROM da JOIN ta USING (bucket) LEFT JOIN nv USING (bucket)),
+             |cum AS (SELECT bucket,
+             |    sum(n_docs) OVER (ORDER BY bucket) AS cum_docs,
+             |    sum(n_tokens) OVER (ORDER BY bucket) AS cum_tokens,
+             |    sum(new_types) OVER (ORDER BY bucket) AS cum_vocab
+             |  FROM b)
+             |SELECT bucket::BIGINT AS bucket, cum_docs::BIGINT AS cum_docs,
+             |  cum_tokens::BIGINT AS cum_tokens, cum_vocab::BIGINT AS cum_vocab,
+             |  CAST(floor(cum_vocab * 10000.0 / cum_tokens) AS BIGINT) AS ttr_bp
+             |FROM cum""".stripMargin),
+      (s, dir) => graft.pipeline.CorpusStats.vocabGrowth(
+        t(s, dir, "documents"), "doc_id", "text", nBuckets = 10)),
+
+    // ---- Zipf frequency spectrum (CorpusStats.zipfSpectrum): tokens
+    //      bucketed by floor(log2(corpus frequency)) via STRING bit-length
+    //      (length(bin(c))-1 — no libm log2 at power-of-two boundaries),
+    //      type/occurrence masses + bytewise-min representative per bucket.
+    GraftQuery("q299_zipf_spectrum",
+      Some("""WITH f AS (SELECT w, count(*) AS c FROM (
+             |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+             |    FROM documents) GROUP BY 1)
+             |SELECT (length(bin(c)) - 1)::BIGINT AS freq_bucket,
+             |  count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_occurrences,
+             |  min(c)::BIGINT AS min_count, max(c)::BIGINT AS max_count,
+             |  min(w) AS first_token
+             |FROM f GROUP BY 1""".stripMargin),
+      (s, dir) => graft.pipeline.CorpusStats.zipfSpectrum(
+        t(s, dir, "documents"), "text")),
+
+    // ---- leakage-safe DOMAIN-level split (DomainStats.domainSplit):
+    //      every page of one registered domain lands in the same
+    //      train/val/test bucket; n_docs_naive_other counts the documents
+    //      a naive doc-level hash split would have sent across the eval
+    //      boundary (the concrete leak risk the domain split retires).
+    GraftQuery("q300_domain_split",
+      Some(s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+              |c0 AS ($urlCanonSql),
+              |c AS ($urlAssembleSql),
+              |j AS (SELECT c.doc_id, c.domain,
+              |    len(string_split_regex(trim(d.text), '\\s+')) AS ntok
+              |  FROM c JOIN documents d USING (doc_id)),
+              |s AS (SELECT domain, ntok,
+              |    ('0x' || substr(md5(domain || ':split'), 1, 8))::BIGINT % 100 AS db,
+              |    ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 AS ib
+              |  FROM j),
+              |lab AS (SELECT domain, ntok,
+              |    CASE WHEN db < 80 THEN 'train' WHEN db < 90 THEN 'val' ELSE 'test' END AS split,
+              |    CASE WHEN ib < 80 THEN 'train' WHEN ib < 90 THEN 'val' ELSE 'test' END AS doc_split
+              |  FROM s)
+              |SELECT split, count(DISTINCT domain)::BIGINT AS n_domains,
+              |  count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS total_tokens,
+              |  sum(CASE WHEN doc_split <> split THEN 1 ELSE 0 END)::BIGINT AS n_docs_naive_other
+              |FROM lab GROUP BY 1""".stripMargin),
+      (s, dir) => DomainStats.domainSplit(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text"))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

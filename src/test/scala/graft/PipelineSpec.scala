@@ -1929,4 +1929,84 @@ class PipelineSpec extends SparkSpec {
     // de: 2 words; subwords = aa=1 + dddd=4 → 5; chars 6 → 2500, 1200
     assert(got("de") == ((1L, 2L, 5L, 2500L, 1200L)), got.toString)
   }
+
+  test("domain quality rollup: known-answer keep/drop matrix") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "http://a.com/1", "w w w w"),     // 4 tokens — not low
+      (2L, "http://a.com/2", "w w w w w"),   // 5 tokens
+      (3L, "http://b.com/1", "w"),           // 1 token — low
+      (4L, "http://b.com/2", "x y"),         // 2 — low
+      (5L, "http://b.com/3", "x y z q u"))   // 5
+      .toDF("doc_id", "url", "text")
+    val got = DomainStats.qualityRollup(docs, "url", "text",
+        minTokens = 4, maxLowBp = 5000)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // a.com: 2 docs, 9 tokens, 0 low → avg 4500, low_bp 0, kept
+    assert(got("a.com") == ((2L, 9L, 0L, 4500L, 0L, 1L)), got.toString)
+    // b.com: 3 docs, 8 tokens, 2 low → avg 2666, low_bp 6666, dropped
+    assert(got("b.com") == ((3L, 8L, 2L, 2666L, 6666L, 0L)), got.toString)
+  }
+
+  test("domain split: independent md5 replay + leak accounting") {
+    import spark.implicits._
+    // independent reimplementation of sampleBucket/hashSplit (MessageDigest,
+    // not Spark expressions) — the spec fails if either side drifts
+    def bucket(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$s:split".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    def label(b: Long) = if (b < 80) "train" else if (b < 90) "val" else "test"
+    val docs = Seq(
+      (1L, "http://a.com/1", "w w"), (2L, "http://a.com/2", "w"),
+      (3L, "http://b.com/1", "x y z"), (4L, "http://c.net/1", "p q"),
+      (5L, "http://c.net/2", "p"))
+      .toDF("doc_id", "url", "text")
+    val rows = DomainStats.domainSplit(docs, "url", "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // brute-force expected report from the replayed labels
+    val input = Seq((1L, "a.com", 2L), (2L, "a.com", 1L), (3L, "b.com", 3L),
+      (4L, "c.net", 2L), (5L, "c.net", 1L))
+    val expect = input
+      .map { case (id, dom, ntok) =>
+        (label(bucket(dom)), dom, ntok,
+          if (label(bucket(id.toString)) != label(bucket(dom))) 1L else 0L) }
+      .groupBy(_._1)
+      .map { case (sp, rs) => sp -> ((rs.map(_._2).distinct.size.toLong,
+        rs.size.toLong, rs.map(_._3).sum, rs.map(_._4).sum)) }
+    assert(rows == expect, s"got $rows expected $expect")
+    // a domain's docs are never split apart (the operator's contract)
+    assert(rows.values.map(_._1).sum == 3L, rows.toString)
+  }
+
+  test("vocab growth: hand-computed Heaps curve, 2 buckets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"), (2L, "b c"),   // bucket 1: 4 tokens, new {a,b,c}
+      (3L, "a d"), (4L, "d e f")) // bucket 2: 5 tokens, new {d,e,f}
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.CorpusStats.vocabGrowth(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((2L, 4L, 3L, 7500L)), got.toString)
+    assert(got(2L) == ((4L, 9L, 6L, 6666L)), got.toString)
+  }
+
+  test("zipf spectrum: string-bit-length buckets, known answers") {
+    import spark.implicits._
+    val docs = Seq(
+      Tuple1("a a a a a b b c"), Tuple1("c d")).toDF("text")
+    val got = graft.pipeline.CorpusStats.zipfSpectrum(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    assert(got(0L) == ((1L, 1L, 1L, 1L, "d")), got.toString)  // d: c=1
+    assert(got(1L) == ((2L, 4L, 2L, 2L, "b")), got.toString)  // b,c: c=2
+    assert(got(2L) == ((1L, 5L, 5L, 5L, "a")), got.toString)  // a: c=5
+    assert(got.size == 3)
+  }
 }
