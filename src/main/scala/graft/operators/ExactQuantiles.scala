@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * counts are a keys-sized aggregate; the (key, q, target-rank) frame
   * broadcasts; the final equality join selects |keys|·|qs| rows. The raw
   * data is scanned once and shuffled once.
+  *
+  * Bound to watch: the broadcast target frame is |keys|·|qs| rows — fine
+  * for metric/series cardinalities (millions of keys at a few quantiles
+  * is tens of MB), but a pathological key space (say, per-user keys in
+  * the billions) would blow the broadcast; switch the final equality
+  * join to a shuffle join (drop the `broadcast()` hint) in that regime —
+  * same plan otherwise.
   */
 object ExactQuantiles {
 

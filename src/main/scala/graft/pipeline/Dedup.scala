@@ -555,4 +555,29 @@ object Dedup {
       .filter(col("__rk") === 1)
       .drop("cluster_id", "__cid", "__rk")
   }
+
+  /** SOFT dedup: instead of dropping near-dup copies, down-weight them —
+    * every member of a k-doc cluster gets sampling weight 1/k (floored
+    * ×10⁴), singletons keep weight 1. Hard dedup throws away the signal
+    * that a document was independently published k times; soft dedup
+    * keeps one expected copy per cluster in the training mix while
+    * letting the sampler see all variants. Adds `weight_x10000` and
+    * `cluster_size` to every doc row.
+    *
+    * Plan: CC contracts the pair list to components; cluster sizes are an
+    * O(clusters) aggregate joined back; the docs frame is touched by ONE
+    * left join against the (id → size) assignment — payloads never
+    * shuffle into the clustering. */
+  def softDedupWeights(
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val sized = cc.join(
+      cc.groupBy("cluster_id").agg(count(lit(1)).as("__csz")), "cluster_id")
+      .select(col(idCol), col("__csz"))
+    docs.join(sized, Seq(idCol), "left")
+      .withColumn("cluster_size", coalesce(col("__csz"), lit(1L)))
+      .withColumn("weight_x10000",
+        floor(lit(10000.0) / col("cluster_size")).cast("long"))
+      .drop("__csz")
+  }
 }

@@ -46,6 +46,31 @@ object DomainStats {
       .withColumn("kept",
         when(col("low_bp") < maxLowBp, 1L).otherwise(0L))
 
+  /** Per-domain language coherence: Gini impurity of the domain's
+    * language mix — 1 − Σ_l (c_l/n)² — plus the majority-language share.
+    * A legitimate site serves one (occasionally two) languages; a domain
+    * spraying many is a machine-translation/SEO-spam signal the page-level
+    * filters can't see. Gini instead of Shannon entropy keeps the score
+    * an EXACT rational (n² − Σc²)/n² — no libm log — presented as floored
+    * basis points. One (domain, lang) hash-agg then an O(domains) rollup. */
+  def langCoherence(
+      docs: DataFrame, urlCol: String, langCol: String): DataFrame =
+    docs
+      .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol)))
+      .groupBy(col("__domain").as("domain"), col(langCol).as("__lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("domain")
+      .agg(
+        sum("c").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("c") * col("c")).as("__ssq"),
+        max("c").as("__cmax"))
+      .select(col("domain"), col("n_docs"), col("n_langs"),
+        floor((col("n_docs") * col("n_docs") - col("__ssq")) * 10000.0
+          / (col("n_docs") * col("n_docs"))).cast("long").as("gini_bp"),
+        floor(col("__cmax") * 10000.0 / col("n_docs")).cast("long")
+          .as("majority_bp"))
+
   /** Leakage-safe DOMAIN-level split: every document of one registered
     * domain lands in the same train/val/test bucket (md5(domain+salt) —
     * deterministic across runs, engines and layouts, the

@@ -119,4 +119,49 @@ object Drift {
     terms.map { case (i, nb, nc, t) => (i, nb, nc, t, total) }
       .toDF("bin", "base_n", "cur_n", "term_1e6", "psi_1e6")
   }
+
+  /** LEXICAL drift per source: total-variation distance between each
+    * source's unigram distribution and the whole corpus's —
+    * TV(s) = ½ Σ_w |p_s(w) − p(w)| — the "is this source linguistically
+    * like the rest of the mix?" audit (TV, unlike KL, needs no smoothing
+    * for zero counts and no libm log, so it stays EXACT integer
+    * arithmetic until one final basis-point floor).
+    *
+    * The zero-count trick that keeps it sparse: tokens ABSENT from source
+    * s contribute Σ_{w∉s} c_w·n_s = N·n_s − Σ_{w∈s} c_w·n_s, so only
+    * (source, token) pairs that EXIST are ever materialized — no
+    * densified |sources|×|vocab| frame. Numerators are scaled by n_s·N
+    * (exact longs → decimal accumulation, the binaryAuc overflow
+    * precedent); `tv_bp` = floor(TV·10⁴).
+    *
+    * Plan: one explode → (source, w) hash-agg; c_w and n_s derive from it
+    * (no second corpus scan); the w-keyed join shuffles counter rows
+    * only; per-source totals are an O(sources) aggregate. */
+  def sourceTvDistance(
+      docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("source"),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val csw = tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val cw = csw.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val ns = csw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val nt = cw.agg(sum("c_w").as("n_total"))
+    val dec = "decimal(38,0)"
+    val present = csw.join(cw, "w")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nt))
+      .groupBy("source")
+      .agg(
+        sum(abs(col("c_sw").cast(dec) * col("n_total")
+          - col("c_w").cast(dec) * col("n_s"))).as("d_present"),
+        sum(col("c_w").cast(dec) * col("n_s")).as("mass_present"),
+        max("n_s").as("n_s"), max("n_total").as("n_total"))
+    present
+      .withColumn("tv_num",
+        col("d_present")
+          + (col("n_total").cast(dec) * col("n_s") - col("mass_present")))
+      .select(col("source"), col("n_s").cast("long").as("n_tokens"),
+        col("tv_num").cast("long").as("tv_num"),
+        floor(col("tv_num").cast("double") * 10000.0
+          / (lit(2.0) * col("n_s") * col("n_total"))).cast("long").as("tv_bp"))
+  }
 }

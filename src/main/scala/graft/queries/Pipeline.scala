@@ -2826,7 +2826,99 @@ object PipelineQueries {
               |FROM lab GROUP BY 1""".stripMargin),
       (s, dir) => DomainStats.domainSplit(
         t(s, dir, "documents").withColumn("url", syntheticUrl),
-        "url", "doc_id", "text"))
+        "url", "doc_id", "text")),
+
+    // ---- per-source lexical drift (Drift.sourceTvDistance): total-
+    //      variation distance between each source's unigram distribution
+    //      and the corpus's — exact integer numerators (scaled by n_s·N,
+    //      absent tokens handled by the sparse complement identity), one
+    //      final basis-point floor. No smoothing, no libm log.
+    GraftQuery("q301_source_tv_distance",
+      Some("""WITH tok AS (SELECT source,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS w
+             |  FROM documents),
+             |csw AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY 1, 2),
+             |cw AS (SELECT w, sum(c_sw) AS c_w FROM csw GROUP BY 1),
+             |ns AS (SELECT source, sum(c_sw) AS n_s FROM csw GROUP BY 1),
+             |nt AS (SELECT sum(c_w) AS n_total FROM cw),
+             |j AS (SELECT c.source,
+             |    abs(c.c_sw * (SELECT n_total FROM nt) - cw.c_w * ns.n_s) AS d,
+             |    cw.c_w * ns.n_s AS m
+             |  FROM csw c JOIN cw USING (w) JOIN ns ON ns.source = c.source),
+             |a AS (SELECT source, sum(d) AS d_present, sum(m) AS mass_present
+             |  FROM j GROUP BY 1)
+             |SELECT a.source, ns.n_s::BIGINT AS n_tokens,
+             |  (a.d_present + ((SELECT n_total FROM nt) * ns.n_s - a.mass_present))::BIGINT AS tv_num,
+             |  CAST(floor(
+             |    (a.d_present + ((SELECT n_total FROM nt) * ns.n_s - a.mass_present)) * 10000.0
+             |    / (2.0 * ns.n_s * (SELECT n_total FROM nt))) AS BIGINT) AS tv_bp
+             |FROM a JOIN ns USING (source)""".stripMargin),
+      (s, dir) => graft.pipeline.Drift.sourceTvDistance(
+        t(s, dir, "documents"), "source", "text")),
+
+    // ---- per-domain language coherence (DomainStats.langCoherence):
+    //      Gini impurity of each registered domain's language mix +
+    //      majority-language share — the machine-translation/SEO-spam
+    //      signal page-level filters can't see. Exact rational, floored
+    //      basis points.
+    GraftQuery("q302_domain_lang_coherence",
+      Some(s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+              |c0 AS ($urlCanonSql),
+              |c AS ($urlAssembleSql),
+              |j AS (SELECT c.domain, d.lang FROM c JOIN documents d USING (doc_id)),
+              |dl AS (SELECT domain, lang, count(*) AS cnt FROM j GROUP BY 1, 2),
+              |a AS (SELECT domain, sum(cnt) AS n_docs, count(*) AS n_langs,
+              |    sum(cnt * cnt) AS ssq, max(cnt) AS cmax
+              |  FROM dl GROUP BY 1)
+              |SELECT domain, n_docs::BIGINT AS n_docs, n_langs::BIGINT AS n_langs,
+              |  CAST(floor((n_docs * n_docs - ssq) * 10000.0 / (n_docs * n_docs)) AS BIGINT) AS gini_bp,
+              |  CAST(floor(cmax * 10000.0 / n_docs) AS BIGINT) AS majority_bp
+              |FROM a""".stripMargin),
+      (s, dir) => DomainStats.langCoherence(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "lang")),
+
+    // ---- soft dedup (Dedup.softDedupWeights): near-dup cluster members
+    //      down-weighted to 1/cluster_size instead of dropped — one
+    //      expected copy per cluster survives sampling while every
+    //      variant stays visible. Reuses the memoized q54/q87 pair list;
+    //      oracle re-derives the q87 transitive closure then the same
+    //      per-source weight rollup.
+    GraftQuery("q303_soft_dedup_weights",
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
+             |    length(text) // 100 AS lenb
+             |  FROM documents),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+             |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |sz AS (SELECT cluster_id, count(*) AS csz FROM cc GROUP BY 1),
+             |w AS (SELECT d.source,
+             |    coalesce(s.csz, 1) AS cluster_size,
+             |    CAST(floor(10000.0 / coalesce(s.csz, 1)) AS BIGINT) AS w
+             |  FROM documents d LEFT JOIN
+             |    (SELECT cc.doc_id, sz.csz FROM cc JOIN sz USING (cluster_id)) s
+             |    USING (doc_id))
+             |SELECT source, count(*)::BIGINT AS n_docs,
+             |  sum(w)::BIGINT AS sum_weight_x10000,
+             |  sum(CASE WHEN cluster_size = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons
+             |FROM w GROUP BY 1""".stripMargin),
+      (s, dir) => Dedup.softDedupWeights(
+          t(s, dir, "documents"), "doc_id", jaccardPairs(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("weight_x10000").as("sum_weight_x10000"),
+          sum(when(col("cluster_size") === 1, 1L).otherwise(0L))
+            .as("n_singletons")))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

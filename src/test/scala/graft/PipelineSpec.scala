@@ -2009,4 +2009,58 @@ class PipelineSpec extends SparkSpec {
     assert(got(2L) == ((1L, 5L, 5L, 5L, "a")), got.toString)  // a: c=5
     assert(got.size == 3)
   }
+
+  test("source TV distance: hand-computed on a 2-source corpus") {
+    import spark.implicits._
+    val docs = Seq(("A", "a a b"), ("B", "b c")).toDF("source", "text")
+    val got = Drift.sourceTvDistance(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // N=5, c_a=2 c_b=2 c_c=1. A: |2·5−2·3|+|1·5−2·3|+absent(1·3)=8 →
+    // TV=8/(2·3·5)=4/15 → 2666 bp. B: |1·5−2·2|+|1·5−1·2|+absent(2·2)=8 →
+    // TV=8/20=0.4 → 4000 bp.
+    assert(got("A") == ((3L, 8L, 2666L)), got.toString)
+    assert(got("B") == ((2L, 8L, 4000L)), got.toString)
+    // sanity: identical distribution ⇒ TV = 0
+    val same = Seq(("X", "a b"), ("Y", "a b")).toDF("source", "text")
+    val z = Drift.sourceTvDistance(same, "source", "text")
+      .collect().map(_.getLong(3)).toSet
+    assert(z == Set(0L), z.toString)
+  }
+
+  test("domain language coherence: Gini + majority share, known answers") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "http://a.com/1", "en"), (2L, "http://a.com/2", "en"),
+      (3L, "http://a.com/3", "en"), (4L, "http://a.com/4", "fr"),
+      (5L, "http://b.net/1", "en"), (6L, "http://b.net/2", "en"))
+      .toDF("doc_id", "url", "lang")
+    val got = DomainStats.langCoherence(docs, "url", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a.com: n=4 {en:3, fr:1} → gini (16−10)/16 = 3750 bp, majority 7500
+    assert(got("a.com") == ((4L, 2L, 3750L, 7500L)), got.toString)
+    // b.net: single language → gini 0, majority 10000
+    assert(got("b.net") == ((2L, 1L, 0L, 10000L)), got.toString)
+  }
+
+  test("soft dedup weights: 1/cluster_size, singletons untouched") {
+    import spark.implicits._
+    val corpus = (1L to 6L).map(i => (i, s"s${(i - 1) / 3}"))
+      .toDF("doc_id", "source")
+    // {1,2,3} one component (transitively), {5,6} another, 4 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.softDedupWeights(corpus, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 3333L)), got.toString)
+    assert(got(2L) == ((3L, 3333L)), got.toString)
+    assert(got(3L) == ((3L, 3333L)), got.toString)
+    assert(got(4L) == ((1L, 10000L)), got.toString)
+    assert(got(5L) == ((2L, 5000L)), got.toString)
+    assert(got(6L) == ((2L, 5000L)), got.toString)
+    // expected-copies property: Σ weights ≈ #clusters (up to the floor)
+    val sums = got.values.map(_._2).sum
+    assert(sums == 3333L * 3 + 10000L + 5000L * 2, sums.toString)
+  }
 }

@@ -239,4 +239,107 @@ class PropertySpec extends SparkSpec {
         s"Σfinal=${out.map(_._4).sum} Σtarget=${out.map(_._3).sum}")
     }
   }
+
+  test("vocab growth equals driver-side brute force on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3131)
+    val vocab = ('a' to 'p').map(_.toString)
+    for (_ <- 1 to 5) {
+      val nDocs = 5 + rnd.nextInt(20)
+      val docs = (1L to nDocs.toLong).map { id =>
+        (id, (1 to (1 + rnd.nextInt(8)))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val nb = 2 + rnd.nextInt(3)
+      val got = pipeline.CorpusStats
+        .vocabGrowth(docs.toDF("doc_id", "text"), "doc_id", "text", nb)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // brute force: bucket docs by rank, recount each PREFIX from scratch
+      val byBucket = docs.sortBy(_._1).zipWithIndex
+        .map { case ((id, txt), i) => (i.toLong * nb / nDocs + 1, txt) }
+      val want = (1L to nb.toLong).map { b =>
+        val prefix = byBucket.filter(_._1 <= b).map(_._2)
+        val toksAll = prefix.flatMap(_.split("\\s+"))
+        b -> ((prefix.size.toLong, toksAll.size.toLong,
+          toksAll.distinct.size.toLong,
+          math.floor(toksAll.distinct.size * 10000.0 / toksAll.size).toLong))
+      }.toMap
+      assert(got == want, s"got=$got want=$want docs=$docs nb=$nb")
+    }
+  }
+
+  test("zipf spectrum buckets match floor(log2) + exact masses, random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(808)
+    val vocab = ('a' to 'h').map(_.toString)
+    for (_ <- 1 to 5) {
+      val docs = (1 to (5 + rnd.nextInt(10))).map { _ =>
+        Tuple1((1 to (1 + rnd.nextInt(40)))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val got = pipeline.CorpusStats.zipfSpectrum(docs.toDF("text"), "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getString(5)))).toMap
+      val counts = docs.flatMap(_._1.split("\\s+"))
+        .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+      val want = counts.groupBy { case (_, c) =>
+          63L - java.lang.Long.numberOfLeadingZeros(c) } // floor(log2 c)
+        .map { case (b, m) => b -> ((m.size.toLong, m.values.sum,
+          m.values.min, m.values.max, m.keys.min)) }
+      assert(got == want, s"got=$got want=$want")
+    }
+  }
+
+  test("domain rollup + split: brute force over random URL corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(616)
+    def md5Bucket(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$s:split".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    def label(b: Long) = if (b < 80) "train" else if (b < 90) "val" else "test"
+    for (_ <- 1 to 4) {
+      val hosts = Seq("a.com", "b.net", "c.co.uk", "d.org", "e.io")
+      val docs = (1L to (10 + rnd.nextInt(20)).toLong).map { id =>
+        (id, s"https://${hosts(rnd.nextInt(hosts.length))}/p$id",
+          (1 to (1 + rnd.nextInt(6))).map(_ => "w").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "url", "text")
+      val minTok = 3
+      // rollup
+      val gotR = pipeline.DomainStats.qualityRollup(df, "url", "text", minTok, 5000)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6)))).toMap
+      def dom(u: String) = { // registered-domain heuristic twin
+        val h = u.stripPrefix("https://").takeWhile(_ != '/')
+        val ls = h.split("\\.")
+        if (ls.length >= 3 && Set("co", "com", "org", "net", "ac", "gov")(ls(ls.length - 2)))
+          ls.takeRight(3).mkString(".") else ls.takeRight(2).mkString(".")
+      }
+      val wantR = docs.groupBy(d => dom(d._2)).map { case (dm, ds) =>
+        val ntoks = ds.map(_._3.split("\\s+").length.toLong)
+        val nLow = ntoks.count(_ < minTok).toLong
+        val lowBp = math.floor(nLow * 10000.0 / ds.size).toLong
+        dm -> ((ds.size.toLong, ntoks.sum, nLow,
+          math.floor(ntoks.sum * 1000.0 / ds.size).toLong, lowBp,
+          if (lowBp < 5000) 1L else 0L))
+      }
+      assert(gotR == wantR, s"rollup got=$gotR want=$wantR")
+      // split
+      val gotS = pipeline.DomainStats.domainSplit(df, "url", "doc_id", "text")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val wantS = docs.groupBy(d => label(md5Bucket(dom(d._2)))).map {
+        case (sp, ds) =>
+          sp -> ((ds.map(d => dom(d._2)).distinct.size.toLong, ds.size.toLong,
+            ds.map(_._3.split("\\s+").length.toLong).sum,
+            ds.count(d => label(md5Bucket(d._1.toString)) != sp).toLong))
+      }
+      assert(gotS == wantS, s"split got=$gotS want=$wantS")
+    }
+  }
 }
