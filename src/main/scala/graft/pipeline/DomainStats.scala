@@ -63,11 +63,15 @@ object DomainStats {
       .agg(
         sum("c").as("n_docs"),
         count(lit(1)).as("n_langs"),
-        sum(col("c") * col("c")).as("__ssq"),
+        // c² and n² in decimal: a long would wrap past ~3e9 docs per
+        // (domain, lang) — the binaryAuc overflow precedent
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("__ssq"),
         max("c").as("__cmax"))
       .select(col("domain"), col("n_docs"), col("n_langs"),
-        floor((col("n_docs") * col("n_docs") - col("__ssq")) * 10000.0
-          / (col("n_docs") * col("n_docs"))).cast("long").as("gini_bp"),
+        floor((col("n_docs").cast("decimal(38,0)") * col("n_docs")
+            - col("__ssq")).cast("double") * 10000.0
+          / (col("n_docs").cast("double") * col("n_docs"))).cast("long")
+          .as("gini_bp"),
         floor(col("__cmax") * 10000.0 / col("n_docs")).cast("long")
           .as("majority_bp"))
 

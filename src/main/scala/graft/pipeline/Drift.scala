@@ -136,7 +136,14 @@ object Drift {
     *
     * Plan: one explode → (source, w) hash-agg; c_w and n_s derive from it
     * (no second corpus scan); the w-keyed join shuffles counter rows
-    * only; per-source totals are an O(sources) aggregate. */
+    * only; per-source totals are an O(sources) aggregate.
+    *
+    * Presentation bound: `tv_num` (the exact scaled numerator, ≤ 2·n_s·N)
+    * is emitted as BIGINT for oracle parity — it outgrows 2^63 somewhere
+    * past ~10^9 tokens per source × 10^9 corpus tokens. The accumulation
+    * itself is decimal(38,0) (safe to ~10^38); at that scale drop the
+    * numerator column and keep `tv_bp`, whose double rounding both
+    * engines share. */
   def sourceTvDistance(
       docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(sourceCol).as("source"),
