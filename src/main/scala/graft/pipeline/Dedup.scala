@@ -580,4 +580,23 @@ object Dedup {
         floor(lit(10000.0) / col("cluster_size")).cast("long"))
       .drop("__csz")
   }
+
+  /** Dedup MIX-SHIFT report: what keep-best dedup does to the corpus
+    * composition, per `groupCol` (source) — raw vs kept doc counts and
+    * the kept share in basis points. Dedup is not mix-neutral: a source
+    * whose pages are mostly templated copies of other sources loses far
+    * more mass than its raw share suggests, and the post-dedup mixture a
+    * sampler sees is THIS table, not the raw counts. One rollup on each
+    * side of [[dedupByClustersKeepBest]] joined on the group key. */
+  def dedupMixShift(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      quality: org.apache.spark.sql.Column, groupCol: String): DataFrame = {
+    val raw = docs.groupBy(groupCol).agg(count(lit(1)).as("n_raw"))
+    val kept = dedupByClustersKeepBest(docs, idCol, pairs, quality)
+      .groupBy(groupCol).agg(count(lit(1)).as("n_kept"))
+    raw.join(kept, Seq(groupCol), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .withColumn("kept_bp",
+        floor(col("n_kept") * 10000.0 / col("n_raw")).cast("long"))
+  }
 }

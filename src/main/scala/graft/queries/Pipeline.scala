@@ -2918,7 +2918,73 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum("weight_x10000").as("sum_weight_x10000"),
           sum(when(col("cluster_size") === 1, 1L).otherwise(0L))
-            .as("n_singletons")))
+            .as("n_singletons"))),
+
+    // ---- corpus release diff (ReleaseDiff.contentDiff): content-hash
+    //      (md5(text)) diff between two snapshots — added/removed/kept +
+    //      churn per source; id-based diffs undercount churn whenever
+    //      ingestion re-keys. Snapshots are deterministic fixture slices
+    //      (old = doc_id%10≠9, new = doc_id%10≠0, ~80% overlap).
+    GraftQuery("q304_release_diff",
+      Some("""WITH o AS (SELECT DISTINCT source, md5(text) AS h
+             |  FROM documents WHERE doc_id % 10 <> 9),
+             |n AS (SELECT DISTINCT source, md5(text) AS h
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |j AS (SELECT coalesce(o.source, n.source) AS source,
+             |    (o.h IS NOT NULL) AS in_old, (n.h IS NOT NULL) AS in_new
+             |  FROM o FULL OUTER JOIN n ON o.source = n.source AND o.h = n.h),
+             |a AS (SELECT source,
+             |    sum(CASE WHEN in_new AND NOT in_old THEN 1 ELSE 0 END) AS n_added,
+             |    sum(CASE WHEN in_old AND NOT in_new THEN 1 ELSE 0 END) AS n_removed,
+             |    sum(CASE WHEN in_old AND in_new THEN 1 ELSE 0 END) AS n_kept
+             |  FROM j GROUP BY 1)
+             |SELECT source, n_added::BIGINT AS n_added,
+             |  n_removed::BIGINT AS n_removed, n_kept::BIGINT AS n_kept,
+             |  (n_removed + n_kept)::BIGINT AS n_old,
+             |  CAST(floor((n_added + n_removed) * 10000.0
+             |    / (n_removed + n_kept)) AS BIGINT) AS churn_bp
+             |FROM a""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.pipeline.ReleaseDiff.contentDiff(
+          d.filter(col("doc_id") % 10 =!= 9),
+          d.filter(col("doc_id") % 10 =!= 0), "source", "text")
+      }),
+
+    // ---- dedup mix-shift report (Dedup.dedupMixShift): what keep-best
+    //      near-dup dedup does to the per-source mixture — the post-dedup
+    //      composition a sampler actually sees. Reuses the memoized
+    //      q54/q87 pair list; oracle = the q282 closure + rollup.
+    GraftQuery("q305_dedup_mix_shift",
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
+             |    length(text) // 100 AS lenb
+             |  FROM documents),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+             |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |k AS (SELECT d.source FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY coalesce(cc.cluster_id, d.doc_id)
+             |    ORDER BY d.n_chars DESC, d.doc_id) = 1),
+             |raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY 1),
+             |kc AS (SELECT source, count(*) AS n_kept FROM k GROUP BY 1)
+             |SELECT raw.source, raw.n_raw::BIGINT AS n_raw,
+             |  coalesce(kc.n_kept, 0)::BIGINT AS n_kept,
+             |  CAST(floor(coalesce(kc.n_kept, 0) * 10000.0 / raw.n_raw) AS BIGINT) AS kept_bp
+             |FROM raw LEFT JOIN kc USING (source)""".stripMargin),
+      (s, dir) => Dedup.dedupMixShift(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", jaccardPairs(s, dir), col("n_chars"), "source"))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

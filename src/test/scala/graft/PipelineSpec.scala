@@ -2063,4 +2063,37 @@ class PipelineSpec extends SparkSpec {
     val sums = got.values.map(_._2).sum
     assert(sums == 3333L * 3 + 10000L + 5000L * 2, sums.toString)
   }
+
+  test("release diff: content-hash add/remove/keep + churn, known answers") {
+    import spark.implicits._
+    val old = Seq(("s1", "a"), ("s1", "b"), ("s2", "c"), ("s2", "c"))
+      .toDF("source", "text")
+    val neu = Seq(("s1", "b"), ("s1", "x"), ("s2", "c"), ("s3", "z"))
+      .toDF("source", "text")
+    val got = ReleaseDiff.contentDiff(old, neu, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    // s1: {a,b}→{b,x}: +x −a =b → churn (1+1)/2 = 10000 bp
+    assert(got("s1") == ((1L, 1L, 1L, 2L, 10000L)), got.toString)
+    // s2: duplicate old text collapses; {c}→{c}: unchanged
+    assert(got("s2") == ((0L, 0L, 1L, 1L, 0L)), got.toString)
+    // s3: born in the new release: no old mass → churn NULL, not ∞
+    assert(got("s3") == ((1L, 0L, 0L, 0L, -1L)), got.toString)
+  }
+
+  test("dedup mix shift: per-source kept share after keep-best") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "A", 10L), (2L, "B", 20L), // one cluster; B's copy is best
+      (3L, "A", 5L), (4L, "B", 5L), (5L, "C", 5L)) // singletons
+      .toDF("doc_id", "source", "n_chars")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupMixShift(corpus, "doc_id", pairs, col("n_chars"), "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A") == ((2L, 1L, 5000L)), got.toString)  // lost its copy
+    assert(got("B") == ((2L, 2L, 10000L)), got.toString) // kept both
+    assert(got("C") == ((1L, 1L, 10000L)), got.toString)
+  }
 }
