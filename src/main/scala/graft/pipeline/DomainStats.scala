@@ -75,6 +75,44 @@ object DomainStats {
         floor(col("__cmax") * 10000.0 / col("n_docs")).cast("long")
           .as("majority_bp"))
 
+  /** Split LEAK AUDIT: given the corpus's near-dup pair list, count how
+    * many pairs straddle an eval boundary under (a) the domain-level
+    * split and (b) a naive doc-level hash split — the measured residual
+    * leakage of each scheme, in one row. The domain split retires
+    * same-host template leaks by construction; CROSS-host near-dups
+    * (syndicated/scraped content) still leak under both, and this audit
+    * is how a release decides whether it needs the full cluster-level
+    * split. Pairs join two id-keyed label frames (labels, never text);
+    * the rollup is a single-row aggregate. */
+  def splitLeakAudit(
+      docs: DataFrame, urlCol: String, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val lab = docs
+      .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol)))
+      .select(col(idCol),
+        TextAnalysis.hashSplit(col("__domain")).as("__dom"),
+        TextAnalysis.hashSplit(col(idCol)).as("__doc"))
+    val a = lab.select(col(idCol).as("id_a"),
+      col("__dom").as("__da"), col("__doc").as("__ca"))
+    val b = lab.select(col(idCol).as("id_b"),
+      col("__dom").as("__db"), col("__doc").as("__cb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("__da") =!= col("__db"), 1L).otherwise(0L))
+          .as("cross_domain_pairs"),
+        sum(when(col("__ca") =!= col("__cb"), 1L).otherwise(0L))
+          .as("cross_doc_pairs"))
+      .select(col("n_pairs"), col("cross_domain_pairs"), col("cross_doc_pairs"),
+        // pair-free corpus → 0 bp, not floor(NaN) (ANSI cast throws)
+        when(col("n_pairs") === 0, 0L)
+          .otherwise(floor(col("cross_domain_pairs") * 10000.0
+            / col("n_pairs")).cast("long")).as("cross_domain_bp"),
+        when(col("n_pairs") === 0, 0L)
+          .otherwise(floor(col("cross_doc_pairs") * 10000.0
+            / col("n_pairs")).cast("long")).as("cross_doc_bp"))
+  }
+
   /** Leakage-safe DOMAIN-level split: every document of one registered
     * domain lands in the same train/val/test bucket (md5(domain+salt) —
     * deterministic across runs, engines and layouts, the

@@ -2984,7 +2984,48 @@ object PipelineQueries {
              |FROM raw LEFT JOIN kc USING (source)""".stripMargin),
       (s, dir) => Dedup.dedupMixShift(
         t(s, dir, "documents").select("doc_id", "source", "n_chars"),
-        "doc_id", jaccardPairs(s, dir), col("n_chars"), "source"))
+        "doc_id", jaccardPairs(s, dir), col("n_chars"), "source")),
+
+    // ---- split leak audit (DomainStats.splitLeakAudit): near-dup pairs
+    //      straddling an eval boundary under the domain split vs a naive
+    //      doc split — the measured residual leakage of each scheme
+    //      (cross-host syndication leaks under both; this is the number
+    //      that decides whether a release needs the cluster-level split).
+    GraftQuery("q306_split_leak_audit",
+      Some(s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+              |c0 AS ($urlCanonSql),
+              |c AS ($urlAssembleSql),
+              |t AS (SELECT doc_id, lang,
+              |    list_distinct(string_split_regex(trim(text), '\\s+')) AS toks,
+              |    length(text) // 100 AS lenb
+              |  FROM documents),
+              |p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM t a JOIN t b
+              |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
+              |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+              |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+              |lab AS (SELECT c.doc_id,
+              |    CASE WHEN ('0x' || substr(md5(domain || ':split'), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+              |         WHEN ('0x' || substr(md5(domain || ':split'), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+              |         ELSE 'test' END AS dom_split,
+              |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+              |         WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+              |         ELSE 'test' END AS doc_split
+              |  FROM c),
+              |j AS (SELECT la.dom_split AS da, lb.dom_split AS db,
+              |    la.doc_split AS ca, lb.doc_split AS cb
+              |  FROM p JOIN lab la ON la.doc_id = p.id_a
+              |         JOIN lab lb ON lb.doc_id = p.id_b)
+              |SELECT count(*)::BIGINT AS n_pairs,
+              |  sum(CASE WHEN da <> db THEN 1 ELSE 0 END)::BIGINT AS cross_domain_pairs,
+              |  sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END)::BIGINT AS cross_doc_pairs,
+              |  CAST(floor(sum(CASE WHEN da <> db THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS cross_domain_bp,
+              |  CAST(floor(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS cross_doc_bp
+              |FROM j""".stripMargin),
+      (s, dir) => DomainStats.splitLeakAudit(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", jaccardPairs(s, dir)))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

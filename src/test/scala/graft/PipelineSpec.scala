@@ -2096,4 +2096,33 @@ class PipelineSpec extends SparkSpec {
     assert(got("B") == ((2L, 2L, 10000L)), got.toString) // kept both
     assert(got("C") == ((1L, 1L, 10000L)), got.toString)
   }
+
+  test("split leak audit: cross-boundary pair counts replay md5 labels") {
+    import spark.implicits._
+    def bucket(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$s:split".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    def label(b: Long) = if (b < 80) "train" else if (b < 90) "val" else "test"
+    val doms = Map(1L -> "a.com", 2L -> "a.com", 3L -> "b.net", 4L -> "b.net")
+    val docs = doms.toSeq.map { case (id, d) => (id, s"http://$d/p$id") }
+      .toDF("doc_id", "url")
+    val pairList = Seq((1L, 2L), (1L, 3L), (3L, 4L))
+    val pairs = pairList.toDF("id_a", "id_b")
+    val r = DomainStats.splitLeakAudit(docs, "url", "doc_id", pairs)
+      .head()
+    val expCrossDom = pairList.count { case (a, b) =>
+      label(bucket(doms(a))) != label(bucket(doms(b))) }
+    val expCrossDoc = pairList.count { case (a, b) =>
+      label(bucket(a.toString)) != label(bucket(b.toString)) }
+    assert(r.getLong(0) == 3L, r.toString)
+    assert(r.getLong(1) == expCrossDom.toLong, r.toString)
+    assert(r.getLong(2) == expCrossDoc.toLong, r.toString)
+    // same-domain pairs can never cross the domain split (the contract):
+    // only the (1,3) pair is even eligible
+    assert(r.getLong(1) <= 1L, r.toString)
+    assert(r.getLong(3) == math.floor(r.getLong(1) * 10000.0 / 3).toLong)
+    assert(r.getLong(4) == math.floor(r.getLong(2) * 10000.0 / 3).toLong)
+  }
 }
