@@ -115,9 +115,12 @@ object CorpusStats {
   def vocabGrowth(
       docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame = {
-    val n = docs.agg(count(lit(1)).as("__n"))
-    val bucketed = Sharding
+    val ranked = Sharding
       .ranked(docs.select(col(idCol), col(textCol)), Seq(col(idCol)))
+    // total row count from the CHECKPOINTED ranked frame (max(seq)+1) —
+    // an agg over the raw input would re-scan the whole upstream plan
+    val n = ranked.agg((max("seq") + 1L).as("__n"))
+    val bucketed = ranked
       .crossJoin(broadcast(n))
       .withColumn("bucket", expr(s"(seq * $nBuckets) div __n") + 1L)
     val docAgg = bucketed

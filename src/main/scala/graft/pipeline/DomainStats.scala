@@ -99,10 +99,12 @@ object DomainStats {
     pairs.join(a, "id_a").join(b, "id_b")
       .agg(
         count(lit(1)).as("n_pairs"),
-        sum(when(col("__da") =!= col("__db"), 1L).otherwise(0L))
-          .as("cross_domain_pairs"),
-        sum(when(col("__ca") =!= col("__cb"), 1L).otherwise(0L))
-          .as("cross_doc_pairs"))
+        // empty pair list: sum() over 0 rows is NULL — pin to 0 so the
+        // report (and its oracle twin) reads 0/0/0, not 0/NULL/NULL
+        coalesce(sum(when(col("__da") =!= col("__db"), 1L).otherwise(0L)),
+          lit(0L)).as("cross_domain_pairs"),
+        coalesce(sum(when(col("__ca") =!= col("__cb"), 1L).otherwise(0L)),
+          lit(0L)).as("cross_doc_pairs"))
       .select(col("n_pairs"), col("cross_domain_pairs"), col("cross_doc_pairs"),
         // pair-free corpus → 0 bp, not floor(NaN) (ANSI cast throws)
         when(col("n_pairs") === 0, 0L)

@@ -133,6 +133,22 @@ object PipelineQueries {
       |  host, path
       |FROM c0""".stripMargin
 
+  /** The exact-Jaccard near-dup pair CTE (t + p) shared by every oracle
+    * that replays the memoized q54/q87 pair list (q87/q254/q255/q282/
+    * q283/q303/q305/q306) — ONE definition so a threshold or blocking
+    * change cannot drift between oracles and the Spark pair generator. */
+  private val jaccPairCteSql =
+    """t AS (SELECT doc_id, lang,
+      |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
+      |    length(text) // 100 AS lenb
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+      |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- per-document token statistics
@@ -581,22 +597,13 @@ object PipelineQueries {
     //      list (min-label propagation); oracle re-derives components via
     //      a recursive transitive-closure CTE over the same pairs
     GraftQuery("q87_near_dup_clusters",
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
-             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
-             |    length(text) // 100 AS lenb
-             |  FROM documents),
-             |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM t a JOIN t b
-             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
-             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+      Some(("""WITH RECURSIVE """ + jaccPairCteSql + """,
              |edges AS (SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p),
              |reach(id, r) AS (
              |  SELECT src, src FROM edges
              |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
-             |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+             |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""").stripMargin),
       (s, dir) => Dedup.connectedComponents(jaccardPairs(s, dir))
         .select(col("id").as("doc_id"), col("cluster_id"))),
 
@@ -606,16 +613,7 @@ object PipelineQueries {
     //      Singletons survive as their own cluster. Oracle re-derives the
     //      q87 closure, then takes the same argmax with QUALIFY.
     GraftQuery("q282_keep_best_dedup",
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
-             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
-             |    length(text) // 100 AS lenb
-             |  FROM documents),
-             |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM t a JOIN t b
-             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
-             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+      Some(("""WITH RECURSIVE """ + jaccPairCteSql + """,
              |edges AS (SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p),
              |reach(id, r) AS (
@@ -626,7 +624,7 @@ object PipelineQueries {
              |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
              |QUALIFY row_number() OVER (
              |  PARTITION BY coalesce(cc.cluster_id, d.doc_id)
-             |  ORDER BY d.n_chars DESC, d.doc_id) = 1""".stripMargin),
+             |  ORDER BY d.n_chars DESC, d.doc_id) = 1""").stripMargin),
       (s, dir) => Dedup.dedupByClustersKeepBest(
         t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
         "doc_id", jaccardPairs(s, dir), col("n_chars"))),
@@ -636,22 +634,13 @@ object PipelineQueries {
     //      sources duplicate each other (within-source on the diagonal).
     //      Pair-scoped joins against a 2-column doc frame; counts only.
     GraftQuery("q283_source_overlap_matrix",
-      Some("""WITH t AS (SELECT doc_id, lang,
-             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
-             |    length(text) // 100 AS lenb
-             |  FROM documents),
-             |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM t a JOIN t b
-             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
-             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8)
+      Some(("""WITH """ + jaccPairCteSql + """
              |SELECT least(da.source, db.source) AS src_a,
              |  greatest(da.source, db.source) AS src_b,
              |  count(*) AS n_pairs
              |FROM p JOIN documents da ON da.doc_id = p.id_a
              |  JOIN documents db ON db.doc_id = p.id_b
-             |GROUP BY 1, 2""".stripMargin),
+             |GROUP BY 1, 2""").stripMargin),
       (s, dir) => {
         val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
         jaccardPairs(s, dir)
@@ -2375,16 +2364,7 @@ object PipelineQueries {
     //      representative; crossing_clusters is the audit certificate
     //      (0 by construction, computed from the data, not assumed).
     GraftQuery("q254_leakage_safe_split",
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
-             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
-             |    length(text) // 100 AS lenb
-             |  FROM documents),
-             |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM t a JOIN t b
-             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
-             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+      Some(("""WITH RECURSIVE """ + jaccPairCteSql + """,
              |edges AS (SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p),
              |reach(id, r) AS (
@@ -2406,7 +2386,7 @@ object PipelineQueries {
              |  count(DISTINCT cluster_id)::BIGINT AS n_clusters,
              |  sum(n_chars)::BIGINT AS sum_chars,
              |  (SELECT crossing FROM x) AS crossing_clusters
-             |FROM s GROUP BY 1""".stripMargin),
+             |FROM s GROUP BY 1""").stripMargin),
       (s, dir) => {
         val cc = graft.pipeline.Dedup.connectedComponents(jaccardPairs(s, dir))
           .withColumnRenamed("id", "doc_id")
@@ -2435,22 +2415,13 @@ object PipelineQueries {
     //      from-scratch transitive closure over all pairs: incremental
     //      must be indistinguishable from recompute.
     GraftQuery("q255_incremental_clusters",
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
-             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
-             |    length(text) // 100 AS lenb
-             |  FROM documents),
-             |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM t a JOIN t b
-             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
-             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+      Some(("""WITH RECURSIVE """ + jaccPairCteSql + """,
              |edges AS (SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p),
              |reach(id, r) AS (
              |  SELECT src, src FROM edges
              |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
-             |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+             |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""").stripMargin),
       (s, dir) => {
         val pairs = jaccardPairs(s, dir)
         def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(10L)) >= 8
@@ -2885,16 +2856,7 @@ object PipelineQueries {
     //      oracle re-derives the q87 transitive closure then the same
     //      per-source weight rollup.
     GraftQuery("q303_soft_dedup_weights",
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
-             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
-             |    length(text) // 100 AS lenb
-             |  FROM documents),
-             |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM t a JOIN t b
-             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
-             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+      Some(("""WITH RECURSIVE """ + jaccPairCteSql + """,
              |edges AS (SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p),
              |reach(id, r) AS (
@@ -2911,7 +2873,7 @@ object PipelineQueries {
              |SELECT source, count(*)::BIGINT AS n_docs,
              |  sum(w)::BIGINT AS sum_weight_x10000,
              |  sum(CASE WHEN cluster_size = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons
-             |FROM w GROUP BY 1""".stripMargin),
+             |FROM w GROUP BY 1""").stripMargin),
       (s, dir) => Dedup.softDedupWeights(
           t(s, dir, "documents"), "doc_id", jaccardPairs(s, dir))
         .groupBy("source")
@@ -2956,16 +2918,7 @@ object PipelineQueries {
     //      composition a sampler actually sees. Reuses the memoized
     //      q54/q87 pair list; oracle = the q282 closure + rollup.
     GraftQuery("q305_dedup_mix_shift",
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
-             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
-             |    length(text) // 100 AS lenb
-             |  FROM documents),
-             |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM t a JOIN t b
-             |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
-             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+      Some(("""WITH RECURSIVE """ + jaccPairCteSql + """,
              |edges AS (SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p),
              |reach(id, r) AS (
@@ -2981,7 +2934,7 @@ object PipelineQueries {
              |SELECT raw.source, raw.n_raw::BIGINT AS n_raw,
              |  coalesce(kc.n_kept, 0)::BIGINT AS n_kept,
              |  CAST(floor(coalesce(kc.n_kept, 0) * 10000.0 / raw.n_raw) AS BIGINT) AS kept_bp
-             |FROM raw LEFT JOIN kc USING (source)""".stripMargin),
+             |FROM raw LEFT JOIN kc USING (source)""").stripMargin),
       (s, dir) => Dedup.dedupMixShift(
         t(s, dir, "documents").select("doc_id", "source", "n_chars"),
         "doc_id", jaccardPairs(s, dir), col("n_chars"), "source")),
@@ -3018,10 +2971,14 @@ object PipelineQueries {
               |  FROM p JOIN lab la ON la.doc_id = p.id_a
               |         JOIN lab lb ON lb.doc_id = p.id_b)
               |SELECT count(*)::BIGINT AS n_pairs,
-              |  sum(CASE WHEN da <> db THEN 1 ELSE 0 END)::BIGINT AS cross_domain_pairs,
-              |  sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END)::BIGINT AS cross_doc_pairs,
-              |  CAST(floor(sum(CASE WHEN da <> db THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS cross_domain_bp,
-              |  CAST(floor(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS cross_doc_bp
+              |  coalesce(sum(CASE WHEN da <> db THEN 1 ELSE 0 END), 0)::BIGINT AS cross_domain_pairs,
+              |  coalesce(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END), 0)::BIGINT AS cross_doc_pairs,
+              |  CASE WHEN count(*) = 0 THEN 0
+              |       ELSE CAST(floor(sum(CASE WHEN da <> db THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT)
+              |  END AS cross_domain_bp,
+              |  CASE WHEN count(*) = 0 THEN 0
+              |       ELSE CAST(floor(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT)
+              |  END AS cross_doc_bp
               |FROM j""".stripMargin),
       (s, dir) => DomainStats.splitLeakAudit(
         t(s, dir, "documents").withColumn("url", syntheticUrl),

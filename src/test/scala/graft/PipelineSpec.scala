@@ -1952,14 +1952,9 @@ class PipelineSpec extends SparkSpec {
 
   test("domain split: independent md5 replay + leak accounting") {
     import spark.implicits._
-    // independent reimplementation of sampleBucket/hashSplit (MessageDigest,
-    // not Spark expressions) — the spec fails if either side drifts
-    def bucket(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$s:split".getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
-    }
-    def label(b: Long) = if (b < 80) "train" else if (b < 90) "val" else "test"
+    // md5SplitLabel = the SparkSpec MessageDigest replay (not Spark
+    // expressions) — the spec fails if either side drifts
+    def label(s: String) = md5SplitLabel(s)
     val docs = Seq(
       (1L, "http://a.com/1", "w w"), (2L, "http://a.com/2", "w"),
       (3L, "http://b.com/1", "x y z"), (4L, "http://c.net/1", "p q"),
@@ -1973,8 +1968,8 @@ class PipelineSpec extends SparkSpec {
       (4L, "c.net", 2L), (5L, "c.net", 1L))
     val expect = input
       .map { case (id, dom, ntok) =>
-        (label(bucket(dom)), dom, ntok,
-          if (label(bucket(id.toString)) != label(bucket(dom))) 1L else 0L) }
+        (label(dom), dom, ntok,
+          if (label(id.toString) != label(dom)) 1L else 0L) }
       .groupBy(_._1)
       .map { case (sp, rs) => sp -> ((rs.map(_._2).distinct.size.toLong,
         rs.size.toLong, rs.map(_._3).sum, rs.map(_._4).sum)) }
@@ -2099,12 +2094,7 @@ class PipelineSpec extends SparkSpec {
 
   test("split leak audit: cross-boundary pair counts replay md5 labels") {
     import spark.implicits._
-    def bucket(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$s:split".getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
-    }
-    def label(b: Long) = if (b < 80) "train" else if (b < 90) "val" else "test"
+    def label(s: String) = md5SplitLabel(s)
     val doms = Map(1L -> "a.com", 2L -> "a.com", 3L -> "b.net", 4L -> "b.net")
     val docs = doms.toSeq.map { case (id, d) => (id, s"http://$d/p$id") }
       .toDF("doc_id", "url")
@@ -2113,9 +2103,9 @@ class PipelineSpec extends SparkSpec {
     val r = DomainStats.splitLeakAudit(docs, "url", "doc_id", pairs)
       .head()
     val expCrossDom = pairList.count { case (a, b) =>
-      label(bucket(doms(a))) != label(bucket(doms(b))) }
+      label(doms(a)) != label(doms(b)) }
     val expCrossDoc = pairList.count { case (a, b) =>
-      label(bucket(a.toString)) != label(bucket(b.toString)) }
+      label(a.toString) != label(b.toString) }
     assert(r.getLong(0) == 3L, r.toString)
     assert(r.getLong(1) == expCrossDom.toLong, r.toString)
     assert(r.getLong(2) == expCrossDoc.toLong, r.toString)

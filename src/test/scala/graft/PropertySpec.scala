@@ -295,12 +295,7 @@ class PropertySpec extends SparkSpec {
   test("domain rollup + split: brute force over random URL corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(616)
-    def md5Bucket(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$s:split".getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
-    }
-    def label(b: Long) = if (b < 80) "train" else if (b < 90) "val" else "test"
+    def label(s: String) = md5SplitLabel(s)
     for (_ <- 1 to 4) {
       val hosts = Seq("a.com", "b.net", "c.co.uk", "d.org", "e.io")
       val docs = (1L to (10 + rnd.nextInt(20)).toLong).map { id =>
@@ -333,11 +328,11 @@ class PropertySpec extends SparkSpec {
       val gotS = pipeline.DomainStats.domainSplit(df, "url", "doc_id", "text")
         .collect().map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-      val wantS = docs.groupBy(d => label(md5Bucket(dom(d._2)))).map {
+      val wantS = docs.groupBy(d => label(dom(d._2))).map {
         case (sp, ds) =>
           sp -> ((ds.map(d => dom(d._2)).distinct.size.toLong, ds.size.toLong,
             ds.map(_._3.split("\\s+").length.toLong).sum,
-            ds.count(d => label(md5Bucket(d._1.toString)) != sp).toLong))
+            ds.count(d => label(d._1.toString) != sp).toLong))
       }
       assert(gotS == wantS, s"split got=$gotS want=$wantS")
     }

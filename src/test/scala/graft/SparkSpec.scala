@@ -24,4 +24,20 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Independent replay of `TextAnalysis.sampleBucket` (':split' salt,
+    * first 8 md5 hex chars mod 100) via raw MessageDigest — specs compare
+    * the engine against THIS, so either side drifting fails the suite. */
+  def md5SplitBucket(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$s:split".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
+  }
+
+  /** The 80/10/10 label over [[md5SplitBucket]] (`TextAnalysis.hashSplit`
+    * defaults). */
+  def md5SplitLabel(s: String): String = {
+    val b = md5SplitBucket(s)
+    if (b < 80) "train" else if (b < 90) "val" else "test"
+  }
 }
