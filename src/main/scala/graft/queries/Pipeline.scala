@@ -2982,7 +2982,68 @@ object PipelineQueries {
               |FROM j""".stripMargin),
       (s, dir) => DomainStats.splitLeakAudit(
         t(s, dir, "documents").withColumn("url", syntheticUrl),
-        "url", "doc_id", jaccardPairs(s, dir)))
+        "url", "doc_id", jaccardPairs(s, dir))),
+
+    // ---- curation pipeline capstone: the whole round-7 domain layer as
+    //      ONE plan — canonicalize → domain-grain keep/drop (q297 rule) →
+    //      global soft-dedup weights (q303, whole-corpus clusters) →
+    //      domain-level split (q300) → per-split effective masses. The
+    //      composition a release job actually runs; every stage's shuffle
+    //      carries domains/ids/weights, never text.
+    GraftQuery("q307_curation_pipeline",
+      Some(("""WITH RECURSIVE u AS (SELECT doc_id, """ + urlBuildSql + """ AS url FROM documents),
+              |c0 AS (""" + urlCanonSql + """),
+              |c AS (""" + urlAssembleSql + """),
+              |ntoks AS (SELECT doc_id,
+              |    len(string_split_regex(trim(text), '\s+')) AS ntok FROM documents),
+              |roll AS (SELECT c.domain, count(*) AS n_docs,
+              |    sum(CASE WHEN n.ntok < 40 THEN 1 ELSE 0 END) AS n_low
+              |  FROM c JOIN ntoks n USING (doc_id) GROUP BY 1),
+              |keptd AS (SELECT domain FROM roll
+              |  WHERE CAST(floor(n_low * 10000.0 / n_docs) AS BIGINT) < 4000),
+              |""" + jaccPairCteSql + """,
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              |  UNION SELECT id_b, id_a FROM p),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+              |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+              |sz AS (SELECT cluster_id, count(*) AS csz FROM cc GROUP BY 1),
+              |w AS (SELECT d.doc_id, coalesce(s.csz, 1) AS csz
+              |  FROM documents d LEFT JOIN
+              |    (SELECT cc.doc_id, sz.csz FROM cc JOIN sz USING (cluster_id)) s
+              |    USING (doc_id)),
+              |k AS (SELECT c.doc_id, c.domain, n.ntok, w.csz
+              |  FROM c JOIN ntoks n USING (doc_id) JOIN w USING (doc_id)
+              |  WHERE c.domain IN (SELECT domain FROM keptd)),
+              |lab AS (SELECT doc_id, domain, ntok, csz,
+              |    CASE WHEN ('0x' || substr(md5(domain || ':split'), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+              |         WHEN ('0x' || substr(md5(domain || ':split'), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM k)
+              |SELECT split, count(DISTINCT domain)::BIGINT AS n_domains,
+              |  count(*)::BIGINT AS n_docs,
+              |  sum(CAST(floor(10000.0 / csz) AS BIGINT))::BIGINT AS eff_docs_x10000,
+              |  sum(ntok)::BIGINT AS total_tokens
+              |FROM lab GROUP BY 1""").stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").withColumn("url", syntheticUrl)
+        val keptDomains = DomainStats.qualityRollup(d, "url", "text",
+            minTokens = 40, maxLowBp = 4000)
+          .filter(col("kept") === 1)
+          .select(col("domain").as("__domain"))
+        val kept = d
+          .withColumn("__domain", UrlCanon.registeredDomain(col("url")))
+          .join(broadcast(keptDomains), "__domain")
+        Dedup.softDedupWeights(kept, "doc_id", jaccardPairs(s, dir))
+          .withColumn("split", TextAnalysis.hashSplit(col("__domain")))
+          .withColumn("__ntok", TextAnalysis.tokenCount(col("text")))
+          .groupBy("split")
+          .agg(countDistinct("__domain").as("n_domains"),
+            count(lit(1)).as("n_docs"),
+            sum("weight_x10000").as("eff_docs_x10000"),
+            sum("__ntok").as("total_tokens"))
+      })
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

@@ -337,4 +337,36 @@ class PropertySpec extends SparkSpec {
       assert(gotS == wantS, s"split got=$gotS want=$wantS")
     }
   }
+
+  test("soft dedup weights equal brute-force union-find on random pair graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024)
+    for (_ <- 1 to 6) {
+      val n = 5 + rnd.nextInt(25)
+      val ids = (1L to n.toLong).toSeq
+      val pairList = for {
+        a <- ids; b <- ids if a < b && rnd.nextInt(8) == 0
+      } yield (a, b)
+      val docs = ids.map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+      val got = pipeline.Dedup
+        .softDedupWeights(docs, "doc_id",
+          pairList.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      // reference: plain union-find
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      val size = ids.groupBy(find).map { case (_, m) => m.map(_ -> m.size) }
+        .flatten.toMap
+      ids.foreach { i =>
+        val inPairs = pairList.exists(p => p._1 == i || p._2 == i)
+        val k = if (inPairs) size(i).toLong else 1L
+        assert(got(i) == ((k, math.floor(10000.0 / k).toLong)),
+          s"id=$i got=${got(i)} k=$k pairs=$pairList")
+      }
+    }
+  }
 }
