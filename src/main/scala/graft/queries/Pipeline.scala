@@ -135,8 +135,9 @@ object PipelineQueries {
 
   /** The exact-Jaccard near-dup pair CTE (t + p) shared by every oracle
     * that replays the memoized q54/q87 pair list (q87/q254/q255/q282/
-    * q283/q303/q305/q306) — ONE definition so a threshold or blocking
-    * change cannot drift between oracles and the Spark pair generator. */
+    * q283/q303/q305/q306/q307) — ONE definition so a threshold or
+    * blocking change cannot drift between oracles and the Spark pair
+    * generator. */
   private val jaccPairCteSql =
     """t AS (SELECT doc_id, lang,
       |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
@@ -2903,8 +2904,9 @@ object PipelineQueries {
              |SELECT source, n_added::BIGINT AS n_added,
              |  n_removed::BIGINT AS n_removed, n_kept::BIGINT AS n_kept,
              |  (n_removed + n_kept)::BIGINT AS n_old,
-             |  CAST(floor((n_added + n_removed) * 10000.0
-             |    / (n_removed + n_kept)) AS BIGINT) AS churn_bp
+             |  CASE WHEN n_removed + n_kept = 0 THEN NULL
+             |       ELSE CAST(floor((n_added + n_removed) * 10000.0
+             |         / (n_removed + n_kept)) AS BIGINT) END AS churn_bp
              |FROM a""".stripMargin),
       (s, dir) => {
         val d = t(s, dir, "documents")
@@ -2948,16 +2950,7 @@ object PipelineQueries {
       Some(s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
               |c0 AS ($urlCanonSql),
               |c AS ($urlAssembleSql),
-              |t AS (SELECT doc_id, lang,
-              |    list_distinct(string_split_regex(trim(text), '\\s+')) AS toks,
-              |    length(text) // 100 AS lenb
-              |  FROM documents),
-              |p AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM t a JOIN t b
-              |    ON a.lang = b.lang AND abs(a.lenb - b.lenb) <= 1 AND a.doc_id < b.doc_id
-              |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
-              |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+              |$jaccPairCteSql,
               |lab AS (SELECT c.doc_id,
               |    CASE WHEN ('0x' || substr(md5(domain || ':split'), 1, 8))::BIGINT % 100 < 80 THEN 'train'
               |         WHEN ('0x' || substr(md5(domain || ':split'), 1, 8))::BIGINT % 100 < 90 THEN 'val'
