@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   *   - query: tracking params removed (`utm_*`, `fbclid`, `gclid`,
   *     `ref`), the rest SORTED bytewise and re-joined; empty → no `?`.
   *
-  * Registered domain: last two host labels, or last three when the
-  * second-to-last label is a common second-level suffix (co, com, org,
-  * net, ac, gov — the minimal public-suffix heuristic; a production
-  * deployment would broadcast the full PSL as a lookup table, same plan
-  * shape).
+  * Registered domain: full public-suffix-list matching via [[Psl]]
+  * (longest rule wins, wildcard and exception rules, pinned snapshot of
+  * publicsuffix.org data) with the minimal heuristic (last two labels,
+  * or three when the second-to-last is co/com/org/net/ac/gov) as the
+  * unknown-TLD fallback. Map-only either way — the rule lists compile
+  * to InSet hash lookups, no join, no broadcast state.
   *
   * Scale posture: canonicalization is map-only native string expressions
   * (no UDFs, no interpreted lambdas — the only array ops are lambda-free
@@ -83,24 +84,12 @@ object UrlCanon {
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
 
-  /** Registered domain (minimal public-suffix heuristic, see header).
-    * A host with fewer than two labels (localhost, an empty host from a
-    * malformed URL — routine in real web corpora) IS its own domain: the
-    * guard must come first, because slice(start=0) and
-    * element_at(labels, -2) both THROW under ANSI mode on 1-label
-    * arrays. */
-  def registeredDomain(url: Column): Column = {
-    val h = host(url)
-    val labels = split(h, "\\.")
-    val n = size(labels)
-    val take3 = n >= 3 &&
-      element_at(labels, -2).isin("co", "com", "org", "net", "ac", "gov")
-    // exact slice length — a huge sentinel length overflows start+length
-    // inside Slice and yields an empty array
-    when(n <= 1, h).otherwise(
-      array_join(slice(labels, when(take3, n - 2).otherwise(n - 1),
-        when(take3, lit(3)).otherwise(lit(2))), "."))
-  }
+  /** Registered domain (PSL-backed, see header and [[Psl]]). A host
+    * with fewer than two labels (localhost, an empty host from a
+    * malformed URL — routine in real web corpora) IS its own domain,
+    * as is a host that is itself a public suffix (github.io, b.ck). */
+  def registeredDomain(url: Column): Column =
+    Psl.registeredDomainOfHost(host(url))
 
   /** Adds url_canonical / url_host / url_domain / url_path columns. */
   def canonicalize(df: DataFrame, urlCol: String): DataFrame = {

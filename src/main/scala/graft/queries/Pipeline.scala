@@ -75,7 +75,9 @@ object PipelineQueries {
       when(id % 4 === 0, lit("WWW.")).otherwise(lit("")),
       when(id % 17 === 0, lit("cdn.")).otherwise(lit("")),
       when(id % 9 === 0, upper(col("source"))).otherwise(col("source")),
-      when(id % 5 === 0, lit(".co.uk")).otherwise(lit(".com")),
+      when(id % 5 === 0, lit(".co.uk"))
+        .when(id % 5 === 2, lit(".github.io"))
+        .when(id % 5 === 4, lit(".ne.jp")).otherwise(lit(".com")),
       when(id % 2 === 0,
         when(id % 3 === 0, lit(":80")).otherwise(lit(":443")))
         .otherwise(lit("")),
@@ -93,7 +95,9 @@ object PipelineQueries {
       |CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
       |CASE WHEN doc_id % 17 = 0 THEN 'cdn.' ELSE '' END ||
       |CASE WHEN doc_id % 9 = 0 THEN upper(source) ELSE source END ||
-      |CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END ||
+      |CASE WHEN doc_id % 5 = 0 THEN '.co.uk'
+      |     WHEN doc_id % 5 = 2 THEN '.github.io'
+      |     WHEN doc_id % 5 = 4 THEN '.ne.jp' ELSE '.com' END ||
       |CASE WHEN doc_id % 2 = 0 THEN CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END ELSE '' END ||
       |'/docs/' || lang || '/p' || (doc_id % 40) ||
       |CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
@@ -115,23 +119,24 @@ object PipelineQueries {
       |FROM u""".stripMargin
 
   /** Canonical-URL + registered-domain assembly over `c0` (the
-    * `urlCanonSql` output) — shared by the q294/q295 oracles. */
+    * `urlCanonSql` output) — shared by every URL-bearing oracle. The
+    * registered-domain CASE is GENERATED from the same `Psl` rule vals
+    * the engine matches against, so the PSL snapshot cannot drift
+    * between the two sides. */
   private val urlAssembleSql =
-    """SELECT doc_id,
-      |  scheme || '://' || host ||
-      |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-      |            OR (scheme = 'https' AND port = '443')
-      |       THEN '' ELSE ':' || port END || path ||
-      |  CASE WHEN qs = '' THEN ''
-      |       ELSE '?' || array_to_string(list_sort(string_split(qs, '&')), '&') END
-      |    AS canonical,
-      |  CASE WHEN len(string_split(host, '.')) >= 3
-      |            AND string_split(host, '.')[-2] IN ('co','com','org','net','ac','gov')
-      |       THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
-      |       ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END
-      |    AS domain,
-      |  host, path
-      |FROM c0""".stripMargin
+    s"""SELECT doc_id,
+       |  scheme || '://' || host ||
+       |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |            OR (scheme = 'https' AND port = '443')
+       |       THEN '' ELSE ':' || port END || path ||
+       |  CASE WHEN qs = '' THEN ''
+       |       ELSE '?' || array_to_string(list_sort(string_split(qs, '&')), '&') END
+       |    AS canonical,
+       |  ${graft.pipeline.Psl.domainCaseSql("host", "ls", "pub")} AS domain,
+       |  host, path
+       |FROM (SELECT *, string_split(host, '.') AS ls,
+       |        ${graft.pipeline.Psl.pubLenCaseSql("string_split(host, '.')")} AS pub
+       |      FROM c0)""".stripMargin
 
   /** The exact-Jaccard near-dup pair CTE (t + p) shared by every oracle
     * that replays the memoized q54/q87 pair list (q87/q254/q255/q282/

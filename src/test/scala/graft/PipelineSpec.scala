@@ -1882,6 +1882,55 @@ class PipelineSpec extends SparkSpec {
     assert(got(7L) == ((":///", "", "", "/")), got(7L).toString)
   }
 
+  test("PSL registered domain: exact, wildcard, exception, fallback") {
+    import spark.implicits._
+    val hosts = Seq(
+      // private-section exact rule: github.io is the public suffix
+      (1L, "foo.github.io"), (2L, "bar.foo.github.io"),
+      // a host that IS a public suffix returns itself
+      (3L, "github.io"),
+      // ICANN 2-label rule (the ne.jp class the heuristic missed)
+      (4L, "a.b.ne.jp"), (5L, "site.ne.jp"),
+      // heuristic-era case must be unchanged (co.uk is also a PSL rule)
+      (6L, "sub.example.co.uk"),
+      // wildcard *.ck: any b.ck is a public suffix
+      (7L, "a.b.ck"), (8L, "foo.ck"),
+      // exception !www.ck beats the wildcard
+      (9L, "www.ck"), (10L, "a.www.ck"),
+      // 3-label exact rules
+      (11L, "bucket.s3.amazonaws.com"), (12L, "myblog.blogspot.co.uk"),
+      // 3-label wildcard *.compute.amazonaws.com
+      (13L, "vm1.compute.amazonaws.com"),
+      (14L, "x.vm1.compute.amazonaws.com"),
+      // unknown TLD → fallback heuristic
+      (15L, "a.b.zz"), (16L, "a.co.zz"),
+      // degenerate hosts
+      (17L, "localhost"), (18L, ""))
+      .toDF("id", "host")
+    val got = hosts
+      .select(col("id"), Psl.registeredDomainOfHost(col("host")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Map(
+      1L -> "foo.github.io", 2L -> "foo.github.io", 3L -> "github.io",
+      4L -> "b.ne.jp", 5L -> "site.ne.jp",
+      6L -> "example.co.uk",
+      7L -> "a.b.ck", 8L -> "foo.ck",
+      9L -> "www.ck", 10L -> "www.ck",
+      11L -> "bucket.s3.amazonaws.com",
+      12L -> "myblog.blogspot.co.uk",
+      13L -> "vm1.compute.amazonaws.com",
+      14L -> "x.vm1.compute.amazonaws.com",
+      15L -> "b.zz", 16L -> "a.co.zz",
+      17L -> "localhost", 18L -> "")
+    for ((k, v) <- want) assert(got(k) == v, s"host id $k: got ${got(k)}, want $v")
+    // through the URL path: www-strip then PSL
+    val viaUrl = Seq(Tuple1("https://www.pages.octo.github.io/x?a=1"))
+      .toDF("url")
+      .select(UrlCanon.registeredDomain(col("url")).as("d"))
+      .head().getString(0)
+    assert(viaUrl == "octo.github.io", viaUrl)
+  }
+
   test("URL dedup + domain cap: keeper ids, variant counts, cap selection") {
     import spark.implicits._
     // ids 1,2,3 are one page (case/port/tracking variants); 4 another page

@@ -297,7 +297,8 @@ class PropertySpec extends SparkSpec {
     val rnd = new scala.util.Random(616)
     def label(s: String) = md5SplitLabel(s)
     for (_ <- 1 to 4) {
-      val hosts = Seq("a.com", "b.net", "c.co.uk", "d.org", "e.io")
+      val hosts = Seq("a.com", "b.net", "c.co.uk", "d.org", "e.io",
+        "f.github.io", "g.ne.jp")
       val docs = (1L to (10 + rnd.nextInt(20)).toLong).map { id =>
         (id, s"https://${hosts(rnd.nextInt(hosts.length))}/p$id",
           (1 to (1 + rnd.nextInt(6))).map(_ => "w").mkString(" "))
@@ -309,10 +310,13 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
             r.getLong(5), r.getLong(6)))).toMap
-      def dom(u: String) = { // registered-domain heuristic twin
+      def dom(u: String) = { // registered-domain twin (PSL cases + fallback)
         val h = u.stripPrefix("https://").takeWhile(_ != '/')
         val ls = h.split("\\.")
-        if (ls.length >= 3 && Set("co", "com", "org", "net", "ac", "gov")(ls(ls.length - 2)))
+        if (ls.length >= 3 &&
+            Set("github.io", "ne.jp", "co.uk")(ls.takeRight(2).mkString(".")))
+          ls.takeRight(3).mkString(".")
+        else if (ls.length >= 3 && Set("co", "com", "org", "net", "ac", "gov")(ls(ls.length - 2)))
           ls.takeRight(3).mkString(".") else ls.takeRight(2).mkString(".")
       }
       val wantR = docs.groupBy(d => dom(d._2)).map { case (dm, ds) =>
