@@ -118,11 +118,35 @@ object UrlCanon {
 
   /** The cap alone, over an already-deduped frame (`dedupByUrl` output) —
     * so a pipeline that needs both the dedup stats AND the capped set
-    * canonicalizes/aggregates once instead of twice. */
-  def capDeduped(deduped: DataFrame, cap: Int): DataFrame =
-    deduped
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("url_domain")).orderBy(col("keeper_id"))))
-      .filter(col("__rk") <= cap)
-      .drop("__rk")
+    * canonicalizes/aggregates once instead of twice.
+    *
+    * `salt` is the skew escape hatch for a pathological corpus where one
+    * domain holds a data-sized share of the pages (a single-domain crawl
+    * would otherwise serialize into ONE window task). With `salt = s > 1`
+    * the rank runs in two phases (Sharding's pattern): phase 1 ranks
+    * within (domain, keeper_id-hash bucket) — s parallel tasks per
+    * domain — and keeps at most `cap` rows per bucket; phase 2 re-ranks
+    * the ≤ s·cap survivors per domain, which is now a BOUNDED set
+    * regardless of corpus size. Exact: every true top-`cap` row of a
+    * domain is within the top `cap` of its own bucket, so phase 1 never
+    * drops a keeper. Default `salt = 1` is the plain single window —
+    * domains are the natural parallel unit for real web corpora. */
+  def capDeduped(deduped: DataFrame, cap: Int, salt: Int = 1): DataFrame =
+    if (salt <= 1)
+      deduped
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("url_domain")).orderBy(col("keeper_id"))))
+        .filter(col("__rk") <= cap)
+        .drop("__rk")
+    else
+      deduped
+        .withColumn("__b", pmod(xxhash64(col("keeper_id")), lit(salt.toLong)))
+        .withColumn("__rk1", row_number().over(
+          Window.partitionBy(col("url_domain"), col("__b"))
+            .orderBy(col("keeper_id"))))
+        .filter(col("__rk1") <= cap)
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("url_domain")).orderBy(col("keeper_id"))))
+        .filter(col("__rk") <= cap)
+        .drop("__b", "__rk1", "__rk")
 }

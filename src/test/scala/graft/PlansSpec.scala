@@ -230,6 +230,28 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("capDeduped: default plan is the single domain window; salted adds the bucket phase") {
+    import spark.implicits._
+    import graft.pipeline.UrlCanon
+    val deduped = (1L to 100L)
+      .map(i => (s"http://a.com/p$i", "a.com", i, 1L))
+      .toDF("url_canonical", "url_domain", "keeper_id", "n_variants")
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    // default path unchanged: exactly ONE window, keyed by url_domain only
+    val plain = windows(UrlCanon.capDeduped(deduped, 5))
+    assert(plain.size == 1, plain.toString)
+    assert(plain.head.partitionSpec.size == 1, plain.head.partitionSpec.toString)
+    // salted path: phase-1 window keyed by (url_domain, bucket), then the
+    // bounded per-domain re-rank
+    val salted = windows(UrlCanon.capDeduped(deduped, 5, salt = 8))
+    assert(salted.size == 2, salted.toString)
+    assert(salted.map(_.partitionSpec.size).sorted == Seq(1, 2),
+      salted.map(_.partitionSpec.size).toString)
+  }
+
   test("two-phase prefix scans plan partitioned windows only (PPS sampler)") {
     import spark.implicits._
     // the global cumsum must ride per-partition windows (partitioned by

@@ -342,6 +342,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted domain cap keeps exactly the plain cap's keeper set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(808)
+    for (trial <- 1 to 4) {
+      // trial 1 is the pathological shape the salt exists for: EVERY row
+      // on one domain (the corpus that would serialize a plain window)
+      val nDomains = if (trial == 1) 1 else 1 + rnd.nextInt(4)
+      // unique keeper ids: row_number tie-breaks on equal keeper_id would
+      // make the keeper SET itself nondeterministic
+      val ids = rnd.shuffle((1L to 1000L).toList).take(200 + rnd.nextInt(200))
+      val rows = ids.map { id =>
+        val d = s"d${rnd.nextInt(nDomains)}.com"
+        (s"http://$d/p$id", d, id, 1L)
+      }
+      val df = rows.toDF("url_canonical", "url_domain", "keeper_id", "n_variants")
+      val cap = 1 + rnd.nextInt(20)
+      def keepers(out: org.apache.spark.sql.DataFrame) =
+        out.select("url_domain", "keeper_id")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val plain = keepers(pipeline.UrlCanon.capDeduped(df, cap))
+      for (salt <- Seq(2, 7)) {
+        val salted = keepers(pipeline.UrlCanon.capDeduped(df, cap, salt))
+        assert(salted == plain,
+          s"trial=$trial cap=$cap salt=$salt: ${salted.diff(plain)} / ${plain.diff(salted)}")
+      }
+      // brute-force reference: lowest `cap` keeper ids per domain
+      // (.toSeq first: flatMap on the Map itself would re-collapse the
+      // (domain, id) pairs into a Map, keeping one keeper per domain)
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (d, rs) =>
+        rs.map(_._3).sorted.take(cap).map(d -> _)
+      }.toSet
+      assert(plain == want, s"trial=$trial cap=$cap")
+    }
+  }
+
   test("soft dedup weights equal brute-force union-find on random pair graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(2024)
