@@ -1,0 +1,77 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined paragraph chunking for paragraph-level (CCNet-style)
+  * dedup. The corpus fixture is a single-space word stream with no
+  * newline structure, so paragraph boundaries are derived from CONTENT:
+  * a boundary falls AFTER every token whose md5 first byte satisfies
+  * `byte % grain == 0` (expected paragraph length ≈ `grain` tokens).
+  *
+  * Content-defined boundaries are the point: a passage copied between
+  * two documents chunks into the SAME paragraphs regardless of its
+  * offset in either document (the CDC trick from dedup storage systems),
+  * so exact paragraph-hash matching finds cross-document boilerplate
+  * that fixed-size positional windows would miss whenever the copies
+  * are shifted.
+  *
+  * One pass per row, map-only, no shuffle: downstream callers hash each
+  * paragraph map-side and never shuffle paragraph text. The boundary
+  * hash replays in SQL as `('0x' || substr(md5(tok), 1, 2))::INT %
+  * grain = 0` (the established md5 replay convention), so a DuckDB
+  * oracle can derive identical paragraphs.
+  */
+case class CdcParagraphs(child: Expression, grain: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(grain >= 2, "grain must be >= 2 (1 would cut after every token)")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_paragraphs"
+
+  override protected def nullSafeEval(text: Any): Any = {
+    // same tokenization as the battery's tokens(): split(trim(text), \s+)
+    // — an empty/blank doc yields one empty token, hence one empty
+    // paragraph, matching string_split_regex(trim(text), '\s+') exactly
+    val toks = text.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val md = MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < toks.length) {
+      if (cur.nonEmpty) cur += ' '
+      cur ++= toks(i)
+      if (isBoundary(md, toks(i))) {
+        out += UTF8String.fromString(cur.toString)
+        cur.clear()
+      }
+      i += 1
+    }
+    if (cur.nonEmpty || out.isEmpty) out += UTF8String.fromString(cur.toString)
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** md5 first byte (= first two hex chars) mod grain == 0. */
+  private def isBoundary(md: MessageDigest, tok: String): Boolean = {
+    md.reset()
+    val d = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+    (d(0) & 0xff) % grain == 0
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcParagraphs {
+  /** Array of content-defined paragraphs (single-space re-joined). */
+  def apply(text: Column, grain: Int = 8): Column =
+    org.apache.spark.sql.GraftBridge.col(CdcParagraphs(
+      org.apache.spark.sql.GraftBridge.expr(text), grain))
+}

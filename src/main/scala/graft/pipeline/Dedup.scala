@@ -599,4 +599,51 @@ object Dedup {
       .withColumn("kept_bp",
         floor(col("n_kept") * 10000.0 / col("n_raw")).cast("long"))
   }
+
+  /** Paragraph-grain rows for [[paragraphDedup]]: one row per
+    * content-defined paragraph ([[graft.functions.CdcParagraphs]]),
+    * carrying only the paragraph's md5, token count, and position —
+    * paragraph TEXT is hashed map-side in the same projection and never
+    * reaches a shuffle. */
+  def paragraphRows(
+      docs: DataFrame, idCol: String, textCol: String, grain: Int,
+      carry: Seq[String] = Nil): DataFrame =
+    docs.select(docs("*"),
+        posexplode(graft.functions.CdcParagraphs(col(textCol), grain))
+          .as(Seq("para_idx", "__para")))
+      .select((Seq(col(idCol), col("para_idx").cast("long").as("para_idx"),
+        md5(col("__para")).as("ph"),
+        size(split(col("__para"), " ")).cast("long").as("n_tok")) ++
+        carry.map(col)): _*)
+
+  /** CCNet-style PARAGRAPH-level dedup report: chunk every document into
+    * content-defined paragraphs, hash each paragraph, mark every
+    * occurrence after the first (ordered by (doc id, position)) as a
+    * duplicate, and roll up per `groupCol` — the paragraph-grain
+    * boilerplate measurement (nav/footer/license blocks syndicated
+    * across pages) that document-level dedup cannot see.
+    *
+    * Plan: chunking + hashing are map-only; the ONE shuffle is the
+    * keeper window keyed by paragraph hash (hash-cardinality, skew-free
+    * by construction); the rollup joins doc metadata by id. Duplicate
+    * token mass in basis points uses exact integer arithmetic. */
+  def paragraphDedup(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      grain: Int = 8): DataFrame = {
+    val ranked = paragraphRows(docs, idCol, textCol, grain, Seq(groupCol))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("ph").orderBy(col(idCol), col("para_idx"))))
+    val dup = col("__rk") > 1
+    ranked
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(dup, 1L).otherwise(0L)).as("n_dup_paras"),
+        sum(when(dup, col("n_tok")).otherwise(0L)).as("dup_tokens"),
+        countDistinct(when(dup, col(idCol))).as("n_docs_affected"))
+      .withColumn("dup_token_bp",
+        floor(col("dup_tokens") * 10000.0 / col("n_tokens")).cast("long"))
+  }
 }

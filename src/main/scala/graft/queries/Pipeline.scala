@@ -3041,7 +3041,42 @@ object PipelineQueries {
             count(lit(1)).as("n_docs"),
             sum("weight_x10000").as("eff_docs_x10000"),
             sum("__ntok").as("total_tokens"))
-      })
+      }),
+
+    // ---- CCNet-style PARAGRAPH-level dedup (Dedup.paragraphDedup):
+    //      content-defined chunking (boundary after tokens whose md5
+    //      first byte % 8 == 0 — offset-invariant, so passages copied
+    //      between documents chunk into identical paragraphs), paragraph
+    //      hash keeper window, per-source duplicate-mass rollup. The
+    //      boilerplate measurement document-level dedup cannot see.
+    //      Oracle derives the same paragraphs via a per-doc boundary
+    //      prefix sum + ordered string_agg.
+    GraftQuery("q308_paragraph_dedup",
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |tok AS (SELECT doc_id, source, i.i AS pos, toks[i.i] AS tok
+             |  FROM t CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(1, len(toks))) AS i) i),
+             |seg AS (SELECT doc_id, source, pos, tok,
+             |    coalesce(sum(CASE WHEN ('0x' || substr(md5(tok), 1, 2))::INT % 8 = 0
+             |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS para_idx
+             |  FROM tok),
+             |paras AS (SELECT doc_id, source, para_idx,
+             |    md5(string_agg(tok, ' ' ORDER BY pos)) AS ph, count(*) AS n_tok
+             |  FROM seg GROUP BY 1, 2, 3),
+             |k AS (SELECT *, row_number() OVER (
+             |    PARTITION BY ph ORDER BY doc_id, para_idx) AS rk FROM paras)
+             |SELECT source, count(*)::BIGINT AS n_paras,
+             |  sum(n_tok)::BIGINT AS n_tokens,
+             |  sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_paras,
+             |  sum(CASE WHEN rk > 1 THEN n_tok ELSE 0 END)::BIGINT AS dup_tokens,
+             |  count(DISTINCT CASE WHEN rk > 1 THEN doc_id END)::BIGINT AS n_docs_affected,
+             |  CAST(floor(sum(CASE WHEN rk > 1 THEN n_tok ELSE 0 END) * 10000.0
+             |    / sum(n_tok)) AS BIGINT) AS dup_token_bp
+             |FROM k GROUP BY 1""".stripMargin),
+      (s, dir) => Dedup.paragraphDedup(
+        t(s, dir, "documents"), "doc_id", "text", "source", grain = 8))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

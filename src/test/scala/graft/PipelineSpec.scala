@@ -1882,6 +1882,65 @@ class PipelineSpec extends SparkSpec {
     assert(got(7L) == ((":///", "", "", "/")), got(7L).toString)
   }
 
+  test("CDC paragraph chunking + paragraph dedup: brute-force reference") {
+    import spark.implicits._
+    val g = 4
+    def boundary(tok: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (md.digest(tok.getBytes("UTF-8"))(0) & 0xff) % g == 0
+    }
+    def chunks(text: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (t <- text.trim.split("\\s+")) {
+        cur += t
+        if (boundary(t)) { out += cur.mkString(" "); cur.clear() }
+      }
+      if (cur.nonEmpty || out.isEmpty) out += cur.mkString(" ")
+      out.toSeq
+    }
+    // doc 2 embeds doc 1's passage at a DIFFERENT offset — the case
+    // fixed-size positional windows miss and content-defined chunking
+    // must catch
+    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
+    val rnd = new scala.util.Random(99)
+    def sent(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val passage = sent(30)
+    val rows = Seq(
+      (1L, "s1", sent(17) + " " + passage + " " + sent(5)),
+      (2L, "s2", sent(9) + " " + passage + " " + sent(11)),
+      (3L, "s1", sent(25)))
+    val docs = rows.toDF("doc_id", "source", "text")
+    // (a) chunking matches the independent reference
+    val got = docs
+      .select(col("doc_id"), graft.functions.CdcParagraphs(col("text"), g).as("ps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for ((id, _, t) <- rows)
+      assert(got(id) == chunks(t), s"doc $id chunking diverged")
+    // (b) the shifted copy still shares interior paragraphs
+    val shared = got(1L).toSet.intersect(got(2L).toSet)
+    assert(shared.nonEmpty, "content-defined chunking found no shared paragraph")
+    // (c) the rollup equals brute force
+    val paras = rows.flatMap { case (id, s, t) =>
+      chunks(t).zipWithIndex.map { case (p, i) => (id, s, i, p) } }
+    val firstOf = paras.groupBy(_._4).map { case (p, rs) =>
+      p -> rs.map(r => (r._1, r._3)).min }
+    def isDup(r: (Long, String, Int, String)) = firstOf(r._4) != ((r._1, r._3))
+    val want = paras.groupBy(_._2).toSeq.map { case (s, rs) =>
+      val dupToks = rs.filter(isDup).map(_._4.split(" ").length.toLong).sum
+      val allToks = rs.map(_._4.split(" ").length.toLong).sum
+      s -> ((rs.size.toLong, allToks,
+        rs.count(isDup).toLong, dupToks,
+        rs.filter(isDup).map(_._1).distinct.size.toLong,
+        math.floor(dupToks * 10000.0 / allToks).toLong))
+    }.toMap
+    val gotR = Dedup.paragraphDedup(docs, "doc_id", "text", "source", g)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(gotR == want, s"got=$gotR want=$want")
+  }
+
   test("PSL registered domain: exact, wildcard, exception, fallback") {
     import spark.implicits._
     val hosts = Seq(
