@@ -646,4 +646,38 @@ object Dedup {
       .withColumn("dup_token_bp",
         floor(col("dup_tokens") * 10000.0 / col("n_tokens")).cast("long"))
   }
+
+  /** The CCNet operation itself: rebuild every document with duplicate
+    * paragraphs EXCISED (first occurrence by (doc id, position) wins,
+    * same keeper rule as [[paragraphDedup]]).
+    *
+    * Scale shape — document text never shuffles: the keeper window runs
+    * over the hash-only paragraph rows; only the DROP-index lists (the
+    * duplicate minority, a bounded int array per affected doc) travel
+    * through the aggregation and join back to the docs scan by id; the
+    * rebuild then re-chunks each doc's text MAP-SIDE and filters out the
+    * dropped positions (the HOF lambda runs on per-doc arrays only —
+    * the q292 excision precedent). Untouched docs pass through with
+    * `clean_text == text` re-joined canonically. */
+  def paragraphDedupClean(
+      docs: DataFrame, idCol: String, textCol: String,
+      grain: Int = 8): DataFrame = {
+    val dropIdx = paragraphRows(docs, idCol, textCol, grain)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("ph").orderBy(col(idCol), col("para_idx"))))
+      .filter(col("__rk") > 1)
+      .groupBy(idCol)
+      .agg(collect_list("para_idx").as("__drop"))
+    docs.join(dropIdx, Seq(idCol), "left")
+      .withColumn("__drop",
+        coalesce(col("__drop"), array().cast("array<long>")))
+      .withColumn("__paras", graft.functions.CdcParagraphs(col(textCol), grain))
+      .select(col(idCol),
+        array_join(filter(col("__paras"),
+          (_, i) => !array_contains(col("__drop"), i.cast("long"))), " ")
+          .as("clean_text"),
+        size(col("__paras")).cast("long").as("n_paras"),
+        size(col("__drop")).cast("long").as("n_dropped"))
+  }
 }

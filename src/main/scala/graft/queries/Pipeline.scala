@@ -143,6 +143,27 @@ object PipelineQueries {
     * q283/q303/q305/q306/q307) — ONE definition so a threshold or
     * blocking change cannot drift between oracles and the Spark pair
     * generator. */
+  /** The content-defined paragraph CTE chain (t → tok → seg → paras)
+    * shared by the q308/q309 oracles — the CdcParagraphs twin: boundary
+    * after tokens whose md5 first byte % 8 == 0, paragraphs re-joined
+    * with single spaces in position order. ONE definition so a grain or
+    * boundary change cannot drift between the two oracles and the
+    * engine expression. */
+  private val paraCteSql =
+    """t AS (SELECT doc_id, source,
+      |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |tok AS (SELECT doc_id, source, i.i AS pos, toks[i.i] AS tok
+      |  FROM t CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(toks))) AS i) i),
+      |seg AS (SELECT doc_id, source, pos, tok,
+      |    coalesce(sum(CASE WHEN ('0x' || substr(md5(tok), 1, 2))::INT % 8 = 0
+      |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS para_idx
+      |  FROM tok),
+      |paras AS (SELECT doc_id, source, para_idx,
+      |    string_agg(tok, ' ' ORDER BY pos) AS para, count(*) AS n_tok
+      |  FROM seg GROUP BY 1, 2, 3)""".stripMargin
+
   private val jaccPairCteSql =
     """t AS (SELECT doc_id, lang,
       |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
@@ -3052,21 +3073,9 @@ object PipelineQueries {
     //      Oracle derives the same paragraphs via a per-doc boundary
     //      prefix sum + ordered string_agg.
     GraftQuery("q308_paragraph_dedup",
-      Some("""WITH t AS (SELECT doc_id, source,
-             |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
-             |tok AS (SELECT doc_id, source, i.i AS pos, toks[i.i] AS tok
-             |  FROM t CROSS JOIN LATERAL
-             |    (SELECT unnest(generate_series(1, len(toks))) AS i) i),
-             |seg AS (SELECT doc_id, source, pos, tok,
-             |    coalesce(sum(CASE WHEN ('0x' || substr(md5(tok), 1, 2))::INT % 8 = 0
-             |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS para_idx
-             |  FROM tok),
-             |paras AS (SELECT doc_id, source, para_idx,
-             |    md5(string_agg(tok, ' ' ORDER BY pos)) AS ph, count(*) AS n_tok
-             |  FROM seg GROUP BY 1, 2, 3),
+      Some(("""WITH """ + paraCteSql + """,
              |k AS (SELECT *, row_number() OVER (
-             |    PARTITION BY ph ORDER BY doc_id, para_idx) AS rk FROM paras)
+             |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rk FROM paras)
              |SELECT source, count(*)::BIGINT AS n_paras,
              |  sum(n_tok)::BIGINT AS n_tokens,
              |  sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_paras,
@@ -3074,9 +3083,26 @@ object PipelineQueries {
              |  count(DISTINCT CASE WHEN rk > 1 THEN doc_id END)::BIGINT AS n_docs_affected,
              |  CAST(floor(sum(CASE WHEN rk > 1 THEN n_tok ELSE 0 END) * 10000.0
              |    / sum(n_tok)) AS BIGINT) AS dup_token_bp
-             |FROM k GROUP BY 1""".stripMargin),
+             |FROM k GROUP BY 1""").stripMargin),
       (s, dir) => Dedup.paragraphDedup(
-        t(s, dir, "documents"), "doc_id", "text", "source", grain = 8))
+        t(s, dir, "documents"), "doc_id", "text", "source", grain = 8)),
+
+    // ---- the CCNet operation itself (Dedup.paragraphDedupClean):
+    //      rebuild every doc with duplicate paragraphs excised. Text
+    //      never shuffles: only the drop-index lists travel; the rebuild
+    //      re-chunks map-side and filters dropped positions.
+    GraftQuery("q309_paragraph_dedup_clean",
+      Some(("""WITH """ + paraCteSql + """,
+             |k AS (SELECT doc_id, para_idx, para, row_number() OVER (
+             |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rk FROM paras)
+             |SELECT doc_id,
+             |  coalesce(string_agg(CASE WHEN rk = 1 THEN para END, ' '
+             |    ORDER BY para_idx), '') AS clean_text,
+             |  count(*)::BIGINT AS n_paras,
+             |  sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+             |FROM k GROUP BY 1""").stripMargin),
+      (s, dir) => Dedup.paragraphDedupClean(
+        t(s, dir, "documents"), "doc_id", "text", grain = 8))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

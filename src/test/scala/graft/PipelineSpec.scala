@@ -1939,6 +1939,22 @@ class PipelineSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getLong(5), r.getLong(6)))).toMap
     assert(gotR == want, s"got=$gotR want=$want")
+    // (d) the clean rebuild excises exactly the duplicate occurrences
+    val wantClean = rows.map { case (id, _, t) =>
+      val cs = chunks(t).zipWithIndex
+      id -> ((cs.collect { case (p, i) if firstOf(p) == ((id, i)) => p }
+        .mkString(" "), cs.size.toLong, cs.count { case (p, i) =>
+          firstOf(p) != ((id, i)) }.toLong))
+    }.toMap
+    val gotClean = Dedup.paragraphDedupClean(docs, "doc_id", "text", g)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotClean == wantClean, s"got=$gotClean want=$wantClean")
+    // doc 1 (the original) must be untouched; doc 2 must have lost the
+    // shared interior paragraphs
+    assert(gotClean(1L)._1 == rows.head._3)
+    assert(gotClean(2L)._3 >= shared.size - 2, // boundary paragraphs may differ
+      s"${gotClean(2L)._3} vs ${shared.size}")
   }
 
   test("PSL registered domain: exact, wildcard, exception, fallback") {
