@@ -1,7 +1,10 @@
 package graft.pipeline
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Public-suffix-list-backed registered-domain extraction.
   *
@@ -164,39 +167,56 @@ object Psl {
     exc2.size == exceptions.size,
     "wildcard/exception depths outside the matcher's range")
 
-  private def isIn(c: Column, xs: Seq[String]): Column =
-    if (xs.isEmpty) lit(false) else c.isin(xs: _*)
+  private val rules2Set = rules2.toSet
+  private val rules3Set = rules3.toSet
+  private val wild1Set = wild1.toSet
+  private val wild3Set = wild3.toSet
+  private val exc2Set = exc2.toSet
+  private val fallbackSet = fallbackSecondLevels.toSet
+
+  /** JVM kernel for [[PslDomain]] (called from generated code via the
+    * static forwarder — keep it a top-level object method). One hash-set
+    * lookup per candidate suffix. `split(_, -1)` keeps trailing empty
+    * labels, matching Spark's `split` / DuckDB's `string_split` on an
+    * FQDN-style trailing dot. */
+  def registeredDomainJvm(h: UTF8String): UTF8String = {
+    val labels = h.toString.split("\\.", -1)
+    val n = labels.length
+    if (n <= 1) return h
+    def sfx(k: Int): String = {
+      val sb = new java.lang.StringBuilder
+      var i = n - k
+      while (i < n) {
+        if (sb.length > 0) sb.append('.'); sb.append(labels(i)); i += 1
+      }
+      sb.toString
+    }
+    val s2 = sfx(2)
+    val s3 = if (n >= 3) sfx(3) else "" // "" never matches a 3-label rule
+    val pubLen =
+      if (exc2Set(s2)) 1                                 // exceptions win
+      else if (wild3Set(s3)) 4                           // then longest
+      else if (rules3Set(s3)) 3
+      else if (rules2Set(s2) || wild1Set(labels(n - 1))) 2
+      else if (n >= 3 && fallbackSet(labels(n - 2))) 2   // unknown-TLD heuristic
+      else 1
+    // a host that IS a public suffix (or a single label) is its own domain
+    if (n <= pubLen) h
+    else UTF8String.fromString(labels.slice(n - pubLen - 1, n).mkString("."))
+  }
 
   /** Registered domain of an already-normalized host (lowercase, no
-    * leading www., no port). Map-only: InSet lookups over the literal
-    * rule lists, exact-length slices (a huge sentinel length overflows
-    * start+length inside Slice and yields an empty array). */
-  def registeredDomainOfHost(h: Column): Column = {
-    val labels = split(h, "\\.")
-    val n = size(labels)
-    // last-k-labels suffix; "" when the host is shorter (never matches
-    // a k-label rule — rule depth is exact)
-    def sfx(k: Int): Column =
-      when(n >= k, array_join(slice(labels, n - (k - 1), lit(k)), "."))
-        .otherwise(lit(""))
-    val s1 = sfx(1)
-    val s2 = sfx(2)
-    val s3 = sfx(3)
-    val pubLen =
-      when(isIn(s2, exc2), lit(1))                       // exceptions win
-        .when(isIn(s3, wild3), lit(4))                   // then longest
-        .when(isIn(s3, rules3), lit(3))
-        .when(isIn(s2, rules2) || isIn(s1, wild1), lit(2))
-        .otherwise(when(n >= 3 &&
-          element_at(labels, -2).isin(fallbackSecondLevels: _*), lit(2))
-          .otherwise(lit(1)))
-    // a host that IS a public suffix (or a single label) is its own
-    // domain; the n<=1 guard also keeps ANSI slice/element_at happy on
-    // malformed hosts
-    when(n <= 1, h).otherwise(
-      when(n <= pubLen, h).otherwise(
-        array_join(slice(labels, n - pubLen, pubLen + lit(1)), ".")))
-  }
+    * leading www., no port). ONE compact expression node calling the
+    * JVM kernel: a literal-tree encoding of the ~290 rules (isin →
+    * InSet) would execute fine but costs SECONDS of driver time per
+    * query — Catalyst re-canonicalizes the giant tree wherever the
+    * domain column is referenced across plan branches (measured: +2.5 s
+    * scale-INDEPENDENT on q295's two-branch reuse). The kernel keeps
+    * the optimizer's view O(1) and whole-stage codegen a single static
+    * call; the rule sets live once in the JVM. */
+  def registeredDomainOfHost(h: Column): Column =
+    org.apache.spark.sql.GraftBridge.col(PslDomain(
+      org.apache.spark.sql.GraftBridge.expr(h)))
 
   // ---- DuckDB oracle twin, GENERATED from the same rule vals ----
 
@@ -225,4 +245,23 @@ object Psl {
   def domainCaseSql(host: String, ls: String, pub: String): String =
     s"""CASE WHEN len($ls) <= $pub THEN $host
        |     ELSE array_to_string($ls[-($pub + 1):], '.') END""".stripMargin
+}
+
+/** PSL registered-domain extraction as one codegen-friendly expression
+  * node (see [[Psl.registeredDomainOfHost]] for why not a literal
+  * `isin` tree). Full `doGenCode` — no CodegenFallback — so map-only
+  * canonicalization stays inside whole-stage codegen. */
+case class PslDomain(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "psl_registered_domain"
+
+  override protected def nullSafeEval(h: Any): Any =
+    Psl.registeredDomainJvm(h.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.pipeline.Psl.registeredDomainJvm($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
