@@ -5,8 +5,8 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,42 +28,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * hash replays in SQL as `('0x' || substr(md5(tok), 1, 2))::INT %
   * grain = 0` (the established md5 replay convention), so a DuckDB
   * oracle can derive identical paragraphs.
+  *
+  * Full `doGenCode` (one static call into [[CdcParagraphs.cut]]) — no
+  * CodegenFallback, so the chunking projection stays inside whole-stage
+  * codegen (the PslDomain lesson, SCALING §8.13).
   */
 case class CdcParagraphs(child: Expression, grain: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(grain >= 2, "grain must be >= 2 (1 would cut after every token)")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "cdc_paragraphs"
 
-  override protected def nullSafeEval(text: Any): Any = {
-    // same tokenization as the battery's tokens(): split(trim(text), \s+)
-    // — an empty/blank doc yields one empty token, hence one empty
-    // paragraph, matching string_split_regex(trim(text), '\s+') exactly
-    val toks = text.asInstanceOf[UTF8String].toString.trim.split("\\s+")
-    val md = MessageDigest.getInstance("MD5")
-    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
-    val cur = new StringBuilder
-    var i = 0
-    while (i < toks.length) {
-      if (cur.nonEmpty) cur += ' '
-      cur ++= toks(i)
-      if (isBoundary(md, toks(i))) {
-        out += UTF8String.fromString(cur.toString)
-        cur.clear()
-      }
-      i += 1
-    }
-    if (cur.nonEmpty || out.isEmpty) out += UTF8String.fromString(cur.toString)
-    new GenericArrayData(out.toArray[Any])
-  }
+  override protected def nullSafeEval(text: Any): Any =
+    CdcParagraphs.cut(text.asInstanceOf[UTF8String], grain)
 
-  /** md5 first byte (= first two hex chars) mod grain == 0. */
-  private def isBoundary(md: MessageDigest, tok: String): Boolean = {
-    md.reset()
-    val d = md.digest(tok.getBytes(StandardCharsets.UTF_8))
-    (d(0) & 0xff) % grain == 0
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CdcParagraphs.cut($c, $grain)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -74,4 +56,34 @@ object CdcParagraphs {
   def apply(text: Column, grain: Int = 8): Column =
     org.apache.spark.sql.GraftBridge.col(CdcParagraphs(
       org.apache.spark.sql.GraftBridge.expr(text), grain))
+
+  /** JVM kernel (called from generated code via the static forwarder).
+    * Same tokenization as the battery's tokens(): split(trim(text),
+    * \s+) — an empty/blank doc yields one empty token, hence one empty
+    * paragraph, matching string_split_regex(trim(text), '\s+'). */
+  def cut(text: UTF8String, grain: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    val md = MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < toks.length) {
+      if (cur.nonEmpty) cur += ' '
+      cur ++= toks(i)
+      if (isBoundary(md, toks(i), grain)) {
+        out += UTF8String.fromString(cur.toString)
+        cur.clear()
+      }
+      i += 1
+    }
+    if (cur.nonEmpty || out.isEmpty) out += UTF8String.fromString(cur.toString)
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** md5 first byte (= first two hex chars) mod grain == 0. */
+  private def isBoundary(md: MessageDigest, tok: String, grain: Int): Boolean = {
+    md.reset()
+    val d = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+    (d(0) & 0xff) % grain == 0
+  }
 }
