@@ -140,4 +140,46 @@ object DomainStats {
         sum("__ntok").as("total_tokens"),
         sum(when(col("__doc_split") =!= col("split"), 1L).otherwise(0L))
           .as("n_docs_naive_other"))
+
+  /** Per-domain BOILERPLATE report: the paragraph-grain dup layer
+    * ([[Dedup.paragraphRows]], content-defined chunking) rolled up to
+    * the registered domain, splitting duplicate paragraphs into
+    * WITHIN-domain (the first occurrence lives on the same domain —
+    * nav/footer/license template mass, the signal that separates a
+    * template mill from a site that merely syndicates) and CROSS-domain
+    * (syndicated/copied content). `boiler_bp` = within-domain duplicate
+    * token mass in basis points of the domain's tokens — the domain-cap
+    * companion signal q297's short-doc share can't see.
+    *
+    * Plan shape: chunk+hash map-side (text never shuffles; the domain
+    * string rides the paragraph row like paragraphDedup's groupCol);
+    * ONE window keyed by paragraph hash computes both the keeper rank
+    * and the first occurrence's domain (same frame, same shuffle); ONE
+    * domain-keyed hash agg rolls up. */
+  def domainBoilerplate(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      grain: Int = 8): DataFrame = {
+    val rows = Dedup.paragraphRows(
+      docs.withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
+      idCol, textCol, grain, carry = Seq("__domain"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ph").orderBy(col(idCol), col("para_idx"))
+    val ranked = rows
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__first_domain", first(col("__domain")).over(w))
+    val dup = col("__rk") > 1
+    val dupWithin = dup && col("__first_domain") === col("__domain")
+    ranked
+      .groupBy(col("__domain").as("domain"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_paras"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(dup, 1L).otherwise(0L)).as("n_dup_paras"),
+        sum(when(dupWithin, 1L).otherwise(0L)).as("n_dup_within"),
+        sum(when(dup && !dupWithin, 1L).otherwise(0L)).as("n_dup_cross"),
+        sum(when(dupWithin, col("n_tok")).otherwise(0L)).as("within_tokens"))
+      .withColumn("boiler_bp",
+        floor(col("within_tokens") * 10000.0 / col("n_tokens")).cast("long"))
+  }
 }

@@ -3102,7 +3102,39 @@ object PipelineQueries {
              |  sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
              |FROM k GROUP BY 1""").stripMargin),
       (s, dir) => Dedup.paragraphDedupClean(
-        t(s, dir, "documents"), "doc_id", "text", grain = 8))
+        t(s, dir, "documents"), "doc_id", "text", grain = 8)),
+
+    // ---- per-domain boilerplate report (DomainStats.domainBoilerplate):
+    //      the paragraph-dup layer rolled up to the registered domain,
+    //      split into WITHIN-domain duplicate mass (template/boilerplate —
+    //      the domain-cap companion signal) vs CROSS-domain (syndication).
+    //      ONE window computes keeper rank + first-occurrence domain in
+    //      the same frame; ONE domain-keyed rollup.
+    GraftQuery("q310_domain_boilerplate",
+      Some((s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+               |c0 AS ($urlCanonSql),
+               |c AS ($urlAssembleSql),
+               |""" + paraCteSql + """,
+               |pd AS (SELECT p.doc_id, p.para_idx, p.para, p.n_tok, c.domain
+               |  FROM paras p JOIN c USING (doc_id)),
+               |k AS (SELECT *, row_number() OVER (
+               |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rk,
+               |  first_value(domain) OVER (
+               |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS fd
+               |  FROM pd)
+               |SELECT domain, count(DISTINCT doc_id)::BIGINT AS n_docs,
+               |  count(*)::BIGINT AS n_paras,
+               |  sum(n_tok)::BIGINT AS n_tokens,
+               |  sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_paras,
+               |  sum(CASE WHEN rk > 1 AND fd = domain THEN 1 ELSE 0 END)::BIGINT AS n_dup_within,
+               |  sum(CASE WHEN rk > 1 AND fd <> domain THEN 1 ELSE 0 END)::BIGINT AS n_dup_cross,
+               |  sum(CASE WHEN rk > 1 AND fd = domain THEN n_tok ELSE 0 END)::BIGINT AS within_tokens,
+               |  CAST(floor(sum(CASE WHEN rk > 1 AND fd = domain THEN n_tok ELSE 0 END)
+               |    * 10000.0 / sum(n_tok)) AS BIGINT) AS boiler_bp
+               |FROM k GROUP BY 1""").stripMargin),
+      (s, dir) => DomainStats.domainBoilerplate(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", grain = 8))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

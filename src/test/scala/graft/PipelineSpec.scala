@@ -1957,6 +1957,64 @@ class PipelineSpec extends SparkSpec {
       s"${gotClean(2L)._3} vs ${shared.size}")
   }
 
+  test("domain boilerplate: within- vs cross-domain duplicate paragraphs") {
+    import spark.implicits._
+    val g = 4
+    def boundary(tok: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (md.digest(tok.getBytes("UTF-8"))(0) & 0xff) % g == 0
+    }
+    def chunks(text: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (t <- text.trim.split("\\s+")) {
+        cur += t
+        if (boundary(t)) { out += cur.mkString(" "); cur.clear() }
+      }
+      if (cur.nonEmpty || out.isEmpty) out += cur.mkString(" ")
+      out.toSeq
+    }
+    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
+    val rnd = new scala.util.Random(4242)
+    def sent(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val template = sent(24) // a.com's nav/footer block, on both its pages
+    val rows = Seq(
+      (1L, "https://a.com/p1", template + " " + sent(9)),
+      (2L, "https://a.com/p2", sent(7) + " " + template),
+      (3L, "https://b.net/p1", sent(5) + " " + template + " " + sent(4)),
+      (4L, "https://b.net/p2", sent(21)))
+    val docs = rows.toDF("doc_id", "url", "text")
+    def dom(u: String) = { // hosts here are 2-label: fallback keeps them
+      u.stripPrefix("https://").takeWhile(_ != '/')
+    }
+    val paras = rows.flatMap { case (id, u, t) =>
+      chunks(t).zipWithIndex.map { case (p, i) => (id, dom(u), i, p) } }
+    val firstOcc = paras.groupBy(_._4).map { case (p, rs) =>
+      p -> rs.minBy(r => (r._1, r._3)) }
+    val want = paras.groupBy(_._2).toSeq.map { case (d, rs) =>
+      def isDup(r: (Long, String, Int, String)) =
+        (firstOcc(r._4)._1, firstOcc(r._4)._3) != ((r._1, r._3))
+      def isWithin(r: (Long, String, Int, String)) =
+        isDup(r) && firstOcc(r._4)._2 == r._2
+      val withinToks = rs.filter(isWithin).map(_._4.split(" ").length.toLong).sum
+      val allToks = rs.map(_._4.split(" ").length.toLong).sum
+      d -> ((rs.map(_._1).distinct.size.toLong, rs.size.toLong, allToks,
+        rs.count(isDup).toLong, rs.count(isWithin).toLong,
+        rs.count(r => isDup(r) && !isWithin(r)).toLong, withinToks,
+        math.floor(withinToks * 10000.0 / allToks).toLong))
+    }.toMap
+    val got = DomainStats.domainBoilerplate(docs, "url", "doc_id", "text", g)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // a.com's second copy of the template is WITHIN-domain mass; b.net's
+    // copy is CROSS-domain (first occurrence lives on a.com)
+    assert(got("a.com")._5 > 0, s"a.com within: ${got("a.com")}")
+    assert(got("b.net")._6 > 0, s"b.net cross: ${got("b.net")}")
+    assert(got("b.net")._5 == 0, s"b.net within should be 0: ${got("b.net")}")
+  }
+
   test("PSL registered domain: exact, wildcard, exception, fallback") {
     import spark.implicits._
     val hosts = Seq(
