@@ -57,13 +57,20 @@ object CdcParagraphs {
     org.apache.spark.sql.GraftBridge.col(CdcParagraphs(
       org.apache.spark.sql.GraftBridge.expr(text), grain))
 
+  /** Per-thread digest — getInstance per ROW costs in a hot map path
+    * (the round-6 MinHash lesson). */
+  private val localMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
   /** JVM kernel (called from generated code via the static forwarder).
     * Same tokenization as the battery's tokens(): split(trim(text),
     * \s+) — an empty/blank doc yields one empty token, hence one empty
     * paragraph, matching string_split_regex(trim(text), '\s+'). */
   def cut(text: UTF8String, grain: Int): ArrayData = {
     val toks = text.toString.trim.split("\\s+")
-    val md = MessageDigest.getInstance("MD5")
+    val md = localMd5.get()
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val cur = new StringBuilder
     var i = 0
