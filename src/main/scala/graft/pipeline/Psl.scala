@@ -138,13 +138,15 @@ object Psl {
     "glitch.me", "surge.sh", "neocities.org", "readthedocs.io",
     "wixsite.com", "fly.dev", "onrender.com", "workers.dev", "deno.dev",
     // private section, 3-label
-    "blogspot.co.uk", "blogspot.com.br", "s3.amazonaws.com",
-    "elb.amazonaws.com")
+    "blogspot.co.uk", "blogspot.com.br", "s3.amazonaws.com")
 
-  /** Wildcard rules `*.B`, stored as their bases B. */
+  /** Wildcard rules `*.B`, stored as their bases B. (elb.amazonaws.com
+    * is a WILDCARD in the real PSL — each region zone is the public
+    * suffix — not an exact rule.) */
   val wildcardBases: Seq[String] = Seq(
     "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
-    "compute.amazonaws.com", "compute-1.amazonaws.com")
+    "compute.amazonaws.com", "compute-1.amazonaws.com",
+    "elb.amazonaws.com")
 
   /** Exception rules `!E` (win over wildcards). */
   val exceptions: Seq[String] = Seq("www.ck")
