@@ -2035,6 +2035,8 @@ class PipelineSpec extends SparkSpec {
       // 3-label wildcard *.compute.amazonaws.com
       (13L, "vm1.compute.amazonaws.com"),
       (14L, "x.vm1.compute.amazonaws.com"),
+      // *.elb.amazonaws.com: each region zone is the public suffix
+      (19L, "lb.eu-west-1.elb.amazonaws.com"),
       // unknown TLD → fallback heuristic
       (15L, "a.b.zz"), (16L, "a.co.zz"),
       // degenerate hosts
@@ -2053,6 +2055,7 @@ class PipelineSpec extends SparkSpec {
       12L -> "myblog.blogspot.co.uk",
       13L -> "vm1.compute.amazonaws.com",
       14L -> "x.vm1.compute.amazonaws.com",
+      19L -> "lb.eu-west-1.elb.amazonaws.com",
       15L -> "b.zz", 16L -> "a.co.zz",
       17L -> "localhost", 18L -> "")
     for ((k, v) <- want) assert(got(k) == v, s"host id $k: got ${got(k)}, want $v")
