@@ -182,4 +182,78 @@ object DomainStats {
       .withColumn("boiler_bp",
         floor(col("within_tokens") * 10000.0 / col("n_tokens")).cast("long"))
   }
+
+  /** Per-domain TEMPLATE CATALOG — the audit artifact of the boilerplate
+    * family: every paragraph that recurs in at least `minDocs` DISTINCT
+    * documents of the SAME registered domain (nav bars, footers, cookie
+    * banners, license blocks — the things a human reviews before turning
+    * on [[templateStrip]]), with its document reach, occurrence count and
+    * token mass. The drop-ALL rule downstream is grounded in this table,
+    * exactly as q274's rare-shared-n-gram evidence grounds the near-dup
+    * pair list.
+    *
+    * Plan shape: ONE map-side chunk+hash explode, ONE hash agg keyed
+    * (domain, paragraph hash). This is the one operator in the paragraph
+    * family whose OUTPUT is text, so distinct-paragraph text crosses the
+    * wire once — map-side combined to one candidate string per group per
+    * partition (all occurrences of a ph are byte-identical, so min() is
+    * exact, not a choice); the strip/report siblings stay hash-only. */
+  def templateCatalog(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDocs: Int = 3, grain: Int = 8): DataFrame =
+    docs
+      .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol)))
+      .select(col(idCol), col("__domain"),
+        explode(graft.functions.CdcParagraphs(col(textCol), grain))
+          .as("__para"))
+      .groupBy(col("__domain").as("domain"), md5(col("__para")).as("ph"))
+      .agg(
+        min(col("__para")).as("paragraph"),
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        sum(size(split(col("__para"), " ")).cast("long"))
+          .as("template_tokens"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Within-domain TEMPLATE STRIP — boilerplate removal, the operation
+    * the [[templateCatalog]] authorizes: rebuild every document with its
+    * domain's template paragraphs (recurring in >= `minDocs` distinct
+    * docs of the SAME domain) excised. Unlike [[Dedup.paragraphDedupClean]]
+    * this drops ALL occurrences including the first — a footer is noise
+    * on every page, not content on the first page crawled (keep-first is
+    * the dedup rule; drop-all is the boilerplate rule). Cross-domain
+    * syndicated content is deliberately untouched: that is dedup's job,
+    * with different economics (first copy is content).
+    *
+    * Scale shape: document text never shuffles. Chunk+hash map-side
+    * ([[Dedup.paragraphRows]]); template keys from ONE (domain, ph) hash
+    * agg; occurrences join those keys back (hash join on the same key);
+    * only per-doc DROP-INDEX lists travel to the rebuild, which re-chunks
+    * map-side and filters dropped positions — the q309 rebuild verbatim. */
+  def templateStrip(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDocs: Int = 3, grain: Int = 8): DataFrame = {
+    val rows = Dedup.paragraphRows(
+      docs.withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
+      idCol, textCol, grain, carry = Seq("__domain"))
+    val templateKeys = rows
+      .groupBy("__domain", "ph")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__domain", "ph")
+    val dropIdx = rows.join(templateKeys, Seq("__domain", "ph"))
+      .groupBy(idCol)
+      .agg(collect_list("para_idx").as("__drop"))
+    docs.join(dropIdx, Seq(idCol), "left")
+      .withColumn("__drop",
+        coalesce(col("__drop"), array().cast("array<long>")))
+      .withColumn("__paras",
+        graft.functions.CdcParagraphs(col(textCol), grain))
+      .select(col(idCol),
+        array_join(filter(col("__paras"),
+          (_, i) => !array_contains(col("__drop"), i.cast("long"))), " ")
+          .as("clean_text"),
+        size(col("__paras")).cast("long").as("n_paras"),
+        size(col("__drop")).cast("long").as("n_dropped"))
+  }
 }

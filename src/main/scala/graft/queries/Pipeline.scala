@@ -3134,7 +3134,59 @@ object PipelineQueries {
                |FROM k GROUP BY 1""").stripMargin),
       (s, dir) => DomainStats.domainBoilerplate(
         t(s, dir, "documents").withColumn("url", syntheticUrl),
-        "url", "doc_id", "text", grain = 8))
+        "url", "doc_id", "text", grain = 8)),
+
+    // ---- per-domain template catalog (DomainStats.templateCatalog):
+    //      the audit artifact of the boilerplate family — paragraphs
+    //      recurring in >= 3 DISTINCT docs of the SAME domain, with
+    //      reach/occurrence/token-mass evidence. One explode, one
+    //      (domain, ph) hash agg; min(paragraph) is exact (all
+    //      occurrences of a ph are byte-identical).
+    GraftQuery("q311_template_catalog",
+      Some((s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+               |c0 AS ($urlCanonSql),
+               |c AS ($urlAssembleSql),
+               |""" + paraCteSql + """,
+               |pd AS (SELECT p.doc_id, p.para, p.n_tok, c.domain
+               |  FROM paras p JOIN c USING (doc_id))
+               |SELECT domain, md5(para) AS ph, min(para) AS paragraph,
+               |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+               |  count(*)::BIGINT AS n_occurrences,
+               |  sum(n_tok)::BIGINT AS template_tokens
+               |FROM pd GROUP BY 1, 2
+               |HAVING count(DISTINCT doc_id) >= 3""").stripMargin),
+      (s, dir) => DomainStats.templateCatalog(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", minDocs = 3, grain = 8)),
+
+    // ---- within-domain template STRIP (DomainStats.templateStrip):
+    //      boilerplate removal — rebuild every doc with its domain's
+    //      template paragraphs (>= 3 distinct docs, same domain) excised,
+    //      ALL occurrences dropped (the boilerplate rule; q309's
+    //      keep-first is the dedup rule). Text never shuffles: template
+    //      keys from a hash agg, drop-index lists to the map-side
+    //      rebuild. Cross-domain syndication deliberately untouched.
+    GraftQuery("q312_template_strip",
+      Some((s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+               |c0 AS ($urlCanonSql),
+               |c AS ($urlAssembleSql),
+               |""" + paraCteSql + """,
+               |pd AS (SELECT p.doc_id, p.para_idx, p.para, c.domain
+               |  FROM paras p JOIN c USING (doc_id)),
+               |tm AS (SELECT domain, md5(para) AS ph FROM pd
+               |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3)
+               |SELECT doc_id,
+               |  coalesce(string_agg(CASE WHEN tm.ph IS NULL THEN para END,
+               |    ' ' ORDER BY para_idx), '') AS clean_text,
+               |  count(*)::BIGINT AS n_paras,
+               |  sum(CASE WHEN tm.ph IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               |    AS n_dropped
+               |FROM pd LEFT JOIN tm
+               |  ON tm.domain = pd.domain AND tm.ph = md5(pd.para)
+               |GROUP BY 1""").stripMargin),
+      (s, dir) => DomainStats.templateStrip(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", minDocs = 3, grain = 8))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

@@ -2015,6 +2015,76 @@ class PipelineSpec extends SparkSpec {
     assert(got("b.net")._5 == 0, s"b.net within should be 0: ${got("b.net")}")
   }
 
+  test("template catalog + strip: drop-all within-domain, brute-force") {
+    import spark.implicits._
+    val g = 4
+    def boundary(tok: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (md.digest(tok.getBytes("UTF-8"))(0) & 0xff) % g == 0
+    }
+    def chunks(text: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (t <- text.trim.split("\\s+")) {
+        cur += t
+        if (boundary(t)) { out += cur.mkString(" "); cur.clear() }
+      }
+      if (cur.nonEmpty || out.isEmpty) out += cur.mkString(" ")
+      out.toSeq
+    }
+    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
+    val rnd = new scala.util.Random(777)
+    def sent(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val footer = sent(20) // on ALL THREE a.com pages -> template at minDocs=3
+    val promo = sent(16)  // on only TWO a.com pages -> below threshold, kept
+    val rows = Seq(
+      (1L, "https://a.com/p1", footer + " " + sent(9) + " " + promo),
+      (2L, "https://a.com/p2", sent(7) + " " + footer),
+      (3L, "https://a.com/p3", promo + " " + footer + " " + sent(5)),
+      // b.net syndicates the footer: cross-domain, must NOT be stripped
+      (4L, "https://b.net/p1", sent(4) + " " + footer))
+    val docs = rows.toDF("doc_id", "url", "text")
+    def dom(u: String) = u.stripPrefix("https://").takeWhile(_ != '/')
+    val paras = rows.flatMap { case (id, u, t) =>
+      chunks(t).zipWithIndex.map { case (p, i) => (id, dom(u), i, p) } }
+    // brute-force template keys: (domain, para) in >= 3 distinct docs
+    val tmpl = paras.groupBy(r => (r._2, r._4))
+      .filter(_._2.map(_._1).distinct.size >= 3).keySet
+    val wantCat = paras.groupBy(r => (r._2, r._4))
+      .filter { case (k, _) => tmpl(k) }
+      .map { case ((d, p), rs) =>
+        (d, p) -> ((rs.map(_._1).distinct.size.toLong, rs.size.toLong,
+          rs.map(_._4.split(" ").length.toLong).sum)) }
+    val gotCat = DomainStats.templateCatalog(docs, "url", "doc_id", "text",
+        minDocs = 3, grain = g)
+      .collect().map(r => (r.getString(0), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(gotCat == wantCat, s"got=$gotCat want=$wantCat")
+    assert(gotCat.nonEmpty, "catalog found no template")
+    // the footer must be catalogued for a.com only (b.net has 1 doc)
+    assert(gotCat.keySet.map(_._1) == Set("a.com"))
+    // strip: drop ALL template occurrences, keep everything else
+    val wantStrip = rows.map { case (id, u, t) =>
+      val cs = chunks(t)
+      val kept = cs.filter(p => !tmpl((dom(u), p)))
+      id -> ((kept.mkString(" "), cs.size.toLong,
+        (cs.size - kept.size).toLong))
+    }.toMap
+    val gotStrip = DomainStats.templateStrip(docs, "url", "doc_id", "text",
+        minDocs = 3, grain = g)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotStrip == wantStrip, s"got=$gotStrip want=$wantStrip")
+    // drop-ALL vs keep-first: doc 1 (the footer's FIRST occurrence) must
+    // also lose it — the rule that separates strip from q309 dedup
+    assert(!gotStrip(1L)._1.contains(footer), "first occurrence survived")
+    // the 2-doc promo paragraph stays below threshold -> kept everywhere
+    assert(gotStrip(1L)._1.contains(promo) && gotStrip(3L)._1.contains(promo),
+      "sub-threshold paragraph was stripped")
+    // b.net's syndicated copy is cross-domain -> untouched
+    assert(gotStrip(4L)._3 == 0L, s"b.net stripped: ${gotStrip(4L)}")
+  }
+
   test("PSL registered domain: exact, wildcard, exception, fallback") {
     import spark.implicits._
     val hosts = Seq(
