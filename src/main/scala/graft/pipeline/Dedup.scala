@@ -669,7 +669,22 @@ object Dedup {
       .filter(col("__rk") > 1)
       .groupBy(idCol)
       .agg(collect_list("para_idx").as("__drop"))
-    docs.join(dropIdx, Seq(idCol), "left")
+    rebuildWithoutIndices(docs, idCol, textCol, grain, dropIdx)
+  }
+
+  /** Shared rebuild kernel for the paragraph family ([[paragraphDedupClean]]
+    * and `DomainStats.templateStrip`): re-chunk each doc's text MAP-SIDE
+    * and excise the positions listed in `dropIdx` (`(idCol,
+    * __drop: array<long>)`, absent ids mean nothing to drop). Docs with
+    * NULL `textCol` are omitted — no text, nothing to rebuild; this also
+    * mirrors the oracle CTE, whose token unnest yields no rows for NULL
+    * (a NULL doc surviving the left join would otherwise emit a nonsense
+    * `size(NULL)` row the oracle doesn't have). */
+  private[pipeline] def rebuildWithoutIndices(
+      docs: DataFrame, idCol: String, textCol: String, grain: Int,
+      dropIdx: DataFrame): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .join(dropIdx, Seq(idCol), "left")
       .withColumn("__drop",
         coalesce(col("__drop"), array().cast("array<long>")))
       .withColumn("__paras", graft.functions.CdcParagraphs(col(textCol), grain))
@@ -679,5 +694,4 @@ object Dedup {
           .as("clean_text"),
         size(col("__paras")).cast("long").as("n_paras"),
         size(col("__drop")).cast("long").as("n_dropped"))
-  }
 }

@@ -233,9 +233,15 @@ object DomainStats {
   def templateStrip(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDocs: Int = 3, grain: Int = 8): DataFrame = {
+    // rows feeds BOTH sides of the template-key self-join; without the
+    // pin, each branch would re-run the chunk+hash explode over the full
+    // corpus text (a third pass on top of the rebuild's). The frame is
+    // text-free — (id, para_idx, ph, n_tok, domain) — so materializing
+    // it is cheap relative to re-tokenizing (the TokenizerAudit pattern).
     val rows = Dedup.paragraphRows(
       docs.withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
       idCol, textCol, grain, carry = Seq("__domain"))
+      .localCheckpoint()
     val templateKeys = rows
       .groupBy("__domain", "ph")
       .agg(countDistinct(col(idCol)).as("__nd"))
@@ -244,16 +250,6 @@ object DomainStats {
     val dropIdx = rows.join(templateKeys, Seq("__domain", "ph"))
       .groupBy(idCol)
       .agg(collect_list("para_idx").as("__drop"))
-    docs.join(dropIdx, Seq(idCol), "left")
-      .withColumn("__drop",
-        coalesce(col("__drop"), array().cast("array<long>")))
-      .withColumn("__paras",
-        graft.functions.CdcParagraphs(col(textCol), grain))
-      .select(col(idCol),
-        array_join(filter(col("__paras"),
-          (_, i) => !array_contains(col("__drop"), i.cast("long"))), " ")
-          .as("clean_text"),
-        size(col("__paras")).cast("long").as("n_paras"),
-        size(col("__drop")).cast("long").as("n_dropped"))
+    Dedup.rebuildWithoutIndices(docs, idCol, textCol, grain, dropIdx)
   }
 }

@@ -1882,29 +1882,40 @@ class PipelineSpec extends SparkSpec {
     assert(got(7L) == ((":///", "", "", "/")), got(7L).toString)
   }
 
+  // Brute-force reference for CdcParagraphs, shared by the paragraph-family
+  // tests (any change to the chunking rule must land HERE once, not in
+  // per-test copies): boundary after tokens whose md5 first byte % grain
+  // == 0; trailing partial chunk kept; empty text yields one empty chunk.
+  private def cdcChunks(grain: Int)(text: String): Seq[String] = {
+    def boundary(tok: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (md.digest(tok.getBytes("UTF-8"))(0) & 0xff) % grain == 0
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (t <- text.trim.split("\\s+")) {
+      cur += t
+      if (boundary(t)) { out += cur.mkString(" "); cur.clear() }
+    }
+    if (cur.nonEmpty || out.isEmpty) out += cur.mkString(" ")
+    out.toSeq
+  }
+
+  // Deterministic sentence generator over a small vocab, seeded per test.
+  private def cdcSent(seed: Long): Int => String = {
+    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
+    val rnd = new scala.util.Random(seed)
+    n => Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+  }
+
   test("CDC paragraph chunking + paragraph dedup: brute-force reference") {
     import spark.implicits._
     val g = 4
-    def boundary(tok: String) = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      (md.digest(tok.getBytes("UTF-8"))(0) & 0xff) % g == 0
-    }
-    def chunks(text: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
-      for (t <- text.trim.split("\\s+")) {
-        cur += t
-        if (boundary(t)) { out += cur.mkString(" "); cur.clear() }
-      }
-      if (cur.nonEmpty || out.isEmpty) out += cur.mkString(" ")
-      out.toSeq
-    }
+    val chunks = cdcChunks(g) _
     // doc 2 embeds doc 1's passage at a DIFFERENT offset — the case
     // fixed-size positional windows miss and content-defined chunking
     // must catch
-    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
-    val rnd = new scala.util.Random(99)
-    def sent(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val sent = cdcSent(99)
     val passage = sent(30)
     val rows = Seq(
       (1L, "s1", sent(17) + " " + passage + " " + sent(5)),
@@ -1955,28 +1966,22 @@ class PipelineSpec extends SparkSpec {
     assert(gotClean(1L)._1 == rows.head._3)
     assert(gotClean(2L)._3 >= shared.size - 2, // boundary paragraphs may differ
       s"${gotClean(2L)._3} vs ${shared.size}")
+    // (e) NULL-text docs are OMITTED from the rebuild (the oracle's token
+    // unnest yields no rows for NULL; a surviving left-join row would emit
+    // nonsense size(NULL) counts) — same contract for templateStrip,
+    // which shares the rebuild kernel
+    val withNull = (docs.select($"doc_id", $"text") union
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val cleanIds = Dedup.paragraphDedupClean(withNull, "doc_id", "text", g)
+      .collect().map(_.getLong(0)).toSet
+    assert(cleanIds == Set(1L, 2L, 3L), s"null-text doc leaked: $cleanIds")
   }
 
   test("domain boilerplate: within- vs cross-domain duplicate paragraphs") {
     import spark.implicits._
     val g = 4
-    def boundary(tok: String) = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      (md.digest(tok.getBytes("UTF-8"))(0) & 0xff) % g == 0
-    }
-    def chunks(text: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
-      for (t <- text.trim.split("\\s+")) {
-        cur += t
-        if (boundary(t)) { out += cur.mkString(" "); cur.clear() }
-      }
-      if (cur.nonEmpty || out.isEmpty) out += cur.mkString(" ")
-      out.toSeq
-    }
-    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
-    val rnd = new scala.util.Random(4242)
-    def sent(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val chunks = cdcChunks(g) _
+    val sent = cdcSent(4242)
     val template = sent(24) // a.com's nav/footer block, on both its pages
     val rows = Seq(
       (1L, "https://a.com/p1", template + " " + sent(9)),
@@ -2018,23 +2023,8 @@ class PipelineSpec extends SparkSpec {
   test("template catalog + strip: drop-all within-domain, brute-force") {
     import spark.implicits._
     val g = 4
-    def boundary(tok: String) = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      (md.digest(tok.getBytes("UTF-8"))(0) & 0xff) % g == 0
-    }
-    def chunks(text: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
-      for (t <- text.trim.split("\\s+")) {
-        cur += t
-        if (boundary(t)) { out += cur.mkString(" "); cur.clear() }
-      }
-      if (cur.nonEmpty || out.isEmpty) out += cur.mkString(" ")
-      out.toSeq
-    }
-    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
-    val rnd = new scala.util.Random(777)
-    def sent(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val chunks = cdcChunks(g) _
+    val sent = cdcSent(777)
     val footer = sent(20) // on ALL THREE a.com pages -> template at minDocs=3
     val promo = sent(16)  // on only TWO a.com pages -> below threshold, kept
     val rows = Seq(
