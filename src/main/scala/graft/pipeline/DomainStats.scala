@@ -252,4 +252,114 @@ object DomainStats {
       .agg(collect_list("para_idx").as("__drop"))
     Dedup.rebuildWithoutIndices(docs, idCol, textCol, grain, dropIdx)
   }
+
+  /** FUZZY template catalog — the near-dup completion of
+    * [[templateCatalog]]: within-domain clusters of NEAR-identical
+    * paragraphs (a footer whose year/visit-counter changes per page, a
+    * nav bar with the current page bolded) that exact paragraph hashing
+    * can never group, because every variant has a distinct md5. Variants
+    * are clustered per registered domain via the md5-portable minhash-LSH
+    * machinery (q55's, over paragraph shingle sets) + exact-Jaccard
+    * verification + connected components; a cluster is reported when it
+    * spans >= `minDocs` DISTINCT documents AND has >= 2 variants (a
+    * single recurring paragraph is [[templateCatalog]]'s row, not ours).
+    *
+    * Operating point: CDC paragraphs average `grain` tokens, so document
+    * shingle defaults (k = 3) are brittle here — a one-token edit in an
+    * 8-token paragraph kills half its trigrams (Jaccard ~0.5). Fuzzy
+    * paragraph matching wants a coarser chunk (`grain` 16+) and a small
+    * `shingleK` (1-2: token/bigram sets), where a one-token variant keeps
+    * Jaccard >= 0.8. Threshold is an exact integer cross-multiplication
+    * (`jacDen`·|intersect| >= `jacNum`·|union|) — no float boundary.
+    *
+    * Scale shape: paragraph text shuffles ONCE (the distinct-(domain, ph)
+    * agg, [[templateCatalog]]'s posture); signatures/bands are map-side
+    * native kernels over the distinct frame; the LSH self-join is banded
+    * (quadratic only in-bucket); CC runs on (domain|ph) keys contracted
+    * to forest size; occurrence counts ride a text-free (id, domain, ph)
+    * frame. Output: domain, cluster (min member ph), representative
+    * paragraph, n_variants, n_docs, n_occurrences, template_tokens. */
+  def fuzzyTemplateCatalog(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDocs: Int = 3, grain: Int = 16, shingleK: Int = 1,
+      numHashes: Int = 64, bands: Int = 16,
+      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+    // repartition first (the minhashNearDupPairs note): a small corpus
+    // file is one scan partition, which would serialize the chunk+hash
+    // explode on a single core
+    val occ = docs.repartition(col(idCol))
+      .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol)))
+      .select(col(idCol), col("__domain"),
+        explode(graft.functions.CdcParagraphs(col(textCol), grain))
+          .as("__para"))
+      .select(col(idCol), col("__domain"), md5(col("__para")).as("ph"),
+        col("__para"))
+    // distinct paragraph per domain: text crosses the wire once (min() is
+    // exact — all occurrences of a ph are byte-identical); shingles and
+    // band keys are single-pass kernels over the distinct frame. Pinned:
+    // the frame feeds the banded self-join AND the verify joins.
+    val dp = occ.groupBy("__domain", "ph")
+      .agg(min(col("__para")).as("para"))
+      .withColumn("sh",
+        array_distinct(TextAnalysis.shingles(col("para"), shingleK)))
+      .withColumn("n_tok", size(split(col("para"), " ")).cast("long"))
+      .withColumn("bandkeys", TextAnalysis.minhashBands(
+        TextAnalysis.minhashSignature(col("sh"), numHashes),
+        bands, numHashes / bands))
+      .localCheckpoint()
+    val banded = dp.select(col("__domain"), col("ph"), size(col("sh")).as("sz"),
+      posexplode(col("bandkeys")).as(Seq("band", "key")))
+    // size-ratio prefilter: J >= jacNum/jacDen implies min(|A|,|B|)·jacDen
+    // >= max(|A|,|B|)·jacNum (J <= min/max), so this only drops candidates
+    // exact verification would reject anyway — the oracle replays the
+    // verified pair set without needing the prefilter.
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__domain") === col("b.__domain") &&
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.ph") < col("b.ph") &&
+        least(col("a.sz"), col("b.sz")) * jacDen >=
+          greatest(col("a.sz"), col("b.sz")) * jacNum)
+      .select(col("a.__domain").as("__domain"),
+        col("a.ph").as("ph_a"), col("b.ph").as("ph_b"))
+      .distinct()
+    val edges = cand
+      .join(dp.select(col("__domain"), col("ph").as("ph_a"),
+        col("sh").as("sh_a")), Seq("__domain", "ph_a"))
+      .join(dp.select(col("__domain"), col("ph").as("ph_b"),
+        col("sh").as("sh_b")), Seq("__domain", "ph_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * jacDen >=
+        size(array_union(col("sh_a"), col("sh_b"))) * jacNum)
+      .select(xxhash64(col("__domain"), col("ph_a")).as("id_a"),
+        xxhash64(col("__domain"), col("ph_b")).as("id_b"))
+    // LONG vertex keys (xxhash64 of (domain, ph) — pairs never cross
+    // domains) so connectedComponents takes its union-find contraction
+    // path: the string-keyed generic loop cost ~6 s of per-iteration
+    // fixed overhead on a 1.2 k-edge fixture graph. The internal label is
+    // hash-valued and NEVER surfaces: the cluster NAME is min(ph) over
+    // the component's members, which the oracle reproduces from its own
+    // string-keyed closure — component sets are equal, labels need not be.
+    val cc = Dedup.connectedComponents(edges)
+    val members = dp
+      .withColumn("id", xxhash64(col("__domain"), col("ph")))
+      .join(cc, Seq("id"))
+    val perCluster = members
+      .groupBy(col("__domain"), col("cluster_id"))
+      .agg(count(lit(1)).as("n_variants"), min(col("para")).as("paragraph"),
+        min(col("ph")).as("cluster"))
+    // occurrence rollup is text-free: occ contributes (id, domain, ph)
+    // only; per-occurrence token mass comes from the member paragraph's
+    // n_tok (byte-identical across occurrences of a ph)
+    val reach = occ.select(col(idCol), col("__domain"), col("ph"))
+      .join(members.select(col("__domain"), col("ph"), col("cluster_id"),
+        col("n_tok")), Seq("__domain", "ph"))
+      .groupBy(col("__domain"), col("cluster_id"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        sum(col("n_tok")).as("template_tokens"))
+    perCluster.join(reach, Seq("__domain", "cluster_id"))
+      .filter(col("n_docs") >= minDocs && col("n_variants") >= 2)
+      .select(col("__domain").as("domain"), col("cluster"),
+        col("paragraph"), col("n_variants"), col("n_docs"),
+        col("n_occurrences"), col("template_tokens"))
+  }
 }

@@ -149,20 +149,22 @@ object PipelineQueries {
     * with single spaces in position order. ONE definition so a grain or
     * boundary change cannot drift between the two oracles and the
     * engine expression. */
-  private val paraCteSql =
-    """t AS (SELECT doc_id, source,
-      |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
-      |tok AS (SELECT doc_id, source, i.i AS pos, toks[i.i] AS tok
-      |  FROM t CROSS JOIN LATERAL
-      |    (SELECT unnest(generate_series(1, len(toks))) AS i) i),
-      |seg AS (SELECT doc_id, source, pos, tok,
-      |    coalesce(sum(CASE WHEN ('0x' || substr(md5(tok), 1, 2))::INT % 8 = 0
-      |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS para_idx
-      |  FROM tok),
-      |paras AS (SELECT doc_id, source, para_idx,
-      |    string_agg(tok, ' ' ORDER BY pos) AS para, count(*) AS n_tok
-      |  FROM seg GROUP BY 1, 2, 3)""".stripMargin
+  private def paraCteSqlOf(grain: Int) =
+    s"""t AS (SELECT doc_id, source,
+       |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |tok AS (SELECT doc_id, source, i.i AS pos, toks[i.i] AS tok
+       |  FROM t CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(1, len(toks))) AS i) i),
+       |seg AS (SELECT doc_id, source, pos, tok,
+       |    coalesce(sum(CASE WHEN ('0x' || substr(md5(tok), 1, 2))::INT % $grain = 0
+       |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS para_idx
+       |  FROM tok),
+       |paras AS (SELECT doc_id, source, para_idx,
+       |    string_agg(tok, ' ' ORDER BY pos) AS para, count(*) AS n_tok
+       |  FROM seg GROUP BY 1, 2, 3)""".stripMargin
+
+  private val paraCteSql = paraCteSqlOf(8)
 
   private val jaccPairCteSql =
     """t AS (SELECT doc_id, lang,
@@ -3186,7 +3188,78 @@ object PipelineQueries {
                |GROUP BY 1""").stripMargin),
       (s, dir) => DomainStats.templateStrip(
         t(s, dir, "documents").withColumn("url", syntheticUrl),
-        "url", "doc_id", "text", minDocs = 3, grain = 8))
+        "url", "doc_id", "text", minDocs = 3, grain = 8)),
+
+    // ---- FUZZY template catalog (DomainStats.fuzzyTemplateCatalog):
+    //      within-domain clusters of NEAR-identical paragraphs (footer
+    //      variants exact hashing can't group — every variant has a
+    //      distinct md5). md5-portable minhash-LSH over paragraph token
+    //      sets (grain 16 + unigram shingles: CDC paragraphs average
+    //      ~grain tokens, so doc-level trigrams are brittle here — a
+    //      one-token edit in an 8-token paragraph halves its trigram
+    //      Jaccard), exact-Jaccard verify by integer cross-multiply
+    //      (5i >= 4u), connected components per domain, q87-class
+    //      recursive-closure oracle. Cluster name = min member ph.
+    GraftQuery("q313_fuzzy_template_catalog",
+      Some((s"""WITH RECURSIVE u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+               |c0 AS ($urlCanonSql),
+               |c AS ($urlAssembleSql),
+               |""" + paraCteSqlOf(16) + """,
+               |pd AS (SELECT p.doc_id, p.para, p.n_tok, c.domain
+               |  FROM paras p JOIN c USING (doc_id)),
+               |dp AS (SELECT domain, md5(para) AS ph, min(para) AS para
+               |  FROM pd GROUP BY 1, 2),
+               |sh AS (SELECT DISTINCT domain, ph, w.s
+               |  FROM (SELECT domain, ph, string_split(para, ' ') AS toks
+               |        FROM dp), unnest(toks) w(s)),
+               |hs AS (SELECT domain, ph,
+               |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+               |co AS (SELECT j.j,
+               |    2 * ('0x' || substr(md5('mh:a:' || j.j), 1, 7))::BIGINT + 1 AS a,
+               |    ('0x' || substr(md5('mh:b:' || j.j), 1, 15))::BIGINT AS b
+               |  FROM generate_series(0, 63) j(j)),
+               |mins AS (SELECT domain, ph, j,
+               |    min((a::HUGEINT * h + b) % 18446744073709551616) AS m
+               |  FROM hs CROSS JOIN co GROUP BY 1, 2, 3),
+               |bk AS (SELECT domain, ph, j // 4 AS band,
+               |    md5(string_agg(m::VARCHAR, ',' ORDER BY j)) AS key
+               |  FROM mins GROUP BY domain, ph, j // 4),
+               |sl AS (SELECT domain, ph, list(s) AS l FROM sh GROUP BY 1, 2),
+               |cand AS (SELECT DISTINCT a.domain, a.ph AS ph_a, b.ph AS ph_b
+               |  FROM bk a JOIN bk b ON a.domain = b.domain AND a.band = b.band
+               |    AND a.key = b.key AND a.ph < b.ph),
+               |ver AS (SELECT cd.domain, ph_a, ph_b FROM cand cd
+               |  JOIN sl sa ON sa.domain = cd.domain AND sa.ph = cd.ph_a
+               |  JOIN sl sb ON sb.domain = cd.domain AND sb.ph = cd.ph_b
+               |  WHERE 5 * len(list_intersect(sa.l, sb.l)) >=
+               |        4 * len(list_distinct(list_concat(sa.l, sb.l)))),
+               |edges AS (SELECT domain || '|' || ph_a AS src,
+               |    domain || '|' || ph_b AS dst FROM ver
+               |  UNION SELECT domain || '|' || ph_b, domain || '|' || ph_a FROM ver),
+               |reach(id, r) AS (SELECT src, src FROM edges
+               |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+               |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+               |mem AS (SELECT dp.domain, dp.ph, dp.para, cc.cluster_id
+               |  FROM dp JOIN cc ON cc.id = dp.domain || '|' || dp.ph),
+               |pc AS (SELECT domain, cluster_id, count(*)::BIGINT AS n_variants,
+               |    min(para) AS paragraph, min(ph) AS cluster
+               |  FROM mem GROUP BY 1, 2),
+               |rich AS (SELECT m.domain, m.cluster_id, pd.doc_id, pd.n_tok
+               |  FROM pd JOIN mem m ON m.domain = pd.domain AND m.ph = md5(pd.para)),
+               |rc AS (SELECT domain, cluster_id,
+               |    count(DISTINCT doc_id)::BIGINT AS n_docs,
+               |    count(*)::BIGINT AS n_occurrences,
+               |    sum(n_tok)::BIGINT AS template_tokens
+               |  FROM rich GROUP BY 1, 2)
+               |SELECT pc.domain, pc.cluster,
+               |  pc.paragraph, pc.n_variants, rc.n_docs, rc.n_occurrences,
+               |  rc.template_tokens
+               |FROM pc JOIN rc USING (domain, cluster_id)
+               |WHERE rc.n_docs >= 2 AND pc.n_variants >= 2""").stripMargin),
+      (s, dir) => DomainStats.fuzzyTemplateCatalog(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", minDocs = 2, grain = 16, shingleK = 1,
+        numHashes = 64, bands = 16, jacNum = 4, jacDen = 5))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

@@ -2075,6 +2075,81 @@ class PipelineSpec extends SparkSpec {
     assert(gotStrip(4L)._3 == 0L, s"b.net stripped: ${gotStrip(4L)}")
   }
 
+  test("fuzzy template catalog: near-dup variants cluster, brute-force") {
+    import spark.implicits._
+    val g = 16
+    def md5b0(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(tok.getBytes("UTF-8"))(0) & 0xff
+    }
+    // curated vocab: NON-boundary tokens at grain 16, so each handcrafted
+    // text is ONE CDC chunk and pair Jaccard is controlled exactly; `bt`
+    // is a deliberate boundary token for the multi-paragraph case
+    val pool = (0 until 200).map(i => s"tok$i").filter(md5b0(_) % g != 0)
+    val bt = (0 until 200).map(i => s"tok$i").find(md5b0(_) % g == 0).get
+    val base = pool.take(12)
+    val v1 = base.mkString(" ")
+    val v2 = base.updated(3, pool(50)).mkString(" ")  // J(v1,v2)=11/13>=0.8
+    val v3 = base.updated(7, pool(51)).mkString(" ")  // J(v1,v3)=11/13; J(v2,v3)=10/14<0.8
+    val far = (base.take(8) ++ pool.slice(60, 64)).mkString(" ") // J=8/16<0.8
+    val rows = Seq(
+      (1L, "https://a.com/p1", v1),
+      (2L, "https://a.com/p2", v2),
+      (3L, "https://a.com/p3", v3),           // transitively joins via v1
+      (4L, "https://a.com/p4", far),          // below threshold: own singleton
+      (5L, "https://b.net/p1", v1),           // cross-domain verbatim: not merged
+      (6L, "https://a.com/p5", v1),           // exact dup of p1's paragraph
+      (7L, "https://a.com/p6", v2 + " " + bt + " " + v1)) // two chunks
+    val docs = rows.toDF("doc_id", "url", "text")
+    def dom(u: String) = u.stripPrefix("https://").takeWhile(_ != '/')
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // brute force: chunk, then ALL-PAIRS token-set Jaccard within domain,
+    // union-find, report clusters with >=2 variants spanning >=2 docs
+    val paras = rows.flatMap { case (id, u, t) =>
+      cdcChunks(g)(t).map(p => (dom(u), p, id)) }
+    val verts = paras.map(r => (r._1, r._2)).distinct
+    val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+    def find(v: (String, String)): (String, String) =
+      if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+    for {
+      Seq(a, b) <- verts.combinations(2) if a._1 == b._1
+      sa = a._2.split(" ").toSet; sb = b._2.split(" ").toSet
+      if 5 * sa.intersect(sb).size >= 4 * sa.union(sb).size
+    } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val comps = verts.groupBy(find)
+    val want = comps.values.filter(_.size >= 2).flatMap { vs =>
+      val domain = vs.head._1
+      val occs = paras.filter(p => vs.contains((p._1, p._2)))
+      val nDocs = occs.map(_._3).distinct.size
+      if (nDocs >= 2)
+        Some((domain, vs.map(p => md5hex(p._2)).min) ->
+          ((vs.map(_._2).min, vs.size.toLong, nDocs.toLong,
+            occs.size.toLong,
+            occs.map(_._2.split(" ").length.toLong).sum)))
+      else None
+    }.toMap
+    val got = DomainStats.fuzzyTemplateCatalog(docs, "url", "doc_id", "text",
+        minDocs = 2, grain = g, shingleK = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // one a.com cluster: v1+v2+v3 variants plus p6's (v2 bt) chunk joins
+    // through v2 (J=12/13); p6's second chunk is v1 verbatim
+    assert(got.nonEmpty, "no fuzzy cluster found")
+    val acom = got.filter(_._1._1 == "a.com")
+    assert(acom.size == 1, s"expected one a.com cluster: $acom")
+    val (_, (_, nVar, nDocs, nOcc, _)) = acom.head
+    assert(nVar == 4L, s"variants: $nVar") // v1, v2, v3, v2+bt
+    assert(nDocs == 5L, s"docs: $nDocs")   // p1, p2, p3, p5(dup), p6
+    assert(nOcc == 6L, s"occs: $nOcc")     // p6 contributes two occurrences
+    // far (p4) below threshold and b.net's lone verbatim copy: unreported
+    assert(!got.keySet.exists(_._1 == "b.net"), "cross-domain merged")
+  }
+
   test("PSL registered domain: exact, wildcard, exception, fallback") {
     import spark.implicits._
     val hosts = Seq(
