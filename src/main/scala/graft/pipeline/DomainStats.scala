@@ -284,16 +284,59 @@ object DomainStats {
       minDocs: Int = 3, grain: Int = 16, shingleK: Int = 1,
       numHashes: Int = 64, bands: Int = 16,
       jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
-    // repartition first (the minhashNearDupPairs note): a small corpus
-    // file is one scan partition, which would serialize the chunk+hash
-    // explode on a single core
-    val occ = docs.repartition(col(idCol))
+    val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
+    val keys = occKeys(occ, idCol)
+    val members =
+      fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
+        jacNum, jacDen)
+    val perCluster = members
+      .groupBy(col("__domain"), col("cluster_id"))
+      .agg(count(lit(1)).as("n_variants"), min(col("para")).as("paragraph"),
+        min(col("ph")).as("cluster"))
+    perCluster.join(fuzzyReach(keys, members, idCol),
+        Seq("__domain", "cluster_id"))
+      .filter(col("n_docs") >= minDocs && col("n_variants") >= 2)
+      .select(col("__domain").as("domain"), col("cluster"),
+        col("paragraph"), col("n_variants"), col("n_docs"),
+        col("n_occurrences"), col("template_tokens"))
+  }
+
+  /** TEXT-FREE occurrence keys (id, __domain, ph, n_tok). UNPINNED —
+    * [[fuzzyTemplateCatalog]] reads occurrences once downstream of the
+    * clustering core, so re-deriving from the scan is cheaper than a
+    * checkpoint pass; [[domainFuzzyBoilerplate]] reads them three times
+    * (exact-template agg, reach rollup, final domain agg) and pins its
+    * copy with localCheckpoint (measured: the pin costs q313 +2.7 s but
+    * saves q314 ~9 s of repeated chunk explodes). */
+  private def occKeys(occ: DataFrame, idCol: String): DataFrame =
+    occ.select(col(idCol), col("__domain"), col("ph"),
+      size(split(col("__para"), " ")).cast("long").as("n_tok"))
+
+  /** Paragraph occurrences with registered domain: one row per CDC chunk,
+    * (id, __domain, ph, __para). Chunking, domain extraction and hashing
+    * are all map-side; repartition first (the minhashNearDupPairs note) —
+    * a small corpus file is one scan partition, which would serialize the
+    * chunk+hash explode on a single core. */
+  private def paraOcc(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      grain: Int): DataFrame =
+    docs.repartition(col(idCol))
       .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol)))
       .select(col(idCol), col("__domain"),
         explode(graft.functions.CdcParagraphs(col(textCol), grain))
           .as("__para"))
       .select(col(idCol), col("__domain"), md5(col("__para")).as("ph"),
         col("__para"))
+
+  /** Within-domain fuzzy-cluster membership: one row per distinct
+    * (domain, ph) that belongs to some near-dup component, with its
+    * representative text, token count and internal cluster_id (see
+    * [[fuzzyTemplateCatalog]] for the full semantics and operating-point
+    * discussion; this is its clustering core, shared with
+    * [[domainFuzzyBoilerplate]]). */
+  private def fuzzyClusterMembers(
+      occ: DataFrame, idCol: String, shingleK: Int,
+      numHashes: Int, bands: Int, jacNum: Int, jacDen: Int): DataFrame = {
     // distinct paragraph per domain: text crosses the wire once (min() is
     // exact — all occurrences of a ph are byte-identical); shingles and
     // band keys are single-pass kernels over the distinct frame. Pinned:
@@ -339,27 +382,76 @@ object DomainStats {
     // the component's members, which the oracle reproduces from its own
     // string-keyed closure — component sets are equal, labels need not be.
     val cc = Dedup.connectedComponents(edges)
-    val members = dp
-      .withColumn("id", xxhash64(col("__domain"), col("ph")))
+    dp.withColumn("id", xxhash64(col("__domain"), col("ph")))
       .join(cc, Seq("id"))
-    val perCluster = members
-      .groupBy(col("__domain"), col("cluster_id"))
-      .agg(count(lit(1)).as("n_variants"), min(col("para")).as("paragraph"),
-        min(col("ph")).as("cluster"))
-    // occurrence rollup is text-free: occ contributes (id, domain, ph)
-    // only; per-occurrence token mass comes from the member paragraph's
-    // n_tok (byte-identical across occurrences of a ph)
-    val reach = occ.select(col(idCol), col("__domain"), col("ph"))
-      .join(members.select(col("__domain"), col("ph"), col("cluster_id"),
-        col("n_tok")), Seq("__domain", "ph"))
+      .select(col("__domain"), col("ph"), col("para"), col("n_tok"),
+        col("cluster_id"))
+  }
+
+  /** Per-cluster occurrence rollup over the pinned text-free keys:
+    * (id, domain, ph, n_tok) rows joined to cluster membership. */
+  private def fuzzyReach(
+      keys: DataFrame, members: DataFrame, idCol: String): DataFrame =
+    keys
+      .join(members.select(col("__domain"), col("ph"), col("cluster_id")),
+        Seq("__domain", "ph"))
       .groupBy(col("__domain"), col("cluster_id"))
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
         sum(col("n_tok")).as("template_tokens"))
-    perCluster.join(reach, Seq("__domain", "cluster_id"))
-      .filter(col("n_docs") >= minDocs && col("n_variants") >= 2)
-      .select(col("__domain").as("domain"), col("cluster"),
-        col("paragraph"), col("n_variants"), col("n_docs"),
-        col("n_occurrences"), col("template_tokens"))
+
+  /** Per-domain BOILERPLATE RATE, exact vs fuzzy-extra — the rollup that
+    * turns the template family into a domain-grain curation signal: for
+    * every registered domain, how much of its token mass sits in EXACT
+    * templates (paragraphs recurring in >= `minDocs` distinct docs —
+    * [[templateCatalog]]'s rows) and how much MORE the fuzzy layer
+    * surfaces (occurrences of paragraphs in qualifying near-dup clusters
+    * — [[fuzzyTemplateCatalog]]'s rows — that are NOT already exact
+    * templates). `boiler_bp` is the combined share in basis points; a
+    * domain near 10000 is a template mill whose pages are almost all
+    * chrome. The exact/fuzzy split shows what variant-blind dedup would
+    * have missed.
+    *
+    * Plan shape: everything downstream of the clustering core is
+    * hash-keyed — exact-template keys from ONE (domain, ph) agg over the
+    * text-free occurrence frame, fuzzy keys from the member/reach join,
+    * two LEFT joins mark occurrences, ONE domain agg rolls up. */
+  def domainFuzzyBoilerplate(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDocs: Int = 2, grain: Int = 16, shingleK: Int = 1,
+      numHashes: Int = 64, bands: Int = 16,
+      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+    val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
+    val keys = occKeys(occ, idCol).localCheckpoint()
+    val exactTpl = keys.groupBy("__domain", "ph")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__domain"), col("ph"), lit(1L).as("__ex"))
+    val members =
+      fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
+        jacNum, jacDen)
+    val qualified = members
+      .groupBy(col("__domain"), col("cluster_id"))
+      .agg(count(lit(1)).as("__nv"))
+      .join(fuzzyReach(keys, members, idCol)
+        .select(col("__domain"), col("cluster_id"), col("n_docs")),
+        Seq("__domain", "cluster_id"))
+      .filter(col("n_docs") >= minDocs && col("__nv") >= 2)
+      .select("__domain", "cluster_id")
+    val fuzzyKeys = members.join(qualified, Seq("__domain", "cluster_id"))
+      .select(col("__domain"), col("ph"), lit(1L).as("__fz"))
+    keys
+      .join(exactTpl, Seq("__domain", "ph"), "left")
+      .join(fuzzyKeys, Seq("__domain", "ph"), "left")
+      .groupBy(col("__domain").as("domain"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("__ex") === 1L, col("n_tok")).otherwise(0L))
+          .as("exact_tpl_tokens"),
+        sum(when(col("__ex").isNull && col("__fz") === 1L, col("n_tok"))
+          .otherwise(0L)).as("fuzzy_extra_tokens"))
+      .withColumn("boiler_bp",
+        floor((col("exact_tpl_tokens") + col("fuzzy_extra_tokens")) *
+          10000.0 / col("n_tokens")).cast("long"))
   }
 }

@@ -166,6 +166,55 @@ object PipelineQueries {
 
   private val paraCteSql = paraCteSqlOf(8)
 
+  /** The fuzzy paragraph-cluster CTE chain (url assembly → grain-16
+    * paragraphs → per-domain distinct paragraphs → md5-portable minhash
+    * replay → banded candidates → exact integer-Jaccard verify →
+    * recursive-closure components → membership `mem(domain, ph, para,
+    * cluster_id)`), shared by the q313/q314 oracles — ONE definition so
+    * an operating-point change cannot drift between them. Callers prefix
+    * `WITH RECURSIVE ` and append their rollup. */
+  private val fuzzyCteSql =
+    (s"""u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+        |c0 AS ($urlCanonSql),
+        |c AS ($urlAssembleSql),
+        |""" + paraCteSqlOf(16) + """,
+        |pd AS (SELECT p.doc_id, p.para, p.n_tok, c.domain
+        |  FROM paras p JOIN c USING (doc_id)),
+        |dp AS (SELECT domain, md5(para) AS ph, min(para) AS para
+        |  FROM pd GROUP BY 1, 2),
+        |sh AS (SELECT DISTINCT domain, ph, w.s
+        |  FROM (SELECT domain, ph, string_split(para, ' ') AS toks
+        |        FROM dp), unnest(toks) w(s)),
+        |hs AS (SELECT domain, ph,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+        |co AS (SELECT j.j,
+        |    2 * ('0x' || substr(md5('mh:a:' || j.j), 1, 7))::BIGINT + 1 AS a,
+        |    ('0x' || substr(md5('mh:b:' || j.j), 1, 15))::BIGINT AS b
+        |  FROM generate_series(0, 63) j(j)),
+        |mins AS (SELECT domain, ph, j,
+        |    min((a::HUGEINT * h + b) % 18446744073709551616) AS m
+        |  FROM hs CROSS JOIN co GROUP BY 1, 2, 3),
+        |bk AS (SELECT domain, ph, j // 4 AS band,
+        |    md5(string_agg(m::VARCHAR, ',' ORDER BY j)) AS key
+        |  FROM mins GROUP BY domain, ph, j // 4),
+        |sl AS (SELECT domain, ph, list(s) AS l FROM sh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.domain, a.ph AS ph_a, b.ph AS ph_b
+        |  FROM bk a JOIN bk b ON a.domain = b.domain AND a.band = b.band
+        |    AND a.key = b.key AND a.ph < b.ph),
+        |ver AS (SELECT cd.domain, ph_a, ph_b FROM cand cd
+        |  JOIN sl sa ON sa.domain = cd.domain AND sa.ph = cd.ph_a
+        |  JOIN sl sb ON sb.domain = cd.domain AND sb.ph = cd.ph_b
+        |  WHERE 5 * len(list_intersect(sa.l, sb.l)) >=
+        |        4 * len(list_distinct(list_concat(sa.l, sb.l)))),
+        |edges AS (SELECT domain || '|' || ph_a AS src,
+        |    domain || '|' || ph_b AS dst FROM ver
+        |  UNION SELECT domain || '|' || ph_b, domain || '|' || ph_a FROM ver),
+        |reach(id, r) AS (SELECT src, src FROM edges
+        |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |mem AS (SELECT dp.domain, dp.ph, dp.para, cc.cluster_id
+        |  FROM dp JOIN cc ON cc.id = dp.domain || '|' || dp.ph)""").stripMargin
+
   private val jaccPairCteSql =
     """t AS (SELECT doc_id, lang,
       |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
@@ -3201,46 +3250,7 @@ object PipelineQueries {
     //      (5i >= 4u), connected components per domain, q87-class
     //      recursive-closure oracle. Cluster name = min member ph.
     GraftQuery("q313_fuzzy_template_catalog",
-      Some((s"""WITH RECURSIVE u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
-               |c0 AS ($urlCanonSql),
-               |c AS ($urlAssembleSql),
-               |""" + paraCteSqlOf(16) + """,
-               |pd AS (SELECT p.doc_id, p.para, p.n_tok, c.domain
-               |  FROM paras p JOIN c USING (doc_id)),
-               |dp AS (SELECT domain, md5(para) AS ph, min(para) AS para
-               |  FROM pd GROUP BY 1, 2),
-               |sh AS (SELECT DISTINCT domain, ph, w.s
-               |  FROM (SELECT domain, ph, string_split(para, ' ') AS toks
-               |        FROM dp), unnest(toks) w(s)),
-               |hs AS (SELECT domain, ph,
-               |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
-               |co AS (SELECT j.j,
-               |    2 * ('0x' || substr(md5('mh:a:' || j.j), 1, 7))::BIGINT + 1 AS a,
-               |    ('0x' || substr(md5('mh:b:' || j.j), 1, 15))::BIGINT AS b
-               |  FROM generate_series(0, 63) j(j)),
-               |mins AS (SELECT domain, ph, j,
-               |    min((a::HUGEINT * h + b) % 18446744073709551616) AS m
-               |  FROM hs CROSS JOIN co GROUP BY 1, 2, 3),
-               |bk AS (SELECT domain, ph, j // 4 AS band,
-               |    md5(string_agg(m::VARCHAR, ',' ORDER BY j)) AS key
-               |  FROM mins GROUP BY domain, ph, j // 4),
-               |sl AS (SELECT domain, ph, list(s) AS l FROM sh GROUP BY 1, 2),
-               |cand AS (SELECT DISTINCT a.domain, a.ph AS ph_a, b.ph AS ph_b
-               |  FROM bk a JOIN bk b ON a.domain = b.domain AND a.band = b.band
-               |    AND a.key = b.key AND a.ph < b.ph),
-               |ver AS (SELECT cd.domain, ph_a, ph_b FROM cand cd
-               |  JOIN sl sa ON sa.domain = cd.domain AND sa.ph = cd.ph_a
-               |  JOIN sl sb ON sb.domain = cd.domain AND sb.ph = cd.ph_b
-               |  WHERE 5 * len(list_intersect(sa.l, sb.l)) >=
-               |        4 * len(list_distinct(list_concat(sa.l, sb.l)))),
-               |edges AS (SELECT domain || '|' || ph_a AS src,
-               |    domain || '|' || ph_b AS dst FROM ver
-               |  UNION SELECT domain || '|' || ph_b, domain || '|' || ph_a FROM ver),
-               |reach(id, r) AS (SELECT src, src FROM edges
-               |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
-               |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-               |mem AS (SELECT dp.domain, dp.ph, dp.para, cc.cluster_id
-               |  FROM dp JOIN cc ON cc.id = dp.domain || '|' || dp.ph),
+      Some(("WITH RECURSIVE " + fuzzyCteSql + """,
                |pc AS (SELECT domain, cluster_id, count(*)::BIGINT AS n_variants,
                |    min(para) AS paragraph, min(ph) AS cluster
                |  FROM mem GROUP BY 1, 2),
@@ -3257,6 +3267,46 @@ object PipelineQueries {
                |FROM pc JOIN rc USING (domain, cluster_id)
                |WHERE rc.n_docs >= 2 AND pc.n_variants >= 2""").stripMargin),
       (s, dir) => DomainStats.fuzzyTemplateCatalog(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", minDocs = 2, grain = 16, shingleK = 1,
+        numHashes = 64, bands = 16, jacNum = 4, jacDen = 5)),
+
+    // ---- per-domain boilerplate RATE, exact vs fuzzy-extra
+    //      (DomainStats.domainFuzzyBoilerplate): how much of each
+    //      domain's token mass sits in exact templates (>= 2 distinct
+    //      docs) and how much MORE the fuzzy clusters surface (member
+    //      occurrences not already exact templates). The domain-grain
+    //      curation signal the template family exists for; shares the
+    //      fuzzy CTE chain with q313 so the operating point cannot
+    //      drift between the two oracles.
+    GraftQuery("q314_domain_fuzzy_boilerplate",
+      Some(("WITH RECURSIVE " + fuzzyCteSql + """,
+               |qual AS (SELECT m.domain, m.cluster_id FROM mem m
+               |  JOIN pd ON pd.domain = m.domain AND md5(pd.para) = m.ph
+               |  GROUP BY 1, 2
+               |  HAVING count(DISTINCT pd.doc_id) >= 2
+               |     AND count(DISTINCT m.ph) >= 2),
+               |fk AS (SELECT DISTINCT m.domain, m.ph FROM mem m
+               |  JOIN qual q USING (domain, cluster_id)),
+               |ex AS (SELECT domain, md5(para) AS ph FROM pd
+               |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2),
+               |agg AS (SELECT pd.domain,
+               |    count(*)::BIGINT AS n_paras,
+               |    sum(pd.n_tok)::BIGINT AS n_tokens,
+               |    sum(CASE WHEN ex.ph IS NOT NULL THEN pd.n_tok
+               |        ELSE 0 END)::BIGINT AS exact_tpl_tokens,
+               |    sum(CASE WHEN ex.ph IS NULL AND fk.ph IS NOT NULL
+               |        THEN pd.n_tok ELSE 0 END)::BIGINT AS fuzzy_extra_tokens
+               |  FROM pd
+               |  LEFT JOIN ex ON ex.domain = pd.domain AND ex.ph = md5(pd.para)
+               |  LEFT JOIN fk ON fk.domain = pd.domain AND fk.ph = md5(pd.para)
+               |  GROUP BY 1)
+               |SELECT domain, n_paras, n_tokens, exact_tpl_tokens,
+               |  fuzzy_extra_tokens,
+               |  CAST(floor((exact_tpl_tokens + fuzzy_extra_tokens) * 10000.0
+               |    / n_tokens) AS BIGINT) AS boiler_bp
+               |FROM agg""").stripMargin),
+      (s, dir) => DomainStats.domainFuzzyBoilerplate(
         t(s, dir, "documents").withColumn("url", syntheticUrl),
         "url", "doc_id", "text", minDocs = 2, grain = 16, shingleK = 1,
         numHashes = 64, bands = 16, jacNum = 4, jacDen = 5))

@@ -2148,6 +2148,36 @@ class PipelineSpec extends SparkSpec {
     assert(nOcc == 6L, s"occs: $nOcc")     // p6 contributes two occurrences
     // far (p4) below threshold and b.net's lone verbatim copy: unreported
     assert(!got.keySet.exists(_._1 == "b.net"), "cross-domain merged")
+
+    // domainFuzzyBoilerplate on the same corpus: exact templates (>= 2
+    // distinct docs per (domain, para)) vs the ADDITIONAL mass the fuzzy
+    // clusters surface (member occurrences not already exact)
+    val exactKeys = paras.groupBy(r => (r._1, r._2))
+      .filter(_._2.map(_._3).distinct.size >= 2).keySet
+    val fuzzyKeys = comps.values.filter { vs =>
+      vs.size >= 2 &&
+      paras.filter(p => vs.contains((p._1, p._2))).map(_._3).distinct.size >= 2
+    }.flatten.toSet
+    val wantRate = paras.groupBy(_._1).map { case (d, rs) =>
+      val tok = (p: (String, String, Long)) => p._2.split(" ").length.toLong
+      val ex = rs.filter(p => exactKeys((p._1, p._2))).map(tok).sum
+      val fz = rs.filter(p => !exactKeys((p._1, p._2)) &&
+        fuzzyKeys((p._1, p._2))).map(tok).sum
+      val tot = rs.map(tok).sum
+      d -> ((rs.size.toLong, tot, ex, fz,
+        math.floor((ex + fz) * 10000.0 / tot).toLong))
+    }
+    val gotRate = DomainStats.domainFuzzyBoilerplate(docs, "url", "doc_id",
+        "text", minDocs = 2, grain = g, shingleK = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(gotRate == wantRate, s"got=$gotRate want=$wantRate")
+    // pin the split concretely: v1 (3 docs) is EXACT mass 36; v2/v3/v2+bt
+    // are fuzzy-extra 37; far is neither; b.net's lone copy scores 0
+    assert(gotRate("a.com") == ((7L, 85L, 36L, 37L, 8588L)),
+      gotRate("a.com").toString)
+    assert(gotRate("b.net")._5 == 0L, gotRate("b.net").toString)
   }
 
   test("PSL registered domain: exact, wildcard, exception, fallback") {
