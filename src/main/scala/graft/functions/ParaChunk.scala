@@ -36,6 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class CdcParagraphs(child: Expression, grain: Int)
     extends UnaryExpression {
   require(grain >= 2, "grain must be >= 2 (1 would cut after every token)")
+  // the boundary rule reads ONE md5 byte, so grain > 256 would silently
+  // behave as grain 256 (byte % 512 == 0 iff byte == 0) — in the kernel
+  // AND the SQL oracle twin, so no gate could catch the degradation
+  require(grain <= 256, "grain must be <= 256 (boundary rule reads one md5 byte)")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "cdc_paragraphs"

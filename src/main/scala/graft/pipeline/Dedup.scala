@@ -395,6 +395,16 @@ object Dedup {
       labels = next
       it += 1
     }
+    // fail LOUDLY on non-convergence: an unconverged exit would silently
+    // report one component as several (wrong n_variants/n_docs in every
+    // cluster rollup, and a divergence from the oracles' exact recursive
+    // closures). Post-contraction diameters are tiny in practice — a
+    // graph that genuinely needs more rounds should raise maxIter, not
+    // ship a truncated labeling.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter iterations " +
+      "(component diameter exceeds the label-propagation budget); " +
+      "raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -285,7 +285,7 @@ object DomainStats {
       numHashes: Int = 64, bands: Int = 16,
       jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
     val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
-    val keys = occKeys(occ, idCol)
+    val keys = occKeys(docs, urlCol, idCol, textCol, grain)
     val members =
       fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
         jacNum, jacDen)
@@ -301,16 +301,25 @@ object DomainStats {
         col("n_occurrences"), col("template_tokens"))
   }
 
-  /** TEXT-FREE occurrence keys (id, __domain, ph, n_tok). UNPINNED —
+  /** TEXT-FREE occurrence keys (id, __domain, ph, n_tok) — the shared
+    * [[Dedup.paragraphRows]] chunk/hash/token-count contract (one
+    * definition; a tokenization tweak there reaches the fuzzy family
+    * too), with the registered domain carried and the repartition-first
+    * parallelization [[paraOcc]] documents. UNPINNED —
     * [[fuzzyTemplateCatalog]] reads occurrences once downstream of the
     * clustering core, so re-deriving from the scan is cheaper than a
     * checkpoint pass; [[domainFuzzyBoilerplate]] reads them three times
     * (exact-template agg, reach rollup, final domain agg) and pins its
     * copy with localCheckpoint (measured: the pin costs q313 +2.7 s but
     * saves q314 ~9 s of repeated chunk explodes). */
-  private def occKeys(occ: DataFrame, idCol: String): DataFrame =
-    occ.select(col(idCol), col("__domain"), col("ph"),
-      size(split(col("__para"), " ")).cast("long").as("n_tok"))
+  private def occKeys(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      grain: Int): DataFrame =
+    Dedup.paragraphRows(
+        docs.repartition(col(idCol))
+          .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
+        idCol, textCol, grain, carry = Seq("__domain"))
+      .select(col(idCol), col("__domain"), col("ph"), col("n_tok"))
 
   /** Paragraph occurrences with registered domain: one row per CDC chunk,
     * (id, __domain, ph, __para). Chunking, domain extraction and hashing
@@ -330,7 +339,7 @@ object DomainStats {
 
   /** Within-domain fuzzy-cluster membership: one row per distinct
     * (domain, ph) that belongs to some near-dup component, with its
-    * representative text, token count and internal cluster_id (see
+    * representative text and internal cluster_id (see
     * [[fuzzyTemplateCatalog]] for the full semantics and operating-point
     * discussion; this is its clustering core, shared with
     * [[domainFuzzyBoilerplate]]). */
@@ -345,7 +354,6 @@ object DomainStats {
       .agg(min(col("__para")).as("para"))
       .withColumn("sh",
         array_distinct(TextAnalysis.shingles(col("para"), shingleK)))
-      .withColumn("n_tok", size(split(col("para"), " ")).cast("long"))
       .withColumn("bandkeys", TextAnalysis.minhashBands(
         TextAnalysis.minhashSignature(col("sh"), numHashes),
         bands, numHashes / bands))
@@ -384,8 +392,7 @@ object DomainStats {
     val cc = Dedup.connectedComponents(edges)
     dp.withColumn("id", xxhash64(col("__domain"), col("ph")))
       .join(cc, Seq("id"))
-      .select(col("__domain"), col("ph"), col("para"), col("n_tok"),
-        col("cluster_id"))
+      .select(col("__domain"), col("ph"), col("para"), col("cluster_id"))
   }
 
   /** Per-cluster occurrence rollup over the pinned text-free keys:
@@ -418,11 +425,11 @@ object DomainStats {
     * two LEFT joins mark occurrences, ONE domain agg rolls up. */
   def domainFuzzyBoilerplate(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
-      minDocs: Int = 2, grain: Int = 16, shingleK: Int = 1,
+      minDocs: Int = 3, grain: Int = 16, shingleK: Int = 1,
       numHashes: Int = 64, bands: Int = 16,
       jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
     val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
-    val keys = occKeys(occ, idCol).localCheckpoint()
+    val keys = occKeys(docs, urlCol, idCol, textCol, grain).localCheckpoint()
     val exactTpl = keys.groupBy("__domain", "ph")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -430,12 +437,14 @@ object DomainStats {
     val members =
       fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
         jacNum, jacDen)
-    val qualified = members
+    // qualification needs only doc reach and variant count — ONE
+    // keys-to-members join and agg (not the full reach rollup)
+    val qualified = keys
+      .join(members.select(col("__domain"), col("ph"), col("cluster_id")),
+        Seq("__domain", "ph"))
       .groupBy(col("__domain"), col("cluster_id"))
-      .agg(count(lit(1)).as("__nv"))
-      .join(fuzzyReach(keys, members, idCol)
-        .select(col("__domain"), col("cluster_id"), col("n_docs")),
-        Seq("__domain", "cluster_id"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        countDistinct(col("ph")).as("__nv"))
       .filter(col("n_docs") >= minDocs && col("__nv") >= 2)
       .select("__domain", "cluster_id")
     val fuzzyKeys = members.join(qualified, Seq("__domain", "cluster_id"))
