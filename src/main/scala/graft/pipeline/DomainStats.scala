@@ -463,4 +463,53 @@ object DomainStats {
         floor((col("exact_tpl_tokens") + col("fuzzy_extra_tokens")) *
           10000.0 / col("n_tokens")).cast("long"))
   }
+
+  /** Persistable template index: per-(registered domain, paragraph hash)
+    * DISTINCT-document counts over a corpus — the compact state the
+    * incremental strip joins against (the [[Incremental]] family's
+    * pattern at paragraph grain: O(distinct paragraphs) hashes and
+    * counters, never text; append each accepted batch's counts to it). */
+  def templateIndex(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      grain: Int = 8): DataFrame =
+    occKeys(docs, urlCol, idCol, textCol, grain)
+      .groupBy(col("__domain").as("domain"), col("ph"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+
+  /** INCREMENTAL within-domain template strip: rebuild a new ingest
+    * batch with its domains' template paragraphs excised, where a
+    * template qualifies on the COMBINED corpus + batch reach — the
+    * corpus contributes only its [[templateIndex]] counts (batch ids
+    * must be fresh, so corpus + batch distinct-doc counts ADD; corpus
+    * text is never re-read — per-batch cost is O(batch + index), the
+    * [[Incremental]] contract). A paragraph two corpus pages already
+    * share becomes a template the moment a third page lands in the
+    * batch, and is stripped from that very batch.
+    *
+    * Scale shape: batch paragraph rows are the shared
+    * [[Dedup.paragraphRows]] contract (unpinned — a batch is small by
+    * nature, re-deriving its chunk explode for the second consumer is
+    * cheaper than a checkpoint pass); the index join is hash-keyed LEFT
+    * from the batch's (domain, ph) counts (corpus-only templates can
+    * never strip a batch paragraph, so the index's long tail never
+    * enters the plan); the rebuild is [[Dedup.rebuildWithoutIndices]]. */
+  def templateStripIncremental(
+      index: DataFrame, batch: DataFrame,
+      urlCol: String, idCol: String, textCol: String,
+      minDocs: Int = 3, grain: Int = 8): DataFrame = {
+    val bRows = Dedup.paragraphRows(
+      batch.repartition(col(idCol))
+        .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
+      idCol, textCol, grain, carry = Seq("__domain"))
+    val tpl = bRows.groupBy("__domain", "ph")
+      .agg(countDistinct(col(idCol)).as("__bn"))
+      .join(index.select(col("domain").as("__domain"), col("ph"),
+        col("n_docs")), Seq("__domain", "ph"), "left")
+      .filter(col("__bn") + coalesce(col("n_docs"), lit(0L)) >= minDocs)
+      .select("__domain", "ph")
+    val dropIdx = bRows.join(tpl, Seq("__domain", "ph"))
+      .groupBy(idCol)
+      .agg(collect_list("para_idx").as("__drop"))
+    Dedup.rebuildWithoutIndices(batch, idCol, textCol, grain, dropIdx)
+  }
 }

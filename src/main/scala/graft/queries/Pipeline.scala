@@ -149,9 +149,9 @@ object PipelineQueries {
     * with single spaces in position order. ONE definition so a grain or
     * boundary change cannot drift between the two oracles and the
     * engine expression. */
-  private def paraCteSqlOf(grain: Int) =
+  private def paraCteSqlOf(grain: Int, from: String = "documents") =
     s"""t AS (SELECT doc_id, source,
-       |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |    string_split_regex(trim(text), '\\s+') AS toks FROM $from),
        |tok AS (SELECT doc_id, source, i.i AS pos, toks[i.i] AS tok
        |  FROM t CROSS JOIN LATERAL
        |    (SELECT unnest(generate_series(1, len(toks))) AS i) i),
@@ -3309,7 +3309,63 @@ object PipelineQueries {
       (s, dir) => DomainStats.domainFuzzyBoilerplate(
         t(s, dir, "documents").withColumn("url", syntheticUrl),
         "url", "doc_id", "text", minDocs = 2, grain = 16, shingleK = 1,
-        numHashes = 64, bands = 16, jacNum = 4, jacDen = 5))
+        numHashes = 64, bands = 16, jacNum = 4, jacDen = 5)),
+
+    // ---- INCREMENTAL template strip (DomainStats.templateIndex +
+    //      templateStripIncremental): a new ingest batch (40 replayed
+    //      pages with fresh ids + 20 lightly-edited replays) is stripped
+    //      against templates qualifying on COMBINED corpus-index + batch
+    //      reach — corpus text never re-read, per-batch cost O(batch +
+    //      index). Batch ids shift by +10000/+20000 (both ≡ 0 mod 5, so
+    //      syntheticUrl lands the replays on the SAME registered domains
+    //      — what makes the incremental strip bite). Oracle replays the
+    //      union corpus+batch (ids disjoint ⇒ union distinct-doc counts
+    //      == index + batch sums) through the shared paragraph CTE.
+    GraftQuery("q315_template_strip_incremental",
+      Some((s"""WITH bdocs AS (
+               |  SELECT doc_id + 100000000 AS doc_id, source, lang, text
+               |  FROM documents WHERE doc_id < 40
+               |  UNION ALL
+               |  SELECT doc_id + 200000000, source, lang, text || ' zz9'
+               |  FROM documents WHERE doc_id >= 40 AND doc_id < 60),
+               |alld AS (SELECT doc_id, source, lang, text, 0 AS is_batch
+               |    FROM documents
+               |  UNION ALL SELECT doc_id, source, lang, text, 1 FROM bdocs),
+               |u AS (SELECT doc_id, $urlBuildSql AS url FROM alld),
+               |c0 AS ($urlCanonSql),
+               |c AS ($urlAssembleSql),
+               |""" + paraCteSqlOf(8, from = "alld") + """,
+               |pd AS (SELECT p.doc_id, a.is_batch, p.para_idx, p.para,
+               |    c.domain
+               |  FROM paras p JOIN c USING (doc_id)
+               |  JOIN alld a USING (doc_id)),
+               |tpl AS (SELECT domain, md5(para) AS ph FROM pd
+               |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3)
+               |SELECT doc_id,
+               |  coalesce(string_agg(CASE WHEN tpl.ph IS NULL THEN para END,
+               |    ' ' ORDER BY para_idx), '') AS clean_text,
+               |  count(*)::BIGINT AS n_paras,
+               |  sum(CASE WHEN tpl.ph IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               |    AS n_dropped
+               |FROM pd LEFT JOIN tpl
+               |  ON tpl.domain = pd.domain AND tpl.ph = md5(pd.para)
+               |WHERE pd.is_batch = 1
+               |GROUP BY 1""").stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val index = DomainStats.templateIndex(
+          docs.withColumn("url", syntheticUrl),
+          "url", "doc_id", "text", grain = 8)
+        val batch = docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("source"),
+            col("lang"), col("text"))
+          .unionAll(docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+            .select((col("doc_id") + 200000000L).as("doc_id"), col("source"),
+              col("lang"), concat(col("text"), lit(" zz9")).as("text")))
+          .withColumn("url", syntheticUrl)
+        DomainStats.templateStripIncremental(
+          index, batch, "url", "doc_id", "text", minDocs = 3, grain = 8)
+      })
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

@@ -2075,6 +2075,64 @@ class PipelineSpec extends SparkSpec {
     assert(gotStrip(4L)._3 == 0L, s"b.net stripped: ${gotStrip(4L)}")
   }
 
+  test("incremental template strip: combined corpus+batch reach, brute-force") {
+    import spark.implicits._
+    val g = 4
+    val chunks = cdcChunks(g) _
+    val sent = cdcSent(31337)
+    val footer = sent(20) // in all 3 corpus docs -> template before the batch
+    val promo = sent(16)  // in 2 corpus docs -> tips over WITH the batch copy
+    val corpus = Seq(
+      (1L, "https://a.com/c1", promo + " " + footer + " " + sent(6)),
+      (2L, "https://a.com/c2", promo + " " + sent(8) + " " + footer),
+      (3L, "https://a.com/c3", footer))
+    val batch = Seq(
+      (101L, "https://a.com/b1", promo + " " + sent(5)), // promo now 2+1=3
+      (102L, "https://a.com/b2", footer + " " + sent(7)),
+      (103L, "https://b.net/b1", promo)) // b.net count 1: untouched
+    val corpusDf = corpus.toDF("doc_id", "url", "text")
+    val batchDf = batch.toDF("doc_id", "url", "text")
+    def dom(u: String) = u.stripPrefix("https://").takeWhile(_ != '/')
+    // brute force: per-(domain, chunk) distinct-doc counts over
+    // corpus UNION batch (ids disjoint), template at >= 3, strip batch
+    val cParas = corpus.flatMap { case (id, u, t) =>
+      chunks(t).map(p => (dom(u), p, id)) }
+    val bParas = batch.flatMap { case (id, u, t) =>
+      chunks(t).zipWithIndex.map { case (p, i) => (dom(u), p, id, i) } }
+    val combined = (cParas.map(r => (r._1, r._2) -> r._3) ++
+      bParas.map(r => (r._1, r._2) -> r._3))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+    val tpl = combined.filter(_._2 >= 3).keySet
+    val want = batch.map { case (id, u, t) =>
+      val cs = chunks(t)
+      val kept = cs.filter(p => !tpl((dom(u), p)))
+      id -> ((kept.mkString(" "), cs.size.toLong,
+        (cs.size - kept.size).toLong))
+    }.toMap
+    val index = DomainStats.templateIndex(corpusDf, "url", "doc_id", "text", g)
+    val got = DomainStats.templateStripIncremental(
+        index, batchDf, "url", "doc_id", "text", minDocs = 3, grain = g)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // the incremental tipping case: promo had only 2 corpus copies — the
+    // batch copy itself pushes it to 3, and it strips from THAT batch doc
+    assert(got(101L)._3 >= 1L, s"tipping paragraph survived: ${got(101L)}")
+    // the pre-existing corpus template strips from its batch occurrence
+    assert(got(102L)._3 >= 1L, s"corpus template survived: ${got(102L)}")
+    // cross-domain: b.net's lone promo copy is NOT stripped by a.com counts
+    assert(got(103L)._3 == 0L, s"cross-domain stripped: ${got(103L)}")
+    // index is compact state: (domain, ph, n_docs) rows, counts by brute force
+    val idxGot = index.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val idxWant = cParas.groupBy(r => (r._1, r._2))
+      .map { case ((d, p), rs) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (d, md.digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString) ->
+          rs.map(_._3).distinct.size.toLong }
+    assert(idxGot == idxWant, s"index mismatch: got=$idxGot")
+  }
+
   test("fuzzy template catalog: near-dup variants cluster, brute-force") {
     import spark.implicits._
     val g = 16
