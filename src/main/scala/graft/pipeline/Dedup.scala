@@ -672,14 +672,12 @@ object Dedup {
   def paragraphDedupClean(
       docs: DataFrame, idCol: String, textCol: String,
       grain: Int = 8): DataFrame = {
-    val dropIdx = paragraphRows(docs, idCol, textCol, grain)
+    val dropped = paragraphRows(docs, idCol, textCol, grain)
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("ph").orderBy(col(idCol), col("para_idx"))))
       .filter(col("__rk") > 1)
-      .groupBy(idCol)
-      .agg(collect_list("para_idx").as("__drop"))
-    rebuildWithoutIndices(docs, idCol, textCol, grain, dropIdx)
+    rebuildDropping(docs, idCol, textCol, grain, dropped)
   }
 
   /** Shared rebuild kernel for the paragraph family ([[paragraphDedupClean]]
@@ -690,6 +688,18 @@ object Dedup {
     * mirrors the oracle CTE, whose token unnest yields no rows for NULL
     * (a NULL doc surviving the left join would otherwise emit a nonsense
     * `size(NULL)` row the oracle doesn't have). */
+  /** The shared strip tail: collapse dropped-occurrence rows (`idCol`,
+    * `para_idx`, one row per paragraph position to excise) into per-doc
+    * drop lists and rebuild — the one definition of the drop-index shape
+    * for all three strip operators (dedup-clean, template strip,
+    * incremental template strip). */
+  private[pipeline] def rebuildDropping(
+      docs: DataFrame, idCol: String, textCol: String, grain: Int,
+      droppedRows: DataFrame): DataFrame =
+    rebuildWithoutIndices(docs, idCol, textCol, grain,
+      droppedRows.groupBy(idCol)
+        .agg(collect_list("para_idx").as("__drop")))
+
   private[pipeline] def rebuildWithoutIndices(
       docs: DataFrame, idCol: String, textCol: String, grain: Int,
       dropIdx: DataFrame): DataFrame =

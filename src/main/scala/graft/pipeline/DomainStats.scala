@@ -247,10 +247,8 @@ object DomainStats {
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("__domain", "ph")
-    val dropIdx = rows.join(templateKeys, Seq("__domain", "ph"))
-      .groupBy(idCol)
-      .agg(collect_list("para_idx").as("__drop"))
-    Dedup.rebuildWithoutIndices(docs, idCol, textCol, grain, dropIdx)
+    Dedup.rebuildDropping(docs, idCol, textCol, grain,
+      rows.join(templateKeys, Seq("__domain", "ph")))
   }
 
   /** FUZZY template catalog — the near-dup completion of
@@ -486,13 +484,22 @@ object DomainStats {
     * share becomes a template the moment a third page lands in the
     * batch, and is stripped from that very batch.
     *
+    * The index MUST have been built with the same `grain` and the same
+    * URL canonicalization as this call: a mismatched grain makes batch
+    * hashes miss every index key SILENTLY (corpus-backed templates pass
+    * through unstripped; no gate can see it, because both sides are
+    * self-consistent). The index may carry duplicate (domain, ph) rows —
+    * the documented append-style maintenance — so counts are re-summed
+    * here before the join.
+    *
     * Scale shape: batch paragraph rows are the shared
     * [[Dedup.paragraphRows]] contract (unpinned — a batch is small by
     * nature, re-deriving its chunk explode for the second consumer is
     * cheaper than a checkpoint pass); the index join is hash-keyed LEFT
     * from the batch's (domain, ph) counts (corpus-only templates can
     * never strip a batch paragraph, so the index's long tail never
-    * enters the plan); the rebuild is [[Dedup.rebuildWithoutIndices]]. */
+    * enters the plan); the rebuild is the shared
+    * [[Dedup.rebuildDropping]] tail. */
   def templateStripIncremental(
       index: DataFrame, batch: DataFrame,
       urlCol: String, idCol: String, textCol: String,
@@ -501,15 +508,19 @@ object DomainStats {
       batch.repartition(col(idCol))
         .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
       idCol, textCol, grain, carry = Seq("__domain"))
+    // re-aggregate: an append-maintained index holds one row per
+    // generation for a recurring (domain, ph); a plain join would
+    // evaluate the reach filter per row (missed templates) and duplicate
+    // tpl keys (double-collected drop indices)
+    val merged = index
+      .groupBy(col("domain").as("__domain"), col("ph"))
+      .agg(sum(col("n_docs")).as("n_docs"))
     val tpl = bRows.groupBy("__domain", "ph")
       .agg(countDistinct(col(idCol)).as("__bn"))
-      .join(index.select(col("domain").as("__domain"), col("ph"),
-        col("n_docs")), Seq("__domain", "ph"), "left")
+      .join(merged, Seq("__domain", "ph"), "left")
       .filter(col("__bn") + coalesce(col("n_docs"), lit(0L)) >= minDocs)
       .select("__domain", "ph")
-    val dropIdx = bRows.join(tpl, Seq("__domain", "ph"))
-      .groupBy(idCol)
-      .agg(collect_list("para_idx").as("__drop"))
-    Dedup.rebuildWithoutIndices(batch, idCol, textCol, grain, dropIdx)
+    Dedup.rebuildDropping(batch, idCol, textCol, grain,
+      bRows.join(tpl, Seq("__domain", "ph")))
   }
 }

@@ -3316,7 +3316,11 @@ object PipelineQueries {
     //      pages with fresh ids + 20 lightly-edited replays) is stripped
     //      against templates qualifying on COMBINED corpus-index + batch
     //      reach — corpus text never re-read, per-batch cost O(batch +
-    //      index). Batch ids shift by +10000/+20000 (both ≡ 0 mod 5, so
+    //      index). Batch ids shift by +1e8/+2e8 — scale-proof
+    //      disjointness from corpus ids (the first wrapper's +10000
+    //      collided with REAL sf1 doc_ids and the sf1 gate caught the
+    //      double-count; ids must be fresh for counts to add). Both
+    //      shifts are ≡ 0 mod 5, so
     //      syntheticUrl lands the replays on the SAME registered domains
     //      — what makes the incremental strip bite). Oracle replays the
     //      union corpus+batch (ids disjoint ⇒ union distinct-doc counts

@@ -2131,6 +2131,18 @@ class PipelineSpec extends SparkSpec {
         (d, md.digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString) ->
           rs.map(_._3).distinct.size.toLong }
     assert(idxGot == idxWant, s"index mismatch: got=$idxGot")
+    // append-style maintenance: an index built as two appended
+    // generations (duplicate (domain, ph) rows whose counts ADD) must
+    // strip identically to the merged one — the documented contract
+    val appendIdx = DomainStats.templateIndex(
+        corpusDf.filter($"doc_id" <= 2), "url", "doc_id", "text", g)
+      .unionAll(DomainStats.templateIndex(
+        corpusDf.filter($"doc_id" === 3), "url", "doc_id", "text", g))
+    val gotAppend = DomainStats.templateStripIncremental(
+        appendIdx, batchDf, "url", "doc_id", "text", minDocs = 3, grain = g)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotAppend == want, s"append-index drift: got=$gotAppend")
   }
 
   test("fuzzy template catalog: near-dup variants cluster, brute-force") {
