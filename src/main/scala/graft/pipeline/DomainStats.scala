@@ -523,4 +523,53 @@ object DomainStats {
     Dedup.rebuildDropping(batch, idCol, textCol, grain,
       bRows.join(tpl, Seq("__domain", "ph")))
   }
+
+  /** FUZZY template strip — the actionable counterpart of
+    * [[fuzzyTemplateCatalog]] (catalogs are the audit; the strip is what
+    * a pipeline runs): rebuild every document with ALL occurrences of
+    * BOTH exact templates (>= `minDocs` distinct docs of the domain) AND
+    * fuzzy-cluster members (qualifying near-dup variant clusters, the
+    * q314 rule) excised. A footer whose year drifts per page disappears
+    * corpus-wide even though no two copies share a hash; drop-all is the
+    * boilerplate rule ([[templateStrip]]'s semantics), cross-domain
+    * syndication stays dedup's job.
+    *
+    * Scale shape: the clustering core is [[fuzzyClusterMembers]]; the
+    * text-free paragraph rows are pinned (THREE consumers — exact agg,
+    * cluster qualification, dropped-occurrence join — the §8.16 rule);
+    * the union of exact + fuzzy keys is hash-cardinality; the rebuild is
+    * the shared [[Dedup.rebuildDropping]] tail, so document text never
+    * shuffles — only drop-index lists travel. */
+  def fuzzyTemplateStrip(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDocs: Int = 3, grain: Int = 16, shingleK: Int = 1,
+      numHashes: Int = 64, bands: Int = 16,
+      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+    val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
+    val rows = Dedup.paragraphRows(
+      docs.repartition(col(idCol))
+        .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
+      idCol, textCol, grain, carry = Seq("__domain"))
+      .localCheckpoint()
+    val exactKeys = rows.groupBy("__domain", "ph")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__domain", "ph")
+    val members =
+      fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
+        jacNum, jacDen)
+    val qualified = rows
+      .join(members.select(col("__domain"), col("ph"), col("cluster_id")),
+        Seq("__domain", "ph"))
+      .groupBy(col("__domain"), col("cluster_id"))
+      .agg(countDistinct(col(idCol)).as("__ndc"),
+        countDistinct(col("ph")).as("__nv"))
+      .filter(col("__ndc") >= minDocs && col("__nv") >= 2)
+      .select("__domain", "cluster_id")
+    val fuzzyKeys = members.join(qualified, Seq("__domain", "cluster_id"))
+      .select("__domain", "ph")
+    val allKeys = exactKeys.union(fuzzyKeys).distinct()
+    Dedup.rebuildDropping(docs, idCol, textCol, grain,
+      rows.join(allKeys, Seq("__domain", "ph")))
+  }
 }

@@ -178,7 +178,7 @@ object PipelineQueries {
         |c0 AS ($urlCanonSql),
         |c AS ($urlAssembleSql),
         |""" + paraCteSqlOf(16) + """,
-        |pd AS (SELECT p.doc_id, p.para, p.n_tok, c.domain
+        |pd AS (SELECT p.doc_id, p.para_idx, p.para, p.n_tok, c.domain
         |  FROM paras p JOIN c USING (doc_id)),
         |dp AS (SELECT domain, md5(para) AS ph, min(para) AS para
         |  FROM pd GROUP BY 1, 2),
@@ -3369,7 +3369,41 @@ object PipelineQueries {
           .withColumn("url", syntheticUrl)
         DomainStats.templateStripIncremental(
           index, batch, "url", "doc_id", "text", minDocs = 3, grain = 8)
-      })
+      }),
+
+    // ---- FUZZY template strip (DomainStats.fuzzyTemplateStrip): the
+    //      actionable counterpart of the q313 catalog — rebuild every doc
+    //      with ALL occurrences of exact templates AND qualifying fuzzy
+    //      cluster members excised (drop-all boilerplate rule; footer
+    //      variants with drifting years disappear corpus-wide though no
+    //      two copies share a hash). Shares the fuzzy CTE chain with
+    //      q313/q314; strip tail is the q312/q315 shape.
+    GraftQuery("q316_fuzzy_template_strip",
+      Some(("WITH RECURSIVE " + fuzzyCteSql + """,
+               |qual AS (SELECT m.domain, m.cluster_id FROM mem m
+               |  JOIN pd ON pd.domain = m.domain AND md5(pd.para) = m.ph
+               |  GROUP BY 1, 2
+               |  HAVING count(DISTINCT pd.doc_id) >= 2
+               |     AND count(DISTINCT m.ph) >= 2),
+               |fk AS (SELECT DISTINCT m.domain, m.ph FROM mem m
+               |  JOIN qual q USING (domain, cluster_id)),
+               |ex AS (SELECT domain, md5(para) AS ph FROM pd
+               |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2),
+               |allk AS (SELECT domain, ph FROM ex
+               |  UNION SELECT domain, ph FROM fk)
+               |SELECT doc_id,
+               |  coalesce(string_agg(CASE WHEN ak.ph IS NULL THEN para END,
+               |    ' ' ORDER BY para_idx), '') AS clean_text,
+               |  count(*)::BIGINT AS n_paras,
+               |  sum(CASE WHEN ak.ph IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               |    AS n_dropped
+               |FROM pd LEFT JOIN allk ak
+               |  ON ak.domain = pd.domain AND ak.ph = md5(pd.para)
+               |GROUP BY 1""").stripMargin),
+      (s, dir) => DomainStats.fuzzyTemplateStrip(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", minDocs = 2, grain = 16, shingleK = 1,
+        numHashes = 64, bands = 16, jacNum = 4, jacDen = 5))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

@@ -2248,6 +2248,26 @@ class PipelineSpec extends SparkSpec {
     assert(gotRate("a.com") == ((7L, 85L, 36L, 37L, 8588L)),
       gotRate("a.com").toString)
     assert(gotRate("b.net")._5 == 0L, gotRate("b.net").toString)
+
+    // fuzzyTemplateStrip: drop ALL occurrences of exact ∪ fuzzy keys
+    val allKeys = exactKeys ++ fuzzyKeys
+    val wantStrip = rows.map { case (id, u, t) =>
+      val cs = cdcChunks(g)(t)
+      val kept = cs.filter(p => !allKeys((dom(u), p)))
+      id -> ((kept.mkString(" "), cs.size.toLong,
+        (cs.size - kept.size).toLong))
+    }.toMap
+    val gotStrip = DomainStats.fuzzyTemplateStrip(docs, "url", "doc_id",
+        "text", minDocs = 2, grain = g, shingleK = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotStrip == wantStrip, s"got=$gotStrip want=$wantStrip")
+    // v2 is fuzzy-ONLY (1-doc exact count) and must still be stripped —
+    // the capability exact template stripping lacks
+    assert(gotStrip(2L)._3 == 1L, gotStrip(2L).toString)
+    // far stays; b.net's lone copy stays (cross-domain isolation)
+    assert(gotStrip(4L)._3 == 0L, gotStrip(4L).toString)
+    assert(gotStrip(5L)._3 == 0L, gotStrip(5L).toString)
   }
 
   test("PSL registered domain: exact, wildcard, exception, fallback") {
