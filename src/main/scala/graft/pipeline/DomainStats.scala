@@ -317,7 +317,26 @@ object DomainStats {
         docs.repartition(col(idCol))
           .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
         idCol, textCol, grain, carry = Seq("__domain"))
-      .select(col(idCol), col("__domain"), col("ph"), col("n_tok"))
+      .select(col(idCol), col("__domain"), col("ph"), col("n_tok"),
+        col("para_idx"))
+
+  /** The q314/q316 fuzzy-qualification rule — ONE definition: clusters
+    * spanning >= `minDocs` distinct docs with >= 2 variants, returned as
+    * their member (domain, ph) keys. */
+  private def qualifiedFuzzyKeys(
+      keys: DataFrame, members: DataFrame, idCol: String,
+      minDocs: Int): DataFrame = {
+    val qualified = keys
+      .join(members.select(col("__domain"), col("ph"), col("cluster_id")),
+        Seq("__domain", "ph"))
+      .groupBy(col("__domain"), col("cluster_id"))
+      .agg(countDistinct(col(idCol)).as("__ndc"),
+        countDistinct(col("ph")).as("__nv"))
+      .filter(col("__ndc") >= minDocs && col("__nv") >= 2)
+      .select("__domain", "cluster_id")
+    members.join(qualified, Seq("__domain", "cluster_id"))
+      .select("__domain", "ph")
+  }
 
   /** Paragraph occurrences with registered domain: one row per CDC chunk,
     * (id, __domain, ph, __para). Chunking, domain extraction and hashing
@@ -435,18 +454,8 @@ object DomainStats {
     val members =
       fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
         jacNum, jacDen)
-    // qualification needs only doc reach and variant count — ONE
-    // keys-to-members join and agg (not the full reach rollup)
-    val qualified = keys
-      .join(members.select(col("__domain"), col("ph"), col("cluster_id")),
-        Seq("__domain", "ph"))
-      .groupBy(col("__domain"), col("cluster_id"))
-      .agg(countDistinct(col(idCol)).as("n_docs"),
-        countDistinct(col("ph")).as("__nv"))
-      .filter(col("n_docs") >= minDocs && col("__nv") >= 2)
-      .select("__domain", "cluster_id")
-    val fuzzyKeys = members.join(qualified, Seq("__domain", "cluster_id"))
-      .select(col("__domain"), col("ph"), lit(1L).as("__fz"))
+    val fuzzyKeys = qualifiedFuzzyKeys(keys, members, idCol, minDocs)
+      .withColumn("__fz", lit(1L))
     keys
       .join(exactTpl, Seq("__domain", "ph"), "left")
       .join(fuzzyKeys, Seq("__domain", "ph"), "left")
@@ -546,11 +555,7 @@ object DomainStats {
       numHashes: Int = 64, bands: Int = 16,
       jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
     val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
-    val rows = Dedup.paragraphRows(
-      docs.repartition(col(idCol))
-        .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
-      idCol, textCol, grain, carry = Seq("__domain"))
-      .localCheckpoint()
+    val rows = occKeys(docs, urlCol, idCol, textCol, grain).localCheckpoint()
     val exactKeys = rows.groupBy("__domain", "ph")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -558,17 +563,9 @@ object DomainStats {
     val members =
       fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
         jacNum, jacDen)
-    val qualified = rows
-      .join(members.select(col("__domain"), col("ph"), col("cluster_id")),
-        Seq("__domain", "ph"))
-      .groupBy(col("__domain"), col("cluster_id"))
-      .agg(countDistinct(col(idCol)).as("__ndc"),
-        countDistinct(col("ph")).as("__nv"))
-      .filter(col("__ndc") >= minDocs && col("__nv") >= 2)
-      .select("__domain", "cluster_id")
-    val fuzzyKeys = members.join(qualified, Seq("__domain", "cluster_id"))
-      .select("__domain", "ph")
-    val allKeys = exactKeys.union(fuzzyKeys).distinct()
+    val allKeys = exactKeys
+      .union(qualifiedFuzzyKeys(rows, members, idCol, minDocs))
+      .distinct()
     Dedup.rebuildDropping(docs, idCol, textCol, grain,
       rows.join(allKeys, Seq("__domain", "ph")))
   }

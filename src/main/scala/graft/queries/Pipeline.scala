@@ -215,6 +215,22 @@ object PipelineQueries {
         |mem AS (SELECT dp.domain, dp.ph, dp.para, cc.cluster_id
         |  FROM dp JOIN cc ON cc.id = dp.domain || '|' || dp.ph)""").stripMargin
 
+  /** The q314/q316 qualification CTEs over [[fuzzyCteSql]]'s `mem`/`pd`:
+    * qualifying fuzzy clusters (`qual`: >= 2 distinct-doc reach AND >= 2
+    * variants — the `qualifiedFuzzyKeys` twin), their member keys (`fk`)
+    * and the exact-template keys (`ex`). ONE definition so the
+    * qualification thresholds cannot drift between the two oracles. */
+  private val fuzzyKeysCteSql =
+    """qual AS (SELECT m.domain, m.cluster_id FROM mem m
+      |  JOIN pd ON pd.domain = m.domain AND md5(pd.para) = m.ph
+      |  GROUP BY 1, 2
+      |  HAVING count(DISTINCT pd.doc_id) >= 2
+      |     AND count(DISTINCT m.ph) >= 2),
+      |fk AS (SELECT DISTINCT m.domain, m.ph FROM mem m
+      |  JOIN qual q USING (domain, cluster_id)),
+      |ex AS (SELECT domain, md5(para) AS ph FROM pd
+      |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2)""".stripMargin
+
   private val jaccPairCteSql =
     """t AS (SELECT doc_id, lang,
       |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
@@ -3280,16 +3296,7 @@ object PipelineQueries {
     //      fuzzy CTE chain with q313 so the operating point cannot
     //      drift between the two oracles.
     GraftQuery("q314_domain_fuzzy_boilerplate",
-      Some(("WITH RECURSIVE " + fuzzyCteSql + """,
-               |qual AS (SELECT m.domain, m.cluster_id FROM mem m
-               |  JOIN pd ON pd.domain = m.domain AND md5(pd.para) = m.ph
-               |  GROUP BY 1, 2
-               |  HAVING count(DISTINCT pd.doc_id) >= 2
-               |     AND count(DISTINCT m.ph) >= 2),
-               |fk AS (SELECT DISTINCT m.domain, m.ph FROM mem m
-               |  JOIN qual q USING (domain, cluster_id)),
-               |ex AS (SELECT domain, md5(para) AS ph FROM pd
-               |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2),
+      Some(("WITH RECURSIVE " + fuzzyCteSql + ",\n" + fuzzyKeysCteSql + """,
                |agg AS (SELECT pd.domain,
                |    count(*)::BIGINT AS n_paras,
                |    sum(pd.n_tok)::BIGINT AS n_tokens,
@@ -3379,16 +3386,7 @@ object PipelineQueries {
     //      two copies share a hash). Shares the fuzzy CTE chain with
     //      q313/q314; strip tail is the q312/q315 shape.
     GraftQuery("q316_fuzzy_template_strip",
-      Some(("WITH RECURSIVE " + fuzzyCteSql + """,
-               |qual AS (SELECT m.domain, m.cluster_id FROM mem m
-               |  JOIN pd ON pd.domain = m.domain AND md5(pd.para) = m.ph
-               |  GROUP BY 1, 2
-               |  HAVING count(DISTINCT pd.doc_id) >= 2
-               |     AND count(DISTINCT m.ph) >= 2),
-               |fk AS (SELECT DISTINCT m.domain, m.ph FROM mem m
-               |  JOIN qual q USING (domain, cluster_id)),
-               |ex AS (SELECT domain, md5(para) AS ph FROM pd
-               |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2),
+      Some(("WITH RECURSIVE " + fuzzyCteSql + ",\n" + fuzzyKeysCteSql + """,
                |allk AS (SELECT domain, ph FROM ex
                |  UNION SELECT domain, ph FROM fk)
                |SELECT doc_id,
