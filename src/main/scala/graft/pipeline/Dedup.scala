@@ -680,14 +680,6 @@ object Dedup {
     rebuildDropping(docs, idCol, textCol, grain, dropped)
   }
 
-  /** Shared rebuild kernel for the paragraph family ([[paragraphDedupClean]]
-    * and `DomainStats.templateStrip`): re-chunk each doc's text MAP-SIDE
-    * and excise the positions listed in `dropIdx` (`(idCol,
-    * __drop: array<long>)`, absent ids mean nothing to drop). Docs with
-    * NULL `textCol` are omitted — no text, nothing to rebuild; this also
-    * mirrors the oracle CTE, whose token unnest yields no rows for NULL
-    * (a NULL doc surviving the left join would otherwise emit a nonsense
-    * `size(NULL)` row the oracle doesn't have). */
   /** The shared strip tail: collapse dropped-occurrence rows (`idCol`,
     * `para_idx`, one row per paragraph position to excise) into per-doc
     * drop lists and rebuild — the one definition of the drop-index shape
@@ -700,6 +692,14 @@ object Dedup {
       droppedRows.groupBy(idCol)
         .agg(collect_list("para_idx").as("__drop")))
 
+  /** Shared rebuild kernel for the paragraph family ([[paragraphDedupClean]]
+    * and `DomainStats.templateStrip`): re-chunk each doc's text MAP-SIDE
+    * and excise the positions listed in `dropIdx` (`(idCol,
+    * __drop: array<long>)`, absent ids mean nothing to drop). Docs with
+    * NULL `textCol` are omitted — no text, nothing to rebuild; this also
+    * mirrors the oracle CTE, whose token unnest yields no rows for NULL
+    * (a NULL doc surviving the left join would otherwise emit a nonsense
+    * `size(NULL)` row the oracle doesn't have). */
   private[pipeline] def rebuildWithoutIndices(
       docs: DataFrame, idCol: String, textCol: String, grain: Int,
       dropIdx: DataFrame): DataFrame =

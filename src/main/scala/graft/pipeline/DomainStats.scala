@@ -299,7 +299,8 @@ object DomainStats {
         col("n_occurrences"), col("template_tokens"))
   }
 
-  /** TEXT-FREE occurrence keys (id, __domain, ph, n_tok) — the shared
+  /** TEXT-FREE occurrence keys (id, __domain, ph, n_tok, para_idx) — the
+    * shared
     * [[Dedup.paragraphRows]] chunk/hash/token-count contract (one
     * definition; a tokenization tweak there reaches the fuzzy family
     * too), with the registered domain carried and the repartition-first
@@ -359,7 +360,19 @@ object DomainStats {
     * representative text and internal cluster_id (see
     * [[fuzzyTemplateCatalog]] for the full semantics and operating-point
     * discussion; this is its clustering core, shared with
-    * [[domainFuzzyBoilerplate]]). */
+    * [[domainFuzzyBoilerplate]]).
+    *
+    * Skew escape hatch (not wired by default): the banded self-join is
+    * quadratic only IN-BUCKET, and buckets are (domain, band, key) — so a
+    * pathological single-domain template mill with millions of distinct
+    * near-identical paragraphs would concentrate one domain's buckets on
+    * a few tasks. The named fallback is the q295 salted two-phase shape
+    * ([[UrlCanon.capDeduped]]'s salt): append a paragraph-hash prefix to
+    * the band key to shard each bucket, take the union of the per-salt
+    * verified edges, and let CC re-merge — exact verification makes the
+    * split lossy only for pairs a salt separates, which a second
+    * rotated-salt pass recovers; the size-ratio prefilter and per-domain
+    * banding keep real corpora far from needing it. */
   private def fuzzyClusterMembers(
       occ: DataFrame, idCol: String, shingleK: Int,
       numHashes: Int, bands: Int, jacNum: Int, jacDen: Int): DataFrame = {
@@ -375,6 +388,20 @@ object DomainStats {
         TextAnalysis.minhashSignature(col("sh"), numHashes),
         bands, numHashes / bands))
       .localCheckpoint()
+    // 64-bit key-collision guard: CC below runs on xxhash64(domain, ph)
+    // LONGS (the union-find fast path), and a collision between two
+    // distinct (domain, ph) pairs would SILENTLY merge unrelated clusters
+    // — even across domains, since CC sees bare hashes. One aggregate
+    // over the already-pinned distinct frame fails loudly instead (the
+    // connectedComponents non-convergence posture): dp is one row per
+    // (domain, ph) by construction, so count(*) must equal the distinct
+    // hash count.
+    val kc = dp.agg(count(lit(1)).as("n"),
+      countDistinct(xxhash64(col("__domain"), col("ph"))).as("nh")).head()
+    if (kc.getLong(0) != kc.getLong(1)) throw new IllegalStateException(
+      s"xxhash64(domain, ph) collision: ${kc.getLong(0)} distinct keys " +
+      s"hash to ${kc.getLong(1)} longs; fuzzy clustering would merge " +
+      "unrelated clusters — use string-keyed CC for this corpus")
     val banded = dp.select(col("__domain"), col("ph"), size(col("sh")).as("sz"),
       posexplode(col("bandkeys")).as(Seq("band", "key")))
     // size-ratio prefilter: J >= jacNum/jacDen implies min(|A|,|B|)·jacDen

@@ -166,18 +166,32 @@ object PipelineQueries {
 
   private val paraCteSql = paraCteSqlOf(8)
 
+  /** The ONE fuzzy-template operating point, threaded into BOTH the
+    * engine call sites (q313/q314/q316 lambdas) and the shared oracle
+    * CTEs below — a parameter changed here changes every consumer on
+    * both sides at once; there is no second copy to drift. `shingleK`
+    * is structurally baked into the CTE's unigram `unnest` (a k > 1
+    * point would need a new shingle CTE, not a literal edit) and into
+    * the lambdas via this val. */
+  private object FuzzyOp {
+    val minDocs = 2; val grain = 16; val shingleK = 1
+    val numHashes = 64; val bands = 16; val jacNum = 4; val jacDen = 5
+    val rowsPerBand: Int = numHashes / bands
+  }
+
   /** The fuzzy paragraph-cluster CTE chain (url assembly → grain-16
     * paragraphs → per-domain distinct paragraphs → md5-portable minhash
     * replay → banded candidates → exact integer-Jaccard verify →
     * recursive-closure components → membership `mem(domain, ph, para,
-    * cluster_id)`), shared by the q313/q314 oracles — ONE definition so
-    * an operating-point change cannot drift between them. Callers prefix
+    * cluster_id)`), shared by the q313/q314 oracles — ONE definition,
+    * interpolated from [[FuzzyOp]], so an operating-point change cannot
+    * drift between them or from the engine lambdas. Callers prefix
     * `WITH RECURSIVE ` and append their rollup. */
   private val fuzzyCteSql =
     (s"""u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
         |c0 AS ($urlCanonSql),
         |c AS ($urlAssembleSql),
-        |""" + paraCteSqlOf(16) + """,
+        |""" + paraCteSqlOf(FuzzyOp.grain) + s""",
         |pd AS (SELECT p.doc_id, p.para_idx, p.para, p.n_tok, c.domain
         |  FROM paras p JOIN c USING (doc_id)),
         |dp AS (SELECT domain, md5(para) AS ph, min(para) AS para
@@ -190,13 +204,13 @@ object PipelineQueries {
         |co AS (SELECT j.j,
         |    2 * ('0x' || substr(md5('mh:a:' || j.j), 1, 7))::BIGINT + 1 AS a,
         |    ('0x' || substr(md5('mh:b:' || j.j), 1, 15))::BIGINT AS b
-        |  FROM generate_series(0, 63) j(j)),
+        |  FROM generate_series(0, ${FuzzyOp.numHashes - 1}) j(j)),
         |mins AS (SELECT domain, ph, j,
         |    min((a::HUGEINT * h + b) % 18446744073709551616) AS m
         |  FROM hs CROSS JOIN co GROUP BY 1, 2, 3),
-        |bk AS (SELECT domain, ph, j // 4 AS band,
+        |bk AS (SELECT domain, ph, j // ${FuzzyOp.rowsPerBand} AS band,
         |    md5(string_agg(m::VARCHAR, ',' ORDER BY j)) AS key
-        |  FROM mins GROUP BY domain, ph, j // 4),
+        |  FROM mins GROUP BY domain, ph, j // ${FuzzyOp.rowsPerBand}),
         |sl AS (SELECT domain, ph, list(s) AS l FROM sh GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT a.domain, a.ph AS ph_a, b.ph AS ph_b
         |  FROM bk a JOIN bk b ON a.domain = b.domain AND a.band = b.band
@@ -204,8 +218,8 @@ object PipelineQueries {
         |ver AS (SELECT cd.domain, ph_a, ph_b FROM cand cd
         |  JOIN sl sa ON sa.domain = cd.domain AND sa.ph = cd.ph_a
         |  JOIN sl sb ON sb.domain = cd.domain AND sb.ph = cd.ph_b
-        |  WHERE 5 * len(list_intersect(sa.l, sb.l)) >=
-        |        4 * len(list_distinct(list_concat(sa.l, sb.l)))),
+        |  WHERE ${FuzzyOp.jacDen} * len(list_intersect(sa.l, sb.l)) >=
+        |        ${FuzzyOp.jacNum} * len(list_distinct(list_concat(sa.l, sb.l)))),
         |edges AS (SELECT domain || '|' || ph_a AS src,
         |    domain || '|' || ph_b AS dst FROM ver
         |  UNION SELECT domain || '|' || ph_b, domain || '|' || ph_a FROM ver),
@@ -216,20 +230,22 @@ object PipelineQueries {
         |  FROM dp JOIN cc ON cc.id = dp.domain || '|' || dp.ph)""").stripMargin
 
   /** The q314/q316 qualification CTEs over [[fuzzyCteSql]]'s `mem`/`pd`:
-    * qualifying fuzzy clusters (`qual`: >= 2 distinct-doc reach AND >= 2
-    * variants — the `qualifiedFuzzyKeys` twin), their member keys (`fk`)
-    * and the exact-template keys (`ex`). ONE definition so the
-    * qualification thresholds cannot drift between the two oracles. */
+    * qualifying fuzzy clusters (`qual`: >= minDocs distinct-doc reach AND
+    * >= 2 variants — the `qualifiedFuzzyKeys` twin; the 2-variant floor
+    * is structural, not an operating point: one variant is an EXACT
+    * template), their member keys (`fk`) and the exact-template keys
+    * (`ex`). ONE definition so the qualification thresholds cannot drift
+    * between the two oracles. */
   private val fuzzyKeysCteSql =
-    """qual AS (SELECT m.domain, m.cluster_id FROM mem m
+    s"""qual AS (SELECT m.domain, m.cluster_id FROM mem m
       |  JOIN pd ON pd.domain = m.domain AND md5(pd.para) = m.ph
       |  GROUP BY 1, 2
-      |  HAVING count(DISTINCT pd.doc_id) >= 2
+      |  HAVING count(DISTINCT pd.doc_id) >= ${FuzzyOp.minDocs}
       |     AND count(DISTINCT m.ph) >= 2),
       |fk AS (SELECT DISTINCT m.domain, m.ph FROM mem m
       |  JOIN qual q USING (domain, cluster_id)),
       |ex AS (SELECT domain, md5(para) AS ph FROM pd
-      |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2)""".stripMargin
+      |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= ${FuzzyOp.minDocs})""".stripMargin
 
   private val jaccPairCteSql =
     """t AS (SELECT doc_id, lang,
@@ -3266,7 +3282,7 @@ object PipelineQueries {
     //      (5i >= 4u), connected components per domain, q87-class
     //      recursive-closure oracle. Cluster name = min member ph.
     GraftQuery("q313_fuzzy_template_catalog",
-      Some(("WITH RECURSIVE " + fuzzyCteSql + """,
+      Some(("WITH RECURSIVE " + fuzzyCteSql + s""",
                |pc AS (SELECT domain, cluster_id, count(*)::BIGINT AS n_variants,
                |    min(para) AS paragraph, min(ph) AS cluster
                |  FROM mem GROUP BY 1, 2),
@@ -3281,11 +3297,13 @@ object PipelineQueries {
                |  pc.paragraph, pc.n_variants, rc.n_docs, rc.n_occurrences,
                |  rc.template_tokens
                |FROM pc JOIN rc USING (domain, cluster_id)
-               |WHERE rc.n_docs >= 2 AND pc.n_variants >= 2""").stripMargin),
+               |WHERE rc.n_docs >= ${FuzzyOp.minDocs} AND pc.n_variants >= 2""").stripMargin),
       (s, dir) => DomainStats.fuzzyTemplateCatalog(
         t(s, dir, "documents").withColumn("url", syntheticUrl),
-        "url", "doc_id", "text", minDocs = 2, grain = 16, shingleK = 1,
-        numHashes = 64, bands = 16, jacNum = 4, jacDen = 5)),
+        "url", "doc_id", "text", minDocs = FuzzyOp.minDocs,
+        grain = FuzzyOp.grain, shingleK = FuzzyOp.shingleK,
+        numHashes = FuzzyOp.numHashes, bands = FuzzyOp.bands,
+        jacNum = FuzzyOp.jacNum, jacDen = FuzzyOp.jacDen)),
 
     // ---- per-domain boilerplate RATE, exact vs fuzzy-extra
     //      (DomainStats.domainFuzzyBoilerplate): how much of each
@@ -3315,8 +3333,10 @@ object PipelineQueries {
                |FROM agg""").stripMargin),
       (s, dir) => DomainStats.domainFuzzyBoilerplate(
         t(s, dir, "documents").withColumn("url", syntheticUrl),
-        "url", "doc_id", "text", minDocs = 2, grain = 16, shingleK = 1,
-        numHashes = 64, bands = 16, jacNum = 4, jacDen = 5)),
+        "url", "doc_id", "text", minDocs = FuzzyOp.minDocs,
+        grain = FuzzyOp.grain, shingleK = FuzzyOp.shingleK,
+        numHashes = FuzzyOp.numHashes, bands = FuzzyOp.bands,
+        jacNum = FuzzyOp.jacNum, jacDen = FuzzyOp.jacDen)),
 
     // ---- INCREMENTAL template strip (DomainStats.templateIndex +
     //      templateStripIncremental): a new ingest batch (40 replayed
@@ -3400,8 +3420,10 @@ object PipelineQueries {
                |GROUP BY 1""").stripMargin),
       (s, dir) => DomainStats.fuzzyTemplateStrip(
         t(s, dir, "documents").withColumn("url", syntheticUrl),
-        "url", "doc_id", "text", minDocs = 2, grain = 16, shingleK = 1,
-        numHashes = 64, bands = 16, jacNum = 4, jacDen = 5))
+        "url", "doc_id", "text", minDocs = FuzzyOp.minDocs,
+        grain = FuzzyOp.grain, shingleK = FuzzyOp.shingleK,
+        numHashes = FuzzyOp.numHashes, bands = FuzzyOp.bands,
+        jacNum = FuzzyOp.jacNum, jacDen = FuzzyOp.jacDen))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled
