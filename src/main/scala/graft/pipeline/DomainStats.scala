@@ -596,4 +596,152 @@ object DomainStats {
     Dedup.rebuildDropping(docs, idCol, textCol, grain,
       rows.join(allKeys, Seq("__domain", "ph")))
   }
+
+  /** Per-document CLEAN token stats after the composed cleaning chain —
+    * template strip THEN paragraph dedup, the order a release pipeline
+    * runs them: (1) drop ALL occurrences of within-domain templates
+    * (>= `minDocs` distinct docs of the SAME domain — [[templateStrip]]'s
+    * rule), then (2) keep-first paragraph dedup over the REMAINING
+    * occurrences ([[Dedup.paragraphDedup]]'s rule, global across
+    * domains, ranked by (doc id, position)). Chaining at paragraph-row
+    * grain is EXACT: CDC boundaries depend only on each token's own
+    * hash, so re-chunking a stripped rebuild reproduces precisely the
+    * surviving paragraphs — no text ever needs rebuilding to compose
+    * the two stages.
+    *
+    * Output per document (one row per doc that chunks to >= 1
+    * paragraph): domain, `n_paras` (pre-clean), `clean_tokens` (tokens
+    * surviving both stages — the mass a trainer would actually see),
+    * `n_tpl_dropped`, `n_dup_dropped`. Docs whose every paragraph is
+    * template/duplicate stay present with clean_tokens = 0 — the
+    * domain-quality rollup downstream must count them as thin, not
+    * lose them.
+    *
+    * Scale shape: ONE map-side chunk+hash pass (the pinned text-free
+    * rows feed the template agg, the anti-join and the final rollup);
+    * the keeper window is ph-keyed like q308's; shuffles carry (id,
+    * domain, ph, n_tok) — never text. */
+  def cleanTokenStats(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDocs: Int = 3, grain: Int = 8): DataFrame = {
+    val rows = Dedup.paragraphRows(
+      docs.repartition(col(idCol))
+        .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
+      idCol, textCol, grain, carry = Seq("__domain"))
+      .localCheckpoint()
+    val tpl = rows.groupBy("__domain", "ph")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__domain", "ph")
+    // keeper rank over SURVIVORS only: an occurrence shadowed by a
+    // template elsewhere must not consume the keep-first slot
+    val ranked = rows.join(tpl, Seq("__domain", "ph"), "left_anti")
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("ph").orderBy(col(idCol), col("para_idx"))))
+    val tplRows = rows.join(tpl, Seq("__domain", "ph"))
+      .withColumn("__rk", lit(0))
+    ranked.unionByName(tplRows)
+      .groupBy(col(idCol), col("__domain").as("domain"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__rk") === 1, col("n_tok")).otherwise(0L))
+          .as("clean_tokens"),
+        sum(when(col("__rk") === 0, 1L).otherwise(0L)).as("n_tpl_dropped"),
+        sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dup_dropped"))
+  }
+
+  /** Cross-domain SYNDICATION CATALOG — the dedup-side twin of
+    * [[templateCatalog]] that the within/cross split of
+    * [[domainBoilerplate]] implies: paragraphs recurring on at least
+    * `minDomains` DISTINCT registered domains (press-wire copy, licence
+    * blocks, scraped content — cross-HOST repetition, which the
+    * within-domain template family deliberately leaves alone), with
+    * first-occurrence attribution (the domain of the globally first
+    * occurrence by (doc id, position) — the probable origin) and
+    * reach/occurrence/token-mass evidence. A paragraph recurring on ONE
+    * domain only — however many pages — never appears here: that is
+    * [[templateCatalog]]'s row.
+    *
+    * Plan shape: the per-ph rollup runs over text-free paragraph rows
+    * (ONE ph-keyed window for first-domain attribution — q310's frame —
+    * then ONE hash agg); paragraph TEXT joins in afterwards, only for
+    * qualifying hashes, via the [[templateCatalog]] text-once pattern
+    * (min() over byte-identical occurrences, map-side combined). */
+  def syndicationCatalog(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDomains: Int = 3, grain: Int = 8): DataFrame = {
+    val withDomain = docs.repartition(col(idCol))
+      .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ph").orderBy(col(idCol), col("para_idx"))
+    val perPh = Dedup.paragraphRows(withDomain, idCol, textCol, grain,
+        carry = Seq("__domain"))
+      .withColumn("__fd", first(col("__domain")).over(w))
+      .groupBy("ph")
+      .agg(
+        max(col("__fd")).as("first_domain"), // constant per ph
+        countDistinct(col("__domain")).as("n_domains"),
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        sum(col("n_tok")).as("total_tokens"))
+      .filter(col("n_domains") >= minDomains)
+    val text = withDomain
+      .select(explode(graft.functions.CdcParagraphs(col(textCol), grain))
+        .as("__para"))
+      .groupBy(md5(col("__para")).as("ph"))
+      .agg(min(col("__para")).as("paragraph"))
+    perPh.join(text, "ph")
+      .select(col("ph"), col("paragraph"), col("first_domain"),
+        col("n_domains"), col("n_docs"), col("n_occurrences"),
+        col("total_tokens"))
+  }
+
+  /** Per-domain SYNDICATION rollup — [[syndicationCatalog]] turned into
+    * a domain-grain curation signal: for every registered domain, how
+    * much of its paragraph mass is syndicated IN (occurrences of
+    * qualifying cross-domain paragraphs whose first occurrence lives on
+    * a DIFFERENT domain — content this domain copied) and how many
+    * qualifying paragraphs it ORIGINATED (`n_synd_src` — distinct
+    * syndicated paragraphs first seen here; wire services and
+    * much-scraped sources rank high). `synd_in_bp` is the copied-in
+    * token share in basis points — with [[domainBoilerplate]]'s
+    * `boiler_bp` it completes the repetition picture: within-domain
+    * chrome there, cross-domain copying here.
+    *
+    * Plan shape: per-ph qualification (distinct-domain count) is ONE
+    * hash agg joined back by ph — no DISTINCT-in-window portability
+    * trap; first-domain attribution reuses the catalog's ordered
+    * window; the final rollup is ONE domain-keyed hash agg over
+    * text-free rows. */
+  def domainSyndication(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDomains: Int = 3, grain: Int = 8): DataFrame = {
+    val rows = Dedup.paragraphRows(
+      docs.repartition(col(idCol))
+        .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
+      idCol, textCol, grain, carry = Seq("__domain"))
+      .localCheckpoint() // feeds the qualification agg AND the rollup
+    val qual = rows.groupBy("ph")
+      .agg(countDistinct(col("__domain")).as("__ndom"))
+      .filter(col("__ndom") >= minDomains)
+      .select(col("ph"), lit(1L).as("__q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ph").orderBy(col(idCol), col("para_idx"))
+    val syndIn = col("__q") === 1L && col("__fd") =!= col("__domain")
+    val syndSrc = col("__q") === 1L && col("__fd") === col("__domain")
+    rows
+      .withColumn("__fd", first(col("__domain")).over(w))
+      .join(qual, Seq("ph"), "left")
+      .groupBy(col("__domain").as("domain"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(syndIn, 1L).otherwise(0L)).as("n_synd_in"),
+        sum(when(syndIn, col("n_tok")).otherwise(0L)).as("synd_in_tokens"),
+        countDistinct(when(syndSrc, col("ph"))).as("n_synd_src"))
+      .withColumn("synd_in_bp",
+        floor(col("synd_in_tokens") * 10000.0 / col("n_tokens"))
+          .cast("long"))
+  }
 }

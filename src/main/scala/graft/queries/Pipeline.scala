@@ -143,26 +143,28 @@ object PipelineQueries {
     * q283/q303/q305/q306/q307) — ONE definition so a threshold or
     * blocking change cannot drift between oracles and the Spark pair
     * generator. */
-  /** The content-defined paragraph CTE chain (t → tok → seg → paras)
-    * shared by the q308/q309 oracles — the CdcParagraphs twin: boundary
+  /** The content-defined paragraph CTE chain (pt → ptok → pseg → paras;
+    * internal names are p-prefixed so the chain can coexist with
+    * [[jaccPairCteSql]]'s `t`/`p` in one WITH — the q317 capstone needs
+    * both) shared by the q308/q309 oracles — the CdcParagraphs twin: boundary
     * after tokens whose md5 first byte % 8 == 0, paragraphs re-joined
     * with single spaces in position order. ONE definition so a grain or
     * boundary change cannot drift between the two oracles and the
     * engine expression. */
   private def paraCteSqlOf(grain: Int, from: String = "documents") =
-    s"""t AS (SELECT doc_id, source,
+    s"""pt AS (SELECT doc_id, source,
        |    string_split_regex(trim(text), '\\s+') AS toks FROM $from),
-       |tok AS (SELECT doc_id, source, i.i AS pos, toks[i.i] AS tok
-       |  FROM t CROSS JOIN LATERAL
+       |ptok AS (SELECT doc_id, source, i.i AS pos, toks[i.i] AS tok
+       |  FROM pt CROSS JOIN LATERAL
        |    (SELECT unnest(generate_series(1, len(toks))) AS i) i),
-       |seg AS (SELECT doc_id, source, pos, tok,
+       |pseg AS (SELECT doc_id, source, pos, tok,
        |    coalesce(sum(CASE WHEN ('0x' || substr(md5(tok), 1, 2))::INT % $grain = 0
        |        THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS para_idx
-       |  FROM tok),
+       |  FROM ptok),
        |paras AS (SELECT doc_id, source, para_idx,
        |    string_agg(tok, ' ' ORDER BY pos) AS para, count(*) AS n_tok
-       |  FROM seg GROUP BY 1, 2, 3)""".stripMargin
+       |  FROM pseg GROUP BY 1, 2, 3)""".stripMargin
 
   private val paraCteSql = paraCteSqlOf(8)
 
@@ -3423,7 +3425,157 @@ object PipelineQueries {
         "url", "doc_id", "text", minDocs = FuzzyOp.minDocs,
         grain = FuzzyOp.grain, shingleK = FuzzyOp.shingleK,
         numHashes = FuzzyOp.numHashes, bands = FuzzyOp.bands,
-        jacNum = FuzzyOp.jacNum, jacDen = FuzzyOp.jacDen))
+        jacNum = FuzzyOp.jacNum, jacDen = FuzzyOp.jacDen)),
+
+    // ---- curation capstone v2: the q307 chain EXTENDED with the round-8
+    //      paragraph/template layer, as ONE plan — canonicalize →
+    //      within-domain template strip (drop-all, q312 rule) →
+    //      paragraph keep-first dedup over survivors (q309 rule) →
+    //      domain keep/drop on the CLEANED token stats (the composed
+    //      pipeline judges quality AFTER cleaning — template chrome no
+    //      longer pads thin pages past the low-quality bar) → doc-level
+    //      soft-dedup weights (q303 clusters) → domain-level split
+    //      (q300) → per-split effective masses. Chaining at
+    //      paragraph-row grain is exact (CDC boundaries are per-token;
+    //      see DomainStats.cleanTokenStats); every shuffle carries
+    //      domains/ids/hashes/weights, never text.
+    GraftQuery("q317_curation_pipeline_v2",
+      Some(("""WITH RECURSIVE u AS (SELECT doc_id, """ + urlBuildSql + """ AS url FROM documents),
+              |c0 AS (""" + urlCanonSql + """),
+              |c AS (""" + urlAssembleSql + """),
+              |""" + paraCteSqlOf(8) + """,
+              |pdx AS (SELECT p.doc_id, p.para_idx, p.para, p.n_tok, c.domain
+              |  FROM paras p JOIN c USING (doc_id)),
+              |tm AS (SELECT domain, md5(para) AS ph FROM pdx
+              |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3),
+              |np AS (SELECT pdx.* FROM pdx LEFT JOIN tm
+              |  ON tm.domain = pdx.domain AND tm.ph = md5(pdx.para)
+              |  WHERE tm.ph IS NULL),
+              |k AS (SELECT *, row_number() OVER (
+              |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rk FROM np),
+              |cd AS (SELECT doc_id, domain,
+              |    sum(CASE WHEN rk = 1 THEN n_tok ELSE 0 END) AS clean_tok
+              |  FROM k GROUP BY 1, 2),
+              |ad AS (SELECT DISTINCT doc_id, domain FROM pdx),
+              |cda AS (SELECT a.doc_id, a.domain,
+              |    coalesce(cd.clean_tok, 0) AS clean_tok
+              |  FROM ad a LEFT JOIN cd USING (doc_id, domain)),
+              |roll AS (SELECT domain, count(*) AS n_docs,
+              |    sum(CASE WHEN clean_tok < 40 THEN 1 ELSE 0 END) AS n_low
+              |  FROM cda GROUP BY 1),
+              |keptd AS (SELECT domain FROM roll
+              |  WHERE CAST(floor(n_low * 10000.0 / n_docs) AS BIGINT) < 4000),
+              |""" + jaccPairCteSql + """,
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              |  UNION SELECT id_b, id_a FROM p),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+              |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+              |sz AS (SELECT cluster_id, count(*) AS csz FROM cc GROUP BY 1),
+              |w AS (SELECT d.doc_id, coalesce(s.csz, 1) AS csz
+              |  FROM documents d LEFT JOIN
+              |    (SELECT cc.doc_id, sz.csz FROM cc JOIN sz USING (cluster_id)) s
+              |    USING (doc_id)),
+              |kk AS (SELECT cda.doc_id, cda.domain, cda.clean_tok, w.csz
+              |  FROM cda JOIN w USING (doc_id)
+              |  WHERE cda.domain IN (SELECT domain FROM keptd)),
+              |lab AS (SELECT doc_id, domain, clean_tok, csz,
+              |    CASE WHEN ('0x' || substr(md5(domain || ':split'), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+              |         WHEN ('0x' || substr(md5(domain || ':split'), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM kk)
+              |SELECT split, count(DISTINCT domain)::BIGINT AS n_domains,
+              |  count(*)::BIGINT AS n_docs,
+              |  sum(CAST(floor(10000.0 / csz) AS BIGINT))::BIGINT AS eff_docs_x10000,
+              |  sum(clean_tok)::BIGINT AS clean_tokens
+              |FROM lab GROUP BY 1""").stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").withColumn("url", syntheticUrl)
+        val cd = DomainStats.cleanTokenStats(
+          d, "url", "doc_id", "text", minDocs = 3, grain = 8)
+        val keptd = cd.groupBy("domain")
+          .agg(count(lit(1)).as("__n"),
+            sum(when(col("clean_tokens") < 40, 1L).otherwise(0L)).as("__nl"))
+          .filter(floor(col("__nl") * 10000.0 / col("__n")).cast("long") < 4000)
+          .select("domain")
+        val w = Dedup.softDedupWeights(
+            t(s, dir, "documents"), "doc_id", jaccardPairs(s, dir))
+          .select(col("doc_id"), col("weight_x10000"))
+        cd.join(broadcast(keptd), "domain")
+          .join(w, "doc_id")
+          .withColumn("split", TextAnalysis.hashSplit(col("domain")))
+          .groupBy("split")
+          .agg(countDistinct("domain").as("n_domains"),
+            count(lit(1)).as("n_docs"),
+            sum("weight_x10000").as("eff_docs_x10000"),
+            sum("clean_tokens").as("clean_tokens"))
+      }),
+
+    // ---- cross-domain SYNDICATION catalog
+    //      (DomainStats.syndicationCatalog): the dedup-side twin of the
+    //      q311 template catalog — paragraphs recurring on >= 3 DISTINCT
+    //      registered domains (press-wire copy, licence blocks, scraped
+    //      content), with first-occurrence attribution (q310's ordered
+    //      window) and reach/occurrence/token evidence; text joins in
+    //      once, only for qualifying hashes. A one-domain template never
+    //      appears here — that separation is PipelineSpec-pinned.
+    GraftQuery("q318_syndication_catalog",
+      Some((s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+               |c0 AS ($urlCanonSql),
+               |c AS ($urlAssembleSql),
+               |""" + paraCteSqlOf(8) + """,
+               |pdx AS (SELECT p.doc_id, p.para_idx, p.para, p.n_tok, c.domain
+               |  FROM paras p JOIN c USING (doc_id)),
+               |k AS (SELECT *, first_value(domain) OVER (
+               |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS fd
+               |  FROM pdx),
+               |a AS (SELECT md5(para) AS ph, min(para) AS paragraph,
+               |    max(fd) AS first_domain,
+               |    count(DISTINCT domain) AS n_domains,
+               |    count(DISTINCT doc_id) AS n_docs,
+               |    count(*) AS n_occurrences, sum(n_tok) AS total_tokens
+               |  FROM k GROUP BY 1)
+               |SELECT ph, paragraph, first_domain,
+               |  n_domains::BIGINT AS n_domains, n_docs::BIGINT AS n_docs,
+               |  n_occurrences::BIGINT AS n_occurrences,
+               |  total_tokens::BIGINT AS total_tokens
+               |FROM a WHERE n_domains >= 3""").stripMargin),
+      (s, dir) => DomainStats.syndicationCatalog(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", minDomains = 3, grain = 8)),
+
+    // ---- per-domain syndication rollup (DomainStats.domainSyndication):
+    //      q318 turned into a domain-grain signal — copied-IN mass
+    //      (occurrences of qualifying cross-domain paragraphs first seen
+    //      elsewhere) vs paragraphs this domain ORIGINATED; with q310's
+    //      boiler_bp it completes the repetition picture (within-domain
+    //      chrome there, cross-domain copying here). Qualification is a
+    //      ph-keyed agg joined back — no DISTINCT-in-window.
+    GraftQuery("q319_domain_syndication",
+      Some((s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+               |c0 AS ($urlCanonSql),
+               |c AS ($urlAssembleSql),
+               |""" + paraCteSqlOf(8) + """,
+               |pdx AS (SELECT p.doc_id, p.para_idx, p.para, p.n_tok, c.domain
+               |  FROM paras p JOIN c USING (doc_id)),
+               |q AS (SELECT md5(para) AS ph FROM pdx
+               |  GROUP BY 1 HAVING count(DISTINCT domain) >= 3),
+               |k AS (SELECT pdx.*, first_value(domain) OVER (
+               |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS fd,
+               |    (md5(para) IN (SELECT ph FROM q)) AS isq
+               |  FROM pdx)
+               |SELECT domain, count(*)::BIGINT AS n_paras,
+               |  sum(n_tok)::BIGINT AS n_tokens,
+               |  sum(CASE WHEN isq AND fd <> domain THEN 1 ELSE 0 END)::BIGINT AS n_synd_in,
+               |  sum(CASE WHEN isq AND fd <> domain THEN n_tok ELSE 0 END)::BIGINT AS synd_in_tokens,
+               |  count(DISTINCT CASE WHEN isq AND fd = domain THEN md5(para) END)::BIGINT AS n_synd_src,
+               |  CAST(floor(sum(CASE WHEN isq AND fd <> domain THEN n_tok ELSE 0 END)
+               |    * 10000.0 / sum(n_tok)) AS BIGINT) AS synd_in_bp
+               |FROM k GROUP BY 1""").stripMargin),
+      (s, dir) => DomainStats.domainSyndication(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", minDomains = 3, grain = 8))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

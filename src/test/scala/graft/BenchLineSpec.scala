@@ -40,6 +40,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(total - rs.map(_._2).sum) < 0.002)
   }
 
+  test("remeasure evidence + load ride the line inside the tail budget") {
+    val rs = results(310)
+    val rm = Seq("q047_some" -> 9.313, "q233_some" -> 8.52)
+    val out = Bench.compactLine(rs, "/root/testdata/sf0.1",
+      load = 2.47, remeasured = rm)
+    assert(out.length <= Bench.tailBudget, s"line ${out.length} chars")
+    val j = mapper.readTree(out)
+    assert(j.get("load").asDouble() == 2.47)
+    assert(j.get("remeasured").get("q047_some").asDouble() == 9.313)
+    assert(j.get("remeasured").size() == 2)
+    // the queries map still folds to fit with the extra fields aboard
+    assert(j.get("queries").size() > 0)
+    val total = j.get("value").asDouble()
+    var sum = 0.0
+    j.get("queries").fields().forEachRemaining(e => sum += e.getValue.asDouble())
+    assert(math.abs(sum - total) < 0.01 * 310, s"sum=$sum total=$total")
+    // absent telemetry leaves the line shape unchanged (backward compat)
+    val plain = Bench.compactLine(rs, "sf")
+    assert(!plain.contains("remeasured") && !plain.contains("load"))
+  }
+
   test("driver tail capture: last 2000 chars end with a parseable line") {
     // simulate the process output the driver captures: compile noise,
     // Spark WARN chatter, then the metric line LAST (what Bench now emits)

@@ -2555,4 +2555,130 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(3) == math.floor(r.getLong(1) * 10000.0 / 3).toLong)
     assert(r.getLong(4) == math.floor(r.getLong(2) * 10000.0 / 3).toLong)
   }
+
+  test("clean token stats: template strip THEN keep-first dedup, brute-force") {
+    import spark.implicits._
+    val g = 4
+    val chunks = cdcChunks(g) _
+    def md5b0(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(tok.getBytes("UTF-8"))(0) & 0xff
+    }
+    // controlled chunking (the syndication test's device): pool tokens
+    // never bound a chunk at grain 4, `bt` always does
+    val pool = (0 until 200).map(i => s"w$i").filter(md5b0(_) % g != 0)
+    val bt = (0 until 200).map(i => s"w$i").find(md5b0(_) % g == 0).get
+    val footer = Seq(pool(6), pool(7), bt).mkString(" ") // 3 a.com docs ->
+      // template, dropped EVERYWHERE
+    val wire = Seq(pool(8), pool(9), bt).mkString(" ") // a.com + b.net ->
+      // not a template; dedup keeps FIRST
+    def filler(i: Int, n: Int) = pool.slice(i, i + n).mkString(" ")
+    val rows = Seq(
+      (1L, "https://a.com/p1", footer + " " + wire + " " + filler(20, 2)),
+      (2L, "https://a.com/p2", filler(22, 2) + " " + bt + " " + footer),
+      (3L, "https://a.com/p3", footer), // fully templated -> clean_tokens 0
+      (4L, "https://b.net/p1", wire + " " + filler(24, 2)))
+    val docs = rows.toDF("doc_id", "url", "text")
+    def dom(u: String) = u.stripPrefix("https://").takeWhile(_ != '/')
+    val paras = rows.flatMap { case (id, u, t) =>
+      chunks(t).zipWithIndex.map { case (p, i) => (id, dom(u), i, p) } }
+    val tmpl = paras.groupBy(r => (r._2, r._4))
+      .filter(_._2.map(_._1).distinct.size >= 3).keySet
+    val surv = paras.filter(r => !tmpl((r._2, r._4)))
+    val firstOf = surv.groupBy(_._4).map { case (p, rs) =>
+      p -> rs.map(r => (r._1, r._3)).min }
+    val want = rows.map { case (id, u, t) =>
+      val cs = chunks(t).zipWithIndex
+      val nTpl = cs.count { case (p, _) => tmpl((dom(u), p)) }
+      val kept = cs.filter { case (p, i) =>
+        !tmpl((dom(u), p)) && firstOf(p) == ((id, i)) }
+      val nDup = cs.size - nTpl - kept.size
+      id -> ((dom(u), cs.size.toLong,
+        kept.map(_._1.split(" ").length.toLong).sum, nTpl.toLong, nDup.toLong))
+    }.toMap
+    val got = DomainStats.cleanTokenStats(docs, "url", "doc_id", "text",
+        minDocs = 3, grain = g)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // the composition's three contracts in one fixture:
+    // (a) drop-all: doc 1 holds the footer's FIRST occurrence and loses it
+    assert(got(1L)._4 >= 1L, s"template survived in doc 1: ${got(1L)}")
+    // (b) keep-first among SURVIVORS: doc 1 keeps the wire copy, doc 4
+    //     (the later occurrence) loses it to dedup
+    assert(got(4L)._5 >= 1L && got(1L)._5 == 0L,
+      s"keep-first rank off: 1=${got(1L)} 4=${got(4L)}")
+    // (c) fully-templated docs STAY, with zero clean mass (the domain
+    //     rollup downstream must see them as thin, not lose them)
+    assert(got(3L)._3 == 0L && got(3L)._4 >= 1L, s"doc 3: ${got(3L)}")
+  }
+
+  test("syndication: cross-domain catalog + rollup, templates excluded") {
+    import spark.implicits._
+    val g = 4
+    val chunks = cdcChunks(g) _
+    def md5b0(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(tok.getBytes("UTF-8"))(0) & 0xff
+    }
+    // controlled chunking: pool tokens are NON-boundary at grain 4, `bt`
+    // is a boundary token — every bt-terminated group is its own chunk
+    val pool = (0 until 200).map(i => s"w$i").filter(md5b0(_) % g != 0)
+    val bt = (0 until 200).map(i => s"w$i").find(md5b0(_) % g == 0).get
+    // wire = two chunks, on THREE domains (first on a.com); tpl = one
+    // chunk, on three a.com PAGES only (template, not syndication)
+    val wire = Seq(pool(0), pool(1), bt, pool(2), pool(3), bt).mkString(" ")
+    val tpl = Seq(pool(4), pool(5), bt).mkString(" ")
+    def filler(i: Int, n: Int) = pool.slice(i, i + n).mkString(" ")
+    val rows = Seq(
+      (1L, "https://a.com/p1", wire + " " + tpl),
+      (2L, "https://a.com/p2", tpl + " " + filler(10, 3)),
+      (3L, "https://a.com/p3", filler(13, 2) + " " + bt + " " + tpl),
+      (4L, "https://b.net/p1", filler(15, 2) + " " + bt + " " + wire),
+      (5L, "https://c.org/p1", wire))
+    val docs = rows.toDF("doc_id", "url", "text")
+    def dom(u: String) = u.stripPrefix("https://").takeWhile(_ != '/')
+    val paras = rows.flatMap { case (id, u, t) =>
+      chunks(t).zipWithIndex.map { case (p, i) => (id, dom(u), i, p) } }
+    val byP = paras.groupBy(_._4)
+    val qual = byP.filter(_._2.map(_._2).distinct.size >= 3).keySet
+    val firstDomOf = byP.map { case (p, rs) => p -> rs.minBy(r => (r._1, r._3))._2 }
+    // catalog: exactly the >= 3-domain paragraphs, attributed to a.com
+    val cat = DomainStats.syndicationCatalog(docs, "url", "doc_id", "text",
+        minDomains = 3, grain = g)
+      .collect().map(r => r.getString(1) -> ((r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val wantCat = qual.map { p =>
+      val rs = byP(p)
+      p -> ((firstDomOf(p), rs.map(_._2).distinct.size.toLong,
+        rs.map(_._1).distinct.size.toLong, rs.size.toLong,
+        rs.map(_._4.split(" ").length.toLong).sum))
+    }.toMap
+    assert(cat == wantCat, s"got=$cat want=$wantCat")
+    // both wire chunks qualify, each first seen on a.com
+    assert(cat.keySet == Set(s"${pool(0)} ${pool(1)} $bt",
+      s"${pool(2)} ${pool(3)} $bt"), cat.toString)
+    assert(cat.values.forall(_._1 == "a.com"), cat.toString)
+    // SEPARATION: the single-domain template is NOT syndication
+    assert(!cat.contains(tpl), cat.toString)
+    // rollup brute force
+    val wantRoll = paras.groupBy(_._2).map { case (d, rs) =>
+      def in(r: (Long, String, Int, String)) =
+        qual(r._4) && firstDomOf(r._4) != d
+      val inToks = rs.filter(in).map(_._4.split(" ").length.toLong).sum
+      val allToks = rs.map(_._4.split(" ").length.toLong).sum
+      d -> ((rs.size.toLong, allToks, rs.count(in).toLong, inToks,
+        rs.filter(r => qual(r._4) && firstDomOf(r._4) == d)
+          .map(_._4).distinct.size.toLong,
+        math.floor(inToks * 10000.0 / allToks).toLong))
+    }
+    val roll = DomainStats.domainSyndication(docs, "url", "doc_id", "text",
+        minDomains = 3, grain = g)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(roll == wantRoll, s"got=$roll want=$wantRoll")
+    // b.net and c.org copied the wire paragraph IN; a.com originated it
+    assert(roll("c.org")._3 >= 1L, roll.toString)
+    assert(roll("a.com")._5 >= 1L && roll("a.com")._3 == 0L, roll.toString)
+  }
 }
