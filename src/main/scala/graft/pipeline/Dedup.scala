@@ -531,6 +531,39 @@ object Dedup {
     }.toDF("src", "dst")
   }
 
+  /** Leakage-safe CLUSTER-level split — the scheme the q306 leak audit
+    * exists to justify: every member of a near-dup cluster lands in the
+    * same train/val/test bucket (split label hashed from the cluster's
+    * minimum id; singletons hash their own id, which IS their cluster id
+    * under the [[connectedComponents]] labeling), so NO near-dup pair
+    * can straddle an eval boundary — including the cross-host syndicated
+    * pairs that leak under both the domain split and a naive doc split.
+    * `n_docs_naive_other` counts the documents a doc-level hash split
+    * would have sent to a DIFFERENT bucket — each one a leak this scheme
+    * retires.
+    *
+    * Plan shape: CC contracts the pair list to forest size; one LEFT
+    * join pins assignments to the docs scan by id; the rollup is a
+    * single O(splits) hash agg. Shuffles carry (id, cluster, counters) —
+    * never text. */
+  def clusterSplit(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      textCol: String): DataFrame = {
+    val cc = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    docs.join(cc, Seq(idCol), "left")
+      .withColumn("__cl", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split", TextAnalysis.hashSplit(col("__cl")))
+      .withColumn("__doc_split", TextAnalysis.hashSplit(col(idCol)))
+      .withColumn("__ntok", TextAnalysis.tokenCount(col(textCol)))
+      .groupBy("split")
+      .agg(
+        countDistinct(col("__cl")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("total_tokens"),
+        sum(when(col("__doc_split") =!= col("split"), 1L).otherwise(0L))
+          .as("n_docs_naive_other"))
+  }
+
   /** Keep one representative doc per near-dup cluster (the minimum id —
     * the cluster id itself); docs outside every pair survive as their own
     * cluster. One broadcast-or-shuffle join against the (small) cluster

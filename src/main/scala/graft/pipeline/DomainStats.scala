@@ -754,4 +754,41 @@ object DomainStats {
         floor(col("synd_in_tokens") * 10000.0 / col("n_tokens"))
           .cast("long"))
   }
+
+  /** Cross-domain SYNDICATION STRIP — the actionable counterpart of
+    * [[syndicationCatalog]], with KEEP-ORIGIN semantics: rebuild every
+    * document excising occurrences of qualifying syndicated paragraphs
+    * (>= `minDomains` distinct registered domains) whose FIRST
+    * occurrence lives on a DIFFERENT domain. The origin domain keeps
+    * every copy (its own repetition is [[templateStrip]]/dedup's job,
+    * with different economics); copier domains lose all of theirs. This
+    * is neither dedup's keep-first (which would keep exactly one page's
+    * copy corpus-wide) nor the template family's drop-all (which would
+    * delete the origin's content too): press-wire copy is CONTENT on
+    * the wire service and noise everywhere else.
+    *
+    * Scale shape: the text-free paragraph rows are pinned (qualification
+    * agg + attribution window read them); drop decisions ride (id,
+    * para_idx) lists into the shared [[Dedup.rebuildDropping]] tail —
+    * document text never shuffles. */
+  def syndicationStrip(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDomains: Int = 3, grain: Int = 8): DataFrame = {
+    val rows = Dedup.paragraphRows(
+      docs.repartition(col(idCol))
+        .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
+      idCol, textCol, grain, carry = Seq("__domain"))
+      .localCheckpoint()
+    val qual = rows.groupBy("ph")
+      .agg(countDistinct(col("__domain")).as("__nd"))
+      .filter(col("__nd") >= minDomains)
+      .select("ph")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ph").orderBy(col(idCol), col("para_idx"))
+    val dropped = rows
+      .withColumn("__fd", first(col("__domain")).over(w))
+      .join(qual, Seq("ph"))
+      .filter(col("__fd") =!= col("__domain"))
+    Dedup.rebuildDropping(docs, idCol, textCol, grain, dropped)
+  }
 }

@@ -3575,6 +3575,71 @@ object PipelineQueries {
                |FROM k GROUP BY 1""").stripMargin),
       (s, dir) => DomainStats.domainSyndication(
         t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", minDomains = 3, grain = 8)),
+
+    // ---- leakage-safe CLUSTER-level split (Dedup.clusterSplit): the
+    //      scheme the q306 audit justifies — every near-dup cluster
+    //      member lands in one bucket (split hashed from the cluster's
+    //      min id; singletons hash their own id), so NO near-dup pair
+    //      straddles an eval boundary, including the cross-host
+    //      syndicated pairs that leak under BOTH the domain split and a
+    //      naive doc split. Reuses the memoized q54/q87 pair list;
+    //      oracle replays the closure + the same md5 split labels.
+    GraftQuery("q320_cluster_split",
+      Some(("""WITH RECURSIVE """ + jaccPairCteSql + """,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+             |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |eff AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cl,
+             |    len(string_split_regex(trim(d.text), '\s+')) AS ntok
+             |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+             |lab AS (SELECT cl, ntok,
+             |    CASE WHEN ('0x' || substr(md5(cl::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+             |         WHEN ('0x' || substr(md5(cl::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS split,
+             |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+             |         WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS doc_split
+             |  FROM eff)
+             |SELECT split, count(DISTINCT cl)::BIGINT AS n_clusters,
+             |  count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS total_tokens,
+             |  sum(CASE WHEN doc_split <> split THEN 1 ELSE 0 END)::BIGINT AS n_docs_naive_other
+             |FROM lab GROUP BY 1""").stripMargin),
+      (s, dir) => Dedup.clusterSplit(
+        t(s, dir, "documents"), "doc_id", jaccardPairs(s, dir), "text")),
+
+    // ---- cross-domain SYNDICATION STRIP (DomainStats.syndicationStrip):
+    //      keep-origin semantics — qualifying syndicated paragraphs
+    //      (>= 3 distinct domains) are excised from every domain EXCEPT
+    //      the one that published them first (press-wire copy is content
+    //      on the wire service, noise everywhere else; neither dedup's
+    //      keep-first nor the template family's drop-all). Non-recursive
+    //      oracle -> sf1-gateable like q318/q319.
+    GraftQuery("q321_syndication_strip",
+      Some((s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+               |c0 AS ($urlCanonSql),
+               |c AS ($urlAssembleSql),
+               |""" + paraCteSqlOf(8) + """,
+               |pdx AS (SELECT p.doc_id, p.para_idx, p.para, c.domain
+               |  FROM paras p JOIN c USING (doc_id)),
+               |q AS (SELECT md5(para) AS ph FROM pdx
+               |  GROUP BY 1 HAVING count(DISTINCT domain) >= 3),
+               |k AS (SELECT pdx.*, first_value(domain) OVER (
+               |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS fd,
+               |    (md5(para) IN (SELECT ph FROM q)) AS isq
+               |  FROM pdx)
+               |SELECT doc_id,
+               |  coalesce(string_agg(CASE WHEN NOT (isq AND fd <> domain)
+               |    THEN para END, ' ' ORDER BY para_idx), '') AS clean_text,
+               |  count(*)::BIGINT AS n_paras,
+               |  sum(CASE WHEN isq AND fd <> domain THEN 1 ELSE 0 END)::BIGINT
+               |    AS n_dropped
+               |FROM k GROUP BY 1""").stripMargin),
+      (s, dir) => DomainStats.syndicationStrip(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
         "url", "doc_id", "text", minDomains = 3, grain = 8))
   )
 

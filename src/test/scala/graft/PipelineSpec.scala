@@ -2681,4 +2681,79 @@ class PipelineSpec extends SparkSpec {
     assert(roll("c.org")._3 >= 1L, roll.toString)
     assert(roll("a.com")._5 >= 1L && roll("a.com")._3 == 0L, roll.toString)
   }
+
+  test("cluster split: no near-dup pair straddles a boundary, md5 replay") {
+    import spark.implicits._
+    def label(s: String) = md5SplitLabel(s)
+    val docs = Seq(
+      (1L, "a a a"), (2L, "a a"), (3L, "b b"), (4L, "c"), (5L, "d d d d"))
+      .toDF("doc_id", "text")
+    // cluster {1,2,3} (transitive via 2), singletons 4 and 5
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clOf = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L)
+    val toks = Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 4L)
+    val want = clOf.groupBy { case (_, cl) => label(cl.toString) }
+      .map { case (sp, ms) =>
+        val ids = ms.keys.toSeq
+        sp -> ((ms.values.toSeq.distinct.size.toLong, ids.size.toLong,
+          ids.map(toks).sum,
+          ids.count(id => label(id.toString) != sp).toLong))
+      }
+    val got = Dedup.clusterSplit(docs, "doc_id", pairs, "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // THE contract: cluster members can never straddle — every pair's
+    // two ends get the same label by construction
+    assert(label(clOf(1L).toString) == label(clOf(2L).toString))
+    assert(label(clOf(2L).toString) == label(clOf(3L).toString))
+    // and the rollup accounts docs a naive doc split would misplace
+    assert(got.values.map(_._2).sum == 5L)
+  }
+
+  test("syndication strip: keep-origin semantics, brute-force") {
+    import spark.implicits._
+    val g = 4
+    val chunks = cdcChunks(g) _
+    def md5b0(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(tok.getBytes("UTF-8"))(0) & 0xff
+    }
+    val pool = (0 until 200).map(i => s"w$i").filter(md5b0(_) % g != 0)
+    val bt = (0 until 200).map(i => s"w$i").find(md5b0(_) % g == 0).get
+    val wire = Seq(pool(0), pool(1), bt).mkString(" ") // 3 domains, a.com first
+    val tpl = Seq(pool(4), pool(5), bt).mkString(" ") // 2 domains: SUB-threshold
+    def filler(i: Int, n: Int) = pool.slice(i, i + n).mkString(" ")
+    val rows = Seq(
+      (1L, "https://a.com/p1", wire + " " + tpl),
+      (2L, "https://a.com/p2", filler(10, 2) + " " + bt + " " + wire),
+      (3L, "https://a.com/p3", tpl),
+      (4L, "https://b.net/p1", wire + " " + filler(13, 2)),
+      (5L, "https://c.org/p1", filler(15, 1) + " " + bt + " " + wire + " " + tpl))
+    val docs = rows.toDF("doc_id", "url", "text")
+    def dom(u: String) = u.stripPrefix("https://").takeWhile(_ != '/')
+    val paras = rows.flatMap { case (id, u, t) =>
+      chunks(t).zipWithIndex.map { case (p, i) => (id, dom(u), i, p) } }
+    val byP = paras.groupBy(_._4)
+    val qual = byP.filter(_._2.map(_._2).distinct.size >= 3).keySet
+    val fdOf = byP.map { case (p, rs) => p -> rs.minBy(r => (r._1, r._3))._2 }
+    val want = rows.map { case (id, u, t) =>
+      val cs = chunks(t)
+      val kept = cs.filter(p => !(qual(p) && fdOf(p) != dom(u)))
+      id -> ((kept.mkString(" "), cs.size.toLong, (cs.size - kept.size).toLong))
+    }.toMap
+    val got = DomainStats.syndicationStrip(docs, "url", "doc_id", "text",
+        minDomains = 3, grain = g)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // keep-origin: BOTH a.com copies of the wire paragraph survive (vs
+    // dedup's keep-first, which would keep only doc 1's)
+    assert(got(1L)._1.contains(wire) && got(2L)._1.contains(wire), got.toString)
+    // copier domains lose theirs
+    assert(got(4L)._3 == 1L && !got(4L)._1.contains(wire), got(4L).toString)
+    assert(!got(5L)._1.contains(wire), got(5L).toString)
+    // the 2-domain paragraph stays below threshold -> kept everywhere
+    assert(got(5L)._1.contains(tpl) && got(3L)._1.contains(tpl), got.toString)
+  }
 }
