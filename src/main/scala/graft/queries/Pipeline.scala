@@ -3640,7 +3640,94 @@ object PipelineQueries {
                |FROM k GROUP BY 1""").stripMargin),
       (s, dir) => DomainStats.syndicationStrip(
         t(s, dir, "documents").withColumn("url", syntheticUrl),
-        "url", "doc_id", "text", minDomains = 3, grain = 8))
+        "url", "doc_id", "text", minDomains = 3, grain = 8)),
+
+    // ---- release pipeline v3: q317's cleaned-stats chain under the
+    //      q320 CLUSTER-level split — the leak-free release artifact:
+    //      canonicalize → template strip → paragraph dedup → domain
+    //      keep/drop on cleaned stats → soft-dedup weights → cluster
+    //      split (no near-dup pair can straddle an eval boundary, the
+    //      property neither q300's domain split nor a doc split gives).
+    //      Per split: cluster/doc masses, effective (soft-dedup-weighted)
+    //      docs, clean token mass.
+    GraftQuery("q322_release_pipeline_v3",
+      Some(("""WITH RECURSIVE u AS (SELECT doc_id, """ + urlBuildSql + """ AS url FROM documents),
+              |c0 AS (""" + urlCanonSql + """),
+              |c AS (""" + urlAssembleSql + """),
+              |""" + paraCteSqlOf(8) + """,
+              |pdx AS (SELECT p.doc_id, p.para_idx, p.para, p.n_tok, c.domain
+              |  FROM paras p JOIN c USING (doc_id)),
+              |tm AS (SELECT domain, md5(para) AS ph FROM pdx
+              |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3),
+              |np AS (SELECT pdx.* FROM pdx LEFT JOIN tm
+              |  ON tm.domain = pdx.domain AND tm.ph = md5(pdx.para)
+              |  WHERE tm.ph IS NULL),
+              |k AS (SELECT *, row_number() OVER (
+              |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rk FROM np),
+              |cd AS (SELECT doc_id, domain,
+              |    sum(CASE WHEN rk = 1 THEN n_tok ELSE 0 END) AS clean_tok
+              |  FROM k GROUP BY 1, 2),
+              |ad AS (SELECT DISTINCT doc_id, domain FROM pdx),
+              |cda AS (SELECT a.doc_id, a.domain,
+              |    coalesce(cd.clean_tok, 0) AS clean_tok
+              |  FROM ad a LEFT JOIN cd USING (doc_id, domain)),
+              |roll AS (SELECT domain, count(*) AS n_docs,
+              |    sum(CASE WHEN clean_tok < 40 THEN 1 ELSE 0 END) AS n_low
+              |  FROM cda GROUP BY 1),
+              |keptd AS (SELECT domain FROM roll
+              |  WHERE CAST(floor(n_low * 10000.0 / n_docs) AS BIGINT) < 4000),
+              |""" + jaccPairCteSql + """,
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              |  UNION SELECT id_b, id_a FROM p),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+              |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+              |sz AS (SELECT cluster_id, count(*) AS csz FROM cc GROUP BY 1),
+              |w AS (SELECT d.doc_id, coalesce(s.csz, 1) AS csz
+              |  FROM documents d LEFT JOIN
+              |    (SELECT cc.id AS doc_id, sz.csz FROM cc JOIN sz USING (cluster_id)) s
+              |    USING (doc_id)),
+              |kk AS (SELECT cda.doc_id, cda.domain, cda.clean_tok, w.csz,
+              |    coalesce(cc.cluster_id, cda.doc_id) AS cl
+              |  FROM cda JOIN w USING (doc_id)
+              |  LEFT JOIN cc ON cc.id = cda.doc_id
+              |  WHERE cda.domain IN (SELECT domain FROM keptd)),
+              |lab AS (SELECT doc_id, cl, clean_tok, csz,
+              |    CASE WHEN ('0x' || substr(md5(cl::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+              |         WHEN ('0x' || substr(md5(cl::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM kk)
+              |SELECT split, count(DISTINCT cl)::BIGINT AS n_clusters,
+              |  count(*)::BIGINT AS n_docs,
+              |  sum(CAST(floor(10000.0 / csz) AS BIGINT))::BIGINT AS eff_docs_x10000,
+              |  sum(clean_tok)::BIGINT AS clean_tokens
+              |FROM lab GROUP BY 1""").stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").withColumn("url", syntheticUrl)
+        val cd = DomainStats.cleanTokenStats(
+          d, "url", "doc_id", "text", minDocs = 3, grain = 8)
+        val keptd = cd.groupBy("domain")
+          .agg(count(lit(1)).as("__n"),
+            sum(when(col("clean_tokens") < 40, 1L).otherwise(0L)).as("__nl"))
+          .filter(floor(col("__nl") * 10000.0 / col("__n")).cast("long") < 4000)
+          .select("domain")
+        val w = Dedup.softDedupWeights(
+            t(s, dir, "documents"), "doc_id", jaccardPairs(s, dir))
+          .select(col("doc_id"), col("weight_x10000"))
+        val cc = Dedup.connectedComponents(jaccardPairs(s, dir))
+          .withColumnRenamed("id", "doc_id")
+        cd.join(broadcast(keptd), "domain")
+          .join(w, "doc_id")
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("__cl", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("split", TextAnalysis.hashSplit(col("__cl")))
+          .groupBy("split")
+          .agg(countDistinct("__cl").as("n_clusters"),
+            count(lit(1)).as("n_docs"),
+            sum("weight_x10000").as("eff_docs_x10000"),
+            sum("clean_tokens").as("clean_tokens"))
+      })
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

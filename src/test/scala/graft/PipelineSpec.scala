@@ -1882,24 +1882,9 @@ class PipelineSpec extends SparkSpec {
     assert(got(7L) == ((":///", "", "", "/")), got(7L).toString)
   }
 
-  // Brute-force reference for CdcParagraphs, shared by the paragraph-family
-  // tests (any change to the chunking rule must land HERE once, not in
-  // per-test copies): boundary after tokens whose md5 first byte % grain
-  // == 0; trailing partial chunk kept; empty text yields one empty chunk.
-  private def cdcChunks(grain: Int)(text: String): Seq[String] = {
-    def boundary(tok: String) = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      (md.digest(tok.getBytes("UTF-8"))(0) & 0xff) % grain == 0
-    }
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (t <- text.trim.split("\\s+")) {
-      cur += t
-      if (boundary(t)) { out += cur.mkString(" "); cur.clear() }
-    }
-    if (cur.nonEmpty || out.isEmpty) out += cur.mkString(" ")
-    out.toSeq
-  }
+  // cdcChunks — the brute-force CdcParagraphs reference — now lives in
+  // SparkSpec (hoisted round 9: PropertySpec's randomized paragraph-family
+  // tests share it; any chunking-rule change still lands in ONE place).
 
   // Deterministic sentence generator over a small vocab, seeded per test.
   private def cdcSent(seed: Long): Int => String = {

@@ -408,4 +408,72 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("clean token stats + syndication strip: brute force, random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2718)
+    val g = 4
+    val chunks = cdcChunks(g) _
+    val hosts = Seq("a.com", "b.net", "c.co.uk", "d.org", "e.io")
+    def dom(u: String) = { // registered-domain twin (PSL cases + fallback)
+      val h = u.stripPrefix("https://").takeWhile(_ != '/')
+      val ls = h.split("\\.")
+      if (ls.length >= 3 && ls.takeRight(2).mkString(".") == "co.uk")
+        ls.takeRight(3).mkString(".") else ls.takeRight(2).mkString(".")
+    }
+    for (trial <- 1 to 4) {
+      // sentence pool drawn WITH repetition across docs, so identical
+      // token runs (and therefore identical CDC chunks) recur naturally
+      // across documents and domains
+      val vocab = (0 until 9).map(i => s"v$i")
+      val sents = (0 until 8).map(_ =>
+        (1 to (2 + rnd.nextInt(4))).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      val docs = (1L to (8 + rnd.nextInt(10)).toLong).map { id =>
+        (id, s"https://${hosts(rnd.nextInt(hosts.length))}/p$id",
+          (1 to (1 + rnd.nextInt(4))).map(_ => sents(rnd.nextInt(sents.size)))
+            .mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "url", "text")
+      val paras = docs.flatMap { case (id, u, t) =>
+        chunks(t).zipWithIndex.map { case (p, i) => (id, dom(u), i, p) } }
+      // --- cleanTokenStats (template minDocs = 2 to trigger often)
+      val tmpl = paras.groupBy(r => (r._2, r._4))
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val surv = paras.filter(r => !tmpl((r._2, r._4)))
+      val firstOf = surv.groupBy(_._4).map { case (p, rs) =>
+        p -> rs.map(r => (r._1, r._3)).min }
+      val wantClean = docs.map { case (id, u, t) =>
+        val cs = chunks(t).zipWithIndex
+        val nTpl = cs.count { case (p, _) => tmpl((dom(u), p)) }
+        val kept = cs.filter { case (p, i) =>
+          !tmpl((dom(u), p)) && firstOf(p) == ((id, i)) }
+        id -> ((dom(u), cs.size.toLong,
+          kept.map(_._1.split(" ").length.toLong).sum, nTpl.toLong,
+          (cs.size - nTpl - kept.size).toLong))
+      }.toMap
+      val gotClean = pipeline.DomainStats.cleanTokenStats(
+          df, "url", "doc_id", "text", minDocs = 2, grain = g)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(gotClean == wantClean,
+        s"trial $trial clean got=$gotClean want=$wantClean")
+      // --- syndicationStrip (minDomains = 2)
+      val byP = paras.groupBy(_._4)
+      val qual = byP.filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val fdOf = byP.map { case (p, rs) => p -> rs.minBy(r => (r._1, r._3))._2 }
+      val wantStrip = docs.map { case (id, u, t) =>
+        val cs = chunks(t)
+        val kept = cs.filter(p => !(qual(p) && fdOf(p) != dom(u)))
+        id -> ((kept.mkString(" "), cs.size.toLong,
+          (cs.size - kept.size).toLong))
+      }.toMap
+      val gotStrip = pipeline.DomainStats.syndicationStrip(
+          df, "url", "doc_id", "text", minDomains = 2, grain = g)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(gotStrip == wantStrip,
+        s"trial $trial strip got=$gotStrip want=$wantStrip")
+    }
+  }
 }

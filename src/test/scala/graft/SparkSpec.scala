@@ -40,4 +40,23 @@ abstract class SparkSpec extends AnyFunSuite {
     val b = md5SplitBucket(s)
     if (b < 80) "train" else if (b < 90) "val" else "test"
   }
+
+  /** Independent CDC-chunk replay of `graft.functions.CdcParagraphs`
+    * (boundary after tokens whose md5 first byte % grain == 0) via raw
+    * MessageDigest — the brute-force reference every paragraph-family
+    * spec compares the engine against. */
+  def cdcChunks(grain: Int)(text: String): Seq[String] = {
+    def boundary(tok: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (md.digest(tok.getBytes("UTF-8"))(0) & 0xff) % grain == 0
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (t <- text.trim.split("\\s+")) {
+      cur += t
+      if (boundary(t)) { out += cur.mkString(" "); cur.clear() }
+    }
+    if (cur.nonEmpty || out.isEmpty) out += cur.mkString(" ")
+    out.toSeq
+  }
 }
