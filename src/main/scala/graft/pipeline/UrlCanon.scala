@@ -149,4 +149,21 @@ object UrlCanon {
           Window.partitionBy(col("url_domain")).orderBy(col("keeper_id"))))
         .filter(col("__rk") <= cap)
         .drop("__b", "__rk1", "__rk")
+
+  /** [[capDeduped]] with a PER-DOMAIN budget: `caps` is a
+    * domain-cardinality frame `(url_domain, cap)` — e.g. a base budget
+    * shrunk for domains whose mass is mostly syndicated-in (the
+    * q319 `synd_in_bp` signal): a domain that mostly copies earns fewer
+    * keeper slots than one that originates. Domains absent from `caps`
+    * get `defaultCap`. Same single domain-keyed rank window as the flat
+    * cap; the caps side is broadcast (web-host cardinality, two
+    * columns). */
+  def capDedupedBy(
+      deduped: DataFrame, caps: DataFrame, defaultCap: Int): DataFrame =
+    deduped
+      .join(broadcast(caps), Seq("url_domain"), "left")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("url_domain")).orderBy(col("keeper_id"))))
+      .filter(col("__rk") <= coalesce(col("cap"), lit(defaultCap)))
+      .drop("__rk", "cap")
 }

@@ -3727,6 +3727,65 @@ object PipelineQueries {
             count(lit(1)).as("n_docs"),
             sum("weight_x10000").as("eff_docs_x10000"),
             sum("clean_tokens").as("clean_tokens"))
+      }),
+
+    // ---- syndication-weighted domain cap (UrlCanon.capDedupedBy): the
+    //      q295 anti-domination cap with a PER-DOMAIN budget derived from
+    //      q319's copied-in share — a domain whose mass is mostly
+    //      syndicated-in earns fewer keeper slots (base 3; -1 at >= 700
+    //      bp, -2 at >= 1000 bp, floor 1) than one that originates.
+    //      Caps frame is broadcast; one domain-keyed rank window.
+    GraftQuery("q323_syndication_weighted_cap",
+      Some((s"""WITH u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+               |c0 AS ($urlCanonSql),
+               |c AS ($urlAssembleSql),
+               |""" + paraCteSqlOf(8) + """,
+               |pdx AS (SELECT p.doc_id, p.para_idx, p.para, p.n_tok, c.domain
+               |  FROM paras p JOIN c USING (doc_id)),
+               |q AS (SELECT md5(para) AS ph FROM pdx
+               |  GROUP BY 1 HAVING count(DISTINCT domain) >= 3),
+               |kq AS (SELECT pdx.*, first_value(domain) OVER (
+               |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS fd,
+               |    (md5(para) IN (SELECT ph FROM q)) AS isq
+               |  FROM pdx),
+               |sy AS (SELECT domain,
+               |    CAST(floor(sum(CASE WHEN isq AND fd <> domain THEN n_tok
+               |      ELSE 0 END) * 10000.0 / sum(n_tok)) AS BIGINT) AS synd_in_bp
+               |  FROM kq GROUP BY 1),
+               |caps AS (SELECT domain, greatest(1, 3 -
+               |    CASE WHEN synd_in_bp >= 1000 THEN 2
+               |         WHEN synd_in_bp >= 700 THEN 1 ELSE 0 END) AS cap
+               |  FROM sy),
+               |d AS (SELECT canonical, domain, min(doc_id) AS keeper_id
+               |  FROM c GROUP BY 1, 2),
+               |kc AS (SELECT domain, keeper_id, row_number() OVER (
+               |    PARTITION BY domain ORDER BY keeper_id) AS rk FROM d)
+               |SELECT kc.domain, caps.cap::BIGINT AS cap,
+               |  count(*)::BIGINT AS n_unique,
+               |  sum(CASE WHEN kc.rk <= caps.cap THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               |  sum(CASE WHEN kc.rk <= caps.cap THEN keeper_id ELSE 0 END)::BIGINT AS kept_id_sum
+               |FROM kc JOIN caps USING (domain) GROUP BY 1, 2""").stripMargin),
+      (s, dir) => {
+        val withUrl = t(s, dir, "documents").withColumn("url", syntheticUrl)
+        // caps feeds the rank-window join AND the final report: pin the
+        // domain-cardinality frame so the corpus-scale syndication chain
+        // behind it runs once
+        val caps = DomainStats.domainSyndication(
+            withUrl, "url", "doc_id", "text", minDomains = 3, grain = 8)
+          .select(col("domain").as("url_domain"),
+            greatest(lit(1), lit(3) -
+              when(col("synd_in_bp") >= 1000, 2)
+                .when(col("synd_in_bp") >= 700, 1).otherwise(0)).as("cap"))
+          .localCheckpoint()
+        val dd = UrlCanon.dedupByUrl(withUrl, "url", "doc_id")
+        val capped = UrlCanon.capDedupedBy(dd, caps, defaultCap = 3)
+        dd.groupBy(col("url_domain").as("domain"))
+          .agg(count(lit(1)).as("n_unique"))
+          .join(capped.groupBy(col("url_domain").as("domain"))
+            .agg(count(lit(1)).as("n_kept"),
+              sum("keeper_id").as("kept_id_sum")), "domain")
+          .join(caps.select(col("url_domain").as("domain"),
+            col("cap").cast("long").as("cap")), "domain")
       })
   )
 

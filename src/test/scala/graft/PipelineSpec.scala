@@ -2741,4 +2741,25 @@ class PipelineSpec extends SparkSpec {
     // the 2-domain paragraph stays below threshold -> kept everywhere
     assert(got(5L)._1.contains(tpl) && got(3L)._1.contains(tpl), got.toString)
   }
+
+  test("per-domain cap budgets: capDedupedBy keeps lowest ids up to each cap") {
+    import spark.implicits._
+    val docs = (1L to 12L).map { id =>
+      val host = if (id <= 5) "a.com" else if (id <= 9) "b.net" else "c.org"
+      (id, s"https://$host/p$id", s"t$id")
+    }.toDF("doc_id", "url", "text")
+    val dd = graft.pipeline.UrlCanon.dedupByUrl(docs, "url", "doc_id")
+    val caps = Seq(("a.com", 1), ("b.net", 2)).toDF("url_domain", "cap")
+    // c.org absent from caps -> defaultCap = 3 (it has exactly 3 pages)
+    val kept = graft.pipeline.UrlCanon.capDedupedBy(dd, caps, defaultCap = 3)
+      .collect().map(r => r.getAs[String]("url_domain") ->
+        r.getAs[Long]("keeper_id"))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).sorted.toSeq }
+    assert(kept("a.com") == Seq(1L), kept.toString)            // cap 1
+    assert(kept("b.net") == Seq(6L, 7L), kept.toString)        // cap 2
+    assert(kept("c.org") == Seq(10L, 11L, 12L), kept.toString) // default 3
+    // the cap column must not leak into the output frame
+    assert(!graft.pipeline.UrlCanon.capDedupedBy(dd, caps, 3)
+      .columns.contains("cap"))
+  }
 }
