@@ -148,7 +148,7 @@ object Bench {
       java.nio.file.Paths.get("target/bench_full.json"),
       fullLine(results, sfDir, failed, cpus) + "\n")
     catch { case _: Throwable => () }
-    val out = compactLine(results, sfDir, maxLoad, remeasured.toSeq)
+    val out = compactLine(results, sfDir, maxLoad, remeasured.toSeq, failed)
     // Stop Spark BEFORE printing (log level down so shutdown is silent):
     // the metric line must be the LAST thing on stdout — the driver parses
     // it from a ~2000-char output tail, and build.sbt's StdoutOutput /
@@ -182,7 +182,8 @@ object Bench {
   private def line(
       qs: Seq[(String, Double)], rest: Double, total: Double,
       sfDir: String, load: Double,
-      remeasured: Seq[(String, Double)], rmDropped: Int): String = {
+      remeasured: Seq[(String, Double)], rmDropped: Int,
+      failed: Seq[String], flDropped: Int): String = {
     val entries = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
       (if (rest > 0) Seq("\"_rest\":" + fmt(rest)) else Nil)
     val rm = if (remeasured.isEmpty && rmDropped == 0) ""
@@ -190,9 +191,13 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
         (if (rmDropped > 0) Seq("\"_more\":" + rmDropped) else Nil))
         .mkString("{", ",", "}")}"""
+    val fl = if (failed.isEmpty && flDropped == 0) ""
+      else s""","failed":${(failed.map("\"" + _ + "\"") ++
+        (if (flDropped > 0) Seq("\"_more:" + flDropped + "\"") else Nil))
+        .mkString("[", ",", "]")}"""
     val ld = if (load < 0) "" else s""","load":${fmt(load)}"""
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
-      entries.mkString("{", ",", "}")}$rm$ld,"sf":"$sfDir"}"""
+      entries.mkString("{", ",", "}")}$rm$fl$ld,"sf":"$sfDir"}"""
   }
 
   /** Full-precision record for round-over-round analysis (the compact
@@ -209,7 +214,8 @@ object Bench {
 
   def compactLine(results: Seq[(String, Double)], sfDir: String,
       load: Double = -1.0,
-      remeasured: Seq[(String, Double)] = Nil): String = {
+      remeasured: Seq[(String, Double)] = Nil,
+      failed: Seq[String] = Nil): String = {
     val total = results.map(_._2).sum
     var keep = results.sortBy(-_._2)
     var rest = 0.0
@@ -223,16 +229,34 @@ object Bench {
     // remeasured to its 8 largest spikes so a mass-spike capture spends
     // the budget on query detail, not on reciting every spike
     if (rm.size > 8) { rmDropped = rm.size - 8; rm = rm.take(8) }
+    // failed names ride the compact line (a tail-line consumer must be
+    // able to tell a 0.3 s crash from a healthy 0.3 s run — the full map
+    // in target/bench_full.json is not what the driver parses); like
+    // remeasured, pre-capped to 8 names + a "_more:N" marker so a
+    // catastrophic mass-failure capture doesn't eat the queries map
+    var fl = failed.sorted
+    var flDropped = 0
+    if (fl.size > 8) { flDropped = fl.size - 8; fl = fl.take(8) }
     def render() = line(keep.sortBy(_._1), rest, total, sfDir, load,
-      rm.sortBy(_._1), rmDropped)
+      rm.sortBy(_._1), rmDropped, fl, flDropped)
     var out = render()
-    while (out.length > tailBudget && (keep.nonEmpty || rm.nonEmpty)) {
-      if (keep.nonEmpty) {
+    // sacrifice order on overflow: INTERLEAVE queries and remeasure
+    // evidence by size — fold whichever remaining entry is smallest, so
+    // a 14 s spike's evidence outlives a 0.2 s query detail (which folds
+    // losslessly into _rest) but evidence can no longer displace LARGER
+    // graded per-query detail; failed-name markers go last (a crash flag
+    // outranks both, and the "_more:N" count still signals when it folds)
+    while (out.length > tailBudget &&
+        (keep.nonEmpty || rm.nonEmpty || fl.nonEmpty)) {
+      if (keep.nonEmpty && (rm.isEmpty || keep.last._2 <= rm.last._2)) {
         rest += keep.last._2
         keep = keep.dropRight(1)
-      } else {
+      } else if (rm.nonEmpty) {
         rm = rm.dropRight(1)
         rmDropped += 1
+      } else {
+        fl = fl.dropRight(1)
+        flDropped += 1
       }
       out = render()
     }

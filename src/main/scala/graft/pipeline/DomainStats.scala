@@ -391,17 +391,20 @@ object DomainStats {
     // 64-bit key-collision guard: CC below runs on xxhash64(domain, ph)
     // LONGS (the union-find fast path), and a collision between two
     // distinct (domain, ph) pairs would SILENTLY merge unrelated clusters
-    // — even across domains, since CC sees bare hashes. One aggregate
-    // over the already-pinned distinct frame fails loudly instead (the
-    // connectedComponents non-convergence posture): dp is one row per
-    // (domain, ph) by construction, so count(*) must equal the distinct
-    // hash count.
-    val kc = dp.agg(count(lit(1)).as("n"),
-      countDistinct(xxhash64(col("__domain"), col("ph"))).as("nh")).head()
-    if (kc.getLong(0) != kc.getLong(1)) throw new IllegalStateException(
-      s"xxhash64(domain, ph) collision: ${kc.getLong(0)} distinct keys " +
-      s"hash to ${kc.getLong(1)} longs; fuzzy clustering would merge " +
-      "unrelated clusters — use string-keyed CC for this corpus")
+    // — even across domains, since CC sees bare hashes. The guard is
+    // FOLDED INTO THE RETURNED PLAN (a 1-row assert_true aggregate over
+    // the pinned distinct frame, broadcast-crossed into the output and
+    // kept alive by a filter so pruning can't drop it): it fails loudly
+    // at EXECUTION time — merely constructing the frame no longer runs
+    // an extra job beyond the localCheckpoint — and column pruning reads
+    // only (__domain, ph) from the checkpoint when it does run. dp is
+    // one row per (domain, ph) by construction, so count(*) must equal
+    // the distinct hash count.
+    val kcGuard = dp.agg(assert_true(
+      count(lit(1)) === countDistinct(xxhash64(col("__domain"), col("ph"))),
+      lit("xxhash64(domain, ph) collision: fuzzy clustering would merge " +
+        "unrelated clusters — use string-keyed CC for this corpus"))
+      .as("__kc"))
     val banded = dp.select(col("__domain"), col("ph"), size(col("sh")).as("sz"),
       posexplode(col("bandkeys")).as(Seq("band", "key")))
     // size-ratio prefilter: J >= jacNum/jacDen implies min(|A|,|B|)·jacDen
@@ -437,6 +440,9 @@ object DomainStats {
     dp.withColumn("id", xxhash64(col("__domain"), col("ph")))
       .join(cc, Seq("id"))
       .select(col("__domain"), col("ph"), col("para"), col("cluster_id"))
+      .crossJoin(broadcast(kcGuard))
+      .filter(col("__kc").isNull)
+      .drop("__kc")
   }
 
   /** Per-cluster occurrence rollup over the pinned text-free keys:
@@ -667,7 +673,20 @@ object DomainStats {
     * (ONE ph-keyed window for first-domain attribution — q310's frame —
     * then ONE hash agg); paragraph TEXT joins in afterwards, only for
     * qualifying hashes, via the [[templateCatalog]] text-once pattern
-    * (min() over byte-identical occurrences, map-side combined). */
+    * (min() over byte-identical occurrences, map-side combined). The
+    * broadcast hint on the qualifying-hash semi-join is GATED on the
+    * checkpointed set's actual size ([[SyndicationBroadcastMax]]): at
+    * web-scale paragraph-reuse rates it always broadcasts, but a
+    * mirror-heavy corpus where cross-domain copying is the norm falls
+    * back to a plain shuffled left-semi hash join on ph (AQE may still
+    * promote it) instead of growing the driver past comfort. */
+  /** Broadcast ceiling (rows) for [[syndicationCatalog]]'s
+    * qualifying-hash set: ~500k 32-char md5 strings ≈ tens of MB on the
+    * driver — comfortably under executor/driver broadcast limits; above
+    * it, cross-domain copying is corpus-defining and the shuffled
+    * semi-join is the right plan anyway. */
+  val SyndicationBroadcastMax: Long = 500000L
+
   def syndicationCatalog(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDomains: Int = 3, grain: Int = 8): DataFrame = {
@@ -693,12 +712,20 @@ object DomainStats {
     // text crosses the wire only for QUALIFYING hashes (a mostly-unique
     // corpus would otherwise shuffle one full-length paragraph per
     // distinct hash corpus-wide): semi-join the exploded rows against
-    // the qualifying set — broadcast-sized — before the min() agg
+    // the qualifying set before the min() agg. The set is usually tiny,
+    // but the broadcast hint is gated on its ACTUAL size (the frame is
+    // already checkpointed, so the count is a cached-partition scan):
+    // past the bound, the plain semi-join shuffles 32-char hashes, not
+    // text — safe either way.
+    val qualPh = perPh.select("ph")
+    val qualSide =
+      if (perPh.count() <= SyndicationBroadcastMax) broadcast(qualPh)
+      else qualPh
     val text = withDomain
       .select(explode(graft.functions.CdcParagraphs(col(textCol), grain))
         .as("__para"))
       .select(md5(col("__para")).as("ph"), col("__para"))
-      .join(broadcast(perPh.select("ph")), Seq("ph"), "left_semi")
+      .join(qualSide, Seq("ph"), "left_semi")
       .groupBy("ph")
       .agg(min(col("__para")).as("paragraph"))
     perPh.join(text, "ph")

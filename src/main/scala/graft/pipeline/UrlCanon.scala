@@ -157,13 +157,43 @@ object UrlCanon {
     * keeper slots than one that originates. Domains absent from `caps`
     * get `defaultCap`. Same single domain-keyed rank window as the flat
     * cap; the caps side is broadcast (web-host cardinality, two
-    * columns). */
+    * columns).
+    *
+    * The caps frame is defensively collapsed to one row per domain
+    * (min(cap) — the conservative budget) BEFORE the join: a duplicate
+    * `url_domain` row would otherwise fan the left join out and corrupt
+    * the rank silently, and min-collapse fails safe instead of failing
+    * loud on a caller contract nobody enforces.
+    *
+    * `salt` is the same one-domain-dominates escape hatch as
+    * [[capDeduped]]'s (Sharding's two-phase rank): phase 1 ranks within
+    * (domain, keeper_id-hash bucket) and keeps at most the domain's OWN
+    * effective cap per bucket — the per-domain cap is already joined on
+    * by then, so the bucket filter uses the exact budget, not a global
+    * max — and phase 2 re-ranks the ≤ salt·cap bounded survivors. Exact
+    * for the same reason as the flat version: a domain's true top-cap
+    * rows are each within the top cap of their own bucket. Default
+    * `salt = 1` keeps the plan of the original single-window shape. */
   def capDedupedBy(
-      deduped: DataFrame, caps: DataFrame, defaultCap: Int): DataFrame =
-    deduped
-      .join(broadcast(caps), Seq("url_domain"), "left")
+      deduped: DataFrame, caps: DataFrame, defaultCap: Int,
+      salt: Int = 1): DataFrame = {
+    val capsUnique = caps.groupBy("url_domain").agg(min("cap").as("cap"))
+    val joined = deduped
+      .join(broadcast(capsUnique), Seq("url_domain"), "left")
+      .withColumn("__cap", coalesce(col("cap"), lit(defaultCap)))
+    val ranked =
+      if (salt <= 1) joined
+      else joined
+        .withColumn("__b", pmod(xxhash64(col("keeper_id")), lit(salt.toLong)))
+        .withColumn("__rk1", row_number().over(
+          Window.partitionBy(col("url_domain"), col("__b"))
+            .orderBy(col("keeper_id"))))
+        .filter(col("__rk1") <= col("__cap"))
+        .drop("__b", "__rk1")
+    ranked
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("url_domain")).orderBy(col("keeper_id"))))
-      .filter(col("__rk") <= coalesce(col("cap"), lit(defaultCap)))
-      .drop("__rk", "cap")
+      .filter(col("__rk") <= col("__cap"))
+      .drop("__rk", "__cap", "cap")
+  }
 }

@@ -78,6 +78,57 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("load").asDouble() == 11.2)
   }
 
+  test("failed queries are marked on the compact line; mass failure folds") {
+    val rs = results(310)
+    val out = Bench.compactLine(rs, "sf",
+      failed = Seq("q007_some_operator_name_7"))
+    assert(out.length <= Bench.tailBudget, s"line ${out.length} chars")
+    val j = mapper.readTree(out)
+    assert(j.get("failed").size() == 1)
+    assert(j.get("failed").get(0).asText() == "q007_some_operator_name_7")
+    // the failed query's time-to-exception still rides queries/total (the
+    // battery's honest cost) — the marker is what disambiguates it
+    assert(j.get("queries").size() > 0)
+    // absent failures leave the line shape unchanged (backward compat)
+    assert(!Bench.compactLine(rs, "sf").contains("failed"))
+    // catastrophic capture: every query failed — names cap at 8 + _more,
+    // the line still fits and still carries query detail
+    val out2 = Bench.compactLine(rs, "sf", failed = rs.map(_._1))
+    assert(out2.length <= Bench.tailBudget, s"line ${out2.length} chars")
+    val j2 = mapper.readTree(out2)
+    assert(j2.get("failed").size() <= 9)
+    val last = j2.get("failed").get(j2.get("failed").size() - 1).asText()
+    assert(last.startsWith("_more:"), last)
+    assert(last.stripPrefix("_more:").toInt ==
+      310 - (j2.get("failed").size() - 1))
+    assert(j2.get("queries").size() > 0)
+  }
+
+  test("overflow interleaves by size: big spikes outlive small query detail") {
+    // 300 tiny queries + a handful of large ones; evidence for two huge
+    // spikes. The small queries fold losslessly into _rest FIRST; the
+    // 20 s/15 s spike evidence and the large query timings both survive.
+    val rs = (1 to 300).map(i => (f"q${i}%03d_tiny_operator_name", 0.21)) ++
+      Seq(("q900_huge_a", 6.5), ("q901_huge_b", 5.5))
+    val rm = Seq("q900_huge_a" -> 20.0, "q901_huge_b" -> 15.0)
+    val out = Bench.compactLine(rs, "sf", load = 9.9, remeasured = rm)
+    assert(out.length <= Bench.tailBudget, s"line ${out.length} chars")
+    val j = mapper.readTree(out)
+    assert(j.get("remeasured").get("q900_huge_a").asDouble() == 20.0)
+    assert(j.get("remeasured").get("q901_huge_b").asDouble() == 15.0)
+    assert(j.get("queries").has("q900_huge_a"))
+    assert(j.get("queries").has("q901_huge_b"))
+    // and evidence SMALLER than remaining query detail folds before it:
+    // all queries big, evidence tiny -> evidence drops to _more first
+    val rsBig = (1 to 300).map(i => (f"q${i}%03d_biggg_operator_name", 3.1))
+    val rmTiny = Seq("q001_biggg_operator_name" -> 1.6)
+    val j3 = mapper.readTree(
+      Bench.compactLine(rsBig, "sf", remeasured = rmTiny))
+    val rmNode = j3.get("remeasured")
+    assert(rmNode == null ||
+      (rmNode.size() == 1 && rmNode.has("_more")), s"$rmNode")
+  }
+
   test("driver tail capture: last 2000 chars end with a parseable line") {
     // simulate the process output the driver captures: compile noise,
     // Spark WARN chatter, then the metric line LAST (what Bench now emits)

@@ -377,6 +377,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted weighted cap keeps exactly the plain keeper set; dup caps collapse to min") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(909)
+    for (trial <- 1 to 4) {
+      // trial 1 is the pathological shape the salt exists for: EVERY row
+      // on one domain (the corpus that would serialize a plain window)
+      val nDomains = if (trial == 1) 1 else 1 + rnd.nextInt(4)
+      val ids = rnd.shuffle((1L to 1000L).toList).take(200 + rnd.nextInt(200))
+      val rows = ids.map { id =>
+        val d = s"d${rnd.nextInt(nDomains)}.com"
+        (s"http://$d/p$id", d, id, 1L)
+      }
+      val df = rows.toDF("url_canonical", "url_domain", "keeper_id", "n_variants")
+      val defaultCap = 1 + rnd.nextInt(10)
+      // per-domain budgets for a random subset of domains (d0 always
+      // budgeted so trial 1 exercises the joined-cap path, not the default)
+      val capOf = (0 until nDomains).filter(i => i == 0 || rnd.nextBoolean())
+        .map(i => s"d$i.com" -> (1 + rnd.nextInt(15))).toMap
+      val caps = capOf.toSeq.toDF("url_domain", "cap")
+      def keepers(out: org.apache.spark.sql.DataFrame) =
+        out.select("url_domain", "keeper_id")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val plain = keepers(pipeline.UrlCanon.capDedupedBy(df, caps, defaultCap))
+      for (salt <- Seq(2, 7)) {
+        val salted = keepers(
+          pipeline.UrlCanon.capDedupedBy(df, caps, defaultCap, salt))
+        assert(salted == plain,
+          s"trial=$trial salt=$salt: ${salted.diff(plain)} / ${plain.diff(salted)}")
+      }
+      // brute-force reference: lowest effective-cap keeper ids per domain
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (d, rs) =>
+        rs.map(_._3).sorted.take(capOf.getOrElse(d, defaultCap)).map(d -> _)
+      }.toSet
+      assert(plain == want, s"trial=$trial defaultCap=$defaultCap")
+      // a caller shipping duplicate url_domain rows must not fan the join
+      // out (silent keeper-set corruption): the frame collapses to
+      // min(cap) — the conservative budget — before the join
+      val dupCaps = (capOf.toSeq ++ capOf.toSeq.map { case (d, c) => (d, c + 5) })
+        .toDF("url_domain", "cap")
+      assert(keepers(pipeline.UrlCanon.capDedupedBy(df, dupCaps, defaultCap))
+        == plain, s"trial=$trial dup-caps frame changed the keeper set")
+    }
+  }
+
   test("soft dedup weights equal brute-force union-find on random pair graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(2024)
