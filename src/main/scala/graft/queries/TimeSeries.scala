@@ -991,9 +991,12 @@ object TimeSeries {
             .select("arrival_us", "ts", "event_type"),
           "arrival_us", nBatches = 4, staged)
         val schema = s.read.parquet(s"$staged/part000.parquet").schema
+        // statePartitions = 4: state cardinality is hours x event types
+        // (~1k groups); 32 store instances x 4 batches was 2x the query's
+        // own work in commit round-trips (SCALING §8.21)
         graft.streaming.WatermarkAudit.audit(
           s, staged, schema, "ts", "event_type",
-          delaySeconds = 1800L, windowSeconds = 3600)
+          delaySeconds = 1800L, windowSeconds = 3600, statePartitions = 4)
       }),
 
     // ---- first/last-touch attribution (EventAnalytics.attribution):

@@ -73,11 +73,23 @@ object WatermarkAudit {
     *     `numRowsDroppedByWatermark`, a best-effort window-granular
     *     counter (late rows landing in a still-resident window are
     *     merged, not counted — observed and spec'd);
-    *   - `input_rows` / `state_rows` from the progress events. */
+    *   - `input_rows` / `state_rows` from the progress events.
+    *
+    * `statePartitions` (0 = leave the session setting) pins the stream's
+    * shuffle-partition count, which for a stateful query is also the
+    * state-store instance count — PER BATCH each instance pays a store
+    * load/commit round-trip, so the right size tracks STATE cardinality
+    * (windows × tags, bounded), not input rows: partial aggregation
+    * collapses the input map-side, the shuffle carries only per-group
+    * partials. At 32 session partitions × 4 batches the machinery was
+    * 2× the whole query's work (SCALING §8.21); 4 instances fit the
+    * ~1k-group state with room to thousands. Restored after the stream
+    * finishes (the session value is snapshotted; queries in the battery
+    * run sequentially). */
   def audit(
       spark: SparkSession, stagedDir: String, schema: StructType,
       tsCol: String, tagCol: String, delaySeconds: Long,
-      windowSeconds: Int): DataFrame = {
+      windowSeconds: Int, statePartitions: Int = 0): DataFrame = {
     import spark.implicits._
     // every event is captured tagged with its runId and filtered AFTER the
     // query's runId is known — accepting events while runId is unassigned
@@ -98,7 +110,10 @@ object WatermarkAudit {
       }
     }
     spark.streams.addListener(listener)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$stagedDir/*.parquet")
@@ -110,6 +125,7 @@ object WatermarkAudit {
         .start()
       val thisRun = q.runId
       q.awaitTermination()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // listener delivery is async: drain until the bus settles
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       var last = -1
@@ -119,30 +135,35 @@ object WatermarkAudit {
       }
       // data-derived lateness per staged batch: replay the watermark
       // recurrence over the files in their replay order (name == mtime
-      // order). One tiny agg per file — audit tooling, not a data path.
-      // An EMPTY staged file (duplicate quantile bounds) yields an
-      // empty engine batch that the progress filter below also drops —
-      // skip it here too so batch/file alignment stays 1:1, and leave
-      // runMax untouched (no data, no watermark movement).
-      val sfs = new org.apache.hadoop.fs.Path(stagedDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val files = sfs.listStatus(new org.apache.hadoop.fs.Path(stagedDir))
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName)
+      // order) in TWO jobs instead of one per file — job 1 collects the
+      // per-file max event time (O(nBatches) rows on the driver, audit
+      // tooling), the recurrence itself is driver arithmetic, job 2
+      // counts each file's rows below ITS operative watermark through a
+      // literal file→threshold map in one pass. An EMPTY staged file
+      // (duplicate quantile bounds) has no rows, so it is absent from
+      // both groupings — same skip the engine's progress filter applies
+      // — and leaves runMax untouched (no data, no watermark movement).
+      val fname = regexp_extract(input_file_name(), "([^/]+)$", 1)
+      val us = unix_micros(col(tsCol))
+      val staged = spark.read.schema(schema).parquet(s"$stagedDir/*.parquet")
+      val maxByFile = staged
+        .groupBy(fname.as("__f")).agg(max(us).as("__mx"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       var runMax = Long.MinValue
-      val lateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
-      files.foreach { f =>
+      val wmByFile = maxByFile.keys.toSeq.sorted.map { f =>
         val wm = if (runMax == Long.MinValue) Long.MinValue
                  else runMax - delaySeconds * 1000000L
-        val r = spark.read.parquet(f.getPath.toString)
-          .agg(max(unix_micros(col(tsCol))),
-            sum(when(unix_micros(col(tsCol)) < wm, 1L).otherwise(0L)))
-          .head()
-        if (!r.isNullAt(0)) {
-          runMax = math.max(runMax, r.getLong(0))
-          lateRows += r.getLong(1)
-        }
+        runMax = math.max(runMax, maxByFile(f))
+        f -> wm
       }
+      val wmMap = map(wmByFile.flatMap { case (f, wm) =>
+        Seq(lit(f), lit(wm)) }: _*)
+      val lateRows = staged
+        .groupBy(fname.as("__f"))
+        .agg(sum(when(us < element_at(wmMap, fname), 1L)
+          .otherwise(0L)).as("__late"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .toSeq.sortBy(_._1).map(_._2)
       import scala.jdk.CollectionConverters._
       progress.asScala.toSeq
         .filter(p => p._1 == thisRun && p._3 > 0)
@@ -151,6 +172,9 @@ object WatermarkAudit {
           (b, in, if (i < lateRows.length) lateRows(i) else 0L, drop, st) }
         .toDF("batch_id", "input_rows", "late_rows", "engine_dropped",
           "state_rows")
-    } finally spark.streams.removeListener(listener)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.streams.removeListener(listener)
+    }
   }
 }
