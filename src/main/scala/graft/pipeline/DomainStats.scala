@@ -657,6 +657,85 @@ object DomainStats {
         sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dup_dropped"))
   }
 
+  /** [[cleanTokenStats]] with the THIRD excision rule composed in — the
+    * full release-pipeline cleaning chain at paragraph-row grain:
+    *
+    *   1. within-domain template strip (drop-ALL: >= `minDocs` distinct
+    *      docs of the same domain lose every occurrence — including on
+    *      a syndication ORIGIN domain: keep-origin does not shield a
+    *      wire service's own within-domain repetition, and in the drop
+    *      accounting the template rule outranks the syndication rule);
+    *   2. cross-domain syndication strip (KEEP-ORIGIN: a paragraph on
+    *      >= `minDomains` distinct registered domains is dropped from
+    *      every domain EXCEPT its first-occurrence domain —
+    *      [[syndicationStrip]]'s rule). Attribution and qualification
+    *      are computed over THIS call's population: run post-cap, the
+    *      first surviving occurrence is the origin (a capped-away
+    *      origin page cedes attribution to the earliest keeper);
+    *   3. keep-first paragraph dedup over the survivors of BOTH strips
+    *      ([[Dedup.paragraphDedup]]'s rule, global, ranked by (doc id,
+    *      position)) — an occurrence excised by either strip must not
+    *      consume the keep-first slot.
+    *
+    * Exactness and output shape follow [[cleanTokenStats]] (CDC
+    * boundaries are per-token, so composing at paragraph-row grain
+    * equals stripping then re-chunking; fully-excised docs stay present
+    * with clean_tokens = 0), plus `n_synd_dropped`.
+    *
+    * Scale shape: the pinned text-free rows feed the template agg, the
+    * syndication qualification agg, the attribution window and the
+    * final rollup; both windows are ph-keyed (one partitioning, reused);
+    * shuffles carry (id, domain, ph, n_tok) — never text. */
+  def cleanTokenStatsV2(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDocs: Int = 3, minDomains: Int = 3, grain: Int = 8): DataFrame = {
+    val rows = Dedup.paragraphRows(
+      docs.repartition(col(idCol))
+        .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
+      idCol, textCol, grain, carry = Seq("__domain"))
+      .localCheckpoint()
+    val tpl = rows.groupBy("__domain", "ph")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__domain"), col("ph"), lit(1).as("__t"))
+    val synd = rows.groupBy("ph")
+      .agg(countDistinct(col("__domain")).as("__ndom"))
+      .filter(col("__ndom") >= minDomains)
+      .select(col("ph"), lit(1).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ph").orderBy(col(idCol), col("para_idx"))
+    // __cls: 0 = template-dropped, -1 = syndicated-in (keep-origin drop),
+    // 1 = strip survivor (then keep-first ranked over survivors only)
+    val marked = rows
+      .withColumn("__fd", first(col("__domain")).over(w))
+      .join(tpl, Seq("__domain", "ph"), "left")
+      .join(synd, Seq("ph"), "left")
+      .withColumn("__cls",
+        when(col("__t") === 1, lit(0))
+          .when(col("__s") === 1 && col("__fd") =!= col("__domain"), lit(-1))
+          .otherwise(lit(1)))
+    val ranked = marked.filter(col("__cls") === 1)
+      .withColumn("__rk", row_number().over(w))
+    val droppedRows = marked.filter(col("__cls") =!= 1)
+      .withColumn("__rk", col("__cls"))
+    ranked.unionByName(droppedRows)
+      .groupBy(col(idCol), col("__domain").as("domain"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__rk") === 1, col("n_tok")).otherwise(0L))
+          .as("clean_tokens"),
+        sum(when(col("__rk") === 0, 1L).otherwise(0L)).as("n_tpl_dropped"),
+        sum(when(col("__rk") === -1, 1L).otherwise(0L)).as("n_synd_dropped"),
+        sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dup_dropped"))
+  }
+
+  /** Broadcast ceiling (rows) for [[syndicationCatalog]]'s
+    * qualifying-hash set: ~500k 32-char md5 strings ≈ tens of MB on the
+    * driver — comfortably under executor/driver broadcast limits; above
+    * it, cross-domain copying is corpus-defining and the shuffled
+    * semi-join is the right plan anyway. */
+  val SyndicationBroadcastMax: Long = 500000L
+
   /** Cross-domain SYNDICATION CATALOG — the dedup-side twin of
     * [[templateCatalog]] that the within/cross split of
     * [[domainBoilerplate]] implies: paragraphs recurring on at least
@@ -680,13 +759,6 @@ object DomainStats {
     * mirror-heavy corpus where cross-domain copying is the norm falls
     * back to a plain shuffled left-semi hash join on ph (AQE may still
     * promote it) instead of growing the driver past comfort. */
-  /** Broadcast ceiling (rows) for [[syndicationCatalog]]'s
-    * qualifying-hash set: ~500k 32-char md5 strings ≈ tens of MB on the
-    * driver — comfortably under executor/driver broadcast limits; above
-    * it, cross-domain copying is corpus-defining and the shuffled
-    * semi-join is the right plan anyway. */
-  val SyndicationBroadcastMax: Long = 500000L
-
   def syndicationCatalog(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDomains: Int = 3, grain: Int = 8): DataFrame = {

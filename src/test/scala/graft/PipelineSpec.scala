@@ -2598,6 +2598,80 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L)._3 == 0L && got(3L)._4 >= 1L, s"doc 3: ${got(3L)}")
   }
 
+  test("clean token stats v2: template > syndication > keep-first precedence") {
+    import spark.implicits._
+    val g = 4
+    val chunks = cdcChunks(g) _
+    def md5b0(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(tok.getBytes("UTF-8"))(0) & 0xff
+    }
+    val pool = (0 until 200).map(i => s"w$i").filter(md5b0(_) % g != 0)
+    val bt = (0 until 200).map(i => s"w$i").find(md5b0(_) % g == 0).get
+    val footer = Seq(pool(30), pool(31), bt).mkString(" ") // a.com template
+    val wire = Seq(pool(32), pool(33), bt).mkString(" ") // 3-domain synd, a.com origin
+    val both = Seq(pool(34), pool(35), bt).mkString(" ") // template on a.com AND 3-domain synd
+    val dupP = Seq(pool(36), pool(37), bt).mkString(" ") // plain 2-copy duplicate
+    def filler(i: Int, n: Int) = pool.slice(i, i + n).mkString(" ")
+    val rows = Seq(
+      (1L, "https://a.com/p1", both + " " + wire + " " + dupP),
+      (2L, "https://a.com/p2", footer + " " + both),
+      (3L, "https://a.com/p3", footer + " " + both + " " + filler(40, 2)),
+      (4L, "https://a.com/p4", footer), // fully excised -> stays, 0 mass
+      (5L, "https://b.net/p1", wire + " " + both + " " + dupP),
+      (6L, "https://c.org/p1", wire + " " + both))
+    val docs = rows.toDF("doc_id", "url", "text")
+    def dom(u: String) = u.stripPrefix("https://").takeWhile(_ != '/')
+    val paras = rows.flatMap { case (id, u, t) =>
+      chunks(t).zipWithIndex.map { case (p, i) => (id, dom(u), i, p) } }
+    val tmpl = paras.groupBy(r => (r._2, r._4))
+      .filter(_._2.map(_._1).distinct.size >= 3).keySet
+    val synd = paras.groupBy(_._4)
+      .filter(_._2.map(_._2).distinct.size >= 3).keySet
+    val fdOf = paras.groupBy(_._4)
+      .map { case (p, rs) => p -> rs.minBy(r => (r._1, r._3))._2 }
+    // cls mirrors the operator: 0 template (outranks), -1 syndicated-in,
+    // 1 survivor; keep-first rank over survivors only
+    def cls(d: String, p: String) =
+      if (tmpl((d, p))) 0
+      else if (synd(p) && fdOf(p) != d) -1
+      else 1
+    val surv = paras.filter(r => cls(r._2, r._4) == 1)
+    val firstOf = surv.groupBy(_._4).map { case (p, rs) =>
+      p -> rs.map(r => (r._1, r._3)).min }
+    val want = rows.map { case (id, u, t) =>
+      val d = dom(u)
+      val cs = chunks(t).zipWithIndex
+      val nTpl = cs.count { case (p, _) => cls(d, p) == 0 }
+      val nSyn = cs.count { case (p, _) => cls(d, p) == -1 }
+      val kept = cs.filter { case (p, i) =>
+        cls(d, p) == 1 && firstOf(p) == ((id, i)) }
+      val nDup = cs.size - nTpl - nSyn - kept.size
+      id -> ((d, cs.size.toLong,
+        kept.map(_._1.split(" ").length.toLong).sum,
+        nTpl.toLong, nSyn.toLong, nDup.toLong))
+    }.toMap
+    val got = DomainStats.cleanTokenStatsV2(docs, "url", "doc_id", "text",
+        minDocs = 3, minDomains = 3, grain = g)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // precedence contracts, each visible in the fixture:
+    // (a) template OUTRANKS syndication: `both` qualifies for both rules,
+    //     and on a.com (its origin AND template domain) it counts as
+    //     template-dropped — keep-origin does not shield within-domain
+    //     repetition, so the origin keeps NO copy of `both`
+    assert(got(1L)._4 >= 1L && got(2L)._4 >= 2L, s"1=${got(1L)} 2=${got(2L)}")
+    // (b) keep-origin: doc 1 (a.com, first occurrence) keeps `wire`;
+    //     b.net/c.org copies are syndication-dropped, NOT dedup-dropped
+    assert(got(5L)._5 >= 1L && got(6L)._5 >= 1L, s"5=${got(5L)} 6=${got(6L)}")
+    // (c) keep-first over strip SURVIVORS only: `dupP` is kept in doc 1
+    //     and dedup-dropped (not synd-dropped) in doc 5
+    assert(got(5L)._6 >= 1L, s"5=${got(5L)}")
+    // (d) fully-excised docs stay present with zero clean mass
+    assert(got(4L)._3 == 0L && got(4L)._4 >= 1L, s"4=${got(4L)}")
+  }
+
   test("syndication: cross-domain catalog + rollup, templates excluded") {
     import spark.implicits._
     val g = 4
