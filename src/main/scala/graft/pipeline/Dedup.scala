@@ -331,14 +331,20 @@ object Dedup {
     *
     * Algorithm: iterative min-label propagation (the standard distributed
     * CC formulation — Kiveris et al., "Connected Components in MapReduce
-    * and Beyond", SoCC'14 — in its simple hash-to-min shape): each round,
-    * every node takes the min of its own label and its neighbors', one
-    * join + one hash aggregate per round. Rounds needed = component
-    * diameter; near-dup clusters are band/bucket-shaped (near-cliques), so
-    * this converges in 2-3 rounds where a generic graph might need the
-    * paper's large-star/small-star variant. `localCheckpoint` truncates
-    * the loop-grown lineage each round (on a cluster, prefer a reliable
-    * checkpoint dir).
+    * and Beyond", SoCC'14 — in its hash-to-min shape) WITH pointer
+    * doubling: each round every node takes the min of its own label, its
+    * neighbors' labels, AND its current label's label (one extra
+    * forest-sized self-join — the pointer-jumping step), so convergence
+    * is O(log diameter) rounds instead of O(diameter). Near-dup clusters
+    * are band/bucket-shaped (near-cliques, 2-3 rounds either way), but a
+    * CHAIN-shaped component — a drifting variant family where consecutive
+    * edits are similar though the ends are not (the global fuzzy
+    * syndication graph grows these at sf1) — has linear diameter, and
+    * plain propagation hit the 25-round budget there; doubling covers
+    * diameter 2^25 in the same budget. Labels always name a node of the
+    * same component, so the min-label fixpoint is unchanged.
+    * `localCheckpoint` truncates the loop-grown lineage each round (on a
+    * cluster, prefer a reliable checkpoint dir).
     *
     * Returns (id, cluster_id) for every id that appears in `pairs`;
     * singleton docs (no pairs) are absent — treat missing as own-cluster.
@@ -386,7 +392,12 @@ object Dedup {
     while (!converged && it < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.union(prop)
+      // pointer doubling: follow each node's current label one hop (the
+      // label's own label) — min-semantics preserved, rounds O(log d)
+      val jump = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.label").as("label"))
+      val next = labels.union(prop).union(jump)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
       val nextCert = certificate(next)

@@ -854,6 +854,108 @@ object DomainStats {
           .cast("long"))
   }
 
+  /** FUZZY syndication catalog — the near-dup completion of
+    * [[syndicationCatalog]], closing the gap between it and
+    * [[fuzzyTemplateCatalog]]: press-wire copy that copiers lightly EDIT
+    * (a swapped dateline, a localized intro, a trimmed final sentence)
+    * never shares a hash across domains, so the exact catalog cannot
+    * group it — and the fuzzy TEMPLATE family deliberately clusters
+    * per-domain, so it cannot see it either. Here the near-dup
+    * clustering runs GLOBALLY (the phenomenon IS cross-domain), and a
+    * cluster is reported when its members' occurrences span
+    * >= `minDomains` DISTINCT registered domains AND it has >= 2
+    * variants (a single cross-domain recurring hash is the exact
+    * catalog's row, not ours). Attribution is the first occurrence by
+    * (doc id, position) over ALL member occurrences — the probable
+    * origin, which keeps its copies under [[syndicationStrip]]-style
+    * keep-origin economics.
+    *
+    * Operating point follows [[fuzzyTemplateCatalog]] (coarse `grain`,
+    * small `shingleK`, exact integer cross-multiplied Jaccard); the
+    * single-hot-bucket escape hatch documented on
+    * [[fuzzyClusterMembers]] applies unchanged — global banding only
+    * removes the domain from the bucket key, it does not change the
+    * in-bucket quadratic's bound or the size-ratio prefilter.
+    *
+    * Scale shape: paragraph text shuffles ONCE (the global distinct-ph
+    * agg); signatures/bands are map-side kernels over the pinned
+    * distinct frame; the LSH self-join is banded; CC runs on
+    * xxhash64(ph) longs (collision guard folded into the plan, the
+    * [[fuzzyClusterMembers]] posture); occurrence counts and the
+    * attribution window ride text-free (id, domain, ph, n_tok, idx)
+    * rows. Output: cluster (min member ph), representative paragraph,
+    * origin_domain, n_variants, n_domains, n_docs, n_occurrences,
+    * total_tokens. */
+  def fuzzySyndicationCatalog(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDomains: Int = 3, grain: Int = 16, shingleK: Int = 1,
+      numHashes: Int = 64, bands: Int = 16,
+      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+    val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
+    // global distinct paragraph: one row per ph, text crosses once
+    // (min() is exact — all occurrences of a ph are byte-identical);
+    // pinned: feeds the banded self-join, both verify joins and the
+    // membership join
+    val dp = occ.groupBy("ph")
+      .agg(min(col("__para")).as("para"))
+      .withColumn("sh",
+        array_distinct(TextAnalysis.shingles(col("para"), shingleK)))
+      .withColumn("bandkeys", TextAnalysis.minhashBands(
+        TextAnalysis.minhashSignature(col("sh"), numHashes),
+        bands, numHashes / bands))
+      .localCheckpoint()
+    // plan-folded xxhash64(ph) collision guard (fuzzyClusterMembers'
+    // posture): dp is one row per ph by construction
+    val kcGuard = dp.agg(assert_true(
+      count(lit(1)) === countDistinct(xxhash64(col("ph"))),
+      lit("xxhash64(ph) collision: global fuzzy clustering would merge " +
+        "unrelated clusters — use string-keyed CC for this corpus"))
+      .as("__kc"))
+    val banded = dp.select(col("ph"), size(col("sh")).as("sz"),
+      posexplode(col("bandkeys")).as(Seq("band", "key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.ph") < col("b.ph") &&
+        least(col("a.sz"), col("b.sz")) * jacDen >=
+          greatest(col("a.sz"), col("b.sz")) * jacNum)
+      .select(col("a.ph").as("ph_a"), col("b.ph").as("ph_b"))
+      .distinct()
+    val edges = cand
+      .join(dp.select(col("ph").as("ph_a"), col("sh").as("sh_a")), Seq("ph_a"))
+      .join(dp.select(col("ph").as("ph_b"), col("sh").as("sh_b")), Seq("ph_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * jacDen >=
+        size(array_union(col("sh_a"), col("sh_b"))) * jacNum)
+      .select(xxhash64(col("ph_a")).as("id_a"), xxhash64(col("ph_b")).as("id_b"))
+    val cc = Dedup.connectedComponents(edges)
+    val members = dp.withColumn("id", xxhash64(col("ph")))
+      .join(cc, Seq("id"))
+      .select(col("ph"), col("para"), col("cluster_id"))
+      .crossJoin(broadcast(kcGuard))
+      .filter(col("__kc").isNull)
+      .drop("__kc")
+    val keys = occKeys(docs, urlCol, idCol, textCol, grain)
+    val mocc = keys.join(members.select("ph", "cluster_id"), Seq("ph"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col(idCol), col("para_idx"))
+    val roll = mocc
+      .withColumn("__fd", first(col("__domain")).over(w))
+      .groupBy("cluster_id")
+      .agg(
+        max(col("__fd")).as("origin_domain"), // constant per cluster
+        countDistinct(col("__domain")).as("n_domains"),
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        sum(col("n_tok")).as("total_tokens"),
+        countDistinct(col("ph")).as("n_variants"))
+      .filter(col("n_domains") >= minDomains && col("n_variants") >= 2)
+    members.groupBy("cluster_id")
+      .agg(min(col("ph")).as("cluster"), min(col("para")).as("paragraph"))
+      .join(roll, "cluster_id")
+      .select(col("cluster"), col("paragraph"), col("origin_domain"),
+        col("n_variants"), col("n_domains"), col("n_docs"),
+        col("n_occurrences"), col("total_tokens"))
+  }
+
   /** Cross-domain SYNDICATION STRIP — the actionable counterpart of
     * [[syndicationCatalog]], with KEEP-ORIGIN semantics: rebuild every
     * document excising occurrences of qualifying syndicated paragraphs

@@ -249,6 +249,53 @@ object PipelineQueries {
       |ex AS (SELECT domain, md5(para) AS ph FROM pd
       |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= ${FuzzyOp.minDocs})""".stripMargin
 
+  /** The GLOBAL fuzzy paragraph-cluster CTE chain (g-prefixed twin of
+    * [[fuzzyCteSql]] with the domain removed from the distinct frame,
+    * the bucket key and the CC vertex — the q325 fuzzy-SYNDICATION
+    * clustering core; the phenomenon is cross-domain, so clusters must
+    * be too). Same [[FuzzyOp]] operating point, same md5-portable
+    * minhash replay, same exact integer-Jaccard verify; ends at
+    * `gmem(ph, para, cluster_id)` + the occurrence frame `pd`. Callers
+    * prefix `WITH RECURSIVE ` and append their rollup. */
+  private val fuzzySyndCteSql =
+    (s"""u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
+        |c0 AS ($urlCanonSql),
+        |c AS ($urlAssembleSql),
+        |""" + paraCteSqlOf(FuzzyOp.grain) + s""",
+        |pd AS (SELECT p.doc_id, p.para_idx, p.para, p.n_tok, c.domain
+        |  FROM paras p JOIN c USING (doc_id)),
+        |gdp AS (SELECT md5(para) AS ph, min(para) AS para FROM pd GROUP BY 1),
+        |gsh AS (SELECT DISTINCT ph, w.s
+        |  FROM (SELECT ph, string_split(para, ' ') AS toks FROM gdp),
+        |    unnest(toks) w(s)),
+        |ghs AS (SELECT ph, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM gsh),
+        |gco AS (SELECT j.j,
+        |    2 * ('0x' || substr(md5('mh:a:' || j.j), 1, 7))::BIGINT + 1 AS a,
+        |    ('0x' || substr(md5('mh:b:' || j.j), 1, 15))::BIGINT AS b
+        |  FROM generate_series(0, ${FuzzyOp.numHashes - 1}) j(j)),
+        |gmins AS (SELECT ph, j,
+        |    min((a::HUGEINT * h + b) % 18446744073709551616) AS m
+        |  FROM ghs CROSS JOIN gco GROUP BY 1, 2),
+        |gbk AS (SELECT ph, j // ${FuzzyOp.rowsPerBand} AS band,
+        |    md5(string_agg(m::VARCHAR, ',' ORDER BY j)) AS key
+        |  FROM gmins GROUP BY ph, j // ${FuzzyOp.rowsPerBand}),
+        |gsl AS (SELECT ph, list(s) AS l FROM gsh GROUP BY 1),
+        |gcand AS (SELECT DISTINCT a.ph AS ph_a, b.ph AS ph_b
+        |  FROM gbk a JOIN gbk b
+        |    ON a.band = b.band AND a.key = b.key AND a.ph < b.ph),
+        |gver AS (SELECT ph_a, ph_b FROM gcand cd
+        |  JOIN gsl sa ON sa.ph = cd.ph_a
+        |  JOIN gsl sb ON sb.ph = cd.ph_b
+        |  WHERE ${FuzzyOp.jacDen} * len(list_intersect(sa.l, sb.l)) >=
+        |        ${FuzzyOp.jacNum} * len(list_distinct(list_concat(sa.l, sb.l)))),
+        |gedges AS (SELECT ph_a AS src, ph_b AS dst FROM gver
+        |  UNION SELECT ph_b, ph_a FROM gver),
+        |greach(id, r) AS (SELECT src, src FROM gedges
+        |  UNION SELECT e.src, r.r FROM gedges e JOIN greach r ON e.dst = r.id),
+        |gcc AS (SELECT id, min(r) AS cluster_id FROM greach GROUP BY id),
+        |gmem AS (SELECT gdp.ph, gdp.para, gcc.cluster_id
+        |  FROM gdp JOIN gcc ON gcc.id = gdp.ph)""").stripMargin
+
   private val jaccPairCteSql =
     """t AS (SELECT doc_id, lang,
       |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks,
@@ -3944,7 +3991,48 @@ object PipelineQueries {
             sum("weight_x10000").as("eff_docs_x10000"),
             sum("clean_tokens").as("clean_tokens"),
             sum("n_synd_dropped").as("synd_dropped"))
-      })
+      }),
+
+    // ---- FUZZY syndication catalog (DomainStats.fuzzySyndicationCatalog):
+    //      press-wire copy that copiers lightly EDIT never shares a hash
+    //      across domains (exact catalog blind) and the fuzzy template
+    //      family clusters per-domain (also blind) — this variant
+    //      clusters GLOBALLY and qualifies on >= 3 distinct registered
+    //      domains + >= 2 variants, with first-occurrence origin
+    //      attribution. Shares the FuzzyOp operating point; the oracle
+    //      replays the same md5-portable minhash chain minus the domain
+    //      key (fuzzySyndCteSql).
+    GraftQuery("q325_fuzzy_syndication_catalog",
+      Some(("WITH RECURSIVE " + fuzzySyndCteSql + """,
+               |gocc AS (SELECT pd.doc_id, pd.domain, pd.para_idx, pd.n_tok,
+               |    m.ph, m.cluster_id
+               |  FROM pd JOIN gmem m ON m.ph = md5(pd.para)),
+               |gatt AS (SELECT *, first_value(domain) OVER (
+               |    PARTITION BY cluster_id ORDER BY doc_id, para_idx) AS fd
+               |  FROM gocc),
+               |groll AS (SELECT cluster_id, max(fd) AS origin_domain,
+               |    count(DISTINCT domain) AS n_domains,
+               |    count(DISTINCT doc_id) AS n_docs,
+               |    count(*) AS n_occurrences, sum(n_tok) AS total_tokens,
+               |    count(DISTINCT ph) AS n_variants
+               |  FROM gatt GROUP BY 1),
+               |grep AS (SELECT cluster_id, min(ph) AS cluster,
+               |    min(para) AS paragraph
+               |  FROM gmem GROUP BY 1)
+               |SELECT grep.cluster, grep.paragraph, groll.origin_domain,
+               |  groll.n_variants::BIGINT AS n_variants,
+               |  groll.n_domains::BIGINT AS n_domains,
+               |  groll.n_docs::BIGINT AS n_docs,
+               |  groll.n_occurrences::BIGINT AS n_occurrences,
+               |  groll.total_tokens::BIGINT AS total_tokens
+               |FROM groll JOIN grep USING (cluster_id)
+               |WHERE groll.n_domains >= 3 AND groll.n_variants >= 2""").stripMargin),
+      (s, dir) => DomainStats.fuzzySyndicationCatalog(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", minDomains = 3, grain = FuzzyOp.grain,
+        shingleK = FuzzyOp.shingleK, numHashes = FuzzyOp.numHashes,
+        bands = FuzzyOp.bands, jacNum = FuzzyOp.jacNum,
+        jacDen = FuzzyOp.jacDen))
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

@@ -2816,6 +2816,53 @@ class PipelineSpec extends SparkSpec {
     assert(got(5L)._1.contains(tpl) && got(3L)._1.contains(tpl), got.toString)
   }
 
+  test("fuzzy syndication: edited cross-domain copies cluster, templates and exact stay out") {
+    import spark.implicits._
+    val g = 16
+    def md5b0(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(tok.getBytes("UTF-8"))(0) & 0xff
+    }
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val pool = (0 until 400).map(i => s"w$i").filter(md5b0(_) % g != 0)
+    val bt = (0 until 400).map(i => s"w$i").find(md5b0(_) % g == 0).get
+    // wire family: 10-token paragraphs, one token locally edited per
+    // copier — token-set Jaccard vs the base is 9/11 = 0.818 >= 4/5
+    val baseT = pool.slice(50, 59)
+    val base = (baseT :+ bt).mkString(" ")
+    val varB = (baseT.updated(0, pool(60)) :+ bt).mkString(" ")
+    val varC = (baseT.updated(1, pool(61)) :+ bt).mkString(" ")
+    // within-domain-only near-dup pair (a fuzzy TEMPLATE, not syndication)
+    val tplA = (pool.slice(70, 79) :+ bt).mkString(" ")
+    val tplB = ((pool(79) +: pool.slice(71, 79)) :+ bt).mkString(" ")
+    // exact cross-domain paragraph: q318's row, NOT ours (1 variant)
+    val exactW = (pool.slice(80, 86) :+ bt).mkString(" ")
+    val rows = Seq(
+      (1L, "https://a.com/p1", base + " " + exactW),
+      (2L, "https://b.net/p1", varB + " " + exactW),
+      (3L, "https://c.org/p1", varC + " " + exactW),
+      (4L, "https://a.com/p2", tplA),
+      (5L, "https://a.com/p3", tplB))
+    val docs = rows.toDF("doc_id", "url", "text")
+    val got = DomainStats.fuzzySyndicationCatalog(docs, "url", "doc_id",
+        "text", minDomains = 3, grain = g, shingleK = 1,
+        numHashes = 64, bands = 16, jacNum = 4, jacDen = 5)
+      .collect()
+    assert(got.length == 1, got.mkString("; "))
+    val r = got.head
+    // cluster name = min member hash; representative = min member text
+    val variants = Seq(base, varB, varC)
+    assert(r.getString(0) == variants.map(md5hex).min, r.toString)
+    assert(r.getString(1) == variants.min, r.toString)
+    // origin = first occurrence by (doc id, position) -> a.com's base copy
+    assert(r.getString(2) == "a.com", r.toString)
+    assert(r.getLong(3) == 3L && r.getLong(4) == 3L && r.getLong(5) == 3L,
+      r.toString) // n_variants, n_domains, n_docs
+    assert(r.getLong(6) == 3L && r.getLong(7) == 30L, r.toString)
+  }
+
   test("per-domain cap budgets: capDedupedBy keeps lowest ids up to each cap") {
     import spark.implicits._
     val docs = (1L to 12L).map { id =>
