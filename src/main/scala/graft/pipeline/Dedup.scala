@@ -623,8 +623,17 @@ object Dedup {
     * left join against the (id → size) assignment — payloads never
     * shuffle into the clustering. */
   def softDedupWeights(
-      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val cc = connectedComponents(pairs).withColumnRenamed("id", idCol)
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    softDedupWeightsFromCC(docs, idCol,
+      connectedComponents(pairs).withColumnRenamed("id", idCol))
+
+  /** [[softDedupWeights]] over a PRECOMPUTED component assignment
+    * (`cc`: one (idCol, cluster_id) row per clustered doc) — for
+    * pipelines that need both the weights AND the cluster labels
+    * (q322/q324's weighted cluster split): the iterative CC join loop
+    * runs once, not once per consumer. */
+  def softDedupWeightsFromCC(
+      docs: DataFrame, idCol: String, cc: DataFrame): DataFrame = {
     val sized = cc.join(
       cc.groupBy("cluster_id").agg(count(lit(1)).as("__csz")), "cluster_id")
       .select(col(idCol), col("__csz"))

@@ -373,6 +373,22 @@ object DomainStats {
     * split lossy only for pairs a salt separates, which a second
     * rotated-salt pass recovers; the size-ratio prefilter and per-domain
     * banding keep real corpora far from needing it. */
+  /** Plan-folded 64-bit key-collision guard — the loud-fail posture for
+    * hash-keyed CC, shared by [[fuzzyClusterMembers]] and
+    * [[fuzzySyndicationCatalog]]: a 1-row assert_true aggregate over
+    * `frame` (count(*) must equal the distinct count of `key`, which
+    * holds iff the 64-bit hash is collision-free on this corpus),
+    * broadcast-crossed into `out` and kept ALIVE by a filter so column
+    * pruning cannot drop the assertion. Fails at EXECUTION time only —
+    * constructing the plan runs no job — and pruning reads just the key
+    * columns from the (checkpointed) frame when it does run. */
+  private def hashKeyGuarded(
+      frame: DataFrame, key: Column, msg: String)(out: DataFrame): DataFrame = {
+    val g = frame.agg(assert_true(
+      count(lit(1)) === countDistinct(key), lit(msg)).as("__kc"))
+    out.crossJoin(broadcast(g)).filter(col("__kc").isNull).drop("__kc")
+  }
+
   private def fuzzyClusterMembers(
       occ: DataFrame, idCol: String, shingleK: Int,
       numHashes: Int, bands: Int, jacNum: Int, jacDen: Int): DataFrame = {
@@ -388,23 +404,12 @@ object DomainStats {
         TextAnalysis.minhashSignature(col("sh"), numHashes),
         bands, numHashes / bands))
       .localCheckpoint()
-    // 64-bit key-collision guard: CC below runs on xxhash64(domain, ph)
-    // LONGS (the union-find fast path), and a collision between two
-    // distinct (domain, ph) pairs would SILENTLY merge unrelated clusters
-    // — even across domains, since CC sees bare hashes. The guard is
-    // FOLDED INTO THE RETURNED PLAN (a 1-row assert_true aggregate over
-    // the pinned distinct frame, broadcast-crossed into the output and
-    // kept alive by a filter so pruning can't drop it): it fails loudly
-    // at EXECUTION time — merely constructing the frame no longer runs
-    // an extra job beyond the localCheckpoint — and column pruning reads
-    // only (__domain, ph) from the checkpoint when it does run. dp is
-    // one row per (domain, ph) by construction, so count(*) must equal
-    // the distinct hash count.
-    val kcGuard = dp.agg(assert_true(
-      count(lit(1)) === countDistinct(xxhash64(col("__domain"), col("ph"))),
-      lit("xxhash64(domain, ph) collision: fuzzy clustering would merge " +
-        "unrelated clusters — use string-keyed CC for this corpus"))
-      .as("__kc"))
+    // CC below runs on xxhash64(domain, ph) LONGS (the union-find fast
+    // path), and a collision between two distinct (domain, ph) pairs
+    // would SILENTLY merge unrelated clusters — even across domains,
+    // since CC sees bare hashes. dp is one row per (domain, ph) by
+    // construction, so [[hashKeyGuarded]]'s count equality is exactly
+    // the collision-freedom check.
     val banded = dp.select(col("__domain"), col("ph"), size(col("sh")).as("sz"),
       posexplode(col("bandkeys")).as(Seq("band", "key")))
     // size-ratio prefilter: J >= jacNum/jacDen implies min(|A|,|B|)·jacDen
@@ -437,12 +442,13 @@ object DomainStats {
     // the component's members, which the oracle reproduces from its own
     // string-keyed closure — component sets are equal, labels need not be.
     val cc = Dedup.connectedComponents(edges)
-    dp.withColumn("id", xxhash64(col("__domain"), col("ph")))
-      .join(cc, Seq("id"))
-      .select(col("__domain"), col("ph"), col("para"), col("cluster_id"))
-      .crossJoin(broadcast(kcGuard))
-      .filter(col("__kc").isNull)
-      .drop("__kc")
+    hashKeyGuarded(dp, xxhash64(col("__domain"), col("ph")),
+      "xxhash64(domain, ph) collision: fuzzy clustering would merge " +
+        "unrelated clusters — use string-keyed CC for this corpus") {
+      dp.withColumn("id", xxhash64(col("__domain"), col("ph")))
+        .join(cc, Seq("id"))
+        .select(col("__domain"), col("ph"), col("para"), col("cluster_id"))
+    }
   }
 
   /** Per-cluster occurrence rollup over the pinned text-free keys:
@@ -629,7 +635,21 @@ object DomainStats {
     * domain, ph, n_tok) — never text. */
   def cleanTokenStats(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
-      minDocs: Int = 3, grain: Int = 8): DataFrame = {
+      minDocs: Int = 3, grain: Int = 8): DataFrame =
+    cleanTokenCore(docs, urlCol, idCol, textCol, minDocs, None, grain)
+      .drop("n_synd_dropped")
+
+  /** The shared precedence core behind [[cleanTokenStats]] (syndication
+    * rule disabled: `minDomains` None — no qualification agg, no
+    * attribution window in the plan) and [[cleanTokenStatsV2]] — ONE
+    * implementation of the template-drop / keep-first accounting so the
+    * v1/v2 stats cannot drift. `__cls` per occurrence: 0 = template-
+    * dropped, -1 = syndicated-in (keep-origin drop), 1 = strip survivor
+    * (then keep-first ranked over survivors ONLY — an occurrence excised
+    * by either strip must not consume the keep-first slot). */
+  private def cleanTokenCore(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDocs: Int, minDomains: Option[Int], grain: Int): DataFrame = {
     val rows = Dedup.paragraphRows(
       docs.repartition(col(idCol))
         .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
@@ -638,22 +658,44 @@ object DomainStats {
     val tpl = rows.groupBy("__domain", "ph")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
-      .select("__domain", "ph")
-    // keeper rank over SURVIVORS only: an occurrence shadowed by a
-    // template elsewhere must not consume the keep-first slot
-    val ranked = rows.join(tpl, Seq("__domain", "ph"), "left_anti")
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("ph").orderBy(col(idCol), col("para_idx"))))
-    val tplRows = rows.join(tpl, Seq("__domain", "ph"))
-      .withColumn("__rk", lit(0))
-    ranked.unionByName(tplRows)
+      .select(col("__domain"), col("ph"), lit(1).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ph").orderBy(col(idCol), col("para_idx"))
+    val marked = minDomains match {
+      case Some(md) =>
+        val synd = rows.groupBy("ph")
+          .agg(countDistinct(col("__domain")).as("__ndom"))
+          .filter(col("__ndom") >= md)
+          .select(col("ph"), lit(1).as("__s"))
+        rows
+          .withColumn("__fd", first(col("__domain")).over(w))
+          .join(tpl, Seq("__domain", "ph"), "left")
+          .join(synd, Seq("ph"), "left")
+          .withColumn("__cls",
+            when(col("__t") === 1, lit(0))
+              .when(col("__s") === 1 && col("__fd") =!= col("__domain"),
+                lit(-1))
+              .otherwise(lit(1)))
+          .drop("__fd", "__t", "__s")
+      case None =>
+        rows
+          .join(tpl, Seq("__domain", "ph"), "left")
+          .withColumn("__cls",
+            when(col("__t") === 1, lit(0)).otherwise(lit(1)))
+          .drop("__t")
+    }
+    val ranked = marked.filter(col("__cls") === 1)
+      .withColumn("__rk", row_number().over(w))
+    val droppedRows = marked.filter(col("__cls") =!= 1)
+      .withColumn("__rk", col("__cls"))
+    ranked.unionByName(droppedRows)
       .groupBy(col(idCol), col("__domain").as("domain"))
       .agg(
         count(lit(1)).as("n_paras"),
         sum(when(col("__rk") === 1, col("n_tok")).otherwise(0L))
           .as("clean_tokens"),
         sum(when(col("__rk") === 0, 1L).otherwise(0L)).as("n_tpl_dropped"),
+        sum(when(col("__rk") === -1, 1L).otherwise(0L)).as("n_synd_dropped"),
         sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dup_dropped"))
   }
 
@@ -688,46 +730,9 @@ object DomainStats {
     * shuffles carry (id, domain, ph, n_tok) — never text. */
   def cleanTokenStatsV2(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
-      minDocs: Int = 3, minDomains: Int = 3, grain: Int = 8): DataFrame = {
-    val rows = Dedup.paragraphRows(
-      docs.repartition(col(idCol))
-        .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
-      idCol, textCol, grain, carry = Seq("__domain"))
-      .localCheckpoint()
-    val tpl = rows.groupBy("__domain", "ph")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("__domain"), col("ph"), lit(1).as("__t"))
-    val synd = rows.groupBy("ph")
-      .agg(countDistinct(col("__domain")).as("__ndom"))
-      .filter(col("__ndom") >= minDomains)
-      .select(col("ph"), lit(1).as("__s"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("ph").orderBy(col(idCol), col("para_idx"))
-    // __cls: 0 = template-dropped, -1 = syndicated-in (keep-origin drop),
-    // 1 = strip survivor (then keep-first ranked over survivors only)
-    val marked = rows
-      .withColumn("__fd", first(col("__domain")).over(w))
-      .join(tpl, Seq("__domain", "ph"), "left")
-      .join(synd, Seq("ph"), "left")
-      .withColumn("__cls",
-        when(col("__t") === 1, lit(0))
-          .when(col("__s") === 1 && col("__fd") =!= col("__domain"), lit(-1))
-          .otherwise(lit(1)))
-    val ranked = marked.filter(col("__cls") === 1)
-      .withColumn("__rk", row_number().over(w))
-    val droppedRows = marked.filter(col("__cls") =!= 1)
-      .withColumn("__rk", col("__cls"))
-    ranked.unionByName(droppedRows)
-      .groupBy(col(idCol), col("__domain").as("domain"))
-      .agg(
-        count(lit(1)).as("n_paras"),
-        sum(when(col("__rk") === 1, col("n_tok")).otherwise(0L))
-          .as("clean_tokens"),
-        sum(when(col("__rk") === 0, 1L).otherwise(0L)).as("n_tpl_dropped"),
-        sum(when(col("__rk") === -1, 1L).otherwise(0L)).as("n_synd_dropped"),
-        sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dup_dropped"))
-  }
+      minDocs: Int = 3, minDomains: Int = 3, grain: Int = 8): DataFrame =
+    cleanTokenCore(docs, urlCol, idCol, textCol, minDocs,
+      Some(minDomains), grain)
 
   /** Broadcast ceiling (rows) for [[syndicationCatalog]]'s
     * qualifying-hash set: ~500k 32-char md5 strings ≈ tens of MB on the
@@ -904,13 +909,6 @@ object DomainStats {
         TextAnalysis.minhashSignature(col("sh"), numHashes),
         bands, numHashes / bands))
       .localCheckpoint()
-    // plan-folded xxhash64(ph) collision guard (fuzzyClusterMembers'
-    // posture): dp is one row per ph by construction
-    val kcGuard = dp.agg(assert_true(
-      count(lit(1)) === countDistinct(xxhash64(col("ph"))),
-      lit("xxhash64(ph) collision: global fuzzy clustering would merge " +
-        "unrelated clusters — use string-keyed CC for this corpus"))
-      .as("__kc"))
     val banded = dp.select(col("ph"), size(col("sh")).as("sz"),
       posexplode(col("bandkeys")).as(Seq("band", "key")))
     val cand = banded.as("a").join(banded.as("b"),
@@ -927,12 +925,15 @@ object DomainStats {
         size(array_union(col("sh_a"), col("sh_b"))) * jacNum)
       .select(xxhash64(col("ph_a")).as("id_a"), xxhash64(col("ph_b")).as("id_b"))
     val cc = Dedup.connectedComponents(edges)
-    val members = dp.withColumn("id", xxhash64(col("ph")))
-      .join(cc, Seq("id"))
-      .select(col("ph"), col("para"), col("cluster_id"))
-      .crossJoin(broadcast(kcGuard))
-      .filter(col("__kc").isNull)
-      .drop("__kc")
+    // dp is one row per ph by construction — hashKeyGuarded's count
+    // equality is exactly xxhash64(ph) collision-freedom
+    val members = hashKeyGuarded(dp, xxhash64(col("ph")),
+      "xxhash64(ph) collision: global fuzzy clustering would merge " +
+        "unrelated clusters — use string-keyed CC for this corpus") {
+      dp.withColumn("id", xxhash64(col("ph")))
+        .join(cc, Seq("id"))
+        .select(col("ph"), col("para"), col("cluster_id"))
+    }
     val keys = occKeys(docs, urlCol, idCol, textCol, grain)
     val mocc = keys.join(members.select("ph", "cluster_id"), Seq("ph"))
     val w = org.apache.spark.sql.expressions.Window

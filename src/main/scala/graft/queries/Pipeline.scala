@@ -3759,11 +3759,14 @@ object PipelineQueries {
             sum(when(col("clean_tokens") < 40, 1L).otherwise(0L)).as("__nl"))
           .filter(floor(col("__nl") * 10000.0 / col("__n")).cast("long") < 4000)
           .select("domain")
-        val w = Dedup.softDedupWeights(
-            t(s, dir, "documents"), "doc_id", jaccardPairs(s, dir))
-          .select(col("doc_id"), col("weight_x10000"))
+        // ONE CC execution feeds both the weights and the split labels
+        // (the loop is eager — a second softDedupWeights-internal call
+        // would run the full iterative join loop again)
         val cc = Dedup.connectedComponents(jaccardPairs(s, dir))
           .withColumnRenamed("id", "doc_id")
+        val w = Dedup.softDedupWeightsFromCC(
+            t(s, dir, "documents"), "doc_id", cc)
+          .select(col("doc_id"), col("weight_x10000"))
         cd.join(broadcast(keptd), "domain")
           .join(w, "doc_id")
           .join(cc, Seq("doc_id"), "left")
@@ -3976,10 +3979,11 @@ object PipelineQueries {
         val pairsK = jaccardPairs(s, dir)
           .join(keptIds.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
           .join(keptIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
-        val w = Dedup.softDedupWeights(keptIds, "doc_id", pairsK)
-          .select(col("doc_id"), col("weight_x10000"))
+        // ONE CC execution feeds both the weights and the split labels
         val cc = Dedup.connectedComponents(pairsK)
           .withColumnRenamed("id", "doc_id")
+        val w = Dedup.softDedupWeightsFromCC(keptIds, "doc_id", cc)
+          .select(col("doc_id"), col("weight_x10000"))
         cd.join(broadcast(keptd), "domain")
           .join(w, "doc_id")
           .join(cc, Seq("doc_id"), "left")

@@ -145,7 +145,13 @@ object WatermarkAudit {
       // — and leaves runMax untouched (no data, no watermark movement).
       val fname = regexp_extract(input_file_name(), "([^/]+)$", 1)
       val us = unix_micros(col(tsCol))
+      // null event times drop out up front: they moved no watermark and
+      // counted as 0 late in the old per-file loop (max() skipped them,
+      // null < wm is null), and an ALL-null file must vanish from both
+      // groupings the way the old `isNullAt(0)` skip made it vanish —
+      // without this filter its null max would NPE the recurrence
       val staged = spark.read.schema(schema).parquet(s"$stagedDir/*.parquet")
+        .filter(us.isNotNull)
       val maxByFile = staged
         .groupBy(fname.as("__f")).agg(max(us).as("__mx"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
