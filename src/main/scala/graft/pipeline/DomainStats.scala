@@ -891,16 +891,16 @@ object DomainStats {
     * rows. Output: cluster (min member ph), representative paragraph,
     * origin_domain, n_variants, n_domains, n_docs, n_occurrences,
     * total_tokens. */
-  def fuzzySyndicationCatalog(
-      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
-      minDomains: Int = 3, grain: Int = 16, shingleK: Int = 1,
-      numHashes: Int = 64, bands: Int = 16,
-      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
-    val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
-    // global distinct paragraph: one row per ph, text crosses once
-    // (min() is exact — all occurrences of a ph are byte-identical);
-    // pinned: feeds the banded self-join, both verify joins and the
-    // membership join
+  /** GLOBAL near-dup paragraph cluster membership `(ph, para,
+    * cluster_id)` — [[fuzzyClusterMembers]] minus the domain key, the
+    * clustering core shared by [[fuzzySyndicationCatalog]] and
+    * [[fuzzySyndicationStrip]]. Text crosses once (the distinct-ph
+    * min() agg); the frame is pinned for the banded self-join, both
+    * verify joins and the membership join; CC runs on xxhash64(ph)
+    * longs with the plan-folded collision guard. */
+  private def globalFuzzyMembers(
+      occ: DataFrame, shingleK: Int, numHashes: Int, bands: Int,
+      jacNum: Int, jacDen: Int): DataFrame = {
     val dp = occ.groupBy("ph")
       .agg(min(col("__para")).as("para"))
       .withColumn("sh",
@@ -927,13 +927,23 @@ object DomainStats {
     val cc = Dedup.connectedComponents(edges)
     // dp is one row per ph by construction — hashKeyGuarded's count
     // equality is exactly xxhash64(ph) collision-freedom
-    val members = hashKeyGuarded(dp, xxhash64(col("ph")),
+    hashKeyGuarded(dp, xxhash64(col("ph")),
       "xxhash64(ph) collision: global fuzzy clustering would merge " +
         "unrelated clusters — use string-keyed CC for this corpus") {
       dp.withColumn("id", xxhash64(col("ph")))
         .join(cc, Seq("id"))
         .select(col("ph"), col("para"), col("cluster_id"))
     }
+  }
+
+  def fuzzySyndicationCatalog(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDomains: Int = 3, grain: Int = 16, shingleK: Int = 1,
+      numHashes: Int = 64, bands: Int = 16,
+      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+    val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
+    val members =
+      globalFuzzyMembers(occ, shingleK, numHashes, bands, jacNum, jacDen)
     val keys = occKeys(docs, urlCol, idCol, textCol, grain)
     val mocc = keys.join(members.select("ph", "cluster_id"), Seq("ph"))
     val w = org.apache.spark.sql.expressions.Window
@@ -955,6 +965,47 @@ object DomainStats {
       .select(col("cluster"), col("paragraph"), col("origin_domain"),
         col("n_variants"), col("n_domains"), col("n_docs"),
         col("n_occurrences"), col("total_tokens"))
+  }
+
+  /** FUZZY syndication STRIP — the actionable counterpart of
+    * [[fuzzySyndicationCatalog]] with [[syndicationStrip]]'s KEEP-ORIGIN
+    * semantics: rebuild every document excising occurrences of
+    * qualifying GLOBAL near-dup clusters (>= `minDomains` distinct
+    * registered domains, >= 2 variants) on every domain EXCEPT the
+    * cluster's first-occurrence domain. The locally-edited wire copy
+    * the exact strip (q321) passes over — no shared hash — disappears
+    * from the copier domains while the origin keeps all its copies
+    * (its own repetition is the template family's job). Completes the
+    * catalog→strip symmetry: templates q311→q312, fuzzy templates
+    * q313→q316, exact syndication q318→q321, fuzzy syndication here.
+    *
+    * Scale shape: the clustering core is [[globalFuzzyMembers]]; the
+    * attributed occurrence frame is pinned (TWO consumers — the
+    * qualification agg and the dropped-occurrence join, the §8.16
+    * rule); drop decisions ride (id, para_idx) lists into the shared
+    * [[Dedup.rebuildDropping]] tail — document text never shuffles. */
+  def fuzzySyndicationStrip(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDomains: Int = 3, grain: Int = 16, shingleK: Int = 1,
+      numHashes: Int = 64, bands: Int = 16,
+      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+    val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
+    val members =
+      globalFuzzyMembers(occ, shingleK, numHashes, bands, jacNum, jacDen)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col(idCol), col("para_idx"))
+    val att = occKeys(docs, urlCol, idCol, textCol, grain)
+      .join(members.select("ph", "cluster_id"), Seq("ph"))
+      .withColumn("__fd", first(col("__domain")).over(w))
+      .localCheckpoint()
+    val qual = att.groupBy("cluster_id")
+      .agg(countDistinct(col("__domain")).as("__ndom"),
+        countDistinct(col("ph")).as("__nv"))
+      .filter(col("__ndom") >= minDomains && col("__nv") >= 2)
+      .select("cluster_id")
+    val dropped = att.join(qual, Seq("cluster_id"))
+      .filter(col("__fd") =!= col("__domain"))
+    Dedup.rebuildDropping(docs, idCol, textCol, grain, dropped)
   }
 
   /** Cross-domain SYNDICATION STRIP — the actionable counterpart of

@@ -4036,6 +4036,40 @@ object PipelineQueries {
         "url", "doc_id", "text", minDomains = 3, grain = FuzzyOp.grain,
         shingleK = FuzzyOp.shingleK, numHashes = FuzzyOp.numHashes,
         bands = FuzzyOp.bands, jacNum = FuzzyOp.jacNum,
+        jacDen = FuzzyOp.jacDen)),
+
+    // ---- FUZZY syndication strip (DomainStats.fuzzySyndicationStrip):
+    //      q325's catalog made actionable with q321's keep-origin rule —
+    //      qualifying global near-dup clusters excised from every domain
+    //      except their first-occurrence domain. Completes the
+    //      catalog→strip symmetry (q311→q312, q313→q316, q318→q321).
+    GraftQuery("q326_fuzzy_syndication_strip",
+      Some(("WITH RECURSIVE " + fuzzySyndCteSql + """,
+               |gocc AS (SELECT pd.doc_id, pd.domain, pd.para_idx,
+               |    m.ph, m.cluster_id
+               |  FROM pd JOIN gmem m ON m.ph = md5(pd.para)),
+               |gatt AS (SELECT *, first_value(domain) OVER (
+               |    PARTITION BY cluster_id ORDER BY doc_id, para_idx) AS fd
+               |  FROM gocc),
+               |gq AS (SELECT cluster_id FROM gatt GROUP BY 1
+               |  HAVING count(DISTINCT domain) >= 3
+               |     AND count(DISTINCT ph) >= 2),
+               |gdrop AS (SELECT doc_id, para_idx FROM gatt
+               |  JOIN gq USING (cluster_id) WHERE fd <> domain)
+               |SELECT pd.doc_id,
+               |  coalesce(string_agg(CASE WHEN gd.para_idx IS NULL
+               |    THEN pd.para END, ' ' ORDER BY pd.para_idx), '') AS clean_text,
+               |  count(*)::BIGINT AS n_paras,
+               |  sum(CASE WHEN gd.para_idx IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               |    AS n_dropped
+               |FROM pd LEFT JOIN gdrop gd
+               |  ON gd.doc_id = pd.doc_id AND gd.para_idx = pd.para_idx
+               |GROUP BY 1""").stripMargin),
+      (s, dir) => DomainStats.fuzzySyndicationStrip(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", minDomains = 3, grain = FuzzyOp.grain,
+        shingleK = FuzzyOp.shingleK, numHashes = FuzzyOp.numHashes,
+        bands = FuzzyOp.bands, jacNum = FuzzyOp.jacNum,
         jacDen = FuzzyOp.jacDen))
   )
 

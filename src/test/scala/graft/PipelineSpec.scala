@@ -2863,6 +2863,48 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(6) == 3L && r.getLong(7) == 30L, r.toString)
   }
 
+  test("fuzzy syndication strip: keep-origin over global near-dup clusters") {
+    import spark.implicits._
+    val g = 16
+    def md5b0(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(tok.getBytes("UTF-8"))(0) & 0xff
+    }
+    val pool = (0 until 400).map(i => s"w$i").filter(md5b0(_) % g != 0)
+    val bt = (0 until 400).map(i => s"w$i").find(md5b0(_) % g == 0).get
+    val baseT = pool.slice(50, 59)
+    val base = (baseT :+ bt).mkString(" ")
+    val varB = (baseT.updated(0, pool(60)) :+ bt).mkString(" ")
+    val varC = (baseT.updated(1, pool(61)) :+ bt).mkString(" ")
+    val tplA = (pool.slice(70, 79) :+ bt).mkString(" ")
+    val tplB = ((pool(79) +: pool.slice(71, 79)) :+ bt).mkString(" ")
+    val exactW = (pool.slice(80, 86) :+ bt).mkString(" ")
+    val rows = Seq(
+      (1L, "https://a.com/p1", base + " " + exactW),
+      (2L, "https://b.net/p1", varB + " " + exactW),
+      (3L, "https://c.org/p1", varC + " " + exactW),
+      (4L, "https://a.com/p2", tplA),
+      (5L, "https://a.com/p3", tplB),
+      (6L, "https://a.com/p4", base)) // SECOND origin copy — must survive
+    val docs = rows.toDF("doc_id", "url", "text")
+    val got = DomainStats.fuzzySyndicationStrip(docs, "url", "doc_id",
+        "text", minDomains = 3, grain = g, shingleK = 1,
+        numHashes = 64, bands = 16, jacNum = 4, jacDen = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // keep-origin: BOTH a.com copies of the wire base survive
+    assert(got(1L) == ((base + " " + exactW, 2L, 0L)), got(1L).toString)
+    assert(got(6L) == ((base, 1L, 0L)), got(6L).toString)
+    // copier domains lose their EDITED variants (no shared hash — the
+    // exact strip q321 would pass these over); exact cross-domain
+    // paragraph survives (1 variant -> not a fuzzy cluster's row)
+    assert(got(2L) == ((exactW, 2L, 1L)), got(2L).toString)
+    assert(got(3L) == ((exactW, 2L, 1L)), got(3L).toString)
+    // the within-domain fuzzy pair is a TEMPLATE (1 domain), untouched
+    assert(got(4L) == ((tplA, 1L, 0L)) && got(5L) == ((tplB, 1L, 0L)),
+      s"4=${got(4L)} 5=${got(5L)}")
+  }
+
   test("per-domain cap budgets: capDedupedBy keeps lowest ids up to each cap") {
     import spark.implicits._
     val docs = (1L to 12L).map { id =>
