@@ -572,6 +572,81 @@ object DomainStats {
       bRows.join(tpl, Seq("__domain", "ph")))
   }
 
+  /** Persistable SYNDICATION index — the [[templateIndex]] twin for the
+    * cross-domain family: one row per (paragraph hash, registered
+    * domain) with the occurrence count and the domain's FIRST-occurrence
+    * key (min (doc id, position)) — exactly the state
+    * [[syndicationStripIncremental]] needs to qualify paragraphs
+    * (distinct-domain reach) and attribute origins (global argmin over
+    * the per-domain first keys) without re-reading corpus text.
+    * O(distinct (ph, domain)) rows; append each accepted batch's rows to
+    * it — duplicates re-aggregate at use. */
+  def syndicationIndex(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      grain: Int = 8): DataFrame =
+    occKeys(docs, urlCol, idCol, textCol, grain)
+      .groupBy(col("ph"), col("__domain").as("domain"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col(idCol).cast("long").as("d"),
+          col("para_idx").cast("long").as("i"))).as("__fk"))
+      .select(col("ph"), col("domain"), col("n_occ"),
+        col("__fk.d").as("first_doc"), col("__fk.i").as("first_idx"))
+
+  /** INCREMENTAL cross-domain syndication strip, keep-origin: rebuild a
+    * new ingest batch with syndicated-in paragraphs excised, where
+    * qualification (>= `minDomains` DISTINCT registered domains) and
+    * origin attribution (globally first occurrence by (doc id,
+    * position)) are computed over the COMBINED corpus + batch — the
+    * corpus contributes only its [[syndicationIndex]] rows, text is
+    * never re-read ([[Incremental]]'s contract: the result equals the
+    * batch slice of a full [[syndicationStrip]] recompute over
+    * corpus ∪ batch). A paragraph two corpus domains already share
+    * becomes syndicated the moment a third domain lands in the batch —
+    * and is stripped from that very batch everywhere but its origin.
+    * Unlike the template family there is NO fresh-id requirement for
+    * correctness of the reach count (domain sets union, they don't
+    * add), but attribution compares raw (doc id, position) keys, so
+    * batch ids must not COLLIDE with corpus ids.
+    *
+    * The index MUST have been built with the same `grain` and URL
+    * canonicalization as this call (the [[templateStripIncremental]]
+    * silent-miss caveat); duplicate (ph, domain) generations re-sum /
+    * re-min here before use.
+    *
+    * Scale shape: batch paragraph rows are pinned (per-(ph, domain) agg
+    * + dropped join); the index enters as (ph, domain, first-key)
+    * tuples; one ph-keyed agg qualifies and attributes (min_by over the
+    * unique first keys); the rebuild is the shared
+    * [[Dedup.rebuildDropping]] tail. */
+  def syndicationStripIncremental(
+      index: DataFrame, batch: DataFrame,
+      urlCol: String, idCol: String, textCol: String,
+      minDomains: Int = 3, grain: Int = 8): DataFrame = {
+    val bRows = Dedup.paragraphRows(
+      batch.repartition(col(idCol))
+        .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
+      idCol, textCol, grain, carry = Seq("__domain"))
+      .localCheckpoint()
+    val corpus = index
+      .select(col("ph"), col("domain"),
+        struct(col("first_doc").cast("long").as("d"),
+          col("first_idx").cast("long").as("i")).as("__fk"))
+    val bPd = bRows
+      .select(col("ph"), col("__domain").as("domain"),
+        struct(col(idCol).cast("long").as("d"),
+          col("para_idx").cast("long").as("i")).as("__fk"))
+    val perPh = corpus.unionByName(bPd)
+      .groupBy("ph", "domain").agg(min("__fk").as("__fk"))
+      .groupBy("ph")
+      .agg(countDistinct(col("domain")).as("__nd"),
+        min_by(col("domain"), col("__fk")).as("__origin"))
+      .filter(col("__nd") >= minDomains)
+      .select("ph", "__origin")
+    val dropped = bRows.join(perPh, Seq("ph"))
+      .filter(col("__origin") =!= col("__domain"))
+    Dedup.rebuildDropping(batch, idCol, textCol, grain, dropped)
+  }
+
   /** FUZZY template strip — the actionable counterpart of
     * [[fuzzyTemplateCatalog]] (catalogs are the audit; the strip is what
     * a pipeline runs): rebuild every document with ALL occurrences of

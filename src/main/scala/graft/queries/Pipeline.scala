@@ -4070,7 +4070,63 @@ object PipelineQueries {
         "url", "doc_id", "text", minDomains = 3, grain = FuzzyOp.grain,
         shingleK = FuzzyOp.shingleK, numHashes = FuzzyOp.numHashes,
         bands = FuzzyOp.bands, jacNum = FuzzyOp.jacNum,
-        jacDen = FuzzyOp.jacDen))
+        jacDen = FuzzyOp.jacDen)),
+
+    // ---- INCREMENTAL syndication strip (DomainStats.syndicationIndex +
+    //      syndicationStripIncremental): the q315 incremental contract
+    //      for the cross-domain family — a new ingest batch is stripped
+    //      keep-origin, with qualification (>= 3 distinct domains) and
+    //      origin attribution computed over corpus index + batch; the
+    //      oracle replays the COMBINED corpus+batch semantics and takes
+    //      the batch slice, proving index-path == full recompute. The
+    //      q315 batch shape: 40 replayed docs + 20 one-token-extended.
+    GraftQuery("q327_syndication_strip_incremental",
+      Some((s"""WITH bdocs AS (
+               |  SELECT doc_id + 100000000 AS doc_id, source, lang, text
+               |  FROM documents WHERE doc_id < 40
+               |  UNION ALL
+               |  SELECT doc_id + 200000000, source, lang, text || ' zz9'
+               |  FROM documents WHERE doc_id >= 40 AND doc_id < 60),
+               |alld AS (SELECT doc_id, source, lang, text, 0 AS is_batch
+               |    FROM documents
+               |  UNION ALL SELECT doc_id, source, lang, text, 1 FROM bdocs),
+               |u AS (SELECT doc_id, $urlBuildSql AS url FROM alld),
+               |c0 AS ($urlCanonSql),
+               |c AS ($urlAssembleSql),
+               |""" + paraCteSqlOf(8, from = "alld") + """,
+               |pd AS (SELECT p.doc_id, a.is_batch, p.para_idx, p.para,
+               |    c.domain
+               |  FROM paras p JOIN c USING (doc_id)
+               |  JOIN alld a USING (doc_id)),
+               |q AS (SELECT md5(para) AS ph FROM pd
+               |  GROUP BY 1 HAVING count(DISTINCT domain) >= 3),
+               |k AS (SELECT pd.*, first_value(domain) OVER (
+               |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS fd,
+               |    (md5(para) IN (SELECT ph FROM q)) AS isq
+               |  FROM pd)
+               |SELECT doc_id,
+               |  coalesce(string_agg(CASE WHEN NOT (isq AND fd <> domain)
+               |    THEN para END, ' ' ORDER BY para_idx), '') AS clean_text,
+               |  count(*)::BIGINT AS n_paras,
+               |  sum(CASE WHEN isq AND fd <> domain THEN 1 ELSE 0 END)::BIGINT
+               |    AS n_dropped
+               |FROM k WHERE is_batch = 1
+               |GROUP BY 1""").stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val index = DomainStats.syndicationIndex(
+          docs.withColumn("url", syntheticUrl),
+          "url", "doc_id", "text", grain = 8)
+        val batch = docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("source"),
+            col("lang"), col("text"))
+          .unionAll(docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+            .select((col("doc_id") + 200000000L).as("doc_id"), col("source"),
+              col("lang"), concat(col("text"), lit(" zz9")).as("text")))
+          .withColumn("url", syntheticUrl)
+        DomainStats.syndicationStripIncremental(
+          index, batch, "url", "doc_id", "text", minDomains = 3, grain = 8)
+      })
   )
 
   /** The q240 oracle: the same integer PageRank as ten unrolled

@@ -2905,6 +2905,56 @@ class PipelineSpec extends SparkSpec {
       s"4=${got(4L)} 5=${got(5L)}")
   }
 
+  test("incremental syndication strip equals the batch slice of a full recompute") {
+    import spark.implicits._
+    val g = 4
+    val chunks = cdcChunks(g) _
+    def md5b0(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(tok.getBytes("UTF-8"))(0) & 0xff
+    }
+    val pool = (0 until 200).map(i => s"w$i").filter(md5b0(_) % g != 0)
+    val bt = (0 until 200).map(i => s"w$i").find(md5b0(_) % g == 0).get
+    val wire2 = Seq(pool(0), pool(1), bt).mkString(" ") // 2 corpus domains
+    val wire3 = Seq(pool(2), pool(3), bt).mkString(" ") // 3 corpus domains
+    def filler(i: Int, n: Int) = pool.slice(i, i + n).mkString(" ")
+    val corpus = Seq(
+      (1L, "https://a.com/p1", wire2 + " " + wire3 + " " + filler(10, 2)),
+      (2L, "https://b.net/p1", wire2 + " " + wire3),
+      (3L, "https://c.org/p1", wire3)).toDF("doc_id", "url", "text")
+    val batch = Seq(
+      (101L, "https://c.org/p2", wire2 + " " + filler(12, 2)), // 3rd domain
+      // arrives IN the batch -> wire2 qualifies, origin a.com (doc 1)
+      (102L, "https://a.com/p2", wire2), // origin-domain copy -> kept
+      (103L, "https://d.org/p1", wire3), // corpus-qualified -> dropped
+      (104L, "https://b.net/p2", filler(14, 3))).toDF("doc_id", "url", "text")
+    val index = DomainStats.syndicationIndex(corpus, "url", "doc_id", "text",
+      grain = g)
+    def slice(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = slice(DomainStats.syndicationStripIncremental(
+      index, batch, "url", "doc_id", "text", minDomains = 3, grain = g))
+    // the Incremental contract: index-path == the batch slice of a full
+    // keep-origin recompute over corpus UNION batch
+    val want = slice(DomainStats.syndicationStrip(
+        corpus.unionAll(batch), "url", "doc_id", "text",
+        minDomains = 3, grain = g)
+      .filter(col("doc_id") >= 100L))
+    assert(got == want, s"got=$got want=$want")
+    // the qualification flip: wire2 became syndicated BECAUSE the batch
+    // added its third domain — dropped from c.org, kept on origin a.com
+    assert(got(101L)._3 == 1L && !got(101L)._1.contains(wire2), got(101L).toString)
+    assert(got(102L) == ((wire2, 1L, 0L)), got(102L).toString)
+    assert(got(103L) == (("", 1L, 1L)), got(103L).toString)
+    assert(got(104L)._3 == 0L, got(104L).toString)
+    // append-maintained duplicate index generations re-aggregate
+    val got2 = slice(DomainStats.syndicationStripIncremental(
+      index.unionAll(index), batch, "url", "doc_id", "text",
+      minDomains = 3, grain = g))
+    assert(got2 == want, s"dup-generation index changed the result")
+  }
+
   test("per-domain cap budgets: capDedupedBy keeps lowest ids up to each cap") {
     import spark.implicits._
     val docs = (1L to 12L).map { id =>
