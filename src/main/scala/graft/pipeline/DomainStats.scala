@@ -712,19 +712,29 @@ object DomainStats {
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDocs: Int = 3, grain: Int = 8): DataFrame =
     cleanTokenCore(docs, urlCol, idCol, textCol, minDocs, None, grain)
-      .drop("n_synd_dropped")
+      .drop("n_synd_dropped", "n_fuzzy_dropped")
 
   /** The shared precedence core behind [[cleanTokenStats]] (syndication
     * rule disabled: `minDomains` None — no qualification agg, no
-    * attribution window in the plan) and [[cleanTokenStatsV2]] — ONE
-    * implementation of the template-drop / keep-first accounting so the
-    * v1/v2 stats cannot drift. `__cls` per occurrence: 0 = template-
-    * dropped, -1 = syndicated-in (keep-origin drop), 1 = strip survivor
-    * (then keep-first ranked over survivors ONLY — an occurrence excised
-    * by either strip must not consume the keep-first slot). */
+    * attribution window in the plan), [[cleanTokenStatsV2]] and
+    * [[cleanTokenStatsV3]] (`fuzzyMembers` set) — ONE implementation of
+    * the excision accounting so the v1/v2/v3 stats cannot drift. `__cls`
+    * per occurrence, first matching rule in precedence order wins:
+    * 0 = template-dropped (outranks everything — keep-origin never
+    * shields within-domain repetition), -2 = fuzzy-syndicated-in
+    * (occurrence of a qualifying GLOBAL near-dup cluster on a domain
+    * other than the cluster's first-occurrence domain; outranks the
+    * exact rule — cluster attribution is the more global judgment),
+    * -1 = exact-syndicated-in (keep-origin drop; still applies on a
+    * fuzzy cluster's ORIGIN domain when the individual hash's own first
+    * occurrence lives elsewhere — the rules shield only their own
+    * class), 1 = strip survivor (then keep-first ranked over survivors
+    * ONLY — an occurrence excised by any strip must not consume the
+    * keep-first slot). */
   private def cleanTokenCore(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
-      minDocs: Int, minDomains: Option[Int], grain: Int): DataFrame = {
+      minDocs: Int, minDomains: Option[Int], grain: Int,
+      fuzzyMembers: Option[DataFrame] = None): DataFrame = {
     val rows = Dedup.paragraphRows(
       docs.repartition(col(idCol))
         .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol))),
@@ -736,22 +746,51 @@ object DomainStats {
       .select(col("__domain"), col("ph"), lit(1).as("__t"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("ph").orderBy(col(idCol), col("para_idx"))
+    // fuzzy keep-origin drop keys (idCol, para_idx): occurrences of
+    // qualifying global clusters (>= minDomains distinct domains, >= 2
+    // variants, computed over THIS population) off the cluster's
+    // first-occurrence domain. The attributed member-occurrence frame is
+    // pinned — the qualification agg and the drop filter both read it.
+    val fuzzyDrop = (fuzzyMembers, minDomains) match {
+      case (Some(fm), Some(md)) =>
+        val wC = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id").orderBy(col(idCol), col("para_idx"))
+        val att = rows.join(fm.select("ph", "cluster_id"), Seq("ph"))
+          .withColumn("__cfd", first(col("__domain")).over(wC))
+          .localCheckpoint()
+        val qual = att.groupBy("cluster_id")
+          .agg(countDistinct(col("__domain")).as("__ndom"),
+            countDistinct(col("ph")).as("__nv"))
+          .filter(col("__ndom") >= md && col("__nv") >= 2)
+          .select("cluster_id")
+        Some(att.join(qual, Seq("cluster_id"))
+          .filter(col("__cfd") =!= col("__domain"))
+          .select(col(idCol), col("para_idx"), lit(1).as("__f")))
+      case _ => None
+    }
     val marked = minDomains match {
       case Some(md) =>
         val synd = rows.groupBy("ph")
           .agg(countDistinct(col("__domain")).as("__ndom"))
           .filter(col("__ndom") >= md)
           .select(col("ph"), lit(1).as("__s"))
-        rows
+        val base = rows
           .withColumn("__fd", first(col("__domain")).over(w))
           .join(tpl, Seq("__domain", "ph"), "left")
           .join(synd, Seq("ph"), "left")
+        val withF = fuzzyDrop match {
+          case Some(fd) =>
+            base.join(fd, Seq(idCol, "para_idx"), "left")
+          case None => base.withColumn("__f", lit(null).cast("int"))
+        }
+        withF
           .withColumn("__cls",
             when(col("__t") === 1, lit(0))
+              .when(col("__f") === 1, lit(-2))
               .when(col("__s") === 1 && col("__fd") =!= col("__domain"),
                 lit(-1))
               .otherwise(lit(1)))
-          .drop("__fd", "__t", "__s")
+          .drop("__fd", "__t", "__s", "__f")
       case None =>
         rows
           .join(tpl, Seq("__domain", "ph"), "left")
@@ -770,6 +809,7 @@ object DomainStats {
         sum(when(col("__rk") === 1, col("n_tok")).otherwise(0L))
           .as("clean_tokens"),
         sum(when(col("__rk") === 0, 1L).otherwise(0L)).as("n_tpl_dropped"),
+        sum(when(col("__rk") === -2, 1L).otherwise(0L)).as("n_fuzzy_dropped"),
         sum(when(col("__rk") === -1, 1L).otherwise(0L)).as("n_synd_dropped"),
         sum(when(col("__rk") > 1, 1L).otherwise(0L)).as("n_dup_dropped"))
   }
@@ -808,6 +848,46 @@ object DomainStats {
       minDocs: Int = 3, minDomains: Int = 3, grain: Int = 8): DataFrame =
     cleanTokenCore(docs, urlCol, idCol, textCol, minDocs,
       Some(minDomains), grain)
+      .drop("n_fuzzy_dropped")
+
+  /** [[cleanTokenStatsV2]] with the FOURTH excision rule composed in —
+    * the complete release-pipeline cleaning chain at paragraph-row
+    * grain, precedence pinned in [[cleanTokenCore]]:
+    *
+    *   1. within-domain template strip (drop-ALL);
+    *   2. FUZZY cross-domain syndication strip (KEEP-ORIGIN over
+    *      qualifying GLOBAL near-dup clusters — [[fuzzySyndicationStrip]]'s
+    *      rule: >= `minDomains` distinct registered domains AND >= 2
+    *      variants; the locally-edited wire copy the exact rule cannot
+    *      see). Clustering, qualification and attribution run over THIS
+    *      call's population at THIS `grain` — composing at paragraph-row
+    *      grain requires ONE chunking, so the fuzzy layer here runs at
+    *      the exact family's grain rather than [[fuzzySyndicationCatalog]]'s
+    *      default coarse grain 16 (same minhash operating point);
+    *   3. exact cross-domain syndication strip (KEEP-ORIGIN) — NOT
+    *      subsumed by rule 2: a byte-identical paragraph on many domains
+    *      is a 1-variant cluster, which the >= 2-variant floor
+    *      deliberately leaves to the exact rule;
+    *   4. keep-first paragraph dedup over the survivors of all strips.
+    *
+    * Output shape follows [[cleanTokenStatsV2]] plus `n_fuzzy_dropped`.
+    *
+    * Scale shape: ONE extra chunk pass over the population (the
+    * clustering core needs paragraph text; [[globalFuzzyMembers]]'
+    * distinct-ph min() agg is the only place text shuffles); the member
+    * attribution window is cluster-keyed over text-free rows; drop keys
+    * ride (id, para_idx) pairs back into the ONE precedence core. */
+  def cleanTokenStatsV3(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      minDocs: Int = 3, minDomains: Int = 3, grain: Int = 8,
+      shingleK: Int = 1, numHashes: Int = 64, bands: Int = 16,
+      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+    val members = globalFuzzyMembers(
+      paraOcc(docs, urlCol, idCol, textCol, grain),
+      shingleK, numHashes, bands, jacNum, jacDen)
+    cleanTokenCore(docs, urlCol, idCol, textCol, minDocs,
+      Some(minDomains), grain, fuzzyMembers = Some(members))
+  }
 
   /** Broadcast ceiling (rows) for [[syndicationCatalog]]'s
     * qualifying-hash set: ~500k 32-char md5 strings ≈ tens of MB on the

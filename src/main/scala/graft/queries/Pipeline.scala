@@ -249,14 +249,28 @@ object PipelineQueries {
       |ex AS (SELECT domain, md5(para) AS ph FROM pd
       |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= ${FuzzyOp.minDocs})""".stripMargin
 
-  /** The GLOBAL fuzzy paragraph-cluster CTE chain (g-prefixed twin of
-    * [[fuzzyCteSql]] with the domain removed from the distinct frame,
-    * the bucket key and the CC vertex — the q325 fuzzy-SYNDICATION
-    * clustering core; the phenomenon is cross-domain, so clusters must
-    * be too). Same [[FuzzyOp]] operating point, same md5-portable
-    * minhash replay, same exact integer-Jaccard verify; ends at
-    * `gmem(ph, para, cluster_id)` + the occurrence frame `pd`. Callers
-    * prefix `WITH RECURSIVE ` and append their rollup. */
+  /** The GLOBAL near-dup clustering CTE chain (gdp → … → gmem;
+    * g-prefixed twin of [[fuzzyCteSql]] with the domain removed from the
+    * distinct frame, the bucket key and the CC vertex — the
+    * fuzzy-SYNDICATION clustering core; the phenomenon is cross-domain,
+    * so clusters must be too; same [[FuzzyOp]] operating point, same
+    * md5-portable minhash replay, same exact integer-Jaccard verify)
+    * parameterized by its occurrence frame (any frame with a `para`
+    * column) — [[fuzzySyndCteSql]] instantiates it over the full corpus
+    * (`pd`); the q328 release-pipeline oracle instantiates it over the
+    * CAPPED population (`px`). ONE definition of the md5-portable
+    * minhash replay so the operating point cannot drift between the
+    * standalone fuzzy-syndication oracles and the composed pipeline. */
+  private def globalFuzzyCcCteSqlOf(occFrame: String) =
+    (s"""gdp AS (SELECT md5(para) AS ph, min(para) AS para
+        |  FROM $occFrame GROUP BY 1),""").stripMargin + "\n" +
+    globalFuzzyCcTailSql
+
+  /** [[globalFuzzyCcCteSqlOf]] instantiated over the full corpus: url
+    * assembly → grain-[[FuzzyOp]] paragraphs → occurrence frame `pd` →
+    * global clustering ending at `gmem(ph, para, cluster_id)` — the
+    * q325/q326 oracle base. Callers prefix `WITH RECURSIVE ` and append
+    * their rollup. */
   private val fuzzySyndCteSql =
     (s"""u AS (SELECT doc_id, $urlBuildSql AS url FROM documents),
         |c0 AS ($urlCanonSql),
@@ -264,8 +278,10 @@ object PipelineQueries {
         |""" + paraCteSqlOf(FuzzyOp.grain) + s""",
         |pd AS (SELECT p.doc_id, p.para_idx, p.para, p.n_tok, c.domain
         |  FROM paras p JOIN c USING (doc_id)),
-        |gdp AS (SELECT md5(para) AS ph, min(para) AS para FROM pd GROUP BY 1),
-        |gsh AS (SELECT DISTINCT ph, w.s
+        |""").stripMargin + globalFuzzyCcCteSqlOf("pd")
+
+  private lazy val globalFuzzyCcTailSql =
+    (s"""gsh AS (SELECT DISTINCT ph, w.s
         |  FROM (SELECT ph, string_split(para, ' ') AS toks FROM gdp),
         |    unnest(toks) w(s)),
         |ghs AS (SELECT ph, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM gsh),
@@ -4126,6 +4142,181 @@ object PipelineQueries {
           .withColumn("url", syntheticUrl)
         DomainStats.syndicationStripIncremental(
           index, batch, "url", "doc_id", "text", minDomains = 3, grain = 8)
+      }),
+
+    // ---- release pipeline v5: ALL FOUR excision rules composed under
+    //      the cluster split — q324's chain with the FUZZY syndication
+    //      layer (q326's keep-origin rule over qualifying GLOBAL
+    //      near-dup clusters) folded in between the template strip and
+    //      the exact syndication strip. Precedence is pinned in
+    //      DomainStats.cleanTokenCore (template > fuzzy-synd >
+    //      exact-synd > keep-first; the >= 2-variant floor keeps the
+    //      1-variant byte-identical case with the exact rule, so
+    //      neither subsumes the other) and exercised in PipelineSpec.
+    //      The fuzzy layer runs at the exact family's grain — composing
+    //      at paragraph-row grain requires ONE chunking — with the
+    //      FuzzyOp minhash operating point; clustering/qualification/
+    //      attribution are computed over the CAPPED population like the
+    //      exact syndication stats.
+    GraftQuery("q328_release_pipeline_v5",
+      Some(("""WITH RECURSIVE u AS (SELECT doc_id, """ + urlBuildSql + """ AS url FROM documents),
+              |c0 AS (""" + urlCanonSql + """),
+              |c AS (""" + urlAssembleSql + """),
+              |""" + paraCteSqlOf(8) + """,
+              |pdx AS (SELECT p.doc_id, p.para_idx, p.para, p.n_tok, c.domain
+              |  FROM paras p JOIN c USING (doc_id)),
+              |q1 AS (SELECT md5(para) AS ph FROM pdx
+              |  GROUP BY 1 HAVING count(DISTINCT domain) >= 3),
+              |kq AS (SELECT pdx.*, first_value(domain) OVER (
+              |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS fd,
+              |    (md5(para) IN (SELECT ph FROM q1)) AS isq
+              |  FROM pdx),
+              |sy AS (SELECT domain,
+              |    CAST(floor(sum(CASE WHEN isq AND fd <> domain THEN n_tok
+              |      ELSE 0 END) * 10000.0 / sum(n_tok)) AS BIGINT) AS synd_in_bp
+              |  FROM kq GROUP BY 1),
+              |caps AS (SELECT domain, greatest(5, 30 -
+              |    CASE WHEN synd_in_bp >= 1000 THEN 20
+              |         WHEN synd_in_bp >= 700 THEN 10 ELSE 0 END) AS cap
+              |  FROM sy),
+              |d AS (SELECT canonical, domain, min(doc_id) AS keeper_id
+              |  FROM c GROUP BY 1, 2),
+              |kc AS (SELECT domain, keeper_id, row_number() OVER (
+              |    PARTITION BY domain ORDER BY keeper_id) AS rk FROM d),
+              |kept AS (SELECT keeper_id AS doc_id FROM kc
+              |  JOIN caps USING (domain) WHERE rk <= cap),
+              |px AS (SELECT pdx.* FROM pdx JOIN kept USING (doc_id)),
+              |""" + globalFuzzyCcCteSqlOf("px") + """,
+              |gocc AS (SELECT px.doc_id, px.domain, px.para_idx,
+              |    m.ph, m.cluster_id
+              |  FROM px JOIN gmem m ON m.ph = md5(px.para)),
+              |gatt AS (SELECT *, first_value(domain) OVER (
+              |    PARTITION BY cluster_id ORDER BY doc_id, para_idx) AS cfd
+              |  FROM gocc),
+              |gq AS (SELECT cluster_id FROM gatt GROUP BY 1
+              |  HAVING count(DISTINCT domain) >= 3
+              |     AND count(DISTINCT ph) >= 2),
+              |gdrop AS (SELECT doc_id, para_idx FROM gatt
+              |  JOIN gq USING (cluster_id) WHERE cfd <> domain),
+              |tm AS (SELECT domain, md5(para) AS ph FROM px
+              |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3),
+              |q2 AS (SELECT md5(para) AS ph FROM px
+              |  GROUP BY 1 HAVING count(DISTINCT domain) >= 3),
+              |fx AS (SELECT px.*, first_value(domain) OVER (
+              |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS fd
+              |  FROM px),
+              |mk AS (SELECT fx.*, CASE WHEN tm.ph IS NOT NULL THEN 0
+              |    WHEN gd.para_idx IS NOT NULL THEN -2
+              |    WHEN md5(fx.para) IN (SELECT ph FROM q2)
+              |      AND fx.fd <> fx.domain THEN -1
+              |    ELSE 1 END AS cls
+              |  FROM fx LEFT JOIN tm
+              |    ON tm.domain = fx.domain AND tm.ph = md5(fx.para)
+              |  LEFT JOIN gdrop gd
+              |    ON gd.doc_id = fx.doc_id AND gd.para_idx = fx.para_idx),
+              |k AS (SELECT *, row_number() OVER (
+              |    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rk
+              |  FROM mk WHERE cls = 1),
+              |cd AS (SELECT doc_id, domain,
+              |    sum(CASE WHEN rk = 1 THEN n_tok ELSE 0 END) AS clean_tok
+              |  FROM k GROUP BY 1, 2),
+              |sd AS (SELECT doc_id,
+              |    sum(CASE WHEN cls = -1 THEN 1 ELSE 0 END) AS n_synd,
+              |    sum(CASE WHEN cls = -2 THEN 1 ELSE 0 END) AS n_fz
+              |  FROM mk GROUP BY 1),
+              |ad AS (SELECT DISTINCT doc_id, domain FROM px),
+              |cda AS (SELECT a.doc_id, a.domain,
+              |    coalesce(cd.clean_tok, 0) AS clean_tok
+              |  FROM ad a LEFT JOIN cd USING (doc_id, domain)),
+              |roll AS (SELECT domain, count(*) AS n_docs,
+              |    sum(CASE WHEN clean_tok < 40 THEN 1 ELSE 0 END) AS n_low
+              |  FROM cda GROUP BY 1),
+              |keptd AS (SELECT domain FROM roll
+              |  WHERE CAST(floor(n_low * 10000.0 / n_docs) AS BIGINT) < 4000),
+              |""" + jaccPairCteSql + """,
+              |pk AS (SELECT id_a, id_b FROM p
+              |  JOIN kept ka ON ka.doc_id = p.id_a
+              |  JOIN kept kb ON kb.doc_id = p.id_b),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pk
+              |  UNION SELECT id_b, id_a FROM pk),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+              |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+              |sz AS (SELECT cluster_id, count(*) AS csz FROM cc GROUP BY 1),
+              |w AS (SELECT kt.doc_id, coalesce(s.csz, 1) AS csz
+              |  FROM kept kt LEFT JOIN
+              |    (SELECT cc.id AS doc_id, sz.csz FROM cc JOIN sz USING (cluster_id)) s
+              |    USING (doc_id)),
+              |kk AS (SELECT cda.doc_id, cda.domain, cda.clean_tok, w.csz,
+              |    coalesce(cc.cluster_id, cda.doc_id) AS cl,
+              |    coalesce(sd.n_synd, 0) AS n_synd,
+              |    coalesce(sd.n_fz, 0) AS n_fz
+              |  FROM cda JOIN w USING (doc_id)
+              |  LEFT JOIN cc ON cc.id = cda.doc_id
+              |  LEFT JOIN sd USING (doc_id)
+              |  WHERE cda.domain IN (SELECT domain FROM keptd)),
+              |lab AS (SELECT doc_id, cl, clean_tok, csz, n_synd, n_fz,
+              |    CASE WHEN ('0x' || substr(md5(cl::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+              |         WHEN ('0x' || substr(md5(cl::VARCHAR || ':split'), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM kk)
+              |SELECT split, count(DISTINCT cl)::BIGINT AS n_clusters,
+              |  count(*)::BIGINT AS n_docs,
+              |  sum(CAST(floor(10000.0 / csz) AS BIGINT))::BIGINT AS eff_docs_x10000,
+              |  sum(clean_tok)::BIGINT AS clean_tokens,
+              |  sum(n_synd)::BIGINT AS synd_dropped,
+              |  sum(n_fz)::BIGINT AS fuzzy_dropped
+              |FROM lab GROUP BY 1""").stripMargin),
+      (s, dir) => {
+        val withUrl = t(s, dir, "documents").withColumn("url", syntheticUrl)
+        // stage 1 (v4's): weighted caps from the FULL population
+        val caps = DomainStats.domainSyndication(
+            withUrl, "url", "doc_id", "text", minDomains = 3, grain = 8)
+          .select(col("domain").as("url_domain"),
+            greatest(lit(5), lit(30) -
+              when(col("synd_in_bp") >= 1000, 20)
+                .when(col("synd_in_bp") >= 700, 10).otherwise(0)).as("cap"))
+        val dd = UrlCanon.dedupByUrl(withUrl, "url", "doc_id")
+        val keptIds = UrlCanon.capDedupedBy(dd, caps, defaultCap = 30)
+          .select(col("keeper_id").as("doc_id"))
+          .localCheckpoint()
+        val cappedDocs = withUrl.join(keptIds, Seq("doc_id"), "left_semi")
+        // stage 2: template drop-all + fuzzy keep-origin + exact
+        // keep-origin + keep-first dedup, stats over the CAPPED
+        // population at ONE grain
+        val cd = DomainStats.cleanTokenStatsV3(
+          cappedDocs, "url", "doc_id", "text",
+          minDocs = 3, minDomains = 3, grain = 8,
+          shingleK = FuzzyOp.shingleK, numHashes = FuzzyOp.numHashes,
+          bands = FuzzyOp.bands, jacNum = FuzzyOp.jacNum,
+          jacDen = FuzzyOp.jacDen)
+        val keptd = cd.groupBy("domain")
+          .agg(count(lit(1)).as("__n"),
+            sum(when(col("clean_tokens") < 40, 1L).otherwise(0L)).as("__nl"))
+          .filter(floor(col("__nl") * 10000.0 / col("__n")).cast("long") < 4000)
+          .select("domain")
+        // stage 3 (v4's): capped-population pairs -> ONE CC -> weights +
+        // leak-free cluster split
+        val pairsK = jaccardPairs(s, dir)
+          .join(keptIds.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+          .join(keptIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        val cc = Dedup.connectedComponents(pairsK)
+          .withColumnRenamed("id", "doc_id")
+        val w = Dedup.softDedupWeightsFromCC(keptIds, "doc_id", cc)
+          .select(col("doc_id"), col("weight_x10000"))
+        cd.join(broadcast(keptd), "domain")
+          .join(w, "doc_id")
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("__cl", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("split", TextAnalysis.hashSplit(col("__cl")))
+          .groupBy("split")
+          .agg(countDistinct("__cl").as("n_clusters"),
+            count(lit(1)).as("n_docs"),
+            sum("weight_x10000").as("eff_docs_x10000"),
+            sum("clean_tokens").as("clean_tokens"),
+            sum("n_synd_dropped").as("synd_dropped"),
+            sum("n_fuzzy_dropped").as("fuzzy_dropped"))
       })
   )
 

@@ -2672,6 +2672,115 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L)._3 == 0L && got(4L)._4 >= 1L, s"4=${got(4L)}")
   }
 
+  test("clean token stats v3: template > fuzzy-synd > exact-synd > keep-first") {
+    import spark.implicits._
+    val g = 4
+    val chunks = cdcChunks(g) _
+    def md5b0(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(tok.getBytes("UTF-8"))(0) & 0xff
+    }
+    val pool = (0 until 400).map(i => s"w$i").filter(md5b0(_) % g != 0)
+    val bt = (0 until 400).map(i => s"w$i").find(md5b0(_) % g == 0).get
+    // fuzzy press-wire cluster F: 15-token chunk, two 1-token-edit
+    // variants (unigram Jaccard 14/16 >= 4/5); each variant on ONE
+    // domain only, so the exact rule can never fire for them
+    val fBase = pool.slice(0, 14)
+    val f1 = (fBase :+ bt).mkString(" ")
+    val f2 = (fBase.updated(0, pool(200)) :+ bt).mkString(" ")
+    val f3 = (fBase.updated(1, pool(201)) :+ bt).mkString(" ")
+    // template-and-fuzzy cluster T: a.com template (3 pages) whose
+    // near-variants live on b.net / c.org
+    val tBase = pool.slice(20, 34)
+    val t1 = (tBase :+ bt).mkString(" ")
+    val t2 = (tBase.updated(0, pool(202)) :+ bt).mkString(" ")
+    val t3 = (tBase.updated(1, pool(203)) :+ bt).mkString(" ")
+    // exact-on-fuzzy-origin cluster X: x1 first on a.com (cluster
+    // origin); x2 first on b.net but ALSO on a.com and d.org — x2
+    // qualifies EXACTLY (3 domains, origin b.net), so its a.com copy is
+    // exact-dropped even though a.com is the CLUSTER's origin
+    val xBase = pool.slice(40, 54)
+    val x1 = (xBase :+ bt).mkString(" ")
+    val x2 = (xBase.updated(0, pool(204)) :+ bt).mkString(" ")
+    // byte-identical wire E on three domains: 1 variant — the >= 2
+    // variant floor leaves it to the EXACT rule
+    val e = Seq(pool(60), pool(61), bt).mkString(" ")
+    val dupP = Seq(pool(63), pool(64), bt).mkString(" ") // plain 2-copy dup
+    def filler(i: Int) = pool.slice(i, i + 3).mkString(" ")
+    val rows = Seq(
+      (1L, "https://a.com/p1", Seq(x1, t1, f1, e, dupP).mkString(" ")),
+      (2L, "https://a.com/p2", t1 + " " + filler(70)),
+      (3L, "https://a.com/p3", t1 + " " + filler(80)),
+      (5L, "https://b.net/p1", Seq(x2, t2, f2, e, dupP).mkString(" ")),
+      (6L, "https://c.org/p1", Seq(t3, f3, e).mkString(" ")),
+      (7L, "https://a.com/p4", x2 + " " + filler(90)),
+      (8L, "https://d.org/p1", x2 + " " + filler(100)))
+    val docs = rows.toDF("doc_id", "url", "text")
+    def dom(u: String) = u.stripPrefix("https://").takeWhile(_ != '/')
+    val paras = rows.flatMap { case (id, u, t) =>
+      chunks(t).zipWithIndex.map { case (p, i) => (id, dom(u), i, p) } }
+    // intended near-dup clusters (the engine derives them via LSH; the
+    // construction keeps every other chunk pair token-disjoint)
+    val clusterOf = Map(f1 -> "F", f2 -> "F", f3 -> "F",
+      t1 -> "T", t2 -> "T", t3 -> "T", x1 -> "X", x2 -> "X")
+    val tmpl = paras.groupBy(r => (r._2, r._4))
+      .filter(_._2.map(_._1).distinct.size >= 3).keySet
+    val synd = paras.groupBy(_._4)
+      .filter(_._2.map(_._2).distinct.size >= 3).keySet
+    val fdOf = paras.groupBy(_._4)
+      .map { case (p, rs) => p -> rs.minBy(r => (r._1, r._3))._2 }
+    val byCl = paras.filter(r => clusterOf.contains(r._4)).groupBy(r => clusterOf(r._4))
+    val qualCl = byCl.filter { case (_, rs) =>
+      rs.map(_._2).distinct.size >= 3 && rs.map(_._4).distinct.size >= 2 }.keySet
+    val cfdOf = byCl.map { case (c, rs) => c -> rs.minBy(r => (r._1, r._3))._2 }
+    def cls(d: String, p: String) =
+      if (tmpl((d, p))) 0
+      else if (clusterOf.get(p).exists(c => qualCl(c) && cfdOf(c) != d)) -2
+      else if (synd(p) && fdOf(p) != d) -1
+      else 1
+    val surv = paras.filter(r => cls(r._2, r._4) == 1)
+    val firstOf = surv.groupBy(_._4).map { case (p, rs) =>
+      p -> rs.map(r => (r._1, r._3)).min }
+    val want = rows.map { case (id, u, t) =>
+      val d = dom(u)
+      val cs = chunks(t).zipWithIndex
+      val nTpl = cs.count { case (p, _) => cls(d, p) == 0 }
+      val nFz = cs.count { case (p, _) => cls(d, p) == -2 }
+      val nSyn = cs.count { case (p, _) => cls(d, p) == -1 }
+      val kept = cs.filter { case (p, i) =>
+        cls(d, p) == 1 && firstOf(p) == ((id, i)) }
+      val nDup = cs.size - nTpl - nFz - nSyn - kept.size
+      id -> ((d, cs.size.toLong,
+        kept.map(_._1.split(" ").length.toLong).sum,
+        nTpl.toLong, nFz.toLong, nSyn.toLong, nDup.toLong))
+    }.toMap
+    val got = DomainStats.cleanTokenStatsV3(docs, "url", "doc_id", "text",
+        minDocs = 3, minDomains = 3, grain = g)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // precedence contracts, each visible in the fixture:
+    // (a) fuzzy keep-origin: a.com (doc 1, cluster F origin) keeps f1;
+    //     the b.net/c.org variants are fuzzy-dropped — the exact rule
+    //     can't see them (each variant lives on one domain)
+    assert(got(5L)._5 >= 1L && got(6L)._5 >= 1L, s"5=${got(5L)} 6=${got(6L)}")
+    // (b) template OUTRANKS fuzzy: t1 on a.com is template-dropped on
+    //     all three pages; the b.net/c.org variants fuzzy-dropped
+    assert(got(1L)._4 >= 1L && got(2L)._4 >= 1L && got(3L)._4 >= 1L,
+      s"1=${got(1L)} 2=${got(2L)} 3=${got(3L)}")
+    // (c) the 2-variant floor leaves byte-identical wire to the EXACT
+    //     rule: e is exact-dropped on b.net/c.org, kept on a.com
+    assert(got(5L)._6 >= 1L && got(6L)._6 >= 1L, s"5=${got(5L)} 6=${got(6L)}")
+    // (d) rules shield only their own class: doc 7 (a.com = cluster X's
+    //     origin domain) holds x2, whose own exact origin is b.net —
+    //     exact-dropped despite sitting on the fuzzy origin domain
+    assert(got(7L)._6 >= 1L, s"7=${got(7L)}")
+    // (e) keep-first over survivors only: dupP kept in doc 1,
+    //     dedup-dropped in doc 5
+    assert(got(5L)._7 >= 1L, s"5=${got(5L)}")
+  }
+
   test("syndication: cross-domain catalog + rollup, templates excluded") {
     import spark.implicits._
     val g = 4
