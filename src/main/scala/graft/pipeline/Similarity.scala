@@ -147,4 +147,91 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining in Low-Resource Settings" / the LASER–CCMatrix
+    * mining criterion): align two embedding sets — two languages of a
+    * multilingual crawl embedded in one space — by scoring each candidate
+    * pair's cosine AGAINST the local similarity floor of both endpoints
+    * (the ratio-margin: cos(x,y) / mean of the two sides' k-NN cosines),
+    * then keeping MUTUAL best matches (the "max" strategy's intersection).
+    * Raw cosine thresholds misfire where the embedding space is dense;
+    * the margin normalizes hubness away — the published insight.
+    *
+    * Candidates come from the engine-portable md5-seeded Rademacher LSH
+    * family ([[graft.functions.RademacherSig]], [[lshTopK]]'s index): a
+    * src×tgt BUCKET equi-join, never an all-pairs product, and the whole
+    * probe — candidates, k-NN floors, margins, mutual argmax — is
+    * SQL-replayable by an oracle. k-NN floors are computed WITHIN the
+    * candidate set (what a production LSH/IVF miner actually does).
+    *
+    * Determinism: pair cosines are quantized to integer basis points
+    * once (`c = round(cos·10⁴)`, the 4-dp rounding the whole ANN family
+    * rides on), and everything downstream is exact integer arithmetic —
+    * the margin ships as `margin_x1e6 = ⌊2·10⁶·c·|Nx|·|Ny| /
+    * (Sx·|Ny| + Sy·|Nx|)⌋` over top-k SUMS (never float averages), and
+    * both argmax ranks tie-break on (margin, c, id). Only positive-cosine
+    * candidates participate (a k-NN "floor" of anti-correlated neighbors
+    * is meaningless, and positivity keeps the integer division exact).
+    *
+    * Scale shape: per-side prep (norms, signatures) is map-only over a
+    * pinned frame; the bucket join shuffles (id, key) pairs; embeddings
+    * re-join AFTER the candidate distinct; the k-NN and argmax windows
+    * are keyed by vector id (bounded by per-vector candidate count).
+    * Returns (src_id, tgt_id, cosine_x10000, margin_x1e6) — one row per
+    * mutual best match, injective on both sides by construction. */
+  def bitextMine(
+      src: DataFrame, tgt: DataFrame, idCol: String, embCol: String,
+      k: Int = 4, tables: Int = 16, bits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, n: String) = df.repartition(col(idCol))
+      .select(col(idCol).as(n), col(embCol).as(s"emb_$n"),
+        sqrt(aggregate(col(embCol), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))
+          .as(s"nrm_$n"),
+        graft.functions.RademacherSig.signature(col(embCol), tables, bits)
+          .as(s"bk_$n"))
+      .localCheckpoint() // feeds the band explode AND the embedding re-join
+    val s = side(src, "x")
+    val t = side(tgt, "y")
+    val bs = s.select(col("x"), posexplode(col("bk_x")).as(Seq("tbl", "key")))
+    val bt = t.select(col("y"), posexplode(col("bk_y")).as(Seq("tbl", "key")))
+    val cand = bs.join(bt, Seq("tbl", "key")).select("x", "y").distinct()
+    // pinned: the candidate-pair cosines feed both k-NN floors AND the
+    // margin join — without the cut the LSH join would run three times
+    val pc = cand
+      .join(s.select(col("x"), col("emb_x"), col("nrm_x")), "x")
+      .join(t.select(col("y"), col("emb_y"), col("nrm_y")), "y")
+      .withColumn("__cos", graft.functions.DotProduct(col("emb_x"), col("emb_y"))
+        / (col("nrm_x") * col("nrm_y")))
+      .filter(col("__cos") > 0)
+      .select(col("x"), col("y"),
+        round(col("__cos") * 10000).cast("long").as("c"))
+      .localCheckpoint()
+    val wx = Window.partitionBy("x").orderBy(col("c").desc, col("y"))
+    val fx = pc.withColumn("__rk", row_number().over(wx))
+      .filter(col("__rk") <= k)
+      .groupBy("x").agg(sum("c").as("sx"), count(lit(1)).as("cx"))
+    val wy = Window.partitionBy("y").orderBy(col("c").desc, col("x"))
+    val fy = pc.withColumn("__rk", row_number().over(wy))
+      .filter(col("__rk") <= k)
+      .groupBy("y").agg(sum("c").as("sy"), count(lit(1)).as("cy"))
+    val m = pc.join(fx, "x").join(fy, "y")
+      .withColumn("margin",
+        expr("(2000000 * c * cx * cy) div (sx * cy + sy * cx)"))
+      .select("x", "y", "c", "margin")
+      .localCheckpoint() // feeds both argmax windows AND the final join
+    val wbx = Window.partitionBy("x")
+      .orderBy(col("margin").desc, col("c").desc, col("y"))
+    val bx = m.withColumn("__rk", row_number().over(wbx))
+      .filter(col("__rk") === 1).select("x", "y")
+    val wby = Window.partitionBy("y")
+      .orderBy(col("margin").desc, col("c").desc, col("x"))
+    val by = m.withColumn("__rk", row_number().over(wby))
+      .filter(col("__rk") === 1).select("x", "y")
+    m.join(bx, Seq("x", "y"), "left_semi")
+      .join(by, Seq("x", "y"), "left_semi")
+      .select(col("x").as("src_id"), col("y").as("tgt_id"),
+        col("c").as("cosine_x10000"), col("margin").as("margin_x1e6"))
+  }
 }

@@ -4317,6 +4317,72 @@ object PipelineQueries {
             sum("clean_tokens").as("clean_tokens"),
             sum("n_synd_dropped").as("synd_dropped"),
             sum("n_fuzzy_dropped").as("fuzzy_dropped"))
+      }),
+
+    // ---- margin-based bitext mining (Similarity.bitextMine; Artetxe &
+    //      Schwenk 2019, the LASER/CCMatrix criterion): align two
+    //      embedding sides (label <= 4 vs >= 5 — two "languages" in one
+    //      space) by ratio-margin against both endpoints' k-NN cosine
+    //      floors, keep mutual best matches. Candidates via the
+    //      md5-seeded Rademacher LSH (q58's replayable family); margins
+    //      are exact integer arithmetic over basis-point cosines, so the
+    //      oracle replays candidates, floors, margins and both argmax
+    //      ranks bit-for-bit.
+    GraftQuery("q329_bitext_mine",
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+             |  FROM embeddings),
+             |qv AS (SELECT vec_id, i.i - 1 AS d,
+             |    CAST(round(emb[i.i] * 1000000) AS BIGINT) AS q
+             |  FROM e, unnest(generate_series(1, len(emb))) i(i)),
+             |pl AS (SELECT t.t, j.j, d.d,
+             |    CASE WHEN ('0x' || substr(md5('rp:' || t.t || ':' || j.j || ':' || d.d), 1, 1))::INT % 2 = 0
+             |      THEN 1 ELSE -1 END AS s
+             |  FROM generate_series(0, 15) t(t), generate_series(0, 5) j(j),
+             |       generate_series(0, 63) d(d)),
+             |dots AS (SELECT qv.vec_id, pl.t, pl.j, sum(qv.q * pl.s) AS dot
+             |  FROM qv JOIN pl ON qv.d = pl.d GROUP BY 1, 2, 3),
+             |sig AS (SELECT vec_id, t,
+             |    sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END)::BIGINT AS key
+             |  FROM dots GROUP BY 1, 2),
+             |src AS (SELECT vec_id, emb FROM e WHERE label <= 4),
+             |tgt AS (SELECT vec_id, emb FROM e WHERE label >= 5),
+             |cand AS (SELECT DISTINCT a.vec_id AS x, b.vec_id AS y
+             |  FROM sig a JOIN sig b ON a.t = b.t AND a.key = b.key
+             |  JOIN src ON src.vec_id = a.vec_id
+             |  JOIN tgt ON tgt.vec_id = b.vec_id),
+             |pc AS (SELECT x, y, CAST(round(cs * 10000) AS BIGINT) AS c
+             |  FROM (SELECT cand.x, cand.y,
+             |      list_cosine_similarity(s.emb, t.emb) AS cs
+             |    FROM cand JOIN src s ON s.vec_id = cand.x
+             |    JOIN tgt t ON t.vec_id = cand.y)
+             |  WHERE cs > 0),
+             |fx AS (SELECT x, sum(c) AS sx, count(*) AS cx FROM (
+             |    SELECT x, c, row_number() OVER (
+             |      PARTITION BY x ORDER BY c DESC, y) AS rk FROM pc)
+             |  WHERE rk <= 4 GROUP BY x),
+             |fy AS (SELECT y, sum(c) AS sy, count(*) AS cy FROM (
+             |    SELECT y, c, row_number() OVER (
+             |      PARTITION BY y ORDER BY c DESC, x) AS rk FROM pc)
+             |  WHERE rk <= 4 GROUP BY y),
+             |m AS (SELECT pc.x, pc.y, pc.c,
+             |    CAST((2000000 * pc.c * fx.cx * fy.cy)
+             |      // (fx.sx * fy.cy + fy.sy * fx.cx) AS BIGINT) AS margin
+             |  FROM pc JOIN fx USING (x) JOIN fy USING (y)),
+             |bx AS (SELECT x, y FROM (SELECT x, y, row_number() OVER (
+             |    PARTITION BY x ORDER BY margin DESC, c DESC, y) AS rk
+             |  FROM m) WHERE rk = 1),
+             |by_ AS (SELECT x, y FROM (SELECT x, y, row_number() OVER (
+             |    PARTITION BY y ORDER BY margin DESC, c DESC, x) AS rk
+             |  FROM m) WHERE rk = 1)
+             |SELECT m.x AS src_id, m.y AS tgt_id, m.c AS cosine_x10000,
+             |  m.margin AS margin_x1e6
+             |FROM m JOIN bx ON bx.x = m.x AND bx.y = m.y
+             |JOIN by_ ON by_.x = m.x AND by_.y = m.y""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bitextMine(
+          emb.filter(col("label") <= 4), emb.filter(col("label") >= 5),
+          "vec_id", "embedding", k = 4, tables = 16, bits = 6)
       })
   )
 

@@ -2672,6 +2672,37 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L)._3 == 0L && got(4L)._4 >= 1L, s"4=${got(4L)}")
   }
 
+  test("bitext mining: mutual margin matches recover planted translation pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val srcV = (0 until 8).map(_ => vec())
+    // five tgt vectors are near-copies of src 0..4 (planted translations),
+    // three are unrelated noise
+    val tgtV = (0 until 8).map { i =>
+      if (i < 5) srcV(i).zipWithIndex.map {
+        case (v, d) => if (d == 0) v + 0.01f else v }
+      else vec()
+    }
+    val src = srcV.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val tgt = tgtV.zipWithIndex.map { case (v, i) => (100L + i, v) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bitextMine(src, tgt, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val mined = got.map(p => (p._1, p._2)).toSet
+    (0 until 5).foreach(i =>
+      assert(mined((i.toLong, 100L + i)), s"missing pair $i: ${got.toSeq}"))
+    // planted pairs sit at ~cos 1.0 and AT or ABOVE the neutral margin
+    // (exactly 1e6 when the twin is a vector's only candidate)
+    got.filter(p => p._1 < 5).foreach { p =>
+      assert(p._3 > 9900L && p._4 >= 1000000L, p.toString) }
+    // mutual-argmax output is injective on both sides
+    assert(got.map(_._1).distinct.length == got.length, got.toSeq.toString)
+    assert(got.map(_._2).distinct.length == got.length, got.toSeq.toString)
+  }
+
   test("clean token stats v3: template > fuzzy-synd > exact-synd > keep-first") {
     import spark.implicits._
     val g = 4
