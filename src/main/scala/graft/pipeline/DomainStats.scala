@@ -747,25 +747,14 @@ object DomainStats {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("ph").orderBy(col(idCol), col("para_idx"))
     // fuzzy keep-origin drop keys (idCol, para_idx): occurrences of
-    // qualifying global clusters (>= minDomains distinct domains, >= 2
-    // variants, computed over THIS population) off the cluster's
-    // first-occurrence domain. The attributed member-occurrence frame is
-    // pinned — the qualification agg and the drop filter both read it.
+    // qualifying global clusters (computed over THIS population) off the
+    // cluster's first-occurrence domain — the ONE shared rule,
+    // [[fuzzyKeepOriginDrops]]
     val fuzzyDrop = (fuzzyMembers, minDomains) match {
       case (Some(fm), Some(md)) =>
-        val wC = org.apache.spark.sql.expressions.Window
-          .partitionBy("cluster_id").orderBy(col(idCol), col("para_idx"))
-        val att = rows.join(fm.select("ph", "cluster_id"), Seq("ph"))
-          .withColumn("__cfd", first(col("__domain")).over(wC))
-          .localCheckpoint()
-        val qual = att.groupBy("cluster_id")
-          .agg(countDistinct(col("__domain")).as("__ndom"),
-            countDistinct(col("ph")).as("__nv"))
-          .filter(col("__ndom") >= md && col("__nv") >= 2)
-          .select("cluster_id")
-        Some(att.join(qual, Seq("cluster_id"))
-          .filter(col("__cfd") =!= col("__domain"))
-          .select(col(idCol), col("para_idx"), lit(1).as("__f")))
+        Some(fuzzyKeepOriginDrops(
+            rows.join(fm.select("ph", "cluster_id"), Seq("ph")), idCol, md)
+          .withColumn("__f", lit(1)))
       case _ => None
     }
     val marked = minDomains match {
@@ -1147,20 +1136,40 @@ object DomainStats {
     val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
     val members =
       globalFuzzyMembers(occ, shingleK, numHashes, bands, jacNum, jacDen)
+    val dropped = fuzzyKeepOriginDrops(
+      occKeys(docs, urlCol, idCol, textCol, grain)
+        .join(members.select("ph", "cluster_id"), Seq("ph")),
+      idCol, minDomains)
+    Dedup.rebuildDropping(docs, idCol, textCol, grain, dropped)
+  }
+
+  /** The ONE fuzzy keep-origin drop rule, shared by
+    * [[fuzzySyndicationStrip]] (q326) and [[cleanTokenStatsV3]]'s core
+    * (q328) — qualification (>= `minDomains` distinct registered
+    * domains AND >= 2 variants), first-occurrence attribution by
+    * (doc id, position) over ALL member occurrences, and the copier
+    * filter, so the two consumers cannot drift on which occurrences are
+    * fuzzy-syndicated (the same single-definition defense the oracle
+    * side gets from its parameterized clustering CTE). `occ` carries
+    * one row per member occurrence (`idCol`, `para_idx`, `__domain`,
+    * `ph`, `cluster_id`); the attributed frame is pinned (the
+    * qualification agg and the drop filter both read it). Returns the
+    * (idCol, para_idx) occurrence keys to excise. */
+  private def fuzzyKeepOriginDrops(
+      occ: DataFrame, idCol: String, minDomains: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col(idCol), col("para_idx"))
-    val att = occKeys(docs, urlCol, idCol, textCol, grain)
-      .join(members.select("ph", "cluster_id"), Seq("ph"))
-      .withColumn("__fd", first(col("__domain")).over(w))
+    val att = occ
+      .withColumn("__cfd", first(col("__domain")).over(w))
       .localCheckpoint()
     val qual = att.groupBy("cluster_id")
       .agg(countDistinct(col("__domain")).as("__ndom"),
         countDistinct(col("ph")).as("__nv"))
       .filter(col("__ndom") >= minDomains && col("__nv") >= 2)
       .select("cluster_id")
-    val dropped = att.join(qual, Seq("cluster_id"))
-      .filter(col("__fd") =!= col("__domain"))
-    Dedup.rebuildDropping(docs, idCol, textCol, grain, dropped)
+    att.join(qual, Seq("cluster_id"))
+      .filter(col("__cfd") =!= col("__domain"))
+      .select(col(idCol), col("para_idx"))
   }
 
   /** Cross-domain SYNDICATION STRIP — the actionable counterpart of

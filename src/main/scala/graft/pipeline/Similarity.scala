@@ -178,6 +178,12 @@ object Similarity {
     * pinned frame; the bucket join shuffles (id, key) pairs; embeddings
     * re-join AFTER the candidate distinct; the k-NN and argmax windows
     * are keyed by vector id (bounded by per-vector candidate count).
+    * `bits` is the scale lever — buckets per table is 2^bits, so size it
+    * to keep expected bucket occupancy bounded as the corpus grows (the
+    * q329 gate point is 16×6 for recall at fixture scale; [[lshTopK]]'s
+    * 12-bit default is the right order for millions of vectors — the
+    * candidate join is quadratic only IN-BUCKET, like every LSH family
+    * member here).
     * Returns (src_id, tgt_id, cosine_x10000, margin_x1e6) — one row per
     * mutual best match, injective on both sides by construction. */
   def bitextMine(
