@@ -520,4 +520,72 @@ class PropertySpec extends SparkSpec {
         s"trial $trial strip got=$gotStrip want=$wantStrip")
     }
   }
+
+  test("bitext mining equals driver-side brute force on random vector sets") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val T = 16; val B = 6
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val dim = Seq(8, 16, 32)(rnd.nextInt(3))
+      val ns = 20 + rnd.nextInt(40)
+      val nt = 20 + rnd.nextInt(40)
+      val k = 1 + rnd.nextInt(4)
+      def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val srcV = (0L until ns.toLong).map(i => i -> vec())
+      val tgtV = (0L until nt.toLong).map(i => (1000L + i) -> vec())
+      // driver replay: identical signature draw (signatureOfVec IS the
+      // engine kernel), identical L2R double dot/norm accumulation
+      // (DotProduct / the aggregate fold both run in index order),
+      // identical HALF_UP basis-point quantization, then pure integers
+      def sig(v: Array[Float]) = graft.functions.RademacherSig
+        .signatureOfVec(v.map(_.toDouble), T, B)
+      def cosQ(a: Array[Float], b: Array[Float]): Option[Long] = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        val c = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (c > 0)
+          Some(JBD.valueOf(c * 10000).setScale(0, RoundingMode.HALF_UP)
+            .longValue())
+        else None
+      }
+      val ss = srcV.map { case (i, v) => (i, v, sig(v)) }
+      val ts = tgtV.map { case (i, v) => (i, v, sig(v)) }
+      val cand = for {
+        (xi, xv, xs) <- ss
+        (yi, yv, ys) <- ts
+        if (0 until T).exists(t => xs(t) == ys(t))
+        c <- cosQ(xv, yv)
+      } yield (xi, yi, c)
+      val fx = cand.groupBy(_._1).map { case (x, ps) =>
+        val top = ps.sortBy(p => (-p._3, p._2)).take(k)
+        x -> ((top.map(_._3).sum, top.size.toLong)) }
+      val fy = cand.groupBy(_._2).map { case (y, ps) =>
+        val top = ps.sortBy(p => (-p._3, p._1)).take(k)
+        y -> ((top.map(_._3).sum, top.size.toLong)) }
+      val m = cand.map { case (x, y, c) =>
+        val (sx, cx) = fx(x); val (sy, cy) = fy(y)
+        (x, y, c, (2000000L * c * cx * cy) / (sx * cy + sy * cx)) }
+      val bx = m.groupBy(_._1).map { case (x, ps) =>
+        x -> ps.minBy(p => (-p._4, -p._3, p._2)) }
+      val by = m.groupBy(_._2).map { case (y, ps) =>
+        y -> ps.minBy(p => (-p._4, -p._3, p._1)) }
+      val want = m.filter(p => bx(p._1) == p && by(p._2) == p).toSet
+      val got = graft.pipeline.Similarity.bitextMine(
+          srcV.toDF("vec_id", "embedding"), tgtV.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = k, tables = T, bits = B)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want,
+        s"trial $trial dim=$dim k=$k: got=${got.size} want=${want.size} " +
+          s"diff=${(got diff want) ++ (want diff got)}")
+    }
+  }
 }
