@@ -281,12 +281,13 @@ object DomainStats {
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDocs: Int = 3, grain: Int = 16, shingleK: Int = 1,
       numHashes: Int = 64, bands: Int = 16,
-      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+      jacNum: Int = 4, jacDen: Int = 5,
+      membersOpt: Option[DataFrame] = None): DataFrame = {
     val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
     val keys = occKeys(docs, urlCol, idCol, textCol, grain)
-    val members =
+    val members = membersOpt.getOrElse(
       fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
-        jacNum, jacDen)
+        jacNum, jacDen))
     val perCluster = members
       .groupBy(col("__domain"), col("cluster_id"))
       .agg(count(lit(1)).as("n_variants"), min(col("para")).as("paragraph"),
@@ -483,16 +484,17 @@ object DomainStats {
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDocs: Int = 3, grain: Int = 16, shingleK: Int = 1,
       numHashes: Int = 64, bands: Int = 16,
-      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+      jacNum: Int = 4, jacDen: Int = 5,
+      membersOpt: Option[DataFrame] = None): DataFrame = {
     val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
     val keys = occKeys(docs, urlCol, idCol, textCol, grain).localCheckpoint()
     val exactTpl = keys.groupBy("__domain", "ph")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__domain"), col("ph"), lit(1L).as("__ex"))
-    val members =
+    val members = membersOpt.getOrElse(
       fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
-        jacNum, jacDen)
+        jacNum, jacDen))
     val fuzzyKeys = qualifiedFuzzyKeys(keys, members, idCol, minDocs)
       .withColumn("__fz", lit(1L))
     keys
@@ -667,16 +669,17 @@ object DomainStats {
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDocs: Int = 3, grain: Int = 16, shingleK: Int = 1,
       numHashes: Int = 64, bands: Int = 16,
-      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+      jacNum: Int = 4, jacDen: Int = 5,
+      membersOpt: Option[DataFrame] = None): DataFrame = {
     val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
     val rows = occKeys(docs, urlCol, idCol, textCol, grain).localCheckpoint()
     val exactKeys = rows.groupBy("__domain", "ph")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("__domain", "ph")
-    val members =
+    val members = membersOpt.getOrElse(
       fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
-        jacNum, jacDen)
+        jacNum, jacDen))
     val allKeys = exactKeys
       .union(qualifiedFuzzyKeys(rows, members, idCol, minDocs))
       .distinct()
@@ -1080,14 +1083,42 @@ object DomainStats {
     }
   }
 
+  /** The per-domain fuzzy clustering frame `(__domain, ph, para,
+    * cluster_id)` exposed as a standalone builder, so a harness can
+    * compute the clustering ONCE and inject it into
+    * [[fuzzyTemplateCatalog]] / [[domainFuzzyBoilerplate]] /
+    * [[fuzzyTemplateStrip]] via their `membersOpt` (each rebuilds the
+    * identical clustering otherwise — the jaccardPairs cross-query
+    * memoization precedent; production pipelines materialize shared
+    * intermediates rather than recomputing them per consumer). The
+    * caller owns making the injected frame consistent with the
+    * consumer's operating point (same docs, grain, minhash params). */
+  def domainFuzzyMembers(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      grain: Int = 16, shingleK: Int = 1, numHashes: Int = 64,
+      bands: Int = 16, jacNum: Int = 4, jacDen: Int = 5): DataFrame =
+    fuzzyClusterMembers(paraOcc(docs, urlCol, idCol, textCol, grain),
+      idCol, shingleK, numHashes, bands, jacNum, jacDen)
+
+  /** The GLOBAL fuzzy clustering frame `(ph, para, cluster_id)` as a
+    * standalone builder — [[domainFuzzyMembers]]' cross-domain twin for
+    * [[fuzzySyndicationCatalog]] / [[fuzzySyndicationStrip]] injection. */
+  def globalFuzzyMembersFrame(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      grain: Int = 16, shingleK: Int = 1, numHashes: Int = 64,
+      bands: Int = 16, jacNum: Int = 4, jacDen: Int = 5): DataFrame =
+    globalFuzzyMembers(paraOcc(docs, urlCol, idCol, textCol, grain),
+      shingleK, numHashes, bands, jacNum, jacDen)
+
   def fuzzySyndicationCatalog(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDomains: Int = 3, grain: Int = 16, shingleK: Int = 1,
       numHashes: Int = 64, bands: Int = 16,
-      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+      jacNum: Int = 4, jacDen: Int = 5,
+      membersOpt: Option[DataFrame] = None): DataFrame = {
     val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
-    val members =
-      globalFuzzyMembers(occ, shingleK, numHashes, bands, jacNum, jacDen)
+    val members = membersOpt.getOrElse(
+      globalFuzzyMembers(occ, shingleK, numHashes, bands, jacNum, jacDen))
     val keys = occKeys(docs, urlCol, idCol, textCol, grain)
     val mocc = keys.join(members.select("ph", "cluster_id"), Seq("ph"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1132,10 +1163,11 @@ object DomainStats {
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDomains: Int = 3, grain: Int = 16, shingleK: Int = 1,
       numHashes: Int = 64, bands: Int = 16,
-      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+      jacNum: Int = 4, jacDen: Int = 5,
+      membersOpt: Option[DataFrame] = None): DataFrame = {
     val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
-    val members =
-      globalFuzzyMembers(occ, shingleK, numHashes, bands, jacNum, jacDen)
+    val members = membersOpt.getOrElse(
+      globalFuzzyMembers(occ, shingleK, numHashes, bands, jacNum, jacDen))
     val dropped = fuzzyKeepOriginDrops(
       occKeys(docs, urlCol, idCol, textCol, grain)
         .join(members.select("ph", "cluster_id"), Seq("ph")),

@@ -63,6 +63,36 @@ object PipelineQueries {
         t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
     }
 
+  /** Per-domain fuzzy cluster membership at the FuzzyOp point, memoized
+    * per (session, dir): q313 (catalog), q314 (boilerplate rollup) and
+    * q316 (strip) all consume the identical clustering — computing it
+    * once and injecting it via membersOpt is the jaccardPairs pattern
+    * (the first consumer pays the clustering + parquet write; the rest
+    * read the materialized frame). */
+  private def domainFuzzyMembersMemo(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    memoized(s, dir, "dfuzzy") {
+      DomainStats.domainFuzzyMembers(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", grain = FuzzyOp.grain,
+        shingleK = FuzzyOp.shingleK, numHashes = FuzzyOp.numHashes,
+        bands = FuzzyOp.bands, jacNum = FuzzyOp.jacNum,
+        jacDen = FuzzyOp.jacDen)
+    }
+
+  /** Global fuzzy cluster membership, memoized per (session, dir) — the
+    * q325/q326 shared clustering core. */
+  private def globalFuzzyMembersMemo(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    memoized(s, dir, "gfuzzy") {
+      DomainStats.globalFuzzyMembersFrame(
+        t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", grain = FuzzyOp.grain,
+        shingleK = FuzzyOp.shingleK, numHashes = FuzzyOp.numHashes,
+        bands = FuzzyOp.bands, jacNum = FuzzyOp.jacNum,
+        jacDen = FuzzyOp.jacDen)
+    }
+
   /** Deterministic synthetic URL per document (the fixture has no URL
     * column): scheme/case/port/tracking/fragment variants derived from
     * doc_id so canonicalization has real work to do and the DuckDB oracle
@@ -3368,7 +3398,8 @@ object PipelineQueries {
         "url", "doc_id", "text", minDocs = FuzzyOp.minDocs,
         grain = FuzzyOp.grain, shingleK = FuzzyOp.shingleK,
         numHashes = FuzzyOp.numHashes, bands = FuzzyOp.bands,
-        jacNum = FuzzyOp.jacNum, jacDen = FuzzyOp.jacDen)),
+        jacNum = FuzzyOp.jacNum, jacDen = FuzzyOp.jacDen,
+        membersOpt = Some(domainFuzzyMembersMemo(s, dir)))),
 
     // ---- per-domain boilerplate RATE, exact vs fuzzy-extra
     //      (DomainStats.domainFuzzyBoilerplate): how much of each
@@ -3401,7 +3432,8 @@ object PipelineQueries {
         "url", "doc_id", "text", minDocs = FuzzyOp.minDocs,
         grain = FuzzyOp.grain, shingleK = FuzzyOp.shingleK,
         numHashes = FuzzyOp.numHashes, bands = FuzzyOp.bands,
-        jacNum = FuzzyOp.jacNum, jacDen = FuzzyOp.jacDen)),
+        jacNum = FuzzyOp.jacNum, jacDen = FuzzyOp.jacDen,
+        membersOpt = Some(domainFuzzyMembersMemo(s, dir)))),
 
     // ---- INCREMENTAL template strip (DomainStats.templateIndex +
     //      templateStripIncremental): a new ingest batch (40 replayed
@@ -3488,7 +3520,8 @@ object PipelineQueries {
         "url", "doc_id", "text", minDocs = FuzzyOp.minDocs,
         grain = FuzzyOp.grain, shingleK = FuzzyOp.shingleK,
         numHashes = FuzzyOp.numHashes, bands = FuzzyOp.bands,
-        jacNum = FuzzyOp.jacNum, jacDen = FuzzyOp.jacDen)),
+        jacNum = FuzzyOp.jacNum, jacDen = FuzzyOp.jacDen,
+        membersOpt = Some(domainFuzzyMembersMemo(s, dir)))),
 
     // ---- curation capstone v2: the q307 chain EXTENDED with the round-8
     //      paragraph/template layer, as ONE plan — canonicalize →
@@ -4052,7 +4085,8 @@ object PipelineQueries {
         "url", "doc_id", "text", minDomains = 3, grain = FuzzyOp.grain,
         shingleK = FuzzyOp.shingleK, numHashes = FuzzyOp.numHashes,
         bands = FuzzyOp.bands, jacNum = FuzzyOp.jacNum,
-        jacDen = FuzzyOp.jacDen)),
+        jacDen = FuzzyOp.jacDen,
+        membersOpt = Some(globalFuzzyMembersMemo(s, dir)))),
 
     // ---- FUZZY syndication strip (DomainStats.fuzzySyndicationStrip):
     //      q325's catalog made actionable with q321's keep-origin rule —
@@ -4086,7 +4120,8 @@ object PipelineQueries {
         "url", "doc_id", "text", minDomains = 3, grain = FuzzyOp.grain,
         shingleK = FuzzyOp.shingleK, numHashes = FuzzyOp.numHashes,
         bands = FuzzyOp.bands, jacNum = FuzzyOp.jacNum,
-        jacDen = FuzzyOp.jacDen)),
+        jacDen = FuzzyOp.jacDen,
+        membersOpt = Some(globalFuzzyMembersMemo(s, dir)))),
 
     // ---- INCREMENTAL syndication strip (DomainStats.syndicationIndex +
     //      syndicationStripIncremental): the q315 incremental contract
