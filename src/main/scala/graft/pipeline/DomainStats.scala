@@ -283,11 +283,10 @@ object DomainStats {
       numHashes: Int = 64, bands: Int = 16,
       jacNum: Int = 4, jacDen: Int = 5,
       membersOpt: Option[DataFrame] = None): DataFrame = {
-    val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
     val keys = occKeys(docs, urlCol, idCol, textCol, grain)
-    val members = membersOpt.getOrElse(
-      fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
-        jacNum, jacDen))
+    val members = membersOpt.getOrElse(fuzzyClusterMembers(
+      paraOcc(docs, urlCol, idCol, textCol, grain), idCol,
+      shingleK, numHashes, bands, jacNum, jacDen))
     val perCluster = members
       .groupBy(col("__domain"), col("cluster_id"))
       .agg(count(lit(1)).as("n_variants"), min(col("para")).as("paragraph"),
@@ -486,15 +485,14 @@ object DomainStats {
       numHashes: Int = 64, bands: Int = 16,
       jacNum: Int = 4, jacDen: Int = 5,
       membersOpt: Option[DataFrame] = None): DataFrame = {
-    val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
     val keys = occKeys(docs, urlCol, idCol, textCol, grain).localCheckpoint()
     val exactTpl = keys.groupBy("__domain", "ph")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__domain"), col("ph"), lit(1L).as("__ex"))
-    val members = membersOpt.getOrElse(
-      fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
-        jacNum, jacDen))
+    val members = membersOpt.getOrElse(fuzzyClusterMembers(
+      paraOcc(docs, urlCol, idCol, textCol, grain), idCol,
+      shingleK, numHashes, bands, jacNum, jacDen))
     val fuzzyKeys = qualifiedFuzzyKeys(keys, members, idCol, minDocs)
       .withColumn("__fz", lit(1L))
     keys
@@ -671,15 +669,14 @@ object DomainStats {
       numHashes: Int = 64, bands: Int = 16,
       jacNum: Int = 4, jacDen: Int = 5,
       membersOpt: Option[DataFrame] = None): DataFrame = {
-    val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
     val rows = occKeys(docs, urlCol, idCol, textCol, grain).localCheckpoint()
     val exactKeys = rows.groupBy("__domain", "ph")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("__domain", "ph")
-    val members = membersOpt.getOrElse(
-      fuzzyClusterMembers(occ, idCol, shingleK, numHashes, bands,
-        jacNum, jacDen))
+    val members = membersOpt.getOrElse(fuzzyClusterMembers(
+      paraOcc(docs, urlCol, idCol, textCol, grain), idCol,
+      shingleK, numHashes, bands, jacNum, jacDen))
     val allKeys = exactKeys
       .union(qualifiedFuzzyKeys(rows, members, idCol, minDocs))
       .distinct()
@@ -1116,9 +1113,9 @@ object DomainStats {
       numHashes: Int = 64, bands: Int = 16,
       jacNum: Int = 4, jacDen: Int = 5,
       membersOpt: Option[DataFrame] = None): DataFrame = {
-    val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
-    val members = membersOpt.getOrElse(
-      globalFuzzyMembers(occ, shingleK, numHashes, bands, jacNum, jacDen))
+    val members = membersOpt.getOrElse(globalFuzzyMembers(
+      paraOcc(docs, urlCol, idCol, textCol, grain),
+      shingleK, numHashes, bands, jacNum, jacDen))
     val keys = occKeys(docs, urlCol, idCol, textCol, grain)
     val mocc = keys.join(members.select("ph", "cluster_id"), Seq("ph"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1165,9 +1162,9 @@ object DomainStats {
       numHashes: Int = 64, bands: Int = 16,
       jacNum: Int = 4, jacDen: Int = 5,
       membersOpt: Option[DataFrame] = None): DataFrame = {
-    val occ = paraOcc(docs, urlCol, idCol, textCol, grain)
-    val members = membersOpt.getOrElse(
-      globalFuzzyMembers(occ, shingleK, numHashes, bands, jacNum, jacDen))
+    val members = membersOpt.getOrElse(globalFuzzyMembers(
+      paraOcc(docs, urlCol, idCol, textCol, grain),
+      shingleK, numHashes, bands, jacNum, jacDen))
     val dropped = fuzzyKeepOriginDrops(
       occKeys(docs, urlCol, idCol, textCol, grain)
         .join(members.select("ph", "cluster_id"), Seq("ph")),

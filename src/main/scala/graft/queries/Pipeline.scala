@@ -63,35 +63,31 @@ object PipelineQueries {
         t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
     }
 
-  /** Per-domain fuzzy cluster membership at the FuzzyOp point, memoized
-    * per (session, dir): q313 (catalog), q314 (boilerplate rollup) and
-    * q316 (strip) all consume the identical clustering — computing it
-    * once and injecting it via membersOpt is the jaccardPairs pattern
-    * (the first consumer pays the clustering + parquet write; the rest
-    * read the materialized frame). */
-  private def domainFuzzyMembersMemo(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    memoized(s, dir, "dfuzzy") {
-      DomainStats.domainFuzzyMembers(
-        t(s, dir, "documents").withColumn("url", syntheticUrl),
-        "url", "doc_id", "text", grain = FuzzyOp.grain,
-        shingleK = FuzzyOp.shingleK, numHashes = FuzzyOp.numHashes,
-        bands = FuzzyOp.bands, jacNum = FuzzyOp.jacNum,
-        jacDen = FuzzyOp.jacDen)
+  /** Fuzzy cluster membership memoized per (session, dir) — ONE place
+    * holds the docs frame + FuzzyOp operating point for BOTH clustering
+    * grains, so the per-domain (q313/q314/q316) and global (q325/q326)
+    * families cannot drift apart. Computing each clustering once and
+    * injecting it via membersOpt is the jaccardPairs pattern (the first
+    * consumer pays the clustering + parquet write; the rest read the
+    * materialized frame). */
+  private def fuzzyMembersMemo(
+      s: org.apache.spark.sql.SparkSession, dir: String, key: String,
+      build: (org.apache.spark.sql.DataFrame, String, String, String,
+        Int, Int, Int, Int, Int, Int) => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    memoized(s, dir, key) {
+      build(t(s, dir, "documents").withColumn("url", syntheticUrl),
+        "url", "doc_id", "text", FuzzyOp.grain, FuzzyOp.shingleK,
+        FuzzyOp.numHashes, FuzzyOp.bands, FuzzyOp.jacNum, FuzzyOp.jacDen)
     }
 
-  /** Global fuzzy cluster membership, memoized per (session, dir) — the
-    * q325/q326 shared clustering core. */
+  private def domainFuzzyMembersMemo(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    fuzzyMembersMemo(s, dir, "dfuzzy", DomainStats.domainFuzzyMembers)
+
   private def globalFuzzyMembersMemo(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    memoized(s, dir, "gfuzzy") {
-      DomainStats.globalFuzzyMembersFrame(
-        t(s, dir, "documents").withColumn("url", syntheticUrl),
-        "url", "doc_id", "text", grain = FuzzyOp.grain,
-        shingleK = FuzzyOp.shingleK, numHashes = FuzzyOp.numHashes,
-        bands = FuzzyOp.bands, jacNum = FuzzyOp.jacNum,
-        jacDen = FuzzyOp.jacDen)
-    }
+    fuzzyMembersMemo(s, dir, "gfuzzy", DomainStats.globalFuzzyMembersFrame)
 
   /** Deterministic synthetic URL per document (the fixture has no URL
     * column): scheme/case/port/tracking/fragment variants derived from
