@@ -5,6 +5,19 @@ import org.apache.spark.sql.SparkSession
   * one JSON line (driver contract). Queries run in name order after an
   * untimed warmup (table reads + one query) so timings reflect steady state
   * rather than session/codegen startup.
+  *
+  * BENCH line semantics: each query's value is its first-pass wall time,
+  * EXCEPT a query whose first pass exceeded ~2x its warm reference
+  * (host-contention spike), which reports the MIN over up to two
+  * adjudication re-runs — with any cross-query disk-memo entries the
+  * query itself built invalidated before each re-run, so the min is
+  * evidence the query runs that fast on its own merit (build cost
+  * included when it is a memo's first consumer), never a warm read of
+  * its own first pass's materialization. The original spiked value ships
+  * in "remeasured"; queries that threw ship their time-to-exception and
+  * are listed in "failed" (overflow marker: a trailing "_more:N" STRING
+  * element, unlike remeasured's "_more": N object key — both pinned by
+  * BenchLineSpec; keep the tail-line consumer in sync with it).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -84,9 +97,17 @@ object Bench {
       reclaim()
       (dt, ok)
     }
+    // Bracket each query with memo-build marks: a query that BUILDS a
+    // cross-query disk memo (the Pipeline first-consumer pattern) must
+    // have those entries invalidated before any spike re-run, or the
+    // "re-measure" reads the parquet its own first pass materialized and
+    // the reported min is structurally warm rather than
+    // contention-adjudicated (r10's q325 shipped 0.9 s against a quiet
+    // COLD cost of 8.6 s this way).
     val firstPass = selected.map { case (name, fn) =>
+      val m0 = queries.PipelineQueries.memoBuildMark
       val (dt, ok) = timeOne(fn)
-      (name, dt, ok)
+      (name, dt, ok, m0, queries.PipelineQueries.memoBuildMark)
     }
 
     // Self-defending capture (three straight rounds of verdict cycles
@@ -106,6 +127,13 @@ object Bench {
     // is warm by definition) and by SPARK_GRAFT_REMEASURE=0.
     val remeasureOn = !cold &&
       !sys.env.get("SPARK_GRAFT_REMEASURE").contains("0")
+    // SPARK_GRAFT_FORCE_REMEASURE: comma-separated query names treated as
+    // spiked regardless of threshold (exactly one adjudication re-run) —
+    // the test hook for the memo-invalidation path above, since a real
+    // spike needs host contention to reproduce on demand
+    val forceRm = sys.env.get("SPARK_GRAFT_FORCE_REMEASURE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val refUsable = sfDir == BenchRef.sfDir && cpus == BenchRef.cpus
     val med = {
       val v = firstPass.map(_._2).sorted
@@ -122,16 +150,28 @@ object Bench {
     def sampleLoad(): Unit = maxLoad = math.max(maxLoad, loadAvg())
     val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results =
-      if (!remeasureOn) firstPass.map { case (n, dt, _) => n -> dt }
-      else firstPass.map { case (name, dt0, ok0) =>
-        if (!ok0 || dt0 <= threshold(name)) name -> dt0
+      if (!remeasureOn) firstPass.map { case (n, dt, _, _, _) => n -> dt }
+      else firstPass.map { case (name, dt0, ok0, m0, m1) =>
+        if (!ok0 || (dt0 <= threshold(name) && !forceRm(name))) name -> dt0
         else {
           sampleLoad()
           val fn = SparkEntry.queries(name)
           var best = dt0
           var runs = 0
-          while (runs < 2 && best > threshold(name)) {
+          // invalidate whatever the PREVIOUS run of this query built
+          // (first the first-pass span, then each re-run's own rebuilds)
+          // so every adjudication run re-pays its builds — "a query can
+          // run fast by its own merit only" must include the memo build
+          // when the query is the memo's first consumer
+          var spanFrom = m0
+          var spanUntil = m1
+          while (runs < 2 &&
+              (best > threshold(name) || (forceRm(name) && runs == 0))) {
+            queries.PipelineQueries.invalidateMemoBuilds(spanFrom, spanUntil)
+            val mk = queries.PipelineQueries.memoBuildMark
             val (dt, ok) = timeOne(fn)
+            spanFrom = mk
+            spanUntil = queries.PipelineQueries.memoBuildMark
             if (ok) best = math.min(best, dt)
             runs += 1
           }
@@ -143,7 +183,7 @@ object Bench {
     // full per-query map → file (all queries, full precision, for
     // analysis); failed queries listed so gen_bench_ref can exclude their
     // time-to-exception from the warm-reference map
-    val failed = firstPass.collect { case (n, _, false) => n }
+    val failed = firstPass.collect { case (n, _, false, _, _) => n }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
       fullLine(results, sfDir, failed, cpus) + "\n")

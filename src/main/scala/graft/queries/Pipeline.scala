@@ -30,13 +30,60 @@ object PipelineQueries {
     * intermediates to storage rather than caching them across jobs. */
   private val diskMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, String), String]()
+
+  /** Ordered log of memo entries a builder actually BUILT (as opposed to
+    * read warm), for Bench's spike-remeasure adjudication: the re-run of
+    * a spiked FIRST CONSUMER would otherwise read the parquet its first
+    * pass materialized and report a structurally-warm minimum (r10's
+    * q325: 100.8 s contended first pass, 0.9 s memo-read "re-measure" —
+    * below even its quiet cold cost). Bench brackets each first-pass
+    * query with [[memoBuildMark]] and invalidates that query's builds via
+    * [[invalidateMemoBuilds]] before every re-run, so the min it reports
+    * is contention evidence, not structure evidence. */
+  private val memoBuilds = new java.util.concurrent.CopyOnWriteArrayList[
+    ((Int, String, String), String)]()
+
+  /** Current build-log length — bracket a timed run with two marks to
+    * attribute memo builds to the query that paid for them. */
+  def memoBuildMark: Int = memoBuilds.size()
+
+  /** Invalidate the memo entries logged in positions [from, until):
+    * remove them from the map (the next consumer rebuilds into a fresh
+    * temp dir — the normal first-consumer path) and delete the backing
+    * parquet best-effort (TempDirs' shutdown hook would get it anyway).
+    * Safe only between queries of a sequential battery: a concurrently
+    * EXECUTING plan may still be scanning the deleted files. Returns the
+    * number of entries removed. */
+  def invalidateMemoBuilds(from: Int, until: Int): Int = {
+    var removed = 0
+    var i = math.max(from, 0)
+    while (i < math.min(until, memoBuilds.size())) {
+      val (key, path) = memoBuilds.get(i)
+      // conditional remove: a REBUILD after an earlier invalidation logs
+      // the same key with a fresh path — invalidating the old span must
+      // not clobber the live rebuilt entry
+      if (diskMemo.remove(key, path)) {
+        removed += 1
+        try {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+          try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally s.close()
+        } catch { case _: Throwable => () }
+      }
+      i += 1
+    }
+    removed
+  }
+
   private def memoized(
       s: org.apache.spark.sql.SparkSession, dir: String, key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val path = diskMemo.computeIfAbsent(
-      (System.identityHashCode(s), dir, key), _ => {
+      (System.identityHashCode(s), dir, key), k => {
         val p = graft.TempDirs.create(s"graft-memo-$key").toString
         build.write.mode("overwrite").parquet(p)
+        memoBuilds.add((k, p))
         p
       })
     s.read.parquet(path)
@@ -88,6 +135,34 @@ object PipelineQueries {
   private def globalFuzzyMembersMemo(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     fuzzyMembersMemo(s, dir, "gfuzzy", DomainStats.globalFuzzyMembersFrame)
+
+  /** q324/q328's shared stage-1 keeper set — the weighted-caps chain at
+    * the release-pipeline operating point (domainSyndication minDomains=3
+    * grain=8 → cap = max(5, 30 − syndication step) → dedupByUrl →
+    * capDedupedBy defaultCap=30) — memoized per (session, dir): both
+    * release pipelines pin the IDENTICAL capped population, and
+    * recomputing the chain in each timed the caps builder twice (~2–3 s
+    * apiece at sf0.1). The jaccardPairs pattern: the first consumer pays
+    * the build + parquet write, the rest read the materialized ids; the
+    * parquet read also provides the multi-consumer pin the previous
+    * per-query localCheckpoint did (three consumers: the capped-corpus
+    * semi-join and both pair-endpoint restrictions). q323 is NOT a
+    * consumer — its cap formula (defaultCap=3) is a different operating
+    * point. */
+  private def relcapsKeptIds(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    memoized(s, dir, "relcaps") {
+      val withUrl = t(s, dir, "documents").withColumn("url", syntheticUrl)
+      val caps = DomainStats.domainSyndication(
+          withUrl, "url", "doc_id", "text", minDomains = 3, grain = 8)
+        .select(col("domain").as("url_domain"),
+          greatest(lit(5), lit(30) -
+            when(col("synd_in_bp") >= 1000, 20)
+              .when(col("synd_in_bp") >= 700, 10).otherwise(0)).as("cap"))
+      val dd = UrlCanon.dedupByUrl(withUrl, "url", "doc_id")
+      UrlCanon.capDedupedBy(dd, caps, defaultCap = 30)
+        .select(col("keeper_id").as("doc_id"))
+    }
 
   /** Deterministic synthetic URL per document (the fixture has no URL
     * column): scheme/case/port/tracking/fragment variants derived from
@@ -3996,18 +4071,9 @@ object PipelineQueries {
       (s, dir) => {
         val withUrl = t(s, dir, "documents").withColumn("url", syntheticUrl)
         // stage 1: weighted caps (q323 rule) — budgets from the FULL
-        // population, then the keeper set pinned (three consumers: the
-        // capped corpus semi-join and both pair-endpoint restrictions)
-        val caps = DomainStats.domainSyndication(
-            withUrl, "url", "doc_id", "text", minDomains = 3, grain = 8)
-          .select(col("domain").as("url_domain"),
-            greatest(lit(5), lit(30) -
-              when(col("synd_in_bp") >= 1000, 20)
-                .when(col("synd_in_bp") >= 700, 10).otherwise(0)).as("cap"))
-        val dd = UrlCanon.dedupByUrl(withUrl, "url", "doc_id")
-        val keptIds = UrlCanon.capDedupedBy(dd, caps, defaultCap = 30)
-          .select(col("keeper_id").as("doc_id"))
-          .localCheckpoint()
+        // population; the keeper set is the memoized relcaps chain
+        // (shared with q328; the parquet read is the multi-consumer pin)
+        val keptIds = relcapsKeptIds(s, dir)
         val cappedDocs = withUrl.join(keptIds, Seq("doc_id"), "left_semi")
         // stage 2: template drop-all + syndication keep-origin +
         // keep-first dedup, stats over the CAPPED population
@@ -4301,17 +4367,9 @@ object PipelineQueries {
               |FROM lab GROUP BY 1""").stripMargin),
       (s, dir) => {
         val withUrl = t(s, dir, "documents").withColumn("url", syntheticUrl)
-        // stage 1 (v4's): weighted caps from the FULL population
-        val caps = DomainStats.domainSyndication(
-            withUrl, "url", "doc_id", "text", minDomains = 3, grain = 8)
-          .select(col("domain").as("url_domain"),
-            greatest(lit(5), lit(30) -
-              when(col("synd_in_bp") >= 1000, 20)
-                .when(col("synd_in_bp") >= 700, 10).otherwise(0)).as("cap"))
-        val dd = UrlCanon.dedupByUrl(withUrl, "url", "doc_id")
-        val keptIds = UrlCanon.capDedupedBy(dd, caps, defaultCap = 30)
-          .select(col("keeper_id").as("doc_id"))
-          .localCheckpoint()
+        // stage 1 (v4's): weighted caps from the FULL population — the
+        // memoized relcaps chain shared with q324
+        val keptIds = relcapsKeptIds(s, dir)
         val cappedDocs = withUrl.join(keptIds, Seq("doc_id"), "left_semi")
         // stage 2: template drop-all + fuzzy keep-origin + exact
         // keep-origin + keep-first dedup, stats over the CAPPED

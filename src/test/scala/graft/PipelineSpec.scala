@@ -3115,4 +3115,25 @@ class PipelineSpec extends SparkSpec {
     assert(!graft.pipeline.UrlCanon.capDedupedBy(dd, caps, 3)
       .columns.contains("cap"))
   }
+
+  test("disk-memo invalidation forces a rebuild (Bench spike-remeasure contract)") {
+    import graft.queries.PipelineQueries
+    // ensure the jacc memo exists (whoever built it, this run or a prior
+    // suite test), then invalidate the entire current build log: entries
+    // other queries own just rebuild on their next use
+    SparkEntry.queries("q54_token_jaccard_pairs")(spark, dir).count()
+    val mark = PipelineQueries.memoBuildMark
+    PipelineQueries.invalidateMemoBuilds(0, mark)
+    // next consumer must RE-BUILD (the Bench re-run path): the log grows
+    SparkEntry.queries("q54_token_jaccard_pairs")(spark, dir).count()
+    assert(PipelineQueries.memoBuildMark > mark,
+      "invalidated memo was not rebuilt by the next consumer")
+    // invalidating an already-invalidated span removes nothing
+    assert(PipelineQueries.invalidateMemoBuilds(0, mark) == 0)
+    // a warm consumer adds no build-log entries
+    val m2 = PipelineQueries.memoBuildMark
+    SparkEntry.queries("q87_near_dup_clusters")(spark, dir).count()
+    assert(PipelineQueries.memoBuildMark == m2,
+      "warm memo read must not log a build")
+  }
 }
