@@ -276,7 +276,13 @@ object DomainStats {
     * (quadratic only in-bucket); CC runs on (domain|ph) keys contracted
     * to forest size; occurrence counts ride a text-free (id, domain, ph)
     * frame. Output: domain, cluster (min member ph), representative
-    * paragraph, n_variants, n_docs, n_occurrences, template_tokens. */
+    * paragraph, n_variants, n_docs, n_occurrences, template_tokens.
+    *
+    * @note the 64-bit hash-key collision guard in the clustering core
+    *       is plan-folded: it fires at EXECUTION time, surfaced as a
+    *       SparkException wrapping `assert_true`, not as an eager
+    *       construction-time IllegalStateException — a frame that is
+    *       built but never executed performs no check. */
   def fuzzyTemplateCatalog(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDocs: Int = 3, grain: Int = 16, shingleK: Int = 1,
@@ -478,7 +484,13 @@ object DomainStats {
     * Plan shape: everything downstream of the clustering core is
     * hash-keyed — exact-template keys from ONE (domain, ph) agg over the
     * text-free occurrence frame, fuzzy keys from the member/reach join,
-    * two LEFT joins mark occurrences, ONE domain agg rolls up. */
+    * two LEFT joins mark occurrences, ONE domain agg rolls up.
+    *
+    * @note the 64-bit hash-key collision guard in the clustering core
+    *       is plan-folded: it fires at EXECUTION time, surfaced as a
+    *       SparkException wrapping `assert_true`, not as an eager
+    *       construction-time IllegalStateException — a frame that is
+    *       built but never executed performs no check. */
   def domainFuzzyBoilerplate(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDocs: Int = 3, grain: Int = 16, shingleK: Int = 1,
@@ -662,7 +674,13 @@ object DomainStats {
     * cluster qualification, dropped-occurrence join — the §8.16 rule);
     * the union of exact + fuzzy keys is hash-cardinality; the rebuild is
     * the shared [[Dedup.rebuildDropping]] tail, so document text never
-    * shuffles — only drop-index lists travel. */
+    * shuffles — only drop-index lists travel.
+    *
+    * @note the 64-bit hash-key collision guard in the clustering core
+    *       is plan-folded: it fires at EXECUTION time, surfaced as a
+    *       SparkException wrapping `assert_true`, not as an eager
+    *       construction-time IllegalStateException — a frame that is
+    *       built but never executed performs no check. */
   def fuzzyTemplateStrip(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDocs: Int = 3, grain: Int = 16, shingleK: Int = 1,
@@ -865,7 +883,13 @@ object DomainStats {
     * clustering core needs paragraph text; [[globalFuzzyMembers]]'
     * distinct-ph min() agg is the only place text shuffles); the member
     * attribution window is cluster-keyed over text-free rows; drop keys
-    * ride (id, para_idx) pairs back into the ONE precedence core. */
+    * ride (id, para_idx) pairs back into the ONE precedence core.
+    *
+    * @note the 64-bit hash-key collision guard in the clustering core
+    *       is plan-folded: it fires at EXECUTION time, surfaced as a
+    *       SparkException wrapping `assert_true`, not as an eager
+    *       construction-time IllegalStateException — a frame that is
+    *       built but never executed performs no check. */
   def cleanTokenStatsV3(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDocs: Int = 3, minDomains: Int = 3, grain: Int = 8,
@@ -1089,7 +1113,13 @@ object DomainStats {
     * memoization precedent; production pipelines materialize shared
     * intermediates rather than recomputing them per consumer). The
     * caller owns making the injected frame consistent with the
-    * consumer's operating point (same docs, grain, minhash params). */
+    * consumer's operating point (same docs, grain, minhash params).
+    *
+    * @note the 64-bit hash-key collision guard in the clustering core
+    *       is plan-folded: it fires at EXECUTION time, surfaced as a
+    *       SparkException wrapping `assert_true`, not as an eager
+    *       construction-time IllegalStateException — a frame that is
+    *       built but never executed performs no check. */
   def domainFuzzyMembers(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       grain: Int = 16, shingleK: Int = 1, numHashes: Int = 64,
@@ -1099,7 +1129,13 @@ object DomainStats {
 
   /** The GLOBAL fuzzy clustering frame `(ph, para, cluster_id)` as a
     * standalone builder — [[domainFuzzyMembers]]' cross-domain twin for
-    * [[fuzzySyndicationCatalog]] / [[fuzzySyndicationStrip]] injection. */
+    * [[fuzzySyndicationCatalog]] / [[fuzzySyndicationStrip]] injection.
+    *
+    * @note the 64-bit hash-key collision guard in the clustering core
+    *       is plan-folded: it fires at EXECUTION time, surfaced as a
+    *       SparkException wrapping `assert_true`, not as an eager
+    *       construction-time IllegalStateException — a frame that is
+    *       built but never executed performs no check. */
   def globalFuzzyMembersFrame(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       grain: Int = 16, shingleK: Int = 1, numHashes: Int = 64,
@@ -1107,6 +1143,17 @@ object DomainStats {
     globalFuzzyMembers(paraOcc(docs, urlCol, idCol, textCol, grain),
       shingleK, numHashes, bands, jacNum, jacDen)
 
+  /** GLOBAL near-dup syndication catalog: cluster paragraph variants
+    * across ALL domains ([[globalFuzzyMembersFrame]]'s clustering, or an
+    * injected `membersOpt`), qualify on >= `minDomains` distinct
+    * registered domains AND >= 2 variants, attribute each cluster to its
+    * first-occurrence domain.
+    *
+    * @note the 64-bit hash-key collision guard in the clustering core
+    *       is plan-folded: it fires at EXECUTION time, surfaced as a
+    *       SparkException wrapping `assert_true`, not as an eager
+    *       construction-time IllegalStateException — a frame that is
+    *       built but never executed performs no check. */
   def fuzzySyndicationCatalog(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDomains: Int = 3, grain: Int = 16, shingleK: Int = 1,
@@ -1155,7 +1202,13 @@ object DomainStats {
     * attributed occurrence frame is pinned (TWO consumers — the
     * qualification agg and the dropped-occurrence join, the §8.16
     * rule); drop decisions ride (id, para_idx) lists into the shared
-    * [[Dedup.rebuildDropping]] tail — document text never shuffles. */
+    * [[Dedup.rebuildDropping]] tail — document text never shuffles.
+    *
+    * @note the 64-bit hash-key collision guard in the clustering core
+    *       is plan-folded: it fires at EXECUTION time, surfaced as a
+    *       SparkException wrapping `assert_true`, not as an eager
+    *       construction-time IllegalStateException — a frame that is
+    *       built but never executed performs no check. */
   def fuzzySyndicationStrip(
       docs: DataFrame, urlCol: String, idCol: String, textCol: String,
       minDomains: Int = 3, grain: Int = 16, shingleK: Int = 1,

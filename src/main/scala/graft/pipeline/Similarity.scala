@@ -183,12 +183,16 @@ object Similarity {
     * q329 gate point is 16×6 for recall at fixture scale; [[lshTopK]]'s
     * 12-bit default is the right order for millions of vectors — the
     * candidate join is quadratic only IN-BUCKET, like every LSH family
-    * member here).
+    * member here). A runtime guard enforces the contract: the call
+    * loud-fails when the larger side's expected occupancy (n / 2^bits)
+    * exceeds `maxOccupancy`, so the fixture-recall gate point cannot
+    * silently ship at corpus scale.
     * Returns (src_id, tgt_id, cosine_x10000, margin_x1e6) — one row per
     * mutual best match, injective on both sides by construction. */
   def bitextMine(
       src: DataFrame, tgt: DataFrame, idCol: String, embCol: String,
-      k: Int = 4, tables: Int = 16, bits: Int = 6): DataFrame = {
+      k: Int = 4, tables: Int = 16, bits: Int = 6,
+      maxOccupancy: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def side(df: DataFrame, n: String) = df.repartition(col(idCol))
       .select(col(idCol).as(n), col(embCol).as(s"emb_$n"),
@@ -200,6 +204,18 @@ object Similarity {
       .localCheckpoint() // feeds the band explode AND the embedding re-join
     val s = side(src, "x")
     val t = side(tgt, "y")
+    // Occupancy guard (loud-fail, the family posture): the candidate join
+    // is quadratic IN-BUCKET, so a `bits` point sized for fixture-scale
+    // recall must not silently ship against a 100x corpus. Expected
+    // occupancy is n / 2^bits per table side; the counts are O(1) jobs
+    // over the just-checkpointed frames. Each +1 bit halves occupancy —
+    // raise `bits` with the corpus, or `maxOccupancy` consciously.
+    val occ = math.max(s.count(), t.count()).toDouble / (1L << bits)
+    require(occ <= maxOccupancy,
+      f"bitextMine: expected LSH bucket occupancy $occ%.0f rows/bucket " +
+        f"(larger side over 2^$bits buckets) exceeds maxOccupancy=" +
+        f"$maxOccupancy — the in-bucket join is quadratic; size `bits` " +
+        "to the corpus (each +1 halves occupancy)")
     val bs = s.select(col("x"), posexplode(col("bk_x")).as(Seq("tbl", "key")))
     val bt = t.select(col("y"), posexplode(col("bk_y")).as(Seq("tbl", "key")))
     val cand = bs.join(bt, Seq("tbl", "key")).select("x", "y").distinct()

@@ -4418,7 +4418,11 @@ object PipelineQueries {
     //      oracle replays candidates, floors, margins and both argmax
     //      ranks bit-for-bit.
     GraftQuery("q329_bitext_mine",
-      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+      Some("""WITH dimchk AS (SELECT CASE
+             |    WHEN min(len(embedding)) = 64 AND max(len(embedding)) = 64
+             |    THEN 0 ELSE error('q329 oracle pins the pl plane CTE to 64 dims but the fixture embedding dim changed - regenerate generate_series(0, 63)') END AS z
+             |  FROM embeddings),
+             |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
              |  FROM embeddings),
              |qv AS (SELECT vec_id, i.i - 1 AS d,
              |    CAST(round(emb[i.i] * 1000000) AS BIGINT) AS q
@@ -4463,10 +4467,11 @@ object PipelineQueries {
              |by_ AS (SELECT x, y FROM (SELECT x, y, row_number() OVER (
              |    PARTITION BY y ORDER BY margin DESC, c DESC, x) AS rk
              |  FROM m) WHERE rk = 1)
-             |SELECT m.x AS src_id, m.y AS tgt_id, m.c AS cosine_x10000,
-             |  m.margin AS margin_x1e6
+             |SELECT m.x + dimchk.z AS src_id, m.y AS tgt_id,
+             |  m.c AS cosine_x10000, m.margin AS margin_x1e6
              |FROM m JOIN bx ON bx.x = m.x AND bx.y = m.y
-             |JOIN by_ ON by_.x = m.x AND by_.y = m.y""".stripMargin),
+             |JOIN by_ ON by_.x = m.x AND by_.y = m.y
+             |CROSS JOIN dimchk""".stripMargin),
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Similarity.bitextMine(

@@ -83,9 +83,10 @@ object WatermarkAudit {
     * collapses the input map-side, the shuffle carries only per-group
     * partials. At 32 session partitions × 4 batches the machinery was
     * 2× the whole query's work (SCALING §8.21); 4 instances fit the
-    * ~1k-group state with room to thousands. Restored after the stream
-    * finishes (the session value is snapshotted; queries in the battery
-    * run sequentially). */
+    * ~1k-group state with room to thousands. The override lives in a
+    * cloned session (shared SparkContext, isolated SQL conf), so the
+    * caller's session conf is never mutated — safe under concurrent
+    * audits or concurrent queries on the same session. */
   def audit(
       spark: SparkSession, stagedDir: String, schema: StructType,
       tsCol: String, tagCol: String, delaySeconds: Long,
@@ -109,12 +110,27 @@ object WatermarkAudit {
         progress.add((p.runId, p.batchId, p.numInputRows, dropped, stateRows))
       }
     }
-    spark.streams.addListener(listener)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // The statePartitions override is scoped to a CLONED session (shared
+    // SparkContext, isolated SQL conf): mutating the caller session's
+    // spark.sql.shuffle.partitions and restoring it was safe for the
+    // sequential battery but not under concurrent audits / concurrent
+    // queries on the same session — a second caller could snapshot and
+    // restore the overridden value. The clone inherits the parent's
+    // runtime conf (copied key-by-key; non-settable keys skipped) so
+    // tuned session options still apply to the stream.
+    val streamSession =
+      if (statePartitions == 0) spark
+      else {
+        val c = spark.newSession()
+        spark.conf.getAll.foreach { case (k, v) =>
+          try c.conf.set(k, v) catch { case _: Exception => () }
+        }
+        c.conf.set("spark.sql.shuffle.partitions", statePartitions)
+        c
+      }
+    streamSession.streams.addListener(listener)
     try {
-      if (statePartitions > 0)
-        spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-      val q = spark.readStream.schema(schema)
+      val q = streamSession.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$stagedDir/*.parquet")
         .withWatermark(tsCol, s"$delaySeconds seconds")
@@ -125,7 +141,6 @@ object WatermarkAudit {
         .start()
       val thisRun = q.runId
       q.awaitTermination()
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // listener delivery is async: drain until the bus settles
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       var last = -1
@@ -179,8 +194,7 @@ object WatermarkAudit {
         .toDF("batch_id", "input_rows", "late_rows", "engine_dropped",
           "state_rows")
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      spark.streams.removeListener(listener)
+      streamSession.streams.removeListener(listener)
     }
   }
 }

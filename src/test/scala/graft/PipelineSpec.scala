@@ -2703,6 +2703,23 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length == got.length, got.toSeq.toString)
   }
 
+  test("bitext mining: occupancy guard loud-fails an undersized bits point") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val side = (0 until 12).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    // 12 vectors over 2^1 = 2 buckets = 6 expected rows/bucket > bound 4
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bitextMine(side, side, "vec_id", "embedding",
+        k = 2, tables = 2, bits = 1, maxOccupancy = 4).count()
+    }
+    assert(ex.getMessage.contains("occupancy"), ex.getMessage)
+    // the same corpus passes once bits is sized to it
+    assert(Similarity.bitextMine(side, side, "vec_id", "embedding",
+      k = 2, tables = 2, bits = 4, maxOccupancy = 4).count() >= 0)
+  }
+
   test("clean token stats v3: template > fuzzy-synd > exact-synd > keep-first") {
     import spark.implicits._
     val g = 4
