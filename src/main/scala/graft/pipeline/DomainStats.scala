@@ -1290,4 +1290,151 @@ object DomainStats {
       .filter(col("__fd") =!= col("__domain"))
     Dedup.rebuildDropping(docs, idCol, textCol, grain, dropped)
   }
+
+  /** Paragraph occurrences carrying their TEXT and position: the
+    * [[occKeys]] shape plus `__para` (for signature computation) — used
+    * by the fuzzy-syndication INDEX family, where the distilled state
+    * must be buildable without a second chunking pass. */
+  private def occWithText(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      grain: Int): DataFrame =
+    docs.repartition(col(idCol))
+      .withColumn("__domain", UrlCanon.registeredDomain(col(urlCol)))
+      .select(col(idCol), col("__domain"),
+        posexplode(graft.functions.CdcParagraphs(col(textCol), grain))
+          .as(Seq("para_idx", "__para")))
+      .select(col(idCol), col("__domain"),
+        col("para_idx").cast("long").as("para_idx"),
+        md5(col("__para")).as("ph"), col("__para"))
+
+  /** Persistable FUZZY syndication index — [[syndicationIndex]]'s
+    * near-dup twin and the paragraph-grain instance of the
+    * [[Incremental.signatureIndex]] pattern: ONE row per distinct corpus
+    * paragraph variant `ph`, carrying everything a later ingest batch
+    * needs to strip near-dup syndication WITHOUT re-reading (or
+    * re-clustering) corpus text —
+    *
+    *   - `sh` / `bandkeys`: the variant's shingle set and minhash LSH
+    *     band keys (the [[FuzzyOp]]-style operating point; the SAME
+    *     md5-portable family as the in-corpus clustering, so index and
+    *     full-pass candidates agree);
+    *   - `domains`: the distinct registered domains the variant occurs
+    *     on (sorted for determinism), `n_occ` its occurrence count;
+    *   - `first_doc`/`first_idx`/`first_domain`: the variant's globally
+    *     first occurrence by (doc id, position) — origin attribution.
+    *
+    * O(distinct ph) rows, each a ≤`grain`-token paragraph's worth of
+    * state. Append each accepted batch's rows per generation; duplicate
+    * `ph` generations re-aggregate at use (domain sets union, first keys
+    * re-min, signatures are identical for identical text). */
+  def fuzzySyndicationIndex(
+      docs: DataFrame, urlCol: String, idCol: String, textCol: String,
+      grain: Int = 16, shingleK: Int = 1, numHashes: Int = 64,
+      bands: Int = 16): DataFrame =
+    occWithText(docs, urlCol, idCol, textCol, grain)
+      .groupBy("ph")
+      .agg(min(col("__para")).as("para"), // identical per ph (md5 key)
+        sort_array(collect_set(col("__domain"))).as("domains"),
+        count(lit(1)).as("n_occ"),
+        min(struct(col(idCol).cast("long").as("d"), col("para_idx").as("i"),
+          col("__domain").as("dom"))).as("__fk"))
+      .withColumn("sh",
+        array_distinct(TextAnalysis.shingles(col("para"), shingleK)))
+      .withColumn("bandkeys", TextAnalysis.minhashBands(
+        TextAnalysis.minhashSignature(col("sh"), numHashes),
+        bands, numHashes / bands))
+      .select(col("ph"), col("para"), col("sh"), col("bandkeys"),
+        col("domains"), col("n_occ"), col("__fk.d").as("first_doc"),
+        col("__fk.i").as("first_idx"), col("__fk.dom").as("first_domain"))
+
+  /** INCREMENTAL fuzzy syndication strip, keep-origin — completes the
+    * exact/fuzzy symmetry (exact templates q315, exact syndication q327;
+    * fuzzy templates/syndication previously had only full-recompute
+    * paths): rebuild a new ingest batch with near-dup-syndicated
+    * paragraphs excised, judged against the corpus's
+    * [[fuzzySyndicationIndex]] ALONE — corpus text is never re-read and
+    * the corpus is never re-clustered.
+    *
+    * RULE (radius-1, the batch's-eye view of the fuzzy family): a batch
+    * occurrence is dropped iff its matched index neighborhood — every
+    * corpus variant sharing an LSH band whose shingle sets pass the
+    * exact integer-Jaccard verify (`jacNum`/`jacDen`), the SAME
+    * candidate+verify rule as the in-corpus clustering — (a) spans >=
+    * `minDomains` distinct registered domains counting the batch
+    * occurrence's own, (b) has >= 2 distinct variants counting the batch
+    * paragraph itself (the family's structural floor: one variant
+    * byte-identical everywhere is the EXACT rule's case, q327), and (c)
+    * the batch domain differs from the neighborhood's origin (the
+    * globally-first occurrence among matched variants, by (doc id,
+    * position)). This is deliberately ONE hop: a chain A~B~C where the
+    * batch paragraph matches only A does not pool C's domains — the
+    * conservative ingest-time gate; transitive pooling (and
+    * batch-internal families) remain the release-time full pass's job
+    * ([[fuzzySyndicationStrip]]). Batch ids must not collide with corpus
+    * ids (attribution compares raw keys), and index generations must
+    * share this call's grain/shingle/minhash operating point (the
+    * [[templateStripIncremental]] silent-miss caveat).
+    *
+    * Scale shape: per-batch cost is independent of corpus size beyond
+    * the index's O(distinct ph) rows — batch signatures are map-side;
+    * the candidate join is banded (quadratic only in-bucket); the
+    * neighborhood stats aggregate at matched-pair grain; drops ride
+    * (id, para_idx) into the shared [[Dedup.rebuildDropping]] tail. The
+    * re-aggregated index and the batch occurrence frame are pinned
+    * (each has >= 2 consumers — the §8.16 rule). */
+  def fuzzySyndicationStripIncremental(
+      index: DataFrame, batch: DataFrame,
+      urlCol: String, idCol: String, textCol: String,
+      minDomains: Int = 3, grain: Int = 16, shingleK: Int = 1,
+      numHashes: Int = 64, bands: Int = 16,
+      jacNum: Int = 4, jacDen: Int = 5): DataFrame = {
+    // duplicate ph generations (appended batches) re-aggregate: domain
+    // sets union, first keys re-min, signatures identical per ph
+    val ix = index.groupBy("ph")
+      .agg(min(col("sh")).as("ish"), min(col("bandkeys")).as("ibk"),
+        array_distinct(flatten(collect_list(col("domains")))).as("domains"),
+        min(struct(col("first_doc").as("d"), col("first_idx").as("i"),
+          col("first_domain").as("dom"))).as("__fk"))
+      .withColumnRenamed("ph", "iph")
+      .localCheckpoint() // band explode + verify + neighborhood stats
+    val bOcc = occWithText(batch, urlCol, idCol, textCol, grain)
+      .localCheckpoint() // variant distinct + drop join
+    val bv = bOcc.groupBy("ph")
+      .agg(min(col("__para")).as("para"))
+      .withColumn("bsh",
+        array_distinct(TextAnalysis.shingles(col("para"), shingleK)))
+      .withColumn("bbk", TextAnalysis.minhashBands(
+        TextAnalysis.minhashSignature(col("bsh"), numHashes),
+        bands, numHashes / bands))
+      .localCheckpoint() // band explode + verify
+    val be = bv.select(col("ph").as("bph"),
+      posexplode(col("bbk")).as(Seq("band", "key")))
+    val ie = ix.select(col("iph"),
+      posexplode(col("ibk")).as(Seq("band", "key")))
+    val cand = be.join(ie, Seq("band", "key")).select("bph", "iph").distinct()
+    // exact verify on shingle sets — the in-corpus clustering's decider
+    // (band share is only the candidate generator); bph == iph (an exact
+    // replay of an indexed variant) is a valid self-match
+    val matches = cand
+      .join(bv.select(col("ph").as("bph"), col("bsh")), "bph")
+      .join(ix.select(col("iph"), col("ish")), "iph")
+      .filter(size(array_intersect(col("bsh"), col("ish"))) * jacDen >=
+        size(array_union(col("bsh"), col("ish"))) * jacNum)
+      .select("bph", "iph")
+    val perB = matches
+      .join(ix.select(col("iph"), col("domains"), col("__fk")), "iph")
+      .groupBy("bph")
+      .agg(array_distinct(flatten(collect_list(col("domains")))).as("cdoms"),
+        (countDistinct(when(col("iph") =!= col("bph"), col("iph"))) + lit(1))
+          .as("nvar"),
+        min(col("__fk")).as("__ok"))
+    val dropped = bOcc
+      .join(perB, bOcc("ph") === perB("bph"))
+      .filter(
+        size(array_distinct(array_union(col("cdoms"),
+          array(col("__domain"))))) >= minDomains &&
+        col("nvar") >= 2 && col("__domain") =!= col("__ok.dom"))
+      .select(col(idCol), col("para_idx"))
+    Dedup.rebuildDropping(batch, idCol, textCol, grain, dropped)
+  }
 }

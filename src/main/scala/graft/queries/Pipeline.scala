@@ -381,23 +381,37 @@ object PipelineQueries {
         |  FROM paras p JOIN c USING (doc_id)),
         |""").stripMargin + globalFuzzyCcCteSqlOf("pd")
 
+  /** The shared md5-portable minhash coefficient table (`mco`) — include
+    * EXACTLY ONCE alongside any number of [[minhashCtesOf]] instances. */
+  private lazy val minhashCoefCteSql =
+    s"""mco AS (SELECT j.j,
+       |    2 * ('0x' || substr(md5('mh:a:' || j.j), 1, 7))::BIGINT + 1 AS a,
+       |    ('0x' || substr(md5('mh:b:' || j.j), 1, 15))::BIGINT AS b
+       |  FROM generate_series(0, ${FuzzyOp.numHashes - 1}) j(j))""".stripMargin
+
+  /** The md5-portable minhash CTE chain over a `(ph, para)` variant
+    * frame `dp`, prefix-parameterized so ONE definition of the hash math
+    * serves the global CC chain (prefix "g") and the q330 incremental
+    * corpus/batch sides (prefixes "i"/"b") — the single-definition
+    * defense for the [[FuzzyOp]] operating point. Produces `{p}sh`
+    * (distinct unigrams), `{p}bk` (band keys) and `{p}sl` (shingle
+    * lists for the exact integer-Jaccard verify). */
+  private def minhashCtesOf(p: String, dp: String) =
+    s"""${p}sh AS (SELECT DISTINCT ph, w.s
+       |  FROM (SELECT ph, string_split(para, ' ') AS toks FROM $dp),
+       |    unnest(toks) w(s)),
+       |${p}hs AS (SELECT ph, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ${p}sh),
+       |${p}mins AS (SELECT ph, j,
+       |    min((a::HUGEINT * h + b) % 18446744073709551616) AS m
+       |  FROM ${p}hs CROSS JOIN mco GROUP BY 1, 2),
+       |${p}bk AS (SELECT ph, j // ${FuzzyOp.rowsPerBand} AS band,
+       |    md5(string_agg(m::VARCHAR, ',' ORDER BY j)) AS key
+       |  FROM ${p}mins GROUP BY ph, j // ${FuzzyOp.rowsPerBand}),
+       |${p}sl AS (SELECT ph, list(s) AS l FROM ${p}sh GROUP BY 1)""".stripMargin
+
   private lazy val globalFuzzyCcTailSql =
-    (s"""gsh AS (SELECT DISTINCT ph, w.s
-        |  FROM (SELECT ph, string_split(para, ' ') AS toks FROM gdp),
-        |    unnest(toks) w(s)),
-        |ghs AS (SELECT ph, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM gsh),
-        |gco AS (SELECT j.j,
-        |    2 * ('0x' || substr(md5('mh:a:' || j.j), 1, 7))::BIGINT + 1 AS a,
-        |    ('0x' || substr(md5('mh:b:' || j.j), 1, 15))::BIGINT AS b
-        |  FROM generate_series(0, ${FuzzyOp.numHashes - 1}) j(j)),
-        |gmins AS (SELECT ph, j,
-        |    min((a::HUGEINT * h + b) % 18446744073709551616) AS m
-        |  FROM ghs CROSS JOIN gco GROUP BY 1, 2),
-        |gbk AS (SELECT ph, j // ${FuzzyOp.rowsPerBand} AS band,
-        |    md5(string_agg(m::VARCHAR, ',' ORDER BY j)) AS key
-        |  FROM gmins GROUP BY ph, j // ${FuzzyOp.rowsPerBand}),
-        |gsl AS (SELECT ph, list(s) AS l FROM gsh GROUP BY 1),
-        |gcand AS (SELECT DISTINCT a.ph AS ph_a, b.ph AS ph_b
+    (minhashCoefCteSql + ",\n" + minhashCtesOf("g", "gdp") + ",\n" +
+     s"""gcand AS (SELECT DISTINCT a.ph AS ph_a, b.ph AS ph_b
         |  FROM gbk a JOIN gbk b
         |    ON a.band = b.band AND a.key = b.key AND a.ph < b.ph),
         |gver AS (SELECT ph_a, ph_b FROM gcand cd
@@ -4477,6 +4491,121 @@ object PipelineQueries {
         Similarity.bitextMine(
           emb.filter(col("label") <= 4), emb.filter(col("label") >= 5),
           "vec_id", "embedding", k = 4, tables = 16, bits = 6)
+      }),
+
+    // ---- INCREMENTAL fuzzy syndication strip
+    //      (DomainStats.fuzzySyndicationIndex +
+    //      fuzzySyndicationStripIncremental): completes the exact/fuzzy
+    //      incremental symmetry (exact templates q315, exact syndication
+    //      q327) — a new ingest batch is stripped of NEAR-DUP syndicated
+    //      paragraphs against the corpus's signature index alone, corpus
+    //      text never re-read, corpus never re-clustered. The rule is
+    //      radius-1 (the batch's-eye view): matched index variants pool
+    //      their corpus domains; >= 3 distinct domains counting the
+    //      batch's own, >= 2 variants counting the batch paragraph, and
+    //      keep-origin by the matched neighborhood's globally-first
+    //      occurrence. Deliberately single-hop — which is also what
+    //      makes the oracle NON-recursive (no CC closure): candidates,
+    //      verify, neighborhood stats and the rebuild all replay in
+    //      plain CTEs over the shared minhash chain (minhashCtesOf "i"/
+    //      "b"). The q327 batch shape: 40 replayed docs + 20 one-token-
+    //      extended (the extension edits each doc's FINAL chunk — the
+    //      wire-copy-with-a-local-edit case the exact index passes over).
+    GraftQuery("q330_fuzzy_synd_strip_incremental",
+      Some((s"""WITH bdocs AS (
+               |  SELECT doc_id + 100000000 AS doc_id, source, lang, text
+               |  FROM documents WHERE doc_id < 40
+               |  UNION ALL
+               |  SELECT doc_id + 200000000, source, lang, text || ' zz9'
+               |  FROM documents WHERE doc_id >= 40 AND doc_id < 60),
+               |alld AS (SELECT doc_id, source, lang, text, 0 AS is_batch
+               |    FROM documents
+               |  UNION ALL SELECT doc_id, source, lang, text, 1 FROM bdocs),
+               |u AS (SELECT doc_id, $urlBuildSql AS url FROM alld),
+               |c0 AS ($urlCanonSql),
+               |c AS ($urlAssembleSql),
+               |""" + paraCteSqlOf(FuzzyOp.grain, from = "alld") + s""",
+               |pd AS (SELECT p.doc_id, a.is_batch, p.para_idx, p.para,
+               |    c.domain
+               |  FROM paras p JOIN c USING (doc_id)
+               |  JOIN alld a USING (doc_id)),
+               |cdp AS (SELECT md5(para) AS ph, min(para) AS para
+               |  FROM pd WHERE is_batch = 0 GROUP BY 1),
+               |bdp AS (SELECT md5(para) AS ph, min(para) AS para
+               |  FROM pd WHERE is_batch = 1 GROUP BY 1),
+               |$minhashCoefCteSql,
+               |""" + minhashCtesOf("i", "cdp") + ",\n" +
+               minhashCtesOf("b", "bdp") + s""",
+               |cnd AS (SELECT DISTINCT b.ph AS bph, i.ph AS iph
+               |  FROM bbk b JOIN ibk i
+               |    ON b.band = i.band AND b.key = i.key),
+               |mt AS (SELECT bph, iph FROM cnd
+               |  JOIN bsl sb ON sb.ph = cnd.bph
+               |  JOIN isl si ON si.ph = cnd.iph
+               |  WHERE ${FuzzyOp.jacDen} * len(list_intersect(sb.l, si.l)) >=
+               |    ${FuzzyOp.jacNum} * len(list_distinct(list_concat(sb.l, si.l)))),
+               |iatt AS (SELECT md5(para) AS iph, domain, doc_id, para_idx,
+               |    first_value(domain) OVER w AS fd,
+               |    first_value(doc_id) OVER w AS fdoc,
+               |    first_value(para_idx) OVER w AS fidx
+               |  FROM pd WHERE is_batch = 0
+               |  WINDOW w AS (PARTITION BY md5(para)
+               |    ORDER BY doc_id, para_idx)),
+               |ist AS (SELECT iph, max(fd) AS fdom, max(fdoc) AS fdoc,
+               |    max(fidx) AS fidx
+               |  FROM iatt GROUP BY 1),
+               |idom AS (SELECT DISTINCT md5(para) AS iph, domain
+               |  FROM pd WHERE is_batch = 0),
+               |nv AS (SELECT bph,
+               |    count(DISTINCT CASE WHEN iph <> bph THEN iph END) + 1 AS nvar
+               |  FROM mt GROUP BY 1),
+               |org AS (SELECT DISTINCT bph, first_value(fdom) OVER (
+               |    PARTITION BY bph ORDER BY fdoc, fidx, fdom) AS odom
+               |  FROM (SELECT DISTINCT m.bph, ist.fdom, ist.fdoc, ist.fidx
+               |        FROM mt m JOIN ist ON ist.iph = m.iph)),
+               |pool AS (SELECT DISTINCT m.bph, d.domain
+               |  FROM mt m JOIN idom d ON d.iph = m.iph),
+               |bocc AS (SELECT doc_id, para_idx, para, domain,
+               |    md5(para) AS ph
+               |  FROM pd WHERE is_batch = 1),
+               |rch AS (SELECT o.doc_id, o.para_idx,
+               |    count(DISTINCT CASE WHEN p.domain <> o.domain
+               |      THEN p.domain END) + 1 AS reach
+               |  FROM bocc o JOIN pool p ON p.bph = o.ph
+               |  GROUP BY o.doc_id, o.para_idx, o.domain),
+               |drp AS (SELECT o.doc_id, o.para_idx FROM bocc o
+               |  JOIN nv ON nv.bph = o.ph
+               |  JOIN org ON org.bph = o.ph
+               |  JOIN rch r ON r.doc_id = o.doc_id
+               |    AND r.para_idx = o.para_idx
+               |  WHERE nv.nvar >= 2 AND r.reach >= 3 AND o.domain <> org.odom)
+               |SELECT b.doc_id,
+               |  coalesce(string_agg(CASE WHEN d.para_idx IS NULL
+               |    THEN b.para END, ' ' ORDER BY b.para_idx), '') AS clean_text,
+               |  count(*)::BIGINT AS n_paras,
+               |  sum(CASE WHEN d.para_idx IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               |    AS n_dropped
+               |FROM bocc b LEFT JOIN drp d
+               |  ON d.doc_id = b.doc_id AND d.para_idx = b.para_idx
+               |GROUP BY 1""").stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val index = DomainStats.fuzzySyndicationIndex(
+          docs.withColumn("url", syntheticUrl), "url", "doc_id", "text",
+          grain = FuzzyOp.grain, shingleK = FuzzyOp.shingleK,
+          numHashes = FuzzyOp.numHashes, bands = FuzzyOp.bands)
+        val batch = docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("source"),
+            col("lang"), col("text"))
+          .unionAll(docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+            .select((col("doc_id") + 200000000L).as("doc_id"), col("source"),
+              col("lang"), concat(col("text"), lit(" zz9")).as("text")))
+          .withColumn("url", syntheticUrl)
+        DomainStats.fuzzySyndicationStripIncremental(
+          index, batch, "url", "doc_id", "text", minDomains = 3,
+          grain = FuzzyOp.grain, shingleK = FuzzyOp.shingleK,
+          numHashes = FuzzyOp.numHashes, bands = FuzzyOp.bands,
+          jacNum = FuzzyOp.jacNum, jacDen = FuzzyOp.jacDen)
       })
   )
 
