@@ -3133,6 +3133,66 @@ class PipelineSpec extends SparkSpec {
       .columns.contains("cap"))
   }
 
+  test("incremental fuzzy syndication strip: edited wire copy condemned by the index alone") {
+    import spark.implicits._
+    val g = 4
+    def md5b0(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(tok.getBytes("UTF-8"))(0) & 0xff
+    }
+    val pool = (0 until 300).map(i => s"w$i").filter(md5b0(_) % g != 0)
+    val bt = (0 until 300).map(i => s"w$i").find(md5b0(_) % g == 0).get
+    // one CDC paragraph: 9 distinct non-boundary tokens + the boundary
+    // token. A one-token EDIT keeps the chunking (non-boundary for
+    // non-boundary) and sits at Jaccard 9/11 >= 4/5 — fuzzy-matched,
+    // never hash-matched.
+    def para(toks: Seq[String]) = (toks :+ bt).mkString(" ")
+    val wire = para(pool.slice(0, 9))            // syndicated original
+    val wireEdit = para(pool.slice(0, 8) :+ pool(40))  // one-token edit
+    val wireEdit2 = para(pool.slice(0, 8) :+ pool(41)) // a different edit
+    val local = para(pool.slice(10, 19))         // single-domain paragraph
+    val localEdit = para(pool.slice(10, 18) :+ pool(42))
+    val noise = para(pool.slice(20, 29))
+    val exact3 = para(pool.slice(50, 59))        // 3 domains, ONE variant
+    // wire on THREE corpus domains (a.com first -> origin); local on one
+    val corpus = Seq(
+      (1L, "https://a.com/p1", wire + " " + noise),
+      (2L, "https://b.net/p1", wire),
+      (3L, "https://c.org/p1", wire),
+      (4L, "https://a.com/p2", local),
+      (5L, "https://a.com/p4", exact3),
+      (6L, "https://b.net/p4", exact3),
+      (7L, "https://c.org/p4", exact3)).toDF("doc_id", "url", "text")
+    val index = DomainStats.fuzzySyndicationIndex(
+      corpus, "url", "doc_id", "text", grain = g)
+    val batch = Seq(
+      // the verdict case: a one-token-edited wire copy on a domain the
+      // corpus never saw — no shared hash, condemned by the index alone
+      (101L, "https://d.org/p1", wireEdit + " " + para(pool.slice(30, 39))),
+      // keep-origin: an edited wire variant on the ORIGIN domain stays
+      (102L, "https://a.com/p3", wireEdit2),
+      // reach floor: an edit of the single-domain paragraph stays
+      // (2 domains counting its own < 3)
+      (103L, "https://e.io/p1", localEdit),
+      // reach floor again, exact replay flavor: local is single-domain
+      (104L, "https://f.co/p1", local),
+      // variant floor: exact3 spans 3 corpus domains but has ONE variant;
+      // a byte-identical batch replay has nvar = 1 < 2 -> the FUZZY rule
+      // defers to the exact incremental strip (q327's case)
+      (105L, "https://g.gg/p1", exact3)).toDF("doc_id", "url", "text")
+    val got = DomainStats.fuzzySyndicationStripIncremental(
+        index, batch, "url", "doc_id", "text", minDomains = 3, grain = g)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(101L)._3 == 1L && !got(101L)._1.contains(wireEdit),
+      got(101L).toString) // condemned; the unrelated paragraph survives
+    assert(got(101L)._1.contains(pool(30)), got(101L).toString)
+    assert(got(102L) == ((wireEdit2, 1L, 0L)), got(102L).toString)
+    assert(got(103L) == ((localEdit, 1L, 0L)), got(103L).toString)
+    assert(got(104L) == ((local, 1L, 0L)), got(104L).toString)
+    assert(got(105L) == ((exact3, 1L, 0L)), got(105L).toString)
+  }
+
   test("disk-memo invalidation forces a rebuild (Bench spike-remeasure contract)") {
     import graft.queries.PipelineQueries
     // ensure the jacc memo exists (whoever built it, this run or a prior
