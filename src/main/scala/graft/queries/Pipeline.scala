@@ -149,7 +149,7 @@ object PipelineQueries {
     * semi-join and both pair-endpoint restrictions). q323 is NOT a
     * consumer — its cap formula (defaultCap=3) is a different operating
     * point. */
-  private def relcapsKeptIds(
+  private[graft] def relcapsKeptIds(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     memoized(s, dir, "relcaps") {
       val withUrl = t(s, dir, "documents").withColumn("url", syntheticUrl)
@@ -168,7 +168,7 @@ object PipelineQueries {
     * column): scheme/case/port/tracking/fragment variants derived from
     * doc_id so canonicalization has real work to do and the DuckDB oracle
     * can rebuild the exact same string (twin: `urlBuildSql`). */
-  private def syntheticUrl: org.apache.spark.sql.Column = {
+  private[graft] def syntheticUrl: org.apache.spark.sql.Column = {
     val id = col("doc_id")
     concat(
       when(id % 3 === 0, lit("http://"))
@@ -276,7 +276,7 @@ object PipelineQueries {
     * is structurally baked into the CTE's unigram `unnest` (a k > 1
     * point would need a new shingle CTE, not a literal edit) and into
     * the lambdas via this val. */
-  private object FuzzyOp {
+  private[graft] object FuzzyOp {
     val minDocs = 2; val grain = 16; val shingleK = 1
     val numHashes = 64; val bands = 16; val jacNum = 4; val jacDen = 5
     val rowsPerBand: Int = numHashes / bands

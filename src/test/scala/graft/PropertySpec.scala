@@ -588,4 +588,77 @@ class PropertySpec extends SparkSpec {
           s"diff=${(got diff want) ++ (want diff got)}")
     }
   }
+
+  /** The round-11 sf1 promotion for the release pipelines: the v4/v5
+    * survivor sets' recursive-closure oracles cannot replay at sf1
+    * (DuckDB caps/OOMs), so cross-check the composed chains against
+    * INDEPENDENTLY sf1-green component operators instead. Template is
+    * the TOP precedence drop-ALL rule, so the composed chains' template
+    * class must EQUAL the standalone templateStrip's drops per doc; the
+    * exact-syndication class is bracketed by the standalone
+    * syndicationStrip (precedence re-attributes template-overlapping
+    * occurrences); the fuzzy layer can only move mass out of the
+    * synd/dup/kept classes (never into them), so V3's synd class and
+    * total clean mass are dominated by V2's. Heavy (full sf1 fuzzy
+    * clustering) -- runs only under SPARK_GRAFT_SF1_GATE=1 with
+    * target/sf1 generated (tools/gen_sf1.py); the round ritual records
+    * the result in SCALING.md. */
+  test("sf1 consistency: v4/v5 survivor sets vs sf1-green components") {
+    assume(sys.env.get("SPARK_GRAFT_SF1_GATE").contains("1"),
+      "set SPARK_GRAFT_SF1_GATE=1 to run the sf1 consistency gate")
+    val dir = "target/sf1"
+    assume(new java.io.File(s"$dir/documents.parquet").exists,
+      "generate target/sf1 first (tools/gen_sf1.py)")
+    import graft.queries.PipelineQueries
+    import graft.pipeline.DomainStats
+    val withUrl = Tables.t(spark, dir, "documents")
+      .withColumn("url", PipelineQueries.syntheticUrl)
+    val keptIds = PipelineQueries.relcapsKeptIds(spark, dir)
+    val capped = withUrl.join(keptIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val fo = PipelineQueries.FuzzyOp
+    val v2 = DomainStats.cleanTokenStatsV2(
+      capped, "url", "doc_id", "text", minDocs = 3, minDomains = 3,
+      grain = 8).localCheckpoint()
+    val v3 = DomainStats.cleanTokenStatsV3(
+      capped, "url", "doc_id", "text", minDocs = 3, minDomains = 3,
+      grain = 8, shingleK = fo.shingleK, numHashes = fo.numHashes,
+      bands = fo.bands, jacNum = fo.jacNum, jacDen = fo.jacDen)
+      .localCheckpoint()
+    val nDocs = capped.count()
+    assert(v2.count() == nDocs && v3.count() == nDocs)
+    // (1) template class == standalone templateStrip drops, per doc
+    val tpl = DomainStats.templateStrip(
+      capped, "url", "doc_id", "text", minDocs = 3, grain = 8)
+      .select(col("doc_id"), col("n_dropped").as("ts_dropped"))
+    val tplMismatch = v2.join(tpl, "doc_id")
+      .filter(col("n_tpl_dropped") =!= col("ts_dropped")).count()
+    assert(tplMismatch == 0, s"v2 template class != templateStrip on $tplMismatch docs")
+    // (2) exact-synd class bracketed by the standalone syndicationStrip
+    val syn = DomainStats.syndicationStrip(
+      capped, "url", "doc_id", "text", minDomains = 3, grain = 8)
+      .select(col("doc_id"), col("n_dropped").as("ss_dropped"))
+    val synOut = v2.join(syn, "doc_id")
+      .filter(!(col("n_synd_dropped") <= col("ss_dropped") &&
+        col("ss_dropped") <= col("n_synd_dropped") + col("n_tpl_dropped")))
+      .count()
+    assert(synOut == 0, s"v2 synd class outside syndicationStrip bracket on $synOut docs")
+    // (3) the fuzzy layer leaves the template class untouched and only
+    // shrinks the exact-synd class, per doc
+    val v23 = v2.select(col("doc_id"), col("n_tpl_dropped").as("t2"),
+        col("n_synd_dropped").as("s2"), col("clean_tokens").as("c2"))
+      .join(v3.select(col("doc_id"), col("n_tpl_dropped").as("t3"),
+        col("n_synd_dropped").as("s3"), col("clean_tokens").as("c3")),
+        "doc_id")
+      .localCheckpoint()
+    assert(v23.filter(col("t2") =!= col("t3")).count() == 0,
+      "fuzzy layer changed the template class")
+    assert(v23.filter(col("s3") > col("s2")).count() == 0,
+      "fuzzy layer grew the exact-synd class")
+    // (4) total clean mass monotone: per ph the v3 survivor set is a
+    // subset of v2's, so corpus-total clean tokens cannot grow
+    val tot = v23.agg(sum("c2").as("c2"), sum("c3").as("c3")).head()
+    assert(tot.getLong(1) <= tot.getLong(0),
+      s"v3 total clean ${tot.getLong(1)} > v2 ${tot.getLong(0)}")
+  }
 }
