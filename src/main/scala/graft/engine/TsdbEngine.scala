@@ -785,37 +785,84 @@ final class TsdbEngine(
         catch { case _: Throwable => Files.copy(f, t) }
       }
     }
-    // Rewrite fragmented segments as CONCURRENT Spark jobs: each is a
-    // small read→sort→write, so running them one at a time leaves the
-    // cluster (or the 32 local cores) almost idle per job — the scheduler
-    // interleaves their tasks when submitted together. Bounded pool;
-    // failures propagate after all complete.
-    val rewritePool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, math.max(1, fragmented.size)))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(rewritePool)
-    val futures = fragmented.map { case (leaf, files) =>
-      scala.concurrent.Future {
-        val dst = nextRoot.resolve(curRoot.relativize(leaf))
-        Files.createDirectories(dst)
-        val bytes = files.map(Files.size).sum
-        val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        // partition columns are dir-encoded in the leaf path — reading the
-        // leaf directly drops them, writing to the mirrored leaf restores them
-        val df = spark.read.parquet(leaf.toString)
-          .repartition(parts)
-          .sortWithinPartitions(s.primaryKey.map(col): _*)
-        bloomOnTags(df.write.mode("overwrite"), s).parquet(dst.toString)
-        parts.toLong
-      }
-    }
-    val rewrittenParts =
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futures),
-        scala.concurrent.duration.Duration.Inf)
-      finally rewritePool.shutdown()
+    // Rewrite ALL fragmented segments in ONE Spark job (guide §2.4/§6:
+    // one shuffle round instead of a driver-scheduled job per segment —
+    // at sf0.1 this was ~30 jobs of ~1 task each; at scale it would be
+    // thousands of scheduler round-trips). The leaves are read together
+    // with basePath so their dir-encoded partition columns survive, each
+    // leaf's rows are salted into ceil(bytes/targetBytes) output parts,
+    // and one partitioned write restores the directory layout. Rows are
+    // carried verbatim; within each output file the PK sort is the same
+    // as the old per-leaf rewrite (sortWithinPartitions by partition
+    // cols + PK ≡ PK within a leaf).
     val rewritten = fragmented.size.toLong
-    val filesAfter = healthy.map(_._2.size.toLong).sum + rewrittenParts.sum
+    val fragLeafCols = curRoot.relativize(fragmented.head._1).toString
+      .split("/").filter(_.nonEmpty).map(_.split("=")(0)).toSeq
+    if (fragLeafCols.isEmpty) {
+      // unsegmented table: data files sit in the generation root — the
+      // one-leaf case, a single read→sort→write job as before
+      val (leaf, files) = fragmented.head
+      val dst = nextRoot.resolve(curRoot.relativize(leaf))
+      Files.createDirectories(dst)
+      val bytes = files.map(Files.size).sum
+      val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val df = spark.read.parquet(leaf.toString)
+        .repartition(parts)
+        .sortWithinPartitions(s.primaryKey.map(col): _*)
+      bloomOnTags(df.write.mode("overwrite"), s).parquet(dst.toString)
+    } else {
+      // per-leaf output part counts (file sizing), matched by the leaf's
+      // partition-column values; bounded by the fragmented-leaf count.
+      // (A corpus with millions of fragmented leaves would turn this
+      // when-chain into a broadcast-joined plan table; segment counts
+      // are operationally far smaller.)
+      val leafParts: Seq[(Seq[(String, String)], Int)] = fragmented.map {
+        case (leaf, files) =>
+          val kvs = curRoot.relativize(leaf).toString.split("/")
+            .filter(_.nonEmpty).toSeq
+            .map { seg =>
+              val Array(k, v) = seg.split("=", 2)
+              k -> v
+            }
+          val bytes = files.map(Files.size).sum
+          (kvs, math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
+      }.toSeq
+      val partsCol = leafParts.foldLeft(lit(1)) { case (acc, (kvs, p)) =>
+        val cond = kvs.map { case (k, v) => col(k).cast("string") === v }
+          .reduce(_ && _)
+        when(cond, lit(p)).otherwise(acc)
+      }
+      // deterministic per-row salt (seq/subseq are unique per row of a
+      // table): spreads a big leaf over its target part count
+      val salt = pmod(
+        xxhash64(col(TableSchema.SeqColumn), col(TableSchema.SubSeqColumn)),
+        partsCol.cast("long"))
+      val totalParts = math.max(leafParts.map(_._2.toLong).sum,
+        leafParts.size.toLong).min(Int.MaxValue.toLong).toInt
+      val df = spark.read.option("basePath", curRoot.toString)
+        .parquet(fragmented.map(_._1.toString).toSeq: _*)
+        .repartition(totalParts,
+          fragLeafCols.map(col) :+ salt: _*)
+        .sortWithinPartitions(
+          (fragLeafCols ++ s.primaryKey).map(col): _*)
+      bloomOnTags(df.write.mode("append"), s)
+        .partitionBy(fragLeafCols: _*).parquet(nextRoot.toString)
+    }
+    // actual file count after the write (walk the new generation):
+    // partitioned writes may merge two leaves' salted groups into one
+    // task, so the honest count is what landed on disk
+    var rewrittenFiles = 0L
+    def countData(d: Path): Unit = {
+      val (dirs, files) = Files.list(d).iterator().asScala.toSeq
+        .partition(Files.isDirectory(_))
+      dirs.filterNot(_.getFileName.toString.startsWith(".")).foreach(countData)
+      rewrittenFiles += files.count(f => Files.isRegularFile(f) && isData(f))
+    }
+    fragmented.foreach { case (leaf, _) =>
+      val dst = nextRoot.resolve(curRoot.relativize(leaf))
+      if (Files.isDirectory(dst)) countData(dst)
+    }
+    val filesAfter = healthy.map(_._2.size.toLong).sum + rewrittenFiles
     catalog.markCompacted(name, gen + 1, floor) // floor UNCHANGED: physical only
     (0 until gen).foreach { g =>
       GraftCatalog.deleteRecursively(Paths.get(catalog.genDataDir(name, g)))

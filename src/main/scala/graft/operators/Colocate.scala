@@ -32,7 +32,15 @@ object Colocate {
     val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
-    df.write.format("parquet").mode("overwrite")
+    // distribute by the bucket key BEFORE the bucketed write (guide §6 —
+    // the write.distribution-mode=hash shape): repartition(buckets, key)
+    // is the same murmur3 HashPartitioning the bucket spec uses, so each
+    // task holds exactly one bucket and the sort+write runs buckets-wide
+    // parallel instead of every input task writing (and sorting) a file
+    // for every bucket. Same rows per bucket file either way — the
+    // bucket id is assigned by the bucket spec at write time.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(name) // managed table under spark.sql.warehouse.dir
   }

@@ -376,34 +376,58 @@ object Dedup {
         .repartition(col("src")))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
     // convergence certificate: labels only ever decrease, so the set of
     // (id, label) rows changes on every non-converged round; an
-    // order-independent hash fold over the rows detects "no change" with
-    // one cheap aggregate action instead of a join per round (bit_xor:
-    // overflow-free; rows are unique per id, so nothing self-cancels)
-    def certificate(df: DataFrame): Long =
-      df.agg(coalesce(bit_xor(xxhash64(col("id"), col("label"))), lit(0L)))
-        .head().getLong(0)
-    var cert = certificate(labels)
+    // order-independent hash fold over the rows detects "no change"
+    // (bit_xor: overflow-free; rows are unique per id, so nothing
+    // self-cancels). The certificate rides the SAME action that
+    // materializes the round via Dataset.observe — one Spark job per
+    // round instead of checkpoint + separate aggregate (the loop is
+    // job-round bound: its per-round data is forest-sized).
+    // NAMED observe (a plain CollectMetrics plan node read back through
+    // queryExecution.observedMetrics), NOT the Observation helper: on
+    // Spark 4.1 Observation lazily materializes the session's
+    // ObservationManager, which is not java-serializable and poisons any
+    // LATER query whose task closure captures the SparkSession (MLlib's
+    // LogisticRegression training summary does — q123 failed with "Task
+    // not serializable" two queries after the first CC run).
+    val certAgg = coalesce(bit_xor(xxhash64(col("id"), col("label"))), lit(0L))
+    def checkpointWithCert(df: DataFrame): (DataFrame, Long) = {
+      val named = df.observe("cc_cert", certAgg.as("cert"))
+      val chk = named.localCheckpoint()
+      (chk, named.queryExecution.observedMetrics("cc_cert").getLong(0))
+    }
+    var (labels, cert) = checkpointWithCert(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
       // pointer doubling: follow each node's current label one hop (the
-      // label's own label) — min-semantics preserved, rounds O(log d)
-      val jump = labels.as("l1")
-        .join(labels.as("l2"), col("l1.label") === col("l2.id"))
-        .select(col("l1.id").as("id"), col("l2.label").as("label"))
-      val next = labels.union(prop).union(jump)
+      // label's own label) — min-semantics preserved, rounds O(log d).
+      // DEFERRED until round 3: post-contraction near-dup components are
+      // near-cliques that converge in <= 2 plain rounds, so the jump
+      // self-join (an extra shuffle per round) would buy nothing there;
+      // chain-shaped families (the sf1 global fuzzy graphs that forced
+      // doubling in) still get O(log d) rounds from round 3 on — the
+      // min-label fixpoint is identical either way, only the round
+      // count of pathological graphs changes (bounded by the same
+      // maxIter budget: 2 plain rounds + log2(d) doubled rounds).
+      val next =
+        (if (it < 2) labels.union(prop)
+         else {
+           val jump = labels.as("l1")
+             .join(labels.as("l2"), col("l1.label") === col("l2.id"))
+             .select(col("l1.id").as("id"), col("l2.label").as("label"))
+           labels.union(prop).union(jump)
+         })
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      val nextCert = certificate(next)
+      val (chk, nextCert) = checkpointWithCert(next)
       converged = nextCert == cert
       cert = nextCert
-      labels = next
+      labels = chk
       it += 1
     }
     // fail LOUDLY on non-convergence: an unconverged exit would silently

@@ -45,11 +45,27 @@ object WatermarkAudit {
     // can't host a mtime-ordered file source replay in the first place)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    edges.zipWithIndex.foreach { case ((lo, hi), i) =>
-      val part = pinned.filter(col(arrivalCol) > lo && col(arrivalCol) <= hi)
-      part.coalesce(1).write.mode("overwrite").parquet(s"$dir/b$i")
-      // the file source replays oldest-mtime-first: pin the intended order
-      val bdir = new org.apache.hadoop.fs.Path(s"$dir/b$i")
+    // ONE partitioned write stages every batch (guide §2.4: the previous
+    // shape ran one filter+coalesce(1) write job PER batch — nBatches
+    // full passes over the pinned frame): each row gets its batch number
+    // from the quantile edges, repartition(nBatches, __b) puts a batch's
+    // rows in exactly one task, so every __b directory holds exactly one
+    // parquet file, which is then renamed/mtime-stamped into replay order
+    // exactly as before. An EMPTY batch (duplicate quantile bounds)
+    // produces no __b directory; it is back-filled with an explicit empty
+    // write so the staged file COUNT — and therefore the replayed
+    // batch_id numbering — is unchanged.
+    val bCol = edges.zipWithIndex.foldLeft(lit(0)) { case (acc, ((lo, hi), i)) =>
+      when(col(arrivalCol) > lo && col(arrivalCol) <= hi, lit(i)).otherwise(acc)
+    }
+    pinned.withColumn("__b", bCol)
+      .repartition(edges.size, col("__b"))
+      .write.mode("overwrite").partitionBy("__b").parquet(s"$dir/staging")
+    edges.indices.foreach { i =>
+      val bdir = new org.apache.hadoop.fs.Path(s"$dir/staging/__b=$i")
+      if (!fs.exists(bdir))
+        pinned.limit(0).drop("__b").coalesce(1)
+          .write.mode("overwrite").parquet(bdir.toString)
       fs.listStatus(bdir)
         .filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
           val dst = new org.apache.hadoop.fs.Path(dir, f"part$i%03d.parquet")
@@ -57,8 +73,8 @@ object WatermarkAudit {
           fs.rename(st.getPath, dst)
           fs.setTimes(dst, 1600000000000L + i * 60000L, -1)
         }
-      fs.delete(bdir, true)
     }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/staging"), true)
     dir
   }
 
