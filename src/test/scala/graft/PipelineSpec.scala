@@ -446,6 +446,26 @@ class PipelineSpec extends SparkSpec {
       s"own-centroid cosine $own should beat global-centroid $glob")
   }
 
+  test("connected components: long chain converges under deferred pointer doubling") {
+    import spark.implicits._
+    // A 4096-node path graph spread over many partitions: partition-local
+    // contraction collapses runs, but the cross-partition diameter still
+    // needs the loop — with doubling deferred to round 3 (the r11 change)
+    // the budget must cover 2 plain rounds + log2(d) doubled rounds. The
+    // shuffled edge order makes contraction runs short, so the loop does
+    // real pointer jumping here.
+    val n = 4096L
+    val chain = (1L until n).map(i => (i, i + 1L))
+    val pairs = spark.sparkContext.parallelize(
+        new scala.util.Random(42L).shuffle(chain), 32)
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == n)
+    assert(cc.forall(_._2 == 1L),
+      s"chain did not converge to min label: ${cc.filter(_._2 != 1L).take(5).mkString(",")}")
+  }
+
   test("connected components: chains, cliques, singleton handling, dedup") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4: needs real multi-round propagation),

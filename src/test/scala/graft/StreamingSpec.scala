@@ -227,6 +227,27 @@ class StreamingSpec extends SparkSpec {
       out.map(x => (x.tsUs, x.value, x.dev1e4)))
   }
 
+  test("stageArrivalFiles: duplicate quantile bounds still stage exactly nBatches files") {
+    import spark.implicits._
+    // every arrival value identical -> all quantile bounds collapse ->
+    // batches 1..n-1 are empty; the one-write staging (r11) must
+    // back-fill them so the replayed file count (and batch_id numbering)
+    // matches the per-batch-write behavior it replaced
+    val rows = Seq.fill(6)((100L, 1000L)).toDF("arr", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .select("arr", "ts")
+    val dir = tmpDir("graft-wm-stage-dup")
+    graft.streaming.WatermarkAudit.stageArrivalFiles(rows, "arr", 4, dir)
+    val staged = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    assert(staged.length == 4, staged.mkString(","))
+    assert(staged.head == "part000.parquet" && staged.last == "part003.parquet",
+      staged.mkString(","))
+    // all six rows live in exactly one non-empty file; the rest are empty
+    val counts = staged.map(f => spark.read.parquet(s"$dir/$f").count())
+    assert(counts.sum == 6 && counts.count(_ > 0) == 1, counts.mkString(","))
+  }
+
   test("watermark audit: late row beyond delay is dropped and counted, in-delay late row is not") {
     import spark.implicits._
     // arrival order (arr), event time (sec): batch 1 advances the clock to
