@@ -46,6 +46,45 @@ final class TsdbEngine(
   private def withTableLock[T](name: String)(f: => T): T =
     tableLocks.computeIfAbsent(name, _ => new Object).synchronized(f)
 
+  /** Wall-clock grace for superseded-generation GC. The one-generation
+    * grace alone is a race under load: a reader pins its file listing
+    * over generation N, two quick compaction flips move the table to
+    * N+2, and a count-only GC deletes N's files under the reader's
+    * still-running tasks (the FILE_NOT_EXIST failure ConcurrencySpec's
+    * fingerprint-guard stress hit under full-suite load). A superseded
+    * generation is therefore deleted only when BOTH it is at least two
+    * generations old AND `genGraceMs` has passed since it was
+    * superseded — the lakehouse VACUUM retention shape, bounded by
+    * (grace / compaction cadence) extra generations of already-rewritten
+    * files. Supersession times are process-local (readers share this
+    * JVM, so only in-process readers can hold listings); a generation
+    * observed without a recorded time (engine restart) starts its clock
+    * at the first GC pass that sees it. */
+  @volatile private[graft] var genGraceMs: Long =
+    sys.env.get("SPARK_GRAFT_GEN_GRACE_MS").map(_.toLong).getOrElse(120000L)
+  private val supersededAtMs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Long]()
+
+  /** GC superseded generations of `name` after a flip to
+    * `supersededGen + 1`: record the flip time for the generation just
+    * superseded, then delete every OLDER generation whose wall-clock
+    * grace has expired. Caller holds the table lock. */
+  private def gcSupersededGenerations(name: String, supersededGen: Int): Unit = {
+    val now = System.currentTimeMillis()
+    supersededAtMs.put((name, supersededGen), now)
+    (0 until supersededGen).foreach { g =>
+      val p = java.nio.file.Paths.get(catalog.genDataDir(name, g))
+      if (java.nio.file.Files.exists(p)) {
+        val t = supersededAtMs.computeIfAbsent(
+          (name, g), _ => java.lang.Long.valueOf(now))
+        if (now - t >= genGraceMs) {
+          GraftCatalog.deleteRecursively(p)
+          supersededAtMs.remove((name, g))
+        }
+      }
+    }
+  }
+
   /** Engine-registered transparent rollup rewrites
     * (plans/Rollups.RollupRewrite): regName -> (rawTable, rollupTable).
     * A mutation of EITHER side invalidates the registration — a stale
@@ -700,10 +739,9 @@ final class TsdbEngine(
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(newDir)
     catalog.markCompacted(name, gen + 1, seqFloor)
     // grace-period GC: keep the generation we just superseded (in-flight
-    // readers may still hold plans over it); drop everything OLDER
-    (0 until gen).foreach { g =>
-      GraftCatalog.deleteRecursively(java.nio.file.Paths.get(catalog.genDataDir(name, g)))
-    }
+    // readers may still hold plans over it) and anything superseded less
+    // than genGraceMs ago; drop the rest
+    gcSupersededGenerations(name, gen)
   }
 
   /** Segment-scoped small-file compaction: bin-pack ONLY fragmented
@@ -752,19 +790,26 @@ final class TsdbEngine(
       val n = p.getFileName.toString
       n.endsWith(".parquet") || (!n.startsWith("_") && !n.startsWith("."))
     }
+    // materialized + closed directory listing: Files.list holds an fd
+    // until the stream is closed — a bare iterator walk leaks one per
+    // directory, which a long-lived driver compacting thousands of
+    // leaves per tick would exhaust
+    def listDir(d: Path): Seq[Path] = {
+      val s = Files.list(d)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
     // leaf dirs = deepest directories holding data files ("" when the
     // table is unsegmented and files sit in the root)
     val leaves = scala.collection.mutable.ArrayBuffer[Path]()
     def walk(d: Path): Unit = {
-      val (dirs, files) = Files.list(d).iterator().asScala.toSeq
-        .partition(Files.isDirectory(_))
+      val (dirs, files) = listDir(d).partition(Files.isDirectory(_))
       dirs.filterNot(_.getFileName.toString.startsWith(".")).foreach(walk)
       if (files.exists(f => Files.isRegularFile(f) && isData(f))) leaves += d
     }
     walk(curRoot)
 
     val inventory = leaves.map { leaf =>
-      val files = Files.list(leaf).iterator().asScala.toSeq
+      val files = listDir(leaf)
         .filter(f => Files.isRegularFile(f) && isData(f))
       (leaf, files)
     }
@@ -776,6 +821,11 @@ final class TsdbEngine(
     // link-trees for an already-healthy table
     if (fragmented.isEmpty)
       return (leaves.size.toLong, 0L, filesBefore, filesBefore)
+    // A crashed prior attempt may have left a partial gen+1 behind
+    // (markCompacted never ran, so the manifest still points at gen):
+    // clear it, or the append write below would silently duplicate rows
+    // the old per-leaf overwrite used to self-heal.
+    if (Files.exists(nextRoot)) GraftCatalog.deleteRecursively(nextRoot)
     healthy.foreach { case (leaf, files) =>
       val dst = nextRoot.resolve(curRoot.relativize(leaf))
       Files.createDirectories(dst)
@@ -812,10 +862,7 @@ final class TsdbEngine(
       bloomOnTags(df.write.mode("overwrite"), s).parquet(dst.toString)
     } else {
       // per-leaf output part counts (file sizing), matched by the leaf's
-      // partition-column values; bounded by the fragmented-leaf count.
-      // (A corpus with millions of fragmented leaves would turn this
-      // when-chain into a broadcast-joined plan table; segment counts
-      // are operationally far smaller.)
+      // partition-column values; bounded by the fragmented-leaf count
       val leafParts: Seq[(Seq[(String, String)], Int)] = fragmented.map {
         case (leaf, files) =>
           val kvs = curRoot.relativize(leaf).toString.split("/")
@@ -827,22 +874,36 @@ final class TsdbEngine(
           val bytes = files.map(Files.size).sum
           (kvs, math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
       }.toSeq
-      val partsCol = leafParts.foldLeft(lit(1)) { case (acc, (kvs, p)) =>
-        val cond = kvs.map { case (k, v) => col(k).cast("string") === v }
-          .reduce(_ && _)
-        when(cond, lit(p)).otherwise(acc)
+      // (partition values -> parts) as a BROADCAST-JOINED plan table, not
+      // a per-leaf when()-chain: thousands of fragmented leaves at scale
+      // would otherwise build a thousand-branch Catalyst CaseWhen —
+      // codegen falls back to interpreted past the 64 KB method limit and
+      // analysis cost grows with the expression tree. The plan table is
+      // one tiny in-memory relation; every scanned row matches exactly
+      // one plan row (its own leaf), so the inner join is row-preserving.
+      val planSchema = org.apache.spark.sql.types.StructType(
+        fragLeafCols.map(k =>
+          org.apache.spark.sql.types.StructField(s"__pc_$k", StringType)) :+
+          org.apache.spark.sql.types.StructField("__parts", IntegerType))
+      val planRows = leafParts.map { case (kvs, p) =>
+        Row.fromSeq(kvs.map(_._2) :+ p)
       }
+      val plan = spark.createDataFrame(planRows.asJava, planSchema)
+      val totalParts = math.max(leafParts.map(_._2.toLong).sum,
+        leafParts.size.toLong).min(Int.MaxValue.toLong).toInt
       // deterministic per-row salt (seq/subseq are unique per row of a
       // table): spreads a big leaf over its target part count
       val salt = pmod(
         xxhash64(col(TableSchema.SeqColumn), col(TableSchema.SubSeqColumn)),
-        partsCol.cast("long"))
-      val totalParts = math.max(leafParts.map(_._2.toLong).sum,
-        leafParts.size.toLong).min(Int.MaxValue.toLong).toInt
+        col("__parts").cast("long"))
       val df = spark.read.option("basePath", curRoot.toString)
         .parquet(fragmented.map(_._1.toString).toSeq: _*)
+        .join(broadcast(plan),
+          fragLeafCols.map(k => col(k).cast("string") === col(s"__pc_$k"))
+            .reduce(_ && _))
         .repartition(totalParts,
           fragLeafCols.map(col) :+ salt: _*)
+        .drop(planSchema.fieldNames.toSeq: _*)
         .sortWithinPartitions(
           (fragLeafCols ++ s.primaryKey).map(col): _*)
       bloomOnTags(df.write.mode("append"), s)
@@ -853,8 +914,7 @@ final class TsdbEngine(
     // task, so the honest count is what landed on disk
     var rewrittenFiles = 0L
     def countData(d: Path): Unit = {
-      val (dirs, files) = Files.list(d).iterator().asScala.toSeq
-        .partition(Files.isDirectory(_))
+      val (dirs, files) = listDir(d).partition(Files.isDirectory(_))
       dirs.filterNot(_.getFileName.toString.startsWith(".")).foreach(countData)
       rewrittenFiles += files.count(f => Files.isRegularFile(f) && isData(f))
     }
@@ -864,9 +924,7 @@ final class TsdbEngine(
     }
     val filesAfter = healthy.map(_._2.size.toLong).sum + rewrittenFiles
     catalog.markCompacted(name, gen + 1, floor) // floor UNCHANGED: physical only
-    (0 until gen).foreach { g =>
-      GraftCatalog.deleteRecursively(Paths.get(catalog.genDataDir(name, g)))
-    }
+    gcSupersededGenerations(name, gen)
     (leaves.size.toLong, rewritten, filesBefore, filesAfter)
   }
 

@@ -376,14 +376,25 @@ object Dedup {
         .repartition(col("src")))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    // convergence certificate: labels only ever decrease, so the set of
-    // (id, label) rows changes on every non-converged round; an
-    // order-independent hash fold over the rows detects "no change"
-    // (bit_xor: overflow-free; rows are unique per id, so nothing
-    // self-cancels). The certificate rides the SAME action that
-    // materializes the round via Dataset.observe — one Spark job per
-    // round instead of checkpoint + separate aggregate (the loop is
-    // job-round bound: its per-round data is forest-sized).
+    val labelType = edges.schema("src").dataType
+    // FRONTIER propagation (guide §2.3 — shuffle fewer bytes per round):
+    // each round's labels carry (id, label, old = label at round start),
+    // and only CHANGED nodes (label != old) send their label over the
+    // edge join — a node whose label did not change last round offered
+    // its current label already, and that offer was folded by the
+    // groupBy-min, so re-sending it is pure shuffle waste. The full
+    // `labels` frame still rides the union, so nothing regresses; the
+    // min-label fixpoint is IDENTICAL (any stable state forces label
+    // equality across every symmetrized edge, which pins every component
+    // to its minimum — the brute-force CC property tests cover this).
+    // Convergence = zero changed rows, counted by the SAME
+    // Dataset.observe that rides the round's localCheckpoint action —
+    // one Spark job per round, and the observed count doubles as the
+    // next round's frontier-size estimate: when the frontier is small
+    // the edge join gets an explicit broadcast() of the changed set, so
+    // late rounds stop shuffling the edge set entirely (near-clique
+    // graphs spend most rounds there; the first round is everyone and
+    // keeps the shuffled join).
     // NAMED observe (a plain CollectMetrics plan node read back through
     // queryExecution.observedMetrics), NOT the Observation helper: on
     // Spark 4.1 Observation lazily materializes the session's
@@ -391,19 +402,32 @@ object Dedup {
     // LATER query whose task closure captures the SparkSession (MLlib's
     // LogisticRegression training summary does — q123 failed with "Task
     // not serializable" two queries after the first CC run).
-    val certAgg = coalesce(bit_xor(xxhash64(col("id"), col("label"))), lit(0L))
-    def checkpointWithCert(df: DataFrame): (DataFrame, Long) = {
-      val named = df.observe("cc_cert", certAgg.as("cert"))
+    val changedAgg = coalesce(
+      sum(when(not(col("label") <=> col("old")), 1L)), lit(0L))
+    def checkpointWithChanged(df: DataFrame): (DataFrame, Long) = {
+      val named = df.observe("cc_cert", changedAgg.as("changed"))
       val chk = named.localCheckpoint()
       (chk, named.queryExecution.observedMetrics("cc_cert").getLong(0))
     }
-    var (labels, cert) = checkpointWithCert(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label")))
+    // old = null at init: every node counts as freshly labeled, so round
+    // 1's frontier is the whole vertex set (null-safe != handles it)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"),
+        lit(null).cast(labelType).as("old"))
+      .localCheckpoint()
+    // broadcast the frontier when last round's observed count says it is
+    // tiny: ~2 MB of (id, label) pairs at this bound — far under any
+    // executor budget, and it replaces a full edge-set shuffle
+    val broadcastFrontierRows = 131072L
+    var lastChanged = Long.MaxValue
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+      val changed = labels.filter(not(col("label") <=> col("old")))
+      val changedSrc = changed.select(col("id").as("src"), col("label"))
+      val probe = if (lastChanged <= broadcastFrontierRows)
+        broadcast(changedSrc) else changedSrc
+      val prop = edges.join(probe, "src")
         .select(col("dst").as("id"), col("label"))
       // pointer doubling: follow each node's current label one hop (the
       // label's own label) — min-semantics preserved, rounds O(log d).
@@ -414,19 +438,27 @@ object Dedup {
       // doubling in) still get O(log d) rounds from round 3 on — the
       // min-label fixpoint is identical either way, only the round
       // count of pathological graphs changes (bounded by the same
-      // maxIter budget: 2 plain rounds + log2(d) doubled rounds).
+      // maxIter budget: 2 plain rounds + log2(d) doubled rounds). The
+      // jump reads FULL labels on both sides (forest-sized): restricting
+      // it to the frontier could stall the doubling schedule on chains.
+      val base = labels.select(col("id"), col("label"),
+        col("label").as("old"))
+      val nullOld = lit(null).cast(labelType).as("old")
       val next =
-        (if (it < 2) labels.union(prop)
+        (if (it < 2) base.union(prop.select(col("id"), col("label"), nullOld))
          else {
            val jump = labels.as("l1")
              .join(labels.as("l2"), col("l1.label") === col("l2.id"))
              .select(col("l1.id").as("id"), col("l2.label").as("label"))
-           labels.union(prop).union(jump)
+           base.union(prop.select(col("id"), col("label"), nullOld))
+             .union(jump.select(col("id"), col("label"), nullOld))
          })
-        .groupBy("id").agg(min("label").as("label"))
-      val (chk, nextCert) = checkpointWithCert(next)
-      converged = nextCert == cert
-      cert = nextCert
+        // min(old) ignores the prop/jump nulls and `base` contributes
+        // exactly one row per id, so old = the label at round start
+        .groupBy("id").agg(min("label").as("label"), min("old").as("old"))
+      val (chk, nChanged) = checkpointWithChanged(next)
+      converged = nChanged == 0
+      lastChanged = nChanged
       labels = chk
       it += 1
     }

@@ -338,7 +338,12 @@ object Ivf {
     }
     val curGen = currentGenDir(spark, path)
     val before = spark.read.parquet(s"$curGen/data")
-    val (rowsBefore, skewBefore, qualBefore) = report()
+    val (_, skewBefore, qualBefore) = report()
+    // rows-preserved invariant measured on the RAW index rows (parquet
+    // metadata count, no data scan): indexBalance inner-joins data to
+    // centroids, so a missing/corrupt centroid row would silently drop
+    // that cluster's members from BOTH sides of the conservation check
+    val rowsBefore = before.count()
     val data = before.drop("__ivf").localCheckpoint() // source dirs go away below
     val centroids = train(data, idCol, embCol, nlist, iters, seed)
     // write the COMPLETE next generation (data + matching centroids),
@@ -352,7 +357,9 @@ object Ivf {
     val fs = hadoopFs(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/data"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
-    val (rowsAfter, skewAfter, qualAfter) = report()
+    val (_, skewAfter, qualAfter) = report()
+    val rowsAfter =
+      spark.read.parquet(s"${currentGenDir(spark, path)}/data").count()
     require(rowsAfter == rowsBefore,
       s"rebalance lost rows: $rowsBefore -> $rowsAfter")
     Seq((nlist, rowsAfter, skewBefore, skewAfter, qualBefore, qualAfter))

@@ -58,7 +58,12 @@ object WatermarkAudit {
     val bCol = edges.zipWithIndex.foldLeft(lit(0)) { case (acc, ((lo, hi), i)) =>
       when(col(arrivalCol) > lo && col(arrivalCol) <= hi, lit(i)).otherwise(acc)
     }
-    pinned.withColumn("__b", bCol)
+    // NULL/NaN arrivalCol rows match NO interval (every comparison yields
+    // null/false) and the fold's lit(0) default would land them in batch 0;
+    // the previous per-batch filtered writes silently dropped them — keep
+    // that semantics by excluding them before staging
+    pinned.filter(col(arrivalCol).isNotNull && !isnan(col(arrivalCol)))
+      .withColumn("__b", bCol)
       .repartition(edges.size, col("__b"))
       .write.mode("overwrite").partitionBy("__b").parquet(s"$dir/staging")
     edges.indices.foreach { i =>

@@ -510,8 +510,10 @@ class ConcurrencySpec extends SparkSpec {
 
   /** Readers racing the compaction generation swap: compact() writes the
     * new generation, atomically repoints the manifest, and GCs only
-    * generations OLDER than the one it superseded (a one-generation grace
-    * window for in-flight readers). Appends, repeated compactions, and
+    * generations BOTH older than the one it superseded AND superseded
+    * more than genGraceMs ago (one-cycle + wall-clock grace for in-flight
+    * readers — two quick flips must not delete files under a slow
+    * reader's pinned listing). Appends, repeated compactions, and
     * two lock-free readers run together: no read may fail (the classic
     * deleted-file hazard) and counts may never go backwards. */
   test("readers survive concurrent appends + repeated compactions") {

@@ -264,7 +264,7 @@ class TsdbEngineSpec extends SparkSpec {
         |SELECT c FROM __totals""".stripMargin).head().getLong(0) == 2L)
   }
 
-  test("compaction keeps the superseded generation one cycle (reader grace)") {
+  test("compaction keeps superseded generations one cycle + wall grace (reader grace)") {
     val e = engine()
     e.execute(
       """CREATE TABLE gcx (ts timestamp NOT NULL, v double, timestamp KEY(ts))
@@ -275,9 +275,19 @@ class TsdbEngineSpec extends SparkSpec {
     assert(gen0.exists(), "gen 0 must survive one compaction cycle")
     e.execute("INSERT INTO gcx (ts, v) VALUES (2, 2.0)")
     e.compact("gcx")
-    assert(!gen0.exists(), "gen 0 must be GC'd by the second compaction")
-    assert(new java.io.File(e.catalog.genDataDir("gcx", 1)).exists())
-    assert(e.read("gcx").count() == 2)
+    // wall-clock grace: the second flip must NOT delete gen 0 yet — a slow
+    // in-flight reader may still hold a file listing over it (two quick
+    // flips under a count-only grace were the FILE_NOT_EXIST race)
+    assert(gen0.exists(), "gen 0 must survive inside the wall-clock grace")
+    e.genGraceMs = 0
+    e.execute("INSERT INTO gcx (ts, v) VALUES (3, 3.0)")
+    e.compact("gcx")
+    assert(!gen0.exists(), "gen 0 must be GC'd once cycle + wall grace expired")
+    assert(!new java.io.File(e.catalog.genDataDir("gcx", 1)).exists(),
+      "gen 1 must be GC'd too (superseded two flips ago, grace 0)")
+    assert(new java.io.File(e.catalog.genDataDir("gcx", 2)).exists(),
+      "the one-generation grace always keeps the newest superseded gen")
+    assert(e.read("gcx").count() == 3)
   }
 
   test("validator blocks internal storage columns and tables (validator.rs parity)") {
@@ -389,6 +399,36 @@ class TsdbEngineSpec extends SparkSpec {
     e.compact("sfc")
     assert(spark.read.parquet(e.catalog.dataDir("sfc")).count() == 5)
     assert(snapshot() == before)
+  }
+
+  test("small-file compaction scales: 1000 fragmented leaves, one pass, rows verbatim") {
+    // the per-leaf parts map rides a BROADCAST-JOINED plan table — the
+    // previous per-leaf when()-chain at this leaf count builds a
+    // 1000-branch CaseWhen (codegen falls back to interpreted past the
+    // method-size limit and analysis grows with the expression tree)
+    import org.apache.spark.sql.functions.{col, expr}
+    val e = engine()
+    e.execute(
+      """CREATE TABLE sfm (host string TAG, v double, t timestamp NOT NULL,
+        |  timestamp KEY(t))
+        | ENGINE=Analytic WITH (update_mode='overwrite', segment_duration='1h')""".stripMargin)
+    import spark.implicits._
+    val h0 = 1704067200000L
+    def batch(off: Double) = (0 until 1000)
+      .map(i => (h0 + i * 3600000L, s"h${i % 7}", i + off))
+      .toDF("ms", "host", "v")
+      .select(col("host"), col("v"),
+        expr("timestamp_micros(ms * 1000)").as("t"))
+    e.append("sfm", batch(0.0))
+    e.append("sfm", batch(0.5)) // same PKs: newest must win after rewrite
+    val before = e.read("sfm").orderBy("t", "host").collect().toSeq
+    val (total, rewritten, fb, fa) =
+      e.compactSmallFiles("sfm", maxFilesPerSegment = 1)
+    assert(total == 1000 && rewritten == 1000, s"($total, $rewritten)")
+    assert(fb == 2000 && fa == 1000, s"($fb, $fa)") // bin-packed per leaf
+    // physical only: both versions still on disk, read results identical
+    assert(spark.read.parquet(e.catalog.dataDir("sfm")).count() == 2000)
+    assert(e.read("sfm").orderBy("t", "host").collect().toSeq == before)
   }
 
   test("compaction: same results, dedup window dropped, re-enabled on append") {
