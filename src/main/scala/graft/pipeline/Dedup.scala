@@ -389,12 +389,7 @@ object Dedup {
     // to its minimum — the brute-force CC property tests cover this).
     // Convergence = zero changed rows, counted by the SAME
     // Dataset.observe that rides the round's localCheckpoint action —
-    // one Spark job per round, and the observed count doubles as the
-    // next round's frontier-size estimate: when the frontier is small
-    // the edge join gets an explicit broadcast() of the changed set, so
-    // late rounds stop shuffling the edge set entirely (near-clique
-    // graphs spend most rounds there; the first round is everyone and
-    // keeps the shuffled join).
+    // one Spark job per round.
     // NAMED observe (a plain CollectMetrics plan node read back through
     // queryExecution.observedMetrics), NOT the Observation helper: on
     // Spark 4.1 Observation lazily materializes the session's
@@ -415,19 +410,18 @@ object Dedup {
       .select(col("id"), col("id").as("label"),
         lit(null).cast(labelType).as("old"))
       .localCheckpoint()
-    // broadcast the frontier when last round's observed count says it is
-    // tiny: ~2 MB of (id, label) pairs at this bound — far under any
-    // executor budget, and it replaces a full edge-set shuffle
-    val broadcastFrontierRows = 131072L
-    var lastChanged = Long.MaxValue
+    // NOTE a broadcast() of the frontier when the observed changed-count
+    // was small was tried and MEASURED WORSE (q325 gfuzzy build 16 -> 59 s,
+    // q313 dfuzzy 5 -> 40 s at sf0.1): replacing the co-planned
+    // shuffle join with a per-round BroadcastExchange more than doubled
+    // the loop's CPU. The frontier restriction alone keeps the win
+    // (fewer prop rows into the round's groupBy) without that cost.
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val changed = labels.filter(not(col("label") <=> col("old")))
       val changedSrc = changed.select(col("id").as("src"), col("label"))
-      val probe = if (lastChanged <= broadcastFrontierRows)
-        broadcast(changedSrc) else changedSrc
-      val prop = edges.join(probe, "src")
+      val prop = edges.join(changedSrc, "src")
         .select(col("dst").as("id"), col("label"))
       // pointer doubling: follow each node's current label one hop (the
       // label's own label) — min-semantics preserved, rounds O(log d).
@@ -458,7 +452,6 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"), min("old").as("old"))
       val (chk, nChanged) = checkpointWithChanged(next)
       converged = nChanged == 0
-      lastChanged = nChanged
       labels = chk
       it += 1
     }

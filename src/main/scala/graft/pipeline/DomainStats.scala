@@ -395,51 +395,99 @@ object DomainStats {
     out.crossJoin(broadcast(g)).filter(col("__kc").isNull).drop("__kc")
   }
 
+  /** Broadcast bound for the exact-verify lookup side: ~2^17 distinct
+    * paragraphs × (8 B key + a few hundred bytes of hashed-token array)
+    * ≈ tens of MB framed — safely inside one executor's budget, and the
+    * single-threaded BroadcastExchange build stays sub-second at this
+    * row count (the ngramJaccardPairs caveat about array-heavy
+    * broadcasts kicks in orders of magnitude later). Beyond it the
+    * verify falls back to the planner's shuffled join over the same
+    * narrow long keys — the 100 TB shape. */
+  private val FuzzyVerifyBroadcastMaxRows = 131072L
+
+  /** Shared LSH candidate + exact-verify edge builder for the fuzzy
+    * clustering cores: banded self-join over `dp` (one row per
+    * clustering key, carrying `v` = SORTED xxhash64'd token set and
+    * `bandkeys`), keyed THROUGHOUT by `keyHash` — the same 64-bit key
+    * CC runs on, so candidate pairs shuffle two LONGS instead of two
+    * md5 strings (guide §2.3: narrower types; the callers' plan-folded
+    * collision guard makes hash keying loud-fail safe). `bucketCols`
+    * adds equality columns to the band bucket (the per-domain variant).
+    *
+    * Size-ratio prefilter: J >= jacNum/jacDen implies min(|A|,|B|)·jacDen
+    * >= max(|A|,|B|)·jacNum (J <= min/max), so it only drops candidates
+    * exact verification would reject anyway — the oracle replays the
+    * verified pair set without needing the prefilter.
+    *
+    * Exact verify: |A∩B| via [[graft.functions.SortedIntersectSize]]
+    * (allocation-free merge over the sorted hashed token sets — the
+    * ngramJaccardPairs kernel) with |A∪B| = n_a + n_b − |A∩B|; integer
+    * arithmetic throughout. The (h, v) lookup side is BROADCAST when dp
+    * is small enough that the build is trivial — the candidate pairs
+    * (the measured 9 M-row, 0.4%-precision explosion at sf0.1) then
+    * never cross an exchange at all (guide §3.1/§3.2: reduce/avoid
+    * shuffling the big side). Returns verified (id_a, id_b) hash pairs. */
+  private def fuzzyVerifiedEdges(
+      dp: DataFrame, keyHash: Column, bucketCols: Seq[String],
+      jacNum: Int, jacDen: Int): DataFrame = {
+    val banded = dp.select(
+      bucketCols.map(col) ++ Seq(keyHash.as("h"), size(col("v")).as("sz"),
+        posexplode(col("bandkeys")).as(Seq("band", "key"))): _*)
+    val joinCond = (bucketCols.map(c => col(s"a.$c") === col(s"b.$c")) ++ Seq(
+      col("a.band") === col("b.band"), col("a.key") === col("b.key"),
+      col("a.h") < col("b.h"),
+      least(col("a.sz"), col("b.sz")) * jacDen >=
+        greatest(col("a.sz"), col("b.sz")) * jacNum)).reduce(_ && _)
+    val cand = banded.as("a").join(banded.as("b"), joinCond)
+      .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .distinct()
+    val dpV = dp.select(keyHash.as("h"), col("v"), size(col("v")).as("n"))
+    val small = dp.count() <= FuzzyVerifyBroadcastMaxRows
+    def side(suffix: String) = {
+      val s = dpV.select(col("h").as(s"h_$suffix"), col("v").as(s"v_$suffix"),
+        col("n").as(s"n_$suffix"))
+      if (small) broadcast(s) else s
+    }
+    cand.join(side("a"), Seq("h_a")).join(side("b"), Seq("h_b"))
+      .withColumn("__inter",
+        graft.functions.SortedIntersectSize(col("v_a"), col("v_b")))
+      .filter(col("__inter") * jacDen >=
+        (col("n_a") + col("n_b") - col("__inter")) * jacNum)
+      .select(col("h_a").as("id_a"), col("h_b").as("id_b"))
+  }
+
   private def fuzzyClusterMembers(
       occ: DataFrame, idCol: String, shingleK: Int,
       numHashes: Int, bands: Int, jacNum: Int, jacDen: Int): DataFrame = {
     // distinct paragraph per domain: text crosses the wire once (min() is
-    // exact — all occurrences of a ph are byte-identical); shingles and
-    // band keys are single-pass kernels over the distinct frame. Pinned:
-    // the frame feeds the banded self-join AND the verify joins.
+    // exact — all occurrences of a ph are byte-identical); shingles, the
+    // sorted hashed token set and band keys are single-pass kernels over
+    // the distinct frame. Pinned: the frame feeds the banded self-join
+    // AND the verify lookups. The checkpoint carries `v` (sorted
+    // xxhash64'd tokens) instead of the string shingle array — narrower,
+    // and the verify kernel is a merge intersection over it. 64-bit
+    // token collisions shift a jaccard by <= 1/|union| with probability
+    // ~|vocab|²/2⁶⁴ — the accepted ngramJaccardPairs trade (q54/q87),
+    // re-verified against the exact-string oracles at both gate scales.
     val dp = occ.groupBy("__domain", "ph")
       .agg(min(col("__para")).as("para"))
       .withColumn("sh",
         array_distinct(TextAnalysis.shingles(col("para"), shingleK)))
+      .withColumn("v", sort_array(transform(col("sh"), t => xxhash64(t))))
       .withColumn("bandkeys", TextAnalysis.minhashBands(
         TextAnalysis.minhashSignature(col("sh"), numHashes),
         bands, numHashes / bands))
+      .drop("sh")
       .localCheckpoint()
     // CC below runs on xxhash64(domain, ph) LONGS (the union-find fast
     // path), and a collision between two distinct (domain, ph) pairs
     // would SILENTLY merge unrelated clusters — even across domains,
     // since CC sees bare hashes. dp is one row per (domain, ph) by
     // construction, so [[hashKeyGuarded]]'s count equality is exactly
-    // the collision-freedom check.
-    val banded = dp.select(col("__domain"), col("ph"), size(col("sh")).as("sz"),
-      posexplode(col("bandkeys")).as(Seq("band", "key")))
-    // size-ratio prefilter: J >= jacNum/jacDen implies min(|A|,|B|)·jacDen
-    // >= max(|A|,|B|)·jacNum (J <= min/max), so this only drops candidates
-    // exact verification would reject anyway — the oracle replays the
-    // verified pair set without needing the prefilter.
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.__domain") === col("b.__domain") &&
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.ph") < col("b.ph") &&
-        least(col("a.sz"), col("b.sz")) * jacDen >=
-          greatest(col("a.sz"), col("b.sz")) * jacNum)
-      .select(col("a.__domain").as("__domain"),
-        col("a.ph").as("ph_a"), col("b.ph").as("ph_b"))
-      .distinct()
-    val edges = cand
-      .join(dp.select(col("__domain"), col("ph").as("ph_a"),
-        col("sh").as("sh_a")), Seq("__domain", "ph_a"))
-      .join(dp.select(col("__domain"), col("ph").as("ph_b"),
-        col("sh").as("sh_b")), Seq("__domain", "ph_b"))
-      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * jacDen >=
-        size(array_union(col("sh_a"), col("sh_b"))) * jacNum)
-      .select(xxhash64(col("__domain"), col("ph_a")).as("id_a"),
-        xxhash64(col("__domain"), col("ph_b")).as("id_b"))
+    // the collision-freedom check (which also covers the verify joins
+    // and candidate pairs now keyed by the same hash).
+    val edges = fuzzyVerifiedEdges(dp,
+      xxhash64(col("__domain"), col("ph")), Seq("__domain"), jacNum, jacDen)
     // LONG vertex keys (xxhash64 of (domain, ph) — pairs never cross
     // domains) so connectedComponents takes its union-find contraction
     // path: the string-keyed generic loop cost ~6 s of per-iteration
@@ -1069,29 +1117,26 @@ object DomainStats {
   private def globalFuzzyMembers(
       occ: DataFrame, shingleK: Int, numHashes: Int, bands: Int,
       jacNum: Int, jacDen: Int): DataFrame = {
+    // same shape as [[fuzzyClusterMembers]] minus the domain key: the
+    // pinned distinct frame carries the sorted hashed token set `v`, the
+    // banded self-join and verify lookups ride xxhash64(ph) longs (see
+    // [[fuzzyVerifiedEdges]]); measured at sf0.1 this build's candidate
+    // explosion is 9.2 M pairs from 18.5 k paragraphs with 21.7 k
+    // verified survivors — the candidate frame is the thing not to
+    // shuffle, and the old md5-string chain shuffled it three times
+    // (distinct + two verify joins, 212 MB).
     val dp = occ.groupBy("ph")
       .agg(min(col("__para")).as("para"))
       .withColumn("sh",
         array_distinct(TextAnalysis.shingles(col("para"), shingleK)))
+      .withColumn("v", sort_array(transform(col("sh"), t => xxhash64(t))))
       .withColumn("bandkeys", TextAnalysis.minhashBands(
         TextAnalysis.minhashSignature(col("sh"), numHashes),
         bands, numHashes / bands))
+      .drop("sh")
       .localCheckpoint()
-    val banded = dp.select(col("ph"), size(col("sh")).as("sz"),
-      posexplode(col("bandkeys")).as(Seq("band", "key")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.ph") < col("b.ph") &&
-        least(col("a.sz"), col("b.sz")) * jacDen >=
-          greatest(col("a.sz"), col("b.sz")) * jacNum)
-      .select(col("a.ph").as("ph_a"), col("b.ph").as("ph_b"))
-      .distinct()
-    val edges = cand
-      .join(dp.select(col("ph").as("ph_a"), col("sh").as("sh_a")), Seq("ph_a"))
-      .join(dp.select(col("ph").as("ph_b"), col("sh").as("sh_b")), Seq("ph_b"))
-      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * jacDen >=
-        size(array_union(col("sh_a"), col("sh_b"))) * jacNum)
-      .select(xxhash64(col("ph_a")).as("id_a"), xxhash64(col("ph_b")).as("id_b"))
+    val edges = fuzzyVerifiedEdges(dp, xxhash64(col("ph")), Nil,
+      jacNum, jacDen)
     val cc = Dedup.connectedComponents(edges)
     // dp is one row per ph by construction — hashKeyGuarded's count
     // equality is exactly xxhash64(ph) collision-freedom
